@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs DuckDB on oracle_sql.json (written by graft.Verify) against the same
+parquet tables, and compares each query's Spark parquet output to the oracle
+result: row count, column names (sorted), and a hash over the sorted values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import duckdb
+import glob
+import hashlib
+import json
+import math
+import os
+import sys
+from decimal import Decimal
+
+
+def norm(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, Decimal):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return str(v.normalize())
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as fh:
+        oracles = json.load(fh)
+
+    n_pass = n_fail = n_rowsonly = 0
+    result_dirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+    for rd in result_dirs:
+        name = os.path.basename(rd)
+        res = con.execute(
+            f"SELECT * FROM read_parquet('{rd}/*.parquet')")
+        rrows, rcols = res.fetchall(), [c[0] for c in res.description]
+        if name not in oracles:
+            n_rowsonly += 1
+            status = "ROWS-ONLY" if rrows else "ROWS-ONLY-EMPTY"
+            print(f"{status:>16} {name}: {len(rrows)} rows")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            orows, ocols = ores.fetchall(), [c[0] for c in ores.description]
+        except Exception as e:
+            n_fail += 1
+            print(f"{'ORACLE-ERR':>16} {name}: {e}")
+            continue
+        problems = []
+        if sorted(rcols) != sorted(ocols):
+            problems.append(f"cols {sorted(rcols)} != {sorted(ocols)}")
+        if len(rrows) != len(orows):
+            problems.append(f"rows {len(rrows)} != {len(orows)}")
+        if not problems and table_hash(rrows, rcols) != table_hash(orows, ocols):
+            problems.append("value hash mismatch")
+            order_r = sorted(range(len(rcols)), key=lambda i: rcols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sr = sorted("\x01".join(norm(r[i]) for i in order_r) for r in rrows)
+            so = sorted("\x01".join(norm(r[i]) for i in order_o) for r in orows)
+            for a, b in zip(sr, so):
+                if a != b:
+                    problems.append(
+                        f"first diff:\n  spark:  {a[:300]!r}\n  oracle: {b[:300]!r}")
+                    break
+        if problems:
+            n_fail += 1
+            print(f"{'FAIL':>16} {name}: " + "; ".join(problems))
+        else:
+            n_pass += 1
+            print(f"{'PASS':>16} {name}: {len(rrows)} rows")
+    missing = set(oracles) - {os.path.basename(d) for d in result_dirs}
+    for name in sorted(missing):
+        n_fail += 1
+        print(f"{'NO-RESULT':>16} {name}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
