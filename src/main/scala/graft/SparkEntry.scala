@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.ScalarQueries
+import graft.operators.{ScalarQueries, SyncQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,14 +13,14 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    ScalarQueries.queries("p2_classify_method")(spark, "/root/testdata/sf0.001")
+    SyncQueries.queries("c4_sync_router")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScalarQueries.queries
+    ScalarQueries.queries ++ SyncQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ScalarQueries.oracleSql
+    ScalarQueries.oracleSql ++ SyncQueries.oracleSql
 }

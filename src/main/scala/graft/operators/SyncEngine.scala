@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.functions.Exprs._
+import graft.model.Actions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's heart (SURVEY.md §2.3 J1–J3, §2.6 C1–C5, §2.5 D1):
+  * keyed upsert sync of a prepared source window against the partitioned
+  * destination state, producing routed delta DataFrames.
+  *
+  * Reference semantics being reproduced (what, not how):
+  *  - first-wins dedup of source keys in explicit scan order (`Code.gs:752-765`)
+  *  - build/probe keyed join classified NEW / UPDATE / NO-OP (`Code.gs:1159-1211`,
+  *    maps built `Code.gs:1297-1336`)
+  *  - cross-partition membership probe in fixed priority order
+  *    TRANSFERENCIA→TARJETA→EFECTIVO→OTROS (`Code.gs:1228-1242`)
+  *  - field-level change detection with money tolerance ±0.01 and Y/M/D date
+  *    equality; banco only compared for TRANSFERENCIA (`Code.gs:1341-1373`)
+  *  - movement routing with conflict quarantine when the state row carries
+  *    human work in the protected zone (`Code.gs:1378-1496`, `1501-1548`)
+  *  - soft-delete detection as a windowed anti-join, log-only (`Code.gs:1258-1290`)
+  *  - protected columns pass through verbatim on updates (`Code.gs:1836-1844`)
+  *
+  * Spark-first shape: ONE full-outer join on the key + `when` routing — the
+  * reference's per-row probe loop collapses into a single shuffle; every
+  * output (inserts, updates, movements, conflicts, deletions, audit, new
+  * state) is a filter/projection of the same classified delta, so caching
+  * the delta serves all sinks. No driver-side state, no collect.
+  */
+object SyncEngine {
+
+  /** All source columns the engine consumes (post-prepare). */
+  private val SrcCols = Seq("folio", "fecha", "cliente", "servicio", "banco",
+    "monto", "metodo")
+  private val ProtectedCols = Seq("conciliado", "concepto_banco",
+    "observaciones", "recibo", "afiliacion", "lote", "verificado")
+  private val StateCols = Seq("partition", "folio", "fecha", "cliente",
+    "servicio", "banco", "monto") ++ ProtectedCols
+
+  final case class SyncResult(
+      delta: DataFrame, // every routed row: folio, action, s_*/e_* fields
+      duplicates: DataFrame, // D1 losers
+      newState: DataFrame, // recomputed destination (all partitions)
+      conflicts: DataFrame, // revision queue rows (S8 shape)
+      audit: DataFrame, // audit log rows (S7 shape, no wall-clock ts)
+      summary: DataFrame) // action counts (A4)
+
+  /** Partition probe priority (`Code.gs:1229-1240`): when a corrupt state
+    * holds one folio under several partitions, the first in this order wins. */
+  def partitionPriority(p: Column): Column =
+    when(p === MethodTransferencia, 1)
+      .when(p === MethodTarjeta, 2)
+      .when(p === MethodEfectivo, 3)
+      .otherwise(4)
+
+  private def nonEmpty(c: Column): Column =
+    coalesce(trim(c) =!= "", lit(false))
+
+  /** C3 — "row has human work" predicate, per partition type
+    * (`Code.gs:1501-1548`). */
+  def manualWork(partition: Column, conciliado: Column, conceptoBanco: Column,
+      observaciones: Column, recibo: Column, afiliacion: Column, lote: Column,
+      verificado: Column): Column =
+    when(partition === MethodTransferencia,
+      coerceBool(conciliado) || nonEmpty(conceptoBanco) || nonEmpty(observaciones))
+      .when(partition === MethodTarjeta,
+        coerceBool(recibo) || nonEmpty(afiliacion) || nonEmpty(lote) ||
+          nonEmpty(observaciones))
+      .otherwise(coerceBool(verificado) || nonEmpty(observaciones))
+
+  /** D1 — first-wins dedup by key over the explicit order column.
+    * Returns (kept, duplicates). */
+  def dedupFirstWins(source: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("folio")).orderBy(col("ord"))
+    val ranked = source.withColumn("rn", row_number().over(w))
+    (ranked.filter(col("rn") === 1).drop("rn"),
+      ranked.filter(col("rn") > 1).drop("rn"))
+  }
+
+  /** Classify + route one sync window. `source` must carry
+    * ord, folio, fecha(date), cliente, servicio, banco, monto, metodo;
+    * `state` the [[StateCols]] wide schema. Pure — no I/O. */
+  def run(source: DataFrame, state: DataFrame,
+      windowStart: String, windowEnd: String): SyncResult = {
+
+    val (kept, duplicates) = dedupFirstWins(source)
+    val s = kept.select(SrcCols.map(c => col(c).as(s"s_$c")): _*)
+
+    // one state row per folio: fixed-priority probe order (J2 semantics)
+    val stateRanked = state.withColumn("e_rank",
+      row_number().over(Window.partitionBy(col("folio"))
+        .orderBy(partitionPriority(col("partition")), col("partition"))))
+    val e = stateRanked.filter(col("e_rank") === 1).drop("e_rank")
+      .select(StateCols.map(c => col(c).as(s"e_$c")): _*)
+    // corrupt extra rows (same folio under several partitions) ride along
+    // untouched, like sheets the reference never probes past first match
+    val eShadow = stateRanked.filter(col("e_rank") > 1).drop("e_rank")
+
+    val joined = s.join(e, col("s_folio") <=> col("e_folio"), "full_outer")
+
+    val inWindow = col("e_fecha").between(lit(windowStart), lit(windowEnd))
+    val samePartition = col("s_metodo") === col("e_partition")
+
+    // C1/C2 — change bitmap (banco only for TRANSFERENCIA)
+    val chgFecha = !dateEq(col("s_fecha"), col("e_fecha"))
+    val chgCliente = !(col("s_cliente") <=> col("e_cliente"))
+    val chgServicio = !(col("s_servicio") <=> col("e_servicio"))
+    val chgMonto =
+      coalesce(abs(col("s_monto") - col("e_monto")) >= lit(0.01), lit(false))
+    val chgBanco = (col("e_partition") === MethodTransferencia) &&
+      !(col("s_banco") <=> col("e_banco"))
+    val hayCambios = chgFecha || chgCliente || chgServicio || chgMonto || chgBanco
+
+    val hasManualWork = manualWork(col("e_partition"), col("e_conciliado"),
+      col("e_concepto_banco"), col("e_observaciones"), col("e_recibo"),
+      col("e_afiliacion"), col("e_lote"), col("e_verificado"))
+
+    val action =
+      when(col("e_folio").isNull, Actions.Nuevo)
+        .when(col("s_folio").isNull,
+          when(inWindow, Actions.Eliminacion).otherwise(Actions.FueraVentana))
+        .when(!samePartition,
+          when(hasManualWork, Actions.Conflicto).otherwise(Actions.CambioMetodo))
+        .when(hayCambios, Actions.Actualizacion)
+        .otherwise(Actions.SinCambios)
+
+    val delta = joined
+      .withColumn("action", action)
+      .withColumn("chg_fecha", coalesce(chgFecha, lit(false)))
+      .withColumn("chg_cliente", coalesce(chgCliente, lit(false)))
+      .withColumn("chg_servicio", coalesce(chgServicio, lit(false)))
+      .withColumn("chg_monto", coalesce(chgMonto, lit(false)))
+      .withColumn("chg_banco", coalesce(chgBanco, lit(false)))
+
+    // ---------------------------------------------------------- new state
+    val keepOld = delta
+      .filter(col("action").isin(Actions.SinCambios, Actions.Eliminacion,
+        Actions.FueraVentana))
+      .select(col("e_partition").as("partition") +:
+        StateCols.tail.map(c => col(s"e_$c").as(c)): _*)
+    val updated = delta
+      .filter(col("action") === Actions.Actualizacion)
+      .select(Seq(
+        col("e_partition").as("partition"), col("s_folio").as("folio"),
+        col("s_fecha").as("fecha"), col("s_cliente").as("cliente"),
+        col("s_servicio").as("servicio"), col("s_banco").as("banco"),
+        col("s_monto").as("monto")) ++
+        ProtectedCols.map(c => col(s"e_$c").as(c)): _*)
+    // movements insert fresh rows in the target partition (empty protected
+    // zone); conflict rows leave the state entirely (they live in the queue)
+    val insertedOrMoved = delta
+      .filter(col("action").isin(Actions.Nuevo, Actions.CambioMetodo))
+      .select(Seq(
+        col("s_metodo").as("partition"), col("s_folio").as("folio"),
+        col("s_fecha").as("fecha"), col("s_cliente").as("cliente"),
+        col("s_servicio").as("servicio"), col("s_banco").as("banco"),
+        col("s_monto").as("monto")) ++
+        ProtectedCols.map(c => lit(null).cast(
+          if (c == "conciliado" || c == "recibo" || c == "verificado")
+            "boolean" else "string").as(c)): _*)
+    val newState = keepOld.unionByName(updated).unionByName(insertedOrMoved)
+      .unionByName(eShadow.select(StateCols.map(col): _*))
+
+    // ---------------------------------------------------------- conflicts
+    val conflicts = delta.filter(col("action") === Actions.Conflicto)
+      .select(
+        col("s_folio").as("folio"),
+        concat(lit("Cambio método pago: "), col("e_partition"), lit(" → "),
+          col("s_metodo")).as("conflicto"),
+        col("e_partition").as("hoja_origen"),
+        col("s_metodo").as("hoja_destino"),
+        col("s_fecha").as("fecha"), col("s_cliente").as("cliente"),
+        col("s_servicio").as("servicio"), col("s_monto").as("monto"),
+        col("s_banco").as("banco"),
+        when(coerceBool(coalesce(col("e_conciliado"), col("e_recibo"),
+          col("e_verificado"))), "Sí").otherwise("No").as("conciliado"),
+        when(col("e_partition") === MethodTarjeta,
+          concat(lit("Afiliación: "), coalesce(col("e_afiliacion"), lit("")),
+            lit("; Lote: "), coalesce(col("e_lote"), lit(""))))
+          .otherwise(coalesce(col("e_concepto_banco"), lit("")))
+          .as("concepto_banco"),
+        coalesce(col("e_observaciones"), lit("")).as("observaciones"),
+        lit("Pendiente").as("estado"))
+
+    // -------------------------------------------------------------- audit
+    val money2 = (c: Column) => c.cast(Money).cast("string")
+    val cambioTexto = concat(lit("Cambios en: "), concat_ws(", ",
+      when(col("chg_fecha"), "Fecha"), when(col("chg_cliente"), "Cliente"),
+      when(col("chg_servicio"), "Servicio"), when(col("chg_monto"), "Monto"),
+      when(col("chg_banco"), "Banco")))
+    val valoresDe = (side: String) => concat_ws("; ",
+      when(col("chg_fecha"),
+        concat(lit("Fecha: "), formatFechaDMY(col(s"${side}_fecha")))),
+      when(col("chg_cliente"),
+        concat(lit("Cliente: "), coalesce(col(s"${side}_cliente"), lit("")))),
+      when(col("chg_servicio"),
+        concat(lit("Servicio: "), coalesce(col(s"${side}_servicio"), lit("")))),
+      when(col("chg_monto"),
+        concat(lit("Monto: "), money2(col(s"${side}_monto")))),
+      when(col("chg_banco"),
+        concat(lit("Banco: "), coalesce(col(s"${side}_banco"), lit("")))))
+
+    val auditFromDelta = delta
+      .filter(col("action").isin(Actions.Actualizacion, Actions.CambioMetodo,
+        Actions.Conflicto, Actions.Eliminacion))
+      .select(
+        coalesce(col("s_folio"), col("e_folio")).as("folio"),
+        col("action").as("accion"),
+        when(col("action") === Actions.Actualizacion, cambioTexto)
+          .when(col("action") === Actions.CambioMetodo,
+            concat(col("e_partition"), lit(" → "), col("s_metodo")))
+          .when(col("action") === Actions.Conflicto,
+            concat(lit("Método cambió con trabajo manual: "),
+              col("e_partition"), lit(" → "), col("s_metodo")))
+          .otherwise(lit("No encontrado en origen dentro de la ventana"))
+          .as("detalle"),
+        when(col("action") === Actions.Actualizacion, valoresDe("e"))
+          .otherwise(lit("")).as("valores_anteriores"),
+        when(col("action") === Actions.Actualizacion, valoresDe("s"))
+          .otherwise(lit("")).as("valores_nuevos"))
+    val auditDuplicates = duplicates.select(
+      col("folio"),
+      lit(Actions.Duplicado).as("accion"),
+      lit("Folio repetido en el origen; se conservó la primera aparición")
+        .as("detalle"),
+      lit("").as("valores_anteriores"),
+      concat(lit("Monto: "), money2(col("monto"))).as("valores_nuevos"))
+    val audit = auditFromDelta.unionByName(auditDuplicates)
+
+    val summary = delta.groupBy(col("action")).agg(count(lit(1)).as("n"))
+
+    SyncResult(delta, duplicates, newState, conflicts, audit, summary)
+  }
+}

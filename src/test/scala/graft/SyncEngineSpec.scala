@@ -1,0 +1,155 @@
+package graft
+
+import graft.model.Actions
+import graft.operators.SyncEngine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden-scenario matrix from FIXTURES.md §4 plus the reference's
+  * idempotency requirement (`requerimientos.md:169`) and probe-priority
+  * semantics (`Code.gs:1229-1240`). */
+class SyncEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W0 = "2025-11-01"
+  private val W1 = "2025-11-10"
+
+  private def srcDf(rows: Seq[(Long, String, String, Double, String)]): DataFrame =
+    rows.toDF("ord", "folio", "fecha", "monto", "metodo")
+      .withColumn("fecha", to_date($"fecha"))
+      .withColumn("cliente", lit("cli"))
+      .withColumn("servicio", lit("srv"))
+      .withColumn("banco", lit("BANCOMER"))
+
+  private def stDf(rows: Seq[(String, String, String, Double,
+      Option[Boolean], Option[String], Option[Boolean])]): DataFrame =
+    rows.toDF("partition", "folio", "fecha", "monto",
+      "conciliado", "observaciones", "recibo")
+      .withColumn("fecha", to_date($"fecha"))
+      .withColumn("cliente", lit("cli"))
+      .withColumn("servicio", lit("srv"))
+      .withColumn("banco", lit("BANCOMER"))
+      .withColumn("concepto_banco", lit(null).cast("string"))
+      .withColumn("afiliacion", lit(null).cast("string"))
+      .withColumn("lote", lit(null).cast("string"))
+      .withColumn("verificado", lit(null).cast("boolean"))
+
+  private val source = srcDf(Seq(
+    (1L, "F1", "2025-11-05", 100.0, "TRANSFERENCIA"), // new
+    (2L, "F2", "2025-11-05", 100.0, "TRANSFERENCIA"), // unchanged (tolerance)
+    (3L, "F3", "2025-11-05", 200.0, "TRANSFERENCIA"), // changed monto
+    (4L, "F4", "2025-11-05", 100.0, "TARJETA"), // moved clean
+    (5L, "F5", "2025-11-05", 100.0, "TRANSFERENCIA"), // moved conflict
+    (10L, "F8", "2025-11-05", 50.0, "EFECTIVO"), // duplicate: first wins
+    (11L, "F8", "2025-11-05", 60.0, "EFECTIVO"),
+    (12L, "F9", "2025-11-05", 100.0, "EFECTIVO"))) // priority probe
+
+  private val state = stDf(Seq(
+    ("TRANSFERENCIA", "F2", "2025-11-05", 100.005, None, None, None),
+    ("TRANSFERENCIA", "F3", "2025-11-05", 100.0, Some(true), None, None),
+    ("TRANSFERENCIA", "F4", "2025-11-05", 100.0, None, None, None),
+    ("TARJETA", "F5", "2025-11-05", 100.0, None, None, Some(true)),
+    ("TRANSFERENCIA", "F6", "2025-11-03", 100.0, None, None, None), // deleted
+    ("TRANSFERENCIA", "F7", "2025-10-01", 100.0, None, None, None), // out of win
+    ("TARJETA", "F9", "2025-11-05", 100.0, None, None, None), // probe hit 1st
+    ("EFECTIVO", "F9", "2025-11-05", 100.0, None, None, None))) // shadow
+
+  private lazy val r1 = SyncEngine.run(source, state, W0, W1)
+  private lazy val actions: Map[String, String] = r1.delta
+    .select(coalesce($"s_folio", $"e_folio"), $"action").as[(String, String)]
+    .collect().toMap
+
+  test("golden scenario matrix routes every delta class") {
+    assert(actions("F1") === Actions.Nuevo)
+    assert(actions("F2") === Actions.SinCambios)
+    assert(actions("F3") === Actions.Actualizacion)
+    assert(actions("F4") === Actions.CambioMetodo)
+    assert(actions("F5") === Actions.Conflicto)
+    assert(actions("F6") === Actions.Eliminacion)
+    assert(actions("F7") === Actions.FueraVentana)
+    assert(actions("F8") === Actions.Nuevo)
+  }
+
+  test("first-wins dedup keeps scan order winner and logs loser") {
+    val kept = r1.delta.filter($"s_folio" === "F8")
+      .select($"s_monto").as[Double].collect()
+    assert(kept.toSeq === Seq(50.0))
+    val dup = r1.duplicates.select($"folio", $"monto").as[(String, Double)]
+      .collect()
+    assert(dup.toSeq === Seq(("F8", 60.0)))
+  }
+
+  test("update keeps protected zone verbatim; new values land") {
+    val f3 = r1.newState.filter($"folio" === "F3").collect().head
+    assert(f3.getAs[Double]("monto") === 200.0)
+    assert(f3.getAs[Boolean]("conciliado") === true)
+  }
+
+  test("clean move lands in target partition with empty protected zone") {
+    val f4 = r1.newState.filter($"folio" === "F4").collect()
+    assert(f4.length === 1)
+    assert(f4.head.getAs[String]("partition") === "TARJETA")
+    assert(f4.head.isNullAt(f4.head.fieldIndex("conciliado")))
+  }
+
+  test("conflicted move leaves state, lands in queue as Pendiente") {
+    assert(r1.newState.filter($"folio" === "F5").count() === 0)
+    val q = r1.conflicts.collect()
+    assert(q.length === 1)
+    val c = q.head
+    assert(c.getAs[String]("folio") === "F5")
+    assert(c.getAs[String]("estado") === "Pendiente")
+    assert(c.getAs[String]("conflicto") ===
+      "Cambio método pago: TARJETA → TRANSFERENCIA")
+    assert(c.getAs[String]("conciliado") === "Sí") // recibo checked
+  }
+
+  test("deletion detection is log-only; out-of-window rows untouched") {
+    assert(r1.newState.filter($"folio" === "F6").count() === 1)
+    assert(r1.newState.filter($"folio" === "F7").count() === 1)
+    val audited = r1.audit.filter($"accion" === Actions.Eliminacion)
+      .select($"folio").as[String].collect()
+    assert(audited.toSeq === Seq("F6"))
+  }
+
+  test("probe priority: first partition in fixed order wins; shadow survives") {
+    // F9 lives under TARJETA and EFECTIVO; probe order hits TARJETA first
+    // → movement TARJETA → EFECTIVO; the shadow EFECTIVO row rides along.
+    assert(actions("F9") === Actions.CambioMetodo)
+    val f9 = r1.delta.filter($"s_folio" === "F9").collect().head
+    assert(f9.getAs[String]("e_partition") === "TARJETA")
+    assert(r1.newState.filter($"folio" === "F9").count() === 2)
+  }
+
+  test("audit covers update/move/conflict/delete/duplicate") {
+    val got = r1.audit.select($"accion").as[String].collect().toSet
+    assert(got === Set(Actions.Actualizacion, Actions.CambioMetodo,
+      Actions.Conflicto, Actions.Eliminacion, Actions.Duplicado))
+    val f3audit = r1.audit.filter($"folio" === "F3").collect().head
+    assert(f3audit.getAs[String]("detalle") === "Cambios en: Monto")
+    assert(f3audit.getAs[String]("valores_anteriores") === "Monto: 100.00")
+    assert(f3audit.getAs[String]("valores_nuevos") === "Monto: 200.00")
+  }
+
+  test("idempotency: state reaches a fixpoint by the second re-run") {
+    // Run 2 on the produced state: conflict row was quarantined, so its
+    // source row re-enters as NUEVO (reference behavior); the deleted-but-
+    // kept row is re-logged (deletion detection is log-only and re-fires
+    // every run); everything else is a no-op. Run 3 must be a fixpoint.
+    val r2 = SyncEngine.run(source, r1.newState.localCheckpoint(), W0, W1)
+    val acts2 = r2.delta.select(coalesce($"s_folio", $"e_folio"), $"action")
+      .as[(String, String)].collect().toMap
+    assert(acts2("F5") === Actions.Nuevo)
+    assert(acts2("F6") === Actions.Eliminacion)
+    assert(acts2.filter(_._1 != "F5").values.toSet ===
+      Set(Actions.SinCambios, Actions.FueraVentana, Actions.Eliminacion))
+
+    val r3 = SyncEngine.run(source, r2.newState.localCheckpoint(), W0, W1)
+    val acts3 = r3.delta.select($"action").as[String].collect().toSet
+    assert(acts3 ===
+      Set(Actions.SinCambios, Actions.FueraVentana, Actions.Eliminacion))
+    val s2 = r2.newState.collect().map(_.toString).sorted
+    val s3 = r3.newState.collect().map(_.toString).sorted
+    assert(s2.toSeq === s3.toSeq)
+  }
+}
