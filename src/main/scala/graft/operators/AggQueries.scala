@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-facing queries for the aggregation layer (SURVEY.md §2.4) over
+  * the [[SyncFixture]] state, with DuckDB oracles. */
+object AggQueries {
+
+  private val Dec = DecimalType(18, 2)
+
+  private def tarjetas(s: SparkSession, d: String): DataFrame =
+    SyncFixture.state(s, d).filter(col("partition") === "TARJETA")
+
+  /** Deterministic lot-closure fixture: declared total = computed sum,
+    * nudged +10 for every third lot so both ✅ and ❌ appear. */
+  private def cierres(s: SparkSession, d: String): DataFrame =
+    Aggregates.lotTotals(tarjetas(s, d))
+      .select(col("lote"),
+        (col("total_folios") +
+          when(col("lote").cast("int") % 3 === 0, lit(10).cast(Dec))
+            .otherwise(lit(0).cast(Dec)))
+          .cast(Dec).as("total_cierre"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_lot_totals" -> ((s, d) => Aggregates.lotTotals(tarjetas(s, d))),
+
+    "a2_cuadra_check" -> ((s, d) =>
+      Aggregates.cuadra(cierres(s, d), tarjetas(s, d))),
+
+    "a3_daily_totals_spine" -> ((s, d) =>
+      Aggregates.dailyTotals(
+        SyncFixture.state(s, d)
+          .filter(col("partition") === "TRANSFERENCIA"),
+        SyncFixture.WindowStart, SyncFixture.WindowEnd))
+  )
+
+  private def withCtes(sql: String): String =
+    s"WITH ${SyncFixture.DeltaCtes},\n$sql"
+
+  private val LotTotalsSql =
+    """lt AS (
+      |  SELECT lote, sum(cast(monto AS decimal(18,2))) AS total_folios,
+      |         count(*) AS n_folios
+      |  FROM st WHERE partition = 'TARJETA' AND lote IS NOT NULL
+      |  GROUP BY lote)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_lot_totals" -> withCtes(
+      s"""$LotTotalsSql
+         |SELECT lote, total_folios, n_folios FROM lt""".stripMargin),
+
+    "a2_cuadra_check" -> withCtes(
+      s"""$LotTotalsSql,
+         |cierres AS (
+         |  SELECT lote,
+         |    cast(total_folios +
+         |      CASE WHEN cast(lote AS int) % 3 = 0 THEN 10.0 ELSE 0.0 END
+         |      AS decimal(18,2)) AS total_cierre
+         |  FROM lt)
+         |SELECT c.lote, c.total_cierre, lt.total_folios,
+         |  CASE WHEN abs(c.total_cierre - lt.total_folios) < 0.01
+         |    THEN '✅' ELSE '❌' END AS cuadra
+         |FROM cierres c LEFT JOIN lt ON c.lote = lt.lote""".stripMargin),
+
+    "a3_daily_totals_spine" -> withCtes(
+      s"""spine AS (
+         |  SELECT cast(unnest(generate_series(
+         |    DATE '${SyncFixture.WindowStart}',
+         |    DATE '${SyncFixture.WindowEnd}', INTERVAL 1 DAY)) AS date)
+         |    AS fecha),
+         |daily AS (
+         |  SELECT fecha, sum(cast(monto AS decimal(18,2))) AS t
+         |  FROM st WHERE partition = 'TRANSFERENCIA' GROUP BY fecha)
+         |SELECT spine.fecha,
+         |  cast(coalesce(daily.t, 0) AS decimal(18,2)) AS transferencia
+         |FROM spine LEFT JOIN daily ON spine.fecha = daily.fecha"""
+        .stripMargin)
+  )
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage layer (SURVEY.md §2.1): state read/overwrite with temp-path
+  * discipline, append-only sinks, auto-create DDL, month-partitioned fact
+  * layout.
+  *
+  * Reference counterparts: destination snapshot scan (S2 `Code.gs:1297-1336`),
+  * batch insert / point-update sinks collapsed into an overwrite-merge
+  * (S4/S5 `Code.gs:1741-1907`), audit/conflict appends (S7/S8
+  * `Code.gs:585-604`, `1422-1437`), sheet auto-create with headers (S9
+  * `Code.gs:289-329`), month tabs (S1 `Code.gs:705-716`).
+  *
+  * Plain parquet has no MERGE; the upsert contract is: read state → join →
+  * recompute → [[overwrite]] to a temp path → atomic-ish swap. Re-runs are
+  * idempotent because the sync itself is a fixpoint (SURVEY.md §7.4.1).
+  * At cluster scale the same code runs against object storage; the swap
+  * becomes a table-format commit, the layout stays identical.
+  */
+object StateStore {
+
+  /** Wide 4-partition destination schema (SURVEY.md §1.2). */
+  val StateSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("folio", StringType),
+    StructField("fecha", DateType),
+    StructField("cliente", StringType),
+    StructField("servicio", StringType),
+    StructField("banco", StringType),
+    StructField("monto", DoubleType),
+    StructField("conciliado", BooleanType),
+    StructField("concepto_banco", StringType),
+    StructField("observaciones", StringType),
+    StructField("recibo", BooleanType),
+    StructField("afiliacion", StringType),
+    StructField("lote", StringType),
+    StructField("verificado", BooleanType)))
+
+  val AuditSchema: StructType = StructType(Seq(
+    StructField("folio", StringType),
+    StructField("accion", StringType),
+    StructField("detalle", StringType),
+    StructField("valores_anteriores", StringType),
+    StructField("valores_nuevos", StringType)))
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, new Path(path)).exists(new Path(path))
+
+  /** S9 — CREATE TABLE IF NOT EXISTS semantics: a missing state path reads
+    * as an empty, correctly-typed DataFrame. */
+  def readOrCreate(spark: SparkSession, path: String,
+      schema: StructType = StateSchema): DataFrame =
+    if (exists(spark, path)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S5 — overwrite-merge with temp-path discipline: never leaves a
+    * half-written state visible under the live path. */
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val live = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val old = new Path(path + ".old")
+    val f = fs(spark, live)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(live)) f.rename(live, old)
+    f.rename(tmp, live)
+    f.delete(old, true)
+    // the session-level FileStatusCache would otherwise serve the listing
+    // of the replaced files to the next reader of this path
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** S7/S8 — append-only sinks (audit log, conflict queue). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S1 — month-partitioned fact layout: one directory per (year, Spanish
+    * month), so a lookback window touches only its partitions (the month
+    * tabs of the reference, minus its re-read-per-day inefficiency). */
+  def writeMonthPartitioned(df: DataFrame, fechaCol: String,
+      path: String): Unit =
+    df.withColumn("anio", year(col(fechaCol)))
+      .withColumn("mes", month(col(fechaCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("anio", "mes")
+      .parquet(path)
+
+  /** Partition-pruned window read over the month layout. The window is
+    * translated into predicates on the partition columns themselves —
+    * a filter on `fecha` alone would scan every partition. */
+  def readWindow(spark: SparkSession, path: String, start: String,
+      end: String, fechaCol: String = "fecha"): DataFrame = {
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(end)
+    val months = Iterator.iterate(s.withDayOfMonth(1))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(e))
+      .map(d => d.getYear * 100 + d.getMonthValue).toSeq
+    spark.read.parquet(path)
+      .filter((col("anio") * 100 + col("mes")).isin(months: _*))
+      .filter(col(fechaCol).between(lit(start), lit(end)))
+      .drop("anio", "mes")
+  }
+}
