@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AggQueries, ScalarQueries, SyncQueries}
+import graft.operators.{AggQueries, ExtQueries, ScalarQueries, SyncQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScalarQueries.queries ++ SyncQueries.queries ++ AggQueries.queries
+    ScalarQueries.queries ++ SyncQueries.queries ++ AggQueries.queries ++
+      ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ScalarQueries.oracleSql ++ SyncQueries.oracleSql ++ AggQueries.oracleSql
+    ScalarQueries.oracleSql ++ SyncQueries.oracleSql ++
+      AggQueries.oracleSql ++ ExtQueries.oracleSql
 }

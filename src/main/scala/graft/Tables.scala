@@ -1,12 +1,25 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Testdata loaders (TESTDATA.md). One parquet file per table; the driver's
-  * DuckDB oracle sees the same files under the bare table name. */
+  * DuckDB oracle sees the same files under the bare table name.
+  *
+  * `events.ts` is TIMESTAMP(NANOS), which Spark 4 only reads with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session in
+  * this repo); the loader converts the raw nanos back to a timestamp with
+  * exact integer division (a double division would lose precision at
+  * 1e18 nanos). */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+      df.schema.find(_.name == "ts").exists(_.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

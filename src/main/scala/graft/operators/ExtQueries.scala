@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-facing queries for the training-data-pipeline extension track
+  * (dedup, similarity search, text analysis, streaming-style windowed agg)
+  * over `documents` / `embeddings` / `events`, with DuckDB oracles where
+  * the operator is SQL-expressible. SimHash and the xxhash64-based LSH
+  * bucketing have no DuckDB equivalent → rows-only checks + ScalaTest.
+  */
+object ExtQueries {
+
+  val JaccardThreshold = 0.1
+  val CosineThreshold = 0.4
+  val TopK = 10
+  val QueryMod = 50 // vec_id % QueryMod == 0 defines the ANN query set
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tok_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "x_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "x_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    "x_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d))),
+
+    "x_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), JaccardThreshold)),
+
+    "x_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), JaccardThreshold)),
+
+    // SimHash: xxhash64 has no DuckDB twin → rows-only + SimilaritySpec
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16)),
+
+    "x_embed_near_dup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), CosineThreshold)),
+
+    "x_ann_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK)
+    }),
+
+    // LSH ANN: xxhash64 hyperplanes → rows-only + SimilaritySpec recall test.
+    // 6 planes = 64 buckets: enough selectivity to prove the bucketed path
+    // at this corpus size; at 100 TB you'd raise planes with the corpus.
+    "x_ann_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        planes = 6)
+    }),
+
+    "x_stream_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hora"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("total")))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared CTEs: words, shingles, inverted index, sizes, verified pairs. */
+  private val ShingleCtes =
+    s"""w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(ws) >= 3 THEN
+       |      list_transform(range(1, len(ws)-1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |      ELSE []::varchar[] END) AS shs
+       |  FROM w),
+       |ex AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh),
+       |sizes AS (SELECT doc_id AS id, len(shs) AS nsh FROM sh),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT i.id_a, i.id_b, i.inter, sa.nsh AS size_a,
+       |      sb.nsh AS size_b,
+       |      i.inter::double / (sa.nsh + sb.nsh - i.inter) AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON i.id_a = sa.id
+       |    JOIN sizes sb ON i.id_b = sb.id)
+       |  WHERE jaccard >= $JaccardThreshold)""".stripMargin
+
+  private def stop(lang: String): String =
+    TextAnalysis.Stopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val LangScores =
+    s"""SELECT doc_id,
+       |  len(list_intersect(ws, ${stop("en")})) AS s_en,
+       |  len(list_intersect(ws, ${stop("es")})) AS s_es,
+       |  len(list_intersect(ws, ${stop("de")})) AS s_de,
+       |  len(list_intersect(ws, ${stop("fr")})) AS s_fr
+       |FROM (SELECT doc_id,
+       |        string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |      FROM documents)""".stripMargin
+
+  private def minhashSigSql(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(k =>
+      s"min(('0x' || substr(md5(s || '#${k / 2}'), ${1 + (k % 2) * 16}, " +
+        s"15))::bigint) AS mh$k")
+      .mkString(",\n    ")
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"mh${b * rows + r}")
+        .mkString(" || ',' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(",\n    ")
+    val buckets = (0 until bands).map(b =>
+      s"SELECT id, $b AS band, band$b AS key FROM banded")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sig AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM ex GROUP BY id),
+       |banded AS (
+       |  SELECT id,
+       |    $bandCols
+       |  FROM sig),
+       |buckets AS (
+       |  $buckets),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "x_tok_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "x_lang_id" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'unknown'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es'
+         |       WHEN s_de = best THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best
+         |      FROM ($LangScores))""".stripMargin,
+
+    "x_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(0.25 * least(n_chars / 500.0, 1.0)
+         |      + 0.25 * (alpha / greatest(n_chars, 1.0))
+         |      + 0.25 * least(s_en / 5.0, 1.0)
+         |      + 0.25 * (CASE WHEN n_chars / greatest(n_tokens, 1.0)
+         |                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+         |    4) AS score
+         |FROM (
+         |  SELECT doc_id,
+         |    length(text)::double AS n_chars,
+         |    len(string_split_regex(lower(trim(text)), '\\s+'))::double
+         |      AS n_tokens,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
+         |      AS alpha,
+         |    len(list_intersect(
+         |      string_split_regex(lower(trim(text)), '\\s+'),
+         |      ${stop("en")}))::double AS s_en
+         |  FROM documents)""".stripMargin,
+
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint,
+        |  min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_dedup_ngram_jaccard" ->
+      s"""WITH $ShingleCtes
+         |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM pairs"""
+        .stripMargin,
+
+    "x_dedup_minhash_lsh" ->
+      s"""WITH $ShingleCtes,
+         |${minhashSigSql(8, 4)}
+         |SELECT p.id_a, p.id_b, p.inter, p.size_a, p.size_b, p.jaccard
+         |FROM pairs p
+         |WHERE EXISTS (SELECT 1 FROM cand c
+         |              WHERE c.id_a = p.id_a AND c.id_b = p.id_b)"""
+        .stripMargin,
+
+    "x_embed_near_dup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    b.embedding::DOUBLE[]), 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    b.embedding::DOUBLE[]), 6) >= $CosineThreshold""".stripMargin,
+
+    "x_ann_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "x_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hora, event_type,
+        |  count(*) AS n, sum(cast(value AS decimal(18,2))) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

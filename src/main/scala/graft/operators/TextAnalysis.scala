@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID (stopword n-gram heuristic), quality scoring,
+  * and document fingerprinting. All pure `Column` combinators (codegen'd,
+  * shuffle-free per row) so they run at scan speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, lower-cased. */
+  def words(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(words(text))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Stopword tables for the language-ID heuristic (top function words). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for",
+      "with"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "se", "un",
+      "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den",
+      "im", "für"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans", "pour", "est",
+      "du", "au"))
+
+  /** Distinct-stopword hit count for one language. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val stops = Stopwords.toMap.apply(lang)
+    size(array_intersect(words(text), lit(stops.toArray)))
+  }
+
+  /** Language-ID: argmax of stopword hits, ties broken by table order,
+    * all-zero → "unknown". */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (l, _) => l -> stopwordHits(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // fold right so earlier table entries win ties
+    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length, alpha ratio, stopword ratio, mean
+    * token length — the usual cheap pre-filter heuristics. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val alphaChars =
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val enHits = stopwordHits(text, "en").cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val alphaRatio = alphaChars / greatest(nChars, lit(1.0))
+    val stopScore = least(enHits / lit(5.0), lit(1.0))
+    val meanTok = nChars / greatest(nTokens, lit(1.0))
+    val tokScore =
+      when(meanTok.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(lit(0.25) * lenScore + lit(0.25) * alphaRatio +
+      lit(0.25) * stopScore + lit(0.25) * tokScore, 4)
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lower-cased text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.operators.SyncEngine
+import graft.sources.StateStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming face of the engine (SURVEY.md §2.7): the
+  * reference's nightly trigger + 10-day lookback is a micro-batch
+  * incremental sync in disguise, so the streaming variant is `readStream` →
+  * `foreachBatch(sync)`, with the lookback window re-derived per batch from
+  * the batch's own event dates.
+  *
+  * State lives in the [[StateStore]] parquet table (read → merge →
+  * overwrite per micro-batch), which is exactly the reference's
+  * read-the-sheets-each-run model; watermarked windowed aggregation covers
+  * the `totales`-style continuous views.
+  */
+object StreamingSync {
+
+  /** Windowed aggregation over an event stream with late-data tolerance:
+    * the continuous version of the per-day SUMIFS view. */
+  def windowedTotals(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours", tsCol: String = "ts",
+      valueCol: String = "value", keyCol: String = "event_type"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("total"))
+
+  /** Incremental sync as a streaming sink: every micro-batch of source rows
+    * is synced against the persistent state with a `lookbackDays` window
+    * ending at the batch's max event date (the reference's
+    * `DIAS_LOOKBACK` re-scan, continuously). */
+  def syncSink(source: DataFrame, statePath: String, auditPath: String,
+      conflictPath: String, lookbackDays: Int = 10,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        runBatch(batch, statePath, auditPath, conflictPath, lookbackDays)
+      }
+      .start()
+
+  /** One micro-batch: window from the batch's own dates, sync, persist. */
+  def runBatch(batch: DataFrame, statePath: String, auditPath: String,
+      conflictPath: String, lookbackDays: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val end = batch.agg(max(col("fecha"))).collect().head.getDate(0)
+    val start = java.sql.Date.valueOf(end.toLocalDate.minusDays(lookbackDays))
+    val state = StateStore.readOrCreate(spark, statePath)
+    val r = SyncEngine.run(batch, state, start.toString, end.toString)
+    // materialize the merge before swapping the state it reads from
+    val next = r.newState
+      .select(StateStore.StateSchema.fieldNames.map(col): _*)
+      .localCheckpoint()
+    StateStore.append(r.audit, auditPath)
+    StateStore.append(r.conflicts, conflictPath)
+    StateStore.overwrite(next, statePath)
+  }
+}

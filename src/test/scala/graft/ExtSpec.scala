@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Extension-track semantics: dedup family agreement, similarity search
+  * sanity, text analysis on crafted inputs. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different words about spark shuffles and partitions"),
+    (4L, "el perro de la casa y el gato de la calle en un patio"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper is min id") {
+    val g = Dedup.exactGroups(docs).filter($"n_docs" > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keeper_id") === 0L)
+    assert(g.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.1)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the exact and near duplicates") {
+    val got = Dedup.minhashLshPairs(docs, 0.1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L))) // identical docs: identical signatures
+    val all = Dedup.ngramJaccardPairs(docs, 0.1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(all)) // LSH never invents pairs
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close") {
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    val ham02 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val ham03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(ham02 < ham03) // one-word change beats disjoint vocabulary
+  }
+
+  test("brute-force top-k is exact and self-excluding") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, 2)
+      .orderBy($"rank").select($"match_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L)) // nearest first, never itself
+  }
+
+  test("LSH top-k returns a subset consistent with brute-force scores") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(q, e, 10, planes = 6)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit scores exactly what brute force scored it
+    lsh.foreach { case (qid, m, c) => assert(brute.get((qid, m)).forall(_ === c) ||
+      !brute.contains((qid, m))) }
+    val lshPairs = lsh.map(r => (r._1, r._2)).toSet
+    val recall = lshPairs.count(brute.contains).toDouble /
+      brute.size.toDouble
+    assert(recall > 0.0) // bucketing trades recall for scan locality
+  }
+
+  test("language id picks Spanish for Spanish function words") {
+    val got = TextAnalysis.langId(lit("el gato y el perro de la casa"))
+    val lang = docs.sparkSession.range(1).select(got).collect().head
+      .getString(0)
+    assert(lang === "es")
+  }
+
+  test("quality score is bounded and penalizes junk") {
+    val scores = Seq(
+      ("good", "the quick brown fox jumps over a lazy dog with style and " +
+        "grace for everyone involved in this fine sentence"),
+      ("junk", "@@@@ #### 1234 %%%% ^^^^ &&&& **** (((( )))) ____"))
+      .toDF("k", "text")
+      .select($"k", TextAnalysis.qualityScore($"text").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("good") > scores("junk"))
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{ScalarQueries, SyncFixture}
+import graft.sources.StateStore
+import graft.streaming.StreamingSync
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming face: watermarked windowed aggregation equals its
+  * batch twin, and the foreachBatch sync sink reaches the same state as the
+  * batch engine. */
+class StreamingSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("streaming windowed totals equal the batch aggregation") {
+    val dir = tmp()
+    Tables.events(spark, sf0001).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingSync.windowedTotals(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("totals")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("totals")
+      .select($"window.start".as("hora"), $"event_type", $"n", $"total")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", $"ts").as("hora"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).as("total"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("foreachBatch sync sink converges to the batch engine's state") {
+    val base = tmp()
+    val source = SyncFixture.source(spark, sf0001)
+      .select("ord", "folio", "fecha", "cliente", "servicio", "banco",
+        "monto", "metodo")
+    source.write.parquet(s"$base/in")
+
+    val q = StreamingSync.syncSink(
+      spark.readStream.schema(spark.read.parquet(s"$base/in").schema)
+        .parquet(s"$base/in"),
+      statePath = s"$base/state", auditPath = s"$base/audit",
+      conflictPath = s"$base/conflicts", lookbackDays = 90,
+      checkpoint = s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val state = StateStore.readOrCreate(spark, s"$base/state")
+    assert(state.count() === source.select("folio").distinct().count())
+    // the batch run against empty state lands on the same folio set
+    val batchState = graft.operators.SyncEngine.run(
+      source,
+      StateStore.readOrCreate(spark, s"$base/never"),
+      SyncFixture.WindowStart, SyncFixture.WindowEnd).newState
+    assert(state.select("folio").exceptAll(batchState.select("folio"))
+      .count() === 0)
+  }
+}

@@ -54,7 +54,14 @@ class SyncEngineSpec extends SparkSpec {
     ("TARJETA", "F9", "2025-11-05", 100.0, None, None, None), // probe hit 1st
     ("EFECTIVO", "F9", "2025-11-05", 100.0, None, None, None))) // shadow
 
-  private lazy val r1 = SyncEngine.run(source, state, W0, W1)
+  // cache the routed outputs: 9 tests share them, and every collect would
+  // otherwise re-execute the full join DAG
+  private lazy val r1 = {
+    val r = SyncEngine.run(source, state, W0, W1)
+    r.copy(delta = r.delta.cache(), duplicates = r.duplicates.cache(),
+      newState = r.newState.cache(), conflicts = r.conflicts.cache(),
+      audit = r.audit.cache())
+  }
   private lazy val actions: Map[String, String] = r1.delta
     .select(coalesce($"s_folio", $"e_folio"), $"action").as[(String, String)]
     .collect().toMap
