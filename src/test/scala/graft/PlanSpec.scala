@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan regression guards: the properties that make these queries
+  * survive a 100× scale-up — filter pushdown to parquet, column pruning,
+  * broadcast for the dimension join, codegen coverage of the hot loop. */
+class PlanSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("window filter reaches the parquet scan as a timestamp range") {
+    val scan = scans(run("p3_date_window")).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(pushed.contains("LessThan(o_orderdate"))
+  }
+
+  test("scans read only the referenced columns (pruning)") {
+    val scan = scans(run("p3_date_window")).head
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("o_orderkey", "o_orderdate"))
+  }
+
+  /** Run `body` with AQE off so the static physical plan is inspectable
+    * (AdaptiveSparkPlanExec hides its inner plan from collect/toString). */
+  private def withStaticPlan[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("catalog enrichment is a broadcast hash join with pruned sides") {
+    withStaticPlan {
+      val df = run("s10_catalog_enrich")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+      val custScan = scans(df)
+        .find(_.requiredSchema.fieldNames.contains("c_name")).get
+      assert(custScan.requiredSchema.fieldNames.toSet ===
+        Set("c_custkey", "c_name"))
+    }
+  }
+
+  test("similarity hot loop stays inside whole-stage codegen") {
+    withStaticPlan {
+      val plan = run("x_ann_cosine_topk").queryExecution.executedPlan.toString
+      // "*(n)" marks whole-stage-codegen'd operators; the custom expression
+      // must appear inside one of them, not in an interpreted Project
+      assert(plan.contains("*("))
+      assert(plan.toLowerCase.contains("dotproduct"))
+    }
+  }
+
+  test("the sync delta is a single join of source against state") {
+    val plan = run("c4_sync_router").queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).length
+    assert(joins === 1) // the reference's probe loop is exactly one join
+  }
+}
