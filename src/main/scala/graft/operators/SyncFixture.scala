@@ -97,6 +97,22 @@ object SyncFixture {
       col("okey"))
   }
 
+  /** In-window TRANSFERENCIA sales — the J6 reconciliation target side. */
+  def transfersInWindow(s: SparkSession, d: String): DataFrame =
+    baseSales(s, d)
+      .filter(col("fecha").between(lit(WindowStart), lit(WindowEnd)))
+      .filter(col("metodo") === MethodTransferencia)
+      .select(col("folio"), col("fecha"), col("monto"), col("okey"))
+
+  /** Synthetic bank statement: in-window transfers with jittered dates and
+    * amounts (a ±0.005 in-tolerance wobble, a +50 no-match outlier). */
+  def bankStatement(s: SparkSession, d: String): DataFrame =
+    transfersInWindow(s, d).select(
+      col("okey").as("bank_row_id"),
+      date_add(col("fecha"), (col("okey") % 5 - 2).cast("int")).as("dia"),
+      (col("monto") + when(col("okey") % 41 === 0, 0.005)
+        .when(col("okey") % 43 === 0, 50.0).otherwise(0.0)).as("abono"))
+
   // ------------------------------------------------------------ SQL mirror
 
   private val ServicioSql =

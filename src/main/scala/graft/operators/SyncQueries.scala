@@ -97,7 +97,14 @@ object SyncQueries {
     "s8_conflict_queue" -> ((s, d) => result(s, d).conflicts),
 
     // S5 — the recomputed destination state (upsert merge result)
-    "s5_state_merge" -> ((s, d) => result(s, d).newState.drop("okey"))
+    "s5_state_merge" -> ((s, d) => result(s, d).newState.drop("okey")),
+
+    // J6 — bank-statement reconciliation: amount-tolerance + date-range
+    // match (the join the reference leaves to the human reconciler)
+    "j6_bank_reconcile" -> ((s, d) =>
+      Reconcile.matchStatements(
+        SyncFixture.bankStatement(s, d),
+        SyncFixture.transfersInWindow(s, d)))
   )
 
   private def withCtes(sql: String): String =
@@ -219,6 +226,36 @@ object SyncQueries {
         |  coalesce(e_observaciones, '') AS observaciones,
         |  'Pendiente' AS estado
         |FROM delta WHERE action = 'CONFLICTO → REVISIÓN'""".stripMargin),
+
+    "j6_bank_reconcile" -> (s"WITH ${SyncFixture.DeltaCtes},\n" +
+      s"""inwin AS (
+         |  SELECT folio, fecha, monto, okey FROM classified
+         |  WHERE metodo = 'TRANSFERENCIA'
+         |    AND fecha BETWEEN DATE '${SyncFixture.WindowStart}'
+         |      AND DATE '${SyncFixture.WindowEnd}'),
+         |bank AS (
+         |  SELECT okey AS bank_row_id,
+         |    fecha + (cast(okey % 5 AS int) - 2) AS dia,
+         |    monto + CASE WHEN okey % 41 = 0 THEN 0.005
+         |                 WHEN okey % 43 = 0 THEN 50.0
+         |                 ELSE 0.0 END AS abono
+         |  FROM inwin),
+         |cand AS (
+         |  SELECT b.bank_row_id, r.folio, r.fecha, r.monto,
+         |    abs(date_diff('day', r.fecha, b.dia)) AS ddiff
+         |  FROM bank b JOIN inwin r
+         |    ON abs(b.abono - r.monto) <= 0.01
+         |   AND abs(date_diff('day', r.fecha, b.dia)) <= 3),
+         |best AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bank_row_id
+         |      ORDER BY ddiff, folio) AS rnk FROM cand)
+         |  WHERE rnk = 1)
+         |SELECT b.bank_row_id, b.dia, b.abono, best.folio, best.fecha,
+         |  best.monto, best.ddiff
+         |FROM bank b LEFT JOIN best ON b.bank_row_id = best.bank_row_id"""
+        .stripMargin),
+
 
     "s5_state_merge" -> withCtes(
       """SELECT e_partition AS "partition", e_folio AS folio, e_fecha AS fecha,
