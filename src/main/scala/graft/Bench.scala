@@ -11,15 +11,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen/session warmup so the first measured query isn't charged
-    // for session start; deterministic name order for stable interference
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm the JIT/codegen paths of every query at the smallest scale
+    // factor first: 43 distinct whole-stage-codegen plans otherwise
+    // saturate the compile queue and charge minutes of interpreter time
+    // to whichever heavy query runs next. Warmup is not timed.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache() // warmup caches must not serve the timed run
+    val results = ordered.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+        spark.catalog.clearCache() // operator-internal caches are per-query
         name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
