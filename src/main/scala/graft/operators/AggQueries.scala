@@ -23,17 +23,24 @@ object AggQueries {
             .otherwise(lit(0).cast(Dec)))
           .cast(Dec).as("total_cierre"))
 
+  // Sums stay DecimalType internally (order-independent totals); only the
+  // FINAL projected money columns are cast to double — the driver hashes
+  // typed values as-is and `Decimal('123.40')` != `123.4` across engines.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a1_lot_totals" -> ((s, d) => Aggregates.lotTotals(tarjetas(s, d))),
+    "a1_lot_totals" -> ((s, d) => Aggregates.lotTotals(tarjetas(s, d))
+      .withColumn("total_folios", col("total_folios").cast("double"))),
 
     "a2_cuadra_check" -> ((s, d) =>
-      Aggregates.cuadra(cierres(s, d), tarjetas(s, d))),
+      Aggregates.cuadra(cierres(s, d), tarjetas(s, d))
+        .withColumn("total_cierre", col("total_cierre").cast("double"))
+        .withColumn("total_folios", col("total_folios").cast("double"))),
 
     "a3_daily_totals_spine" -> ((s, d) =>
       Aggregates.dailyTotals(
         SyncFixture.state(s, d)
           .filter(col("partition") === "TRANSFERENCIA"),
-        SyncFixture.WindowStart, SyncFixture.WindowEnd))
+        SyncFixture.WindowStart, SyncFixture.WindowEnd)
+        .withColumn("transferencia", col("transferencia").cast("double")))
   )
 
   private def withCtes(sql: String): String =
@@ -49,7 +56,8 @@ object AggQueries {
   val oracleSql: Map[String, String] = Map(
     "a1_lot_totals" -> withCtes(
       s"""$LotTotalsSql
-         |SELECT lote, total_folios, n_folios FROM lt""".stripMargin),
+         |SELECT lote, cast(total_folios AS double) AS total_folios,
+         |  n_folios FROM lt""".stripMargin),
 
     "a2_cuadra_check" -> withCtes(
       s"""$LotTotalsSql,
@@ -59,7 +67,8 @@ object AggQueries {
          |      CASE WHEN cast(lote AS int) % 3 = 0 THEN 10.0 ELSE 0.0 END
          |      AS decimal(18,2)) AS total_cierre
          |  FROM lt)
-         |SELECT c.lote, c.total_cierre, lt.total_folios,
+         |SELECT c.lote, cast(c.total_cierre AS double) AS total_cierre,
+         |  cast(lt.total_folios AS double) AS total_folios,
          |  CASE WHEN abs(c.total_cierre - lt.total_folios) < 0.01
          |    THEN '✅' ELSE '❌' END AS cuadra
          |FROM cierres c LEFT JOIN lt ON c.lote = lt.lote""".stripMargin),
@@ -74,7 +83,8 @@ object AggQueries {
          |  SELECT fecha, sum(cast(monto AS decimal(18,2))) AS t
          |  FROM st WHERE partition = 'TRANSFERENCIA' GROUP BY fecha)
          |SELECT spine.fecha,
-         |  cast(coalesce(daily.t, 0) AS decimal(18,2)) AS transferencia
+         |  cast(cast(coalesce(daily.t, 0) AS decimal(18,2)) AS double)
+         |    AS transferencia
          |FROM spine LEFT JOIN daily ON spine.fecha = daily.fecha"""
         .stripMargin)
   )

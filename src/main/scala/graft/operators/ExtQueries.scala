@@ -71,7 +71,8 @@ object ExtQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).as("total")))
+          // decimal sum (order-independent), double in the final projection
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -237,7 +238,8 @@ object ExtQueries {
 
     "x_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hora, event_type,
-        |  count(*) AS n, sum(cast(value AS decimal(18,2))) AS total
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

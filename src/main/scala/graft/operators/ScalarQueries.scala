@@ -103,7 +103,9 @@ object ScalarQueries {
             .when(col("okey") % 3 === 1,
               concat(lit("$"), format_number(col("monto"), 2)))
             .otherwise(col("monto").cast("string")))
-        .select(col("folio"), parseMoney(col("raw")).as("monto"))),
+        // decimal internally, double in the final projection: the driver
+        // hashes typed values as-is and Decimal('1.40') != 1.4 cross-engine
+        .select(col("folio"), parseMoney(col("raw")).cast("double").as("monto"))),
 
     "p7_clean_string" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -168,7 +170,7 @@ object ScalarQueries {
         .filter(year(col("fecha")) === 2001 && col("mes").isin("Junio", "Julio"))
         .groupBy(col("mes"))
         .agg(count(lit(1)).as("n"),
-          sum(col("monto").cast(Money)).as("total"))),
+          sum(col("monto").cast(Money)).cast("double").as("total"))),
 
     // S10/J4 — catalog enrichment: broadcast join against the customer dim to
     // derive a folder-URL column (reference: Drive folder lookup).
@@ -215,8 +217,8 @@ object ScalarQueries {
 
     "p6_parse_money" ->
       s"""SELECT folio,
-         |  coalesce(try_cast(regexp_replace(raw, '[$$",\\s]', '', 'g') AS decimal(12,2)),
-         |           cast(0 AS decimal(12,2))) AS monto
+         |  cast(coalesce(try_cast(regexp_replace(raw, '[$$",\\s]', '', 'g') AS decimal(12,2)),
+         |           cast(0 AS decimal(12,2))) AS double) AS monto
          |FROM (
          |  SELECT folio,
          |    CASE WHEN okey % 11 = 0 THEN 'N/A'
@@ -300,7 +302,8 @@ object ScalarQueries {
          |  FROM ($SalesSql))""".stripMargin,
 
     "s1_month_scan" ->
-      s"""SELECT mes, count(*) AS n, sum(cast(monto AS decimal(12,2))) AS total
+      s"""SELECT mes, count(*) AS n,
+         |  cast(sum(cast(monto AS decimal(12,2))) AS double) AS total
          |FROM (
          |  SELECT CASE extract(month FROM fecha)
          |      WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio' END AS mes, monto
