@@ -129,35 +129,46 @@ object Dedup {
     jaccardOver(ex, threshold, Some(cands))
   }
 
-  /** 64-bit SimHash per document: per-word 64-bit hashes, each bit weighted
-    * by term frequency, sign of the weighted sum becomes the bit. One
-    * shuffle (groupBy id) with 64 partial-aggregated sums. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands // 15
+  private val SimhashBandMask = (1L << SimhashBandBits) - 1
+
+  /** 60-bit SimHash per document: per-word md5-derived 60-bit hashes
+    * ([[seededHash]] — reproducible in any engine with md5, so the DuckDB
+    * oracle can recompute signatures exactly), each bit weighted by term
+    * frequency, sign of the weighted sum becomes the bit. One shuffle
+    * (groupBy id) with 60 partial-aggregated sums. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val wordRows = fanOut(docs).select(col(idCol).as("id"),
       explode(TextAnalysis.words(col(textCol))).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", seededHash(col("w"), 0))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"s$b")
     }
     val agg = wordRows.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimhashBits).map { b =>
       when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket on 4×16-bit bands (a pair within
-    * hamming distance ≤ 3 of 64 bits must agree on at least one band),
-    * verify with bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-dup pairs: bucket on 4×15-bit bands. By pigeonhole a
+    * pair within hamming distance ≤ 3 of 60 bits MUST agree on at least
+    * one band, so the banding is exhaustive for `maxHamming ≤ 3` — higher
+    * thresholds would silently drop pairs that differ in every band. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < SimhashBands,
+      s"banded bucketing is exhaustive only for hamming < $SimhashBands")
     val sigs = simhash(docs, idCol, textCol).cache()
     val buckets = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(SimhashBandMask)): _*))
         .as(Seq("band", "key")))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -17,6 +17,8 @@ object ExtQueries {
   val CosineThreshold = 0.4
   val TopK = 10
   val QueryMod = 50 // vec_id % QueryMod == 0 defines the ANN query set
+  val AnnPlanes = 6
+  val EmbeddingDim = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -44,9 +46,10 @@ object ExtQueries {
     "x_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), JaccardThreshold)),
 
-    // SimHash: xxhash64 has no DuckDB twin → rows-only + SimilaritySpec
+    // SimHash: md5-seeded 60-bit signatures; maxHamming=3 matches the
+    // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
     "x_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16)),
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)),
 
     "x_embed_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), CosineThreshold)),
@@ -57,13 +60,14 @@ object ExtQueries {
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
     }),
 
-    // LSH ANN: xxhash64 hyperplanes → rows-only + SimilaritySpec recall test.
-    // 6 planes = 64 buckets: enough selectivity to prove the bucketed path
-    // at this corpus size; at 100 TB you'd raise planes with the corpus.
+    // LSH ANN: md5-derived hyperplane signs → the DuckDB oracle recomputes
+    // the buckets exactly. 6 planes = 64 buckets: enough selectivity to
+    // prove the bucketed path at this corpus size; at 100 TB you'd raise
+    // planes with the corpus.
     "x_ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") % QueryMod === 0), e, TopK,
-        planes = 6)
+        planes = AnnPlanes, dim = EmbeddingDim)
     }),
 
     "x_stream_hourly" -> ((s, d) =>
@@ -211,6 +215,39 @@ object ExtQueries {
          |              WHERE c.id_a = p.id_a AND c.id_b = p.id_b)"""
         .stripMargin,
 
+    // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
+    // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3
+    "x_dedup_simhash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id AS id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |tf AS (SELECT id, w, count(*) AS tf FROM w GROUP BY id, w),
+         |th AS (SELECT id, tf,
+         |         ('0x' || substr(md5(w || '#0'), 1, 15))::bigint AS h
+         |       FROM tf),
+         |bits AS (
+         |  SELECT id, b,
+         |    sum(CASE WHEN (h >> b::int) & 1 = 1 THEN tf ELSE -tf END) AS s
+         |  FROM th CROSS JOIN range(${Dedup.SimhashBits}) AS r(b)
+         |  GROUP BY id, b),
+         |sig AS (
+         |  SELECT id,
+         |    sum(CASE WHEN s > 0 THEN (1::bigint << b::int) ELSE 0 END)
+         |      AS simhash
+         |  FROM bits GROUP BY id),
+         |buckets AS (
+         |  SELECT id, simhash, b AS band,
+         |    (simhash >> (b::int * 15)) & 32767 AS key
+         |  FROM sig CROSS JOIN range(${Dedup.SimhashBands}) AS r(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         |    cast(bit_count(xor(x.simhash, y.simhash)) AS int) AS hamming
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
+        .stripMargin,
+
     "x_embed_near_dup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -229,6 +266,42 @@ object ExtQueries {
          |  SELECT query_id, match_id,
          |    round(list_cosine_similarity(qv, cv), 6) AS cos
          |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // mirrors Similarity.lshSignature/lshTopK: md5-derived ±1 hyperplane
+    // signs; projection SIGN is scale-invariant so raw vectors suffice
+    "x_ann_lsh_topk" ->
+      s"""WITH planes AS (
+         |  SELECT p, i,
+         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
+         |        i::varchar), 1, 15))::bigint & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM range($AnnPlanes) AS pr(p)
+         |  CROSS JOIN range($EmbeddingDim) AS ir(i)),
+         |proj AS (
+         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn) AS proj
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+         |bk AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN proj > 0 THEN (1::bigint << p::int) ELSE 0 END)
+         |      AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+         |        bk.bucket
+         |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
+         |      WHERE e.vec_id % $QueryMod = 0),
+         |c AS (SELECT e.vec_id AS match_id, e.embedding::DOUBLE[] AS cv,
+         |        bk.bucket
+         |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM c JOIN q ON c.bucket = q.bucket WHERE query_id <> match_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank

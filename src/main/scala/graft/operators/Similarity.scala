@@ -76,21 +76,27 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a unit-free ±1 sign derived from a 64-bit hash — reproducible across
-    * engines and runs. */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(xxhash64(concat(lit(s"p$plane#"), dim.cast("string")))
-      .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+    * the low bit of a 60-bit md5-derived integer of "p{plane}#{dim}" —
+    * the same construction a SQL engine computes as
+    * `('0x' || substr(md5('p' || p || '#' || i), 1, 15))::bigint & 1`,
+    * so the DuckDB oracle reproduces the buckets exactly. The signs depend
+    * only on (plane, dim), so they fold to a ±1 literal array at plan time
+    * and the per-row cost is one codegen'd dot product per plane. */
+  private[operators] def planeSign(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p$plane#$dim".getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+  }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
-    * Same-bucket vectors are the ANN candidates. */
-  def lshSignature(vec: Column, planes: Int = 12): Column = {
+    * Same-bucket vectors are the ANN candidates. `dim` must match the
+    * embedding dimensionality (the plane is a constant ±1 vector). */
+  def lshSignature(vec: Column, planes: Int = 12, dim: Int = 64): Column = {
     val v = vec.cast("array<double>")
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val signs = lit((0 until dim).map(i => planeSign(p, i)).toArray)
+      val proj = graft.plans.VectorExpressions.dotProduct(v, signs)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
@@ -99,12 +105,14 @@ object Similarity {
     * query's bucket. Trades recall for touching only the bucket's corpus
     * slice — the 100 TB path. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 12, idCol: String = "vec_id",
+      planes: Int = 12, dim: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // buckets are computed on the unit vectors; the projection's SIGN is
+    // invariant under positive scaling, so an oracle may use raw vectors
     val q = unitVecs(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("bucket", lshSignature(col("qv"), planes))
+      .withColumn("bucket", lshSignature(col("qv"), planes, dim))
     val c = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
-      .withColumn("bucket", lshSignature(col("cv"), planes))
+      .withColumn("bucket", lshSignature(col("cv"), planes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("match_id"))
       .select(col("query_id"), col("match_id"),
