@@ -19,6 +19,8 @@ object ExtQueries {
   val QueryMod = 50 // vec_id % QueryMod == 0 defines the ANN query set
   val AnnPlanes = 6
   val EmbeddingDim = 64
+  val NearDupBands = 32
+  val NearDupRows = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -51,8 +53,12 @@ object ExtQueries {
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)),
 
+    // Banded-LSH candidates + exact verify: the 100 TB path (equi-join on
+    // band keys, never a nested loop). The oracle mirrors the banding.
     "x_embed_near_dup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), CosineThreshold)),
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), CosineThreshold,
+        bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)),
 
     "x_ann_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -248,13 +254,36 @@ object ExtQueries {
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
         .stripMargin,
 
+    // mirrors Similarity.nearDupPairsLsh: md5-derived hyperplane signs,
+    // plane p = band * rows + row; candidates share all bits of a band
     "x_embed_near_dup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH planes AS (
+         |  SELECT p, i,
+         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
+         |        i::varchar), 1, 15))::bigint & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM range(${NearDupBands * NearDupRows}) AS pr(p)
+         |  CROSS JOIN range($EmbeddingDim) AS ir(i)),
+         |proj AS (
+         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn) AS proj
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+         |bkeys AS (
+         |  SELECT vec_id, p // $NearDupRows AS band,
+         |    sum(CASE WHEN proj > 0
+         |          THEN (1::bigint << (p % $NearDupRows)::int)
+         |          ELSE 0 END) AS bkey
+         |  FROM proj GROUP BY vec_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bkeys x JOIN bkeys y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT c.id_a, c.id_b,
          |  round(list_cosine_similarity(a.embedding::DOUBLE[],
          |    b.embedding::DOUBLE[]), 6) AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-         |    b.embedding::DOUBLE[]), 6) >= $CosineThreshold""".stripMargin,
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.id_a
+         |JOIN embeddings b ON b.vec_id = c.id_b
+         |WHERE cos >= $CosineThreshold""".stripMargin,
 
     "x_ann_cosine_topk" ->
       s"""WITH q AS (

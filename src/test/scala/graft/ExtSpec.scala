@@ -80,6 +80,24 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0) // bucketing trades recall for scan locality
   }
 
+  test("LSH near-dup pairs are a subset of exact pairs with equal scores") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.nearDupPairsExact(e, 0.4)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.nearDupPairsLsh(e, 0.4)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c)) // never invents, never rescores
+    }
+    // 32 bands × 6 bits is tuned for ≥ 92% recall at this threshold
+    val kept = lsh.map(r => (r._1, r._2)).toSet
+    val recall = exact.keys.count(kept).toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("language id picks Spanish for Spanish function words") {
     val got = TextAnalysis.langId(lit("el gato y el perro de la casa"))
     val lang = docs.sparkSession.range(1).select(got).collect().head

@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-dup candidates come from an equi-join, never a nested loop") {
+    withStaticPlan {
+      val plan = run("x_embed_near_dup").queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("the sync delta is a single join of source against state") {
     val plan = run("c4_sync_router").queryExecution.executedPlan.toString
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
