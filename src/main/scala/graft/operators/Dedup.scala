@@ -35,31 +35,41 @@ object Dedup {
   private def fanOut(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
 
-  /** Exploded distinct (id, shingle) pairs — the inverted-index input. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    fanOut(docs).select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+  /** Shingles appearing in more than this many documents are dropped from
+    * the shingle vocabulary before ANY similarity work: a shingle shared
+    * by f docs contributes f² inverted-index join rows, so one boilerplate
+    * trigram ("terms and conditions" class) makes pair generation
+    * quadratic at corpus scale while carrying zero dedup signal. The cap
+    * applies uniformly — sizes, intersections, and MinHash signatures all
+    * see the same capped sets — so Jaccard stays a true Jaccard (of the
+    * informative vocabulary) and the exact and LSH paths remain mutually
+    * consistent. Below the cap (all test scale factors) results are
+    * bit-identical to the uncapped computation. */
+  val DefaultMaxShingleDf = 1000
 
-  /** Intersection counts + Jaccard for pairs sharing ≥1 shingle, optionally
-    * restricted to a candidate-pair set. `ex` must be distinct per (id,sh). */
-  private def jaccardOver(ex: DataFrame, threshold: Double,
-      candidates: Option[DataFrame]): DataFrame = {
-    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
-    val joined = candidates match {
-      case None =>
-        ex.as("a").join(ex.as("b"),
-          col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      case Some(cands) =>
-        // verify only the LSH candidates: join the index to the (small)
-        // pair list from both ends; AQE broadcasts the pair list
-        cands.join(ex.as("a"), col("id_a") === col("a.id"))
-          .join(ex.as("b"),
-            col("id_b") === col("b.id") && col("a.sh") === col("b.sh"))
-          .select(col("id_a"), col("id_b"))
-    }
-    joined
+  /** Df-capped inverted index: exploded distinct (id, shingle) pairs minus
+    * the ubiquitous-shingle vocabulary. The hot set is tiny by
+    * construction (≤ |corpus|/maxDf distinct shingles can exceed the cap),
+    * so the removal plans as a broadcast anti-join. */
+  private def cappedShingleIndex(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Int): DataFrame = {
+    val ex = fanOut(docs).select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf).select(col("sh"))
+    ex.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  /** Jaccard from inverted-index self-join: pair intersection counts come
+    * straight from the join (one narrow shuffle, no per-pair set work),
+    * sizes join in after the aggregate. The right shape when candidates ≈
+    * all sharing pairs (the exact path). */
+  private def jaccardBySelfJoin(idx: DataFrame, threshold: Double)
+      : DataFrame = {
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    idx.as("a").join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("nsh").as("size_a")),
@@ -73,14 +83,37 @@ object Dedup {
         col("size_b"), col("jaccard"))
   }
 
-  /** Pairwise n-gram Jaccard over documents sharing at least one shingle.
-    * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for
-    * jaccard ≥ threshold, id_a < id_b. */
+  /** Exact Jaccard verification of a SPARSE candidate-pair set against
+    * per-doc shingle arrays: two equi-joins and a per-row
+    * `array_intersect` — linear in the candidate count, and the inverted
+    * index is never re-joined. The right shape when candidates are few
+    * (the LSH path). */
+  private def verifyJaccard(cands: DataFrame, arrays: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(arrays.select(col("id").as("id_a"), col("shs").as("shs_a")),
+        "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("shs").as("shs_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b")))
+        .cast("long"))
+      .withColumn("size_a", size(col("shs_a")).cast("long"))
+      .withColumn("size_b", size(col("shs_b")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+        col("size_b"), col("jaccard"))
+
+  /** Pairwise n-gram Jaccard over documents sharing at least one
+    * non-ubiquitous shingle. Returns (id_a, id_b, inter, size_a, size_b,
+    * jaccard) for jaccard ≥ threshold, id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3)
-      : DataFrame = {
-    val ex = shingleIndex(docs, idCol, textCol, n).cache()
-    jaccardOver(ex, threshold, None)
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val idx = cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf)
+      .cache()
+    jaccardBySelfJoin(idx, threshold)
   }
 
   /** Deterministic 60-bit shingle hash for seed `k`, reproducible in any
@@ -92,10 +125,13 @@ object Dedup {
     conv(substring(md5(concat(sh, lit(s"#${k / 2}"))), 1 + (k % 2) * 16, 15),
       16, 10).cast("long")
 
-  /** MinHash signatures: `numHashes` min-hash values per document. */
+  /** MinHash signatures: `numHashes` min-hash values per document over the
+    * df-capped shingle vocabulary. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, numHashes: Int = 8): DataFrame =
-    minhashSignaturesFrom(shingleIndex(docs, idCol, textCol, n), numHashes)
+      textCol: String = "text", n: Int = 3, numHashes: Int = 8,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    minhashSignaturesFrom(
+      cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf), numHashes)
 
   private def minhashSignaturesFrom(ex: DataFrame, numHashes: Int): DataFrame =
     ex.groupBy(col("id"))
@@ -105,28 +141,32 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), bucket-join on (band, band-key), then verify
-    * the candidates with exact n-gram Jaccard ≥ threshold. Only candidate
-    * pairs are ever verified — the full inverted-index join never runs. */
+    * only the candidates with exact n-gram Jaccard ≥ threshold from the
+    * per-doc shingle arrays — neither the full inverted-index self-join
+    * nor an index re-join ever runs. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val ex = shingleIndex(docs, idCol, textCol, n).cache()
-    val sigs = minhashSignaturesFrom(ex, numHashes)
+    val idx = cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf)
+      .cache()
+    val arrays = idx.groupBy(col("id")).agg(collect_list(col("sh")).as("shs"))
+    val sigs = minhashSignaturesFrom(idx, numHashes)
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws(",",
         (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
     }
     val buckets = sigs
       .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .cache()
+      .cache() // self-joined: don't recompute the md5-heavy signature agg
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    jaccardOver(ex, threshold, Some(cands))
+    verifyJaccard(cands, arrays, threshold)
   }
 
   val SimhashBits = 60

@@ -87,33 +87,44 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared CTEs: words, shingles, inverted index, sizes, verified pairs. */
+  /** Shared CTEs mirroring `Dedup.cappedShingleIndex`: words, raw shingle
+    * arrays, inverted index, then the document-frequency cap from
+    * [[Dedup.DefaultMaxShingleDf]] applied to the vocabulary. `ex` is the
+    * capped index every downstream stage reads; `sh` rebuilds the capped
+    * per-doc arrays; `sizes` are capped set sizes. */
   private val ShingleCtes =
     s"""w AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
-       |sh AS (
+       |sh0 AS (
        |  SELECT doc_id,
        |    list_distinct(CASE WHEN len(ws) >= 3 THEN
        |      list_transform(range(1, len(ws)-1),
        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
        |      ELSE []::varchar[] END) AS shs
        |  FROM w),
-       |ex AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh),
-       |sizes AS (SELECT doc_id AS id, len(shs) AS nsh FROM sh),
-       |inter AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT * FROM (
-       |    SELECT i.id_a, i.id_b, i.inter, sa.nsh AS size_a,
-       |      sb.nsh AS size_b,
-       |      i.inter::double / (sa.nsh + sb.nsh - i.inter) AS jaccard
-       |    FROM inter i
-       |    JOIN sizes sa ON i.id_a = sa.id
-       |    JOIN sizes sb ON i.id_b = sb.id)
-       |  WHERE jaccard >= $JaccardThreshold)""".stripMargin
+       |ex0 AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh0),
+       |hot AS (SELECT s FROM ex0 GROUP BY s
+       |        HAVING count(*) > ${Dedup.DefaultMaxShingleDf}),
+       |ex AS (SELECT ex0.* FROM ex0 ANTI JOIN hot USING (s)),
+       |sh AS (SELECT id AS doc_id, list(s) AS shs FROM ex GROUP BY id),
+       |sizes AS (SELECT id, count(*) AS nsh FROM ex GROUP BY id)"""
+      .stripMargin
+
+  /** Exact-Jaccard verification of a `cand (id_a, id_b)` CTE against the
+    * capped per-doc shingle arrays — mirrors `Dedup.verifyJaccard`. */
+  private val VerifyPairsSql =
+    s"""SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.shs, sb.shs))::bigint AS inter,
+       |    len(sa.shs)::bigint AS size_a, len(sb.shs)::bigint AS size_b,
+       |    len(list_intersect(sa.shs, sb.shs))::double /
+       |      (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON c.id_a = sa.doc_id
+       |  JOIN sh sb ON c.id_b = sb.doc_id)
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
 
   private def stop(lang: String): String =
     TextAnalysis.Stopwords.toMap.apply(lang)
@@ -207,19 +218,26 @@ object ExtQueries {
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // exact path: intersection counts straight from the index self-join
     "x_dedup_ngram_jaccard" ->
-      s"""WITH $ShingleCtes
-         |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM pairs"""
-        .stripMargin,
+      s"""WITH $ShingleCtes,
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM (
+         |  SELECT i.id_a, i.id_b, i.inter, sa.nsh AS size_a,
+         |    sb.nsh AS size_b,
+         |    i.inter::double / (sa.nsh + sb.nsh - i.inter) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id)
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
     "x_dedup_minhash_lsh" ->
       s"""WITH $ShingleCtes,
          |${minhashSigSql(8, 4)}
-         |SELECT p.id_a, p.id_b, p.inter, p.size_a, p.size_b, p.jaccard
-         |FROM pairs p
-         |WHERE EXISTS (SELECT 1 FROM cand c
-         |              WHERE c.id_a = p.id_a AND c.id_b = p.id_b)"""
-        .stripMargin,
+         |$VerifyPairsSql""".stripMargin,
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3
