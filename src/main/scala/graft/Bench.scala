@@ -1,6 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{struct, sum, xxhash64}
 object Bench {
+  /** Force every output column to be computed: count() lets Catalyst prune
+    * the projection under test (a scalar query would be timed as a bare
+    * parquet scan), so reduce a hash over the full row instead. */
+  private def consume(df: DataFrame): Unit =
+    df.agg(sum(xxhash64(struct(df.columns.map(df.col): _*)))).collect()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,13 +26,13 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { consume(fn(spark, warmDir)) } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warmup caches must not serve the timed run
     val results = ordered.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s")
         spark.catalog.clearCache() // operator-internal caches are per-query
