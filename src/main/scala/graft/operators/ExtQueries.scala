@@ -76,6 +76,17 @@ object ExtQueries {
         planes = AnnPlanes, dim = EmbeddingDim)
     }),
 
+    // Real javax.imageio decode inside batched mapPartitions: the media
+    // fixture renders a solid-gray PNG per image row from doc_id, so the
+    // decoded (width, height, brightness) are oracle-predictable without
+    // an image library on the oracle side.
+    "x_media_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("width"), col("height"),
+          col("brightness"))),
+
     "x_stream_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
@@ -355,6 +366,15 @@ object ExtQueries {
          |  FROM scored)
          |SELECT query_id, match_id, cos, rank FROM ranked
          |WHERE rank <= $TopK""".stripMargin,
+
+    // the PNG fixture is deterministic in doc_id: dims from the header
+    // formula, mean luminance = the solid gray (PNG is lossless)
+    "x_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  (64 + doc_id % 192)::int AS width,
+        |  (64 + doc_id % 128)::int AS height,
+        |  (doc_id % 256)::double AS brightness
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "x_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hora, event_type,

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side — schema, partitioning, batch shape, the
   * `mapPartitions`-with-batching pattern (the JVM twin of `mapInPandas`) —
-  * is real and tested. The actual codec call is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries);
-  * swap [[MediaCodecStub.decode]] for a real codec and nothing else moves.
+  * is real and tested. The IMAGE path decodes real PNG/JPEG bytes with
+  * `javax.imageio` (present on any JVM); audio/video stay STUBBED with a
+  * deterministic fake (this container ships no media libraries); swap
+  * [[MediaCodecStub.decode]] for a real codec and nothing else moves.
   */
 object Multimodal {
 
@@ -23,7 +24,50 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int, width: Int, height: Int,
       brightness: Double, sha: String)
 
-  /** ===== THE STUB — replace with a real codec (e.g. ImageIO/JavaCV). =====
+  /** Real image codec over `javax.imageio` — no external dependency. */
+  object ImageCodec {
+    /** Decode an encoded image (PNG/JPEG/GIF/BMP); returns
+      * (width, height, mean luminance in 0..255) or None when the payload
+      * is not a decodable image. Luminance reads the raster row-wise in
+      * bulk — no per-pixel JNI chatter. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      Option(img).map { i =>
+        val (w, h) = (i.getWidth, i.getHeight)
+        val row = new Array[Int](w)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          i.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum / (w.toLong * h))
+      }
+    }
+
+    /** Encode a solid-gray PNG — fixture generator for the synthetic media
+      * table and the round-trip specs. PNG is lossless, so decode returns
+      * the exact gray as mean luminance. */
+    def encodeGrayPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      val row = Array.fill(width)(rgb)
+      (0 until height).foreach(y => img.setRGB(0, y, width, 1, row, 0, width))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** ===== THE STUB — audio/video only (no media libs in this container).
     * Deterministic fake "decode": reads the 4-byte fake header as
     * (width, height) and derives a brightness from the payload bytes. */
   object MediaCodecStub {
@@ -38,19 +82,30 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a deterministic media table from `documents`: payload =
-    * 4-byte header (width, height derived from doc_id) + UTF-8 text body.
-    * Stands in for a parquet of real encoded images. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(lit(Array("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      concat(
-        // fake header: width = 64 + id%192, height = 64 + id%128 (2B each)
-        expr("unhex(lpad(hex(64 + doc_id % 192), 4, '0'))"),
-        expr("unhex(lpad(hex(64 + doc_id % 128), 4, '0'))"),
-        encode(col("text"), "UTF-8")).as("payload"))
+  /** Synthesize a deterministic media table from `documents`. The image
+    * kind carries a REAL solid-gray PNG (dims and gray derived from
+    * doc_id, so an external oracle can predict the decoded features
+    * without an image library); audio/video carry a 4-byte fake header
+    * (width, height) + UTF-8 text body. Stands in for a parquet of real
+    * encoded media. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val payload =
+          if (kind == "image")
+            ImageCodec.encodeGrayPng(
+              (64 + id % 192).toInt, (64 + id % 128).toInt, (id % 256).toInt)
+          else {
+            val (w, h) = ((64 + id % 192).toInt, (64 + id % 128).toInt)
+            Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+              text.getBytes("UTF-8")
+          }
+        MediaRow(id, kind, payload)
+      }).toDF()
+  }
 
   /** Batched per-partition decode — the `mapInPandas` pattern on the JVM:
     * consume the iterator in fixed-size batches so a real codec can reuse
@@ -65,7 +120,11 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // a real impl would open one codec context per batch here
           batch.iterator.map { r =>
-            val (w, h, bright) = MediaCodecStub.decode(r.payload)
+            val (w, h, bright) = r.kind match {
+              case "image" => // real decode; undecodable → (-1, -1, 0)
+                ImageCodec.decode(r.payload).getOrElse((-1, -1, 0.0))
+              case _ => MediaCodecStub.decode(r.payload)
+            }
             val sha = java.security.MessageDigest.getInstance("SHA-256")
               .digest(r.payload).take(8).map("%02x".format(_)).mkString
             MediaFeatures(r.media_id, r.kind, r.payload.length, w, h,

@@ -4,8 +4,8 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: schema, batched mapPartitions decode, declarative
-  * header metadata, frame sampling. The codec itself is a deterministic
-  * stub; everything around it is real. */
+  * header metadata, frame sampling. The image kind round-trips real PNG
+  * bytes through javax.imageio; audio/video use the deterministic stub. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,7 +25,7 @@ class MultimodalSpec extends SparkSpec {
   test("batched decode emits one typed row per input with header fields") {
     val feats = Multimodal.extractFeatures(media, batchSize = 32)
     assert(feats.count() === 500)
-    val f = feats.filter($"media_id" === 7L).collect().head
+    val f = feats.filter($"media_id" === 7L).collect().head // 7 % 3 → audio
     assert(f.width === (64 + 7 % 192))
     assert(f.height === (64 + 7 % 128))
     assert(f.brightness > 0.0 && f.brightness < 256.0)
@@ -33,13 +33,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f.sha.length === 16)
   }
 
+  test("image kind decodes real PNG payloads to exact dims + brightness") {
+    val img = Multimodal.extractFeatures(media)
+      .filter($"kind" === "image" && $"media_id" === 6L).collect().head
+    assert(img.width === 64 + 6)   // solid-gray PNG rendered from doc_id
+    assert(img.height === 64 + 6)
+    assert(img.brightness === 6.0) // PNG is lossless: mean luminance = gray
+  }
+
+  test("PNG and JPEG round-trip through the ImageIO codec") {
+    val png = Multimodal.ImageCodec.encodeGrayPng(33, 21, 120)
+    assert(Multimodal.ImageCodec.decode(png).contains((33, 21, 120.0)))
+    // JPEG: lossy — dims exact, near-constant image stays close in level
+    val buf = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 12).foreach(y => (0 until 16).foreach(x =>
+      buf.setRGB(x, y, 0x505050)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "jpg", out)
+    val Some((w, h, b)) = Multimodal.ImageCodec.decode(out.toByteArray)
+    assert(w === 16 && h === 12)
+    assert(math.abs(b - 0x50) < 4.0)
+    // not-an-image bytes decode to None, never throw
+    assert(Multimodal.ImageCodec.decode("junk".getBytes).isEmpty)
+  }
+
   test("declarative header metadata agrees with the batched decode") {
-    val declarative = Multimodal.headerMetadata(media)
+    // the fake 4-byte header only exists on the stubbed kinds
+    val nonImage = media.filter($"kind" =!= "image")
+    val declarative = Multimodal.headerMetadata(nonImage)
       .select($"media_id", $"width", $"height")
       .as[(Long, Int, Int)].collect().map {
         case (id, w, h) => id -> ((w, h))
       }.toMap
-    val decoded = Multimodal.extractFeatures(media)
+    val decoded = Multimodal.extractFeatures(nonImage)
       .select($"media_id", $"width", $"height")
       .as[(Long, Int, Int)].collect().map {
         case (id, w, h) => id -> ((w, h))
