@@ -13,15 +13,24 @@ object AggQueries {
   private def tarjetas(s: SparkSession, d: String): DataFrame =
     SyncFixture.state(s, d).filter(col("partition") === "TARJETA")
 
-  /** Deterministic lot-closure fixture: declared total = computed sum,
-    * nudged +10 for every third lot so both ✅ and ❌ appear. */
+  /** Deterministic full-shape lot-closure fixture (the reference sheet's
+    * manual columns, `Code.gs:479-487`): declared total = computed sum
+    * nudged +10 for every third lot so both ✅ and ❌ appear; Fecha = the
+    * lot's first card date; Depositado/Observaciones seeded from the lot
+    * number. */
   private def cierres(s: SparkSession, d: String): DataFrame =
-    Aggregates.lotTotals(tarjetas(s, d))
-      .select(col("lote"),
-        (col("total_folios") +
+    tarjetas(s, d).filter(col("lote").isNotNull)
+      .groupBy(col("lote"))
+      .agg(min(col("fecha")).as("fecha"),
+        sum(col("monto").cast(Dec)).as("tf"))
+      .select(col("fecha"), col("lote"),
+        (col("tf") +
           when(col("lote").cast("int") % 3 === 0, lit(10).cast(Dec))
             .otherwise(lit(0).cast(Dec)))
-          .cast(Dec).as("total_cierre"))
+          .cast(Dec).as("total_cierre"),
+        (col("lote").cast("int") % 2 === 0).as("depositado"),
+        when(col("lote").cast("int") % 5 === 0,
+          concat(lit("dep ok lote "), col("lote"))).as("observaciones"))
 
   // Sums stay DecimalType internally (order-independent totals); only the
   // FINAL projected money columns are cast to double — the driver hashes
@@ -31,7 +40,7 @@ object AggQueries {
       .withColumn("total_folios", col("total_folios").cast("double"))),
 
     "a2_cuadra_check" -> ((s, d) =>
-      Aggregates.cuadra(cierres(s, d), tarjetas(s, d))
+      Aggregates.refreshCierres(cierres(s, d), tarjetas(s, d))
         .withColumn("total_cierre", col("total_cierre").cast("double"))
         .withColumn("total_folios", col("total_folios").cast("double"))),
 
@@ -62,15 +71,21 @@ object AggQueries {
     "a2_cuadra_check" -> withCtes(
       s"""$LotTotalsSql,
          |cierres AS (
-         |  SELECT lote,
-         |    cast(total_folios +
+         |  SELECT min(fecha) AS fecha, lote,
+         |    cast(sum(cast(monto AS decimal(18,2))) +
          |      CASE WHEN cast(lote AS int) % 3 = 0 THEN 10.0 ELSE 0.0 END
-         |      AS decimal(18,2)) AS total_cierre
-         |  FROM lt)
-         |SELECT c.lote, cast(c.total_cierre AS double) AS total_cierre,
+         |      AS decimal(18,2)) AS total_cierre,
+         |    (cast(lote AS int) % 2 = 0) AS depositado,
+         |    CASE WHEN cast(lote AS int) % 5 = 0
+         |      THEN 'dep ok lote ' || lote END AS observaciones
+         |  FROM st WHERE partition = 'TARJETA' AND lote IS NOT NULL
+         |  GROUP BY lote)
+         |SELECT c.fecha, c.lote,
+         |  cast(c.total_cierre AS double) AS total_cierre,
          |  cast(lt.total_folios AS double) AS total_folios,
          |  CASE WHEN abs(c.total_cierre - lt.total_folios) < 0.01
-         |    THEN '✅' ELSE '❌' END AS cuadra
+         |    THEN '✅' ELSE '❌' END AS cuadra,
+         |  c.depositado, c.observaciones
          |FROM cierres c LEFT JOIN lt ON c.lote = lt.lote""".stripMargin),
 
     "a3_daily_totals_spine" -> withCtes(

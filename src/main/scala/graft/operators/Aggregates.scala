@@ -37,6 +37,29 @@ object Aggregates {
           .otherwise("❌").as("cuadra"))
   }
 
+  /** The manual (human-owned) columns of the lot-closure table — the
+    * protected zone a refresh must pass through verbatim, same property
+    * as the sync engine's per-partition protected columns. */
+  val CierresManualCols: Seq[String] =
+    Seq("fecha", "lote", "total_cierre", "depositado", "observaciones")
+
+  /** Full Cierres_Lotes refresh (`Code.gs:479-501`): the reference sheet
+    * holds manual columns Fecha, # Lote, Total Cierre, 💰 Depositado,
+    * 🔍 Observaciones and two formula columns — Total Folios (`SUMIF`
+    * over the card partition's lot) and ✅ Cuadra (`IF(C=D)`). Refresh
+    * recomputes ONLY the formula columns; every manual column flows
+    * through untouched, so reconciliation state (was the lot deposited?
+    * what did the operator note?) survives any number of refreshes. */
+  def refreshCierres(cierres: DataFrame, tarjetas: DataFrame): DataFrame = {
+    val totals = lotTotals(tarjetas).select(col("lote"), col("total_folios"))
+    cierres.join(totals, Seq("lote"), "left")
+      .select(col("fecha"), col("lote"), col("total_cierre"),
+        col("total_folios"),
+        when(moneyEq(col("total_cierre"), col("total_folios")), "✅")
+          .otherwise("❌").as("cuadra"),
+        col("depositado"), col("observaciones"))
+  }
+
   /** A3 — dense date-spine daily revenue: one row per calendar day of the
     * window, zero on empty days. */
   def dailyTotals(transfers: DataFrame, start: String, end: String,

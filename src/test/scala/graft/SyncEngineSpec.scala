@@ -159,4 +159,35 @@ class SyncEngineSpec extends SparkSpec {
     val s3 = r3.newState.collect().map(_.toString).sorted
     assert(s2.toSeq === s3.toSeq)
   }
+
+  test("cierres refresh preserves every manual column verbatim") {
+    import graft.operators.Aggregates
+    val cierres = Seq(
+      ("2025-11-01", "7", 300.0, Some(true), Some("depositado en OXXO")),
+      ("2025-11-02", "8", 120.0, Some(false), None),
+      ("2025-11-03", "9", 50.0, None, Some("revisar ticket")))
+      .toDF("fecha", "lote", "total_cierre", "depositado", "observaciones")
+      .withColumn("fecha", to_date($"fecha"))
+    val tarjetas = Seq(
+      ("7", 100.0), ("7", 200.0), // lot 7 cuadra
+      ("8", 120.5),               // lot 8 off by 0.50
+      ("77", 10.0))               // lot without a closure row: ignored
+      .toDF("lote", "monto")
+    val r1 = Aggregates.refreshCierres(cierres, tarjetas)
+      .withColumn("total_folios", $"total_folios".cast("double"))
+    val flags = r1.select($"lote", $"cuadra").as[(String, String)]
+      .collect().toMap
+    assert(flags === Map("7" -> "✅", "8" -> "❌", "9" -> "❌")) // 9: no cards
+    // protected zone: manual columns byte-identical before and after, and
+    // a second refresh over the refreshed table is a fixpoint
+    val manual = Aggregates.CierresManualCols.map(col)
+    assert(r1.select(manual: _*).collect().map(_.toString).sorted.toSeq ===
+      cierres.select(manual: _*).collect().map(_.toString).sorted.toSeq)
+    val r2 = Aggregates.refreshCierres(
+      r1.select((Aggregates.CierresManualCols :+ "total_folios" :+ "cuadra")
+        .map(col): _*).drop("total_folios", "cuadra"), tarjetas)
+      .withColumn("total_folios", $"total_folios".cast("double"))
+    assert(r2.collect().map(_.toString).sorted.toSeq ===
+      r1.collect().map(_.toString).sorted.toSeq)
+  }
 }
