@@ -51,11 +51,15 @@ object Exprs {
       to_date(try_to_timestamp(c.cast("string"), lit("d/M/yyyy"))),
       to_date(try_to_timestamp(c.cast("string"))))
 
+  /** P6 variant without the forgiving default: unparsable → NULL. Used to
+    * DETECT poison rows (rejected-rows containment) rather than coerce
+    * them. */
+  def parseMoneyOpt(c: Column): Column =
+    regexp_replace(c.cast("string"), "[$\",\\s]", "").try_cast(Money)
+
   /** P6 — strip `$`, `"`, `,`, whitespace; cast to money; unparsable → 0.00. */
-  def parseMoney(c: Column): Column = {
-    val cleaned = regexp_replace(c.cast("string"), "[$\",\\s]", "")
-    coalesce(cleaned.try_cast(Money), lit(0).cast(Money))
-  }
+  def parseMoney(c: Column): Column =
+    coalesce(parseMoneyOpt(c), lit(0).cast(Money))
 
   /** P7 — strip one pair of outer double quotes (dotall: cliente values may
     * embed newlines), trim; NULL → empty string. */

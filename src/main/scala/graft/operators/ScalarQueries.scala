@@ -172,6 +172,20 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("monto").cast(Money)).cast("double").as("total"))),
 
+    // S4 containment — rejected-rows quarantine from prepareSource: rows
+    // whose fecha AND monto are both unparseable never reach the sink.
+    "s4_rejected_rows" -> ((s, d) => {
+      val raw = sales(s, d).select(
+        col("folio"),
+        when(col("okey") % 13 === 0, lit("sin fecha"))
+          .when(col("okey") % 7 === 0, lit("fecha pendiente"))
+          .otherwise(date_format(col("fecha"), "d/M/yyyy")).as("fecha_raw"),
+        when(col("okey") % 13 === 0, lit("N/A"))
+          .when(col("okey") % 11 === 0, lit("--"))
+          .otherwise(col("monto").cast("string")).as("monto_raw"))
+      SyncEngine.prepareSource(raw)._2
+    }),
+
     // S10/J4 — catalog enrichment: broadcast join against the customer dim to
     // derive a folder-URL column (reference: Drive folder lookup).
     "s10_catalog_enrich" -> ((s, d) => {
@@ -311,6 +325,23 @@ object ScalarQueries {
          |  WHERE extract(year FROM fecha) = 2001
          |    AND extract(month FROM fecha) IN (6, 7))
          |GROUP BY mes""".stripMargin,
+
+    "s4_rejected_rows" ->
+      s"""SELECT folio, fecha_raw, monto_raw,
+         |  'fecha y monto ilegibles' AS motivo_rechazo
+         |FROM (
+         |  SELECT folio,
+         |    CASE WHEN okey % 13 = 0 THEN 'sin fecha'
+         |         WHEN okey % 7 = 0 THEN 'fecha pendiente'
+         |         ELSE strftime(fecha, '%-d/%-m/%Y') END AS fecha_raw,
+         |    CASE WHEN okey % 13 = 0 THEN 'N/A'
+         |         WHEN okey % 11 = 0 THEN '--'
+         |         ELSE cast(monto AS varchar) END AS monto_raw
+         |  FROM ($SalesSql))
+         |WHERE coalesce(cast(try_strptime(fecha_raw, '%-d/%-m/%Y') AS date),
+         |        try_cast(fecha_raw AS date)) IS NULL
+         |  AND try_cast(regexp_replace(monto_raw, '[$$",\\s]', '', 'g')
+         |        AS decimal(12,2)) IS NULL""".stripMargin,
 
     "s10_catalog_enrich" ->
       """SELECT cast(o_orderkey AS varchar) AS folio,

@@ -47,6 +47,28 @@ object SyncEngine {
       audit: DataFrame, // audit log rows (S7 shape, no wall-clock ts)
       summary: DataFrame) // action counts (A4)
 
+  /** Rejected-rows containment — the DF twin of the reference's
+    * row-at-a-time salvage (`Code.gs:1761-1776`): rather than let one
+    * poison row fail a block insert (or silently null-parse into the
+    * state), split the raw feed BEFORE the sync. A row is rejected when
+    * BOTH fecha and monto are unparseable; clean rows keep the
+    * reference's forgiving defaults (bad fecha → NULL, bad monto → 0.00)
+    * and the batch write stays atomic. Returns (clean, rejected); the
+    * rejected side carries the raw values plus a reason, the salvage
+    * loop's `detallesErrores` as a quarantine table. */
+  def prepareSource(raw: DataFrame, fechaRawCol: String = "fecha_raw",
+      montoRawCol: String = "monto_raw"): (DataFrame, DataFrame) = {
+    val fecha = parseDateFlexible(col(fechaRawCol))
+    val montoOpt = parseMoneyOpt(col(montoRawCol))
+    val clean = raw.filter(fecha.isNotNull || montoOpt.isNotNull)
+      .withColumn("fecha", fecha)
+      .withColumn("monto", coalesce(montoOpt, lit(0).cast(Money)))
+      .drop(fechaRawCol, montoRawCol)
+    val rejected = raw.filter(fecha.isNull && montoOpt.isNull)
+      .withColumn("motivo_rechazo", lit("fecha y monto ilegibles"))
+    (clean, rejected)
+  }
+
   /** Partition probe priority (`Code.gs:1229-1240`): when a corrupt state
     * holds one folio under several partitions, the first in this order wins. */
   def partitionPriority(p: Column): Column =

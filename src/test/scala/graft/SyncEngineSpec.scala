@@ -160,6 +160,26 @@ class SyncEngineSpec extends SparkSpec {
     assert(s2.toSeq === s3.toSeq)
   }
 
+  test("prepareSource quarantines poison rows, forgives partial ones") {
+    val raw = Seq(
+      ("F1", "5/11/2025", "$1,234.50"),   // clean
+      ("F2", "not a date", "100.00"),     // bad fecha only → clean, NULL
+      ("F3", "6/11/2025", "N/A"),         // bad monto only → clean, 0.00
+      ("F4", "sin fecha", "ilegible"))    // both bad → rejected
+      .toDF("folio", "fecha_raw", "monto_raw")
+    val (clean, rejected) = SyncEngine.prepareSource(raw)
+    assert(rejected.select($"folio").as[String].collect().toSeq === Seq("F4"))
+    assert(rejected.columns.contains("motivo_rechazo"))
+    val byFolio = clean
+      .select($"folio", $"fecha".cast("string"), $"monto".cast("double"))
+      .as[(String, Option[String], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byFolio.keySet === Set("F1", "F2", "F3")) // partition: no loss
+    assert(byFolio("F1") === ((Some("2025-11-05"), 1234.5)))
+    assert(byFolio("F2") === ((None, 100.0)))
+    assert(byFolio("F3") === ((Some("2025-11-06"), 0.0)))
+  }
+
   test("cierres refresh preserves every manual column verbatim") {
     import graft.operators.Aggregates
     val cierres = Seq(
