@@ -53,13 +53,28 @@ object StateStore {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, new Path(path)).exists(new Path(path))
 
-  /** S9 — CREATE TABLE IF NOT EXISTS semantics: a missing state path reads
-    * as an empty, correctly-typed DataFrame. */
+  /** S9 — CREATE TABLE IF NOT EXISTS semantics plus legacy adoption
+    * (`migrarHojaAntigua`, `Code.gs:247-258`, and the header verification
+    * at `Code.gs:262-286`): when the live path is absent but a state laid
+    * down by an older deployment exists under `legacyPath`, the directory
+    * is renamed into place — the sheet-rename twin. Columns the schema
+    * gained since the legacy write (the protected zone grew over time)
+    * read as NULL via parquet missing-column evolution, pinned by spec so
+    * a Spark upgrade can't silently change it. A missing state reads as
+    * an empty, correctly-typed DataFrame. */
   def readOrCreate(spark: SparkSession, path: String,
-      schema: StructType = StateSchema): DataFrame =
+      schema: StructType = StateSchema,
+      legacyPath: Option[String] = None): DataFrame = {
+    legacyPath
+      .filter(lp => !exists(spark, path) && exists(spark, lp))
+      .foreach { lp =>
+        fs(spark, new Path(path)).rename(new Path(lp), new Path(path))
+        spark.catalog.refreshByPath(path)
+      }
     if (exists(spark, path)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** S5 — overwrite-merge with temp-path discipline: never leaves a
     * half-written state visible under the live path. */

@@ -43,6 +43,34 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.readOrCreate(spark, dir).count() === n1)
   }
 
+  test("S9 legacy migration: old path adopted, missing columns null-fill") {
+    val base = tmpDir()
+    val legacy = base + "/conciliacion_bancaria"
+    val live = base + "/state"
+    // a state written by an older deployment: pre-protected-zone columns
+    // only, under the old directory name
+    Seq(("TRANSFERENCIA", "F1", "2025-11-05", "cli", "srv", "BANCOMER", 9.5))
+      .toDF("partition", "folio", "fecha", "cliente", "servicio", "banco",
+        "monto")
+      .withColumn("fecha", to_date($"fecha"))
+      .write.parquet(legacy)
+
+    val st = StateStore.readOrCreate(spark, live, StateStore.StateSchema,
+      legacyPath = Some(legacy))
+    assert(st.schema === StateStore.StateSchema)
+    val row = st.collect().head
+    assert(row.getAs[String]("folio") === "F1")
+    assert(row.getAs[Double]("monto") === 9.5)
+    StateStore.StateSchema.fieldNames
+      .filterNot(Seq("partition", "folio", "fecha", "cliente", "servicio",
+        "banco", "monto").contains)
+      .foreach(c => assert(row.isNullAt(row.fieldIndex(c)), c))
+    // the rename completed: legacy gone, live path serves plain reads now
+    assert(!StateStore.exists(spark, legacy))
+    assert(StateStore.exists(spark, live))
+    assert(StateStore.readOrCreate(spark, live).count() === 1)
+  }
+
   test("S7 append sink accumulates") {
     val dir = tmpDir() + "/audit"
     val rows = Seq(("F1", "ACTUALIZACIÓN", "d", "", "")).toDF(
