@@ -56,10 +56,10 @@ object StreamingSync {
     val start = java.sql.Date.valueOf(end.toLocalDate.minusDays(lookbackDays))
     val state = StateStore.readOrCreate(spark, statePath)
     val r = SyncEngine.run(batch, state, start.toString, end.toString)
-    // materialize the merge before swapping the state it reads from
+    // no lineage break: overwrite stages the full frame under a tmp path
+    // while the live state still exists, then swaps (see SyncApp.sync)
     val next = r.newState
       .select(StateStore.StateSchema.fieldNames.map(col): _*)
-      .localCheckpoint()
     StateStore.append(r.audit, auditPath)
     StateStore.append(r.conflicts, conflictPath)
     StateStore.overwrite(next, statePath)
