@@ -104,11 +104,47 @@ object SyncQueries {
     "j6_bank_reconcile" -> ((s, d) =>
       Reconcile.matchStatements(
         SyncFixture.bankStatement(s, d),
-        SyncFixture.transfersInWindow(s, d)))
+        SyncFixture.transfersInWindow(s, d))),
+
+    // S12 — Bitácora_Hallazgos: reported sales with no bank deposit become
+    // Pendiente findings, typed against the `cat` incidence catalog
+    "s12_findings_log" -> ((s, d) => {
+      val recon = SyncFixture.transfersInWindow(s, d)
+      val matched =
+        Reconcile.matchStatements(SyncFixture.bankStatement(s, d), recon)
+      Findings.unmatchedDeposits(matched, recon.drop("okey"))
+    })
   )
 
   private def withCtes(sql: String): String =
     s"WITH ${SyncFixture.DeltaCtes}\n$sql"
+
+  /** J6 CTE block (bank fixture + banded tolerance match) shared by the
+    * reconciliation and findings oracles. */
+  private val ReconCtes: String =
+    s"""inwin AS (
+       |  SELECT folio, fecha, monto, okey FROM classified
+       |  WHERE metodo = 'TRANSFERENCIA'
+       |    AND fecha BETWEEN DATE '${SyncFixture.WindowStart}'
+       |      AND DATE '${SyncFixture.WindowEnd}'),
+       |bank AS (
+       |  SELECT okey AS bank_row_id,
+       |    fecha + (cast(okey % 5 AS int) - 2) AS dia,
+       |    monto + CASE WHEN okey % 41 = 0 THEN 0.005
+       |                 WHEN okey % 43 = 0 THEN 50.0
+       |                 ELSE 0.0 END AS abono
+       |  FROM inwin),
+       |cand AS (
+       |  SELECT b.bank_row_id, r.folio, r.fecha, r.monto,
+       |    abs(date_diff('day', r.fecha, b.dia)) AS ddiff
+       |  FROM bank b JOIN inwin r
+       |    ON abs(b.abono - r.monto) <= 0.01
+       |   AND abs(date_diff('day', r.fecha, b.dia)) <= 3),
+       |best AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bank_row_id
+       |      ORDER BY ddiff, folio) AS rnk FROM cand)
+       |  WHERE rnk = 1)""".stripMargin
 
   private val CambioTextoSql =
     """'Cambios en: ' || concat_ws(', ',
@@ -227,33 +263,25 @@ object SyncQueries {
         |  'Pendiente' AS estado
         |FROM delta WHERE action = 'CONFLICTO → REVISIÓN'""".stripMargin),
 
-    "j6_bank_reconcile" -> (s"WITH ${SyncFixture.DeltaCtes},\n" +
-      s"""inwin AS (
-         |  SELECT folio, fecha, monto, okey FROM classified
-         |  WHERE metodo = 'TRANSFERENCIA'
-         |    AND fecha BETWEEN DATE '${SyncFixture.WindowStart}'
-         |      AND DATE '${SyncFixture.WindowEnd}'),
-         |bank AS (
-         |  SELECT okey AS bank_row_id,
-         |    fecha + (cast(okey % 5 AS int) - 2) AS dia,
-         |    monto + CASE WHEN okey % 41 = 0 THEN 0.005
-         |                 WHEN okey % 43 = 0 THEN 50.0
-         |                 ELSE 0.0 END AS abono
-         |  FROM inwin),
-         |cand AS (
-         |  SELECT b.bank_row_id, r.folio, r.fecha, r.monto,
-         |    abs(date_diff('day', r.fecha, b.dia)) AS ddiff
-         |  FROM bank b JOIN inwin r
-         |    ON abs(b.abono - r.monto) <= 0.01
-         |   AND abs(date_diff('day', r.fecha, b.dia)) <= 3),
-         |best AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY bank_row_id
-         |      ORDER BY ddiff, folio) AS rnk FROM cand)
-         |  WHERE rnk = 1)
-         |SELECT b.bank_row_id, b.dia, b.abono, best.folio, best.fecha,
-         |  best.monto, best.ddiff
-         |FROM bank b LEFT JOIN best ON b.bank_row_id = best.bank_row_id"""
+    "j6_bank_reconcile" -> (s"WITH ${SyncFixture.DeltaCtes},\n$ReconCtes\n" +
+      """SELECT b.bank_row_id, b.dia, b.abono, best.folio, best.fecha,
+        |  best.monto, best.ddiff
+        |FROM bank b LEFT JOIN best ON b.bank_row_id = best.bank_row_id"""
+        .stripMargin),
+
+    "s12_findings_log" -> (s"WITH ${SyncFixture.DeltaCtes},\n$ReconCtes,\n" +
+      s"""cat(tipo_id, tipo) AS (VALUES ${Findings.IncidenceTypes
+            .map { case (id, t) => s"($id, '$t')" }.mkString(", ")}),
+         |misses AS (
+         |  SELECT folio, fecha, monto FROM inwin
+         |  WHERE folio NOT IN (SELECT folio FROM best))
+         |SELECT m.fecha AS fecha_reporte, c.tipo_id, c.tipo, m.folio,
+         |  CASE WHEN m.monto >= 1000 THEN '🔥 ALTA' ELSE 'MEDIA' END
+         |    AS urgencia,
+         |  'El pago no está en el banco' AS descripcion,
+         |  'Pendiente' AS estado, NULL::varchar AS resolucion
+         |FROM misses m
+         |LEFT JOIN cat c ON c.tipo = 'Discrepancia entre reporte y deposito'"""
         .stripMargin),
 
 
