@@ -21,6 +21,8 @@ object ExtQueries {
   val EmbeddingDim = 64
   val NearDupBands = 32
   val NearDupRows = 6
+  val IvfCentroidMod = 37
+  val IvfNprobe = 2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -74,6 +76,14 @@ object ExtQueries {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") % QueryMod === 0), e, TopK,
         planes = AnnPlanes, dim = EmbeddingDim)
+    }),
+
+    // IVF ANN: deterministic corpus-sample centroids (so the oracle can
+    // rebuild the index exactly); nprobe=2 lists searched per query.
+    "x_ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        centroidMod = IvfCentroidMod, nprobe = IvfNprobe)
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -360,6 +370,42 @@ object ExtQueries {
          |  SELECT query_id, match_id,
          |    round(list_cosine_similarity(qv, cv), 6) AS cos
          |  FROM c JOIN q ON c.bucket = q.bucket WHERE query_id <> match_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // mirrors Similarity.ivfTopK: centroid sample, argmax assignment with
+    // the same (cos desc, cent_id) tie-break, nprobe lists per query
+    "x_ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
+         |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |casg AS (
+         |  SELECT vec_id AS match_id, v AS cv, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN cents ct)
+         |  WHERE rnk = 1),
+         |qasg AS (
+         |  SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN cents ct
+         |    WHERE c.vec_id % $QueryMod = 0)
+         |  WHERE rnk <= $IvfNprobe),
+         |scored AS (
+         |  SELECT q.query_id, l.match_id,
+         |    round(list_cosine_similarity(q.qv, l.cv), 6) AS cos
+         |  FROM casg l JOIN qasg q ON l.cent_id = q.cent_id
+         |  WHERE q.query_id <> l.match_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank

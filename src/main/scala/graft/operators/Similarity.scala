@@ -120,6 +120,53 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** ANN top-k via an IVF (inverted-file) index: a coarse centroid set
+    * partitions the corpus into lists by nearest centroid; a query probes
+    * only its `nprobe` nearest lists and ranks exactly within them.
+    *
+    * Scale design: the centroid set is tiny (~√n in production) and
+    * broadcast, so BUILD is one map-side argmax pass over the corpus (no
+    * shuffle of the vectors beyond the list equi-join) and SEARCH touches
+    * `nprobe/C` of the corpus per query. Here centroids are a
+    * deterministic corpus sample (`vec_id % centroidMod`) so an external
+    * SQL oracle reproduces the index bit-for-bit; production would train
+    * them with k-means (spark.ml) — the IVF plumbing is identical, only
+    * the centroid quality changes (recall per probe, never correctness of
+    * the within-list ranking). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidMod: Int = 37, nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = unitVecs(
+      corpus.filter(col(idCol) % centroidMod === 0), idCol, vecCol,
+      "cent_id", "centv")
+    // corpus assignment: argmax over the broadcast centroids as a map-side
+    // combinable max_by — n rows reach the shuffle, not n × C candidate
+    // rows (ties broken toward the lowest cent_id, same as the probe rank)
+    val lists = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+      .groupBy(col("match_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+          .as("cent_id"),
+        first(col("cv")).as("cv"))
+    // query probes: the query set is small; rank nprobe lists per query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cent_id"))
+    val probes = unitVecs(queries, idCol, vecCol, "query_id", "qv")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("qv"), col("centv")), 6))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= nprobe)
+      .drop("centv", "cdot", "crnk")
+    val scored = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("qv"), col("cv")), 6).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs variant. O(n²): a test baseline for
     * [[nearDupPairsLsh]]'s recall, NOT the scale path. */

@@ -80,6 +80,24 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0) // bucketing trades recall for scan locality
   }
 
+  test("IVF top-k scores exactly within probed lists, never self-matches") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(q, e, 10)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, m, c) =>
+      assert(qid !== m)
+      // a probed hit scores exactly what brute force scored it (or the
+      // pair fell below brute force's top-k cut — then it can't be tested)
+      brute.get((qid, m)).foreach(b => assert(b === c))
+    }
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs with equal scores") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = Similarity.nearDupPairsExact(e, 0.4)
