@@ -2,9 +2,11 @@ package graft.streaming
 
 import graft.operators.SyncEngine
 import graft.sources.StateStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming face of the engine (SURVEY.md §2.7): the
@@ -30,6 +32,34 @@ object StreamingSync {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as("total"))
+
+  /** D1/D2 as CUSTOM streaming state: first-wins key dedup across
+    * micro-batches. Within a batch the lowest `ord` wins (the reference's
+    * scan order, `Code.gs:752-765`); across batches the first batch to
+    * see a key wins, so a re-delivered or duplicated row in any later
+    * batch is dropped. This is the `KeyValueGroupedDataset.
+    * flatMapGroupsWithState` path — per-key state (the winning ord) that
+    * no built-in streaming operator expresses; state is one long per key,
+    * sharded by the groupBy hash, no driver-side anything. */
+  def dedupFirstWinsStream(source: DataFrame, keyCol: String = "folio",
+      ordCol: String = "ord"): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[Row] = ExpressionEncoder(source.schema)
+    val ki = source.schema.fieldIndex(keyCol)
+    val oi = source.schema.fieldIndex(ordCol)
+    source.groupByKey(_.getString(ki))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], st: GroupState[Long]) =>
+          if (st.exists) Iterator.empty // key won in an earlier batch
+          else {
+            val winner = rows.minBy(_.getLong(oi))
+            st.update(winner.getLong(oi))
+            Iterator.single(winner)
+          })
+      .toDF(source.columns: _*)
+  }
 
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window

@@ -37,6 +37,35 @@ class StreamingSyncSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("stateful first-wins dedup drops duplicates across micro-batches") {
+    val dir = tmp()
+    val in = s"$dir/in"
+    // batch 1: F1 twice (ord 1 wins in-batch), F2 once
+    Seq((1L, "F1", 10.0), (2L, "F1", 20.0), (3L, "F2", 30.0))
+      .toDF("ord", "folio", "monto").coalesce(1)
+      .write.mode("append").parquet(in)
+    Thread.sleep(1100) // file-source batches order by mod time
+    // batch 2: F1 re-delivered (must be dropped by state), F3 new
+    Seq((4L, "F1", 40.0), (5L, "F3", 50.0))
+      .toDF("ord", "folio", "monto").coalesce(1)
+      .write.mode("append").parquet(in)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(in)
+    val q = StreamingSync.dedupFirstWinsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("first_wins")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("first_wins")
+      .select($"folio", $"ord").as[(String, Long)].collect().toMap
+    assert(got === Map("F1" -> 1L, "F2" -> 3L, "F3" -> 5L))
+  }
+
   test("foreachBatch sync sink converges to the batch engine's state") {
     val base = tmp()
     val source = SyncFixture.source(spark, sf0001)
