@@ -135,10 +135,40 @@ object Similarity {
     * the within-list ranking). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidMod: Int = 37, nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      unitVecs(corpus.filter(col(idCol) % centroidMod === 0), idCol, vecCol,
+        "cent_id", "centv"),
+      nprobe, idCol, vecCol)
+
+  /** K-means coarse centroids for [[ivfTopKWith]] — the production
+    * trainer (spark.ml, seeded for reproducibility within one Spark
+    * version; an external oracle cannot replay the training, which is why
+    * the driver-checked query uses the sampled-centroid variant).
+    * Returns (cent_id, centv) with unit-normalized centers. */
+  def kmeansCentroids(corpus: DataFrame, numCentroids: Int, seed: Long = 7,
       vecCol: String = "embedding"): DataFrame = {
-    val cents = unitVecs(
-      corpus.filter(col(idCol) % centroidMod === 0), idCol, vecCol,
-      "cent_id", "centv")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCentroids).setSeed(seed).setMaxIter(10).fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) =>
+        val a = v.toArray
+        val n = math.sqrt(a.map(x => x * x).sum)
+        (i.toLong, a.map(_ / n).toSeq)
+      }.toDF("cent_id", "centv")
+  }
+
+  /** IVF search against an explicit centroid table (`cent_id`,
+    * unit-normalized `centv` array<double>) — shared by the deterministic
+    * sampled-centroid path and the k-means path. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: DataFrame, nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     // corpus assignment: argmax over the broadcast centroids as a map-side
     // combinable max_by — n rows reach the shuffle, not n × C candidate
     // rows (ties broken toward the lowest cent_id, same as the probe rank)

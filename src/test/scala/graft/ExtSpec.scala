@@ -98,6 +98,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF shares the search path and scores exactly") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val cents = Similarity.kmeansCentroids(e, numCentroids = 8)
+    assert(cents.count() === 8)
+    val ivf = Similarity.ivfTopKWith(q, e, 10, cents)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (qid, m, c) =>
+      assert(qid !== m)
+      brute.get((qid, m)).foreach(b => assert(b === c))
+    }
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs with equal scores") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = Similarity.nearDupPairsExact(e, 0.4)
