@@ -171,8 +171,16 @@ object Dedup {
 
   val SimhashBits = 60
   val SimhashBands = 4
-  private val SimhashBandBits = SimhashBits / SimhashBands // 15
-  private val SimhashBandMask = (1L << SimhashBandBits) - 1
+
+  /** Smallest divisor of [[SimhashBits]] that yields at least
+    * `maxHamming + 1` bands — the pigeonhole condition for exhaustive
+    * banded bucketing at that threshold. 60 divides richly (4, 5, 6, 10,
+    * 12, 15, 20, 30, 60), so every `maxHamming ≤ 59` has a valid banding;
+    * more bands = more bucket rows, so take the fewest that suffice. */
+  def bandsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits)
+    (maxHamming + 1 to SimhashBits).find(SimhashBits % _ == 0).get
+  }
 
   /** 60-bit SimHash per document: per-word md5-derived 60-bit hashes
     * ([[seededHash]] — reproducible in any engine with md5, so the DuckDB
@@ -196,19 +204,23 @@ object Dedup {
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket on 4×15-bit bands. By pigeonhole a
-    * pair within hamming distance ≤ 3 of 60 bits MUST agree on at least
-    * one band, so the banding is exhaustive for `maxHamming ≤ 3` — higher
-    * thresholds would silently drop pairs that differ in every band. */
+  /** SimHash near-dup pairs, EXHAUSTIVE at any threshold: bucket on
+    * `bandsFor(maxHamming)` equal bands of the 60-bit signature — by
+    * pigeonhole, a pair within hamming ≤ maxHamming must agree on at
+    * least one of maxHamming+1 bands, so banding never drops a
+    * qualifying pair. The default (3 → 4×15-bit bands) is the classic
+    * near-dup setting; higher thresholds automatically take more,
+    * narrower bands (wider buckets → more candidates to verify — the
+    * standard recall/cost dial). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming < SimhashBands,
-      s"banded bucketing is exhaustive only for hamming < $SimhashBands")
+    val bands = bandsFor(maxHamming)
+    val bandBits = SimhashBits / bands
+    val mask = (1L << bandBits) - 1
     val sigs = simhash(docs, idCol, textCol).cache()
     val buckets = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(b =>
-        shiftright(col("simhash"), b * SimhashBandBits)
-          .bitwiseAND(SimhashBandMask)): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "key")))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

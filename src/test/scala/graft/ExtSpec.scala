@@ -49,6 +49,23 @@ class ExtSpec extends SparkSpec {
     assert(ham02 < ham03) // one-word change beats disjoint vocabulary
   }
 
+  test("simhash banding is exhaustive at any threshold (pigeonhole)") {
+    assert(Dedup.bandsFor(3) === 4)   // classic 4×15
+    assert(Dedup.bandsFor(4) === 5)
+    assert(Dedup.bandsFor(7) === 10)  // 8 doesn't divide 60 → next divisor
+    val docs = Tables.documents(spark, sf0001).limit(120).cache()
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b, h.toInt) }.toSet
+    assert(got === expect) // every qualifying pair found, none invented
+  }
+
   test("brute-force top-k is exact and self-excluding") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
