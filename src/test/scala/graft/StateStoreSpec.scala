@@ -71,6 +71,35 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.readOrCreate(spark, live).count() === 1)
   }
 
+  test("bank CSV source parses, quarantines, and feeds reconciliation") {
+    val dir = tmpDir()
+    val csv =
+      """dia_raw,concepto,cargo_raw,abono_raw,saldo_raw,folio
+        |5/11/2025,SPEI RECIBIDO arturo,,"$1,234.50","64,403.53",
+        |6/11/2025,PAGO CUENTA DE TERCERO,,900.00,"63,503.53",0-18051
+        |no date,garbage row,,n/a,,
+        |7/11/2025,BNET tapetes,,not-money,"62,503.53",
+        |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "banco.csv"), csv.getBytes("UTF-8"))
+    val (clean, rejected) = graft.sources.BankCsv.read(spark, s"$dir/banco.csv")
+    assert(rejected.count() === 1) // both fields bad
+    assert(rejected.collect().head.getAs[String]("concepto") === "garbage row")
+    val rows = clean.orderBy($"bank_row_id")
+      .select($"dia".cast("string"), $"abono".cast("double"), $"folio")
+      .as[(String, Double, Option[String])].collect()
+    assert(rows.length === 3)
+    assert(rows(0) === (("2025-11-05", 1234.5, None)))
+    assert(rows(1) === (("2025-11-06", 900.0, Some("0-18051"))))
+    assert(rows(2) === (("2025-11-07", 0.0, None))) // bad abono → forgiven 0
+    // the clean side is directly the Reconcile statement shape
+    val recon = Seq(("F9", java.sql.Date.valueOf("2025-11-05"), 1234.50))
+      .toDF("folio", "fecha", "monto")
+    val matched = graft.operators.Reconcile.matchStatements(
+      clean.select($"bank_row_id", $"dia", $"abono"), recon)
+    assert(matched.filter($"folio" === "F9").count() === 1)
+  }
+
   test("S7 append sink accumulates") {
     val dir = tmpDir() + "/audit"
     val rows = Seq(("F1", "ACTUALIZACIÓN", "d", "", "")).toDF(
