@@ -29,6 +29,7 @@ object Bench {
       try { consume(fn(spark, warmDir)) } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warmup caches must not serve the timed run
+    System.gc() // settle warmup garbage before any timing starts
     val results = ordered.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -36,6 +37,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s")
         spark.catalog.clearCache() // operator-internal caches are per-query
+        // 47 queries in one JVM: without a nudge, allocation-heavy late
+        // queries pay the accumulated old-gen debt of everything before
+        // them (observed as 10x bimodal md5-query times)
+        System.gc()
         name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

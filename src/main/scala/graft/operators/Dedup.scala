@@ -48,13 +48,17 @@ object Dedup {
   val DefaultMaxShingleDf = 1000
 
   /** Df-capped inverted index: exploded distinct (id, shingle) pairs minus
-    * the ubiquitous-shingle vocabulary. The hot set is tiny by
-    * construction (≤ |corpus|/maxDf distinct shingles can exceed the cap),
-    * so the removal plans as a broadcast anti-join. */
+    * the ubiquitous-shingle vocabulary. The raw exploded index is cached —
+    * it feeds both the hot-set aggregate and the anti-join, and the
+    * shingle construction is an interpreted higher-order expression you
+    * only want to pay once. The hot set is tiny by construction
+    * (≤ |corpus|/maxDf distinct shingles can exceed the cap), so the
+    * removal plans as a broadcast anti-join. */
   private def cappedShingleIndex(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxDf: Int): DataFrame = {
     val ex = fanOut(docs).select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      .cache()
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select(col("sh"))
     ex.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -110,11 +114,11 @@ object Dedup {
     * jaccard) for jaccard ≥ threshold, id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val idx = cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf)
-      .cache()
-    jaccardBySelfJoin(idx, threshold)
-  }
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    // the capped index derives from the cached raw index by one broadcast
+    // anti-join, cheap to replay per read — no second cache needed
+    jaccardBySelfJoin(
+      cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf), threshold)
 
   /** Deterministic 60-bit shingle hash for seed `k`, reproducible in any
     * engine with md5 (the oracle uses the same construction). Two hashes
@@ -151,7 +155,6 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val idx = cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf)
-      .cache()
     val arrays = idx.groupBy(col("id")).agg(collect_list(col("sh")).as("shs"))
     val sigs = minhashSignaturesFrom(idx, numHashes)
     val bandKeys = (0 until bands).map { b =>
