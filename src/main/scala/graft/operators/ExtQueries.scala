@@ -97,6 +97,13 @@ object ExtQueries {
         .select(col("media_id"), col("width"), col("height"),
           col("brightness"))),
 
+    // Header-only metadata peek (PNG IHDR parse for images, fake header
+    // for the stubbed kinds) — the pushdown path that skips full decode.
+    "x_media_header" -> ((s, d) =>
+      Multimodal.headerMetadata(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .select(col("media_id"), col("kind"), col("width"), col("height"))),
+
     "x_stream_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
@@ -421,6 +428,15 @@ object ExtQueries {
         |  (64 + doc_id % 128)::int AS height,
         |  (doc_id % 256)::double AS brightness
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    // every kind's header-derived dims follow the doc_id formulas
+    "x_media_header" ->
+      """SELECT doc_id AS media_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  (64 + doc_id % 192)::int AS width,
+        |  (64 + doc_id % 128)::int AS height
+        |FROM documents""".stripMargin,
 
     "x_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hora, event_type,

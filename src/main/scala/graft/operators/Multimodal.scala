@@ -134,17 +134,24 @@ object Multimodal {
       }
   }
 
-  /** Declarative metadata decode of the same header — pure `Column` ops
-    * over the binary (no stub): what you push down when only metadata is
-    * needed and the payload column can be pruned away. */
-  def headerMetadata(media: DataFrame): DataFrame =
+  /** Declarative metadata decode — pure `Column` ops over the binary, no
+    * codec: what you push down when only metadata is needed and the full
+    * payload decode can be skipped. For the image kind this parses the
+    * real PNG IHDR chunk (big-endian width at offset 17, height at 21,
+    * after the 8-byte signature + IHDR length/type); the stubbed kinds
+    * read their 4-byte fake header. At 100 TB this is the difference
+    * between a header peek and decoding every frame. */
+  def headerMetadata(media: DataFrame): DataFrame = {
+    def be(start: Int, len: Int) =
+      conv(hex(substring(col("payload"), start, len)), 16, 10).cast("int")
     media.select(
       col("media_id"), col("kind"),
       length(col("payload")).as("n_bytes"),
-      conv(hex(substring(col("payload"), 1, 2)), 16, 10).cast("int")
+      when(col("kind") === "image", be(17, 4)).otherwise(be(1, 2))
         .as("width"),
-      conv(hex(substring(col("payload"), 3, 2)), 16, 10).cast("int")
+      when(col("kind") === "image", be(21, 4)).otherwise(be(3, 2))
         .as("height"))
+  }
 
   /** Frame sampling: every `stride`-th fixed-size block of the payload body
     * becomes a "frame" row (video → frame table). Pure plumbing: slicing,

@@ -59,19 +59,20 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("declarative header metadata agrees with the batched decode") {
-    // the fake 4-byte header only exists on the stubbed kinds
-    val nonImage = media.filter($"kind" =!= "image")
-    val declarative = Multimodal.headerMetadata(nonImage)
+    // images: real PNG IHDR parse; stubbed kinds: the fake 4-byte header —
+    // either way the header peek must equal the full decode
+    val declarative = Multimodal.headerMetadata(media)
       .select($"media_id", $"width", $"height")
       .as[(Long, Int, Int)].collect().map {
         case (id, w, h) => id -> ((w, h))
       }.toMap
-    val decoded = Multimodal.extractFeatures(nonImage)
+    val decoded = Multimodal.extractFeatures(media)
       .select($"media_id", $"width", $"height")
       .as[(Long, Int, Int)].collect().map {
         case (id, w, h) => id -> ((w, h))
       }.toMap
     assert(declarative === decoded)
+    assert(declarative.size === 500)
   }
 
   test("frame sampling slices the body into strided fixed-size frames") {
