@@ -29,6 +29,10 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    "x_tok_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_subwords"))),
+
     "x_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -202,6 +206,20 @@ object ExtQueries {
     "x_tok_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    // mirrors TextAnalysis.bpeTokenCount piece-for-piece
+    "x_tok_bpe" ->
+      """SELECT doc_id,
+        |  cast(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^ \t\n\rA-Za-z0-9]'),
+        |    p -> CASE
+        |      WHEN regexp_matches(p, '^[A-Za-z]+$')
+        |        THEN cast(ceil(length(p) / 4.0) AS bigint)
+        |      WHEN regexp_matches(p, '^[0-9]+$')
+        |        THEN cast(ceil(length(p) / 3.0) AS bigint)
+        |      ELSE 1 END)), 0) AS bigint) AS n_subwords
         |FROM documents""".stripMargin,
 
     "x_lang_id" ->

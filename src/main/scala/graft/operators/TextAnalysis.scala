@@ -17,6 +17,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(words(text))
 
+  /** BPE-ish subword token estimate, engine-reproducible: split into
+    * letter runs / digit runs / single punctuation marks, then charge
+    * ceil(len/4) per letter run (BPE averages ~4 chars per subword for
+    * English), ceil(len/3) per digit run, 1 per mark. Linear per row —
+    * a scan-speed stand-in for a real tokenizer's token budget. */
+  def bpeTokenCount(text: Column): Column = {
+    val pieces = regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^ \\t\\n\\rA-Za-z0-9]"), lit(0))
+    aggregate(
+      transform(pieces, p =>
+        when(p.rlike("^[A-Za-z]+$"), ceil(length(p) / 4.0))
+          .when(p.rlike("^[0-9]+$"), ceil(length(p) / 3.0))
+          .otherwise(lit(1L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = words(text)

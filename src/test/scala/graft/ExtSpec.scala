@@ -151,6 +151,17 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("BPE-ish token estimate charges subwords, digits, and punctuation") {
+    val got = spark.range(1).select(TextAnalysis.bpeTokenCount(
+      lit("Hello, extraordinary 12345!")).as("n")).as[Long].collect().head
+    // Hello→2 (ceil 5/4), ','→1, extraordinary→4 (ceil 13/4),
+    // 12345→2 (ceil 5/3), '!'→1
+    assert(got === 10L)
+    val empty = spark.range(1).select(TextAnalysis.bpeTokenCount(lit(""))
+      .as("n")).as[Long].collect().head
+    assert(empty === 0L)
+  }
+
   test("language id picks Spanish for Spanish function words") {
     val got = TextAnalysis.langId(lit("el gato y el perro de la casa"))
     val lang = docs.sparkSession.range(1).select(got).collect().head
