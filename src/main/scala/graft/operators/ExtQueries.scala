@@ -45,6 +45,10 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    "x_fingerprint_winnow" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text")).as("winnow_fp"))),
+
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d))),
 
@@ -257,6 +261,33 @@ object ExtQueries {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    AS fingerprint
         |FROM documents""".stripMargin,
+
+    // mirrors TextAnalysis.winnowFingerprint: k=5 char grams, md5-seeded
+    // 60-bit rolling hashes, window-of-4 minima, sorted distinct digest
+    "x_fingerprint_winnow" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_transform(list_sort(mins),
+        |    h -> h::varchar), ',')) AS winnow_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hashes) >= 4 THEN
+        |      list_distinct(list_transform(range(0, len(hashes) - 3),
+        |        j -> list_min(hashes[(j+1):(j+4)])))
+        |    WHEN len(hashes) > 0 THEN [list_min(hashes)]
+        |    ELSE []::bigint[] END AS mins
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(
+        |        CASE WHEN length(norm) >= 5 THEN
+        |          list_transform(range(1, length(norm) - 3),
+        |            i -> substr(norm, i::int, 5))
+        |        ELSE []::varchar[] END,
+        |        g -> ('0x' || substr(md5(g || '#0'), 1, 15))::bigint)
+        |        AS hashes
+        |    FROM (SELECT doc_id,
+        |            regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |              AS norm
+        |          FROM documents)))""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

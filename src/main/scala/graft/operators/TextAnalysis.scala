@@ -92,4 +92,26 @@ object TextAnalysis {
   /** Content fingerprint: md5 over whitespace-normalized lower-cased text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing fingerprint (the MOSS scheme): hash every character
+    * k-gram with the md5-seeded rolling family, keep the minimum of each
+    * window of `w` consecutive hashes, and digest the sorted distinct
+    * survivors. Robust to local edits — an edit only perturbs the
+    * windows it touches — where [[fingerprint]] flips entirely. All
+    * per-row array expressions, no shuffle, engine-reproducible. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => substr(norm, i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+    val hashes = transform(grams, g => Dedup.seededHash(g, 0))
+    val nh = size(hashes)
+    val mins = when(nh >= w,
+      array_distinct(transform(sequence(lit(0), nh - w),
+        j => array_min(slice(hashes, j + 1, lit(w))))))
+      .otherwise(when(nh > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    md5(concat_ws(",", transform(array_sort(mins), h => h.cast("string"))))
+  }
 }

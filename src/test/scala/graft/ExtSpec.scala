@@ -162,6 +162,16 @@ class ExtSpec extends SparkSpec {
     assert(empty === 0L)
   }
 
+  test("winnowing fingerprint: deterministic, edit-sensitive, edge-safe") {
+    def fp(s: String): String =
+      spark.range(1).select(TextAnalysis.winnowFingerprint(lit(s)).as("f"))
+        .as[String].collect().head
+    assert(fp("the quick brown fox") === fp("the  QUICK  brown fox "))
+    assert(fp("the quick brown fox") !== fp("the quick brown cat"))
+    assert(fp("") === fp("   "))     // both: empty gram set digest
+    assert(fp("abc").nonEmpty)       // shorter than k: single-min path
+  }
+
   test("language id picks Spanish for Spanish function words") {
     val got = TextAnalysis.langId(lit("el gato y el perro de la casa"))
     val lang = docs.sparkSession.range(1).select(got).collect().head
