@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("minhash verifies candidates from arrays, not an index re-join") {
+    withStaticPlan {
+      val plan = run("x_dedup_minhash_lsh").queryExecution.executedPlan
+        .toString
+      assert(plan.contains("array_intersect")) // per-pair set verify...
+      assert(plan.contains("collect_list"))    // ...from per-doc arrays
+      // the old shape counted intersections by re-joining the exploded
+      // index against the candidate list — no pair-grouped count remains
+      assert(!plan.contains("count(1) AS inter"))
+    }
+  }
+
   test("near-dup candidates come from an equi-join, never a nested loop") {
     withStaticPlan {
       val plan = run("x_embed_near_dup").queryExecution.executedPlan.toString
