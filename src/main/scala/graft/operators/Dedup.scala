@@ -28,6 +28,15 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** Apply exact dedup: the corpus with only each group's keeper row —
+    * what a pipeline actually feeds downstream. A broadcast-friendly
+    * semi-join of the corpus against the keeper ids. */
+  def dedupedCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keeper_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** A small parquet corpus arrives as one partition; everything downstream
     * (hashing, inverted-index joins, 64-column aggregates) is compute-bound,
     * so fan the rows out to the session's shuffle width first. At real

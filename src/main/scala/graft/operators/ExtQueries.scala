@@ -52,6 +52,11 @@ object ExtQueries {
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d))),
 
+    // the applied form: corpus reduced to keeper rows (ids only — the
+    // text column is oracle-checked via x_fingerprint already)
+    "x_dedup_apply" -> ((s, d) =>
+      Dedup.dedupedCorpus(Tables.documents(s, d)).select(col("doc_id"))),
+
     "x_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), JaccardThreshold)),
 
@@ -296,6 +301,14 @@ object ExtQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // exact path: intersection counts straight from the index self-join
+    "x_dedup_apply" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id)
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))"""
+        .stripMargin,
+
     "x_dedup_ngram_jaccard" ->
       s"""WITH $ShingleCtes,
          |inter AS (

