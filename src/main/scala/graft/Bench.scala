@@ -30,12 +30,38 @@ object Bench {
     }
     spark.catalog.clearCache() // warmup caches must not serve the timed run
     System.gc() // settle warmup garbage before any timing starts
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = ordered.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+        // A failed query must be distinguishable from a fast success: the
+        // box is shared, so one transient task abort gets ONE clean retry
+        // (noted in the output); a repeat failure records a -1 sentinel
+        // plus the error, and the process exits nonzero at the end.
+        def attempt(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          try { consume(fn(spark, sfDir))
+            Right((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case t: Throwable =>
+              Left(Option(t.getMessage).getOrElse(t.getClass.getName)
+                .linesIterator.next().take(200))
+          }
+        }
+        val dt = attempt() match {
+          case Right(t) => t
+          case Left(first) =>
+            retried(name) = first
+            spark.catalog.clearCache(); System.gc()
+            attempt() match {
+              case Right(t) => t
+              case Left(second) => errors(name) = second; -1.0
+            }
+        }
+        System.err.println(
+          if (dt >= 0) f"[bench] $name%-28s $dt%8.2f s" +
+            (if (retried.contains(name)) " (retried)" else "")
+          else f"[bench] $name%-28s FAILED: ${errors(name)}")
         spark.catalog.clearCache() // operator-internal caches are per-query
         // 47 queries in one JVM: without a nudge, allocation-heavy late
         // queries pay the accumulated old-gen debt of everything before
@@ -43,10 +69,15 @@ object Bench {
         System.gc()
         name -> dt
     }
+    def jsonObj(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) =>
+        s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

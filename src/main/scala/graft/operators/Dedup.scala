@@ -65,9 +65,9 @@ object Dedup {
     * removal plans as a broadcast anti-join. */
   private def cappedShingleIndex(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxDf: Int): DataFrame = {
-    val ex = fanOut(docs).select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-      .cache()
+    val ex = CacheRegistry.tracked(
+      fanOut(docs).select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("sh")))
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select(col("sh"))
     ex.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -170,9 +170,9 @@ object Dedup {
       md5(concat_ws(",",
         (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
     }
-    val buckets = sigs
-      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .cache() // self-joined: don't recompute the md5-heavy signature agg
+    val buckets = CacheRegistry.tracked( // self-joined: don't recompute
+      sigs.select(col("id"), // the md5-heavy signature agg per side
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key"))))
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -229,7 +229,7 @@ object Dedup {
     val bands = bandsFor(maxHamming)
     val bandBits = SimhashBits / bands
     val mask = (1L << bandBits) - 1
-    val sigs = simhash(docs, idCol, textCol).cache()
+    val sigs = CacheRegistry.tracked(simhash(docs, idCol, textCol))
     val buckets = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))

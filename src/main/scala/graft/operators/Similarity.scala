@@ -89,11 +89,23 @@ object Similarity {
     if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** The hyperplanes are constant ±1 vectors of length `dim`, and the dot
+    * product runs over the shorter operand — a vector of any other length
+    * would silently land in a truncated-projection bucket. Fail loudly
+    * instead: evaluate to the vector when the length matches, raise
+    * otherwise. Constant-folds to nothing for the all-match case only at
+    * runtime, but `size()` is O(1) on array columns. */
+  private def dimChecked(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit("LSH dim mismatch: embedding has "), size(v).cast("string"),
+      lit(s" components, hyperplanes have $dim"))))
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
     * Same-bucket vectors are the ANN candidates. `dim` must match the
-    * embedding dimensionality (the plane is a constant ±1 vector). */
+    * embedding dimensionality (the plane is a constant ±1 vector);
+    * mismatched rows raise rather than bucket on a truncated projection. */
   def lshSignature(vec: Column, planes: Int = 12, dim: Int = 64): Column = {
-    val v = vec.cast("array<double>")
+    val v = dimChecked(vec.cast("array<double>"), dim)
     (0 until planes).map { p =>
       val signs = lit((0 until dim).map(i => planeSign(p, i)).toArray)
       val proj = graft.plans.VectorExpressions.dotProduct(v, signs)
@@ -215,15 +227,17 @@ object Similarity {
     * draws distinct hyperplanes from the same md5 family as
     * [[lshSignature]]. */
   private def bandKeys(vec: Column, bands: Int, rowsPerBand: Int,
-      dim: Int): Column =
+      dim: Int): Column = {
+    val v = dimChecked(vec, dim)
     array((0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val signs =
           lit((0 until dim).map(i => planeSign(b * rowsPerBand + r, i)).toArray)
-        when(graft.plans.VectorExpressions.dotProduct(vec, signs) > 0,
+        when(graft.plans.VectorExpressions.dotProduct(v, signs) > 0,
           shiftleft(lit(1L), r)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
     }: _*)
+  }
 
   /** Embedding near-duplicate pairs via banded LSH: bucket each vector
     * into `bands` keys of `rowsPerBand` hyperplane bits, equi-join on
@@ -247,9 +261,9 @@ object Similarity {
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 6, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = unitVecs(vectors, idCol, vecCol, "id", "v")
-      .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim))
-      .cache() // self-joined below; keys cost bands*rowsPerBand dot products
+    val sigs = CacheRegistry.tracked( // self-joined below; keys cost
+      unitVecs(vectors, idCol, vecCol, "id", "v") // bands*rows dot products
+        .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim)))
     val buckets = sigs.select(col("id"), col("v"),
       posexplode(col("keys")).as(Seq("band", "bkey")))
     buckets.as("x").join(buckets.as("y"),

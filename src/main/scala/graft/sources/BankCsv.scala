@@ -28,9 +28,13 @@ object BankCsv {
     StructField("folio", StringType)))
 
   /** Read a statement CSV → (clean, rejected). Clean rows carry a
-    * deterministic `bank_row_id` (row number in statement order — Saldo
-    * is a running balance, so (dia, saldo, concepto) reproduces the
-    * export order without trusting file-split ordering). */
+    * deterministic `bank_row_id`: row number over (día, saldo asc,
+    * concepto), with NULL-día salvage rows (bad date, parseable abono)
+    * ranked last. For a deposits-only statement the running Saldo grows
+    * within a day, so this tracks export order; with cargos mixed in the
+    * balance is non-monotonic and the id is just an arbitrary-but-stable
+    * key — downstream joins ([[graft.operators.Reconcile]]) only need
+    * determinism, never the bank's physical row order. */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read
       .option("header", "true")
@@ -50,7 +54,8 @@ object BankCsv {
       .withColumn("cargo", parseMoney(col("cargo_raw")))
       .withColumn("saldo", parseMoney(col("saldo_raw")))
       .withColumn("bank_row_id", row_number().over(
-        Window.orderBy(col("dia"), col("saldo").desc, col("concepto")))
+        Window.orderBy(col("dia").asc_nulls_last, col("saldo"),
+          col("concepto")))
         .cast("long"))
       .select(col("bank_row_id"), col("dia"), col("concepto"),
         col("cargo"), col("abono"), col("saldo"), col("folio"))

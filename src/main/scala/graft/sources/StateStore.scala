@@ -68,7 +68,16 @@ object StateStore {
     legacyPath
       .filter(lp => !exists(spark, path) && exists(spark, lp))
       .foreach { lp =>
-        fs(spark, new Path(path)).rename(new Path(lp), new Path(path))
+        // rename returns false instead of throwing (missing target parent,
+        // cross-filesystem move). Falling through would hand back an EMPTY
+        // state that the next sync writes over the live path — permanently
+        // orphaning the legacy data — so fail loudly instead.
+        val live = new Path(path)
+        val f = fs(spark, live)
+        Option(live.getParent).foreach(f.mkdirs(_))
+        if (!f.rename(new Path(lp), live))
+          throw new java.io.IOException(
+            s"legacy state adoption failed: rename($lp -> $path)")
         spark.catalog.refreshByPath(path)
       }
     if (exists(spark, path)) spark.read.schema(schema).parquet(path)

@@ -151,6 +151,26 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("LSH signature raises on mismatched embedding dimensionality") {
+    val bad = Seq((1L, Array.fill(32)(0.5))).toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      bad.select(Similarity.lshSignature($"embedding", 12, 64).as("sig"))
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        messages(t.getCause)
+    assert(messages(ex).contains("LSH dim mismatch"))
+  }
+
+  test("operator caches are tracked and released by unpersistAll") {
+    graft.operators.CacheRegistry.unpersistAll()
+    Dedup.minhashLshPairs(docs, 0.1).count()
+    assert(graft.operators.CacheRegistry.size > 0)
+    graft.operators.CacheRegistry.unpersistAll()
+    assert(graft.operators.CacheRegistry.size === 0)
+  }
+
   test("BPE-ish token estimate charges subwords, digits, and punctuation") {
     val got = spark.range(1).select(TextAnalysis.bpeTokenCount(
       lit("Hello, extraordinary 12345!")).as("n")).as[Long].collect().head

@@ -78,6 +78,7 @@ class StateStoreSpec extends SparkSpec {
         |5/11/2025,SPEI RECIBIDO arturo,,"$1,234.50","64,403.53",
         |6/11/2025,PAGO CUENTA DE TERCERO,,900.00,"63,503.53",0-18051
         |no date,garbage row,,n/a,,
+        |no date,salvage deposit,,500.00,"64,003.53",
         |7/11/2025,BNET tapetes,,not-money,"62,503.53",
         |""".stripMargin
     java.nio.file.Files.write(
@@ -88,10 +89,11 @@ class StateStoreSpec extends SparkSpec {
     val rows = clean.orderBy($"bank_row_id")
       .select($"dia".cast("string"), $"abono".cast("double"), $"folio")
       .as[(String, Double, Option[String])].collect()
-    assert(rows.length === 3)
+    assert(rows.length === 4)
     assert(rows(0) === (("2025-11-05", 1234.5, None)))
     assert(rows(1) === (("2025-11-06", 900.0, Some("0-18051"))))
     assert(rows(2) === (("2025-11-07", 0.0, None))) // bad abono → forgiven 0
+    assert(rows(3) === ((null, 500.0, None))) // NULL-día salvage ranks last
     // the clean side is directly the Reconcile statement shape
     val recon = Seq(("F9", java.sql.Date.valueOf("2025-11-05"), 1234.50))
       .toDF("folio", "fecha", "monto")
