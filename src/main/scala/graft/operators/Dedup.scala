@@ -56,35 +56,52 @@ object Dedup {
     * bit-identical to the uncapped computation. */
   val DefaultMaxShingleDf = 1000
 
-  /** Df-capped inverted index: exploded distinct (id, shingle) pairs minus
-    * the ubiquitous-shingle vocabulary. The raw exploded index is cached —
-    * it feeds both the hot-set aggregate and the anti-join, and the
-    * shingle construction is an interpreted higher-order expression you
-    * only want to pay once. The hot set is tiny by construction
-    * (≤ |corpus|/maxDf distinct shingles can exceed the cap), so the
-    * removal plans as a broadcast anti-join. */
-  private def cappedShingleIndex(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, maxDf: Int): DataFrame = {
-    val ex = CacheRegistry.tracked(
-      fanOut(docs).select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("sh")))
-    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") > maxDf).select(col("sh"))
-    ex.join(broadcast(hot), Seq("sh"), "left_anti")
-  }
+  /** Df-capped posting lists: one row per surviving shingle with the
+    * sorted id list of the documents containing it. The single shared
+    * base of the Jaccard/MinHash family — ONE shuffle (groupBy shingle)
+    * builds it, the df cap is a plain filter on the list length (no
+    * hot-set aggregate, no broadcast anti-join, no second pass over the
+    * exploded index), and it is the natural input to both pair expansion
+    * (exact path) and the re-exploded per-doc view (signatures, arrays).
+    * Cached: every consumer self-serves from the 1-row-per-shingle form,
+    * which is the smallest representation of the capped vocabulary. */
+  private def cappedPostings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Int): DataFrame =
+    CacheRegistry.tracked(
+      fanOut(docs)
+        .select(col(idCol).as("id"),
+          explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= maxDf))
 
-  /** Jaccard from inverted-index self-join: pair intersection counts come
-    * straight from the join (one narrow shuffle, no per-pair set work),
-    * sizes join in after the aggregate. The right shape when candidates ≈
-    * all sharing pairs (the exact path). */
-  private def jaccardBySelfJoin(idx: DataFrame, threshold: Double)
+  /** The (id, sh) inverted-index view of [[cappedPostings]]. */
+  private def indexOf(postings: DataFrame): DataFrame =
+    postings.select(explode(col("ids")).as("id"), col("sh"))
+
+  /** Per-doc capped shingle counts, derived from the posting lists. */
+  private def sizesOf(postings: DataFrame): DataFrame =
+    indexOf(postings).groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+
+  /** Jaccard from per-shingle pair expansion: each posting list emits its
+    * C(n,2) ordered id pairs through the codegen'd
+    * [[graft.plans.PairCombos]] kernel, pair counts aggregate directly —
+    * intersection counts come from ONE aggregation, where the classic
+    * inverted-index self-join pays a sort-merge join plus a wider
+    * shuffle for identical output. The df cap bounds a single list's
+    * expansion at C(maxDf,2); sizes broadcast in after the aggregate. */
+  private def jaccardByPairExpansion(postings: DataFrame, threshold: Double)
       : DataFrame = {
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
-    idx.as("a").join(idx.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sizes = sizesOf(postings)
+    postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(
+        graft.plans.TextExpressions.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      // sizes is one row per doc — broadcastable at test scale (AQE does
+      // it on its own) but not at 10⁹ docs, so no broadcast hint here
       .join(sizes.select(col("id").as("id_a"), col("nsh").as("size_a")),
         "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nsh").as("size_b")),
@@ -124,10 +141,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
-    // the capped index derives from the cached raw index by one broadcast
-    // anti-join, cheap to replay per read — no second cache needed
-    jaccardBySelfJoin(
-      cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf), threshold)
+    jaccardByPairExpansion(
+      cappedPostings(docs, idCol, textCol, n, maxShingleDf), threshold)
 
   /** Deterministic 60-bit shingle hash for seed `k`, reproducible in any
     * engine with md5 (the oracle uses the same construction). Two hashes
@@ -144,7 +159,8 @@ object Dedup {
       textCol: String = "text", n: Int = 3, numHashes: Int = 8,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
     minhashSignaturesFrom(
-      cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf), numHashes)
+      indexOf(cappedPostings(docs, idCol, textCol, n, maxShingleDf)),
+      numHashes)
 
   private def minhashSignaturesFrom(ex: DataFrame, numHashes: Int): DataFrame =
     ex.groupBy(col("id"))
@@ -163,7 +179,7 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val idx = cappedShingleIndex(docs, idCol, textCol, n, maxShingleDf)
+    val idx = indexOf(cappedPostings(docs, idCol, textCol, n, maxShingleDf))
     val arrays = idx.groupBy(col("id")).agg(collect_list(col("sh")).as("shs"))
     val sigs = minhashSignaturesFrom(idx, numHashes)
     val bandKeys = (0 until bands).map { b =>
@@ -179,6 +195,53 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     verifyJaccard(cands, arrays, threshold)
+  }
+
+  /** Connected components over a near-dup pair list: every document gets
+    * the minimum reachable doc id as its `cluster_id` (singletons keep
+    * their own id). This is what turns pairwise similarity into actual
+    * dedup groups — "keep one doc per cluster" is `cluster_id` itself.
+    *
+    * Iterative min-label propagation: each round, a vertex takes the
+    * minimum of its own label and its neighbors' labels — one shuffle
+    * join + one aggregation per round, converging in O(component
+    * diameter) rounds. Near-dup clusters are shallow (diameter ≪ 20 in
+    * practice); the loop stops as soon as a round changes nothing, so
+    * the common case pays 2-3 rounds. Each round's labels are
+    * materialized via cache (tracked) so lineage stays flat — at
+    * cluster scale you'd checkpoint every few rounds instead. The
+    * classic refinement for hub-heavy graphs (large-star/small-star)
+    * keeps the same per-round plan shape and drops in here if
+    * components ever get deep. */
+  def clusterAssignments(vertices: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    val edges = CacheRegistry.tracked(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = CacheRegistry.tracked(
+      vertices.select(col(idCol).as("id"), col(idCol).as("label")))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+        .select(col("dst").as("id"), col("nbr"))
+      val next = CacheRegistry.tracked(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label")))
+              .as("label")))
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") < col("p.label"))
+        .limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   val SimhashBits = 60

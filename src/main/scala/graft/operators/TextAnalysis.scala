@@ -33,8 +33,17 @@ object TextAnalysis {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * A codegen'd single-pass kernel ([[graft.plans.WordShingles]]): the
+    * HOF form below computes the same array but interpreted per element,
+    * which dominated the dedup family's runtime under CPU contention. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.TextExpressions.wordShingles(text, n)
+
+  /** The original higher-order-function shingle pipeline. Kept as the
+    * executable spec for [[shingles]] — ExtSpec asserts both forms agree
+    * on the document corpus. */
+  private[graft] def shinglesHof(text: Column, n: Int = 3): Column = {
     val ws = words(text)
     array_distinct(
       when(size(ws) >= n,
@@ -97,9 +106,17 @@ object TextAnalysis {
     * k-gram with the md5-seeded rolling family, keep the minimum of each
     * window of `w` consecutive hashes, and digest the sorted distinct
     * survivors. Robust to local edits — an edit only perturbs the
-    * windows it touches — where [[fingerprint]] flips entirely. All
-    * per-row array expressions, no shuffle, engine-reproducible. */
-  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    * windows it touches — where [[fingerprint]] flips entirely. No
+    * shuffle, engine-reproducible; a codegen'd one-pass kernel
+    * ([[graft.plans.WinnowFp]]) replaces the three interpreted HOF
+    * layers of [[winnowFingerprintHof]]. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.plans.TextExpressions.winnowFingerprint(text, k, w)
+
+  /** The original HOF winnowing pipeline — the executable spec for
+    * [[winnowFingerprint]] (parity asserted in ExtSpec). */
+  private[graft] def winnowFingerprintHof(text: Column, k: Int = 5,
+      w: Int = 4): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     val grams = when(length(norm) >= k,
       transform(sequence(lit(1), length(norm) - (k - 1)),

@@ -1,0 +1,240 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the text-analysis hot loops.
+  *
+  * The built-in route for shingling / winnowing is a chain of higher-order
+  * functions (`transform` over `sequence`, `array_min` over `slice`):
+  * Catalyst evaluates every lambda element interpreted — closure dispatch
+  * and boxed intermediates per array element — and the HOF node breaks
+  * whole-stage codegen for the enclosing stage. One tight JVM loop per row
+  * does the same work 10-50× faster and keeps the stage codegen'd. Each
+  * kernel is a bit-exact mirror of the Column combinator it replaces
+  * (same trim/lower/split/substring semantics, same md5-derived hashes),
+  * so the DuckDB oracles and every downstream plan are unchanged —
+  * [[graft.operators.TextAnalysis]] keeps the HOF forms as
+  * spec-checked parity references.
+  */
+object TextKernels {
+  private val Ws = Pattern.compile("\\s+")
+  private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val md = Md5.get(); md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Mirror of `Dedup.seededHash(g, 0)`: first 15 md5 hex chars of
+    * `g + "#0"` parsed as a 60-bit long. */
+  private def seededHash0(g: String): Long =
+    java.lang.Long.parseLong(md5Hex(g + "#0").substring(0, 15), 16)
+
+  /** Mirror of the HOF pipeline `array_distinct(when(size(ws) >= n,
+    * transform(sequence(0, size(ws)-n), i => concat_ws(" ", ws[i..i+n-1])))
+    * .otherwise(array()))` with `ws = split(lower(trim(text)), "\\s+")`.
+    * UTF8String.toLowerCase/trim are the exact `lower()`/`trim()`
+    * semantics (trim strips 0x20 only). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val words = Ws.split(text.toLowerCase.trim.toString, -1)
+    if (words.length < n) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Mirror of `TextAnalysis.winnowFingerprintHof`: md5 over the sorted
+    * distinct window-minima of md5-seeded character k-gram hashes.
+    * Substrings count code points exactly like Catalyst `substr`. */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): UTF8String = {
+    val norm = Ws.matcher(text.toLowerCase.trim.toString).replaceAll(" ")
+    val cps = norm.codePoints().toArray
+    val nGrams = if (cps.length >= k) cps.length - k + 1 else 0
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = seededHash0(new String(cps, i, k))
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]
+    if (nGrams >= w) {
+      var j = 0
+      val lastW = nGrams - w
+      while (j <= lastW) {
+        var m = hashes(j)
+        var t = 1
+        while (t < w) { if (hashes(j + t) < m) m = hashes(j + t); t += 1 }
+        mins.add(m)
+        j += 1
+      }
+    } else if (nGrams > 0) {
+      var m = hashes(0)
+      i = 1
+      while (i < nGrams) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      mins.add(m)
+    }
+    val sb = new java.lang.StringBuilder
+    val it = mins.iterator()
+    while (it.hasNext) {
+      if (sb.length > 0) sb.append(',')
+      sb.append(it.next().longValue())
+    }
+    UTF8String.fromString(md5Hex(sb.toString))
+  }
+
+  /** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
+    * the per-shingle pair expansion for exact Jaccard. One allocation of
+    * the exact output size; n is bounded by the shingle df cap. */
+  def pairCombos(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd word n-gram shingle set (distinct, first-occurrence order) —
+  * the single-call replacement for the interpreted HOF chain. The loop
+  * lives in [[TextKernels.shingles]]; codegen just emits the static call,
+  * which keeps the enclosing stage inside whole-stage codegen. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string column, got " +
+        child.dataType.simpleString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shingles($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShingles = copy(child = newChild)
+}
+
+/** Codegen'd winnowing (MOSS) fingerprint — one JVM pass instead of three
+  * interpreted HOF layers (gram transform, hash transform, window-min
+  * transform). */
+case class WinnowFp(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"window sizes must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint expects a string column, got " +
+        child.dataType.simpleString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprint(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.winnowFingerprint($c, $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFp = copy(child = newChild)
+}
+
+/** Codegen'd pair expansion: a sorted `array<bigint>` of document ids →
+  * `array<struct<a,b>>` of all C(n,2) ordered pairs. Exploding this from
+  * per-shingle id lists replaces the inverted-index SELF-JOIN of the exact
+  * Jaccard path — one aggregation instead of a sort-merge join, and the
+  * pair rows are generated inside the stage rather than shuffled twice. */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_combos"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_combos expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.pairCombos(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.pairCombos($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PairCombos = copy(child = newChild)
+}
+
+object TextExpressions {
+  /** All i<j pairs of a sorted `array<bigint>` as `array<struct<a,b>>`. */
+  def pairCombos(ids: Column): Column =
+    GraftBridge.column(PairCombos(GraftBridge.expression(ids)))
+
+  /** Codegen'd distinct word n-gram shingles of a string column. */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  /** Codegen'd winnowing fingerprint of a string column. */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFp(GraftBridge.expression(text), k, w))
+}
