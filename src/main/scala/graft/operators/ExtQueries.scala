@@ -23,6 +23,9 @@ object ExtQueries {
   val NearDupRows = 6
   val IvfCentroidMod = 37
   val IvfNprobe = 2
+  val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
+  val DecontamN = 5
+  val SessionGap = "4 hours"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -123,16 +126,65 @@ object ExtQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           // decimal sum (order-independent), double in the final projection
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total")))
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))),
+
+    // Pairwise similarity → actual dedup groups: connected components
+    // (min-label propagation) over the verified MinHash-LSH pair list.
+    "x_dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterAssignments(docs,
+        Dedup.minhashLshPairs(docs, JaccardThreshold))
+    }),
+
+    // Native session windows (the same expression streams under a
+    // watermark); end = last event + gap, Spark's convention.
+    "x_sessionize" -> ((s, d) =>
+      Temporal.sessionize(Tables.events(s, d), SessionGap)),
+
+    // Backward as-of join: each click sees the user's most recent
+    // purchase at-or-before it. Union + carry-forward window — one
+    // shuffle per side, no range join.
+    "x_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Temporal.asofJoinBackward(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", "event_id")
+        .select(col("l_id").as("click_id"), col("user_id"), col("ts"),
+          col("asof_id").as("last_purchase_id"))
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any 5-gram with the
+    // deterministic benchmark subset (doc_id % DecontamMod == 0).
+    "x_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % DecontamMod =!= 0),
+        docs.filter(col("doc_id") % DecontamMod === 0),
+        n = DecontamN)
+    }),
+
+    // PII scrub over text augmented with deterministic synthetic PII
+    // (the corpus itself is clean word-salad): count + redacted digest.
+    "x_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or call "),
+        (lit(5550000000L) + col("doc_id")).cast("string"))
+      Tables.documents(s, d).select(col("doc_id"),
+        Contamination.piiCount(aug).as("n_pii"),
+        md5(Contamination.piiScrub(aug)).as("scrubbed_fp"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared CTEs mirroring `Dedup.cappedShingleIndex`: words, raw shingle
-    * arrays, inverted index, then the document-frequency cap from
-    * [[Dedup.DefaultMaxShingleDf]] applied to the vocabulary. `ex` is the
-    * capped index every downstream stage reads; `sh` rebuilds the capped
-    * per-doc arrays; `sizes` are capped set sizes. */
+  /** Shared CTEs mirroring `Dedup.cappedPostings`'s semantics: words, raw
+    * shingle arrays, inverted index, then the document-frequency cap from
+    * [[Dedup.DefaultMaxShingleDf]] applied to the vocabulary (expressed
+    * here as a hot-set anti-join — same capped index, the Spark side
+    * filters posting-list length instead). `ex` is the capped index every
+    * downstream stage reads; `sh` rebuilds the capped per-doc arrays;
+    * `sizes` are capped set sizes. */
   private val ShingleCtes =
     s"""w AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
@@ -504,6 +556,105 @@ object ExtQueries {
       """SELECT date_trunc('hour', ts) AS hora, event_type,
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the LSH pair list (same CTEs as x_dedup_minhash_lsh), then the
+    // transitive closure: reach(v, l) = "l reaches v"; min reachable
+    // label per vertex = the component's minimum id — exactly what
+    // min-label propagation converges to
+    "x_dedup_cluster" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |${minhashSigSql(8, 4)},
+         |vp AS ($VerifyPairsSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
+         |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+        .stripMargin,
+
+    // gaps-and-islands mirror of session_window: a session breaks when
+    // the gap from the previous event is >= the window (half-open
+    // windows [t, t+gap) merge only on overlap); end = last event + gap
+    "x_sessionize" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |           >= INTERVAL '$SessionGap'
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL '$SessionGap' AS session_end,
+         |  count(*) AS n_events,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // union + carry-forward mirror of Temporal.asofJoinBackward: right
+    // rows sort before left at equal ts, max r_id wins among ties
+    "x_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS is_l, event_id AS l_id,
+        |    NULL::BIGINT AS r_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT *, last_value(r_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, is_l, r_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id
+        |  FROM u)
+        |SELECT l_id AS click_id, user_id, ts, asof_id AS last_purchase_id
+        |FROM c WHERE is_l = 1""".stripMargin,
+
+    "x_decontam" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(ws) >= $DecontamN THEN
+         |      list_transform(range(1, len(ws) - ${DecontamN - 2}),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |             ws[i+3] || ' ' || ws[i+4])
+         |      ELSE []::varchar[] END) AS shs
+         |  FROM w),
+         |ex5 AS (SELECT doc_id, unnest(shs) AS s FROM g),
+         |bench AS (SELECT doc_id AS bench_id, s FROM ex5
+         |          WHERE doc_id % $DecontamMod = 0),
+         |corp AS (SELECT doc_id, s FROM ex5 WHERE doc_id % $DecontamMod <> 0)
+         |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared,
+         |  min(b.bench_id) AS first_bench_id
+         |FROM corp c JOIN bench b ON c.s = b.s
+         |GROUP BY c.doc_id""".stripMargin,
+
+    // same augmented text, same three patterns in the same order
+    "x_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::varchar ||
+        |    '@example.com or call ' || (5550000000 + doc_id)::varchar AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, 'https?://[^\s]+'))
+        |    + len(regexp_extract_all(t, '[0-9]{7,}')) AS int) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexpreplace_email,
+        |    'https?://[^\s]+', '<URL>', 'g'), '[0-9]{7,}', '<NUM>', 'g'))
+        |    AS scrubbed_fp
+        |FROM (SELECT doc_id, t,
+        |        regexp_replace(t,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g') AS regexpreplace_email
+        |      FROM aug)""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal operators over event streams: session windows and as-of
+  * joins. Both are expressed so the SAME code runs batch and (for
+  * sessionize) Structured Streaming — `session_window` is Spark's native
+  * streaming session operator, and the as-of join is the union+carry-
+  * forward window pattern that scales as one shuffle per side instead of
+  * a range join.
+  */
+object Temporal {
+
+  /** Sessionization: group events into per-user sessions separated by
+    * `gap` of inactivity. Uses Spark's native `session_window` — the same
+    * expression works under `readStream` with a watermark, where state
+    * eviction is automatic past the watermark. Session end is
+    * last-event + gap (Spark's convention). Aggregates use decimal sums
+    * (order-independent) with double final projection. */
+  def sessionize(events: DataFrame, gap: String = "4 hours",
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
+  /** Backward as-of join: for each left row, the most recent right row
+    * with `right.ts <= left.ts` on the same key (ties at equal ts
+    * include the right row; among equal-ts right rows the highest
+    * `rightIdCol` wins, making the result deterministic).
+    *
+    * NOT a range join (which Spark plans as a broadcast-nested-loop or
+    * a cartesian at scale): both sides are tagged and unioned, then one
+    * window pass per key carries the latest right-row id forward — one
+    * shuffle on the key, linear scan per partition, skew-bounded by the
+    * hottest key like any per-key window. The carried id then equi-joins
+    * back for the payload columns. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String,
+      rightIdCol: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol), lit(1).as("is_l"),
+      col(leftIdCol).as("l_id"), lit(null).cast("long").as("r_id"))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("is_l"),
+      lit(null).cast("long").as("l_id"), col(rightIdCol).as("r_id"))
+    // right rows sort before left rows at the same ts (is_l 0 < 1), so
+    // an equal-ts right row is visible to the left row; r_id last so the
+    // max id among equal-ts right rows is the one carried
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("is_l"), col("r_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("l_id"), col(keyCol), col(tsCol), col("asof_id"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension-track semantics: dedup family agreement, similarity search
@@ -30,6 +30,28 @@ class ExtSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 1.0)
     assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("codegen'd shingles match the HOF construction bit-for-bit") {
+    val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "one two"),
+        (9004L, "a  b\tc\nd a  b\tc")).toDF("doc_id", "text"))
+    val diff = corpus.select(
+        TextAnalysis.shingles($"text", 3).as("fast"),
+        TextAnalysis.shinglesHof($"text", 3).as("hof"))
+      .filter(not($"fast" <=> $"hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("codegen'd winnow fingerprint matches the HOF construction") {
+    val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "tiny"), (9003L, "exactly5"),
+        (9004L, "just over the gram size")).toDF("doc_id", "text"))
+    val diff = corpus.select(
+        TextAnalysis.winnowFingerprint($"text").as("fast"),
+        TextAnalysis.winnowFingerprintHof($"text").as("hof"))
+      .filter(not($"fast" <=> $"hof"))
+    assert(diff.count() === 0)
   }
 
   test("minhash LSH finds the exact and near duplicates") {
@@ -197,6 +219,73 @@ class ExtSpec extends SparkSpec {
     val lang = docs.sparkSession.range(1).select(got).collect().head
       .getString(0)
     assert(lang === "es")
+  }
+
+  test("connected components: chains converge, singletons keep their id") {
+    val verts = (1L to 12L).toDF("doc_id")
+    // a 5-chain (needs >1 propagation round), a 2-clique, singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterAssignments(verts, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) === 1L))
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(Seq(6L, 7L, 8L, 9L, 12L).forall(v => got(v) === v))
+  }
+
+  test("sessionize: gap splits sessions, end is last event + gap") {
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(1), 20.0),  // one session (gap 1h < 4h)
+      (1L, ts(8), 5.0),                      // 7h silence → new session
+      (2L, ts(0), 1.0))                      // other user, own session
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.sessionize(ev, "4 hours")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, ts(0))) === ((ts(5), 2L, 30.0))) // end = 01:00 + 4h
+    assert(got((1L, ts(8))) === ((ts(12), 1L, 5.0)))
+    assert(got((2L, ts(0))) === ((ts(4), 1L, 1.0)))
+    assert(got.size === 3)
+  }
+
+  test("as-of join: backward inclusive, max id wins equal-ts ties") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val clicks = Seq((100L, 1L, ts(1)), (101L, 1L, ts(5)), (102L, 2L, ts(3)))
+      .toDF("event_id", "user_id", "ts")
+    val buys = Seq((200L, 1L, ts(5)), (201L, 1L, ts(5)), (202L, 1L, ts(2)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Temporal.asofJoinBackward(clicks, buys, "user_id", "ts",
+        "event_id", "event_id")
+      .select($"l_id", $"asof_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(100L) === None)        // click before any purchase
+    assert(got(101L) === Some(201L))  // equal-ts inclusive, max id wins
+    assert(got(102L) === None)        // other user: no purchases at all
+  }
+
+  test("decontamination flags only docs sharing a benchmark n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // shares 5-grams
+      (2L, "totally unrelated words in this document here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((50L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Contamination.ngramOverlap(corpus, bench, n = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((1L, 50L))))
+  }
+
+  test("PII scrub redacts emails, urls, and long digit runs") {
+    val row = Seq("mail a.b@c.org or https://x.io/p?q=1 or 5551234567 ok")
+      .toDF("t")
+      .select(Contamination.piiCount($"t").as("n"),
+        Contamination.piiScrub($"t").as("s"))
+      .as[(Int, String)].collect().head
+    assert(row._1 === 3)
+    assert(row._2 === "mail <EMAIL> or <URL> or <NUM> ok")
   }
 
   test("quality score is bounded and penalizes junk") {

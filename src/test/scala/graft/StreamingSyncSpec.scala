@@ -37,6 +37,28 @@ class StreamingSyncSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming sessionize equals the batch session_window aggregation") {
+    val dir = tmp()
+    Tables.events(spark, sf0001).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    // the SAME operator body runs on the stream — session_window is
+    // Spark's native streaming session operator
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = graft.operators.Temporal.sessionize(stream, "4 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions")
+    val batch = graft.operators.Temporal.sessionize(
+      Tables.events(spark, sf0001), "4 hours")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("stateful first-wins dedup drops duplicates across micro-batches") {
     val dir = tmp()
     val in = s"$dir/in"
