@@ -1,12 +1,14 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
 object Bench {
   /** Force every output column to be computed: count() lets Catalyst prune
     * the projection under test (a scalar query would be timed as a bare
-    * parquet scan), so reduce a hash over the full row instead. */
+    * parquet scan), so reduce a hash over the full row instead. XOR, not
+    * sum — summing xxhash64 longs overflows under ANSI mode once row
+    * counts grow (the silent killer behind round-2's unreliable tail). */
   private def consume(df: DataFrame): Unit =
-    df.agg(sum(xxhash64(struct(df.columns.map(df.col): _*)))).collect()
+    df.agg(bit_xor(xxhash64(struct(df.columns.map(df.col): _*)))).collect()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

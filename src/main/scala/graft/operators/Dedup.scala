@@ -260,9 +260,20 @@ object Dedup {
   /** 60-bit SimHash per document: per-word md5-derived 60-bit hashes
     * ([[seededHash]] — reproducible in any engine with md5, so the DuckDB
     * oracle can recompute signatures exactly), each bit weighted by term
-    * frequency, sign of the weighted sum becomes the bit. One shuffle
-    * (groupBy id) with 60 partial-aggregated sums. */
+    * frequency, sign of the weighted sum becomes the bit. Computed
+    * per-row by the codegen'd [[graft.plans.SimhashSig]] kernel — NO
+    * shuffle; [[simhashAgg]] keeps the aggregate formulation as the
+    * spec-checked parity reference. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    fanOut(docs).select(col(idCol).as("id"),
+      graft.plans.TextExpressions.simhash(col(textCol), SimhashBits)
+        .as("simhash"))
+
+  /** The original aggregate SimHash: exploded (id, word) term
+    * frequencies, 60 conditional sums, sign-packed — one shuffle. The
+    * executable spec for [[simhash]] (parity asserted in ExtSpec). */
+  private[graft] def simhashAgg(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val wordRows = fanOut(docs).select(col(idCol).as("id"),
       explode(TextAnalysis.words(col(textCol))).as("w"))

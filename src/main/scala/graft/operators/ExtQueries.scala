@@ -26,6 +26,7 @@ object ExtQueries {
   val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
   val DecontamN = 5
   val SessionGap = "4 hours"
+  val PipelineMinQuality = 0.3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -164,6 +165,26 @@ object ExtQueries {
         n = DecontamN)
     }),
 
+    // The capstone composition — what a training-data pipeline actually
+    // ships: quality floor, language known, exact-dedup keeper, not
+    // benchmark-contaminated, benchmark rows excluded. All scan-speed
+    // filters plus two semi/anti joins against small derived sets.
+    "x_pipeline_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .filter(TextAnalysis.qualityScore(col("text")) >= PipelineMinQuality)
+        .filter(TextAnalysis.langId(col("text")) =!= "unknown")
+        .filter(col("doc_id") % DecontamMod =!= 0)
+        .join(Dedup.dedupedCorpus(docs).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .join(Contamination.ngramOverlap(
+            docs.filter(col("doc_id") % DecontamMod =!= 0),
+            docs.filter(col("doc_id") % DecontamMod === 0),
+            n = DecontamN).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
     "x_pii_scrub" -> ((s, d) => {
@@ -233,6 +254,64 @@ object ExtQueries {
        |        string_split_regex(lower(trim(text)), '\\s+') AS ws
        |      FROM documents)""".stripMargin
 
+  /** Quality-score oracle, reused verbatim by the pipeline query. */
+  private lazy val QualitySelect =
+    s"""SELECT doc_id,
+       |  round(0.25 * least(n_chars / 500.0, 1.0)
+       |      + 0.25 * (alpha / greatest(n_chars, 1.0))
+       |      + 0.25 * least(s_en / 5.0, 1.0)
+       |      + 0.25 * (CASE WHEN n_chars / greatest(n_tokens, 1.0)
+       |                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+       |    4) AS score
+       |FROM (
+       |  SELECT doc_id,
+       |    length(text)::double AS n_chars,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::double
+       |      AS n_tokens,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
+       |      AS alpha,
+       |    len(list_intersect(
+       |      string_split_regex(lower(trim(text)), '\\s+'),
+       |      ${stop("en")}))::double AS s_en
+       |  FROM documents)""".stripMargin
+
+  /** Language-ID oracle, reused verbatim by the pipeline query. */
+  private lazy val LangSelect =
+    s"""SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'unknown'
+       |       WHEN s_en = best THEN 'en'
+       |       WHEN s_es = best THEN 'es'
+       |       WHEN s_de = best THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best
+       |      FROM ($LangScores))""".stripMargin
+
+  /** Decontamination CTE chain + final select, shared with the pipeline
+    * oracle (5-gram overlap of corpus docs vs the benchmark subset). */
+  private lazy val DecontamCtes =
+    s"""w5 AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |g5 AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(ws) >= $DecontamN THEN
+       |      list_transform(range(1, len(ws) - ${DecontamN - 2}),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |             ws[i+3] || ' ' || ws[i+4])
+       |      ELSE []::varchar[] END) AS shs
+       |  FROM w5),
+       |ex5 AS (SELECT doc_id, unnest(shs) AS s FROM g5),
+       |bench AS (SELECT doc_id AS bench_id, s FROM ex5
+       |          WHERE doc_id % $DecontamMod = 0),
+       |corp AS (SELECT doc_id, s FROM ex5 WHERE doc_id % $DecontamMod <> 0)"""
+      .stripMargin
+
+  private lazy val DecontamSelect =
+    """SELECT c.doc_id, count(DISTINCT c.s) AS n_shared,
+      |  min(b.bench_id) AS first_bench_id
+      |FROM corp c JOIN bench b ON c.s = b.s
+      |GROUP BY c.doc_id""".stripMargin
+
   private def minhashSigSql(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val mins = (0 until numHashes).map(k =>
@@ -283,35 +362,9 @@ object ExtQueries {
         |      ELSE 1 END)), 0) AS bigint) AS n_subwords
         |FROM documents""".stripMargin,
 
-    "x_lang_id" ->
-      s"""SELECT doc_id,
-         |  CASE WHEN best = 0 THEN 'unknown'
-         |       WHEN s_en = best THEN 'en'
-         |       WHEN s_es = best THEN 'es'
-         |       WHEN s_de = best THEN 'de'
-         |       ELSE 'fr' END AS lang_pred
-         |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best
-         |      FROM ($LangScores))""".stripMargin,
+    "x_lang_id" -> LangSelect,
 
-    "x_quality_score" ->
-      s"""SELECT doc_id,
-         |  round(0.25 * least(n_chars / 500.0, 1.0)
-         |      + 0.25 * (alpha / greatest(n_chars, 1.0))
-         |      + 0.25 * least(s_en / 5.0, 1.0)
-         |      + 0.25 * (CASE WHEN n_chars / greatest(n_tokens, 1.0)
-         |                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
-         |    4) AS score
-         |FROM (
-         |  SELECT doc_id,
-         |    length(text)::double AS n_chars,
-         |    len(string_split_regex(lower(trim(text)), '\\s+'))::double
-         |      AS n_tokens,
-         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
-         |      AS alpha,
-         |    len(list_intersect(
-         |      string_split_regex(lower(trim(text)), '\\s+'),
-         |      ${stop("en")}))::double AS s_en
-         |  FROM documents)""".stripMargin,
+    "x_quality_score" -> QualitySelect,
 
     "x_fingerprint" ->
       """SELECT doc_id,
@@ -615,26 +668,26 @@ object ExtQueries {
         |SELECT l_id AS click_id, user_id, ts, asof_id AS last_purchase_id
         |FROM c WHERE is_l = 1""".stripMargin,
 
-    "x_decontam" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    list_distinct(CASE WHEN len(ws) >= $DecontamN THEN
-         |      list_transform(range(1, len(ws) - ${DecontamN - 2}),
-         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-         |             ws[i+3] || ' ' || ws[i+4])
-         |      ELSE []::varchar[] END) AS shs
-         |  FROM w),
-         |ex5 AS (SELECT doc_id, unnest(shs) AS s FROM g),
-         |bench AS (SELECT doc_id AS bench_id, s FROM ex5
-         |          WHERE doc_id % $DecontamMod = 0),
-         |corp AS (SELECT doc_id, s FROM ex5 WHERE doc_id % $DecontamMod <> 0)
-         |SELECT c.doc_id, count(DISTINCT c.s) AS n_shared,
-         |  min(b.bench_id) AS first_bench_id
-         |FROM corp c JOIN bench b ON c.s = b.s
-         |GROUP BY c.doc_id""".stripMargin,
+    "x_decontam" -> s"WITH $DecontamCtes\n$DecontamSelect",
+
+    // the composed pipeline: reuses the quality, lang-id, exact-dedup,
+    // and decontamination oracles as CTEs
+    "x_pipeline_keep" ->
+      s"""WITH $DecontamCtes,
+         |cont AS ($DecontamSelect),
+         |q AS ($QualitySelect),
+         |l AS ($LangSelect),
+         |k AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |SELECT d.doc_id FROM documents d
+         |JOIN q ON d.doc_id = q.doc_id
+         |JOIN l ON d.doc_id = l.doc_id
+         |WHERE q.score >= $PipelineMinQuality
+         |  AND l.lang_pred <> 'unknown'
+         |  AND d.doc_id % $DecontamMod <> 0
+         |  AND d.doc_id IN (SELECT doc_id FROM k)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
 
     // same augmented text, same three patterns in the same order
     "x_pii_scrub" ->

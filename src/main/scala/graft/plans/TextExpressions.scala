@@ -115,6 +115,41 @@ object TextKernels {
     UTF8String.fromString(md5Hex(sb.toString))
   }
 
+  /** Mirror of the aggregate-based SimHash (`Dedup.simhashAgg`): split
+    * into words, term-frequency map, each distinct word's 60-bit
+    * md5-seeded hash votes ±tf per bit, sign of the summed votes becomes
+    * the bit. Whole signature in one pass over the row — the aggregate
+    * formulation shuffles an exploded (id, word) table and runs 60
+    * conditional sums for the same number. */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val words = Ws.split(text.toLowerCase.trim.toString, -1)
+    val tf = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < words.length) {
+      tf.merge(words(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val sums = new Array[Long](bits)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = seededHash0(e.getKey)
+      val c = e.getValue.toLong
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) sums(b) += c else sums(b) -= c
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
     * the per-shingle pair expansion for exact Jaccard. One allocation of
     * the exact output size; n is bounded by the shingle df cap. */
@@ -193,6 +228,31 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
       newChild: Expression): WinnowFp = copy(child = newChild)
 }
 
+/** Codegen'd per-row SimHash signature — replaces an explode + shuffle +
+  * 60-column aggregation with a scan-speed expression. */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.simhash($c, $bits);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimhashSig = copy(child = newChild)
+}
+
 /** Codegen'd pair expansion: a sorted `array<bigint>` of document ids →
   * `array<struct<a,b>>` of all C(n,2) ordered pairs. Exploding this from
   * per-shingle id lists replaces the inverted-index SELF-JOIN of the exact
@@ -237,4 +297,8 @@ object TextExpressions {
   /** Codegen'd winnowing fingerprint of a string column. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFp(GraftBridge.expression(text), k, w))
+
+  /** Codegen'd per-row SimHash signature of a string column. */
+  def simhash(text: Column, bits: Int): Column =
+    GraftBridge.column(SimhashSig(GraftBridge.expression(text), bits))
 }

@@ -54,6 +54,15 @@ class ExtSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("codegen'd per-row simhash matches the aggregate construction") {
+    val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "word"), (9003L, "a a a b"))
+        .toDF("doc_id", "text"))
+    val fast = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashAgg(corpus).as[(Long, Long)].collect().toMap
+    assert(fast === agg)
+  }
+
   test("minhash LSH finds the exact and near duplicates") {
     val got = Dedup.minhashLshPairs(docs, 0.1)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
