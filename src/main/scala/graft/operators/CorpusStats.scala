@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling + curation operators a large-scale training-data
+  * pipeline runs beside dedup/similarity: repetition-based quality
+  * signals (the Gopher-style "repetitive doc" filters), deterministic
+  * train/val/test splitting, vocabulary document-frequency statistics,
+  * and per-source corpus health aggregates.
+  *
+  * Scale design: the per-doc signals are either pure per-row expressions
+  * (scan speed, no shuffle) or explode → partial-agg pipelines whose
+  * map-side combine keeps shuffled bytes proportional to DISTINCT
+  * (doc, gram) pairs, never raw token counts. The split assignment is a
+  * pure hash of the stable document id — rerunning on a grown corpus
+  * never reshuffles old docs across splits, which is what makes the
+  * split usable for deduplicated incremental training runs.
+  */
+object CorpusStats {
+
+  /** Duplicate-word fraction: 1 − distinct/total words. Pure per-row. */
+  def dupWordFrac(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    round(lit(1.0) -
+      size(array_distinct(ws)).cast("double") /
+        greatest(size(ws), lit(1)).cast("double"), 4)
+  }
+
+  /** Per-doc repetition signals over word bigrams: the fraction of all
+    * bigram occurrences taken by the single most frequent bigram (high →
+    * boilerplate/listicle), plus the duplicate-word fraction. Docs with
+    * fewer than two words report 0.0 for the bigram signal.
+    *
+    * The mode-of-bigrams needs a per-(doc, bigram) count, so it is an
+    * explode → two-level aggregate rather than a per-row expression: both
+    * aggregations combine map-side, so the shuffle carries one row per
+    * distinct (doc, bigram) — bounded by document length, not corpus
+    * size. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(bigrams).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_n"))
+      .select(col("id"),
+        round(col("top_n").cast("double") / col("total_n"), 4)
+          .as("top_bigram_frac"))
+    docs
+      .select(col(idCol).as("id"), dupWordFrac(col(textCol))
+        .as("dup_word_frac"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        col("dup_word_frac"))
+  }
+
+  /** Deterministic train/val/test assignment from the md5-seeded hash of
+    * the document id ([[Dedup.seededHash]] — reproducible in any engine
+    * with md5): bucket ∈ [0,100), < `trainPct` → train, < `trainPct` +
+    * `valPct` → val, else test. A pure per-row expression; the split of a
+    * document never changes as the corpus grows. */
+  def splitAssign(idCol: Column, trainPct: Int = 80, valPct: Int = 10)
+      : (Column, Column) = {
+    val bucket = pmod(Dedup.seededHash(idCol.cast("string"), 0), lit(100))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    (bucket, split)
+  }
+
+  /** Vocabulary document frequency: the `k` tokens appearing in the most
+    * documents (df desc, token asc — a total order, so the cut is
+    * deterministic). distinct-per-doc explode → groupBy token; both
+    * stages combine map-side, and the top-k is a single reduction over
+    * one row per distinct token. */
+  def vocabTopDf(docs: DataFrame, k: Int, textCol: String = "text")
+      : DataFrame =
+    docs
+      .select(explode(array_distinct(TextAnalysis.words(col(textCol))))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+
+  /** Per-(source, lang) corpus health: doc count, total chars, mean
+    * whitespace-token count, and exact length percentiles (p50/p90) of
+    * the token counts. Exact `percentile` (not approx) keeps the result
+    * engine-reproducible; at 100 TB swap in `approx_percentile` per
+    * partition — the plan shape (one partial-aggregating shuffle on the
+    * group key) is identical. */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text")).cast("double")
+    docs
+      .select(col("source"), col("lang"), col("n_chars"), toks.as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("toks")), 4).as("mean_tokens"),
+        round(median(col("toks")), 4).as("p50_tokens"),
+        round(percentile(col("toks"), lit(0.9)), 4).as("p90_tokens"))
+  }
+}

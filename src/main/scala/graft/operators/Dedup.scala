@@ -218,8 +218,14 @@ object Dedup {
     val edges = CacheRegistry.tracked(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // Only edge endpoints can ever receive a foreign label — every other
+    // vertex is a singleton whose cluster_id is its own id. Iterating over
+    // the endpoint set alone makes each round proportional to the near-dup
+    // pair count (tiny next to the corpus at any scale); the full corpus is
+    // touched exactly once, by the final join-back.
     var labels = CacheRegistry.tracked(
-      vertices.select(col(idCol).as("id"), col(idCol).as("label")))
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -241,7 +247,11 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    vertices.select(col(idCol))
+      .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol),
+        "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
   val SimhashBits = 60

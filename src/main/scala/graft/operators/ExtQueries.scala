@@ -27,6 +27,7 @@ object ExtQueries {
   val DecontamN = 5
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
+  val VocabTopK = 100
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -184,6 +185,29 @@ object ExtQueries {
           Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
     }),
+
+    // Gopher-style repetition signals: top-bigram occupancy + duplicate
+    // word fraction — the cheap "is this doc boilerplate" pre-filters.
+    "x_rep_signals" -> ((s, d) =>
+      CorpusStats.repetitionSignals(Tables.documents(s, d))),
+
+    // Deterministic 80/10/10 split from the md5 hash of doc_id: stable
+    // under corpus growth, reproducible in any engine with md5.
+    "x_split_assign" -> ((s, d) => {
+      val (bucket, split) = CorpusStats.splitAssign(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+    }),
+
+    // Vocabulary document frequency: top tokens by df (df desc, token
+    // asc — a total order, so the top-k cut is deterministic).
+    "x_vocab_top_df" -> ((s, d) =>
+      CorpusStats.vocabTopDf(Tables.documents(s, d), VocabTopK)),
+
+    // Per-(source, lang) corpus health: counts, volume, exact length
+    // percentiles.
+    "x_source_stats" -> ((s, d) =>
+      CorpusStats.sourceStats(Tables.documents(s, d))),
 
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
@@ -688,6 +712,64 @@ object ExtQueries {
          |  AND d.doc_id % $DecontamMod <> 0
          |  AND d.doc_id IN (SELECT doc_id FROM k)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+
+    // mirrors CorpusStats.repetitionSignals: per-doc bigram mode fraction
+    // (0.0 below two words) + duplicate-word fraction
+    "x_rep_signals" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |cnt AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+        |top AS (
+        |  SELECT doc_id, round(max(n)::double / sum(n), 4) AS top_bigram_frac
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  round(1.0 - len(list_distinct(ws))::double /
+        |    greatest(len(ws), 1), 4) AS dup_word_frac
+        |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
+
+    // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
+    "x_split_assign" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::varchar || '#0'), 1, 15))::bigint
+        |    % 100 AS bucket,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(doc_id::varchar || '#0'), 1, 15))::bigint
+        |      % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substr(md5(doc_id::varchar || '#0'), 1, 15))::bigint
+        |      % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "x_vocab_top_df" ->
+      s"""SELECT token, count(*) AS df FROM (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(
+         |      string_split_regex(lower(trim(text)), '\\s+'))) AS token
+         |  FROM documents)
+         |WHERE token <> ''
+         |GROUP BY token
+         |ORDER BY df DESC, token
+         |LIMIT $VocabTopK""".stripMargin,
+
+    "x_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  round(avg(toks), 4) AS mean_tokens,
+        |  round(median(toks), 4) AS p50_tokens,
+        |  round(quantile_cont(toks, 0.9), 4) AS p90_tokens
+        |FROM (SELECT source, lang, n_chars,
+        |        len(string_split_regex(lower(trim(text)), '\s+'))::double
+        |          AS toks
+        |      FROM documents)
+        |GROUP BY source, lang""".stripMargin,
 
     // same augmented text, same three patterns in the same order
     "x_pii_scrub" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contamination, Dedup, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Contamination, CorpusStats, Dedup, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Extension-track semantics: dedup family agreement, similarity search
@@ -307,5 +307,62 @@ class ExtSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(scores("good") > scores("junk"))
     assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("repetition signals: boilerplate scores high, varied text low") {
+    val d = Seq(
+      (0L, "buy now buy now buy now buy now"), // one bigram dominates
+      (1L, "every word here appears exactly once today"),
+      (2L, "solo")) // < 2 words → 0.0 bigram signal
+      .toDF("doc_id", "text")
+    val got = CorpusStats.repetitionSignals(d)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // "buy now" fills 4 of 7 bigram slots; 6 of 8 words are repeats
+    assert(math.abs(got(0L)._1 - 4.0 / 7) < 1e-3)
+    assert(got(0L)._2 === 0.75)
+    assert(got(1L)._1 < 0.2 && got(1L)._2 === 0.0)
+    assert(got(2L) === ((0.0, 0.0)))
+  }
+
+  test("split assignment is deterministic, complete, and ~80/10/10") {
+    val d = Tables.documents(spark, sf0001)
+    val (bucket, split) = CorpusStats.splitAssign($"doc_id")
+    val counts = d.select(split.as("s")).groupBy($"s").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // same id always lands in the same bucket (rerun = same frame)
+    val b1 = d.select($"doc_id", bucket.as("b")).as[(Long, Long)]
+      .collect().toMap
+    val b2 = d.select($"doc_id", bucket.as("b")).as[(Long, Long)]
+      .collect().toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 100))
+  }
+
+  test("vocab top-df orders by df desc then token, counts documents") {
+    val d = Seq(
+      (0L, "alpha beta beta"), (1L, "alpha beta"), (2L, "alpha zeta"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.vocabTopDf(d, 2).as[(String, Long)].collect()
+    // beta appears twice IN one doc but df counts documents: alpha 3, beta 2
+    assert(got.toSeq === Seq(("alpha", 3L), ("beta", 2L)))
+  }
+
+  test("source stats: counts, volume, and exact percentiles per group") {
+    val d = Seq(
+      ("web", "en", 10L, "one two three"),
+      ("web", "en", 20L, "one two three four five"),
+      ("book", "en", 5L, "one"))
+      .toDF("source", "lang", "n_chars", "text")
+    val got = CorpusStats.sourceStats(d)
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val web = got(("web", "en"))
+    assert(web._3 === 2L && web._4 === 30L && web._5 === 4.0)
+    assert(web._6 === 4.0) // median of (3, 5)
+    assert(got(("book", "en"))._6 === 1.0)
   }
 }
