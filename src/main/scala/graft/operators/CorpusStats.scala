@@ -90,6 +90,26 @@ object CorpusStats {
       .orderBy(col("df").desc, col("token"))
       .limit(k)
 
+  /** The `k` best documents per group by a score expression (ties broken
+    * by ascending id — a total order, so the cut is deterministic): the
+    * standard "keep the best docs per domain" curation step. One shuffle
+    * on the group key; rank is a window `row_number`, so each group is
+    * ranked inside its own partition — no global sort, no driver state.
+    * Groups are ~uniform here; a pathological hot domain at 100 TB gets
+    * the usual salting treatment (rank within salted subgroup, re-rank
+    * the k·salts survivors). */
+  def topKPerGroup(docs: DataFrame, k: Int, groupCol: String,
+      score: Column, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col(idCol))
+    docs
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** Per-(source, lang) corpus health: doc count, total chars, mean
     * whitespace-token count, and exact length percentiles (p50/p90) of
     * the token counts. Exact `percentile` (not approx) keeps the result

@@ -28,6 +28,8 @@ object ExtQueries {
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
+  val BestPerSourceK = 5
+  val IntervalLookback = "1 hour"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -208,6 +210,27 @@ object ExtQueries {
     // percentiles.
     "x_source_stats" -> ((s, d) =>
       CorpusStats.sourceStats(Tables.documents(s, d))),
+
+    // Per-vector int8 scalar quantization (the faiss SQ8 layout): 4×
+    // memory cut for the ANN corpus, error bounded by half a step.
+    "x_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
+
+    // Curation: the k best docs per source by quality score (ties by
+    // ascending id) — one shuffle on the group key, ranked per group.
+    "x_best_per_source" -> ((s, d) =>
+      CorpusStats.topKPerGroup(Tables.documents(s, d), BestPerSourceK,
+        "source", TextAnalysis.qualityScore(col("text")))),
+
+    // Interval join: all purchases in the hour before each click — the
+    // Flink pattern; same expression streams with two watermarks.
+    "x_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Temporal.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        IntervalLookback, "user_id", "ts", "event_id", "event_id")
+    }),
 
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
@@ -712,6 +735,49 @@ object ExtQueries {
          |  AND d.doc_id % $DecontamMod <> 0
          |  AND d.doc_id IN (SELECT doc_id FROM k)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+
+    // mirrors Similarity.quantizeInt8 expression-for-expression (same
+    // operation order so doubles are bit-identical)
+    "x_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS double)) AS v
+        |  FROM embeddings),
+        |rng AS (
+        |  SELECT vec_id, v, list_min(v) AS qmin, list_max(v) AS qmax,
+        |    (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, v, qmin, qmax, scale,
+        |    CASE WHEN qmax > qmin THEN
+        |      list_transform(v, x -> round((x - qmin) / scale)::int)
+        |    ELSE list_transform(v, x -> 0) END AS codes
+        |  FROM rng)
+        |SELECT vec_id, round(qmin, 6) AS qmin, round(qmax, 6) AS qmax,
+        |  codes,
+        |  round(CASE WHEN qmax > qmin THEN
+        |    list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - (qmin + codes[i] * scale))))
+        |  ELSE 0.0 END, 6) AS max_abs_err
+        |FROM q""".stripMargin,
+
+    // reuses the quality-score oracle; rank window mirrors topKPerGroup
+    "x_best_per_source" ->
+      s"""WITH q AS ($QualitySelect)
+         |SELECT source, doc_id, score, rank FROM (
+         |  SELECT d.source, d.doc_id, q.score,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.score DESC, d.doc_id) AS rank
+         |  FROM documents d JOIN q USING (doc_id))
+         |WHERE rank <= $BestPerSourceK""".stripMargin,
+
+    "x_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, l.ts AS l_ts,
+        |  r.event_id AS r_id, r.ts AS r_ts
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
+        .stripMargin,
 
     // mirrors CorpusStats.repetitionSignals: per-doc bigram mode fraction
     // (0.0 below two words) + duplicate-word fraction

@@ -61,4 +61,31 @@ object Temporal {
       .filter(col("is_l") === 1)
       .select(col("l_id"), col(keyCol), col(tsCol), col("asof_id"))
   }
+
+  /** Interval join (the Flink pattern): every (left, right) pair on the
+    * same key with `right.ts` in `[left.ts − lookback, left.ts]` — e.g.
+    * all purchases within the hour before each click, where the as-of
+    * join keeps only the latest. Built as a key equi-join with the time
+    * band as a post-filter: Spark plans the JOIN on the key (shuffle
+    * hash / sort-merge — never a nested loop; asserted in PlanSpec), and
+    * the band prunes pairs per key group. Per-key pair volume is bounded
+    * by activity within the lookback, not total history.
+    *
+    * The SAME expression runs under Structured Streaming: with
+    * watermarks on both sides and the band condition in the join, Spark
+    * bounds each side's state to the lookback window
+    * (StreamingSyncSpec proves batch ≡ stream on the fixture). */
+  def intervalJoin(left: DataFrame, right: DataFrame, lookback: String,
+      keyCol: String, tsCol: String, leftIdCol: String,
+      rightIdCol: String): DataFrame = {
+    val l = left.select(col(keyCol), col(leftIdCol).as("l_id"),
+      col(tsCol).as("l_ts"))
+    val r = right.select(col(keyCol), col(rightIdCol).as("r_id"),
+      col(tsCol).as("r_ts"))
+    l.join(r, Seq(keyCol))
+      .filter(col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"))
+      .select(col(keyCol), col("l_id"), col("l_ts"), col("r_id"),
+        col("r_ts"))
+  }
 }

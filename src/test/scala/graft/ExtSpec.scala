@@ -351,6 +351,35 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq(("alpha", 3L), ("beta", 2L)))
   }
 
+  test("int8 quantization: error within half a step, constants exact") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 1.0f, 0.5f, 0.25f)),
+      (1L, Seq(2.0f, 2.0f, 2.0f, 2.0f)), // constant → all-zero codes
+      (2L, Seq(-1.0f, 1.0f, 0.0f, 0.998f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Double, Seq[Int], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._4 === Seq(0, 255, 128, 64))
+    // half a quantization step, plus the 6-decimal output rounding
+    assert(got(0L)._5 <= 0.5 / 255 + 5e-7)
+    assert(got(1L)._4 === Seq(0, 0, 0, 0) && got(1L)._5 === 0.0)
+    assert(got(2L)._2 === -1.0 && got(2L)._3 === 1.0)
+    assert(got(2L)._4.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("top-k per group: ranked by score desc, ties by id, k enforced") {
+    val d = Seq(
+      ("web", 1L, "aa"), ("web", 2L, "aaaa"), ("web", 3L, "aaaa"),
+      ("book", 4L, "a"))
+      .toDF("source", "doc_id", "text")
+    val got = CorpusStats.topKPerGroup(d, 2, "source", length($"text"))
+      .as[(String, Long, Int, Int)].collect().toSet
+    // web: docs 2 and 3 tie at length 4 → lower id ranks first
+    assert(got === Set(("web", 2L, 4, 1), ("web", 3L, 4, 2),
+      ("book", 4L, 1, 1)))
+  }
+
   test("source stats: counts, volume, and exact percentiles per group") {
     val d = Seq(
       ("web", "en", 10L, "one two three"),

@@ -78,6 +78,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join keys on user, never a nested loop over the band") {
+    withStaticPlan {
+      val plan = run("x_interval_join").queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("the sync delta is a single join of source against state") {
     val plan = run("c4_sync_router").queryExecution.executedPlan.toString
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r

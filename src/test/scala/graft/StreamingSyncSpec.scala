@@ -88,6 +88,31 @@ class StreamingSyncSpec extends SparkSpec {
     assert(got === Map("F1" -> 1L, "F2" -> 3L, "F3" -> 5L))
   }
 
+  test("streaming interval join equals the batch interval join") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf0001)
+    ev.filter($"event_type" === "click").write.parquet(s"$dir/clicks")
+    ev.filter($"event_type" === "purchase").write.parquet(s"$dir/buys")
+    def side(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema).parquet(p)
+      .withWatermark("ts", "2 hours") // bounds both sides' join state
+    val q = graft.operators.Temporal.intervalJoin(
+        side(s"$dir/clicks"), side(s"$dir/buys"),
+        "1 hour", "user_id", "ts", "event_id", "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.operators.Temporal.intervalJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "purchase"),
+      "1 hour", "user_id", "ts", "event_id", "event_id")
+    val streamed = spark.table("ij")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("foreachBatch sync sink converges to the batch engine's state") {
     val base = tmp()
     val source = SyncFixture.source(spark, sf0001)
