@@ -110,6 +110,71 @@ object CorpusStats {
       .select(col(groupCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** Salted variant of [[topKPerGroup]] for hot groups: rank inside
+    * (group, salt) subgroups — `salts` deterministic shards per group,
+    * salted by a hash of the id so the split is stable — keep each
+    * subgroup's top k, then re-rank only the surviving k·salts rows per
+    * group. Identical output to the unsalted operator (ExtSpec asserts
+    * equality): the true top-k of a group all survive stage one, because
+    * a row beaten by fewer than k rows globally is beaten by fewer than
+    * k in its own subgroup. Stage one bounds any single task's sort to
+    * the subgroup, which is what survives a group holding 10⁹ rows. */
+  def topKPerGroupSalted(docs: DataFrame, k: Int, groupCol: String,
+      score: Column, idCol: String = "doc_id", salts: Int = 16)
+      : DataFrame = {
+    val salt = pmod(xxhash64(col(idCol)), lit(salts))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), salt)
+      .orderBy(col("score").desc, col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col(idCol))
+    docs
+      .withColumn("score", score)
+      .withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Top TF-IDF terms per document: tf from the per-doc token counts,
+    * idf = ln(N / df) over distinct-per-doc occurrence, score = tf·idf
+    * rounded to 6; the `k` highest-scoring terms per doc (score desc,
+    * term asc). The classic relevance/feature-extraction step.
+    *
+    * Scale shape: one explode → (doc, term) count aggregate (map-side
+    * combining), one distinct-explode → df aggregate whose output is one
+    * row per distinct term (a dimension-sized frame — joined in without
+    * a broadcast hint so AQE picks broadcast while it fits and falls
+    * back to shuffle at web-vocabulary scale), one per-doc window for
+    * the top-k cut. N arrives as a literal computed by the caller (a
+    * count() over the corpus — one cheap job), never a driver collect of
+    * data rows. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct(TextAnalysis.words(col(textCol))))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** Per-(source, lang) corpus health: doc count, total chars, mean
     * whitespace-token count, and exact length percentiles (p50/p90) of
     * the token counts. Exact `percentile` (not approx) keeps the result

@@ -30,6 +30,7 @@ object ExtQueries {
   val VocabTopK = 100
   val BestPerSourceK = 5
   val IntervalLookback = "1 hour"
+  val TfidfTopK = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -231,6 +232,11 @@ object ExtQueries {
         ev.filter(col("event_type") === "purchase"),
         IntervalLookback, "user_id", "ts", "event_id", "event_id")
     }),
+
+    // TF-IDF top terms per document — the classic relevance / feature
+    // extraction step; df joins in as a dimension-sized frame.
+    "x_tfidf_top" -> ((s, d) =>
+      CorpusStats.tfidfTopTerms(Tables.documents(s, d), TfidfTopK)),
 
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
@@ -778,6 +784,34 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors CorpusStats.tfidfTopTerms: same op order (n/df inside ln,
+    // multiplied by tf, rounded to 6) so doubles are bit-identical
+    "x_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(ws) AS term FROM toks)
+         |  WHERE term <> '' GROUP BY id, term),
+         |df AS (
+         |  SELECT term, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM toks)
+         |  WHERE term <> '' GROUP BY term),
+         |n AS (SELECT count(*)::double AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.id, tf.term,
+         |    round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT id AS doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf, rank FROM ranked
+         |WHERE rank <= $TfidfTopK""".stripMargin,
 
     // mirrors CorpusStats.repetitionSignals: per-doc bigram mode fraction
     // (0.0 below two words) + duplicate-word fraction

@@ -380,6 +380,30 @@ class ExtSpec extends SparkSpec {
       ("book", 4L, 1, 1)))
   }
 
+  test("salted top-k per group equals the unsalted operator") {
+    val d = Tables.documents(spark, sf0001)
+    val score = TextAnalysis.qualityScore($"text")
+    val plain = CorpusStats.topKPerGroup(d, 5, "source", score)
+    val salted = CorpusStats.topKPerGroupSalted(d, 5, "source", score)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("tfidf: rare term outranks common term within a doc") {
+    val d = Seq(
+      (0L, "common common zebra"),
+      (1L, "common words only"),
+      (2L, "common words again"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTopTerms(d, 2)
+      .as[(Long, String, Double, Int)].collect()
+      .filter(_._1 == 0L).sortBy(_._4)
+    // zebra: df=1 → idf ln(3); common: tf=2 but df=3 → idf 0 → score 0
+    assert(got.head._2 === "zebra")
+    assert(got.head._3 === math.round(math.log(3.0) * 1e6) / 1e6)
+    assert(got.last._3 <= got.head._3)
+  }
+
   test("source stats: counts, volume, and exact percentiles per group") {
     val d = Seq(
       ("web", "en", 10L, "one two three"),
