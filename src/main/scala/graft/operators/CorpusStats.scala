@@ -175,6 +175,42 @@ object CorpusStats {
       .select(col("id").as(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Data-mixture sampling: given target mixture weights per source and
+    * a total token budget, compute each source's sampling rate
+    * `min(1, budget·weight / sourceTokens)` and keep a deterministic
+    * hash-sample of its documents at that rate — how a pretraining
+    * pipeline turns "40% web, 40% books, 20% code" into an actual row
+    * filter. Returns the kept docs with their source's rate.
+    *
+    * Scale shape: one aggregation builds the per-source token totals (a
+    * handful of rows — joined back without a hint, AQE broadcasts), and
+    * membership is a pure per-row predicate on the md5-seeded id hash —
+    * no sort, no window, no second pass. Deterministic: a doc's
+    * keep/drop flips only if its source's rate changes, never with
+    * partitioning or row order; the same id stays sampled as the corpus
+    * grows (the reservoir property a rerun-able pipeline needs). */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = typedLit(weights)
+    val toks = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val totals = docs
+      .select(col("source"), toks.as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("src_tokens"))
+      .withColumn("rate",
+        least(lit(1.0), lit(tokenBudget.toDouble) *
+          coalesce(element_at(w, col("source")), lit(0.0)) /
+          col("src_tokens")))
+    // hash ∈ [0, 1e6) compared against the rate scaled to the same grid:
+    // integer-vs-integer, so engines can't disagree at the boundary
+    val bucket = pmod(Dedup.seededHash(col(idCol).cast("string"), 1),
+      lit(1000000L))
+    docs
+      .join(totals.select(col("source"), col("rate")), Seq("source"))
+      .filter(bucket < floor(col("rate") * 1000000.0).cast("long"))
+      .select(col(idCol), col("source"), round(col("rate"), 6).as("rate"))
+  }
+
   /** Per-(source, lang) corpus health: doc count, total chars, mean
     * whitespace-token count, and exact length percentiles (p50/p90) of
     * the token counts. Exact `percentile` (not approx) keeps the result

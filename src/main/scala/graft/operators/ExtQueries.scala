@@ -31,6 +31,13 @@ object ExtQueries {
   val BestPerSourceK = 5
   val IntervalLookback = "1 hour"
   val TfidfTopK = 3
+  val MixtureBudget = 20000L
+  /** Even-numbered sources are "high-value" (4× the weight) — covers
+    * more source names than any scale factor ships so the mixture is
+    * total over the corpus. */
+  val MixtureWeights: Map[String, Double] =
+    (0 until 64).map(i => s"src$i" -> (if (i % 2 == 0) 0.08 else 0.02))
+      .toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
@@ -237,6 +244,12 @@ object ExtQueries {
     // extraction step; df joins in as a dimension-sized frame.
     "x_tfidf_top" -> ((s, d) =>
       CorpusStats.tfidfTopTerms(Tables.documents(s, d), TfidfTopK)),
+
+    // Data-mixture sampling: per-source rates from target weights + a
+    // token budget, membership by deterministic id hash.
+    "x_mixture_sample" -> ((s, d) =>
+      CorpusStats.mixtureSample(Tables.documents(s, d), MixtureWeights,
+        MixtureBudget)),
 
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
@@ -784,6 +797,28 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors CorpusStats.mixtureSample: same weight CASE, same op order
+    // ((budget · w) / tokens), same integer hash-grid membership test
+    "x_mixture_sample" -> {
+      val wCase = MixtureWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE 0.0 END")
+      s"""WITH totals AS (
+         |  SELECT source,
+         |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+         |      AS src_tokens
+         |  FROM documents GROUP BY source),
+         |rates AS (
+         |  SELECT source,
+         |    least(1.0, $MixtureBudget.0 * ($wCase) / src_tokens) AS rate
+         |  FROM totals)
+         |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+         |FROM documents d JOIN rates r USING (source)
+         |WHERE ('0x' || substr(md5(d.doc_id::varchar || '#0'), 17, 15))
+         |    ::bigint % 1000000 < floor(r.rate * 1000000.0)::bigint"""
+        .stripMargin
+    },
 
     // mirrors CorpusStats.tfidfTopTerms: same op order (n/df inside ln,
     // multiplied by tf, rounded to 6) so doubles are bit-identical

@@ -404,6 +404,27 @@ class ExtSpec extends SparkSpec {
     assert(got.last._3 <= got.head._3)
   }
 
+  test("mixture sample: rates follow weights, membership is stable") {
+    val d = Tables.documents(spark, sf0001)
+    val weights = graft.operators.ExtQueries.MixtureWeights
+    val got = CorpusStats.mixtureSample(d, weights, 2000L)
+    val rates = got.select($"source", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates.nonEmpty)
+    // one rate per source; within [0,1]; heavier sources sample more
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    val bySrc = rates.toSeq.collect {
+      case (s, r) if weights.getOrElse(s, 0.0) == 0.08 => ("hi", r)
+      case (s, r) => ("lo", r)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    if (bySrc.contains("hi") && bySrc.contains("lo"))
+      assert(bySrc("hi") >= bySrc("lo"))
+    // rerun returns the identical doc set (deterministic membership)
+    val again = CorpusStats.mixtureSample(d, weights, 2000L)
+    assert(got.exceptAll(again).count() === 0)
+    assert(again.count() === got.count())
+  }
+
   test("source stats: counts, volume, and exact percentiles per group") {
     val d = Seq(
       ("web", "en", 10L, "one two three"),
