@@ -86,6 +86,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-group rank limits push down as WindowGroupLimit") {
+    withStaticPlan {
+      // rank <= k must prune BEFORE the shuffle (partial WindowGroupLimit)
+      // so no task ever sorts a whole group's rows — the property that
+      // keeps tfidf/top-k-per-group alive when one group is huge
+      for (q <- Seq("x_tfidf_top", "x_best_per_source")) {
+        val plan = run(q).queryExecution.executedPlan.toString
+        assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, q)
+      }
+    }
+  }
+
   test("the sync delta is a single join of source against state") {
     val plan = run("c4_sync_router").queryExecution.executedPlan.toString
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
