@@ -251,6 +251,11 @@ object ExtQueries {
       CorpusStats.mixtureSample(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
 
+    // Schema-on-read over the JSON event payload: typed from_json
+    // extraction, then a per-type aggregate.
+    "x_json_props" -> ((s, d) =>
+      SemiStructured.propsStats(Tables.events(s, d))),
+
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
     "x_pii_scrub" -> ((s, d) => {
@@ -797,6 +802,17 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors SemiStructured.propsStats: JSON k extraction + per-type agg
+    "x_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(k) AS n_parsed,
+        |  round(avg(k), 4) AS mean_k,
+        |  max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        try_cast(json_extract_string(props, '$.k') AS int) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     // mirrors CorpusStats.mixtureSample: same weight CASE, same op order
     // ((budget · w) / tokens), same integer hash-grid membership test

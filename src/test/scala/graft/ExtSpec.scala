@@ -425,6 +425,22 @@ class ExtSpec extends SparkSpec {
     assert(again.count() === got.count())
   }
 
+  test("json props: typed extraction, malformed and absent keys → NULL") {
+    val ev = Seq(
+      ("click", """{"k": 7}"""),
+      ("click", """not json at all"""),
+      ("click", """{"other": 1}"""),
+      ("view", """{"k": 3}"""))
+      .toDF("event_type", "props")
+    val got = graft.operators.SemiStructured.propsStats(ev)
+      .as[(String, Long, Long, Double, Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click")._2 === 3L) // all rows counted...
+    assert(got("click")._3 === 1L) // ...but only one parsed k
+    assert(got("click")._4 === 7.0 && got("click")._5 === Some(7))
+    assert(got("view")._5 === Some(3))
+  }
+
   test("source stats: counts, volume, and exact percentiles per group") {
     val d = Seq(
       ("web", "en", 10L, "one two three"),
