@@ -39,22 +39,43 @@ object CorpusStats {
     * size. */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
+    val sig = graft.plans.TextExpressions.repSignals(col(textCol))
+    docs.select(col(idCol),
+      element_at(sig, 1).as("top_bigram_frac"),
+      element_at(sig, 2).as("dup_word_frac"))
+  }
+
+  /** The aggregate formulation of [[repetitionSignals]] — explode →
+    * per-(doc, bigram) count → per-doc max/sum → join back. The
+    * executable spec for the per-row kernel (ExtSpec asserts parity);
+    * also the shape to reach for if a signal ever needs cross-document
+    * state (the kernel is strictly per-row). */
+  private[graft] def repetitionSignalsAgg(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Bind the tokenization to a column FIRST: a lambda body re-evaluates
+    // any non-attribute subexpression per element (interpreted, no CSE),
+    // so `element_at(split(...), i)` inside transform() would re-split
+    // the document per bigram — O(tokens²) per doc. Against an attribute
+    // it is one split per row, O(1) per element.
+    val tokenized = docs.select(col(idCol).as("id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val ws = col("ws")
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val perDoc = docs
-      .select(col(idCol).as("id"), explode(bigrams).as("bg"))
+    val perDoc = tokenized
+      .select(col("id"), explode(bigrams).as("bg"))
       .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("n"))
       .groupBy(col("id"))
       .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_n"))
       .select(col("id"),
         round(col("top_n").cast("double") / col("total_n"), 4)
           .as("top_bigram_frac"))
-    docs
-      .select(col(idCol).as("id"), dupWordFrac(col(textCol))
-        .as("dup_word_frac"))
+    tokenized
+      .select(col("id"),
+        round(lit(1.0) - size(array_distinct(ws)).cast("double") /
+          greatest(size(ws), lit(1)).cast("double"), 4).as("dup_word_frac"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),

@@ -150,6 +150,40 @@ object TextKernels {
     sig
   }
 
+  /** Mirror of Spark's `round(d, 4)` on doubles (BigDecimal HALF_UP). */
+  private def round4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Both repetition signals in one pass: the fraction of bigram
+    * occurrences held by the most frequent bigram (0.0 below two words)
+    * and the duplicate-word fraction `1 − distinct/total`. Mirrors the
+    * aggregate formulation (`CorpusStats.repetitionSignalsAgg`) —
+    * explode → two-level groupBy → join — which shuffles one row per
+    * distinct (doc, bigram) for numbers this kernel reads off two local
+    * hash maps. Returns [top_bigram_frac, dup_word_frac]. */
+  def repSignals(text: UTF8String): ArrayData = {
+    val words = Ws.split(text.toLowerCase.trim.toString, -1)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < words.length) { distinct.add(words(i)); i += 1 }
+    val dup = round4(1.0 -
+      distinct.size.toDouble / math.max(words.length, 1).toDouble)
+    if (words.length < 2)
+      return new GenericArrayData(Array[Any](0.0, dup))
+    val counts = new java.util.HashMap[String, Int]()
+    var max = 0
+    i = 0
+    while (i < words.length - 1) {
+      val bg = words(i) + " " + words(i + 1)
+      val c = counts.merge(bg, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      round4(max.toDouble / (words.length - 1).toDouble), dup))
+  }
+
   /** All ordered pairs (ids[i], ids[j]), i < j, of a sorted long array —
     * the per-shingle pair expansion for exact Jaccard. One allocation of
     * the exact output size; n is bounded by the shingle df cap. */
@@ -253,6 +287,32 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
       newChild: Expression): SimhashSig = copy(child = newChild)
 }
 
+/** Codegen'd per-row repetition signals
+  * `[top_bigram_frac, dup_word_frac]` — replaces an explode + two-level
+  * aggregation + join with a scan-speed expression. */
+case class RepSignals(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rep_signals"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rep_signals expects a string column, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repSignals(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.repSignals($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepSignals = copy(child = newChild)
+}
+
 /** Codegen'd pair expansion: a sorted `array<bigint>` of document ids →
   * `array<struct<a,b>>` of all C(n,2) ordered pairs. Exploding this from
   * per-shingle id lists replaces the inverted-index SELF-JOIN of the exact
@@ -301,4 +361,8 @@ object TextExpressions {
   /** Codegen'd per-row SimHash signature of a string column. */
   def simhash(text: Column, bits: Int): Column =
     GraftBridge.column(SimhashSig(GraftBridge.expression(text), bits))
+
+  /** Codegen'd `[top_bigram_frac, dup_word_frac]` of a string column. */
+  def repSignals(text: Column): Column =
+    GraftBridge.column(RepSignals(GraftBridge.expression(text)))
 }

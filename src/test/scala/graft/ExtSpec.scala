@@ -309,6 +309,16 @@ class ExtSpec extends SparkSpec {
     assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("per-row repetition kernel matches the aggregate construction") {
+    val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "solo"), (9003L, "a a a a"),
+        (9004L, "x y x y x")).toDF("doc_id", "text"))
+    val fast = CorpusStats.repetitionSignals(corpus)
+    val agg = CorpusStats.repetitionSignalsAgg(corpus)
+    assert(fast.count() === agg.count())
+    assert(fast.exceptAll(agg).count() === 0)
+  }
+
   test("repetition signals: boilerplate scores high, varied text low") {
     val d = Seq(
       (0L, "buy now buy now buy now buy now"), // one bigram dominates
