@@ -215,9 +215,14 @@ object Dedup {
     * components ever get deep. */
   def clusterAssignments(vertices: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    // both edge directions from ONE pass over the pair plan: a union of
+    // two selects would evaluate the (expensive, uncached) pair
+    // generation once per branch
     val edges = CacheRegistry.tracked(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Only edge endpoints can ever receive a foreign label — every other
     // vertex is a singleton whose cluster_id is its own id. Iterating over
     // the endpoint set alone makes each round proportional to the near-dup
@@ -226,18 +231,24 @@ object Dedup {
     var labels = CacheRegistry.tracked(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+        .select(col("dst").as("id"), col("nbr"))
+      l.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+    }
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
-        .select(col("dst").as("id"), col("nbr"))
-      val next = CacheRegistry.tracked(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr"), col("label")))
-              .as("label")))
+      // ONE propagation step per cached materialization: the label frame
+      // feeds the next round from its cache, and an uncached composed
+      // double-step would recompute its inner half once per reference
+      // (l appears on both sides of the join) — measured strictly slower
+      val next = CacheRegistry.tracked(propagate(labels))
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.label") < col("p.label"))
