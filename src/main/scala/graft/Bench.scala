@@ -17,6 +17,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 67 queries × many codegen'd stages in ONE JVM: the default
+      // 100-entry generated-class cache evicts constantly, so later
+      // queries pay Janino recompiles the warmup already did (static
+      // conf — must be set before the session exists). A cluster never
+      // sees this: each executor compiles its own stages once.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
