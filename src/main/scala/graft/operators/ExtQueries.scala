@@ -256,6 +256,11 @@ object ExtQueries {
     "x_json_props" -> ((s, d) =>
       SemiStructured.propsStats(Tables.events(s, d))),
 
+    // Sliding windows (rolling hour, refreshed every 15 min) — native
+    // window(); completes the tumbling/sliding/session family.
+    "x_sliding_window" -> ((s, d) =>
+      Temporal.slidingCounts(Tables.events(s, d))),
+
     // PII scrub over text augmented with deterministic synthetic PII
     // (the corpus itself is clean word-salad): count + redacted digest.
     "x_pii_scrub" -> ((s, d) => {
@@ -802,6 +807,18 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors Temporal.slidingCounts: every event belongs to exactly
+    // size/slide = 4 epoch-aligned windows, enumerated via range(4)
+    "x_sliding_window" ->
+      """SELECT make_timestamp(s * 1000000) AS win_start,
+        |  make_timestamp((s + 3600) * 1000000) AS win_end,
+        |  event_type, count(*) AS n_events,
+        |  sum(value::decimal(18,2))::double AS total_value
+        |FROM (SELECT event_type, value,
+        |        (floor(epoch(ts) / 900) * 900)::bigint - k * 900 AS s
+        |      FROM events CROSS JOIN range(4) r(k))
+        |GROUP BY s, event_type""".stripMargin,
 
     // mirrors SemiStructured.propsStats: JSON k extraction + per-type agg
     "x_json_props" ->

@@ -32,6 +32,24 @@ object Temporal {
         col("session_window.end").as("session_end"), col("n_events"),
         col("total_value"))
 
+  /** Sliding-window totals: native `window(ts, size, slide)` — each
+    * event lands in size/slide overlapping windows (epoch-aligned), so
+    * a 1h window sliding by 15m yields the rolling-hour view refreshed
+    * four times an hour. The same expression streams under a watermark.
+    * Decimal sums (order-independent) with double final projection. */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value")
+      : DataFrame =
+    events
+      .groupBy(window(col(tsCol), size, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col(typeCol), col("n_events"),
+        col("total_value"))
+
   /** Backward as-of join: for each left row, the most recent right row
     * with `right.ts <= left.ts` on the same key (ties at equal ts
     * include the right row; among equal-ts right rows the highest

@@ -88,6 +88,25 @@ class StreamingSyncSpec extends SparkSpec {
     assert(got === Map("F1" -> 1L, "F2" -> 3L, "F3" -> 5L))
   }
 
+  test("streaming sliding windows equal the batch aggregation") {
+    val dir = tmp()
+    Tables.events(spark, sf0001).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = graft.operators.Temporal.slidingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.operators.Temporal.slidingCounts(
+      Tables.events(spark, sf0001))
+    val streamed = spark.table("sliding")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("streaming interval join equals the batch interval join") {
     val dir = tmp()
     val ev = Tables.events(spark, sf0001)
