@@ -114,6 +114,15 @@ object ExtQueries {
         centroidMod = IvfCentroidMod, nprobe = IvfNprobe)
     }),
 
+    // SQ8+refine ANN (asymmetric distance computation): stage 1 scores
+    // reconstructed int8 vectors, stage 2 re-ranks the 3k shortlist
+    // exactly — full-precision reads drop to the shortlist join.
+    "x_ann_sq8_refine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sq8RefineTopK(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK)
+    }),
+
     // Real javax.imageio decode inside batched mapPartitions: the media
     // fixture renders a solid-gray PNG per image row from doc_id, so the
     // decoded (width, height, brightness) are oracle-predictable without
@@ -807,6 +816,48 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors Similarity.sq8RefineTopK: same quantization grid as the
+    // x_embed_quantize oracle, cosine of the reconstructed vectors for
+    // the shortlist, exact cosine for the final rank
+    "x_ann_sq8_refine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings),
+         |sq AS (
+         |  SELECT match_id, cv, list_min(cv) AS qmin,
+         |    (list_max(cv) - list_min(cv)) / 255.0 AS scale,
+         |    list_max(cv) AS qmax
+         |  FROM c),
+         |recon AS (
+         |  SELECT match_id,
+         |    CASE WHEN qmax > qmin THEN
+         |      list_transform(cv,
+         |        x -> qmin + round((x - qmin) / scale)::int * scale)
+         |    ELSE list_transform(cv, x -> qmin) END AS rv
+         |  FROM sq),
+         |approx AS (
+         |  SELECT query_id, match_id,
+         |    round(list_cosine_similarity(rv, qv), 6) AS approx
+         |  FROM recon CROSS JOIN q WHERE query_id <> match_id),
+         |short AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, match_id) AS srnk
+         |    FROM approx)
+         |  WHERE srnk <= ${3 * TopK}),
+         |exact AS (
+         |  SELECT s.query_id, s.match_id,
+         |    round(list_cosine_similarity(c.cv, q.qv), 6) AS cos
+         |  FROM short s JOIN c USING (match_id) JOIN q USING (query_id)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, match_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

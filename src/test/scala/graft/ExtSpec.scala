@@ -361,6 +361,25 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq(("alpha", 3L), ("beta", 2L)))
   }
 
+  test("sq8 refine: exact re-rank scores match brute force pairwise") {
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val refined = Similarity.sq8RefineTopK(queries, e, 5)
+    val brute = Similarity.bruteForceTopK(queries, e, 50)
+    // stage 2 is exact: every refined (query, match) cos equals the
+    // brute-force cos for that pair
+    val joined = refined.select($"query_id", $"match_id", $"cos")
+      .join(brute.select($"query_id", $"match_id", $"cos".as("bcos")),
+        Seq("query_id", "match_id"))
+    assert(joined.count() === refined.count())
+    assert(joined.filter($"cos" =!= $"bcos").count() === 0)
+    // shortlist recall on this corpus: top-1 per query survives SQ8
+    val top1 = brute.filter($"rank" === 1)
+      .select($"query_id", $"match_id")
+    val kept = refined.join(top1, Seq("query_id", "match_id"), "left_semi")
+    assert(kept.count() >= top1.count() * 9 / 10)
+  }
+
   test("int8 quantization: error within half a step, constants exact") {
     val vecs = Seq(
       (0L, Seq(0.0f, 1.0f, 0.5f, 0.25f)),
