@@ -84,7 +84,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a bounded stdout tail, which has truncated the
+    // head of the per-query map before — persist the full line to a file
+    // so every round's numbers survive regardless of log capture.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // the stdout line remains the contract
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -23,13 +23,14 @@ object QueryTimer {
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val n =
+      val label =
         if (hashConsume) {
           import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
-          df.agg(bit_xor(xxhash64(struct(df.columns.map(df.col): _*))))
-            .collect(); -1L
-        } else df.count()
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n rows")
+          val h = df.agg(bit_xor(xxhash64(struct(df.columns.map(df.col): _*))))
+            .collect().head
+          s"hash ${if (h.isNullAt(0)) "∅ (0 rows)" else h.getLong(0).toString}"
+        } else s"${df.count()} rows"
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $label")
     }
     spark.stop()
   }

@@ -16,19 +16,25 @@ object Contamination {
     *
     * Shape: explode both sides to (id, shingle), equi-join on the
     * shingle — inverted-index bound, never a doc × doc product. The
-    * benchmark side is the small one by construction (test sets are
-    * thousands of rows, corpora are billions): its exploded index
-    * broadcasts, so the corpus never shuffles. No df cap here —
+    * benchmark side is usually the small one (test sets are thousands of
+    * rows, corpora are billions): with `broadcastIndex = true` (default)
+    * its exploded index broadcasts, so the corpus never shuffles. When
+    * the benchmark suite outgrows the broadcast threshold (hundreds of
+    * evals × thousands of rows), pass `broadcastIndex = false`: the same
+    * plan runs as a shuffle equi-join on the shingle — both sides
+    * partition by shingle hash, identical results — instead of OOMing
+    * the driver on a forced broadcast build. No df cap here —
     * contamination wants exact overlap, and the join fan-out is bounded
     * by the benchmark's vocabulary, not the corpus's. */
   def ngramOverlap(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 5)
-      : DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 5,
+      broadcastIndex: Boolean = true): DataFrame = {
     def index(docs: DataFrame, as: String) =
       docs.select(col(idCol).as(as),
         explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val bench = index(benchmark, "bench_id")
     index(corpus, "doc_id")
-      .join(broadcast(index(benchmark, "bench_id")), "sh")
+      .join(if (broadcastIndex) broadcast(bench) else bench, "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_shared"),
         min(col("bench_id")).as("first_bench_id"))

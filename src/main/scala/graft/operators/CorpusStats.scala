@@ -169,12 +169,12 @@ object CorpusStats {
     * row per distinct term (a dimension-sized frame — joined in without
     * a broadcast hint so AQE picks broadcast while it fits and falls
     * back to shuffle at web-vocabulary scale), one per-doc window for
-    * the top-k cut. N arrives as a literal computed by the caller (a
-    * count() over the corpus — one cheap job), never a driver collect of
-    * data rows. */
+    * the top-k cut. N is a one-row in-plan aggregate cross-joined into
+    * the scoring projection — fully lazy (building this DataFrame runs
+    * no job), and never a driver collect of data rows. */
   def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
     val tf = docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("term"))
@@ -189,8 +189,9 @@ object CorpusStats {
       .partitionBy(col("id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(df, Seq("term"))
+      .crossJoin(nDf) // one row; AQE broadcasts it
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("corpus_n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("term"), col("tfidf"), col("rank"))
@@ -233,21 +234,45 @@ object CorpusStats {
   }
 
   /** Per-(source, lang) corpus health: doc count, total chars, mean
-    * whitespace-token count, and exact length percentiles (p50/p90) of
-    * the token counts. Exact `percentile` (not approx) keeps the result
-    * engine-reproducible; at 100 TB swap in `approx_percentile` per
-    * partition — the plan shape (one partial-aggregating shuffle on the
-    * group key) is identical. */
+    * whitespace-token count, and DISCRETE nearest-rank percentiles
+    * (p50/p90) of the integer token counts — the smallest value whose
+    * cumulative count reaches ⌈p·n⌉. Continuous-interpolation
+    * percentiles (`percentile`/`median` vs `quantile_cont`) differ
+    * between engines in the last double ulp and flip rounding
+    * boundaries; rank selection over integers is exact in every engine.
+    *
+    * Shape: one histogram aggregate on (source, lang, toks) — map-side
+    * combining collapses the shuffle to the distinct-value level — then
+    * a cumulative window over the per-group HISTOGRAM (distinct token
+    * values, not rows; bounded by the longest doc, not the corpus),
+    * then the rank cut as a plain conditional-min aggregate; the
+    * count/sum/mean aggregate joins back on the group key. The target
+    * ranks use integer `DIV`, so no double ever sits at a boundary. At
+    * 100 TB the same histogram feeds `approx_percentile` instead — the
+    * plan keeps the one partial-aggregating shuffle on the group key. */
   def sourceStats(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokenCount(col("text")).cast("double")
-    docs
+    val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+    val base = docs
       .select(col("source"), col("lang"), col("n_chars"), toks.as("toks"))
-      .groupBy(col("source"), col("lang"))
+    val hist = base.groupBy(col("source"), col("lang"), col("toks"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang")).orderBy(col("toks"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def rankOf(num: Int, den: Int) = // ⌈num·n / den⌉ in integer math
+      expr(s"(n * $num + ${den - 1}) DIV $den")
+    val pct = cum.groupBy(col("source"), col("lang")).agg(
+      min(when(col("cum") >= rankOf(1, 2), col("toks"))).as("p50_tokens"),
+      min(when(col("cum") >= rankOf(9, 10), col("toks"))).as("p90_tokens"))
+    base.groupBy(col("source"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("toks")), 4).as("mean_tokens"),
-        round(median(col("toks")), 4).as("p50_tokens"),
-        round(percentile(col("toks"), lit(0.9)), 4).as("p90_tokens"))
+        round(avg(col("toks")), 4).as("mean_tokens"))
+      .join(pct, Seq("source", "lang"))
   }
 }

@@ -202,19 +202,36 @@ object Dedup {
     * their own id). This is what turns pairwise similarity into actual
     * dedup groups — "keep one doc per cluster" is `cluster_id` itself.
     *
-    * Iterative min-label propagation: each round, a vertex takes the
-    * minimum of its own label and its neighbors' labels — one shuffle
-    * join + one aggregation per round, converging in O(component
-    * diameter) rounds. Near-dup clusters are shallow (diameter ≪ 20 in
-    * practice); the loop stops as soon as a round changes nothing, so
-    * the common case pays 2-3 rounds. Each round's labels are
-    * materialized via cache (tracked) so lineage stays flat — at
-    * cluster scale you'd checkpoint every few rounds instead. The
-    * classic refinement for hub-heavy graphs (large-star/small-star)
-    * keeps the same per-round plan shape and drops in here if
-    * components ever get deep. */
+    * Min-label propagation WITH path-halving — each round a vertex takes
+    * (1) the minimum of its own and its neighbors' labels (one edge join
+    * + aggregation), then (2) its new label's OLD label (one join against
+    * the previous label map — pointer jumping). Step 2 composes label
+    * chains, so the label horizon grows geometrically (1, 3, 7, 15, …
+    * hops) and the loop converges in O(log diameter) rounds where plain
+    * propagation needs O(diameter) — at 100 TB each round is a full
+    * shuffle, so log-rounds vs linear-rounds is the difference that
+    * matters (the large-star/small-star contraction family; this is its
+    * label-table formulation). Near-dup clusters are shallow, so the
+    * common case pays 2-3 rounds.
+    *
+    * Convergence probe: labels only ever DECREASE, so `sum(label)` is
+    * strictly monotone until the fixpoint — one cheap aggregate over the
+    * cached label frame (no join), and it doubles as the action that
+    * materializes the round's cache, so the probe adds no extra job.
+    * Each round's labels are materialized via cache (tracked) so lineage
+    * stays flat — at cluster scale you'd checkpoint every few rounds
+    * instead. */
   def clusterAssignments(vertices: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+      idCol: String = "doc_id", maxIter: Int = 25): DataFrame =
+    clusterAssignmentsWithRounds(vertices, pairs, idCol, maxIter)._1
+
+  /** [[clusterAssignments]] plus the number of rounds that made progress
+    * (the round after which labels stopped changing) — the spec hook for
+    * the O(log diameter) bound. One extra no-change round always runs to
+    * DETECT the fixpoint; it is not counted. */
+  private[graft] def clusterAssignmentsWithRounds(vertices: DataFrame,
+      pairs: DataFrame, idCol: String = "doc_id", maxIter: Int = 25)
+      : (DataFrame, Int) = {
     // both edge directions from ONE pass over the pair plan: a union of
     // two selects would evaluate the (expensive, uncached) pair
     // generation once per branch
@@ -228,41 +245,60 @@ object Dedup {
     // the endpoint set alone makes each round proportional to the near-dup
     // pair count (tiny next to the corpus at any scale); the full corpus is
     // touched exactly once, by the final join-back.
+    val endpoints = edges.select(col("src").as("id")).distinct()
     var labels = CacheRegistry.tracked(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
-    def propagate(l: DataFrame): DataFrame = {
-      val nbrMin = edges
+      endpoints.select(col("id"), col("id").as("label")))
+    // propagation edges carry one self-loop per endpoint: the join +
+    // groupBy-min then yields min(own label, neighbors' labels) directly
+    // — TWO shuffles per propagation instead of three (no separate
+    // left-join to merge the vertex's own label back in)
+    val propEdges = CacheRegistry.tracked(
+      edges.union(endpoints.select(col("id").as("src"),
+        col("id").as("dst"))))
+    // one round = neighbor-min propagation, then pointer jumping through
+    // the PREVIOUS label map (cached — so the composed plan reads each
+    // input once; an uncached self-join of the fresh propagation would
+    // recompute it per reference, measured strictly slower). Round 1
+    // skips the jump: the initial map is the identity, a no-op join.
+    def round(l: DataFrame, halve: Boolean): DataFrame = {
+      val prop = propEdges
         .join(l.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
-        .select(col("dst").as("id"), col("nbr"))
-      l.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"))
+        .groupBy(col("dst")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("id"), col("label"))
+      // path halving: label := previous-label-of(label). Every label is a
+      // vertex id (labels only ever come from the label table), and the
+      // old map only points downward, so this is a pure contraction.
+      if (!halve) prop
+      else prop.as("p")
+        .join(l.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("p.label") === col("jid"), "left")
+        .select(col("p.id").as("id"),
+          coalesce(col("jlabel"), col("p.label")).as("label"))
     }
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      // decimal sum: overflow-proof at any vertex count, and the action
+      // that materializes the round's cache
+      l.agg(sum(col("label").cast("decimal(38,0)"))).collect().head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // ONE propagation step per cached materialization: the label frame
-      // feeds the next round from its cache, and an uncached composed
-      // double-step would recompute its inner half once per reference
-      // (l appears on both sides of the join) — measured strictly slower
-      val next = CacheRegistry.tracked(propagate(labels))
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") < col("p.label"))
-        .limit(1).count()
+      val next = CacheRegistry.tracked(round(labels, halve = iter > 0))
+      val s = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
-      done = changed == 0
+      done = java.util.Objects.equals(prevSum, s) ||
+        (prevSum != null && s != null && prevSum.compareTo(s) == 0)
+      prevSum = s
       iter += 1
     }
-    vertices.select(col(idCol))
+    val assigned = vertices.select(col(idCol))
       .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol),
         "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
+    (assigned, math.max(0, iter - 1))
   }
 
   val SimhashBits = 60

@@ -128,8 +128,7 @@ object ExtQueries {
     // decoded (width, height, brightness) are oracle-predictable without
     // an image library on the oracle side.
     "x_media_decode" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
         .filter(col("kind") === "image")
         .select(col("media_id"), col("width"), col("height"),
           col("brightness"))),
@@ -137,8 +136,7 @@ object ExtQueries {
     // Header-only metadata peek (PNG IHDR parse for images, fake header
     // for the stubbed kinds) — the pushdown path that skips full decode.
     "x_media_header" -> ((s, d) =>
-      Multimodal.headerMetadata(
-        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      Multimodal.headerMetadata(Multimodal.mediaTable(s, d))
         .select(col("media_id"), col("kind"), col("width"), col("height"))),
 
     "x_stream_hourly" -> ((s, d) =>
@@ -229,9 +227,17 @@ object ExtQueries {
       CorpusStats.sourceStats(Tables.documents(s, d))),
 
     // Per-vector int8 scalar quantization (the faiss SQ8 layout): 4×
-    // memory cut for the ANN corpus, error bounded by half a step.
+    // memory cut for the ANN corpus, error bounded by half a step. The
+    // codes array surfaces as an md5 digest of its CSV rendering — the
+    // driver's compare sorts/hashes result cells and cannot hash a raw
+    // array (the x_pii_scrub scrubbed_fp pattern); max_abs_err stays the
+    // semantic reconstruction check.
     "x_embed_quantize" -> ((s, d) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, d))),
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("qmin"), col("qmax"),
+          md5(concat_ws(",", col("codes").cast("array<string>")))
+            .as("codes_fp"),
+          col("max_abs_err"))),
 
     // Curation: the k best docs per source by quality score (ties by
     // ascending id) — one shuffle on the group key, ranked per group.
@@ -676,18 +682,19 @@ object ExtQueries {
     // formula, mean luminance = the solid gray (PNG is lossless)
     "x_media_decode" ->
       """SELECT doc_id AS media_id,
-        |  (64 + doc_id % 192)::int AS width,
-        |  (64 + doc_id % 128)::int AS height,
+        |  (16 + doc_id % 48)::int AS width,
+        |  (16 + doc_id % 32)::int AS height,
         |  (doc_id % 256)::double AS brightness
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // every kind's header-derived dims follow the doc_id formulas
+    // (Multimodal.fixtureDims)
     "x_media_header" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image'
         |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  (64 + doc_id % 192)::int AS width,
-        |  (64 + doc_id % 128)::int AS height
+        |  (16 + doc_id % 48)::int AS width,
+        |  (16 + doc_id % 32)::int AS height
         |FROM documents""".stripMargin,
 
     "x_stream_hourly" ->
@@ -792,7 +799,7 @@ object ExtQueries {
         |    ELSE list_transform(v, x -> 0) END AS codes
         |  FROM rng)
         |SELECT vec_id, round(qmin, 6) AS qmin, round(qmax, 6) AS qmax,
-        |  codes,
+        |  md5(array_to_string(codes, ',')) AS codes_fp,
         |  round(CASE WHEN qmax > qmin THEN
         |    list_max(list_transform(range(1, len(v) + 1),
         |      i -> abs(v[i] - (qmin + codes[i] * scale))))
@@ -978,17 +985,35 @@ object ExtQueries {
          |ORDER BY df DESC, token
          |LIMIT $VocabTopK""".stripMargin,
 
+    // discrete nearest-rank percentiles over the per-group histogram —
+    // mirrors CorpusStats.sourceStats (integer rank targets, no
+    // continuous interpolation anywhere)
     "x_source_stats" ->
-      """SELECT source, lang, count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
-        |  round(avg(toks), 4) AS mean_tokens,
-        |  round(median(toks), 4) AS p50_tokens,
-        |  round(quantile_cont(toks, 0.9), 4) AS p90_tokens
-        |FROM (SELECT source, lang, n_chars,
-        |        len(string_split_regex(lower(trim(text)), '\s+'))::double
-        |          AS toks
-        |      FROM documents)
-        |GROUP BY source, lang""".stripMargin,
+      """WITH t AS (
+        |  SELECT source, lang, n_chars,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::bigint
+        |      AS toks
+        |  FROM documents),
+        |h AS (SELECT source, lang, toks, count(*) AS cnt
+        |      FROM t GROUP BY source, lang, toks),
+        |c AS (SELECT source, lang, toks,
+        |        sum(cnt) OVER (PARTITION BY source, lang
+        |          ORDER BY toks) AS cum,
+        |        sum(cnt) OVER (PARTITION BY source, lang) AS n
+        |      FROM h),
+        |p AS (SELECT source, lang,
+        |        min(CASE WHEN cum >= (n + 1) // 2 THEN toks END)
+        |          AS p50_tokens,
+        |        min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN toks END)
+        |          AS p90_tokens
+        |      FROM c GROUP BY source, lang),
+        |a AS (SELECT source, lang, count(*) AS n_docs,
+        |        sum(n_chars) AS total_chars,
+        |        round(avg(toks), 4) AS mean_tokens
+        |      FROM t GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_chars, mean_tokens,
+        |  p50_tokens, p90_tokens
+        |FROM a JOIN p USING (source, lang)""".stripMargin,
 
     // same augmented text, same three patterns in the same order
     "x_pii_scrub" ->

@@ -218,15 +218,24 @@ object Similarity {
     * the reconstruction `qmin + code·(qmax−qmin)/255` vs the original —
     * bounded by half a quantization step. Degenerate constant vectors
     * (max = min) encode as all-zero codes with zero error. */
-  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+  /** The SQ8 grid of one vector column: (qmin, qmax, scale, codes) —
+    * the ONE place the quantization expressions live, shared by
+    * [[quantizeInt8]] and [[sq8RefineTopK]] (and mirrored by both SQL
+    * oracles), so the "same construction" siblings can never drift. */
+  private def sq8Grid(v: Column): (Column, Column, Column, Column) = {
     val qmin = array_min(v)
     val qmax = array_max(v)
     val scale = (qmax - qmin) / lit(255.0)
     val codes = when(qmax > qmin,
       transform(v, x => round((x - qmin) / scale).cast("int")))
       .otherwise(transform(v, _ => lit(0)))
+    (qmin, qmax, scale, codes)
+  }
+
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val (qmin, qmax, scale, codes) = sq8Grid(v)
     val recon = zip_with(v, codes,
       (x, c) => abs(x - (qmin + c.cast("double") * scale)))
     vectors.select(col(idCol),
@@ -249,13 +258,9 @@ object Similarity {
       shortlistFactor: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = unitVecs(queries, idCol, vecCol, "query_id", "qv")
-    // quantize the raw corpus vectors (same construction as quantizeInt8)
+    // quantize the raw corpus vectors (the shared sq8Grid construction)
     val v = col(vecCol).cast("array<double>")
-    val qmin = array_min(v)
-    val scale = (array_max(v) - qmin) / lit(255.0)
-    val codes = when(array_max(v) > qmin,
-      transform(v, x => round((x - qmin) / scale).cast("int")))
-      .otherwise(transform(v, _ => lit(0)))
+    val (qmin, _, scale, codes) = sq8Grid(v)
     val sq = fanOut(corpus).select(col(idCol).as("match_id"),
       qmin.as("qmin"), scale.as("scale"), codes.as("codes"))
     // stage 1: reconstruct from the codes, unit-normalize, approx score

@@ -146,6 +146,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF recall is quality-gated against brute force") {
+    // A clustered corpus (8 well-separated centers + small noise) — the
+    // regime IVF is FOR: trained centroids must place a query's true
+    // neighbors in its nearest lists, so nprobe=2 of 8 recovers ≥ 0.9
+    // of the exact top-k. (On isotropic random vectors — the parquet
+    // fixture — neighbors scatter uniformly across lists and NO coarse
+    // index reaches 0.9 at real pruning; a gate there measures the
+    // data, not the trainer. Measured: 0.43 on the random fixture.)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Seq.tabulate(64)(j =>
+        (if (j == c * 8) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" % 20 === 0)
+    val cents = Similarity.kmeansCentroids(e, numCentroids = 8)
+    val ivf = Similarity.ivfTopKWith(q, e, 10, cents, nprobe = 2)
+      .select($"query_id", $"match_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .select($"query_id", $"match_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf).toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("k-means IVF shares the search path and scores exactly") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" % 50 === 0)
@@ -242,6 +268,37 @@ class ExtSpec extends SparkSpec {
     assert(Seq(6L, 7L, 8L, 9L, 12L).forall(v => got(v) === v))
   }
 
+  test("connected components converge in O(log diameter) rounds") {
+    val n = 33L // a 33-chain: diameter 32, the worst case for propagation
+    val verts = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (df, rounds) = Dedup.clusterAssignmentsWithRounds(verts, pairs)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(got(_) === 1L))
+    // path halving reaches 2^k − 1 hops after k rounds, so the min label
+    // crosses diameter d within ⌈log₂ d⌉ + 1 progress rounds — plain
+    // propagation would need all 32
+    val bound = math.ceil(math.log((n - 1).toDouble) / math.log(2)).toInt + 1
+    assert(rounds <= bound, s"rounds $rounds > bound $bound")
+  }
+
+  test("connected components survive a hub-heavy (skewed) pair list") {
+    // a 20k-spoke star: the propagate join's hottest key carries the
+    // whole component — the shape AQE skew handling (plus map-side
+    // partial min) must absorb at scale
+    val n = 20000L
+    val verts = spark.range(1, n + 1).select($"id".as("doc_id"))
+    val pairs = spark.range(2, n + 1)
+      .select(lit(1L).as("id_a"), $"id".as("id_b"))
+    val t0 = System.nanoTime()
+    val (df, rounds) = Dedup.clusterAssignmentsWithRounds(verts, pairs)
+    val wrong = df.filter($"cluster_id" =!= 1L).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(wrong === 0)
+    assert(rounds <= 2, s"rounds $rounds") // star diameter is 2
+    assert(secs < 60.0, s"hub fixture took $secs s")
+  }
+
   test("sessionize: gap splits sessions, end is last event + gap") {
     def ts(h: Int, m: Int = 0) =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
@@ -272,6 +329,17 @@ class ExtSpec extends SparkSpec {
     assert(got(100L) === None)        // click before any purchase
     assert(got(101L) === Some(201L))  // equal-ts inclusive, max id wins
     assert(got(102L) === None)        // other user: no purchases at all
+  }
+
+  test("decontamination shuffled fallback equals the broadcast path") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val viaBroadcast = Contamination.ngramOverlap(corpus, bench, n = 5)
+    val viaShuffle = Contamination.ngramOverlap(corpus, bench, n = 5,
+      broadcastIndex = false)
+    assert(viaShuffle.count() === viaBroadcast.count())
+    assert(viaShuffle.exceptAll(viaBroadcast).count() === 0)
   }
 
   test("decontamination flags only docs sharing a benchmark n-gram") {
@@ -470,18 +538,21 @@ class ExtSpec extends SparkSpec {
     assert(got("view")._5 === Some(3))
   }
 
-  test("source stats: counts, volume, and exact percentiles per group") {
+  test("source stats: counts, volume, and nearest-rank percentiles") {
     val d = Seq(
       ("web", "en", 10L, "one two three"),
       ("web", "en", 20L, "one two three four five"),
       ("book", "en", 5L, "one"))
       .toDF("source", "lang", "n_chars", "text")
     val got = CorpusStats.sourceStats(d)
-      .as[(String, String, Long, Long, Double, Double, Double)]
+      .as[(String, String, Long, Long, Double, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
     val web = got(("web", "en"))
     assert(web._3 === 2L && web._4 === 30L && web._5 === 4.0)
-    assert(web._6 === 4.0) // median of (3, 5)
-    assert(got(("book", "en"))._6 === 1.0)
+    // nearest-rank (discrete): p50 of (3, 5) is the value at rank
+    // ⌈n/2⌉ = 1 → 3; p90 at rank ⌈0.9·2⌉ = 2 → 5. No interpolation.
+    assert(web._6 === 3L && web._7 === 5L)
+    assert(got(("book", "en"))._6 === 1L)
+    assert(got(("book", "en"))._7 === 1L)
   }
 }

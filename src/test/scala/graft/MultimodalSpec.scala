@@ -26,8 +26,7 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media, batchSize = 32)
     assert(feats.count() === 500)
     val f = feats.filter($"media_id" === 7L).collect().head // 7 % 3 → audio
-    assert(f.width === (64 + 7 % 192))
-    assert(f.height === (64 + 7 % 128))
+    assert((f.width, f.height) === Multimodal.fixtureDims(7L))
     assert(f.brightness > 0.0 && f.brightness < 256.0)
     assert(f.n_bytes > 4)
     assert(f.sha.length === 16)
@@ -36,8 +35,8 @@ class MultimodalSpec extends SparkSpec {
   test("image kind decodes real PNG payloads to exact dims + brightness") {
     val img = Multimodal.extractFeatures(media)
       .filter($"kind" === "image" && $"media_id" === 6L).collect().head
-    assert(img.width === 64 + 6)   // solid-gray PNG rendered from doc_id
-    assert(img.height === 64 + 6)
+    // solid-gray PNG rendered from doc_id
+    assert((img.width, img.height) === Multimodal.fixtureDims(6L))
     assert(img.brightness === 6.0) // PNG is lossless: mean luminance = gray
   }
 

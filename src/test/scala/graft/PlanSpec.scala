@@ -98,6 +98,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination fallback runs without any broadcast build") {
+    withStaticPlan {
+      // with auto-broadcast off (the stand-in for "benchmark side too big
+      // to broadcast"), the fallback must plan a shuffle equi-join — and
+      // the default path must still force its broadcast hint
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sf0001)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val fallback = graft.operators.Contamination
+          .ngramOverlap(corpus, bench, n = 5, broadcastIndex = false)
+          .queryExecution.executedPlan.toString
+        assert(!fallback.contains("BroadcastHashJoin"))
+        assert(!fallback.contains("BroadcastNestedLoopJoin"))
+        val hinted = graft.operators.Contamination
+          .ngramOverlap(corpus, bench, n = 5)
+          .queryExecution.executedPlan.toString
+        assert(hinted.contains("BroadcastHashJoin"))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("the sync delta is a single join of source against state") {
     val plan = run("c4_sync_router").queryExecution.executedPlan.toString
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
