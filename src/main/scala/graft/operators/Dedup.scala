@@ -159,14 +159,25 @@ object Dedup {
       textCol: String = "text", n: Int = 3, numHashes: Int = 8,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
     minhashSignaturesFrom(
-      indexOf(cappedPostings(docs, idCol, textCol, n, maxShingleDf)),
-      numHashes)
+      cappedPostings(docs, idCol, textCol, n, maxShingleDf), numHashes)
 
-  private def minhashSignaturesFrom(ex: DataFrame, numHashes: Int): DataFrame =
-    ex.groupBy(col("id"))
-      .agg(min(seededHash(col("sh"), 0)).as("mh0"),
-        (1 until numHashes).map(k =>
-          min(seededHash(col("sh"), k)).as(s"mh$k")): _*)
+  /** Signatures from the POSTING lists: the k seeded hashes depend only
+    * on (shingle, seed), so they are computed once per DISTINCT shingle
+    * (one posting row each) and then exploded to (id, hashes) for the
+    * min-aggregate. md5 dominates signature cost; hashing after the
+    * explode pays it once per occurrence — avg-df times the work for
+    * bit-identical minima. */
+  private def minhashSignaturesFrom(postings: DataFrame, numHashes: Int)
+      : DataFrame = {
+    val hs = (0 until numHashes)
+    val hashed = postings.select(
+      (col("ids") +: hs.map(k => seededHash(col("sh"), k).as(s"h$k"))): _*)
+    hashed
+      .select((explode(col("ids")).as("id") +: hs.map(k => col(s"h$k"))): _*)
+      .groupBy(col("id"))
+      .agg(min(col("h0")).as("mh0"),
+        hs.tail.map(k => min(col(s"h$k")).as(s"mh$k")): _*)
+  }
 
   /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), bucket-join on (band, band-key), then verify
@@ -179,9 +190,11 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val idx = indexOf(cappedPostings(docs, idCol, textCol, n, maxShingleDf))
-    val arrays = idx.groupBy(col("id")).agg(collect_list(col("sh")).as("shs"))
-    val sigs = minhashSignaturesFrom(idx, numHashes)
+    val postings = cappedPostings(docs, idCol, textCol, n, maxShingleDf)
+    val arrays = CacheRegistry.tracked( // verifyJaccard joins it twice —
+      indexOf(postings).groupBy(col("id")) // uncached it would rebuild
+        .agg(collect_list(col("sh")).as("shs"))) // per join side
+    val sigs = minhashSignaturesFrom(postings, numHashes)
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws(",",
         (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
@@ -280,17 +293,28 @@ object Dedup {
       // that materializes the round's cache
       l.agg(sum(col("label").cast("decimal(38,0)"))).collect().head
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (debug) System.err.println(
+        f"[cc] $what%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    // No action before the loop: when any edge exists, round 1 always
+    // makes progress, so the first sum only needs comparing from round 2
+    // — one fewer driver round-trip (each is a full job at scale).
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val next = CacheRegistry.tracked(round(labels, halve = iter > 0))
-      val s = labelSum(next)
+      val s = timed(s"round ${iter + 1}")(labelSum(next))
       labels.unpersist(blocking = false)
       labels = next
-      done = java.util.Objects.equals(prevSum, s) ||
-        (prevSum != null && s != null && prevSum.compareTo(s) == 0)
-      prevSum = s
+      done = s == null || // an empty endpoint set never changes
+        prevSum.exists(p => p != null && p.compareTo(s) == 0)
+      prevSum = Some(s)
       iter += 1
     }
     val assigned = vertices.select(col(idCol))

@@ -218,31 +218,46 @@ object Similarity {
     * the reconstruction `qmin + code·(qmax−qmin)/255` vs the original —
     * bounded by half a quantization step. Degenerate constant vectors
     * (max = min) encode as all-zero codes with zero error. */
-  /** The SQ8 grid of one vector column: (qmin, qmax, scale, codes) —
-    * the ONE place the quantization expressions live, shared by
-    * [[quantizeInt8]] and [[sq8RefineTopK]] (and mirrored by both SQL
-    * oracles), so the "same construction" siblings can never drift. */
-  private def sq8Grid(v: Column): (Column, Column, Column, Column) = {
-    val qmin = array_min(v)
-    val qmax = array_max(v)
-    val scale = (qmax - qmin) / lit(255.0)
-    val codes = when(qmax > qmin,
-      transform(v, x => round((x - qmin) / scale).cast("int")))
-      .otherwise(transform(v, _ => lit(0)))
-    (qmin, qmax, scale, codes)
-  }
+  /** Append the SQ8 grid columns (`v`, `qmin`, `qmax`, `scale`,
+    * `codes`) for `vecCol` — the ONE place the quantization expressions
+    * live, shared by [[quantizeInt8]] and [[sq8RefineTopK]] (and
+    * mirrored by both SQL oracles), so the "same construction" siblings
+    * can never drift.
+    *
+    * The grid is bound as ATTRIBUTES through a projection chain on
+    * purpose: higher-order functions run interpreted, and a
+    * non-attribute subexpression inside a lambda re-evaluates PER
+    * ELEMENT — `array_min(v)` inside the codes `transform` is O(d²) per
+    * row. CollapseProject keeps the binding (it refuses to inline
+    * non-cheap expressions referenced more than once). */
+  private def withSq8Grid(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("v", col(vecCol).cast("array<double>"))
+      .withColumn("qmin", array_min(col("v")))
+      .withColumn("qmax", array_max(col("v")))
+      .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+      .withColumn("codes", when(col("qmax") > col("qmin"),
+        transform(col("v"),
+          x => round((x - col("qmin")) / col("scale")).cast("int")))
+        .otherwise(transform(col("v"), _ => lit(0))))
 
   def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val (qmin, qmax, scale, codes) = sq8Grid(v)
-    val recon = zip_with(v, codes,
-      (x, c) => abs(x - (qmin + c.cast("double") * scale)))
-    vectors.select(col(idCol),
-      round(qmin, 6).as("qmin"), round(qmax, 6).as("qmax"),
-      codes.as("codes"),
-      round(array_max(when(qmax > qmin, recon)
-        .otherwise(transform(v, _ => lit(0.0)))), 6).as("max_abs_err"))
+    val g = withSq8Grid(vectors, vecCol)
+    val recon = zip_with(col("v"), col("codes"),
+      (x, c) => abs(x - (col("qmin") + c.cast("double") * col("scale"))))
+    // raw_err is computed BEFORE the projection that re-aliases "qmin"/
+    // "qmax" to their rounded forms: Spark's lateral column alias
+    // resolution would otherwise bind the col("qmin") inside recon to
+    // the earlier `round(qmin, 6) AS qmin` item of the SAME select list
+    // — a silent 4e-7 shift in the reconstruction error (caught by the
+    // oracle gate, round 4).
+    g.withColumn("raw_err",
+        array_max(when(col("qmax") > col("qmin"), recon)
+          .otherwise(transform(col("v"), _ => lit(0.0)))))
+      .select(col(idCol),
+        round(col("qmin"), 6).as("qmin"), round(col("qmax"), 6).as("qmax"),
+        col("codes"),
+        round(col("raw_err"), 6).as("max_abs_err"))
   }
 
   /** Two-stage ANN over the SQ8 codes (asymmetric distance computation):
@@ -258,11 +273,10 @@ object Similarity {
       shortlistFactor: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = unitVecs(queries, idCol, vecCol, "query_id", "qv")
-    // quantize the raw corpus vectors (the shared sq8Grid construction)
-    val v = col(vecCol).cast("array<double>")
-    val (qmin, _, scale, codes) = sq8Grid(v)
-    val sq = fanOut(corpus).select(col(idCol).as("match_id"),
-      qmin.as("qmin"), scale.as("scale"), codes.as("codes"))
+    // quantize the raw corpus vectors (the shared withSq8Grid columns)
+    val sq = withSq8Grid(fanOut(corpus), vecCol)
+      .select(col(idCol).as("match_id"),
+        col("qmin"), col("scale"), col("codes"))
     // stage 1: reconstruct from the codes, unit-normalize, approx score
     val rv = transform(col("codes"),
       cd => col("qmin") + cd.cast("double") * col("scale"))
