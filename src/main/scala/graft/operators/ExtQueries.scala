@@ -23,6 +23,8 @@ object ExtQueries {
   val NearDupRows = 6
   val IvfCentroidMod = 37
   val IvfNprobe = 2
+  val PqCentroidMod = 41
+  val PqSubspaces = 8
   val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
   val DecontamN = 5
   val SessionGap = "4 hours"
@@ -121,6 +123,17 @@ object ExtQueries {
       val e = Tables.embeddings(s, d)
       Similarity.sq8RefineTopK(
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
+    }),
+
+    // Product-quantization ADC ANN (the faiss IVFPQ code path): m
+    // bytes per vector, search via a broadcast query LUT joined on
+    // (subspace, code), exact re-rank of the shortlist. Deterministic
+    // sampled codebooks so the oracle rebuilds the index exactly.
+    "x_ann_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        centroidMod = PqCentroidMod, m = PqSubspaces, dim = EmbeddingDim)
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -865,6 +878,78 @@ object ExtQueries {
          |  FROM exact)
          |SELECT query_id, match_id, cos, rank FROM ranked
          |WHERE rank <= $TopK""".stripMargin,
+
+    // mirrors Similarity.pqAdcTopK: same sampled codebooks, same
+    // rounded-L2 argmin with the cent_id tie-break, the same
+    // fixed-order pivot sums (a bare SUM over doubles would be
+    // order-dependent and not engine-reproducible), exact re-rank
+    "x_ann_pq_adc" -> {
+      val m = PqSubspaces
+      val sub = EmbeddingDim / m
+      val qPiv = (0 until m).map(j =>
+        s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j").mkString(",\n         |    ")
+      val cPiv = (0 until m).map(j =>
+        s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j").mkString(",\n         |    ")
+      val num = (0 until m).map(j => s"q$j").mkString(" + ")
+      val rn2 = (0 until m).map(j => s"c$j").mkString(" + ")
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, j,
+         |    list_slice(v, j * $sub + 1, j * $sub + $sub) AS s
+         |  FROM corp CROSS JOIN range($m) AS jr(j)),
+         |cb AS (
+         |  SELECT j, vec_id AS cent_id, s AS subc,
+         |    list_dot_product(s, s) AS cn2
+         |  FROM sub WHERE vec_id % $PqCentroidMod = 0),
+         |enc AS (
+         |  SELECT vec_id AS match_id, j, cent_id AS code, cn2 FROM (
+         |    SELECT su.vec_id, su.j, cb.cent_id, cb.cn2, row_number()
+         |      OVER (PARTITION BY su.vec_id, su.j
+         |        ORDER BY round(list_dot_product(su.s, su.s)
+         |          - 2.0 * list_dot_product(su.s, cb.subc) + cb.cn2, 6),
+         |        cb.cent_id) AS rnk
+         |    FROM sub su JOIN cb ON su.j = cb.j)
+         |  WHERE rnk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |        sqrt(list_dot_product(v, v)) AS qn
+         |      FROM corp WHERE vec_id % $QueryMod = 0),
+         |lut AS (
+         |  SELECT q.query_id, q.qn, cb.j, cb.cent_id AS code,
+         |    list_dot_product(
+         |      list_slice(q.qv, cb.j * $sub + 1, cb.j * $sub + $sub),
+         |      cb.subc) AS qdot
+         |  FROM q CROSS JOIN cb),
+         |adc AS (
+         |  SELECT l.query_id, e.match_id,
+         |    $qPiv,
+         |    $cPiv,
+         |    max(l.qn) AS qn
+         |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+         |  WHERE l.query_id <> e.match_id
+         |  GROUP BY l.query_id, e.match_id),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round(($num) / (qn * sqrt($rn2)), 6) AS approx
+         |  FROM adc),
+         |short AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, match_id) AS srnk
+         |    FROM scored)
+         |  WHERE srnk <= ${3 * TopK}),
+         |exact AS (
+         |  SELECT s.query_id, s.match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM short s JOIN q USING (query_id)
+         |  JOIN corp c ON s.match_id = c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, match_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin
+    },
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

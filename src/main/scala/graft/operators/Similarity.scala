@@ -304,6 +304,110 @@ object Similarity {
     topK(exact, k)
   }
 
+  /** Product-quantization codebooks: the corpus sample (`idCol %
+    * centroidMod == 0`) sliced into `m` subspaces of `dim/m` dims — one
+    * row per (subspace j, centroid, sub-vector, |sub-vector|²).
+    * Deterministic sampling (the same device [[ivfTopK]] uses) lets an
+    * external SQL oracle rebuild the codebooks bit-for-bit; production
+    * would train per-subspace k-means — the encode/search plumbing is
+    * identical, only codebook quality changes. */
+  def pqCodebooks(corpus: DataFrame, centroidMod: Int = 41, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    corpus.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
+      .select(col("cent_id"), posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * sub + 1, sub)): _*)).as(Seq("j", "subc")))
+      .withColumn("cn2",
+        graft.plans.VectorExpressions.dotProduct(col("subc"), col("subc")))
+  }
+
+  /** ANN top-k over product-quantized codes with asymmetric distance
+    * computation — the faiss IVFPQ pattern minus the IVF lists (compose
+    * with [[ivfTopKWith]] for both). Each corpus vector stores `m`
+    * small ints (its nearest sub-centroid per subspace, L2, ties to the
+    * lowest id): `m` bytes instead of `dim` floats — at 100 TB the
+    * difference between an in-memory code table and re-reading raw
+    * vectors. SEARCH never touches the vectors: a per-query lookup
+    * table (query-subvector · sub-centroid, |Q|·m·C rows — broadcast)
+    * joins the code table on (subspace, code) and the ADC score is the
+    * fixed-order sum of the m looked-up dots over the reconstruction
+    * norm; an exact re-rank of the `shortlistFactor · k` shortlist
+    * restores exact cosines (full-precision reads drop to the
+    * shortlist join). The m partial sums pivot into fixed-order
+    * additions — a plain double `sum` over the join rows would be
+    * shuffle-order-dependent and not engine-reproducible. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidMod: Int = 41, m: Int = 8, dim: Int = 64,
+      shortlistFactor: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
+    def slices(v: Column) = posexplode(array((0 until m).map(j =>
+      slice(v, j * sub + 1, sub)): _*))
+    val cb = pqCodebooks(corpus, centroidMod, m, dim, idCol, vecCol)
+    // ENCODE: one argmin per (doc, subspace) over the broadcast codebook
+    // — map-side combinable max_by, so n·m rows reach the shuffle, not
+    // n·m·C candidates. d2 rounds to 6 so near-equal centroids tie and
+    // the cent_id tie-break decides identically in every engine.
+    val codes = fanOut(corpus)
+      .select(col(idCol).as("match_id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
+      .select(col("match_id"), slices(col("v")).as(Seq("j", "subv")))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", round(dp(col("subv"), col("subv"))
+        - lit(2.0) * dp(col("subv"), col("subc")) + col("cn2"), 6))
+      .groupBy(col("match_id"), col("j"))
+      .agg(max_by(struct(col("cent_id").as("code"), col("cn2")),
+        struct(-col("d2"), -col("cent_id"))).as("c"))
+      .select(col("match_id"), col("j"),
+        col("c.code").as("code"), col("c.cn2").as("cn2"))
+    // query LUT: dot of each query subvector with every sub-centroid
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("qv"))
+      .withColumn("qn", sqrt(dp(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qn"), slices(col("qv"))
+        .as(Seq("j", "subq")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("qn"), col("j"),
+        col("cent_id").as("code"), dp(col("subq"), col("subc")).as("qdot"))
+    // ADC: code table ⋈ LUT on (subspace, code); pivot the m terms so
+    // the final sums add in a fixed order
+    val pivots =
+      (0 until m).map(j =>
+        sum(when(col("j") === j, col("qdot"))).as(s"q$j")) ++
+      (0 until m).map(j =>
+        sum(when(col("j") === j, col("cn2"))).as(s"c$j")) :+
+      max(col("qn")).as("qn")
+    val adc = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("query_id") =!= col("match_id"))
+      .groupBy(col("query_id"), col("match_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    val num = (1 until m).foldLeft(col("q0"))((a, j) => a + col(s"q$j"))
+    val rn2 = (1 until m).foldLeft(col("c0"))((a, j) => a + col(s"c$j"))
+    val scored = adc.withColumn("approx",
+      round(num / (col("qn") * sqrt(rn2)), 6))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("match_id"))
+    val shortlist = scored
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= k * shortlistFactor)
+      .select(col("query_id"), col("match_id"))
+    // exact re-rank of the shortlist only
+    val qUnit = unitVecs(queries, idCol, vecCol, "query_id", "qvu")
+    val cUnit = unitVecs(corpus, idCol, vecCol, "match_id", "cvu")
+    val exact = shortlist.join(cUnit, Seq("match_id"))
+      .join(broadcast(qUnit), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("cvu"), col("qvu")), 6).as("cos"))
+    topK(exact, k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs variant. O(n²): a test baseline for
     * [[nearDupPairsLsh]]'s recall, NOT the scale path. */

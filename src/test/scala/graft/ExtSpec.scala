@@ -448,6 +448,31 @@ class ExtSpec extends SparkSpec {
     assert(kept.count() >= top1.count() * 9 / 10)
   }
 
+  test("pq adc: exact final scores, tiny codes, no self-matches") {
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val pq = Similarity.pqAdcTopK(queries, e, 5)
+      .select($"query_id", $"match_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, m, _, r) =>
+      assert(q !== m)
+      assert(r >= 1 && r <= 5)
+    }
+    // stage 2 is exact: wherever a PQ hit also appears in brute force,
+    // the cosines agree bit-for-bit
+    val brute = Similarity.bruteForceTopK(queries, e, 50)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, m, c, _) =>
+      brute.get((q, m)).foreach(b => assert(b === c))
+    }
+    // the code table is m rows per sampled centroid vector — the 32×
+    // memory story the operator exists for
+    val nSamples = e.filter($"vec_id" % 41 === 0).count()
+    assert(Similarity.pqCodebooks(e).count() === nSamples * 8)
+  }
+
   test("int8 quantization: error within half a step, constants exact") {
     val vecs = Seq(
       (0L, Seq(0.0f, 1.0f, 0.5f, 0.25f)),
