@@ -41,6 +41,85 @@ object ExtQueries {
     (0 until 64).map(i => s"src$i" -> (if (i % 2 == 0) 0.08 else 0.02))
       .toMap
 
+  /** Shared PQ-oracle CTEs mirroring `Similarity.pqCodebooks` /
+    * `pqEncode` / `pqLut`: sampled codebooks, rounded-L2 argmin with
+    * the cent_id tie-break, per-query lookup table. Used by both
+    * `x_ann_pq_adc` and `x_ann_ivfpq_topk`. */
+  private val PqSub = EmbeddingDim / PqSubspaces
+  private val PqCtes =
+    s"""corp AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |psub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(v, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+       |  FROM corp CROSS JOIN range($PqSubspaces) AS jr(j)),
+       |cb AS (
+       |  SELECT j, vec_id AS cent_id, s AS subc,
+       |    list_dot_product(s, s) AS cn2
+       |  FROM psub WHERE vec_id % $PqCentroidMod = 0),
+       |enc AS (
+       |  SELECT vec_id AS match_id, j, cent_id AS code, cn2 FROM (
+       |    SELECT su.vec_id, su.j, cb.cent_id, cb.cn2, row_number()
+       |      OVER (PARTITION BY su.vec_id, su.j
+       |        ORDER BY round(list_dot_product(su.s, su.s)
+       |          - 2.0 * list_dot_product(su.s, cb.subc) + cb.cn2, 6),
+       |        cb.cent_id) AS rnk
+       |    FROM psub su JOIN cb ON su.j = cb.j)
+       |  WHERE rnk = 1),
+       |pq AS (SELECT vec_id AS query_id, v AS qv,
+       |        sqrt(list_dot_product(v, v)) AS qn
+       |      FROM corp WHERE vec_id % $QueryMod = 0),
+       |lut AS (
+       |  SELECT pq.query_id, pq.qn, cb.j, cb.cent_id AS code,
+       |    list_dot_product(
+       |      list_slice(pq.qv, cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
+       |      cb.subc) AS qdot
+       |  FROM pq CROSS JOIN cb)""".stripMargin
+
+  /** ADC + shortlist + exact-re-rank tail over `enc`/`lut` (from
+    * [[PqCtes]]); `adcFrom` supplies the restricted join chain. The m
+    * subspace terms pivot into fixed-order additions — a bare SUM over
+    * doubles would be shuffle-order-dependent. */
+  private def pqTailSql(adcFrom: String): String = {
+    val qPiv = (0 until PqSubspaces).map(j =>
+      s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
+      .mkString(",\n    ")
+    val cPiv = (0 until PqSubspaces).map(j =>
+      s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j")
+      .mkString(",\n    ")
+    val num = (0 until PqSubspaces).map(j => s"q$j").mkString(" + ")
+    val rn2 = (0 until PqSubspaces).map(j => s"c$j").mkString(" + ")
+    s"""adc AS (
+       |  SELECT l.query_id, e.match_id,
+       |    $qPiv,
+       |    $cPiv,
+       |    max(l.qn) AS qn
+       |  FROM $adcFrom
+       |  WHERE l.query_id <> e.match_id
+       |  GROUP BY l.query_id, e.match_id),
+       |scored AS (
+       |  SELECT query_id, match_id,
+       |    round(($num) / (qn * sqrt($rn2)), 6) AS approx
+       |  FROM adc),
+       |short AS (
+       |  SELECT query_id, match_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, match_id) AS srnk
+       |    FROM scored)
+       |  WHERE srnk <= ${3 * TopK}),
+       |exact AS (
+       |  SELECT s.query_id, s.match_id,
+       |    round(list_cosine_similarity(pq.qv, c.v), 6) AS cos
+       |  FROM short s JOIN pq USING (query_id)
+       |  JOIN corp c ON s.match_id = c.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, match_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, match_id, cos, rank FROM ranked
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_tok_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -134,6 +213,18 @@ object ExtQueries {
       Similarity.pqAdcTopK(
         e.filter(col("vec_id") % QueryMod === 0), e, TopK,
         centroidMod = PqCentroidMod, m = PqSubspaces, dim = EmbeddingDim)
+    }),
+
+    // The full faiss IVFPQ shape: coarse lists + PQ codes; ADC scores
+    // only the codes in a query's nprobe probed lists, then the exact
+    // shortlist re-rank. Both centroid sets deterministic samples.
+    "x_ann_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        ivfCentroidMod = IvfCentroidMod, nprobe = IvfNprobe,
+        pqCentroidMod = PqCentroidMod, m = PqSubspaces,
+        dim = EmbeddingDim)
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -881,75 +972,40 @@ object ExtQueries {
 
     // mirrors Similarity.pqAdcTopK: same sampled codebooks, same
     // rounded-L2 argmin with the cent_id tie-break, the same
-    // fixed-order pivot sums (a bare SUM over doubles would be
-    // order-dependent and not engine-reproducible), exact re-rank
-    "x_ann_pq_adc" -> {
-      val m = PqSubspaces
-      val sub = EmbeddingDim / m
-      val qPiv = (0 until m).map(j =>
-        s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j").mkString(",\n         |    ")
-      val cPiv = (0 until m).map(j =>
-        s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j").mkString(",\n         |    ")
-      val num = (0 until m).map(j => s"q$j").mkString(" + ")
-      val rn2 = (0 until m).map(j => s"c$j").mkString(" + ")
-      s"""WITH corp AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sub AS (
-         |  SELECT vec_id, j,
-         |    list_slice(v, j * $sub + 1, j * $sub + $sub) AS s
-         |  FROM corp CROSS JOIN range($m) AS jr(j)),
-         |cb AS (
-         |  SELECT j, vec_id AS cent_id, s AS subc,
-         |    list_dot_product(s, s) AS cn2
-         |  FROM sub WHERE vec_id % $PqCentroidMod = 0),
-         |enc AS (
-         |  SELECT vec_id AS match_id, j, cent_id AS code, cn2 FROM (
-         |    SELECT su.vec_id, su.j, cb.cent_id, cb.cn2, row_number()
-         |      OVER (PARTITION BY su.vec_id, su.j
-         |        ORDER BY round(list_dot_product(su.s, su.s)
-         |          - 2.0 * list_dot_product(su.s, cb.subc) + cb.cn2, 6),
-         |        cb.cent_id) AS rnk
-         |    FROM sub su JOIN cb ON su.j = cb.j)
+    // fixed-order pivot sums, exact re-rank (shared CTEs: PqCtes)
+    "x_ann_pq_adc" ->
+      s"""WITH $PqCtes,
+         |${pqTailSql("enc e JOIN lut l ON e.j = l.j AND e.code = l.code")}""".stripMargin,
+
+    // mirrors Similarity.ivfPqTopK: the PQ CTEs plus the IVF coarse
+    // assignment/probe restriction — ADC only scores codes in a
+    // query's probed lists
+    "x_ann_ivfpq_topk" ->
+      s"""WITH $PqCtes,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, v AS centv FROM corp
+         |  WHERE vec_id % $IvfCentroidMod = 0),
+         |casg AS (
+         |  SELECT vec_id AS match_id, cent_id FROM (
+         |    SELECT c.vec_id, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN cents ct)
          |  WHERE rnk = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv,
-         |        sqrt(list_dot_product(v, v)) AS qn
-         |      FROM corp WHERE vec_id % $QueryMod = 0),
-         |lut AS (
-         |  SELECT q.query_id, q.qn, cb.j, cb.cent_id AS code,
-         |    list_dot_product(
-         |      list_slice(q.qv, cb.j * $sub + 1, cb.j * $sub + $sub),
-         |      cb.subc) AS qdot
-         |  FROM q CROSS JOIN cb),
-         |adc AS (
-         |  SELECT l.query_id, e.match_id,
-         |    $qPiv,
-         |    $cPiv,
-         |    max(l.qn) AS qn
-         |  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
-         |  WHERE l.query_id <> e.match_id
-         |  GROUP BY l.query_id, e.match_id),
-         |scored AS (
-         |  SELECT query_id, match_id,
-         |    round(($num) / (qn * sqrt($rn2)), 6) AS approx
-         |  FROM adc),
-         |short AS (
-         |  SELECT query_id, match_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY approx DESC, match_id) AS srnk
-         |    FROM scored)
-         |  WHERE srnk <= ${3 * TopK}),
-         |exact AS (
-         |  SELECT s.query_id, s.match_id,
-         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
-         |  FROM short s JOIN q USING (query_id)
-         |  JOIN corp c ON s.match_id = c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, match_id) AS rank
-         |  FROM exact)
-         |SELECT query_id, match_id, cos, rank FROM ranked
-         |WHERE rank <= $TopK""".stripMargin
-    },
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT c.vec_id, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN cents ct
+         |    WHERE c.vec_id % $QueryMod = 0)
+         |  WHERE rnk <= $IvfNprobe),
+         |${pqTailSql("enc e JOIN casg a ON e.match_id = a.match_id " +
+          "JOIN probes p ON a.cent_id = p.cent_id " +
+          "JOIN lut l ON p.query_id = l.query_id AND e.j = l.j " +
+          "AND e.code = l.code")}""".stripMargin,
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

@@ -339,24 +339,25 @@ object Similarity {
     * shortlist join). The m partial sums pivot into fixed-order
     * additions — a plain double `sum` over the join rows would be
     * shuffle-order-dependent and not engine-reproducible. */
-  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidMod: Int = 41, m: Int = 8, dim: Int = 64,
-      shortlistFactor: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+  private def pqSlices(v: Column, m: Int, sub: Int) =
+    posexplode(array((0 until m).map(j =>
+      slice(v, j * sub + 1, sub)): _*))
+
+  /** PQ ENCODE: one argmin per (doc, subspace) over the broadcast
+    * codebook — map-side combinable max_by, so n·m rows reach the
+    * shuffle, not n·m·C candidates. d2 rounds to 6 so near-equal
+    * centroids tie and the cent_id tie-break decides identically in
+    * every engine. Returns (match_id, j, code, cn2). */
+  private def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int,
+      dim: Int, idCol: String, vecCol: String): DataFrame = {
     val sub = dim / m
     def dp(a: Column, b: Column) =
       graft.plans.VectorExpressions.dotProduct(a, b)
-    def slices(v: Column) = posexplode(array((0 until m).map(j =>
-      slice(v, j * sub + 1, sub)): _*))
-    val cb = pqCodebooks(corpus, centroidMod, m, dim, idCol, vecCol)
-    // ENCODE: one argmin per (doc, subspace) over the broadcast codebook
-    // — map-side combinable max_by, so n·m rows reach the shuffle, not
-    // n·m·C candidates. d2 rounds to 6 so near-equal centroids tie and
-    // the cent_id tie-break decides identically in every engine.
-    val codes = fanOut(corpus)
+    fanOut(corpus)
       .select(col(idCol).as("match_id"),
         dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
-      .select(col("match_id"), slices(col("v")).as(Seq("j", "subv")))
+      .select(col("match_id"), pqSlices(col("v"), m, sub)
+        .as(Seq("j", "subv")))
       .join(broadcast(cb), Seq("j"))
       .withColumn("d2", round(dp(col("subv"), col("subv"))
         - lit(2.0) * dp(col("subv"), col("subc")) + col("cn2"), 6))
@@ -365,47 +366,129 @@ object Similarity {
         struct(-col("d2"), -col("cent_id"))).as("c"))
       .select(col("match_id"), col("j"),
         col("c.code").as("code"), col("c.cn2").as("cn2"))
-    // query LUT: dot of each query subvector with every sub-centroid
-    val lut = queries
+  }
+
+  /** PQ query lookup table: dot of each query subvector with every
+    * sub-centroid — (query_id, qn, j, code, qdot), |Q|·m·C rows. */
+  private def pqLut(queries: DataFrame, cb: DataFrame, m: Int, dim: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val sub = dim / m
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
+    queries
       .select(col(idCol).as("query_id"),
         dimChecked(col(vecCol).cast("array<double>"), dim).as("qv"))
       .withColumn("qn", sqrt(dp(col("qv"), col("qv"))))
-      .select(col("query_id"), col("qn"), slices(col("qv"))
+      .select(col("query_id"), col("qn"), pqSlices(col("qv"), m, sub)
         .as(Seq("j", "subq")))
       .join(broadcast(cb), Seq("j"))
       .select(col("query_id"), col("qn"), col("j"),
         col("cent_id").as("code"), dp(col("subq"), col("subc")).as("qdot"))
-    // ADC: code table ⋈ LUT on (subspace, code); pivot the m terms so
-    // the final sums add in a fixed order
+  }
+
+  /** ADC aggregation over (query_id, match_id, j, code, qdot, cn2, qn)
+    * rows: the m subspace terms pivot into fixed-order additions — a
+    * bare double `sum` over shuffle rows would be order-dependent and
+    * not engine-reproducible. Returns (query_id, match_id, approx). */
+  private def adcScores(joined: DataFrame, m: Int): DataFrame = {
     val pivots =
       (0 until m).map(j =>
         sum(when(col("j") === j, col("qdot"))).as(s"q$j")) ++
       (0 until m).map(j =>
         sum(when(col("j") === j, col("cn2"))).as(s"c$j")) :+
       max(col("qn")).as("qn")
-    val adc = codes.join(broadcast(lut), Seq("j", "code"))
-      .filter(col("query_id") =!= col("match_id"))
+    val adc = joined
       .groupBy(col("query_id"), col("match_id"))
       .agg(pivots.head, pivots.tail: _*)
     val num = (1 until m).foldLeft(col("q0"))((a, j) => a + col(s"q$j"))
     val rn2 = (1 until m).foldLeft(col("c0"))((a, j) => a + col(s"c$j"))
-    val scored = adc.withColumn("approx",
-      round(num / (col("qn") * sqrt(rn2)), 6))
+    adc.select(col("query_id"), col("match_id"),
+      round(num / (col("qn") * sqrt(rn2)), 6).as("approx"))
+  }
+
+  /** Exact cosine re-rank of a (query_id, match_id) shortlist. */
+  private def exactRerank(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, idCol: String, vecCol: String)
+      : DataFrame = {
+    val qUnit = unitVecs(queries, idCol, vecCol, "query_id", "qvu")
+    val cUnit = unitVecs(corpus, idCol, vecCol, "match_id", "cvu")
+    topK(shortlist.join(cUnit, Seq("match_id"))
+      .join(broadcast(qUnit), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("cvu"), col("qvu")), 6).as("cos")), k)
+  }
+
+  private def pqShortlist(scored: DataFrame, n: Int): DataFrame = {
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("match_id"))
-    val shortlist = scored
-      .withColumn("srnk", row_number().over(sw))
-      .filter(col("srnk") <= k * shortlistFactor)
+    scored.withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= n)
       .select(col("query_id"), col("match_id"))
-    // exact re-rank of the shortlist only
-    val qUnit = unitVecs(queries, idCol, vecCol, "query_id", "qvu")
-    val cUnit = unitVecs(corpus, idCol, vecCol, "match_id", "cvu")
-    val exact = shortlist.join(cUnit, Seq("match_id"))
-      .join(broadcast(qUnit), Seq("query_id"))
-      .select(col("query_id"), col("match_id"),
-        round(dot(col("cvu"), col("qvu")), 6).as("cos"))
-    topK(exact, k)
+  }
+
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidMod: Int = 41, m: Int = 8, dim: Int = 64,
+      shortlistFactor: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(corpus, centroidMod, m, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    val lut = pqLut(queries, cb, m, dim, idCol, vecCol)
+    val scored = adcScores(
+      codes.join(broadcast(lut), Seq("j", "code"))
+        .filter(col("query_id") =!= col("match_id")), m)
+    exactRerank(pqShortlist(scored, k * shortlistFactor),
+      queries, corpus, k, idCol, vecCol)
+  }
+
+  /** IVF × PQ — the full faiss IVFPQ shape: a coarse centroid set
+    * partitions the corpus into lists, each vector stores only its list
+    * id and m PQ code bytes, and a query ADC-scores ONLY the codes in
+    * its `nprobe` nearest lists before the exact shortlist re-rank. At
+    * 100 TB this is THE layout: the code table is `n·(1 + m)` small
+    * ints (and would be stored partitioned by list id, so probing reads
+    * `nprobe/C` of it); raw vectors are touched only by the shortlist
+    * join. Both centroid sets are deterministic corpus samples so an
+    * external SQL oracle rebuilds the whole index; production swaps in
+    * k-means (coarse) and per-subspace k-means (codebooks) — and
+    * classically encodes residuals (v − coarse centroid) instead of raw
+    * vectors — without changing any of the join plumbing. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      ivfCentroidMod: Int = 37, nprobe: Int = 2, pqCentroidMod: Int = 41,
+      m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = unitVecs(corpus.filter(col(idCol) % ivfCentroidMod === 0),
+      idCol, vecCol, "cent_id", "centv")
+    // coarse assignment — ids only; unlike ivfTopKWith no vector is
+    // carried past this point
+    val assign = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+      .groupBy(col("match_id"))
+      .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+        .as("cent_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cent_id"))
+    val probes = unitVecs(queries, idCol, vecCol, "query_id", "qv")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("qv"), col("centv")), 6))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val cb = pqCodebooks(corpus, pqCentroidMod, m, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    val lut = pqLut(queries, cb, m, dim, idCol, vecCol)
+    // restrict to probed lists FIRST (broadcast probe pairs), then look
+    // up the LUT — the per-row payload through both joins is (list id,
+    // code), never a vector
+    val joined = codes
+      .join(assign, Seq("match_id"))
+      .join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .filter(col("query_id") =!= col("match_id"))
+    exactRerank(pqShortlist(adcScores(joined, m), k * shortlistFactor),
+      queries, corpus, k, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — exact

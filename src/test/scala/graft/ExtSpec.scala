@@ -282,6 +282,48 @@ class ExtSpec extends SparkSpec {
     assert(rounds <= bound, s"rounds $rounds > bound $bound")
   }
 
+  test("connected components agree with union-find on random graphs") {
+    // seeded randomized cross-check against an in-memory reference:
+    // attach-max-root-under-min keeps every component's root at its
+    // minimum id — exactly the cluster_id contract
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(60))(
+          (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expect = (1 to n).map(v => v.toLong -> find(v).toLong).toMap
+      val got = Dedup.clusterAssignments(
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"trial $trial n=$n edges=${edges.size}")
+    }
+  }
+
+  test("quantization error bound holds on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i =>
+        (i.toLong, Seq.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Double, Seq[Int], Double)].collect()
+    assert(got.length === 50)
+    got.foreach { case (_, qmin, qmax, codes, err) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val step = (qmax - qmin) / 255.0
+      assert(err <= step / 2 + 1e-6) // half a step + output rounding
+    }
+  }
+
   test("connected components survive a hub-heavy (skewed) pair list") {
     // a 20k-spoke star: the propagate join's hottest key carries the
     // whole component — the shape AQE skew handling (plus map-side
@@ -471,6 +513,32 @@ class ExtSpec extends SparkSpec {
     // memory story the operator exists for
     val nSamples = e.filter($"vec_id" % 41 === 0).count()
     assert(Similarity.pqCodebooks(e).count() === nSamples * 8)
+  }
+
+  test("ivfpq: probed-list subset of pq, exact scores, no self-match") {
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val ivfpq = Similarity.ivfPqTopK(queries, e, 5)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, m, _) => assert(q !== m) }
+    // the exact stage scores identically to brute force for any pair
+    // both surface
+    val brute = Similarity.bruteForceTopK(queries, e, 50)
+      .select($"query_id", $"match_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (q, m, c) =>
+      brute.get((q, m)).foreach(b => assert(b === c))
+    }
+    // probing restricts candidates: a query's IVFPQ hits never exceed
+    // its unrestricted PQ hits in count
+    val pqCounts = Similarity.pqAdcTopK(queries, e, 5)
+      .groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    val ivfpqCounts = ivfpq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    ivfpqCounts.foreach { case (q, n) =>
+      assert(n <= pqCounts.getOrElse(q, 0L))
+    }
   }
 
   test("int8 quantization: error within half a step, constants exact") {
