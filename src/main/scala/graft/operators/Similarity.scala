@@ -543,17 +543,24 @@ object Similarity {
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 6, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = CacheRegistry.tracked( // self-joined below; keys cost
-      unitVecs(vectors, idCol, vecCol, "id", "v") // bands*rows dot products
+    val sigs = CacheRegistry.tracked( // read from 3 plan branches below
+      unitVecs(vectors, idCol, vecCol, "id", "v") // keys cost bands*rows
         .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim)))
-    val buckets = sigs.select(col("id"), col("v"),
+    // the bucket self-join carries ONLY ids — vectors through an n·bands
+    // shuffle would dominate its size; candidates dedup BEFORE the
+    // verify so a pair agreeing on several bands pays one dot product
+    val buckets = sigs.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "bkey")))
-    buckets.as("x").join(buckets.as("y"),
+    val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(dot(col("x.v"), col("y.v")), 6).as("cos"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct() // a pair may agree on several bands
   }
 }
