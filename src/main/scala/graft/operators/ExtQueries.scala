@@ -25,6 +25,8 @@ object ExtQueries {
   val IvfNprobe = 2
   val PqCentroidMod = 41
   val PqSubspaces = 8
+  val MediaResizeW = 24
+  val MediaResizeH = 24
   val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
   val DecontamN = 5
   val SessionGap = "4 hours"
@@ -234,6 +236,18 @@ object ExtQueries {
     "x_media_decode" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
         .filter(col("kind") === "image")
+        .select(col("media_id"), col("width"), col("height"),
+          col("brightness"))),
+
+    // Batched decode → bilinear resize → re-encode, then decode the
+    // RESIZED payload: dims become the target, and a solid-gray source
+    // stays solid gray through bilinear scaling, so brightness is still
+    // the doc_id-derived gray — fully oracle-predictable.
+    "x_media_resize" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(Multimodal.mediaTable(s, d),
+          MediaResizeW, MediaResizeH)
+          .filter(col("resized")))
         .select(col("media_id"), col("width"), col("height"),
           col("brightness"))),
 
@@ -790,6 +804,15 @@ object ExtQueries {
         |  (16 + doc_id % 32)::int AS height,
         |  (doc_id % 256)::double AS brightness
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    // resized dims are the literal target; bilinear scaling of a
+    // constant image preserves the constant, so brightness is the gray
+    "x_media_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |  $MediaResizeW::int AS width,
+         |  $MediaResizeH::int AS height,
+         |  (doc_id % 256)::double AS brightness
+         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // every kind's header-derived dims follow the doc_id formulas
     // (Multimodal.fixtureDims)

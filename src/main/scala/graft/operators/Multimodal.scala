@@ -155,6 +155,45 @@ object Multimodal {
       }
   }
 
+  /** Batched image RESIZE — decode, scale with AWT bilinear
+    * interpolation, re-encode PNG; one output row per image row, same
+    * `mapPartitions`-with-batching shape as [[extractFeatures]] (a real
+    * codec pipeline would reuse one scaler context per batch).
+    * Non-image kinds and undecodable payloads pass through untouched
+    * with `resized = false` — a pipeline step must be total. On the
+    * solid-gray fixture the resized image is still solid gray, which is
+    * what makes the result oracle-predictable without an image library
+    * on the oracle side. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val out = if (r.kind != "image") None
+            else Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))).map { img =>
+              val dst = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+            (r.media_id, r.kind, out.getOrElse(r.payload), out.isDefined)
+          }
+        }
+      }.toDF("media_id", "kind", "payload", "resized")
+  }
+
   /** Declarative metadata decode — pure `Column` ops over the binary, no
     * codec: what you push down when only metadata is needed and the full
     * payload decode can be skipped. For the image kind this parses the

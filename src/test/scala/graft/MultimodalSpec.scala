@@ -74,6 +74,18 @@ class MultimodalSpec extends SparkSpec {
     assert(declarative.size === 500)
   }
 
+  test("resize: target dims, constant gray preserved, non-images pass") {
+    val resized = Multimodal.resizeImages(media, 24, 24)
+    val img = Multimodal.extractFeatures(resized.filter($"resized"))
+      .filter($"media_id" === 6L).collect().head
+    assert(img.width === 24 && img.height === 24)
+    // bilinear scaling of a constant image is the constant; PNG is
+    // lossless — brightness survives the resize exactly
+    assert(img.brightness === 6.0)
+    val passthrough = resized.filter(!$"resized").count()
+    assert(passthrough === media.filter($"kind" =!= "image").count())
+  }
+
   test("frame sampling slices the body into strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 4)
     assert(frames.count() > 0)
