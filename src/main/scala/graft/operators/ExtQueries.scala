@@ -1000,35 +1000,128 @@ object ExtQueries {
       s"""WITH $PqCtes,
          |${pqTailSql("enc e JOIN lut l ON e.j = l.j AND e.code = l.code")}""".stripMargin,
 
-    // mirrors Similarity.ivfPqTopK: the PQ CTEs plus the IVF coarse
-    // assignment/probe restriction — ADC only scores codes in a
-    // query's probed lists
-    "x_ann_ivfpq_topk" ->
-      s"""WITH $PqCtes,
+    // mirrors Similarity.ivfPqTopK (residual IVFPQ): unit-normalized
+    // vectors, coarse argmax assignment, PQ over the RESIDUALS of a
+    // deterministic sample, ADC = (q·centv + Σ qⱼ·rcⱼ) /
+    // √(1 + 2·Σ centvⱼ·rcⱼ + Σ|rcⱼ|²) with fixed-order pivot sums,
+    // exact shortlist re-rank
+    "x_ann_ivfpq_topk" -> {
+      val mm = PqSubspaces
+      val qPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
+        .mkString(",\n    ")
+      val cPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j")
+        .mkString(",\n    ")
+      val xPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN cr.j = $j THEN cr.crossv END) AS x$j")
+        .mkString(",\n    ")
+      val qn = (0 until mm).map(j => s"q$j").mkString(" + ")
+      val cn = (0 until mm).map(j => s"c$j").mkString(" + ")
+      val xn = (0 until mm).map(j => s"x$j").mkString(" + ")
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |      AS uv
+         |  FROM corp),
          |cents AS (
-         |  SELECT vec_id AS cent_id, v AS centv FROM corp
+         |  SELECT vec_id AS cent_id, uv AS centv FROM u
          |  WHERE vec_id % $IvfCentroidMod = 0),
-         |casg AS (
-         |  SELECT vec_id AS match_id, cent_id FROM (
-         |    SELECT c.vec_id, ct.cent_id, row_number() OVER (
-         |      PARTITION BY c.vec_id
-         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
-         |        DESC, ct.cent_id) AS rnk
-         |    FROM corp c CROSS JOIN cents ct)
+         |asg AS (
+         |  SELECT vec_id AS match_id, uv, cent_id, centv FROM (
+         |    SELECT c.vec_id, c.uv, ct.cent_id, ct.centv, row_number()
+         |      OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_dot_product(c.uv, ct.centv), 6)
+         |          DESC, ct.cent_id) AS rnk
+         |    FROM u c CROSS JOIN cents ct)
          |  WHERE rnk = 1),
+         |res AS (
+         |  SELECT match_id, cent_id,
+         |    list_transform(range(1, len(uv) + 1),
+         |      i -> uv[i] - centv[i]) AS rv
+         |  FROM asg),
+         |rsub AS (
+         |  SELECT match_id, cent_id, j,
+         |    list_slice(rv, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+         |  FROM res CROSS JOIN range($PqSubspaces) AS jr(j)),
+         |cb AS (
+         |  SELECT j, match_id AS code_id, s AS subc,
+         |    list_dot_product(s, s) AS cn2
+         |  FROM rsub WHERE match_id % $PqCentroidMod = 0),
+         |enc AS (
+         |  SELECT match_id, j, code, cn2 FROM (
+         |    SELECT rs.match_id, rs.j, cb.code_id AS code, cb.cn2,
+         |      row_number() OVER (PARTITION BY rs.match_id, rs.j
+         |        ORDER BY round(list_dot_product(rs.s, rs.s)
+         |          - 2.0 * list_dot_product(rs.s, cb.subc) + cb.cn2, 6),
+         |        cb.code_id) AS rnk
+         |    FROM rsub rs JOIN cb ON rs.j = cb.j)
+         |  WHERE rnk = 1),
+         |q AS (SELECT vec_id AS query_id, uv AS qv FROM u
+         |      WHERE vec_id % $QueryMod = 0),
+         |qc AS (
+         |  SELECT q.query_id, ct.cent_id,
+         |    list_dot_product(q.qv, ct.centv) AS qcdot
+         |  FROM q CROSS JOIN cents ct),
          |probes AS (
-         |  SELECT vec_id AS query_id, cent_id FROM (
-         |    SELECT c.vec_id, ct.cent_id, row_number() OVER (
-         |      PARTITION BY c.vec_id
-         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
-         |        DESC, ct.cent_id) AS rnk
-         |    FROM corp c CROSS JOIN cents ct
-         |    WHERE c.vec_id % $QueryMod = 0)
+         |  SELECT query_id, cent_id, qcdot FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(qcdot, 6) DESC, cent_id) AS rnk
+         |    FROM qc)
          |  WHERE rnk <= $IvfNprobe),
-         |${pqTailSql("enc e JOIN casg a ON e.match_id = a.match_id " +
-          "JOIN probes p ON a.cent_id = p.cent_id " +
-          "JOIN lut l ON p.query_id = l.query_id AND e.j = l.j " +
-          "AND e.code = l.code")}""".stripMargin,
+         |lut AS (
+         |  SELECT q.query_id, cb.j, cb.code_id AS code,
+         |    list_dot_product(
+         |      list_slice(q.qv, cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
+         |      cb.subc) AS qdot
+         |  FROM q CROSS JOIN cb),
+         |crossr AS (
+         |  SELECT ct.cent_id, cb.j, cb.code_id AS code,
+         |    list_dot_product(
+         |      list_slice(ct.centv,
+         |        cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
+         |      cb.subc) AS crossv
+         |  FROM cents ct CROSS JOIN cb),
+         |adc AS (
+         |  SELECT p.query_id, e.match_id,
+         |    $qPiv,
+         |    $cPiv,
+         |    $xPiv,
+         |    max(p.qcdot) AS qcdot
+         |  FROM enc e
+         |  JOIN asg a ON e.match_id = a.match_id
+         |  JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN crossr cr ON a.cent_id = cr.cent_id AND e.j = cr.j
+         |    AND e.code = cr.code
+         |  JOIN lut l ON p.query_id = l.query_id AND e.j = l.j
+         |    AND e.code = l.code
+         |  WHERE p.query_id <> e.match_id
+         |  GROUP BY p.query_id, e.match_id),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round((qcdot + ($qn)) /
+         |      sqrt(1.0 + 2.0 * ($xn) + ($cn)), 6) AS approx
+         |  FROM adc),
+         |short AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, match_id) AS srnk
+         |    FROM scored)
+         |  WHERE srnk <= ${3 * TopK}),
+         |exact AS (
+         |  SELECT s.query_id, s.match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM short s JOIN q USING (query_id)
+         |  JOIN corp c ON s.match_id = c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, match_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin
+    },
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

@@ -343,19 +343,18 @@ object Similarity {
     posexplode(array((0 until m).map(j =>
       slice(v, j * sub + 1, sub)): _*))
 
-  /** PQ ENCODE: one argmin per (doc, subspace) over the broadcast
-    * codebook — map-side combinable max_by, so n·m rows reach the
-    * shuffle, not n·m·C candidates. d2 rounds to 6 so near-equal
-    * centroids tie and the cent_id tie-break decides identically in
-    * every engine. Returns (match_id, j, code, cn2). */
-  private def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int,
-      dim: Int, idCol: String, vecCol: String): DataFrame = {
+  /** PQ ENCODE over a prepared (match_id, v) frame: one argmin per
+    * (doc, subspace) over the broadcast codebook — map-side combinable
+    * max_by, so n·m rows reach the shuffle, not n·m·C candidates. d2
+    * rounds to 6 so near-equal centroids tie and the cent_id tie-break
+    * decides identically in every engine. Returns
+    * (match_id, j, code, cn2). */
+  private def pqEncodeVecs(vecs: DataFrame, cb: DataFrame, m: Int,
+      dim: Int): DataFrame = {
     val sub = dim / m
     def dp(a: Column, b: Column) =
       graft.plans.VectorExpressions.dotProduct(a, b)
-    fanOut(corpus)
-      .select(col(idCol).as("match_id"),
-        dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
+    vecs
       .select(col("match_id"), pqSlices(col("v"), m, sub)
         .as(Seq("j", "subv")))
       .join(broadcast(cb), Seq("j"))
@@ -367,6 +366,13 @@ object Similarity {
       .select(col("match_id"), col("j"),
         col("c.code").as("code"), col("c.cn2").as("cn2"))
   }
+
+  private def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int,
+      dim: Int, idCol: String, vecCol: String): DataFrame =
+    pqEncodeVecs(
+      fanOut(corpus).select(col(idCol).as("match_id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("v")),
+      cb, m, dim)
 
   /** PQ query lookup table: dot of each query subvector with every
     * sub-centroid — (query_id, qn, j, code, qdot), |Q|·m·C rows. */
@@ -441,53 +447,108 @@ object Similarity {
       queries, corpus, k, idCol, vecCol)
   }
 
-  /** IVF × PQ — the full faiss IVFPQ shape: a coarse centroid set
-    * partitions the corpus into lists, each vector stores only its list
-    * id and m PQ code bytes, and a query ADC-scores ONLY the codes in
-    * its `nprobe` nearest lists before the exact shortlist re-rank. At
-    * 100 TB this is THE layout: the code table is `n·(1 + m)` small
-    * ints (and would be stored partitioned by list id, so probing reads
-    * `nprobe/C` of it); raw vectors are touched only by the shortlist
-    * join. Both centroid sets are deterministic corpus samples so an
-    * external SQL oracle rebuilds the whole index; production swaps in
-    * k-means (coarse) and per-subspace k-means (codebooks) — and
-    * classically encodes residuals (v − coarse centroid) instead of raw
-    * vectors — without changing any of the join plumbing. */
+  /** IVF × PQ with RESIDUAL encoding — the full classic faiss IVFPQ: a
+    * coarse centroid set partitions the corpus into lists, each vector
+    * stores its list id plus m PQ codes of its RESIDUAL (unit vector −
+    * assigned centroid; residuals are small and concentrated, which is
+    * why the classic design quantizes them instead of raw vectors), and
+    * a query ADC-scores only the codes in its `nprobe` nearest lists
+    * before the exact shortlist re-rank.
+    *
+    * ADC with residuals: recon = centv + r̂, so
+    * score = (q·centv + Σⱼ qⱼ·rcⱼ) / √(1 + 2·Σⱼ centvⱼ·rcⱼ + Σⱼ|rcⱼ|²).
+    * q·centv comes from the probe table, centvⱼ·rcⱼ from a precomputed
+    * (list, subspace, code) cross table — both broadcast, both
+    * index-side at 100 TB. The search joins ship (list id, code) only;
+    * raw vectors reappear just for the shortlist. All subspace sums
+    * pivot into fixed-order additions (engine-reproducible). Both
+    * centroid sets are deterministic corpus samples so an external SQL
+    * oracle rebuilds the whole index; production swaps in k-means on
+    * both levels without changing the plumbing. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       ivfCentroidMod: Int = 37, nprobe: Int = 2, pqCentroidMod: Int = 41,
       m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = unitVecs(corpus.filter(col(idCol) % ivfCentroidMod === 0),
-      idCol, vecCol, "cent_id", "centv")
-    // coarse assignment — ids only; unlike ivfTopKWith no vector is
-    // carried past this point
-    val assign = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
-      .groupBy(col("match_id"))
-      .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-        .as("cent_id"))
+    val sub = dim / m
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
+    val cents = CacheRegistry.tracked(
+      unitVecs(corpus.filter(col(idCol) % ivfCentroidMod === 0),
+        idCol, vecCol, "cent_id", "centv"))
+    // coarse assignment + residual in ONE pass over the unit corpus
+    // (cached: read again for the sampled residual codebook and the
+    // assignment join)
+    val withAsg = CacheRegistry.tracked(
+      unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+        .groupBy(col("match_id"))
+        .agg(max_by(struct(col("cent_id").as("cid"),
+            col("centv").as("cv0")),
+            struct(col("cdot"), -col("cent_id"))).as("a"),
+          first(col("cv")).as("cv"))
+        .select(col("match_id"), col("a.cid").as("cent_id"),
+          zip_with(col("cv"), col("a.cv0"), (x, c) => x - c).as("v")))
+    // residual codebooks from the deterministic sample's residuals
+    val cb = withAsg.filter(col("match_id") % pqCentroidMod === 0)
+      .select(col("match_id").as("cent_id"),
+        pqSlices(col("v"), m, sub).as(Seq("j", "subc")))
+      .withColumn("cn2", dp(col("subc"), col("subc")))
+    val codes = pqEncodeVecs(withAsg.select(col("match_id"), col("v")),
+      cb, m, dim)
+    // query side: q·centv for every list (probe rank + the ADC
+    // numerator term), residual LUT per (subspace, code)
+    val q = CacheRegistry.tracked(
+      unitVecs(queries, idCol, vecCol, "query_id", "qv"))
+    val qcAll = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        dp(col("qv"), col("centv")).as("qcdot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("cdot").desc, col("cent_id"))
-    val probes = unitVecs(queries, idCol, vecCol, "query_id", "qv")
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(dot(col("qv"), col("centv")), 6))
-      .withColumn("crnk", row_number().over(w))
+      .orderBy(round(col("qcdot"), 6).desc, col("cent_id"))
+    val probes = qcAll.withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= nprobe)
-      .select(col("query_id"), col("cent_id"))
-    val cb = pqCodebooks(corpus, pqCentroidMod, m, dim, idCol, vecCol)
-    val codes = pqEncode(corpus, cb, m, dim, idCol, vecCol)
-    val lut = pqLut(queries, cb, m, dim, idCol, vecCol)
-    // restrict to probed lists FIRST (broadcast probe pairs), then look
-    // up the LUT — the per-row payload through both joins is (list id,
-    // code), never a vector
+      .select(col("query_id"), col("cent_id"), col("qcdot"))
+    val lut = q
+      .select(col("query_id"), pqSlices(col("qv"), m, sub)
+        .as(Seq("j", "subq")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("cent_id").as("code"),
+        dp(col("subq"), col("subc")).as("qdot"))
+    // centvⱼ · rcⱼ — (list, subspace, code) sized, index-side
+    val crossT = cents
+      .select(col("cent_id"), pqSlices(col("centv"), m, sub)
+        .as(Seq("j", "subcent")))
+      .join(broadcast(cb.select(col("j"), col("cent_id").as("code"),
+        col("subc"))), Seq("j"))
+      .select(col("cent_id"), col("j"), col("code"),
+        dp(col("subcent"), col("subc")).as("crossv"))
     val joined = codes
-      .join(assign, Seq("match_id"))
+      .join(withAsg.select(col("match_id"), col("cent_id")),
+        Seq("match_id"))
       .join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(crossT), Seq("cent_id", "j", "code"))
       .join(broadcast(lut), Seq("query_id", "j", "code"))
       .filter(col("query_id") =!= col("match_id"))
-    exactRerank(pqShortlist(adcScores(joined, m), k * shortlistFactor),
+    val pivots =
+      (0 until m).map(j =>
+        sum(when(col("j") === j, col("qdot"))).as(s"q$j")) ++
+      (0 until m).map(j =>
+        sum(when(col("j") === j, col("cn2"))).as(s"c$j")) ++
+      (0 until m).map(j =>
+        sum(when(col("j") === j, col("crossv"))).as(s"x$j")) :+
+      max(col("qcdot")).as("qcdot")
+    val adc = joined.groupBy(col("query_id"), col("match_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    val num = (1 until m).foldLeft(col("q0"))((a, j) => a + col(s"q$j"))
+    val xs = (1 until m).foldLeft(col("x0"))((a, j) => a + col(s"x$j"))
+    val cs = (1 until m).foldLeft(col("c0"))((a, j) => a + col(s"c$j"))
+    // |centv|² ≡ 1.0 BY DEFINITION on both engines (the unit-normalized
+    // float value is 1 ± ulp; pinning the literal keeps parity)
+    val scored = adc.select(col("query_id"), col("match_id"),
+      round((col("qcdot") + num) /
+        sqrt(lit(1.0) + lit(2.0) * xs + cs), 6).as("approx"))
+    exactRerank(pqShortlist(scored, k * shortlistFactor),
       queries, corpus, k, idCol, vecCol)
   }
 
