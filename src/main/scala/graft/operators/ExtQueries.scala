@@ -179,6 +179,15 @@ object ExtQueries {
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
     }),
 
+    // kNN label prediction + neighborhood purity over the labeled
+    // embedding corpus: majority vote of the exact top-k (ties → lowest
+    // label), n_agree = neighbors sharing the query's own label.
+    "x_knn_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnClassify(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK)
+    }),
+
     // LSH ANN: md5-derived hyperplane signs → the DuckDB oracle recomputes
     // the buckets exactly. 6 planes = 64 buckets: enough selectivity to
     // prove the bucketed path at this corpus size; at 100 TB you'd raise
@@ -723,6 +732,43 @@ object ExtQueries {
          |  FROM scored)
          |SELECT query_id, match_id, cos, rank FROM ranked
          |WHERE rank <= $TopK""".stripMargin,
+
+    // the brute-force top-k CTE + integer majority vote (votes desc,
+    // label asc) + own-label agreement count — all-integer outputs
+    "x_knn_label" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
+         |        label AS nbr_label
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, match_id, nbr_label,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+         |topk AS (
+         |  SELECT query_id, match_id, nbr_label FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $TopK),
+         |votes AS (
+         |  SELECT query_id, nbr_label, count(*) AS votes
+         |  FROM topk GROUP BY query_id, nbr_label),
+         |pred AS (
+         |  SELECT query_id, nbr_label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, nbr_label) AS rnk
+         |    FROM votes)
+         |  WHERE rnk = 1),
+         |agree AS (
+         |  SELECT v.query_id, v.votes AS n_agree
+         |  FROM votes v JOIN q ON v.query_id = q.query_id
+         |    AND v.nbr_label = q.label)
+         |SELECT p.query_id, q.label, p.pred_label, p.votes,
+         |  coalesce(a.n_agree, 0) AS n_agree
+         |FROM pred p JOIN q ON p.query_id = q.query_id
+         |LEFT JOIN agree a ON p.query_id = a.query_id""".stripMargin,
 
     // mirrors Similarity.lshSignature/lshTopK: md5-derived ±1 hyperplane
     // signs; projection SIGN is scale-invariant so raw vectors suffice

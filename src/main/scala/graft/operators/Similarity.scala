@@ -552,6 +552,56 @@ object Similarity {
       queries, corpus, k, idCol, vecCol)
   }
 
+  /** kNN label prediction + neighborhood consistency over a labeled
+    * embedding corpus — the weak-supervision / embedding-quality op a
+    * training pipeline runs on a labeled subset: each query's predicted
+    * label is the majority vote of its k nearest neighbors (ties →
+    * lowest label), and `n_agree` counts neighbors sharing the query's
+    * OWN label (k-NN purity — low purity flags mislabeled rows or a
+    * poor embedding space).
+    *
+    * Composes with any top-k provider; this convenience form uses the
+    * exact [[bruteForceTopK]] so an external oracle can replay it —
+    * swap in [[lshTopK]] / [[ivfPqTopK]] output via [[knnClassifyFrom]]
+    * at scale. The neighbor-label join BROADCASTS the |Q|·k top-k frame
+    * against the corpus label projection, so the corpus never
+    * shuffles. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    knnClassifyFrom(bruteForceTopK(queries, corpus, k, idCol, vecCol),
+      queries, corpus, idCol, labelCol)
+
+  /** [[knnClassify]] over a precomputed (query_id, match_id, …) top-k
+    * frame from any of the ANN providers. */
+  def knnClassifyFrom(topk: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val nbr = corpus
+      .select(col(idCol).as("match_id"), col(labelCol).as("nbr_label"))
+      .join(broadcast(topk.select(col("query_id"), col("match_id"))),
+        Seq("match_id"))
+    val votes = nbr.groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label"))
+    val pred = votes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("votes"))
+    val own = queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"))
+    val agree = votes.join(own,
+        votes("query_id") === own("query_id") &&
+          votes("nbr_label") === own("label"))
+      .select(own("query_id"), col("votes").as("n_agree"))
+    pred.join(own, Seq("query_id"))
+      .join(agree, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"), col("pred_label"),
+        col("votes"), coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs variant. O(n²): a test baseline for
     * [[nearDupPairsLsh]]'s recall, NOT the scale path. */

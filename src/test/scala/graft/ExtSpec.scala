@@ -490,6 +490,22 @@ class ExtSpec extends SparkSpec {
     assert(kept.count() >= top1.count() * 9 / 10)
   }
 
+  test("knn classify: majority vote, tie-break, own-label purity") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.8f, 0.2f), 2),
+      (3L, Seq(0.0f, 1.0f), 2),
+      (10L, Seq(0.95f, 0.05f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .knnClassify(vecs.filter($"vec_id" === 10), vecs, 3)
+      .as[(Long, Int, Int, Long, Long)].collect().head
+    // query 10's top-3 neighbors are 1, 0, 2 → labels (1, 1, 2):
+    // predicted 1 with 2 votes; its own label 2 has 1 agreeing neighbor
+    assert(got === ((10L, 2, 1, 2L, 1L)))
+  }
+
   test("pq adc: exact final scores, tiny codes, no self-matches") {
     val e = Tables.embeddings(spark, sf0001)
     val queries = e.filter($"vec_id" % 50 === 0)
