@@ -188,6 +188,15 @@ object ExtQueries {
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
     }),
 
+    // Nearest-centroid classification: |labels| broadcast mean vectors,
+    // one map-side argmax pass — no per-query candidate scan. Decimal
+    // element sums make the centroids order-independent.
+    "x_centroid_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.centroidClassify(
+        e.filter(col("vec_id") % QueryMod === 0), e, dim = EmbeddingDim)
+    }),
+
     // LSH ANN: md5-derived hyperplane signs → the DuckDB oracle recomputes
     // the buckets exactly. 6 planes = 64 buckets: enough selectivity to
     // prove the bucketed path at this corpus size; at 100 TB you'd raise
@@ -769,6 +778,41 @@ object ExtQueries {
          |  coalesce(a.n_agree, 0) AS n_agree
          |FROM pred p JOIN q ON p.query_id = q.query_id
          |LEFT JOIN agree a ON p.query_id = a.query_id""".stripMargin,
+
+    // mirrors Similarity.centroidClassify: unit vectors, element-wise
+    // decimal mean per (label, component), ordered list re-assembly,
+    // argmax with the (cos desc, label asc) tie-break
+    "x_centroid_label" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, label,
+         |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |      AS uv
+         |  FROM corp),
+         |comp AS (
+         |  SELECT label, i,
+         |    sum(uv[i]::decimal(38,18))::double / count(*) AS m
+         |  FROM u CROSS JOIN range(1, $EmbeddingDim + 1) AS ir(i)
+         |  GROUP BY label, i),
+         |cv0 AS (
+         |  SELECT label AS clabel, list(m ORDER BY i) AS mv
+         |  FROM comp GROUP BY label),
+         |cv AS (
+         |  SELECT clabel,
+         |    list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))
+         |      AS centv
+         |  FROM cv0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label, cv.clabel,
+         |    round(list_dot_product(q.uv, cv.centv), 6) AS cos
+         |  FROM u q CROSS JOIN cv WHERE q.vec_id % $QueryMod = 0)
+         |SELECT query_id, label, clabel AS pred_label, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, clabel) AS rnk
+         |  FROM scored)
+         |WHERE rnk = 1""".stripMargin,
 
     // mirrors Similarity.lshSignature/lshTopK: md5-derived ±1 hyperplane
     // signs; projection SIGN is scale-invariant so raw vectors suffice

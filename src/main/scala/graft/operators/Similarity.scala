@@ -602,6 +602,71 @@ object Similarity {
         col("votes"), coalesce(col("n_agree"), lit(0L)).as("n_agree"))
   }
 
+  /** Per-label mean of the unit-normalized vectors — (label, centv).
+    * The element-wise sums go through decimal(38,18) so they are
+    * order-independent (a plain double sum would differ run-to-run and
+    * engine-to-engine); the exact decimal sum casts back to double
+    * before the division. Shape: one explode → (label, component)
+    * aggregate with map-side combining, then an ordered re-assembly per
+    * label — output is |labels| rows, index-sized. */
+  def labelCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      dim: Int = 64): DataFrame = {
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
+    val v = dimChecked(col(vecCol).cast("array<double>"), dim)
+    val unit = fanOut(corpus)
+      .select(col(labelCol).as("label"), v.as("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+      .select(col("label"),
+        transform(col("v"), x => x / col("nrm")).as("uv"))
+    unit
+      .select(col("label"), posexplode(col("uv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast(
+        org.apache.spark.sql.types.DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("mv"))
+      // unit-normalize the mean (the spherical convention) so a dot
+      // against it IS the cosine to the label's mean direction
+      .withColumn("cnrm", sqrt(dp(col("mv"), col("mv"))))
+      .select(col("label"),
+        transform(col("mv"), x => x / col("cnrm")).as("centv"))
+  }
+
+  /** Nearest-centroid label prediction: classify each query by its
+    * highest-cosine label centroid (ties → lowest label). THE cheapest
+    * classifier at scale — |labels| centroids broadcast, one map-side
+    * argmax pass over the queries, no per-query candidate scan at all
+    * (contrast [[knnClassify]], which pays a top-k search). Returns
+    * (query_id, label, pred_label, cos). */
+  def centroidClassify(queries: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", dim: Int = 64): DataFrame = {
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
+    val cents = labelCentroids(corpus, idCol, vecCol, labelCol, dim)
+      .select(col("label").as("clabel"), col("centv"))
+    val v = dimChecked(col(vecCol).cast("array<double>"), dim)
+    val q = fanOut(queries)
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"),
+        v.as("v"))
+      .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
+      .select(col("query_id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("qv"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("cos", round(dp(col("qv"), col("centv")), 6))
+      .groupBy(col("query_id"))
+      .agg(first(col("label")).as("label"),
+        max_by(struct(col("clabel").as("pl"), col("cos").as("pc")),
+          struct(col("cos"), -col("clabel"))).as("p"))
+      .select(col("query_id"), col("label"),
+        col("p.pl").as("pred_label"), col("p.pc").as("cos"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs variant. O(n²): a test baseline for
     * [[nearDupPairsLsh]]'s recall, NOT the scale path. */

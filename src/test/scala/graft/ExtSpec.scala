@@ -506,6 +506,23 @@ class ExtSpec extends SparkSpec {
     assert(got === ((10L, 2, 1, 2L, 1L)))
   }
 
+  test("centroid classify: argmax over unit label means") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 2),
+      (3L, Seq(0.0f, 0.1f, 0.9f, 0.0f), 2),
+      (10L, Seq(0.95f, 0.05f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidClassify(
+        vecs.filter($"vec_id" === 10), vecs, dim = 4)
+      .as[(Long, Int, Int, Double)].collect().head
+    // query points along axis 0 → label 1's centroid direction wins,
+    // even though the query's own label is 2 (a mislabel candidate)
+    assert(got._1 === 10L && got._2 === 2 && got._3 === 1)
+    assert(got._4 > 0.9 && got._4 <= 1.0)
+  }
+
   test("pq adc: exact final scores, tiny codes, no self-matches") {
     val e = Tables.embeddings(spark, sf0001)
     val queries = e.filter($"vec_id" % 50 === 0)
