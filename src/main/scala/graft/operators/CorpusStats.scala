@@ -233,6 +233,36 @@ object CorpusStats {
       .select(col(idCol), col("source"), round(col("rate"), 6).as("rate"))
   }
 
+  /** Gopher-style document filter rules (the Rae et al. 2021 repetition
+    * /format family, simplified to the engine-portable core): per doc,
+    * word count, mean word length, and the fraction of words containing
+    * an alphabetic character; `keep` is the conjunction of the classic
+    * bounds (word count in [minWords, maxWords], mean word length in
+    * [3, 10], alpha fraction ≥ 0.6). Pure per-row expressions — scan
+    * speed, no shuffle; ratios round to 4 so results are
+    * engine-reproducible. */
+  def gopherRules(docs: DataFrame, minWords: Int = 5,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    docs
+      .select(col(idCol), filter(ws, w => w =!= "").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len",
+        round(when(col("n_words") > 0,
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / col("n_words")).otherwise(lit(0.0)), 4))
+      .withColumn("alpha_frac",
+        round(when(col("n_words") > 0,
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
+            col("n_words")).otherwise(lit(0.0)), 4))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_frac") >= 0.6).as("keep"))
+  }
+
   /** Per-(source, lang) corpus health: doc count, total chars, mean
     * whitespace-token count, and DISCRETE nearest-rank percentiles
     * (p50/p90) of the integer token counts — the smallest value whose

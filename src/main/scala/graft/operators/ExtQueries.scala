@@ -344,6 +344,12 @@ object ExtQueries {
     "x_rep_signals" -> ((s, d) =>
       CorpusStats.repetitionSignals(Tables.documents(s, d))),
 
+    // Gopher-style format rules: word-count bounds, mean word length,
+    // alphabetic-word fraction → keep decision. Scan-speed per-row
+    // expressions, the classic pre-training format filter.
+    "x_gopher_rules" -> ((s, d) =>
+      CorpusStats.gopherRules(Tables.documents(s, d))),
+
     // Deterministic 80/10/10 split from the md5 hash of doc_id: stable
     // under corpus growth, reproducible in any engine with md5.
     "x_split_assign" -> ((s, d) => {
@@ -1307,6 +1313,30 @@ object ExtQueries {
         |  round(1.0 - len(list_distinct(ws))::double /
         |    greatest(len(ws), 1), 4) AS dup_word_frac
         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
+
+    // mirrors CorpusStats.gopherRules: same word list, integer length
+    // sum, rounded ratios, same bound conjunction
+    "x_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w <> '') AS ws
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(ws)::bigint AS n_words,
+        |    round(CASE WHEN len(ws) > 0 THEN
+        |      list_sum(list_transform(ws, w -> len(w)))::double / len(ws)
+        |      ELSE 0.0 END, 4) AS mean_word_len,
+        |    round(CASE WHEN len(ws) > 0 THEN
+        |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        ::double / len(ws)
+        |      ELSE 0.0 END, 4) AS alpha_frac
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+        |  (n_words >= 5 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_frac >= 0.6) AS keep
+        |FROM r""".stripMargin,
 
     // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
     "x_split_assign" ->

@@ -407,6 +407,22 @@ class ExtSpec extends SparkSpec {
     assert(row._2 === "mail <EMAIL> or <URL> or <NUM> ok")
   }
 
+  test("gopher rules: bounds and alpha fraction gate the keep flag") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "one two"),                       // too few words
+      (2L, "1234 5678 9012 3456 7890 2345"), // no alphabetic words
+      (3L, "a b c d e f g h i j"))           // mean word length 1 < 3
+      .toDF("doc_id", "text")
+    val got = CorpusStats.gopherRules(d, minWords = 5)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._5 && got(0L)._3 === 4.0)
+    assert(!got(1L)._5 && got(1L)._2 === 2L)
+    assert(!got(2L)._5 && got(2L)._4 === 0.0)
+    assert(!got(3L)._5 && got(3L)._3 === 1.0)
+  }
+
   test("quality score is bounded and penalizes junk") {
     val scores = Seq(
       ("good", "the quick brown fox jumps over a lazy dog with style and " +
