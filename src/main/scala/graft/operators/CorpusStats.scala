@@ -233,6 +233,22 @@ object CorpusStats {
       .select(col(idCol), col("source"), round(col("rate"), 6).as("rate"))
   }
 
+  /** Sequence-length histogram in power-of-two buckets of the BPE token
+    * estimate — the profile that drives max-seq-len / packing decisions
+    * in a pretraining pipeline. Bucket b holds docs with ⌊log₂(n+1)⌋ =
+    * b; the index comes from the BINARY-STRING length of n+1, never
+    * floating log2 (log(8)/log(2) can land an ulp below 3.0 and shift
+    * every power-of-two doc one bucket down — and engines disagree on
+    * exactly which inputs do it). One map-side-combining aggregate;
+    * output is ≤ 63 rows. */
+  def lengthHistogram(docs: DataFrame, textCol: String = "text")
+      : DataFrame =
+    docs
+      .select(TextAnalysis.bpeTokenCount(col(textCol)).as("n"))
+      .withColumn("bucket", (length(bin(col("n") + 1)) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+
   /** Gopher-style document filter rules (the Rae et al. 2021 repetition
     * /format family, simplified to the engine-portable core): per doc,
     * word count, mean word length, and the fraction of words containing

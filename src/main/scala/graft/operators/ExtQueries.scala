@@ -350,6 +350,12 @@ object ExtQueries {
     "x_gopher_rules" -> ((s, d) =>
       CorpusStats.gopherRules(Tables.documents(s, d))),
 
+    // Sequence-length histogram (power-of-two BPE-token buckets) — the
+    // max-seq-len / packing planning profile; exact bit-length
+    // bucketing, no floating log2.
+    "x_len_hist" -> ((s, d) =>
+      CorpusStats.lengthHistogram(Tables.documents(s, d))),
+
     // Deterministic 80/10/10 split from the md5 hash of doc_id: stable
     // under corpus growth, reproducible in any engine with md5.
     "x_split_assign" -> ((s, d) => {
@@ -1337,6 +1343,24 @@ object ExtQueries {
         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |   AND alpha_frac >= 0.6) AS keep
         |FROM r""".stripMargin,
+
+    // mirrors CorpusStats.lengthHistogram: the BPE token estimate, then
+    // ⌊log₂(n+1)⌋ via binary-string length (exact on both engines)
+    "x_len_hist" ->
+      """WITH b AS (
+        |  SELECT cast(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^ \t\n\rA-Za-z0-9]'),
+        |    p -> CASE
+        |      WHEN regexp_matches(p, '^[A-Za-z]+$')
+        |        THEN cast(ceil(length(p) / 4.0) AS bigint)
+        |      WHEN regexp_matches(p, '^[0-9]+$')
+        |        THEN cast(ceil(length(p) / 3.0) AS bigint)
+        |      ELSE 1 END)), 0) AS bigint) AS n
+        |  FROM documents)
+        |SELECT (length(bin(n + 1)) - 1)::bigint AS bucket,
+        |  count(*) AS n_docs, sum(n) AS total_tokens
+        |FROM b GROUP BY bucket""".stripMargin,
 
     // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
     "x_split_assign" ->

@@ -407,6 +407,23 @@ class ExtSpec extends SparkSpec {
     assert(row._2 === "mail <EMAIL> or <URL> or <NUM> ok")
   }
 
+  test("length histogram: exact power-of-two buckets, no log2 drift") {
+    // n_subwords for these: "" → 0 → bucket 0; "word" → 1 → bucket 1;
+    // 7×"word " → 7 → bucket 3 (n+1 = 8, the log2 boundary float math
+    // gets wrong); 8×"word " → 8 → bucket 3
+    val d = Seq(
+      (0L, ""), (1L, "word"),
+      (2L, Seq.fill(7)("word").mkString(" ")),
+      (3L, Seq.fill(8)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.lengthHistogram(d)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(0L) === ((1L, 0L)))
+    assert(got(1L) === ((1L, 1L)))
+    assert(got(3L) === ((2L, 15L))) // docs with 7 and 8 tokens
+  }
+
   test("gopher rules: bounds and alpha fraction gate the keep flag") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
