@@ -321,4 +321,123 @@ object CorpusStats {
         round(avg(col("toks")), 4).as("mean_tokens"))
       .join(pct, Seq("source", "lang"))
   }
+
+  /** Unigram-LM cross-entropy per document — the CCNet/Gopher quality
+    * signal "how surprising is this document under a language model
+    * trained on the corpus itself", with the LM reduced to its unigram
+    * term so an external engine can replay it exactly. Score is the
+    * tf-weighted mean of -ln P(w), P(w) = corpus count / corpus total;
+    * low = stereotypical text, high = rare-token noise.
+    *
+    * Shape: one map-side-combining shuffle builds (doc, term, tf), the
+    * corpus term-count table is vocabulary-sized (a dimension — AQE
+    * broadcasts it while it fits, falls back to an equi-shuffle on
+    * `term` at web-vocabulary scale), and the corpus total is a one-row
+    * in-plan aggregate cross-joined in (no eager driver job). */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+    tf.join(cnt, Seq("term"))
+      .crossJoin(tot) // one row; AQE broadcasts it
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        round(sum(col("tf") * log(col("total") / col("cnt")))
+          / sum(col("tf")), 4).as("xent"))
+      .select(col("id").as(idCol), col("n_tok"), col("xent"))
+  }
+
+  /** CCNet head/middle/tail tiers: rank documents by quality within each
+    * language and cut into `buckets` equal tiles (ntile semantics: the
+    * first `n mod buckets` tiles take the extra row — identical in Spark
+    * and ANSI SQL). The order key (score desc, id asc) is total, so the
+    * tile assignment is deterministic.
+    *
+    * Scale: ntile needs a full sort within each language partition, and
+    * languages are few → skewed. At 100 TB the production form computes
+    * the two tier thresholds per language with `approx_percentile` (one
+    * map-side-combining aggregate) and assigns tiers with a broadcast
+    * threshold join — same output modulo boundary ties, no global sort.
+    * The exact ntile here is the oracle-checkable reference shape. */
+  def qualityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("tile", ntile(buckets).over(w))
+      .withColumn("tier",
+        when(col("tile") === 1, lit("head"))
+          .when(col("tile") === buckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col("doc_id"), col("lang"), col("q"), col("tile"),
+        col("tier"))
+  }
+
+  /** Boilerplate coverage: the fraction of a document's shingle
+    * OCCURRENCES whose shingle appears in ≥ `minDf` distinct documents —
+    * the repeated-phrase (navigation chrome / license header / template)
+    * signal web-corpus curation filters on. Documents too short to
+    * shingle get coverage 0 and keep = true.
+    *
+    * Shape: occurrence explode → left join against the hot-shingle set →
+    * per-doc conditional count. The hot set is tiny BY CONSTRUCTION
+    * (df ≥ minDf caps it at corpus_docs/minDf entries), so AQE
+    * broadcasts the join at any corpus size — the one full shuffle is
+    * the df aggregation itself, map-side combining on the shingle. */
+  def boilerplateCoverage(docs: DataFrame, minDf: Int,
+      maxCoverage: Double): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      explode(TextAnalysis.shingleOccurrences(col("text"))).as("s"))
+    val hot = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("s"), lit(1).as("is_hot"))
+    val cov = occ.join(hot, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_hot"), lit(0))).as("n_common"))
+    docs.select(col("doc_id")).join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("coverage",
+        round(col("n_common") / greatest(col("n_sh"), lit(1L)), 6))
+      .withColumn("keep", col("coverage") <= maxCoverage)
+  }
+
+  /** Adjacent-symbol pair frequencies over the word-frequency table —
+    * the statistic ONE merge step of BPE tokenizer training maximizes
+    * (Sennrich et al. 2016: the next merge is the argmax pair). Pairs
+    * are weighted by word frequency; ties at the top-k boundary break by
+    * pair text, so the cut is a total order.
+    *
+    * Shape: the corpus collapses to its vocabulary first (one map-side-
+    * combining shuffle), pairs explode from the VOCABULARY (≤ vocab ×
+    * word length rows — dimension-sized, never corpus-sized), and the
+    * top-k cut is a TakeOrdered, not a sort. This is why distributed BPE
+    * training is cheap: every iteration after the first runs on the
+    * vocab table alone. */
+  def bpePairCounts(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val wf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

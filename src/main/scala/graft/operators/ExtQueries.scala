@@ -36,6 +36,9 @@ object ExtQueries {
   val IntervalLookback = "1 hour"
   val TfidfTopK = 3
   val MixtureBudget = 20000L
+  val BoilerplateMinDf = 4
+  val BoilerplateMaxCoverage = 0.15
+  val BpePairTopK = 50
   /** Even-numbered sources are "high-value" (4× the weight) — covers
     * more source names than any scale factor ships so the mixture is
     * total over the corpus. */
@@ -355,6 +358,27 @@ object ExtQueries {
     // bucketing, no floating log2.
     "x_len_hist" -> ((s, d) =>
       CorpusStats.lengthHistogram(Tables.documents(s, d))),
+
+    // Unigram-LM cross-entropy per doc (the CCNet perplexity-filter
+    // signal, reduced to its unigram term for oracle replay).
+    "x_unigram_xent" -> ((s, d) =>
+      CorpusStats.unigramLogProb(Tables.documents(s, d))),
+
+    // CCNet head/middle/tail quality tiers per language (exact ntile
+    // reference shape; production swaps in approx thresholds).
+    "x_quality_tiers" -> ((s, d) =>
+      CorpusStats.qualityBuckets(Tables.documents(s, d))),
+
+    // Repeated-phrase (boilerplate) coverage: fraction of shingle
+    // occurrences that are corpus-common, plus the keep decision.
+    "x_boilerplate" -> ((s, d) =>
+      CorpusStats.boilerplateCoverage(Tables.documents(s, d),
+        BoilerplateMinDf, BoilerplateMaxCoverage)),
+
+    // BPE merge statistic: adjacent symbol-pair frequencies over the
+    // word-frequency table (the argmax of one tokenizer-training step).
+    "x_bpe_pairs" -> ((s, d) =>
+      CorpusStats.bpePairCounts(Tables.documents(s, d), BpePairTopK)),
 
     // Deterministic 80/10/10 split from the md5 hash of doc_id: stable
     // under corpus growth, reproducible in any engine with md5.
@@ -1361,6 +1385,86 @@ object ExtQueries {
         |SELECT (length(bin(n + 1)) - 1)::bigint AS bucket,
         |  count(*) AS n_docs, sum(n) AS total_tokens
         |FROM b GROUP BY bucket""".stripMargin,
+
+    // mirrors CorpusStats.unigramLogProb: tf-weighted mean of
+    // ln(total/cnt) under the corpus unigram distribution
+    "x_unigram_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term),
+        |cnt AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY term),
+        |tot AS (SELECT count(*)::double AS total FROM t2)
+        |SELECT id AS doc_id, sum(tf)::bigint AS n_tok,
+        |  round(sum(tf * ln(total / cnt)) / sum(tf), 4) AS xent
+        |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        |GROUP BY id""".stripMargin,
+
+    // mirrors CorpusStats.qualityBuckets: ntile(3) by (quality desc,
+    // doc_id) within language — the order key is total, so tile
+    // assignment is engine-independent
+    "x_quality_tiers" ->
+      s"""WITH qs AS ($QualitySelect)
+         |SELECT doc_id, lang, q, tile,
+         |  CASE WHEN tile = 1 THEN 'head'
+         |       WHEN tile = 3 THEN 'tail'
+         |       ELSE 'middle' END AS tier
+         |FROM (
+         |  SELECT d.doc_id, d.lang, qs.score AS q,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY qs.score DESC, d.doc_id) AS tile
+         |  FROM documents d JOIN qs USING (doc_id))""".stripMargin,
+
+    // mirrors CorpusStats.boilerplateCoverage: occurrence-level shingle
+    // coverage against the df >= BoilerplateMinDf hot set (df over
+    // DISTINCT docs)
+    "x_boilerplate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN
+         |    list_transform(range(1, len(ws)-1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE []::varchar[] END) AS s
+         |  FROM w),
+         |hot AS (
+         |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM occ)
+         |  GROUP BY s HAVING count(*) >= $BoilerplateMinDf),
+         |cov AS (
+         |  SELECT o.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+         |  FROM occ o LEFT JOIN hot h ON o.s = h.s
+         |  GROUP BY o.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_sh, 0)::bigint AS n_sh,
+         |  coalesce(n_common, 0)::bigint AS n_common,
+         |  round(coalesce(n_common, 0)::double
+         |    / greatest(coalesce(n_sh, 0), 1), 6) AS coverage,
+         |  round(coalesce(n_common, 0)::double
+         |    / greatest(coalesce(n_sh, 0), 1), 6)
+         |    <= $BoilerplateMaxCoverage AS keep
+         |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // mirrors CorpusStats.bpePairCounts: freq-weighted adjacent char
+    // pairs over the vocabulary, top-k by (cnt desc, pair)
+    "x_bpe_pairs" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(
+         |      string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' AND length(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT unnest([substring(w, i, 2)
+         |    for i in range(1, length(w))]) AS pair, freq
+         |  FROM wf)
+         |SELECT pair, sum(freq)::bigint AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair
+         |LIMIT $BpePairTopK""".stripMargin,
 
     // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
     "x_split_assign" ->

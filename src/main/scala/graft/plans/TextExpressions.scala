@@ -76,6 +76,23 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** [[shingles]] without the dedup: every shingle OCCURRENCE in document
+    * order — the boilerplate-coverage unit, where multiplicity counts. */
+  def shingleOccurrences(text: UTF8String, n: Int): ArrayData = {
+    val words = Ws.split(text.toLowerCase.trim.toString, -1)
+    if (words.length < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Mirror of `TextAnalysis.winnowFingerprintHof`: md5 over the sorted
     * distinct window-minima of md5-seeded character k-gram hashes.
     * Substrings count code points exactly like Catalyst `substr`. */
@@ -234,6 +251,34 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       newChild: Expression): WordShingles = copy(child = newChild)
 }
 
+/** Codegen'd word n-gram shingle OCCURRENCES (document order, duplicates
+  * kept) — the boilerplate-coverage unit; same single-pass kernel shape
+  * as [[WordShingles]] minus the LinkedHashSet. */
+case class WordShingleOccurrences(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingle_occurrences"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_occurrences expects a string column, got " +
+        child.dataType.simpleString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleOccurrences(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shingleOccurrences($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShingleOccurrences = copy(child = newChild)
+}
+
 /** Codegen'd winnowing (MOSS) fingerprint — one JVM pass instead of three
   * interpreted HOF layers (gram transform, hash transform, window-min
   * transform). */
@@ -353,6 +398,11 @@ object TextExpressions {
   /** Codegen'd distinct word n-gram shingles of a string column. */
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  /** Codegen'd shingle occurrences (duplicates kept, document order). */
+  def wordShingleOccurrences(text: Column, n: Int): Column =
+    GraftBridge.column(
+      WordShingleOccurrences(GraftBridge.expression(text), n))
 
   /** Codegen'd winnowing fingerprint of a string column. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =

@@ -41,6 +41,11 @@ class ExtSpec extends SparkSpec {
         TextAnalysis.shinglesHof($"text", 3).as("hof"))
       .filter(not($"fast" <=> $"hof"))
     assert(diff.count() === 0)
+    val occDiff = corpus.select(
+        TextAnalysis.shingleOccurrences($"text", 3).as("fast"),
+        TextAnalysis.shingleOccurrencesHof($"text", 3).as("hof"))
+      .filter(not($"fast" <=> $"hof"))
+    assert(occDiff.count() === 0)
   }
 
   test("codegen'd winnow fingerprint matches the HOF construction") {
@@ -713,5 +718,56 @@ class ExtSpec extends SparkSpec {
     assert(web._6 === 3L && web._7 === 5L)
     assert(got(("book", "en"))._6 === 1L)
     assert(got(("book", "en"))._7 === 1L)
+  }
+
+  test("unigram cross-entropy: tf-weighted mean of -ln P(w)") {
+    val d = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogProb(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // corpus: a:2 b:2 c:1, total 5
+    assert(got(0L)._2 === 3L)
+    assert(got(0L)._3 === 0.9163) // all tokens have P=2/5 → ln 2.5
+    assert(got(1L)._2 === 2L)
+    assert(got(1L)._3 === 1.2629) // (ln 2.5 + ln 5) / 2
+  }
+
+  test("quality tiers: ntile 3/2/2 split, best doc is head") {
+    val d = (0L to 6L).map(i =>
+        (i, "en", ("word " * (10 + 40 * i.toInt)).trim))
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusStats.qualityBuckets(d)
+      .as[(Long, String, Double, Int, String)].collect()
+    assert(got.count(_._5 == "head") === 3) // first tile takes 7 mod 3
+    assert(got.count(_._5 == "middle") === 2)
+    assert(got.count(_._5 == "tail") === 2)
+    val best = got.maxBy(r => (r._3, -r._1))
+    assert(best._5 === "head")
+  }
+
+  test("boilerplate coverage counts occurrences, not distinct shingles") {
+    val d = Seq(
+      (0L, "a b c a b c"), // "a b c" occurs twice of 4 occurrences
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "a b c t u v"),
+      (4L, "m n o p"), // no common shingles
+      (5L, "xx yy")) // too short to shingle
+      .toDF("doc_id", "text")
+    val got = CorpusStats.boilerplateCoverage(d, minDf = 4,
+        maxCoverage = 0.4)
+      .as[(Long, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 4L, 2L, 0.5, false)))
+    assert(got(1L) === ((1L, 4L, 1L, 0.25, true)))
+    assert(got(4L) === ((4L, 2L, 0L, 0.0, true)))
+    assert(got(5L) === ((5L, 0L, 0L, 0.0, true)))
+  }
+
+  test("bpe pair counts are frequency-weighted over the vocabulary") {
+    val d = Seq((0L, "abc abc ab"), (1L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.bpePairCounts(d, 10)
+      .as[(String, Long)].collect().toMap
+    // abc (freq 2) → ab, bc; ab (freq 1) → ab; x dropped (len < 2)
+    assert(got === Map("ab" -> 3L, "bc" -> 2L))
   }
 }
