@@ -415,6 +415,87 @@ object CorpusStats {
       .withColumn("keep", col("coverage") <= maxCoverage)
   }
 
+  /** Overlapping retrieval chunks: windows of `width` words every
+    * `stride` words (stride < width → overlap, the RAG indexing shape).
+    * One row per chunk with its word count and content fingerprint; a
+    * doc of L words yields ⌊(L−1)/stride⌋+1 chunks, so the final chunk
+    * may run short — kept, because retrieval wants the tail.
+    *
+    * Shape: pure per-row explode — the word array binds to an attribute
+    * ONCE (a lambda re-evaluates non-attribute subexpressions per
+    * element), chunks slice from it, no shuffle anywhere. Scan speed at
+    * any corpus size; the output is ~L/stride× the input rows, which is
+    * the point (it feeds an embedding/index stage downstream). */
+  def chunkWindows(docs: DataFrame, width: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need width >= stride >= 1, got width=$width stride=$stride")
+    val nChunks = (floor((size(col("ws")) - 1) / stride) + 1).cast("int")
+    docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk",
+        slice(col("ws"), col("chunk_idx") * stride + 1, lit(width)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).as("n_words"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
+
+  /** Sequence packing: concatenate documents in id order and cut at
+    * every `budget` tokens — each doc lands in the bin its FIRST token
+    * falls into (the concat-then-chunk packing LLM data loaders run
+    * before writing fixed-length training sequences). Returns per-bin
+    * doc count, token mass, and fill fraction against the budget.
+    *
+    * Shape: one global ordered prefix sum (a range-partitioned sort —
+    * Spark's distributed sort, not a single-partition window) then a
+    * map-side-combining aggregate on the bin id. At 100 TB the order is
+    * arbitrary anyway, so production packs each partition independently
+    * (same code with the window keyed by partition id) and pays no
+    * global sort; the totally-ordered form here is the oracle-checkable
+    * reference. */
+  def packSequences(docs: DataFrame, budget: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("cum_before",
+        coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("seq_id", (col("cum_before") / budget).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        round(sum(col("toks")) / lit(budget.toDouble), 6).as("fill"))
+  }
+
+  /** Head+tail truncation to a token budget: docs over `maxToks` words
+    * keep the first `headToks` and last `tailToks` (the middle is the
+    * least informative span — the standard long-doc truncation). Emits
+    * original/kept counts and the kept-content fingerprint. Pure
+    * per-row, scan speed. */
+  def truncateHeadTail(docs: DataFrame, maxToks: Int, headToks: Int,
+      tailToks: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(headToks + tailToks <= maxToks,
+      s"head $headToks + tail $tailToks must fit in max $maxToks")
+    docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("kept",
+        when(size(col("ws")) <= maxToks, col("ws"))
+          .otherwise(concat(
+            slice(col("ws"), 1, headToks),
+            slice(col("ws"), -tailToks, tailToks))))
+      .select(col(idCol),
+        size(col("ws")).as("n_orig"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_fp"))
+  }
+
   /** Adjacent-symbol pair frequencies over the word-frequency table —
     * the statistic ONE merge step of BPE tokenizer training maximizes
     * (Sennrich et al. 2016: the next merge is the argmax pair). Pairs

@@ -39,6 +39,12 @@ object ExtQueries {
   val BoilerplateMinDf = 4
   val BoilerplateMaxCoverage = 0.15
   val BpePairTopK = 50
+  val ChunkWidth = 24
+  val ChunkStride = 16
+  val PackBudget = 1024
+  val TruncMaxToks = 48
+  val TruncHead = 32
+  val TruncTail = 8
   /** Even-numbered sources are "high-value" (4× the weight) — covers
     * more source names than any scale factor ships so the mixture is
     * total over the corpus. */
@@ -379,6 +385,23 @@ object ExtQueries {
     // word-frequency table (the argmax of one tokenizer-training step).
     "x_bpe_pairs" -> ((s, d) =>
       CorpusStats.bpePairCounts(Tables.documents(s, d), BpePairTopK)),
+
+    // RAG indexing chunks: overlapping word windows, one row per chunk
+    // with a content fingerprint — pure per-row explode, scan speed.
+    "x_chunk_windows" -> ((s, d) =>
+      CorpusStats.chunkWindows(Tables.documents(s, d), ChunkWidth,
+        ChunkStride)),
+
+    // Sequence packing: concat-then-chunk at the token budget; per-bin
+    // doc count, token mass, fill fraction.
+    "x_seq_pack" -> ((s, d) =>
+      CorpusStats.packSequences(Tables.documents(s, d), PackBudget)),
+
+    // Head+tail truncation to a token budget (middle dropped) — the
+    // standard long-doc squeeze before tokenization.
+    "x_truncate" -> ((s, d) =>
+      CorpusStats.truncateHeadTail(Tables.documents(s, d), TruncMaxToks,
+        TruncHead, TruncTail)),
 
     // Deterministic 80/10/10 split from the md5 hash of doc_id: stable
     // under corpus growth, reproducible in any engine with md5.
@@ -1465,6 +1488,62 @@ object ExtQueries {
          |SELECT pair, sum(freq)::bigint AS cnt FROM pairs
          |GROUP BY pair ORDER BY cnt DESC, pair
          |LIMIT $BpePairTopK""".stripMargin,
+
+    // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
+    // `width` words; list_slice's inclusive end = Spark slice's length
+    "x_chunk_windows" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, ((len(ws)-1) // $ChunkStride) + 1))
+         |      AS chunk_idx
+         |  FROM w)
+         |SELECT doc_id, chunk_idx::int AS chunk_idx,
+         |  len(list_slice(ws, chunk_idx*$ChunkStride + 1,
+         |    chunk_idx*$ChunkStride + $ChunkWidth))::int AS n_words,
+         |  md5(array_to_string(list_slice(ws, chunk_idx*$ChunkStride + 1,
+         |    chunk_idx*$ChunkStride + $ChunkWidth), ' ')) AS chunk_fp
+         |FROM c""".stripMargin,
+
+    // mirrors CorpusStats.packSequences: ordered prefix sum, bin by the
+    // first token's budget multiple
+    "x_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(lower(trim(text)), '\\s+'))::bigint
+         |      AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    coalesce(sum(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM t)
+         |SELECT (cum_before // $PackBudget)::bigint AS seq_id,
+         |  count(*) AS n_docs, sum(toks)::bigint AS n_tokens,
+         |  round(sum(toks)::double / $PackBudget, 6) AS fill
+         |FROM c GROUP BY seq_id""".stripMargin,
+
+    // mirrors CorpusStats.truncateHeadTail: first TruncHead + last
+    // TruncTail words for docs over the budget
+    "x_truncate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) <= $TruncMaxToks THEN ws
+         |         ELSE list_concat(list_slice(ws, 1, $TruncHead),
+         |           list_slice(ws, len(ws) - ${TruncTail - 1}, len(ws)))
+         |    END AS kept
+         |  FROM w)
+         |SELECT doc_id, len(ws)::int AS n_orig, len(kept)::int AS n_kept,
+         |  md5(array_to_string(kept, ' ')) AS kept_fp
+         |FROM k""".stripMargin,
 
     // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
     "x_split_assign" ->

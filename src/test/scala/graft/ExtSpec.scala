@@ -763,6 +763,44 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) === ((5L, 0L, 0L, 0.0, true)))
   }
 
+  test("chunk windows: stride overlap, short tail kept") {
+    // 40 words, width 24, stride 16 → chunks at 0 (24 words) and
+    // 16 (24 words) and 32 (8-word tail)
+    val d = Seq((0L, (1 to 40).map("w" + _).mkString(" ")),
+      (1L, "a b")).toDF("doc_id", "text")
+    val got = CorpusStats.chunkWindows(d, width = 24, stride = 16)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((0L, 0) -> 24, (0L, 1) -> 24, (0L, 2) -> 8,
+      (1L, 0) -> 2))
+  }
+
+  test("sequence packing bins by the first token's budget multiple") {
+    // budget 10: doc0 (6 toks, cum 0) → bin 0; doc1 (6, cum 6) → bin 0;
+    // doc2 (3, cum 12) → bin 1
+    val d = Seq((0L, "a b c d e f"), (1L, "g h i j k l"),
+      (2L, "m n o")).toDF("doc_id", "text")
+    val got = CorpusStats.packSequences(d, budget = 10)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 2L, 12L, 1.2)))
+    assert(got(1L) === ((1L, 1L, 3L, 0.3)))
+  }
+
+  test("head+tail truncation keeps ends, short docs untouched") {
+    val long = (1 to 10).map("w" + _).mkString(" ")
+    val d = Seq((0L, long), (1L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.truncateHeadTail(d, maxToks = 6, headToks = 4,
+        tailToks = 2)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 10 && got(0L)._3 === 6)
+    // kept = first 4 + last 2
+    val expectFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("w1 w2 w3 w4 w9 w10".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0L)._4 === expectFp)
+    assert(got(1L)._2 === 3 && got(1L)._3 === 3)
+  }
+
   test("bpe pair counts are frequency-weighted over the vocabulary") {
     val d = Seq((0L, "abc abc ab"), (1L, "x")).toDF("doc_id", "text")
     val got = CorpusStats.bpePairCounts(d, 10)
