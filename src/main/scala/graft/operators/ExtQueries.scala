@@ -182,6 +182,19 @@ object ExtQueries {
         bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)),
 
+    // Embedding near-dup pairs → connected components: the same label
+    // propagation the text dedup uses, composed over the cosine pairs —
+    // semantic dedup groups, the embedding-side counterpart of
+    // x_dedup_cluster.
+    "x_embed_dedup_cluster" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Dedup.clusterAssignments(e,
+        Similarity.nearDupPairsLsh(e, CosineThreshold,
+          bands = NearDupBands, rowsPerBand = NearDupRows,
+          dim = EmbeddingDim),
+        idCol = "vec_id")
+    }),
+
     "x_ann_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(
@@ -511,6 +524,40 @@ object ExtQueries {
        |sizes AS (SELECT id, count(*) AS nsh FROM ex GROUP BY id)"""
       .stripMargin
 
+  /** Banded-hyperplane near-dup candidate + verify CTE chain over the
+    * embeddings table, ending in `epairs (id_a, id_b, cos)` — mirrors
+    * `Similarity.nearDupPairsLsh`; shared by the pair query and the
+    * cluster composition. */
+  private lazy val EmbedNearDupCtes =
+    s"""planes AS (
+       |  SELECT p, i,
+       |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
+       |        i::varchar), 1, 15))::bigint & 1) = 1
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM range(${NearDupBands * NearDupRows}) AS pr(p)
+       |  CROSS JOIN range($EmbeddingDim) AS ir(i)),
+       |proj AS (
+       |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn) AS proj
+       |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+       |bkeys AS (
+       |  SELECT vec_id, p // $NearDupRows AS band,
+       |    sum(CASE WHEN proj > 0
+       |          THEN (1::bigint << (p % $NearDupRows)::int)
+       |          ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bkeys x JOIN bkeys y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |epairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b
+       |  WHERE cos >= $CosineThreshold)""".stripMargin
+
   /** Exact-Jaccard verification of a `cand (id_a, id_b)` CTE against the
     * capped per-doc shingle arrays — mirrors `Dedup.verifyJaccard`. */
   private val VerifyPairsSql =
@@ -756,33 +803,22 @@ object ExtQueries {
     // mirrors Similarity.nearDupPairsLsh: md5-derived hyperplane signs,
     // plane p = band * rows + row; candidates share all bits of a band
     "x_embed_near_dup" ->
-      s"""WITH planes AS (
-         |  SELECT p, i,
-         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
-         |        i::varchar), 1, 15))::bigint & 1) = 1
-         |      THEN 1.0 ELSE -1.0 END AS sgn
-         |  FROM range(${NearDupBands * NearDupRows}) AS pr(p)
-         |  CROSS JOIN range($EmbeddingDim) AS ir(i)),
-         |proj AS (
-         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn) AS proj
-         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
-         |bkeys AS (
-         |  SELECT vec_id, p // $NearDupRows AS band,
-         |    sum(CASE WHEN proj > 0
-         |          THEN (1::bigint << (p % $NearDupRows)::int)
-         |          ELSE 0 END) AS bkey
-         |  FROM proj GROUP BY vec_id, band),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM bkeys x JOIN bkeys y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
-         |SELECT c.id_a, c.id_b,
-         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-         |    b.embedding::DOUBLE[]), 6) AS cos
-         |FROM cand c
-         |JOIN embeddings a ON a.vec_id = c.id_a
-         |JOIN embeddings b ON b.vec_id = c.id_b
-         |WHERE cos >= $CosineThreshold""".stripMargin,
+      s"""WITH $EmbedNearDupCtes
+         |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+
+    // embedding near-dup pairs → connected components, the same
+    // recursive-reach mirror x_dedup_cluster uses over shingle pairs
+    "x_embed_dedup_cluster" ->
+      s"""WITH RECURSIVE $EmbedNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  UNION ALL SELECT id_b, id_a FROM epairs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
+         |SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+        .stripMargin,
 
     "x_ann_cosine_topk" ->
       s"""WITH q AS (
