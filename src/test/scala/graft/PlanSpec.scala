@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-row curation ops plan without any exchange") {
+    withStaticPlan {
+      // chunking and truncation are scan-speed per-row transforms — a
+      // shuffle anywhere in these plans would be a scale bug
+      for (q <- Seq("x_chunk_windows", "x_truncate")) {
+        val plan = run(q).queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), q)
+      }
+    }
+  }
+
   test("per-group rank limits push down as WindowGroupLimit") {
     withStaticPlan {
       // rank <= k must prune BEFORE the shuffle (partial WindowGroupLimit)
