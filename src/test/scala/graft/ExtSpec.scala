@@ -213,6 +213,24 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("embedding dedup clusters group colinear vectors") {
+    // v1 = 2·v0 and v3 = 3·v2: identical directions → identical
+    // hyperplane signs (certain band collision) and cos = 1; the two
+    // directions are orthogonal, so exactly two 2-clusters emerge
+    val dim = 8
+    def vec(axis: Int, scale: Float) =
+      Array.tabulate(dim)(i => if (i == axis) scale else 0.0f)
+    val e = Seq(
+      (0L, vec(0, 1f)), (1L, vec(0, 2f)),
+      (2L, vec(3, 1f)), (3L, vec(3, 3f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup.clusterAssignments(e,
+        Similarity.nearDupPairsLsh(e, 0.9, dim = dim),
+        idCol = "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("LSH signature raises on mismatched embedding dimensionality") {
     val bad = Seq((1L, Array.fill(32)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Throwable] {
