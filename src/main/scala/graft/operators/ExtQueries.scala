@@ -182,6 +182,11 @@ object ExtQueries {
         bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)),
 
+    // Per-dimension embedding corpus stats (whitening prep): decimal
+    // sums → order-independent, engine-exact; 64 output rows.
+    "x_embed_dim_stats" -> ((s, d) =>
+      Similarity.embedDimStats(Tables.embeddings(s, d), EmbeddingDim)),
+
     // Embedding near-dup pairs → connected components: the same label
     // propagation the text dedup uses, composed over the cosine pairs —
     // semantic dedup groups, the embedding-side counterpart of
@@ -805,6 +810,22 @@ object ExtQueries {
     "x_embed_near_dup" ->
       s"""WITH $EmbedNearDupCtes
          |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+
+    // mirrors Similarity.embedDimStats: decimal(38,18) sums (order-
+    // independent, engine-exact), the mean/std division in double;
+    // DuckDB's parallel unnest aligns value and index positionally
+    "x_embed_dim_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS x,
+        |    unnest(range(len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT i::int AS dim, count(*) AS n,
+        |  round((sum(x::decimal(38,18)))::double / count(*), 6) AS mean,
+        |  round(sqrt(greatest(
+        |    (sum((x*x)::decimal(38,18)))::double / count(*)
+        |      - pow((sum(x::decimal(38,18)))::double / count(*), 2),
+        |    0.0)), 6) AS std
+        |FROM e GROUP BY i""".stripMargin,
 
     // embedding near-dup pairs → connected components, the same
     // recursive-reach mirror x_dedup_cluster uses over shingle pairs

@@ -240,6 +240,36 @@ object Similarity {
           x => round((x - col("qmin")) / col("scale")).cast("int")))
         .otherwise(transform(col("v"), _ => lit(0))))
 
+  /** Per-dimension corpus statistics (mean, std) over the embedding
+    * column — the whitening / PCA-prep pass every embedding pipeline
+    * runs before normalization or dimensionality reduction. Sums go
+    * through decimal(38,18) so they are order-independent — a
+    * 1000-executor shuffle cannot change a statistic — and an external
+    * engine replays them bit-for-bit; only the final mean/std division
+    * happens in double.
+    *
+    * Shape: posexplode → one map-side-combining aggregate on the
+    * dimension index (`dim` output rows total). At 100 TB this is the
+    * cheapest possible full-corpus pass: no join, no window, a
+    * 64-group aggregate. */
+  def embedDimStats(vectors: DataFrame, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val v = dimChecked(col(vecCol).cast("array<double>"), dim)
+    fanOut(vectors)
+      .select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("s"),
+        sum((col("x") * col("x")).cast(dec)).as("s2"))
+      .withColumn("mean_d", col("s").cast("double") / col("n"))
+      .select(col("i").as("dim"), col("n"),
+        round(col("mean_d"), 6).as("mean"),
+        round(sqrt(greatest(
+          col("s2").cast("double") / col("n") - pow(col("mean_d"), 2),
+          lit(0.0))), 6).as("std"))
+  }
+
   def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val g = withSq8Grid(vectors, vecCol)

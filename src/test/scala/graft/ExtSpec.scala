@@ -49,7 +49,11 @@ class ExtSpec extends SparkSpec {
   }
 
   test("codegen'd winnow fingerprint matches the HOF construction") {
+    // the HOF side runs interpreted at O(grams·window) PER ROW — a dozen
+    // corpus docs + the edge cases carry the parity evidence at ~1/5 the
+    // suite cost of the full sf0.001 table
     val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .filter($"doc_id" < 12)
       .union(Seq((9001L, ""), (9002L, "tiny"), (9003L, "exactly5"),
         (9004L, "just over the gram size")).toDF("doc_id", "text"))
     val diff = corpus.select(
@@ -211,6 +215,15 @@ class ExtSpec extends SparkSpec {
     val kept = lsh.map(r => (r._1, r._2)).toSet
     val recall = exact.keys.count(kept).toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("per-dimension embedding stats: hand-computed mean and std") {
+    val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedDimStats(e, dim = 2)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0) === ((0, 2L, 2.0, 1.0))) // (1,3): mean 2, std 1
+    assert(got(1) === ((1, 2L, 2.0, 2.0))) // (0,4): mean 2, std 2
   }
 
   test("embedding dedup clusters group colinear vectors") {
