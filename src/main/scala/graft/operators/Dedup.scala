@@ -234,9 +234,57 @@ object Dedup {
     * Each round's labels are materialized via cache (tracked) so lineage
     * stays flat — at cluster scale you'd checkpoint every few rounds
     * instead. */
+  /** Size-adaptive front end: LSH pair lists are bounded by the banding
+    * (candidates per bucket, never O(n²)), so they are usually tiny
+    * relative to the corpus. Below `localEdgeThreshold` edges the
+    * components are solved with a driver union-find over the ids-only
+    * pair list — the same size logic as a broadcast-join threshold
+    * (collect ~16 bytes/pair, never data rows), replacing O(log
+    * diameter) driver-coordinated rounds (each a full multi-stage job —
+    * fixed job overhead dominated the bench's cluster queries ~10:1)
+    * with one collect. Past the threshold the distributed log-round
+    * propagation takes over unchanged — spec-pinned equal on random
+    * graphs. Labels match exactly: union-by-min-root makes every root
+    * the component minimum, the same label min-propagation converges
+    * to. */
   def clusterAssignments(vertices: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIter: Int = 25): DataFrame =
-    clusterAssignmentsWithRounds(vertices, pairs, idCol, maxIter)._1
+      idCol: String = "doc_id", maxIter: Int = 25,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val p = CacheRegistry.tracked(
+      pairs.select(col("id_a"), col("id_b")))
+    if (p.count() > localEdgeThreshold)
+      clusterAssignmentsWithRounds(vertices, p, idCol, maxIter)._1
+    else {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val pr = parent.get(r); pr != null && pr != r })
+          r = parent.get(r)
+        var c = x // path compression
+        while ({ val pc = parent.get(c); pc != null && pc != c }) {
+          val nx: Long = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      p.collect().foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labels = parent.keySet.asScala.toSeq
+        .map(id => (id.toLong, find(id))).toDF(idCol, "root")
+      // no broadcast hint: near the threshold the label table can be
+      // tens of MB — AQE broadcasts while it fits, shuffles past that
+      vertices.select(col(idCol))
+        .join(labels, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("root"), col(idCol)).as("cluster_id"))
+    }
+  }
 
   /** [[clusterAssignments]] plus the number of rounds that made progress
     * (the round after which labels stopped changing) — the spec hook for
@@ -308,8 +356,18 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = CacheRegistry.tracked(round(labels, halve = iter > 0))
-      val s = timed(s"round ${iter + 1}")(labelSum(next))
+      // localCheckpoint, not cache: each round references the previous
+      // label map TWICE (propagate + jump), so a cached-but-composed
+      // lineage DOUBLES the logical plan per round — the analyzer walks
+      // the full tree before the cache can match, and by round ~10 the
+      // plan string alone crosses 2 GB (observed: the embedding-cluster
+      // composition wedged the bench). The checkpoint truncates lineage
+      // to a LogicalRDD leaf; labels are endpoint-sized, so the
+      // materialization is the round's job anyway. On a cluster this is
+      // the checkpoint-every-round the Scaladoc describes.
+      val next = timed(s"round ${iter + 1}")(
+        round(labels, halve = iter > 0).localCheckpoint())
+      val s = timed(s"sum ${iter + 1}")(labelSum(next))
       labels.unpersist(blocking = false)
       labels = next
       done = s == null || // an empty endpoint set never changes

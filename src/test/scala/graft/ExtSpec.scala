@@ -338,10 +338,19 @@ class ExtSpec extends SparkSpec {
         if (ra != rb) parent(ra max rb) = ra min rb
       }
       val expect = (1 to n).map(v => v.toLong -> find(v).toLong).toMap
+      // threshold 0 forces the DISTRIBUTED rounds — comparing the local
+      // union-find front end against a union-find reference would be
+      // circular
       val got = Dedup.clusterAssignments(
-          (1L to n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"))
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"),
+          localEdgeThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got === expect, s"trial $trial n=$n edges=${edges.size}")
+      // and the local path must agree with both
+      val gotLocal = Dedup.clusterAssignments(
+          (1L to n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotLocal === expect, s"local trial $trial")
     }
   }
 
