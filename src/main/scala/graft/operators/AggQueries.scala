@@ -22,7 +22,7 @@ object AggQueries {
     tarjetas(s, d).filter(col("lote").isNotNull)
       .groupBy(col("lote"))
       .agg(min(col("fecha")).as("fecha"),
-        sum(col("monto").cast(Dec)).as("tf"))
+        sum(Aggregates.cents(col("monto"))).as("tf"))
       .select(col("fecha"), col("lote"),
         (col("tf") +
           when(col("lote").cast("int") % 3 === 0, lit(10).cast(Dec))
@@ -55,12 +55,21 @@ object AggQueries {
   private def withCtes(sql: String): String =
     s"WITH ${SyncFixture.DeltaCtes},\n$sql"
 
+  // mirrors Aggregates.cents: exact integer milli-cents, explicit
+  // HALF_UP in integer math, then cents→decimal — double→decimal casts
+  // tie-break differently between engines (Spark shortest-repr HALF_UP,
+  // DuckDB value-based / rescale ties-down) on the fixture's half-cent
+  // money values
+  private val CentsSql =
+    "cast(floor((round(monto * 1000) + 5) / 10) / 100.0 AS decimal(18,2))"
+
   private val LotTotalsSql =
-    """lt AS (
-      |  SELECT lote, sum(cast(monto AS decimal(18,2))) AS total_folios,
-      |         count(*) AS n_folios
-      |  FROM st WHERE partition = 'TARJETA' AND lote IS NOT NULL
-      |  GROUP BY lote)""".stripMargin
+    s"""lt AS (
+       |  SELECT lote,
+       |    sum($CentsSql) AS total_folios,
+       |    count(*) AS n_folios
+       |  FROM st WHERE partition = 'TARJETA' AND lote IS NOT NULL
+       |  GROUP BY lote)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "a1_lot_totals" -> withCtes(
@@ -72,7 +81,7 @@ object AggQueries {
       s"""$LotTotalsSql,
          |cierres AS (
          |  SELECT min(fecha) AS fecha, lote,
-         |    cast(sum(cast(monto AS decimal(18,2))) +
+         |    cast(sum($CentsSql) +
          |      CASE WHEN cast(lote AS int) % 3 = 0 THEN 10.0 ELSE 0.0 END
          |      AS decimal(18,2)) AS total_cierre,
          |    (cast(lote AS int) % 2 = 0) AS depositado,
@@ -95,7 +104,8 @@ object AggQueries {
          |    DATE '${SyncFixture.WindowEnd}', INTERVAL 1 DAY)) AS date)
          |    AS fecha),
          |daily AS (
-         |  SELECT fecha, sum(cast(monto AS decimal(18,2))) AS t
+         |  SELECT fecha,
+         |    sum($CentsSql) AS t
          |  FROM st WHERE partition = 'TRANSFERENCIA' GROUP BY fecha)
          |SELECT spine.fecha,
          |  cast(cast(coalesce(daily.t, 0) AS decimal(18,2)) AS double)

@@ -18,13 +18,32 @@ object Aggregates {
 
   private val Dec = DecimalType(18, 2)
 
+  /** Double money → cents, engine-stably. A direct double→decimal(18,2)
+    * cast diverges between engines on half-cent values: Spark rounds
+    * the SHORTEST DECIMAL REPR of the double (`BigDecimal.valueOf`, so
+    * a stored 123.4549999… whose repr is "123.455" rounds UP) while a
+    * value-based engine rounds the true binary value (DOWN for the same
+    * bits) — observed as penny drift in the sf0.1 lot totals. And
+    * decimal RESCALE ties-break differently too (Spark HALF_UP, DuckDB
+    * ties-down), so no decimal cast chain can fix it. Instead: exact
+    * integer milli-cents (`round(m·1000)` — the accumulated double
+    * error of money arithmetic is ~1e-8, five orders inside the 0.5
+    * tie window, so both engines land the SAME integer), then an
+    * explicit HALF_UP in integer math (`⌊(mc+5)/10⌋`, non-negative
+    * money), then cents→decimal — never within an ulp of any boundary.
+    * Mirrored textually by the `CentsSql` fragment in AggQueries. */
+  private[operators] def cents(c: org.apache.spark.sql.Column) = {
+    val mc = round(c * 1000) // exact integer-valued double
+    (floor((mc + 5) / 10) / 100.0).cast(Dec)
+  }
+
   /** A1 — per-lot amount totals over the card partition. */
   def lotTotals(tarjetas: DataFrame, lotCol: String = "lote",
       amountCol: String = "monto"): DataFrame =
     tarjetas
       .filter(col(lotCol).isNotNull)
       .groupBy(col(lotCol))
-      .agg(sum(col(amountCol).cast(Dec)).as("total_folios"),
+      .agg(sum(cents(col(amountCol))).as("total_folios"),
         count(lit(1)).as("n_folios"))
 
   /** A2/J5 — lot-closure cross-check: declared lot total vs computed sum,
@@ -70,7 +89,7 @@ object Aggregates {
         to_date(lit(start)), to_date(lit(end)))).as(fechaCol))
     val daily = transfers
       .groupBy(col(fechaCol))
-      .agg(sum(col(amountCol).cast(Dec)).as("t"))
+      .agg(sum(cents(col(amountCol))).as("t"))
     spine.join(daily, Seq(fechaCol), "left")
       .select(col(fechaCol),
         coalesce(col("t"), lit(0)).cast(Dec).as("transferencia"))

@@ -329,27 +329,32 @@ object CorpusStats {
     * tf-weighted mean of -ln P(w), P(w) = corpus count / corpus total;
     * low = stereotypical text, high = rare-token noise.
     *
-    * Shape: one map-side-combining shuffle builds (doc, term, tf), the
-    * corpus term-count table is vocabulary-sized (a dimension — AQE
-    * broadcasts it while it fits, falls back to an equi-shuffle on
-    * `term` at web-vocabulary scale), and the corpus total is a one-row
-    * in-plan aggregate cross-joined in (no eager driver job). */
+    * Shape: ONE tokenize+explode builds (doc, term, tf) — cached,
+    * because the term-count table and the corpus total both derive from
+    * it (Σtf per term / Σtf overall; re-exploding the corpus once per
+    * branch was 3× the scan cost). The count table is vocabulary-sized
+    * (a dimension — AQE broadcasts it while it fits, falls back to an
+    * equi-shuffle on `term` at web-vocabulary scale); the total is a
+    * one-row in-plan aggregate cross-joined in (no eager driver job).
+    * The per-doc sum of tf·ln terms goes through decimal(38,18) so
+    * shuffle order cannot move the rounded result. */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val tf = CacheRegistry.tracked(docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = tf.agg(sum(col("tf")).cast("double").as("total"))
     tf.join(cnt, Seq("term"))
       .crossJoin(tot) // one row; AQE broadcasts it
       .groupBy(col("id"))
       .agg(sum(col("tf")).as("n_tok"),
-        round(sum(col("tf") * log(col("total") / col("cnt")))
-          / sum(col("tf")), 4).as("xent"))
+        round(sum((col("tf") * log(col("total") / col("cnt"))).cast(dec))
+          .cast("double") / sum(col("tf")), 4).as("xent"))
       .select(col("id").as(idCol), col("n_tok"), col("xent"))
   }
 
@@ -448,12 +453,14 @@ object CorpusStats {
     * before writing fixed-length training sequences). Returns per-bin
     * doc count, token mass, and fill fraction against the budget.
     *
-    * Shape: one global ordered prefix sum (a range-partitioned sort —
-    * Spark's distributed sort, not a single-partition window) then a
-    * map-side-combining aggregate on the bin id. At 100 TB the order is
-    * arbitrary anyway, so production packs each partition independently
-    * (same code with the window keyed by partition id) and pays no
-    * global sort; the totally-ordered form here is the oracle-checkable
+    * Shape: a global ordered prefix sum, which Spark plans as a
+    * SINGLE-PARTITION window (an unpartitioned Window.orderBy moves all
+    * rows to one task — fine at oracle scale, a bottleneck at corpus
+    * scale), then a map-side-combining aggregate on the bin id. At
+    * 100 TB the doc order is arbitrary anyway, so production packs each
+    * partition independently — the same code with the window keyed by
+    * `spark_partition_id()` — paying no global sort and no single-task
+    * window; the totally-ordered form here is the oracle-checkable
     * reference. */
   def packSequences(docs: DataFrame, budget: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

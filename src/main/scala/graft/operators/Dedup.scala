@@ -362,13 +362,16 @@ object Dedup {
       // the full tree before the cache can match, and by round ~10 the
       // plan string alone crosses 2 GB (observed: the embedding-cluster
       // composition wedged the bench). The checkpoint truncates lineage
-      // to a LogicalRDD leaf; labels are endpoint-sized, so the
-      // materialization is the round's job anyway. On a cluster this is
-      // the checkpoint-every-round the Scaladoc describes.
+      // to a LogicalRDD leaf. Lazy (eager = false) so the labelSum
+      // probe stays the ONE action that materializes the round; the
+      // superseded rounds' persisted RDDs drop out of scope each
+      // reassignment and the ContextCleaner reclaims them (Dataset
+      // .unpersist cannot — they never enter the CacheManager). On a
+      // cluster this is the checkpoint-every-round the Scaladoc
+      // describes.
       val next = timed(s"round ${iter + 1}")(
-        round(labels, halve = iter > 0).localCheckpoint())
+        round(labels, halve = iter > 0).localCheckpoint(eager = false))
       val s = timed(s"sum ${iter + 1}")(labelSum(next))
-      labels.unpersist(blocking = false)
       labels = next
       done = s == null || // an empty endpoint set never changes
         prevSum.exists(p => p != null && p.compareTo(s) == 0)

@@ -595,12 +595,12 @@ object ExtQueries {
   /** Quality-score oracle, reused verbatim by the pipeline query. */
   private lazy val QualitySelect =
     s"""SELECT doc_id,
-       |  round(0.25 * least(n_chars / 500.0, 1.0)
+       |  round((0.25 * least(n_chars / 500.0, 1.0)
        |      + 0.25 * (alpha / greatest(n_chars, 1.0))
        |      + 0.25 * least(s_en / 5.0, 1.0)
        |      + 0.25 * (CASE WHEN n_chars / greatest(n_tokens, 1.0)
-       |                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
-       |    4) AS score
+       |                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END))
+       |    * 10000) / 10000.0 AS score
        |FROM (
        |  SELECT doc_id,
        |    length(text)::double AS n_chars,
@@ -1467,7 +1467,8 @@ object ExtQueries {
         |FROM b GROUP BY bucket""".stripMargin,
 
     // mirrors CorpusStats.unigramLogProb: tf-weighted mean of
-    // ln(total/cnt) under the corpus unigram distribution
+    // ln(total/cnt) under the corpus unigram distribution; cnt/total
+    // derive from tf, the per-doc sum goes through decimal(38,18)
     "x_unigram_xent" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,
@@ -1475,10 +1476,11 @@ object ExtQueries {
         |  FROM documents),
         |t2 AS (SELECT * FROM toks WHERE term <> ''),
         |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term),
-        |cnt AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY term),
-        |tot AS (SELECT count(*)::double AS total FROM t2)
+        |cnt AS (SELECT term, sum(tf)::bigint AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT sum(tf)::double AS total FROM tf)
         |SELECT id AS doc_id, sum(tf)::bigint AS n_tok,
-        |  round(sum(tf * ln(total / cnt)) / sum(tf), 4) AS xent
+        |  round(sum((tf * ln(total / cnt))::decimal(38,18))::double
+        |    / sum(tf), 4) AS xent
         |FROM tf JOIN cnt USING (term) CROSS JOIN tot
         |GROUP BY id""".stripMargin,
 

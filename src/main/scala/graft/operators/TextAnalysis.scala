@@ -114,8 +114,15 @@ object TextAnalysis {
     val meanTok = nChars / greatest(nTokens, lit(1.0))
     val tokScore =
       when(meanTok.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
-    round(lit(0.25) * lenScore + lit(0.25) * alphaRatio +
-      lit(0.25) * stopScore + lit(0.25) * tokScore, 4)
+    // integer basis points, not round(_, 4): a 4-decimal half-tie like
+    // .49625 is not a dyadic rational, so the double sits just BELOW it
+    // (.49624999…) — but its SHORTEST REPR is "0.49625", so Spark's
+    // repr-based round sees an exact tie and goes UP while a value-based
+    // engine goes DOWN (observed at sf0.1, doc 1418). After ·10000 the
+    // repr must spell out the sub-tie digits ("4962.4999…"), so both
+    // engines round the same way; /10000.0 is then exact.
+    round((lit(0.25) * lenScore + lit(0.25) * alphaRatio +
+      lit(0.25) * stopScore + lit(0.25) * tokScore) * 10000) / 10000.0
   }
 
   /** Content fingerprint: md5 over whitespace-normalized lower-cased text. */

@@ -325,10 +325,13 @@ class ExtSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {
       val n = 30 + rnd.nextInt(40)
-      val edges = Seq.fill(rnd.nextInt(60))(
+      val edges0 = Seq.fill(rnd.nextInt(60))(
           (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
         .filter(p => p._1 != p._2)
         .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      // never empty: count 0 is not > threshold 0, so an empty draw
+      // would silently fall back to the local path and test nothing
+      val edges = if (edges0.nonEmpty) edges0 else Seq((1L, 2L))
       val parent = Array.tabulate(n + 1)(identity)
       def find(x: Int): Int = {
         var r = x; while (parent(r) != r) r = parent(r); r
