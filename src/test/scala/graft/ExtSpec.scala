@@ -244,6 +244,20 @@ class ExtSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("local and distributed cluster paths agree on the real corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.nearDupPairsLsh(e, 0.4)
+    val local = graft.operators.Dedup
+      .clusterAssignments(e, pairs, idCol = "vec_id")
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.operators.Dedup
+      .clusterAssignments(e, pairs, idCol = "vec_id",
+        localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+    assert(local.exists { case (id, c) => c != id }) // non-trivial merge
+  }
+
   test("LSH signature raises on mismatched embedding dimensionality") {
     val bad = Seq((1L, Array.fill(32)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Throwable] {
