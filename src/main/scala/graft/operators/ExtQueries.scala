@@ -302,6 +302,15 @@ object ExtQueries {
       Multimodal.headerMetadata(Multimodal.mediaTable(s, d))
         .select(col("media_id"), col("kind"), col("width"), col("height"))),
 
+    // Frame sampling: every stride-th fixed-size block of the video
+    // payload body → one frame row (the video→frame-table fan-out);
+    // frames surface as md5 digests (the driver compare can't hash raw
+    // binary cells).
+    "x_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          md5(col("frame")).as("frame_fp"))),
+
     "x_stream_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
@@ -1029,6 +1038,22 @@ object ExtQueries {
         |  (16 + doc_id % 48)::int AS width,
         |  (16 + doc_id % 32)::int AS height
         |FROM documents""".stripMargin,
+
+    // mirrors Multimodal.sampleFrames over the fixture's video payloads:
+    // body = the doc's UTF-8 text (ASCII word-soup, so chars == bytes),
+    // frames = 16-byte slices every 4th frame (stride 64 chars)
+    "x_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text,
+        |    (length(text) // 16)::int AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, n_frames, text,
+        |    unnest(range(0, ((n_frames - 1) // 4) + 1)) AS frame_idx
+        |  FROM v WHERE n_frames > 0)
+        |SELECT media_id, n_frames, frame_idx::int AS frame_idx,
+        |  md5(substring(text, frame_idx::int * 64 + 1, 16)) AS frame_fp
+        |FROM f""".stripMargin,
 
     "x_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hora, event_type,
