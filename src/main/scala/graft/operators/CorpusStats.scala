@@ -264,14 +264,19 @@ object CorpusStats {
     docs
       .select(col(idCol), filter(ws, w => w =!= "").as("ws"))
       .withColumn("n_words", size(col("ws")).cast("long"))
+      // basis points, not round(_, 4): integer-ratio doubles like
+      // 153/160 = .95625 are exact 4-decimal half-ties, where Spark's
+      // shortest-repr rounding and a value-based engine's pick opposite
+      // sides (the class TextAnalysis.qualityScore documents)
       .withColumn("mean_word_len",
         round(when(col("n_words") > 0,
           aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
-            .cast("double") / col("n_words")).otherwise(lit(0.0)), 4))
+            .cast("double") / col("n_words")).otherwise(lit(0.0))
+          * 10000) / 10000.0)
       .withColumn("alpha_frac",
         round(when(col("n_words") > 0,
           size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
-            col("n_words")).otherwise(lit(0.0)), 4))
+            col("n_words")).otherwise(lit(0.0)) * 10000) / 10000.0)
       .select(col(idCol), col("n_words"), col("mean_word_len"),
         col("alpha_frac"),
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
@@ -318,7 +323,10 @@ object CorpusStats {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("toks")), 4).as("mean_tokens"))
+        // basis points: avg of integers is an exact rational that can
+        // half-tie at 4 decimals, where repr-based and value-based
+        // rounding disagree (see TextAnalysis.qualityScore)
+        (round(avg(col("toks")) * 10000) / 10000.0).as("mean_tokens"))
       .join(pct, Seq("source", "lang"))
   }
 
@@ -392,18 +400,18 @@ object CorpusStats {
     * signal web-corpus curation filters on. Documents too short to
     * shingle get coverage 0 and keep = true.
     *
-    * Shape: occurrence explode → left join against the hot-shingle set →
-    * per-doc conditional count. The hot set is tiny BY CONSTRUCTION
-    * (df ≥ minDf caps it at corpus_docs/minDf entries), so AQE
-    * broadcasts the join at any corpus size — the one full shuffle is
-    * the df aggregation itself, map-side combining on the shingle. */
+    * Shape: ONE tokenize+shingle pass — the occurrence explode is
+    * cached and the hot set derives from it (distinct (doc, shingle) →
+    * df), instead of re-scanning the corpus through a second shingle
+    * kernel. The hot set is tiny BY CONSTRUCTION (df ≥ minDf caps it at
+    * corpus_docs/minDf entries), so AQE broadcasts the join at any
+    * corpus size — the one full shuffle is the df aggregation itself,
+    * map-side combining on the shingle. */
   def boilerplateCoverage(docs: DataFrame, minDf: Int,
       maxCoverage: Double): DataFrame = {
-    val occ = docs.select(col("doc_id"),
-      explode(TextAnalysis.shingleOccurrences(col("text"))).as("s"))
-    val hot = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"))).as("s"))
+    val occ = CacheRegistry.tracked(docs.select(col("doc_id"),
+      explode(TextAnalysis.shingleOccurrences(col("text"))).as("s")))
+    val hot = occ.select(col("doc_id"), col("s")).distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("s"), lit(1).as("is_hot"))

@@ -1459,13 +1459,13 @@ object ExtQueries {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, len(ws)::bigint AS n_words,
-        |    round(CASE WHEN len(ws) > 0 THEN
+        |    round((CASE WHEN len(ws) > 0 THEN
         |      list_sum(list_transform(ws, w -> len(w)))::double / len(ws)
-        |      ELSE 0.0 END, 4) AS mean_word_len,
-        |    round(CASE WHEN len(ws) > 0 THEN
+        |      ELSE 0.0 END) * 10000) / 10000.0 AS mean_word_len,
+        |    round((CASE WHEN len(ws) > 0 THEN
         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
         |        ::double / len(ws)
-        |      ELSE 0.0 END, 4) AS alpha_frac
+        |      ELSE 0.0 END) * 10000) / 10000.0 AS alpha_frac
         |  FROM t)
         |SELECT doc_id, n_words, mean_word_len, alpha_frac,
         |  (n_words >= 5 AND n_words <= 100000
@@ -1677,7 +1677,7 @@ object ExtQueries {
         |      FROM c GROUP BY source, lang),
         |a AS (SELECT source, lang, count(*) AS n_docs,
         |        sum(n_chars) AS total_chars,
-        |        round(avg(toks), 4) AS mean_tokens
+        |        round(avg(toks) * 10000) / 10000.0 AS mean_tokens
         |      FROM t GROUP BY source, lang)
         |SELECT source, lang, n_docs, total_chars, mean_tokens,
         |  p50_tokens, p90_tokens

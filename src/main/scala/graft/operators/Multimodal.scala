@@ -122,11 +122,17 @@ object Multimodal {
     * already exists on disk". */
   private val mediaTables =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // evict entries from previous (stopped) sessions: a resident JVM
+    // that restarts SparkSessions would otherwise pin each dead
+    // session's Dataset + plan + session reference forever
+    mediaTables.keys.filter(_._1 != appId).foreach(mediaTables.remove)
     mediaTables.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir),
+      (appId, dir),
       mediaFromDocuments(graft.Tables.documents(spark, dir))
         .localCheckpoint())
+  }
 
   /** Batched per-partition decode — the `mapInPandas` pattern on the JVM:
     * consume the iterator in fixed-size batches so a real codec can reuse

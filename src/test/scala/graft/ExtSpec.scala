@@ -51,9 +51,10 @@ class ExtSpec extends SparkSpec {
   test("codegen'd winnow fingerprint matches the HOF construction") {
     // the HOF side runs interpreted at O(grams·window) PER ROW — a dozen
     // corpus docs + the edge cases carry the parity evidence at ~1/5 the
-    // suite cost of the full sf0.001 table
+    // suite cost of the full sf0.001 table; every 4th doc, not a prefix,
+    // so the sample spans the corpus's length/content range
     val corpus = Tables.documents(spark, sf0001).select($"doc_id", $"text")
-      .filter($"doc_id" < 12)
+      .filter($"doc_id" % 4 === 0)
       .union(Seq((9001L, ""), (9002L, "tiny"), (9003L, "exactly5"),
         (9004L, "just over the gram size")).toDF("doc_id", "text"))
     val diff = corpus.select(
