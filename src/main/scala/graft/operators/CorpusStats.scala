@@ -19,14 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  /** Duplicate-word fraction: 1 − distinct/total words. Pure per-row. */
-  def dupWordFrac(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
-    round(lit(1.0) -
-      size(array_distinct(ws)).cast("double") /
-        greatest(size(ws), lit(1)).cast("double"), 4)
-  }
-
   /** Per-doc repetition signals over word bigrams: the fraction of all
     * bigram occurrences taken by the single most frequent bigram (high →
     * boilerplate/listicle), plus the duplicate-word fraction. Docs with
@@ -70,12 +62,13 @@ object CorpusStats {
       .groupBy(col("id"))
       .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_n"))
       .select(col("id"),
-        round(col("top_n").cast("double") / col("total_n"), 4)
-          .as("top_bigram_frac"))
+        (round(col("top_n").cast("double") / col("total_n") * 10000)
+          / 10000.0).as("top_bigram_frac"))
     tokenized
       .select(col("id"),
-        round(lit(1.0) - size(array_distinct(ws)).cast("double") /
-          greatest(size(ws), lit(1)).cast("double"), 4).as("dup_word_frac"))
+        (round((lit(1.0) - size(array_distinct(ws)).cast("double") /
+          greatest(size(ws), lit(1)).cast("double")) * 10000) / 10000.0)
+          .as("dup_word_frac"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
@@ -230,7 +223,8 @@ object CorpusStats {
     docs
       .join(totals.select(col("source"), col("rate")), Seq("source"))
       .filter(bucket < floor(col("rate") * 1000000.0).cast("long"))
-      .select(col(idCol), col("source"), round(col("rate"), 6).as("rate"))
+      .select(col(idCol), col("source"),
+        (round(col("rate") * 1000000) / 1000000.0).as("rate"))
   }
 
   /** Sequence-length histogram in power-of-two buckets of the BPE token
@@ -424,7 +418,8 @@ object CorpusStats {
         coalesce(col("n_sh"), lit(0L)).as("n_sh"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
       .withColumn("coverage",
-        round(col("n_common") / greatest(col("n_sh"), lit(1L)), 6))
+        round(col("n_common") / greatest(col("n_sh"), lit(1L)) * 1000000)
+          / 1000000.0)
       .withColumn("keep", col("coverage") <= maxCoverage)
   }
 

@@ -1370,7 +1370,7 @@ object ExtQueries {
     "x_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(k) AS n_parsed,
-        |  round(avg(k), 4) AS mean_k,
+        |  round(avg(k) * 10000) / 10000.0 AS mean_k,
         |  max(k) AS max_k
         |FROM (SELECT event_type,
         |        try_cast(json_extract_string(props, '$.k') AS int) AS k
@@ -1392,7 +1392,8 @@ object ExtQueries {
          |  SELECT source,
          |    least(1.0, $MixtureBudget.0 * ($wCase) / src_tokens) AS rate
          |  FROM totals)
-         |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+         |SELECT d.doc_id, d.source,
+         |  round(r.rate * 1000000) / 1000000.0 AS rate
          |FROM documents d JOIN rates r USING (source)
          |WHERE ('0x' || substr(md5(d.doc_id::varchar || '#0'), 17, 15))
          |    ::bigint % 1000000 < floor(r.rate * 1000000.0)::bigint"""
@@ -1441,12 +1442,14 @@ object ExtQueries {
         |  FROM w WHERE len(ws) >= 2),
         |cnt AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
         |top AS (
-        |  SELECT doc_id, round(max(n)::double / sum(n), 4) AS top_bigram_frac
+        |  SELECT doc_id,
+        |    round(max(n)::double / sum(n) * 10000) / 10000.0
+        |      AS top_bigram_frac
         |  FROM cnt GROUP BY doc_id)
         |SELECT w.doc_id,
         |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
-        |  round(1.0 - len(list_distinct(ws))::double /
-        |    greatest(len(ws), 1), 4) AS dup_word_frac
+        |  round((1.0 - len(list_distinct(ws))::double /
+        |    greatest(len(ws), 1)) * 10000) / 10000.0 AS dup_word_frac
         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin,
 
     // mirrors CorpusStats.gopherRules: same word list, integer length
@@ -1550,9 +1553,10 @@ object ExtQueries {
          |  coalesce(n_sh, 0)::bigint AS n_sh,
          |  coalesce(n_common, 0)::bigint AS n_common,
          |  round(coalesce(n_common, 0)::double
-         |    / greatest(coalesce(n_sh, 0), 1), 6) AS coverage,
+         |    / greatest(coalesce(n_sh, 0), 1) * 1000000) / 1000000.0
+         |    AS coverage,
          |  round(coalesce(n_common, 0)::double
-         |    / greatest(coalesce(n_sh, 0), 1), 6)
+         |    / greatest(coalesce(n_sh, 0), 1) * 1000000) / 1000000.0
          |    <= $BoilerplateMaxCoverage AS keep
          |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
 

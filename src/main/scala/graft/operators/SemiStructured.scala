@@ -30,6 +30,7 @@ object SemiStructured {
       .agg(
         count(lit(1)).as("n_events"),
         count(col("k")).as("n_parsed"),
-        round(avg(col("k")), 4).as("mean_k"),
+        // basis points: avg of integers can half-tie at 4 decimals
+        (round(avg(col("k")) * 10000) / 10000.0).as("mean_k"),
         max(col("k")).as("max_k"))
 }

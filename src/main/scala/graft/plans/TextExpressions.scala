@@ -168,9 +168,14 @@ object TextKernels {
   }
 
   /** Mirror of Spark's `round(d, 4)` on doubles (BigDecimal HALF_UP). */
+  /** Value-based basis-point rounding — NOT BigDecimal.valueOf, whose
+    * shortest-repr HALF_UP diverges from value-based engines on
+    * non-dyadic half-ties (the class documented at
+    * TextAnalysis.qualityScore); Math.round(x·10⁴) matches the Spark
+    * expression `round(x * 10000) / 10000.0` and DuckDB bit-for-bit for
+    * the non-negative fractions this kernel emits. */
   private def round4(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    Math.round(d * 10000.0) / 10000.0
 
   /** Both repetition signals in one pass: the fraction of bigram
     * occurrences held by the most frequent bigram (0.0 below two words)
