@@ -16,7 +16,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is written tz-naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (session tz is UTC, so values are identical) so that
+      // withWatermark / window accept it — NTZ has no streaming event time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // 67 queries × many codegen'd stages in ONE JVM: the default
       // 100-entry generated-class cache evicts constantly, so later
       // queries pay Janino recompiles the warmup already did (static

@@ -11,6 +11,10 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is written tz-naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (session tz is UTC, so values are identical) so that
+      // withWatermark / window accept it — NTZ has no streaming event time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

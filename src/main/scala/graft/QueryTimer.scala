@@ -12,6 +12,10 @@ object QueryTimer {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is written tz-naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (session tz is UTC, so values are identical) so that
+      // withWatermark / window accept it — NTZ has no streaming event time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

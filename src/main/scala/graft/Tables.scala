@@ -2,22 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Testdata loaders (TESTDATA.md). One parquet file per table; the driver's
   * DuckDB oracle sees the same files under the bare table name.
   *
-  * `events.ts` is TIMESTAMP(NANOS), which Spark 4 only reads with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session in
-  * this repo); the loader converts the raw nanos back to a timestamp with
-  * exact integer division (a double division would lose precision at
-  * 1e18 nanos). */
+  * `events.ts` has shipped as both TIMESTAMP(NANOS) (readable only with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, set by every session in
+  * this repo; the loader converts raw nanos back with exact integer
+  * division) and tz-naive TIMESTAMP(MICROS); the loader normalizes either
+  * form to TimestampType so watermarked/windowed operators always see a
+  * valid event-time column. */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&
       df.schema.find(_.name == "ts").exists(_.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+      df.schema.find(_.name == "ts").exists(_.dataType == TimestampNTZType))
+      // a session that infers parquet NTZ (we disable that in ours, but the
+      // driver's session is not ours to configure) still needs TIMESTAMP:
+      // watermarks/windows reject NTZ. Session tz is UTC → same instant.
+      df.withColumn("ts", expr("cast(ts as timestamp)"))
     else df
   }
 

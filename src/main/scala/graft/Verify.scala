@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is written tz-naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (session tz is UTC, so values are identical) so that
+      // withWatermark / window accept it — NTZ has no streaming event time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // same single-JVM codegen-cache thrash as Bench: 67 queries of
       // stages vs a 100-entry default (static conf, set pre-session)
       .config("spark.sql.codegen.cache.maxEntries", "2000")

@@ -12,6 +12,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is written tz-naive (isAdjustedToUTC=false); read it as
+      // TIMESTAMP (session tz is UTC, so values are identical) so that
+      // withWatermark / window accept it — NTZ has no streaming event time.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // one JVM runs every suite's plans: avoid generated-class cache
       // thrash (same static conf Bench/Verify set)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
