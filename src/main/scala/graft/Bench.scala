@@ -43,8 +43,18 @@ object Bench {
     }
     spark.catalog.clearCache() // warmup caches must not serve the timed run
     System.gc() // settle warmup garbage before any timing starts
+    // The box is shared: a single timing can be 10x inflated by a
+    // neighbor's load spike (BENCH_r04 recorded 24.3 s for a query that
+    // re-runs at 2.2 s). Take the MEDIAN of 3 runs per query and record
+    // the min/max spread plus /proc/loadavg so a contended run is
+    // self-identifying instead of silently poisoning the round's numbers.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val retried = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = ordered.map {
       case (name, fn) =>
         // A failed query must be distinguishable from a fast success: the
@@ -61,36 +71,47 @@ object Bench {
                 .linesIterator.next().take(200))
           }
         }
-        val dt = attempt() match {
-          case Right(t) => t
-          case Left(first) =>
-            retried(name) = first
-            spark.catalog.clearCache(); System.gc()
-            attempt() match {
-              case Right(t) => t
-              case Left(second) => errors(name) = second; -1.0
-            }
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        var failures = 0
+        while (times.length < 3 && failures < 2) {
+          attempt() match {
+            case Right(t) => times += t
+            case Left(msg) =>
+              failures += 1
+              if (failures == 1) retried(name) = msg
+              else errors(name) = msg
+          }
+          // operator-internal caches are per-query; each repeat must be a
+          // cold run of the same plan, not a cache hit on the first one
+          spark.catalog.clearCache()
         }
+        val dt =
+          if (times.isEmpty) -1.0
+          else times.sorted.apply(times.length / 2) // median (n in 1..3)
+        if (times.nonEmpty) spreads(name) = (times.min, times.max)
         System.err.println(
-          if (dt >= 0) f"[bench] $name%-28s $dt%8.2f s" +
-            (if (retried.contains(name)) " (retried)" else "")
+          if (dt >= 0)
+            f"[bench] $name%-28s $dt%8.2f s  (min ${times.min}%.2f / max ${times.max}%.2f)" +
+              (if (retried.contains(name)) " (retried)" else "")
           else f"[bench] $name%-28s FAILED: ${errors(name)}")
-        spark.catalog.clearCache() // operator-internal caches are per-query
-        // 47 queries in one JVM: without a nudge, allocation-heavy late
-        // queries pay the accumulated old-gen debt of everything before
-        // them (observed as 10x bimodal md5-query times)
+        // 86 queries x 3 runs in one JVM: without a nudge, allocation-heavy
+        // late queries pay the accumulated old-gen debt of everything
+        // before them (observed as 10x bimodal md5-query times)
         System.gc()
         name -> dt
     }
+    val loadAfter = loadavg()
     def jsonObj(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) =>
         s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, (lo, hi)) =>
+      f""""$k":[$lo%.3f,$hi%.3f]""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"median-of-3","queries":$qs,"spread":$sp,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout tail, which has truncated the
     // head of the per-query map before — persist the full line to a file

@@ -1491,7 +1491,7 @@ object ExtQueries {
         |      ELSE 1 END)), 0) AS bigint) AS n
         |  FROM documents)
         |SELECT (length(bin(n + 1)) - 1)::bigint AS bucket,
-        |  count(*) AS n_docs, sum(n) AS total_tokens
+        |  count(*) AS n_docs, sum(n)::bigint AS total_tokens
         |FROM b GROUP BY bucket""".stripMargin,
 
     // mirrors CorpusStats.unigramLogProb: tf-weighted mean of
@@ -1680,7 +1680,7 @@ object ExtQueries {
         |          AS p90_tokens
         |      FROM c GROUP BY source, lang),
         |a AS (SELECT source, lang, count(*) AS n_docs,
-        |        sum(n_chars) AS total_chars,
+        |        sum(n_chars)::bigint AS total_chars,
         |        round(avg(toks) * 10000) / 10000.0 AS mean_tokens
         |      FROM t GROUP BY source, lang)
         |SELECT source, lang, n_docs, total_chars, mean_tokens,

@@ -5,6 +5,18 @@ Runs DuckDB on oracle_sql.json (written by graft.Verify) against the same
 parquet tables, and compares each query's Spark parquet output to the oracle
 result: row count, column names (sorted), and a hash over the sorted values.
 
+Both result sets are materialized through DuckDB's pandas conversion
+(`.df()`), mirroring the driver's compare path. This is load-bearing: DuckDB
+returns an uncast `sum(BIGINT)` as HUGEINT, which pandas converts to float64
+(`23882` -> `23882.0`), while the Spark side stays int64. The cell normalizer
+below deliberately keeps the int-vs-float distinction (no `23882.0` ->
+`"23882"` collapse, no Decimal->int collapse) so that an oracle whose
+projection would type-diverge on the driver fails HERE first. Regression
+anchor: `SELECT sum(n) FROM ...` (uncast) vs a Spark bigint column MUST fail;
+`sum(n)::bigint` must pass. The r4 x_len_hist / x_source_stats driver reds
+were exactly this artifact slipping through the previous value-normalizing
+compare.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import duckdb
@@ -16,24 +28,35 @@ import os
 import sys
 from decimal import Decimal
 
+import numpy as np
+import pandas as pd
+
 
 def norm(v):
-    if v is None:
+    """Canonical cell repr that preserves pandas dtype distinctions."""
+    if v is None or v is pd.NaT:
         return "\0NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, Decimal):
-        f = float(v)
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
-        return str(v.normalize())
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            # a NULL in a float64 pandas column is NaN on both sides
+            return "\0NULL"
+        return repr(f)  # integral floats keep their ".0" — intentional
+    if isinstance(v, Decimal):
+        return str(v)  # no float()/int() collapse — scale is part of identity
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     return str(v)
+
+
+def frame_rows(df):
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.to_numpy(dtype=object)]
+    return rows, cols
 
 
 def table_hash(rows, cols):
@@ -59,17 +82,17 @@ def main(sf_dir, out_dir):
         d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
     for rd in result_dirs:
         name = os.path.basename(rd)
-        res = con.execute(
-            f"SELECT * FROM read_parquet('{rd}/*.parquet')")
-        rrows, rcols = res.fetchall(), [c[0] for c in res.description]
+        rdf = con.execute(
+            f"SELECT * FROM read_parquet('{rd}/*.parquet')").df()
+        rrows, rcols = frame_rows(rdf)
         if name not in oracles:
             n_rowsonly += 1
             status = "ROWS-ONLY" if rrows else "ROWS-ONLY-EMPTY"
             print(f"{status:>16} {name}: {len(rrows)} rows")
             continue
         try:
-            ores = con.execute(oracles[name])
-            orows, ocols = ores.fetchall(), [c[0] for c in ores.description]
+            odf = con.execute(oracles[name]).df()
+            orows, ocols = frame_rows(odf)
         except Exception as e:
             n_fail += 1
             print(f"{'ORACLE-ERR':>16} {name}: {e}")
