@@ -274,6 +274,38 @@ object ExtQueries {
         dim = EmbeddingDim)
     }),
 
+    // The 100 TB SERVING shape for IVFPQ: build once, persist with the
+    // codes table PARTITIONED BY list id, then serve probes off the
+    // stored index — the codes scan prunes to the nprobe probed
+    // partitions via static PartitionFilters (PlanSpec pins this).
+    // Same deterministic index as x_ann_ivfpq_topk, so the same oracle.
+    "x_ann_ivfpq_read" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-${Integer.toHexString(d.hashCode)}").toString
+      graft.sources.VectorIndexStore.writeIvfPq(e, path,
+        ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+        m = PqSubspaces, dim = EmbeddingDim)
+      graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, path,
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim)
+    }),
+
+    // kNN labeling composed with the APPROXIMATE neighbor provider a
+    // production pipeline would actually use: majority vote + own-label
+    // agreement over ivfPqTopK's neighbor set (knnClassifyFrom accepts
+    // any top-k provider; x_knn_label exercises the exact one).
+    "x_knn_ann_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % QueryMod === 0)
+      Similarity.knnClassifyFrom(
+        Similarity.ivfPqTopK(q, e, TopK,
+          ivfCentroidMod = IvfCentroidMod, nprobe = IvfNprobe,
+          pqCentroidMod = PqCentroidMod, m = PqSubspaces,
+          dim = EmbeddingDim), q, e)
+    }),
+
     // Real javax.imageio decode inside batched mapPartitions: the media
     // fixture renders a solid-gray PNG per image row from doc_id, so the
     // decoded (width, height, brightness) are oracle-predictable without
@@ -688,6 +720,163 @@ object ExtQueries {
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
   }
+
+  /** Residual-IVFPQ oracle CTE chain mirroring
+    * `Similarity.buildIvfPqIndex` + `ivfPqSearch`, ending in `ranked`
+    * (query_id, match_id, cos, rank). Shared by `x_ann_ivfpq_topk`,
+    * `x_ann_ivfpq_read` (the persisted list-partitioned index replays
+    * bit-identically: the build is deterministic and doubles
+    * round-trip parquet exactly) and `x_knn_ann_label` (majority vote
+    * over the same ranked top-k). */
+  private val IvfPqRankedCtes: String = {
+      val mm = PqSubspaces
+      val qPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
+        .mkString(",\n    ")
+      val cPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j")
+        .mkString(",\n    ")
+      val xPiv = (0 until mm).map(j =>
+        s"sum(CASE WHEN cr.j = $j THEN cr.crossv END) AS x$j")
+        .mkString(",\n    ")
+      val qn = (0 until mm).map(j => s"q$j").mkString(" + ")
+      val cn = (0 until mm).map(j => s"c$j").mkString(" + ")
+      val xn = (0 until mm).map(j => s"x$j").mkString(" + ")
+      s"""corp AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |      AS uv
+         |  FROM corp),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, uv AS centv FROM u
+         |  WHERE vec_id % $IvfCentroidMod = 0),
+         |asg AS (
+         |  SELECT vec_id AS match_id, uv, cent_id, centv FROM (
+         |    SELECT c.vec_id, c.uv, ct.cent_id, ct.centv, row_number()
+         |      OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_dot_product(c.uv, ct.centv), 6)
+         |          DESC, ct.cent_id) AS rnk
+         |    FROM u c CROSS JOIN cents ct)
+         |  WHERE rnk = 1),
+         |res AS (
+         |  SELECT match_id, cent_id,
+         |    list_transform(range(1, len(uv) + 1),
+         |      i -> uv[i] - centv[i]) AS rv
+         |  FROM asg),
+         |rsub AS (
+         |  SELECT match_id, cent_id, j,
+         |    list_slice(rv, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+         |  FROM res CROSS JOIN range($PqSubspaces) AS jr(j)),
+         |cb AS (
+         |  SELECT j, match_id AS code_id, s AS subc,
+         |    list_dot_product(s, s) AS cn2
+         |  FROM rsub WHERE match_id % $PqCentroidMod = 0),
+         |enc AS (
+         |  SELECT match_id, j, code, cn2 FROM (
+         |    SELECT rs.match_id, rs.j, cb.code_id AS code, cb.cn2,
+         |      row_number() OVER (PARTITION BY rs.match_id, rs.j
+         |        ORDER BY round(list_dot_product(rs.s, rs.s)
+         |          - 2.0 * list_dot_product(rs.s, cb.subc) + cb.cn2, 6),
+         |        cb.code_id) AS rnk
+         |    FROM rsub rs JOIN cb ON rs.j = cb.j)
+         |  WHERE rnk = 1),
+         |q AS (SELECT vec_id AS query_id, uv AS qv FROM u
+         |      WHERE vec_id % $QueryMod = 0),
+         |qc AS (
+         |  SELECT q.query_id, ct.cent_id,
+         |    list_dot_product(q.qv, ct.centv) AS qcdot
+         |  FROM q CROSS JOIN cents ct),
+         |probes AS (
+         |  SELECT query_id, cent_id, qcdot FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(qcdot, 6) DESC, cent_id) AS rnk
+         |    FROM qc)
+         |  WHERE rnk <= $IvfNprobe),
+         |lut AS (
+         |  SELECT q.query_id, cb.j, cb.code_id AS code,
+         |    list_dot_product(
+         |      list_slice(q.qv, cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
+         |      cb.subc) AS qdot
+         |  FROM q CROSS JOIN cb),
+         |crossr AS (
+         |  SELECT ct.cent_id, cb.j, cb.code_id AS code,
+         |    list_dot_product(
+         |      list_slice(ct.centv,
+         |        cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
+         |      cb.subc) AS crossv
+         |  FROM cents ct CROSS JOIN cb),
+         |adc AS (
+         |  SELECT p.query_id, e.match_id,
+         |    $qPiv,
+         |    $cPiv,
+         |    $xPiv,
+         |    max(p.qcdot) AS qcdot
+         |  FROM enc e
+         |  JOIN asg a ON e.match_id = a.match_id
+         |  JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN crossr cr ON a.cent_id = cr.cent_id AND e.j = cr.j
+         |    AND e.code = cr.code
+         |  JOIN lut l ON p.query_id = l.query_id AND e.j = l.j
+         |    AND e.code = l.code
+         |  WHERE p.query_id <> e.match_id
+         |  GROUP BY p.query_id, e.match_id),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round((qcdot + ($qn)) /
+         |      sqrt(1.0 + 2.0 * ($xn) + ($cn)), 6) AS approx
+         |  FROM adc),
+         |short AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, match_id) AS srnk
+         |    FROM scored)
+         |  WHERE srnk <= ${3 * TopK}),
+         |exact AS (
+         |  SELECT s.query_id, s.match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM short s JOIN q USING (query_id)
+         |  JOIN corp c ON s.match_id = c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, match_id) AS rank
+         |  FROM exact)""".stripMargin
+  }
+
+  private val IvfPqOracle: String =
+    s"""WITH $IvfPqRankedCtes,
+       |topk AS (SELECT query_id, match_id, cos, rank FROM ranked
+       |         WHERE rank <= $TopK)
+       |SELECT query_id, match_id, cos, rank FROM topk""".stripMargin
+
+  private val KnnAnnOracle: String =
+    s"""WITH $IvfPqRankedCtes,
+       |ql AS (
+       |  SELECT vec_id AS query_id, label FROM embeddings
+       |  WHERE vec_id % $QueryMod = 0),
+       |topk AS (
+       |  SELECT query_id, match_id FROM ranked WHERE rank <= $TopK),
+       |nbr AS (
+       |  SELECT t.query_id, e.label AS nbr_label
+       |  FROM topk t JOIN embeddings e ON t.match_id = e.vec_id),
+       |votes AS (
+       |  SELECT query_id, nbr_label, count(*) AS votes
+       |  FROM nbr GROUP BY query_id, nbr_label),
+       |pred AS (
+       |  SELECT query_id, nbr_label AS pred_label, votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, nbr_label) AS rnk
+       |    FROM votes)
+       |  WHERE rnk = 1),
+       |agree AS (
+       |  SELECT v.query_id, v.votes AS n_agree
+       |  FROM votes v JOIN ql ON v.query_id = ql.query_id
+       |    AND v.nbr_label = ql.label)
+       |SELECT p.query_id, ql.label, p.pred_label, p.votes,
+       |  coalesce(a.n_agree, 0) AS n_agree
+       |FROM pred p JOIN ql ON p.query_id = ql.query_id
+       |LEFT JOIN agree a ON p.query_id = a.query_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x_tok_count" ->
@@ -1236,123 +1425,15 @@ object ExtQueries {
     // deterministic sample, ADC = (q·centv + Σ qⱼ·rcⱼ) /
     // √(1 + 2·Σ centvⱼ·rcⱼ + Σ|rcⱼ|²) with fixed-order pivot sums,
     // exact shortlist re-rank
-    "x_ann_ivfpq_topk" -> {
-      val mm = PqSubspaces
-      val qPiv = (0 until mm).map(j =>
-        s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
-        .mkString(",\n    ")
-      val cPiv = (0 until mm).map(j =>
-        s"sum(CASE WHEN e.j = $j THEN e.cn2 END) AS c$j")
-        .mkString(",\n    ")
-      val xPiv = (0 until mm).map(j =>
-        s"sum(CASE WHEN cr.j = $j THEN cr.crossv END) AS x$j")
-        .mkString(",\n    ")
-      val qn = (0 until mm).map(j => s"q$j").mkString(" + ")
-      val cn = (0 until mm).map(j => s"c$j").mkString(" + ")
-      val xn = (0 until mm).map(j => s"x$j").mkString(" + ")
-      s"""WITH corp AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |u AS (
-         |  SELECT vec_id,
-         |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-         |      AS uv
-         |  FROM corp),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, uv AS centv FROM u
-         |  WHERE vec_id % $IvfCentroidMod = 0),
-         |asg AS (
-         |  SELECT vec_id AS match_id, uv, cent_id, centv FROM (
-         |    SELECT c.vec_id, c.uv, ct.cent_id, ct.centv, row_number()
-         |      OVER (PARTITION BY c.vec_id
-         |        ORDER BY round(list_dot_product(c.uv, ct.centv), 6)
-         |          DESC, ct.cent_id) AS rnk
-         |    FROM u c CROSS JOIN cents ct)
-         |  WHERE rnk = 1),
-         |res AS (
-         |  SELECT match_id, cent_id,
-         |    list_transform(range(1, len(uv) + 1),
-         |      i -> uv[i] - centv[i]) AS rv
-         |  FROM asg),
-         |rsub AS (
-         |  SELECT match_id, cent_id, j,
-         |    list_slice(rv, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
-         |  FROM res CROSS JOIN range($PqSubspaces) AS jr(j)),
-         |cb AS (
-         |  SELECT j, match_id AS code_id, s AS subc,
-         |    list_dot_product(s, s) AS cn2
-         |  FROM rsub WHERE match_id % $PqCentroidMod = 0),
-         |enc AS (
-         |  SELECT match_id, j, code, cn2 FROM (
-         |    SELECT rs.match_id, rs.j, cb.code_id AS code, cb.cn2,
-         |      row_number() OVER (PARTITION BY rs.match_id, rs.j
-         |        ORDER BY round(list_dot_product(rs.s, rs.s)
-         |          - 2.0 * list_dot_product(rs.s, cb.subc) + cb.cn2, 6),
-         |        cb.code_id) AS rnk
-         |    FROM rsub rs JOIN cb ON rs.j = cb.j)
-         |  WHERE rnk = 1),
-         |q AS (SELECT vec_id AS query_id, uv AS qv FROM u
-         |      WHERE vec_id % $QueryMod = 0),
-         |qc AS (
-         |  SELECT q.query_id, ct.cent_id,
-         |    list_dot_product(q.qv, ct.centv) AS qcdot
-         |  FROM q CROSS JOIN cents ct),
-         |probes AS (
-         |  SELECT query_id, cent_id, qcdot FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY round(qcdot, 6) DESC, cent_id) AS rnk
-         |    FROM qc)
-         |  WHERE rnk <= $IvfNprobe),
-         |lut AS (
-         |  SELECT q.query_id, cb.j, cb.code_id AS code,
-         |    list_dot_product(
-         |      list_slice(q.qv, cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
-         |      cb.subc) AS qdot
-         |  FROM q CROSS JOIN cb),
-         |crossr AS (
-         |  SELECT ct.cent_id, cb.j, cb.code_id AS code,
-         |    list_dot_product(
-         |      list_slice(ct.centv,
-         |        cb.j * $PqSub + 1, cb.j * $PqSub + $PqSub),
-         |      cb.subc) AS crossv
-         |  FROM cents ct CROSS JOIN cb),
-         |adc AS (
-         |  SELECT p.query_id, e.match_id,
-         |    $qPiv,
-         |    $cPiv,
-         |    $xPiv,
-         |    max(p.qcdot) AS qcdot
-         |  FROM enc e
-         |  JOIN asg a ON e.match_id = a.match_id
-         |  JOIN probes p ON a.cent_id = p.cent_id
-         |  JOIN crossr cr ON a.cent_id = cr.cent_id AND e.j = cr.j
-         |    AND e.code = cr.code
-         |  JOIN lut l ON p.query_id = l.query_id AND e.j = l.j
-         |    AND e.code = l.code
-         |  WHERE p.query_id <> e.match_id
-         |  GROUP BY p.query_id, e.match_id),
-         |scored AS (
-         |  SELECT query_id, match_id,
-         |    round((qcdot + ($qn)) /
-         |      sqrt(1.0 + 2.0 * ($xn) + ($cn)), 6) AS approx
-         |  FROM adc),
-         |short AS (
-         |  SELECT query_id, match_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY approx DESC, match_id) AS srnk
-         |    FROM scored)
-         |  WHERE srnk <= ${3 * TopK}),
-         |exact AS (
-         |  SELECT s.query_id, s.match_id,
-         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
-         |  FROM short s JOIN q USING (query_id)
-         |  JOIN corp c ON s.match_id = c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, match_id) AS rank
-         |  FROM exact)
-         |SELECT query_id, match_id, cos, rank FROM ranked
-         |WHERE rank <= $TopK""".stripMargin
-    },
+    "x_ann_ivfpq_topk" -> IvfPqOracle,
+
+    // identical replay: the persisted list-partitioned index read path
+    // (VectorIndexStore) returns the same rows as the in-query build
+    "x_ann_ivfpq_read" -> IvfPqOracle,
+
+    // majority vote (votes desc, label asc) + own-label agreement over
+    // the ivfpq approximate top-k instead of the exact brute-force one
+    "x_knn_ann_label" -> KnnAnnOracle,
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

@@ -477,28 +477,24 @@ object Similarity {
       queries, corpus, k, idCol, vecCol)
   }
 
-  /** IVF × PQ with RESIDUAL encoding — the full classic faiss IVFPQ: a
-    * coarse centroid set partitions the corpus into lists, each vector
-    * stores its list id plus m PQ codes of its RESIDUAL (unit vector −
-    * assigned centroid; residuals are small and concentrated, which is
-    * why the classic design quantizes them instead of raw vectors), and
-    * a query ADC-scores only the codes in its `nprobe` nearest lists
-    * before the exact shortlist re-rank.
-    *
-    * ADC with residuals: recon = centv + r̂, so
-    * score = (q·centv + Σⱼ qⱼ·rcⱼ) / √(1 + 2·Σⱼ centvⱼ·rcⱼ + Σⱼ|rcⱼ|²).
-    * q·centv comes from the probe table, centvⱼ·rcⱼ from a precomputed
-    * (list, subspace, code) cross table — both broadcast, both
-    * index-side at 100 TB. The search joins ship (list id, code) only;
-    * raw vectors reappear just for the shortlist. All subspace sums
-    * pivot into fixed-order additions (engine-reproducible). Both
+  /** The four relations of a residual-IVFPQ index (see [[ivfPqTopK]]).
+    * `codes` is the ONLY corpus-sized one — (match_id, cent_id, j,
+    * code, cn2): m small codes + a list id per vector, no raw floats.
+    * `cents`, `codebooks` and `crossTable` are index-metadata-sized
+    * (C, m·C' and C·m·C' rows) and broadcast at search time. Persisted
+    * form: [[graft.sources.VectorIndexStore]] writes `codes`
+    * PARTITIONED BY `cent_id` so a probe reads only its nprobe lists. */
+  private[graft] final case class IvfPqIndex(cents: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, crossTable: DataFrame)
+
+  /** Build the residual-IVFPQ index relations over a corpus. Both
     * centroid sets are deterministic corpus samples so an external SQL
     * oracle rebuilds the whole index; production swaps in k-means on
     * both levels without changing the plumbing. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      ivfCentroidMod: Int = 37, nprobe: Int = 2, pqCentroidMod: Int = 41,
-      m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private[graft] def buildIvfPqIndex(corpus: DataFrame,
+      ivfCentroidMod: Int = 37, pqCentroidMod: Int = 41, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPqIndex = {
     val sub = dim / m
     def dp(a: Column, b: Column) =
       graft.plans.VectorExpressions.dotProduct(a, b)
@@ -507,7 +503,7 @@ object Similarity {
         idCol, vecCol, "cent_id", "centv"))
     // coarse assignment + residual in ONE pass over the unit corpus
     // (cached: read again for the sampled residual codebook and the
-    // assignment join)
+    // code→list join)
     val withAsg = CacheRegistry.tracked(
       unitVecs(corpus, idCol, vecCol, "match_id", "cv")
         .crossJoin(broadcast(cents))
@@ -525,12 +521,40 @@ object Similarity {
         pqSlices(col("v"), m, sub).as(Seq("j", "subc")))
       .withColumn("cn2", dp(col("subc"), col("subc")))
     val codes = pqEncodeVecs(withAsg.select(col("match_id"), col("v")),
-      cb, m, dim)
+        cb, m, dim)
+      .join(withAsg.select(col("match_id"), col("cent_id")),
+        Seq("match_id"))
+    // centvⱼ · rcⱼ — (list, subspace, code) sized, index-side
+    val crossT = cents
+      .select(col("cent_id"), pqSlices(col("centv"), m, sub)
+        .as(Seq("j", "subcent")))
+      .join(broadcast(cb.select(col("j"), col("cent_id").as("code"),
+        col("subc"))), Seq("j"))
+      .select(col("cent_id"), col("j"), col("code"),
+        dp(col("subcent"), col("subc")).as("crossv"))
+    IvfPqIndex(cents, codes, cb, crossT)
+  }
+
+  /** Search over built or loaded index relations: probe ranking,
+    * residual ADC over only the probed lists, exact shortlist re-rank.
+    * When `prunedCodes` is given, the distinct probed list ids (index
+    * metadata — bounded by the centroid count, the same order as a
+    * broadcast threshold, NOT data rows) are collected and handed to
+    * it, so a list-partitioned codes table is read under static
+    * partition pruning; `None` scans `ix.codes` and relies on the
+    * broadcast probes join to drop unprobed lists. */
+  private[graft] def ivfPqSearch(ix: IvfPqIndex, queries: DataFrame,
+      corpus: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int,
+      shortlistFactor: Int, idCol: String, vecCol: String,
+      prunedCodes: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+    val sub = dim / m
+    def dp(a: Column, b: Column) =
+      graft.plans.VectorExpressions.dotProduct(a, b)
     // query side: q·centv for every list (probe rank + the ADC
     // numerator term), residual LUT per (subspace, code)
     val q = CacheRegistry.tracked(
       unitVecs(queries, idCol, vecCol, "query_id", "qv"))
-    val qcAll = q.crossJoin(broadcast(cents))
+    val qcAll = q.crossJoin(broadcast(ix.cents))
       .select(col("query_id"), col("cent_id"),
         dp(col("qv"), col("centv")).as("qcdot"))
     val w = org.apache.spark.sql.expressions.Window
@@ -542,22 +566,18 @@ object Similarity {
     val lut = q
       .select(col("query_id"), pqSlices(col("qv"), m, sub)
         .as(Seq("j", "subq")))
-      .join(broadcast(cb), Seq("j"))
+      .join(broadcast(ix.codebooks), Seq("j"))
       .select(col("query_id"), col("j"), col("cent_id").as("code"),
         dp(col("subq"), col("subc")).as("qdot"))
-    // centvⱼ · rcⱼ — (list, subspace, code) sized, index-side
-    val crossT = cents
-      .select(col("cent_id"), pqSlices(col("centv"), m, sub)
-        .as(Seq("j", "subcent")))
-      .join(broadcast(cb.select(col("j"), col("cent_id").as("code"),
-        col("subc"))), Seq("j"))
-      .select(col("cent_id"), col("j"), col("code"),
-        dp(col("subcent"), col("subc")).as("crossv"))
+    val codes = prunedCodes match {
+      case None => ix.codes
+      case Some(read) =>
+        read(probes.select(col("cent_id")).distinct().collect()
+          .map(_.getLong(0)).toSeq.sorted)
+    }
     val joined = codes
-      .join(withAsg.select(col("match_id"), col("cent_id")),
-        Seq("match_id"))
       .join(broadcast(probes), Seq("cent_id"))
-      .join(broadcast(crossT), Seq("cent_id", "j", "code"))
+      .join(broadcast(ix.crossTable), Seq("cent_id", "j", "code"))
       .join(broadcast(lut), Seq("query_id", "j", "code"))
       .filter(col("query_id") =!= col("match_id"))
     val pivots =
@@ -581,6 +601,34 @@ object Similarity {
     exactRerank(pqShortlist(scored, k * shortlistFactor),
       queries, corpus, k, idCol, vecCol)
   }
+
+  /** IVF × PQ with RESIDUAL encoding — the full classic faiss IVFPQ: a
+    * coarse centroid set partitions the corpus into lists, each vector
+    * stores its list id plus m PQ codes of its RESIDUAL (unit vector −
+    * assigned centroid; residuals are small and concentrated, which is
+    * why the classic design quantizes them instead of raw vectors), and
+    * a query ADC-scores only the codes in its `nprobe` nearest lists
+    * before the exact shortlist re-rank.
+    *
+    * ADC with residuals: recon = centv + r̂, so
+    * score = (q·centv + Σⱼ qⱼ·rcⱼ) / √(1 + 2·Σⱼ centvⱼ·rcⱼ + Σⱼ|rcⱼ|²).
+    * q·centv comes from the probe table, centvⱼ·rcⱼ from a precomputed
+    * (list, subspace, code) cross table — both broadcast, both
+    * index-side at 100 TB. The search joins ship (list id, code) only;
+    * raw vectors reappear just for the shortlist. All subspace sums
+    * pivot into fixed-order additions (engine-reproducible). Index
+    * construction and search are split ([[buildIvfPqIndex]] /
+    * [[ivfPqSearch]]) so the index can also be persisted list-
+    * partitioned and probed under partition pruning
+    * ([[graft.sources.VectorIndexStore]]). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      ivfCentroidMod: Int = 37, nprobe: Int = 2, pqCentroidMod: Int = 41,
+      m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqSearch(
+      buildIvfPqIndex(corpus, ivfCentroidMod, pqCentroidMod, m, dim,
+        idCol, vecCol),
+      queries, corpus, k, nprobe, m, dim, shortlistFactor, idCol, vecCol)
 
   /** kNN label prediction + neighborhood consistency over a labeled
     * embedding corpus — the weak-supervision / embedding-quality op a

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** Persisted residual-IVFPQ index layout — the 100 TB serving shape for
+  * the ANN family (extension track; the reference has no vector ops).
+  *
+  * Build once, search many: [[writeIvfPq]] materializes the four index
+  * relations of [[Similarity.buildIvfPqIndex]], with the one
+  * corpus-sized relation — the codes table, m small codes + a list id
+  * per vector — written `PARTITIONED BY (cent_id)`, one directory per
+  * IVF list. [[ivfPqTopKFromIndex]] then reads back only the lists a
+  * query batch actually probes: the probed list ids (index metadata,
+  * bounded by the centroid count — the same order as a broadcast
+  * threshold) become a static `IN` predicate on the partition column,
+  * so the scan's `PartitionFilters` prune to nprobe/C of the table
+  * before a single row is read (PlanSpec pins this). At 100 TB that is
+  * the difference between re-reading the full code table per query
+  * batch and reading only the probed fraction; the three
+  * metadata-sized relations (centroids, codebooks, centroid×code cross
+  * table) are read whole and broadcast, exactly as the in-query path
+  * does. */
+object VectorIndexStore {
+
+  /** Build the deterministic residual-IVFPQ index over `corpus` and
+    * persist it under `path`: `codes/` partitioned by list id, plus
+    * `cents/`, `codebooks/`, `crosst/` (metadata-sized, unpartitioned). */
+  def writeIvfPq(corpus: DataFrame, path: String,
+      ivfCentroidMod: Int = 37, pqCentroidMod: Int = 41, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val ix = Similarity.buildIvfPqIndex(corpus, ivfCentroidMod,
+      pqCentroidMod, m, dim, idCol, vecCol)
+    ix.codes.write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+      .parquet(s"$path/codes")
+    ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
+    ix.codebooks.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+    ix.crossTable.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/crosst")
+  }
+
+  /** ANN top-k served from a persisted index: identical output to
+    * [[Similarity.ivfPqTopK]] over the same corpus (the index build is
+    * deterministic and doubles round-trip parquet exactly), but the
+    * codes scan is partition-pruned to the probed lists. */
+  def ivfPqTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
+      m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ix = Similarity.IvfPqIndex(
+      cents = spark.read.parquet(s"$path/cents"),
+      codes = spark.read.parquet(s"$path/codes"),
+      codebooks = spark.read.parquet(s"$path/codebooks"),
+      crossTable = spark.read.parquet(s"$path/crosst"))
+    Similarity.ivfPqSearch(ix, queries, corpus, k, nprobe, m, dim,
+      shortlistFactor, idCol, vecCol,
+      prunedCodes = Some(ids => spark.read.parquet(s"$path/codes")
+        .filter(col("cent_id").isin(ids: _*))))
+  }
+}

@@ -866,4 +866,18 @@ class ExtSpec extends SparkSpec {
     // abc (freq 2) → ab, bc; ab (freq 1) → ab; x dropped (len < 2)
     assert(got === Map("ab" -> 3L, "bc" -> 2L))
   }
+
+  test("ivfpq served from the persisted index replays the in-query build") {
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-eq").toString
+    graft.sources.VectorIndexStore.writeIvfPq(e, path)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val direct = Similarity.ivfPqTopK(q, e, 10)
+      .collect().map(_.toString).sorted
+    val served = graft.sources.VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .collect().map(_.toString).sorted
+    assert(direct.length === served.length && direct.sameElements(served))
+  }
 }

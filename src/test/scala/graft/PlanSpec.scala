@@ -141,4 +141,27 @@ class PlanSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(joins === 1) // the reference's probe loop is exactly one join
   }
+
+  test("persisted IVFPQ probe prunes the codes scan to the probed lists") {
+    import org.apache.spark.sql.functions.col
+    withStaticPlan {
+      val e = Tables.embeddings(spark, sf0001)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-plan").toString
+      graft.sources.VectorIndexStore.writeIvfPq(e, path)
+      // one query, nprobe=2 → at most 2 of the C list partitions read
+      val df = graft.sources.VectorIndexStore.ivfPqTopKFromIndex(
+        spark, path, e.filter(col("vec_id") === 0), e, 5)
+      val codeScan = scans(df)
+        .find(_.relation.partitionSchema.fieldNames.contains("cent_id"))
+        .get
+      assert(codeScan.partitionFilters.nonEmpty,
+        "codes scan must carry static partition filters on cent_id")
+      val lists = e.filter(col("vec_id") % 37 === 0).count()
+      val selected = codeScan.selectedPartitions.partitionCount
+      assert(selected <= 2, s"probe read $selected lists, nprobe is 2")
+      assert(selected < lists,
+        s"no pruning: read $selected of $lists list partitions")
+    }
+  }
 }
