@@ -23,8 +23,14 @@ object Tables {
       df.schema.find(_.name == "ts").exists(_.dataType == TimestampNTZType))
       // a session that infers parquet NTZ (we disable that in ours, but the
       // driver's session is not ours to configure) still needs TIMESTAMP:
-      // watermarks/windows reject NTZ. Session tz is UTC → same instant.
-      df.withColumn("ts", expr("cast(ts as timestamp)"))
+      // watermarks/windows reject NTZ. The naive values are semantically
+      // UTC, so pin that interpretation instead of letting a bare cast
+      // read them in whatever tz the foreign session runs: shift the
+      // naive wall from UTC to the session tz first, then cast (which
+      // interprets in session tz) — identity under UTC, and the same
+      // instant under any other session tz.
+      df.withColumn("ts", expr(
+        "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
     else df
   }
 
