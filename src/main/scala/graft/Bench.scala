@@ -45,16 +45,18 @@ object Bench {
     System.gc() // settle warmup garbage before any timing starts
     // The box is shared: a single timing can be 10x inflated by a
     // neighbor's load spike (BENCH_r04 recorded 24.3 s for a query that
-    // re-runs at 2.2 s). Take the MEDIAN of 3 runs per query and record
-    // the min/max spread plus /proc/loadavg so a contended run is
-    // self-identifying instead of silently poisoning the round's numbers.
+    // re-runs at 2.2 s). Run each query 3 times, record the min, and
+    // ship the [min, median, max] spread plus /proc/loadavg so a
+    // contended run is self-identifying instead of silently poisoning
+    // the round's numbers.
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val retried = scala.collection.mutable.LinkedHashMap[String, String]()
-    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val spreads =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = ordered.map {
       case (name, fn) =>
         // A failed query must be distinguishable from a fast success: the
@@ -85,10 +87,15 @@ object Bench {
           // cold run of the same plan, not a cache hit on the first one
           spark.catalog.clearCache()
         }
-        val dt =
-          if (times.isEmpty) -1.0
-          else times.sorted.apply(times.length / 2) // median (n in 1..3)
-        if (times.nonEmpty) spreads(name) = (times.min, times.max)
+        // record the MIN of the successful runs: repeated-timing minimum
+        // is the standard noise-robust estimator on a shared box (the
+        // median still absorbs a load spike when 2 of 3 runs hit one —
+        // observed 7.4 s median vs 2.1 s min under a neighbor's burst);
+        // the full [min, median, max] spread ships alongside.
+        val dt = if (times.isEmpty) -1.0 else times.min
+        if (times.nonEmpty)
+          spreads(name) =
+            (times.min, times.sorted.apply(times.length / 2), times.max)
         System.err.println(
           if (dt >= 0)
             f"[bench] $name%-28s $dt%8.2f s  (min ${times.min}%.2f / max ${times.max}%.2f)" +
@@ -107,11 +114,11 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sp = spreads.map { case (k, (lo, hi)) =>
-      f""""$k":[$lo%.3f,$hi%.3f]""" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, (lo, med, hi)) =>
+      f""""$k":[$lo%.3f,$med%.3f,$hi%.3f]""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"median-of-3","queries":$qs,"spread":$sp,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-3","queries":$qs,"spread":$sp,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout tail, which has truncated the
     // head of the per-query map before — persist the full line to a file

@@ -306,6 +306,38 @@ object ExtQueries {
           dim = EmbeddingDim), q, e)
     }),
 
+    // Co-located fact-to-fact join: both sides bucketed on the join key
+    // at write time (BucketedStore), so the merge join AND the keyed
+    // aggregation after it run with ZERO exchanges — the 100 TB shape
+    // for a join too big to broadcast either side (PlanSpec pins the
+    // exchange-free plan). The merge hint forces the co-located SMJ at
+    // every SF; decimal sums keep the doubles order-independent.
+    "x_bucketed_join" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-bucketed-${Integer.toHexString(d.hashCode)}").toString
+      graft.sources.BucketedStore.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        "graft_orders_bkt", "o_orderkey", 8, s"$base/orders")
+      graft.sources.BucketedStore.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "graft_lineitem_bkt", "l_orderkey", 8, s"$base/lineitem")
+      val o = s.table("graft_orders_bkt")
+      val l = s.table("graft_lineitem_bkt")
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"),
+          // price has 2 decimal digits, discount 2 → the exact product
+          // has ≤ 4; rounding the double to 6 recovers that exact value
+          // identically on both engines (a scale-18 cast would expose
+          // engine-specific binary→decimal expansion at digit 15)
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+    }),
+
     // Real javax.imageio decode inside batched mapPartitions: the media
     // fixture renders a solid-gray PNG per image row from doc_id, so the
     // decoded (width, height, brightness) are oracle-predictable without
@@ -1434,6 +1466,16 @@ object ExtQueries {
     // majority vote (votes desc, label asc) + own-label agreement over
     // the ivfpq approximate top-k instead of the exact brute-force one
     "x_knn_ann_label" -> KnnAnnOracle,
+
+    // the bucketed layout changes the plan, never the rows: plain join
+    // + per-order aggregate; decimal sums keep doubles order-independent
+    "x_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  sum(l_quantity::decimal(18,2))::double AS sum_qty,
+        |  sum((l_extendedprice * (1.0 - l_discount))::decimal(18,6))
+        |    ::double AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
 
     // mirrors Temporal.slidingCounts: every event belongs to exactly
     // size/slide = 4 epoch-aligned windows, enumerated via range(4)

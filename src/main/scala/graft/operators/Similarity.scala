@@ -659,8 +659,13 @@ object Similarity {
       .select(col(idCol).as("match_id"), col(labelCol).as("nbr_label"))
       .join(broadcast(topk.select(col("query_id"), col("match_id"))),
         Seq("match_id"))
-    val votes = nbr.groupBy(col("query_id"), col("nbr_label"))
-      .agg(count(lit(1)).as("votes"))
+    // votes feeds TWO branches (pred + agree); uncached, each branch
+    // would re-evaluate the whole neighbor chain — including an
+    // expensive ANN provider under knnClassifyFrom (observed 5x on the
+    // ivfpq composition). |Q| x |labels| rows: cache is free.
+    val votes = CacheRegistry.tracked(
+      nbr.groupBy(col("query_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("nbr_label"))

@@ -142,6 +142,22 @@ class PlanSpec extends SparkSpec {
     assert(joins === 1) // the reference's probe loop is exactly one join
   }
 
+  test("bucketed fact-to-fact join and keyed aggregation are exchange-free") {
+    withStaticPlan {
+      val df = run("x_bucketed_join")
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle at query time:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"))
+      // both scans carry the bucket spec — the clustering comes from
+      // the layout, not from an exchange
+      assert(scans(df).count(_.relation.bucketSpec.nonEmpty) === 2)
+    }
+  }
+
   test("persisted IVFPQ probe prunes the codes scan to the probed lists") {
     import org.apache.spark.sql.functions.col
     withStaticPlan {
