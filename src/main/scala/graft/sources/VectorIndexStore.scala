@@ -34,7 +34,13 @@ object VectorIndexStore {
       vecCol: String = "embedding"): Unit = {
     val ix = Similarity.buildIvfPqIndex(corpus, ivfCentroidMod,
       pqCentroidMod, m, dim, idCol, vecCol)
-    ix.codes.write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+    // cluster on the partition column before the partitioned write:
+    // otherwise every upstream shuffle partition writes a sliver into
+    // every list dir — P x C tiny files (observed ~4000 here) instead
+    // of one file per list. At real scale, repartition on (cent_id,
+    // salt) instead to hold per-file size near the block size.
+    ix.codes.repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
       .parquet(s"$path/codes")
     ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
     ix.codebooks.write.mode(SaveMode.Overwrite)
