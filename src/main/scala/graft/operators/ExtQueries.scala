@@ -24,6 +24,7 @@ object ExtQueries {
   val IvfCentroidMod = 37
   val IvfNprobe = 2
   val PqCentroidMod = 41
+  val AppendHoldoutMod = 10 // vec_id % 10 == 9 arrives AFTER the index build
   val PqSubspaces = 8
   val MediaResizeW = 24
   val MediaResizeH = 24
@@ -304,6 +305,32 @@ object ExtQueries {
           ivfCentroidMod = IvfCentroidMod, nprobe = IvfNprobe,
           pqCentroidMod = PqCentroidMod, m = PqSubspaces,
           dim = EmbeddingDim), q, e)
+    }),
+
+    // Incremental index maintenance — the rest of the lifecycle: build
+    // the persisted index on the base corpus, APPEND the holdout batch
+    // against the frozen centroids/codebooks (only its list partitions
+    // are touched), then serve queries over the full index. The oracle
+    // restricts the centroid/codebook samples to the base corpus —
+    // encoding base rows at build and holdout rows at append against
+    // the same frozen metadata is one and the same computation.
+    "x_ann_ivfpq_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(
+        col("vec_id") % AppendHoldoutMod =!= AppendHoldoutMod - 1)
+      val batch = e.filter(
+        col("vec_id") % AppendHoldoutMod === AppendHoldoutMod - 1)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-app-${Integer.toHexString(d.hashCode)}").toString
+      graft.sources.VectorIndexStore.writeIvfPq(base, path,
+        ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+        m = PqSubspaces, dim = EmbeddingDim)
+      graft.sources.VectorIndexStore.appendIvfPq(s, path, batch,
+        m = PqSubspaces, dim = EmbeddingDim)
+      graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, path,
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim)
     }),
 
     // Co-located fact-to-fact join: both sides bucketed on the join key
@@ -760,7 +787,8 @@ object ExtQueries {
     * bit-identically: the build is deterministic and doubles
     * round-trip parquet exactly) and `x_knn_ann_label` (majority vote
     * over the same ranked top-k). */
-  private val IvfPqRankedCtes: String = {
+  private def ivfPqRankedCtes(centSample: String,
+      cbSample: String): String = {
       val mm = PqSubspaces
       val qPiv = (0 until mm).map(j =>
         s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
@@ -783,7 +811,7 @@ object ExtQueries {
          |  FROM corp),
          |cents AS (
          |  SELECT vec_id AS cent_id, uv AS centv FROM u
-         |  WHERE vec_id % $IvfCentroidMod = 0),
+         |  WHERE vec_id % $IvfCentroidMod = 0$centSample),
          |asg AS (
          |  SELECT vec_id AS match_id, uv, cent_id, centv FROM (
          |    SELECT c.vec_id, c.uv, ct.cent_id, ct.centv, row_number()
@@ -804,7 +832,7 @@ object ExtQueries {
          |cb AS (
          |  SELECT j, match_id AS code_id, s AS subc,
          |    list_dot_product(s, s) AS cn2
-         |  FROM rsub WHERE match_id % $PqCentroidMod = 0),
+         |  FROM rsub WHERE match_id % $PqCentroidMod = 0$cbSample),
          |enc AS (
          |  SELECT match_id, j, code, cn2 FROM (
          |    SELECT rs.match_id, rs.j, cb.code_id AS code, cb.cn2,
@@ -875,6 +903,18 @@ object ExtQueries {
          |    ORDER BY cos DESC, match_id) AS rank
          |  FROM exact)""".stripMargin
   }
+
+  private val IvfPqRankedCtes: String = ivfPqRankedCtes("", "")
+
+  /** The append scenario: centroid and codebook SAMPLES come only from
+    * the base corpus (the holdout batch arrived after the build and was
+    * encoded against frozen metadata), while assignments/codes cover
+    * every vector — encoding base rows at build time and holdout rows
+    * at append time against the same metadata is one and the same
+    * computation. */
+  private val IvfPqAppendRankedCtes: String = ivfPqRankedCtes(
+    s" AND vec_id % $AppendHoldoutMod <> ${AppendHoldoutMod - 1}",
+    s" AND match_id % $AppendHoldoutMod <> ${AppendHoldoutMod - 1}")
 
   private val IvfPqOracle: String =
     s"""WITH $IvfPqRankedCtes,
@@ -1466,6 +1506,13 @@ object ExtQueries {
     // majority vote (votes desc, label asc) + own-label agreement over
     // the ivfpq approximate top-k instead of the exact brute-force one
     "x_knn_ann_label" -> KnnAnnOracle,
+
+    // the append scenario replays with base-corpus-restricted samples
+    "x_ann_ivfpq_append" ->
+      s"""WITH $IvfPqAppendRankedCtes,
+         |topk AS (SELECT query_id, match_id, cos, rank FROM ranked
+         |         WHERE rank <= $TopK)
+         |SELECT query_id, match_id, cos, rank FROM topk""".stripMargin,
 
     // the bucketed layout changes the plan, never the rows: plain join
     // + per-order aggregate; decimal sums keep doubles order-independent

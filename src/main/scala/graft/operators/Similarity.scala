@@ -505,16 +505,7 @@ object Similarity {
     // (cached: read again for the sampled residual codebook and the
     // code→list join)
     val withAsg = CacheRegistry.tracked(
-      unitVecs(corpus, idCol, vecCol, "match_id", "cv")
-        .crossJoin(broadcast(cents))
-        .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
-        .groupBy(col("match_id"))
-        .agg(max_by(struct(col("cent_id").as("cid"),
-            col("centv").as("cv0")),
-            struct(col("cdot"), -col("cent_id"))).as("a"),
-          first(col("cv")).as("cv"))
-        .select(col("match_id"), col("a.cid").as("cent_id"),
-          zip_with(col("cv"), col("a.cv0"), (x, c) => x - c).as("v")))
+      assignResiduals(corpus, cents, idCol, vecCol))
     // residual codebooks from the deterministic sample's residuals
     val cb = withAsg.filter(col("match_id") % pqCentroidMod === 0)
       .select(col("match_id").as("cent_id"),
@@ -533,6 +524,39 @@ object Similarity {
       .select(col("cent_id"), col("j"), col("code"),
         dp(col("subcent"), col("subc")).as("crossv"))
     IvfPqIndex(cents, codes, cb, crossT)
+  }
+
+  /** Coarse-assign each vector to its nearest centroid and keep the
+    * residual: (match_id, cent_id, v). One pass over the unit corpus —
+    * a map-side-combinable `max_by` against the broadcast centroid
+    * table, so n rows reach the shuffle, never n·C candidates. */
+  private def assignResiduals(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+      .groupBy(col("match_id"))
+      .agg(max_by(struct(col("cent_id").as("cid"),
+          col("centv").as("cv0")),
+          struct(col("cdot"), -col("cent_id"))).as("a"),
+        first(col("cv")).as("cv"))
+      .select(col("match_id"), col("a.cid").as("cent_id"),
+        zip_with(col("cv"), col("a.cv0"), (x, c) => x - c).as("v"))
+
+  /** Encode a vector batch against FROZEN index metadata (stored
+    * centroids + codebooks): assignment, residual, PQ codes — the
+    * incremental-maintenance path ([[graft.sources.VectorIndexStore
+    * .appendIvfPq]]). Returns (match_id, j, code, cn2, cent_id), the
+    * codes-table schema of [[buildIvfPqIndex]]. */
+  private[graft] def encodeForIndex(batch: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, m: Int, dim: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val asg = CacheRegistry.tracked(
+      assignResiduals(batch, cents, idCol, vecCol))
+    pqEncodeVecs(asg.select(col("match_id"), col("v")),
+        codebooks, m, dim)
+      .join(asg.select(col("match_id"), col("cent_id")),
+        Seq("match_id"))
   }
 
   /** Search over built or loaded index relations: probe ranking,

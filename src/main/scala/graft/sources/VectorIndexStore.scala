@@ -49,6 +49,25 @@ object VectorIndexStore {
       .parquet(s"$path/crosst")
   }
 
+  /** Incremental index maintenance: append a new vector batch to a
+    * persisted index. The batch is coarse-assigned with the FROZEN
+    * stored centroids and PQ-encoded with the FROZEN stored codebooks,
+    * then appended into only the list partitions its vectors land in —
+    * the metadata relations never change, and untouched lists are
+    * never rewritten. This is classic IVF maintenance: appends are
+    * cheap and local; a periodic rebuild re-trains the centroid/
+    * codebook samples when the data distribution drifts. */
+  def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
+      m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/cents")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
+      .repartition(col("cent_id"))
+      .write.mode(SaveMode.Append).partitionBy("cent_id")
+      .parquet(s"$path/codes")
+  }
+
   /** ANN top-k served from a persisted index: identical output to
     * [[Similarity.ivfPqTopK]] over the same corpus (the index build is
     * deterministic and doubles round-trip parquet exactly), but the

@@ -880,4 +880,26 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(direct.length === served.length && direct.sameElements(served))
   }
+
+  test("ivfpq append equals the in-memory frozen-metadata composition") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter($"vec_id" % 10 =!= 9)
+    val batch = e.filter($"vec_id" % 10 === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-app").toString
+    graft.sources.VectorIndexStore.writeIvfPq(base, path)
+    graft.sources.VectorIndexStore.appendIvfPq(spark, path, batch)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val served = graft.sources.VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .collect().map(_.toString).sorted
+    val ix = Similarity.buildIvfPqIndex(base)
+    val composed = ix.copy(codes = ix.codes.unionByName(
+      Similarity.encodeForIndex(batch, ix.cents, ix.codebooks, 8, 64,
+        "vec_id", "embedding")))
+    val direct = Similarity.ivfPqSearch(composed, q, e, 10, 2, 8, 64, 3,
+        "vec_id", "embedding")
+      .collect().map(_.toString).sorted
+    assert(direct.length === served.length && direct.sameElements(served))
+  }
 }
