@@ -531,4 +531,37 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** Sketch-based corpus profile — the 100 TB shape of [[sourceStats]].
+    *
+    * The exact per-source stats cost a distinct-level shuffle plus a
+    * window; at petabyte scale profiling runs on SKETCHES instead:
+    * HLL++ (`approx_count_distinct`) for "how many unique documents
+    * does this source hold" (the cheap pre-dedup cardinality probe —
+    * estimated dup ratio for free), and GK quantile summaries
+    * (`percentile_approx`) for the token-length distribution. Both are
+    * mergeable one-pass aggregates: every partition builds a bounded
+    * sketch, partial aggregation merges them map-side, and the final
+    * merge is order-independent (HLL registers union exactly —
+    * ExtSpec pins repartition-invariance), so the plan is ONE
+    * map-side-combining shuffle on the group key, no window, no
+    * distinct-level blowup. Sketch outputs have no cross-engine
+    * oracle (different engines, different register layouts), so this
+    * op is spec-bounded instead: estimates within rsd-derived bounds
+    * of the exact answers on the real corpus. */
+  def sketchProfile(docs: DataFrame, rsd: Double = 0.02,
+      accuracy: Int = 10000): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+    docs
+      .select(col("source"),
+        md5(lower(trim(col("text")))).as("fp"), toks.as("toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fp"), rsd).as("approx_unique"),
+        percentile_approx(col("toks"), lit(0.5), lit(accuracy))
+          .as("approx_p50_tokens"),
+        percentile_approx(col("toks"), lit(0.9), lit(accuracy))
+          .as("approx_p90_tokens"))
+  }
 }

@@ -307,6 +307,15 @@ object ExtQueries {
           dim = EmbeddingDim), q, e)
     }),
 
+    // Sketch-based per-source profiling: HLL++ unique-document estimate
+    // (the cheap pre-dedup cardinality probe) + GK quantile summaries —
+    // ONE map-side-combining shuffle, no distinct-level blowup. Sketch
+    // registers are engine-specific, so there is no DuckDB oracle:
+    // rows-only driver check; ExtSpec bounds the estimates against the
+    // exact answers and pins repartition-invariance.
+    "x_sketch_profile" -> ((s, d) =>
+      CorpusStats.sketchProfile(Tables.documents(s, d))),
+
     // Incremental index maintenance — the rest of the lifecycle: build
     // the persisted index on the base corpus, APPEND the holdout batch
     // against the frozen centroids/codebooks (only its list partitions

@@ -68,6 +68,29 @@ object VectorIndexStore {
       .parquet(s"$path/codes")
   }
 
+  /** Compact the codes table back to one file per list. Every
+    * [[appendIvfPq]] adds a file to each touched list partition;
+    * after many appends a probe pays per-file open/footer costs, so
+    * periodic compaction rewrites the table clustered on the list id
+    * (atomic swap via a temp dir + rename, same discipline as
+    * [[StateStore]]'s overwrite-merge). Codes are unchanged — only the
+    * file layout. */
+  def compactIvfPq(spark: SparkSession, path: String): Unit = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val tmp = s"$path/codes__compact"
+    codes.repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cent_id").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = live.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
   /** ANN top-k served from a persisted index: identical output to
     * [[Similarity.ivfPqTopK]] over the same corpus (the index build is
     * deterministic and doubles round-trip parquet exactly), but the

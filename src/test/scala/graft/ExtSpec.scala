@@ -902,4 +902,62 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(direct.length === served.length && direct.sameElements(served))
   }
+
+  test("ivfpq compaction rewrites lists to one file, results unchanged") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter($"vec_id" % 10 =!= 9)
+    val batch = e.filter($"vec_id" % 10 === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-compact").toString
+    graft.sources.VectorIndexStore.writeIvfPq(base, path)
+    graft.sources.VectorIndexStore.appendIvfPq(spark, path, batch)
+    val q = e.filter($"vec_id" % 50 === 0)
+    def serve() = graft.sources.VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .collect().map(_.toString).sorted
+    def filesPerList(): Seq[Int] = {
+      val dirs = new java.io.File(s"$path/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+      dirs.toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    }
+    val before = serve()
+    assert(filesPerList().exists(_ > 1), "append should add files")
+    graft.sources.VectorIndexStore.compactIvfPq(spark, path)
+    assert(filesPerList().forall(_ === 1))
+    val after = serve()
+    assert(after.sameElements(before))
+  }
+
+  test("sketch profile: estimates bounded by exact answers, partition-invariant") {
+    val d = Tables.documents(spark, sf0001)
+    val prof = CorpusStats.sketchProfile(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val exact = d.select($"source",
+        md5(lower(trim($"text"))).as("fp"),
+        graft.operators.TextAnalysis.tokenCount($"text").cast("long")
+          .as("toks"))
+      .groupBy($"source")
+      .agg(countDistinct($"fp").as("uniq"),
+        expr("percentile(toks, 0.4)").as("p40"),
+        expr("percentile(toks, 0.6)").as("p60"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(prof.keySet === exact.keySet)
+    for ((src, r) <- prof) {
+      val e = exact(src)
+      val approx = r.getAs[Long]("approx_unique").toDouble
+      val uniq = e.getAs[Long]("uniq").toDouble
+      assert(math.abs(approx - uniq) / uniq <= 0.1,
+        s"$src: approx_unique $approx vs exact $uniq")
+      val p50 = r.getAs[Long]("approx_p50_tokens").toDouble
+      assert(p50 >= e.getAs[Double]("p40") && p50 <= e.getAs[Double]("p60"),
+        s"$src: approx p50 $p50 outside [p40, p60]")
+    }
+    // sketch merges are order/partitioning-independent: the profile of
+    // the same multiset through different partitionings is identical
+    val a = CorpusStats.sketchProfile(d.repartition(7))
+      .collect().map(_.toString).sorted
+    val b = CorpusStats.sketchProfile(d.repartition(3))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
