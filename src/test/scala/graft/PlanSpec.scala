@@ -180,4 +180,72 @@ class PlanSpec extends SparkSpec {
         s"no pruning: read $selected of $lists list partitions")
     }
   }
+
+  /** Set runtime confs for `body`, restoring previous values after. */
+  private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
+    val saved = kvs.map { case (k, _) => // get can yield null for unset keys
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition instead of stalling on it") {
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    // one key carries ~200k padded rows, the rest are singletons: the
+    // classic hot-key shape the dedup/near-dup plans delegate to AQE
+    val left = spark.range(0, 210000)
+      .select(when(col("id") < 200000, 0L).otherwise(col("id")).as("k"),
+        org.apache.spark.sql.functions.md5(col("id").cast("string"))
+          .as("v"))
+    val right = spark.range(0, 64).select(col("id").as("k"))
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // consume with a GLOBAL aggregate: a keyed aggregate after the
+      // join would require hash clustering on k, which forbids the
+      // split (AQE only splits when no parent needs the partitioning).
+      // max(v) keeps the incompressible payload in the shuffle — skew
+      // stats are COMPRESSED map-output bytes, and 200k identical longs
+      // alone compress below any realistic threshold
+      val j = left.join(right, Seq("k"))
+        .agg(org.apache.spark.sql.functions.max(col("v")))
+      j.collect() // AQE finalizes the plan only after execution
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    import org.apache.spark.sql.functions.col
+    // a selective dim-side filter should inject a bloom filter on the
+    // fact scan once the size thresholds allow it — the runtime
+    // semi-join reduction that matters when the fact side is 100 TB
+    val o = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val l = Tables.lineitem(spark, sf0001)
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority")).count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+    }
+  }
 }
