@@ -307,6 +307,15 @@ object ExtQueries {
           dim = EmbeddingDim), q, e)
     }),
 
+    // Compression-ratio quality signal (the "too repetitive" filter):
+    // one codegen'd Deflater pass per row. zlib has no SQL replay →
+    // rows-only driver check; ExtSpec bounds the signal on crafted
+    // repetitive/prose/noise fixtures.
+    "x_compress_ratio" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text"))
+          .as("deflate_ratio"))),
+
     // Sketch-based per-source profiling: HLL++ unique-document estimate
     // (the cheap pre-dedup cardinality probe) + GK quantile summaries —
     // ONE map-side-combining shuffle, no distinct-level blowup. Sketch

@@ -158,4 +158,15 @@ object TextAnalysis {
         .otherwise(array().cast("array<bigint>")))
     md5(concat_ws(",", transform(array_sort(mins), h => h.cast("string"))))
   }
+
+  /** Deflate compression ratio of the text (compressed/raw bytes) — the
+    * "too repetitive" pretraining filter: templated or looping text
+    * compresses far below natural prose (ratio near 0), near-random
+    * noise sits near or above 1.0. One codegen'd Deflater pass per row
+    * ([[graft.plans.TextExpressions.deflateRatio]]); zlib has no SQL
+    * replay, so the driver check is rows-only and the spec bounds the
+    * signal on crafted fixtures. Rounded to 4 decimals for a stable
+    * repr. */
+  def compressionRatio(text: Column): Column =
+    round(graft.plans.TextExpressions.deflateRatio(text), 4)
 }

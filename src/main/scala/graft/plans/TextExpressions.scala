@@ -226,6 +226,25 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+  /** Deflate (zlib level 6, raw stream) compression ratio of the UTF-8
+    * bytes: compressed_len / raw_len. The classic "too repetitive"
+    * pretraining filter — templated/repeated text compresses far below
+    * natural prose, near-random noise sits near (or above) 1.0. Pure
+    * JVM Deflater, deterministic for a given input; empty input → 1.0
+    * by convention. */
+  def deflateRatio(text: UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / raw.length
+  }
+
 }
 
 /** Codegen'd word n-gram shingle set (distinct, first-occurrence order) —
@@ -395,6 +414,32 @@ case class PairCombos(child: Expression) extends UnaryExpression {
       newChild: Expression): PairCombos = copy(child = newChild)
 }
 
+/** Codegen'd deflate compression ratio of a string column — one
+  * Deflater pass per row, scan-speed, no UDF. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio expects a string column, got " +
+        child.dataType.simpleString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.deflateRatio($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
 object TextExpressions {
   /** All i<j pairs of a sorted `array<bigint>` as `array<struct<a,b>>`. */
   def pairCombos(ids: Column): Column =
@@ -420,4 +465,8 @@ object TextExpressions {
   /** Codegen'd `[top_bigram_frac, dup_word_frac]` of a string column. */
   def repSignals(text: Column): Column =
     GraftBridge.column(RepSignals(GraftBridge.expression(text)))
+
+  /** Codegen'd deflate compression ratio of a string column. */
+  def deflateRatio(text: Column): Column =
+    GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
 }

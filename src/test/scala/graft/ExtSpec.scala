@@ -960,4 +960,25 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("compression ratio separates repetitive text from prose and noise") {
+    val rep = ("ab " * 400).trim
+    val prose = "the quality of mercy is not strained it droppeth as " +
+      "the gentle rain from heaven upon the place beneath it is twice " +
+      "blest it blesseth him that gives and him that takes"
+    val noise = (0 until 200).map(i =>
+      graft.operators.Dedup.getClass.getName.hashCode * (i + 7)).mkString(" ")
+    val df = Seq((0L, rep), (1L, prose), (2L, noise), (3L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.operators.TextAnalysis.compressionRatio($"text").as("r"))
+    val r = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) < 0.05, s"repetitive should crush: ${r(0L)}")
+    assert(r(1L) > r(0L) * 4, s"prose must sit well above repetitive")
+    assert(r(2L) > r(0L), "numeric noise above repetitive")
+    assert(r(3L) === 1.0, "empty input is 1.0 by convention")
+    // determinism: a second evaluation is bit-identical
+    val again = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again === r)
+  }
 }
