@@ -47,9 +47,13 @@ object VectorFusion extends Rule[LogicalPlan] {
 }
 
 /** Session extensions (`spark.sql.extensions=graft.plans.GraftExtensions`):
-  * the [[VectorFusion]] optimizer rule plus SQL-callable vector functions —
-  * `graft_dot(a, b)` (min-length raw dot, [[DotProduct]]) and
-  * `graft_zip_dot(a, b)` (HOF-equivalent NULL semantics, [[ZipDot]]). */
+  * the [[VectorFusion]] optimizer rule plus SQL-callable functions —
+  * `graft_dot(a, b)` (min-length raw dot, [[DotProduct]]),
+  * `graft_zip_dot(a, b)` (HOF-equivalent NULL semantics, [[ZipDot]]),
+  * `graft_shingles(text, n)` ([[WordShingles]]) and
+  * `graft_deflate_ratio(text)` ([[DeflateRatio]]) — the text kernels a
+  * SQL-only user needs for dedup candidate work and repetition
+  * filtering without touching the Scala API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorFusion)
@@ -61,5 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_zip_dot"),
       new ExpressionInfo(classOf[ZipDot].getName, "graft_zip_dot"),
       (children: Seq[Expression]) => ZipDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(n: Int, org.apache.spark.sql.types.IntegerType) =>
+          WordShingles(children.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(text, n): n must be an integer literal, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName,
+        "graft_deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head)))
   }
 }

@@ -52,6 +52,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("graft_shingles and graft_deflate_ratio are SQL-callable") {
+    val r = ext.sql(
+      """SELECT graft_shingles('a b c d', 3) AS sh,
+        |       graft_deflate_ratio('') AS empty,
+        |       graft_deflate_ratio(repeat('ab ', 400)) AS rep
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) < 0.05)
+  }
+
   test("VectorFusion rewrites the HOF dot pattern into ZipDot") {
     val df = vecs(ext).select(hofDot.as("d"))
     val optimized = df.queryExecution.optimizedPlan.toString
