@@ -61,6 +61,23 @@ object StreamingSync {
       .toDF(source.columns: _*)
   }
 
+  /** Bounded-state streaming dedup: duplicate keys are dropped while
+    * they are within the watermark, and the per-key state is EVICTED
+    * once the watermark passes — the infinite-stream answer to
+    * [[dedupFirstWinsStream]]'s grows-forever seen-set. Exact within
+    * `delay`; a duplicate arriving after its key's state was evicted
+    * re-emits, which is the standard at-least-once contract — every
+    * sink downstream here tolerates it because the sync upsert is
+    * idempotent (SyncEngineSpec's fixpoint property). Eviction runs on
+    * the micro-batch AFTER the watermark passes a key's expiry (the
+    * spec pins the timing). At 100 TB of events the difference is
+    * state ∝ keys-per-delay-window instead of state ∝ all keys ever
+    * seen. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", delay: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window
     * ending at the batch's max event date (the reference's

@@ -157,4 +157,55 @@ class StreamingSyncSpec extends SparkSpec {
     assert(state.select("folio").exceptAll(batchState.select("folio"))
       .count() === 0)
   }
+
+  test("watermarked dedup drops in-window duplicates and evicts state") {
+    val dir = tmp()
+    val in = s"$dir/in"
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"2025-01-01 $h%02d:$m%02d:00")
+    // batch 1: A and B
+    Seq(("A", ts(10, 0), 1L), ("B", ts(10, 10), 2L))
+      .toDF("k", "ts", "seq").coalesce(1)
+      .write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // batch 2: duplicate A INSIDE the watermark (dropped) + C far ahead
+    // (advances the watermark past A's state)
+    Seq(("A", ts(10, 5), 3L), ("C", ts(15, 0), 4L))
+      .toDF("k", "ts", "seq").coalesce(1)
+      .write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // batch 3: unrelated key — state eviction runs on the batch AFTER
+    // the watermark advanced, so this batch is where A's entry
+    // (expiry 11:05 < wm 14:00) actually leaves the store
+    Seq(("D", ts(15, 10), 5L))
+      .toDF("k", "ts", "seq").coalesce(1)
+      .write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // batch 4: A again — state evicted, so it re-emits: bounded state
+    // trades exactness past the delay for state ∝ keys-per-window, and
+    // the idempotent sync sink absorbs the re-emit
+    Seq(("A", ts(15, 30), 6L))
+      .toDF("k", "ts", "seq").coalesce(1)
+      .write.mode("append").parquet(in)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamingSync
+      .dedupWithinWatermark(stream, Seq("k"), delay = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("wm_dedup")
+      .groupBy($"k").count().as[(String, Long)].collect().toMap
+    assert(got ===
+      Map("A" -> 2L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
+    val seqs = spark.table("wm_dedup").select($"seq")
+      .as[Long].collect().toSet
+    assert(seqs === Set(1L, 2L, 4L, 5L, 6L)) // the in-window dup (3) dropped
+  }
 }
