@@ -74,19 +74,21 @@ object Bench {
           }
         }
         val times = scala.collection.mutable.ArrayBuffer[Double]()
-        var failures = 0
-        while (times.length < 3 && failures < 2) {
+        val fails = scala.collection.mutable.ArrayBuffer[String]()
+        while (times.length < 3 && fails.length < 2) {
           attempt() match {
             case Right(t) => times += t
-            case Left(msg) =>
-              failures += 1
-              if (failures == 1) retried(name) = msg
-              else errors(name) = msg
+            case Left(msg) => fails += msg
           }
           // operator-internal caches are per-query; each repeat must be a
           // cold run of the same plan, not a cache hit on the first one
           spark.catalog.clearCache()
         }
+        // a query is an ERROR only if it never succeeded — a transient
+        // abort alongside at least one good timing is flaky, not broken
+        // (recording both would fail the run AND report a valid number)
+        if (times.isEmpty) errors(name) = fails.last
+        else if (fails.nonEmpty) retried(name) = fails.last
         // record the MIN of the successful runs: repeated-timing minimum
         // is the standard noise-robust estimator on a shared box (the
         // median still absorbs a load spike when 2 of 3 runs hit one —
@@ -114,8 +116,12 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator renders %.3f with the JVM default
+    // locale, and a comma decimal separator would corrupt the JSON line
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val sp = spreads.map { case (k, (lo, med, hi)) =>
-      f""""$k":[$lo%.3f,$med%.3f,$hi%.3f]""" }.mkString("{", ",", "}")
+      s""""$k":[${d3(lo)},${d3(med)},${d3(hi)}]""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-3","queries":$qs,"spread":$sp,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""

@@ -24,13 +24,18 @@ object Tables {
       // a session that infers parquet NTZ (we disable that in ours, but the
       // driver's session is not ours to configure) still needs TIMESTAMP:
       // watermarks/windows reject NTZ. The naive values are semantically
-      // UTC, so pin that interpretation instead of letting a bare cast
-      // read them in whatever tz the foreign session runs: shift the
-      // naive wall from UTC to the session tz first, then cast (which
-      // interprets in session tz) — identity under UTC, and the same
-      // instant under any other session tz.
+      // UTC, so pin that interpretation with pure field arithmetic on the
+      // naive value — a cast (or convert_timezone + cast) resolves a wall
+      // time in the SESSION zone, which both shifts instants and collapses
+      // the DST repeated hour in any zone that observes it. Date and
+      // time-of-day extraction from NTZ never touch the session zone, so
+      // this is exact everywhere.
       df.withColumn("ts", expr(
-        "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
+        "timestamp_micros(" +
+          "cast(unix_date(cast(ts as date)) as bigint) * 86400000000 + " +
+          "cast(extract(HOUR FROM ts) as bigint) * 3600000000 + " +
+          "cast(extract(MINUTE FROM ts) as bigint) * 60000000 + " +
+          "cast(round(extract(SECOND FROM ts) * 1000000) as bigint))"))
     else df
   }
 

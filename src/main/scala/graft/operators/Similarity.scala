@@ -485,7 +485,8 @@ object Similarity {
     * form: [[graft.sources.VectorIndexStore]] writes `codes`
     * PARTITIONED BY `cent_id` so a probe reads only its nprobe lists. */
   private[graft] final case class IvfPqIndex(cents: DataFrame,
-      codes: DataFrame, codebooks: DataFrame, crossTable: DataFrame)
+      codes: () => DataFrame, codebooks: DataFrame,
+      crossTable: DataFrame)
 
   /** Build the residual-IVFPQ index relations over a corpus. Both
     * centroid sets are deterministic corpus samples so an external SQL
@@ -523,7 +524,7 @@ object Similarity {
         col("subc"))), Seq("j"))
       .select(col("cent_id"), col("j"), col("code"),
         dp(col("subcent"), col("subc")).as("crossv"))
-    IvfPqIndex(cents, codes, cb, crossT)
+    IvfPqIndex(cents, () => codes, cb, crossT)
   }
 
   /** Coarse-assign each vector to its nearest centroid and keep the
@@ -594,7 +595,7 @@ object Similarity {
       .select(col("query_id"), col("j"), col("cent_id").as("code"),
         dp(col("subq"), col("subc")).as("qdot"))
     val codes = prunedCodes match {
-      case None => ix.codes
+      case None => ix.codes()
       case Some(read) =>
         read(probes.select(col("cent_id")).distinct().collect()
           .map(_.getLong(0)).toSeq.sorted)

@@ -39,7 +39,7 @@ object VectorIndexStore {
     // every list dir — P x C tiny files (observed ~4000 here) instead
     // of one file per list. At real scale, repartition on (cent_id,
     // salt) instead to hold per-file size near the block size.
-    ix.codes.repartition(col("cent_id"))
+    ix.codes().repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
       .parquet(s"$path/codes")
     ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
@@ -85,8 +85,17 @@ object VectorIndexStore {
     val fs = live.getFileSystem(conf)
     val old = new org.apache.hadoop.fs.Path(s"$path/codes__old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    // every rename is checked BEFORE anything is deleted: an unchecked
+    // failure of the second rename followed by delete(old) would
+    // destroy the only surviving copy of the codes table
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"compactIvfPq: could not move $live aside; index unchanged")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(old, live) // roll back; original data still intact
+      throw new java.io.IOException(
+        s"compactIvfPq: could not promote $tmp; original restored")
+    }
     fs.delete(old, true)
     spark.catalog.refreshByPath(s"$path/codes")
   }
@@ -99,9 +108,13 @@ object VectorIndexStore {
       queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
       m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // codes is NOT read here: the pruned reader below is the only
+    // consumer, and an eager spark.read.parquet would pay a full
+    // partition discovery over every list directory just to be
+    // discarded (the whole point of the layout is to avoid that)
     val ix = Similarity.IvfPqIndex(
       cents = spark.read.parquet(s"$path/cents"),
-      codes = spark.read.parquet(s"$path/codes"),
+      codes = () => spark.read.parquet(s"$path/codes"),
       codebooks = spark.read.parquet(s"$path/codebooks"),
       crossTable = spark.read.parquet(s"$path/crosst"))
     Similarity.ivfPqSearch(ix, queries, corpus, k, nprobe, m, dim,

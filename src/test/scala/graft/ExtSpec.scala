@@ -894,7 +894,7 @@ class ExtSpec extends SparkSpec {
       .ivfPqTopKFromIndex(spark, path, q, e, 10)
       .collect().map(_.toString).sorted
     val ix = Similarity.buildIvfPqIndex(base)
-    val composed = ix.copy(codes = ix.codes.unionByName(
+    val composed = ix.copy(codes = () => ix.codes().unionByName(
       Similarity.encodeForIndex(batch, ix.cents, ix.codebooks, 8, 64,
         "vec_id", "embedding")))
     val direct = Similarity.ivfPqSearch(composed, q, e, 10, 2, 8, 64, 3,

@@ -43,7 +43,12 @@ def norm(v):
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            # a NULL in a float64 pandas column is NaN on both sides
+            # a NULL in a float64 pandas column is NaN on both sides, so
+            # NaN must normalize to NULL. KNOWN NARROWING: a genuine Spark
+            # NaN vs an oracle NULL in a double column is indistinguishable
+            # after the pandas conversion — the driver's compare has the
+            # same blind spot, and matching the driver is this gate's job.
+            # Queries avoid emitting NaN (0/0-style ratios are guarded).
             return "\0NULL"
         return repr(f)  # integral floats keep their ".0" — intentional
     if isinstance(v, Decimal):
