@@ -564,4 +564,79 @@ object CorpusStats {
         percentile_approx(col("toks"), lit(0.9), lit(accuracy))
           .as("approx_p90_tokens"))
   }
+
+  /** [[sketchProfile]] with its error contract checked IN the result —
+    * the auditable shape. Sketch registers are engine-specific, so the
+    * estimates themselves can never hash-match an external oracle; what
+    * CAN is everything this projects: the exact answers (count,
+    * distinct count, discrete nearest-rank percentiles — the
+    * [[sourceStats]] percentile definition, exact in every engine) and
+    * one boolean per estimate saying it landed within its published
+    * error bound. An oracle replays the exact columns and expects every
+    * boolean TRUE, so a broken sketch (or a broken bound) flips a
+    * hashed value instead of hiding behind a rows-only check.
+    *
+    * Bounds checked: HLL++ estimate within 5·rsd relative (+10
+    * absolute: tiny groups, where HLL is exact-by-sparse-mode, would
+    * otherwise fail on integer granularity); each GK percentile value
+    * must sit within rank tolerance n/accuracy (+2 slack for the
+    * ceil-vs-interpolated rank definition) of its target rank —
+    * checked by COUNTING the rows at or below the estimate, the
+    * definition of rank error, not by comparing values.
+    *
+    * Scale: this is the AUDIT query — the exact verifier pays the
+    * distinct-level shuffle and the histogram window that
+    * [[sketchProfile]] exists to avoid, so at 100 TB it runs on a
+    * sampled source subset (or per-partition slice), while production
+    * profiling runs the sketch alone. The sketch side stays one
+    * map-side-combining aggregate; the rank check joins the
+    * GROUP-level estimates back broadcast (sources are a dimension). */
+  def sketchProfileValidated(docs: DataFrame, rsd: Double = 0.02,
+      accuracy: Int = 10000): DataFrame = {
+    val base = CacheRegistry.tracked(docs.select(col("source"),
+      md5(lower(trim(col("text")))).as("fp"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks")))
+    val sketch = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("fp"), rsd).as("approx_unique"),
+      percentile_approx(col("toks"), lit(0.5), lit(accuracy)).as("ap50"),
+      percentile_approx(col("toks"), lit(0.9), lit(accuracy)).as("ap90"))
+    val exactU = base.groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("exact_unique"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("toks"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val pct = base.groupBy(col("source"), col("toks"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("source")).agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("toks")))
+          .as("p50_tokens"),
+        min(when(col("cum") >= expr("(n * 9 + 9) DIV 10"), col("toks")))
+          .as("p90_tokens"))
+    val ranks = base
+      .join(broadcast(sketch.select(col("source"), col("ap50"),
+        col("ap90"))), Seq("source"))
+      .groupBy(col("source")).agg(
+        sum(when(col("toks") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("toks") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("toks") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("toks") < col("ap90"), 1L).otherwise(0L)).as("lt90"))
+    val tol = expr(s"n_docs DIV $accuracy") + lit(2L)
+    val target50 = expr("(n_docs + 1) DIV 2")
+    val target90 = expr("(n_docs * 9 + 9) DIV 10")
+    sketch.join(exactU, Seq("source")).join(pct, Seq("source"))
+      .join(ranks, Seq("source"))
+      .select(col("source"), col("n_docs"), col("exact_unique"),
+        col("p50_tokens"), col("p90_tokens"),
+        (abs(col("approx_unique") - col("exact_unique")) <=
+          col("exact_unique") * (5 * rsd) + lit(10.0))
+          .as("unique_within_rsd"),
+        (col("le50") >= target50 - tol && col("lt50") <= target50 + tol)
+          .as("p50_within_rank_tol"),
+        (col("le90") >= target90 - tol && col("lt90") <= target90 + tol)
+          .as("p90_within_rank_tol"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -169,4 +169,48 @@ object TextAnalysis {
     * repr. */
   def compressionRatio(text: Column): Column =
     round(graft.plans.TextExpressions.deflateRatio(text), 4)
+
+  /** [[compressionRatio]] with its functional contract checked IN the
+    * result — the auditable shape. zlib has no SQL replay, so the raw
+    * ratio can never hash-match an external oracle; what CAN is what
+    * this projects: the UTF-8 byte length (any engine replays it) and
+    * two booleans an oracle expects to be always-TRUE, so a broken
+    * Deflater wiring flips a hashed value instead of hiding behind a
+    * rows-only count:
+    *
+    *  - `ratio_ok`: empty text is exactly 1.0 (the convention); any
+    *    other text compresses to a positive size at most `raw + 5
+    *    bytes per 64 KiB stored block + 64` — zlib's worst-case
+    *    stored-block expansion bound, which only a wrong ratio
+    *    denominator or corrupted stream can violate.
+    *  - `rep_detect`: the repetition-detection property itself —
+    *    deflating `text ‖ text` must cost at most the single-copy
+    *    size plus back-reference overhead (≤ 8 bytes per 258-byte
+    *    max-match + 512 block/tree slack) whenever the first copy fits
+    *    the 32 KiB window (checked for raw ≤ 16000; larger rows pass
+    *    vacuously). A compressor that failed to exploit duplication —
+    *    the exact signal the filter sells — fails this row-by-row, on
+    *    real corpus text, with no crafted fixture needed.
+    *
+    * Cost: one extra Deflater pass over 2× the bytes, scan-local, no
+    * extra shuffle — the audit runs at corpus scale or on a sample. */
+  def compressionSelfCheck(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val raw = octet_length(col(textCol)).cast("long")
+    val r1 = graft.plans.TextExpressions.deflateRatio(col(textCol))
+    val r2 = graft.plans.TextExpressions.deflateRatio(
+      concat(col(textCol), col(textCol)))
+    docs.select(col(idCol), raw.as("raw_len"), r1.as("r1"), r2.as("r2"))
+      .select(col(idCol), col("raw_len"),
+        when(col("raw_len") === 0, col("r1") === 1.0)
+          .otherwise(col("r1") > 0.0 &&
+            col("r1") * col("raw_len") <= col("raw_len") +
+              ceil(col("raw_len") / 65535.0) * 5.0 + 64.0)
+          .as("ratio_ok"),
+        (col("raw_len") === 0 || col("raw_len") > 16000 ||
+          col("r2") * col("raw_len") * 2.0 <=
+            col("r1") * col("raw_len") +
+              ceil(col("raw_len") / 258.0) * 8.0 + 512.0)
+          .as("rep_detect"))
+  }
 }

@@ -55,20 +55,37 @@ object VectorFusion extends Rule[LogicalPlan] {
   * SQL-only user needs for dedup candidate work and repetition
   * filtering without touching the Scala API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // wrong arity must raise the same readable IllegalArgumentException the
+  // non-literal-n path does, not an IndexOutOfBounds from children(1)
+  private def arity(sig: String, n: Int)(
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$sig takes $n argument(s), got ${children.length}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorFusion)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_dot(a, b)", 2)(children)
+        DotProduct(c.head, c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_zip_dot"),
       new ExpressionInfo(classOf[ZipDot].getName, "graft_zip_dot"),
-      (children: Seq[Expression]) => ZipDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_zip_dot(a, b)", 2)(children)
+        ZipDot(c.head, c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) => children(1) match {
+      (children: Seq[Expression]) =>
+        arity("graft_shingles(text, n)", 2)(children)(1) match {
         case Literal(n: Int, org.apache.spark.sql.types.IntegerType) =>
           WordShingles(children.head, n)
         case other => throw new IllegalArgumentException(
@@ -78,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName,
         "graft_deflate_ratio"),
-      (children: Seq[Expression]) => DeflateRatio(children.head)))
+      (children: Seq[Expression]) =>
+        DeflateRatio(arity("graft_deflate_ratio(text)", 1)(children).head)))
   }
 }

@@ -232,17 +232,29 @@ object TextKernels {
     * natural prose, near-random noise sits near (or above) 1.0. Pure
     * JVM Deflater, deterministic for a given input; empty input → 1.0
     * by convention. */
+  // Deflater wraps native zlib state: allocating one per row is
+  // measurable overhead on a corpus-wide scan, so each task thread
+  // reuses a single instance via reset(). The ThreadLocal lives for
+  // the executor thread's lifetime (Spark task threads are pooled),
+  // which is the same lifecycle executor-side caches use.
+  private val localDeflater =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, true)
+    }
+
   def deflateRatio(text: UTF8String): Double = {
     val raw = text.getBytes
     if (raw.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    d.setInput(raw)
-    d.finish()
-    val buf = new Array[Byte](8192)
-    var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
-    d.end()
-    total.toDouble / raw.length
+    val d = localDeflater.get()
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.reset() // reusable for the next row even after a throw
   }
 
 }

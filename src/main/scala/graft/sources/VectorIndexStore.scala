@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.Similarity
 
@@ -22,31 +23,152 @@ import graft.operators.Similarity
   * batch and reading only the probed fraction; the three
   * metadata-sized relations (centroids, codebooks, centroid×code cross
   * table) are read whole and broadcast, exactly as the in-query path
-  * does. */
+  * does.
+  *
+  * Concurrency contract (same discipline as [[StateStore]]): ONE
+  * writer at a time per index path, and maintenance
+  * ([[appendIvfPq]]/[[compactIvfPq]]) must not run concurrently with
+  * probes of the same path — the compaction swap has a window where
+  * `codes/` does not exist, and directory rename is not atomic on
+  * object stores. Concurrent serving needs a versioned-directory +
+  * pointer-file layout on top; the flows here (batch maintenance, then
+  * serve) do not.
+  */
 object VectorIndexStore {
+
+  /** Bump when the on-disk layout or the deterministic build recipe
+    * changes: [[ensureIvfPq]] markers from older versions stop
+    * matching and the index rebuilds instead of serving stale codes. */
+  private val FormatVersion = 2
+
+  // -- tiny sidecar-file helpers (Hadoop FS so any scheme works) ------
+
+  private def fsOf(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def writeText(spark: SparkSession, p: String, s: String): Unit = {
+    val (fs, hp) = fsOf(spark, p)
+    val out = fs.create(hp, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(spark: SparkSession, p: String): Option[String] = {
+    val (fs, hp) = fsOf(spark, p)
+    if (!fs.exists(hp)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
+      val in = fs.open(hp)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8"))
+    }
+  }
+
+  /** Read the codes table with its WRITTEN schema, not an inferred one.
+    * `partitionBy(cent_id)` stores the list id in directory names, and
+    * schema inference re-types it from the string values (IntegerType
+    * while ids fit an int) — the joins and `isin` pruning then work
+    * only via implicit casts, and a corpus whose ids cross
+    * Int.MaxValue would silently flip the inferred type between
+    * appends. The build writes the exact pre-write schema to a sidecar
+    * (`codes_schema.json`); readers declare it, which pins the
+    * partition-column round-trip to bigint. Indexes written before the
+    * sidecar existed fall back to inference. */
+  private def readCodes(spark: SparkSession, path: String): DataFrame = {
+    val reader = readText(spark, s"$path/codes_schema.json") match {
+      case Some(json) => spark.read.schema(
+        DataType.fromJson(json).asInstanceOf[StructType])
+      case None => spark.read
+    }
+    reader.parquet(s"$path/codes")
+  }
 
   /** Build the deterministic residual-IVFPQ index over `corpus` and
     * persist it under `path`: `codes/` partitioned by list id, plus
-    * `cents/`, `codebooks/`, `crosst/` (metadata-sized, unpartitioned). */
+    * `cents/`, `codebooks/`, `crosst/` (metadata-sized, unpartitioned)
+    * and the `codes_schema.json` sidecar (see [[readCodes]]).
+    *
+    * `saltFilesPerList` bounds per-file size: 1 (default) clusters each
+    * list into ONE file — right while lists fit a block; at real scale
+    * a hot list's single file outgrows the block size, so salting
+    * spreads each list over up to that many files (`pmod(hash(id),
+    * salt)` is deterministic, so the layout is reproducible). Probe
+    * plans are unchanged either way — pruning is on the partition
+    * DIRECTORY; the salt only splits files inside it. */
   def writeIvfPq(corpus: DataFrame, path: String,
       ivfCentroidMod: Int = 37, pqCentroidMod: Int = 41, m: Int = 8,
       dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", saltFilesPerList: Int = 1): Unit = {
+    require(saltFilesPerList >= 1,
+      s"saltFilesPerList must be >= 1, got $saltFilesPerList")
     val ix = Similarity.buildIvfPqIndex(corpus, ivfCentroidMod,
       pqCentroidMod, m, dim, idCol, vecCol)
+    val codes = ix.codes()
     // cluster on the partition column before the partitioned write:
     // otherwise every upstream shuffle partition writes a sliver into
     // every list dir — P x C tiny files (observed ~4000 here) instead
-    // of one file per list. At real scale, repartition on (cent_id,
-    // salt) instead to hold per-file size near the block size.
-    ix.codes().repartition(col("cent_id"))
+    // of one file per list (or saltFilesPerList files when salted).
+    val clustered =
+      if (saltFilesPerList == 1) codes.repartition(col("cent_id"))
+      else codes.repartition(col("cent_id"),
+        pmod(xxhash64(col(idCol)), org.apache.spark.sql.functions
+          .lit(saltFilesPerList.toLong)))
+    clustered
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
       .parquet(s"$path/codes")
+    writeText(corpus.sparkSession, s"$path/codes_schema.json",
+      codes.schema.json)
     ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
     ix.codebooks.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
     ix.crossTable.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/crosst")
+  }
+
+  /** [[writeIvfPq]] gated by a build marker: skip the (expensive)
+    * build when an index with the SAME recipe is already persisted at
+    * `path`. The marker records the format version and every build
+    * parameter; any mismatch — including a library layout bump —
+    * rebuilds. Input data is identified by the caller's `path` choice
+    * (the query layer keys the path on the dataset dir), which is the
+    * usual warehouse contract for a derived table. Returns the build
+    * seconds, or None when the warm index was reused — callers
+    * benchmarking the serve path get build cost separated for free. */
+  def ensureIvfPq(corpus: DataFrame, path: String,
+      ivfCentroidMod: Int = 37, pqCentroidMod: Int = 41, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      saltFilesPerList: Int = 1): Option[Double] = {
+    val spark = corpus.sparkSession
+    val marker = s"$path/_built.json"
+    val recipe = s"""{"v":$FormatVersion,"ivf":$ivfCentroidMod,""" +
+      s""""pq":$pqCentroidMod,"m":$m,"dim":$dim,"id":"$idCol",""" +
+      s""""vec":"$vecCol","salt":$saltFilesPerList}"""
+    if (readText(spark, marker).contains(recipe)) None
+    else {
+      val t0 = System.nanoTime()
+      writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,
+        idCol, vecCol, saltFilesPerList)
+      // marker last: a crash mid-build leaves no marker → next ensure
+      // rebuilds instead of serving a half-written index
+      writeText(spark, marker, recipe)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Copy a persisted index to a new path (clobbering it). This is a
+    * TEST/BENCH idempotency device — maintenance experiments run
+    * against a clone so the pristine warm index is never mutated and
+    * every attempt starts from the same bytes. Production appends
+    * mutate in place; nobody copies a 100 TB codes table. */
+  def cloneIndex(spark: SparkSession, src: String, dst: String): Unit = {
+    val (fs, srcP) = fsOf(spark, src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP,
+      false, true, spark.sparkContext.hadoopConfiguration)
+    spark.catalog.refreshByPath(s"$dst/codes")
   }
 
   /** Incremental index maintenance: append a new vector batch to a
@@ -56,7 +178,8 @@ object VectorIndexStore {
     * the metadata relations never change, and untouched lists are
     * never rewritten. This is classic IVF maintenance: appends are
     * cheap and local; a periodic rebuild re-trains the centroid/
-    * codebook samples when the data distribution drifts. */
+    * codebook samples when the data distribution drifts. Single
+    * writer, no concurrent probes (see the object doc). */
   def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
       m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
@@ -74,9 +197,14 @@ object VectorIndexStore {
     * periodic compaction rewrites the table clustered on the list id
     * (atomic swap via a temp dir + rename, same discipline as
     * [[StateStore]]'s overwrite-merge). Codes are unchanged — only the
-    * file layout. */
+    * file layout.
+    *
+    * Single-writer, no concurrent readers: between the two renames
+    * `codes/` does not exist, and rename is not atomic on object
+    * stores — a probe racing the swap fails or reads an empty index.
+    * Run compaction in the maintenance window (see the object doc). */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
     val tmp = s"$path/codes__compact"
     codes.repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id").parquet(tmp)
@@ -108,18 +236,18 @@ object VectorIndexStore {
       queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
       m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // codes is NOT read here: the pruned reader below is the only
-    // consumer, and an eager spark.read.parquet would pay a full
-    // partition discovery over every list directory just to be
-    // discarded (the whole point of the layout is to avoid that)
+    // codes is NOT read eagerly here: the pruned reader below is the
+    // only consumer, and an eager full read would pay a partition
+    // discovery over every list directory just to be discarded (the
+    // whole point of the layout is to avoid that)
     val ix = Similarity.IvfPqIndex(
       cents = spark.read.parquet(s"$path/cents"),
-      codes = () => spark.read.parquet(s"$path/codes"),
+      codes = () => readCodes(spark, path),
       codebooks = spark.read.parquet(s"$path/codebooks"),
       crossTable = spark.read.parquet(s"$path/crosst"))
     Similarity.ivfPqSearch(ix, queries, corpus, k, nprobe, m, dim,
       shortlistFactor, idCol, vecCol,
-      prunedCodes = Some(ids => spark.read.parquet(s"$path/codes")
+      prunedCodes = Some(ids => readCodes(spark, path)
         .filter(col("cent_id").isin(ids: _*))))
   }
 }
