@@ -467,6 +467,21 @@ object ExtQueries {
           // decimal sum (order-independent), double in the final projection
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))),
 
+    // Bounded-state streaming dedup, batch-parity checked: events run
+    // through the REAL dropDuplicatesWithinWatermark as 4 time-ordered
+    // micro-batches; the hashed output is the per-key emission count
+    // (one emission per watermark era). The oracle replays the pinned
+    // state semantics — no expiry extension on dropped dups, eviction
+    // at expiry <= watermark, eviction lagging one batch — as 4
+    // unrolled state-transition steps.
+    "x_stream_wm_dedup" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-wmdedup-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.dedupWithinWatermarkReplay(
+        s, Tables.events(s, d), Seq("user_id", "event_type"),
+        tsCol = "ts", delay = "2 hours", nBatches = 4, workDir = work)
+    }),
+
     // Pairwise similarity → actual dedup groups: connected components
     // (min-label propagation) over the verified MinHash-LSH pair list.
     "x_dedup_cluster" -> ((s, d) => {
@@ -1378,6 +1393,61 @@ object ExtQueries {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // replay of the streaming watermark-dedup state machine, unrolled
+    // over the 4 time-quartile batches. Pinned semantics (see
+    // StreamingSyncSpec): state keeps the EMITTING event's ms-floored
+    // time te; an arrival is dropped iff its key's state survived every
+    // eviction so far, i.e. iff te + 2*delay > max event time of
+    // batches 1..i-2 (eviction lags one batch; fires at equality); a
+    // dropped duplicate does NOT extend te. delay = 2h -> the 4-hour
+    // interval below.
+    "x_stream_wm_dedup" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_type,
+        |    date_trunc('milliseconds', ts) AS ts, event_id,
+        |    ntile(4) OVER (ORDER BY date_trunc('milliseconds', ts),
+        |      event_id) AS b
+        |  FROM events),
+        |bb AS (
+        |  SELECT user_id, event_type, b, min(ts) AS t
+        |  FROM ord GROUP BY user_id, event_type, b),
+        |g AS (SELECT b, max(t) AS gmax FROM bb GROUP BY b),
+        |s1 AS (
+        |  SELECT user_id, event_type, t AS te, 1 AS emits
+        |  FROM bb WHERE b = 1),
+        |s2 AS (
+        |  SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |    coalesce(p.event_type, c.event_type) AS event_type,
+        |    CASE WHEN p.te IS NOT NULL THEN p.te ELSE c.t END AS te,
+        |    coalesce(p.emits, 0) + CASE WHEN c.t IS NOT NULL
+        |      AND p.te IS NULL THEN 1 ELSE 0 END AS emits
+        |  FROM s1 p FULL JOIN (SELECT * FROM bb WHERE b = 2) c
+        |    ON p.user_id = c.user_id AND p.event_type = c.event_type),
+        |s3 AS (
+        |  SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |    coalesce(p.event_type, c.event_type) AS event_type,
+        |    CASE WHEN c.t IS NULL THEN p.te
+        |      WHEN p.te IS NOT NULL AND p.te + INTERVAL '4 hours' >
+        |        (SELECT gmax FROM g WHERE b = 1) THEN p.te
+        |      ELSE c.t END AS te,
+        |    coalesce(p.emits, 0) + CASE WHEN c.t IS NULL THEN 0
+        |      WHEN p.te IS NOT NULL AND p.te + INTERVAL '4 hours' >
+        |        (SELECT gmax FROM g WHERE b = 1) THEN 0
+        |      ELSE 1 END AS emits
+        |  FROM s2 p FULL JOIN (SELECT * FROM bb WHERE b = 3) c
+        |    ON p.user_id = c.user_id AND p.event_type = c.event_type),
+        |s4 AS (
+        |  SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |    coalesce(p.event_type, c.event_type) AS event_type,
+        |    coalesce(p.emits, 0) + CASE WHEN c.t IS NULL THEN 0
+        |      WHEN p.te IS NOT NULL AND p.te + INTERVAL '4 hours' >
+        |        (SELECT gmax FROM g WHERE b = 2) THEN 0
+        |      ELSE 1 END AS emits
+        |  FROM s3 p FULL JOIN (SELECT * FROM bb WHERE b = 4) c
+        |    ON p.user_id = c.user_id AND p.event_type = c.event_type)
+        |SELECT user_id, event_type, emits::bigint AS n_emissions
+        |FROM s4""".stripMargin,
 
     // the LSH pair list (same CTEs as x_dedup_minhash_lsh), then the
     // transitive closure: reach(v, l) = "l reaches v"; min reachable

@@ -78,6 +78,93 @@ object StreamingSync {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Batch-parity harness for [[dedupWithinWatermark]]: split `events`
+    * into `nBatches` time-ordered micro-batches (ntile over (ts, id) —
+    * a total order both engines replay), stream them through the REAL
+    * bounded-state dedup one file per trigger, and return the per-key
+    * emission count. The count is the bounded-state contract made
+    * hashable: a key re-emits once per watermark era it spans, and the
+    * era arithmetic is closed-form — state keeps the EMITTING event's
+    * time (a dropped duplicate does not extend it), and an entry is
+    * evicted in the first batch whose eviction watermark — max event
+    * time of all EARLIER batches minus `delay` — reaches
+    * `state_ts + delay` (inclusive: eviction fires at exact equality).
+    * All three clauses are pinned by StreamingSyncSpec experiments, so
+    * an external engine can replay the exact emission counts with four
+    * unrolled state steps (see the `x_stream_wm_dedup` oracle).
+    *
+    * Within-batch duplicate order would make the surviving PAYLOAD
+    * row nondeterministic (first-processed wins), so the harness
+    * pre-collapses each (key, batch) to its earliest event — the
+    * stream then sees one row per key per batch and both the
+    * emissions and the watermark progression are deterministic.
+    *
+    * Harness shape, deliberately: the global ntile and the memory
+    * sink are test-scale devices for replaying a stream from batch
+    * tables; production runs [[dedupWithinWatermark]] directly on the
+    * live stream with a real sink — the operator under test is the
+    * same code path either way. */
+  def dedupWithinWatermarkReplay(spark: SparkSession, events: DataFrame,
+      keyCols: Seq[String], tsCol: String = "ts",
+      delay: String = "2 hours", nBatches: Int = 4,
+      workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col(tsCol), col("event_id"))
+    val perKeyBatch = Window
+      .partitionBy((keyCols.map(col) :+ col("b")): _*)
+      .orderBy(col(tsCol), col("event_id"))
+    val staged = events
+      // Structured Streaming tracks watermarks and dedup-state expiry
+      // in MILLISECONDS (event times are floored); feeding ms-clean
+      // timestamps makes the era arithmetic exact in every engine
+      // instead of flipping when te+2·delay lands within 1 ms of a
+      // batch maximum
+      .withColumn(tsCol, date_trunc("millisecond", col(tsCol)))
+      .withColumn("b", ntile(nBatches).over(ord))
+      .withColumn("rn", row_number().over(perKeyBatch))
+      .filter(col("rn") === 1)
+      .select((keyCols.map(col) :+ col(tsCol) :+ col("b")): _*)
+
+    val dir = new java.io.File(workDir)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    (1 to nBatches).foreach { i =>
+      val stage = new java.io.File(dir, s"stage$i").toString
+      staged.filter(col("b") === i).drop("b")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(in, f"batch-$i%02d.parquet")
+      if (!part.renameTo(tgt))
+        throw new java.io.IOException(s"could not stage $tgt")
+      // deterministic file-source order: explicit increasing mtimes,
+      // not wall-clock write order (coarse-mtime filesystems reorder)
+      tgt.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val name = s"graft_wm_replay_${replaySeq.incrementAndGet()}"
+    val q = dedupWithinWatermark(stream, keyCols, tsCol, delay)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name)
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_emissions"))
+  }
+
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window
     * ending at the batch's max event date (the reference's

@@ -158,54 +158,141 @@ class StreamingSyncSpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("watermarked dedup drops in-window duplicates and evicts state") {
-    val dir = tmp()
-    val in = s"$dir/in"
-    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
-      f"2025-01-01 $h%02d:$m%02d:00")
-    // batch 1: A and B
-    Seq(("A", ts(10, 0), 1L), ("B", ts(10, 10), 2L))
-      .toDF("k", "ts", "seq").coalesce(1)
-      .write.mode("append").parquet(in)
-    Thread.sleep(1100)
-    // batch 2: duplicate A INSIDE the watermark (dropped) + C far ahead
-    // (advances the watermark past A's state)
-    Seq(("A", ts(10, 5), 3L), ("C", ts(15, 0), 4L))
-      .toDF("k", "ts", "seq").coalesce(1)
-      .write.mode("append").parquet(in)
-    Thread.sleep(1100)
-    // batch 3: unrelated key — state eviction runs on the batch AFTER
-    // the watermark advanced, so this batch is where A's entry
-    // (expiry 11:05 < wm 14:00) actually leaves the store
-    Seq(("D", ts(15, 10), 5L))
-      .toDF("k", "ts", "seq").coalesce(1)
-      .write.mode("append").parquet(in)
-    Thread.sleep(1100)
-    // batch 4: A again — state evicted, so it re-emits: bounded state
-    // trades exactness past the delay for state ∝ keys-per-window, and
-    // the idempotent sync sink absorbs the re-emit
-    Seq(("A", ts(15, 30), 6L))
-      .toDF("k", "ts", "seq").coalesce(1)
-      .write.mode("append").parquet(in)
+  /** Write each batch as one parquet file and pin the file-source
+    * processing order with explicit monotone mtimes — the source sorts
+    * files by modification time, and relying on wall-clock write order
+    * (sleeps) is fragile on coarse-mtime filesystems. */
+  private def writeOrderedBatches(in: String,
+      batches: Seq[Seq[(String, java.sql.Timestamp, Long)]]): Unit = {
+    val dir = new java.io.File(in)
+    var seen = Set.empty[String]
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "ts", "seq").coalesce(1)
+        .write.mode("append").parquet(in)
+      val now = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+      (now -- seen).foreach(n =>
+        new java.io.File(dir, n).setLastModified(
+          1700000000000L + i * 60000L))
+      seen = now
+    }
+  }
 
+  private def runWmDedup(dir: String, name: String,
+      delay: String = "1 hour"): Set[Long] = {
+    val in = s"$dir/in"
     val stream = spark.readStream
       .schema(spark.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
     val q = StreamingSync
-      .dedupWithinWatermark(stream, Seq("k"), delay = "1 hour")
+      .dedupWithinWatermark(stream, Seq("k"), delay = delay)
       .writeStream.outputMode("append")
-      .format("memory").queryName("wm_dedup")
+      .format("memory").queryName(name)
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
+    spark.table(name).select($"seq").as[Long].collect().toSet
+  }
 
+  test("watermarked dedup drops in-window duplicates and evicts state") {
+    val dir = tmp()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"2025-01-01 $h%02d:$m%02d:00")
+    writeOrderedBatches(s"$dir/in", Seq(
+      // batch 1: A and B
+      Seq(("A", ts(10, 0), 1L), ("B", ts(10, 10), 2L)),
+      // batch 2: duplicate A INSIDE the watermark (dropped) + C far
+      // ahead (advances the watermark past A's state)
+      Seq(("A", ts(10, 5), 3L), ("C", ts(15, 0), 4L)),
+      // batch 3: unrelated key — state eviction runs on the batch AFTER
+      // the watermark advanced, so this batch is where A's entry
+      // (expiry 11:00 < wm 14:00) actually leaves the store
+      Seq(("D", ts(15, 10), 5L)),
+      // batch 4: A again — state evicted, so it re-emits: bounded state
+      // trades exactness past the delay for state ∝ keys-per-window,
+      // and the idempotent sync sink absorbs the re-emit
+      Seq(("A", ts(15, 30), 6L))))
+
+    assert(runWmDedup(dir, "wm_dedup") ===
+      Set(1L, 2L, 4L, 5L, 6L)) // the in-window dup (3) dropped
     val got = spark.table("wm_dedup")
       .groupBy($"k").count().as[(String, Long)].collect().toMap
     assert(got ===
       Map("A" -> 2L, "B" -> 1L, "C" -> 1L, "D" -> 1L))
-    val seqs = spark.table("wm_dedup").select($"seq")
-      .as[Long].collect().toSet
-    assert(seqs === Set(1L, 2L, 4L, 5L, 6L)) // the in-window dup (3) dropped
+  }
+
+  test("watermark dedup state semantics: no dup extension, inclusive eviction, one-batch lag") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2025-01-01 $s:00")
+    // These three fixtures pin the exact state machine the
+    // x_stream_wm_dedup oracle replays. (1) NO EXTENSION: the dropped
+    // dup A@10:30 does not move A's expiry past 11:00, so the eviction
+    // in batch 4 (wm = 12:25 - 1h = 11:25, from batches 1-3) clears it
+    // and A@13:10 re-emits. Were dups extending state, expiry would be
+    // 11:30 > 11:25 and seq 5 would be absent.
+    val d1 = tmp()
+    writeOrderedBatches(s"$d1/in", Seq(
+      Seq(("A", ts("10:00"), 1L)),
+      Seq(("A", ts("10:30"), 2L)),
+      Seq(("Z", ts("12:25"), 3L)),
+      Seq(("Y", ts("13:00"), 4L)),
+      Seq(("A", ts("13:10"), 5L))))
+    assert(runWmDedup(d1, "wm_sem_ext") === Set(1L, 3L, 4L, 5L))
+
+    // (2) INCLUSIVE EVICTION: A's expiry 11:00 meets the batch-3
+    // eviction watermark EXACTLY (12:00 - 1h); the state is evicted at
+    // equality, so A@13:30 re-emits. A strict comparison would keep
+    // the state and drop seq 4.
+    val d2 = tmp()
+    writeOrderedBatches(s"$d2/in", Seq(
+      Seq(("A", ts("10:00"), 1L)),
+      Seq(("Z", ts("12:00"), 2L)),
+      Seq(("Y", ts("13:00"), 3L)),
+      Seq(("A", ts("13:30"), 4L))))
+    assert(runWmDedup(d2, "wm_sem_tie") === Set(1L, 2L, 3L, 4L))
+
+    // (3) ONE-BATCH LAG + EMITTER'S CLOCK: state carries the EMITTING
+    // row's time (10:00), not the in-batch dup's (10:40): batch-3
+    // eviction wm = 12:35 - 1h = 11:35 > 11:00 clears A, and A@13:30
+    // re-emits. The dup 10:40 extending state would keep 11:40 > 11:35.
+    val d3 = tmp()
+    writeOrderedBatches(s"$d3/in", Seq(
+      Seq(("A", ts("10:00"), 1L), ("A", ts("10:40"), 2L)),
+      Seq(("Z", ts("12:35"), 3L)),
+      Seq(("Y", ts("13:10"), 4L)),
+      Seq(("A", ts("13:30"), 5L))))
+    assert(runWmDedup(d3, "wm_sem_lag") === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("watermark dedup replay harness: eras bounded and both paths exercised") {
+    val work = tmp()
+    val events = Tables.events(spark, sf0001)
+    val out = StreamingSync.dedupWithinWatermarkReplay(
+      spark, events, Seq("user_id", "event_type"),
+      tsCol = "ts", delay = "2 hours", nBatches = 4,
+      workDir = s"$work/replay")
+    val perKeyBatches = events
+      .select($"user_id", $"event_type",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"ts", $"event_id")).as("b"))
+      .distinct().groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_batches"))
+    val joined = out.join(perKeyBatches, Seq("user_id", "event_type"))
+      .select($"n_emissions", $"n_batches")
+      .as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    // every key emits at least once and at most once per batch it's in
+    assert(joined.forall { case (e, b) => e >= 1 && e <= b })
+    // the fixture exercises BOTH paths: some arrival was deduped and
+    // some key re-emitted after eviction (multi-era)
+    assert(joined.exists { case (e, b) => e < b })
+    assert(joined.exists { case (e, _) => e > 1 })
+    // idempotent: a second replay over the same input is identical
+    val again = StreamingSync.dedupWithinWatermarkReplay(
+      spark, events, Seq("user_id", "event_type"),
+      tsCol = "ts", delay = "2 hours", nBatches = 4,
+      workDir = s"$work/replay2")
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
   }
 }
