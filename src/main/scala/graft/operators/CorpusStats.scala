@@ -388,6 +388,46 @@ object CorpusStats {
         col("tier"))
   }
 
+  /** The PRODUCTION form of [[qualityBuckets]] — the shape CCNet
+    * actually ships at web scale: instead of a full per-language sort
+    * (ntile's window is one sort per language, and languages are few →
+    * the most skewed partitioning there is), compute the `buckets-1`
+    * tier thresholds per language with GK quantile sketches (ONE
+    * map-side-combining aggregate over the scored scan) and assign
+    * tiers with a broadcast threshold join — the threshold table is
+    * languages × (buckets−1) values, a dimension by construction.
+    * Plan: scan → aggregate → broadcast-join → project; no window, no
+    * global sort, nothing skew-sensitive.
+    *
+    * Same output as the exact ntile modulo boundary placement: a
+    * document lands in a different tier only when its score sits
+    * within GK rank error (n/accuracy) of a tier cut, or ties the cut
+    * value (ntile splits ties by doc_id; a value threshold cannot).
+    * ExtSpec pins exactly that: disagreements are adjacent-tier only
+    * and bounded by the boundary-tie count. */
+  def qualityBucketsApprox(docs: DataFrame, buckets: Int = 3,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    // descending cuts: tile i covers q >= quantile(1 - i/buckets)
+    val cuts = (1 until buckets).map(i => 1.0 - i.toDouble / buckets)
+    val th = scored.groupBy(col("lang")).agg(
+      percentile_approx(col("q"),
+        array(cuts.map(lit): _*), lit(accuracy)).as("ths"))
+    scored.join(broadcast(th), Seq("lang"))
+      // tile = 1 + number of thresholds strictly above q (ths is
+      // descending); boundary ties take the UPPER tile
+      .withColumn("tile",
+        (size(filter(col("ths"), t => col("q") < t)) + 1))
+      .withColumn("tier",
+        when(col("tile") === 1, lit("head"))
+          .when(col("tile") === buckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col("doc_id"), col("lang"), col("q"), col("tile"),
+        col("tier"))
+  }
+
   /** Boilerplate coverage: the fraction of a document's shingle
     * OCCURRENCES whose shingle appears in ≥ `minDf` distinct documents —
     * the repeated-phrase (navigation chrome / license header / template)

@@ -112,7 +112,9 @@ object VectorIndexStore {
     val clustered =
       if (saltFilesPerList == 1) codes.repartition(col("cent_id"))
       else codes.repartition(col("cent_id"),
-        pmod(xxhash64(col(idCol)), org.apache.spark.sql.functions
+        // the codes relation keys vectors as match_id; each (list,
+        // salt) pair lands in one task → ≤ salt files per list dir
+        pmod(xxhash64(col("match_id")), org.apache.spark.sql.functions
           .lit(saltFilesPerList.toLong)))
     clustered
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")

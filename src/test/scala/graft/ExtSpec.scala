@@ -802,6 +802,84 @@ class ExtSpec extends SparkSpec {
     assert(best._5 === "head")
   }
 
+  test("approx quality tiers: no window in the plan, agreement up to boundary ties") {
+    val d = Tables.documents(spark, sf0001)
+    val approx = CorpusStats.qualityBucketsApprox(d)
+    // the scale claim itself: threshold assignment runs without any
+    // window/sort — one aggregate plus a broadcast join
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not sort-window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "threshold assignment must be a broadcast join")
+    val exact = CorpusStats.qualityBuckets(d)
+      .select($"doc_id", $"lang", $"q", $"tile".as("tile_e"))
+    val j = exact.join(
+        approx.select($"doc_id", $"tile".as("tile_a")), Seq("doc_id"))
+      .select($"lang", $"q", $"tile_e", $"tile_a")
+      .as[(String, Double, Int, Int)].collect()
+    assert(j.nonEmpty)
+    // disagreements can only be adjacent-tier
+    assert(j.forall { case (_, _, e, a) => math.abs(e - a) <= 1 })
+    // and only from boundary placement: value ties across an ntile cut
+    // (+1 rank of ceil-vs-split arithmetic per cut). Bound per lang:
+    // (buckets-1) * (max q-multiplicity + 1).
+    j.groupBy(_._1).foreach { case (lang, rows) =>
+      val maxMult = rows.groupBy(_._2).values.map(_.size).max
+      val disagree = rows.count(r => r._3 != r._4)
+      assert(disagree <= 2 * (maxMult + 1),
+        s"$lang: $disagree disagreements vs multiplicity $maxMult")
+    }
+    // overall the two paths are the same operator
+    assert(j.count(r => r._3 == r._4).toDouble / j.length >= 0.9)
+  }
+
+  test("sketch profile self-validation: bounds hold and exact columns are exact") {
+    val d = Tables.documents(spark, sf0001)
+    val got = CorpusStats.sketchProfileValidated(d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("unique_within_rsd"),
+        s"${r.getAs[String]("source")}: HLL bound failed")
+      assert(r.getAs[Boolean]("p50_within_rank_tol"),
+        s"${r.getAs[String]("source")}: p50 rank bound failed")
+      assert(r.getAs[Boolean]("p90_within_rank_tol"),
+        s"${r.getAs[String]("source")}: p90 rank bound failed")
+    }
+    // the exact columns really are exact (independent recompute)
+    val brute = d.select($"source", md5(lower(trim($"text"))).as("fp"))
+      .groupBy($"source").agg(countDistinct($"fp").as("u"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("exact_unique") ===
+        brute(r.getAs[String]("source")))
+    }
+  }
+
+  test("compression self-check: contract booleans hold on crafted shapes and corpus") {
+    val rep = ("ab " * 400).trim
+    val prose = "the quality of mercy is not strained it droppeth as " +
+      "the gentle rain from heaven upon the place beneath"
+    val noise = (0 until 4000).map(i =>
+      graft.operators.Dedup.getClass.getName.hashCode * (i + 7)).mkString(" ")
+    val longText = ("xyz " * 8000).trim // > 16000 bytes: vacuous rep case
+    val df = Seq((0L, rep), (1L, prose), (2L, noise), (3L, ""),
+        (4L, longText))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.compressionSelfCheck(df)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    got.values.foreach { case (id, _, ratioOk, repDetect) =>
+      assert(ratioOk, s"doc $id ratio_ok")
+      assert(repDetect, s"doc $id rep_detect")
+    }
+    assert(got(3L)._2 === 0L) // empty text has zero bytes
+    assert(got(4L)._2 > 16000L)
+    // and on the real corpus, every row satisfies the contract
+    val corpus = graft.operators.TextAnalysis.compressionSelfCheck(
+      Tables.documents(spark, sf0001))
+    assert(corpus.filter(!$"ratio_ok" || !$"rep_detect").count() === 0)
+  }
+
   test("boilerplate coverage counts occurrences, not distinct shingles") {
     val d = Seq(
       (0L, "a b c a b c"), // "a b c" occurs twice of 4 occurrences
@@ -926,6 +1004,66 @@ class ExtSpec extends SparkSpec {
     assert(filesPerList().forall(_ === 1))
     val after = serve()
     assert(after.sameElements(before))
+  }
+
+  test("salted codes write bounds files per list, results and schema unchanged") {
+    val e = Tables.embeddings(spark, sf0001)
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-plain").toString
+    val salted = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-salt").toString
+    graft.sources.VectorIndexStore.writeIvfPq(e, plain)
+    graft.sources.VectorIndexStore.writeIvfPq(e, salted,
+      saltFilesPerList = 3)
+    def filesPerList(p: String): Seq[Int] =
+      new java.io.File(s"$p/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        .toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // each (list, salt) pair lands in exactly one task → at most salt
+    // files per list directory (vs exactly 1 unsalted)
+    assert(filesPerList(plain).forall(_ === 1))
+    assert(filesPerList(salted).forall(_ <= 3))
+    val q = e.filter($"vec_id" % 50 === 0)
+    def serve(p: String) = graft.sources.VectorIndexStore
+      .ivfPqTopKFromIndex(spark, p, q, e, 10)
+      .collect().map(_.toString).sorted
+    assert(serve(plain).sameElements(serve(salted)))
+    // the schema sidecar pins the partition-column round-trip: cent_id
+    // reads back as the written bigint, not an inferred int
+    val sidecar = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$salted/codes_schema.json")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sidecar("cent_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val centType = spark.read.schema(sidecar)
+      .parquet(s"$salted/codes").schema("cent_id").dataType
+    assert(centType === org.apache.spark.sql.types.LongType)
+    // whereas bare inference would have narrowed it
+    assert(spark.read.parquet(s"$salted/codes").schema("cent_id")
+      .dataType === org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("ensureIvfPq builds once per recipe and rebuilds on recipe change") {
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-ensure").toString
+    val first = graft.sources.VectorIndexStore.ensureIvfPq(e, path)
+    val second = graft.sources.VectorIndexStore.ensureIvfPq(e, path)
+    assert(first.isDefined, "cold path must build (and report seconds)")
+    assert(second.isEmpty, "warm path must reuse the persisted index")
+    // a different recipe (salt) invalidates the marker and rebuilds
+    val changed = graft.sources.VectorIndexStore.ensureIvfPq(e, path,
+      saltFilesPerList = 2)
+    assert(changed.isDefined, "recipe change must rebuild")
+    // and the rebuilt index still serves identically to a direct build
+    val q = e.filter($"vec_id" % 50 === 0)
+    val served = graft.sources.VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .collect().map(_.toString).sorted
+    val direct = Similarity.ivfPqTopK(q, e, 10)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(direct))
   }
 
   test("sketch profile: estimates bounded by exact answers, partition-invariant") {
