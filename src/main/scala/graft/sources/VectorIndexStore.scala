@@ -25,21 +25,30 @@ import graft.operators.Similarity
   * table) are read whole and broadcast, exactly as the in-query path
   * does.
   *
-  * Concurrency contract (same discipline as [[StateStore]]): ONE
-  * writer at a time per index path, and maintenance
-  * ([[appendIvfPq]]/[[compactIvfPq]]) must not run concurrently with
-  * probes of the same path — the compaction swap has a window where
-  * `codes/` does not exist, and directory rename is not atomic on
-  * object stores. Concurrent serving needs a versioned-directory +
-  * pointer-file layout on top; the flows here (batch maintenance, then
-  * serve) do not.
+  * Concurrency contract: ONE writer at a time per index path (there is
+  * no compare-and-swap on a plain filesystem), but probes MAY run
+  * concurrently with maintenance. The codes table is VERSIONED:
+  * each rewrite lands in a fresh `codes-NNNNNNNN` directory and
+  * becomes visible only when its `_committed` marker file appears —
+  * a single atomic create, no directory rename anywhere (renames are
+  * not atomic on object stores). Readers resolve the highest
+  * committed version at scan time; compaction keeps the previous
+  * version as a grace window for in-flight readers and GCs older
+  * ones — the degenerate single-table form of the snapshot-commit
+  * protocol table formats (Iceberg/Delta) build manifests on top of.
+  * [[appendIvfPq]] adds files to the CURRENT version in place:
+  * parquet files appear atomically one by one, so a concurrent probe
+  * sees either the old or a partially-extended list — acceptable for
+  * ANN recall, which is approximate by contract; data-REMOVING
+  * maintenance (compaction, rebuild), where a partial view would be
+  * wrong, always goes through a new committed version.
   */
 object VectorIndexStore {
 
   /** Bump when the on-disk layout or the deterministic build recipe
     * changes: [[ensureIvfPq]] markers from older versions stop
     * matching and the index rebuilds instead of serving stale codes. */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   // -- tiny sidecar-file helpers (Hadoop FS so any scheme works) ------
 
@@ -65,6 +74,73 @@ object VectorIndexStore {
     }
   }
 
+  // -- versioned codes directories (commit-marker protocol) -----------
+
+  private val CodesPrefix = "codes-"
+  private val CommitMarker = "_committed"
+
+  /** All `codes-NNNNNNNN` version numbers under `path`, committed or
+    * not (uncommitted ones are crash leftovers — never read, never
+    * reused as a version number). */
+  private def codesVersions(spark: SparkSession,
+      path: String): Seq[(Long, Boolean)] = {
+    val (fs, hp) = fsOf(spark, path)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(CodesPrefix))
+      .flatMap { s =>
+        val name = s.getPath.getName
+        scala.util.Try(name.stripPrefix(CodesPrefix).toLong).toOption
+          .map(v => v -> fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, CommitMarker)))
+      }
+  }
+
+  private def codesName(v: Long): String = f"$CodesPrefix$v%08d"
+
+  /** Directory of the codes version probes should read: the highest
+    * COMMITTED version; falls back to the legacy unversioned `codes/`
+    * for indexes written before the protocol existed. */
+  private[graft] def currentCodesPath(spark: SparkSession,
+      path: String): String = {
+    val committed = codesVersions(spark, path).filter(_._2).map(_._1)
+    if (committed.nonEmpty) s"$path/${codesName(committed.max)}"
+    else s"$path/codes"
+  }
+
+  /** Publish a fully-written version dir: one atomic marker create —
+    * the commit point. Nothing is renamed, so there is no instant at
+    * which a concurrent reader can resolve a missing or half-moved
+    * directory. */
+  private def commitCodes(spark: SparkSession, path: String,
+      v: Long): Unit =
+    writeText(spark, s"$path/${codesName(v)}/$CommitMarker",
+      String.valueOf(System.currentTimeMillis()))
+
+  /** Drop old versions, keeping the current one plus `grace` previous
+    * committed versions for in-flight readers (a scan that resolved
+    * version v keeps reading v's files while v+1 commits; it must
+    * survive until its job ends — one compaction cycle of grace is the
+    * plain-parquet form of snapshot retention). Uncommitted leftovers
+    * below the current version are crash debris and go too. */
+  private def gcCodes(spark: SparkSession, path: String,
+      grace: Int = 1): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val versions = codesVersions(spark, path)
+    val committed = versions.filter(_._2).map(_._1).sorted(
+      Ordering[Long].reverse)
+    val keep = committed.take(1 + grace).toSet
+    versions.filter { case (v, _) => !keep.contains(v) }
+      .filter { case (v, committedV) =>
+        committedV || committed.headOption.exists(v < _) }
+      .foreach { case (v, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/${codesName(v)}"),
+          true) }
+    // the pre-protocol layout counts as the oldest version of all
+    if (committed.size > grace)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+  }
+
   /** Read the codes table with its WRITTEN schema, not an inferred one.
     * `partitionBy(cent_id)` stores the list id in directory names, and
     * schema inference re-types it from the string values (IntegerType
@@ -81,7 +157,7 @@ object VectorIndexStore {
         DataType.fromJson(json).asInstanceOf[StructType])
       case None => spark.read
     }
-    reader.parquet(s"$path/codes")
+    reader.parquet(currentCodesPath(spark, path))
   }
 
   /** Build the deterministic residual-IVFPQ index over `corpus` and
@@ -116,16 +192,26 @@ object VectorIndexStore {
         // salt) pair lands in one task → ≤ salt files per list dir
         pmod(xxhash64(col("match_id")), org.apache.spark.sql.functions
           .lit(saltFilesPerList.toLong)))
+    val spark = corpus.sparkSession
+    // the codes rewrite lands as a fresh version, visible only at the
+    // commit-marker create. NOTE: the three metadata relations are
+    // still overwritten in place, so a rebuild that CHANGES the recipe
+    // needs the single-writer maintenance window — the concurrent-
+    // serving guarantee is for codes-only maintenance (compaction) and
+    // same-recipe rebuilds, where metadata is deterministic-identical.
+    val next = codesVersions(spark, path).map(_._1)
+      .foldLeft(0L)(math.max) + 1
     clustered
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-      .parquet(s"$path/codes")
-    writeText(corpus.sparkSession, s"$path/codes_schema.json",
-      codes.schema.json)
+      .parquet(s"$path/${codesName(next)}")
+    writeText(spark, s"$path/codes_schema.json", codes.schema.json)
     ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
     ix.codebooks.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/codebooks")
     ix.crossTable.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/crosst")
+    commitCodes(spark, path, next)
+    gcCodes(spark, path)
   }
 
   /** [[writeIvfPq]] gated by a build marker: skip the (expensive)
@@ -170,7 +256,7 @@ object VectorIndexStore {
     if (fs.exists(dstP)) fs.delete(dstP, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP,
       false, true, spark.sparkContext.hadoopConfiguration)
-    spark.catalog.refreshByPath(s"$dst/codes")
+    spark.catalog.refreshByPath(dst)
   }
 
   /** Incremental index maintenance: append a new vector batch to a
@@ -190,44 +276,38 @@ object VectorIndexStore {
     Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
       .repartition(col("cent_id"))
       .write.mode(SaveMode.Append).partitionBy("cent_id")
-      .parquet(s"$path/codes")
+      // append extends the CURRENT committed version in place: files
+      // appear atomically one by one (additive — safe for concurrent
+      // probes; see the object doc), and a compaction folds them into
+      // the next committed version
+      .parquet(currentCodesPath(spark, path))
   }
 
   /** Compact the codes table back to one file per list. Every
     * [[appendIvfPq]] adds a file to each touched list partition;
     * after many appends a probe pays per-file open/footer costs, so
-    * periodic compaction rewrites the table clustered on the list id
-    * (atomic swap via a temp dir + rename, same discipline as
-    * [[StateStore]]'s overwrite-merge). Codes are unchanged — only the
-    * file layout.
+    * periodic compaction rewrites the table clustered on the list id.
+    * Codes are unchanged — only the file layout.
     *
-    * Single-writer, no concurrent readers: between the two renames
-    * `codes/` does not exist, and rename is not atomic on object
-    * stores — a probe racing the swap fails or reads an empty index.
-    * Run compaction in the maintenance window (see the object doc). */
+    * Concurrent-serving safe: the rewrite lands in the NEXT version
+    * directory and becomes visible at a single atomic commit-marker
+    * create — no rename, no instant where the codes table is missing
+    * or half-moved (the failure mode of the previous temp-dir+rename
+    * swap on object stores). A probe that already resolved the old
+    * version keeps reading it: GC retains one previous committed
+    * version as the in-flight-reader grace window. A compaction that
+    * CRASHES before its marker leaves an invisible dir the next GC
+    * sweeps; the live index is never touched. */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
     val codes = readCodes(spark, path)
-    val tmp = s"$path/codes__compact"
+    val next = codesVersions(spark, path).map(_._1)
+      .foldLeft(0L)(math.max) + 1
     codes.repartition(col("cent_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cent_id").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = live.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    // every rename is checked BEFORE anything is deleted: an unchecked
-    // failure of the second rename followed by delete(old) would
-    // destroy the only surviving copy of the codes table
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(
-        s"compactIvfPq: could not move $live aside; index unchanged")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
-      fs.rename(old, live) // roll back; original data still intact
-      throw new java.io.IOException(
-        s"compactIvfPq: could not promote $tmp; original restored")
-    }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(s"$path/codes")
+      .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+      .parquet(s"$path/${codesName(next)}")
+    commitCodes(spark, path, next)
+    gcCodes(spark, path)
+    spark.catalog.refreshByPath(s"$path/${codesName(next)}")
   }
 
   /** ANN top-k served from a persisted index: identical output to

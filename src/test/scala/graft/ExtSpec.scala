@@ -994,16 +994,36 @@ class ExtSpec extends SparkSpec {
       .ivfPqTopKFromIndex(spark, path, q, e, 10)
       .collect().map(_.toString).sorted
     def filesPerList(): Seq[Int] = {
-      val dirs = new java.io.File(s"$path/codes").listFiles()
+      val cur = graft.sources.VectorIndexStore
+        .currentCodesPath(spark, path)
+      val dirs = new java.io.File(cur).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
       dirs.toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
     }
     val before = serve()
     assert(filesPerList().exists(_ > 1), "append should add files")
+    // an in-flight reader that resolved the PRE-compaction version...
+    val inFlight = spark.read.parquet(graft.sources.VectorIndexStore
+      .currentCodesPath(spark, path))
+    val preVersion = graft.sources.VectorIndexStore
+      .currentCodesPath(spark, path)
     graft.sources.VectorIndexStore.compactIvfPq(spark, path)
     assert(filesPerList().forall(_ === 1))
     val after = serve()
     assert(after.sameElements(before))
+    // ...still reads its snapshot: the commit-marker protocol keeps the
+    // previous committed version as a grace window (no rename, no
+    // window where the codes table is missing)
+    assert(graft.sources.VectorIndexStore
+      .currentCodesPath(spark, path) !== preVersion)
+    assert(new java.io.File(preVersion).exists,
+      "previous version must survive one compaction as reader grace")
+    assert(inFlight.count() > 0)
+    // a second compaction GCs it
+    graft.sources.VectorIndexStore.compactIvfPq(spark, path)
+    assert(!new java.io.File(preVersion).exists,
+      "GC keeps exactly one previous committed version")
+    assert(serve().sameElements(before))
   }
 
   test("salted codes write bounds files per list, results and schema unchanged") {
@@ -1016,7 +1036,8 @@ class ExtSpec extends SparkSpec {
     graft.sources.VectorIndexStore.writeIvfPq(e, salted,
       saltFilesPerList = 3)
     def filesPerList(p: String): Seq[Int] =
-      new java.io.File(s"$p/codes").listFiles()
+      new java.io.File(graft.sources.VectorIndexStore
+          .currentCodesPath(spark, p)).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
         .toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
     // each (list, salt) pair lands in exactly one task → at most salt
@@ -1036,11 +1057,13 @@ class ExtSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(sidecar("cent_id").dataType ===
       org.apache.spark.sql.types.LongType)
+    val saltedCodes = graft.sources.VectorIndexStore
+      .currentCodesPath(spark, salted)
     val centType = spark.read.schema(sidecar)
-      .parquet(s"$salted/codes").schema("cent_id").dataType
+      .parquet(saltedCodes).schema("cent_id").dataType
     assert(centType === org.apache.spark.sql.types.LongType)
     // whereas bare inference would have narrowed it
-    assert(spark.read.parquet(s"$salted/codes").schema("cent_id")
+    assert(spark.read.parquet(saltedCodes).schema("cent_id")
       .dataType === org.apache.spark.sql.types.IntegerType)
   }
 
