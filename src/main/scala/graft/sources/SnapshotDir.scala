@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Commit-marker snapshot protocol for a directory of table versions —
+  * the plain-parquet answer to "overwrite a table readers are using".
+  *
+  * Layout: `<root>/<prefix>NNNNNNNN/` per version; a version is visible
+  * iff its `_committed` marker file exists. Publishing is ONE atomic
+  * file create — no directory rename anywhere (renames are not atomic
+  * on object stores, and a rename swap has an instant where the live
+  * path is missing). Readers resolve the highest committed version at
+  * scan time; an in-flight reader that resolved version v keeps
+  * reading v's files because [[gc]] retains `grace` previous committed
+  * versions. A writer that crashes before its marker leaves an
+  * invisible directory the next GC sweeps — the live table is never
+  * touched. This is the degenerate single-table form of the snapshot
+  * commit that table formats (Iceberg, Delta) build manifest layers
+  * on top of; swap this object for one of them on a lakehouse
+  * deployment and the calling code is unchanged.
+  *
+  * Single WRITER per root (a plain filesystem has no compare-and-swap
+  * to arbitrate two committers); any number of concurrent readers. */
+private[graft] object SnapshotDir {
+
+  private val CommitMarker = "_committed"
+
+  private def fsOf(spark: SparkSession, p: String) = {
+    val hp = new Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  def name(prefix: String, v: Long): String = f"$prefix$v%08d"
+
+  /** All version numbers under `root` with the given prefix, paired
+    * with their committed flag. Uncommitted = crash debris (never
+    * read, but their numbers are never reused). */
+  def versions(spark: SparkSession, root: String,
+      prefix: String): Seq[(Long, Boolean)] = {
+    val (fs, hp) = fsOf(spark, root)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        scala.util.Try(
+          s.getPath.getName.stripPrefix(prefix).toLong).toOption
+          .map(v => v -> fs.exists(new Path(s.getPath, CommitMarker)))
+      }
+  }
+
+  /** Directory of the highest COMMITTED version, if any. */
+  def current(spark: SparkSession, root: String,
+      prefix: String): Option[String] = {
+    val committed = versions(spark, root, prefix).filter(_._2).map(_._1)
+    if (committed.isEmpty) None
+    else Some(s"$root/${name(prefix, committed.max)}")
+  }
+
+  /** Next version number: above every existing dir, committed or not. */
+  def next(spark: SparkSession, root: String, prefix: String): Long =
+    versions(spark, root, prefix).map(_._1).foldLeft(0L)(math.max) + 1
+
+  /** Publish a fully-written version: the atomic commit point. */
+  def commit(spark: SparkSession, root: String, prefix: String,
+      v: Long): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    val out = fs.create(
+      new Path(s"$root/${name(prefix, v)}/$CommitMarker"), true)
+    try out.write(
+      String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Drop old versions, keeping the current plus `grace` previous
+    * committed ones as the in-flight-reader window (a scan holding
+    * version v must survive until its job ends — one maintenance cycle
+    * of retention, the plain-parquet form of snapshot expiry).
+    * Uncommitted dirs below the current version are crash debris and
+    * go too. Returns true once more than `grace` committed versions
+    * exist — the signal that any pre-protocol legacy layout under the
+    * root has aged out of its own grace window and may be removed by
+    * the caller. */
+  def gc(spark: SparkSession, root: String, prefix: String,
+      grace: Int = 1): Boolean = {
+    val (fs, _) = fsOf(spark, root)
+    val all = versions(spark, root, prefix)
+    val committed = all.filter(_._2).map(_._1)
+      .sorted(Ordering[Long].reverse)
+    val keep = committed.take(1 + grace).toSet
+    all.filter { case (v, _) => !keep.contains(v) }
+      .filter { case (v, isCommitted) =>
+        isCommitted || committed.headOption.exists(v < _) }
+      .foreach { case (v, _) =>
+        fs.delete(new Path(s"$root/${name(prefix, v)}"), true) }
+    committed.size > grace
+  }
+}

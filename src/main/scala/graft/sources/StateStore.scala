@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * `Code.gs:289-329`), month tabs (S1 `Code.gs:705-716`).
   *
   * Plain parquet has no MERGE; the upsert contract is: read state → join →
-  * recompute → [[overwrite]] to a temp path → atomic-ish swap. Re-runs are
-  * idempotent because the sync itself is a fixpoint (SURVEY.md §7.4.1).
-  * At cluster scale the same code runs against object storage; the swap
-  * becomes a table-format commit, the layout stays identical.
+  * recompute → [[overwrite]] as a NEW snapshot version published by one
+  * atomic commit-marker create ([[SnapshotDir]]) — no rename, no instant
+  * where the live state is missing, and a reader that already resolved
+  * the previous version keeps its snapshot (GC retains one version of
+  * grace). Re-runs are idempotent because the sync itself is a fixpoint
+  * (SURVEY.md §7.4.1). At cluster scale the same code runs against
+  * object storage; swap [[SnapshotDir]] for a table-format commit and
+  * the layout stays identical. Single writer per state path (no
+  * filesystem compare-and-swap arbitrates two committers).
   */
 object StateStore {
 
@@ -80,25 +85,48 @@ object StateStore {
             s"legacy state adoption failed: rename($lp -> $path)")
         spark.catalog.refreshByPath(path)
       }
-    if (exists(spark, path)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!exists(spark, path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else SnapshotDir.current(spark, path, VersionPrefix) match {
+      case Some(dir) => spark.read.schema(schema).parquet(dir)
+      case None if hasRootParquet(spark, path) => // pre-protocol layout
+        spark.read.schema(schema).parquet(path)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
-  /** S5 — overwrite-merge with temp-path discipline: never leaves a
-    * half-written state visible under the live path. */
+  private val VersionPrefix = "v-"
+
+  private def hasRootParquet(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(spark, p)
+    f.exists(p) && f.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** S5 — overwrite-merge as a snapshot commit: the new state lands in
+    * the next version directory and becomes visible at one atomic
+    * marker create; the previous version survives one more overwrite as
+    * the in-flight-reader grace window ([[SnapshotDir]]). The recompute
+    * typically READS the state it replaces — safe here by construction,
+    * since the old version's files are never touched by the write. */
   def overwrite(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val live = new Path(path)
-    val tmp = new Path(path + ".tmp")
-    val old = new Path(path + ".old")
-    val f = fs(spark, live)
-    if (f.exists(tmp)) f.delete(tmp, true)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (f.exists(old)) f.delete(old, true)
-    if (f.exists(live)) f.rename(live, old)
-    f.rename(tmp, live)
-    f.delete(old, true)
+    val next = SnapshotDir.next(spark, path, VersionPrefix)
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/${SnapshotDir.name(VersionPrefix, next)}")
+    SnapshotDir.commit(spark, path, VersionPrefix, next)
+    if (SnapshotDir.gc(spark, path, VersionPrefix)) {
+      // a pre-protocol root-file state has aged out of its grace window
+      val p = new Path(path)
+      val f = fs(spark, p)
+      f.listStatus(p)
+        .filter(s => s.isFile && (s.getPath.getName.endsWith(".parquet")
+          || s.getPath.getName.startsWith("_")))
+        .foreach(s => f.delete(s.getPath, false))
+    }
     // the session-level FileStatusCache would otherwise serve the listing
     // of the replaced files to the next reader of this path
     spark.catalog.refreshByPath(path)

@@ -74,72 +74,27 @@ object VectorIndexStore {
     }
   }
 
-  // -- versioned codes directories (commit-marker protocol) -----------
+  // -- versioned codes directories ([[SnapshotDir]] protocol) ---------
 
   private val CodesPrefix = "codes-"
-  private val CommitMarker = "_committed"
 
-  /** All `codes-NNNNNNNN` version numbers under `path`, committed or
-    * not (uncommitted ones are crash leftovers — never read, never
-    * reused as a version number). */
-  private def codesVersions(spark: SparkSession,
-      path: String): Seq[(Long, Boolean)] = {
-    val (fs, hp) = fsOf(spark, path)
-    if (!fs.exists(hp)) Seq.empty
-    else fs.listStatus(hp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(CodesPrefix))
-      .flatMap { s =>
-        val name = s.getPath.getName
-        scala.util.Try(name.stripPrefix(CodesPrefix).toLong).toOption
-          .map(v => v -> fs.exists(
-            new org.apache.hadoop.fs.Path(s.getPath, CommitMarker)))
-      }
-  }
-
-  private def codesName(v: Long): String = f"$CodesPrefix$v%08d"
+  private def codesName(v: Long): String = SnapshotDir.name(CodesPrefix, v)
 
   /** Directory of the codes version probes should read: the highest
     * COMMITTED version; falls back to the legacy unversioned `codes/`
     * for indexes written before the protocol existed. */
   private[graft] def currentCodesPath(spark: SparkSession,
-      path: String): String = {
-    val committed = codesVersions(spark, path).filter(_._2).map(_._1)
-    if (committed.nonEmpty) s"$path/${codesName(committed.max)}"
-    else s"$path/codes"
-  }
+      path: String): String =
+    SnapshotDir.current(spark, path, CodesPrefix)
+      .getOrElse(s"$path/codes")
 
-  /** Publish a fully-written version dir: one atomic marker create —
-    * the commit point. Nothing is renamed, so there is no instant at
-    * which a concurrent reader can resolve a missing or half-moved
-    * directory. */
-  private def commitCodes(spark: SparkSession, path: String,
-      v: Long): Unit =
-    writeText(spark, s"$path/${codesName(v)}/$CommitMarker",
-      String.valueOf(System.currentTimeMillis()))
-
-  /** Drop old versions, keeping the current one plus `grace` previous
-    * committed versions for in-flight readers (a scan that resolved
-    * version v keeps reading v's files while v+1 commits; it must
-    * survive until its job ends — one compaction cycle of grace is the
-    * plain-parquet form of snapshot retention). Uncommitted leftovers
-    * below the current version are crash debris and go too. */
-  private def gcCodes(spark: SparkSession, path: String,
-      grace: Int = 1): Unit = {
-    val (fs, _) = fsOf(spark, path)
-    val versions = codesVersions(spark, path)
-    val committed = versions.filter(_._2).map(_._1).sorted(
-      Ordering[Long].reverse)
-    val keep = committed.take(1 + grace).toSet
-    versions.filter { case (v, _) => !keep.contains(v) }
-      .filter { case (v, committedV) =>
-        committedV || committed.headOption.exists(v < _) }
-      .foreach { case (v, _) =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/${codesName(v)}"),
-          true) }
-    // the pre-protocol layout counts as the oldest version of all
-    if (committed.size > grace)
+  private def gcCodes(spark: SparkSession, path: String): Unit =
+    // the pre-protocol layout counts as the oldest version of all:
+    // remove it once it has aged out of the reader grace window
+    if (SnapshotDir.gc(spark, path, CodesPrefix)) {
+      val (fs, _) = fsOf(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-  }
+    }
 
   /** Read the codes table with its WRITTEN schema, not an inferred one.
     * `partitionBy(cent_id)` stores the list id in directory names, and
@@ -199,8 +154,7 @@ object VectorIndexStore {
     // needs the single-writer maintenance window — the concurrent-
     // serving guarantee is for codes-only maintenance (compaction) and
     // same-recipe rebuilds, where metadata is deterministic-identical.
-    val next = codesVersions(spark, path).map(_._1)
-      .foldLeft(0L)(math.max) + 1
+    val next = SnapshotDir.next(spark, path, CodesPrefix)
     clustered
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
       .parquet(s"$path/${codesName(next)}")
@@ -210,7 +164,7 @@ object VectorIndexStore {
       .parquet(s"$path/codebooks")
     ix.crossTable.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/crosst")
-    commitCodes(spark, path, next)
+    SnapshotDir.commit(spark, path, CodesPrefix, next)
     gcCodes(spark, path)
   }
 
@@ -300,12 +254,11 @@ object VectorIndexStore {
     * sweeps; the live index is never touched. */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
     val codes = readCodes(spark, path)
-    val next = codesVersions(spark, path).map(_._1)
-      .foldLeft(0L)(math.max) + 1
+    val next = SnapshotDir.next(spark, path, CodesPrefix)
     codes.repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
       .parquet(s"$path/${codesName(next)}")
-    commitCodes(spark, path, next)
+    SnapshotDir.commit(spark, path, CodesPrefix, next)
     gcCodes(spark, path)
     spark.catalog.refreshByPath(s"$path/${codesName(next)}")
   }

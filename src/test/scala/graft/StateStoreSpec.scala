@@ -43,6 +43,49 @@ class StateStoreSpec extends SparkSpec {
     assert(StateStore.readOrCreate(spark, dir).count() === n1)
   }
 
+  test("S5 snapshot overwrite: in-flight readers keep their version, GC bounds history") {
+    val dir = tmpDir() + "/state"
+    def st(n: Int) = (1 to n).map(i => ("TARJETAS", s"F$i",
+        java.sql.Date.valueOf("2025-11-05"), "c", "s", "B", 1.0,
+        false, "", "", false, "", "", false))
+      .toDF(StateStore.StateSchema.fieldNames: _*)
+    StateStore.overwrite(st(3), dir)
+    val inFlight = StateStore.readOrCreate(spark, dir) // resolves v1
+    StateStore.overwrite(st(5), dir)
+    // the reader that resolved v1 before the overwrite still reads its
+    // snapshot — the commit-marker protocol never touches old files,
+    // and GC keeps one previous committed version of grace
+    assert(inFlight.count() === 3)
+    assert(StateStore.readOrCreate(spark, dir).count() === 5)
+    StateStore.overwrite(st(7), dir)
+    assert(StateStore.readOrCreate(spark, dir).count() === 7)
+    // history is bounded: current + one grace version, nothing else
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    assert(versions.length === 2,
+      s"expected 2 retained versions, got ${versions.map(_.getName).toSeq}")
+  }
+
+  test("S5 pre-protocol root-file state is read, then aged out by snapshots") {
+    val dir = tmpDir() + "/state"
+    // a state laid down by the old rename-swap layout: files at the root
+    Seq(("TARJETAS", "F1", java.sql.Date.valueOf("2025-11-05"), "c", "s",
+        "B", 1.0, false, "", "", false, "", "", false))
+      .toDF(StateStore.StateSchema.fieldNames: _*)
+      .write.parquet(dir)
+    assert(StateStore.readOrCreate(spark, dir).count() === 1)
+    val two = StateStore.readOrCreate(spark, dir)
+      .limit(1).union(StateStore.readOrCreate(spark, dir).limit(1))
+    StateStore.overwrite(two, dir)
+    assert(StateStore.readOrCreate(spark, dir).count() === 2)
+    // second snapshot: the root files fall out of the grace window
+    StateStore.overwrite(StateStore.readOrCreate(spark, dir), dir)
+    val rootParquet = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(rootParquet.isEmpty, "legacy root files must be GC'd")
+    assert(StateStore.readOrCreate(spark, dir).count() === 2)
+  }
+
   test("S9 legacy migration: old path adopted, missing columns null-fill") {
     val base = tmpDir()
     val legacy = base + "/conciliacion_bancaria"
