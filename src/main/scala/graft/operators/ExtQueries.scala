@@ -587,6 +587,27 @@ object ExtQueries {
     "x_seq_pack" -> ((s, d) =>
       CorpusStats.packSequences(Tables.documents(s, d), PackBudget)),
 
+    // The PRODUCTION tier path (approx-percentile thresholds +
+    // broadcast join — no per-language sort window), self-validating:
+    // the hashed output carries the exact ntile tiles (replayable) plus
+    // the adjacency contract boolean — the approx assignment may only
+    // ever disagree with the exact one by a single neighboring tile
+    // (threshold quantiles are order-respecting; a bigger jump needs a
+    // tie run spanning an entire tier). ExtSpec pins the plan shape and
+    // the tie-bounded disagreement count.
+    "x_quality_tiers_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusStats.qualityBuckets(docs)
+        .select(col("doc_id"), col("lang"), col("q"),
+          col("tile").as("tile_exact"))
+        .join(CorpusStats.qualityBucketsApprox(docs)
+          .select(col("doc_id"), col("tile").as("tile_approx")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("q"), col("tile_exact"),
+          (abs(col("tile_exact") - col("tile_approx")) <= 1)
+            .as("adjacent_ok"))
+    }),
+
     // Head+tail truncation to a token budget (middle dropped) — the
     // standard long-doc squeeze before tokenization.
     "x_truncate" -> ((s, d) =>
@@ -1822,6 +1843,18 @@ object ExtQueries {
          |  SELECT d.doc_id, d.lang, qs.score AS q,
          |    ntile(3) OVER (PARTITION BY d.lang
          |      ORDER BY qs.score DESC, d.doc_id) AS tile
+         |  FROM documents d JOIN qs USING (doc_id))""".stripMargin,
+
+    // the approx tier path hashes the EXACT tiles plus the always-true
+    // adjacency contract; the approx tile values themselves are
+    // GK-boundary-dependent and stay un-hashed
+    "x_quality_tiers_approx" ->
+      s"""WITH qs AS ($QualitySelect)
+         |SELECT doc_id, lang, q, tile_exact, TRUE AS adjacent_ok
+         |FROM (
+         |  SELECT d.doc_id, d.lang, qs.score AS q,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY qs.score DESC, d.doc_id) AS tile_exact
          |  FROM documents d JOIN qs USING (doc_id))""".stripMargin,
 
     // mirrors CorpusStats.boilerplateCoverage: occurrence-level shingle
