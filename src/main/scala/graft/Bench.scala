@@ -57,6 +57,11 @@ object Bench {
       }
     indexBuilds.foreach { case (k, v) =>
       System.err.println(f"[bench] index build $k%-22s $v%8.2f s") }
+    // the pre-build caches corpus-level frames (centroids, assignments)
+    // through CacheRegistry; clear them so attempt 1 of the ANN queries
+    // cannot serve the identical in-query plan from a warm cache — the
+    // same invariant the post-warmup clear enforces
+    spark.catalog.clearCache()
     // The box is shared: a single timing can be 10x inflated by a
     // neighbor's load spike (BENCH_r04 recorded 24.3 s for a query that
     // re-runs at 2.2 s). Run each query 3 times, record the min, and

@@ -636,11 +636,14 @@ object CorpusStats {
     val base = CacheRegistry.tracked(docs.select(col("source"),
       md5(lower(trim(col("text")))).as("fp"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("toks")))
-    val sketch = base.groupBy(col("source")).agg(
+    // cached: both the rank-check join and the final projection read
+    // this one-row-per-source frame — uncached, the HLL/GK aggregation
+    // over the corpus runs twice
+    val sketch = CacheRegistry.tracked(base.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       approx_count_distinct(col("fp"), rsd).as("approx_unique"),
       percentile_approx(col("toks"), lit(0.5), lit(accuracy)).as("ap50"),
-      percentile_approx(col("toks"), lit(0.9), lit(accuracy)).as("ap90"))
+      percentile_approx(col("toks"), lit(0.9), lit(accuracy)).as("ap90")))
     val exactU = base.groupBy(col("source"))
       .agg(countDistinct(col("fp")).as("exact_unique"))
     val wCum = org.apache.spark.sql.expressions.Window

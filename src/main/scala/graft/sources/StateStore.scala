@@ -90,21 +90,25 @@ object StateStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else SnapshotDir.current(spark, path, VersionPrefix) match {
       case Some(dir) => spark.read.schema(schema).parquet(dir)
-      case None if hasRootParquet(spark, path) => // pre-protocol layout
-        spark.read.schema(schema).parquet(path)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        // pre-protocol layout: enumerate the ROOT files explicitly. A
+        // directory read would also sweep up an uncommitted v-NNNNNNNN
+        // dir left by a writer that crashed before its marker —
+        // mixed-depth listings either fail or silently DOUBLE the state
+        // (and the next sync would commit the duplication permanently).
+        val p = new Path(path)
+        val f = fs(spark, p)
+        val rootFiles = f.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+        if (rootFiles.nonEmpty)
+          spark.read.schema(schema).parquet(rootFiles.toIndexedSeq: _*)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
 
   private val VersionPrefix = "v-"
-
-  private def hasRootParquet(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    val f = fs(spark, p)
-    f.exists(p) && f.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
 
   /** S5 — overwrite-merge as a snapshot commit: the new state lands in
     * the next version directory and becomes visible at one atomic

@@ -27,28 +27,31 @@ import graft.operators.Similarity
   *
   * Concurrency contract: ONE writer at a time per index path (there is
   * no compare-and-swap on a plain filesystem), but probes MAY run
-  * concurrently with maintenance. The codes table is VERSIONED:
-  * each rewrite lands in a fresh `codes-NNNNNNNN` directory and
-  * becomes visible only when its `_committed` marker file appears —
-  * a single atomic create, no directory rename anywhere (renames are
-  * not atomic on object stores). Readers resolve the highest
-  * committed version at scan time; compaction keeps the previous
-  * version as a grace window for in-flight readers and GCs older
-  * ones — the degenerate single-table form of the snapshot-commit
-  * protocol table formats (Iceberg/Delta) build manifests on top of.
+  * concurrently with ANY maintenance. The index is VERSIONED as a
+  * unit: each rebuild/compaction lands codes + the three metadata
+  * relations + the schema sidecar inside a fresh `codes-NNNNNNNN`
+  * directory (metadata under `_`-prefixed subdirs, which partition
+  * discovery skips) and becomes visible only when its `_committed`
+  * marker file appears — a single atomic create, no directory rename
+  * anywhere (renames are not atomic on object stores), and no instant
+  * where a probe can pair new metadata with old codes. Readers
+  * resolve the highest committed version at scan time; GC keeps the
+  * previous committed version as a grace window for in-flight readers
+  * — the degenerate single-table form of the snapshot-commit protocol
+  * table formats (Iceberg/Delta) build manifests on top of.
   * [[appendIvfPq]] adds files to the CURRENT version in place:
   * parquet files appear atomically one by one, so a concurrent probe
   * sees either the old or a partially-extended list — acceptable for
-  * ANN recall, which is approximate by contract; data-REMOVING
-  * maintenance (compaction, rebuild), where a partial view would be
-  * wrong, always goes through a new committed version.
+  * ANN recall, which is approximate by contract; anything that
+  * REMOVES or REPLACES data, where a partial view would be wrong,
+  * always goes through a new committed version.
   */
 object VectorIndexStore {
 
   /** Bump when the on-disk layout or the deterministic build recipe
     * changes: [[ensureIvfPq]] markers from older versions stop
     * matching and the index rebuilds instead of serving stale codes. */
-  private val FormatVersion = 3
+  private val FormatVersion = 4
 
   // -- tiny sidecar-file helpers (Hadoop FS so any scheme works) ------
 
@@ -90,11 +93,26 @@ object VectorIndexStore {
 
   private def gcCodes(spark: SparkSession, path: String): Unit =
     // the pre-protocol layout counts as the oldest version of all:
-    // remove it once it has aged out of the reader grace window
+    // remove it (data dir + its root-level metadata) once it has aged
+    // out of the reader grace window
     if (SnapshotDir.gc(spark, path, CodesPrefix)) {
       val (fs, _) = fsOf(spark, path)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+      Seq("codes", "cents", "codebooks", "crosst", "codes_schema.json")
+        .foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/$n"), true))
     }
+
+  /** Metadata relation directory for the version probes read:
+    * underscore-prefixed inside the version dir (partition discovery
+    * ignores `_`-paths, so they coexist with the `cent_id=` dirs and
+    * are published by the SAME commit marker as the codes); legacy
+    * indexes keep their root-level dirs. */
+  private def metaPath(spark: SparkSession, path: String,
+      name: String): String = {
+    val versioned = s"${currentCodesPath(spark, path)}/_$name"
+    val (fs, hp) = fsOf(spark, versioned)
+    if (fs.exists(hp)) versioned else s"$path/$name"
+  }
 
   /** Read the codes table with its WRITTEN schema, not an inferred one.
     * `partitionBy(cent_id)` stores the list id in directory names, and
@@ -103,22 +121,27 @@ object VectorIndexStore {
     * only via implicit casts, and a corpus whose ids cross
     * Int.MaxValue would silently flip the inferred type between
     * appends. The build writes the exact pre-write schema to a sidecar
-    * (`codes_schema.json`); readers declare it, which pins the
+    * (`_schema.json` in the version dir; root `codes_schema.json` on
+    * legacy indexes); readers declare it, which pins the
     * partition-column round-trip to bigint. Indexes written before the
     * sidecar existed fall back to inference. */
   private def readCodes(spark: SparkSession, path: String): DataFrame = {
-    val reader = readText(spark, s"$path/codes_schema.json") match {
+    val cur = currentCodesPath(spark, path)
+    val sidecar = readText(spark, s"$cur/_schema.json")
+      .orElse(readText(spark, s"$path/codes_schema.json"))
+    val reader = sidecar match {
       case Some(json) => spark.read.schema(
         DataType.fromJson(json).asInstanceOf[StructType])
       case None => spark.read
     }
-    reader.parquet(currentCodesPath(spark, path))
+    reader.parquet(cur)
   }
 
   /** Build the deterministic residual-IVFPQ index over `corpus` and
-    * persist it under `path`: `codes/` partitioned by list id, plus
-    * `cents/`, `codebooks/`, `crosst/` (metadata-sized, unpartitioned)
-    * and the `codes_schema.json` sidecar (see [[readCodes]]).
+    * persist it under `path` as one committed version directory:
+    * codes partitioned by list id, plus `_cents`/`_codebooks`/
+    * `_crosst` (metadata-sized, unpartitioned) and the `_schema.json`
+    * sidecar (see [[readCodes]]), all published by one marker.
     *
     * `saltFilesPerList` bounds per-file size: 1 (default) clusters each
     * list into ONE file — right while lists fit a block; at real scale
@@ -148,22 +171,24 @@ object VectorIndexStore {
         pmod(xxhash64(col("match_id")), org.apache.spark.sql.functions
           .lit(saltFilesPerList.toLong)))
     val spark = corpus.sparkSession
-    // the codes rewrite lands as a fresh version, visible only at the
-    // commit-marker create. NOTE: the three metadata relations are
-    // still overwritten in place, so a rebuild that CHANGES the recipe
-    // needs the single-writer maintenance window — the concurrent-
-    // serving guarantee is for codes-only maintenance (compaction) and
-    // same-recipe rebuilds, where metadata is deterministic-identical.
+    // the ENTIRE rebuild — codes, the three metadata relations, the
+    // schema sidecar — lands inside one fresh version dir and becomes
+    // visible at a single commit-marker create, so even a
+    // recipe-CHANGING rebuild never leaves a probe reading new
+    // metadata against old codes (or a half-deleted cents dir). The
+    // metadata dirs are underscore-prefixed: partition discovery skips
+    // them, so they ride inside the partitioned codes table's dir.
     val next = SnapshotDir.next(spark, path, CodesPrefix)
+    val vdir = s"$path/${codesName(next)}"
     clustered
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-      .parquet(s"$path/${codesName(next)}")
-    writeText(spark, s"$path/codes_schema.json", codes.schema.json)
-    ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$path/cents")
+      .parquet(vdir)
+    writeText(spark, s"$vdir/_schema.json", codes.schema.json)
+    ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_cents")
     ix.codebooks.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/codebooks")
+      .parquet(s"$vdir/_codebooks")
     ix.crossTable.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/crosst")
+      .parquet(s"$vdir/_crosst")
     SnapshotDir.commit(spark, path, CodesPrefix, next)
     gcCodes(spark, path)
   }
@@ -225,8 +250,8 @@ object VectorIndexStore {
   def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
       m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    val cents = spark.read.parquet(s"$path/cents")
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val cents = spark.read.parquet(metaPath(spark, path, "cents"))
+    val cb = spark.read.parquet(metaPath(spark, path, "codebooks"))
     Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
       .repartition(col("cent_id"))
       .write.mode(SaveMode.Append).partitionBy("cent_id")
@@ -254,13 +279,28 @@ object VectorIndexStore {
     * sweeps; the live index is never touched. */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
     val codes = readCodes(spark, path)
+    val prev = currentCodesPath(spark, path)
     val next = SnapshotDir.next(spark, path, CodesPrefix)
+    val vdir = s"$path/${codesName(next)}"
     codes.repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-      .parquet(s"$path/${codesName(next)}")
+      .parquet(vdir)
+    // carry the (unchanged, metadata-sized) relations and sidecar
+    // forward so the new version is self-contained under one marker
+    val (fsys, _) = fsOf(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("cents", "codebooks", "crosst").foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fsys, new org.apache.hadoop.fs.Path(metaPath(spark, path, n)),
+        fsys, new org.apache.hadoop.fs.Path(s"$vdir/_$n"),
+        false, true, conf)
+    }
+    readText(spark, s"$prev/_schema.json")
+      .orElse(readText(spark, s"$path/codes_schema.json"))
+      .foreach(j => writeText(spark, s"$vdir/_schema.json", j))
     SnapshotDir.commit(spark, path, CodesPrefix, next)
     gcCodes(spark, path)
-    spark.catalog.refreshByPath(s"$path/${codesName(next)}")
+    spark.catalog.refreshByPath(vdir)
   }
 
   /** ANN top-k served from a persisted index: identical output to
@@ -276,10 +316,10 @@ object VectorIndexStore {
     // discovery over every list directory just to be discarded (the
     // whole point of the layout is to avoid that)
     val ix = Similarity.IvfPqIndex(
-      cents = spark.read.parquet(s"$path/cents"),
+      cents = spark.read.parquet(metaPath(spark, path, "cents")),
       codes = () => readCodes(spark, path),
-      codebooks = spark.read.parquet(s"$path/codebooks"),
-      crossTable = spark.read.parquet(s"$path/crosst"))
+      codebooks = spark.read.parquet(metaPath(spark, path, "codebooks")),
+      crossTable = spark.read.parquet(metaPath(spark, path, "crosst")))
     Similarity.ivfPqSearch(ix, queries, corpus, k, nprobe, m, dim,
       shortlistFactor, idCol, vecCol,
       prunedCodes = Some(ids => readCodes(spark, path)

@@ -126,6 +126,10 @@ object StreamingSync {
       .withColumn("rn", row_number().over(perKeyBatch))
       .filter(col("rn") === 1)
       .select((keyCols.map(col) :+ col(tsCol) :+ col("b")): _*)
+      // the per-batch writes below each filter this frame: uncached,
+      // every write re-runs both global windows over all events —
+      // nBatches staging passes instead of one
+      .cache()
 
     val dir = new java.io.File(workDir)
     if (dir.exists()) {
@@ -148,6 +152,7 @@ object StreamingSync {
       // not wall-clock write order (coarse-mtime filesystems reorder)
       tgt.setLastModified(1700000000000L + i * 60000L)
     }
+    staged.unpersist() // batches are on disk; the stream reads those
 
     val stream = spark.readStream
       .schema(spark.read.parquet(in.toString).schema)

@@ -1050,15 +1050,22 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(serve(plain).sameElements(serve(salted)))
     // the schema sidecar pins the partition-column round-trip: cent_id
-    // reads back as the written bigint, not an inferred int
+    // reads back as the written bigint, not an inferred int (the
+    // sidecar lives INSIDE the committed version dir since the
+    // whole-index-versioning change)
     val sidecar = org.apache.spark.sql.types.DataType.fromJson(
       new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$salted/codes_schema.json")), "UTF-8"))
+        java.nio.file.Paths.get(graft.sources.VectorIndexStore
+          .currentCodesPath(spark, salted) + "/_schema.json")), "UTF-8"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(sidecar("cent_id").dataType ===
       org.apache.spark.sql.types.LongType)
     val saltedCodes = graft.sources.VectorIndexStore
       .currentCodesPath(spark, salted)
+    // the metadata relations are versioned WITH the codes (one commit
+    // marker publishes the whole index)
+    Seq("_cents", "_codebooks", "_crosst").foreach(n =>
+      assert(new java.io.File(s"$saltedCodes/$n").isDirectory, n))
     val centType = spark.read.schema(sidecar)
       .parquet(saltedCodes).schema("cent_id").dataType
     assert(centType === org.apache.spark.sql.types.LongType)
