@@ -49,7 +49,7 @@ object Bench {
     // the build seconds as their own field, where a build regression is
     // visible without drowning the per-query serve timings.
     val indexBuilds =
-      try graft.operators.ExtQueries.ensureAnnIndexes(spark, sfDir)
+      try graft.operators.ExtQueries.ensureServingStores(spark, sfDir)
       catch { case t: Throwable =>
         System.err.println(s"[bench] index pre-build failed: " +
           Option(t.getMessage).getOrElse(t.getClass.getName))

@@ -65,7 +65,7 @@ object Dedup {
     * (exact path) and the re-exploded per-doc view (signatures, arrays).
     * Cached: every consumer self-serves from the 1-row-per-shingle form,
     * which is the smallest representation of the capped vocabulary. */
-  private def cappedPostings(docs: DataFrame, idCol: String,
+  private[graft] def cappedPostings(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxDf: Int): DataFrame =
     CacheRegistry.tracked(
       fanOut(docs)
@@ -76,8 +76,14 @@ object Dedup {
         .filter(size(col("ids")) <= maxDf))
 
   /** The (id, sh) inverted-index view of [[cappedPostings]]. */
-  private def indexOf(postings: DataFrame): DataFrame =
+  private[graft] def indexOf(postings: DataFrame): DataFrame =
     postings.select(explode(col("ids")).as("id"), col("sh"))
+
+  /** Per-doc capped shingle ARRAYS (id, shs) — the exact-verify side of
+    * the LSH family, also what the fingerprint store persists. */
+  private[graft] def shingleArrays(postings: DataFrame): DataFrame =
+    indexOf(postings).groupBy(col("id"))
+      .agg(collect_list(col("sh")).as("shs"))
 
   /** Per-doc capped shingle counts, derived from the posting lists. */
   private def sizesOf(postings: DataFrame): DataFrame =
@@ -117,13 +123,15 @@ object Dedup {
     * per-doc shingle arrays: two equi-joins and a per-row
     * `array_intersect` — linear in the candidate count, and the inverted
     * index is never re-joined. The right shape when candidates are few
-    * (the LSH path). */
-  private def verifyJaccard(cands: DataFrame, arrays: DataFrame,
-      threshold: Double): DataFrame =
+    * (the LSH path). The two sides may come from DIFFERENT array frames
+    * (the incremental path verifies a batch against a persisted corpus
+    * store); the self-join form passes one frame twice. */
+  private[graft] def verifyJaccard(cands: DataFrame, arraysA: DataFrame,
+      arraysB: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(arrays.select(col("id").as("id_a"), col("shs").as("shs_a")),
+      .join(arraysA.select(col("id").as("id_a"), col("shs").as("shs_a")),
         "id_a")
-      .join(arrays.select(col("id").as("id_b"), col("shs").as("shs_b")),
+      .join(arraysB.select(col("id").as("id_b"), col("shs").as("shs_b")),
         "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b")))
         .cast("long"))
@@ -167,8 +175,8 @@ object Dedup {
     * min-aggregate. md5 dominates signature cost; hashing after the
     * explode pays it once per occurrence — avg-df times the work for
     * bit-identical minima. */
-  private def minhashSignaturesFrom(postings: DataFrame, numHashes: Int)
-      : DataFrame = {
+  private[graft] def minhashSignaturesFrom(postings: DataFrame,
+      numHashes: Int): DataFrame = {
     val hs = (0 until numHashes)
     val hashed = postings.select(
       (col("ids") +: hs.map(k => seededHash(col("sh"), k).as(s"h$k"))): _*)
@@ -192,22 +200,32 @@ object Dedup {
     val rows = numHashes / bands
     val postings = cappedPostings(docs, idCol, textCol, n, maxShingleDf)
     val arrays = CacheRegistry.tracked( // verifyJaccard joins it twice —
-      indexOf(postings).groupBy(col("id")) // uncached it would rebuild
-        .agg(collect_list(col("sh")).as("shs"))) // per join side
-    val sigs = minhashSignaturesFrom(postings, numHashes)
-    val bandKeys = (0 until bands).map { b =>
-      md5(concat_ws(",",
-        (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
-    }
+      shingleArrays(postings)) // uncached it would rebuild per join side
     val buckets = CacheRegistry.tracked( // self-joined: don't recompute
-      sigs.select(col("id"), // the md5-heavy signature agg per side
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key"))))
+      bandBuckets( // the md5-heavy signature agg per side
+        minhashSignaturesFrom(postings, numHashes), numHashes, bands))
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, arrays, threshold)
+    verifyJaccard(cands, arrays, arrays, threshold)
+  }
+
+  /** LSH band-bucket rows (id, band, key) from a signature frame: each
+    * band's key is the md5 of its `numHashes/bands` signature rows. One
+    * row per (doc, band) — the join-able form of the banded signature,
+    * and the relation the fingerprint store persists. */
+  private[graft] def bandBuckets(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+    }
+    sigs.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
 
   /** Connected components over a near-dup pair list: every document gets

@@ -30,6 +30,8 @@ object ExtQueries {
   val MediaResizeH = 24
   val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
   val DecontamN = 5
+  val IncrBatchMod = 10 // doc_id % 10 == 0 arrives AFTER the store build
+  val BloomFpp = 0.01
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -84,6 +86,26 @@ object ExtQueries {
       pqCentroidMod = PqCentroidMod, m = PqSubspaces, dim = EmbeddingDim)
     (full.map("ivfpq_full" -> _) ++ holdout.map("ivfpq_base" -> _)).toMap
   }
+
+  private[graft] def fpStorePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-fpstore-${Integer.toHexString(d.hashCode)}").toString
+
+  /** The accepted-corpus side of the incremental dedup split: everything
+    * NOT in the arriving batch (`doc_id % IncrBatchMod == 0`). */
+  private def incrCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % IncrBatchMod =!= 0)
+
+  /** Build (or confirm warm) every persisted serving store the bench's
+    * serve-path entries read: the two ANN indexes plus the incremental
+    * dedup fingerprint store. Returns build seconds per store — empty
+    * when everything was already warm. */
+  private[graft] def ensureServingStores(s: SparkSession,
+      d: String): Map[String, Double] =
+    ensureAnnIndexes(s, d) ++
+      graft.sources.FingerprintStore
+        .ensureFingerprints(incrCorpus(s, d), fpStorePath(d))
+        .map("fp_store" -> _).toMap
 
   /** Shared PQ-oracle CTEs mirroring `Similarity.pqCodebooks` /
     * `pqEncode` / `pqLut`: sampled codebooks, rounded-L2 argmin with
@@ -202,6 +224,24 @@ object ExtQueries {
 
     "x_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), JaccardThreshold)),
+
+    // INCREMENTAL dedup — the 100 TB recurring shape: a new batch is
+    // checked against the persisted fingerprint store (band index +
+    // capped shingle arrays) of everything already accepted, without
+    // ever rescanning the accepted text. The store build is
+    // marker-gated (warm across runs, like the ANN indexes); the timed
+    // path is the batch-sized admission check: broadcast batch-bucket
+    // join against the stored index + exact-Jaccard verify on the
+    // candidates' stored array rows. The oracle replays both sides'
+    // md5 minhash pipelines over the corpus/batch split.
+    "x_dedup_incremental" -> ((s, d) => {
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % IncrBatchMod === 0)
+      graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), fpStorePath(d))
+      graft.sources.FingerprintStore.dedupBatchAgainst(
+        s, fpStorePath(d), batch, JaccardThreshold)
+    }),
 
     // SimHash: md5-seeded 60-bit signatures; maxHamming=3 matches the
     // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
@@ -516,6 +556,20 @@ object ExtQueries {
         docs.filter(col("doc_id") % DecontamMod =!= 0),
         docs.filter(col("doc_id") % DecontamMod === 0),
         n = DecontamN)
+    }),
+
+    // The web-scale decontamination shape: the benchmark vocabulary
+    // compressed to a broadcast Bloom filter, the corpus probed at scan
+    // speed with no explode/join/shuffle (PlanSpec pins the join-free
+    // probe). SELF-VALIDATING — Bloom bits are engine-specific, so the
+    // hashed output is the exact overlap plus the no-false-negative
+    // guarantee boolean; ExtSpec bounds the false-positive rate.
+    "x_bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.bloomDecontamSelfCheck(
+        docs.filter(col("doc_id") % DecontamMod =!= 0),
+        docs.filter(col("doc_id") % DecontamMod === 0),
+        n = DecontamN, fpp = BloomFpp)
     }),
 
     // The capstone composition — what a training-data pipeline actually
@@ -873,6 +927,59 @@ object ExtQueries {
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
   }
 
+  /** Side-suffixed variant of [[ShingleCtes]] restricted by `where` —
+    * the incremental-dedup oracle builds one chain per side of the
+    * corpus/batch split, each with its OWN df cap (matching the Spark
+    * side, where the store is capped over the corpus and the arriving
+    * batch over itself). */
+  private def sideShingleCtes(sfx: String, where: String): String =
+    s"""w$sfx AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents WHERE $where),
+       |sh0$sfx AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(ws) >= 3 THEN
+       |      list_transform(range(1, len(ws)-1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |      ELSE []::varchar[] END) AS shs
+       |  FROM w$sfx),
+       |ex0$sfx AS (SELECT doc_id AS id, unnest(shs) AS s FROM sh0$sfx),
+       |hot$sfx AS (SELECT s FROM ex0$sfx GROUP BY s
+       |        HAVING count(*) > ${Dedup.DefaultMaxShingleDf}),
+       |ex$sfx AS (
+       |  SELECT ex0$sfx.* FROM ex0$sfx ANTI JOIN hot$sfx USING (s)),
+       |sh$sfx AS (SELECT id AS doc_id, list(s) AS shs
+       |           FROM ex$sfx GROUP BY id)""".stripMargin
+
+  /** Side-suffixed variant of [[minhashSigSql]]'s sig→banded→buckets
+    * chain reading `ex<sfx>`, without the self-join cand step. */
+  private def sideSigSql(sfx: String, numHashes: Int,
+      bands: Int): String = {
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(k =>
+      s"min(('0x' || substr(md5(s || '#${k / 2}'), ${1 + (k % 2) * 16}, " +
+        s"15))::bigint) AS mh$k")
+      .mkString(",\n    ")
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"mh${b * rows + r}")
+        .mkString(" || ',' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(",\n    ")
+    val buckets = (0 until bands).map(b =>
+      s"SELECT id, $b AS band, band$b AS key FROM banded$sfx")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sig$sfx AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM ex$sfx GROUP BY id),
+       |banded$sfx AS (
+       |  SELECT id,
+       |    $bandCols
+       |  FROM sig$sfx),
+       |buckets$sfx AS (
+       |  $buckets)""".stripMargin
+  }
+
   /** Residual-IVFPQ oracle CTE chain mirroring
     * `Similarity.buildIvfPqIndex` + `ivfPqSearch`, ending in `ranked`
     * (query_id, match_id, cos, rank). Shared by `x_ann_ivfpq_topk`,
@@ -1134,6 +1241,38 @@ object ExtQueries {
       s"""WITH $ShingleCtes,
          |${minhashSigSql(8, 4)}
          |$VerifyPairsSql""".stripMargin,
+
+    // replays both sides' md5 minhash pipelines over the corpus/batch
+    // split: batch buckets × corpus buckets → exact-Jaccard verify
+    // against each side's own capped arrays → per-batch-doc verdict
+    "x_dedup_incremental" ->
+      s"""WITH ${sideShingleCtes("c", s"doc_id % $IncrBatchMod <> 0")},
+         |${sideShingleCtes("b", s"doc_id % $IncrBatchMod = 0")},
+         |${sideSigSql("c", 8, 4)},
+         |${sideSigSql("b", 8, 4)},
+         |icand AS (
+         |  SELECT DISTINCT bb.id AS id_a, cc.id AS id_b
+         |  FROM bucketsb bb JOIN bucketsc cc
+         |    ON bb.band = cc.band AND bb.key = cc.key),
+         |vp AS (
+         |  SELECT id_a, id_b, jaccard FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      len(list_intersect(sa.shs, sb.shs))::double /
+         |        (len(sa.shs) + len(sb.shs)
+         |          - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+         |    FROM icand c
+         |    JOIN shb sa ON c.id_a = sa.doc_id
+         |    JOIN shc sb ON c.id_b = sb.doc_id)
+         |  WHERE jaccard >= $JaccardThreshold),
+         |m AS (
+         |  SELECT id_a, count(*)::bigint AS n_dups, min(id_b) AS dup_of,
+         |    max(jaccard) AS best_jaccard
+         |  FROM vp GROUP BY id_a)
+         |SELECT d.doc_id AS batch_id,
+         |  coalesce(m.n_dups, 0)::bigint AS n_dups, m.dup_of,
+         |  m.best_jaccard, (m.n_dups IS NULL) AS survived
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.id_a
+         |WHERE d.doc_id % $IncrBatchMod = 0""".stripMargin,
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3
@@ -1528,6 +1667,20 @@ object ExtQueries {
         |FROM c WHERE is_l = 1""".stripMargin,
 
     "x_decontam" -> s"WITH $DecontamCtes\n$DecontamSelect",
+
+    // the exact overlap replays in SQL; `no_false_negative` is the
+    // Bloom guarantee the Spark side must always emit TRUE for
+    "x_bloom_decontam" ->
+      s"""WITH $DecontamCtes,
+         |m AS (
+         |  SELECT c.doc_id, count(DISTINCT c.s)::bigint AS n_shared
+         |  FROM corp c JOIN bench b ON c.s = b.s
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(m.n_shared, 0)::bigint AS n_shared,
+         |  (coalesce(m.n_shared, 0) > 0) AS contaminated,
+         |  TRUE AS no_false_negative
+         |FROM documents d LEFT JOIN m USING (doc_id)
+         |WHERE d.doc_id % $DecontamMod <> 0""".stripMargin,
 
     // the composed pipeline: reuses the quality, lang-id, exact-dedup,
     // and decontamination oracles as CTEs

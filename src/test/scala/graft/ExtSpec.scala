@@ -1149,4 +1149,143 @@ class ExtSpec extends SparkSpec {
     val again = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(again === r)
   }
+
+  // ---- incremental dedup: the persisted fingerprint store ------------
+
+  test("incremental dedup flags batch near-dups of the stored corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "completely different words about spark shuffles and joins"),
+      (5L, "el perro de la casa y el gato de la calle en un patio"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus doc 1 → jaccard 1.0
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      // near-dup of corpus doc 3 (one word changed)
+      (12L, "completely different words about spark shuffles and sorts"),
+      // novel text → must survive
+      (14L, "astronomy tables chart the motion of seven wandering stars"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-basic").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    val r = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(x => x.getAs[Long]("batch_id") -> x).toMap
+    assert(r(10L).getAs[Long]("n_dups") === 1L)
+    assert(r(10L).getAs[Long]("dup_of") === 1L)
+    assert(r(10L).getAs[Double]("best_jaccard") === 1.0)
+    assert(!r(10L).getAs[Boolean]("survived"))
+    assert(r(12L).getAs[Long]("dup_of") === 3L)
+    assert(r(12L).getAs[Double]("best_jaccard") > 0.5)
+    assert(r(14L).getAs[Long]("n_dups") === 0L)
+    assert(r(14L).getAs[Boolean]("survived"))
+    assert(r(14L).isNullAt(r(14L).fieldIndex("dup_of")))
+  }
+
+  test("fingerprint append: a redelivered batch is fully rejected") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-app").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    val first = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1).cache()
+    val survivors = batch.join(
+      first.filter($"survived").select($"batch_id".as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(survivors.count() > 0, "fixture needs surviving docs")
+    graft.sources.FingerprintStore.appendBatch(spark, path, survivors)
+    // redelivery: every batch doc with shingles now matches the store —
+    // survivors match their own appended fingerprints (jaccard 1.0),
+    // prior dups still match their original corpus near-dup
+    val second = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+    val shingled = Dedup.minhashSignatures(batch)
+      .select($"id".as("batch_id"))
+    val redelivered = second.join(shingled, Seq("batch_id"), "left_semi")
+    assert(redelivered.filter($"survived").count() === 0,
+      "no shingled batch doc may survive redelivery after append")
+    // an identity match reports itself: jaccard exactly 1.0 somewhere
+    assert(redelivered.filter($"best_jaccard" === 1.0).count() > 0)
+    first.unpersist()
+  }
+
+  test("fingerprint compact folds appends, serving unchanged, GC bounded") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-compact").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    graft.sources.FingerprintStore.appendBatch(spark, path,
+      batch.limit(20))
+    def serve() = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(_.toString).sorted
+    val before = serve()
+    val preVersion = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fp-"))
+      .map(_.getName).max
+    graft.sources.FingerprintStore.compact(spark, path)
+    assert(serve().sameElements(before),
+      "compaction must not change dedup verdicts")
+    // previous version survives as the in-flight-reader grace window
+    assert(new java.io.File(s"$path/$preVersion").exists)
+    graft.sources.FingerprintStore.compact(spark, path)
+    assert(!new java.io.File(s"$path/$preVersion").exists,
+      "GC keeps exactly one previous committed version")
+    assert(serve().sameElements(before))
+  }
+
+  test("ensureFingerprints builds once per recipe, rebuilds on change") {
+    val corpus = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-ensure").toString
+    assert(graft.sources.FingerprintStore
+      .ensureFingerprints(corpus, path).isDefined, "cold build")
+    assert(graft.sources.FingerprintStore
+      .ensureFingerprints(corpus, path).isEmpty, "warm skip")
+    assert(graft.sources.FingerprintStore
+      .ensureFingerprints(corpus, path, n = 4).isDefined,
+      "recipe change rebuilds")
+  }
+
+  // ---- bloom decontamination -----------------------------------------
+
+  test("bloom decontamination never misses an exactly-contaminated doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Contamination.bloomDecontamSelfCheck(
+      docs.filter($"doc_id" % 50 =!= 0),
+      docs.filter($"doc_id" % 50 === 0), n = 5)
+    assert(out.filter(!$"no_false_negative").count() === 0)
+    assert(out.filter($"contaminated").count() > 0,
+      "fixture needs real contamination to make the check non-vacuous")
+  }
+
+  test("bloom per-shingle false-positive rate stays near the configured fpp") {
+    // one 5-gram per doc so the doc-level flag IS the shingle-level
+    // probe; 4000 clean probes against a 500-shingle benchmark
+    val words = (0 until 9).map(i => s"w$i")
+    def gram(tag: String, i: Int) =
+      s"$tag$i ${words(i % 9)} x${i % 31} y${i % 17} z${i % 13}"
+    val bench = (0 until 500).map(i => (i.toLong, gram("bench", i)))
+      .toDF("doc_id", "text")
+    val clean = (0 until 4000).map(i => (i.toLong, gram("clean", i)))
+      .toDF("doc_id", "text")
+    val bloom = Contamination.benchmarkNgramBloom(bench, n = 5,
+      expectedItems = 500, fpp = 0.01)
+    val flagged = clean.select(
+        Contamination.bloomContaminated(bloom, $"text", 5).as("hit"))
+      .filter($"hit").count()
+    // E[flagged] = 40 at fpp=0.01; 3x covers sampling noise without
+    // masking a broken filter (a degenerate all-set filter flags 4000)
+    assert(flagged <= 120, s"observed FP count $flagged of 4000")
+    // determinism: bloom merge is bitwise OR — rebuild is bit-identical
+    val again = Contamination.benchmarkNgramBloom(bench, n = 5,
+      expectedItems = 500, fpp = 0.01)
+    assert(java.util.Arrays.equals(bloom, again))
+  }
 }

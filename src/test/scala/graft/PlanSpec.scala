@@ -248,4 +248,55 @@ class PlanSpec extends SparkSpec {
         s"expected a runtime bloom filter on the probe side:\n$plan")
     }
   }
+
+  test("bloom decontamination probe is a pure scan: no join, no exchange") {
+    import org.apache.spark.sql.functions.col
+    withStaticPlan {
+      val docs = Tables.documents(spark, sf0001)
+      val bloom = graft.operators.Contamination.benchmarkNgramBloom(
+        docs.filter(col("doc_id") % 50 === 0), n = 5)
+      val probe = docs.select(col("doc_id"),
+        graft.operators.Contamination
+          .bloomContaminated(bloom, col("text"), 5).as("hit"))
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, "the benchmark vocabulary must not be joined")
+      assert(!plan.toString.contains("Exchange"),
+        "the corpus side must not shuffle")
+    }
+  }
+
+  test("incremental dedup streams the store through a broadcast batch join") {
+    import org.apache.spark.sql.functions.col
+    withStaticPlan {
+      val docs = Tables.documents(spark, sf0001)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-fpplan").toString
+      graft.sources.FingerprintStore.writeFingerprints(
+        docs.filter(col("doc_id") % 10 =!= 0), path)
+      val df = graft.sources.FingerprintStore.dedupBatchAgainst(
+        spark, path, docs.filter(col("doc_id") % 10 === 0), 0.1)
+      val plan = df.queryExecution.executedPlan
+      // the corpus-sized bucket relation must sit on the STREAMED side
+      // of a broadcast hash join — the store is scanned once, map-side,
+      // and never shuffles; only the batch-sized side is built
+      def storeScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case s: FileSourceScanExec if s.metadata.get("Location")
+            .exists(l => l.contains("fp-000") && !l.contains("_arrays")) =>
+            s
+        }.nonEmpty
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.exists { b =>
+        b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+            storeScan(b.right)
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+            storeScan(b.left)
+        }
+      }, s"expected the store scan streamed through a broadcast join:\n" +
+        plan.toString)
+    }
+  }
 }
