@@ -89,6 +89,29 @@ object CorpusStats {
     (bucket, split)
   }
 
+  /** Deterministic training-shard assignment AND within-shard order —
+    * the "global shuffle" a training export needs: shard =
+    * md5-seeded hash mod `nShards` (seed 2, independent of
+    * [[splitAssign]]'s seed-0 bucket), position = rank of the hash
+    * within the shard (doc id breaks the astronomically-unlikely hash
+    * tie, so the order is total and reproducible in any engine with
+    * md5). The physical form IS the writer shape: one shuffle to
+    * partition by shard, one in-partition sort — at 100 TB this is
+    * `repartition(shard).sortWithinPartitions(h)` feeding a
+    * partitioned write, with no global sort anywhere (the window is
+    * per-shard, so no single-reducer ordering bottleneck). */
+  def shardOrder(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.seededHash(col(idCol).cast("string"), 2)
+    docs
+      .select(col(idCol), pmod(h, lit(nShards)).cast("int").as("shard"),
+        h.as("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Vocabulary document frequency: the `k` tokens appearing in the most
     * documents (df desc, token asc — a total order, so the cut is
     * deterministic). distinct-per-doc explode → groupBy token; both

@@ -477,4 +477,62 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level dedup — the APPLY form of boilerplate removal (the
+    * C4/Gopher "remove any span repeated across the corpus" pass,
+    * adapted to word spans since this corpus has no line structure):
+    * chop every document into non-overlapping `width`-word spans,
+    * drop each span whose exact content appears in more than `maxDf`
+    * DISTINCT documents, and reassemble the survivors in document
+    * order. Detection-only signals ([[CorpusStats.repetitionSignals]],
+    * boilerplate coverage) score documents; this one rewrites them —
+    * what the pipeline actually feeds downstream.
+    *
+    * Returns one row per input doc: (id, clean_text, n_spans,
+    * n_removed); a fully-boilerplate doc comes back with empty text
+    * (the caller's length filter then drops it — same contract as C4).
+    *
+    * Scale shape: explode → one groupBy(span) for the document
+    * frequencies (map-side combining; the hot set is tiny by
+    * construction — only spans repeated across > maxDf docs), an
+    * anti-join to drop hot spans (AQE broadcasts the hot side when it
+    * fits), and one groupBy(doc) to reassemble. Three shuffles, all
+    * keyed — never a pairwise comparison anywhere. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 3,
+      maxDf: Int = 4): DataFrame = {
+    require(width >= 1 && maxDf >= 1)
+    val ws = split(trim(col(textCol)), "\\s+")
+    val segs = CacheRegistry.tracked( // feeds the df agg AND the rebuild
+      fanOut(docs)
+        .select(col(idCol).as("id"),
+          when(length(trim(col(textCol))) === 0,
+            array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0),
+                ceil(size(ws) / lit(width.toDouble)).cast("int") - 1),
+              i => array_join(slice(ws, i * width + 1, lit(width)), " ")))
+            .as("spans"))
+        .select(col("id"), posexplode(col("spans")).as(Seq("pos", "seg"))))
+    val hot = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") > maxDf)
+      .select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = segs.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"))
+    docs.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("n_spans"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -32,6 +32,9 @@ object ExtQueries {
   val DecontamN = 5
   val IncrBatchMod = 10 // doc_id % 10 == 0 arrives AFTER the store build
   val BloomFpp = 0.01
+  val SpanWidth = 3
+  val SpanMaxDf = 4
+  val NumShards = 8
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -242,6 +245,15 @@ object ExtQueries {
       graft.sources.FingerprintStore.dedupBatchAgainst(
         s, fpStorePath(d), batch, JaccardThreshold)
     }),
+
+    // Span-level dedup APPLIED: drop every exact width-word span
+    // repeated across more than SpanMaxDf docs and reassemble the
+    // survivors — the rewrite form of boilerplate removal (C4's
+    // repeated-span pass). Keyed aggregations only; the hot span set
+    // is tiny by construction.
+    "x_scrub_spans" -> ((s, d) =>
+      Dedup.scrubRepeatedSpans(Tables.documents(s, d),
+        width = SpanWidth, maxDf = SpanMaxDf)),
 
     // SimHash: md5-seeded 60-bit signatures; maxHamming=3 matches the
     // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
@@ -675,6 +687,12 @@ object ExtQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
     }),
+
+    // Deterministic shard + within-shard order for the training export
+    // (the "global shuffle"): md5-hash shard assignment, per-shard rank
+    // — one shuffle + in-partition sort, never a global sort.
+    "x_shard_order" -> ((s, d) =>
+      CorpusStats.shardOrder(Tables.documents(s, d), NumShards)),
 
     // Vocabulary document frequency: top tokens by df (df desc, token
     // asc — a total order, so the top-k cut is deterministic).
@@ -1241,6 +1259,41 @@ object ExtQueries {
       s"""WITH $ShingleCtes,
          |${minhashSigSql(8, 4)}
          |$VerifyPairsSql""".stripMargin,
+
+    // mirrors Dedup.scrubRepeatedSpans: non-overlapping word spans,
+    // df over DISTINCT docs, anti-join, in-order reassembly
+    "x_scrub_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []::varchar[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(0, cast(ceil(len(ws) / $SpanWidth.0) AS int)),
+         |      i -> {'pos': i,
+         |            'seg': array_to_string(
+         |              list_slice(ws, i*$SpanWidth+1, i*$SpanWidth+$SpanWidth),
+         |              ' ')})) AS u
+         |  FROM w),
+         |s AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM sp),
+         |hotsp AS (SELECT seg FROM s GROUP BY seg
+         |          HAVING count(DISTINCT doc_id) > $SpanMaxDf),
+         |kept AS (SELECT s.* FROM s ANTI JOIN hotsp USING (seg)),
+         |reb AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |    count(*)::bigint AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*)::bigint AS n_spans
+         |        FROM s GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+         |  coalesce(tot.n_spans, 0)::bigint AS n_spans,
+         |  (coalesce(tot.n_spans, 0) - coalesce(reb.n_kept, 0))::bigint
+         |    AS n_removed
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
+        .stripMargin,
 
     // replays both sides' md5 minhash pipelines over the corpus/batch
     // split: batch buckets × corpus buckets → exact-Jaccard verify
@@ -2115,6 +2168,20 @@ object ExtQueries {
          |SELECT doc_id, len(ws)::int AS n_orig, len(kept)::int AS n_kept,
          |  md5(array_to_string(kept, ' ')) AS kept_fp
          |FROM k""".stripMargin,
+
+    // mirrors CorpusStats.shardOrder: seed-2 md5 hash mod NumShards,
+    // rank within shard ordered by (hash, id)
+    "x_shard_order" ->
+      s"""SELECT doc_id, shard::int AS shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::int
+         |    AS pos
+         |FROM (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(doc_id::varchar || '#1'), 1, 15))::bigint
+         |      AS h,
+         |    ('0x' || substr(md5(doc_id::varchar || '#1'), 1, 15))::bigint
+         |      % $NumShards AS shard
+         |  FROM documents)""".stripMargin,
 
     // mirrors CorpusStats.splitAssign: same md5-seeded 60-bit hash family
     "x_split_assign" ->

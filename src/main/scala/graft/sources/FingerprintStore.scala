@@ -136,6 +136,25 @@ object FingerprintStore {
     }
   }
 
+  /** True once a committed store version exists at `path`. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    SnapshotDir.current(spark, path, Prefix).isDefined
+
+  /** Create an EMPTY committed store (schemas derived from `like`'s id
+    * column through the real fingerprint pipeline) when none exists —
+    * the cold-start of a continuously-admitting pipeline: the first
+    * batch then flows through the same admit path as every later one,
+    * finding zero matches instead of needing a special bootstrap
+    * branch. */
+  def bootstrapIfMissing(spark: SparkSession, path: String,
+      like: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, numHashes: Int = 8,
+      bands: Int = 4,
+      maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit =
+    if (!exists(spark, path))
+      writeFingerprints(like.limit(0), path, idCol, textCol, n,
+        numHashes, bands, maxShingleDf)
+
   /** Check a new `batch` against the stored corpus: one row per batch
     * doc with its near-dup evidence against the ACCEPTED corpus —
     * `n_dups` matching stored docs (0 = clean), the smallest matching

@@ -170,6 +170,65 @@ object StreamingSync {
       .agg(count(lit(1)).as("n_emissions"))
   }
 
+  /** Streaming corpus admission — incremental dedup as a sink: every
+    * micro-batch of documents is (1) near-dup-checked against the
+    * persisted [[graft.sources.FingerprintStore]] of everything
+    * admitted so far, (2) deduped WITHIN the batch (LSH pairs →
+    * connected components, keep each cluster's min id), (3) appended
+    * to the admitted output, and (4) folded into the store so the next
+    * batch sees it. The streaming form of the continuous-crawl
+    * pipeline: per-trigger cost is batch-sized (broadcast bucket join
+    * against the store + batch-local LSH), state is the store itself —
+    * durable, versioned, shared with the batch path. */
+  def dedupAdmissionSink(source: DataFrame, storePath: String,
+      admittedPath: String, threshold: Double, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, storePath, admittedPath, threshold, idCol,
+          textCol)
+      }
+      .start()
+
+  /** One admission micro-batch (the [[dedupAdmissionSink]] body; also
+    * directly callable from a batch scheduler — same semantics). */
+  def admitBatch(batch: DataFrame, storePath: String,
+      admittedPath: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.sources.FingerprintStore
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    FingerprintStore.bootstrapIfMissing(spark, storePath, batch, idCol,
+      textCol)
+    val verdict = FingerprintStore.dedupBatchAgainst(spark, storePath,
+      batch, threshold, idCol, textCol)
+    val clean = batch.join(
+      verdict.filter(col("survived")).select(col("batch_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // within-batch near-dups: keep each cluster's min id (batch-local
+    // work — the store join above cannot see two dups arriving in the
+    // SAME trigger)
+    val keepers = graft.operators.Dedup
+      .clusterAssignments(clean,
+        graft.operators.Dedup.minhashLshPairs(clean, threshold, idCol,
+          textCol), idCol)
+      .filter(col("cluster_id") === col(idCol))
+      .select(col(idCol))
+    // admitted must be durable before the store learns the batch: a
+    // crash between the two appends then re-admits (at-least-once)
+    // instead of silently dropping rows the store already rejects
+    val admitted = clean.join(keepers, Seq(idCol), "left_semi")
+      .persist()
+    try {
+      admitted.write.mode("append").parquet(admittedPath)
+      FingerprintStore.appendBatch(spark, storePath, admitted, idCol,
+        textCol)
+    } finally admitted.unpersist()
+  }
+
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window
     * ending at the batch's max event date (the reference's

@@ -1253,6 +1253,54 @@ class ExtSpec extends SparkSpec {
       "recipe change rebuilds")
   }
 
+  test("span scrub drops only aligned hot spans, reassembles in order") {
+    val boiler = "terms and conditions"
+    val base = (0 until 6).map(i =>
+      (i.toLong, s"$boiler tail$i alpha beta"))
+    val extra = Seq(
+      (6L, boiler), // all-boilerplate → scrubbed to empty
+      (7L, "totally unique words here plus tail"), // untouched, ragged tail
+      (8L, ""), // empty input
+      // contains the hot WORDS but not boundary-aligned → kept
+      (9L, s"prefix $boiler suffix wordx wordy"))
+    val df = (base ++ extra).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(df, width = 3, maxDf = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("clean_text") === "tail0 alpha beta")
+    assert(out(0L).getAs[Long]("n_spans") === 2L)
+    assert(out(0L).getAs[Long]("n_removed") === 1L)
+    assert(out(6L).getAs[String]("clean_text") === "")
+    assert(out(6L).getAs[Long]("n_removed") === 1L)
+    assert(out(7L).getAs[String]("clean_text") ===
+      "totally unique words here plus tail")
+    assert(out(7L).getAs[Long]("n_spans") === 2L,
+      "ragged tail span must be kept as its own span")
+    assert(out(8L).getAs[Long]("n_spans") === 0L)
+    assert(out(8L).getAs[String]("clean_text") === "")
+    assert(out(9L).getAs[String]("clean_text") ===
+      s"prefix $boiler suffix wordx wordy",
+      "unaligned occurrences are different spans and survive")
+  }
+
+  test("shard order is a deterministic permutation with contiguous ranks") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = CorpusStats.shardOrder(docs, 8).cache()
+    assert(out.count() === docs.count())
+    assert(out.filter($"shard" < 0 || $"shard" >= 8).count() === 0)
+    // (shard, pos) is a key: every doc gets a unique slot
+    assert(out.select($"shard", $"pos").distinct().count() === out.count())
+    // ranks are contiguous from 1 per shard
+    val byShard = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"))
+      .collect()
+    assert(byShard.forall(r => r.getAs[Int]("lo") === 1 &&
+      r.getAs[Int]("hi").toLong === r.getAs[Long]("n")))
+    // independent of the split-assign hash: seeds differ
+    val again = CorpusStats.shardOrder(docs, 8)
+    assert(out.exceptAll(again).count() === 0)
+    out.unpersist()
+  }
+
   // ---- bloom decontamination -----------------------------------------
 
   test("bloom decontamination never misses an exactly-contaminated doc") {

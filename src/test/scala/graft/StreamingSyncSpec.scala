@@ -295,4 +295,69 @@ class StreamingSyncSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0)
     assert(again.exceptAll(out).count() === 0)
   }
+
+  test("admission batches: store rejections, within-batch dedup, growth") {
+    val dir = tmp()
+    val store = s"$dir/fp"
+    val admitted = s"$dir/admitted"
+    def admit(rows: Seq[(Long, String)]): Unit =
+      StreamingSync.admitBatch(rows.toDF("doc_id", "text"), store,
+        admitted, 0.1)
+    def admittedIds(): Set[Long] =
+      spark.read.parquet(admitted).select($"doc_id").as[Long]
+        .collect().toSet
+
+    // batch 1: cold start — store bootstraps empty, everything admits
+    admit(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words about spark shuffles and joins")))
+    assert(admittedIds() === Set(1L, 2L))
+
+    // batch 2: a copy of an admitted doc (rejected by the store), a
+    // within-batch duplicate pair (min id wins), and a novel doc
+    admit(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "astronomy tables chart the motion of wandering stars"),
+      (12L, "astronomy tables chart the motion of wandering stars"),
+      (13L, "unrelated corpus of maritime navigation records here")))
+    assert(admittedIds() === Set(1L, 2L, 11L, 13L))
+
+    // batch 3: full redelivery of batch 2 — nothing new admits
+    admit(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "astronomy tables chart the motion of wandering stars"),
+      (12L, "astronomy tables chart the motion of wandering stars"),
+      (13L, "unrelated corpus of maritime navigation records here")))
+    assert(admittedIds() === Set(1L, 2L, 11L, 13L))
+  }
+
+  test("admission sink wires the same semantics through a file stream") {
+    val dir = tmp()
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmpd = s"$dir/stage-$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(in, s"$name.parquet")
+      assert(part.renameTo(tgt))
+      tgt.setLastModified(mtime)
+    }
+    stage("batch-01", 1700000000000L, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words about spark shuffles and joins")))
+    stage("batch-02", 1700000060000L, Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "astronomy tables chart the motion of wandering stars")))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamingSync.dedupAdmissionSink(stream, s"$dir/fp",
+      s"$dir/admitted", 0.1, checkpoint = s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.parquet(s"$dir/admitted")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 11L))
+  }
 }
