@@ -705,4 +705,60 @@ object CorpusStats {
         (col("le90") >= target90 - tol && col("lt90") <= target90 + tol)
           .as("p90_within_rank_tol"))
   }
+
+  /** Per-(source, part) MERGEABLE profile state: a DataSketches HLL
+    * sketch of the doc fingerprints plus the part's doc count — the
+    * row an incremental pipeline PERSISTS per ingested batch (binary
+    * sketch column; parquet round-trips it — ExtSpec pins the
+    * store/reload/merge cycle). `approx_count_distinct`'s HLL++ lives
+    * only inside one aggregation; these sketches are values, so
+    * profile state composes across batches without ever re-reading
+    * old data. */
+  def sketchState(docs: DataFrame, partCol: Column): DataFrame =
+    docs
+      .select(col("source"), partCol.as("part"),
+        md5(lower(trim(col("text")))).as("fp"))
+      .groupBy(col("source"), col("part"))
+      .agg(hll_sketch_agg(col("fp")).as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Merge a set of [[sketchState]] rows down to one profile row per
+    * source: sketch union + count sum — the read side of the
+    * incremental profile (and of a 1000-executor tree-merge: unions
+    * are associative and commutative). */
+  def mergeSketchStates(states: DataFrame): DataFrame =
+    states.groupBy(col("source"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_docs")).as("n_docs"))
+
+  /** SELF-VALIDATING incremental-profile audit: split the corpus into
+    * `parts` deterministic batches, sketch each independently, MERGE,
+    * and check — inside the hashed result — that (1) the merged
+    * estimate is IDENTICAL to a single whole-corpus sketch (HLL union
+    * is lossless: per-bucket max over the same value set) and (2) the
+    * estimate sits within a generous bound of the exact distinct
+    * count (lgK=12 ⇒ rsd≈0.8%; bound 5% + 10 absolute for tiny
+    * sparse-mode groups). The sketch bytes stay un-hashed (engine-
+    * specific); the booleans and exact columns replay in any SQL
+    * engine. At 100 TB only the exact verifier is corpus-expensive —
+    * production keeps the sketch state alone. */
+  def sketchMergeProfile(docs: DataFrame, parts: Int = 4): DataFrame = {
+    val base = CacheRegistry.tracked(docs.select(col("source"),
+      md5(lower(trim(col("text")))).as("fp")))
+    val merged = mergeSketchStates(
+      sketchState(docs, pmod(col("doc_id"), lit(parts))))
+      .select(col("source"), hll_sketch_estimate(col("sketch"))
+        .as("est_merged"), col("n_docs"))
+    val whole = base.groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("fp")))
+        .as("est_whole"),
+        countDistinct(col("fp")).as("exact_unique"))
+    merged.join(whole, Seq("source"))
+      .select(col("source"), col("n_docs"), col("exact_unique"),
+        (col("est_merged") === col("est_whole"))
+          .as("merge_lossless"),
+        (abs(col("est_merged") - col("exact_unique")) <=
+          col("exact_unique") * 0.05 + lit(10.0))
+          .as("within_bound"))
+  }
 }

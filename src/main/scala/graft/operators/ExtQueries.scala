@@ -23,6 +23,7 @@ object ExtQueries {
   val NearDupRows = 6
   val IvfCentroidMod = 37
   val IvfNprobe = 2
+  val LloydIters = 2
   val PqCentroidMod = 41
   val AppendHoldoutMod = 10 // vec_id % 10 == 9 arrives AFTER the index build
   val PqSubspaces = 8
@@ -35,6 +36,7 @@ object ExtQueries {
   val SpanWidth = 3
   val SpanMaxDf = 4
   val NumShards = 8
+  val SketchParts = 4
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -327,6 +329,19 @@ object ExtQueries {
         centroidMod = IvfCentroidMod, nprobe = IvfNprobe)
     }),
 
+    // IVF over TRAINED centroids: the sampled seeds refined by the
+    // deterministic spherical Lloyd pass (decimal-mean updates, round-6
+    // boundaries — fully replayed by the oracle, unlike spark.ml
+    // k-means). Same IVF search; better lists per probe.
+    "x_ann_ivf_lloyd" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKWith(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        Similarity.lloydRefineCentroids(e, IvfCentroidMod, LloydIters,
+          EmbeddingDim),
+        nprobe = IvfNprobe)
+    }),
+
     // SQ8+refine ANN (asymmetric distance computation): stage 1 scores
     // reconstructed int8 vectors, stage 2 re-ranks the 3k shortlist
     // exactly — full-precision reads drop to the shortlist join.
@@ -401,6 +416,16 @@ object ExtQueries {
     // ExtSpec still bounds the signal VALUES on crafted fixtures.
     "x_compress_ratio" -> ((s, d) =>
       TextAnalysis.compressionSelfCheck(Tables.documents(s, d))),
+
+    // Incremental profiling with MERGEABLE persisted sketches: each
+    // deterministic corpus part is sketched independently, states
+    // merge at read time (DataSketches HLL union — associative, a
+    // tree-merge at 1000 executors), and the hashed output proves the
+    // merge lossless (== the whole-corpus sketch) and within bound of
+    // the exact distinct. Sketch bytes themselves stay un-hashed.
+    "x_sketch_merge" -> ((s, d) =>
+      CorpusStats.sketchMergeProfile(Tables.documents(s, d),
+        parts = SketchParts)),
 
     // Sketch-based per-source profiling (HLL++ uniques + GK quantiles,
     // one map-side-combining shuffle), SELF-VALIDATING: sketch
@@ -998,6 +1023,80 @@ object ExtQueries {
        |  $buckets)""".stripMargin
   }
 
+  /** IVF search CTE chain + final select mirroring
+    * `Similarity.ivfTopKWith` against a caller-provided centroid CTE
+    * (`cent_id`, `centv DOUBLE[]`); expects a `corp (vec_id, v)` CTE in
+    * scope. Shared by the sampled-centroid and Lloyd-refined oracles. */
+  private def ivfSearchSql(cents: String): String =
+    s"""casg AS (
+       |  SELECT vec_id AS match_id, v AS cv, cent_id FROM (
+       |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
+       |      PARTITION BY c.vec_id
+       |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+       |        DESC, ct.cent_id) AS rnk
+       |    FROM corp c CROSS JOIN $cents ct)
+       |  WHERE rnk = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+       |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
+       |      PARTITION BY c.vec_id
+       |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+       |        DESC, ct.cent_id) AS rnk
+       |    FROM corp c CROSS JOIN $cents ct
+       |    WHERE c.vec_id % $QueryMod = 0)
+       |  WHERE rnk <= $IvfNprobe),
+       |scored AS (
+       |  SELECT q.query_id, l.match_id,
+       |    round(list_cosine_similarity(q.qv, l.cv), 6) AS cos
+       |  FROM casg l JOIN qasg q ON l.cent_id = q.cent_id
+       |  WHERE q.query_id <> l.match_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, match_id, cos, rank FROM ranked
+       |WHERE rank <= $TopK""".stripMargin
+
+  /** Spherical-Lloyd refinement CTE chain mirroring
+    * `Similarity.lloydRefineCentroids`: seed sample → per-iteration
+    * (argmax assign → decimal-sum per-dim means → decimal normalizer →
+    * round-6 unit centroids). Ends in `lcents<iters>`; expects `corp`
+    * in scope. */
+  private def lloydCentsSql(iters: Int): String = {
+    val seed =
+      s"""lcents0 AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0)"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""lasg$t AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN lcents${t - 1} ct)
+         |  WHERE rnk = 1),
+         |ldims$t AS (
+         |  SELECT cent_id, i,
+         |    round((sum(x::decimal(38,18)))::double / count(*), 6) AS mean
+         |  FROM (SELECT cent_id, unnest(v) AS x,
+         |          unnest(range(len(v))) AS i
+         |        FROM lasg$t)
+         |  GROUP BY cent_id, i),
+         |lnorm$t AS (
+         |  SELECT cent_id,
+         |    sqrt((sum((mean*mean)::decimal(38,18)))::double) AS nrm
+         |  FROM ldims$t GROUP BY cent_id),
+         |lcents$t AS (
+         |  SELECT d.cent_id, list(round(d.mean / n.nrm, 6) ORDER BY d.i)
+         |    AS centv
+         |  FROM ldims$t d JOIN lnorm$t n USING (cent_id)
+         |  GROUP BY d.cent_id)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   /** Residual-IVFPQ oracle CTE chain mirroring
     * `Similarity.buildIvfPqIndex` + `ivfPqSearch`, ending in `ranked`
     * (query_id, match_id, cos, rank). Shared by `x_ann_ivfpq_topk`,
@@ -1528,34 +1627,17 @@ object ExtQueries {
          |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
          |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
          |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |casg AS (
-         |  SELECT vec_id AS match_id, v AS cv, cent_id FROM (
-         |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
-         |      PARTITION BY c.vec_id
-         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
-         |        DESC, ct.cent_id) AS rnk
-         |    FROM corp c CROSS JOIN cents ct)
-         |  WHERE rnk = 1),
-         |qasg AS (
-         |  SELECT vec_id AS query_id, v AS qv, cent_id FROM (
-         |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
-         |      PARTITION BY c.vec_id
-         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
-         |        DESC, ct.cent_id) AS rnk
-         |    FROM corp c CROSS JOIN cents ct
-         |    WHERE c.vec_id % $QueryMod = 0)
-         |  WHERE rnk <= $IvfNprobe),
-         |scored AS (
-         |  SELECT q.query_id, l.match_id,
-         |    round(list_cosine_similarity(q.qv, l.cv), 6) AS cos
-         |  FROM casg l JOIN qasg q ON l.cent_id = q.cent_id
-         |  WHERE q.query_id <> l.match_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, match_id, cos, rank FROM ranked
-         |WHERE rank <= $TopK""".stripMargin,
+         |${ivfSearchSql("cents")}""".stripMargin,
+
+    // the Lloyd chain produces round-6 unit centroids both engines
+    // agree on bit-for-bit (decimal-sum means); the search is the same
+    // IVF chain as x_ann_ivf_topk over the refined centroid CTE
+    "x_ann_ivf_lloyd" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${lloydCentsSql(LloydIters)},
+         |cents AS (SELECT cent_id, centv FROM lcents$LloydIters),
+         |${ivfSearchSql("cents")}""".stripMargin,
 
     // the PNG fixture is deterministic in doc_id: dims from the header
     // formula, mean luminance = the solid gray (PNG is lossless)
@@ -2267,6 +2349,15 @@ object ExtQueries {
         |  TRUE AS unique_within_rsd, TRUE AS p50_within_rank_tol,
         |  TRUE AS p90_within_rank_tol
         |FROM a JOIN p USING (source)""".stripMargin,
+
+    // the exact columns replay; both booleans must be TRUE — the
+    // lossless-merge identity and the estimate bound (see
+    // CorpusStats.sketchMergeProfile)
+    "x_sketch_merge" ->
+      """SELECT source, count(*)::bigint AS n_docs,
+        |  count(DISTINCT md5(lower(trim(text))))::bigint AS exact_unique,
+        |  TRUE AS merge_lossless, TRUE AS within_bound
+        |FROM documents GROUP BY source""".stripMargin,
 
     // self-validating compression signal: byte length is replayable in
     // any engine; the two deflate-contract booleans must be TRUE on

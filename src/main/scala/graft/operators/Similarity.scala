@@ -175,6 +175,62 @@ object Similarity {
       }.toDF("cent_id", "centv")
   }
 
+  /** Deterministic spherical Lloyd refinement of the sampled seed
+    * centroids — the ORACLE-REPLAYABLE production trainer (the spark.ml
+    * path above cannot be replayed by an external engine; this one can,
+    * so the trained-centroid IVF serves as a driver-checked query).
+    * Each iteration: assign every vector to its max-cosine centroid
+    * (broadcast centroids, map-side-combining argmax — one scan, no
+    * vector shuffle), then recompute each centroid as the normalized
+    * mean of its RAW members. Determinism engineering: per-dim means
+    * use decimal(38,18) sums (order-independent, engine-exact — the
+    * [[embedDimStats]] construction), every derived double is rounded
+    * to 6 before it feeds the next stage, and the normalizer is a
+    * decimal sum of the rounded means' squares — so both engines feed
+    * bit-identical centroids into every round. Clusters that lose all
+    * members drop out (fewer lists, same both sides). Lloyd
+    * monotonically improves assignment cosine, so 2-3 rounds buy most
+    * of the recall-per-probe gain (ExtSpec pins the improvement); at
+    * 100 TB each round costs one corpus scan against C broadcast
+    * centroids — the same shape as the IVF build itself. */
+  def lloydRefineCentroids(corpus: DataFrame, centroidMod: Int = 37,
+      iters: Int = 2, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def cosRaw(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val raw = CacheRegistry.tracked( // re-scanned every iteration
+      fanOut(corpus).select(col(idCol).as("match_id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("v")))
+    var cents = unitVecs(
+      corpus.filter(col(idCol) % centroidMod === 0), idCol, vecCol,
+      "cent_id", "centv")
+    (1 to iters).foreach { _ =>
+      val asg = raw.crossJoin(broadcast(cents))
+        .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
+        .groupBy(col("match_id"))
+        .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+          .as("cent_id"),
+          first(col("v")).as("v"))
+      val dims = asg
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s"))
+        .withColumn("mean", round(col("s").cast("double") / col("n"), 6))
+      val norms = dims.groupBy(col("cent_id"))
+        .agg(sqrt(sum((col("mean") * col("mean")).cast(dec))
+          .cast("double")).as("nrm"))
+      cents = CacheRegistry.tracked( // next round joins it twice
+        dims.join(norms, Seq("cent_id"))
+          .withColumn("c", round(col("mean") / col("nrm"), 6))
+          .groupBy(col("cent_id"))
+          .agg(transform(
+              sort_array(collect_list(struct(col("i"), col("c")))),
+              x => x.getField("c")).as("centv")))
+    }
+    cents
+  }
+
   /** IVF search against an explicit centroid table (`cent_id`,
     * unit-normalized `centv` array<double>) — shared by the deterministic
     * sampled-centroid path and the k-means path. */

@@ -1282,6 +1282,63 @@ class ExtSpec extends SparkSpec {
       "unaligned occurrences are different spans and survive")
   }
 
+  test("sketch states survive parquet and merge losslessly") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sketch-state").toString + "/states"
+    // persist per-part states as an incremental pipeline would (one
+    // write per ingested batch), then reload and merge at read time
+    CorpusStats.sketchState(docs, pmod($"doc_id", lit(3)))
+      .write.parquet(path)
+    val reloaded = CorpusStats
+      .mergeSketchStates(spark.read.parquet(path))
+      .select($"source",
+        hll_sketch_estimate($"sketch").as("est"), $"n_docs")
+    val whole = docs
+      .select($"source", md5(lower(trim($"text"))).as("fp"))
+      .groupBy($"source")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"fp")).as("est_w"),
+        count(lit(1)).as("n_w"))
+    val j = reloaded.join(whole, Seq("source"))
+    assert(j.filter($"est" =!= $"est_w" || $"n_docs" =!= $"n_w")
+      .count() === 0,
+      "reloaded merged estimate must equal the whole-corpus sketch")
+    // the audit query's contract holds on real data
+    val audit = CorpusStats.sketchMergeProfile(docs, parts = 4)
+    assert(audit.filter(!$"merge_lossless" || !$"within_bound")
+      .count() === 0)
+    assert(audit.count() > 0)
+  }
+
+  test("lloyd refinement: unit centroids, objective never degrades") {
+    val e = Tables.embeddings(spark, sf0001)
+    def meanBestCos(cents: org.apache.spark.sql.DataFrame): Double =
+      e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .crossJoin(broadcast(cents))
+        .select($"vec_id",
+          Similarity.cosine($"v", $"centv").as("c"))
+        .groupBy($"vec_id").agg(max($"c").as("best"))
+        .agg(avg($"best")).head().getDouble(0)
+    val seeds = e.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("cent_id"),
+        $"embedding".cast("array<double>").as("centv"))
+    val refined = Similarity.lloydRefineCentroids(e, 37, iters = 2).cache()
+    // refined centroids are round-6 unit vectors
+    val norms = refined.select(
+        abs(Similarity.cosine($"centv", $"centv") - 1.0).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(norms < 1e-9, s"centroids must be self-cosine 1, off by $norms")
+    // spherical Lloyd improves (or preserves) mean best-centroid cosine
+    val before = meanBestCos(seeds)
+    val after = meanBestCos(refined)
+    assert(after >= before - 1e-6,
+      s"objective degraded: $before -> $after")
+    // determinism: a second training run is bit-identical
+    val again = Similarity.lloydRefineCentroids(e, 37, iters = 2)
+    assert(refined.exceptAll(again).count() === 0)
+    refined.unpersist()
+  }
+
   test("shard order is a deterministic permutation with contiguous ranks") {
     val docs = Tables.documents(spark, sf0001)
     val out = CorpusStats.shardOrder(docs, 8).cache()
