@@ -96,6 +96,27 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fpstore-${Integer.toHexString(d.hashCode)}").toString
 
+  /** JSONL round-trip fixture: the documents table exported as JSONL
+    * plus one malformed line and one contract-violating (id-less but
+    * well-formed) line, written once per dataset dir (marker-gated). */
+  private def jsonlFixture(s: SparkSession, d: String): String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-jsonl-${Integer.toHexString(d.hashCode)}")
+    val marker = root.resolve("_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      val data = root.resolve("data")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      graft.sources.JsonlCorpus.write(Tables.documents(s, d),
+        data.toString)
+      java.nio.file.Files.write(data.resolve("bad-lines.json"),
+        ("this is not json {\n" +
+          """{"text": "well-formed but no id", "lang": "en"}""" + "\n")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+    }
+    root.resolve("data").toString
+  }
+
   /** The accepted-corpus side of the incremental dedup split: everything
     * NOT in the arriving batch (`doc_id % IncrBatchMod == 0`). */
   private def incrCorpus(s: SparkSession, d: String): DataFrame =
@@ -416,6 +437,19 @@ object ExtQueries {
     // ExtSpec still bounds the signal VALUES on crafted fixtures.
     "x_compress_ratio" -> ((s, d) =>
       TextAnalysis.compressionSelfCheck(Tables.documents(s, d))),
+
+    // JSONL round-trip through the PERMISSIVE quarantine reader: the
+    // clean frame must be byte-lossless vs the parquet original (text
+    // checked by md5), and exactly the two injected bad lines — one
+    // malformed, one well-formed-but-id-less — land in quarantine,
+    // surfaced as a hashed count.
+    "x_jsonl_ingest" -> ((s, d) => {
+      val (clean, quarantine) = graft.sources.JsonlCorpus.read(
+        s, jsonlFixture(s, d))
+      clean.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_fp"))
+        .withColumn("n_quarantined", lit(quarantine.count()))
+    }),
 
     // Incremental profiling with MERGEABLE persisted sketches: each
     // deterministic corpus part is sketched independently, states
@@ -2349,6 +2383,13 @@ object ExtQueries {
         |  TRUE AS unique_within_rsd, TRUE AS p50_within_rank_tol,
         |  TRUE AS p90_within_rank_tol
         |FROM a JOIN p USING (source)""".stripMargin,
+
+    // lossless round-trip: every parquet row comes back (md5 text
+    // fingerprint), and exactly the 2 injected bad lines quarantine
+    "x_jsonl_ingest" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp,
+        |  2::bigint AS n_quarantined
+        |FROM documents""".stripMargin,
 
     // the exact columns replay; both booleans must be TRUE — the
     // lossless-merge identity and the estimate bound (see

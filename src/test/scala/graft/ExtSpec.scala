@@ -1282,6 +1282,30 @@ class ExtSpec extends SparkSpec {
       "unaligned occurrences are different spans and survive")
   }
 
+  test("jsonl reader: lossless round-trip, quarantine catches both kinds") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString
+    graft.sources.JsonlCorpus.write(docs, s"$root/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/data/bad.json"),
+      ("{{{ broken\n" +
+        """{"text": "no id here", "lang": "en"}""" + "\n").getBytes("UTF-8"))
+    val (clean, quarantine) = graft.sources.JsonlCorpus
+      .read(spark, s"$root/data")
+    // clean is exactly the original table (schema'd read, text intact)
+    assert(clean.count() === docs.count())
+    assert(clean.exceptAll(docs.select(clean.columns.map(col): _*))
+      .count() === 0)
+    // one malformed + one contract-violating line, reasons distinct
+    val q = quarantine.collect()
+    assert(q.length === 2)
+    assert(q.map(_.getAs[String]("motivo_rechazo")).sorted.toSeq ===
+      Seq("malformed json", "missing doc_id"))
+    assert(q.exists(_.getAs[String]("raw_line").contains("broken")))
+    assert(q.exists(_.getAs[String]("raw_line").contains("no id here")))
+  }
+
   test("sketch states survive parquet and merge losslessly") {
     val docs = Tables.documents(spark, sf0001)
     val path = java.nio.file.Files
