@@ -37,6 +37,7 @@ object ExtQueries {
   val SpanMaxDf = 4
   val NumShards = 8
   val SketchParts = 4
+  val DiversityPerCluster = 3
   val SessionGap = "4 hours"
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -361,6 +362,19 @@ object ExtQueries {
         Similarity.lloydRefineCentroids(e, IvfCentroidMod, LloydIters,
           EmbeddingDim),
         nprobe = IvfNprobe)
+    }),
+
+    // Cluster-balanced diversity sampling: nearest trained centroid per
+    // document embedding, then the best perCluster docs per cluster by
+    // quality — keeps embedding-space coverage instead of letting one
+    // dense mode dominate the quality cut. Composes the Lloyd-trained
+    // centroids with the curation rank; every stage oracle-replayable.
+    "x_diversity_sample" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.diversitySample(Tables.documents(s, d), e,
+        Similarity.lloydRefineCentroids(e, IvfCentroidMod, LloydIters,
+          EmbeddingDim),
+        perCluster = DiversityPerCluster, dim = EmbeddingDim)
     }),
 
     // SQ8+refine ANN (asymmetric distance computation): stage 1 scores
@@ -1662,6 +1676,28 @@ object ExtQueries {
          |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
          |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${ivfSearchSql("cents")}""".stripMargin,
+
+    // Lloyd-refined assignment + the quality-rank curation chain
+    "x_diversity_sample" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${lloydCentsSql(LloydIters)},
+         |asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, ct.cent_id, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, ct.centv), 6)
+         |        DESC, ct.cent_id) AS rnk
+         |    FROM corp c CROSS JOIN lcents$LloydIters ct)
+         |  WHERE rnk = 1),
+         |q AS ($QualitySelect),
+         |r AS (
+         |  SELECT a.cent_id, q.doc_id, q.score, row_number() OVER (
+         |    PARTITION BY a.cent_id ORDER BY q.score DESC, q.doc_id)
+         |    AS rank
+         |  FROM asg a JOIN q ON a.vec_id = q.doc_id)
+         |SELECT cent_id, doc_id, score, rank FROM r
+         |WHERE rank <= $DiversityPerCluster""".stripMargin,
 
     // the Lloyd chain produces round-6 unit centroids both engines
     // agree on bit-for-bit (decimal-sum means); the search is the same

@@ -36,6 +36,12 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.dotProduct(a, b)
 
+  /** Cosine over RAW (un-normalized) vectors through the codegen'd dot
+    * kernel — sequential sums, structurally the formula `list_cosine_
+    * similarity` replays, so round-6 values agree across engines. */
+  private def cosRaw(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
   /** A small parquet corpus arrives as one partition; the pair stages that
     * follow are compute-bound (millions of dot products), so fan the rows
     * out to the session's shuffle width first. At real scale the input is
@@ -197,8 +203,6 @@ object Similarity {
       iters: Int = 2, dim: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    def cosRaw(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     val raw = CacheRegistry.tracked( // re-scanned every iteration
       fanOut(corpus).select(col(idCol).as("match_id"),
         dimChecked(col(vecCol).cast("array<double>"), dim).as("v")))
@@ -229,6 +233,43 @@ object Similarity {
               x => x.getField("c")).as("centv")))
     }
     cents
+  }
+
+  /** Nearest-centroid assignment of every vector: broadcast-centroid
+    * argmax (map-side-combining max_by, round-6 cosine, ties to the
+    * lowest cent_id) → (id, cent_id). The shared front half of IVF list
+    * building, Lloyd iteration, and cluster-balanced sampling. */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    fanOut(vectors)
+      .select(col(idCol).as("id"),
+        dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
+      .groupBy(col("id"))
+      .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+        .as("cent_id"))
+
+  /** Cluster-balanced ("diversity") sampling — the curation step that
+    * keeps coverage of the embedding space instead of letting one dense
+    * mode dominate the quality cut: assign every document's embedding
+    * to its nearest trained centroid, then keep the `perCluster` best
+    * documents per cluster by quality score (ties → lowest id). One
+    * broadcast-argmax scan + one join + one per-cluster rank
+    * ([[CorpusStats.topKPerGroup]] — partial `WindowGroupLimit`, no
+    * global sort); every stage is oracle-replayable, including the
+    * trained centroids when [[lloydRefineCentroids]] provides them. */
+  def diversitySample(docs: DataFrame, embeddings: DataFrame,
+      cents: DataFrame, perCluster: Int, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      docIdCol: String = "doc_id"): DataFrame = {
+    val asg = assignToCentroids(embeddings, cents, dim, idCol, vecCol)
+      .withColumnRenamed("id", docIdCol)
+    CorpusStats.topKPerGroup(
+      docs.select(col(docIdCol), col("text")).join(asg, Seq(docIdCol)),
+      perCluster, "cent_id",
+      TextAnalysis.qualityScore(col("text")), docIdCol)
   }
 
   /** IVF search against an explicit centroid table (`cent_id`,

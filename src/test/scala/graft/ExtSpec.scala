@@ -1363,6 +1363,32 @@ class ExtSpec extends SparkSpec {
     refined.unpersist()
   }
 
+  test("diversity sample caps per cluster and spreads across clusters") {
+    val e = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val cents = Similarity.lloydRefineCentroids(e, 37, iters = 2)
+    val out = Similarity
+      .diversitySample(docs, e, cents, perCluster = 3).cache()
+    val perCluster = out.groupBy($"cent_id").agg(count(lit(1)).as("n"))
+    assert(perCluster.filter($"n" > 3).count() === 0)
+    val nClusters = perCluster.count()
+    assert(nClusters > 5, s"need real cluster spread, got $nClusters")
+    // balanced selection touches more clusters than the same-size
+    // global quality cut — the point of the operator
+    val k = out.count().toInt
+    val globalTop = docs
+      .select($"doc_id",
+        graft.operators.TextAnalysis.qualityScore($"text").as("s"))
+      .orderBy($"s".desc, $"doc_id").limit(k)
+    val globalClusters = globalTop
+      .join(Similarity.assignToCentroids(e, cents)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select($"cent_id").distinct().count()
+    assert(nClusters >= globalClusters,
+      s"balanced=$nClusters clusters vs global=$globalClusters")
+    out.unpersist()
+  }
+
   test("shard order is a deterministic permutation with contiguous ranks") {
     val docs = Tables.documents(spark, sf0001)
     val out = CorpusStats.shardOrder(docs, 8).cache()
