@@ -28,4 +28,23 @@ private[graft] object CacheRegistry {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
   }
+
+  /** Run `body` and release every cache it CREATED once it returns —
+    * for per-batch loops (the streaming admission sink) where each
+    * trigger's operator caches would otherwise stay pinned for the
+    * stream's lifetime. Only safe when `body` fully CONSUMES its
+    * results (runs its actions) before returning; pre-existing caches
+    * are untouched. */
+  def scoped[T](body: => T): T = {
+    val before = synchronized(live.length)
+    try body
+    finally {
+      val created = synchronized {
+        val c = live.drop(before).toList
+        live.remove(before, live.length - before)
+        c
+      }
+      created.foreach(_.unpersist(blocking = false))
+    }
+  }
 }

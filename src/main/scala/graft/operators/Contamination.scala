@@ -67,10 +67,18 @@ object Contamination {
     val agg = new BloomFilterAggregate(
       GraftBridge.expression(xxhash64(col("sh"))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    benchmark
+    Option(benchmark
       .select(explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .select(GraftBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0))
+      // zero benchmark n-grams → the aggregate yields NULL; an empty
+      // filter (nothing flagged) is the correct degenerate answer
+      .getOrElse {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+          .writeTo(out)
+        out.toByteArray
+      }
   }
 
   /** Per-doc Bloom contamination flag: TRUE iff ANY of the doc's word

@@ -99,7 +99,10 @@ object CorpusStats {
     * partition by shard, one in-partition sort — at 100 TB this is
     * `repartition(shard).sortWithinPartitions(h)` feeding a
     * partitioned write, with no global sort anywhere (the window is
-    * per-shard, so no single-reducer ordering bottleneck). */
+    * per-shard, so no single-reducer ordering bottleneck). Size
+    * `nShards` so one shard fits one task's (disk-backed) sort — at
+    * corpus scale shards are file-sized (GBs), so `nShards` is tens of
+    * thousands, not this test default. */
   def shardOrder(docs: DataFrame, nShards: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -166,12 +166,20 @@ object FingerprintStore {
     * Within-batch duplicates are out of scope by design — the batch
     * self-check is [[Dedup.minhashLshPairs]] over the batch alone
     * (batch-sized, trivially cheap); this operator prices only the
-    * batch-vs-corpus question, whose naive form is corpus-sized. */
+    * batch-vs-corpus question, whose naive form is corpus-sized.
+    *
+    * `broadcastBatch = false` is the escape hatch for a batch too big
+    * to broadcast (a bulk backfill rather than an incremental drip):
+    * the same candidate join runs as a shuffle equi-join on
+    * (band, key) — identical results, both sides partition by the
+    * band key — instead of OOMing the driver on a forced broadcast
+    * build (the [[graft.operators.Contamination.ngramOverlap]]
+    * contract, applied here). */
   def dedupBatchAgainst(spark: SparkSession, path: String,
       batch: DataFrame, threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, numHashes: Int = 8,
-      bands: Int = 4,
-      maxShingleDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+      bands: Int = 4, maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+      broadcastBatch: Boolean = true): DataFrame = {
     val cur = currentDir(spark, path)
     val stored = spark.read.parquet(cur)
     val storedArrays = spark.read.parquet(s"$cur/_arrays")
@@ -184,8 +192,11 @@ object FingerprintStore {
     // the admission-time join: broadcast the batch-sized bucket side so
     // the corpus-sized stored index streams through a map-side hash
     // join — no shuffle of the store, ever (PlanSpec pins this)
+    val probeSide =
+      if (broadcastBatch) broadcast(batchBuckets.as("b"))
+      else batchBuckets.as("b")
     val cands = stored.as("c")
-      .join(broadcast(batchBuckets.as("b")),
+      .join(probeSide,
         col("c.band") === col("b.band") && col("c.key") === col("b.key"))
       .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
       .distinct()

@@ -201,32 +201,38 @@ object StreamingSync {
     import graft.sources.FingerprintStore
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    FingerprintStore.bootstrapIfMissing(spark, storePath, batch, idCol,
-      textCol)
-    val verdict = FingerprintStore.dedupBatchAgainst(spark, storePath,
-      batch, threshold, idCol, textCol)
-    val clean = batch.join(
-      verdict.filter(col("survived")).select(col("batch_id").as(idCol)),
-      Seq(idCol), "left_semi")
-    // within-batch near-dups: keep each cluster's min id (batch-local
-    // work — the store join above cannot see two dups arriving in the
-    // SAME trigger)
-    val keepers = graft.operators.Dedup
-      .clusterAssignments(clean,
-        graft.operators.Dedup.minhashLshPairs(clean, threshold, idCol,
-          textCol), idCol)
-      .filter(col("cluster_id") === col(idCol))
-      .select(col(idCol))
-    // admitted must be durable before the store learns the batch: a
-    // crash between the two appends then re-admits (at-least-once)
-    // instead of silently dropping rows the store already rejects
-    val admitted = clean.join(keepers, Seq(idCol), "left_semi")
-      .persist()
-    try {
-      admitted.write.mode("append").parquet(admittedPath)
-      FingerprintStore.appendBatch(spark, storePath, admitted, idCol,
-        textCol)
-    } finally admitted.unpersist()
+    // scoped: the dedup/LSH operators cache per-batch intermediates;
+    // on an unbounded stream those per-trigger caches must die with
+    // the trigger, not pin executor memory for the stream's lifetime
+    // (everything is consumed by the two writes before the scope ends)
+    graft.operators.CacheRegistry.scoped {
+      FingerprintStore.bootstrapIfMissing(spark, storePath, batch,
+        idCol, textCol)
+      val verdict = FingerprintStore.dedupBatchAgainst(spark, storePath,
+        batch, threshold, idCol, textCol)
+      val clean = batch.join(
+        verdict.filter(col("survived")).select(col("batch_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      // within-batch near-dups: keep each cluster's min id (batch-local
+      // work — the store join above cannot see two dups arriving in the
+      // SAME trigger)
+      val keepers = graft.operators.Dedup
+        .clusterAssignments(clean,
+          graft.operators.Dedup.minhashLshPairs(clean, threshold, idCol,
+            textCol), idCol)
+        .filter(col("cluster_id") === col(idCol))
+        .select(col(idCol))
+      // admitted must be durable before the store learns the batch: a
+      // crash between the two appends then re-admits (at-least-once)
+      // instead of silently dropping rows the store already rejects
+      val admitted = clean.join(keepers, Seq(idCol), "left_semi")
+        .persist()
+      try {
+        admitted.write.mode("append").parquet(admittedPath)
+        FingerprintStore.appendBatch(spark, storePath, admitted, idCol,
+          textCol)
+      } finally admitted.unpersist()
+    }
   }
 
   /** Incremental sync as a streaming sink: every micro-batch of source rows

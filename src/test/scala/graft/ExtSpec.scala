@@ -1239,6 +1239,62 @@ class ExtSpec extends SparkSpec {
     assert(serve().sameElements(before))
   }
 
+  test("shuffle-mode batch admission equals the broadcast path") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-shuffle").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    val viaBroadcast = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(_.toString).sorted
+    val viaShuffle = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1,
+        broadcastBatch = false)
+      .collect().map(_.toString).sorted
+    assert(viaBroadcast.sameElements(viaShuffle))
+  }
+
+  test("uncommitted fingerprint versions are invisible crash debris") {
+    val corpus = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 =!= 0)
+    val batch = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-crash").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    val before = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(_.toString).sorted
+    // a writer that crashed mid-rewrite: higher-numbered dir, junk
+    // content, NO commit marker — readers must keep resolving v1
+    val debris = new java.io.File(path, "fp-00000002")
+    debris.mkdirs()
+    java.nio.file.Files.write(
+      debris.toPath.resolve("part-junk.parquet"),
+      Array.fill[Byte](16)(0x7f))
+    val after = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "an uncommitted version must never be read")
+    // the next real compaction commits v3 and sweeps the debris
+    graft.sources.FingerprintStore.compact(spark, path)
+    graft.sources.FingerprintStore.compact(spark, path)
+    assert(!debris.exists, "GC must sweep crash debris")
+  }
+
+  test("empty benchmark builds an empty bloom filter, flags nothing") {
+    val clean = Seq((1L, "five words of clean text here")).toDF(
+      "doc_id", "text")
+    val bloom = Contamination.benchmarkNgramBloom(
+      clean.filter($"doc_id" < 0), n = 5)
+    val flagged = clean.select(
+      Contamination.bloomContaminated(bloom, $"text", 5).as("hit"))
+    assert(flagged.filter($"hit").count() === 0)
+  }
+
   test("ensureFingerprints builds once per recipe, rebuilds on change") {
     val corpus = Tables.documents(spark, sf0001)
       .filter($"doc_id" % 10 =!= 0)
