@@ -386,6 +386,54 @@ object CorpusStats {
       .select(col("id").as(idCol), col("n_tok"), col("xent"))
   }
 
+  /** Bigram-LM cross-entropy per document — one model order up from
+    * [[unigramLogProb]], the honest Spark shape of the CCNet/KenLM
+    * perplexity filter: score = mean over the document's bigram
+    * occurrences of -ln P(w₂|w₁) under the corpus's own add-α-smoothed
+    * conditional model, P(w₂|w₁) = (B(w₁w₂)+α) / (U(w₁)+α·V). Unigram
+    * xent flags rare-TOKEN noise; this additionally flags improbable
+    * token ORDER (shuffled/templated text whose vocabulary looks
+    * normal). Docs with < 2 tokens have no bigrams and no row.
+    *
+    * Shape: the codegen'd [[graft.plans.TextKernels.shingleOccurrences]]
+    * kernel (n=2) emits the bigram stream in one pass — no HOF
+    * re-evaluation, no second tokenize; per-doc bigram tf is cached
+    * because the corpus bigram-count table aggregates from it. The
+    * model tables are vocabulary-sized: AQE broadcasts them while they
+    * fit and falls back to equi-shuffles on the n-gram key at
+    * web-vocabulary scale (exactly how a sharded KenLM feeds a scoring
+    * join). V and the counts stay integers; the per-doc sum runs
+    * through decimal(38,18) so shuffle order cannot move the rounded
+    * result. */
+  def bigramLogProb(docs: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val btf = CacheRegistry.tracked(docs
+      .select(col(idCol).as("id"),
+        explode(graft.plans.TextExpressions
+          .wordShingleOccurrences(col(textCol), 2)).as("bg"))
+      .groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("tf")))
+    val bcnt = btf.groupBy(col("bg")).agg(sum(col("tf")).as("bcnt"))
+    val uni = CacheRegistry.tracked(docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt")))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    btf
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(bcnt, Seq("bg"))
+      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+      .crossJoin(vocab) // one row; AQE broadcasts it
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_big"),
+        round(sum((col("tf") *
+            log((col("ucnt") + col("v") * alpha) /
+              (col("bcnt") + alpha))).cast(dec))
+          .cast("double") / sum(col("tf")), 4).as("xent2"))
+      .select(col("id").as(idCol), col("n_big"), col("xent2"))
+  }
+
   /** CCNet head/middle/tail tiers: rank documents by quality within each
     * language and cut into `buckets` equal tiles (ntile semantics: the
     * first `n mod buckets` tiles take the extra row — identical in Spark
@@ -763,5 +811,62 @@ object CorpusStats {
         (abs(col("est_merged") - col("exact_unique")) <=
           col("exact_unique") * 0.05 + lit(10.0))
           .as("within_bound"))
+  }
+
+  /** Corpus-wide heavy hitters (frequent tokens) from ONE bounded
+    * frequency sketch — the third sketch family of the profile suite
+    * (HLL answers "how many distinct", GK "how are lengths
+    * distributed", this one "WHICH items dominate"). The aggregate
+    * ([[graft.plans.FreqItemsAgg]]) folds each partition's token
+    * arrays into a ≤ `maxMapSize`-counter Misra-Gries sketch and
+    * merges sketches map-side, so the exchange carries sketch BYTES,
+    * never token rows — "top domains/tokens over 100 TB" without the
+    * distinct-token shuffle the exact `groupBy` pays. Result: one row
+    * per candidate with (estimate, lower, upper) such that the true
+    * count always lies in [lower, upper] and no item with true count
+    * > 3.5·n/maxMapSize is missing. */
+  def heavyHitters(docs: DataFrame, maxMapSize: Int = 1024,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(graft.plans.SketchFunctions
+        .freqItemsAgg(TextAnalysis.words(col(textCol)), maxMapSize)
+        .as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("item"), col("c.est").as("est"),
+        col("c.lb").as("lb"), col("c.ub").as("ub"))
+
+  /** [[heavyHitters]] with its error contract checked IN the hashed
+    * result (the `sketchProfileValidated` audit shape): the row set is
+    * the EXACT heavy hitters — tokens with exact count strictly above
+    * n/`phi` of the total token stream, replayable in any engine — and
+    * per row two booleans the oracle expects TRUE: `reported` (the
+    * sketch's no-false-negatives guarantee: every item above the
+    * 3.5·n/maxMapSize error line is a candidate — `maxMapSize` must
+    * dominate 3.5·phi, enforced here with 2× margin) and `bounds_hold`
+    * (exact count within the candidate's [lb, ub]). Sketch estimates
+    * stay un-hashed (merge-order-dependent); the exact counts and the
+    * booleans hash. At 100 TB only this audit pays the exact
+    * token-level shuffle — production runs the sketch alone. */
+  def heavyHittersValidated(docs: DataFrame, maxMapSize: Int = 1024,
+      phi: Int = 64): DataFrame = {
+    require(maxMapSize >= 7 * phi,
+      s"maxMapSize=$maxMapSize too small for phi=$phi: the " +
+        "no-false-negatives guarantee needs 3.5*phi < maxMapSize " +
+        "(required here with 2x margin)")
+    val tf = CacheRegistry.tracked(docs
+      .select(explode(TextAnalysis.words(col("text"))).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt")))
+    // cached: the total and the threshold filter both read the token
+    // frequency table — uncached, the corpus-wide explode+agg runs twice
+    val total = tf.agg(sum(col("exact_cnt")).as("n_tokens"))
+    val cand = heavyHitters(docs, maxMapSize)
+    tf.crossJoin(broadcast(total))
+      .filter(col("exact_cnt") * phi > col("n_tokens"))
+      .join(broadcast(cand), Seq("item"), "left")
+      .select(col("item"), col("exact_cnt"), col("n_tokens"),
+        col("est").isNotNull.as("reported"),
+        coalesce(col("lb") <= col("exact_cnt") &&
+          col("exact_cnt") <= col("ub"), lit(false)).as("bounds_hold"))
   }
 }

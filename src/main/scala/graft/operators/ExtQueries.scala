@@ -33,6 +33,8 @@ object ExtQueries {
   val DecontamN = 5
   val IncrBatchMod = 10 // doc_id % 10 == 0 arrives AFTER the store build
   val BloomFpp = 0.01
+  val HeavyHitterMapSize = 1024 // sketch counters; err ≤ 3.5n/1024
+  val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
   val SpanWidth = 3
   val SpanMaxDf = 4
   val NumShards = 8
@@ -698,6 +700,24 @@ object ExtQueries {
     // signal, reduced to its unigram term for oracle replay).
     "x_unigram_xent" -> ((s, d) =>
       CorpusStats.unigramLogProb(Tables.documents(s, d))),
+
+    // Bigram-LM cross-entropy per doc — one model order up: flags
+    // improbable token ORDER, not just rare tokens. Model counts are
+    // corpus-derived; fully oracle-replayable (add-α conditional,
+    // decimal-summed).
+    "x_bigram_xent" -> ((s, d) =>
+      CorpusStats.bigramLogProb(Tables.documents(s, d))),
+
+    // Heavy hitters from ONE bounded frequency sketch (Misra-Gries
+    // family — the third sketch next to HLL uniques and GK quantiles),
+    // SELF-VALIDATING: rows are the EXACT heavy hitters (count·phi >
+    // n), and the two booleans pin the sketch's published contract —
+    // no-false-negatives candidacy and the [lb, ub] count bounds. The
+    // merge-order-dependent estimates stay un-hashed; the exchange in
+    // the sketch branch carries sketch bytes, never token rows.
+    "x_heavy_hitters" -> ((s, d) =>
+      CorpusStats.heavyHittersValidated(Tables.documents(s, d),
+        maxMapSize = HeavyHitterMapSize, phi = HeavyHitterPhi)),
 
     // CCNet head/middle/tail quality tiers per language (exact ntile
     // reference shape; production swaps in approx thresholds).
@@ -2187,6 +2207,53 @@ object ExtQueries {
         |    / sum(tf), 4) AS xent
         |FROM tf JOIN cnt USING (term) CROSS JOIN tot
         |GROUP BY id""".stripMargin,
+
+    // mirrors CorpusStats.bigramLogProb: same bigram stream (word
+    // 2-shingle occurrences), same add-0.5 conditional model, same
+    // decimal-summed mean
+    "x_bigram_xent" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |    list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::varchar[] END) AS bg
+        |  FROM w),
+        |btf AS (SELECT doc_id AS id, bg, count(*) AS tf
+        |        FROM occ GROUP BY 1, 2),
+        |bcnt AS (SELECT bg, sum(tf)::bigint AS bcnt FROM btf GROUP BY bg),
+        |toks AS (SELECT unnest(ws) AS term FROM w),
+        |uni AS (SELECT term, count(*)::bigint AS ucnt FROM toks
+        |        WHERE term <> '' GROUP BY term),
+        |v AS (SELECT count(*)::double AS v FROM uni)
+        |SELECT id AS doc_id, sum(tf)::bigint AS n_big,
+        |  round(sum((tf * ln((ucnt + 0.5 * v.v) / (bcnt + 0.5)))
+        |      ::decimal(38,18))::double / sum(tf), 4) AS xent2
+        |FROM btf t
+        |JOIN bcnt b USING (bg)
+        |JOIN uni u ON string_split(t.bg, ' ')[1] = u.term
+        |CROSS JOIN v
+        |GROUP BY id""".stripMargin,
+
+    // mirrors CorpusStats.heavyHittersValidated: the EXACT heavy
+    // hitters replay in SQL; the sketch-contract booleans must be TRUE
+    // on every row (estimates themselves stay un-hashed — they depend
+    // on merge order)
+    "x_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |    AS item
+         |  FROM documents),
+         |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
+         |       WHERE item <> '' GROUP BY item),
+         |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf)
+         |SELECT item, exact_cnt, n_tokens,
+         |  TRUE AS reported, TRUE AS bounds_hold
+         |FROM tf CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
 
     // mirrors CorpusStats.qualityBuckets: ntile(3) by (quality desc,
     // doc_id) within language — the order key is total, so tile

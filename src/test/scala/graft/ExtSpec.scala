@@ -1499,4 +1499,94 @@ class ExtSpec extends SparkSpec {
       expectedItems = 500, fpp = 0.01)
     assert(java.util.Arrays.equals(bloom, again))
   }
+
+  test("heavy hitters: sketch contract holds under purge pressure and any partitioning") {
+    // 3 true heavy tokens over a 600-token distinct tail with a small
+    // 64-counter sketch, so purges actually fire (600 >> 64) and the
+    // error bounds are live, not vacuous
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"alpha beta gamma tail${3 * i} tail${3 * i + 1} tail${3 * i + 2}")
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val got = CorpusStats.heavyHittersValidated(df.repartition(parts),
+          maxMapSize = 64, phi = 8)
+        .collect().map(r => r.getAs[String]("item") -> r).toMap
+      // n = 1200, threshold n/8 = 150 < 200 = each heavy count;
+      // tail tokens have count 1 each
+      assert(got.keySet === Set("alpha", "beta", "gamma"))
+      got.values.foreach { r =>
+        assert(r.getAs[Long]("exact_cnt") === 200L)
+        assert(r.getAs[Long]("n_tokens") === 1200L)
+        assert(r.getAs[Boolean]("reported"), s"${r} not reported")
+        assert(r.getAs[Boolean]("bounds_hold"), s"${r} bounds failed")
+      }
+    }
+  }
+
+  test("heavy hitters: corpus run is green and exact side matches brute force") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val got = CorpusStats.heavyHittersValidated(d).collect()
+    assert(got.nonEmpty, "no token above n/64 in the corpus fixture")
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("reported"))
+      assert(r.getAs[Boolean]("bounds_hold"))
+    }
+    val brute = d.select(explode(TextAnalysis.words($"text")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    val n = brute.values.sum
+    val expectHeavy = brute.filter { case (_, c) => c * 64 > n }.keySet
+    assert(got.map(_.getAs[String]("item")).toSet === expectHeavy)
+  }
+
+  test("heavy hitters sketch branch: no token-level explode, object-hash aggregated") {
+    val d = graft.Tables.documents(spark, sf0001)
+    // the raw aggregate (before the one-row candidate explode): the
+    // sketch consumes the per-doc token ARRAY inside the aggregate, so
+    // the only rows crossing the exchange are partition sketches
+    val plan = d.select(graft.plans.SketchFunctions
+        .freqItemsAgg(TextAnalysis.words($"text"), 1024).as("cand"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"token-level explode leaked into the sketch branch:\n$plan")
+  }
+
+  test("bigram xent: flags improbable token order that unigram xent cannot see") {
+    // 30 docs in natural order + 1 shuffled doc with the SAME bag of
+    // words: unigram stats identical, bigram stats should separate them
+    val natural = (0 until 30).map(i =>
+      (i.toLong, "the cat sat on the mat"))
+    val shuffled = Seq((99L, "mat the on sat cat the"))
+    val df = (natural ++ shuffled).toDF("doc_id", "text")
+    val x2 = CorpusStats.bigramLogProb(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val x1 = CorpusStats.unigramLogProb(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("xent")).toMap
+    assert(x2(99L) > x2(0L) + 1.0,
+      s"shuffled doc not flagged: ${x2(99L)} vs ${x2(0L)}")
+    assert(math.abs(x1(99L) - x1(0L)) < 1e-9,
+      "unigram xent should NOT separate same-bag docs")
+  }
+
+  test("bigram xent: matches hand-computed model on a tiny corpus; short docs drop") {
+    // corpus: d0 = "a b a b", d1 = "a b", d2 = "a" (no bigrams)
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L), "doc with < 2 tokens must emit no row")
+    // counts: B(a b)=3, B(b a)=1; U(a)=4, U(b)=3; V=2; α=0.5
+    val pAB = (3 + 0.5) / (4 + 0.5 * 2) // P(b|a)
+    val pBA = (1 + 0.5) / (3 + 0.5 * 2) // P(a|b)
+    val d0 = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    val d1 = -math.log(pAB)
+    assert(got(0L)._2 === 3L)
+    assert(math.abs(got(0L)._3 - d0) < 5e-5, s"${got(0L)._3} vs $d0")
+    assert(got(1L)._2 === 1L)
+    assert(math.abs(got(1L)._3 - d1) < 5e-5, s"${got(1L)._3} vs $d1")
+  }
 }
