@@ -853,6 +853,15 @@ object CorpusStats {
       s"maxMapSize=$maxMapSize too small for phi=$phi: the " +
         "no-false-negatives guarantee needs 3.5*phi < maxMapSize " +
         "(required here with 2x margin)")
+    validateHeavyCandidates(docs, heavyHitters(docs, maxMapSize), phi)
+  }
+
+  /** The shared audit tail of the frequency-sketch queries: exact heavy
+    * hitters (count·phi > n, replayable in SQL) joined against a
+    * candidate list carrying (est, lb, ub), projecting the two contract
+    * booleans the oracle expects TRUE. */
+  private def validateHeavyCandidates(docs: DataFrame, cand: DataFrame,
+      phi: Int): DataFrame = {
     val tf = CacheRegistry.tracked(docs
       .select(explode(TextAnalysis.words(col("text"))).as("item"))
       .filter(col("item") =!= "")
@@ -860,11 +869,101 @@ object CorpusStats {
     // cached: the total and the threshold filter both read the token
     // frequency table — uncached, the corpus-wide explode+agg runs twice
     val total = tf.agg(sum(col("exact_cnt")).as("n_tokens"))
-    val cand = heavyHitters(docs, maxMapSize)
     tf.crossJoin(broadcast(total))
       .filter(col("exact_cnt") * phi > col("n_tokens"))
       .join(broadcast(cand), Seq("item"), "left")
       .select(col("item"), col("exact_cnt"), col("n_tokens"),
+        col("est").isNotNull.as("reported"),
+        coalesce(col("lb") <= col("exact_cnt") &&
+          col("exact_cnt") <= col("ub"), lit(false)).as("bounds_hold"))
+  }
+
+  /** Per-batch MERGEABLE frequency state: one serialized Misra-Gries
+    * sketch (binary) plus the batch's token count per `partCol` group —
+    * the row an incremental pipeline PERSISTS per ingested batch, the
+    * frequency sibling of [[sketchState]]'s HLL rows. Parquet
+    * round-trips the bytes (ExtSpec pins store/reload/merge). */
+  def freqState(docs: DataFrame, partCol: Column,
+      maxMapSize: Int = 1024): DataFrame =
+    docs
+      .select(partCol.as("part"),
+        TextAnalysis.words(col("text")).as("ws"))
+      .groupBy(col("part"))
+      .agg(graft.plans.SketchFunctions
+          .freqSketchAgg(col("ws"), maxMapSize).as("sketch"),
+        sum(size(array_remove(col("ws"), ""))).as("n_tokens"))
+
+  /** Fold stored [[freqState]] rows into one merged candidate list:
+    * sketch union is associative and commutative (the 1000-executor
+    * tree-merge shape), and the union KEEPS both published contracts —
+    * no false negatives above the combined error line, true counts
+    * inside each candidate's [lb, ub]. Old batches are never re-read. */
+  def mergeFreqStates(states: DataFrame,
+      maxMapSize: Int = 1024): DataFrame =
+    states.agg(graft.plans.SketchFunctions
+        .freqUnionAgg(col("sketch"), maxMapSize).as("cand"),
+      sum(col("n_tokens")).as("n_tokens"))
+
+  /** SELF-VALIDATING incremental heavy-hitters audit: split the corpus
+    * into `parts` deterministic batches, sketch each INDEPENDENTLY
+    * ([[freqState]]), merge the stored states ([[mergeFreqStates]]) and
+    * check — inside the hashed result — that the merged candidate list
+    * still honors the sketch contract against the exact heavy hitters
+    * (same row set and booleans as [[heavyHittersValidated]], so a
+    * merge that lost candidacy or widened bounds past truth flips a
+    * hashed value). Unlike HLL union, a frequency-sketch merge is NOT
+    * register-lossless — candidates may differ from the whole-corpus
+    * sketch — but the error CONTRACT survives any merge order, and that
+    * contract is what this hashes. */
+  def freqMergeValidated(docs: DataFrame, parts: Int = 4,
+      maxMapSize: Int = 1024, phi: Int = 64): DataFrame = {
+    require(maxMapSize >= 7 * phi,
+      s"maxMapSize=$maxMapSize too small for phi=$phi")
+    val merged = mergeFreqStates(
+      freqState(docs, pmod(col("doc_id"), lit(parts)), maxMapSize),
+      maxMapSize)
+    val cand = merged.select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("item"), col("c.est").as("est"),
+        col("c.lb").as("lb"), col("c.ub").as("ub"))
+    validateHeavyCandidates(docs, cand, phi)
+  }
+
+  /** GROUPED heavy hitters — one bounded frequency sketch PER SOURCE
+    * (the "top tokens per domain / top domains per language" shape),
+    * self-validating like [[heavyHittersValidated]] but with the
+    * threshold applied against each source's own token mass. The
+    * sketch side is one ObjectHashAggregate keyed on source: P
+    * partitions × S sources bounded sketches merge map-side, so the
+    * exchange carries S sketches per partition at most — still no
+    * token-level shuffle. Rows: (source, item) pairs where the item
+    * holds > 1/phi of ITS source's tokens; booleans pin the per-group
+    * sketch contract. */
+  def heavyHittersBySourceValidated(docs: DataFrame,
+      maxMapSize: Int = 1024, phi: Int = 64): DataFrame = {
+    require(maxMapSize >= 7 * phi,
+      s"maxMapSize=$maxMapSize too small for phi=$phi")
+    val tf = CacheRegistry.tracked(docs
+      .select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy(col("source"), col("item"))
+      .agg(count(lit(1)).as("exact_cnt")))
+    val totals = tf.groupBy(col("source"))
+      .agg(sum(col("exact_cnt")).as("n_tokens"))
+    val cand = docs
+      .groupBy(col("source"))
+      .agg(graft.plans.SketchFunctions
+        .freqItemsAgg(TextAnalysis.words(col("text")), maxMapSize)
+        .as("cand"))
+      .select(col("source"), explode(col("cand")).as("c"))
+      .select(col("source"), col("c.item").as("item"),
+        col("c.est").as("est"), col("c.lb").as("lb"),
+        col("c.ub").as("ub"))
+    tf.join(totals, Seq("source"))
+      .filter(col("exact_cnt") * phi > col("n_tokens"))
+      .join(broadcast(cand), Seq("source", "item"), "left")
+      .select(col("source"), col("item"), col("exact_cnt"),
+        col("n_tokens"),
         col("est").isNotNull.as("reported"),
         coalesce(col("lb") <= col("exact_cnt") &&
           col("exact_cnt") <= col("ub"), lit(false)).as("bounds_hold"))

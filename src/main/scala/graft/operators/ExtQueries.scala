@@ -35,6 +35,8 @@ object ExtQueries {
   val BloomFpp = 0.01
   val HeavyHitterMapSize = 1024 // sketch counters; err ≤ 3.5n/1024
   val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
+  val FunnelSteps = Seq("view", "click", "purchase")
+  val FunnelWindow = "7 days"
   val SpanWidth = 3
   val SpanMaxDf = 4
   val NumShards = 8
@@ -622,6 +624,17 @@ object ExtQueries {
     "x_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), SessionGap)),
 
+    // Ordered 3-step funnel (view → click → purchase within 7 days of
+    // the first view): k keyed min-aggregations, no per-user sort, no
+    // window function — the ClickHouse windowFunnel shape as joins.
+    "x_funnel" -> ((s, d) =>
+      Temporal.funnel(Tables.events(s, d), FunnelSteps, FunnelWindow)),
+
+    // Daily retention cohorts anchored on first signup: the
+    // (cohort_date, day_offset) distinct-user triangle.
+    "x_retention" -> ((s, d) =>
+      Temporal.retentionCohorts(Tables.events(s, d))),
+
     // Backward as-of join: each click sees the user's most recent
     // purchase at-or-before it. Union + carry-forward window — one
     // shuffle per side, no range join.
@@ -717,6 +730,25 @@ object ExtQueries {
     // the sketch branch carries sketch bytes, never token rows.
     "x_heavy_hitters" -> ((s, d) =>
       CorpusStats.heavyHittersValidated(Tables.documents(s, d),
+        maxMapSize = HeavyHitterMapSize, phi = HeavyHitterPhi)),
+
+    // Incremental heavy hitters via MERGEABLE persisted frequency
+    // sketches: each deterministic corpus part is sketched
+    // independently (the batch-state row a pipeline persists), states
+    // merge at read time, and the hashed output proves the merged
+    // candidate list still honors the sketch contract vs the exact
+    // heavy hitters. The frequency sibling of x_sketch_merge.
+    "x_freq_merge" -> ((s, d) =>
+      CorpusStats.freqMergeValidated(Tables.documents(s, d),
+        parts = SketchParts, maxMapSize = HeavyHitterMapSize,
+        phi = HeavyHitterPhi)),
+
+    // GROUPED heavy hitters: one bounded sketch PER SOURCE (top tokens
+    // per domain), thresholds against each source's own token mass —
+    // still no token-level shuffle on the sketch side (one
+    // ObjectHashAggregate keyed on source).
+    "x_heavy_by_source" -> ((s, d) =>
+      CorpusStats.heavyHittersBySourceValidated(Tables.documents(s, d),
         maxMapSize = HeavyHitterMapSize, phi = HeavyHitterPhi)),
 
     // CCNet head/middle/tail quality tiers per language (exact ntile
@@ -1873,6 +1905,43 @@ object ExtQueries {
          |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
          |FROM s GROUP BY user_id, sess""".stripMargin,
 
+    // mirrors Temporal.funnel: same strictly-after chaining, same
+    // window anchored at t1, min aggregates throughout
+    "x_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // mirrors Temporal.retentionCohorts: first-signup cohort date,
+    // distinct active days, day-offset triangle
+    "x_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(ts::date) AS cohort_date FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, ts::date AS d FROM events)
+        |SELECT cohort_date, (d - cohort_date)::int AS day_offset,
+        |  count(DISTINCT user_id)::bigint AS n_active
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE d >= cohort_date
+        |GROUP BY 1, 2""".stripMargin,
+
     // union + carry-forward mirror of Temporal.asofJoinBackward: right
     // rows sort before left at equal ts, max r_id wins among ties
     "x_asof_join" ->
@@ -2253,6 +2322,39 @@ object ExtQueries {
          |SELECT item, exact_cnt, n_tokens,
          |  TRUE AS reported, TRUE AS bounds_hold
          |FROM tf CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // mirrors CorpusStats.freqMergeValidated: identical exact side —
+    // the split→sketch→merge path must land on the same contract rows
+    // (the x_ann_ivfpq_read same-oracle pattern)
+    "x_freq_merge" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |    AS item
+         |  FROM documents),
+         |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
+         |       WHERE item <> '' GROUP BY item),
+         |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf)
+         |SELECT item, exact_cnt, n_tokens,
+         |  TRUE AS reported, TRUE AS bounds_hold
+         |FROM tf CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // mirrors CorpusStats.heavyHittersBySourceValidated: per-source
+    // exact heavy hitters; per-group contract booleans must be TRUE
+    "x_heavy_by_source" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS item
+         |  FROM documents),
+         |tf AS (SELECT source, item, count(*)::bigint AS exact_cnt
+         |       FROM tok WHERE item <> '' GROUP BY source, item),
+         |n AS (SELECT source, sum(exact_cnt)::bigint AS n_tokens
+         |      FROM tf GROUP BY source)
+         |SELECT source, item, exact_cnt, n_tokens,
+         |  TRUE AS reported, TRUE AS bounds_hold
+         |FROM tf JOIN n USING (source)
          |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
 
     // mirrors CorpusStats.qualityBuckets: ntile(3) by (quality desc,

@@ -106,4 +106,77 @@ object Temporal {
       .select(col(keyCol), col("l_id"), col("l_ts"), col("r_id"),
         col("r_ts"))
   }
+
+  /** Ordered k-step funnel (the ClickHouse `windowFunnel` shape): per
+    * user, t₁ = earliest `steps(0)` event, and each tₖ₊₁ = earliest
+    * `steps(k)` event STRICTLY after tₖ and within `window` of t₁;
+    * `depth` = deepest step reached. Every user who opened the funnel
+    * gets a row (later steps null once the chain breaks).
+    *
+    * Shape: NO per-user sort and no window function — step k is one
+    * selective type-filter over events (at scale, a partition-pruned
+    * scan of that event type) joined to the step-(k−1) survivors and
+    * reduced with `min`, so the whole funnel is k keyed
+    * aggregations, each map-side combining on `user_id`. Per-step
+    * state is one row per surviving user; survivors shrink
+    * monotonically, so later passes join against ever-smaller (often
+    * broadcast-able) frames. All aggregates are `min` — deterministic
+    * under any partitioning. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      window: String = "7 days", userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type")
+      : DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    val s1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    // stage k carries (user, t1..tk) for users who reached step k
+    val stages = steps.zipWithIndex.drop(1)
+      .scanLeft(s1) { case (prev, (step, i)) =>
+        val carried = (1 to i).map(j => first(col(s"t$j")).as(s"t$j"))
+        val aggs = carried :+ min(col(tsCol)).as(s"t${i + 1}")
+        events.filter(col(typeCol) === step)
+          .join(prev, Seq(userCol))
+          .filter(col(tsCol) > col(s"t$i") &&
+            col(tsCol) <= col("t1") + expr(s"INTERVAL $window"))
+          .groupBy(col(userCol))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    val joined = stages.zipWithIndex.tail
+      .foldLeft(stages.head) { case (acc, (st, i)) =>
+        acc.join(st.select(col(userCol), col(s"t${i + 1}")),
+          Seq(userCol), "left")
+      }
+    // ascending fold so the DEEPEST step's check ends up outermost
+    val depth = (2 to steps.size).foldLeft(lit(1)) { (els, k) =>
+      when(col(s"t$k").isNotNull, lit(k)).otherwise(els)
+    }
+    joined.withColumn("depth", depth)
+  }
+
+  /** Daily retention cohorts: cohort = the date of each user's first
+    * `cohortType` event; a user is retained at offset d if they were
+    * active (any event) d days after their cohort date. Output is the
+    * (cohort_date, day_offset) → distinct-user matrix product
+    * analytics reads as a retention triangle.
+    *
+    * Shape: one `min` aggregate keyed on user (the cohort), one
+    * distinct over (user, date) — map-side combining collapses each
+    * user's intra-day events before the shuffle — then a keyed join
+    * and a count-distinct re-keyed on the (cohort, offset) cell. No
+    * windows, no sorts; every stage shuffles at most one row per
+    * (user, active-day). */
+  def retentionCohorts(events: DataFrame, cohortType: String = "signup",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val cohort = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val active = events
+      .select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    active.join(cohort, Seq(userCol))
+      .filter(col("d") >= col("cohort_date"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
 }

@@ -37,25 +37,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * row, no `explode`): empty strings are skipped so the stream matches
   * the `token <> ''` contract every token oracle in the suite uses.
   */
-case class FreqItemsAgg(
-    child: Expression,
-    maxMapSize: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+sealed trait FreqSketchAggBase
   extends TypedImperativeAggregate[ItemsSketch[String]]
   with UnaryLike[Expression] {
+
+  def maxMapSize: Int
 
   require(maxMapSize > 0 && (maxMapSize & (maxMapSize - 1)) == 0,
     s"maxMapSize must be a power of 2, got $maxMapSize")
 
   // not java-serializable; rebuilt per executor after plan shipping
-  @transient private lazy val serDe = new ArrayOfStringsSerDe
+  @transient protected lazy val serDe = new ArrayOfStringsSerDe
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
 
-  override def update(buffer: ItemsSketch[String], input: InternalRow)
-      : ItemsSketch[String] = {
+  override def merge(buffer: ItemsSketch[String],
+      other: ItemsSketch[String]): ItemsSketch[String] =
+    buffer.merge(other)
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(serDe)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serDe)
+
+  override def nullable: Boolean = false
+
+  protected def candidates(buffer: ItemsSketch[String]): GenericArrayData = {
+    val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    new GenericArrayData(rows.map { r =>
+      InternalRow(UTF8String.fromString(r.getItem), r.getEstimate,
+        r.getLowerBound, r.getUpperBound)
+    })
+  }
+
+  protected def updateFromTokens(buffer: ItemsSketch[String],
+      input: InternalRow): ItemsSketch[String] = {
     val arr = child.eval(input)
     if (arr != null) {
       val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -71,24 +89,20 @@ case class FreqItemsAgg(
     }
     buffer
   }
+}
 
-  override def merge(buffer: ItemsSketch[String],
-      other: ItemsSketch[String]): ItemsSketch[String] =
-    buffer.merge(other)
+/** Tokens → candidate list `array<struct<item, est, lb, ub>>`. */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends FreqSketchAggBase {
 
-  override def eval(buffer: ItemsSketch[String]): Any = {
-    val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-    new GenericArrayData(rows.map { r =>
-      InternalRow(UTF8String.fromString(r.getItem), r.getEstimate,
-        r.getLowerBound, r.getUpperBound)
-    })
-  }
+  override def update(buffer: ItemsSketch[String], input: InternalRow)
+      : ItemsSketch[String] = updateFromTokens(buffer, input)
 
-  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
-    buffer.toByteArray(serDe)
-
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(bytes), serDe)
+  override def eval(buffer: ItemsSketch[String]): Any = candidates(buffer)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -99,11 +113,78 @@ case class FreqItemsAgg(
   override protected def withNewChildInternal(newChild: Expression)
       : FreqItemsAgg = copy(child = newChild)
 
-  override def nullable: Boolean = false
-
   override def dataType: DataType = FreqItemsAgg.resultType
 
   override def prettyName: String = "graft_freq_items"
+}
+
+/** Tokens → SERIALIZED sketch (`binary`) — the persistable state form:
+  * one row per ingested batch rides parquet, exactly like the HLL
+  * `hll_sketch_agg` state rows, and [[FreqUnionAgg]] folds stored
+  * sketches back together at read time without touching the data that
+  * built them. */
+case class FreqSketchAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends FreqSketchAggBase {
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow)
+      : ItemsSketch[String] = updateFromTokens(buffer, input)
+
+  override def eval(buffer: ItemsSketch[String]): Any = serialize(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FreqSketchAgg = copy(child = newChild)
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "graft_freq_sketch"
+}
+
+/** Serialized sketches (`binary`) → merged candidate list. Merging is
+  * associative and commutative (per-counter sum with purge-offset
+  * tracking), so stored batch sketches union in any order and in a
+  * tree — and the merged sketch keeps BOTH published contracts: no
+  * false negatives above the (combined) error line, true counts inside
+  * each candidate's [lb, ub]. */
+case class FreqUnionAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends FreqSketchAggBase {
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow)
+      : ItemsSketch[String] = {
+    val bytes = child.eval(input)
+    if (bytes != null) {
+      buffer.merge(deserialize(bytes.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+
+  override def eval(buffer: ItemsSketch[String]): Any = candidates(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FreqUnionAgg = copy(child = newChild)
+
+  override def dataType: DataType = FreqItemsAgg.resultType
+
+  override def prettyName: String = "graft_freq_union"
 }
 
 object FreqItemsAgg {
@@ -120,5 +201,18 @@ object SketchFunctions {
   def freqItemsAgg(tokens: Column, maxMapSize: Int): Column =
     GraftBridge.column(
       FreqItemsAgg(GraftBridge.expression(tokens), maxMapSize)
+        .toAggregateExpression())
+
+  /** Aggregate a string-array column into a serialized frequent-items
+    * sketch (`binary`) — the persistable batch-state form. */
+  def freqSketchAgg(tokens: Column, maxMapSize: Int): Column =
+    GraftBridge.column(
+      FreqSketchAgg(GraftBridge.expression(tokens), maxMapSize)
+        .toAggregateExpression())
+
+  /** Merge serialized frequent-items sketches into one candidate list. */
+  def freqUnionAgg(sketches: Column, maxMapSize: Int): Column =
+    GraftBridge.column(
+      FreqUnionAgg(GraftBridge.expression(sketches), maxMapSize)
         .toAggregateExpression())
 }

@@ -1554,6 +1554,28 @@ class ExtSpec extends SparkSpec {
       s"token-level explode leaked into the sketch branch:\n$plan")
   }
 
+  test("grouped heavy hitters: per-source thresholds and contracts, distinct per group") {
+    // source A: "alpha" heavy only there; source B: "beta" heavy only
+    // there; a shared tail keeps both groups above trivial vocab size
+    val rows =
+      (0 until 100).map(i => (i.toLong, "A", s"alpha tailA$i x$i")) ++
+      (0 until 100).map(i => (500L + i, "B", s"beta tailB$i y$i"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val got = CorpusStats.heavyHittersBySourceValidated(df,
+        maxMapSize = 64, phi = 8)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("item")) -> r)
+      .toMap
+    assert(got.keySet === Set(("A", "alpha"), ("B", "beta")),
+      s"got ${got.keySet}")
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("exact_cnt") === 100L)
+      assert(r.getAs[Long]("n_tokens") === 300L)
+      assert(r.getAs[Boolean]("reported"))
+      assert(r.getAs[Boolean]("bounds_hold"))
+    }
+  }
+
   test("bigram xent: flags improbable token order that unigram xent cannot see") {
     // 30 docs in natural order + 1 shuffled doc with the SAME bag of
     // words: unigram stats identical, bigram stats should separate them
@@ -1570,6 +1592,100 @@ class ExtSpec extends SparkSpec {
       s"shuffled doc not flagged: ${x2(99L)} vs ${x2(0L)}")
     assert(math.abs(x1(99L) - x1(0L)) < 1e-9,
       "unigram xent should NOT separate same-bag docs")
+  }
+
+  test("freq-sketch states survive parquet and the merged contract holds under purges") {
+    // same purge-pressure corpus as the direct sketch test, but split
+    // into 5 batch states, written to parquet, reloaded, and merged —
+    // the incremental path must honor the same contract
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"alpha beta gamma tail${3 * i} tail${3 * i + 1} tail${3 * i + 2}")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-freq-state").toString + "/states"
+    CorpusStats.freqState(df, pmod($"doc_id", lit(5)), maxMapSize = 64)
+      .write.mode("overwrite").parquet(dir)
+    val states = spark.read.parquet(dir)
+    assert(states.count() === 5)
+    val merged = CorpusStats.mergeFreqStates(states, maxMapSize = 64)
+    assert(merged.select($"n_tokens").as[Long].head() === 1200L)
+    val cand = merged.select(explode($"cand").as("c"))
+      .select($"c.item".as("item"), $"c.est".as("est"),
+        $"c.lb".as("lb"), $"c.ub".as("ub"))
+      .collect().map(r => r.getAs[String]("item") -> r).toMap
+    // every true heavy item (200 each, > merged error line) is present
+    // with valid bounds
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      val r = cand.getOrElse(t, fail(s"merged sketch lost heavy item $t"))
+      assert(r.getAs[Long]("lb") <= 200L && 200L <= r.getAs[Long]("ub"),
+        s"$t bounds [${r.getAs[Long]("lb")}, ${r.getAs[Long]("ub")}]")
+    }
+    // and the full audit form is green end-to-end
+    val audit = CorpusStats.freqMergeValidated(df, parts = 5,
+      maxMapSize = 64, phi = 8).collect()
+    assert(audit.map(_.getAs[String]("item")).toSet ===
+      Set("alpha", "beta", "gamma"))
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("reported") && r.getAs[Boolean]("bounds_hold"))
+    }
+  }
+
+  test("funnel: strict step order, window cut, dropouts keep their prefix") {
+    def ev(u: Long, t: String, ty: String) = (u, t, ty)
+    val rows = Seq(
+      // u1 completes in order
+      ev(1, "2024-01-01 00:00:00", "view"),
+      ev(1, "2024-01-01 01:00:00", "click"),
+      ev(1, "2024-01-01 02:00:00", "purchase"),
+      // u2's click lands past the 7-day window → depth 1
+      ev(2, "2024-01-01 00:00:00", "view"),
+      ev(2, "2024-01-09 00:00:00", "click"),
+      // u3's purchase precedes its click → not counted → depth 2
+      ev(3, "2024-01-01 00:00:00", "view"),
+      ev(3, "2024-01-01 01:00:00", "purchase"),
+      ev(3, "2024-01-01 02:00:00", "click"),
+      // u4 never opened the funnel → no row
+      ev(4, "2024-01-01 00:00:00", "click"),
+      ev(4, "2024-01-01 01:00:00", "purchase"))
+    val df = rows.toDF("user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val got = Temporal.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L).getAs[Int]("depth") === 3)
+    assert(got(2L).getAs[Int]("depth") === 1)
+    assert(got(2L).getAs[java.sql.Timestamp]("t2") === null)
+    assert(got(3L).getAs[Int]("depth") === 2)
+    assert(got(3L).getAs[java.sql.Timestamp]("t3") === null)
+  }
+
+  test("retention cohorts: pre-signup activity excluded, offsets counted per cohort") {
+    def ev(u: Long, t: String, ty: String) = (u, t, ty)
+    val rows = Seq(
+      ev(1, "2024-01-01 08:00:00", "signup"),
+      ev(1, "2024-01-01 09:00:00", "click"),
+      ev(1, "2024-01-02 09:00:00", "view"),
+      ev(1, "2024-01-04 09:00:00", "view"),
+      ev(2, "2024-01-01 10:00:00", "signup"),
+      ev(2, "2024-01-02 11:00:00", "click"),
+      // u3 was active BEFORE signing up — that day must not count
+      ev(3, "2024-01-01 07:00:00", "view"),
+      ev(3, "2024-01-02 08:00:00", "signup"),
+      ev(3, "2024-01-03 08:00:00", "click"))
+    val df = rows.toDF("user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val got = Temporal.retentionCohorts(df)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_date").toString,
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_active"))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> 2L, // u1, u2 on signup day
+      ("2024-01-01", 1) -> 2L, // u1, u2 next day
+      ("2024-01-01", 3) -> 1L, // u1 only
+      ("2024-01-02", 0) -> 1L, // u3 signup day
+      ("2024-01-02", 1) -> 1L)) // u3 next day
   }
 
   test("bigram xent: matches hand-computed model on a tiny corpus; short docs drop") {
