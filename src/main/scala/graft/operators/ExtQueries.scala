@@ -104,6 +104,24 @@ object ExtQueries {
   /** JSONL round-trip fixture: the documents table exported as JSONL
     * plus one malformed line and one contract-violating (id-less but
     * well-formed) line, written once per dataset dir (marker-gated). */
+  private def tsvFixture(s: SparkSession, d: String): String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-tsv-${Integer.toHexString(d.hashCode)}")
+    val marker = root.resolve("_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      val data = root.resolve("data")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      graft.sources.TsvCorpus.write(Tables.documents(s, d),
+        data.toString)
+      java.nio.file.Files.write(data.resolve("bad-lines.tsv"),
+        ("notanumber\tsome text\ten\tweb\t10\n" +
+          "\twell-formed but no id\ten\tweb\t5\n")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+    }
+    root.resolve("data").toString
+  }
+
   private def jsonlFixture(s: SparkSession, d: String): String = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-jsonl-${Integer.toHexString(d.hashCode)}")
@@ -464,6 +482,19 @@ object ExtQueries {
     "x_jsonl_ingest" -> ((s, d) => {
       val (clean, quarantine) = graft.sources.JsonlCorpus.read(
         s, jsonlFixture(s, d))
+      clean.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_fp"))
+        .withColumn("n_quarantined", lit(quarantine.count()))
+    }),
+
+    // TSV ingest with the same lossless-round-trip + quarantine
+    // contract as x_jsonl_ingest but the flat-file failure modes:
+    // type-garbage lines quarantine as malformed, id-less lines as
+    // contract violations; embedded tabs/newlines survive via the
+    // line-splittable escape (no multiLine single-task scan).
+    "x_tsv_ingest" -> ((s, d) => {
+      val (clean, quarantine) = graft.sources.TsvCorpus.read(
+        s, tsvFixture(s, d))
       clean.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(col("text")).as("text_fp"))
         .withColumn("n_quarantined", lit(quarantine.count()))
@@ -2592,6 +2623,14 @@ object ExtQueries {
     // lossless round-trip: every parquet row comes back (md5 text
     // fingerprint), and exactly the 2 injected bad lines quarantine
     "x_jsonl_ingest" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp,
+        |  2::bigint AS n_quarantined
+        |FROM documents""".stripMargin,
+
+    // same lossless round-trip, TSV path: the 2 injected bad lines
+    // (type garbage + missing id) quarantine, everything else survives
+    // the escape/unescape byte-for-byte
+    "x_tsv_ingest" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp,
         |  2::bigint AS n_quarantined
         |FROM documents""".stripMargin,

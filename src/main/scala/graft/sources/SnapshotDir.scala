@@ -57,6 +57,18 @@ private[graft] object SnapshotDir {
     else Some(s"$root/${name(prefix, committed.max)}")
   }
 
+  /** Directory of a SPECIFIC committed version — the time-travel read.
+    * None if the version was never committed or has been GC'd; callers
+    * surface that as "pin expired", never silently fall back to
+    * current. */
+  def atVersion(spark: SparkSession, root: String, prefix: String,
+      v: Long): Option[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val dir = new Path(s"$root/${name(prefix, v)}")
+    if (fs.exists(new Path(dir, CommitMarker))) Some(dir.toString)
+    else None
+  }
+
   /** Next version number: above every existing dir, committed or not. */
   def next(spark: SparkSession, root: String, prefix: String): Long =
     versions(spark, root, prefix).map(_._1).foldLeft(0L)(math.max) + 1

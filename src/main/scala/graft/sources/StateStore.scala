@@ -136,6 +136,27 @@ object StateStore {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Committed state versions at `path`, ascending — what a run can pin. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    SnapshotDir.versions(spark, path, VersionPrefix)
+      .filter(_._2).map(_._1).sorted
+
+  /** Time-travel read of a PINNED state version — the reproducibility
+    * primitive: a training run records the version it consumed, and a
+    * replay reads exactly those files (the previous version survives
+    * one overwrite as the GC grace window, so "replay the run that just
+    * finished while the next one writes" always works). A pin that has
+    * aged past the grace window fails loudly — silently substituting
+    * the current state would fabricate a reproduction. */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, VersionPrefix, version) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => throw new IllegalArgumentException(
+        s"state version $version at $path is not committed or has been " +
+          "GC'd past the grace window; committed versions: " +
+          committedVersions(spark, path).mkString("[", ", ", "]"))
+    }
+
   /** S7/S8 — append-only sinks (audit log, conflict queue). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TSV corpus source/sink — the flat-file sibling of [[JsonlCorpus]]
+  * (extension track). Many public text corpora ship as tab-separated
+  * dumps; the failure modes differ from JSONL (token-count drift and
+  * type garbage instead of broken syntax), so the quarantine path is a
+  * genuinely different parser contract, not a re-export.
+  *
+  * Write contract: tabs/newlines/carriage returns inside `text` are
+  * escaped to `\t`/`\n`/`\r` sequences BEFORE the write (backslash
+  * itself doubles first), so every record is exactly one physical
+  * line. That keeps the read side line-splittable — the alternative,
+  * quoted multi-line fields with `multiLine=true`, forces Spark to
+  * read each file in ONE task, which is unusable on a 100 TB dump.
+  * NUL bytes are stripped on write (never legitimate text), which
+  * frees NUL up as the decode placeholder that keeps `\\t` (escaped
+  * backslash + literal t) from turning into a tab on read. [[read]]
+  * reverses the escaping, so the round-trip is lossless (ExtSpec pins
+  * tab/newline/backslash material through it).
+  *
+  * Read contract: explicit schema + PERMISSIVE + corrupt-record
+  * column, like the JSONL side — a line with garbage types lands in
+  * quarantine with its raw text; a line that parses but misses the id
+  * CONTRACT is quarantined too. The scan stays line-splittable and
+  * never aborts (ANSI would otherwise throw mid-crawl-dump). */
+object TsvCorpus {
+
+  val DocSchema: StructType = JsonlCorpus.DocSchema
+
+  private val Corrupt = "_corrupt_line"
+  private val Nul = "\u0000"
+
+  private def esc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, Nul, ""),
+      "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"),
+      "\r", "\\\\r")
+
+  private def unesc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "\\\\\\\\", Nul), "\\\\t", "\t"),
+      "\\\\n", "\n"), "\\\\r", "\r"), Nul, "\\\\")
+
+  /** Export a documents frame as headerless TSV, one record per line. */
+  def write(docs: DataFrame, path: String): Unit =
+    docs
+      .select(concat_ws("\t",
+        col("doc_id"), esc(col("text")), col("lang"), col("source"),
+        col("n_chars")).as("value"))
+      .write.text(path)
+
+  /** Read a TSV directory → (clean, quarantine). */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt =
+      StructType(DocSchema.fields :+ StructField(Corrupt, StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("sep", "\t")
+      .option("header", "false")
+      // the writer never quotes (plain text sink); a data field that
+      // merely STARTS with a quote char must not trigger CSV quote
+      // parsing (it would swallow tabs up to the next quote)
+      .option("quote", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .csv(path)
+    val clean = raw
+      .filter(col(Corrupt).isNull && col("doc_id").isNotNull)
+      // TSV cannot distinguish null from empty text; the contract picks
+      // "" on both sides (concat_ws already renders null as "" on write)
+      .select(col("doc_id"),
+        coalesce(unesc(col("text")), lit("")).as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val quarantine = raw
+      .filter(col(Corrupt).isNotNull || col("doc_id").isNull)
+      .select(
+        coalesce(col(Corrupt),
+          concat_ws("\t", DocSchema.fieldNames.map(col): _*))
+          .as("raw_line"),
+        when(col(Corrupt).isNotNull, "malformed tsv")
+          .otherwise("missing doc_id").as("motivo_rechazo"))
+    (clean, quarantine)
+  }
+}

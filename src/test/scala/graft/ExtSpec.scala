@@ -1631,6 +1631,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("tsv corpus: nasty text round-trips losslessly, both quarantine kinds fire") {
+    val nasty = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "tab\there and\nnewline and\rcr", "en", "web", 26L),
+      (3L, "literal backslash \\ and \\t sequence and \\\\n", "en",
+        "web", 43L),
+      (4L, "", "en", "web", 0L),
+      (5L, "\"starts with a quote\tand has tabs\" inside", "en",
+        "web", 41L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tsv-spec").toString + "/data"
+    graft.sources.TsvCorpus.write(
+      nasty.toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.tsv"),
+      "xyz\tgarbage id\ten\tweb\t1\n\tno id\ten\tweb\t2\n".getBytes("UTF-8"))
+    val (clean, quarantine) = graft.sources.TsvCorpus.read(spark, dir)
+    // every written record is one physical line (line-splittable scan)
+    val lines = clean.count()
+    assert(lines === 5)
+    val got = clean.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    nasty.foreach { case (id, text, _, _, _) =>
+      assert(got(id) === text, s"doc $id round-trip")
+    }
+    val q = quarantine.collect()
+      .map(r => r.getAs[String]("motivo_rechazo"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(q === Map("malformed tsv" -> 1, "missing doc_id" -> 1))
+  }
+
   test("funnel: strict step order, window cut, dropouts keep their prefix") {
     def ev(u: Long, t: String, ty: String) = (u, t, ty)
     val rows = Seq(

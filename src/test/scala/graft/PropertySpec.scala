@@ -110,6 +110,130 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel agrees with the greedy per-user reference on arbitrary event streams") {
+    val minutes7d = 7L * 24 * 60
+    val steps = Seq("view", "click", "purchase")
+    val userEvents = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, for {
+        ty <- Gen.frequency(3 -> "view", 3 -> "click", 2 -> "purchase",
+          2 -> "error")
+        m <- Gen.chooseNum(0L, 20000L) // ~14 days of minutes
+      } yield (ty, m)))
+    val perUser = sample(userEvents, 40, seed = 29L).zipWithIndex
+      .map { case (evs, u) => (u.toLong, evs) }
+    // greedy reference: t1 = min step-1 time; each next step = min
+    // occurrence strictly after the previous and within the window
+    def refDepth(evs: List[(String, Long)]): Option[Int] = {
+      val t1 = evs.collect { case ("view", m) => m } match {
+        case Nil => return None
+        case ms => ms.min
+      }
+      var prev = t1
+      var depth = 1
+      for (st <- steps.drop(1)) {
+        val nxt = evs.collect {
+          case (`st`, m) if m > prev && m <= t1 + minutes7d => m
+        }
+        if (nxt.nonEmpty && depth == steps.indexOf(st)) {
+          prev = nxt.min; depth += 1
+        }
+      }
+      Some(depth)
+    }
+    val rows = perUser.flatMap { case (u, evs) =>
+      evs.map { case (ty, m) => (u, ty, m) }
+    }
+    val df = rows.toDF("user_id", "event_type", "m")
+      .select($"user_id", $"event_type",
+        ($"m" * 60).cast("timestamp").as("ts"))
+    val got = graft.operators.Temporal.funnel(df, steps)
+      .collect().map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    perUser.foreach { case (u, evs) =>
+      refDepth(evs) match {
+        case None => assert(!got.contains(u), s"user $u should have no row")
+        case Some(d) => assert(got.get(u) === Some(d),
+          s"user $u: got ${got.get(u)}, reference $d (events $evs)")
+      }
+    }
+  }
+
+  test("retention offset-0 cell equals the cohort's size on arbitrary streams") {
+    val userEvents = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, for {
+        ty <- Gen.frequency(2 -> "signup", 5 -> "view")
+        day <- Gen.chooseNum(0, 20)
+      } yield (ty, day)))
+    val perUser = sample(userEvents, 60, seed = 31L).zipWithIndex
+      .map { case (evs, u) => (u.toLong, evs) }
+    val rows = perUser.flatMap { case (u, evs) =>
+      evs.map { case (ty, d) => (u, ty, d) }
+    }
+    val df = rows.toDF("user_id", "event_type", "day")
+      .select($"user_id", $"event_type",
+        ($"day" * 86400L).cast("timestamp").as("ts"))
+    val got = graft.operators.Temporal.retentionCohorts(df)
+      .collect().map(r =>
+        (r.getAs[java.sql.Date]("cohort_date").toString,
+          r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_active"))
+      .toMap
+    assert(got.keys.forall(_._2 >= 0), "negative day offset emitted")
+    // each user's signup event itself makes them active at offset 0,
+    // so the offset-0 cell is exactly the cohort's membership count
+    val cohorts = perUser.flatMap { case (u, evs) =>
+      evs.collect { case ("signup", d) => d } match {
+        case Nil => None
+        case ds => Some(u -> ds.min)
+      }
+    }
+    cohorts.groupBy(_._2).foreach { case (day, members) =>
+      val date = java.time.LocalDate.ofEpochDay(day.toLong).toString
+      assert(got.get((date, 0)) === Some(members.size.toLong),
+        s"cohort $date offset 0")
+    }
+  }
+
+  test("heavy-hitter contract holds on skewed random corpora") {
+    val word = Gen.frequency(
+      8 -> Gen.oneOf("hot1", "hot2"),
+      3 -> Gen.oneOf("warm1", "warm2", "warm3"),
+      5 -> Gen.chooseNum(0, 5000).map(i => s"cold$i"))
+    val doc = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(doc, 250, seed = 37L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = rows.toDF("doc_id", "text")
+    val got = CorpusStats.heavyHittersValidated(df, maxMapSize = 256,
+      phi = 16).collect()
+    val counts = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum
+    val expect = counts.filter { case (_, c) => c * 16 > n }.keySet
+    assert(got.map(_.getAs[String]("item")).toSet === expect)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("reported"), s"$r")
+      assert(r.getAs[Boolean]("bounds_hold"), s"$r")
+      assert(r.getAs[Long]("exact_cnt") ===
+        counts(r.getAs[String]("item")))
+    }
+  }
+
+  test("bigram xent is nonnegative and finite on arbitrary word material") {
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val doc = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(doc, 200, seed = 41L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = rows.toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(df)
+      .as[(Long, Long, Double)].collect()
+    val expectRows = rows.count(_._2.split(" ").count(_.nonEmpty) >= 2)
+    assert(got.length === expectRows, "one row per doc with >= 1 bigram")
+    got.foreach { case (id, nBig, x) =>
+      assert(nBig >= 1, s"doc $id")
+      // B <= U(w1) and 0.5 <= 0.5V force P <= 1, so -ln P >= 0
+      assert(!x.isNaN && !x.isInfinite && x >= 0.0, s"doc $id: $x")
+    }
+  }
+
   test("split assignment is total and in-range for arbitrary ids") {
     val ids = sample(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 300,
       seed = 23L)

@@ -154,6 +154,29 @@ class StateStoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("time travel: a pinned version replays while the next writes, then expires loudly") {
+    val dir = tmpDir() + "/state"
+    def snap(tag: String) = Seq(("F1", tag)).toDF("folio", "cliente")
+    StateStore.overwrite(snap("v1"), dir)
+    StateStore.overwrite(snap("v2"), dir)
+    val vs = StateStore.committedVersions(spark, dir)
+    assert(vs === Seq(1L, 2L))
+    // the previous version is still replayable (GC grace window = 1)
+    assert(StateStore.readAt(spark, dir, 1L)
+      .select($"cliente").as[String].head() === "v1")
+    assert(StateStore.readAt(spark, dir, 2L)
+      .select($"cliente").as[String].head() === "v2")
+    // one more overwrite ages v1 out...
+    StateStore.overwrite(snap("v3"), dir)
+    assert(StateStore.committedVersions(spark, dir) === Seq(2L, 3L))
+    // ...and an expired pin FAILS, never silently reads current
+    val e = intercept[IllegalArgumentException] {
+      StateStore.readAt(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("GC'd") ||
+      e.getMessage.contains("not committed"))
+  }
+
   test("S1 month layout: window read prunes partitions") {
     val dir = tmpDir() + "/sales"
     val sales = graft.operators.ScalarQueries.sales(spark, sf0001)
