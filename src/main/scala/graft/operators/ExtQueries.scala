@@ -37,6 +37,8 @@ object ExtQueries {
   val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
+  val RpDim = 32 // JL-reduced dimensionality (64 → 32)
+  val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
   val SpanMaxDf = 4
   val NumShards = 8
@@ -411,6 +413,17 @@ object ExtQueries {
     // Product-quantization ADC ANN (the faiss IVFPQ code path): m
     // bytes per vector, search via a broadcast query LUT joined on
     // (subspace, code), exact re-rank of the shortlist. Deterministic
+    // The dimensionality rung of the ANN ladder: JL sign-matrix
+    // reduction 64→32, brute shortlist in the reduced space (2× less
+    // memory bandwidth per comparison), exact cosine refine — the
+    // PCA/OPQ pre-transform made engine-replayable.
+    "x_ann_rp_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.rpRefineTopK(
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        rDim = RpDim, shortlist = RpShortlist, dim = EmbeddingDim)
+    }),
+
     // sampled codebooks so the oracle rebuilds the index exactly.
     "x_ann_pq_adc" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1746,6 +1759,43 @@ object ExtQueries {
          |  FROM c JOIN q ON c.bucket = q.bucket WHERE query_id <> match_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
+
+    // mirrors Similarity.rpRefineTopK: same "r{j}#{i}" md5 sign matrix,
+    // same sequential reduced dot (list kernels evaluate left-to-right,
+    // matching the codegen'd DotProduct loop), same round-6 shortlist
+    // cut and exact-cosine refine
+    "x_ann_rp_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |r AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, $RpDim), j ->
+         |      list_sum(list_transform(range(0, $EmbeddingDim), i ->
+         |        v[i + 1] * CASE WHEN (('0x' || substr(md5('r' ||
+         |            j::varchar || '#' || i::varchar), 1, 15))::bigint
+         |            & 1) = 1
+         |          THEN 1.0 ELSE -1.0 END))) AS rv
+         |  FROM e),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, r.rv AS qr
+         |      FROM e JOIN r USING (vec_id)
+         |      WHERE e.vec_id % $QueryMod = 0),
+         |c AS (SELECT e.vec_id AS match_id, e.v AS cv, r.rv AS cr
+         |      FROM e JOIN r USING (vec_id)),
+         |cand AS (
+         |  SELECT query_id, match_id, qv, cv,
+         |    round(list_dot_product(qr, cr), 6) AS rp
+         |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+         |short AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rp DESC, match_id) AS rrank
+         |  FROM cand),
+         |scored AS (SELECT query_id, match_id,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM short WHERE rrank <= $RpShortlist),
+         |ranked AS (SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
          |  FROM scored)
          |SELECT query_id, match_id, cos, rank FROM ranked

@@ -119,6 +119,80 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Deterministic ±1 sign for the random-projection matrix — an
+    * independent md5 family ("r…", vs the hyperplanes' "p…"), same
+    * SQL-replayable construction as [[planeSign]]. */
+  private[operators] def rpSign(j: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"r$j#$i".getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss reduction of a raw vector to `rDim` signed
+    * sums: component j = dot(v, signs_j), signs a constant ±1 matrix.
+    * Each component is one codegen'd dot product against a literal
+    * array — per row, rDim sequential passes, no shuffle, no UDF. */
+  private[operators] def rpReduce(vec: Column, rDim: Int,
+      dim: Int): Column = {
+    val v = dimChecked(vec.cast("array<double>"), dim)
+    array((0 until rDim).map { j =>
+      val signs = lit((0 until dim).map(i => rpSign(j, i)).toArray)
+      graft.plans.VectorExpressions.dotProduct(v, signs)
+    }: _*)
+  }
+
+  /** ANN via RANDOM-PROJECTION candidate generation + exact refine —
+    * the dimensionality rung of the approximation ladder (SQ8 shrinks
+    * precision, PQ shrinks to codes; this shrinks DIMENSION, the
+    * faiss-style PCA/OPQ pre-transform with a JL sign matrix instead of
+    * a trained rotation, so an external engine replays it exactly).
+    *
+    * Candidates: brute top-`shortlist` by dot product in the reduced
+    * space — dim/rDim (here 2×) less memory bandwidth per comparison,
+    * the term that dominates brute scans at corpus scale; JL keeps
+    * relative dots approximately, so the true neighbors land in the
+    * shortlist with high probability (recall vs exact is spec-gated).
+    * Refine: the shortlist re-ranks by exact cosine over the raw
+    * vectors, so final ranks among surfaced candidates are exact (the
+    * SQ8-refine discipline). The reduced corpus is also the natural
+    * input for the OTHER rungs — bucket or cluster the 16-dim vectors
+    * instead of brute-scanning them — which is how this composes at
+    * 100 TB; the brute reduced scan here isolates the rung itself. */
+  def rpRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rDim: Int = 32, shortlist: Int = 150, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = fanOut(queries)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qr", rpReduce(col("qv"), rDim, dim))
+    val c = CacheRegistry.tracked(fanOut(corpus)
+      .select(col(idCol).as("match_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cr", rpReduce(col("cv"), rDim, dim)))
+    // cached: the reduced scan feeds the shortlist, the raw vectors the
+    // refine join — uncached the projection runs twice over the corpus
+    val cand = c.select(col("match_id"), col("cr"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qr"))))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("cr"), col("qr")), 6).as("rp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rp").desc, col("match_id"))
+    val short = cand.withColumn("rrank", row_number().over(w))
+      .filter(col("rrank") <= shortlist)
+      .select(col("query_id"), col("match_id"))
+    val scored = short
+      .join(c.select(col("match_id"), col("cv")), Seq("match_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        round(cosRaw(col("qv"), col("cv")), 6).as("cos"))
+    topK(scored, k)
+  }
+
   /** ANN top-k via LSH buckets (exact-bucket probe): rank within the
     * query's bucket. Trades recall for touching only the bucket's corpus
     * slice — the 100 TB path. */

@@ -156,6 +156,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("random-projection refine: recall-gated vs brute force, deterministic") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .select($"query_id", $"match_id").as[(Long, Long)].collect().toSet
+    val rp = Similarity.rpRefineTopK(q, e, 10, rDim = 32,
+        shortlist = 150)
+      .select($"query_id", $"match_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    val perQuery = rp.groupBy(_._1)
+    assert(perQuery.values.forall(_.length === 10))
+    rp.foreach { case (qid, m, _) => assert(qid !== m) }
+    // JL 64→32 with a 150-candidate shortlist must surface most of the
+    // true top-10 (the rung's whole claim; this synthetic corpus is
+    // near-uniform — JL's hardest case — observed 0.86). Gate leaves
+    // headroom so distribution noise can't flake it.
+    val recall = rp.count { case (qid, m, _) =>
+      brute.contains((qid, m)) }.toDouble / brute.size
+    assert(recall >= 0.75, s"recall $recall")
+    // deterministic: the sign matrix is content-addressed, the cuts are
+    // totally ordered — a second run is identical
+    val again = Similarity.rpRefineTopK(q, e, 10, rDim = 32,
+        shortlist = 150)
+      .select($"query_id", $"match_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(rp.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("k-means IVF recall is quality-gated against brute force") {
     // A clustered corpus (8 well-separated centers + small noise) — the
     // regime IVF is FOR: trained centroids must place a query's true
