@@ -646,6 +646,67 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** FULL BPE tokenizer training: learn the first `nMerges` merges
+    * (Sennrich et al. 2016), not just [[bpePairCounts]]'s single-step
+    * statistic. Output: one row per merge — `(merge_rank, left, right,
+    * cnt)`, where `cnt` is the pair's corpus frequency at the moment it
+    * was chosen (ties break by pair text, so training is a total order
+    * and deterministic across engines; the max count is provably
+    * non-increasing in rank, which the spec pins).
+    *
+    * Scale shape: the corpus is touched ONCE — collapsed to its
+    * word-frequency table by a map-side-combining shuffle. Every
+    * iteration after that runs on the VOCABULARY alone: adjacent-pair
+    * explode (≤ vocab × word length rows), one aggregate, a 1-row
+    * TakeOrdered argmax, and a broadcast of that single row into the
+    * codegen'd [[graft.plans.TextExpressions.bpeMergePair]] rewrite of
+    * the symbol arrays. No corpus-sized work per merge, no driver-side
+    * data collect — the argmax row stays a broadcast plan node, so at
+    * 100 TB each merge costs a vocab-table pass regardless of corpus
+    * size. Vocab state is cached per iteration (lineage would otherwise
+    * deepen by one rewrite per merge). */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val wf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = CacheRegistry.tracked(
+      wf.select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms")))
+    val merges = Seq.newBuilder[DataFrame]
+    (1 to nMerges).foreach { rank =>
+      val pairs = vocab
+        // fully-merged words have one symbol left: no pairs (Spark's
+        // sequence(0, -1) would otherwise count DOWN)
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = CacheRegistry.tracked(
+        pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .withColumn("merge_rank", lit(rank)))
+      merges += best
+      if (rank < nMerges)
+        vocab = CacheRegistry.tracked(
+          vocab
+            .crossJoin(broadcast(
+              best.select(col("l").as("ml"), col("r").as("mr"))))
+            .select(col("freq"),
+              graft.plans.TextExpressions
+                .bpeMergePair(col("syms"), col("ml"), col("mr"))
+                .as("syms")))
+    }
+    merges.result().reduce(_.unionByName(_))
+      .select(col("merge_rank"), col("l").as("left"),
+        col("r").as("right"), col("cnt"))
+  }
+
   /** Sketch-based corpus profile — the 100 TB shape of [[sourceStats]].
     *
     * The exact per-source stats cost a distinct-level shuffle plus a

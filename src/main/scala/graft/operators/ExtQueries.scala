@@ -37,6 +37,7 @@ object ExtQueries {
   val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
+  val BpeTrainMerges = 8 // learned merge count for x_bpe_train
   val RpDim = 32 // JL-reduced dimensionality (64 → 32)
   val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
@@ -811,6 +812,13 @@ object ExtQueries {
     "x_bpe_pairs" -> ((s, d) =>
       CorpusStats.bpePairCounts(Tables.documents(s, d), BpePairTopK)),
 
+    // FULL BPE training: the first N learned merges (argmax pair per
+    // iteration, symbol arrays rewritten by the codegen'd merge
+    // kernel). Corpus touched once; every iteration is vocab-sized.
+    "x_bpe_train" -> ((s, d) =>
+      CorpusStats.bpeTrainMerges(Tables.documents(s, d),
+        BpeTrainMerges)),
+
     // RAG indexing chunks: overlapping word windows, one row per chunk
     // with a content fingerprint — pure per-row explode, scan speed.
     "x_chunk_windows" -> ((s, d) =>
@@ -1206,6 +1214,66 @@ object ExtQueries {
     * (argmax assign → decimal-sum per-dim means → decimal normalizer →
     * round-6 unit centroids). Ends in `lcents<iters>`; expects `corp`
     * in scope. */
+  /** Unrolled BPE-training oracle: one CTE stage per merge. Stage r
+    * picks the argmax adjacent pair `b{r}` (same tie-break as the
+    * Spark TakeOrdered: count desc, then pair text), and — for every
+    * stage but the last — rewrites the symbol table via a RECURSIVE
+    * merge-first-occurrence-until-fixpoint CTE `m{r}` (provably equal
+    * to the kernel's greedy left-to-right pass: the merged pair cannot
+    * recur through its own fused token). Non-recursive stages are
+    * MATERIALIZED — without the hint DuckDB re-inlines each stage into
+    * every later one and the chain goes exponential (11 s → 0.2 s at
+    * sf0.01). */
+  private def bpeTrainSql(n: Int): String = {
+    val seed =
+      """wf AS MATERIALIZED (
+        |  SELECT w, count(*)::bigint AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' AND length(w) >= 2 GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+        |  FROM wf)""".stripMargin
+    val stages = (1 to n).map { r =>
+      val argmax =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r,
+           |    sum(freq)::bigint AS cnt
+           |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+           |        FROM s${r - 1})
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)"""
+          .stripMargin
+      val rewrite =
+        s"""m$r AS (
+           |  SELECT w, freq, syms FROM s${r - 1}
+           |  UNION ALL
+           |  SELECT w, freq,
+           |    syms[1:idx - 1] || [syms[idx] || syms[idx + 1]]
+           |      || syms[idx + 2:]
+           |  FROM (
+           |    SELECT m.w, m.freq, m.syms,
+           |      list_filter(range(1, len(m.syms)),
+           |        i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] AS idx
+           |    FROM m$r m, b$r b)
+           |  WHERE idx IS NOT NULL),
+           |s$r AS MATERIALIZED (
+           |  SELECT m.w, m.freq, m.syms FROM m$r m, b$r b
+           |  WHERE list_filter(range(1, len(m.syms)),
+           |    i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] IS NULL)"""
+          .stripMargin
+      if (r < n) s"$argmax,\n$rewrite" else argmax
+    }
+    val sel = (1 to n)
+      .map(r => s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
+                   |  cnt FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    "WITH RECURSIVE " + (seed +: stages).mkString(",\n") + "\n" + sel
+  }
+
   private def lloydCentsSql(iters: Int): String = {
     val seed =
       s"""lcents0 AS (
@@ -2514,6 +2582,11 @@ object ExtQueries {
          |SELECT pair, sum(freq)::bigint AS cnt FROM pairs
          |GROUP BY pair ORDER BY cnt DESC, pair
          |LIMIT $BpePairTopK""".stripMargin,
+
+    // mirrors CorpusStats.bpeTrainMerges: same tokenization as
+    // x_bpe_pairs, same (cnt desc, pair) argmax, recursive rewrite per
+    // stage (= the kernel's greedy left-to-right pass)
+    "x_bpe_train" -> bpeTrainSql(BpeTrainMerges),
 
     // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
     // `width` words; list_slice's inclusive end = Spark slice's length

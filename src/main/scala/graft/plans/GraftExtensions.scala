@@ -50,7 +50,8 @@ object VectorFusion extends Rule[LogicalPlan] {
   * the [[VectorFusion]] optimizer rule plus SQL-callable functions —
   * `graft_dot(a, b)` (min-length raw dot, [[DotProduct]]),
   * `graft_zip_dot(a, b)` (HOF-equivalent NULL semantics, [[ZipDot]]),
-  * `graft_shingles(text, n)` ([[WordShingles]]) and
+  * `graft_shingles(text, n)` ([[WordShingles]]),
+  * `graft_bpe_merge(syms, l, r)` ([[BpeMergePair]]) and
   * `graft_deflate_ratio(text)` ([[DeflateRatio]]) — the text kernels a
   * SQL-only user needs for dedup candidate work and repetition
   * filtering without touching the Scala API. */
@@ -90,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WordShingles(children.head, n)
         case other => throw new IllegalArgumentException(
           s"graft_shingles(text, n): n must be an integer literal, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergePair].getName, "graft_bpe_merge"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_bpe_merge(syms, l, r)", 3)(children)
+        BpeMergePair(c.head, c(1), c(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_deflate_ratio"),

@@ -257,6 +257,29 @@ object TextKernels {
     } finally d.reset() // reusable for the next row even after a throw
   }
 
+  /** Greedy left-to-right single-pass application of one BPE merge
+    * `(l, r) → l+r` over a symbol array (non-overlapping: after a
+    * merge the scan resumes AFTER the merged token). Equivalent to
+    * merge-first-occurrence-until-fixpoint — the (l, r) pair can never
+    * recur THROUGH a merged token, since `l+r = l` needs an empty `r`
+    * and `l+r = r` an empty `l` — which is what the DuckDB oracle's
+    * recursive rewrite computes. */
+  def bpeMergePair(syms: ArrayData, l: UTF8String,
+      r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (i + 1 < n && l.equals(syms.getUTF8String(i)) &&
+          r.equals(syms.getUTF8String(i + 1))) {
+        out(m) = UTF8String.concat(l, r); i += 2
+      } else { out(m) = syms.getUTF8String(i); i += 1 }
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
 }
 
 /** Codegen'd word n-gram shingle set (distinct, first-occurrence order) —
@@ -452,6 +475,41 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
       newChild: Expression): DeflateRatio = copy(child = newChild)
 }
 
+/** Codegen'd single-merge BPE rewrite of a symbol array: every
+  * left-to-right non-overlapping occurrence of the adjacent pair
+  * `(l, r)` becomes the fused symbol `l+r`. The pair arrives as
+  * ordinary (runtime) expressions so the training loop can feed it
+  * from the broadcast argmax row — no per-iteration literal plans. */
+case class BpeMergePair(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge_pair expects (array<string>, string, string), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override protected def nullSafeEval(syms: Any, l: Any, r: Any): Any =
+    TextKernels.bpeMergePair(syms.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, l, r) =>
+      s"${ev.value} = graft.plans.TextKernels.bpeMergePair($s, $l, $r);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeMergePair =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextExpressions {
   /** All i<j pairs of a sorted `array<bigint>` as `array<struct<a,b>>`. */
   def pairCombos(ids: Column): Column =
@@ -481,4 +539,9 @@ object TextExpressions {
   /** Codegen'd deflate compression ratio of a string column. */
   def deflateRatio(text: Column): Column =
     GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
+
+  /** Codegen'd single-merge BPE rewrite of a symbol-array column. */
+  def bpeMergePair(syms: Column, l: Column, r: Column): Column =
+    GraftBridge.column(BpeMergePair(GraftBridge.expression(syms),
+      GraftBridge.expression(l), GraftBridge.expression(r)))
 }

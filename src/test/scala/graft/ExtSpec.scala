@@ -974,6 +974,36 @@ class ExtSpec extends SparkSpec {
     assert(got === Map("ab" -> 3L, "bc" -> 2L))
   }
 
+  test("bpe training learns merges in argmax order with exact counts") {
+    // hand-computed: abab×2 + aab×3 + bb×1.
+    // pairs: ab = 2·2 + 3 = 7, aa = 3, ba = 2, bb = 1 → merge 1 (a,b,7).
+    // after: [ab,ab]×2, [a,ab]×3, [b,b]×1 → (a,ab) = 3 beats
+    // (ab,ab) = 2 ('a' < 'ab' never ties here; counts differ) →
+    // merge 2 (a,ab,3); then (ab,ab) = 2 → merge 3 fuses to abab.
+    val d = Seq((0L, "abab abab aab aab aab bb"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bpeTrainMerges(d, 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 7L), (2, "a", "ab", 3L),
+      (3, "ab", "ab", 2L)))
+    // greedy left-to-right non-overlap in the kernel: aaaa + (a,a)
+    // must give [aa][aa], never [a][aa][a]
+    val syms = spark.range(1)
+      .select(graft.plans.TextExpressions.bpeMergePair(
+        split(lit("a a a a"), " "), lit("a"), lit("a")).as("s"))
+      .as[Seq[String]].head()
+    assert(syms === Seq("aa", "aa"))
+    // real corpus: chosen counts never increase with rank (merging
+    // only removes occurrences of existing pairs, and a new pair's
+    // occurrences each witness one merged-pair occurrence)
+    val real = CorpusStats.bpeTrainMerges(
+      Tables.documents(spark, sf0001), 6)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect()
+    assert(real.length === 6)
+    assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("ivfpq served from the persisted index replays the in-query build") {
     val e = Tables.embeddings(spark, sf0001)
     val path = java.nio.file.Files

@@ -63,6 +63,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) < 0.05)
   }
 
+  test("graft_bpe_merge is SQL-callable and validates arity") {
+    val r = ext.sql(
+      """SELECT graft_bpe_merge(array('a', 'b', 'a', 'b'), 'a', 'b') AS m
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) === Seq("ab", "ab"))
+    val e = intercept[Exception](
+      ext.sql("SELECT graft_bpe_merge(array('a'), 'a')").collect())
+    assert(e.getMessage.contains("graft_bpe_merge"))
+  }
+
   test("VectorFusion rewrites the HOF dot pattern into ZipDot") {
     val df = vecs(ext).select(hofDot.as("d"))
     val optimized = df.queryExecution.optimizedPlan.toString
