@@ -62,15 +62,23 @@ class StreamingSyncSpec extends SparkSpec {
   test("stateful first-wins dedup drops duplicates across micro-batches") {
     val dir = tmp()
     val in = s"$dir/in"
-    // batch 1: F1 twice (ord 1 wins in-batch), F2 once
-    Seq((1L, "F1", 10.0), (2L, "F1", 20.0), (3L, "F2", 30.0))
-      .toDF("ord", "folio", "monto").coalesce(1)
-      .write.mode("append").parquet(in)
-    Thread.sleep(1100) // file-source batches order by mod time
-    // batch 2: F1 re-delivered (must be dropped by state), F3 new
-    Seq((4L, "F1", 40.0), (5L, "F3", 50.0))
-      .toDF("ord", "folio", "monto").coalesce(1)
-      .write.mode("append").parquet(in)
+    // batch 1: F1 twice (ord 1 wins in-batch), F2 once; batch 2: F1
+    // re-delivered (must be dropped by state), F3 new. Processing
+    // order pinned by explicit monotone mtimes, not wall-clock sleeps
+    // (the writeOrderedBatches discipline).
+    val inDir = new java.io.File(in)
+    var seen = Set.empty[String]
+    Seq(Seq((1L, "F1", 10.0), (2L, "F1", 20.0), (3L, "F2", 30.0)),
+      Seq((4L, "F1", 40.0), (5L, "F3", 50.0)))
+      .zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("ord", "folio", "monto").coalesce(1)
+          .write.mode("append").parquet(in)
+        val now = inDir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        (now -- seen).foreach(n => new java.io.File(inDir, n)
+          .setLastModified(1700000000000L + i * 60000L))
+        seen = now
+      }
 
     val stream = spark.readStream
       .schema(spark.read.parquet(in).schema)
