@@ -658,27 +658,52 @@ object CorpusStats {
     * word-frequency table by a map-side-combining shuffle. Every
     * iteration after that runs on the VOCABULARY alone: adjacent-pair
     * explode (≤ vocab × word length rows), one aggregate, a 1-row
-    * TakeOrdered argmax, and a broadcast of that single row into the
-    * codegen'd [[graft.plans.TextExpressions.bpeMergePair]] rewrite of
-    * the symbol arrays. No corpus-sized work per merge, no driver-side
-    * data collect — the argmax row stays a broadcast plan node, so at
-    * 100 TB each merge costs a vocab-table pass regardless of corpus
-    * size. Vocab state is cached per iteration (lineage would otherwise
-    * deepen by one rewrite per merge). */
+    * TakeOrdered argmax collected to the driver (bounded metadata — one
+    * pair per merge), applied as literals in the codegen'd
+    * [[graft.plans.TextExpressions.bpeMergePair]] rewrite of the symbol
+    * arrays. No corpus-sized work per merge — at 100 TB each merge
+    * costs a vocab-table pass regardless of corpus size. Vocab state is
+    * cached per iteration, and lineage stays LINEAR in the merge count
+    * (see [[bpeTrainLoop]] for why that matters). */
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainLoop(docs, nMerges, textCol)._1
+      .toDF("merge_rank", "left", "right", "cnt")
+  }
+
+  /** The shared training loop: returns (merge table, final vocabulary).
+    * The vocabulary row keeps the original word so encoders can join
+    * against it — (w, freq, syms) with `syms` the word's symbols after
+    * ALL `nMerges` rewrites.
+    *
+    * Each iteration's argmax is a 1-row `collect` (bounded metadata,
+    * the same class as the IVF probed-list ids) whose pair is applied
+    * as LITERALS — so the vocab plan deepens by ONE projection per
+    * merge. The first cut of this loop kept the argmax as a broadcast
+    * plan node instead; that makes vocab_r's plan contain both
+    * vocab_{r-1} and the argmax-over-vocab_{r-1} subtree, i.e. the
+    * logical plan DOUBLES per merge — execution was fine (caches), but
+    * plan stringification/canonicalization went exponential and a
+    * 2^8-node tree wedged the driver for minutes. Iterative algorithms
+    * must keep lineage linear in the iteration count. */
+  private def bpeTrainLoop(docs: DataFrame, nMerges: Int,
+      textCol: String): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val wf = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var vocab = CacheRegistry.tracked(
-      wf.select(col("freq"),
+      wf.select(col("w"), col("freq"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms")))
-    val merges = Seq.newBuilder[DataFrame]
-    (1 to nMerges).foreach { rank =>
-      val pairs = vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = vocab
         // fully-merged words have one symbol left: no pairs (Spark's
         // sequence(0, -1) would otherwise count DOWN)
         .filter(size(col("syms")) >= 2)
@@ -688,23 +713,53 @@ object CorpusStats {
               element_at(col("syms"), i + 2).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val best = CacheRegistry.tracked(
-        pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-          .withColumn("merge_rank", lit(rank)))
-      merges += best
-      if (rank < nMerges)
-        vocab = CacheRegistry.tracked(
-          vocab
-            .crossJoin(broadcast(
-              best.select(col("l").as("ml"), col("r").as("mr"))))
-            .select(col("freq"),
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect() // 1 row: the chosen merge — bounded metadata
+      best.headOption match {
+        case None => exhausted = true // vocabulary fully merged
+        case Some(row) =>
+          val (l, r, cnt) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, l, r, cnt))
+          vocab = CacheRegistry.tracked(
+            vocab.select(col("w"), col("freq"),
               graft.plans.TextExpressions
-                .bpeMergePair(col("syms"), col("ml"), col("mr"))
-                .as("syms")))
+                .bpeMergePair(col("syms"), lit(l), lit(r)).as("syms")))
+          rank += 1
+      }
     }
-    merges.result().reduce(_.unionByName(_))
-      .select(col("merge_rank"), col("l").as("left"),
-        col("r").as("right"), col("cnt"))
+    (merges.result(), vocab)
+  }
+
+  /** BPE ENCODE with the vocabulary the training loop produced: every
+    * document's words join (broadcast — the vocab is dimension-sized)
+    * against their fully-merged symbol sequences; out-of-vocabulary
+    * words (length-1, never trained) tokenize as themselves. Output:
+    * per-doc word count, learned-subword count, and an order-exact
+    * fingerprint of the token stream.
+    *
+    * Scale shape: training amortizes across every corpus this merge
+    * table encodes; the encode itself is one corpus-sized word explode,
+    * a broadcast hash join (no shuffle), and one per-doc aggregate (one
+    * shuffle on doc_id). The in-order fingerprint reassembles from
+    * (position, syms) structs — per-doc sort_array over tokens-per-doc
+    * elements, never a global sort. */
+  def bpeEncode(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = bpeTrainLoop(docs, nMerges, textCol)._2
+    val ws = docs
+      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol)))
+        .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    ws.join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"),
+        "left")
+      .withColumn("toks", coalesce(col("syms"), array(col("w"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_subwords"),
+        md5(concat_ws(" ", flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("toks")))),
+          x => x.getField("toks"))))).as("token_fp"))
   }
 
   /** Sketch-based corpus profile — the 100 TB shape of [[sourceStats]].

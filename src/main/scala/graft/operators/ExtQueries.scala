@@ -819,6 +819,12 @@ object ExtQueries {
       CorpusStats.bpeTrainMerges(Tables.documents(s, d),
         BpeTrainMerges)),
 
+    // BPE ENCODE with the trained vocabulary: corpus word explode,
+    // broadcast vocab join, per-doc aggregate with an order-exact
+    // token-stream fingerprint.
+    "x_bpe_encode" -> ((s, d) =>
+      CorpusStats.bpeEncode(Tables.documents(s, d), BpeTrainMerges)),
+
     // RAG indexing chunks: overlapping word windows, one row per chunk
     // with a content fingerprint — pure per-row explode, scan speed.
     "x_chunk_windows" -> ((s, d) =>
@@ -1224,7 +1230,13 @@ object ExtQueries {
     * MATERIALIZED — without the hint DuckDB re-inlines each stage into
     * every later one and the chain goes exponential (11 s → 0.2 s at
     * sf0.01). */
-  private def bpeTrainSql(n: Int): String = {
+  private def bpeTrainSql(n: Int): String =
+    bpeStagesSql(n, withFinalVocab = false) + "\n" + (1 to n)
+      .map(r => s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
+                   |  cnt FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
+  private def bpeStagesSql(n: Int, withFinalVocab: Boolean): String = {
     val seed =
       """wf AS MATERIALIZED (
         |  SELECT w, count(*)::bigint AS freq FROM (
@@ -1265,13 +1277,9 @@ object ExtQueries {
            |  WHERE list_filter(range(1, len(m.syms)),
            |    i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] IS NULL)"""
           .stripMargin
-      if (r < n) s"$argmax,\n$rewrite" else argmax
+      if (r < n || withFinalVocab) s"$argmax,\n$rewrite" else argmax
     }
-    val sel = (1 to n)
-      .map(r => s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
-                   |  cnt FROM b$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    "WITH RECURSIVE " + (seed +: stages).mkString(",\n") + "\n" + sel
+    "WITH RECURSIVE " + (seed +: stages).mkString(",\n")
   }
 
   private def lloydCentsSql(iters: Int): String = {
@@ -2587,6 +2595,31 @@ object ExtQueries {
     // x_bpe_pairs, same (cnt desc, pair) argmax, recursive rewrite per
     // stage (= the kernel's greedy left-to-right pass)
     "x_bpe_train" -> bpeTrainSql(BpeTrainMerges),
+
+    // mirrors CorpusStats.bpeEncode: the same trained stages produce
+    // the final vocab s{N}; docs explode words with position, left-join
+    // the vocab (OOV = the word itself), and the fingerprint reassembles
+    // the token stream in document order
+    // (concatenated, NOT interpolated into the stripMargin literal —
+    // the outer stripMargin would re-strip the helper's embedded
+    // `||`-continuation lines into syntax errors)
+    "x_bpe_encode" ->
+      (bpeStagesSql(BpeTrainMerges, withFinalVocab = true) + ",\n" +
+      s"""dw AS MATERIALIZED (
+         |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
+         |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+         |    FROM (SELECT doc_id,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |          FROM documents))
+         |  WHERE ws[i + 1] <> ''),
+         |enc AS (
+         |  SELECT d.doc_id, d.pos, coalesce(s.syms, [d.w]) AS toks
+         |  FROM dw d LEFT JOIN s$BpeTrainMerges s ON d.w = s.w)
+         |SELECT doc_id, count(*)::bigint AS n_words,
+         |  sum(len(toks))::bigint AS n_subwords,
+         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
+         |    AS token_fp
+         |FROM enc GROUP BY doc_id""".stripMargin),
 
     // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
     // `width` words; list_slice's inclusive end = Spark slice's length

@@ -1004,6 +1004,21 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("bpe encode applies the trained vocab with OOV char fallback") {
+    // merges learned from this doc (see the training fixture):
+    // (a,b), (a,ab), (ab,ab) → abab = 1 token, aab = 1 token,
+    // bb = [b, b] (pair (b,b) never won), x = OOV single char
+    val d = Seq((7L, "abab abab aab aab aab bb x"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bpeEncode(d, 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val expectStream = "abab abab aab aab aab b b x"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectStream.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got === Seq((7L, 7L, 8L, fp)))
+  }
+
   test("ivfpq served from the persisted index replays the in-query build") {
     val e = Tables.embeddings(spark, sf0001)
     val path = java.nio.file.Files
