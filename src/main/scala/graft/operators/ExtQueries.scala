@@ -38,6 +38,10 @@ object ExtQueries {
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val ZBits = 8 // Z-order grid bits per dimension (256 × 256 cells)
+  val ZFiles = 16 // Z-range partitions (files) in the layout
+  // rectangle scan bounds on the (user_id % 256, event_id % 256) grid
+  val ZALo = 64L; val ZAHi = 191L; val ZBLo = 32L; val ZBHi = 159L
   val RpDim = 32 // JL-reduced dimensionality (64 → 32)
   val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
@@ -157,7 +161,22 @@ object ExtQueries {
     ensureAnnIndexes(s, d) ++
       graft.sources.FingerprintStore
         .ensureFingerprints(incrCorpus(s, d), fpStorePath(d))
-        .map("fp_store" -> _).toMap
+        .map("fp_store" -> _).toMap ++
+      graft.sources.ZOrderStore
+        .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
+          "za", "zb", ZBits, ZFiles)
+        .map("zorder_layout" -> _).toMap
+
+  private[graft] def zOrderPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-zorder-${Integer.toHexString(d.hashCode)}").toString
+
+  /** The events table binned onto the Z-grid: two bounded integer keys
+    * (production would range-normalize real columns first). */
+  private def zGrid(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+      (col("user_id") % (1L << ZBits)).as("za"),
+      (col("event_id") % (1L << ZBits)).as("zb"))
 
   /** Shared PQ-oracle CTEs mirroring `Similarity.pqCodebooks` /
     * `pqEncode` / `pqLut`: sampled codebooks, rounded-L2 argmin with
@@ -594,6 +613,20 @@ object ExtQueries {
           // engine-specific binary→decimal expansion at digit 15)
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+    }),
+
+    // Z-ordered layout rectangle scan: the persisted events layout is
+    // Morton-clustered on (user_id, event_id) grid keys, so ONE pushed
+    // zval range predicate skips files for a TWO-column rectangle; the
+    // exact residual predicates cut the curve's false positives.
+    // Marker-gated build (Bench pre-builds, so this times the scan).
+    "x_zorder_scan" -> ((s, d) => {
+      graft.sources.ZOrderStore.ensureZOrdered(
+        zGrid(Tables.events(s, d)), zOrderPath(d), "za", "zb",
+        ZBits, ZFiles)
+      graft.sources.ZOrderStore.zRangeScan(s, zOrderPath(d),
+          "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
+        .select(col("event_id"), col("za"), col("zb"), col("zval"))
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -2268,6 +2301,23 @@ object ExtQueries {
 
     // the bucketed layout changes the plan, never the rows: plain join
     // + per-order aggregate; decimal sums keep doubles order-independent
+    // mirrors ZOrderStore: same grid binning, same Morton interleave
+    // (za bits at odd positions, zb at even), same rectangle — the
+    // zval range prefilter is a no-op for correctness (superset), so
+    // the oracle only needs the exact rectangle
+    "x_zorder_scan" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id % ${1L << ZBits} AS za,
+         |    event_id % ${1L << ZBits} AS zb
+         |  FROM events)
+         |SELECT event_id, za, zb,
+         |  list_sum(list_transform(range(0, $ZBits), i ->
+         |    (((za >> i) & 1) << (2*i + 1)) + (((zb >> i) & 1) << (2*i))
+         |  ))::bigint AS zval
+         |FROM g
+         |WHERE za BETWEEN $ZALo AND $ZAHi
+         |  AND zb BETWEEN $ZBLo AND $ZBHi""".stripMargin,
+
     "x_bucketed_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  sum(l_quantity::decimal(18,2))::double AS sum_qty,

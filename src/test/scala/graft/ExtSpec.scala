@@ -1004,6 +1004,52 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("z-order layout clusters 2-D rectangles into skippable files") {
+    import graft.plans.LayoutKernels
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    graft.sources.ZOrderStore.writeZOrdered(g, path, "za", "zb", 8, 16)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 8)
+    // range-partitioned on zval → per-file intervals are disjoint
+    // (equal zvals land in one partition), i.e. the curve locality
+    // actually reached the file layout
+    val iv = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"zval"), max($"zval")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(iv.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._1
+      case _ => true
+    })
+    // the rectangle's z-interval must leave some files untouched —
+    // the whole point of the layout (bounds sized to sf0.001's
+    // user_id range of 0..14)
+    val zLo = LayoutKernels.interleave(2, 32, 8)
+    val zHi = LayoutKernels.interleave(9, 159, 8)
+    val touched = iv.count { case (lo, hi) => hi >= zLo && lo <= zHi }
+    assert(touched < files.length,
+      s"rectangle touched all ${files.length} files")
+    // scan correctness: z-range prefilter + exact residuals equal the
+    // plain exact rectangle
+    val scan = graft.sources.ZOrderStore.zRangeScan(spark, path,
+      "za", "zb", 2, 9, 32, 159, 8)
+    val got = scan.select("event_id").as[Long].collect().toSet
+    val expect = g.filter($"za".between(2, 9) &&
+      $"zb".between(32, 159)).select("event_id").as[Long].collect().toSet
+    assert(got === expect && got.nonEmpty)
+    // the zval range predicate is pushed to the parquet scan (that is
+    // what does the file/row-group skipping at scale)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(zval"))
+  }
+
   test("bpe encode applies the trained vocab with OOV char fallback") {
     // merges learned from this doc (see the training fixture):
     // (a,b), (a,ab), (ab,ab) → abab = 1 token, aab = 1 token,
