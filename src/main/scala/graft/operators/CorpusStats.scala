@@ -253,6 +253,33 @@ object CorpusStats {
         (round(col("rate") * 1000000) / 1000000.0).as("rate"))
   }
 
+  /** Weighted reservoir sample of `k` rows per group — Efraimidis–
+    * Spirakis A-ES: each row draws a uniform `u` from its md5-seeded id
+    * hash and the k largest priorities `u^(1/w)` per group win, which
+    * samples without replacement with probability proportional to
+    * weight. Ranked by the monotone-equivalent `ln(u)/w` (rounded to 6
+    * so a 1-ulp `ln` disagreement between engines cannot flip a rank;
+    * ties break by id).
+    *
+    * Scale shape: a pure per-row priority (no pre-pass — unlike
+    * [[mixtureSample]] there is no totals aggregate to build) into the
+    * [[topKPerGroup]] partial+final WindowGroupLimit, so nothing ever
+    * sorts a whole group. Deterministic and replayable: the reservoir
+    * choice depends only on ids and weights, never partitioning —
+    * re-running on a grown corpus keeps every sampled id whose
+    * priority still makes the cut, the property that makes weighted
+    * subsampling reproducible across pipeline reruns. */
+  def weightedSamplePerGroup(docs: DataFrame, k: Int, weight: Column,
+      groupCol: String = "source", idCol: String = "doc_id")
+      : DataFrame = {
+    // u ∈ (0, 1]: 60-bit md5 integer + 1 over 2^60 (seed family 2 —
+    // independent of mixtureSample's membership hash)
+    val u = (Dedup.seededHash(col(idCol).cast("string"), 2)
+      .cast("double") + 1.0) / lit(1152921504606846976.0)
+    topKPerGroup(docs, k, groupCol,
+      round(log(u) / weight.cast("double"), 6), idCol)
+  }
+
   /** Sequence-length histogram in power-of-two buckets of the BPE token
     * estimate — the profile that drives max-seq-len / packing decisions
     * in a pretraining pipeline. Bucket b holds docs with ⌊log₂(n+1)⌋ =

@@ -38,6 +38,7 @@ object ExtQueries {
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val WSampleK = 20 // weighted reservoir sample size per source
   val ZBits = 8 // Z-order grid bits per dimension (256 × 256 cells)
   val ZFiles = 16 // Z-range partitions (files) in the layout
   // rectangle scan bounds on the (user_id % 256, event_id % 256) grid
@@ -959,6 +960,13 @@ object ExtQueries {
     "x_mixture_sample" -> ((s, d) =>
       CorpusStats.mixtureSample(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
+
+    // Weighted reservoir sample (Efraimidis–Spirakis A-ES): k docs per
+    // source, inclusion probability ∝ n_chars, priority from the
+    // md5-seeded uniform — deterministic, partition-invariant.
+    "x_sample_weighted" -> ((s, d) =>
+      CorpusStats.weightedSamplePerGroup(Tables.documents(s, d),
+        WSampleK, col("n_chars"))),
 
     // Schema-on-read over the JSON event payload: typed from_json
     // extraction, then a per-type aggregate.
@@ -2371,6 +2379,22 @@ object ExtQueries {
          |    ::bigint % 1000000 < floor(r.rate * 1000000.0)::bigint"""
         .stripMargin
     },
+
+    // mirrors CorpusStats.weightedSamplePerGroup: same "#1" seed
+    // family, same (hv+1)/2^60 uniform, same round-6 ln-priority and
+    // (score desc, doc_id) rank
+    "x_sample_weighted" ->
+      s"""WITH pri AS (
+         |  SELECT source, doc_id,
+         |    round(ln((('0x' || substr(md5(doc_id::varchar || '#1'),
+         |        1, 15))::bigint + 1) / 1152921504606846976.0)
+         |      / n_chars, 6) AS score
+         |  FROM documents)
+         |SELECT source, doc_id, score, rank FROM (
+         |  SELECT source, doc_id, score, row_number() OVER (
+         |      PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+         |  FROM pri)
+         |WHERE rank <= $WSampleK""".stripMargin,
 
     // mirrors CorpusStats.tfidfTopTerms: same op order (n/df inside ln,
     // multiplied by tf, rounded to 6) so doubles are bit-identical

@@ -1004,6 +1004,31 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("weighted reservoir sampling favors heavy weights, size-biased") {
+    // k=1 per group: a doc with a 10^6× weight must win its group
+    // (its |ln u|/w priority is ~0 while every unit-weight rival sits
+    // near -1) — the A-ES inclusion-∝-weight property, deterministic
+    // here because priorities derive from id hashes
+    val d = (1L to 40L)
+      .map(i => (i, if (i == 20L || i == 39L) 1000000L else 1L,
+        s"s${i % 2}"))
+      .toDF("doc_id", "w", "source")
+    val got = CorpusStats
+      .weightedSamplePerGroup(d, 1, $"w", "source", "doc_id")
+      .select($"source", $"doc_id").as[(String, Long)].collect().toMap
+    assert(got === Map("s0" -> 20L, "s1" -> 39L))
+    // size-biased on the real corpus: the sampled docs' mean weight
+    // exceeds the corpus mean (inclusion ∝ n_chars)
+    val docs = Tables.documents(spark, sf0001)
+    val sampled = CorpusStats
+      .weightedSamplePerGroup(docs, 10, $"n_chars")
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .agg(avg($"n_chars")).head().getDouble(0)
+    val corpus = docs.agg(avg($"n_chars")).head().getDouble(0)
+    assert(sampled > corpus,
+      s"sampled mean $sampled should exceed corpus mean $corpus")
+  }
+
   test("z-order layout clusters 2-D rectangles into skippable files") {
     import graft.plans.LayoutKernels
     val path = java.nio.file.Files
