@@ -973,6 +973,16 @@ object ExtQueries {
     "x_json_props" -> ((s, d) =>
       SemiStructured.propsStats(Tables.events(s, d))),
 
+    // View→click attribution: the STREAM-STREAM interval join run in
+    // its batch form (same code path; watermarks are no-ops in batch —
+    // StreamingSyncSpec pins stream/batch parity).
+    "x_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingSync.attributionJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+    }),
+
     // Sliding windows (rolling hour, refreshed every 15 min) — native
     // window(); completes the tumbling/sliding/session family.
     "x_sliding_window" -> ((s, d) =>
@@ -2379,6 +2389,16 @@ object ExtQueries {
          |    ::bigint % 1000000 < floor(r.rate * 1000000.0)::bigint"""
         .stripMargin
     },
+
+    // mirrors StreamingSync.attributionJoin in batch form: same key
+    // equality and same half-open (view_ts, view_ts + 1h] click window
+    "x_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""
+        .stripMargin,
 
     // mirrors CorpusStats.weightedSamplePerGroup: same "#1" seed
     // family, same (hv+1)/2^60 uniform, same round-6 ln-priority and

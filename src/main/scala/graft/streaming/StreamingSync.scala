@@ -78,6 +78,32 @@ object StreamingSync {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** STREAM-STREAM event-time interval join (the ad-tech
+    * view→click attribution shape): each left ("view") event joins the
+    * right ("click") events of the same key that happen in
+    * `(view.ts, view.ts + horizon]`. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, which is
+    * what lets Structured Streaming evict buffered rows: each side's
+    * state holds only rows younger than watermark + horizon, so state
+    * is ∝ events-per-horizon-window, never the full stream. The same
+    * method works unchanged in batch (watermarks are no-ops there),
+    * which is how the spec pins stream/batch parity. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours",
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val v = views.select(col(keyCol), col(idCol).as("view_id"),
+      col(tsCol).as("view_ts")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col(keyCol).as("c_key"),
+      col(idCol).as("click_id"), col(tsCol).as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, col(keyCol) === col("c_key") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col(keyCol), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Batch-parity harness for [[dedupWithinWatermark]]: split `events`

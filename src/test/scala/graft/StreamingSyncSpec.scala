@@ -140,6 +140,31 @@ class StreamingSyncSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("stream-stream attribution join equals its batch form") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf0001)
+    ev.filter($"event_type" === "view").write.parquet(s"$dir/views")
+    ev.filter($"event_type" === "click").write.parquet(s"$dir/clicks")
+    def side(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema).parquet(p)
+    // the operator carries its own watermarks (both sides) — the
+    // bidirectional time bound is what lets streaming evict join state
+    val q = graft.streaming.StreamingSync.attributionJoin(
+        side(s"$dir/views"), side(s"$dir/clicks"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.streaming.StreamingSync.attributionJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "click"))
+    val streamed = spark.table("attr")
+    assert(batch.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("foreachBatch sync sink converges to the batch engine's state") {
     val base = tmp()
     val source = SyncFixture.source(spark, sf0001)
