@@ -166,7 +166,15 @@ object ExtQueries {
       graft.sources.ZOrderStore
         .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
           "za", "zb", ZBits, ZFiles)
-        .map("zorder_layout" -> _).toMap
+        .map("zorder_layout" -> _).toMap ++
+      graft.sources.OrcCorpus
+        .ensureEvolvedFixture(Tables.documents(s, d), orcFixturePath(d),
+          "lang")
+        .map("orc_fixture" -> _).toMap
+
+  private[graft] def orcFixturePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-orc-${Integer.toHexString(d.hashCode)}").toString
 
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -972,6 +980,22 @@ object ExtQueries {
     // extraction, then a per-type aggregate.
     "x_json_props" -> ((s, d) =>
       SemiStructured.propsStats(Tables.events(s, d))),
+
+    // ORC ingest across a schema generation: the legacy shard predates
+    // `lang`, name-based evolution fills it as NULL, and the read
+    // flags those rows — the columnar format's quarantine analogue.
+    "x_orc_ingest" -> ((s, d) => {
+      val path = orcFixturePath(d)
+      graft.sources.OrcCorpus.ensureEvolvedFixture(
+        Tables.documents(s, d), path, "lang")
+      graft.sources.OrcCorpus.read(s,
+          Tables.documents(s, d).schema,
+          s"$path/legacy", s"$path/current")
+        .select(col("doc_id"),
+          coalesce(col("lang"), lit("(missing)")).as("lang_read"),
+          col("lang").isNull.as("needs_backfill"),
+          md5(col("text")).as("text_fp"), col("n_chars"))
+    }),
 
     // View→click attribution: the STREAM-STREAM interval join run in
     // its batch form (same code path; watermarks are no-ops in batch —
@@ -2389,6 +2413,17 @@ object ExtQueries {
          |    ::bigint % 1000000 < floor(r.rate * 1000000.0)::bigint"""
         .stripMargin
     },
+
+    // mirrors OrcCorpus.ensureEvolvedFixture + read: even ids are the
+    // legacy (pre-`lang`) generation, NULL-filled by name-based
+    // evolution and flagged
+    "x_orc_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN '(missing)' ELSE lang END
+        |    AS lang_read,
+        |  doc_id % 2 = 0 AS needs_backfill,
+        |  md5(text) AS text_fp, n_chars
+        |FROM documents""".stripMargin,
 
     // mirrors StreamingSync.attributionJoin in batch form: same key
     // equality and same half-open (view_ts, view_ts + 1h] click window
