@@ -154,7 +154,8 @@ class StreamingSyncSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("attr")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    val prog =
+      try { q.processAllAvailable(); q.lastProgress } finally q.stop()
 
     val batch = graft.streaming.StreamingSync.attributionJoin(
       ev.filter($"event_type" === "view"),
@@ -163,6 +164,10 @@ class StreamingSyncSpec extends SparkSpec {
     assert(batch.count() > 0)
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0)
+    // the streaming plan runs the state-bounded symmetric hash join
+    // (both sides watermarked), not an unbounded buffer
+    assert(prog.stateOperators.exists(
+      _.operatorName.contains("symmetricHashJoin")))
   }
 
   test("foreachBatch sync sink converges to the batch engine's state") {
