@@ -280,6 +280,82 @@ object CorpusStats {
       round(log(u) / weight.cast("double"), 6), idCol)
   }
 
+  /** Top-k collocations by pointwise mutual information: bigrams whose
+    * joint probability beats the independence of their parts —
+    * `pmi = ln(p(x,y) / (p(x)·p(y)))` with bigram/unigram probabilities
+    * over their respective totals, `minCount` flooring out the unstable
+    * low-frequency tail (classic PMI's failure mode is hapax pairs).
+    *
+    * Shape: bigram occurrences come from the codegen'd shingle kernel
+    * (one pass, no interpreted HOF chain), both count tables are
+    * map-side-combining aggregates, the totals are 1-row broadcast
+    * literals, the unigram joins are plain equi-joins (vocab-sized
+    * build side — AQE broadcasts here; at web scale they shuffle on
+    * the word key, which is correct), and the final cut is a
+    * TakeOrdered, never a global sort. */
+  def pmiCollocations(docs: DataFrame, k: Int, minCount: Long,
+      textCol: String = "text"): DataFrame = {
+    val big = docs
+      .select(explode(graft.plans.TextExpressions
+        .wordShingleOccurrences(col(textCol), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nb = big.agg(sum(col("c_xy")).as("nb"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    big.filter(col("c_xy") >= minCount)
+      .withColumn("x", element_at(split(col("pair"), " "), 1))
+      .withColumn("y", element_at(split(col("pair"), " "), 2))
+      .join(uni.select(col("w").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi", round(log(
+        (col("c_xy").cast("double") / col("nb")) /
+          ((col("c_x").cast("double") / col("nu")) *
+            (col("c_y").cast("double") / col("nu")))), 6))
+      .orderBy(col("pmi").desc, col("pair")).limit(k)
+      .select(col("pair"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+  }
+
+  /** Corpus drift monitor: the words most over-represented in half A
+    * vs half B of a corpus, by their (Laplace-smoothed) KL
+    * contribution `p_a·ln(p_a/p_b)`. Smoothing `(c+1)/(N+V)` over the
+    * UNION vocabulary keeps words absent from one half finite, so a
+    * brand-new term shows up as drift instead of dividing by zero —
+    * the check a recurring ingest runs between yesterday's corpus and
+    * today's before a mixture rebalance.
+    *
+    * Shape: two map-side-combining unigram aggregates, one full outer
+    * join on the word key, 1-row totals broadcast, TakeOrdered cut.
+    * Deterministic: integer counts, one round-6 `ln` per word. */
+  def unigramDrift(corpusA: DataFrame, corpusB: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val a = counts(corpusA)
+    val b = counts(corpusB)
+    val joined = a.select(col("w"), col("c").as("c_a"))
+      .join(b.select(col("w"), col("c").as("c_b")), Seq("w"), "full")
+      .select(col("w"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum(col("c_a")).as("na"),
+      sum(col("c_b")).as("nb"), count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_a", (col("c_a").cast("double") + 1.0) /
+        (col("na") + col("v")))
+      .withColumn("p_b", (col("c_b").cast("double") + 1.0) /
+        (col("nb") + col("v")))
+      .withColumn("kl_term",
+        round(col("p_a") * log(col("p_a") / col("p_b")), 6))
+      .orderBy(col("kl_term").desc, col("w")).limit(k)
+      .select(col("w"), col("c_a"), col("c_b"), col("kl_term"))
+  }
+
   /** Sequence-length histogram in power-of-two buckets of the BPE token
     * estimate — the profile that drives max-seq-len / packing decisions
     * in a pretraining pipeline. Bucket b holds docs with ⌊log₂(n+1)⌋ =

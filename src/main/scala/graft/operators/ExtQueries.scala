@@ -38,6 +38,9 @@ object ExtQueries {
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val PmiTopK = 50 // collocations kept by x_pmi_colloc
+  val PmiMinCount = 5L // bigram count floor (hapax-pair guard)
+  val DriftTopK = 40 // most-drifted words kept by x_unigram_drift
   val WSampleK = 20 // weighted reservoir sample size per source
   val ZBits = 8 // Z-order grid bits per dimension (256 × 256 cells)
   val ZFiles = 16 // Z-range partitions (files) in the layout
@@ -968,6 +971,21 @@ object ExtQueries {
     "x_mixture_sample" -> ((s, d) =>
       CorpusStats.mixtureSample(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
+
+    // Collocation extraction: top PMI bigrams with a count floor —
+    // the phrase-mining statistic over the corpus.
+    "x_pmi_colloc" -> ((s, d) =>
+      CorpusStats.pmiCollocations(Tables.documents(s, d), PmiTopK,
+        PmiMinCount)),
+
+    // Corpus drift monitor: KL contributions of the union vocabulary
+    // between the two doc_id-parity halves (Laplace-smoothed).
+    "x_unigram_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusStats.unigramDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), DriftTopK)
+    }),
 
     // Weighted reservoir sample (Efraimidis–Spirakis A-ES): k docs per
     // source, inclusion probability ∝ n_chars, priority from the
@@ -2434,6 +2452,57 @@ object ExtQueries {
         |WHERE v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors CorpusStats.pmiCollocations: same bigram/unigram totals,
+    // same division order inside the round-6 ln
+    "x_pmi_colloc" ->
+      s"""WITH ws AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |big AS (
+         |  SELECT ws[i] || ' ' || ws[i + 1] AS pair,
+         |    count(*)::bigint AS c_xy
+         |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws)
+         |  GROUP BY 1),
+         |uni AS (
+         |  SELECT w, count(*)::bigint AS c
+         |  FROM (SELECT unnest(ws) AS w FROM ws)
+         |  WHERE w <> '' GROUP BY w),
+         |nb AS (SELECT sum(c_xy)::bigint AS nb FROM big),
+         |nu AS (SELECT sum(c)::bigint AS nu FROM uni)
+         |SELECT pair, c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  round(ln((c_xy / nb.nb) /
+         |    ((cx.c / nu.nu) * (cy.c / nu.nu))), 6) AS pmi
+         |FROM big
+         |JOIN uni cx ON cx.w = string_split(pair, ' ')[1]
+         |JOIN uni cy ON cy.w = string_split(pair, ' ')[2]
+         |CROSS JOIN nb CROSS JOIN nu
+         |WHERE c_xy >= $PmiMinCount
+         |ORDER BY pmi DESC, pair LIMIT $PmiTopK""".stripMargin,
+
+    // mirrors CorpusStats.unigramDrift: same parity halves, same
+    // Laplace smoothing over the union vocabulary, same op order
+    "x_unigram_drift" ->
+      s"""WITH wt AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |a AS (SELECT w, count(*)::bigint AS c_a FROM wt
+         |      WHERE doc_id % 2 = 0 AND w <> '' GROUP BY w),
+         |b AS (SELECT w, count(*)::bigint AS c_b FROM wt
+         |      WHERE doc_id % 2 = 1 AND w <> '' GROUP BY w),
+         |j AS (SELECT coalesce(a.w, b.w) AS w,
+         |        coalesce(c_a, 0)::bigint AS c_a,
+         |        coalesce(c_b, 0)::bigint AS c_b
+         |      FROM a FULL JOIN b ON a.w = b.w),
+         |t AS (SELECT sum(c_a)::bigint AS na, sum(c_b)::bigint AS nb,
+         |        count(*)::bigint AS v FROM j)
+         |SELECT w, c_a, c_b,
+         |  round(((c_a + 1.0) / (na + v)) *
+         |    ln(((c_a + 1.0) / (na + v)) /
+         |       ((c_b + 1.0) / (nb + v))), 6) AS kl_term
+         |FROM j CROSS JOIN t
+         |ORDER BY kl_term DESC, w LIMIT $DriftTopK""".stripMargin,
 
     // mirrors CorpusStats.weightedSamplePerGroup: same "#1" seed
     // family, same (hv+1)/2^60 uniform, same round-6 ln-priority and

@@ -1004,6 +1004,43 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("pmi collocations rank dependent pairs above frequent ones") {
+    // 5× each: "new york", "new foo", "york bar" — all pairs co-occur
+    // every time, but foo/bar are rarer parts, so their PMI is higher:
+    // pmi(new foo) = ln((5/15)/((10/30)·(5/30))) = ln 6,
+    // pmi(new york) = ln((5/15)/((10/30)²) ) = ln 3
+    val docs = (0 until 15).map { i =>
+      (i.toLong, Seq("new york", "new foo", "york bar")(i % 3))
+    }.toDF("doc_id", "text")
+    val got = CorpusStats.pmiCollocations(docs, 10, 5)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got === Seq(
+      ("new foo", 5L, 10L, 5L, r6(math.log(6.0))),
+      ("york bar", 5L, 10L, 5L, r6(math.log(6.0))),
+      ("new york", 5L, 10L, 10L, r6(math.log(3.0)))))
+  }
+
+  test("unigram drift flags over-represented words, zero when equal") {
+    val a = Seq((0L, "aa aa aa bb")).toDF("doc_id", "text")
+    val b = Seq((1L, "bb bb cc")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramDrift(a, b, 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // union vocab {aa,bb,cc}: v=3, na=4, nb=3; smoothed
+    // p_a = (c_a+1)/7, p_b = (c_b+1)/6; term = p_a·ln(p_a/p_b)
+    def term(ca: Long, cb: Long) = {
+      val pa = (ca + 1.0) / 7; val pb = (cb + 1.0) / 6
+      math.rint(pa * math.log(pa / pb) * 1e6) / 1e6
+    }
+    assert(got.head === ("aa", 3L, 0L, term(3, 0))) // new-in-A tops
+    assert(got.map(_._1).toSet === Set("aa", "bb", "cc"))
+    got.foreach { case (w, ca, cb, t) => assert(t === term(ca, cb)) }
+    // identical halves → every contribution is exactly zero
+    val same = CorpusStats.unigramDrift(a, a, 10)
+      .select($"kl_term").as[Double].collect()
+    assert(same.forall(_ === 0.0))
+  }
+
   test("orc ingest fills pre-evolution shards with NULL by name") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-orc").toString
