@@ -244,4 +244,46 @@ class PropertySpec extends SparkSpec {
     assert(df.forall(r =>
       Set("train", "val", "test")(r.getString(1))))
   }
+
+  test("morton interleave is monotone per coordinate on arbitrary grids") {
+    // the property the whole Z-range prefilter rests on:
+    // a1 <= a2 ∧ b1 <= b2 ⇒ z(a1,b1) <= z(a2,b2), so every point of a
+    // rectangle sits inside [z(lo corner), z(hi corner)]
+    import graft.plans.LayoutKernels.interleave
+    val cells = sample(for {
+      a1 <- Gen.chooseNum(0L, 255L); a2 <- Gen.chooseNum(0L, 255L)
+      b1 <- Gen.chooseNum(0L, 255L); b2 <- Gen.chooseNum(0L, 255L)
+    } yield (a1 min a2, a1 max a2, b1 min b2, b1 max b2), 500,
+      seed = 29L)
+    cells.foreach { case (aLo, aHi, bLo, bHi) =>
+      assert(interleave(aLo, bLo, 8) <= interleave(aHi, bLo, 8))
+      assert(interleave(aLo, bLo, 8) <= interleave(aLo, bHi, 8))
+      assert(interleave(aLo, bLo, 8) <= interleave(aHi, bHi, 8))
+    }
+    // and the interleave is a bijection on the grid (no two cells
+    // share a z-value) — spot-checked on a full 32×32 subgrid
+    val zs = for (a <- 0L until 32L; b <- 0L until 32L)
+      yield interleave(a, b, 8)
+    assert(zs.toSet.size === zs.length)
+  }
+
+  test("weighted reservoir winners are stable under corpus growth") {
+    // priorities are per-id constants, so adding rows can only DISPLACE
+    // winners, never reorder them: a sampled id of the grown corpus
+    // that already existed in the small corpus must also have been
+    // sampled in the small corpus (the rerun-reproducibility contract)
+    val ids = sample(Gen.chooseNum(1L, 1000000L), 400, seed = 31L)
+      .distinct
+    val (small, extra) = ids.splitAt(ids.length / 2)
+    def df(xs: Seq[Long]) = xs
+      .map(i => (i, 1L + i % 97, s"g${i % 3}"))
+      .toDF("doc_id", "w", "source")
+    def winners(xs: Seq[Long]) = CorpusStats
+      .weightedSamplePerGroup(df(xs), 15, $"w", "source", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    val before = winners(small)
+    val after = winners(small ++ extra)
+    assert((after & small.toSet).subsetOf(before))
+    assert(after.nonEmpty && before.nonEmpty)
+  }
 }
