@@ -38,6 +38,8 @@ object ExtQueries {
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val HotWindowMin = 6L // purchases/hour that open an alert window
+  val RangeBinSeconds = 1800L // bin width for the binned range join
   val PmiTopK = 50 // collocations kept by x_pmi_colloc
   val PmiMinCount = 5L // bigram count floor (hapax-pair guard)
   val DriftTopK = 40 // most-drifted words kept by x_unigram_drift
@@ -959,6 +961,21 @@ object ExtQueries {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         IntervalLookback, "user_id", "ts", "event_id", "event_id")
+    }),
+
+    // PURE range join (no equi key), bin-bucketed: every event joins
+    // the hot-hour alert windows containing it through a shuffled
+    // equi-join on the bucket key — never a nested loop.
+    "x_range_join_binned" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hot = e.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= HotWindowMin)
+        .select((col("h") - expr("INTERVAL 30 MINUTES")).as("wstart"),
+          (col("h") + expr("INTERVAL 90 MINUTES")).as("wend"), col("n"))
+      Temporal.binnedRangeJoin(e, hot, RangeBinSeconds)
+        .select(col("event_id"), col("wstart"), col("n"))
     }),
 
     // TF-IDF top terms per document — the classic relevance / feature
@@ -2287,6 +2304,20 @@ object ExtQueries {
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR"""
         .stripMargin,
+
+    // mirrors Temporal.binnedRangeJoin's containment (the bin meet is
+    // an implementation detail — the oracle only needs the exact
+    // half-open containment over the same hot windows)
+    "x_range_join_binned" ->
+      s"""WITH hot AS (
+         |  SELECT date_trunc('hour', ts) AS h, count(*)::bigint AS n
+         |  FROM events WHERE event_type = 'purchase'
+         |  GROUP BY 1 HAVING count(*) >= $HotWindowMin),
+         |w AS (SELECT h - INTERVAL 30 MINUTE AS wstart,
+         |        h + INTERVAL 90 MINUTE AS wend, n FROM hot)
+         |SELECT e.event_id, w.wstart, w.n
+         |FROM events e JOIN w
+         |  ON e.ts >= w.wstart AND e.ts < w.wend""".stripMargin,
 
     // mirrors Similarity.sq8RefineTopK: same quantization grid as the
     // x_embed_quantize oracle, cosine of the reconstructed vectors for

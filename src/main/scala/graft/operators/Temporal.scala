@@ -93,6 +93,38 @@ object Temporal {
     * watermarks on both sides and the band condition in the join, Spark
     * bounds each side's state to the lookback window
     * (StreamingSyncSpec proves batch ≡ stream on the fixture). */
+  /** PURE range join (no equi key) via bin bucketing: points join the
+    * intervals containing them by first meeting on a synthetic
+    * `floor(epoch / binSeconds)` bucket key — each point lands in
+    * exactly ONE bucket and each interval explodes into every bucket
+    * it overlaps, so every qualifying (point, interval) pair meets in
+    * exactly one bucket (no post-join dedup) and the exact containment
+    * predicate trims the bucket's false positives.
+    *
+    * This is the range-join answer Catalyst doesn't pick on its own: a
+    * bare `ts BETWEEN start AND end` join plans as a
+    * BroadcastNestedLoopJoin (all-pairs per partition — the 100 TB
+    * killer); bucketing turns it into an ordinary shuffled equi-join
+    * whose fan-out is bounded by interval-length / binSeconds. Pick
+    * `binSeconds` near the typical interval length: shorter bins mean
+    * more replicas per interval, longer bins mean more false-positive
+    * pairs per bucket. The ExtSpec pin asserts the plan carries a real
+    * equi-join and no nested loop. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      binSeconds: Long, tsCol: String = "ts",
+      startCol: String = "wstart", endCol: String = "wend")
+      : DataFrame = {
+    val p = points.withColumn("bin",
+      floor(col(tsCol).cast("long") / binSeconds))
+    val i = intervals.withColumn("bin", explode(sequence(
+      floor(col(startCol).cast("long") / binSeconds),
+      // end is exclusive: the last covered second is end - 1
+      floor((col(endCol).cast("long") - 1) / binSeconds))))
+    p.join(i, Seq("bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("bin")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, lookback: String,
       keyCol: String, tsCol: String, leftIdCol: String,
       rightIdCol: String): DataFrame = {

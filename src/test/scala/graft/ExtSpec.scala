@@ -1004,6 +1004,32 @@ class ExtSpec extends SparkSpec {
     assert(real.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("binned range join equals the theta join and plans no nested loop") {
+    val e = Tables.events(spark, sf0001)
+    val hot = e.filter($"event_type" === "purchase")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n")).filter($"n" >= 2)
+      .select(($"h" - expr("INTERVAL 30 MINUTES")).as("wstart"),
+        ($"h" + expr("INTERVAL 90 MINUTES")).as("wend"), $"n")
+    val binned = graft.operators.Temporal.binnedRangeJoin(e, hot, 1800)
+      .select($"event_id", $"wstart")
+    // ground truth: the naive theta join (exactly the predicate the
+    // bin meet is an implementation of)
+    val naive = e.join(hot, $"ts" >= $"wstart" && $"ts" < $"wend")
+      .select($"event_id", $"wstart")
+    assert(binned.count() === naive.count() && naive.count() > 0)
+    assert(binned.exceptAll(naive).count() === 0)
+    // each qualifying pair meets in exactly ONE bucket — no dup rows
+    assert(binned.count() === binned.distinct().count())
+    // the plan is an ordinary equi-join on the bucket key; the naive
+    // predicate-only join is the nested loop this operator exists to
+    // avoid
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pmi collocations rank dependent pairs above frequent ones") {
     // 5× each: "new york", "new foo", "york bar" — all pairs co-occur
     // every time, but foo/bar are rarer parts, so their PMI is higher:
