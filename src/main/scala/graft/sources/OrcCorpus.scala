@@ -45,8 +45,8 @@ object OrcCorpus {
     if (readText(spark, marker).contains(recipe)) None
     else {
       val t0 = System.nanoTime()
-      // overwrite the ROOT once (clears stale shards + marker), then
-      // append the two generations under it
+      // each generation dir is overwritten in place; a stale marker is
+      // replaced after both writes land (marker-last crash safety)
       docs.filter(col(idCol) % 2 === 0).drop(evolvedCol)
         .write.mode("overwrite").orc(s"$path/legacy")
       docs.filter(col(idCol) % 2 =!= 0)
