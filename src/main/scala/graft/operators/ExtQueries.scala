@@ -47,7 +47,9 @@ object ExtQueries {
   val ZBits = 8 // Z-order grid bits per dimension (256 × 256 cells)
   val ZFiles = 16 // Z-range partitions (files) in the layout
   // rectangle scan bounds on the (user_id % 256, event_id % 256) grid
-  val ZALo = 64L; val ZAHi = 191L; val ZBLo = 32L; val ZBHi = 159L
+  // (ZALo low enough that sf0.001's user_id range 0..14 still matches —
+  // an empty-vs-empty compare would be a vacuous PASS at that sf)
+  val ZALo = 2L; val ZAHi = 191L; val ZBLo = 32L; val ZBHi = 159L
   val RpDim = 32 // JL-reduced dimensionality (64 → 32)
   val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
@@ -444,9 +446,6 @@ object ExtQueries {
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
     }),
 
-    // Product-quantization ADC ANN (the faiss IVFPQ code path): m
-    // bytes per vector, search via a broadcast query LUT joined on
-    // (subspace, code), exact re-rank of the shortlist. Deterministic
     // The dimensionality rung of the ANN ladder: JL sign-matrix
     // reduction 64→32, brute shortlist in the reduced space (2× less
     // memory bandwidth per comparison), exact cosine refine — the
@@ -458,6 +457,9 @@ object ExtQueries {
         rDim = RpDim, shortlist = RpShortlist, dim = EmbeddingDim)
     }),
 
+    // Product-quantization ADC ANN (the faiss IVFPQ code path): m
+    // bytes per vector, search via a broadcast query LUT joined on
+    // (subspace, code), exact re-rank of the shortlist. Deterministic
     // sampled codebooks so the oracle rebuilds the index exactly.
     "x_ann_pq_adc" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1325,11 +1327,6 @@ object ExtQueries {
        |SELECT query_id, match_id, cos, rank FROM ranked
        |WHERE rank <= $TopK""".stripMargin
 
-  /** Spherical-Lloyd refinement CTE chain mirroring
-    * `Similarity.lloydRefineCentroids`: seed sample → per-iteration
-    * (argmax assign → decimal-sum per-dim means → decimal normalizer →
-    * round-6 unit centroids). Ends in `lcents<iters>`; expects `corp`
-    * in scope. */
   /** Unrolled BPE-training oracle: one CTE stage per merge. Stage r
     * picks the argmax adjacent pair `b{r}` (same tie-break as the
     * Spark TakeOrdered: count desc, then pair text), and — for every
@@ -1392,6 +1389,11 @@ object ExtQueries {
     "WITH RECURSIVE " + (seed +: stages).mkString(",\n")
   }
 
+  /** Spherical-Lloyd refinement CTE chain mirroring
+    * `Similarity.lloydRefineCentroids`: seed sample → per-iteration
+    * (argmax assign → decimal-sum per-dim means → decimal normalizer →
+    * round-6 unit centroids). Ends in `lcents<iters>`; expects `corp`
+    * in scope. */
   private def lloydCentsSql(iters: Int): String = {
     val seed =
       s"""lcents0 AS (
@@ -2390,8 +2392,6 @@ object ExtQueries {
          |         WHERE rank <= $TopK)
          |SELECT query_id, match_id, cos, rank FROM topk""".stripMargin,
 
-    // the bucketed layout changes the plan, never the rows: plain join
-    // + per-order aggregate; decimal sums keep doubles order-independent
     // mirrors ZOrderStore: same grid binning, same Morton interleave
     // (za bits at odd positions, zb at even), same rectangle — the
     // zval range prefilter is a no-op for correctness (superset), so
@@ -2409,6 +2409,8 @@ object ExtQueries {
          |WHERE za BETWEEN $ZALo AND $ZAHi
          |  AND zb BETWEEN $ZBLo AND $ZBHi""".stripMargin,
 
+    // the bucketed layout changes the plan, never the rows: plain join
+    // + per-order aggregate; decimal sums keep doubles order-independent
     "x_bucketed_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  sum(l_quantity::decimal(18,2))::double AS sum_qty,

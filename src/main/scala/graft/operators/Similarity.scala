@@ -88,9 +88,15 @@ object Similarity {
     * so the DuckDB oracle reproduces the buckets exactly. The signs depend
     * only on (plane, dim), so they fold to a ±1 literal array at plan time
     * and the per-row cost is one codegen'd dot product per plane. */
-  private[operators] def planeSign(plane: Int, dim: Int): Double = {
+  private[operators] def planeSign(plane: Int, dim: Int): Double =
+    mdSign(s"p$plane#$dim")
+
+  /** Shared low-bit-of-md5 ±1 derivation behind every sign family
+    * (hyperplanes "p…", random projection "r…") — one construction,
+    * one thing the SQL oracles have to mirror. */
+  private def mdSign(tag: String): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"p$plane#$dim".getBytes("UTF-8"))
+      .digest(tag.getBytes("UTF-8"))
     val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
     if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
   }
@@ -121,13 +127,9 @@ object Similarity {
 
   /** Deterministic ±1 sign for the random-projection matrix — an
     * independent md5 family ("r…", vs the hyperplanes' "p…"), same
-    * SQL-replayable construction as [[planeSign]]. */
-  private[operators] def rpSign(j: Int, i: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"r$j#$i".getBytes("UTF-8"))
-    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
-    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
-  }
+    * SQL-replayable [[mdSign]] construction as [[planeSign]]. */
+  private[operators] def rpSign(j: Int, i: Int): Double =
+    mdSign(s"r$j#$i")
 
   /** Johnson–Lindenstrauss reduction of a raw vector to `rDim` signed
     * sums: component j = dot(v, signs_j), signs a constant ±1 matrix.

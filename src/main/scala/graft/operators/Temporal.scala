@@ -80,19 +80,6 @@ object Temporal {
       .select(col("l_id"), col(keyCol), col(tsCol), col("asof_id"))
   }
 
-  /** Interval join (the Flink pattern): every (left, right) pair on the
-    * same key with `right.ts` in `[left.ts − lookback, left.ts]` — e.g.
-    * all purchases within the hour before each click, where the as-of
-    * join keeps only the latest. Built as a key equi-join with the time
-    * band as a post-filter: Spark plans the JOIN on the key (shuffle
-    * hash / sort-merge — never a nested loop; asserted in PlanSpec), and
-    * the band prunes pairs per key group. Per-key pair volume is bounded
-    * by activity within the lookback, not total history.
-    *
-    * The SAME expression runs under Structured Streaming: with
-    * watermarks on both sides and the band condition in the join, Spark
-    * bounds each side's state to the lookback window
-    * (StreamingSyncSpec proves batch ≡ stream on the fixture). */
   /** PURE range join (no equi key) via bin bucketing: points join the
     * intervals containing them by first meeting on a synthetic
     * `floor(epoch / binSeconds)` bucket key — each point lands in
@@ -114,17 +101,36 @@ object Temporal {
       binSeconds: Long, tsCol: String = "ts",
       startCol: String = "wstart", endCol: String = "wend")
       : DataFrame = {
+    // bin arithmetic runs in MICROSECONDS (timestamp precision): a
+    // seconds-truncating cast would compute the exclusive end's last
+    // covered bin one too low for sub-second ends (end 20.5 s, bin
+    // 10 s: truncation says last bin 1, but a 20.3 s point bins to 2 —
+    // the pair would never meet)
+    val binMicros = binSeconds * 1000000L
     val p = points.withColumn("bin",
-      floor(col(tsCol).cast("long") / binSeconds))
+      floor(unix_micros(col(tsCol)) / binMicros))
     val i = intervals.withColumn("bin", explode(sequence(
-      floor(col(startCol).cast("long") / binSeconds),
-      // end is exclusive: the last covered second is end - 1
-      floor((col(endCol).cast("long") - 1) / binSeconds))))
+      floor(unix_micros(col(startCol)) / binMicros),
+      // end is exclusive: the last covered instant is end - 1 µs
+      floor((unix_micros(col(endCol)) - 1) / binMicros))))
     p.join(i, Seq("bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("bin")
   }
 
+  /** Interval join (the Flink pattern): every (left, right) pair on the
+    * same key with `right.ts` in `[left.ts − lookback, left.ts]` — e.g.
+    * all purchases within the hour before each click, where the as-of
+    * join keeps only the latest. Built as a key equi-join with the time
+    * band as a post-filter: Spark plans the JOIN on the key (shuffle
+    * hash / sort-merge — never a nested loop; asserted in PlanSpec), and
+    * the band prunes pairs per key group. Per-key pair volume is bounded
+    * by activity within the lookback, not total history.
+    *
+    * The SAME expression runs under Structured Streaming: with
+    * watermarks on both sides and the band condition in the join, Spark
+    * bounds each side's state to the lookback window
+    * (StreamingSyncSpec proves batch ≡ stream on the fixture). */
   def intervalJoin(left: DataFrame, right: DataFrame, lookback: String,
       keyCol: String, tsCol: String, leftIdCol: String,
       rightIdCol: String): DataFrame = {

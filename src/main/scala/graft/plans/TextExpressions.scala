@@ -484,7 +484,13 @@ case class BpeMergePair(first: Expression, second: Expression,
     third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements pass through the kernel untouched (UTF8String.equals
+  // never matches them), so element nullability follows the input's
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = first.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
   override def prettyName: String = "bpe_merge_pair"
 
   override def checkInputDataTypes(): TypeCheckResult =

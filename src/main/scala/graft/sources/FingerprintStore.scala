@@ -52,27 +52,14 @@ object FingerprintStore {
 
   private val Prefix = "fp-"
 
-  private def fsOf(spark: SparkSession, p: String) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
+  private def fsOf(spark: SparkSession, p: String) =
+    StoreFiles.fsOf(spark, p)
 
-  private def writeText(spark: SparkSession, p: String, s: String): Unit = {
-    val (fs, hp) = fsOf(spark, p)
-    val out = fs.create(hp, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeText(spark: SparkSession, p: String, s: String): Unit =
+    StoreFiles.writeText(spark, p, s)
 
-  private def readText(spark: SparkSession, p: String): Option[String] = {
-    val (fs, hp) = fsOf(spark, p)
-    if (!fs.exists(hp)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
-      val in = fs.open(hp)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, "UTF-8"))
-    }
-  }
+  private def readText(spark: SparkSession, p: String): Option[String] =
+    StoreFiles.readText(spark, p)
 
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(

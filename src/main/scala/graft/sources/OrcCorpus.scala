@@ -38,44 +38,14 @@ object OrcCorpus {
     * dropped) and a CURRENT shard with the full schema, split by
     * even/odd id. Marker-gated like the other persisted fixtures. */
   def ensureEvolvedFixture(docs: DataFrame, path: String,
-      evolvedCol: String, idCol: String = "doc_id"): Option[Double] = {
-    val spark = docs.sparkSession
-    val marker = s"$path/_built.json"
-    val recipe = s"""{"evolved":"$evolvedCol","id":"$idCol"}"""
-    if (readText(spark, marker).contains(recipe)) None
-    else {
-      val t0 = System.nanoTime()
+      evolvedCol: String, idCol: String = "doc_id"): Option[Double] =
+    StoreFiles.markerGate(docs.sparkSession, path,
+      s"""{"evolved":"$evolvedCol","id":"$idCol"}""") {
       // each generation dir is overwritten in place; a stale marker is
       // replaced after both writes land (marker-last crash safety)
       docs.filter(col(idCol) % 2 === 0).drop(evolvedCol)
         .write.mode("overwrite").orc(s"$path/legacy")
       docs.filter(col(idCol) % 2 =!= 0)
         .write.mode("overwrite").orc(s"$path/current")
-      writeText(spark, marker, recipe)
-      Some((System.nanoTime() - t0) / 1e9)
     }
-  }
-
-  private def fsOf(spark: SparkSession, p: String) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
-
-  private def writeText(spark: SparkSession, p: String,
-      s: String): Unit = {
-    val (fs, hp) = fsOf(spark, p)
-    val out = fs.create(hp, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readText(spark: SparkSession, p: String): Option[String] = {
-    val (fs, hp) = fsOf(spark, p)
-    if (!fs.exists(hp)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
-      val in = fs.open(hp)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, "UTF-8"))
-    }
-  }
 }

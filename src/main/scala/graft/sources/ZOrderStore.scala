@@ -47,42 +47,11 @@ object ZOrderStore {
     * crash mid-write rebuilds instead of serving a half-written
     * layout). Returns build seconds, or None when warm. */
   def ensureZOrdered(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, files: Int): Option[Double] = {
-    val spark = df.sparkSession
-    val marker = s"$path/_built.json"
-    val recipe =
-      s"""{"a":"$aCol","b":"$bCol","bits":$bits,"files":$files}"""
-    if (readText(spark, marker).contains(recipe)) None
-    else {
-      val t0 = System.nanoTime()
+      bCol: String, bits: Int, files: Int): Option[Double] =
+    StoreFiles.markerGate(df.sparkSession, path,
+      s"""{"a":"$aCol","b":"$bCol","bits":$bits,"files":$files}""") {
       writeZOrdered(df, path, aCol, bCol, bits, files)
-      writeText(spark, marker, recipe)
-      Some((System.nanoTime() - t0) / 1e9)
     }
-  }
-
-  private def fsOf(spark: SparkSession, p: String) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
-
-  private def writeText(spark: SparkSession, p: String,
-      s: String): Unit = {
-    val (fs, hp) = fsOf(spark, p)
-    val out = fs.create(hp, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readText(spark: SparkSession, p: String): Option[String] = {
-    val (fs, hp) = fsOf(spark, p)
-    if (!fs.exists(hp)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
-      val in = fs.open(hp)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, "UTF-8"))
-    }
-  }
 
   /** Rectangle scan over a Z-ordered layout: one pushed-down `zval`
     * range predicate does the file/row-group skipping, the two exact
