@@ -1030,6 +1030,26 @@ class ExtSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("binned range join keeps pairs in an interval's final sub-second") {
+    // regression: a seconds-truncating bin cast computed the exclusive
+    // end 20.5s as last-bin floor((20-1)/10)=1 while a 20.3s point
+    // bins to 2 — containment held but the pair never met
+    def ts(micros: Long) = new java.sql.Timestamp(micros / 1000) {
+      setNanos(((micros % 1000000) * 1000).toInt)
+    }
+    val points = Seq((1L, ts(20300000L))).toDF("event_id", "ts")
+    val ivs = Seq((ts(10500000L), ts(20500000L), 7L))
+      .toDF("wstart", "wend", "n")
+    val got = graft.operators.Temporal
+      .binnedRangeJoin(points, ivs, binSeconds = 10)
+      .select($"event_id", $"n").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 7L)))
+    // and the exclusive end stays exclusive at exact equality
+    val atEnd = Seq((2L, ts(20500000L))).toDF("event_id", "ts")
+    assert(graft.operators.Temporal
+      .binnedRangeJoin(atEnd, ivs, binSeconds = 10).count() === 0L)
+  }
+
   test("pmi collocations rank dependent pairs above frequent ones") {
     // 5× each: "new york", "new foo", "york bar" — all pairs co-occur
     // every time, but foo/bar are rarer parts, so their PMI is higher:
