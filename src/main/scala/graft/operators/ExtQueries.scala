@@ -669,6 +669,13 @@ object ExtQueries {
 
     // Header-only metadata peek (PNG IHDR parse for images, fake header
     // for the stubbed kinds) — the pushdown path that skips full decode.
+    // Perceptual average-hash over the PATTERNED png fixture (2-D
+    // structure, so the hash is non-degenerate): 8×8 cell-mean bits by
+    // integer cross-multiplication — engine-bit-identical; PNG is
+    // lossless, so the oracle replays the pixel formula per cell.
+    "x_media_ahash" -> ((s, d) =>
+      Multimodal.imageAHash(Multimodal.patternTable(s, d))),
+
     "x_media_header" -> ((s, d) =>
       Multimodal.headerMetadata(Multimodal.mediaTable(s, d))
         .select(col("media_id"), col("kind"), col("width"), col("height"))),
@@ -2073,6 +2080,31 @@ object ExtQueries {
         |SELECT media_id, n_frames, frame_idx::int AS frame_idx,
         |  md5(substring(text, frame_idx::int * 64 + 1, 16)) AS frame_fp
         |FROM f""".stripMargin,
+
+    // mirrors Multimodal.imageAHash over the pattern fixture: same
+    // pixel formula (doc_id + x·y mod 256), same ⌊·8/dim⌋ cells, same
+    // integer cross-multiplied threshold, bits in cell order
+    "x_media_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::int AS w,
+        |    (16 + doc_id % 32)::int AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y
+        |       FROM xs),
+        |cells AS (
+        |  SELECT doc_id, ((y * 8 // h) * 8 + (x * 8 // w))::int AS cell,
+        |    sum((doc_id + x * y) % 256)::bigint AS cs,
+        |    count(*)::bigint AS cc
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(cs)::bigint AS ts,
+        |          sum(cc)::bigint AS n
+        |        FROM cells GROUP BY doc_id)
+        |SELECT c.doc_id AS media_id,
+        |  string_agg(CASE WHEN c.cs * t.n >= t.ts * c.cc
+        |    THEN '1' ELSE '0' END, '' ORDER BY c.cell) AS ahash_bits
+        |FROM cells c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id""".stripMargin,
 
     "x_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hora, event_type,

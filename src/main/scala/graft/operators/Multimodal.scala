@@ -52,6 +52,53 @@ object Multimodal {
       }
     }
 
+    /** Decode an image into its gray-channel pixel grid (the fixture
+      * writes gray-equal RGB, so one channel IS the luminance). PNG is
+      * lossless — decoded pixels equal the generator formula exactly,
+      * which is what lets a SQL oracle replay per-pixel math. */
+    def decodeGrayPixels(payload: Array[Byte])
+        : Option[(Int, Int, Array[Int])] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      Option(img).map { i =>
+        val (w, h) = (i.getWidth, i.getHeight)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          i.getRGB(0, y, w, 1, px, y * w, w)
+          var x = 0
+          while (x < w) { px(y * w + x) &= 0xFF; x += 1 }
+          y += 1
+        }
+        (w, h, px)
+      }
+    }
+
+    /** Encode a PATTERNED gray PNG: pixel(x, y) = (seed + x·y) mod 256.
+      * Unlike the solid-gray fixture this carries 2-D structure, so
+      * perceptual hashing is non-degenerate — and the formula replays
+      * per-pixel in SQL (PNG is lossless). */
+    def encodePatternPng(width: Int, height: Int,
+        seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val row = new Array[Int](width)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = ((seed + x.toLong * y) % 256).toInt
+          row(x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        img.setRGB(0, y, width, 1, row, 0, width)
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     /** Encode a solid-gray PNG — fixture generator for the synthetic media
       * table and the round-trip specs. PNG is lossless, so decode returns
       * the exact gray as mean luminance. */
@@ -159,6 +206,80 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Patterned image table for content-level fingerprinting: one PNG
+    * per document, pixel(x, y) = (doc_id + x·y) mod 256, dims from
+    * [[fixtureDims]]. Same localCheckpoint-once lifecycle as
+    * [[mediaTable]] (the encode stands in for media already on disk). */
+  def patternTable(spark: SparkSession, dir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    mediaTables.keys.filter(_._1 != appId).foreach(mediaTables.remove)
+    mediaTables.getOrElseUpdate((appId, s"pattern:$dir"), {
+      import spark.implicits._
+      graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = fixtureDims(id)
+          MediaRow(id, "image", ImageCodec.encodePatternPng(w, h, id))
+        }).toDF().localCheckpoint()
+    })
+  }
+
+  /** Perceptual AVERAGE-HASH (aHash) of every image: partition the
+    * pixel grid into 8×8 cells (cell of x = ⌊x·8/w⌋), set bit
+    * (cy·8 + cx) iff the cell's mean luminance is at least the image
+    * mean. Every comparison is INTEGER cross-multiplication
+    * (`cellSum·n ≥ totalSum·cellCount`) — no floating means, so the
+    * 64-bit fingerprint is bit-identical in any engine that can read
+    * the pixels. Emitted as a 64-char '0'/'1' string in bit order
+    * (portable: no signed-shift edge at bit 63). Near-duplicate pairs
+    * then reduce to Hamming distance over these strings — the SimHash
+    * banding machinery applies unchanged.
+    *
+    * Shape: one batched mapPartitions decode pass, no shuffle — the
+    * hash is a per-row scan-speed computation like the other media
+    * feature extractors. */
+  def imageAHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            if (r.kind != "image") Iterator.empty
+            else ImageCodec.decodeGrayPixels(r.payload).iterator.map {
+              case (w, h, px) =>
+                val sums = new Array[Long](64)
+                val counts = new Array[Long](64)
+                var total = 0L
+                var y = 0
+                while (y < h) {
+                  val cy = y * 8 / h
+                  var x = 0
+                  while (x < w) {
+                    val cell = cy * 8 + x * 8 / w
+                    val v = px(y * w + x)
+                    sums(cell) += v
+                    counts(cell) += 1
+                    total += v
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = w.toLong * h
+                val bits = new Array[Char](64)
+                var i = 0
+                while (i < 64) {
+                  bits(i) = if (sums(i) * n >= total * counts(i)) '1'
+                  else '0'
+                  i += 1
+                }
+                (r.media_id, new String(bits))
+            }
+          }
+        }
+      }.toDF("media_id", "ahash_bits")
   }
 
   /** Batched image RESIZE — decode, scale with AWT bilinear

@@ -99,4 +99,41 @@ class MultimodalSpec extends SparkSpec {
       .collect().toSet
     assert(frameIds.subsetOf(vids))
   }
+
+  test("aHash matches the pixel formula and degenerates on solid gray") {
+    // independent reference: recompute the 8×8 integer cell-mean bits
+    // straight from the generator formula (PNG is lossless, so the
+    // decode path must reproduce it bit-for-bit)
+    def reference(seed: Long, w: Int, h: Int): String = {
+      val sums = new Array[Long](64); val counts = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((seed + x.toLong * y) % 256).toInt
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(cell) += v; counts(cell) += 1; total += v
+      }
+      val n = w.toLong * h
+      (0 until 64).map(i =>
+        if (sums(i) * n >= total * counts(i)) '1' else '0').mkString
+    }
+    val rows = Seq(5L, 6L, 7L).map { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      Multimodal.MediaRow(id, "image",
+        Multimodal.ImageCodec.encodePatternPng(w, h, id))
+    }
+    val got = Multimodal.imageAHash(rows.toDF())
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val (w, h) = Multimodal.fixtureDims(r.media_id)
+      assert(got(r.media_id) === reference(r.media_id, w, h))
+      assert(got(r.media_id).length === 64)
+    }
+    // structure check: patterned images differ; a solid gray is the
+    // degenerate all-ones hash (every cell equals the mean)
+    assert(got.values.toSet.size === rows.length)
+    val solid = Multimodal.imageAHash(Seq(Multimodal.MediaRow(9L,
+        "image", Multimodal.ImageCodec.encodeGrayPng(16, 16, 42))).toDF())
+      .as[(Long, String)].collect().head._2
+    assert(solid === "1" * 64)
+  }
 }
