@@ -102,10 +102,32 @@ class PlanSpec extends SparkSpec {
       // rank <= k must prune BEFORE the shuffle (partial WindowGroupLimit)
       // so no task ever sorts a whole group's rows — the property that
       // keeps tfidf/top-k-per-group alive when one group is huge
-      for (q <- Seq("x_tfidf_top", "x_best_per_source")) {
+      for (q <- Seq("x_tfidf_top", "x_best_per_source",
+          "x_sample_weighted")) {
         val plan = run(q).queryExecution.executedPlan.toString
         assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, q)
       }
+    }
+  }
+
+  test("pmi's only cross joins are the two 1-row totals broadcasts") {
+    withStaticPlan {
+      val plan = run("x_pmi_colloc").queryExecution.executedPlan
+      val loops = plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+      }
+      // the totals (nb, nu) are single-row aggregates broadcast as
+      // literals; every unigram join must be a real equi-join
+      assert(loops.length === 2)
+      assert(loops.forall(j => Seq(j.left, j.right).exists(side =>
+        side.collectFirst {
+          case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => b
+        }.exists(_.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate
+            .HashAggregateExec => a
+        }.nonEmpty))))
     }
   }
 
