@@ -669,6 +669,13 @@ object ExtQueries {
 
     // Header-only metadata peek (PNG IHDR parse for images, fake header
     // for the stubbed kinds) — the pushdown path that skips full decode.
+    // Perceptual image near-dup: aHash banding (4×16-bit keys, exact
+    // by pigeonhole at hamming ≤ 3) over the pattern fixture + exact
+    // re-uploaded duplicates — candidates from an equi-join, verified
+    // by codegen'd bit_count hamming.
+    "x_media_near_dup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(Multimodal.patternDupTable(s, d))),
+
     // Perceptual average-hash over the PATTERNED png fixture (2-D
     // structure, so the hash is non-degenerate): 8×8 cell-mean bits by
     // integer cross-multiplication — engine-bit-identical; PNG is
@@ -2080,6 +2087,45 @@ object ExtQueries {
         |SELECT media_id, n_frames, frame_idx::int AS frame_idx,
         |  md5(substring(text, frame_idx::int * 64 + 1, 16)) AS frame_fp
         |FROM f""".stripMargin,
+
+    // mirrors Multimodal.imageNearDupPairs: same pattern+dupe fixture
+    // and aHash arithmetic; the banding is exact at hamming ≤ 3, so
+    // the oracle is BRUTE-FORCE hamming over all image pairs
+    "x_media_near_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, (16 + doc_id % 48)::int AS w,
+        |    (16 + doc_id % 32)::int AS h
+        |  FROM documents),
+        |imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, w, h FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, w, h FROM d
+        |  WHERE doc_id % 5 = 0),
+        |xs AS (SELECT media_id, seed, w, h, unnest(range(0, w)) AS x
+        |       FROM imgs),
+        |px AS (SELECT media_id, seed, w, h, x, unnest(range(0, h)) AS y
+        |       FROM xs),
+        |cells AS (
+        |  SELECT media_id,
+        |    ((y * 8 // h) * 8 + (x * 8 // w))::int AS cell,
+        |    sum((seed + x * y) % 256)::bigint AS cs,
+        |    count(*)::bigint AS cc
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(cs)::bigint AS ts,
+        |          sum(cc)::bigint AS n
+        |        FROM cells GROUP BY 1),
+        |hsh AS (
+        |  SELECT c.media_id,
+        |    string_agg(CASE WHEN c.cs * t.n >= t.ts * c.cc
+        |      THEN '1' ELSE '0' END, '' ORDER BY c.cell) AS bits
+        |  FROM cells c JOIN tot t USING (media_id)
+        |  GROUP BY c.media_id)
+        |SELECT a_id, b_id, hamming FROM (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |    len(list_filter(range(1, 65),
+        |      i -> a.bits[i:i] <> b.bits[i:i]))::int AS hamming
+        |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id)
+        |WHERE hamming <= 3""".stripMargin,
 
     // mirrors Multimodal.imageAHash over the pattern fixture: same
     // pixel formula (doc_id + x·y mod 256), same ⌊·8/dim⌋ cells, same

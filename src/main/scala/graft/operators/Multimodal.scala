@@ -282,6 +282,75 @@ object Multimodal {
       }.toDF("media_id", "ahash_bits")
   }
 
+  /** [[patternTable]] plus EXACT-DUPLICATE images under shifted ids
+    * (every `dupeMod`-th document re-encoded with the same seed and
+    * dims as `doc_id + idOffset`) — the re-upload scenario perceptual
+    * dedup exists for. */
+  def patternDupTable(spark: SparkSession, dir: String,
+      dupeMod: Int = 5, idOffset: Long = 1000000L): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    mediaTables.keys.filter(_._1 != appId).foreach(mediaTables.remove)
+    mediaTables.getOrElseUpdate((appId, s"patterndup:$dir"), {
+      import spark.implicits._
+      graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val (w, h) = fixtureDims(id)
+          val base = MediaRow(id, "image",
+            ImageCodec.encodePatternPng(w, h, id))
+          if (id % dupeMod == 0)
+            Iterator(base, base.copy(media_id = id + idOffset))
+          else Iterator(base)
+        }).toDF().localCheckpoint()
+    })
+  }
+
+  /** Perceptual NEAR-DUPLICATE image pairs: band the 64-bit
+    * [[imageAHash]] into 4×16-bit keys, self-join on (band, key), and
+    * verify candidates by exact Hamming distance (bit_count over
+    * XOR'd 32-bit halves — codegen'd integer ops, no per-bit lambda).
+    * With 4 bands and `maxHamming` ≤ 3 the pigeonhole guarantee is
+    * EXACT: 3 differing bits touch at most 3 bands, so every
+    * qualifying pair shares at least one full band — banding is pure
+    * pruning, not approximation (the same argument as the SimHash
+    * bands, and why the oracle can be brute-force Hamming).
+    *
+    * Shape: candidates come from an equi-join on 18-byte band keys
+    * (never all-pairs), dedup before the verify, hash join volume
+    * follows band-bucket occupancy. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3)
+      : DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole is exact only for maxHamming <= 3")
+    val h = graft.operators.CacheRegistry.tracked(
+      imageAHash(media)
+        .withColumn("hi", conv(substring(col("ahash_bits"), 1, 32),
+          2, 10).cast("long"))
+        .withColumn("lo", conv(substring(col("ahash_bits"), 33, 32),
+          2, 10).cast("long")))
+    val bands = h.select(col("media_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("ahash_bits"), b * 16 + 1, 16).as("key")))
+        : _*)).as("bk"))
+      .select(col("media_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+    cand
+      .join(h.select(col("media_id").as("a_id"), col("hi").as("a_hi"),
+        col("lo").as("a_lo")), Seq("a_id"))
+      .join(h.select(col("media_id").as("b_id"), col("hi").as("b_hi"),
+        col("lo").as("b_lo")), Seq("b_id"))
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Batched image RESIZE — decode, scale with AWT bilinear
     * interpolation, re-encode PNG; one output row per image row, same
     * `mapPartitions`-with-batching shape as [[extractFeatures]] (a real

@@ -136,4 +136,27 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String)].collect().head._2
     assert(solid === "1" * 64)
   }
+
+  test("perceptual near-dup finds every re-uploaded duplicate at hamming 0") {
+    val dup = Multimodal.patternDupTable(spark, sf0001)
+    val pairs = Multimodal.imageNearDupPairs(dup)
+      .as[(Long, Long, Int)].collect()
+    // every injected exact duplicate (id, id + 1e6) must surface with
+    // hamming 0 — identical payload, identical hash
+    val injected = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 === 0).select($"doc_id").as[Long]
+      .collect().toSet
+    val zero = pairs.filter(_._3 == 0)
+      .map(p => (p._1, p._2)).toSet
+    assert(injected.forall(id => zero.contains((id, id + 1000000L))))
+    // banding is exact at maxHamming <= 3: equal to brute-force
+    // hamming over the hash table (the pigeonhole claim, machine-checked)
+    val h = Multimodal.imageAHash(dup).as[(Long, String)].collect()
+    def ham(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (ia, ba) <- h; (ib, bb) <- h if ia < ib && ham(ba, bb) <= 3
+    } yield (ia, ib, ham(ba, bb))).toSet
+    assert(pairs.toSet === brute)
+  }
 }
