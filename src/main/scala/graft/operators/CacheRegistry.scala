@@ -36,12 +36,19 @@ private[graft] object CacheRegistry {
     * results (runs its actions) before returning; pre-existing caches
     * are untouched. */
   def scoped[T](body: => T): T = {
-    val before = synchronized(live.length)
+    // snapshot by IDENTITY, not index: if body (or anything during it)
+    // calls unpersistAll or a nested scoped, `live` can shrink below a
+    // captured index and positional removal would either throw
+    // (negative count) or release caches some OTHER caller tracked
+    val before = synchronized(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()))
+    synchronized(live.foreach(before.add))
     try body
     finally {
       val created = synchronized {
-        val c = live.drop(before).toList
-        live.remove(before, live.length - before)
+        val c = live.filterNot(before.contains).toList
+        live.filterInPlace(before.contains)
         c
       }
       created.foreach(_.unpersist(blocking = false))

@@ -909,15 +909,26 @@ object ExtQueries {
     // the tie-bounded disagreement count.
     "x_quality_tiers_approx" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // adjacency is judged against the doc's (lang, q) TIE GROUP's
+      // exact-tile span, not its own arbitrary ntile slot: threshold
+      // semantics put every tied doc in ONE tile while exact ntile
+      // splits ties by doc_id, so when a tie run spans a whole tier
+      // the per-doc distance is meaningless (and could exceed 1 even
+      // with EXACT thresholds) — the group-span form is the contract
+      // that provably holds whenever the quantile is within one rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("q"))
       CorpusStats.qualityBuckets(docs)
         .select(col("doc_id"), col("lang"), col("q"),
           col("tile").as("tile_exact"))
         .join(CorpusStats.qualityBucketsApprox(docs)
           .select(col("doc_id"), col("tile").as("tile_approx")),
           Seq("doc_id"))
+        .withColumn("gmin", min(col("tile_exact")).over(w))
+        .withColumn("gmax", max(col("tile_exact")).over(w))
         .select(col("doc_id"), col("lang"), col("q"), col("tile_exact"),
-          (abs(col("tile_exact") - col("tile_approx")) <= 1)
-            .as("adjacent_ok"))
+          (col("tile_approx") >= col("gmin") - 1 &&
+            col("tile_approx") <= col("gmax") + 1).as("adjacent_ok"))
     }),
 
     // Head+tail truncation to a token budget (middle dropped) — the

@@ -357,9 +357,18 @@ object Similarity {
     // corpus assignment: argmax over the broadcast centroids as a map-side
     // combinable max_by — n rows reach the shuffle, not n × C candidate
     // rows (ties broken toward the lowest cent_id, same as the probe rank)
+    // centroid scores divide by the centroid norm (full cosine, not a
+    // bare dot): sampled centroids are unit to double precision, but
+    // TRAINED (Lloyd) centroids carry round-6 components whose norm is
+    // off 1 by up to ~4e-6 — a bare dot would scale each centroid's
+    // score differently from the oracle's list_cosine_similarity and
+    // could flip an assignment whose top-two cosines are closer than
+    // that (data-dependent, so it must be structurally impossible)
+    def centCos(v: Column): Column = round(dot(v, col("centv")) /
+      sqrt(dot(col("centv"), col("centv"))), 6)
     val lists = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
       .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+      .withColumn("cdot", centCos(col("cv")))
       .groupBy(col("match_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
@@ -371,7 +380,7 @@ object Similarity {
       .orderBy(col("cdot").desc, col("cent_id"))
     val probes = unitVecs(queries, idCol, vecCol, "query_id", "qv")
       .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(dot(col("qv"), col("centv")), 6))
+      .withColumn("cdot", centCos(col("qv")))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= nprobe)
       .drop("centv", "cdot", "crnk")

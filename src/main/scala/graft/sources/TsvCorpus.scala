@@ -45,13 +45,20 @@ object TsvCorpus {
       regexp_replace(c, "\\\\\\\\", Nul), "\\\\t", "\t"),
       "\\\\n", "\n"), "\\\\r", "\r"), Nul, "\\\\")
 
-  /** Export a documents frame as headerless TSV, one record per line. */
-  def write(docs: DataFrame, path: String): Unit =
+  /** Export a documents frame as headerless TSV, one record per line.
+    * Every field is null-coalesced to "" BEFORE concat_ws: concat_ws
+    * SKIPS null arguments (separator included), so an uncoalesced null
+    * field would emit a line one column short and the read would
+    * silently shift every later field left — field-order corruption,
+    * not a quarantine. The contract stays "null renders as empty". */
+  def write(docs: DataFrame, path: String): Unit = {
+    def f(c: Column) = coalesce(c.cast("string"), lit(""))
     docs
       .select(concat_ws("\t",
-        col("doc_id"), esc(col("text")), col("lang"), col("source"),
-        col("n_chars")).as("value"))
+        f(col("doc_id")), f(esc(col("text"))), f(col("lang")),
+        f(col("source")), f(col("n_chars"))).as("value"))
       .write.text(path)
+  }
 
   /** Read a TSV directory → (clean, quarantine). */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
@@ -70,11 +77,14 @@ object TsvCorpus {
       .csv(path)
     val clean = raw
       .filter(col(Corrupt).isNull && col("doc_id").isNotNull)
-      // TSV cannot distinguish null from empty text; the contract picks
-      // "" on both sides (concat_ws already renders null as "" on write)
+      // TSV cannot distinguish null from empty string; the contract
+      // picks "" on both sides for EVERY string field (write coalesces
+      // null fields to "", read restores the empty slot as "")
       .select(col("doc_id"),
-        coalesce(unesc(col("text")), lit("")).as("text"), col("lang"),
-        col("source"), col("n_chars"))
+        coalesce(unesc(col("text")), lit("")).as("text"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars"))
     val quarantine = raw
       .filter(col(Corrupt).isNotNull || col("doc_id").isNull)
       .select(

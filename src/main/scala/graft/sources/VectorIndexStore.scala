@@ -199,7 +199,13 @@ object VectorIndexStore {
     val recipe = s"""{"v":$FormatVersion,"ivf":$ivfCentroidMod,""" +
       s""""pq":$pqCentroidMod,"m":$m,"dim":$dim,"id":"$idCol",""" +
       s""""vec":"$vecCol","salt":$saltFilesPerList}"""
-    if (readText(spark, marker).contains(recipe)) None
+    // warm = matching recipe AND a committed codes version actually on
+    // disk (same guard as FingerprintStore.ensureFingerprints): a tmp
+    // cleaner that removes aged version dirs but spares the
+    // recently-touched marker must trigger a rebuild, not a session of
+    // path-does-not-exist serve failures
+    if (readText(spark, marker).contains(recipe) &&
+        SnapshotDir.current(spark, path, CodesPrefix).isDefined) None
     else {
       val t0 = System.nanoTime()
       writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,

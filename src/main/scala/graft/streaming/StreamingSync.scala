@@ -191,9 +191,16 @@ object StreamingSync {
       .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // materialize the aggregate, then DROP the memory sink: each sink
+    // pins its full emission row set in driver memory for the session's
+    // lifetime, and a bench session replays this many times (warmup +
+    // 3 timed attempts) — an unbounded leak without the drop
+    val out = spark.table(name)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_emissions"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming corpus admission — incremental dedup as a sink: every

@@ -1658,11 +1658,16 @@ class ExtSpec extends SparkSpec {
       .select($"vec_id".as("cent_id"),
         $"embedding".cast("array<double>").as("centv"))
     val refined = Similarity.lloydRefineCentroids(e, 37, iters = 2).cache()
-    // refined centroids are round-6 unit vectors
+    // refined centroids are round-6 unit vectors: check the SQUARED
+    // NORM against 1 (self-cosine is identically 1 for any non-zero
+    // vector — the original assertion here was vacuous and passed even
+    // with the normalizer removed); round-6 components put the norm
+    // within ~4e-6 of 1, never further
     val norms = refined.select(
-        abs(Similarity.cosine($"centv", $"centv") - 1.0).as("d"))
+        abs(graft.plans.VectorExpressions
+          .dotProduct($"centv", $"centv") - 1.0).as("d"))
       .agg(max($"d")).head().getDouble(0)
-    assert(norms < 1e-9, s"centroids must be self-cosine 1, off by $norms")
+    assert(norms < 1e-5, s"centroid squared norm off 1 by $norms")
     // spherical Lloyd improves (or preserves) mean best-centroid cosine
     val before = meanBestCos(seeds)
     val after = meanBestCos(refined)
@@ -1915,6 +1920,25 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getAs[String]("motivo_rechazo"))
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(q === Map("malformed tsv" -> 1, "missing doc_id" -> 1))
+  }
+
+  test("tsv write keeps a null field's column slot (no field shift)") {
+    // regression: concat_ws SKIPS nulls (separator included) — an
+    // uncoalesced null lang emitted a 4-field line and the read
+    // silently shifted source into lang instead of quarantining
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tsv-null").toString + "/data"
+    val rows = Seq((1L, "has null lang", null, "web", 13L),
+      (2L, null, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.TsvCorpus.write(rows, dir)
+    val (clean, quarantine) = graft.sources.TsvCorpus.read(spark, dir)
+    assert(quarantine.count() === 0)
+    val got = clean.orderBy("doc_id")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // null renders as "" but every column stays in its slot
+    assert(got === Seq((1L, "has null lang", "", "web", 13L),
+      (2L, "", "en", "web", 0L)))
   }
 
   test("funnel: strict step order, window cut, dropouts keep their prefix") {
