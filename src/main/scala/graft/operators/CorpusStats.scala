@@ -268,7 +268,13 @@ object CorpusStats {
     * choice depends only on ids and weights, never partitioning —
     * re-running on a grown corpus keeps every sampled id whose
     * priority still makes the cut, the property that makes weighted
-    * subsampling reproducible across pipeline reruns. */
+    * subsampling reproducible across pipeline reruns.
+    *
+    * Weights must be POSITIVE: `w = 0` divides `ln(u)` by zero and a
+    * negative `w` flips the priority sign, silently inverting the
+    * sampling order (least-likely rows would win). A-ES is only
+    * defined for positive weights, so non-positive-weight rows are
+    * excluded from the sample outright — the filter is the guard. */
   def weightedSamplePerGroup(docs: DataFrame, k: Int, weight: Column,
       groupCol: String = "source", idCol: String = "doc_id")
       : DataFrame = {
@@ -276,7 +282,7 @@ object CorpusStats {
     // independent of mixtureSample's membership hash)
     val u = (Dedup.seededHash(col(idCol).cast("string"), 2)
       .cast("double") + 1.0) / lit(1152921504606846976.0)
-    topKPerGroup(docs, k, groupCol,
+    topKPerGroup(docs.filter(weight.cast("double") > 0), k, groupCol,
       round(log(u) / weight.cast("double"), 6), idCol)
   }
 

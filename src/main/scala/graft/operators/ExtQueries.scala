@@ -1361,7 +1361,10 @@ object ExtQueries {
     * recur through its own fused token). Non-recursive stages are
     * MATERIALIZED — without the hint DuckDB re-inlines each stage into
     * every later one and the chain goes exponential (11 s → 0.2 s at
-    * sf0.01). */
+    * sf0.01). If the vocabulary exhausts before rank n (`b{r}` empty),
+    * stage r LEFT-JOIN-carries `s{r-1}` forward unchanged — matching
+    * `bpeTrainLoop`'s keep-last-vocab exhaustion behavior — instead of
+    * cross-join-emptying every later stage (and with it `token_fp`). */
   private def bpeTrainSql(n: Int): String =
     bpeStagesSql(n, withFinalVocab = false) + "\n" + (1 to n)
       .map(r => s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
@@ -1405,8 +1408,9 @@ object ExtQueries {
            |    FROM m$r m, b$r b)
            |  WHERE idx IS NOT NULL),
            |s$r AS MATERIALIZED (
-           |  SELECT m.w, m.freq, m.syms FROM m$r m, b$r b
-           |  WHERE list_filter(range(1, len(m.syms)),
+           |  SELECT m.w, m.freq, m.syms
+           |  FROM m$r m LEFT JOIN b$r b ON true
+           |  WHERE b.l IS NULL OR list_filter(range(1, len(m.syms)),
            |    i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] IS NULL)"""
           .stripMargin
       if (r < n || withFinalVocab) s"$argmax,\n$rewrite" else argmax
@@ -2635,7 +2639,7 @@ object ExtQueries {
          |    round(ln((('0x' || substr(md5(doc_id::varchar || '#1'),
          |        1, 15))::bigint + 1) / 1152921504606846976.0)
          |      / n_chars, 6) AS score
-         |  FROM documents)
+         |  FROM documents WHERE n_chars > 0)
          |SELECT source, doc_id, score, rank FROM (
          |  SELECT source, doc_id, score, row_number() OVER (
          |      PARTITION BY source ORDER BY score DESC, doc_id) AS rank

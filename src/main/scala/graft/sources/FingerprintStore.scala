@@ -91,11 +91,13 @@ object FingerprintStore {
     val spark = docs.sparkSession
     val (buckets, arrays) =
       fingerprints(docs, idCol, textCol, n, numHashes, bands, maxShingleDf)
-    val next = SnapshotDir.next(spark, path, Prefix)
-    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-    buckets.write.mode(SaveMode.Overwrite).parquet(vdir)
-    arrays.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_arrays")
-    SnapshotDir.commit(spark, path, Prefix, next)
+    SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, Prefix)
+      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
+      buckets.write.mode(SaveMode.Overwrite).parquet(vdir)
+      arrays.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_arrays")
+      SnapshotDir.commit(spark, path, Prefix, next)
+    }
     SnapshotDir.gc(spark, path, Prefix)
   }
 
@@ -227,12 +229,15 @@ object FingerprintStore {
     val cur = currentDir(spark, path)
     val buckets = spark.read.parquet(cur)
     val arrays = spark.read.parquet(s"$cur/_arrays")
-    val next = SnapshotDir.next(spark, path, Prefix)
-    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-    buckets.repartition(col("band"))
-      .write.mode(SaveMode.Overwrite).parquet(vdir)
-    arrays.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_arrays")
-    SnapshotDir.commit(spark, path, Prefix, next)
+    val vdir = SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, Prefix)
+      val vd = s"$path/${SnapshotDir.name(Prefix, next)}"
+      buckets.repartition(col("band"))
+        .write.mode(SaveMode.Overwrite).parquet(vd)
+      arrays.write.mode(SaveMode.Overwrite).parquet(s"$vd/_arrays")
+      SnapshotDir.commit(spark, path, Prefix, next)
+      vd
+    }
     SnapshotDir.gc(spark, path, Prefix)
     spark.catalog.refreshByPath(vdir)
   }

@@ -21,10 +21,52 @@ import org.apache.spark.sql.SparkSession
   * deployment and the calling code is unchanged.
   *
   * Single WRITER per root (a plain filesystem has no compare-and-swap
-  * to arbitrate two committers); any number of concurrent readers. */
+  * to arbitrate two committers); any number of concurrent readers.
+  * [[withWriterLock]] enforces that assumption best-effort: every
+  * version-claiming writer runs its claim→write→commit span under a
+  * create-fail lock marker, so two concurrent committers fail loudly
+  * instead of silently racing version numbers. */
 private[graft] object SnapshotDir {
 
   private val CommitMarker = "_committed"
+  private val WriterLock = "_writer.lock"
+
+  /** Run `body` holding the root's writer lock — the guard for the
+    * single-writer contract. Acquisition is ONE create-with-
+    * overwrite=false of `<root>/_writer.lock` (atomic create-fail on
+    * HDFS and local FS; best-effort on object stores without
+    * conditional puts — the documented limit of a plain-FS protocol).
+    * A lock older than `staleMs` is crash debris from a writer that
+    * died before its finally (the marker carries its create time):
+    * it is reclaimed with ONE retry, so a crashed writer delays the
+    * next one by at most the stale window instead of deadlocking the
+    * store. A live conflicting writer throws — loud beats racing. */
+  def withWriterLock[T](spark: SparkSession, root: String,
+      staleMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val (fs, _) = fsOf(spark, root)
+    val lock = new Path(root, WriterLock)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // overwrite=false: create-fail
+        try out.write(
+          String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      if (stale) fs.delete(lock, false)
+      if (!stale || !tryAcquire())
+        throw new IllegalStateException(
+          s"concurrent writer holds $lock — SnapshotDir roots are " +
+            "single-writer; serialize committers or remove a stale " +
+            "lock left by a crashed writer")
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   private def fsOf(spark: SparkSession, p: String) = {
     val hp = new Path(p)

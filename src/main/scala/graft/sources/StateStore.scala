@@ -118,10 +118,12 @@ object StateStore {
     * since the old version's files are never touched by the write. */
   def overwrite(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val next = SnapshotDir.next(spark, path, VersionPrefix)
-    df.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/${SnapshotDir.name(VersionPrefix, next)}")
-    SnapshotDir.commit(spark, path, VersionPrefix, next)
+    SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, VersionPrefix)
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/${SnapshotDir.name(VersionPrefix, next)}")
+      SnapshotDir.commit(spark, path, VersionPrefix, next)
+    }
     if (SnapshotDir.gc(spark, path, VersionPrefix)) {
       // a pre-protocol root-file state has aged out of its grace window
       val p = new Path(path)

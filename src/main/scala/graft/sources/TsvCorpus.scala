@@ -88,8 +88,13 @@ object TsvCorpus {
     val quarantine = raw
       .filter(col(Corrupt).isNotNull || col("doc_id").isNull)
       .select(
+        // reconstructed line must match the physical one: text stays
+        // ESCAPED (no unesc), and every null slot renders as "" — the
+        // writer's own null contract — because concat_ws would SKIP a
+        // null argument outright and silently shorten the line
         coalesce(col(Corrupt),
-          concat_ws("\t", DocSchema.fieldNames.map(col): _*))
+          concat_ws("\t", DocSchema.fieldNames.map(f =>
+            coalesce(col(f).cast("string"), lit(""))): _*))
           .as("raw_line"),
         when(col(Corrupt).isNotNull, "malformed tsv")
           .otherwise("missing doc_id").as("motivo_rechazo"))

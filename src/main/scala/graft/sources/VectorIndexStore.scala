@@ -165,18 +165,20 @@ object VectorIndexStore {
     // metadata against old codes (or a half-deleted cents dir). The
     // metadata dirs are underscore-prefixed: partition discovery skips
     // them, so they ride inside the partitioned codes table's dir.
-    val next = SnapshotDir.next(spark, path, CodesPrefix)
-    val vdir = s"$path/${codesName(next)}"
-    clustered
-      .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-      .parquet(vdir)
-    writeText(spark, s"$vdir/_schema.json", codes.schema.json)
-    ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_cents")
-    ix.codebooks.write.mode(SaveMode.Overwrite)
-      .parquet(s"$vdir/_codebooks")
-    ix.crossTable.write.mode(SaveMode.Overwrite)
-      .parquet(s"$vdir/_crosst")
-    SnapshotDir.commit(spark, path, CodesPrefix, next)
+    SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, CodesPrefix)
+      val vdir = s"$path/${codesName(next)}"
+      clustered
+        .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+        .parquet(vdir)
+      writeText(spark, s"$vdir/_schema.json", codes.schema.json)
+      ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_cents")
+      ix.codebooks.write.mode(SaveMode.Overwrite)
+        .parquet(s"$vdir/_codebooks")
+      ix.crossTable.write.mode(SaveMode.Overwrite)
+        .parquet(s"$vdir/_crosst")
+      SnapshotDir.commit(spark, path, CodesPrefix, next)
+    }
     gcCodes(spark, path)
   }
 
@@ -271,27 +273,30 @@ object VectorIndexStore {
     * CRASHES before its marker leaves an invisible dir the next GC
     * sweeps; the live index is never touched. */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
-    val codes = readCodes(spark, path)
-    val prev = currentCodesPath(spark, path)
-    val next = SnapshotDir.next(spark, path, CodesPrefix)
-    val vdir = s"$path/${codesName(next)}"
-    codes.repartition(col("cent_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-      .parquet(vdir)
-    // carry the (unchanged, metadata-sized) relations and sidecar
-    // forward so the new version is self-contained under one marker
-    val (fsys, _) = fsOf(spark, path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("cents", "codebooks", "crosst").foreach { n =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        fsys, new org.apache.hadoop.fs.Path(metaPath(spark, path, n)),
-        fsys, new org.apache.hadoop.fs.Path(s"$vdir/_$n"),
-        false, true, conf)
+    val vdir = SnapshotDir.withWriterLock(spark, path) {
+      val codes = readCodes(spark, path)
+      val prev = currentCodesPath(spark, path)
+      val next = SnapshotDir.next(spark, path, CodesPrefix)
+      val vd = s"$path/${codesName(next)}"
+      codes.repartition(col("cent_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+        .parquet(vd)
+      // carry the (unchanged, metadata-sized) relations and sidecar
+      // forward so the new version is self-contained under one marker
+      val (fsys, _) = fsOf(spark, path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("cents", "codebooks", "crosst").foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fsys, new org.apache.hadoop.fs.Path(metaPath(spark, path, n)),
+          fsys, new org.apache.hadoop.fs.Path(s"$vd/_$n"),
+          false, true, conf)
+      }
+      readText(spark, s"$prev/_schema.json")
+        .orElse(readText(spark, s"$path/codes_schema.json"))
+        .foreach(j => writeText(spark, s"$vd/_schema.json", j))
+      SnapshotDir.commit(spark, path, CodesPrefix, next)
+      vd
     }
-    readText(spark, s"$prev/_schema.json")
-      .orElse(readText(spark, s"$path/codes_schema.json"))
-      .foreach(j => writeText(spark, s"$vdir/_schema.json", j))
-    SnapshotDir.commit(spark, path, CodesPrefix, next)
     gcCodes(spark, path)
     spark.catalog.refreshByPath(vdir)
   }

@@ -1920,6 +1920,12 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getAs[String]("motivo_rechazo"))
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(q === Map("malformed tsv" -> 1, "missing doc_id" -> 1))
+    // forensic contract: the missing-id line's raw_line IS the physical
+    // line — the empty doc_id slot renders as "" (leading tab kept, no
+    // concat_ws null-skip shortening) and text stays escaped
+    val noId = quarantine.collect()
+      .find(_.getAs[String]("motivo_rechazo") == "missing doc_id").get
+    assert(noId.getAs[String]("raw_line") === "\tno id\ten\tweb\t2")
   }
 
   test("tsv write keeps a null field's column slot (no field shift)") {

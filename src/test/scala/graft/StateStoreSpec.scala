@@ -196,4 +196,31 @@ class StateStoreSpec extends SparkSpec {
     assert(scan.relation.location.inputFiles.length > 3) // layout has many
     assert(scan.partitionFilters.nonEmpty)
   }
+
+  test("writer lock: concurrent committers fail loudly, stale locks reclaim") {
+    import graft.sources.SnapshotDir
+    val dir = tmpDir() + "/state"
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // a held lock makes a second writer THROW (not race a version)
+    SnapshotDir.withWriterLock(spark, dir) {
+      val e = intercept[IllegalStateException] {
+        SnapshotDir.withWriterLock(spark, dir) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("concurrent writer"))
+    }
+    // the lock releases on exit: the real writer path works again
+    StateStore.overwrite(df, dir)
+    assert(StateStore.readOrCreate(spark, dir).count() === 1)
+    // crash debris: a lock older than the stale window is reclaimed
+    val lock = new java.io.File(dir, "_writer.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 16 * 60 * 1000L))
+    StateStore.overwrite(df, dir) // acquires through the stale lock
+    assert(!lock.exists(), "reclaimed lock must be released after commit")
+    // ...and a FRESH foreign lock blocks the writer path end-to-end
+    assert(lock.createNewFile())
+    try intercept[IllegalStateException] { StateStore.overwrite(df, dir) }
+    finally lock.delete()
+  }
 }
