@@ -727,6 +727,20 @@ object ExtQueries {
         Dedup.minhashLshPairs(docs, JaccardThreshold))
     }),
 
+    // The DISTRIBUTED rung of the same operator, under the same oracle:
+    // localEdgeThreshold = 0 forces the log-round label propagation
+    // with path-halving (the 100 TB path — the sf0.1 pair list would
+    // otherwise always take the driver union-find), hashed against the
+    // identical recursive-CTE transitive closure. Labels must match
+    // exactly: union-by-min-root and min-label propagation both
+    // converge to the component minimum.
+    "x_dedup_cluster_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterAssignments(docs,
+        Dedup.minhashLshPairs(docs, JaccardThreshold),
+        localEdgeThreshold = 0L)
+    }),
+
     // Native session windows (the same expression streams under a
     // watermark); end = last event + gap, Spark's convention.
     "x_sessionize" -> ((s, d) =>
@@ -1628,6 +1642,23 @@ object ExtQueries {
        |FROM pred p JOIN ql ON p.query_id = ql.query_id
        |LEFT JOIN agree a ON p.query_id = a.query_id""".stripMargin
 
+  /** Shared by `x_dedup_cluster` (adaptive union-find front end) and
+    * `x_dedup_cluster_dist` (forced log-round distributed propagation):
+    * one transitive-closure oracle, two implementation rungs. */
+  private lazy val DedupClusterOracle: String =
+    s"""WITH RECURSIVE $ShingleCtes,
+       |${minhashSigSql(8, 4)},
+       |vp AS ($VerifyPairsSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM vp
+       |  UNION ALL SELECT id_b, id_a FROM vp),
+       |reach(v, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_tok_count" ->
       """SELECT doc_id,
@@ -2232,19 +2263,11 @@ object ExtQueries {
     // transitive closure: reach(v, l) = "l reaches v"; min reachable
     // label per vertex = the component's minimum id — exactly what
     // min-label propagation converges to
-    "x_dedup_cluster" ->
-      s"""WITH RECURSIVE $ShingleCtes,
-         |${minhashSigSql(8, 4)},
-         |vp AS ($VerifyPairsSql),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM vp
-         |  UNION ALL SELECT id_b, id_a FROM vp),
-         |reach(v, l) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
-         |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
-        .stripMargin,
+    "x_dedup_cluster" -> DedupClusterOracle,
+
+    // identical closure: the distributed log-round path must produce
+    // the exact same labels as the union-find path
+    "x_dedup_cluster_dist" -> DedupClusterOracle,
 
     // gaps-and-islands mirror of session_window: a session breaks when
     // the gap from the previous event is >= the window (half-open
