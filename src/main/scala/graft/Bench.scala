@@ -55,7 +55,26 @@ object Bench {
           Option(t.getMessage).getOrElse(t.getClass.getName))
         Map("ensure_failed" -> -1.0)
       }
-    indexBuilds.foreach { case (k, v) =>
+    // The cold build path, measured EVERY run: the warm stores above
+    // are marker-gated (paid once per box), so a regression in Lloyd /
+    // PQ codebook training / fingerprint shingling / the Z-order sort
+    // would otherwise be invisible to the bench. Scratch-dir rebuilds,
+    // deleted after timing — the warm serving stores are never touched,
+    // and cold_* seconds ship alongside any warm-ensure times so
+    // index_build_sec is never empty. Opt out (e.g. a quick local
+    // iteration loop) with SPARK_GRAFT_SKIP_COLD_BUILD=1.
+    val coldBuilds =
+      if (sys.env.get("SPARK_GRAFT_SKIP_COLD_BUILD").contains("1"))
+        Map.empty[String, Double]
+      else
+        try graft.operators.ExtQueries.coldBuildSample(spark, sfDir)
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] cold build sample failed: " +
+            Option(t.getMessage).getOrElse(t.getClass.getName))
+          Map("cold_build_failed" -> -1.0)
+        }
+    val allBuilds = indexBuilds ++ coldBuilds
+    allBuilds.foreach { case (k, v) =>
       System.err.println(f"[bench] index build $k%-22s $v%8.2f s") }
     // the pre-build caches corpus-level frames (centroids, assignments)
     // through CacheRegistry; clear them so attempt 1 of the ANN queries
@@ -142,7 +161,7 @@ object Bench {
     val sp = spreads.map { case (k, (lo, med, hi)) =>
       s""""$k":[${d3(lo)},${d3(med)},${d3(hi)}]""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val ib = indexBuilds.map { case (k, v) => s""""$k":${d3(v)}""" }
+    val ib = allBuilds.map { case (k, v) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-3","queries":$qs,"spread":$sp,"index_build_sec":$ib,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","errors":${jsonObj(errors)},"retried":${jsonObj(retried)},"sf":"$sfDir"}"""

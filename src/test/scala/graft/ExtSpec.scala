@@ -1114,6 +1114,59 @@ class ExtSpec extends SparkSpec {
       .ensureEvolvedFixture(docs, path, "lang").isEmpty)
   }
 
+  test("avro ingest: reader-schema resolution backfills, quarantines, stays lossless") {
+    import graft.sources.AvroCorpus
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-avro").toString
+    val docs = Tables.documents(spark, sf0001)
+    AvroCorpus.ensureEvolvedFixture(docs, path, "lang")
+    val (clean, quarantine) = AvroCorpus.readDocs(spark,
+      s"$path/legacy", s"$path/current", s"$path/lenient")
+    // lossless round-trip: every contract-valid doc survives with
+    // byte-identical text; the lenient shard's null-id record does NOT
+    // reach the clean frame
+    assert(clean.count() === docs.count())
+    assert(clean.select($"doc_id", md5($"text"))
+      .exceptAll(docs.select($"doc_id", md5($"text"))).count() === 0)
+    // field-default backfill: the legacy generation (even ids) was
+    // written BEFORE `lang` existed — the reader schema's null default
+    // fills it; current keeps values (resolution is by name)
+    val byGen = clean.groupBy(($"doc_id" % 2 === 0).as("legacy"))
+      .agg(count(lit(1)).as("n"),
+        sum($"lang".isNull.cast("long")).as("nulls"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byGen(true)._1 === byGen(true)._2) // all legacy backfilled
+    assert(byGen(false)._2 === 0L)
+    // union-null contract: the lenient writer's null id resolved fine
+    // but violates the pipeline contract → quarantined with its record
+    val q = quarantine.collect()
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("motivo_rechazo") === "missing doc_id")
+    assert(q.head.getAs[String]("raw_record").contains("without an id"))
+    // nasty text round-trips byte-for-byte through the container
+    val nasty = Seq((1L, "tab\there\nnewline \\ quote\" end", "en",
+      "web", 29L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    AvroCorpus.write(nasty, s"$path/nasty")
+    val back = AvroCorpus.read(spark,
+      AvroCorpus.avroSchemaFor(nasty.schema), s"$path/nasty")
+    assert(back.select($"text").as[String].head() ===
+      "tab\there\nnewline \\ quote\" end")
+    // the loud failure mode: a reader-only field with NO default is a
+    // resolution error at open — Avro's contract, kept deliberately
+    val strict = org.apache.avro.SchemaBuilder.record("row")
+      .namespace("graft").fields()
+      .requiredLong("doc_id").requiredString("text")
+      .requiredString("lang").requiredString("source")
+      .requiredLong("n_chars").requiredString("added_no_default")
+      .endRecord()
+    intercept[org.apache.spark.SparkException] {
+      AvroCorpus.read(spark, strict, s"$path/current").count()
+    }
+    // marker short-circuit
+    assert(AvroCorpus.ensureEvolvedFixture(docs, path, "lang").isEmpty)
+  }
+
   test("weighted reservoir sampling favors heavy weights, size-biased") {
     // k=1 per group: a doc with a 10^6× weight must win its group
     // (its |ln u|/w priority is ~0 while every unit-weight rival sits
