@@ -268,6 +268,38 @@ object StreamingSync {
     }
   }
 
+  /** Streaming ANN index maintenance — the embedding half of the
+    * continuous-admission pipeline ([[dedupAdmissionSink]] is the text
+    * half): every micro-batch of vectors is coarse-assigned and
+    * PQ-encoded against the index's FROZEN stored centroids/codebooks
+    * and appended into only the list partitions it lands in
+    * ([[graft.sources.VectorIndexStore.appendIvfPq]]). Per-trigger
+    * cost is batch-sized (the batch joins broadcast metadata; the
+    * codes table is touched append-only), state is the persisted index
+    * itself — durable, versioned, shared with the batch append path,
+    * so a periodic [[graft.sources.VectorIndexStore.compactIvfPq]]
+    * folds the accumulated per-trigger files back to one per list. */
+  def vectorAppendSink(source: DataFrame, indexPath: String,
+      checkpoint: String, m: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          // scoped: encodeForIndex caches batch-scale intermediates;
+          // per-trigger caches must die with the trigger on an
+          // unbounded stream
+          graft.operators.CacheRegistry.scoped {
+            graft.sources.VectorIndexStore.appendIvfPq(
+              batch.sparkSession, indexPath, batch, m, dim, idCol,
+              vecCol)
+          }
+      }
+      .start()
+
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window
     * ending at the batch's max event date (the reference's

@@ -398,4 +398,61 @@ class StreamingSyncSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids === Set(1L, 2L, 11L))
   }
+
+  test("vector append sink: streamed micro-batches equal the batch append") {
+    import graft.sources.VectorIndexStore
+    val dir = tmp()
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter($"vec_id" % 10 =!= 9)
+    val holdout = e.filter($"vec_id" % 10 === 9)
+    val basePath = s"$dir/base"
+    VectorIndexStore.writeIvfPq(base, basePath)
+    // batch path: one append of the whole holdout
+    val batchPath = s"$dir/batch"
+    VectorIndexStore.cloneIndex(spark, basePath, batchPath)
+    VectorIndexStore.appendIvfPq(spark, batchPath, holdout)
+    // streamed path: the SAME holdout arrives as two ordered files
+    // through the sink — each trigger encodes against the same frozen
+    // metadata, so arrival chunking must not change the index
+    val streamPath = s"$dir/stream"
+    VectorIndexStore.cloneIndex(spark, basePath, streamPath)
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    def stage(name: String, mtime: Long,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = s"$dir/stage-$name"
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(in, s"$name.parquet")
+      assert(part.renameTo(tgt))
+      tgt.setLastModified(mtime)
+    }
+    stage("batch-01", 1700000000000L, holdout.filter($"vec_id" % 20 === 9))
+    stage("batch-02", 1700000060000L, holdout.filter($"vec_id" % 20 =!= 9))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamingSync.vectorAppendSink(stream, streamPath,
+      checkpoint = s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // served results are identical: the frozen-metadata encode is
+    // deterministic per vector, append order is irrelevant
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val batchTop = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, batchPath, queries, e, 10)
+      .collect().map(_.toString).sorted
+    val streamTop = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, streamPath, queries, e, 10)
+      .collect().map(_.toString).sorted
+    assert(batchTop.nonEmpty)
+    assert(batchTop.length === streamTop.length &&
+      batchTop.sameElements(streamTop))
+    // and a compaction folds the per-trigger files without changing them
+    VectorIndexStore.compactIvfPq(spark, streamPath)
+    val compacted = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, streamPath, queries, e, 10)
+      .collect().map(_.toString).sorted
+    assert(compacted.sameElements(streamTop))
+  }
 }
