@@ -497,21 +497,39 @@ object Dedup {
     * construction — only spans repeated across > maxDf docs), an
     * anti-join to drop hot spans (AQE broadcasts the hot side when it
     * fits), and one groupBy(doc) to reassemble. Three shuffles, all
-    * keyed — never a pairwise comparison anywhere. */
+    * keyed — never a pairwise comparison anywhere.
+    *
+    * ALIGNED-SPAN CONTRACT: spans are cut at fixed boundaries
+    * (`offset`, then every `width` words), so a repeated phrase is
+    * detected only when its occurrences share the same phase — a
+    * repeat STRADDLING a boundary escapes this pass (C4's own pass has
+    * the same property at sentence granularity). `offset` shifts the
+    * grid: [[scrubRepeatedSpansPhased]] composes offsets 0 and w/2 to
+    * double phase coverage. With `offset > 0` the first span is the
+    * `offset`-word head, then the grid proceeds at `width`. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", width: Int = 3,
-      maxDf: Int = 4): DataFrame = {
-    require(width >= 1 && maxDf >= 1)
+      maxDf: Int = 4, offset: Int = 0): DataFrame = {
+    require(width >= 1 && maxDf >= 1 && offset >= 0 && offset < width)
     val ws = split(trim(col(textCol)), "\\s+")
+    val nWords = size(ws)
+    val nSegs =
+      if (offset == 0) ceil(nWords / lit(width.toDouble)).cast("int")
+      else lit(1) + greatest(
+        ceil((nWords - offset) / lit(width.toDouble)).cast("int"), lit(0))
+    def seg(i: Column): Column =
+      if (offset == 0)
+        array_join(slice(ws, i * width + 1, lit(width)), " ")
+      else array_join(
+        when(i === 0, slice(ws, lit(1), lit(offset)))
+          .otherwise(
+            slice(ws, i * width + (offset - width) + 1, lit(width))), " ")
     val segs = CacheRegistry.tracked( // feeds the df agg AND the rebuild
       fanOut(docs)
         .select(col(idCol).as("id"),
           when(length(trim(col(textCol))) === 0,
             array().cast("array<string>"))
-            .otherwise(transform(
-              sequence(lit(0),
-                ceil(size(ws) / lit(width.toDouble)).cast("int") - 1),
-              i => array_join(slice(ws, i * width + 1, lit(width)), " ")))
+            .otherwise(transform(sequence(lit(0), nSegs - 1), seg(_)))
             .as("spans"))
         .select(col("id"), posexplode(col("spans")).as(Seq("pos", "seg"))))
     val hot = segs.groupBy(col("seg"))
@@ -534,5 +552,36 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         (coalesce(col("n_spans"), lit(0L)) -
           coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Two-phase span scrub closing (half of) the aligned-span gap: a
+    * repeated phrase straddling the pass-1 grid escapes detection, so
+    * a SECOND pass re-segments the cleaned text with the grid shifted
+    * by w/2 and scrubs again — occurrences whose phase lands on either
+    * grid are caught, doubling phase coverage (full coverage would
+    * need all w offsets, i.e. w corpus passes — the published C4-style
+    * contract accepts grid alignment instead). Phase-2 frequencies are
+    * computed over the PASS-1-CLEANED corpus: a span already removed
+    * cannot re-vote.
+    *
+    * Output per doc: final `clean_text`, pass-1 `n_spans`, and each
+    * pass's removal count. Scale shape: exactly two chained
+    * [[scrubRepeatedSpans]] pipelines — six keyed shuffles total,
+    * linear in the corpus, never pairwise. */
+  def scrubRepeatedSpansPhased(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 3,
+      maxDf: Int = 4): DataFrame = {
+    require(width >= 2, "width 1 has a single phase; use one pass")
+    val p1 = CacheRegistry.tracked( // feeds pass 2 AND the final join
+      scrubRepeatedSpans(docs, idCol, textCol, width, maxDf))
+    val p2 = scrubRepeatedSpans(
+      p1.select(col(idCol), col("clean_text")),
+      idCol, "clean_text", width, maxDf, offset = width / 2)
+    p1.select(col(idCol), col("n_spans"),
+        col("n_removed").as("n_removed_p1"))
+      .join(p2.select(col(idCol), col("clean_text"),
+        col("n_removed").as("n_removed_p2")), Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_spans"),
+        col("n_removed_p1"), col("n_removed_p2"))
   }
 }

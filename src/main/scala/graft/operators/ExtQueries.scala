@@ -384,6 +384,14 @@ object ExtQueries {
       Dedup.scrubRepeatedSpans(Tables.documents(s, d),
         width = SpanWidth, maxDf = SpanMaxDf)),
 
+    // Two-phase scrub: pass 2 re-runs on pass-1's cleaned text with
+    // the span grid shifted by w/2, catching repeats that straddle
+    // pass 1's boundaries (the aligned-span contract's blind spot —
+    // phase coverage doubles; full coverage would cost w passes).
+    "x_scrub_spans_phased" -> ((s, d) =>
+      Dedup.scrubRepeatedSpansPhased(Tables.documents(s, d),
+        width = SpanWidth, maxDf = SpanMaxDf)),
+
     // SimHash: md5-seeded 60-bit signatures; maxHamming=3 matches the
     // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
     "x_dedup_simhash" -> ((s, d) =>
@@ -1705,6 +1713,62 @@ object ExtQueries {
        |FROM pred p JOIN ql ON p.query_id = ql.query_id
        |LEFT JOIN agree a ON p.query_id = a.query_id""".stripMargin
 
+  /** One span-scrub pass as a reusable CTE block over `inRel(doc_id,
+    * text)`, ending in `out{p}(doc_id, clean_text, n_spans,
+    * n_removed)` — mirrors `Dedup.scrubRepeatedSpans` including its
+    * `offset` grid shift (offset > 0: an offset-word head span, then
+    * width-word spans). Shared by the single-pass and phased oracles
+    * so both replay the exact same segmentation arithmetic. */
+  private def scrubSpansCtes(inRel: String, p: String, width: Int,
+      offset: Int, maxDf: Int): String = {
+    val segs =
+      if (offset == 0)
+        s"""unnest(list_transform(
+           |      range(0, cast(ceil(len(ws) / $width.0) AS int)),
+           |      i -> {'pos': i,
+           |            'seg': array_to_string(
+           |              list_slice(ws, i*$width+1, i*$width+$width),
+           |              ' ')})) AS u""".stripMargin
+      else
+        s"""unnest(list_transform(
+           |      range(0, CASE WHEN len(ws) = 0 THEN 0
+           |        ELSE 1 + greatest(cast(ceil(
+           |          (len(ws) - $offset) / $width.0) AS int), 0) END),
+           |      i -> {'pos': i,
+           |            'seg': array_to_string(
+           |              CASE WHEN i = 0 THEN list_slice(ws, 1, $offset)
+           |                ELSE list_slice(ws,
+           |                  i*$width + $offset - $width + 1,
+           |                  i*$width + $offset) END, ' ')})) AS u"""
+          .stripMargin
+    s"""w$p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []::varchar[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS ws
+       |  FROM $inRel),
+       |sp$p AS (
+       |  SELECT doc_id,
+       |    $segs
+       |  FROM w$p),
+       |s$p AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM sp$p),
+       |hotsp$p AS (SELECT seg FROM s$p GROUP BY seg
+       |          HAVING count(DISTINCT doc_id) > $maxDf),
+       |kept$p AS (SELECT s.* FROM s$p s ANTI JOIN hotsp$p USING (seg)),
+       |reb$p AS (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       |    count(*)::bigint AS n_kept
+       |  FROM kept$p GROUP BY doc_id),
+       |tot$p AS (SELECT doc_id, count(*)::bigint AS n_spans
+       |        FROM s$p GROUP BY doc_id),
+       |out$p AS (
+       |  SELECT w$p.doc_id, coalesce(reb$p.clean_text, '') AS clean_text,
+       |    coalesce(tot$p.n_spans, 0)::bigint AS n_spans,
+       |    (coalesce(tot$p.n_spans, 0) - coalesce(reb$p.n_kept, 0))::bigint
+       |      AS n_removed
+       |  FROM w$p LEFT JOIN tot$p USING (doc_id)
+       |  LEFT JOIN reb$p USING (doc_id))""".stripMargin
+  }
+
   /** Shared by `x_dedup_cluster` (adaptive union-find front end) and
     * `x_dedup_cluster_dist` (forced log-round distributed propagation):
     * one transitive-closure oracle, two implementation rungs. */
@@ -1817,37 +1881,22 @@ object ExtQueries {
     // mirrors Dedup.scrubRepeatedSpans: non-overlapping word spans,
     // df over DISTINCT docs, anti-join, in-order reassembly
     "x_scrub_spans" ->
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    CASE WHEN trim(text) = '' THEN []::varchar[]
-         |         ELSE string_split_regex(trim(text), '\\s+') END AS ws
-         |  FROM documents),
-         |sp AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(
-         |      range(0, cast(ceil(len(ws) / $SpanWidth.0) AS int)),
-         |      i -> {'pos': i,
-         |            'seg': array_to_string(
-         |              list_slice(ws, i*$SpanWidth+1, i*$SpanWidth+$SpanWidth),
-         |              ' ')})) AS u
-         |  FROM w),
-         |s AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM sp),
-         |hotsp AS (SELECT seg FROM s GROUP BY seg
-         |          HAVING count(DISTINCT doc_id) > $SpanMaxDf),
-         |kept AS (SELECT s.* FROM s ANTI JOIN hotsp USING (seg)),
-         |reb AS (
-         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
-         |    count(*)::bigint AS n_kept
-         |  FROM kept GROUP BY doc_id),
-         |tot AS (SELECT doc_id, count(*)::bigint AS n_spans
-         |        FROM s GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
-         |  coalesce(tot.n_spans, 0)::bigint AS n_spans,
-         |  (coalesce(tot.n_spans, 0) - coalesce(reb.n_kept, 0))::bigint
-         |    AS n_removed
-         |FROM documents d
-         |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
+      s"""WITH ${scrubSpansCtes("documents", "1", SpanWidth, 0, SpanMaxDf)}
+         |SELECT doc_id, clean_text, n_spans, n_removed FROM out1"""
         .stripMargin,
+
+    // mirrors Dedup.scrubRepeatedSpansPhased: the identical scrub CTE
+    // block applied twice — pass 2 re-segments pass 1's cleaned text
+    // on the w/2-shifted grid, frequencies counted over the CLEANED
+    // corpus, so boundary-straddling phases on either grid are caught
+    "x_scrub_spans_phased" ->
+      s"""WITH ${scrubSpansCtes("documents", "1", SpanWidth, 0, SpanMaxDf)},
+         |p2in AS (SELECT doc_id, clean_text AS text FROM out1),
+         |${scrubSpansCtes("p2in", "2", SpanWidth, SpanWidth / 2,
+            SpanMaxDf)}
+         |SELECT doc_id, o2.clean_text, o1.n_spans,
+         |  o1.n_removed AS n_removed_p1, o2.n_removed AS n_removed_p2
+         |FROM out1 o1 JOIN out2 o2 USING (doc_id)""".stripMargin,
 
     // replays both sides' md5 minhash pipelines over the corpus/batch
     // split: batch buckets × corpus buckets → exact-Jaccard verify

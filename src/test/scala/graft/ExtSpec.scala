@@ -1646,6 +1646,40 @@ class ExtSpec extends SparkSpec {
       "unaligned occurrences are different spans and survive")
   }
 
+  test("phased span scrub catches a boundary-straddling repeat") {
+    // "P Q R" starts at word 2: pass 1's width-3 grid cuts it across
+    // [a? P Q][R x? y?] — each cut span is doc-unique, so the single
+    // pass keeps everything. Pass 2's offset-1 grid segments as
+    // [a?][P Q R][x? y?]: the straddler is now aligned and hot.
+    val df = Seq(
+      (1L, "a1 P Q R x1 y1"),
+      (2L, "a2 P Q R x2 y2"),
+      (3L, "u1 u2 u3")) // control: untouched by both passes
+      .toDF("doc_id", "text")
+    val single = Dedup.scrubRepeatedSpans(df, width = 3, maxDf = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(single(1L).getAs[String]("clean_text") === "a1 P Q R x1 y1",
+      "the aligned single pass must MISS the straddling repeat")
+    assert(single(1L).getAs[Long]("n_removed") === 0L)
+    val phased = Dedup.scrubRepeatedSpansPhased(df, width = 3, maxDf = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(phased(1L).getAs[String]("clean_text") === "a1 x1 y1")
+    assert(phased(1L).getAs[Long]("n_removed_p1") === 0L)
+    assert(phased(1L).getAs[Long]("n_removed_p2") === 1L)
+    assert(phased(2L).getAs[String]("clean_text") === "a2 x2 y2")
+    assert(phased(3L).getAs[String]("clean_text") === "u1 u2 u3")
+    assert(phased(3L).getAs[Long]("n_removed_p2") === 0L)
+    // pass-1 behavior is untouched inside the phased composition:
+    // grid-ALIGNED repeats still go in pass 1
+    val aligned = (10L to 15L).map(i => (i, s"P Q R tail$i more$i"))
+      .toDF("doc_id", "text")
+    val ph2 = Dedup.scrubRepeatedSpansPhased(aligned, width = 3,
+        maxDf = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ph2(10L).getAs[String]("clean_text") === "tail10 more10")
+    assert(ph2(10L).getAs[Long]("n_removed_p1") === 1L)
+  }
+
   test("jsonl reader: lossless round-trip, quarantine catches both kinds") {
     val docs = Tables.documents(spark, sf0001)
     val root = java.nio.file.Files
