@@ -854,8 +854,31 @@ object CorpusStats {
     * (position, syms) structs — per-doc sort_array over tokens-per-doc
     * elements, never a global sort. */
   def bpeEncode(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeWithVocab(docs, bpeTrainLoop(docs, nMerges, textCol)._2,
+      textCol, idCol)
+
+  /** Both halves of the training loop's output as frames — the
+    * persistence hook ([[graft.sources.TokenizerStore]] writes them;
+    * training runs ONCE per tokenizer, every later corpus encodes
+    * against the stored vocabulary). Merges: (merge_rank, left, right,
+    * cnt). Vocabulary: (w, freq, syms) with `syms` the word's symbols
+    * after all merges. */
+  private[graft] def bpeTrainVocab(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = bpeTrainLoop(docs, nMerges, textCol)
+    (merges.toDF("merge_rank", "left", "right", "cnt"), vocab)
+  }
+
+  /** The encode body against an explicit `(w, syms)` vocabulary frame —
+    * shared by [[bpeEncode]] (vocab trained in-query) and
+    * [[graft.sources.TokenizerStore.encodeFromStore]] (vocab read from
+    * the persisted store): broadcast join, OOV words tokenize as
+    * themselves, per-doc in-order token-stream fingerprint. */
+  private[graft] def encodeWithVocab(docs: DataFrame, vocab: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocab = bpeTrainLoop(docs, nMerges, textCol)._2
     val ws = docs
       .select(col(idCol), posexplode(TextAnalysis.words(col(textCol)))
         .as(Seq("pos", "w")))

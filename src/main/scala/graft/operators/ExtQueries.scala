@@ -181,7 +181,11 @@ object ExtQueries {
       graft.sources.AvroCorpus
         .ensureEvolvedFixture(Tables.documents(s, d), avroFixturePath(d),
           "lang")
-        .map("avro_fixture" -> _).toMap
+        .map("avro_fixture" -> _).toMap ++
+      graft.sources.TokenizerStore
+        .ensureVocab(Tables.documents(s, d), bpeVocabPath(d),
+          BpeTrainMerges)
+        .map("bpe_vocab" -> _).toMap
 
   /** Measure the COLD build path once per bench run: rebuild each
     * expensive persisted store from scratch into a throwaway scratch
@@ -216,7 +220,9 @@ object ExtQueries {
         .writeFingerprints(incrCorpus(s, d), s"$root/fp")),
       "cold_zorder" -> timed(graft.sources.ZOrderStore.writeZOrdered(
         zGrid(Tables.events(s, d)), s"$root/zorder", "za", "zb",
-        ZBits, ZFiles)))
+        ZBits, ZFiles)),
+      "cold_bpe_vocab" -> timed(graft.sources.TokenizerStore.writeVocab(
+        Tables.documents(s, d), s"$root/bpevocab", BpeTrainMerges)))
     finally scrub()
   }
 
@@ -227,6 +233,10 @@ object ExtQueries {
   private[graft] def avroFixturePath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-avro-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def bpeVocabPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-bpevocab-${Integer.toHexString(d.hashCode)}").toString
 
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -954,6 +964,20 @@ object ExtQueries {
     // token-stream fingerprint.
     "x_bpe_encode" -> ((s, d) =>
       CorpusStats.bpeEncode(Tables.documents(s, d), BpeTrainMerges)),
+
+    // The SERVING shape of the tokenizer: train once into the
+    // persisted vocabulary store (marker-gated; Bench pre-builds), then
+    // encode as scan + broadcast join + per-doc aggregate — no training
+    // passes in the query. Output must equal the in-query train+encode
+    // bit-for-bit (the vocabulary round-trips parquet exactly), so it
+    // shares x_bpe_encode's oracle.
+    "x_bpe_encode_stored" -> ((s, d) => {
+      val path = bpeVocabPath(d)
+      graft.sources.TokenizerStore.ensureVocab(
+        Tables.documents(s, d), path, BpeTrainMerges)
+      graft.sources.TokenizerStore.encodeFromStore(
+        s, path, Tables.documents(s, d))
+    }),
 
     // RAG indexing chunks: overlapping word windows, one row per chunk
     // with a content fingerprint — pure per-row explode, scan speed.
@@ -1768,6 +1792,33 @@ object ExtQueries {
        |  FROM w$p LEFT JOIN tot$p USING (doc_id)
        |  LEFT JOIN reb$p USING (doc_id))""".stripMargin
   }
+
+  /** Shared by `x_bpe_encode` (vocab trained in-query) and
+    * `x_bpe_encode_stored` (vocab from the persisted
+    * [[graft.sources.TokenizerStore]]): the trained stages produce the
+    * final vocab `s{N}`; docs explode words with position, left-join
+    * the vocab (OOV = the word itself), and the fingerprint reassembles
+    * the token stream in document order. (Concatenated, NOT
+    * interpolated into the stripMargin literal — the outer stripMargin
+    * would re-strip the helper's embedded `||`-continuation lines into
+    * syntax errors.) */
+  private lazy val BpeEncodeOracle: String =
+    bpeStagesSql(BpeTrainMerges, withFinalVocab = true) + ",\n" +
+      s"""dw AS MATERIALIZED (
+         |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
+         |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+         |    FROM (SELECT doc_id,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |          FROM documents))
+         |  WHERE ws[i + 1] <> ''),
+         |enc AS (
+         |  SELECT d.doc_id, d.pos, coalesce(s.syms, [d.w]) AS toks
+         |  FROM dw d LEFT JOIN s$BpeTrainMerges s ON d.w = s.w)
+         |SELECT doc_id, count(*)::bigint AS n_words,
+         |  sum(len(toks))::bigint AS n_subwords,
+         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
+         |    AS token_fp
+         |FROM enc GROUP BY doc_id""".stripMargin
 
   /** Shared by `x_dedup_cluster` (adaptive union-find front end) and
     * `x_dedup_cluster_dist` (forced log-round distributed propagation):
@@ -3073,23 +3124,11 @@ object ExtQueries {
     // (concatenated, NOT interpolated into the stripMargin literal —
     // the outer stripMargin would re-strip the helper's embedded
     // `||`-continuation lines into syntax errors)
-    "x_bpe_encode" ->
-      (bpeStagesSql(BpeTrainMerges, withFinalVocab = true) + ",\n" +
-      s"""dw AS MATERIALIZED (
-         |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
-         |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
-         |    FROM (SELECT doc_id,
-         |            string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |          FROM documents))
-         |  WHERE ws[i + 1] <> ''),
-         |enc AS (
-         |  SELECT d.doc_id, d.pos, coalesce(s.syms, [d.w]) AS toks
-         |  FROM dw d LEFT JOIN s$BpeTrainMerges s ON d.w = s.w)
-         |SELECT doc_id, count(*)::bigint AS n_words,
-         |  sum(len(toks))::bigint AS n_subwords,
-         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
-         |    AS token_fp
-         |FROM enc GROUP BY doc_id""".stripMargin),
+    "x_bpe_encode" -> BpeEncodeOracle,
+
+    // the stored-vocabulary encode is defined to equal the in-query
+    // train+encode (parquet round-trips the vocab exactly) — one oracle
+    "x_bpe_encode_stored" -> BpeEncodeOracle,
 
     // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
     // `width` words; list_slice's inclusive end = Spark slice's length

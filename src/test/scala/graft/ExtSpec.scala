@@ -1253,6 +1253,35 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((7L, 7L, 8L, fp)))
   }
 
+  test("tokenizer store: stored-vocab encode equals in-query train+encode") {
+    import graft.sources.TokenizerStore
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpevocab").toString + "/vocab"
+    // cold build pays training; the stored encode then replays the
+    // in-query train+encode bit-for-bit (vocab round-trips parquet)
+    assert(TokenizerStore.ensureVocab(docs, path, 3).isDefined)
+    val stored = TokenizerStore.encodeFromStore(spark, path, docs)
+    val direct = CorpusStats.bpeEncode(docs, 3)
+    assert(stored.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(stored).count() === 0)
+    // the portable merge list round-trips with ranks intact
+    val m = TokenizerStore.readMerges(spark, path)
+      .orderBy($"merge_rank").collect()
+    assert(m.map(_.getAs[Int]("merge_rank")).toSeq === Seq(1, 2, 3))
+    // a LATER corpus encodes against the frozen store — trained words
+    // use their merged syms, unseen words tokenize as themselves
+    val later = Seq((999L, "zzz-never-trained zzz-also-new"))
+      .toDF("doc_id", "text")
+    val enc = TokenizerStore.encodeFromStore(spark, path, later)
+      .collect().head
+    assert(enc.getAs[Long]("n_words") === 2L)
+    assert(enc.getAs[Long]("n_subwords") === 2L) // OOV = 1 token each
+    // warm marker is a no-op; a recipe change retrains
+    assert(TokenizerStore.ensureVocab(docs, path, 3).isEmpty)
+    assert(TokenizerStore.ensureVocab(docs, path, 4).isDefined)
+  }
+
   test("ivfpq served from the persisted index replays the in-query build") {
     val e = Tables.embeddings(spark, sf0001)
     val path = java.nio.file.Files
