@@ -38,6 +38,7 @@ object ExtQueries {
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val RecallFloor = 0.5 // per-query recall@k gate for x_ann_recall_eval
   val HotWindowMin = 6L // purchases/hour that open an alert window
   val RangeBinSeconds = 1800L // bin width for the binned range join
   val PmiTopK = 50 // collocations kept by x_pmi_colloc
@@ -472,6 +473,20 @@ object ExtQueries {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") % QueryMod === 0), e, TopK,
         centroidMod = IvfCentroidMod, nprobe = IvfNprobe)
+    }),
+
+    // Recall@k evaluation of the IVF rung against the exact top-k —
+    // the post-(re)build gate an ANN deployment runs before raising
+    // traffic; queries below RecallFloor are the tail a nprobe bump
+    // would chase. Both inputs are deterministic, so every value
+    // (counts, ratio, flag) hashes against the oracle.
+    "x_ann_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % QueryMod === 0)
+      Similarity.recallEval(
+        Similarity.ivfTopK(q, e, TopK, centroidMod = IvfCentroidMod,
+          nprobe = IvfNprobe),
+        Similarity.bruteForceTopK(q, e, TopK), RecallFloor)
     }),
 
     // IVF over TRAINED centroids: the sampled seeds refined by the
@@ -1432,6 +1447,16 @@ object ExtQueries {
     * (`cent_id`, `centv DOUBLE[]`); expects a `corp (vec_id, v)` CTE in
     * scope. Shared by the sampled-centroid and Lloyd-refined oracles. */
   private def ivfSearchSql(cents: String): String =
+    ivfSearchCtes(cents) +
+      s"""
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin
+
+  /** The IVF search chain as a reusable CTE block ending in `ranked`
+    * (assignment → nprobe lists → scored → ranked) — shared by the
+    * topk oracles and the recall-eval oracle, which needs `ranked` as
+    * an input relation rather than a final projection. */
+  private def ivfSearchCtes(cents: String): String =
     s"""casg AS (
        |  SELECT vec_id AS match_id, v AS cv, cent_id FROM (
        |    SELECT c.vec_id, c.v, ct.cent_id, row_number() OVER (
@@ -1457,9 +1482,7 @@ object ExtQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, match_id, cos, rank FROM ranked
-       |WHERE rank <= $TopK""".stripMargin
+       |  FROM scored)""".stripMargin
 
   /** Unrolled BPE-training oracle: one CTE stage per merge. Stage r
     * picks the argmax adjacent pair `b{r}` (same tie-break as the
@@ -2220,6 +2243,40 @@ object ExtQueries {
          |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
          |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${ivfSearchSql("cents")}""".stripMargin,
+
+    // mirrors Similarity.recallEval over the same IVF chain (`ranked`)
+    // and the brute-force exact chain: per-query hit count via a
+    // (query, match) join, float-division recall, ceil-floored gate
+    "x_ann_recall_eval" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
+         |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${ivfSearchCtes("cents")},
+         |ivfr AS (SELECT query_id, match_id FROM ranked
+         |         WHERE rank <= $TopK),
+         |bscored AS (
+         |  SELECT q.query_id, c.vec_id AS match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM corp c CROSS JOIN (
+         |    SELECT vec_id AS query_id, v AS qv FROM corp
+         |    WHERE vec_id % $QueryMod = 0) q
+         |  WHERE q.query_id <> c.vec_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM bscored),
+         |exact AS (SELECT query_id, match_id FROM branked
+         |          WHERE rank <= $TopK),
+         |hit AS (
+         |  SELECT e.query_id, count(*)::bigint AS n_exact,
+         |    count(i.match_id)::bigint AS n_hit
+         |  FROM exact e LEFT JOIN ivfr i USING (query_id, match_id)
+         |  GROUP BY e.query_id)
+         |SELECT query_id, n_exact, n_hit,
+         |  round(n_hit / n_exact, 6) AS recall_at_k,
+         |  n_hit >= ceil($RecallFloor * n_exact) AS recall_ok
+         |FROM hit""".stripMargin,
 
     // Lloyd-refined assignment + the quality-rank curation chain
     "x_diversity_sample" ->

@@ -1029,4 +1029,32 @@ object Similarity {
         round(dot(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the offline evaluation harness every ANN deployment runs after an
+    * index (re)build and before raising traffic: per query, the
+    * fraction of exact neighbors the approximate rung returned, plus a
+    * pass/fail flag against `floor` (flagged queries are the recall
+    * tail a nprobe/planes bump would chase). Denominator is each
+    * query's ACTUAL exact-neighbor count (= k whenever the corpus has
+    * k candidates), so tiny corpora score honestly.
+    *
+    * Scale shape: one left join on (query, match) + one keyed
+    * aggregate over ≤ |queries|·k rows — negligible next to producing
+    * the two inputs. The exact side is the expensive half, which is
+    * why recall runs on a query SAMPLE (the standard harness shape);
+    * the approximate side is the serving path being graded. */
+  def recallEval(approx: DataFrame, exact: DataFrame, floor: Double,
+      queryCol: String = "query_id",
+      matchCol: String = "match_id"): DataFrame =
+    exact.select(col(queryCol), col(matchCol))
+      .join(approx.select(col(queryCol), col(matchCol),
+        lit(1L).as("hit")), Seq(queryCol, matchCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col(queryCol), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall_at_k"),
+        (col("n_hit") >= ceil(lit(floor) * col("n_exact")))
+          .as("recall_ok"))
 }

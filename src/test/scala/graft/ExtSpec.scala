@@ -119,6 +119,32 @@ class ExtSpec extends SparkSpec {
     assert(top.toSeq === Seq(1L, 2L)) // nearest first, never itself
   }
 
+  test("recall eval: honest denominator and ceil-floored gate") {
+    val tiny = Seq(
+      (1L, Array.fill(4)(1.0f)),
+      (2L, Array(1.0f, 0.9f, 1.0f, 1.0f)),
+      (3L, Array(-1.0f, 1.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    // k=10 over a 3-vector corpus: each query has only 2 exact
+    // neighbors — the denominator must be 2, not k
+    val exact = Similarity.bruteForceTopK(tiny, tiny, 10)
+    val approx = exact.filter($"rank" === 1) // half the neighbors back
+    val r = Similarity.recallEval(approx, exact, 0.5)
+      .collect().map(x => x.getAs[Long]("query_id") -> x).toMap
+    assert(r.size === 3)
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_exact") === 2L)
+      assert(x.getAs[Long]("n_hit") === 1L)
+      assert(x.getAs[Double]("recall_at_k") === 0.5)
+      assert(x.getAs[Boolean]("recall_ok")) // ceil(0.5*2)=1 <= 1
+    }
+    // a tighter floor flips the gate: ceil(0.6*2)=2 > 1
+    assert(Similarity.recallEval(approx, exact, 0.6)
+      .filter($"recall_ok").count() === 0)
+    // perfect approximation scores 1.0 everywhere
+    assert(Similarity.recallEval(exact, exact, 0.99)
+      .filter(!$"recall_ok" || $"recall_at_k" =!= 1.0).count() === 0)
+  }
+
   test("LSH top-k returns a subset consistent with brute-force scores") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" % 50 === 0)
