@@ -321,4 +321,34 @@ class PlanSpec extends SparkSpec {
         plan.toString)
     }
   }
+
+  test("stored-vocab encode is a broadcast join, no training stages") {
+    withStaticPlan {
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpeplan").toString + "/vocab"
+    graft.sources.TokenizerStore.ensureVocab(docs, path, 3)
+    val df = graft.sources.TokenizerStore.encodeFromStore(
+      spark, path, docs)
+    val plan = df.queryExecution.executedPlan
+    // the vocab rides ONE broadcast hash join — the 100 TB encode is
+    // scan + map-side join + one doc_id shuffle, nothing else
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"vocab join must broadcast:\n$plan")
+    // exactly two file scans: corpus + stored vocab — zero training
+    // aggregates re-deriving merges (the store's whole point)
+    val sc = scans(df)
+    assert(sc.length === 2, s"expected corpus+vocab scans, got:\n$plan")
+    assert(sc.exists(_.metadata.get("Location")
+      .exists(_.contains("vocab-000"))), "one scan reads the store")
+    // one exchange total (the per-doc aggregate); training would add
+    // its word-frequency shuffle and per-merge aggregates
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1,
+      s"stored encode must shuffle once (doc aggregate), got " +
+        s"${exchanges.length}:\n$plan")
+    }
+  }
 }
