@@ -506,7 +506,12 @@ object Dedup {
     * the same property at sentence granularity). `offset` shifts the
     * grid: [[scrubRepeatedSpansPhased]] composes offsets 0 and w/2 to
     * double phase coverage. With `offset > 0` the first span is the
-    * `offset`-word head, then the grid proceeds at `width`. */
+    * `offset`-word head, then the grid proceeds at `width`. Only
+    * EXACT `width`-word spans are ever removed — sub-width remainders
+    * (the ragged tail; the offset head) are kept unconditionally,
+    * because every document contributes one, and a shared 1-2 word
+    * remainder ("the", "in conclusion") is common language, not
+    * boilerplate. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", width: Int = 3,
       maxDf: Int = 4, offset: Int = 0): DataFrame = {
@@ -532,7 +537,16 @@ object Dedup {
             .otherwise(transform(sequence(lit(0), nSegs - 1), seg(_)))
             .as("spans"))
         .select(col("id"), posexplode(col("spans")).as(Seq("pos", "seg"))))
-    val hot = segs.groupBy(col("seg"))
+    // only EXACT width-word spans are removal candidates: the ragged
+    // tail (and an offset pass's head) remainders are sub-width, and a
+    // 1-2 word remainder would let common short word runs vote as
+    // "boilerplate" — with offset > 0 EVERY document contributes its
+    // first ≤ offset words as one span, so a shared leading word
+    // ("the", "in") would be scrubbed corpus-wide. C4's contract is
+    // fixed-size spans; remainders are kept unconditionally.
+    val hot = segs
+      .filter(size(split(col("seg"), " ")) === width)
+      .groupBy(col("seg"))
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") > maxDf)
       .select(col("seg"))

@@ -1798,7 +1798,9 @@ object ExtQueries {
        |    $segs
        |  FROM w$p),
        |s$p AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM sp$p),
-       |hotsp$p AS (SELECT seg FROM s$p GROUP BY seg
+       |hotsp$p AS (SELECT seg FROM s$p
+       |          WHERE len(string_split(seg, ' ')) = $width
+       |          GROUP BY seg
        |          HAVING count(DISTINCT doc_id) > $maxDf),
        |kept$p AS (SELECT s.* FROM s$p s ANTI JOIN hotsp$p USING (seg)),
        |reb$p AS (

@@ -134,7 +134,12 @@ object AvroCorpus {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < names.length) {
-          rec.put(names(i), row.get(i))
+          rec.put(names(i), row.get(i) match {
+            // Avro's datum writer wants ByteBuffer for BYTES, not the
+            // bare Array[Byte] Spark rows carry
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case v => v
+          })
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())

@@ -213,12 +213,19 @@ object FingerprintStore {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       numHashes: Int = 8, bands: Int = 4,
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
-    val cur = currentDir(spark, path)
     val (buckets, arrays) = fingerprints(accepted, idCol, textCol, n,
       numHashes, bands, maxShingleDf)
-    buckets.write.mode(SaveMode.Append).parquet(cur)
-    arrays.write.mode(SaveMode.Append).parquet(s"$cur/_arrays")
-    spark.catalog.refreshByPath(cur)
+    // under the writer lock: an append racing a [[compact]] would land
+    // its files in the OLD version after compact's read pass, and the
+    // compacted version (plus GC of the old dir) would silently drop
+    // the batch — append and compact are both writers and serialize.
+    // The version is resolved INSIDE the lock for the same reason.
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      buckets.write.mode(SaveMode.Append).parquet(cur)
+      arrays.write.mode(SaveMode.Append).parquet(s"$cur/_arrays")
+      spark.catalog.refreshByPath(cur)
+    }
   }
 
   /** Rewrite the append-accumulated store back to a compact file

@@ -32,40 +32,109 @@ private[graft] object SnapshotDir {
   private val WriterLock = "_writer.lock"
 
   /** Run `body` holding the root's writer lock — the guard for the
-    * single-writer contract. Acquisition is ONE create-with-
-    * overwrite=false of `<root>/_writer.lock` (atomic create-fail on
-    * HDFS and local FS; best-effort on object stores without
-    * conditional puts — the documented limit of a plain-FS protocol).
-    * A lock older than `staleMs` is crash debris from a writer that
-    * died before its finally (the marker carries its create time):
-    * it is reclaimed with ONE retry, so a crashed writer delays the
-    * next one by at most the stale window instead of deadlocking the
-    * store. A live conflicting writer throws — loud beats racing. */
+    * single-writer contract. Best-effort by design on stores without
+    * an atomic conditional create (the documented limit of a plain-FS
+    * protocol; a lakehouse table format replaces this with a real CAS
+    * commit), but every best-effort edge is narrowed:
+    *
+    *  - acquisition on `file://` uses `File.createNewFile` (O_EXCL —
+    *    Hadoop's RawLocalFileSystem `create(overwrite=false)` is a
+    *    non-atomic exists-then-create); other schemes use the FS
+    *    create-fail;
+    *  - the lock carries an owner TOKEN; contended acquisition and
+    *    release verify ownership, so a reclaim race cannot end with
+    *    two silent holders (the loser throws) and a finishing writer
+    *    never deletes a usurper's live lock;
+    *  - a heartbeat thread re-touches the lock every `staleMs / 3`, so
+    *    a body running longer than the stale window keeps ownership
+    *    (only a CRASHED writer's lock goes stale);
+    *  - a lock older than `staleMs` is crash debris: it is reclaimed
+    *    (delete guarded by a modtime re-check of the exact lock
+    *    observed) with ONE retry, so a crashed writer delays the next
+    *    one by at most the stale window instead of deadlocking the
+    *    store;
+    *  - a write failure AFTER a successful create releases the
+    *    half-stamped lock and rethrows, instead of silently leaving an
+    *    orphan that blocks every writer for the stale window.
+    *
+    * A live conflicting writer throws — loud beats racing. */
   def withWriterLock[T](spark: SparkSession, root: String,
       staleMs: Long = 15 * 60 * 1000L)(body: => T): T = {
     val (fs, _) = fsOf(spark, root)
     val lock = new Path(root, WriterLock)
-    def tryAcquire(): Boolean =
+    val token = java.util.UUID.randomUUID().toString
+    def stampToken(): Unit =
       try {
-        val out = fs.create(lock, false) // overwrite=false: create-fail
-        try out.write(
-          String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
-        finally out.close()
-        true
+        val out = fs.create(lock, true) // we hold the slot; stamp it
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          // we created a lock we cannot stamp: release it rather than
+          // leave an anonymous orphan blocking the root for staleMs
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    def tryAcquire(): Boolean = {
+      val created =
+        if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+          val f = new java.io.File(lock.toUri.getPath)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          try f.createNewFile()
+          catch { case _: java.io.IOException => false }
+        } else
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      if (created) stampToken()
+      created
+    }
+    def ownsLock(): Boolean =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
+        } finally in.close()
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > staleMs
-        catch { case _: java.io.IOException => true } // vanished: retry
-      if (stale) fs.delete(lock, false)
-      if (!stale || !tryAcquire())
+      val seen =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.IOException => None } // vanished
+      val now = System.currentTimeMillis()
+      if (seen.forall(now - _ > staleMs)) {
+        // reclaim crash debris — delete only the exact lock observed
+        // (a fresh lock racing in between must survive)
+        try seen.foreach { m =>
+          if (fs.getFileStatus(lock).getModificationTime == m)
+            fs.delete(lock, false)
+        } catch { case _: java.io.IOException => () }
+        tryAcquire()
+      }
+      // contended path: we hold the lock ONLY if it carries our token
+      // (two reclaimers can both "succeed" transiently; one wins here)
+      if (!ownsLock())
         throw new IllegalStateException(
           s"concurrent writer holds $lock — SnapshotDir roots are " +
             "single-writer; serialize committers or remove a stale " +
             "lock left by a crashed writer")
     }
-    try body finally fs.delete(lock, false)
+    // heartbeat: a long body must not age into the stale window
+    val hb = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(math.max(staleMs / 3, 50L))
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"snapshotdir-lock-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      // release only OUR lock — never a usurper's live one
+      try if (ownsLock()) fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   private def fsOf(spark: SparkSession, p: String) = {

@@ -247,14 +247,22 @@ object VectorIndexStore {
       vecCol: String = "embedding"): Unit = {
     val cents = spark.read.parquet(metaPath(spark, path, "cents"))
     val cb = spark.read.parquet(metaPath(spark, path, "codebooks"))
-    Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
+    val codes = Similarity
+      .encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
       .repartition(col("cent_id"))
-      .write.mode(SaveMode.Append).partitionBy("cent_id")
-      // append extends the CURRENT committed version in place: files
-      // appear atomically one by one (additive — safe for concurrent
-      // probes; see the object doc), and a compaction folds them into
-      // the next committed version
-      .parquet(currentCodesPath(spark, path))
+    // under the writer lock: an append racing a [[compactIvfPq]] would
+    // land its files in the OLD version after the compaction's read
+    // pass — the compacted version (and the old dir's GC) would then
+    // silently drop the batch. Append and compact are both WRITERS
+    // under the single-writer contract; the lock makes that contract
+    // enforced instead of assumed, which the streaming
+    // [[graft.streaming.StreamingSync.vectorAppendSink]] relies on.
+    // The current version is resolved INSIDE the lock for the same
+    // reason. Concurrent PROBES stay safe either way (additive files).
+    SnapshotDir.withWriterLock(spark, path) {
+      codes.write.mode(SaveMode.Append).partitionBy("cent_id")
+        .parquet(currentCodesPath(spark, path))
+    }
   }
 
   /** Compact the codes table back to one file per list. Every

@@ -1699,6 +1699,16 @@ class ExtSpec extends SparkSpec {
     assert(out(9L).getAs[String]("clean_text") ===
       s"prefix $boiler suffix wordx wordy",
       "unaligned occurrences are different spans and survive")
+    // sub-width remainders are NEVER candidates: 6 docs share a 1-word
+    // ragged tail, which must survive (common short runs are language,
+    // not boilerplate)
+    val tails = (20L to 25L).map(i => (i, s"uniq$i word$i also$i tail"))
+      .toDF("doc_id", "text")
+    val t = Dedup.scrubRepeatedSpans(tails, width = 3, maxDf = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(t(20L).getAs[String]("clean_text") ===
+      "uniq20 word20 also20 tail")
+    assert(t(20L).getAs[Long]("n_removed") === 0L)
   }
 
   test("phased span scrub catches a boundary-straddling repeat") {
@@ -1733,6 +1743,18 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(ph2(10L).getAs[String]("clean_text") === "tail10 more10")
     assert(ph2(10L).getAs[Long]("n_removed_p1") === 1L)
+    // pass 2's 1-word offset HEAD is not a candidate: every document
+    // contributes its first word as a head span, so a shared leading
+    // word must survive instead of being scrubbed corpus-wide
+    val heads = (30L to 36L).map(i => (i, s"the uniq$i tok$i plus$i"))
+      .toDF("doc_id", "text")
+    val ph3 = Dedup.scrubRepeatedSpansPhased(heads, width = 3,
+        maxDf = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ph3(30L).getAs[String]("clean_text") ===
+      "the uniq30 tok30 plus30",
+      "a shared leading word is language, not boilerplate")
+    assert(ph3(30L).getAs[Long]("n_removed_p2") === 0L)
   }
 
   test("jsonl reader: lossless round-trip, quarantine catches both kinds") {

@@ -222,5 +222,18 @@ class StateStoreSpec extends SparkSpec {
     assert(lock.createNewFile())
     try intercept[IllegalStateException] { StateStore.overwrite(df, dir) }
     finally lock.delete()
+    // heartbeat: a body running PAST the stale window keeps ownership
+    // (the lock's mtime is re-touched, so a contender neither reclaims
+    // it nor silently co-commits)
+    SnapshotDir.withWriterLock(spark, dir, staleMs = 400) {
+      Thread.sleep(1200) // 3× the stale window; heartbeat at ~133ms
+      val e = intercept[IllegalStateException] {
+        SnapshotDir.withWriterLock(spark, dir, staleMs = 400) {
+          fail("stale reclaim must not usurp a live long-running writer")
+        }
+      }
+      assert(e.getMessage.contains("concurrent writer"))
+    }
+    assert(!lock.exists(), "long-running writer still releases its lock")
   }
 }
