@@ -123,8 +123,12 @@ private[graft] object SnapshotDir {
     val hb = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(math.max(staleMs / 3, 50L))
+        // Exception, not just IOException: an FS without setTimes
+        // (some object stores) throws UnsupportedOperationException,
+        // which must not kill the heartbeat thread — the lock then
+        // simply has no renewal there, the pre-heartbeat behavior
         try fs.setTimes(lock, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
+        catch { case _: Exception => () }
       } catch { case _: InterruptedException => () }
     }, s"snapshotdir-lock-heartbeat")
     hb.setDaemon(true)
