@@ -489,6 +489,25 @@ object ExtQueries {
         Similarity.bruteForceTopK(q, e, TopK), RecallFloor)
     }),
 
+    // The same gate over the PERSISTED index's serve path — what a
+    // deployment actually grades after a rebuild/append/compaction:
+    // recall of ivfPqTopKFromIndex (partition-pruned codes, ADC
+    // shortlist, exact re-rank) against brute force, every value
+    // hashed. Composes the x_ann_ivfpq_read oracle chain with the
+    // recall math.
+    "x_ann_recall_served" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % QueryMod === 0)
+      val path = ivfPqIndexPath(d)
+      graft.sources.VectorIndexStore.ensureIvfPq(e, path,
+        ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+        m = PqSubspaces, dim = EmbeddingDim)
+      Similarity.recallEval(
+        graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, path, q, e,
+          TopK, nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
+        Similarity.bruteForceTopK(q, e, TopK), RecallFloor)
+    }),
+
     // IVF over TRAINED centroids: the sampled seeds refined by the
     // deterministic spherical Lloyd pass (decimal-mean updates, round-6
     // boundaries — fully replayed by the oracle, unlike spark.ml
@@ -2279,6 +2298,35 @@ object ExtQueries {
          |  round(n_hit / n_exact, 6) AS recall_at_k,
          |  n_hit >= ceil($RecallFloor * n_exact) AS recall_ok
          |FROM hit""".stripMargin,
+
+    // the served-index recall gate: the full IVFPQ serve chain (same
+    // CTEs as x_ann_ivfpq_read) against the brute-force exact top-k,
+    // then the identical recall math (q.qv is the unit vector;
+    // list_cosine_similarity normalizes, so the cut matches the
+    // brute-force oracle bit-for-bit)
+    "x_ann_recall_served" ->
+      s"""WITH $IvfPqRankedCtes,
+         |served AS (SELECT query_id, match_id FROM ranked
+         |           WHERE rank <= $TopK),
+         |bscored AS (
+         |  SELECT q.query_id, c.vec_id AS match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM corp c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM bscored),
+         |bex AS (SELECT query_id, match_id FROM branked
+         |        WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT e.query_id, count(*)::bigint AS n_exact,
+         |    count(i.match_id)::bigint AS n_hit
+         |  FROM bex e LEFT JOIN served i USING (query_id, match_id)
+         |  GROUP BY e.query_id)
+         |SELECT query_id, n_exact, n_hit,
+         |  round(n_hit / n_exact, 6) AS recall_at_k,
+         |  n_hit >= ceil($RecallFloor * n_exact) AS recall_ok
+         |FROM hits""".stripMargin,
 
     // Lloyd-refined assignment + the quality-rank curation chain
     "x_diversity_sample" ->

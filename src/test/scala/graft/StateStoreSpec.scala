@@ -236,4 +236,30 @@ class StateStoreSpec extends SparkSpec {
     }
     assert(!lock.exists(), "long-running writer still releases its lock")
   }
+
+  test("writer lock: true mutual exclusion under thread contention") {
+    import graft.sources.SnapshotDir
+    val dir = tmpDir() + "/mx"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try SnapshotDir.withWriterLock(spark, dir) {
+          val n = inside.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, n))
+          Thread.sleep(50)
+          inside.decrementAndGet()
+          wins.incrementAndGet(): Unit
+        } catch { case _: IllegalStateException => () } // loud loser
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // at most one thread ever inside; contenders threw instead of
+    // racing, and at least one writer actually got the work done
+    assert(maxSeen.get() === 1,
+      s"${maxSeen.get()} writers were inside the lock simultaneously")
+    assert(wins.get() >= 1)
+  }
 }
