@@ -233,10 +233,15 @@ object FingerprintStore {
     * protocol: no rename, in-flight readers keep their version through
     * the GC grace window). Fingerprints are unchanged — only files. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val cur = currentDir(spark, path)
-    val buckets = spark.read.parquet(cur)
-    val arrays = spark.read.parquet(s"$cur/_arrays")
+    // version resolution AND the read-side file listing happen inside
+    // the lock (spark.read.parquet lists eagerly): an appendBatch
+    // committing between an outside listing and the lock acquisition
+    // would leave its files out of the compacted version, and the old
+    // dir's GC would silently drop the batch
     val vdir = SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      val buckets = spark.read.parquet(cur)
+      val arrays = spark.read.parquet(s"$cur/_arrays")
       val next = SnapshotDir.next(spark, path, Prefix)
       val vd = s"$path/${SnapshotDir.name(Prefix, next)}"
       buckets.repartition(col("band"))

@@ -49,10 +49,11 @@ private[graft] object SnapshotDir {
     *    a body running longer than the stale window keeps ownership
     *    (only a CRASHED writer's lock goes stale);
     *  - a lock older than `staleMs` is crash debris: it is reclaimed
-    *    (delete guarded by a modtime re-check of the exact lock
-    *    observed) with ONE retry, so a crashed writer delays the next
-    *    one by at most the stale window instead of deadlocking the
-    *    store;
+    *    by atomic RENAME-aside, so of N contenders exactly one wins
+    *    the reclaim and the losers throw — a crashed writer delays
+    *    the next one by at most the stale window instead of
+    *    deadlocking the store, and reclaim races cannot delete a
+    *    winner's fresh lock;
     *  - a write failure AFTER a successful create releases the
     *    half-stamped lock and rethrows, instead of silently leaving an
     *    orphan that blocks every writer for the stale window.
@@ -63,57 +64,82 @@ private[graft] object SnapshotDir {
     val (fs, _) = fsOf(spark, root)
     val lock = new Path(root, WriterLock)
     val token = java.util.UUID.randomUUID().toString
-    def stampToken(): Unit =
-      try {
-        val out = fs.create(lock, true) // we hold the slot; stamp it
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-      } catch {
-        case e: java.io.IOException =>
-          // we created a lock we cannot stamp: release it rather than
-          // leave an anonymous orphan blocking the root for staleMs
-          try fs.delete(lock, false)
-          catch { case _: java.io.IOException => () }
-          throw e
-      }
-    def tryAcquire(): Boolean = {
-      val created =
-        if (Option(fs.getUri.getScheme).forall(_ == "file")) {
-          val f = new java.io.File(lock.toUri.getPath)
-          Option(f.getParentFile).foreach(_.mkdirs())
+    def tryAcquire(): Boolean =
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        // java.io O_EXCL create, then stamp: RawLocalFileSystem's
+        // create(overwrite=false) is a non-atomic exists-then-create
+        val f = new java.io.File(lock.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val created =
           try f.createNewFile()
           catch { case _: java.io.IOException => false }
-        } else
-          try { fs.create(lock, false).close(); true }
-          catch { case _: java.io.IOException => false }
-      if (created) stampToken()
-      created
-    }
-    def ownsLock(): Boolean =
+        if (created)
+          try {
+            val out = fs.create(lock, true) // ours; stamp it
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: java.io.IOException =>
+              // a lock we cannot stamp would read as anonymous debris:
+              // release it rather than block the root for staleMs
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+        created
+      } else {
+        // one create-fail RPC writing the token directly — no empty-
+        // lock window, no second round-trip
+        val out =
+          try Some(fs.create(lock, false))
+          catch { case _: java.io.IOException => None }
+        out.exists { o =>
+          try { o.write(token.getBytes("UTF-8")); o.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              try o.close() catch { case _: java.io.IOException => () }
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+        }
+      }
+    // Some(true)=ours, Some(false)=someone else's, None=unreadable
+    def ownsLock(): Option[Boolean] =
       try {
+        val len = fs.getFileStatus(lock).getLen.toInt.min(256)
         val in = fs.open(lock)
         try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
+          val buf = new Array[Byte](len)
+          org.apache.hadoop.io.IOUtils.readFully(in, buf, 0, len)
+          Some(new String(buf, "UTF-8").startsWith(token))
         } finally in.close()
-      } catch { case _: java.io.IOException => false }
+      } catch { case _: java.io.IOException => None }
     if (!tryAcquire()) {
       val seen =
         try Some(fs.getFileStatus(lock).getModificationTime)
         catch { case _: java.io.IOException => None } // vanished
       val now = System.currentTimeMillis()
+      var held = false
       if (seen.forall(now - _ > staleMs)) {
-        // reclaim crash debris — delete only the exact lock observed
-        // (a fresh lock racing in between must survive)
-        try seen.foreach { m =>
-          if (fs.getFileStatus(lock).getModificationTime == m)
-            fs.delete(lock, false)
-        } catch { case _: java.io.IOException => () }
-        tryAcquire()
+        // reclaim crash debris by RENAME, not delete: rename is atomic
+        // where the FS supports it, so of N contenders exactly ONE
+        // takes the stale lock aside (the losers' renames fail and
+        // they fall through to the throw) — a delete-based reclaim
+        // let a loser's queued delete remove the winner's fresh lock
+        val aside = new Path(root, s"$WriterLock.reclaim.$token")
+        val renamed =
+          try fs.rename(lock, aside)
+          catch { case _: java.io.IOException => false }
+        if (renamed) {
+          try fs.delete(aside, false)
+          catch { case _: java.io.IOException => () }
+          held = tryAcquire()
+        }
       }
-      // contended path: we hold the lock ONLY if it carries our token
-      // (two reclaimers can both "succeed" transiently; one wins here)
-      if (!ownsLock())
+      // losers land here without ever having created a lock, so the
+      // throw leaves no orphan; getOrElse(false) = an unreadable lock
+      // is presumed foreign (loud beats racing)
+      if (!held && !ownsLock().getOrElse(false))
         throw new IllegalStateException(
           s"concurrent writer holds $lock — SnapshotDir roots are " +
             "single-writer; serialize committers or remove a stale " +
@@ -135,8 +161,12 @@ private[graft] object SnapshotDir {
     hb.start()
     try body finally {
       hb.interrupt()
-      // release only OUR lock — never a usurper's live one
-      try if (ownsLock()) fs.delete(lock, false)
+      // release only OUR lock — never a usurper's live one. An
+      // UNREADABLE lock deletes anyway (availability: a live usurper
+      // on a functioning FS has a readable token; wedging every future
+      // writer for staleMs on a transient read error is worse than the
+      // exotic overrun+usurp race, which heartbeat already prevents)
+      try if (ownsLock().getOrElse(true)) fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
     }
   }

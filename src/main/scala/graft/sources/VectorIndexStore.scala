@@ -244,26 +244,28 @@ object VectorIndexStore {
     * writer, no concurrent probes (see the object doc). */
   def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
       m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val cents = spark.read.parquet(metaPath(spark, path, "cents"))
-    val cb = spark.read.parquet(metaPath(spark, path, "codebooks"))
-    val codes = Similarity
-      .encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
-      .repartition(col("cent_id"))
-    // under the writer lock: an append racing a [[compactIvfPq]] would
-    // land its files in the OLD version after the compaction's read
-    // pass — the compacted version (and the old dir's GC) would then
-    // silently drop the batch. Append and compact are both WRITERS
-    // under the single-writer contract; the lock makes that contract
-    // enforced instead of assumed, which the streaming
+      vecCol: String = "embedding"): Unit =
+    // The ENTIRE append — metadata resolution, encode, codes write —
+    // runs under the writer lock. Two races it closes: (1) an append
+    // racing a [[compactIvfPq]] would land its files in the OLD
+    // version after the compaction's read pass, and the compacted
+    // version (plus the old dir's GC) would silently drop the batch;
+    // (2) metadata resolved BEFORE the lock could belong to a version
+    // a concurrent rebuild replaces mid-gap — the batch would encode
+    // against old centroids/codebooks yet land in the new version's
+    // lists, silently corrupting probes. Append, compact, and rebuild
+    // are all WRITERS under the single-writer contract; the lock makes
+    // that enforced instead of assumed, which the streaming
     // [[graft.streaming.StreamingSync.vectorAppendSink]] relies on.
-    // The current version is resolved INSIDE the lock for the same
-    // reason. Concurrent PROBES stay safe either way (additive files).
+    // Concurrent PROBES stay safe either way (additive files).
     SnapshotDir.withWriterLock(spark, path) {
-      codes.write.mode(SaveMode.Append).partitionBy("cent_id")
+      val cents = spark.read.parquet(metaPath(spark, path, "cents"))
+      val cb = spark.read.parquet(metaPath(spark, path, "codebooks"))
+      Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
+        .repartition(col("cent_id"))
+        .write.mode(SaveMode.Append).partitionBy("cent_id")
         .parquet(currentCodesPath(spark, path))
     }
-  }
 
   /** Compact the codes table back to one file per list. Every
     * [[appendIvfPq]] adds a file to each touched list partition;

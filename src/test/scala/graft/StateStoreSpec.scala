@@ -224,11 +224,13 @@ class StateStoreSpec extends SparkSpec {
     finally lock.delete()
     // heartbeat: a body running PAST the stale window keeps ownership
     // (the lock's mtime is re-touched, so a contender neither reclaims
-    // it nor silently co-commits)
-    SnapshotDir.withWriterLock(spark, dir, staleMs = 400) {
-      Thread.sleep(1200) // 3× the stale window; heartbeat at ~133ms
+    // it nor silently co-commits). staleMs is generous relative to the
+    // ~staleMs/3 heartbeat so scheduler delay on a loaded box cannot
+    // let the mtime age past the window and flake the pin.
+    SnapshotDir.withWriterLock(spark, dir, staleMs = 2000) {
+      Thread.sleep(5000) // 2.5× the stale window; heartbeat at ~667ms
       val e = intercept[IllegalStateException] {
-        SnapshotDir.withWriterLock(spark, dir, staleMs = 400) {
+        SnapshotDir.withWriterLock(spark, dir, staleMs = 2000) {
           fail("stale reclaim must not usurp a live long-running writer")
         }
       }
