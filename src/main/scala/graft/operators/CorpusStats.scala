@@ -516,6 +516,42 @@ object CorpusStats {
     * result. */
   def bigramLogProb(docs: DataFrame, alpha: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (bcnt, uni) = bigramModel(docs, textCol)
+    bigramScoreWithModel(docs, bcnt, uni, alpha, idCol, textCol)
+  }
+
+  /** The MODEL half of [[bigramLogProb]]: corpus-level bigram counts
+    * `(bg, bcnt)` and unigram counts `(term, ucnt)` — everything the
+    * scorer needs, both bounded by vocabulary (not corpus) size. The
+    * persistence hook: [[graft.sources.LmStore]] writes them once, and
+    * every later corpus scores against the frozen model (the CCNet
+    * quality-filter lifecycle — the model corpus is the curated
+    * target-domain sample, the scored corpus is the crawl). */
+  private[graft] def bigramModel(docs: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val bcnt = docs
+      .select(explode(graft.plans.TextExpressions
+        .wordShingleOccurrences(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
+    val uni = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    (bcnt, uni)
+  }
+
+  /** The SCORING half against an explicit `(bg, bcnt)` / `(term,
+    * ucnt)` model: per-doc add-α conditional cross-entropy. Joins are
+    * LEFT with zero-coalesce, so a bigram or history word the model
+    * never saw scores at the smoothing floor (`α/(Vα)` for an unseen
+    * history = the uniform 1/V) instead of being dropped — exactly
+    * add-α's out-of-model semantics, and a no-op when scoring the
+    * model's own training corpus (every join hits). V is the MODEL's
+    * vocabulary size — frozen with the model, like every other of its
+    * parameters. */
+  private[graft] def bigramScoreWithModel(docs: DataFrame,
+      bcnt: DataFrame, uni: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val btf = CacheRegistry.tracked(docs
       .select(col(idCol).as("id"),
@@ -523,22 +559,17 @@ object CorpusStats {
           .wordShingleOccurrences(col(textCol), 2)).as("bg"))
       .groupBy(col("id"), col("bg"))
       .agg(count(lit(1)).as("tf")))
-    val bcnt = btf.groupBy(col("bg")).agg(sum(col("tf")).as("bcnt"))
-    val uni = CacheRegistry.tracked(docs
-      .select(explode(TextAnalysis.words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("term")).agg(count(lit(1)).as("ucnt")))
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
     btf
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(bcnt, Seq("bg"))
-      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+      .join(bcnt, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"), "left")
       .crossJoin(vocab) // one row; AQE broadcasts it
       .groupBy(col("id"))
       .agg(sum(col("tf")).as("n_big"),
         round(sum((col("tf") *
-            log((col("ucnt") + col("v") * alpha) /
-              (col("bcnt") + alpha))).cast(dec))
+            log((coalesce(col("ucnt"), lit(0L)) + col("v") * alpha) /
+              (coalesce(col("bcnt"), lit(0L)) + alpha))).cast(dec))
           .cast("double") / sum(col("tf")), 4).as("xent2"))
       .select(col("id").as(idCol), col("n_big"), col("xent2"))
   }

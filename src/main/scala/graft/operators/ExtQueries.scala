@@ -186,7 +186,10 @@ object ExtQueries {
       graft.sources.TokenizerStore
         .ensureVocab(Tables.documents(s, d), bpeVocabPath(d),
           BpeTrainMerges)
-        .map("bpe_vocab" -> _).toMap
+        .map("bpe_vocab" -> _).toMap ++
+      graft.sources.LmStore
+        .ensureModel(Tables.documents(s, d), lmStorePath(d))
+        .map("lm_model" -> _).toMap
 
   /** Measure the COLD build path once per bench run: rebuild each
     * expensive persisted store from scratch into a throwaway scratch
@@ -223,7 +226,9 @@ object ExtQueries {
         zGrid(Tables.events(s, d)), s"$root/zorder", "za", "zb",
         ZBits, ZFiles)),
       "cold_bpe_vocab" -> timed(graft.sources.TokenizerStore.writeVocab(
-        Tables.documents(s, d), s"$root/bpevocab", BpeTrainMerges)))
+        Tables.documents(s, d), s"$root/bpevocab", BpeTrainMerges)),
+      "cold_lm_model" -> timed(graft.sources.LmStore.writeModel(
+        Tables.documents(s, d), s"$root/lmstore")))
     finally scrub()
   }
 
@@ -238,6 +243,10 @@ object ExtQueries {
   private[graft] def bpeVocabPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-bpevocab-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def lmStorePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-lmstore-${Integer.toHexString(d.hashCode)}").toString
 
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -939,6 +948,20 @@ object ExtQueries {
     // decimal-summed).
     "x_bigram_xent" -> ((s, d) =>
       CorpusStats.bigramLogProb(Tables.documents(s, d))),
+
+    // The SERVING shape of the perplexity filter: the bigram model
+    // trains once into the persisted LmStore, and scoring is one
+    // bigram explode + two vocabulary-sized joins + a per-doc
+    // aggregate against the frozen counts — comparable scores across
+    // crawl snapshots, no retraining. Scored here on the training
+    // corpus itself, so it shares x_bigram_xent's oracle (counts
+    // round-trip parquet exactly).
+    "x_bigram_xent_stored" -> ((s, d) => {
+      val path = lmStorePath(d)
+      graft.sources.LmStore.ensureModel(Tables.documents(s, d), path)
+      graft.sources.LmStore.scoreFromStore(s, path,
+        Tables.documents(s, d))
+    }),
 
     // Heavy hitters from ONE bounded frequency sketch (Misra-Gries
     // family — the third sketch next to HLL uniques and GK quantiles),
@@ -1836,6 +1859,38 @@ object ExtQueries {
        |  FROM w$p LEFT JOIN tot$p USING (doc_id)
        |  LEFT JOIN reb$p USING (doc_id))""".stripMargin
   }
+
+  /** Shared by `x_bigram_xent` (model derived in-query) and
+    * `x_bigram_xent_stored` (model from the persisted
+    * [[graft.sources.LmStore]]): same codegen'd 2-shingle occurrence
+    * stream, same add-0.5 conditional model, same decimal-summed
+    * mean. */
+  private val BigramXentOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+      |    list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE []::varchar[] END) AS bg
+      |  FROM w),
+      |btf AS (SELECT doc_id AS id, bg, count(*) AS tf
+      |        FROM occ GROUP BY 1, 2),
+      |bcnt AS (SELECT bg, sum(tf)::bigint AS bcnt FROM btf GROUP BY bg),
+      |toks AS (SELECT unnest(ws) AS term FROM w),
+      |uni AS (SELECT term, count(*)::bigint AS ucnt FROM toks
+      |        WHERE term <> '' GROUP BY term),
+      |v AS (SELECT count(*)::double AS v FROM uni)
+      |SELECT id AS doc_id, sum(tf)::bigint AS n_big,
+      |  round(sum((tf * ln((ucnt + 0.5 * v.v) / (bcnt + 0.5)))
+      |      ::decimal(38,18))::double / sum(tf), 4) AS xent2
+      |FROM btf t
+      |JOIN bcnt b USING (bg)
+      |JOIN uni u ON string_split(t.bg, ' ')[1] = u.term
+      |CROSS JOIN v
+      |GROUP BY id""".stripMargin
 
   /** Shared by `x_bpe_encode` (vocab trained in-query) and
     * `x_bpe_encode_stored` (vocab from the persisted
@@ -3065,32 +3120,12 @@ object ExtQueries {
     // mirrors CorpusStats.bigramLogProb: same bigram stream (word
     // 2-shingle occurrences), same add-0.5 conditional model, same
     // decimal-summed mean
-    "x_bigram_xent" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
-        |    list_transform(range(1, len(ws)),
-        |      i -> ws[i] || ' ' || ws[i+1])
-        |    ELSE []::varchar[] END) AS bg
-        |  FROM w),
-        |btf AS (SELECT doc_id AS id, bg, count(*) AS tf
-        |        FROM occ GROUP BY 1, 2),
-        |bcnt AS (SELECT bg, sum(tf)::bigint AS bcnt FROM btf GROUP BY bg),
-        |toks AS (SELECT unnest(ws) AS term FROM w),
-        |uni AS (SELECT term, count(*)::bigint AS ucnt FROM toks
-        |        WHERE term <> '' GROUP BY term),
-        |v AS (SELECT count(*)::double AS v FROM uni)
-        |SELECT id AS doc_id, sum(tf)::bigint AS n_big,
-        |  round(sum((tf * ln((ucnt + 0.5 * v.v) / (bcnt + 0.5)))
-        |      ::decimal(38,18))::double / sum(tf), 4) AS xent2
-        |FROM btf t
-        |JOIN bcnt b USING (bg)
-        |JOIN uni u ON string_split(t.bg, ' ')[1] = u.term
-        |CROSS JOIN v
-        |GROUP BY id""".stripMargin,
+    "x_bigram_xent" -> BigramXentOracle,
+
+    // scoring the training corpus against the STORED model is the
+    // identical computation (counts round-trip parquet exactly; the
+    // scorer's left-join coalesces never fire in-model) — one oracle
+    "x_bigram_xent_stored" -> BigramXentOracle,
 
     // mirrors CorpusStats.heavyHittersValidated: the EXACT heavy
     // hitters replay in SQL; the sketch-contract booleans must be TRUE

@@ -1279,6 +1279,31 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((7L, 7L, 8L, fp)))
   }
 
+  test("lm store: stored-model scoring equals in-query, OOV floors") {
+    import graft.sources.LmStore
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lmstore").toString + "/lm"
+    assert(LmStore.ensureModel(docs, path).isDefined)
+    // in-model scoring replays the in-query computation bit-for-bit
+    val stored = LmStore.scoreFromStore(spark, path, docs)
+    val direct = CorpusStats.bigramLogProb(docs)
+    assert(stored.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(stored).count() === 0)
+    // a LATER corpus scores under the FROZEN model: fully out-of-model
+    // material lands exactly at the smoothing floor ln(Vα/α) = ln(V)
+    // (unseen history: (0 + Vα) / (0 + α)) instead of being dropped
+    val v = LmStore.readUnigrams(spark, path).count().toDouble
+    val later = Seq((888L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val oov = LmStore.scoreFromStore(spark, path, later).collect().head
+    assert(oov.getAs[Long]("n_big") === 2L)
+    assert(math.abs(oov.getAs[Double]("xent2") -
+      BigDecimal(math.log(v)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // warm marker is a no-op
+    assert(LmStore.ensureModel(docs, path).isEmpty)
+  }
+
   test("tokenizer store: stored-vocab encode equals in-query train+encode") {
     import graft.sources.TokenizerStore
     val docs = Tables.documents(spark, sf0001)
