@@ -32,6 +32,7 @@ object ExtQueries {
   val DecontamMod = 50 // doc_id % DecontamMod == 0 defines the benchmark set
   val DecontamN = 5
   val IncrBatchMod = 10 // doc_id % 10 == 0 arrives AFTER the store build
+  val IvmDeltaMod = 10 // event_id % 10 == 0 arrives AFTER the agg state
   val BloomFpp = 0.01
   val HeavyHitterMapSize = 1024 // sketch counters; err ≤ 3.5n/1024
   val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
@@ -189,7 +190,11 @@ object ExtQueries {
         .map("bpe_vocab" -> _).toMap ++
       graft.sources.LmStore
         .ensureModel(Tables.documents(s, d), lmStorePath(d))
-        .map("lm_model" -> _).toMap
+        .map("lm_model" -> _).toMap ++
+      graft.sources.AggStore
+        .ensureState(Tables.events(s, d)
+          .filter(col("event_id") % IvmDeltaMod =!= 0), aggStorePath(d))
+        .map("agg_store" -> _).toMap
 
   /** Measure the COLD build path once per bench run: rebuild each
     * expensive persisted store from scratch into a throwaway scratch
@@ -228,7 +233,10 @@ object ExtQueries {
       "cold_bpe_vocab" -> timed(graft.sources.TokenizerStore.writeVocab(
         Tables.documents(s, d), s"$root/bpevocab", BpeTrainMerges)),
       "cold_lm_model" -> timed(graft.sources.LmStore.writeModel(
-        Tables.documents(s, d), s"$root/lmstore")))
+        Tables.documents(s, d), s"$root/lmstore")),
+      "cold_agg_store" -> timed(graft.sources.AggStore.writeState(
+        Tables.events(s, d).filter(col("event_id") % IvmDeltaMod =!= 0),
+        s"$root/aggstore")))
     finally scrub()
   }
 
@@ -247,6 +255,10 @@ object ExtQueries {
   private[graft] def lmStorePath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-lmstore-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def aggStorePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-aggstore-${Integer.toHexString(d.hashCode)}").toString
 
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -1249,6 +1261,58 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         Contamination.piiCount(aug).as("n_pii"),
         md5(Contamination.piiScrub(aug)).as("scrubbed_fp"))
+    }),
+
+    // ROLLUP over (source, lang): one Expand-backed hash aggregate
+    // (one scan, one shuffle) produces every level; grouping_id
+    // disambiguates rolled-up NULLs from genuine NULL keys.
+    "x_rollup_stats" -> ((s, d) =>
+      Olap.rollupStats(Tables.documents(s, d))),
+
+    // CUBE adds the per-lang marginal — same single-aggregate plan.
+    "x_cube_stats" -> ((s, d) =>
+      Olap.cubeStats(Tables.documents(s, d))),
+
+    // Pivot with a DECLARED value list: one aggregate, no
+    // distinct-scan discovery job, zero cells explicit.
+    "x_pivot_daily" -> ((s, d) =>
+      Olap.pivotDaily(Tables.events(s, d))),
+
+    // The inverse reshape — pivot then melt back to long (zero cells
+    // included), a zero-shuffle projection over the pivot.
+    "x_unpivot_daily" -> ((s, d) =>
+      Olap.unpivotDaily(Tables.events(s, d))),
+
+    // Change-log → SCD2 validity intervals; both window passes share
+    // one user_id partitioning (single shuffle + sort).
+    "x_scd2_history" -> ((s, d) =>
+      Olap.scd2History(Tables.events(s, d))),
+
+    // Dense per-user date spine with LOCF fill; generated spine +
+    // shared-partitioning window, never a self-join.
+    "x_gap_fill_locf" -> ((s, d) =>
+      Olap.gapFillLocf(Tables.events(s, d))),
+
+    // Deequ-style expectations report: row-level checks + key
+    // uniqueness fused into ONE scan, RI as a broadcast anti-join.
+    "x_expectations" -> ((s, d) =>
+      Olap.expectations(Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    // Incremental view maintenance: the daily rollup persists as
+    // mergeable partials (AggStore, SnapshotDir-committed); the
+    // held-out delta folds in at read time — O(|delta|) + a
+    // keys-sized merge, the fact history never rescanned. Equals the
+    // full recompute exactly (decimal partials merge
+    // order-independently).
+    "x_ivm_daily" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("event_id") % IvmDeltaMod =!= 0)
+      val delta = Tables.events(s, d)
+        .filter(col("event_id") % IvmDeltaMod === 0)
+      graft.sources.AggStore.ensureState(base, aggStorePath(d))
+      graft.sources.AggStore.mergedView(s, aggStorePath(d), delta)
+        .select(col("day"), col("event_type"), col("cnt"),
+          col("total").cast("double").as("total"))
     })
   )
 
@@ -3478,6 +3542,125 @@ object ExtQueries {
         |        regexp_replace(t,
         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |          '<EMAIL>', 'g') AS regexpreplace_email
-        |      FROM aug)""".stripMargin
+        |      FROM aug)""".stripMargin,
+
+    // GROUPING(source, lang) carries the same bit encoding as Spark's
+    // grouping_id() (first column = MSB); sum(bigint) re-cast so the
+    // HUGEINT→float64 pandas artifact can't bite.
+    "x_rollup_stats" ->
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  count(*) AS n_docs, sum(n_chars)::bigint AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "x_cube_stats" ->
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  count(*) AS n_docs, sum(n_chars)::bigint AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+
+    // conditional aggregation IS the declared-domain pivot; FILTER
+    // counts yield 0 (not NULL) for absent cells, matching the
+    // coalesced Spark matrix
+    "x_pivot_daily" -> PivotDailySql,
+
+    "x_unpivot_daily" ->
+      s"""WITH p AS ($PivotDailySql)
+         |SELECT day, event_type, cnt FROM p
+         |  UNPIVOT (cnt FOR event_type IN
+         |    (click, error, purchase, signup, view))""".stripMargin,
+
+    // same (ts, event_id) change ordering; valid_to from LEAD over the
+    // change rows only (ts unique per user → ORDER BY valid_from is
+    // total within the partition)
+    "x_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from) IS NULL AS is_current
+        |FROM changes""".stripMargin,
+
+    // per-day totals go through decimal(18,2) then double on BOTH
+    // sides (same rounding), and the LOCF window copies — never
+    // re-sums — so float equality is exact
+    "x_gap_fill_locf" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(ts AS date) AS day,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double)
+        |      AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    cast(unnest(generate_series(cast(d0 AS timestamp),
+        |      cast(d1 AS timestamp), INTERVAL 1 DAY)) AS date) AS day
+        |  FROM bounds)
+        |SELECT s.user_id, s.day,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_total,
+        |  d.day_total IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    // NULL range/domain predicates count as violations on both sides
+    // (CASE falls to ELSE exactly where Spark's when().otherwise()
+    // does); count(DISTINCT (a,b)) ≡ countDistinct(a,b) here because
+    // both key columns are non-null (pinned by null_l_orderkey)
+    "x_expectations" ->
+      """WITH rl AS (
+        |  SELECT
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::bigint
+        |      AS nok,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 30 THEN 0 ELSE 1
+        |      END)::bigint AS qty,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1
+        |      END)::bigint AS flag,
+        |    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.11 THEN 0
+        |      ELSE 1 END)::bigint AS disc,
+        |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))
+        |      ::bigint AS dupk
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*)::bigint AS v
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL)
+        |SELECT check_name, violations, violations = 0 AS pass FROM (
+        |  SELECT 'null_l_orderkey' AS check_name, nok AS violations
+        |    FROM rl
+        |  UNION ALL SELECT 'l_quantity_in_1_30', qty FROM rl
+        |  UNION ALL SELECT 'l_returnflag_in_ANR', flag FROM rl
+        |  UNION ALL SELECT 'l_discount_in_0_011', disc FROM rl
+        |  UNION ALL SELECT 'pk_orderkey_linenumber_unique', dupk
+        |    FROM rl
+        |  UNION ALL SELECT 'fk_lineitem_orders', v FROM fk) u"""
+        .stripMargin,
+
+    // the full recompute the incremental merge must equal exactly
+    "x_ivm_daily" ->
+      """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Shared by the pivot oracle and the unpivot oracle's CTE. */
+  private lazy val PivotDailySql: String =
+    """SELECT cast(ts AS date) AS day,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
 }

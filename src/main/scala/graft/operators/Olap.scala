@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multi-dimensional OLAP surface: grouping-set aggregations
+  * (ROLLUP/CUBE with `grouping_id` disambiguation), pivot/unpivot
+  * reshaping, change-log → SCD2 history compaction, per-key date-spine
+  * gap filling (LOCF), and a Deequ-style data-expectations report.
+  *
+  * The reference's report sheets materialize exactly these shapes by
+  * hand: the per-month/per-method totals grid in `Cierres`
+  * (`Code.gs:1545-1620`) is a pivot with a rolled-up total row, and
+  * the audit trail (`Code.gs:1230-1260`) is the change log an SCD2
+  * compaction consumes. Here they are declarative one-pass plans:
+  * rollup/cube are a single `Expand`-backed hash aggregate (one scan,
+  * one shuffle, partial aggregation map-side); the pivot is one hash
+  * aggregate over an EXPLICIT value list — never the
+  * collect-distinct-first two-job shape, which at 100 TB would scan
+  * the fact table once just to learn the column set.
+  */
+object Olap {
+
+  /** Explicit pivot domain: declared, not discovered. An implicit
+    * `pivot(col)` runs a distinct-scan job to learn the values first —
+    * the declared list keeps the pivot to ONE aggregate over one scan
+    * and makes the output schema stable under data drift (a new event
+    * type lands nowhere instead of silently widening the matrix). */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  private def decTotal(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Doc-count / char-mass totals at every ROLLUP level of
+    * (source, lang): leaf, per-source, grand total. `grouping_id()`
+    * distinguishes a rolled-up NULL from a genuine NULL key — without
+    * it the two collide in every downstream consumer. One scan, one
+    * shuffle: Catalyst plans rollup as Expand (3 replicas per row)
+    * into a single hash aggregate with map-side partials, so the
+    * 100 TB cost is the scan plus a keys-sized exchange, not one
+    * job per level. */
+  def rollupStats(docs: DataFrame): DataFrame =
+    docs.rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  /** All four CUBE levels of (source, lang) — adds the per-lang
+    * marginal the rollup lacks. Same single Expand-aggregate plan
+    * (4 replicas per row). */
+  def cubeStats(docs: DataFrame): DataFrame =
+    docs.cube(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  /** Day × event-type count matrix: one hash aggregate keyed on day,
+    * with the five declared type columns as conditional counts.
+    * Absent combinations are an explicit 0 (a pivot cell null means
+    * "no rows", which IS a count of zero — leaving it null poisons
+    * downstream arithmetic). */
+  def pivotDaily(events: DataFrame): DataFrame = {
+    val p = events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(col("day") +: EventTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** The inverse reshape: the pivoted day matrix melted back to long
+    * (day, event_type, cnt) — zero cells included, proving the
+    * pivot/unpivot pair round-trips. Unpivot is a zero-shuffle
+    * projection (each input row fans out to 5), so the pair costs
+    * exactly the pivot's single aggregate. */
+  def unpivotDaily(events: DataFrame): DataFrame = {
+    val p = pivotDaily(events)
+    p.unpivot(
+      ids = Array(col("day")),
+      values = EventTypes.map(col).toArray,
+      variableColumnName = "event_type",
+      valueColumnName = "cnt")
+  }
+
+  /** Change-log → SCD2 (type-2 slowly-changing-dimension) compaction:
+    * collapse each user's event stream into validity intervals of the
+    * tracked attribute (`event_type` here), keeping only rows where
+    * the attribute actually changed. `valid_to` is the next change's
+    * start (half-open interval); the open row is `is_current`.
+    *
+    * Both window passes share ONE partitioning (`user_id`), so the
+    * plan is a single shuffle + sort reused by both lag and lead —
+    * the 100 TB shape for history compaction, embarrassingly parallel
+    * across keys. Ordering is (ts, event_id): the id tiebreak makes
+    * the compaction deterministic even if a source ever ships
+    * same-timestamp events. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Per-user daily totals on a dense date spine with
+    * last-observation-carried-forward fill: every user gets one row
+    * per calendar day between their first and last event; days with
+    * no events carry the previous observed total (`is_gap` marks
+    * them). The spine is generated per key (`sequence` + explode —
+    * pure projection, no driver loop), the daily aggregate and the
+    * LOCF window share the `user_id` hash partitioning, and the
+    * running `last(ignoreNulls)` is O(1) per row. A gap day is
+    * data-dependent, so the fill must be a window, not a self-join —
+    * the join shape would be quadratic in gap length. */
+  def gapFillLocf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(decTotal(col("value")).as("day_total"))
+    val spine = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_total"), ignoreNulls = true).over(locf)
+          .as("filled_total"),
+        col("day_total").isNull.as("is_gap"))
+  }
+
+  /** Deequ-style expectations report over the order facts: one row
+    * per declared constraint with its violation count and verdict.
+    * The row-level checks (nullness, range, domain) and the key
+    * uniqueness check fuse into a SINGLE scan-and-aggregate (the
+    * conditional sums and the distinct-key count share one pass);
+    * referential integrity is the one constraint that genuinely needs
+    * a second relation — a left-anti join against the broadcast-able
+    * key column of `orders`. Three jobs total regardless of fact
+    * size; the report itself is constraints-sized. */
+  def expectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val rowLevel = lineitem.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_orderkey"),
+      sum(when(col("l_quantity").between(1, 30), 0L).otherwise(1L))
+        .as("qty_out_of_range"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L)
+        .otherwise(1L)).as("flag_out_of_domain"),
+      sum(when(col("l_discount").between(0.0, 0.11), 0L).otherwise(1L))
+        .as("discount_out_of_range"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("dup_line_keys"))
+    val fkOrphans = lineitem.select(col("l_orderkey"))
+      .join(broadcast(orders.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("fk_lineitem_orders").as("check_name"),
+        col("v").as("violations"))
+    val named = rowLevel.select(explode(map(
+      lit("null_l_orderkey"), col("null_orderkey"),
+      lit("l_quantity_in_1_30"), col("qty_out_of_range"),
+      lit("l_returnflag_in_ANR"), col("flag_out_of_domain"),
+      lit("l_discount_in_0_011"), col("discount_out_of_range"),
+      lit("pk_orderkey_linenumber_unique"), col("dup_line_keys")))
+      .as(Seq("check_name", "violations")))
+    named.unionByName(fkOrphans)
+      .withColumn("pass", col("violations") === 0L)
+  }
+}

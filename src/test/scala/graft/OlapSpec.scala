@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.Olap
+import graft.sources.AggStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OLAP surface semantics on crafted fixtures: grouping-set levels and
+  * grouping_id disambiguation, pivot/unpivot round-trip with explicit
+  * zero cells, SCD2 compaction invariants, LOCF gap-fill, the
+  * expectations report's violation accounting, and exact incremental
+  * view maintenance through the persisted AggStore. */
+class OlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docsFx = Seq(
+    ("web", "en", 10L), ("web", "en", 20L), ("web", "fr", 5L),
+    ("book", "en", 7L), ("book", null, 3L))
+    .toDF("source", "lang", "n_chars")
+
+  private def ev(id: Long, t: String, user: Long, typ: String,
+      v: Double): (Long, java.sql.Timestamp, Long, String, Double) =
+    (id, java.sql.Timestamp.valueOf(t), user, typ, v)
+
+  private lazy val eventsFx = Seq(
+    ev(1, "2024-01-01 08:00:00", 1, "view", 1.0),
+    ev(2, "2024-01-01 09:00:00", 1, "view", 2.0), // consecutive dup
+    ev(3, "2024-01-02 10:00:00", 1, "click", 3.0),
+    // day 3 has no events for user 1 — a gap day
+    ev(4, "2024-01-04 11:00:00", 1, "view", 4.0),
+    ev(5, "2024-01-01 12:00:00", 2, "purchase", 10.0),
+    // same-ts tie for user 2: event_id breaks it deterministically
+    ev(6, "2024-01-02 12:00:00", 2, "view", 5.0),
+    ev(7, "2024-01-02 12:00:00", 2, "click", 6.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("rollup: leaf/source/total levels with disambiguating gid") {
+    val r = Olap.rollupStats(docsFx).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang"),
+        x.getAs[Long]("gid"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("sum_chars")))
+    // 4 leaves + 2 source subtotals + 1 grand total
+    assert(r.length === 7)
+    assert(r.count(_._3 == 0L) === 4)
+    assert(r.count(_._3 == 1L) === 2)
+    assert(r.filter(_._3 == 3L).map(_._5).toSeq === Seq(45L))
+    // the genuine NULL lang leaf keeps gid 0 — only grouping_id
+    // separates it from book's lang-rolled subtotal (both render
+    // (book, NULL))
+    val bookNulls = r.filter(x => x._1 == "book" && x._2 == null)
+    assert(bookNulls.map(_._3).sorted.toSeq === Seq(0L, 1L))
+    assert(bookNulls.find(_._3 == 0L).get._4 === 1L) // the real row
+    assert(bookNulls.find(_._3 == 1L).get._4 === 2L) // the subtotal
+  }
+
+  test("cube adds the per-lang marginal over rollup's levels") {
+    val gids = Olap.cubeStats(docsFx).groupBy("gid").count()
+      .as[(Long, Long)].collect().toMap
+    // gid 2 = source rolled up, lang kept: en, fr, NULL marginals
+    assert(gids(2L) === 3L)
+    assert(gids(3L) === 1L)
+    assert(gids(0L) === 4L && gids(1L) === 2L)
+  }
+
+  test("pivot: declared domain, absent cells are explicit zeros") {
+    val p = Olap.pivotDaily(eventsFx)
+    assert(p.columns.toSeq ===
+      "day" +: Olap.EventTypes)
+    val d1 = p.filter($"day" === lit("2024-01-01").cast("date"))
+      .collect().head
+    assert(d1.getAs[Long]("view") === 2L)
+    assert(d1.getAs[Long]("purchase") === 1L)
+    assert(d1.getAs[Long]("error") === 0L) // absent, not null
+    assert(!p.columns.exists(c => p.filter(col(c).isNull).count() > 0))
+  }
+
+  test("unpivot round-trips the pivot back to the long counts") {
+    val long = Olap.unpivotDaily(eventsFx)
+    val direct = eventsFx
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    // every nonzero long row matches the direct aggregate...
+    val nz = long.filter($"cnt" =!= 0L)
+    assert(nz.join(direct, Seq("day", "event_type", "cnt")).count()
+      === direct.count())
+    // ...and the zero rows complete the dense day × type matrix
+    assert(long.count() ===
+      long.select("day").distinct().count() * Olap.EventTypes.size)
+  }
+
+  test("scd2: dup collapse, interval chain, one current row per user") {
+    val h = Olap.scd2History(eventsFx).orderBy("user_id", "valid_from")
+      .collect()
+    val u1 = h.filter(_.getAs[Long]("user_id") == 1L)
+    // view,view,click,view collapses to view→click→view
+    assert(u1.map(_.getAs[String]("event_type")).toSeq ===
+      Seq("view", "click", "view"))
+    // half-open chain: each valid_to equals the next valid_from
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+        b.getAs[java.sql.Timestamp]("valid_from"))
+    }
+    assert(h.count(_.getAs[Boolean]("is_current")) === 2)
+    // the same-ts tie resolves by event_id: view (6) before click (7)
+    val u2 = h.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.map(_.getAs[String]("event_type")).toSeq ===
+      Seq("purchase", "view", "click"))
+  }
+
+  test("gap fill: dense spine, LOCF carries, gaps flagged") {
+    val g = Olap.gapFillLocf(eventsFx)
+      .filter($"user_id" === 1L).orderBy("day").collect()
+    assert(g.length === 4) // 01-01 .. 01-04, gap day included
+    val day3 = g(2)
+    assert(day3.getAs[Boolean]("is_gap"))
+    assert(day3.getAs[Double]("filled_total") === 3.0) // carried
+    assert(g.map(_.getAs[Boolean]("is_gap")).toSeq ===
+      Seq(false, false, true, false))
+    assert(g(3).getAs[Double]("filled_total") === 4.0)
+  }
+
+  test("expectations: crafted violations are counted per constraint") {
+    val li = Seq(
+      (1L, 1, 5.0, 0.05, "A"), // clean
+      (1L, 1, 5.0, 0.05, "N"), // duplicate (orderkey, linenumber)
+      (2L, 1, 45.0, 0.05, "R"), // quantity out of range
+      (9L, 1, 5.0, 0.5, "X")) // orphan order + bad discount + flag
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag")
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    val rep = Olap.expectations(li, orders).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(rep("null_l_orderkey") === ((0L, true)))
+    assert(rep("l_quantity_in_1_30") === ((1L, false)))
+    assert(rep("l_returnflag_in_ANR") === ((1L, false)))
+    assert(rep("l_discount_in_0_011") === ((1L, false)))
+    assert(rep("pk_orderkey_linenumber_unique") === ((1L, false)))
+    assert(rep("fk_lineitem_orders") === ((1L, false)))
+    assert(rep.size === 6)
+  }
+
+  private def normalized(df: DataFrame): Set[(String, String, Long,
+      String)] =
+    df.select($"day".cast("string"), $"event_type", $"cnt",
+        $"total".cast("decimal(18,2)").cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+
+  test("agg store: read-time merge equals the full recompute exactly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-spec").toString
+    val base = eventsFx.filter($"event_id" % 3 =!= 0)
+    val delta = eventsFx.filter($"event_id" % 3 === 0)
+    AggStore.ensureState(base, root)
+    // warm: a second ensure with the same recipe is a no-op
+    assert(AggStore.ensureState(base, root).isEmpty)
+    val merged = AggStore.mergedView(spark, root, delta)
+    assert(normalized(merged) === normalized(AggStore
+      .partials(eventsFx).withColumn("total", $"total")))
+    // stored state is keys-sized and untouched by the read-time merge
+    assert(AggStore.readState(spark, root).count() ===
+      AggStore.partials(base).count())
+  }
+
+  test("agg store: committed append equals the read-time merge") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-spec2").toString
+    val base = eventsFx.filter($"event_id" % 3 =!= 0)
+    val delta = eventsFx.filter($"event_id" % 3 === 0)
+    AggStore.ensureState(base, root)
+    val view = normalized(AggStore.mergedView(spark, root, delta))
+    AggStore.appendDelta(spark, root, delta)
+    assert(normalized(AggStore.readState(spark, root)
+      .withColumn("total", $"total")) === view)
+    // and the commit is a new version, not an overwrite in place
+    assert(normalized(AggStore.readState(spark, root)
+      .withColumn("total", $"total")) ===
+      normalized(AggStore.partials(eventsFx)))
+  }
+}
