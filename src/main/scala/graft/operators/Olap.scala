@@ -58,18 +58,21 @@ object Olap {
         sum(col("n_chars")).as("sum_chars"))
 
   /** Day × event-type count matrix: one hash aggregate keyed on day,
-    * with the five declared type columns as conditional counts.
-    * Absent combinations are an explicit 0 (a pivot cell null means
-    * "no rows", which IS a count of zero — leaving it null poisons
-    * downstream arithmetic). */
+    * with the five declared type columns as conditional counts —
+    * exactly what `.pivot(col, values)` lowers to, MINUS the extra
+    * pre-aggregate it plans (the built-in pivot is two aggregates and
+    * two exchanges; the conditional form is one of each, map-side
+    * partials included). Absent combinations are an explicit 0 (a
+    * pivot cell null means "no rows", which IS a count of zero —
+    * leaving it null poisons downstream arithmetic); `count(when)`
+    * yields that 0 natively. */
   def pivotDaily(events: DataFrame): DataFrame = {
-    val p = events
+    val cells = EventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    events
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy(col("day"))
-      .pivot("event_type", EventTypes)
-      .agg(count(lit(1)))
-    p.select(col("day") +: EventTypes.map(t =>
-      coalesce(col(t), lit(0L)).as(t)): _*)
+      .agg(cells.head, cells.tail: _*)
   }
 
   /** The inverse reshape: the pivoted day matrix melted back to long
@@ -127,18 +130,25 @@ object Olap {
     val daily = events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(decTotal(col("value")).as("day_total"))
-    val spine = daily
-      .groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // Each observation emits its own run of carried days — [day,
+    // next observation) — so the dense spine, the fill value, and the
+    // gap flag all fall out of ONE lead() pass over the keys-sized
+    // daily aggregate: one fact scan, no spine build, no spine⋈daily
+    // join (the join shape would scan the fact table twice and
+    // re-aggregate it for each branch — subplans don't share without
+    // materialization).
+    val nextDay = Window.partitionBy(col("user_id"))
+      .orderBy(col("obs_day"))
+    daily.select(col("user_id"), col("day").as("obs_day"),
+        col("day_total"))
+      .withColumn("run_end",
+        coalesce(date_sub(lead(col("obs_day"), 1).over(nextDay), 1),
+          col("obs_day")))
       .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"))).as("day"))
-    val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        last(col("day_total"), ignoreNulls = true).over(locf)
-          .as("filled_total"),
-        col("day_total").isNull.as("is_gap"))
+        explode(sequence(col("obs_day"), col("run_end"))).as("day"),
+        col("day_total").as("filled_total"), col("obs_day"))
+      .select(col("user_id"), col("day"), col("filled_total"),
+        (col("day") =!= col("obs_day")).as("is_gap"))
   }
 
   /** Deequ-style expectations report over the order facts: one row

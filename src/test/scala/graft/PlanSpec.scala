@@ -351,4 +351,94 @@ class PlanSpec extends SparkSpec {
         s"${exchanges.length}:\n$plan")
     }
   }
+
+  private def shuffles(df: DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("grouping sets are one Expand-backed aggregate, one shuffle") {
+    withStaticPlan {
+      for (q <- Seq("x_rollup_stats", "x_cube_stats")) {
+        val df = run(q)
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect {
+          case e: org.apache.spark.sql.execution.ExpandExec => e
+        }.length === 1, s"$q must plan via Expand:\n$plan")
+        // one scan, one exchange: never one job per grouping level
+        assert(scans(df).length === 1, s"$q: single scan:\n$plan")
+        assert(shuffles(df).length === 1, s"$q: single shuffle:\n$plan")
+      }
+    }
+  }
+
+  test("pivot is ONE conditional aggregate; unpivot adds no shuffle") {
+    withStaticPlan {
+      val p = run("x_pivot_daily")
+      assert(shuffles(p).length === 1,
+        "declared-domain pivot must be a single aggregate (the " +
+          s"built-in pivot's two-exchange lowering regressed in):\n" +
+          p.queryExecution.executedPlan)
+      assert(scans(p).head.requiredSchema.fieldNames.toSet ===
+        Set("ts", "event_type"))
+      val u = run("x_unpivot_daily")
+      assert(shuffles(u).length === 1,
+        "unpivot is a projection over the pivot — zero extra shuffles")
+    }
+  }
+
+  test("scd2 compaction: both window passes share one shuffle+sort") {
+    withStaticPlan {
+      val df = run("x_scd2_history")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.length === 2, s"lag + lead passes:\n$plan")
+      assert(shuffles(df).length === 1,
+        s"one user_id partitioning serves both windows:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.length === 1,
+        s"the (ts, event_id) sort must be reused by the lead:\n$plan")
+    }
+  }
+
+  test("gap fill scans the fact table once and never self-joins") {
+    withStaticPlan {
+      val df = run("x_gap_fill_locf")
+      val plan = df.queryExecution.executedPlan
+      assert(scans(df).length === 1,
+        s"the spine⋈daily shape would scan events twice:\n$plan")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"LOCF is a window + generate, not a join:\n$plan")
+    }
+  }
+
+  test("expectations: fused row-level scan + broadcast anti-join RI") {
+    withStaticPlan {
+      val df = run("x_expectations")
+      val plan = df.queryExecution.executedPlan
+      val anti = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(anti.exists(_.joinType.sql == "LEFT ANTI"),
+        s"referential integrity must probe a broadcast:\n$plan")
+      // row-level checks + key uniqueness fuse into ONE lineitem scan;
+      // the anti-join is the second; orders' key column is the third
+      assert(scans(df).length === 3, s"3 scans total:\n$plan")
+    }
+  }
+
+  test("ivm merge never rescans history: stored partials + delta agg") {
+    withStaticPlan {
+      val df = run("x_ivm_daily")
+      val plan = df.queryExecution.executedPlan
+      val sc = scans(df)
+      // one scan of the keys-sized stored state, one of the delta
+      assert(sc.length === 2, s"store + delta scans only:\n$plan")
+      assert(sc.exists(_.metadata.get("Location")
+        .exists(_.contains("agg-000"))), "one scan reads the store")
+      // delta aggregate + the keys-sized merge aggregate
+      assert(shuffles(df).length <= 2, s"merge is keys-sized:\n$plan")
+    }
+  }
 }
