@@ -60,6 +60,7 @@ object ExtQueries {
   val SketchParts = 4
   val DiversityPerCluster = 3
   val SessionGap = "4 hours"
+  val StreamSessionGap = "12 hours" // streaming replay's merge gap
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1261,6 +1262,20 @@ object ExtQueries {
       Tables.documents(s, d).select(col("doc_id"),
         Contamination.piiCount(aug).as("n_pii"),
         md5(Contamination.piiScrub(aug)).as("scrubbed_fp"))
+    }),
+
+    // STREAMING session windows replayed for real: 4 time-ordered
+    // micro-batches + a sentinel flush batch through the native
+    // session_window streaming aggregation — sessions straddling batch
+    // boundaries are merged by the state store, the property the batch
+    // x_sessionize can't show. Hashed against the same gap-islands
+    // oracle shape.
+    "x_stream_sessions" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-sessrep-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.sessionWindowReplay(
+        s, Tables.events(s, d), gap = StreamSessionGap,
+        delay = "1 hour", nBatches = 4, workDir = work)
     }),
 
     // ROLLUP over (source, lang): one Expand-backed hash aggregate
@@ -3543,6 +3558,30 @@ object ExtQueries {
         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |          '<EMAIL>', 'g') AS regexpreplace_email
         |      FROM aug)""".stripMargin,
+
+    // gap-islands replay of the streaming session merge (same break
+    // semantics x_sessionize pinned: a gap >= the window breaks);
+    // ms-floored times mirror the replay's state-store granularity
+    "x_stream_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, date_trunc('millisecond', ts) AS ts, value
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL '$StreamSessionGap'
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL '$StreamSessionGap' AS session_end,
+         |  count(*) AS n_events,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // GROUPING(source, lang) carries the same bit encoding as Spark's
     // grouping_id() (first column = MSB); sum(bigint) re-cast so the

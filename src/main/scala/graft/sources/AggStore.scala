@@ -95,6 +95,15 @@ object AggStore {
       delta: DataFrame): DataFrame =
     merge(readState(spark, path), partials(delta))
 
+  /** First batch founds the store, later batches fold in — the
+    * streaming sink's per-trigger body
+    * ([[graft.streaming.StreamingSync.aggMaintSink]]). */
+  def bootstrapOrAppend(spark: SparkSession, path: String,
+      batch: DataFrame): Unit =
+    if (SnapshotDir.current(spark, path, Prefix).isEmpty)
+      writeState(batch, path)
+    else appendDelta(spark, path, batch)
+
   /** Fold `delta` into the store as the next committed version — the
     * write-side twin of [[mergedView]] (same merge, then commit).
     * Applying the same delta twice double-counts by design: exactly-

@@ -106,6 +106,36 @@ object StreamingSync {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Stage batches 1..`nBatches` of `staged` (selected by its `b`
+    * column, dropped on write) as one parquet file each under
+    * `workDir/in`, for a `maxFilesPerTrigger=1` file-source replay.
+    * Clears `workDir` first. File-source order is pinned with explicit
+    * increasing mtimes, not wall-clock write order (coarse-mtime
+    * filesystems reorder). Returns the input dir. */
+  private def stageBatchFiles(staged: DataFrame, nBatches: Int,
+      workDir: String): java.io.File = {
+    val dir = new java.io.File(workDir)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    (1 to nBatches).foreach { i =>
+      val stage = new java.io.File(dir, s"stage$i").toString
+      staged.filter(col("b") === i).drop("b")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(in, f"batch-$i%02d.parquet")
+      if (!part.renameTo(tgt))
+        throw new java.io.IOException(s"could not stage $tgt")
+      tgt.setLastModified(1700000000000L + i * 60000L)
+    }
+    in
+  }
+
   /** Batch-parity harness for [[dedupWithinWatermark]]: split `events`
     * into `nBatches` time-ordered micro-batches (ntile over (ts, id) —
     * a total order both engines replay), stream them through the REAL
@@ -157,27 +187,7 @@ object StreamingSync {
       // nBatches staging passes instead of one
       .cache()
 
-    val dir = new java.io.File(workDir)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
-    }
-    val in = new java.io.File(dir, "in"); in.mkdirs()
-    (1 to nBatches).foreach { i =>
-      val stage = new java.io.File(dir, s"stage$i").toString
-      staged.filter(col("b") === i).drop("b")
-        .coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val tgt = new java.io.File(in, f"batch-$i%02d.parquet")
-      if (!part.renameTo(tgt))
-        throw new java.io.IOException(s"could not stage $tgt")
-      // deterministic file-source order: explicit increasing mtimes,
-      // not wall-clock write order (coarse-mtime filesystems reorder)
-      tgt.setLastModified(1700000000000L + i * 60000L)
-    }
+    val in = stageBatchFiles(staged, nBatches, workDir)
     staged.unpersist() // batches are on disk; the stream reads those
 
     val stream = spark.readStream
@@ -188,7 +198,8 @@ object StreamingSync {
     val q = dedupWithinWatermark(stream, keyCols, tsCol, delay)
       .writeStream.outputMode("append").format("memory")
       .queryName(name)
-      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .option("checkpointLocation",
+        new java.io.File(workDir, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
     // materialize the aggregate, then DROP the memory sink: each sink
@@ -199,6 +210,78 @@ object StreamingSync {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_emissions"))
       .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** STREAMING session windows — the gap-merge state rung
+    * ([[graft.operators.Temporal.sessionize]] is the batch shape):
+    * replay `events` through the REAL `session_window` streaming
+    * aggregation in `nBatches` time-ordered micro-batches, so sessions
+    * that STRADDLE a batch boundary are merged by the state store, not
+    * by seeing all rows at once — the property a batch run can't
+    * demonstrate. Completes the windowed-state family: tumbling
+    * ([[windowedTotals]]), bounded-state dedup
+    * ([[dedupWithinWatermark]]), stream-stream interval join
+    * ([[attributionJoin]]), and now data-driven session merge.
+    *
+    * Append mode only emits a session once the watermark passes its
+    * end, and the final watermark advance needs a batch to run under —
+    * so the replay appends ONE far-future sentinel row as its own last
+    * micro-batch (a real pipeline's stream just keeps running; the
+    * sentinel is the replay's "time passes" device). Sentinel sessions
+    * are filtered from the result.
+    *
+    * State at scale: one (key, open-session) entry per active key,
+    * evicted at watermark — bounded by concurrent activity, not
+    * history. Output is deterministic: count/sum aggregates are
+    * order-insensitive within a batch and the batch split is a total
+    * order over (ts, event_id). */
+  def sessionWindowReplay(spark: SparkSession, events: DataFrame,
+      gap: String = "12 hours", delay: String = "1 hour",
+      nBatches: Int = 4, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("ts"), col("event_id"))
+    val real = events
+      // ms-floored event times: the state store tracks watermarks in
+      // milliseconds (same pin as the wm-dedup replay)
+      .select(col("user_id"), date_trunc("millisecond", col("ts"))
+        .as("ts"), col("value"), col("event_id"))
+      .withColumn("b", ntile(nBatches).over(ord))
+      .select(col("user_id"), col("ts"), col("value"), col("b"))
+    val sentinel = events
+      .agg(max(date_trunc("millisecond", col("ts"))).as("mx"))
+      .select(lit(-1L).as("user_id"),
+        (col("mx") + expr("INTERVAL 100 DAYS")).as("ts"),
+        lit(0.0).as("value"), lit(nBatches + 1).as("b"))
+    val staged = real.unionByName(sentinel).cache()
+    val in = stageBatchFiles(staged, nBatches + 1, workDir)
+    staged.unpersist()
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val name = s"graft_session_replay_${replaySeq.incrementAndGet()}"
+    val q = stream
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        new java.io.File(workDir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+      .filter(col("user_id") =!= -1L)
+      .localCheckpoint() // drop the memory sink (see the dedup replay)
     spark.catalog.dropTempView(name)
     out
   }
@@ -296,6 +379,31 @@ object StreamingSync {
             graft.sources.VectorIndexStore.appendIvfPq(
               batch.sparkSession, indexPath, batch, m, dim, idCol,
               vecCol)
+          }
+      }
+      .start()
+
+  /** Streaming view maintenance — the aggregate third of the
+    * continuous-admission pipeline ([[dedupAdmissionSink]] keeps the
+    * corpus deduped, [[vectorAppendSink]] keeps the ANN index current,
+    * this keeps the rollup current): every micro-batch folds into the
+    * persisted [[graft.sources.AggStore]] partials as a new committed
+    * version. Per-trigger cost is O(|batch|) + a keys-sized merge;
+    * the maintained view is never recomputed from history. The
+    * checkpoint gives exactly-once admission per trigger — the
+    * at-most-once contract [[graft.sources.AggStore.appendDelta]]
+    * documents. */
+  def aggMaintSink(source: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CacheRegistry.scoped {
+            graft.sources.AggStore.bootstrapOrAppend(
+              batch.sparkSession, storePath, batch)
           }
       }
       .start()

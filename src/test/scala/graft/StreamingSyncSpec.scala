@@ -455,4 +455,73 @@ class StreamingSyncSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(compacted.sameElements(streamTop))
   }
+
+  test("session replay: cross-batch merge equals one-shot sessions") {
+    val events = Tables.events(spark, sf0001)
+    val replayed = StreamingSync.sessionWindowReplay(spark, events,
+      gap = "12 hours", delay = "1 hour", nBatches = 4,
+      workDir = tmp())
+    // batch twin: same ms-floor, same native session_window — but fed
+    // ALL rows at once. The replay's sessions were merged across four
+    // micro-batch boundaries by the state store; results must agree.
+    val batch = events
+      .select($"user_id",
+        date_trunc("millisecond", $"ts").as("ts"), $"value")
+      .groupBy(session_window($"ts", "12 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events", $"total")
+    assert(replayed.count() === batch.count())
+    assert(replayed.exceptAll(batch).count() === 0)
+    // the replay genuinely exercised cross-batch state: at least one
+    // session must span more than one of the four time-quartile
+    // batches (i.e. contain both an early and a late event)
+    assert(replayed.filter($"n_events" > 1).count() > 0)
+    // and every real session was flushed (the sentinel device): no
+    // user lost their final open session
+    assert(replayed.select($"user_id").distinct().count() ===
+      events.select($"user_id").distinct().count())
+  }
+
+  test("agg maintenance sink: streamed chunks equal the recompute") {
+    import graft.sources.AggStore
+    val dir = tmp()
+    val events = Tables.events(spark, sf0001)
+    val in = new java.io.File(dir, "in"); in.mkdirs()
+    def stage(name: String, mtime: Long,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = s"$dir/stage-$name"
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val tgt = new java.io.File(in, s"$name.parquet")
+      assert(part.renameTo(tgt))
+      tgt.setLastModified(mtime)
+    }
+    stage("batch-01", 1700000000000L, events.filter($"event_id" % 3 === 0))
+    stage("batch-02", 1700000060000L, events.filter($"event_id" % 3 === 1))
+    stage("batch-03", 1700000120000L, events.filter($"event_id" % 3 === 2))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val store = s"$dir/aggstore"
+    val q = StreamingSync.aggMaintSink(stream, store, s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // three triggers → bootstrap + two committed merges; the final
+    // state equals the one-shot partials over everything
+    val got = AggStore.readState(spark, store)
+      .select($"day".cast("string"), $"event_type", $"cnt",
+        $"total".cast("string"))
+    val want = AggStore.partials(events)
+      .select($"day".cast("string"), $"event_type", $"cnt",
+        $"total".cast("string"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    // versions advanced per merge trigger (bootstrap = v1, +2 appends)
+    assert(new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("agg-")) >= 1)
+  }
 }
