@@ -61,6 +61,10 @@ object ExtQueries {
   val DiversityPerCluster = 3
   val SessionGap = "4 hours"
   val StreamSessionGap = "12 hours" // streaming replay's merge gap
+  val FuzzyMaxDist = 2 // edit-distance join threshold (ED1 is vacuous
+  // on this corpus: the 31 dictionary words differ pairwise by >= 2)
+  val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1312,6 +1316,23 @@ object ExtQueries {
     // uniqueness fused into ONE scan, RI as a broadcast anti-join.
     "x_expectations" -> ((s, d) =>
       Olap.expectations(Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    // Fuzzy (edit-distance) string join over the corpus's distinct
+    // word bigrams: symmetric-delete candidate equi-join + exact
+    // levenshtein verify, never all-pairs. The oracle IS the
+    // all-pairs ground truth, so every run proves the deletion
+    // filter's completeness.
+    "x_fuzzy_join" -> ((s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("s"))
+        .distinct()
+      FuzzyJoin.editDistancePairs(bigrams, "s", FuzzyMaxDist)
+    }),
+
+    // Schema-driven column profiler over orders: one scan, long-format
+    // per-column stats (rows/nulls/exact distincts/min/max rendered).
+    "x_profile_orders" -> ((s, d) =>
+      Olap.profile(Tables.orders(s, d), ProfileCols)),
 
     // Incremental view maintenance: the daily rollup persists as
     // mergeable partials (AggStore, SnapshotDir-committed); the
@@ -3686,12 +3707,55 @@ object ExtQueries {
         |  UNION ALL SELECT 'fk_lineitem_orders', v FROM fk) u"""
         .stripMargin,
 
+    // ALL-PAIRS ground truth (fine at vocabulary scale): every run
+    // proves the Spark side's symmetric-delete candidate filter
+    // missed no true pair
+    "x_fuzzy_join" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT w[i] || ' ' || w[i+1] AS s
+         |  FROM ws, unnest(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2)
+         |SELECT a.s AS s_a, b.s AS s_b,
+         |  levenshtein(a.s, b.s)::bigint AS dist
+         |FROM bg a JOIN bg b ON a.s < b.s
+         |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
+
+    "x_profile_orders" -> ProfileOracleSql,
+
     // the full recompute the incremental merge must equal exactly
     "x_ivm_daily" ->
       """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** The profiler oracle, generated from [[ProfileCols]] with the
+    * same per-type render rules the Spark profiler applies (double →
+    * decimal(18,2) text, timestamp → explicit 6-digit-fraction
+    * format, min/max over the NATIVE value then rendered). */
+  private lazy val ProfileOracleSql: String = {
+    def mm(f: String, c: String): String = c match {
+      case "o_totalprice" => s"$f($c)::decimal(18,2)::varchar"
+      case "o_orderdate" => s"strftime($f($c), '%Y-%m-%d %H:%M:%S.%f')"
+      case _ => s"$f($c)::varchar"
+    }
+    val aggs = ProfileCols.zipWithIndex.map { case (c, i) =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::bigint AS n$i, " +
+        s"count(DISTINCT $c)::bigint AS d$i, " +
+        s"${mm("min", c)} AS mn$i, ${mm("max", c)} AS mx$i"
+    }
+    val selects = ProfileCols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS column_name, n_rows, n$i AS n_nulls, " +
+        s"d$i AS n_distinct, mn$i AS min_str, mx$i AS max_str FROM s"
+    }
+    s"WITH s AS (SELECT count(*)::bigint AS n_rows, " +
+      s"${aggs.mkString(", ")} FROM orders) " +
+      selects.mkString(" UNION ALL ")
+  }
 
   /** Shared by the pivot oracle and the unpivot oracle's CTE. */
   private lazy val PivotDailySql: String =

@@ -191,4 +191,47 @@ object Olap {
     named.unionByName(fkOrphans)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Schema-driven column profiler: one long-format row per column
+    * with row/null/distinct counts and min/max rendered as strings —
+    * the first query anyone runs against an unknown table. ONE scan:
+    * the conditional counts fuse into a single aggregate, and the
+    * exact per-column distincts plan as Catalyst's multi-distinct
+    * Expand (one branch per column) — still one pass over the data.
+    * At 100 TB the exact distincts are the expensive part; production
+    * profiling swaps in `approx_count_distinct` (HLL, no Expand) at
+    * the cost of the oracle-replayable exactness pinned here.
+    * Min/max aggregate over the NATIVE type (value order, not text
+    * order), then render: doubles through decimal(18,2) and
+    * timestamps through an explicit 6-digit-fraction format, so both
+    * engines print identical text (Java's Double.toString and
+    * fractional-second trimming diverge otherwise). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def render(c: Column, name: String): Column =
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          c.cast(DecimalType(18, 2)).cast("string")
+        case org.apache.spark.sql.types.TimestampType =>
+          date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        case _ => c.cast("string")
+      }
+    val statCols = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        render(min(col(c)), c).as(s"${c}__min"),
+        render(max(col(c)), c).as(s"${c}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(statCols.head, statCols.tail: _*)
+    row.select(explode(map(cols.flatMap(c => Seq(
+        lit(c),
+        struct(col("__rows").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_str"),
+          col(s"${c}__max").as("max_str")))): _*))
+        .as(Seq("column_name", "stats")))
+      .select(col("column_name"), col("stats.n_rows"),
+        col("stats.n_nulls"), col("stats.n_distinct"),
+        col("stats.min_str"), col("stats.max_str"))
+  }
 }

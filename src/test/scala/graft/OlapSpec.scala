@@ -162,6 +162,63 @@ class OlapSpec extends SparkSpec {
       AggStore.partials(base).count())
   }
 
+  test("fuzzy join: symmetric-delete candidates are exact-complete") {
+    import graft.operators.FuzzyJoin
+    // crafted cases per edit kind at d=2: substitution ×2, delete ×2,
+    // insert ×2, mixed, and a distance-3 pair that must NOT appear
+    val strs = Seq("kitten", "mitten", "mutten", "kitte", "kitt",
+      "kittens", "akitten", "sitting").toDF("s")
+    val pairs = FuzzyJoin.editDistancePairs(strs, "s", 2)
+      .as[(String, String, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs(("kitten", "mitten")) === 1L)
+    assert(pairs(("kitten", "mutten")) === 2L)
+    assert(pairs(("kitte", "kitten")) === 1L)
+    assert(pairs(("kitt", "kitten")) === 2L)
+    assert(pairs(("kitten", "kittens")) === 1L)
+    assert(pairs(("akitten", "kitten")) === 1L)
+    assert(!pairs.contains(("kitten", "sitting"))) // lev = 3
+    // completeness vs brute force over the whole crafted set
+    val brute = strs.as("a").crossJoin(strs.as("b"))
+      .filter($"a.s" < $"b.s" &&
+        levenshtein($"a.s", $"b.s") <= 2)
+      .count()
+    assert(pairs.size.toLong === brute)
+  }
+
+  test("deletion variants: counts and membership at d=1 and d=2") {
+    import graft.operators.FuzzyJoin
+    val v1 = Seq("abc").toDF("s")
+      .select(FuzzyJoin.deletionVariants($"s", 1)).as[Seq[String]]
+      .head().toSet
+    assert(v1 === Set("abc", "bc", "ac", "ab"))
+    val v2 = Seq("abc").toDF("s")
+      .select(FuzzyJoin.deletionVariants($"s", 2)).as[Seq[String]]
+      .head().toSet
+    assert(v2 === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // empty string survives the generator
+    val v0 = Seq("").toDF("s")
+      .select(FuzzyJoin.deletionVariants($"s", 2)).as[Seq[String]]
+      .head().toSet
+    assert(v0 === Set(""))
+  }
+
+  test("profiler: nulls, exact distincts, typed min/max rendering") {
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("b")),
+      (Some(1L), None, Some("a")),
+      (None, Some(10.0), None))
+      .toDF("k", "price", "tag")
+    val p = Olap.profile(df, Seq("k", "price", "tag")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(p("k").getAs[Long]("n_rows") === 3L)
+    assert(p("k").getAs[Long]("n_nulls") === 1L)
+    assert(p("k").getAs[Long]("n_distinct") === 1L) // nulls excluded
+    assert(p("price").getAs[String]("min_str") === "2.50")
+    assert(p("price").getAs[String]("max_str") === "10.00")
+    assert(p("tag").getAs[String]("max_str") === "b")
+  }
+
   test("agg store: committed append equals the read-time merge") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec2").toString
