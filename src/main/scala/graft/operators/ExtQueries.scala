@@ -1334,6 +1334,27 @@ object ExtQueries {
     "x_profile_orders" -> ((s, d) =>
       Olap.profile(Tables.orders(s, d), ProfileCols)),
 
+    // Snapshot diff — the audit face of incremental maintenance:
+    // which rollup rows the pending delta would add or change,
+    // old/new side by side. A keys-sized full-outer join; the fact
+    // history is never rescanned (same store-read shape as
+    // x_ivm_daily).
+    "x_snapshot_diff" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("event_id") % IvmDeltaMod =!= 0)
+      val delta = Tables.events(s, d)
+        .filter(col("event_id") % IvmDeltaMod === 0)
+      graft.sources.AggStore.ensureState(base, aggStorePath(d))
+      val stored = graft.sources.AggStore
+        .readState(s, aggStorePath(d))
+        .withColumn("total", col("total").cast("double"))
+      val next = graft.sources.AggStore
+        .mergedView(s, aggStorePath(d), delta)
+        .withColumn("total", col("total").cast("double"))
+      Olap.tableDiff(stored, next, Seq("day", "event_type"),
+        Seq("cnt", "total"))
+    }),
+
     // Incremental view maintenance: the daily rollup persists as
     // mergeable partials (AggStore, SnapshotDir-committed); the
     // held-out delta folds in at read time — O(|delta|) + a
@@ -3725,6 +3746,32 @@ object ExtQueries {
          |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
 
     "x_profile_orders" -> ProfileOracleSql,
+
+    // base-vs-merged recompute, full-outer on the key, unchanged rows
+    // dropped — decimal→double rendering matches both sides
+    "x_snapshot_diff" ->
+      s"""WITH oldv AS (
+         |  SELECT cast(ts AS date) AS day, event_type,
+         |    count(*) AS cnt,
+         |    cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+         |  FROM events WHERE event_id % $IvmDeltaMod <> 0
+         |  GROUP BY 1, 2),
+         |newv AS (
+         |  SELECT cast(ts AS date) AS day, event_type,
+         |    count(*) AS cnt,
+         |    cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+         |  FROM events GROUP BY 1, 2)
+         |SELECT coalesce(o.day, n.day) AS day,
+         |  coalesce(o.event_type, n.event_type) AS event_type,
+         |  CASE WHEN o.day IS NULL THEN 'added'
+         |       WHEN n.day IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change_kind,
+         |  o.cnt AS old_cnt, n.cnt AS new_cnt,
+         |  o.total AS old_total, n.total AS new_total
+         |FROM oldv o FULL OUTER JOIN newv n
+         |  ON o.day = n.day AND o.event_type = n.event_type
+         |WHERE o.day IS NULL OR n.day IS NULL
+         |  OR o.cnt <> n.cnt OR o.total <> n.total""".stripMargin,
 
     // the full recompute the incremental merge must equal exactly
     "x_ivm_daily" ->

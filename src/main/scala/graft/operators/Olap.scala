@@ -192,6 +192,36 @@ object Olap {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Generic keyed table diff — the snapshot-audit operator: which
+    * rows were added, removed, or changed between two versions of a
+    * keyed relation. One full-outer join on the key (shuffle on both
+    * sides' keys — at 100 TB both versions co-partition if stored
+    * bucketed, making this exchange-free), unchanged rows dropped via
+    * null-safe value comparison. `old_`/`new_` column pairs carry
+    * both sides; added/removed rows show NULL on the absent side. */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], vals: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ vals).map(col): _*)
+      .withColumn("__old", lit(1))
+    val n = newDf.select((keys ++ vals).map(col): _*)
+      .withColumn("__new", lit(1))
+    val joined = o.as("o").join(n.as("n"),
+      keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _),
+      "full_outer")
+    val kind = when(col("o.__old").isNull, lit("added"))
+      .when(col("n.__new").isNull, lit("removed"))
+      .otherwise(lit("changed"))
+    val changedVals = vals.map(v =>
+      !(col(s"o.$v") <=> col(s"n.$v"))).reduce(_ || _)
+    joined
+      .filter(col("o.__old").isNull || col("n.__new").isNull ||
+        changedVals)
+      .select(keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k))
+        ++ Seq(kind.as("change_kind"))
+        ++ vals.flatMap(v => Seq(col(s"o.$v").as(s"old_$v"),
+          col(s"n.$v").as(s"new_$v"))): _*)
+  }
+
   /** Schema-driven column profiler: one long-format row per column
     * with row/null/distinct counts and min/max rendered as strings —
     * the first query anyone runs against an unknown table. ONE scan:

@@ -146,6 +146,23 @@ class OlapSpec extends SparkSpec {
         $"total".cast("decimal(18,2)").cast("string"))
       .as[(String, String, Long, String)].collect().toSet
 
+  test("table diff: added/removed/changed, unchanged rows dropped") {
+    val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v")
+    val newT = Seq((1L, "a", 10L), (2L, "b", 25L), (4L, "d", 40L))
+      .toDF("k", "tag", "v")
+    val d = Olap.tableDiff(oldT, newT, Seq("k", "tag"), Seq("v"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_kind"),
+          Option(r.getAs[java.lang.Long]("old_v")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("new_v")).map(_.toLong)))
+      .toMap
+    assert(d.size === 3) // k=1 unchanged → dropped
+    assert(d(2L) === (("changed", Some(20L), Some(25L))))
+    assert(d(3L) === (("removed", Some(30L), None)))
+    assert(d(4L) === (("added", None, Some(40L))))
+  }
+
   test("agg store: read-time merge equals the full recompute exactly") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec").toString
