@@ -30,7 +30,7 @@ import graft.sources.StoreFiles.{readText, writeText}
 object AggStore {
 
   private val Prefix = "agg-"
-  val FormatVersion = 1
+  val FormatVersion = 2 // v2: total stored uniformly as decimal(18,2)
 
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(
@@ -38,12 +38,18 @@ object AggStore {
         s"no committed aggregate state under $path"))
 
   /** The partial-aggregate rows for a slice of facts: one row per
-    * (day, event_type) with exactly-mergeable COUNT/SUM state. */
+    * (day, event_type) with exactly-mergeable COUNT/SUM state. The
+    * sum is re-cast to the STORED scale so every version (bootstrap
+    * or append) persists the identical schema — without it the first
+    * version ships Spark's widened sum type decimal(28,2) and later
+    * merges ship (18,2), and schema drift across versions is exactly
+    * what a state store must not do. */
   def partials(events: DataFrame): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("total"))
 
   /** Merge two partial relations by key (sum of counts, sum of decimal
     * totals). Associative and commutative, so any fold order over any
