@@ -1334,6 +1334,31 @@ object ExtQueries {
     "x_profile_orders" -> ((s, d) =>
       Olap.profile(Tables.orders(s, d), ProfileCols)),
 
+    // Point-in-time lookup against the SCD2 dimension: the attribute
+    // in effect at each event's DAY START (not its own timestamp —
+    // that lookup is vacuously the event's own value). Equi-join on
+    // user with the interval residual; LEFT keeps first-day facts
+    // with no prior state.
+    "x_pit_join" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val dim = Olap.scd2History(events)
+      val facts = events.select(col("event_id"), col("user_id"),
+        date_trunc("day", col("ts")).as("day_start"))
+      Temporal.pitJoin(facts, dim, "user_id", "day_start",
+        Seq("event_id", "user_id", "day_start"), "event_type",
+        "type_at_day_start")
+    }),
+
+    // Canonical-term map over the fuzzy pairs: connected components
+    // (the repo's adaptive CC rung on lexicographically-dense ids) →
+    // every bigram mapped to its component's min string.
+    "x_fuzzy_canon" -> ((s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("s"))
+        .distinct()
+      FuzzyJoin.canonicalMap(bigrams, "s", FuzzyMaxDist)
+    }),
+
     // Snapshot diff — the audit face of incremental maintenance:
     // which rollup rows the pending delta would add or change,
     // old/new side by side. A keys-sized full-outer join; the fact
@@ -3653,20 +3678,53 @@ object ExtQueries {
     // change rows only (ts unique per user → ORDER BY valid_from is
     // total within the partition)
     "x_scd2_history" ->
-      """WITH ordered AS (
-        |  SELECT user_id, ts, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |changes AS (
-        |  SELECT user_id, event_type, ts AS valid_from FROM ordered
-        |  WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from) AS valid_to,
-        |  lead(valid_from) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from) IS NULL AS is_current
-        |FROM changes""".stripMargin,
+      s"""WITH $Scd2Ctes
+         |SELECT user_id, event_type, valid_from, valid_to,
+         |  valid_to IS NULL AS is_current
+         |FROM scd2""".stripMargin,
+
+    // PIT lookup against the SCD2 dimension: the attribute in effect
+    // at each event's day start — LEFT join (facts before the key's
+    // first state keep NULL), half-open intervals make the match
+    // unique
+    "x_pit_join" ->
+      s"""WITH $Scd2Ctes,
+         |f AS (
+         |  SELECT event_id, user_id, date_trunc('day', ts) AS day_start
+         |  FROM events)
+         |SELECT f.event_id, f.user_id, f.day_start,
+         |  d.event_type AS type_at_day_start
+         |FROM f LEFT JOIN scd2 d
+         |  ON f.user_id = d.user_id
+         |  AND f.day_start >= d.valid_from
+         |  AND (d.valid_to IS NULL OR f.day_start < d.valid_to)"""
+        .stripMargin,
+
+    // min-string label propagation to the transitive closure of the
+    // fuzzy pairs (singletons map to themselves) — same recursive-CTE
+    // shape as the dedup-cluster oracles, keyed on the string itself
+    "x_fuzzy_canon" ->
+      s"""WITH RECURSIVE ws AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT w[i] || ' ' || w[i+1] AS s
+         |  FROM ws, unnest(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2),
+         |vp AS (
+         |  SELECT a.s AS s_a, b.s AS s_b
+         |  FROM bg a JOIN bg b ON a.s < b.s
+         |  WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist),
+         |edges AS (
+         |  SELECT s_a AS a, s_b AS b FROM vp
+         |  UNION ALL SELECT s_b, s_a FROM vp),
+         |reach(v, l) AS (
+         |  SELECT s, s FROM bg
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
+         |SELECT v AS s, min(l) AS canonical_s FROM reach GROUP BY v"""
+        .stripMargin,
 
     // per-day totals go through decimal(18,2) then double on BOTH
     // sides (same rounding), and the LOCF window copies — never
@@ -3779,6 +3837,24 @@ object ExtQueries {
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** SCD2 compaction CTEs (shared by the history oracle and the PIT
+    * join oracle): change rows by (ts, event_id) order, half-open
+    * validity chain via LEAD. */
+  private lazy val Scd2Ctes: String =
+    """ordered AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts AS valid_from FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |scd2 AS (
+      |  SELECT user_id, event_type, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from) AS valid_to
+      |  FROM changes)""".stripMargin
 
   /** The profiler oracle, generated from [[ProfileCols]] with the
     * same per-type render rules the Spark profiler applies (double →

@@ -65,4 +65,31 @@ object FuzzyJoin {
         levenshtein(col("s_a"), col("s_b")).cast("bigint"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Canonical-term map — the normalization step entity resolution
+    * runs after matching: connected components over the edit-distance
+    * pairs, every string mapped to its component's lexicographic
+    * minimum (singletons map to themselves). Reuses the repo's
+    * adaptive connected-components rung on dense surrogate ids
+    * assigned in LEXICOGRAPHIC order (a vocabulary-sized
+    * single-partition window — the corpus never rides it), so the
+    * min-ID label the propagation computes IS the min-string
+    * canonical. */
+  def canonicalMap(strings: DataFrame, sCol: String,
+      maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = strings.select(col(sCol).as("s")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("s"))).cast("long"))
+    val pairs = editDistancePairs(strings, sCol, maxDist)
+    val edges = pairs
+      .join(ids.select(col("s").as("s_a"), col("id").as("id_a")), "s_a")
+      .join(ids.select(col("s").as("s_b"), col("id").as("id_b")), "s_b")
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterAssignments(ids, edges, "id")
+      .join(ids, "id")
+      .join(ids.select(col("id").as("cluster_id"),
+        col("s").as("canonical_s")), "cluster_id")
+      .select(col("s"), col("canonical_s"))
+  }
 }

@@ -217,4 +217,35 @@ object Temporal {
         datediff(col("d"), col("cohort_date")).as("day_offset"))
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
+
+  /** Point-in-time (PIT) join: each fact row picks up the dimension
+    * attribute in effect AT ITS TIMESTAMP from an SCD2 history —
+    * half-open intervals `[valid_from, valid_to)`, NULL `valid_to` =
+    * still open, LEFT join so facts before the key's first recorded
+    * state keep a NULL attribute. The SCD2 intervals partition each
+    * key's timeline, so every fact matches at most once — the
+    * invariant that makes PIT lookups safe to fan into aggregates
+    * (no row duplication).
+    *
+    * Shape: an EQUI-join on the key with the interval predicate as a
+    * residual filter — shuffle both sides on the key, never a
+    * nested-loop range join; per-key dimension history is small (one
+    * row per change), so the residual scan per fact row is short.
+    * `factCols` names the fact columns to carry (the fact's own
+    * timestamp column included as needed). */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTsCol: String, factCols: Seq[String], dimAttrCol: String,
+      asOfName: String): DataFrame = {
+    val d = dim.select(col(keyCol).as("__k"),
+      col(dimAttrCol).as(asOfName),
+      col("valid_from"), col("valid_to"))
+    facts.select(factCols.map(col): _*)
+      .join(d,
+        col(keyCol) === col("__k") &&
+          col(factTsCol) >= col("valid_from") &&
+          (col("valid_to").isNull ||
+            col(factTsCol) < col("valid_to")),
+        "left")
+      .select(factCols.map(col) :+ col(asOfName): _*)
+  }
 }

@@ -146,6 +146,49 @@ class OlapSpec extends SparkSpec {
         $"total".cast("decimal(18,2)").cast("string"))
       .as[(String, String, Long, String)].collect().toSet
 
+  test("pit join: interval pick, pre-history NULL, no duplication") {
+    import graft.operators.Temporal
+    val dim = Olap.scd2History(eventsFx)
+    // user 1: view [08:00, 01-02 10:00) → click [.., 01-04 11:00) →
+    // view [.., null). Probe at known instants:
+    def probe(t: String) = Seq((99L, 1L,
+      java.sql.Timestamp.valueOf(t))).toDF("event_id", "user_id", "pt")
+    def at(t: String): Option[String] = Temporal.pitJoin(probe(t), dim,
+        "user_id", "pt", Seq("event_id", "user_id", "pt"),
+        "event_type", "attr")
+      .collect().map(r => Option(r.getAs[String]("attr"))).head
+    assert(at("2024-01-01 08:00:00") === Some("view")) // inclusive from
+    assert(at("2024-01-02 09:59:59") === Some("view"))
+    assert(at("2024-01-02 10:00:00") === Some("click")) // half-open
+    assert(at("2024-12-01 00:00:00") === Some("view")) // open row
+    assert(at("2024-01-01 00:00:00") === None) // before first state
+    // fan-in safety: joining ALL events at their own ts yields exactly
+    // one row per fact (intervals partition the timeline)
+    val all = Temporal.pitJoin(
+      eventsFx.select($"event_id", $"user_id", $"ts"), dim,
+      "user_id", "ts", Seq("event_id", "user_id", "ts"),
+      "event_type", "attr")
+    assert(all.count() === eventsFx.count())
+    assert(all.select("event_id").distinct().count() === eventsFx.count())
+  }
+
+  test("fuzzy canonical map: components collapse to min string") {
+    import graft.operators.FuzzyJoin
+    val strs = Seq("kitten", "mitten", "mutten", "sitting", "apart")
+      .toDF("s")
+    // kitten–mitten (1), mitten–mutten (1), kitten–mutten (2) form one
+    // component; sitting (lev 3 from kitten) and apart are singletons
+    val m = FuzzyJoin.canonicalMap(strs, "s", 2).collect()
+      .map(r => r.getAs[String]("s") -> r.getAs[String]("canonical_s"))
+      .toMap
+    assert(m("kitten") === "kitten")
+    assert(m("mitten") === "kitten")
+    assert(m("mutten") === "kitten")
+    assert(m("sitting") === "sitting")
+    assert(m("apart") === "apart")
+    assert(m.size === 5)
+  }
+
   test("table diff: added/removed/changed, unchanged rows dropped") {
     val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "tag", "v")
