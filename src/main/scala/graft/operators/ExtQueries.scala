@@ -65,6 +65,7 @@ object ExtQueries {
   // on this corpus: the 31 dictionary words differ pairwise by >= 2)
   val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
+  val PathTopK = 20 // most frequent session paths kept
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1333,6 +1334,21 @@ object ExtQueries {
     // per-column stats (rows/nulls/exact distincts/min/max rendered).
     "x_profile_orders" -> ((s, d) =>
       Olap.profile(Tables.orders(s, d), ProfileCols)),
+
+    // Clickstream path mining: gap-islanded sessions rendered as
+    // ordered a>b>c paths, top-k by frequency (deterministic
+    // tiebreak). Path order is sorted INSIDE the aggregate —
+    // collect_list alone has no cross-partition ordering guarantee.
+    "x_session_paths" -> ((s, d) =>
+      Temporal.sessionPaths(Tables.events(s, d), SessionGap,
+        PathTopK)),
+
+    // Seasonal-naive forecast backtest: tomorrow = the value 7 days
+    // earlier, via a calendar-shift equi self-join of the keys-sized
+    // daily frame (a row LAG would mis-shift across gap days); LEFT
+    // keeps the warm-up week with NULL forecasts.
+    "x_forecast_snaive" -> ((s, d) =>
+      Temporal.seasonalNaiveBacktest(Tables.events(s, d))),
 
     // Point-in-time lookup against the SCD2 dimension: the attribute
     // in effect at each event's DAY START (not its own timestamp —
@@ -3682,6 +3698,45 @@ object ExtQueries {
          |SELECT user_id, event_type, valid_from, valid_to,
          |  valid_to IS NULL AS is_current
          |FROM scd2""".stripMargin,
+
+    // same islands pass; string_agg's explicit ORDER BY matches the
+    // in-aggregate array_sort
+    "x_session_paths" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL '$SessionGap'
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m),
+         |p AS (
+         |  SELECT user_id, sess,
+         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |  FROM s GROUP BY 1, 2),
+         |r AS (SELECT path, n_sessions, row_number() OVER (
+         |    ORDER BY n_sessions DESC, path) AS rk
+         |  FROM (SELECT path, count(*) AS n_sessions FROM p
+         |        GROUP BY 1) cc)
+         |SELECT path, n_sessions, rk FROM r WHERE rk <= $PathTopK"""
+        .stripMargin,
+
+    "x_forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(ts AS date) AS day,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double) AS actual
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT user_id, day + 7 AS day, actual AS forecast
+        |  FROM daily)
+        |SELECT d.user_id, d.day, d.actual, s.forecast,
+        |  CASE WHEN s.forecast IS NOT NULL
+        |    THEN abs(d.actual - s.forecast) END AS abs_err
+        |FROM daily d LEFT JOIN sh s
+        |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
 
     // PIT lookup against the SCD2 dimension: the attribute in effect
     // at each event's day start — LEFT join (facts before the key's

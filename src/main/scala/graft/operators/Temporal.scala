@@ -218,6 +218,69 @@ object Temporal {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Top-k frequent session paths — clickstream path mining: each
+    * user's events fold into gap-separated sessions, each session
+    * renders as its ordered `a>b>c` event-type path, and the k most
+    * frequent paths come back with their counts (count desc, path asc
+    * tiebreak — fully deterministic).
+    *
+    * Shape: the session assignment is the lag/cumsum island pass (one
+    * user-keyed shuffle + sort), the path build aggregates each
+    * session's events into an array SORTED INSIDE the aggregate
+    * (`array_sort` over (ts, event_id) structs — `collect_list` alone
+    * has no ordering guarantee across partitions), and the path count
+    * is a keys-sized aggregate. The top-k is a single
+    * WindowGroupLimit-able rank, never a global sort of all paths. */
+  def sessionPaths(events: DataFrame, gap: String = "4 hours", k: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol),
+      col("event_id"))
+    val islanded = events
+      .withColumn("new_s",
+        when(lag(col(tsCol), 1).over(byUser).isNull ||
+          col(tsCol) - lag(col(tsCol), 1).over(byUser) >=
+            expr(s"INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = islanded
+      .groupBy(col(userCol), col("sess"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"),
+          col("event_id").as("e"), col(typeCol).as("y")))),
+        s => s.getField("y"))).as("path"))
+    val ranked = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= k)
+    ranked.select(col("path"), col("n_sessions"), col("rk"))
+  }
+
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting pipeline must beat: tomorrow's prediction for a key
+    * is the value one season (7 days) earlier. Expressed as a
+    * calendar-shift equi self-join of the per-key daily aggregate
+    * (join on (key, day−7); a LAG over rows would silently mis-shift
+    * across gap days), LEFT so the warm-up week keeps NULL forecasts.
+    * Per-row absolute error rides the output; the keys-sized daily
+    * frame makes every stage cheap regardless of fact volume. */
+  def seasonalNaiveBacktest(events: DataFrame, seasonDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double")
+        .as("actual"))
+    val shifted = daily.select(col(userCol),
+      date_add(col("day"), seasonDays).as("day"),
+      col("actual").as("forecast"))
+    daily.join(shifted, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"), col("actual"), col("forecast"),
+        when(col("forecast").isNotNull,
+          abs(col("actual") - col("forecast"))).as("abs_err"))
+  }
+
   /** Point-in-time (PIT) join: each fact row picks up the dimension
     * attribute in effect AT ITS TIMESTAMP from an SCD2 history —
     * half-open intervals `[valid_from, valid_to)`, NULL `valid_to` =

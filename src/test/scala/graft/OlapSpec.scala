@@ -189,6 +189,43 @@ class OlapSpec extends SparkSpec {
     assert(m.size === 5)
   }
 
+  test("session paths: island split, in-session order, ranked top-k") {
+    import graft.operators.Temporal
+    val p = Temporal.sessionPaths(eventsFx, "4 hours", 10)
+      .collect().map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("n_sessions"), r.getAs[Int]("rk")))
+    // user1: (view,view) | (click) | (view); user2: (purchase) |
+    // (view,click — same-ts tie ordered by event_id)
+    val paths = p.map(_._1).toSet
+    assert(paths === Set("view>view", "click", "view", "purchase",
+      "view>click"))
+    assert(p.forall(_._2 == 1L))
+    // all-ties rank deterministically by path ascending
+    assert(p.sortBy(_._3).map(_._1).toSeq ===
+      Seq("click", "purchase", "view", "view>click", "view>view"))
+  }
+
+  test("seasonal-naive backtest: 7-day shift, warm-up NULL, abs err") {
+    import graft.operators.Temporal
+    val ev = Seq(
+      ev2(1, "2024-01-01 10:00:00", 1, 5.0),
+      ev2(2, "2024-01-08 10:00:00", 1, 7.0), // vs 5.0 → err 2.0
+      ev2(3, "2024-01-15 10:00:00", 1, 7.0), // vs 7.0 → err 0.0
+      ev2(4, "2024-01-09 10:00:00", 1, 1.0)) // no 01-02 → NULL
+      .toDF("event_id", "ts", "user_id", "value")
+    val b = Temporal.seasonalNaiveBacktest(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[java.lang.Double]("forecast")),
+          Option(r.getAs[java.lang.Double]("abs_err")))).toMap
+    assert(b("2024-01-01") === ((None, None)))
+    assert(b("2024-01-08") === ((Some(5.0), Some(2.0))))
+    assert(b("2024-01-15") === ((Some(7.0), Some(0.0))))
+    assert(b("2024-01-09") === ((None, None)))
+  }
+
+  private def ev2(id: Long, t: String, user: Long, v: Double) =
+    (id, java.sql.Timestamp.valueOf(t), user, v)
+
   test("table diff: added/removed/changed, unchanged rows dropped") {
     val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "tag", "v")
