@@ -199,7 +199,8 @@ object ExtQueries {
         .map("lm_model" -> _).toMap ++
       graft.sources.AggStore
         .ensureState(Tables.events(s, d)
-          .filter(col("event_id") % IvmDeltaMod =!= 0), aggStorePath(d))
+          .filter(col("event_id") % IvmDeltaMod =!= 0), aggStorePath(d),
+          baseTag = s"deltaMod=$IvmDeltaMod")
         .map("agg_store" -> _).toMap
 
   /** Measure the COLD build path once per bench run: rebuild each
@@ -1385,7 +1386,8 @@ object ExtQueries {
         .filter(col("event_id") % IvmDeltaMod =!= 0)
       val delta = Tables.events(s, d)
         .filter(col("event_id") % IvmDeltaMod === 0)
-      graft.sources.AggStore.ensureState(base, aggStorePath(d))
+      graft.sources.AggStore.ensureState(base, aggStorePath(d),
+        baseTag = s"deltaMod=$IvmDeltaMod")
       val stored = graft.sources.AggStore
         .readState(s, aggStorePath(d))
         .withColumn("total", col("total").cast("double"))
@@ -1407,7 +1409,8 @@ object ExtQueries {
         .filter(col("event_id") % IvmDeltaMod =!= 0)
       val delta = Tables.events(s, d)
         .filter(col("event_id") % IvmDeltaMod === 0)
-      graft.sources.AggStore.ensureState(base, aggStorePath(d))
+      graft.sources.AggStore.ensureState(base, aggStorePath(d),
+        baseTag = s"deltaMod=$IvmDeltaMod")
       graft.sources.AggStore.mergedView(s, aggStorePath(d), delta)
         .select(col("day"), col("event_type"), col("cnt"),
           col("total").cast("double").as("total"))

@@ -78,9 +78,14 @@ object FuzzyJoin {
   def canonicalMap(strings: DataFrame, sCol: String,
       maxDist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ids = strings.select(col(sCol).as("s")).distinct()
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("s"))).cast("long"))
+    // tracked-cache the id map: it is referenced from five plan
+    // branches (two edge joins, the CC vertices, two canonical
+    // joins), and uncached each branch would re-run the whole
+    // upstream corpus explode + distinct + window
+    val ids = graft.operators.CacheRegistry.tracked(
+      strings.select(col(sCol).as("s")).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("s"))).cast("long")))
     val pairs = editDistancePairs(strings, sCol, maxDist)
     val edges = pairs
       .join(ids.select(col("s").as("s_a"), col("id").as("id_a")), "s_a")

@@ -120,12 +120,13 @@ object Olap {
     * last-observation-carried-forward fill: every user gets one row
     * per calendar day between their first and last event; days with
     * no events carry the previous observed total (`is_gap` marks
-    * them). The spine is generated per key (`sequence` + explode —
-    * pure projection, no driver loop), the daily aggregate and the
-    * LOCF window share the `user_id` hash partitioning, and the
-    * running `last(ignoreNulls)` is O(1) per row. A gap day is
-    * data-dependent, so the fill must be a window, not a self-join —
-    * the join shape would be quadratic in gap length. */
+    * them). Shape: one `lead()` pass over the keys-sized daily
+    * aggregate finds each observation's run end, and `sequence` +
+    * explode emits the run's days carrying the observed value — the
+    * fill is the run's own projection, so there is no spine relation,
+    * no fill window, and no join at all (a spine⋈daily shape would
+    * scan the fact table twice; a per-gap self-join would be
+    * quadratic in gap length). */
   def gapFillLocf(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))

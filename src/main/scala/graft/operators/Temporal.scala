@@ -233,9 +233,10 @@ object Temporal {
     * WindowGroupLimit-able rank, never a global sort of all paths. */
   def sessionPaths(events: DataFrame, gap: String = "4 hours", k: Int = 20,
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol),
-      col("event_id"))
+      col(idCol))
     val islanded = events
       .withColumn("new_s",
         when(lag(col(tsCol), 1).over(byUser).isNull ||
@@ -247,7 +248,7 @@ object Temporal {
       .groupBy(col(userCol), col("sess"))
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col(tsCol).as("t"),
-          col("event_id").as("e"), col(typeCol).as("y")))),
+          col(idCol).as("e"), col(typeCol).as("y")))),
         s => s.getField("y"))).as("path"))
     val ranked = paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))

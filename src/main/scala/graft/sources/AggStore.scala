@@ -61,23 +61,31 @@ object AggStore {
         sum(col("total")).cast(DecimalType(18, 2)).as("total"))
 
   /** Aggregate `events` and publish the partials as version 1. */
-  def writeState(events: DataFrame, path: String): Unit = {
+  def writeState(events: DataFrame, path: String,
+      batchTag: Option[String] = None): Unit = {
     val spark = events.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
       val next = SnapshotDir.next(spark, path, Prefix)
       val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
       partials(events).write.mode(SaveMode.Overwrite).parquet(vdir)
+      batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
       SnapshotDir.commit(spark, path, Prefix, next)
     }
     SnapshotDir.gc(spark, path, Prefix)
   }
 
-  /** [[writeState]] gated by a recipe marker. Returns build seconds,
-    * or None when the committed state is already warm. */
-  def ensureState(events: DataFrame, path: String): Option[Double] = {
+  /** [[writeState]] gated by a recipe marker. `baseTag` names the
+    * slice of facts the base state was built from (e.g. the caller's
+    * holdout predicate) so changing the slice REBUILDS instead of
+    * silently merging a new delta into stale partials — the same
+    * reason TokenizerStore's recipe carries its merge count. Returns
+    * build seconds, or None when the committed state is warm. */
+  def ensureState(events: DataFrame, path: String,
+      baseTag: String = ""): Option[Double] = {
     val spark = events.sparkSession
     val marker = s"$path/_built.json"
-    val recipe = s"""{"v":$FormatVersion,"view":"daily_by_type"}"""
+    val recipe =
+      s"""{"v":$FormatVersion,"view":"daily_by_type","base":"$baseTag"}"""
     if (readText(spark, marker).contains(recipe) &&
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
@@ -103,26 +111,40 @@ object AggStore {
 
   /** First batch founds the store, later batches fold in — the
     * streaming sink's per-trigger body
-    * ([[graft.streaming.StreamingSync.aggMaintSink]]). */
+    * ([[graft.streaming.StreamingSync.aggMaintSink]]). `batchTag`
+    * makes redelivery idempotent: foreachBatch is AT-LEAST-ONCE (a
+    * crash between the store commit and the streaming commit log
+    * re-runs the trigger), so the tag of the last applied batch rides
+    * the version commit atomically and an arriving batch whose tag
+    * matches the CURRENT version is a replay — skipped. Structured
+    * Streaming only ever redelivers the most recent uncommitted
+    * trigger, so one tag of history is exactly enough. */
   def bootstrapOrAppend(spark: SparkSession, path: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame, batchTag: Option[String] = None): Unit =
     if (SnapshotDir.current(spark, path, Prefix).isEmpty)
-      writeState(batch, path)
-    else appendDelta(spark, path, batch)
+      writeState(batch, path, batchTag)
+    else if (batchTag.isDefined && lastBatchTag(spark, path) == batchTag)
+      () // redelivery of the already-committed trigger
+    else appendDelta(spark, path, batch, batchTag)
+
+  /** The batch tag committed with the current version, if any. */
+  def lastBatchTag(spark: SparkSession, path: String): Option[String] =
+    readText(spark, s"${currentDir(spark, path)}/_batch_tag")
 
   /** Fold `delta` into the store as the next committed version — the
     * write-side twin of [[mergedView]] (same merge, then commit).
-    * Applying the same delta twice double-counts by design: exactly-
-    * once admission is the CALLER's contract, same as every append
-    * sink in this repo (checkpointed triggers or batch dedup keys). */
+    * Applying the same delta twice double-counts: callers either pass
+    * a `batchTag` through [[bootstrapOrAppend]] (replay-safe) or own
+    * the exactly-once contract themselves (batch dedup keys). */
   def appendDelta(spark: SparkSession, path: String,
-      delta: DataFrame): Unit = {
+      delta: DataFrame, batchTag: Option[String] = None): Unit = {
     SnapshotDir.withWriterLock(spark, path) {
       val cur = currentDir(spark, path)
       val merged = merge(spark.read.parquet(cur), partials(delta))
       val next = SnapshotDir.next(spark, path, Prefix)
       val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
       merged.write.mode(SaveMode.Overwrite).parquet(vdir)
+      batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
       SnapshotDir.commit(spark, path, Prefix, next)
     }
     SnapshotDir.gc(spark, path, Prefix)

@@ -389,21 +389,25 @@ object StreamingSync {
     * this keeps the rollup current): every micro-batch folds into the
     * persisted [[graft.sources.AggStore]] partials as a new committed
     * version. Per-trigger cost is O(|batch|) + a keys-sized merge;
-    * the maintained view is never recomputed from history. The
-    * checkpoint gives exactly-once admission per trigger — the
-    * at-most-once contract [[graft.sources.AggStore.appendDelta]]
-    * documents. */
+    * the maintained view is never recomputed from history.
+    * foreachBatch is AT-LEAST-ONCE (a crash between the store commit
+    * and the streaming commit log re-runs the trigger), so the
+    * batchId rides the version commit as its tag and a redelivered
+    * trigger is recognized and skipped — without it every key the
+    * replayed batch touches would silently double-count
+    * ([[graft.sources.AggStore.bootstrapOrAppend]]). */
   def aggMaintSink(source: DataFrame, storePath: String,
       checkpoint: String): StreamingQuery =
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.CacheRegistry.scoped {
             graft.sources.AggStore.bootstrapOrAppend(
-              batch.sparkSession, storePath, batch)
+              batch.sparkSession, storePath, batch,
+              batchTag = Some(batchId.toString))
           }
       }
       .start()

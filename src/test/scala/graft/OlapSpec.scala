@@ -316,6 +316,27 @@ class OlapSpec extends SparkSpec {
     assert(p("tag").getAs[String]("max_str") === "b")
   }
 
+  test("agg store: tagged redelivery is skipped, new tags fold in") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-spec3").toString
+    val base = eventsFx.filter($"event_id" % 3 =!= 0)
+    val delta = eventsFx.filter($"event_id" % 3 === 0)
+    AggStore.bootstrapOrAppend(spark, root, base, Some("0"))
+    AggStore.bootstrapOrAppend(spark, root, delta, Some("1"))
+    val after = normalized(AggStore.readState(spark, root)
+      .withColumn("total", $"total"))
+    assert(after === normalized(AggStore.partials(eventsFx)))
+    // foreachBatch redelivery: same batch, same tag — must be a no-op
+    AggStore.bootstrapOrAppend(spark, root, delta, Some("1"))
+    assert(normalized(AggStore.readState(spark, root)
+      .withColumn("total", $"total")) === after)
+    assert(AggStore.lastBatchTag(spark, root) === Some("1"))
+    // a genuinely new trigger with the same rows DOES fold in
+    AggStore.bootstrapOrAppend(spark, root, delta, Some("2"))
+    assert(normalized(AggStore.readState(spark, root)
+      .withColumn("total", $"total")) !== after)
+  }
+
   test("agg store: committed append equals the read-time merge") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec2").toString
