@@ -428,6 +428,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join: variant equi-join, never a nested loop") {
+    withStaticPlan {
+      val plan = run("x_fuzzy_join").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"symmetric-delete candidates must meet by " +
+        s"EQUI-join on the shared variant:\n$plan")
+      val equi = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(equi.nonEmpty && equi.forall(_.leftKeys.nonEmpty),
+        s"every join carries equi keys:\n$plan")
+    }
+  }
+
+  test("pit join: equi key + interval residual, never a range scan") {
+    withStaticPlan {
+      val plan = run("x_pit_join").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"the interval predicate must ride an equi join " +
+        s"as a residual, not a nested loop:\n$plan")
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.exists(j => j.leftKeys.nonEmpty &&
+        j.condition.isDefined),
+        s"expected key + residual condition:\n$plan")
+    }
+  }
+
   test("ivm merge never rescans history: stored partials + delta agg") {
     withStaticPlan {
       val df = run("x_ivm_daily")
