@@ -1344,6 +1344,13 @@ object ExtQueries {
       Temporal.sessionPaths(Tables.events(s, d), SessionGap,
         PathTopK)),
 
+    // MATCH_RECOGNIZE-lite: per-user session conversion (a view
+    // followed by a purchase within the same session), position
+    // arithmetic over the rendered paths — dialect-neutral, and the
+    // rate is an exact small-int IEEE division (no rounding step).
+    "x_path_conversion" -> ((s, d) =>
+      Temporal.pathConversion(Tables.events(s, d), SessionGap)),
+
     // Seasonal-naive forecast backtest: tomorrow = the value 7 days
     // earlier, via a calendar-shift equi self-join of the keys-sized
     // daily frame (a row LAG would mis-shift across gap days); LEFT
@@ -3726,6 +3733,31 @@ object ExtQueries {
          |        GROUP BY 1) cc)
          |SELECT path, n_sessions, rk FROM r WHERE rk <= $PathTopK"""
         .stripMargin,
+
+    "x_path_conversion" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL '$SessionGap'
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m),
+         |p AS (
+         |  SELECT user_id, sess,
+         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |  FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  sum(CASE WHEN instr(path, 'view') > 0
+         |    AND instr(path, 'purchase') > instr(path, 'view')
+         |    THEN 1 ELSE 0 END)::bigint AS n_converting,
+         |  cast(sum(CASE WHEN instr(path, 'view') > 0
+         |    AND instr(path, 'purchase') > instr(path, 'view')
+         |    THEN 1 ELSE 0 END) AS double) / count(*) AS conv_rate
+         |FROM p GROUP BY user_id""".stripMargin,
 
     "x_forecast_snaive" ->
       """WITH daily AS (

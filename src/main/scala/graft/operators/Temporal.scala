@@ -235,6 +235,21 @@ object Temporal {
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
       idCol: String = "event_id"): DataFrame = {
+    val paths = sessionPathRows(events, gap, userCol, tsCol, typeCol,
+      idCol)
+    val ranked = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= k)
+    ranked.select(col("path"), col("n_sessions"), col("rk"))
+  }
+
+  /** One row per (user, session) with the ordered `a>b>c` path — the
+    * shared base of [[sessionPaths]] and [[pathConversion]]. */
+  def sessionPathRows(events: DataFrame, gap: String,
+      userCol: String, tsCol: String, typeCol: String,
+      idCol: String): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol),
       col(idCol))
     val islanded = events
@@ -244,18 +259,37 @@ object Temporal {
             expr(s"INTERVAL $gap"), 1L).otherwise(0L))
       .withColumn("sess", sum(col("new_s")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val paths = islanded
+    islanded
       .groupBy(col(userCol), col("sess"))
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col(tsCol).as("t"),
           col(idCol).as("e"), col(typeCol).as("y")))),
         s => s.getField("y"))).as("path"))
-    val ranked = paths.groupBy(col("path"))
-      .agg(count(lit(1)).as("n_sessions"))
-      .withColumn("rk", row_number().over(Window.orderBy(
-        col("n_sessions").desc, col("path"))))
-      .filter(col("rk") <= k)
-    ranked.select(col("path"), col("n_sessions"), col("rk"))
+  }
+
+  /** Per-user session conversion — the MATCH_RECOGNIZE-lite pattern
+    * query over the path strings: a session CONVERTS when `fromType`
+    * occurs and `toType` occurs after it in the same session
+    * (position arithmetic on the rendered path — dialect-neutral, no
+    * regex). Output: sessions, converting sessions, and the exact
+    * IEEE ratio (small-int division — bit-identical across engines,
+    * no rounding step to diverge on). */
+  def pathConversion(events: DataFrame, gap: String = "4 hours",
+      fromType: String = "view", toType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val paths = sessionPathRows(events, gap, userCol, tsCol, typeCol,
+      idCol)
+    val from = instr(col("path"), fromType)
+    val to = instr(col("path"), toType)
+    paths
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(from > 0 && to > from, 1L).otherwise(0L))
+          .as("n_converting"))
+      .withColumn("conv_rate",
+        col("n_converting").cast("double") / col("n_sessions"))
   }
 
   /** Seasonal-naive forecast backtest — the baseline every real

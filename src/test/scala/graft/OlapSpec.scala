@@ -226,6 +226,30 @@ class OlapSpec extends SparkSpec {
   private def ev2(id: Long, t: String, user: Long, v: Double) =
     (id, java.sql.Timestamp.valueOf(t), user, v)
 
+  test("path conversion: order matters, per-session not per-event") {
+    import graft.operators.Temporal
+    val c = Temporal.pathConversion(eventsFx, "4 hours")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converting"),
+          r.getAs[Double]("conv_rate"))).toMap
+    // user1 sessions: view>view | click | view — no purchase at all
+    assert(c(1L) === ((3L, 0L, 0.0)))
+    // user2: purchase | view>click — purchase BEFORE any view in its
+    // session and the view session has no purchase: 0 conversions
+    assert(c(2L) === ((2L, 0L, 0.0)))
+    // crafted converting session: view then purchase within the gap
+    val conv = Seq(
+      ev(10, "2024-02-01 08:00:00", 5, "view", 1.0),
+      ev(11, "2024-02-01 09:00:00", 5, "purchase", 2.0),
+      ev(12, "2024-02-05 08:00:00", 5, "purchase", 3.0), // alone: no
+      ev(13, "2024-02-06 08:00:00", 5, "view", 4.0)) // alone: no
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c5 = Temporal.pathConversion(conv, "4 hours").collect().head
+    assert(c5.getAs[Long]("n_sessions") === 3L)
+    assert(c5.getAs[Long]("n_converting") === 1L)
+    assert(c5.getAs[Double]("conv_rate") === 1.0 / 3.0)
+  }
+
   test("table diff: added/removed/changed, unchanged rows dropped") {
     val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "tag", "v")
