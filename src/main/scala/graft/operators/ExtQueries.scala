@@ -66,6 +66,8 @@ object ExtQueries {
   val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
   val PathTopK = 20 // most frequent session paths kept
+  val SparseDfCap = 10 // prune terms present in > 1/10 of the corpus
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1343,6 +1345,20 @@ object ExtQueries {
     "x_session_paths" -> ((s, d) =>
       Temporal.sessionPaths(Tables.events(s, d), SessionGap,
         PathTopK)),
+
+    // Sparse cosine top-k through a df-pruned inverted index — the
+    // sparse complement to the dense ANN ladder: candidates only via
+    // shared postings (term equi-join), integer tf dots and norms
+    // (exact), bit-identical IEEE cosine on both engines.
+    "x_sparse_topk" -> ((s, d) =>
+      SparseSim.sparseCosineTopK(Tables.documents(s, d), TopK,
+        QueryMod, SparseDfCap)),
+
+    // Pairwise Pearson correlation from decimal-exact sufficient
+    // statistics in ONE scan (the corr() built-in streams doubles in
+    // arrival order — unusable under a hash oracle).
+    "x_corr_matrix" -> ((s, d) =>
+      Olap.corrMatrix(Tables.lineitem(s, d), CorrCols)),
 
     // MATCH_RECOGNIZE-lite: per-user session conversion (a view
     // followed by a purchase within the same session), position
@@ -3734,6 +3750,48 @@ object ExtQueries {
          |SELECT path, n_sessions, rk FROM r WHERE rk <= $PathTopK"""
         .stripMargin,
 
+    // identical integer postings → identical IEEE cosine op sequence
+    // (dot / (sqrt · sqrt)); df cap replicated relative to corpus size
+    "x_sparse_topk" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |post0 AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS term,
+         |    count(*)::bigint AS tf
+         |  FROM ws, unnest(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2 GROUP BY 1, 2),
+         |stats AS (SELECT term, count(*) AS df FROM post0 GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |post AS (
+         |  SELECT p.* FROM post0 p JOIN stats s USING (term), nn
+         |  WHERE s.df * $SparseDfCap <= nn.n),
+         |norms AS (
+         |  SELECT doc_id, sum(tf*tf)::bigint AS n2 FROM post
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS qid, b.doc_id AS nid,
+         |    sum(a.tf*b.tf)::bigint AS dot
+         |  FROM post a JOIN post b USING (term)
+         |  WHERE a.doc_id % $QueryMod = 0 AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.qid, p.nid, p.dot,
+         |    p.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+         |  FROM pairs p JOIN norms na ON na.doc_id = p.qid
+         |    JOIN norms nb ON nb.doc_id = p.nid),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, nid, rk, dot, cosine FROM r WHERE rk <= $TopK"""
+        .stripMargin,
+
+    // same five decimal-exact sufficient statistics, same closed-form
+    // double sequence
+    "x_corr_matrix" -> CorrOracleSql,
+
     "x_path_conversion" ->
       s"""WITH m AS (
          |  SELECT user_id, ts, event_id, event_type,
@@ -3927,6 +3985,33 @@ object ExtQueries {
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** The correlation-matrix oracle, generated from [[CorrCols]] with
+    * the exact decimal sufficient statistics and the same double
+    * closed form the Spark side computes. */
+  private lazy val CorrOracleSql: String = {
+    val cols = CorrCols
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => s"cast(sum(cast($c AS decimal(18,2))) AS double)" +
+        s" AS s_$c") ++
+      cols.map(c => s"cast(sum(cast($c * $c AS decimal(28,4)))" +
+        s" AS double) AS ss_$c") ++
+      pairs.map { case (a, b) =>
+        s"cast(sum(cast($a * $b AS decimal(28,4))) AS double)" +
+          s" AS sp_${a}_$b" } :+
+      "cast(count(*) AS double) AS n"
+    val selects = pairs.map { case (a, b) =>
+      s"SELECT '$a~$b' AS col_pair, " +
+        s"(n * sp_${a}_$b - s_$a * s_$b) / " +
+        s"(sqrt(n * ss_$a - s_$a * s_$a) * " +
+        s"sqrt(n * ss_$b - s_$b * s_$b)) AS corr_val FROM s"
+    }
+    s"WITH s AS (SELECT ${aggs.mkString(", ")} FROM lineitem) " +
+      selects.mkString(" UNION ALL ")
+  }
 
   /** SCD2 compaction CTEs (shared by the history oracle and the PIT
     * join oracle): change rows by (ts, event_id) order, half-open

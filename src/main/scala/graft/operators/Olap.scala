@@ -223,6 +223,42 @@ object Olap {
           col(s"n.$v").as(s"new_$v"))): _*)
   }
 
+  /** Pairwise Pearson correlation over numeric fact columns, exact
+    * where it matters: all five sufficient statistics (Σx, Σy, Σx²,
+    * Σy², Σxy) accumulate as DECIMALS (2dp inputs → 4dp products,
+    * exact), so the shuffle order can't move a bit; only the final
+    * closed-form `(nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·√(nΣy²−Σy²))` runs in
+    * doubles, as the identical IEEE op sequence on both engines
+    * (`corr()` built-ins stream in arrival order and differ per
+    * partitioning — unusable under a hash oracle). ONE scan computes
+    * every pair's statistics. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def s1(c: String) =
+      sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"s_$c")
+    def s2(c: String) =
+      sum((col(c) * col(c)).cast(DecimalType(28, 4))).cast("double")
+        .as(s"ss_$c")
+    val sxy = pairs.map { case (a, b) =>
+      sum((col(a) * col(b)).cast(DecimalType(28, 4))).cast("double")
+        .as(s"sp_${a}_$b")
+    }
+    val aggs = (cols.map(s1) ++ cols.map(s2) ++ sxy) :+
+      count(lit(1)).cast("double").as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val corrs = pairs.flatMap { case (a, b) =>
+      val num = col("n") * col(s"sp_${a}_$b") -
+        col(s"s_$a") * col(s"s_$b")
+      val den = sqrt(col("n") * col(s"ss_$a") -
+        col(s"s_$a") * col(s"s_$a")) *
+        sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+      Seq(lit(s"$a~$b"), num / den)
+    }
+    row.select(explode(map(corrs: _*)).as(Seq("col_pair", "corr_val")))
+  }
+
   /** Schema-driven column profiler: one long-format row per column
     * with row/null/distinct counts and min/max rendered as strings —
     * the first query anyone runs against an unknown table. ONE scan:

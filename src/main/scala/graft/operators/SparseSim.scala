@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse cosine similarity search — the inverted-index complement to
+  * the dense ANN ladder (`Similarity`): documents as sparse
+  * term-frequency vectors over word-bigram terms, candidate pairs
+  * generated ONLY through shared postings (an equi-join on the term),
+  * dot products accumulated per pair, cosine from exact integer
+  * norms. Candidate volume is Σ_t df_q(t)·df_c(t) — on a Zipf
+  * vocabulary far below n² once stop terms are pruned, which is what
+  * the df cap does (`dfCapRatio`: terms in more than that fraction of
+  * the corpus carry no discrimination and most of the join cost; on
+  * this synthetic corpus no bigram crosses the default cap, so the
+  * knob is exercised structurally, not numerically).
+  *
+  * Determinism contract: weights are integer term frequencies, so
+  * dots and squared norms are EXACT bigints, and the only floating
+  * math is `dot / (sqrt(na2) * sqrt(nb2))` — sqrt/mult/div are
+  * IEEE-correctly-rounded, so both engines produce bit-identical
+  * cosines from identical integers (an idf factor would put a
+  * transcendental `ln` into the weights, whose last-ulp behavior is
+  * libm-specific — production adds idf and drops the oracle
+  * bit-equality to a tolerance). */
+object SparseSim {
+
+  /** Per-(doc, term) integer term frequencies over word bigrams. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.plans.TextExpressions
+          .wordShingleOccurrences(col(textCol), 2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` cosine neighbors for every query doc (`doc_id % queryMod
+    * == 0`) against the whole corpus, through the pruned inverted
+    * index. */
+  def sparseCosineTopK(docs: DataFrame, k: Int, queryMod: Int,
+      dfCapRatio: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.count() // 1-row metadata probe (corpus size)
+    val post = CacheRegistry.tracked {
+      val p = postings(docs, idCol, textCol)
+      val df = p.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") * dfCapRatio <= n)
+        .select(col("term"))
+      p.join(df, Seq("term")) // stop-bigrams pruned
+    }
+    val norms = post.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val q = post.filter(col("doc_id") % queryMod === 0)
+      .select(col("term"), col("doc_id").as("qid"), col("tf").as("qtf"))
+    val pairs = q.join(post, Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).as("dot"))
+    val scored = pairs
+      .join(norms.select(col("doc_id").as("qid"), col("n2").as("qn2")),
+        Seq("qid"))
+      .join(norms.select(col("doc_id").as("nid"), col("n2").as("nn2")),
+        Seq("nid"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) *
+            sqrt(col("nn2").cast("double"))))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("dot"),
+        col("cosine"))
+  }
+}

@@ -250,6 +250,39 @@ class OlapSpec extends SparkSpec {
     assert(c5.getAs[Double]("conv_rate") === 1.0 / 3.0)
   }
 
+  test("sparse cosine: hand-checked dots, self excluded, df cap") {
+    import graft.operators.SparseSim
+    // doc 0 (query: id % 5 == 0) shares "a b" ×2 with doc 1 (×1) and
+    // nothing with doc 3; "x y" is in 3 of 4 docs → df-capped out at
+    // ratio 1 (df*1 <= 4 keeps everything; ratio 2: df=3 → 6 > 4 cut)
+    val docs = Seq(
+      (0L, "a b a b x y"), (1L, "a b c d x y"),
+      (3L, "p q r s x y"), (4L, "p q c d")).toDF("doc_id", "text")
+    val top = SparseSim.sparseCosineTopK(docs, k = 3, queryMod = 5,
+        dfCapRatio = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+        -> (r.getAs[Long]("dot"), r.getAs[Double]("cosine"))).toMap
+    // after the cap (x y: df 3 → cut), doc0 = {a b: 2, b a: 1,
+    // b x: 1} (n2 = 6); doc1 = {a b: 1, b c: 1, c d: 1, d x: 1}
+    // (n2 = 4); dot(0,1) = 2
+    assert(top((0L, 1L))._1 === 2L)
+    assert(top((0L, 1L))._2 === 2.0 / (math.sqrt(6.0) * math.sqrt(4.0)))
+    assert(!top.contains((0L, 3L))) // no shared surviving term
+    assert(!top.contains((0L, 0L))) // self excluded
+  }
+
+  test("corr matrix: exact +1/-1 on crafted linear columns") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (5.0, 10.0, -5.0)).toDF("x", "y", "z")
+    val m = Olap.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => r.getAs[String]("col_pair") ->
+        r.getAs[Double]("corr_val")).toMap
+    assert(m("x~y") === 1.0) // y = 2x: algebra cancels exactly
+    assert(m("x~z") === -1.0) // z = -x
+    assert(m("y~z") === -1.0)
+    assert(m.size === 3)
+  }
+
   test("table diff: added/removed/changed, unchanged rows dropped") {
     val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "tag", "v")
