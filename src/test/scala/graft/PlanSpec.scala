@@ -465,6 +465,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sparse cosine: postings meet by term equi-join off the cache") {
+    withStaticPlan {
+      val plan = run("x_sparse_topk").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"candidates only via shared postings:\n$plan")
+      // the pruned posting relation is cached and read from multiple
+      // branches (norms, query side, corpus side) — without the cache
+      // every branch re-runs the corpus shingle explode
+      assert(plan.collect {
+        case m: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => m
+      }.nonEmpty, s"postings must serve from the tracked cache:\n$plan")
+    }
+  }
+
   test("ivm merge never rescans history: stored partials + delta agg") {
     withStaticPlan {
       val df = run("x_ivm_daily")
