@@ -286,4 +286,134 @@ class PropertySpec extends SparkSpec {
     assert((after & small.toSet).subsetOf(before))
     assert(after.nonEmpty && before.nonEmpty)
   }
+
+  /** Random event log: (user, ts unique per user, type). */
+  private def randomEvents(n: Int, seed: Long) = {
+    val rows = sample(for {
+      user <- Gen.chooseNum(1L, 12L)
+      off <- Gen.chooseNum(0L, 2000000L)
+      typ <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(1, 9999)
+    } yield (user, off, typ, v / 100.0), n, seed)
+      .zipWithIndex
+      .map { case ((u, off, t, v), i) =>
+        // distinct ts per (user): fold the index into the offset
+        (i.toLong, new java.sql.Timestamp(1700000000000L + off * 1000L
+          + i), u, t, v)
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("scd2 invariants: contiguous half-open chain, one current, PIT identity") {
+    import graft.operators.{Olap, Temporal}
+    val ev = randomEvents(500, seed = 41L)
+    val dim = Olap.scd2History(ev).cache()
+    // (a) per user the intervals chain: valid_to(i) == valid_from(i+1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from")
+    val broken = dim
+      .withColumn("next_from", lead($"valid_from", 1).over(w))
+      .filter($"next_from".isNotNull && !($"valid_to" <=> $"next_from"))
+    assert(broken.count() === 0)
+    // (b) exactly one open (is_current) row per user
+    val multi = dim.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("open"))
+      .filter($"open" =!= 1)
+    assert(multi.count() === 0)
+    // (c) PIT lookup at each event's OWN ts returns that event's type
+    // (the event itself updated the dimension at ts) — the identity
+    // that pins both interval boundaries at once
+    val pit = Temporal.pitJoin(
+      ev.select($"event_id", $"user_id", $"ts", $"event_type"), dim,
+      "user_id", "ts",
+      Seq("event_id", "user_id", "ts", "event_type"), "event_type",
+      "attr")
+    assert(pit.filter(!($"attr" <=> $"event_type")).count() === 0)
+    dim.unpersist()
+  }
+
+  test("table diff reconstructs: old patched with the diff equals new") {
+    import graft.operators.Olap
+    val ids = sample(Gen.chooseNum(1L, 300L), 250, seed = 43L).distinct
+    def tbl(xs: Seq[Long], salt: Long) = xs
+      .map(i => (i, (i * 7 + salt) % 13))
+      .toDF("k", "v")
+    val oldT = tbl(ids.take(160), 0)
+    val newT = tbl(ids.drop(40), 5) // overlap changed, head removed,
+    val diff = Olap.tableDiff(oldT, newT, Seq("k"), Seq("v")) // tail added
+    // patch: drop removed+changed keys from old, add new values
+    val dropKeys = diff.filter($"change_kind".isin("removed", "changed"))
+      .select($"k")
+    val addRows = diff.filter($"change_kind".isin("added", "changed"))
+      .select($"k", $"new_v".as("v"))
+    val patched = oldT.join(dropKeys, Seq("k"), "left_anti")
+      .unionByName(addRows)
+    assert(patched.exceptAll(newT).count() === 0)
+    assert(newT.exceptAll(patched).count() === 0)
+  }
+
+  test("gap fill: dense per-user runs, observed days exact, fills carry") {
+    import graft.operators.Olap
+    val ev = randomEvents(400, seed = 47L)
+    val filled = Olap.gapFillLocf(ev).cache()
+    // spine is dense: per user, count(days) == max-min+1 and distinct
+    val span = filled.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"day").as("nd"),
+        (datediff(max($"day"), min($"day")) + 1).as("want"))
+      .filter($"n" =!= $"want" || $"nd" =!= $"want")
+    assert(span.count() === 0)
+    // non-gap rows reproduce the daily aggregate exactly
+    val daily = ev.groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double")
+        .as("day_total"))
+    val obs = filled.filter(!$"is_gap")
+      .select($"user_id", $"day", $"filled_total".as("day_total"))
+    assert(obs.exceptAll(daily).count() === 0)
+    assert(daily.exceptAll(obs).count() === 0)
+    filled.unpersist()
+  }
+
+  test("agg-store partials merge associatively over any 3-way split") {
+    import graft.sources.AggStore
+    val ev = randomEvents(600, seed = 53L).cache()
+    val p1 = ev.filter($"event_id" % 3 === 0)
+    val p2 = ev.filter($"event_id" % 3 === 1)
+    val p3 = ev.filter($"event_id" % 3 === 2)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"day".cast("string"), $"event_type", $"cnt",
+        $"total".cast("decimal(18,2)").cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+    // (p1 ⊕ p2) ⊕ p3 == p1 ⊕ (p2 ⊕ p3) == full — via the store
+    val root = java.nio.file.Files
+      .createTempDirectory("agg-prop").toString
+    AggStore.writeState(p1, s"$root/a")
+    AggStore.appendDelta(spark, s"$root/a", p2)
+    AggStore.appendDelta(spark, s"$root/a", p3)
+    AggStore.writeState(p2, s"$root/b")
+    AggStore.appendDelta(spark, s"$root/b", p3)
+    AggStore.appendDelta(spark, s"$root/b", p1)
+    val full = norm(AggStore.partials(ev))
+    assert(norm(AggStore.readState(spark, s"$root/a")) === full)
+    assert(norm(AggStore.readState(spark, s"$root/b")) === full)
+    ev.unpersist()
+  }
+
+  test("fuzzy pairs equal brute force on arbitrary short strings") {
+    import graft.operators.FuzzyJoin
+    val words = sample(for {
+      len <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString, 120, seed = 59L).distinct
+    val df = words.toDF("s")
+    val got = FuzzyJoin.editDistancePairs(df, "s", 2)
+      .select($"s_a", $"s_b").as[(String, String)].collect().toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.s" < $"b.s" && levenshtein($"a.s", $"b.s") <= 2)
+      .select($"a.s", $"b.s").as[(String, String)].collect().toSet
+    // 3-letter alphabet + short strings = dense edit space: the
+    // symmetric-delete filter must reproduce brute force EXACTLY
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
 }
