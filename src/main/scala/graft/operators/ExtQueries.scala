@@ -1346,6 +1346,17 @@ object ExtQueries {
       Temporal.sessionPaths(Tables.events(s, d), SessionGap,
         PathTopK)),
 
+    // Running balance per user: keys-sized daily aggregate + a
+    // decimal window prefix sum (order-independent bit-for-bit; a
+    // double running sum would drift).
+    "x_running_total" -> ((s, d) =>
+      Temporal.runningTotals(Tables.events(s, d))),
+
+    // Time-weighted average per user: integer-microsecond holding
+    // durations × decimal values, one IEEE division at the end.
+    "x_twap" -> ((s, d) =>
+      Temporal.timeWeightedAvg(Tables.events(s, d))),
+
     // Sparse cosine top-k through a df-pruned inverted index — the
     // sparse complement to the dense ANN ladder: candidates only via
     // shared postings (term equi-join), integer tf dots and norms
@@ -3749,6 +3760,34 @@ object ExtQueries {
          |        GROUP BY 1) cc)
          |SELECT path, n_sessions, rk FROM r WHERE rk <= $PathTopK"""
         .stripMargin,
+
+    // decimal prefix sums over the same (user, day) order — exact on
+    // both sides
+    "x_running_total" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(ts AS date) AS day,
+        |    sum(cast(value AS decimal(18,2))) AS dtot
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, cast(dtot AS double) AS day_total,
+        |  cast(sum(dtot) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS double) AS running_total
+        |FROM daily""".stripMargin,
+
+    // same integer-microsecond durations and decimal products; the
+    // single division is the same IEEE op
+    "x_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT user_id, sum(dur_us)::bigint AS total_dur_us,
+        |  round(cast(sum(cast(cast(value AS decimal(18,2)) * dur_us
+        |      AS decimal(38,2))) AS double) /
+        |    cast(sum(dur_us) AS double), 6) AS twap
+        |FROM d WHERE dur_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
 
     // identical integer postings → identical IEEE cosine op sequence
     // (dot / (sqrt · sqrt)); df cap replicated relative to corpus size

@@ -316,6 +316,55 @@ object Temporal {
           abs(col("actual") - col("forecast"))).as("abs_err"))
   }
 
+  /** Per-key cumulative daily totals — the running-balance view every
+    * ledger needs: one keys-sized daily aggregate, then a running
+    * window sum OVER DECIMALS (each prefix is an exact decimal sum,
+    * so the running value is order-independent bit-for-bit; a double
+    * running sum would drift). The window shares the aggregate's
+    * user_id partitioning. */
+  def runningTotals(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("dtot"))
+    val run = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col(userCol), col("day"),
+      col("dtot").cast("double").as("day_total"),
+      sum(col("dtot")).over(run).cast("double").as("running_total"))
+  }
+
+  /** Time-weighted average value per key (TWAP): each observation's
+    * value holds until the next one, weighted by that holding
+    * duration. Exact arithmetic end-to-end: durations are integer
+    * MICROSECONDS, value×duration products are exact decimals, and
+    * the one floating step — weighted-sum / total-duration — is the
+    * identical IEEE division on both engines. The last observation
+    * has no holding interval and is excluded (standard TWAP over a
+    * closed window). One user-keyed shuffle: the lead() and the
+    * aggregate share the partitioning. */
+  def timeWeightedAvg(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol),
+      col(idCol))
+    events
+      .withColumn("dur_us",
+        unix_micros(lead(col(tsCol), 1).over(w)) -
+          unix_micros(col(tsCol)))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col(userCol))
+      .agg(sum(col("dur_us")).as("total_dur_us"),
+        // the weighted sum exceeds double's 53-bit exact range, and a
+        // >2^53 decimal→double conversion is single-rounded in Spark
+        // but divide-after-convert (double-rounded) in value engines —
+        // round the final quotient to 6dp, where both agree (no .5
+        // tie can survive the division)
+        round(sum((col(valueCol).cast(DecimalType(18, 2)) *
+            col("dur_us")).cast(DecimalType(38, 2))).cast("double") /
+          sum(col("dur_us")).cast("double"), 6).as("twap"))
+  }
+
   /** Point-in-time (PIT) join: each fact row picks up the dimension
     * attribute in effect AT ITS TIMESTAMP from an SCD2 history —
     * half-open intervals `[valid_from, valid_to)`, NULL `valid_to` =

@@ -283,6 +283,29 @@ class OlapSpec extends SparkSpec {
     assert(m.size === 3)
   }
 
+  test("running totals: exact decimal prefix per user") {
+    import graft.operators.Temporal
+    val r = Temporal.runningTotals(eventsFx)
+      .filter($"user_id" === 1L).orderBy("day").collect()
+      .map(x => (x.getAs[Double]("day_total"),
+        x.getAs[Double]("running_total")))
+    // user 1 daily: 3.0 (1+2), 3.0, 4.0 → running 3, 6, 10
+    assert(r.toSeq === Seq((3.0, 3.0), (3.0, 6.0), (4.0, 10.0)))
+  }
+
+  test("twap: duration-weighted holding values, last point excluded") {
+    import graft.operators.Temporal
+    // value 10 held 1h, then 20 held 3h → twap = (10·1 + 20·3)/4
+    val ev = Seq(
+      ev(1, "2024-01-01 00:00:00", 7, "view", 10.0),
+      ev(2, "2024-01-01 01:00:00", 7, "view", 20.0),
+      ev(3, "2024-01-01 04:00:00", 7, "view", 99.0)) // open: excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t = Temporal.timeWeightedAvg(ev).collect().head
+    assert(t.getAs[Long]("total_dur_us") === 4L * 3600L * 1000000L)
+    assert(t.getAs[Double]("twap") === 17.5)
+  }
+
   test("table diff: added/removed/changed, unchanged rows dropped") {
     val oldT = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "tag", "v")
