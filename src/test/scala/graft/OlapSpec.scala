@@ -296,12 +296,12 @@ class OlapSpec extends SparkSpec {
   test("twap: duration-weighted holding values, last point excluded") {
     import graft.operators.Temporal
     // value 10 held 1h, then 20 held 3h → twap = (10·1 + 20·3)/4
-    val ev = Seq(
+    val held = Seq(
       ev(1, "2024-01-01 00:00:00", 7, "view", 10.0),
       ev(2, "2024-01-01 01:00:00", 7, "view", 20.0),
       ev(3, "2024-01-01 04:00:00", 7, "view", 99.0)) // open: excluded
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val t = Temporal.timeWeightedAvg(ev).collect().head
+    val t = Temporal.timeWeightedAvg(held).collect().head
     assert(t.getAs[Long]("total_dur_us") === 4L * 3600L * 1000000L)
     assert(t.getAs[Double]("twap") === 17.5)
   }
