@@ -67,6 +67,7 @@ object ExtQueries {
     "o_totalprice", "o_orderdate", "o_orderpriority")
   val PathTopK = 20 // most frequent session paths kept
   val SparseDfCap = 10 // prune terms present in > 1/10 of the corpus
+  val DeleteMod = 10; val DeleteRem = 3 // vec_id % 10 == 3 deleted
   val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -103,6 +104,10 @@ object ExtQueries {
   private[graft] def ivfPqWorkPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ivfpq-work-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def ivfPqDelWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-del-${Integer.toHexString(d.hashCode)}").toString
 
   /** Build (or confirm warm) the two persisted ANN indexes the serving
     * queries read: the full-corpus index (`x_ann_ivfpq_read`) and the
@@ -721,6 +726,26 @@ object ExtQueries {
       graft.sources.VectorIndexStore.cloneIndex(s, ivfPqBasePath(d), work)
       graft.sources.VectorIndexStore.appendIvfPq(s, work, batch,
         m = PqSubspaces, dim = EmbeddingDim)
+      graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, work,
+        e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+        nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim)
+    }),
+
+    // Index DELETES served correctly: clone the warm full index,
+    // tombstone 10% of the vectors (no list rewrite at delete time),
+    // and serve — the shaded ids must vanish from every top-k while
+    // ranks re-close over the survivors. Completes the serving
+    // lifecycle: build, append, compact, and now remove.
+    "x_ann_delete" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sources.VectorIndexStore.ensureIvfPq(e, ivfPqIndexPath(d),
+        ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+        m = PqSubspaces, dim = EmbeddingDim)
+      val work = ivfPqDelWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, ivfPqIndexPath(d),
+        work)
+      graft.sources.VectorIndexStore.deleteIvfPq(s, work,
+        e.filter(col("vec_id") % DeleteMod === DeleteRem))
       graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, work,
         e.filter(col("vec_id") % QueryMod === 0), e, TopK,
         nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim)
@@ -1839,7 +1864,7 @@ object ExtQueries {
     * round-trip parquet exactly) and `x_knn_ann_label` (majority vote
     * over the same ranked top-k). */
   private def ivfPqRankedCtes(centSample: String,
-      cbSample: String): String = {
+      cbSample: String, encFilter: String = ""): String = {
       val mm = PqSubspaces
       val qPiv = (0 until mm).map(j =>
         s"sum(CASE WHEN l.j = $j THEN l.qdot END) AS q$j")
@@ -1931,7 +1956,7 @@ object ExtQueries {
          |    AND e.code = cr.code
          |  JOIN lut l ON p.query_id = l.query_id AND e.j = l.j
          |    AND e.code = l.code
-         |  WHERE p.query_id <> e.match_id
+         |  WHERE p.query_id <> e.match_id$encFilter
          |  GROUP BY p.query_id, e.match_id),
          |scored AS (
          |  SELECT query_id, match_id,
@@ -1956,6 +1981,13 @@ object ExtQueries {
   }
 
   private val IvfPqRankedCtes: String = ivfPqRankedCtes("", "")
+
+  /** The delete scenario: the index was built over the FULL corpus
+    * (samples unrestricted), then the tombstoned ids vanish from the
+    * CANDIDATE side only — queries and the exact re-rank corpus are
+    * untouched. */
+  private val IvfPqDeleteRankedCtes: String = ivfPqRankedCtes("", "",
+    s" AND e.match_id % $DeleteMod <> $DeleteRem")
 
   /** The append scenario: centroid and codebook SAMPLES come only from
     * the base corpus (the holdout batch arrived after the build and was
@@ -3024,6 +3056,14 @@ object ExtQueries {
     // majority vote (votes desc, label asc) + own-label agreement over
     // the ivfpq approximate top-k instead of the exact brute-force one
     "x_knn_ann_label" -> KnnAnnOracle,
+
+    // the delete scenario: full-corpus samples, tombstoned ids gone
+    // from the candidate side, ranks re-closed over survivors
+    "x_ann_delete" ->
+      s"""WITH $IvfPqDeleteRankedCtes,
+         |topk AS (SELECT query_id, match_id, cos, rank FROM ranked
+         |         WHERE rank <= $TopK)
+         |SELECT query_id, match_id, cos, rank FROM topk""".stripMargin,
 
     // the append scenario replays with base-corpus-restricted samples
     "x_ann_ivfpq_append" ->

@@ -121,8 +121,44 @@ object VectorIndexStore {
         DataType.fromJson(json).asInstanceOf[StructType])
       case None => spark.read
     }
-    reader.parquet(cur)
+    val codes = reader.parquet(cur)
+    // tombstones (deleteIvfPq) shade their ids out of every consumer —
+    // probes AND compaction, so compacting materializes the filtered
+    // view and physically drops the rows. The tombstone relation is
+    // deletes-sized (broadcast anti-join); the codes scan and its
+    // partition pruning are untouched.
+    val tombs = s"$cur/$TombstoneDir"
+    val (fsys, _) = fsOf(spark, tombs)
+    if (fsys.exists(new org.apache.hadoop.fs.Path(tombs)))
+      codes.join(
+        org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(tombs)),
+        Seq("match_id"), "left_anti")
+    else codes
   }
+
+  private val TombstoneDir = "_tombstones"
+
+  /** Delete vectors from the served index by TOMBSTONE: the ids land
+    * as a deletes-sized parquet inside the CURRENT codes version, and
+    * [[readCodes]] shades them from every consumer immediately — no
+    * list partition is rewritten at delete time (the codes table is
+    * append-only between compactions). The next [[compactIvfPq]]
+    * reads the shaded view, so the rewrite physically drops the rows
+    * and the new version carries no tombstones.
+    *
+    * Contract: a tombstone shades its id REGARDLESS of append time —
+    * re-inserting a deleted id resurfaces it only after a compaction
+    * has absorbed the tombstone (spec-pinned). Runs under the writer
+    * lock: a delete racing a compaction must not land its tombstones
+    * in a version the compaction is about to replace unshaded. */
+  def deleteIvfPq(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    SnapshotDir.withWriterLock(spark, path) {
+      ids.select(col(idCol).cast("long").as("match_id")).distinct()
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(s"${currentCodesPath(spark, path)}/$TombstoneDir")
+    }
 
   /** Build the deterministic residual-IVFPQ index over `corpus` and
     * persist it under `path` as one committed version directory:

@@ -1414,6 +1414,39 @@ class ExtSpec extends SparkSpec {
     assert(serve().sameElements(before))
   }
 
+  test("ivfpq deletes: shade immediately, compact drops physically, re-insert shadowed until compact") {
+    import graft.sources.VectorIndexStore
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-del").toString
+    VectorIndexStore.writeIvfPq(e, path)
+    val q = e.filter($"vec_id" % 50 === 0)
+    def served() = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .select($"match_id").as[Long].collect().toSet
+    val victims = served().take(3) // ids that DO appear in results
+    assert(victims.nonEmpty)
+    VectorIndexStore.deleteIvfPq(spark, path,
+      victims.toSeq.toDF("vec_id"))
+    // shade is immediate — no compaction yet, no list rewritten
+    val afterDelete = served()
+    assert((afterDelete & victims).isEmpty)
+    // re-inserting a deleted id stays SHADOWED until a compaction
+    // absorbs the tombstone (the documented contract)
+    val reinsert = e.filter($"vec_id".isin(victims.toSeq: _*))
+    VectorIndexStore.appendIvfPq(spark, path, reinsert)
+    assert((served() & victims).isEmpty)
+    // compaction materializes the shaded view: rows physically gone,
+    // no tombstone dir in the new version...
+    VectorIndexStore.compactIvfPq(spark, path)
+    val cur = VectorIndexStore.currentCodesPath(spark, path)
+    assert(!new java.io.File(s"$cur/_tombstones").exists)
+    assert((served() & victims).isEmpty)
+    // ...and a post-compaction re-insert genuinely resurfaces
+    VectorIndexStore.appendIvfPq(spark, path, reinsert)
+    assert((served() & victims).nonEmpty)
+  }
+
   test("salted codes write bounds files per list, results and schema unchanged") {
     val e = Tables.embeddings(spark, sf0001)
     val plain = java.nio.file.Files
