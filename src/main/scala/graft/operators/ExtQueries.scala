@@ -848,6 +848,12 @@ object ExtQueries {
         .select(col("media_id"), col("n_frames"), col("frame_idx"),
           md5(col("frame")).as("frame_fp"))),
 
+    // Batched PCM16LE DSP features over the audio rows — the audio
+    // half of the decode pipeline: exact integer energy/peak/frame
+    // counts from the closed-form fixture wave.
+    "x_media_audio" -> ((s, d) =>
+      Multimodal.audioFeatures(Multimodal.mediaTable(s, d)).toDF()),
+
     "x_stream_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
@@ -2689,6 +2695,21 @@ object ExtQueries {
         |SELECT media_id, n_frames, frame_idx::int AS frame_idx,
         |  md5(substring(text, frame_idx::int * 64 + 1, 16)) AS frame_fp
         |FROM f""".stripMargin,
+
+    // replays the fixture wave arithmetically: sample(i) =
+    // (id·31 + i·7) mod 2001 − 1000 over 256 + id % 256 samples
+    "x_media_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, (256 + doc_id % 256)::int AS n
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id AS media_id, n AS n_samples,
+        |  ((n + 63) // 64)::int AS n_frames,
+        |  list_sum(list_transform(range(0, n),
+        |    i -> ((doc_id*31 + i*7) % 2001 - 1000)
+        |       * ((doc_id*31 + i*7) % 2001 - 1000)))::bigint AS sum_sq,
+        |  list_max(list_transform(range(0, n),
+        |    i -> abs((doc_id*31 + i*7) % 2001 - 1000)))::int AS peak
+        |FROM a""".stripMargin,
 
     // mirrors Multimodal.imageNearDupPairs: same pattern+dupe fixture
     // and aHash arithmetic; the banding is exact at hamming ≤ 3, so

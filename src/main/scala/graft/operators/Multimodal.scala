@@ -129,6 +129,25 @@ object Multimodal {
     }
   }
 
+  /** Deterministic audio fixture: `256 + id % 256` PCM16 samples,
+    * sample(i) = ((id·31 + i·7) mod 2001) − 1000 — an integer wave an
+    * external oracle replays arithmetically. */
+  def audioSampleCount(id: Long): Int = (256 + id % 256).toInt
+  def pcmSampleAt(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 2001) - 1000).toInt
+  private def pcmBody(id: Long): Array[Byte] = {
+    val n = audioSampleCount(id)
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcmSampleAt(id, i)
+      out(i * 2) = (s & 0xFF).toByte // little-endian int16
+      out(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Fixture dims, derived from doc_id so an external oracle predicts
     * them arithmetically: width 16 + id % 48, height 16 + id % 32.
     * Small on purpose — pixel count is pure FIXTURE cost (a stand-in for
@@ -150,12 +169,17 @@ object Multimodal {
       .mapPartitions(_.map { case (id, text) =>
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val (w, h) = fixtureDims(id)
+        val header = Array[Byte]((w >> 8).toByte, w.toByte,
+          (h >> 8).toByte, h.toByte)
         val payload =
           if (kind == "image")
             ImageCodec.encodeGrayPng(w, h, (id % 256).toInt)
+          else if (kind == "audio")
+            // REAL PCM16LE body from the closed-form wave, so the DSP
+            // features are oracle-predictable without an audio lib
+            header ++ pcmBody(id)
           else
-            Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
-              text.getBytes("UTF-8")
+            header ++ text.getBytes("UTF-8")
         MediaRow(id, kind, payload)
       }).toDF()
   }
@@ -425,4 +449,44 @@ object Multimodal {
           s"transform(sequence(0, cast((n_frames - 1) / $stride AS int)), " +
             s"i -> substring(body, i * $frameBytes * $stride + 1, " +
             s"$frameBytes))")).as(Seq("frame_idx", "frame")))
+
+  final case class AudioFeatures(media_id: Long, n_samples: Int,
+    n_frames: Int, sum_sq: Long, peak: Int)
+
+  /** Batched PCM16LE feature extraction over the audio rows — the DSP
+    * half of the decode pipeline (the image half is
+    * [[extractFeatures]]): per clip, the sample count, fixed-width
+    * frame count, total energy, and peak amplitude. All INTEGER
+    * arithmetic (energy is an exact bigint sum of squares), so the
+    * fixture's closed-form wave makes every feature oracle-replayable
+    * without an audio library on the oracle side. Same
+    * `mapPartitions`-in-batches shape as the image decode — a real
+    * codec would hold one decode context per batch. */
+  def audioFeatures(media: DataFrame, frameSamples: Int = 64,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val pcm = r.payload.drop(4)
+            val n = pcm.length / 2
+            var i = 0; var sumSq = 0L; var peak = 0
+            while (i < n) {
+              val s = ((pcm(i * 2) & 0xFF) |
+                (pcm(i * 2 + 1) << 8)).toShort.toInt
+              sumSq += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioFeatures(r.media_id, n,
+              (n + frameSamples - 1) / frameSamples, sumSq, peak)
+          }
+        }
+      }
+  }
 }

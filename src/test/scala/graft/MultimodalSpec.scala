@@ -159,4 +159,24 @@ class MultimodalSpec extends SparkSpec {
     } yield (ia, ib, ham(ba, bb))).toSet
     assert(pairs.toSet === brute)
   }
+
+  test("audio features: LE int16 round-trip and exact integer DSP") {
+    // id 7 is an audio row (7 % 3 == 1); recompute every feature from
+    // the closed-form wave on the driver and compare bit-for-bit
+    val id = 7L
+    val n = Multimodal.audioSampleCount(id)
+    val samples = (0 until n).map(Multimodal.pcmSampleAt(id, _))
+    val f = Multimodal.audioFeatures(media)
+      .filter($"media_id" === id).collect().head
+    assert(f.n_samples === n)
+    assert(f.n_frames === (n + 63) / 64)
+    assert(f.sum_sq === samples.map(s => s.toLong * s).sum)
+    assert(f.peak === samples.map(math.abs).max)
+    // the wave exercises BOTH int16 sign branches (negatives decode
+    // through the little-endian high byte)
+    assert(samples.min < 0 && samples.max > 0)
+    // every audio row decodes (one output row per input)
+    assert(Multimodal.audioFeatures(media).count() ===
+      media.filter($"kind" === "audio").count())
+  }
 }
