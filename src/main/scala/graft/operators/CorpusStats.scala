@@ -282,8 +282,12 @@ object CorpusStats {
     // independent of mixtureSample's membership hash)
     val u = (Dedup.seededHash(col(idCol).cast("string"), 2)
       .cast("double") + 1.0) / lit(1152921504606846976.0)
+    // + 0.0 canonicalizes the signed zero: a u within one ulp of 1.0
+    // yields a tiny negative priority that rounds to ZERO, which
+    // Spark's round renders +0.0 but value engines keep as -0.0
+    // (IEEE: -0.0 + 0.0 = +0.0 — both sides apply it)
     topKPerGroup(docs.filter(weight.cast("double") > 0), k, groupCol,
-      round(log(u) / weight.cast("double"), 6), idCol)
+      round(log(u) / weight.cast("double"), 6) + lit(0.0), idCol)
   }
 
   /** Top-k collocations by pointwise mutual information: bigrams whose

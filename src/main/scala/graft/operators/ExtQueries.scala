@@ -3257,7 +3257,7 @@ object ExtQueries {
          |  SELECT source, doc_id,
          |    round(ln((('0x' || substr(md5(doc_id::varchar || '#1'),
          |        1, 15))::bigint + 1) / 1152921504606846976.0)
-         |      / n_chars, 6) AS score
+         |      / n_chars, 6) + 0.0 AS score
          |  FROM documents WHERE n_chars > 0)
          |SELECT source, doc_id, score, rank FROM (
          |  SELECT source, doc_id, score, row_number() OVER (
@@ -4105,9 +4105,9 @@ object ExtQueries {
       "cast(count(*) AS double) AS n"
     val selects = pairs.map { case (a, b) =>
       s"SELECT '$a~$b' AS col_pair, " +
-        s"(n * sp_${a}_$b - s_$a * s_$b) / " +
+        s"round((n * sp_${a}_$b - s_$a * s_$b) / " +
         s"(sqrt(n * ss_$a - s_$a * s_$a) * " +
-        s"sqrt(n * ss_$b - s_$b * s_$b)) AS corr_val FROM s"
+        s"sqrt(n * ss_$b - s_$b * s_$b)), 6) AS corr_val FROM s"
     }
     s"WITH s AS (SELECT ${aggs.mkString(", ")} FROM lineitem) " +
       selects.mkString(" UNION ALL ")

@@ -254,7 +254,12 @@ object Olap {
       val den = sqrt(col("n") * col(s"ss_$a") -
         col(s"s_$a") * col(s"s_$a")) *
         sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
-      Seq(lit(s"$a~$b"), num / den)
+      // round the quotient to 6dp: once a sufficient statistic
+      // exceeds 2^53 scaled units, Spark's decimal→double
+      // (single-rounded) and a value engine's int128→double-then-
+      // divide (double-rounded) drift in the last ulp — the same
+      // >53-bit hazard timeWeightedAvg documents
+      Seq(lit(s"$a~$b"), round(num / den, 6))
     }
     row.select(explode(map(corrs: _*)).as(Seq("col_pair", "corr_val")))
   }

@@ -132,7 +132,12 @@ object VectorIndexStore {
     if (fsys.exists(new org.apache.hadoop.fs.Path(tombs)))
       codes.join(
         org.apache.spark.sql.functions.broadcast(
-          spark.read.parquet(tombs)),
+          // declared schema, never inferred: a probe racing the FIRST
+          // deleteIvfPq can see the dir exist before any part file
+          // commits — inference would throw; the declared schema
+          // reads the partial dir as an empty relation (probes take
+          // no lock by design)
+          spark.read.schema("match_id LONG").parquet(tombs)),
         Seq("match_id"), "left_anti")
     else codes
   }
