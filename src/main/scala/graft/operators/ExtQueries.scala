@@ -68,6 +68,7 @@ object ExtQueries {
   val PathTopK = 20 // most frequent session paths kept
   val SparseDfCap = 10 // prune terms present in > 1/10 of the corpus
   val DeleteMod = 10; val DeleteRem = 3 // vec_id % 10 == 3 deleted
+  val Scd2Cutoff = "2024-01-24 00:00:00" // base | delta time split
   val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
@@ -273,6 +274,10 @@ object ExtQueries {
   private[graft] def aggStorePath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-aggstore-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def scd2StorePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-scd2store-${Integer.toHexString(d.hashCode)}").toString
 
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -1415,6 +1420,23 @@ object ExtQueries {
     // keeps the warm-up week with NULL forecasts.
     "x_forecast_snaive" -> ((s, d) =>
       Temporal.seasonalNaiveBacktest(Tables.events(s, d))),
+
+    // SCD2 dimension MAINTENANCE — MERGE INTO, not recompute: the
+    // compacted history of the first ~3 weeks persists (Scd2Store),
+    // and the last week's change events fold in at read time —
+    // close-open-row + append-batch-changes, history never
+    // recompacted; a batch opening with the key's current value
+    // extends the open interval (cross-boundary dup collapse).
+    // Equals the full recompute, so it shares x_scd2_history's
+    // oracle shape over ALL events.
+    "x_scd2_store" -> ((s, d) => {
+      val cutoff = lit(Scd2Cutoff).cast("timestamp")
+      val base = Tables.events(s, d).filter(col("ts") < cutoff)
+      val delta = Tables.events(s, d).filter(col("ts") >= cutoff)
+      graft.sources.Scd2Store.ensureState(base, scd2StorePath(d),
+        baseTag = s"cutoff=$Scd2Cutoff")
+      graft.sources.Scd2Store.mergedView(s, scd2StorePath(d), delta)
+    }),
 
     // Point-in-time lookup against the SCD2 dimension: the attribute
     // in effect at each event's DAY START (not its own timestamp —
@@ -3930,6 +3952,13 @@ object ExtQueries {
         |    THEN abs(d.actual - s.forecast) END AS abs_err
         |FROM daily d LEFT JOIN sh s
         |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
+
+    // incremental merge ≡ the full recompute (same Scd2Ctes)
+    "x_scd2_store" ->
+      s"""WITH $Scd2Ctes
+         |SELECT user_id, event_type, valid_from, valid_to,
+         |  valid_to IS NULL AS is_current
+         |FROM scd2""".stripMargin,
 
     // PIT lookup against the SCD2 dimension: the attribute in effect
     // at each event's day start — LEFT join (facts before the key's

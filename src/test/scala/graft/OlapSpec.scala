@@ -323,6 +323,49 @@ class OlapSpec extends SparkSpec {
     assert(d(4L) === (("added", None, Some(40L))))
   }
 
+  test("scd2 store: merge equals recompute; boundary semantics pinned") {
+    import graft.sources.Scd2Store
+    // base: u1 view→click (open click); u2 view (open view)
+    val base = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "view", 0.0),
+      ev(2, "2024-01-02 08:00:00", 1, "click", 0.0),
+      ev(3, "2024-01-01 09:00:00", 2, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // delta: u1 opens with click AGAIN (must extend, not split), then
+    // view; u2 untouched; u3 brand-new
+    val delta = Seq(
+      ev(4, "2024-02-01 08:00:00", 1, "click", 0.0),
+      ev(5, "2024-02-02 08:00:00", 1, "view", 0.0),
+      ev(6, "2024-02-01 09:00:00", 3, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files
+      .createTempDirectory("scd2-store").toString
+    Scd2Store.writeState(base, root)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"event_type", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .collect().map(_.toString).toSet
+    val merged = Scd2Store.mergedView(spark, root, delta)
+    assert(norm(merged) ===
+      norm(Scd2Store.compact(base.unionByName(delta))))
+    // the same-type opener did NOT split: u1's click interval runs
+    // from the BASE change straight to the delta's view change
+    val u1click = merged.filter($"user_id" === 1L &&
+      $"event_type" === "click").collect().head
+    assert(u1click.getAs[java.sql.Timestamp]("valid_from").toString
+      .startsWith("2024-01-02"))
+    assert(u1click.getAs[java.sql.Timestamp]("valid_to").toString
+      .startsWith("2024-02-02"))
+    // untouched key's open row survives byte-identical
+    assert(merged.filter($"user_id" === 2L && $"is_current").count === 1)
+    // new key appears with its own open row
+    assert(merged.filter($"user_id" === 3L && $"is_current" &&
+      $"event_type" === "error").count === 1)
+    // the committed write-side twin equals the view
+    Scd2Store.applyChanges(spark, root, delta)
+    assert(norm(Scd2Store.readState(spark, root)) === norm(merged))
+  }
+
   test("agg store: read-time merge equals the full recompute exactly") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec").toString

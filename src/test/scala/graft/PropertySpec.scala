@@ -399,6 +399,33 @@ class PropertySpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("scd2 store merge equals recompute over any time split") {
+    import graft.sources.Scd2Store
+    val ev = randomEvents(500, seed = 61L).cache()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"event_type", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .collect().map(_.toString).toSet
+    val want = norm(Scd2Store.compact(ev))
+    // three different cut points, including one where many keys have
+    // ALL their events on one side
+    for ((q, i) <- Seq(0.2, 0.5, 0.9).zipWithIndex) {
+      // time split at the q-quantile event's timestamp: base = events
+      // up to it (inclusive), delta = strictly after
+      val cut = ev.stat.approxQuantile("event_id", Array(q), 0.0)(0)
+      val cutTs = ev.filter($"event_id" <= cut).agg(max($"ts"))
+        .head.getTimestamp(0)
+      val b = ev.filter($"ts" <= lit(cutTs))
+      val d = ev.filter($"ts" > lit(cutTs))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"scd2-prop$i").toString
+      Scd2Store.writeState(b, root)
+      assert(norm(Scd2Store.mergedView(spark, root, d)) === want,
+        s"split at quantile $q diverged")
+    }
+    ev.unpersist()
+  }
+
   test("fuzzy pairs equal brute force on arbitrary short strings") {
     import graft.operators.FuzzyJoin
     val words = sample(for {
