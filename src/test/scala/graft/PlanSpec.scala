@@ -465,6 +465,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2 store merge reads stored history + delta, nothing else") {
+    withStaticPlan {
+      val df = run("x_scd2_store")
+      val plan = df.queryExecution.executedPlan
+      val sc = scans(df)
+      // the merge touches only the keys-sized stored dimension and
+      // the ts-filtered delta (each re-derived per branch — small
+      // relations); what must NEVER appear is an UNFILTERED fact
+      // scan, which would mean history is being recompacted
+      assert(sc.exists(_.metadata.get("Location")
+        .exists(_.contains("scd2-000"))), "reads the stored dimension")
+      val eventsScans = sc.filter(_.metadata.get("Location")
+        .exists(_.contains("events.parquet")))
+      assert(eventsScans.nonEmpty)
+      eventsScans.foreach { s =>
+        assert(s.metadata("PushedFilters")
+          .contains("GreaterThanOrEqual(ts"),
+          s"every fact scan must carry the delta cutoff:\n$plan")
+      }
+    }
+  }
+
   test("sparse cosine: postings meet by term equi-join off the cache") {
     withStaticPlan {
       val plan = run("x_sparse_topk").queryExecution.executedPlan
