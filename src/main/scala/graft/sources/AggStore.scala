@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.StoreFiles.{readText, writeText}
@@ -30,7 +30,28 @@ import graft.sources.StoreFiles.{readText, writeText}
 object AggStore {
 
   private val Prefix = "agg-"
-  val FormatVersion = 2 // v2: total stored uniformly as decimal(18,2)
+  val FormatVersion = 3 // v3: total stored uniformly as decimal(28,2)
+
+  /** The stored sum type. Wide enough that overflow means ~10^26 in
+    * summed value units; kept uniform across bootstrap and merge so
+    * every version ships the identical schema. */
+  private val StoredSum = DecimalType(28, 2)
+
+  /** Cast a widened sum back to the stored scale, FAILING LOUDLY on
+    * overflow: under non-ANSI semantics the cast silently yields
+    * NULL, which would persist a corrupted total forever (the
+    * maintained view has no recompute to heal it). The range check is
+    * arithmetic, not a cast-NULL probe, so the store's contract and
+    * message are the same whichever way `spark.sql.ansi.enabled`
+    * points (ANSI would otherwise abort inside the cast itself). */
+  private[graft] def toStored(c: Column): Column =
+    when(c.isNull ||
+        abs(c) < lit(new java.math.BigDecimal(
+          java.math.BigInteger.TEN.pow(26))),
+      c.cast(StoredSum))
+      .otherwise(raise_error(
+        lit("AggStore: total overflows decimal(28,2); widen StoredSum"))
+        .cast(StoredSum))
 
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(
@@ -39,17 +60,17 @@ object AggStore {
 
   /** The partial-aggregate rows for a slice of facts: one row per
     * (day, event_type) with exactly-mergeable COUNT/SUM state. The
-    * sum is re-cast to the STORED scale so every version (bootstrap
-    * or append) persists the identical schema — without it the first
-    * version ships Spark's widened sum type decimal(28,2) and later
-    * merges ship (18,2), and schema drift across versions is exactly
-    * what a state store must not do. */
+    * sum lands on the uniform [[StoredSum]] scale so every version
+    * (bootstrap or append) persists the identical schema — schema
+    * drift across versions is exactly what a state store must not
+    * do — and the down-cast in [[toStored]] aborts on overflow
+    * instead of persisting NULL. */
   def partials(events: DataFrame): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("total"))
+        toStored(sum(col("value").cast(DecimalType(18, 2))))
+          .as("total"))
 
   /** Merge two partial relations by key (sum of counts, sum of decimal
     * totals). Associative and commutative, so any fold order over any
@@ -58,20 +79,28 @@ object AggStore {
     a.unionByName(b)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("cnt")).as("cnt"),
-        sum(col("total")).cast(DecimalType(18, 2)).as("total"))
+        toStored(sum(col("total"))).as("total"))
 
   /** Aggregate `events` and publish the partials as version 1. */
   def writeState(events: DataFrame, path: String,
       batchTag: Option[String] = None): Unit = {
     val spark = events.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-      partials(events).write.mode(SaveMode.Overwrite).parquet(vdir)
-      batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
-      SnapshotDir.commit(spark, path, Prefix, next)
+      writeLocked(spark, path, partials(events), batchTag)
     }
     SnapshotDir.gc(spark, path, Prefix)
+  }
+
+  /** Claim→write→commit the next version. Caller holds the writer
+    * lock (the lock is not reentrant, so every public entry takes it
+    * exactly once around this body). */
+  private def writeLocked(spark: SparkSession, path: String,
+      state: DataFrame, batchTag: Option[String]): Unit = {
+    val next = SnapshotDir.next(spark, path, Prefix)
+    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
+    state.write.mode(SaveMode.Overwrite).parquet(vdir)
+    batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
+    SnapshotDir.commit(spark, path, Prefix, next)
   }
 
   /** [[writeState]] gated by a recipe marker. `baseTag` names the
@@ -120,12 +149,23 @@ object AggStore {
     * Streaming only ever redelivers the most recent uncommitted
     * trigger, so one tag of history is exactly enough. */
   def bootstrapOrAppend(spark: SparkSession, path: String,
-      batch: DataFrame, batchTag: Option[String] = None): Unit =
-    if (SnapshotDir.current(spark, path, Prefix).isEmpty)
-      writeState(batch, path, batchTag)
-    else if (batchTag.isDefined && lastBatchTag(spark, path) == batchTag)
-      () // redelivery of the already-committed trigger
-    else appendDelta(spark, path, batch, batchTag)
+      batch: DataFrame, batchTag: Option[String] = None): Unit = {
+    // the bootstrap-vs-append decision resolves INSIDE the writer
+    // lock: a check-then-act outside it let two racing first-writers
+    // both see an empty store, serialize through the lock, and the
+    // second commit silently drop the first batch
+    SnapshotDir.withWriterLock(spark, path) {
+      SnapshotDir.current(spark, path, Prefix) match {
+        case None => writeLocked(spark, path, partials(batch), batchTag)
+        case Some(cur) =>
+          val applied = readText(spark, s"$cur/_batch_tag")
+          if (batchTag.isDefined && applied == batchTag)
+            () // redelivery of the already-committed trigger
+          else appendLocked(spark, path, batch, batchTag)
+      }
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
 
   /** The batch tag committed with the current version, if any. */
   def lastBatchTag(spark: SparkSession, path: String): Option[String] =
@@ -139,14 +179,17 @@ object AggStore {
   def appendDelta(spark: SparkSession, path: String,
       delta: DataFrame, batchTag: Option[String] = None): Unit = {
     SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      val merged = merge(spark.read.parquet(cur), partials(delta))
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-      merged.write.mode(SaveMode.Overwrite).parquet(vdir)
-      batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
-      SnapshotDir.commit(spark, path, Prefix, next)
+      appendLocked(spark, path, delta, batchTag)
     }
     SnapshotDir.gc(spark, path, Prefix)
+  }
+
+  /** Merge-and-commit body of [[appendDelta]]; caller holds the lock
+    * (so the current version resolved here cannot be GC'd or raced). */
+  private def appendLocked(spark: SparkSession, path: String,
+      delta: DataFrame, batchTag: Option[String]): Unit = {
+    val cur = currentDir(spark, path)
+    val merged = merge(spark.read.parquet(cur), partials(delta))
+    writeLocked(spark, path, merged, batchTag)
   }
 }

@@ -114,13 +114,17 @@ object Scd2Store {
           col("cur_type")))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
+    // (valid_from, event_id) order matches Olap.scd2History's
+    // deterministic same-timestamp tiebreak, so two changes for one
+    // key at the same ts chain identically in both paths
     val nextFrom = Window.partitionBy(col("user_id"))
-      .orderBy(col("valid_from"))
+      .orderBy(col("valid_from"), col("event_id"))
     val newRows = changes
       .select(col("user_id"), col("event_type"),
-        col("ts").as("valid_from"))
+        col("ts").as("valid_from"), col("event_id"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(nextFrom))
       .withColumn("is_current", col("valid_to").isNull)
+      .drop("event_id")
     // close each touched key's open row at its first new change;
     // untouched keys (and keys whose whole batch was a no-change
     // extension) keep their open row byte-identical

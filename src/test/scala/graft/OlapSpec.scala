@@ -460,6 +460,80 @@ class OlapSpec extends SparkSpec {
       .withColumn("total", $"total")) !== after)
   }
 
+  test("scd2 store: same-ts delta changes merge deterministically") {
+    import graft.sources.Scd2Store
+    val base = Seq(ev(1, "2024-01-01 08:00:00", 1, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // two changes for the same user at the SAME timestamp: the
+    // (valid_from, event_id) tiebreak must chain them exactly like
+    // scd2History's (ts, event_id) order — click gets the zero-width
+    // interval, error stays open
+    val delta = Seq(
+      ev(3, "2024-02-01 08:00:00", 1, "click", 0.0),
+      ev(4, "2024-02-01 08:00:00", 1, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files
+      .createTempDirectory("scd2-tie").toString
+    Scd2Store.writeState(base, root)
+    def norm(df: DataFrame) = df
+      .select($"user_id", $"event_type", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .collect().map(_.toString).toSet
+    val merged = Scd2Store.mergedView(spark, root, delta)
+    assert(norm(merged) ===
+      norm(Scd2Store.compact(base.unionByName(delta))))
+    val open = merged.filter($"is_current").collect()
+    assert(open.map(_.getAs[String]("event_type")).toSeq ===
+      Seq("error"))
+  }
+
+  test("agg store: stored-scale overflow aborts instead of NULLing") {
+    // a widened sum that fits round-trips through the stored scale
+    val ok = Seq(BigDecimal("123.45")).toDF("v")
+      .select(AggStore.toStored($"v".cast("decimal(38,2)")).as("t"))
+    assert(ok.as[java.math.BigDecimal].head() ===
+      new java.math.BigDecimal("123.45"))
+    // one past decimal(28,2) must raise, never persist NULL
+    val boom = Seq("1" + "0" * 26 + ".00").toDF("s")
+      .select(AggStore.toStored($"s".cast("decimal(38,2)")).as("t"))
+    val e = intercept[Exception] { boom.collect() }
+    assert(e.getMessage.contains("overflows decimal(28,2)") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("overflows decimal(28,2)")))
+    // NULL input stays NULL (no spurious raise)
+    val nul = Seq(Option.empty[java.math.BigDecimal]).toDF("v")
+      .select(AggStore.toStored($"v".cast("decimal(38,2)")).as("t"))
+    assert(nul.collect().head.isNullAt(0))
+  }
+
+  test("agg store: racing first writers never drop a batch silently") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-race").toString
+    val batches = Seq(
+      eventsFx.filter($"event_id" % 3 === 0),
+      eventsFx.filter($"event_id" % 3 =!= 0))
+    // two concurrent first writers: the locked bootstrap decision
+    // means each either commits correctly (bootstrap-or-append,
+    // resolved INSIDE the lock) or fails LOUDLY on contention — a
+    // loud loser retries; what can never happen is both bootstrapping
+    // and the second commit silently dropping the first batch
+    val losers = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = batches.zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        start.await()
+        try AggStore.bootstrapOrAppend(spark, root, b, Some(s"t$i"))
+        catch { case _: IllegalStateException => losers.add(i) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown()
+    threads.foreach(_.join())
+    losers.forEach(i => // losers retry serially
+      AggStore.bootstrapOrAppend(spark, root, batches(i), Some(s"r$i")))
+    assert(normalized(AggStore.readState(spark, root)) ===
+      normalized(AggStore.partials(eventsFx)))
+  }
+
   test("agg store: committed append equals the read-time merge") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec2").toString
