@@ -70,6 +70,7 @@ object ExtQueries {
   val DeleteMod = 10; val DeleteRem = 3 // vec_id % 10 == 3 deleted
   val Scd2Cutoff = "2024-01-24 00:00:00" // base | delta time split
   val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  val MadK = 3 // anomaly when |total - median| > MadK × MAD
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1501,7 +1502,47 @@ object ExtQueries {
       graft.sources.AggStore.mergedView(s, aggStorePath(d), delta)
         .select(col("day"), col("event_type"), col("cnt"),
           col("total").cast("double").as("total"))
-    })
+    }),
+
+    // CDC log apply: the events stream recast as a Debezium-style
+    // op-coded change log (I/U/D per event type), folded into the
+    // final per-key snapshot by ONE struct-max aggregate — no per-key
+    // sort, no window, delete wins by vanishing. Commutative, so
+    // out-of-order and replayed ops cannot change the outcome.
+    "x_cdc_apply" -> ((s, d) => {
+      val log = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "view", "I")
+          .otherwise("U").as("op"),
+        col("value"))
+      Olap.cdcApply(log, keyCol = "user_id", tsCol = "ts",
+        seqCol = "event_id", opCol = "op", valueCol = "value")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // streams: P(next | current) + successor rank — one user-keyed
+    // lead(), then states-sized aggregates; the probability is a
+    // small-int IEEE division (bit-identical across engines).
+    "x_markov_next" -> ((s, d) =>
+      Temporal.transitionMatrix(Tables.events(s, d))),
+
+    // Robust daily anomalies: |day total − median| > 3 × MAD per
+    // event type, nearest-rank medians over exact decimals — the
+    // outlier-resistant monitor a spike day cannot corrupt (unlike
+    // mean/stddev z-scores).
+    "x_anomaly_mad" -> ((s, d) =>
+      Temporal.madAnomalies(Tables.events(s, d), k = MadK)),
+
+    // Triangle census of the embedding near-dup graph:
+    // degree-oriented wedge join (bounded fan-out on hubs, never
+    // all-pairs) + global clustering coefficient — the structural
+    // health probe of a similarity pair list.
+    "x_triangle_count" -> ((s, d) =>
+      GraphStats.triangleStats(
+        Similarity.nearDupPairsLsh(Tables.embeddings(s, d),
+          CosineThreshold, bands = NearDupBands,
+          rowsPerBand = NearDupRows, dim = EmbeddingDim)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4112,7 +4153,102 @@ object ExtQueries {
     "x_ivm_daily" ->
       """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // last op per key by (ts, event_id), delete vanishes — the
+    // window formulation of the struct-max fold
+    "x_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'error' THEN 'D'
+        |      WHEN 'view' THEN 'I' ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM log)
+        |SELECT user_id, ts AS last_ts, value AS last_value,
+        |  n_ops::bigint AS n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // adjacent-pair counts per user stream, conditional probability
+    // as the same small-int IEEE division, (n desc, nxt) rank
+    "x_markov_next" ->
+      """WITH ordered AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*)::bigint AS n
+        |  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, sum(n)::bigint AS total
+        |        FROM pairs GROUP BY 1)
+        |SELECT p.cur AS cur, p.nxt AS nxt, p.n AS n,
+        |  p.n / t.total::double AS p,
+        |  row_number() OVER (PARTITION BY p.cur
+        |    ORDER BY p.n DESC, p.nxt) AS rk
+        |FROM pairs p JOIN tot t ON p.cur = t.cur""".stripMargin,
+
+    // nearest-rank median + MAD over exact decimals; the flag
+    // compares decimals, never doubles
+    "x_anomaly_mad" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, ts::date AS day,
+         |    sum(value::decimal(18,2)) AS dtot
+         |  FROM events GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY dtot, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM daily),
+         |med AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (cnt+1)//2 THEN dtot END) AS med
+         |  FROM rk GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, d.day, d.dtot, m.med,
+         |    abs(d.dtot - m.med) AS adev
+         |  FROM daily d JOIN med m USING (event_type)),
+         |drk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY adev, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM dev),
+         |mad AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (cnt+1)//2 THEN adev END) AS mad
+         |  FROM drk GROUP BY 1)
+         |SELECT d.event_type, d.day, d.dtot::double AS total,
+         |  d.med::double AS med, m.mad::double AS mad,
+         |  d.adev > $MadK * m.mad AS is_anomaly
+         |FROM dev d JOIN mad m USING (event_type)""".stripMargin,
+
+    // brute 3-way join over the canonical a<b near-dup pairs counts
+    // each triangle once — equals the degree-oriented count exactly
+    "x_triangle_count" ->
+      s"""WITH $EmbedNearDupCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM epairs),
+         |deg AS (
+         |  SELECT v, count(*)::bigint AS d FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+         |  GROUP BY v),
+         |tri AS (
+         |  SELECT count(*)::bigint AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |vw AS (
+         |  SELECT count(*)::bigint AS n_vertices,
+         |    coalesce(sum(d*(d-1)//2), 0)::bigint AS n_wedges
+         |  FROM deg),
+         |ec AS (SELECT count(*)::bigint AS n_edges FROM e)
+         |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN 3 * n_triangles / n_wedges::double END AS transitivity
+         |FROM vw, ec, tri""".stripMargin
   )
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with

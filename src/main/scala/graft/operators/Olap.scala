@@ -193,6 +193,30 @@ object Olap {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** CDC log apply — fold a Debezium-style change stream
+    * (`op ∈ {I, U, D}`, totally ordered per key by `(ts, seq)`) into
+    * the final snapshot: each key lands on its LAST operation, delete
+    * wins by vanishing. ONE map-side-combining aggregate via a struct
+    * max ordered lexicographically on `(ts, seq)` — no per-key sort,
+    * no window, so the plan is a single shuffle of partially-combined
+    * rows regardless of how many ops a hot key accumulated (the
+    * row_number() formulation pays a full sort of the log instead).
+    * Out-of-order arrival is free: max() is commutative, so a replayed
+    * or late-delivered op cannot change the outcome — the idempotence
+    * the reference's nightly re-scan window relies on
+    * (`Code.gs:666-669`), generalized to op-coded logs. */
+  def cdcApply(log: DataFrame, keyCol: String = "key",
+      tsCol: String = "ts", seqCol: String = "seq",
+      opCol: String = "op", valueCol: String = "value"): DataFrame = {
+    val last = log.groupBy(col(keyCol))
+      .agg(max(struct(col(tsCol).as("t"), col(seqCol).as("q"),
+        col(opCol).as("o"), col(valueCol).as("v"))).as("last"),
+        count(lit(1)).as("n_ops"))
+    last.filter(col("last.o") =!= "D")
+      .select(col(keyCol), col("last.t").as("last_ts"),
+        col("last.v").as("last_value"), col("n_ops"))
+  }
+
   /** Generic keyed table diff — the snapshot-audit operator: which
     * rows were added, removed, or changed between two versions of a
     * keyed relation. One full-outer join on the key (shuffle on both

@@ -395,4 +395,74 @@ object Temporal {
         "left")
       .select(factCols.map(col) :+ col(asOfName): _*)
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: `P(next | current)` from adjacent-event pairs, plus a
+    * per-state rank of successors — the next-event-prediction /
+    * behavioral-model summary every clickstream warehouse derives.
+    * One user-keyed shuffle for the lead() (state bounded per user,
+    * the same shape sessionize pays), then states-sized aggregates.
+    * The probability is a small-int IEEE division — bit-identical
+    * across engines, no rounding step to diverge on. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol),
+      col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur"))
+      .agg(sum(col("n")).as("total"))
+    pairs.join(totals, Seq("cur"))
+      .withColumn("p", col("n").cast("double") / col("total"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cur"))
+        .orderBy(col("n").desc, col("nxt"))))
+      .select(col("cur"), col("nxt"), col("n"), col("p"), col("rk"))
+  }
+
+  /** Robust anomaly flags over per-key daily totals: a day is
+    * anomalous when its total deviates from the key's MEDIAN by more
+    * than `k` × MAD (median absolute deviation) — the
+    * outlier-resistant alternative to mean/stddev z-scores, which a
+    * single spike day corrupts. Medians are NEAREST-RANK (discrete:
+    * the value at rank ⌊(n+1)/2⌋, engine-exact — interpolated
+    * percentiles diverge across engines), and every comparison runs
+    * over exact decimals, so the flag is replayable bit-for-bit.
+    * The daily frame is keys-sized, so the two rank windows are
+    * cheap regardless of fact volume; at web scale the per-key sort
+    * swaps for GK quantile sketches exactly as `qualityBucketsApprox`
+    * does (documented trade: rank tolerance instead of exactness). */
+  def madAnomalies(events: DataFrame, k: Int = 3,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("dtot"))
+    // nearest-rank median of `vCol` per key; (day) breaks value ties
+    // so the picked rank is total-ordered (the VALUE at the median
+    // rank is tie-invariant either way)
+    def medianOf(df: DataFrame, vCol: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col(keyCol)).orderBy(col(vCol), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col(keyCol))))
+        .groupBy(col(keyCol))
+        .agg(max(when(col("rn") ===
+          ((col("cnt") + 1L) / 2L).cast("long"), col(vCol))).as(out))
+    val med = medianOf(daily, "dtot", "med")
+    val dev = daily.join(med, Seq(keyCol))
+      .withColumn("adev", abs(col("dtot") - col("med")))
+    val mad = medianOf(dev, "adev", "mad")
+    dev.join(mad, Seq(keyCol))
+      .select(col(keyCol), col("day"),
+        col("dtot").cast("double").as("total"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"),
+        (col("adev") > lit(k) * col("mad")).as("is_anomaly"))
+  }
 }

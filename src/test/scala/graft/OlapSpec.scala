@@ -534,6 +534,95 @@ class OlapSpec extends SparkSpec {
       normalized(AggStore.partials(eventsFx)))
   }
 
+  test("cdc apply: last op wins, delete vanishes, order-free") {
+    // key 1: I then U (latest value wins); key 2: I then D (vanishes);
+    // key 3: D then I by TIMESTAMP fed in reversed arrival order (the
+    // struct max is commutative — arrival order must not matter);
+    // key 4: same-ts tie broken by seq
+    val log = Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "I", 10.0),
+      (1L, "2024-01-02 08:00:00", 2L, "U", 20.0),
+      (2L, "2024-01-01 08:00:00", 3L, "I", 30.0),
+      (2L, "2024-01-03 08:00:00", 4L, "D", 0.0),
+      (3L, "2024-01-05 08:00:00", 6L, "I", 60.0), // arrives first
+      (3L, "2024-01-04 08:00:00", 5L, "D", 0.0),
+      (4L, "2024-01-01 08:00:00", 7L, "I", 70.0),
+      (4L, "2024-01-01 08:00:00", 8L, "U", 80.0))
+      .map(r => (r._1, java.sql.Timestamp.valueOf(r._2), r._3, r._4,
+        r._5))
+      .toDF("user_id", "ts", "event_id", "op", "value")
+    val snap = Olap.cdcApply(log, keyCol = "user_id", tsCol = "ts",
+      seqCol = "event_id", opCol = "op", valueCol = "value")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("last_value"), r.getAs[Long]("n_ops"))).toMap
+    assert(snap(1L) === ((20.0, 2L)))
+    assert(!snap.contains(2L)) // deleted
+    assert(snap(3L) === ((60.0, 2L))) // ts order, not arrival order
+    assert(snap(4L) === ((80.0, 2L))) // seq breaks the same-ts tie
+    assert(snap.size === 3)
+  }
+
+  test("markov: pair counts, conditional p, deterministic rank") {
+    import graft.operators.Temporal
+    // user 1: a b a c — pairs (a,b), (b,a), (a,c); user 2: a b
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "a", 0.0),
+      ev(2, "2024-01-01 09:00:00", 1, "b", 0.0),
+      ev(3, "2024-01-01 10:00:00", 1, "a", 0.0),
+      ev(4, "2024-01-01 11:00:00", 1, "c", 0.0),
+      ev(5, "2024-01-01 08:00:00", 2, "a", 0.0),
+      ev(6, "2024-01-01 09:00:00", 2, "b", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Temporal.transitionMatrix(es).collect()
+      .map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"), r.getAs[Int]("rk")))
+      .toMap
+    assert(m(("a", "b")) === ((2L, 2.0 / 3.0, 1)))
+    assert(m(("a", "c")) === ((1L, 1.0 / 3.0, 2)))
+    assert(m(("b", "a")) === ((1L, 1.0, 1)))
+    assert(m.size === 3) // no pair crosses the user boundary
+  }
+
+  test("mad anomalies: nearest-rank median/MAD, only the spike flags") {
+    import graft.operators.Temporal
+    // one key, five days with totals 10, 12, 11, 10, 100:
+    // sorted [10,10,11,12,100] → median (rank 3) = 11;
+    // |dev| [1,1,0,1,89] sorted [0,1,1,1,89] → MAD (rank 3) = 1;
+    // anomaly iff adev > 3 → only the 100 day
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "t", 10.0),
+      ev(2, "2024-01-02 08:00:00", 1, "t", 12.0),
+      ev(3, "2024-01-03 08:00:00", 1, "t", 11.0),
+      ev(4, "2024-01-04 08:00:00", 1, "t", 10.0),
+      ev(5, "2024-01-05 08:00:00", 1, "t", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Temporal.madAnomalies(es, k = 3).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Double]("total"), r.getAs[Double]("med"),
+          r.getAs[Double]("mad"), r.getAs[Boolean]("is_anomaly")))
+      .toMap
+    assert(got("2024-01-03") === ((11.0, 11.0, 1.0, false)))
+    assert(got("2024-01-05") === ((100.0, 11.0, 1.0, true)))
+    assert(got.count(_._2._4) === 1)
+  }
+
+  test("triangles: K4 + pendant, degree-oriented equals brute truth") {
+    import graft.operators.GraphStats
+    // K4 on {1..4}: 4 triangles, 12 wedges, transitivity 1.0; add a
+    // pendant edge (4,5): degrees 3,3,3,4,1 → wedges 15, still 4
+    // triangles → transitivity 0.8. Feed a duplicate, a reversed
+    // edge, and a self-loop — none may change a count.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("id_a", "id_b")
+    val r = GraphStats.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_vertices") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("transitivity") === 0.8)
+  }
+
   test("agg store: committed append equals the read-time merge") {
     val root = java.nio.file.Files
       .createTempDirectory("aggstore-spec2").toString
