@@ -71,6 +71,9 @@ object ExtQueries {
   val Scd2Cutoff = "2024-01-24 00:00:00" // base | delta time split
   val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   val MadK = 3 // anomaly when |total - median| > MadK × MAD
+  val Bm25Terms = Seq("spark", "merge", "dup", "window") // fixed query
+  val Bm25K = 10
+  val SceneCutThreshold = 120L // signature jump that flags a cut
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1542,7 +1545,21 @@ object ExtQueries {
       GraphStats.triangleStats(
         Similarity.nearDupPairsLsh(Tables.embeddings(s, d),
           CosineThreshold, bands = NearDupBands,
-          rowsPerBand = NearDupRows, dim = EmbeddingDim)))
+          rowsPerBand = NearDupRows, dim = EmbeddingDim))),
+
+    // BM25 lexical retrieval for a fixed query term set: tf at scan
+    // time, df/avgdl as broadcast dims, TakeOrdered top-k; per-term
+    // contributions in mirrored IEEE op order, fixed-order sum, 6dp
+    // round before the (score, doc_id) rank.
+    "x_bm25_topk" -> ((s, d) =>
+      SparseSim.bm25TopK(Tables.documents(s, d), Bm25Terms, Bm25K)),
+
+    // Scene-change detection over the sampled video frames: integer
+    // frame signatures, one per-clip lag(), cut when the jump exceeds
+    // the threshold. Completes the multimodal quartet's temporal axis.
+    "x_media_scene_cut" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.mediaTable(s, d),
+        threshold = SceneCutThreshold))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4248,7 +4265,71 @@ object ExtQueries {
          |SELECT n_vertices, n_edges, n_wedges, n_triangles,
          |  CASE WHEN n_wedges > 0
          |    THEN 3 * n_triangles / n_wedges::double END AS transitivity
-         |FROM vw, ec, tri""".stripMargin
+         |FROM vw, ec, tri""".stripMargin,
+
+    // identical BM25 formula text: same idf/saturation op order, same
+    // fixed-order term sum, same 6dp round before the rank
+    "x_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val termSum = Bm25Terms.map(t =>
+        s"coalesce(max(CASE WHEN t = '$t' THEN c END), 0.0)")
+        .mkString("\n        |        + ").stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(ws)::bigint AS dl FROM w),
+         |a AS (SELECT sum(dl)::double / count(*)::double AS avgdl,
+         |             count(*)::bigint AS n FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, count(*)::bigint AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+         |  WHERE t IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT t, count(*)::bigint AS df FROM tf GROUP BY t),
+         |c AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    ln(1.0 + ((a.n - df.df)::double + 0.5)
+         |        / (df.df::double + 0.5)) *
+         |      ((tf.tf::double * 2.2) /
+         |       (tf.tf::double + 1.2 *
+         |         (0.25 + 0.75 * (dl.dl::double / a.avgdl)))) AS c
+         |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+         |  CROSS JOIN a),
+         |s AS (
+         |  SELECT doc_id,
+         |    round($termSum, 6) AS score
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |FROM s QUALIFY rk <= $Bm25K""".stripMargin
+    },
+
+    // frame stream replay (same slicing as x_media_frames), codepoint
+    // sums, lag per clip, threshold flag
+    "x_media_scene_cut" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, text,
+         |    (length(text) // 16)::int AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT media_id, text,
+         |    unnest(range(0, ((n_frames - 1) // 4) + 1)) AS frame_idx
+         |  FROM v WHERE n_frames > 0),
+         |sg AS (
+         |  SELECT media_id, frame_idx::int AS frame_idx,
+         |    list_sum(list_transform(range(0, 16),
+         |      i -> ord(substring(text, frame_idx::int * 64 + i::int + 1,
+         |        1))))::bigint AS sig
+         |  FROM f),
+         |d AS (
+         |  SELECT *, lag(sig) OVER (PARTITION BY media_id
+         |    ORDER BY frame_idx) AS prev
+         |  FROM sg)
+         |SELECT media_id, frame_idx, sig,
+         |  CASE WHEN prev IS NOT NULL THEN abs(sig - prev) END AS delta,
+         |  coalesce(abs(sig - prev) > $SceneCutThreshold, false)
+         |    AS is_cut
+         |FROM d""".stripMargin
   )
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
@@ -449,6 +450,31 @@ object Multimodal {
           s"transform(sequence(0, cast((n_frames - 1) / $stride AS int)), " +
             s"i -> substring(body, i * $frameBytes * $stride + 1, " +
             s"$frameBytes))")).as(Seq("frame_idx", "frame")))
+
+  /** Scene-change detection over the sampled frame stream: per-frame
+    * integer signature (byte-codepoint sum — the deterministic stand-in
+    * for a real frame histogram, same contract as the other stubbed
+    * decodes here), then a cut wherever the signature jumps more than
+    * `threshold` against the previous sampled frame. One lag() window
+    * keyed by media_id — state bounded per clip, the shuffle carries
+    * (clip, frame) rows only. The signature fold is an interpreted HOF
+    * over `frameBytes` elements (16): bounded per row, not a codegen
+    * concern. First frame of each clip has no predecessor → no cut. */
+  def sceneCuts(media: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+      threshold: Long = 120L): DataFrame = {
+    val sig = sampleFrames(media, frameBytes, stride)
+      .withColumn("sig",
+        aggregate(split(col("frame").cast("string"), ""), lit(0L),
+          (acc, c) => acc + ascii(c).cast("long")))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    sig
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"), col("sig"),
+        when(col("prev").isNotNull, abs(col("sig") - col("prev")))
+          .as("delta"),
+        coalesce(abs(col("sig") - col("prev")) > threshold, lit(false))
+          .as("is_cut"))
+  }
 
   final case class AudioFeatures(media_id: Long, n_samples: Int,
     n_frames: Int, sum_sq: Long, peak: Int)

@@ -74,4 +74,56 @@ object SparseSim {
       .select(col("qid"), col("nid"), col("rk"), col("dot"),
         col("cosine"))
   }
+
+  /** BM25 top-`k` documents for a fixed query term set — the standard
+    * lexical retrieval scorer (Robertson/Lucene form:
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation `k1`,
+    * length normalization `b`). Shape at scale: the corpus collapses
+    * to a (matching-doc, term) tf frame at scan time, df and avgdl
+    * are dimension/1-row broadcasts, and the final cut is a
+    * TakeOrdered total order — no global sort, no shuffle wider than
+    * the matching set.
+    *
+    * Determinism contract: per-(doc, term) contributions are computed
+    * with an explicit IEEE op order mirrored by the oracle, summed in
+    * FIXED term order (never a shuffle-ordered float sum), and the
+    * score rounds to 6dp before ranking so the rank tiebreak
+    * (score, doc_id) sits on engine-identical values — ln is the one
+    * non-correctly-rounded step, and 6dp absorbs its last-ulp wiggle
+    * (the [[sparseCosineTopK]] scaladoc's "idf variant" trade-off,
+    * made concrete). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val dl = CacheRegistry.tracked(
+      words.select(col("doc_id"), size(col("ws")).cast("long").as("dl")))
+    val n = docs.count() // 1-row metadata probe (corpus size)
+    val avg = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
+    val tf = words.select(col("doc_id"), explode(col("ws")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .withColumn("c",
+        log(lit(1.0) + ((lit(n) - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) *
+                (col("dl").cast("double") / col("avgdl"))))))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(terms.map(t =>
+          coalesce(max(when(col("t") === t, col("c"))), lit(0.0)))
+        .reduce(_ + _), 6).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
 }

@@ -100,6 +100,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frameIds.subsetOf(vids))
   }
 
+  test("scene cuts: signature deltas flag jumps, first frame never") {
+    // crafted clip: sampled frames at body offsets 0/64/128 read
+    // "a"×16 (sig 1552), "a"×15+"b" (1553, delta 1 → no cut),
+    // "z"×16 (1952, delta 399 → cut); 'x' filler between frames
+    val body = ("a" * 16) + ("x" * 48) + ("a" * 15 + "b") +
+      ("x" * 48) + ("z" * 16)
+    val clip = Seq((1L, "video", ("HDR0" + body).getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.sceneCuts(clip, threshold = 120L)
+      .orderBy($"frame_idx").collect()
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("sig"),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("is_cut")))
+    assert(got.toSeq === Seq(
+      (0, 1552L, None, false), // no predecessor → never a cut
+      (1, 1553L, Some(1L), false),
+      (2, 1952L, Some(399L), true)))
+  }
+
   test("aHash matches the pixel formula and degenerates on solid gray") {
     // independent reference: recompute the 8×8 integer cell-mean bits
     // straight from the generator formula (PNG is lossless, so the

@@ -271,6 +271,34 @@ class OlapSpec extends SparkSpec {
     assert(!top.contains((0L, 0L))) // self excluded
   }
 
+  test("bm25: tf saturation, df idf, length norm on a crafted corpus") {
+    import graft.operators.SparseSim
+    // N=3, dl = (3, 4, 3), avgdl = 10/3; df: spark 2, dup 1, merge 1;
+    // doc 3 matches nothing and must be absent
+    val docs = Seq(
+      (1L, "spark spark dup"),
+      (2L, "spark merge x x"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = SparseSim.bm25TopK(docs,
+        Seq("spark", "merge", "dup", "window"), k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rk"))).toMap
+    // reference: the same formula evaluated independently
+    def idf(df: Double) = math.log(1.0 + ((3.0 - df) + 0.5) / (df + 0.5))
+    def tfc(tf: Double, dl: Double) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (10.0 / 3.0))))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(idf(2.0) * tfc(2.0, 3.0) + idf(1.0) * tfc(1.0, 3.0))
+    val d2 = r6(idf(2.0) * tfc(1.0, 4.0) + idf(1.0) * tfc(1.0, 4.0))
+    assert(got(1L)._1 === d1)
+    assert(got(2L)._1 === d2)
+    assert(!got.contains(3L)) // no query term → no row
+    // doc 1 outranks doc 2: higher tf, rarer term, shorter doc
+    assert(d1 > d2 && got(1L)._2 === 1 && got(2L)._2 === 2)
+  }
+
   test("corr matrix: exact +1/-1 on crafted linear columns") {
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
       (5.0, 10.0, -5.0)).toDF("x", "y", "z")
