@@ -74,6 +74,8 @@ object ExtQueries {
   val Bm25Terms = Seq("spark", "merge", "dup", "window") // fixed query
   val Bm25K = 10
   val SceneCutThreshold = 120L // signature jump that flags a cut
+  val ThetaNomEntries = 256 // exact below 256 users, estimating above
+  val ThetaNSd = 3 // bound width for the in-bounds audit booleans
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1296,6 +1298,18 @@ object ExtQueries {
         e.filter(col("event_type") === "click"))
     }),
 
+    // The left-outer attribution: views that converted to NOTHING keep
+    // a NULL click — streaming emits them once the watermark proves no
+    // click can still arrive (StreamingSyncSpec pins that timing);
+    // batch form here.
+    "x_attribution_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingSync.attributionJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"),
+        joinType = "left_outer")
+    }),
+
     // Sliding windows (rolling hour, refreshed every 15 min) — native
     // window(); completes the tumbling/sliding/session family.
     "x_sliding_window" -> ((s, d) =>
@@ -1559,7 +1573,20 @@ object ExtQueries {
     // the threshold. Completes the multimodal quartet's temporal axis.
     "x_media_scene_cut" -> ((s, d) =>
       Multimodal.sceneCuts(Multimodal.mediaTable(s, d),
-        threshold = SceneCutThreshold))
+        threshold = SceneCutThreshold)),
+
+    // Theta-sketch audience overlap: big-spender purchasers vs
+    // low-value error hitters — exact sizes of A/B/A∩B/A∪B hashed,
+    // plus one in-bounds boolean per sketch estimate (set
+    // INTERSECTION with published bounds is what HLL cannot do).
+    // Crosses from exact mode (sf ≤ 0.01, users < 256) into genuine
+    // estimation (sf0.1, 1500 users).
+    "x_sketch_intersect" -> ((s, d) =>
+      SketchAlgebra.audienceOverlap(Tables.events(s, d),
+        "purchase_gt80", "error_lt20",
+        col("event_type") === "purchase" && col("value") > 80.0,
+        col("event_type") === "error" && col("value") < 20.0,
+        nomEntries = ThetaNomEntries, nSd = ThetaNSd))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3278,6 +3305,17 @@ object ExtQueries {
         |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""
         .stripMargin,
 
+    // the interval condition must live in the ON clause — in WHERE it
+    // would silently turn the outer join back into an inner one
+    "x_attribution_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""
+        .stripMargin,
+
     // mirrors CorpusStats.pmiCollocations: same bigram/unigram totals,
     // same division order inside the round-6 ln
     "x_pmi_colloc" ->
@@ -4329,7 +4367,30 @@ object ExtQueries {
          |  CASE WHEN prev IS NOT NULL THEN abs(sig - prev) END AS delta,
          |  coalesce(abs(sig - prev) > $SceneCutThreshold, false)
          |    AS is_cut
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    // exact audience sizes replayed; the in-bounds booleans hash TRUE
+    // when the Theta estimates honor their published bounds (the
+    // retained-hash estimates themselves have no SQL replay and stay
+    // out of the hashed row)
+    "x_sketch_intersect" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 80
+        |      THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN event_type = 'error' AND value < 20
+        |      THEN 1 ELSE 0 END) AS inb
+        |  FROM events
+        |  WHERE (event_type = 'purchase' AND value > 80)
+        |     OR (event_type = 'error' AND value < 20)
+        |  GROUP BY user_id)
+        |SELECT 'purchase_gt80' AS audience_a, 'error_lt20' AS audience_b,
+        |  sum(ina)::bigint AS exact_a, sum(inb)::bigint AS exact_b,
+        |  sum(ina * inb)::bigint AS exact_inter,
+        |  count(*)::bigint AS exact_union,
+        |  true AS a_in_bounds, true AS b_in_bounds,
+        |  true AS inter_in_bounds, true AS union_in_bounds
+        |FROM f""".stripMargin
   )
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with

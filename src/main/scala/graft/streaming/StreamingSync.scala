@@ -87,11 +87,19 @@ object StreamingSync {
     * state holds only rows younger than watermark + horizon, so state
     * is ∝ events-per-horizon-window, never the full stream. The same
     * method works unchanged in batch (watermarks are no-ops there),
-    * which is how the spec pins stream/batch parity. */
+    * which is how the spec pins stream/batch parity.
+    *
+    * `joinType = "left_outer"` answers the OTHER attribution question
+    * — which views converted to nothing: an unconverted view is
+    * emitted with NULL click columns once the watermark passes
+    * `view_ts + horizon` (only then can streaming PROVE no click is
+    * still coming); in batch the outer rows emit immediately. Same
+    * bounded state either way. */
   def attributionJoin(views: DataFrame, clicks: DataFrame,
       horizon: String = "1 hour", watermark: String = "2 hours",
       keyCol: String = "user_id", tsCol: String = "ts",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id", joinType: String = "inner")
+      : DataFrame = {
     val v = views.select(col(keyCol), col(idCol).as("view_id"),
       col(tsCol).as("view_ts")).withWatermark("view_ts", watermark)
     val c = clicks.select(col(keyCol).as("c_key"),
@@ -99,7 +107,8 @@ object StreamingSync {
       .withWatermark("click_ts", watermark)
     v.join(c, col(keyCol) === col("c_key") &&
         col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col(keyCol), col("view_id"), col("view_ts"),
         col("click_id"), col("click_ts"))
   }

@@ -2243,4 +2243,78 @@ class ExtSpec extends SparkSpec {
     assert(got(1L)._2 === 1L)
     assert(math.abs(got(1L)._3 - d1) < 5e-5, s"${got(1L)._3} vs $d1")
   }
+
+  test("theta sketches: exact mode, estimation bounds, set algebra") {
+    import graft.plans.ThetaFunctions
+    import graft.plans.ThetaFunctions.thetaSketchAgg
+    // exact mode: below nomEntries distinct keys, θ = 1 and the
+    // estimate IS the exact count (bounds collapse onto it)
+    val small = (0L until 100L).toDF("k")
+    val skSmall = ThetaFunctions.wrap(small
+      .agg(thetaSketchAgg($"k", 256).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk"))
+    assert(skSmall.getEstimate === 100.0)
+    assert(skSmall.getLowerBound(3) === 100.0)
+    assert(skSmall.getUpperBound(3) === 100.0)
+    // estimation mode: 40k keys through a 256-entry sketch — the
+    // exact count sits inside the 3σ bounds and within the published
+    // ~1/√k relative error (generous 5/√k gate)
+    val big = (0L until 40000L).toDF("k")
+    val skBig = ThetaFunctions.wrap(big
+      .agg(thetaSketchAgg($"k", 256).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk"))
+    assert(skBig.getLowerBound(3) <= 40000.0 &&
+      40000.0 <= skBig.getUpperBound(3))
+    assert(math.abs(skBig.getEstimate - 40000.0) / 40000.0 <
+      5.0 / math.sqrt(256.0))
+    // partitioning invariance: the retained-hash set is a function of
+    // the key SET, so any layout yields the IDENTICAL estimate
+    val skBig7 = ThetaFunctions.wrap(big.repartition(7)
+      .agg(thetaSketchAgg($"k", 256).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk"))
+    assert(skBig7.getEstimate === skBig.getEstimate)
+    // set algebra on overlapping ranges: [0, 40k) ∩ [30k, 70k) =
+    // 10k, ∪ = 70k — both inside their own 3σ bounds
+    val other = (30000L until 70000L).toDF("k")
+    val skOther = ThetaFunctions.wrap(other
+      .agg(thetaSketchAgg($"k", 256).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk"))
+    val inter = ThetaFunctions.intersect(skBig, skOther)
+    val uni = ThetaFunctions.union(skBig, skOther, 256)
+    assert(inter.getLowerBound(3) <= 10000.0 &&
+      10000.0 <= inter.getUpperBound(3))
+    assert(uni.getLowerBound(3) <= 70000.0 &&
+      70000.0 <= uni.getUpperBound(3))
+    // difference closes the algebra: |A \ B| = 30k
+    val diff = ThetaFunctions.aNotB(skBig, skOther)
+    assert(diff.getLowerBound(3) <= 30000.0 &&
+      30000.0 <= diff.getUpperBound(3))
+  }
+
+  test("audience overlap audit: exact sizes and empty-side degenerate") {
+    import graft.operators.SketchAlgebra
+    val ev = Seq(
+      (1L, "buy", 90.0), (2L, "buy", 95.0), (3L, "buy", 10.0),
+      (1L, "err", 5.0), (4L, "err", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r = SketchAlgebra.audienceOverlap(ev, "a", "b",
+      $"event_type" === "buy" && $"value" > 80.0,
+      $"event_type" === "err", nomEntries = 16).collect().head
+    // A = {1, 2}, B = {1, 4}: inter {1}, union {1, 2, 4}
+    assert(r.getAs[Long]("exact_a") === 2L)
+    assert(r.getAs[Long]("exact_b") === 2L)
+    assert(r.getAs[Long]("exact_inter") === 1L)
+    assert(r.getAs[Long]("exact_union") === 3L)
+    // exact mode → every bound collapses onto the exact value
+    assert(Seq("a_in_bounds", "b_in_bounds", "inter_in_bounds",
+      "union_in_bounds").forall(r.getAs[Boolean]))
+    // an audience nobody matches degenerates cleanly (empty sketch)
+    val e = SketchAlgebra.audienceOverlap(ev, "a", "none",
+      $"event_type" === "buy", $"event_type" === "nope",
+      nomEntries = 16).collect().head
+    assert(e.getAs[Long]("exact_b") === 0L)
+    assert(e.getAs[Long]("exact_inter") === 0L)
+    assert(e.getAs[Boolean]("b_in_bounds") &&
+      e.getAs[Boolean]("inter_in_bounds"))
+  }
 }

@@ -170,6 +170,48 @@ class StreamingSyncSpec extends SparkSpec {
       _.operatorName.contains("symmetricHashJoin")))
   }
 
+  test("left-outer attribution emits unmatched views past the watermark") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf0001)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    // a far-future sentinel view pushes the final watermark past every
+    // real view's (ts + horizon) expiry, so streaming can PROVE every
+    // unconverted real view unconverted and emit its NULL row; the
+    // sentinel itself stays buffered (its own expiry is past the
+    // watermark) and never appears
+    // ...on BOTH sides: the global watermark is the MIN of the two
+    // sides' watermarks, so a lagging clicks side would hold back
+    // every real view's emission
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    def sentinel(user: Long) = Seq((user, user,
+      new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)))
+      .toDF("user_id", "event_id", "ts")
+    views.unionByName(sentinel(999999L)).write.parquet(s"$dir/views")
+    clicks.unionByName(sentinel(999998L)).write.parquet(s"$dir/clicks")
+    def side(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema).parquet(p)
+    val q = graft.streaming.StreamingSync.attributionJoin(
+        side(s"$dir/views"), side(s"$dir/clicks"),
+        joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = graft.streaming.StreamingSync.attributionJoin(
+      views, clicks, joinType = "left_outer")
+    val streamed = spark.table("attr_outer")
+    assert(streamed.filter($"user_id" === 999999L).isEmpty)
+    // outer rows exist (some views convert to nothing) and the
+    // streamed result equals the batch left join exactly
+    assert(batch.filter($"click_id".isNull).count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("foreachBatch sync sink converges to the batch engine's state") {
     val base = tmp()
     val source = SyncFixture.source(spark, sf0001)
