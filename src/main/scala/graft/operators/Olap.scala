@@ -197,22 +197,33 @@ object Olap {
     * (`op ∈ {I, U, D}`, totally ordered per key by `(ts, seq)`) into
     * the final snapshot: each key lands on its LAST operation, delete
     * wins by vanishing. ONE map-side-combining aggregate via a struct
-    * max ordered lexicographically on `(ts, seq)` — no per-key sort,
-    * no window, so the plan is a single shuffle of partially-combined
-    * rows regardless of how many ops a hot key accumulated (the
-    * row_number() formulation pays a full sort of the log instead).
+    * max ordered lexicographically on `(ts, seq)` — no window, and
+    * the EXCHANGE carries one partially-combined row per key
+    * regardless of how many ops a hot key accumulated. The
+    * row_number() formulation instead shuffles the RAW log and sorts
+    * it after — at 100 TB the shuffle volume is the cost axis, so the
+    * aggregate wins even though a struct-typed max buffer is not
+    * HashAggregate-eligible (Spark plans a partial SortAggregate: the
+    * sort is per-partition, spillable, and pre-combine — PlanSpec
+    * pins the no-window / one-keys-sized-exchange shape).
     * Out-of-order arrival is free: max() is commutative, so a replayed
     * or late-delivered op cannot change the outcome — the idempotence
     * the reference's nightly re-scan window relies on
-    * (`Code.gs:666-669`), generalized to op-coded logs. */
+    * (`Code.gs:666-669`), generalized to op-coded logs.
+    *
+    * The op rides the max struct as an INT code, not the string,
+    * keeping the sort key compare branch-cheap and the buffer
+    * fixed-width. */
   def cdcApply(log: DataFrame, keyCol: String = "key",
       tsCol: String = "ts", seqCol: String = "seq",
       opCol: String = "op", valueCol: String = "value"): DataFrame = {
+    val opCode = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1).otherwise(0)
     val last = log.groupBy(col(keyCol))
       .agg(max(struct(col(tsCol).as("t"), col(seqCol).as("q"),
-        col(opCol).as("o"), col(valueCol).as("v"))).as("last"),
+        opCode.as("o"), col(valueCol).as("v"))).as("last"),
         count(lit(1)).as("n_ops"))
-    last.filter(col("last.o") =!= "D")
+    last.filter(col("last.o") =!= 2)
       .select(col(keyCol), col("last.t").as("last_ts"),
         col("last.v").as("last_value"), col("n_ops"))
   }

@@ -506,6 +506,73 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cdc apply: no window; the one exchange carries combined rows") {
+    withStaticPlan {
+      val df = run("x_cdc_apply")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+        s"the row_number shape would shuffle the raw log:\n$plan")
+      val ex = shuffles(df)
+      assert(ex.length === 1,
+        s"one keys-sized exchange:\n$plan")
+      // partial aggregation runs BEFORE the exchange: the shuffle
+      // moves one combined row per (partition, key), never raw ops
+      assert(ex.head.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate
+          .BaseAggregateExec if a.aggregateExpressions
+          .exists(_.mode == org.apache.spark.sql.catalyst.expressions
+            .aggregate.Partial) => a
+      }.nonEmpty, s"map-side combine below the exchange:\n$plan")
+    }
+  }
+
+  test("triangle census joins by key orientation, never all-pairs") {
+    withStaticPlan {
+      val plan = run("x_triangle_count").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec if j.joinType.sql != "CROSS" => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"wedges must meet by equi-join (the only cross " +
+        s"joins are the 1-row count stitches):\n$plan")
+    }
+  }
+
+  test("bm25 cuts top-k by TakeOrdered, never a global sort of docs") {
+    withStaticPlan {
+      val df = run("x_bm25_topk")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+          => t
+      }.nonEmpty, s"the k-cut must be TakeOrderedAndProject:\n$plan")
+      assert(plan.collect {
+        case b: BroadcastHashJoinExec => b
+      }.length >= 2, s"df and avgdl ride broadcasts:\n$plan")
+    }
+  }
+
+  test("theta overlap aggregates sketch bytes, never distinct keys") {
+    withStaticPlan {
+      // the overlap query combines its sketches at build time, so the
+      // pin inspects the sketch fold itself: the per-audience
+      // aggregate the operator runs before the driver-side algebra
+      val df = Tables.events(spark, sf0001)
+        .groupBy(org.apache.spark.sql.functions.col("event_type"))
+        .agg(graft.plans.ThetaFunctions.thetaSketchAgg(
+          org.apache.spark.sql.functions.col("user_id"), 256).as("sk"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case o: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => o
+      }.length === 2, // partial + final: bytes through the exchange
+        s"the sketch fold must plan as ObjectHashAggregate:\n$plan")
+    }
+  }
+
   test("ivm merge never rescans history: stored partials + delta agg") {
     withStaticPlan {
       val df = run("x_ivm_daily")
