@@ -76,6 +76,8 @@ object ExtQueries {
   val SceneCutThreshold = 120L // signature jump that flags a cut
   val ThetaNomEntries = 256 // exact below 256 users, estimating above
   val ThetaNSd = 3 // bound width for the in-bounds audit booleans
+  val ThetaParts = 4 // sketch-state rows in the merge audit
+  val HistBuckets = 4 // equi-depth histogram bins per key
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1586,7 +1588,28 @@ object ExtQueries {
         "purchase_gt80", "error_lt20",
         col("event_type") === "purchase" && col("value") > 80.0,
         col("event_type") === "error" && col("value") < 20.0,
-        nomEntries = ThetaNomEntries, nSd = ThetaNSd))
+        nomEntries = ThetaNomEntries, nSd = ThetaNSd)),
+
+    // Theta sketch-state merge audit (the x_freq_merge pattern for
+    // the set-algebra family): per-part sketch rows unioned back —
+    // the hashed contract is the one that survives any merge order,
+    // exact-distinct inside the merged bounds.
+    "x_theta_merge" -> ((s, d) =>
+      SketchAlgebra.thetaMergeProfile(Tables.events(s, d),
+        parts = ThetaParts, nomEntries = ThetaNomEntries,
+        nSd = ThetaNSd)),
+
+    // CUSUM changepoint per event type: the day where the cumulative
+    // deviation from the key's mean peaks — division-free scaled form
+    // (|n·prefix − t·total|), exact decimals, earliest-day tiebreak.
+    "x_changepoint_cusum" -> ((s, d) =>
+      Temporal.cusumChangepoint(Tables.events(s, d))),
+
+    // Equi-depth histogram of daily totals per event type: ntile bins
+    // over a total order — the skew-adaptive profile (equi-width bins
+    // collapse under skew).
+    "x_equidepth_hist" -> ((s, d) =>
+      Olap.equiDepthHist(Tables.events(s, d), buckets = HistBuckets))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4390,7 +4413,56 @@ object ExtQueries {
         |  count(*)::bigint AS exact_union,
         |  true AS a_in_bounds, true AS b_in_bounds,
         |  true AS inter_in_bounds, true AS union_in_bounds
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // the merge contract that survives any union order: exact
+    // distinct inside the merged sketch's bounds
+    "x_theta_merge" ->
+      s"""SELECT $ThetaParts AS n_parts,
+         |  count(DISTINCT user_id)::bigint AS exact_keys,
+         |  true AS merged_in_bounds
+         |FROM events""".stripMargin,
+
+    // division-free CUSUM: |n·prefix − t·total| has the same argmax
+    // as |prefix − t·mean| and stays an exact decimal
+    "x_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::date AS day,
+        |    sum(value::decimal(18,2)) AS dtot
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day,
+        |    sum(dtot) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS t,
+        |    sum(dtot) OVER (PARTITION BY event_type) AS total,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, day, n_days,
+        |    abs(n_days * prefix - t * total) AS sabs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * prefix - t * total) DESC, day) AS rk
+        |  FROM pre)
+        |SELECT event_type, day AS cp_day, n_days::bigint AS n_days,
+        |  sabs::double AS cusum_scaled
+        |FROM s WHERE rk = 1""".stripMargin,
+
+    // ntile over the (value, day) total order — engine-exact bins
+    "x_equidepth_hist" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, ts::date AS day,
+         |    sum(value::decimal(18,2)) AS dtot
+         |  FROM events GROUP BY 1, 2),
+         |b AS (
+         |  SELECT event_type, dtot,
+         |    ntile($HistBuckets) OVER (PARTITION BY event_type
+         |      ORDER BY dtot, day) AS bucket
+         |  FROM daily)
+         |SELECT event_type, bucket, count(*)::bigint AS n_days,
+         |  min(dtot)::double AS lo, max(dtot)::double AS hi
+         |FROM b GROUP BY 1, 2""".stripMargin
   )
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with

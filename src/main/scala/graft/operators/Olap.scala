@@ -258,6 +258,31 @@ object Olap {
           col(s"n.$v").as(s"new_$v"))): _*)
   }
 
+  /** Equi-depth histogram of per-key daily totals: `buckets` ntile
+    * bins over the total-ordered (value, day) sequence, each reported
+    * with its population and [lo, hi] value range — the quantile-bin
+    * profile a monitoring dashboard draws (equi-WIDTH bins collapse
+    * under skew; equi-depth adapts). ntile over a TOTAL order is
+    * engine-exact (both engines deal larger buckets first), the same
+    * contract `x_quality_tiers` pins; the windows run over the
+    * keys-sized daily frame, and at web scale the per-key sort swaps
+    * for GK quantile thresholds exactly as `qualityBucketsApprox`
+    * does. */
+  def equiDepthHist(events: DataFrame, buckets: Int = 4,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("dtot"))
+    daily
+      .withColumn("bucket", ntile(buckets).over(Window
+        .partitionBy(col(keyCol)).orderBy(col("dtot"), col("day"))))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("dtot")).cast("double").as("lo"),
+        max(col("dtot")).cast("double").as("hi"))
+  }
+
   /** Pairwise Pearson correlation over numeric fact columns, exact
     * where it matters: all five sufficient statistics (Σx, Σy, Σx²,
     * Σy², Σxy) accumulate as DECIMALS (2dp inputs → 4dp products,

@@ -64,4 +64,37 @@ object SketchAlgebra {
         inBounds(col("exact_inter"), inter).as("inter_in_bounds"),
         inBounds(col("exact_union"), uni).as("union_in_bounds"))
   }
+
+  /** Per-part Theta sketch state rows for `keyCol` — the persistable
+    * incremental form: one binary sketch row per ingest batch (here:
+    * per `pmod(key, parts)` slice), the same parquet-state pattern the
+    * HLL and frequency sketches ride. */
+  def thetaState(events: DataFrame, parts: Int,
+      keyCol: String = "user_id", nomEntries: Int = 256): DataFrame =
+    events.groupBy(pmod(col(keyCol), lit(parts)).as("part"))
+      .agg(graft.plans.ThetaFunctions
+        .thetaSketchAgg(col(keyCol), nomEntries).as("sk"),
+        count(lit(1)).as("n_rows"))
+
+  /** Self-validating merge audit in the `x_freq_merge` pattern: split
+    * the keys into `parts` sketch-state rows, union them back, and
+    * hash the contract that SURVIVES any merge order — the exact
+    * distinct count (replayed by the oracle) sits inside the merged
+    * sketch's `nSd` bounds. The merged estimate itself is a set
+    * function of retained hashes but not contractually identical
+    * across merge tree shapes, so it stays un-hashed. */
+  def thetaMergeProfile(events: DataFrame, parts: Int = 4,
+      keyCol: String = "user_id", nomEntries: Int = 256,
+      nSd: Int = 3): DataFrame = {
+    val merged = ThetaFunctions.wrap(
+      thetaState(events, parts, keyCol, nomEntries)
+        .agg(graft.plans.ThetaFunctions
+          .thetaUnionAgg(col("sk"), nomEntries).as("u"))
+        .collect().head.getAs[Array[Byte]]("u")) // one compact sketch
+    events.agg(countDistinct(col(keyCol)).as("exact_keys"))
+      .select(lit(parts).as("n_parts"), col("exact_keys"),
+        (col("exact_keys") >= lit(merged.getLowerBound(nSd)) &&
+          col("exact_keys") <= lit(merged.getUpperBound(nSd)))
+          .as("merged_in_bounds"))
+  }
 }

@@ -425,6 +425,39 @@ object Temporal {
       .select(col("cur"), col("nxt"), col("n"), col("p"), col("rk"))
   }
 
+  /** CUSUM changepoint detection over per-key daily totals: the day
+    * where the cumulative deviation from the key's mean peaks — the
+    * classic level-shift locator (a MAD flag says "this day is odd";
+    * the CUSUM argmax says "the regime changed HERE"). Division-free
+    * exact form: instead of `Σ(xᵢ − x̄)` (whose mean is a quotient
+    * with engine-specific decimal scale rules), the statistic is
+    * scaled by n — `|n·prefixₜ − t·total|` — which has the same
+    * argmax and stays an exact integer×decimal product, replayable
+    * bit-for-bit. One keys-sized daily aggregate, then windows over
+    * the keys-sized frame; ties on the peak break to the earliest
+    * day. */
+  def cusumChangepoint(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("dtot"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val whole = Window.partitionBy(col(keyCol))
+    val s = daily
+      .withColumn("prefix", sum(col("dtot")).over(byKey.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byKey))
+      .withColumn("total", sum(col("dtot")).over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("sabs",
+        abs(col("n_days") * col("prefix") - col("t") * col("total")))
+    s.withColumn("rk", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("sabs").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col(keyCol), col("day").as("cp_day"), col("n_days"),
+        col("sabs").cast("double").as("cusum_scaled"))
+  }
+
   /** Robust anomaly flags over per-key daily totals: a day is
     * anomalous when its total deviates from the key's MEDIAN by more
     * than `k` × MAD (median absolute deviation) — the

@@ -77,6 +77,63 @@ case class ThetaSketchAgg(
   override def prettyName: String = "graft_theta_sketch"
 }
 
+/** Serialized sketches (`binary`) → merged sketch (`binary`) — the
+  * persistable-state fold: one sketch row per ingested batch rides
+  * parquet (the HLL `sketchState` / Misra-Gries `freqState` pattern),
+  * and stored sketches union back together at read time without
+  * touching the keys that built them. Union is a set operation over
+  * retained hashes, so the ERROR CONTRACT (exact inside the merged
+  * bounds) survives any merge order or tree shape — which is what the
+  * audit queries hash; the estimate itself is not contractually
+  * identical across merge shapes and stays un-hashed. */
+case class ThetaUnionAgg(
+    child: Expression,
+    nomEntries: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(nomEntries).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val bytes = child.eval(input)
+    if (bytes != null)
+      buffer.union(Sketches.wrapSketch(
+        Memory.wrap(bytes.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def eval(buffer: Union): Any = serialize(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : ThetaUnionAgg = copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : ThetaUnionAgg = copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ThetaUnionAgg = copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_theta_union"
+}
+
 /** Column constructors + driver-side set algebra over serialized
   * sketches (bounded metadata — a compact sketch is ≤ ~8·k bytes, so
   * combining a handful on the driver is index-metadata scale, never a
@@ -87,6 +144,12 @@ object ThetaFunctions {
   def thetaSketchAgg(key: Column, nomEntries: Int): Column =
     GraftBridge.column(
       ThetaSketchAgg(GraftBridge.expression(key), nomEntries)
+        .toAggregateExpression())
+
+  /** Merge serialized Theta sketches into one serialized sketch. */
+  def thetaUnionAgg(sketches: Column, nomEntries: Int): Column =
+    GraftBridge.column(
+      ThetaUnionAgg(GraftBridge.expression(sketches), nomEntries)
         .toAggregateExpression())
 
   def wrap(bytes: Array[Byte]): Sketch =

@@ -2291,6 +2291,36 @@ class ExtSpec extends SparkSpec {
       30000.0 <= diff.getUpperBound(3))
   }
 
+  test("theta state rows survive parquet and union within bounds") {
+    import graft.operators.SketchAlgebra
+    import graft.plans.ThetaFunctions
+    val keys = (0L until 5000L).toDF("user_id")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-theta-state").toString + "/states"
+    // persist per-part sketch states as an incremental pipeline would
+    SketchAlgebra.thetaState(keys, parts = 4, nomEntries = 256)
+      .write.parquet(path)
+    val reloaded = spark.read.parquet(path)
+      .agg(ThetaFunctions.thetaUnionAgg($"sk", 256).as("u"))
+      .collect().head.getAs[Array[Byte]]("u")
+    val merged = ThetaFunctions.wrap(reloaded)
+    // the published contract survives the parquet round-trip + merge
+    assert(merged.getLowerBound(3) <= 5000.0 &&
+      5000.0 <= merged.getUpperBound(3))
+    // serialization is lossless: the same union without the disk hop
+    // lands the identical estimate
+    val direct = ThetaFunctions.wrap(
+      SketchAlgebra.thetaState(keys, parts = 4, nomEntries = 256)
+        .agg(ThetaFunctions.thetaUnionAgg($"sk", 256).as("u"))
+        .collect().head.getAs[Array[Byte]]("u"))
+    assert(direct.getEstimate === merged.getEstimate)
+    // the audit query's contract holds end to end
+    val audit = SketchAlgebra.thetaMergeProfile(keys, parts = 4,
+      nomEntries = 256).collect().head
+    assert(audit.getAs[Long]("exact_keys") === 5000L)
+    assert(audit.getAs[Boolean]("merged_in_bounds"))
+  }
+
   test("audience overlap audit: exact sizes and empty-side degenerate") {
     import graft.operators.SketchAlgebra
     val ev = Seq(

@@ -634,6 +634,40 @@ class OlapSpec extends SparkSpec {
     assert(got.count(_._2._4) === 1)
   }
 
+  test("cusum: peak sits on the last day of the old regime") {
+    import graft.operators.Temporal
+    // totals 10,10,10,100,100 → S_t = 5·prefix − t·230 peaks (|−540|)
+    // at day 3: the boundary BEFORE the level shift
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "t", 10.0),
+      ev(2, "2024-01-02 08:00:00", 1, "t", 10.0),
+      ev(3, "2024-01-03 08:00:00", 1, "t", 10.0),
+      ev(4, "2024-01-04 08:00:00", 1, "t", 100.0),
+      ev(5, "2024-01-05 08:00:00", 1, "t", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.cusumChangepoint(es).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[java.sql.Date]("cp_day").toString ===
+      "2024-01-03")
+    assert(r.head.getAs[Double]("cusum_scaled") === 540.0)
+    assert(r.head.getAs[Long]("n_days") === 5L)
+  }
+
+  test("equi-depth histogram: larger buckets first, exact ranges") {
+    val es = (1 to 5).map(i =>
+      ev(i.toLong, f"2024-01-0$i 08:00:00", 1, "t", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val h = Olap.equiDepthHist(es, buckets = 4).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("lo"),
+          r.getAs[Double]("hi"))).toMap
+    // 5 days into 4 bins: the FIRST bucket takes the extra row
+    assert(h(1) === ((2L, 1.0, 2.0)))
+    assert(h(2) === ((1L, 3.0, 3.0)))
+    assert(h(3) === ((1L, 4.0, 4.0)))
+    assert(h(4) === ((1L, 5.0, 5.0)))
+  }
+
   test("triangles: K4 + pendant, degree-oriented equals brute truth") {
     import graft.operators.GraphStats
     // K4 on {1..4}: 4 triangles, 12 wedges, transitivity 1.0; add a
