@@ -1525,9 +1525,9 @@ object ExtQueries {
 
     // CDC log apply: the events stream recast as a Debezium-style
     // op-coded change log (I/U/D per event type), folded into the
-    // final per-key snapshot by ONE struct-max aggregate — no per-key
-    // sort, no window, delete wins by vanishing. Commutative, so
-    // out-of-order and replayed ops cannot change the outcome.
+    // final per-key snapshot by ONE struct-max aggregate — no window,
+    // keys-sized exchange, delete wins by vanishing. Commutative, so
+    // out-of-order arrival lands the same snapshot columns.
     "x_cdc_apply" -> ((s, d) => {
       val log = Tables.events(s, d).select(col("user_id"), col("ts"),
         col("event_id"),

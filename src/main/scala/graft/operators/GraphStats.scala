@@ -60,8 +60,8 @@ object GraphStats {
       .agg(count(lit(1)).as("n_triangles"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
     val vw = deg.agg(count(lit(1)).as("n_vertices"),
-      sum((col("d") * (col("d") - 1L) / lit(2L)).cast("long"))
-        .as("n_wedges"))
+      coalesce(sum((col("d") * (col("d") - 1L) / lit(2L)).cast("long")),
+        lit(0L)).as("n_wedges")) // empty graph: 0 wedges, not NULL
     vw.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

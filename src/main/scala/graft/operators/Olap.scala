@@ -206,10 +206,16 @@ object Olap {
     * HashAggregate-eligible (Spark plans a partial SortAggregate: the
     * sort is per-partition, spillable, and pre-combine — PlanSpec
     * pins the no-window / one-keys-sized-exchange shape).
-    * Out-of-order arrival is free: max() is commutative, so a replayed
-    * or late-delivered op cannot change the outcome — the idempotence
-    * the reference's nightly re-scan window relies on
-    * (`Code.gs:666-669`), generalized to op-coded logs.
+    * Out-of-order arrival is free: max() is commutative, so a late-
+    * delivered op lands the same SNAPSHOT columns (`last_ts`,
+    * `last_value`, the delete decision) from any arrival order — the
+    * idempotence the reference's nightly re-scan window relies on
+    * (`Code.gs:666-669`), generalized to op-coded logs. `n_ops` is a
+    * diagnostic count of log ROWS, so a physically duplicated row
+    * does increment it; a caller that needs replay-proof counts
+    * dedups the log on `(key, ts, seq)` first (the exactly-once
+    * question belongs to the transport, as in `bootstrapOrAppend`'s
+    * batch tags).
     *
     * The op rides the max struct as an INT code, not the string,
     * keeping the sort key compare branch-cheap and the buffer

@@ -53,9 +53,10 @@ object SketchAlgebra {
     rows.groupBy(col("k"))
       .agg(max(when(col("side") === "a", 1).otherwise(0)).as("ina"),
         max(when(col("side") === "b", 1).otherwise(0)).as("inb"))
-      .agg(sum(col("ina")).as("exact_a"), sum(col("inb")).as("exact_b"),
-        sum(col("ina") * col("inb")).as("exact_inter"),
-        count(lit(1)).as("exact_union"))
+      .agg(coalesce(sum(col("ina")), lit(0L)).as("exact_a"),
+        coalesce(sum(col("inb")), lit(0L)).as("exact_b"),
+        coalesce(sum(col("ina") * col("inb")), lit(0L)).as("exact_inter"),
+        count(lit(1)).as("exact_union")) // both-empty: 0s, not NULLs
       .select(lit(labelA).as("audience_a"), lit(labelB).as("audience_b"),
         col("exact_a"), col("exact_b"), col("exact_inter"),
         col("exact_union"),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
-/** Theta sketch aggregate over a long key column — the SET-ALGEBRA
+/** Theta sketch aggregates over key/sketch columns — the SET-ALGEBRA
   * sketch family beside the suite's HLL (cardinality), GK (quantiles)
   * and Misra-Gries (frequencies): a Theta sketch retains the k
   * smallest hash values of the key SET, so two sketches support
@@ -27,25 +27,25 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * which is what lets the audit queries hash bound booleans derived
   * from them. Below k distinct keys the sketch is EXACT (θ = 1);
   * above, estimates carry the published ~1/√k relative error.
+  *
+  * The shared buffer plumbing lives here; [[ThetaSketchAgg]] folds
+  * raw long keys, [[ThetaUnionAgg]] folds already-serialized sketches
+  * (the persistable-state form: one binary sketch row per ingested
+  * batch rides parquet — the HLL `sketchState` / Misra-Gries
+  * `freqState` pattern — and stored rows union back at read time
+  * without touching the keys that built them; the error CONTRACT
+  * survives any merge order, which is what the audit queries hash).
   */
-case class ThetaSketchAgg(
-    child: Expression,
-    nomEntries: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+sealed trait ThetaAggBase
   extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  def nomEntries: Int
 
   require(nomEntries > 0 && (nomEntries & (nomEntries - 1)) == 0,
     s"nomEntries must be a power of 2, got $nomEntries")
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setNominalEntries(nomEntries).buildUnion()
-
-  override def update(buffer: Union, input: InternalRow): Union = {
-    val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[Long])
-    buffer
-  }
 
   override def merge(buffer: Union, other: Union): Union = {
     buffer.union(other.getResult)
@@ -62,6 +62,24 @@ case class ThetaSketchAgg(
   }
 
   override def eval(buffer: Union): Any = serialize(buffer)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+}
+
+/** Long keys → serialized Theta sketch (`binary`). */
+case class ThetaSketchAgg(
+    child: Expression,
+    nomEntries: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends ThetaAggBase {
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int)
       : ThetaSketchAgg = copy(mutableAggBufferOffset = newOffset)
@@ -72,29 +90,16 @@ case class ThetaSketchAgg(
   override protected def withNewChildInternal(newChild: Expression)
       : ThetaSketchAgg = copy(child = newChild)
 
-  override def nullable: Boolean = false
-  override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_theta_sketch"
 }
 
-/** Serialized sketches (`binary`) → merged sketch (`binary`) — the
-  * persistable-state fold: one sketch row per ingested batch rides
-  * parquet (the HLL `sketchState` / Misra-Gries `freqState` pattern),
-  * and stored sketches union back together at read time without
-  * touching the keys that built them. Union is a set operation over
-  * retained hashes, so the ERROR CONTRACT (exact inside the merged
-  * bounds) survives any merge order or tree shape — which is what the
-  * audit queries hash; the estimate itself is not contractually
-  * identical across merge shapes and stays un-hashed. */
+/** Serialized sketches (`binary`) → merged sketch (`binary`). */
 case class ThetaUnionAgg(
     child: Expression,
     nomEntries: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
-
-  override def createAggregationBuffer(): Union =
-    SetOperation.builder().setNominalEntries(nomEntries).buildUnion()
+  extends ThetaAggBase {
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val bytes = child.eval(input)
@@ -103,22 +108,6 @@ case class ThetaUnionAgg(
         Memory.wrap(bytes.asInstanceOf[Array[Byte]])))
     buffer
   }
-
-  override def merge(buffer: Union, other: Union): Union = {
-    buffer.union(other.getResult)
-    buffer
-  }
-
-  override def serialize(buffer: Union): Array[Byte] =
-    buffer.getResult.toByteArray
-
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = createAggregationBuffer()
-    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
-    u
-  }
-
-  override def eval(buffer: Union): Any = serialize(buffer)
 
   override def withNewMutableAggBufferOffset(newOffset: Int)
       : ThetaUnionAgg = copy(mutableAggBufferOffset = newOffset)
@@ -129,8 +118,6 @@ case class ThetaUnionAgg(
   override protected def withNewChildInternal(newChild: Expression)
       : ThetaUnionAgg = copy(child = newChild)
 
-  override def nullable: Boolean = false
-  override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_theta_union"
 }
 

@@ -53,6 +53,20 @@ object AggStore {
         lit("AggStore: total overflows decimal(28,2); widen StoredSum"))
         .cast(StoredSum))
 
+  /** [[toStored]] with the non-ANSI silent-overflow hole closed: a
+    * decimal SUM that overflows its own result scale returns NULL
+    * under `spark.sql.ansi.enabled=false` BEFORE [[toStored]] ever
+    * sees a value, and the isNull branch would persist it. A null sum
+    * over a group that had `nonNull > 0` inputs can only mean that
+    * overflow — abort. (Under ANSI the sum aborts on its own; this
+    * keeps the contract mode-invariant.) */
+  private[graft] def toStoredChecked(s: Column, nonNull: Column): Column =
+    when(s.isNull && nonNull > 0L,
+      raise_error(lit(
+        "AggStore: decimal sum overflowed to NULL (non-ANSI); " +
+          "widen the sum type")).cast(StoredSum))
+      .otherwise(toStored(s))
+
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(
       throw new IllegalStateException(
@@ -69,8 +83,8 @@ object AggStore {
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        toStored(sum(col("value").cast(DecimalType(18, 2))))
-          .as("total"))
+        toStoredChecked(sum(col("value").cast(DecimalType(18, 2))),
+          count(col("value"))).as("total"))
 
   /** Merge two partial relations by key (sum of counts, sum of decimal
     * totals). Associative and commutative, so any fold order over any
@@ -79,7 +93,8 @@ object AggStore {
     a.unionByName(b)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("cnt")).as("cnt"),
-        toStored(sum(col("total"))).as("total"))
+        toStoredChecked(sum(col("total")), count(col("total")))
+          .as("total"))
 
   /** Aggregate `events` and publish the partials as version 1. */
   def writeState(events: DataFrame, path: String,

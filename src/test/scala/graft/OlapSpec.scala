@@ -532,6 +532,21 @@ class OlapSpec extends SparkSpec {
     val nul = Seq(Option.empty[java.math.BigDecimal]).toDF("v")
       .select(AggStore.toStored($"v".cast("decimal(38,2)")).as("t"))
     assert(nul.collect().head.isNullAt(0))
+    // the non-ANSI hole: a NULL sum OVER NON-NULL INPUTS is a silent
+    // decimal-sum overflow and must abort; a NULL sum over an empty /
+    // all-null group is legitimate and passes through
+    val holed = Seq((Option.empty[java.math.BigDecimal], 3L))
+      .toDF("s", "nn")
+      .select(AggStore.toStoredChecked(
+        $"s".cast("decimal(38,2)"), $"nn").as("t"))
+    val he = intercept[Exception] { holed.collect() }
+    assert((he.getMessage + Option(he.getCause).map(_.getMessage)
+      .getOrElse("")).contains("overflowed to NULL"))
+    val legit = Seq((Option.empty[java.math.BigDecimal], 0L))
+      .toDF("s", "nn")
+      .select(AggStore.toStoredChecked(
+        $"s".cast("decimal(38,2)"), $"nn").as("t"))
+    assert(legit.collect().head.isNullAt(0))
   }
 
   test("agg store: racing first writers never drop a batch silently") {
