@@ -78,6 +78,7 @@ object ExtQueries {
   val ThetaNSd = 3 // bound width for the in-bounds audit booleans
   val ThetaParts = 4 // sketch-state rows in the merge audit
   val HistBuckets = 4 // equi-depth histogram bins per key
+  val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1609,7 +1610,63 @@ object ExtQueries {
     // over a total order — the skew-adaptive profile (equi-width bins
     // collapse under skew).
     "x_equidepth_hist" -> ((s, d) =>
-      Olap.equiDepthHist(Tables.events(s, d), buckets = HistBuckets))
+      Olap.equiDepthHist(Tables.events(s, d), buckets = HistBuckets)),
+
+    // Market-basket association rules over (user, day) baskets:
+    // support/confidence/lift per directed event-type pair — one
+    // corpus shuffle into cached basket sets, everything downstream
+    // explodes off that frame; ratios are single IEEE divisions of
+    // exact bigints.
+    "x_assoc_rules" -> ((s, d) =>
+      Olap.associationRules(Tables.events(s, d))),
+
+    // Per-key OLS trend slope of daily totals: exact bigint sufficient
+    // statistics over (day-offset, cents), one closing IEEE division.
+    // Completes the monitoring trio (MAD = which day, CUSUM = where
+    // the regime changed, OLS = which way it is heading).
+    "x_trend_ols" -> ((s, d) =>
+      Temporal.trendOls(Tables.events(s, d))),
+
+    // EWMA smoothed level per key (α = 1/2): sequential add-then-halve
+    // fold over day-ordered integer-cent totals — bit-deterministic
+    // without rounding, the "where is it NOW" companion to the slope.
+    "x_ewma_level" -> ((s, d) =>
+      Temporal.ewmaLevel(Tables.events(s, d))),
+
+    // Benford first-digit screen over order totals: leading digit via
+    // integer-cents rendering, exact count ratios, bound booleans
+    // against log10(1+1/d) — the books-audit fraud test (synthetic
+    // uniform amounts correctly FAIL it).
+    "x_benford" -> ((s, d) =>
+      Olap.benfordProfile(Tables.orders(s, d), "o_totalprice",
+        tol = BenfordTol)),
+
+    // 2-D skyline of orders (maximize price AND recency): descending
+    // sweep over the distinct-price frame with a running strictly-
+    // greater max — never the O(n²) dominance anti-join the oracle
+    // brute-forces.
+    "x_skyline" -> ((s, d) =>
+      Olap.skyline2D(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate")),
+        "o_totalprice", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("order_day"))),
+
+    // Gini revenue-concentration index per market segment: exact
+    // bigint rank-weighted sums (tie-permutation-invariant), one
+    // closing IEEE division.
+    "x_gini_segment" -> ((s, d) =>
+      Olap.giniIndex(
+        Tables.orders(s, d).join(
+          broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("o_totalprice")),
+        "segment", "o_totalprice"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4462,7 +4519,119 @@ object ExtQueries {
          |  FROM daily)
          |SELECT event_type, bucket, count(*)::bigint AS n_days,
          |  min(dtot)::double AS lo, max(dtot)::double AS hi
-         |FROM b GROUP BY 1, 2""".stripMargin
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "x_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, ts::date AS day, event_type
+        |  FROM events),
+        |n AS (SELECT count(*)::bigint AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM b)),
+        |pa AS (SELECT event_type, count(*)::bigint AS n
+        |  FROM b GROUP BY 1),
+        |pr AS (SELECT a.event_type AS antecedent,
+        |    c.event_type AS consequent, count(*)::bigint AS n_both
+        |  FROM b a JOIN b c ON a.user_id = c.user_id
+        |    AND a.day = c.day AND a.event_type <> c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.antecedent, pr.consequent, pr.n_both,
+        |  pa.n AS n_ante, pb.n AS n_cons, n.n_baskets,
+        |  CAST(pr.n_both AS double) / n.n_baskets AS support,
+        |  CAST(pr.n_both AS double) / pa.n AS confidence,
+        |  CAST(pr.n_both * n.n_baskets AS double) / (pa.n * pb.n)
+        |    AS lift
+        |FROM pr JOIN pa ON pa.event_type = pr.antecedent
+        |  JOIN pa pb ON pb.event_type = pr.consequent
+        |  CROSS JOIN n""".stripMargin,
+
+    "x_trend_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type,
+        |    datediff('day', min(day) OVER (PARTITION BY event_type),
+        |      day)::bigint AS x,
+        |    cents AS y
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, count(*)::bigint AS n_days,
+        |    sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+        |    sum(x*y)::bigint AS sxy, sum(x*x)::bigint AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(n_days*sxy - sx*sy AS double) /
+        |    nullif(CAST(n_days*sxx - sx*sx AS double), 0.0)
+        |    AS slope_cents_per_day
+        |FROM s""".stripMargin,
+
+    "x_ewma_level" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT event_type, count(*)::bigint AS n_days,
+        |    max(day) AS last_day,
+        |    list_transform(list(cents ORDER BY day),
+        |      x -> CAST(x AS double)) AS xs
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, last_day,
+        |  CASE WHEN n_days = 1 THEN xs[1]
+        |    ELSE list_reduce(xs, (acc, x) -> (acc + x) / 2.0) END
+        |    AS ewma_cents,
+        |  xs[CAST(n_days AS int)] AS last_cents
+        |FROM packed""".stripMargin,
+
+    "x_benford" ->
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+         |      AS bigint) AS varchar), 1, 1) AS int) AS digit
+         |  FROM orders WHERE o_totalprice > 0),
+         |c AS (SELECT digit, count(*)::bigint AS cnt
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT sum(cnt)::bigint AS total FROM c)
+         |SELECT c.digit, c.cnt,
+         |  CAST(c.cnt AS double) / t.total AS freq,
+         |  round(log10(1.0 + 1.0 / c.digit), 6) AS benford_expected,
+         |  (abs(CAST(c.cnt AS double) / t.total -
+         |    log10(1.0 + 1.0 / c.digit)) < $BenfordTol)
+         |    AS benford_close
+         |FROM c CROSS JOIN t""".stripMargin,
+
+    // brute-force dominance anti-join — the INDEPENDENT formulation
+    // of the sweep the Spark side runs (quadratic is fine at oracle
+    // scale and proves the sweep's equivalence on every run)
+    "x_skyline" ->
+      """SELECT q.o_orderkey, q.o_totalprice,
+        |  CAST(q.o_orderdate AS date) AS order_day
+        |FROM orders q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders p
+        |  WHERE p.o_totalprice >= q.o_totalprice
+        |    AND p.o_orderdate >= q.o_orderdate
+        |    AND (p.o_totalprice > q.o_totalprice
+        |      OR p.o_orderdate > q.o_orderdate))""".stripMargin,
+
+    "x_gini_segment" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(round(o.o_totalprice * 100, 0) AS bigint) AS cents
+        |  FROM orders o JOIN customer c
+        |    ON c.c_custkey = o.o_custkey),
+        |r AS (
+        |  SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents) AS i,
+        |    count(*) OVER (PARTITION BY segment) AS n
+        |  FROM j)
+        |SELECT segment, max(n)::bigint AS n_rows,
+        |  CAST(sum((2*i - n - 1) * cents) AS double) /
+        |    nullif(CAST(max(n) * sum(cents) AS double), 0.0) AS gini
+        |FROM r GROUP BY segment""".stripMargin
   )
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with

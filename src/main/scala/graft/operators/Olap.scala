@@ -384,4 +384,135 @@ object Olap {
         col("stats.n_nulls"), col("stats.n_distinct"),
         col("stats.min_str"), col("stats.max_str"))
   }
+
+  /** Association rules over (user, day) baskets: for every directed
+    * event-type pair A→B, support / confidence / lift — the
+    * market-basket summary behind "users who X also Y" (the PMI
+    * collocation rung's transactional sibling: PMI scores word
+    * co-occurrence inside documents, this scores event co-occurrence
+    * inside activity baskets). ONE corpus shuffle: the distinct
+    * (user, day, type) triples aggregate into per-basket type SETS,
+    * and every downstream relation — basket count, per-type counts,
+    * pair counts — explodes off that cached baskets-sized frame
+    * (fan-out bounded by the type-alphabet², never a self-join of
+    * the corpus). All three ratios are SINGLE IEEE divisions of
+    * exact bigint products (`lift = n_both·n_baskets / (n_a·n_b)` —
+    * one division, not a quotient of quotients), bit-identical
+    * across engines with no rounding step. */
+  def associationRules(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type")
+      : DataFrame = {
+    val baskets = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(collect_set(col(typeCol)).as("types"))
+    val cached = CacheRegistry.tracked(baskets)
+    val nBaskets = cached.agg(count(lit(1)).as("n_baskets"))
+    val perType = cached
+      .select(explode(col("types")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = cached
+      .select(explode(col("types")).as("antecedent"), col("types"))
+      .select(col("antecedent"),
+        explode(col("types")).as("consequent"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("t"), col("n").as("n_ante"))),
+        col("t") === col("antecedent")).drop("t")
+      .join(broadcast(perType.select(col("t"), col("n").as("n_cons"))),
+        col("t") === col("consequent")).drop("t")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"), col("n_baskets"),
+        (col("n_both").cast("double") / col("n_baskets"))
+          .as("support"),
+        (col("n_both").cast("double") / col("n_ante"))
+          .as("confidence"),
+        ((col("n_both") * col("n_baskets")).cast("double") /
+          (col("n_ante") * col("n_cons"))).as("lift"))
+  }
+
+  /** Benford first-digit profile: the distribution of leading
+    * significant digits against Benford's law — the classic
+    * books-audit fraud screen (organic financial amounts follow
+    * log₁₀(1+1/d); fabricated or synthetic ones don't, and THIS
+    * synthetic corpus correctly fails the test). The digit comes
+    * from integer-cents string rendering, never floor(log₁₀) — the
+    * float log at a power-of-ten boundary misassigns the digit.
+    * Frequencies are single IEEE divisions of exact counts; the
+    * expectation is rounded to 6dp; closeness is a BOUND boolean
+    * (robust to the last-ulp difference between the two engines'
+    * log₁₀). One scan, one 9-row aggregate. */
+  def benfordProfile(df: DataFrame, valueCol: String,
+      tol: Double = 0.02): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0.0)
+      .select(substring(round(col(valueCol) * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum(col("cnt")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_expected"),
+        (abs(col("cnt").cast("double") / col("total") -
+          log10(lit(1.0) + lit(1.0) / col("digit"))) < tol)
+          .as("benford_close"))
+  }
+
+  /** 2-D skyline (Pareto frontier, maximizing both columns): the
+    * rows no other row beats on BOTH axes — "latest AND largest"
+    * candidate sets for review queues. Never the O(n²) dominance
+    * anti-join: grouping by x gives each x-value its max y, and one
+    * descending sweep over that DISTINCT-x frame carries the running
+    * max y of all STRICTLY larger x (rowsBetween excluding current —
+    * after the groupBy, preceding rows are exactly the larger
+    * x-values); a row survives iff that carried max is below its y
+    * and it holds its own x-group's max (equal points co-survive:
+    * dominance requires a strict axis). The global window orders the
+    * distinct-x frame, not the corpus — at cluster scale the sweep
+    * becomes per-range-partition local skylines + a boundary-max
+    * fix-up pass, same contract. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      keepCols: Seq[String]): DataFrame = {
+    val perX = df.groupBy(col(xCol))
+      .agg(max(col(yCol)).as("__ymax"))
+    val sweep = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("__ygt", max(col("__ymax")).over(sweep))
+    df.join(frontier, Seq(xCol))
+      .filter((col("__ygt").isNull || col("__ygt") < col(yCol)) &&
+        col(yCol) === col("__ymax"))
+      .select(keepCols.map(col): _*)
+  }
+
+  /** Gini concentration index per group over integer-cent amounts:
+    * `Σ(2i−n−1)·xᵢ / (n·Σxᵢ)` with xᵢ ascending — 0 = everyone
+    * equal, →1 = one row holds everything; the revenue-concentration
+    * lens a per-segment dashboard draws. Sort-rank ties are FREE:
+    * equal amounts swap identical weight sums, so the bigint
+    * numerator is permutation-invariant under any row_number tie
+    * order — exact sums, one closing IEEE division (long→double
+    * conversion is correctly rounded on both engines). The per-group
+    * sort is the cost: at web scale the exact ranks swap for GK
+    * quantile bucketing exactly as the histogram rungs do. */
+  def giniIndex(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val cents = df.select(col(groupCol),
+      round(col(valueCol) * 100, 0).cast("long").as("__cents"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = cents
+      .withColumn("__i", row_number().over(byGroup
+        .orderBy(col("__cents"))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_rows"),
+        (sum((lit(2) * col("__i") - col("__n") - 1) * col("__cents"))
+          .cast("double") /
+          nullif((max(col("__n")) * sum(col("__cents")))
+            .cast("double"), lit(0.0))).as("gini"))
+  }
 }

@@ -458,6 +458,76 @@ object Temporal {
         col("sabs").cast("double").as("cusum_scaled"))
   }
 
+  /** Per-key least-squares trend over daily totals — the third leg of
+    * the monitoring trio: MAD flags "this day is odd", CUSUM locates
+    * "the regime changed here", and the OLS slope answers "which way
+    * is this key heading, and how fast". Exact end-to-end until the
+    * single closing division: x is the day offset from the key's
+    * first day (small ints), y is the daily total in integer CENTS,
+    * so all five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    * exact BIGINT sums — shuffle order cannot move a bit — and
+    * `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` is one IEEE division
+    * of two exactly-converted longs, bit-identical across engines.
+    * A single-day key has zero x-variance → NULL slope via nullif
+    * (ANSI-safe; never a divide-by-zero abort). The daily frame is
+    * keys-sized, so the min-day window costs nothing regardless of
+    * fact volume. */
+  def trendOls(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val xy = daily
+      .withColumn("x", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col(keyCol))))
+        .cast("long"))
+      .withColumn("y", col("cents"))
+    xy.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(keyCol), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          nullif((col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0))).as("slope_cents_per_day"))
+  }
+
+  /** Exponentially-weighted level per key (α = 1/2) over day-ordered
+    * daily totals — the smoothed "where is this metric NOW" companion
+    * to [[trendOls]]'s direction. The fold runs over integer-cent
+    * daily totals sorted INSIDE the array (collect_list alone has no
+    * cross-partition order), as the sequential left fold
+    * `s ← (s + xᵢ)/2` — every step is the identical IEEE add-then-
+    * halve on both engines (÷2 is exact scaling), so the result is
+    * bit-deterministic without any rounding step. α = 1/2 is the
+    * one smoothing constant whose weights are exact binary powers.
+    * The per-key array is days-sized (bounded by the calendar), so
+    * the higher-order fold is off the hot path; an unbounded-history
+    * caller maintains the level INCREMENTALLY instead — one stored
+    * row per key folded with each new day, the agg-store pattern. */
+  def ewmaLevel(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        transform(array_sort(collect_list(struct(col("day"),
+          col("cents")))), p => p.getField("cents").cast("double"))
+          .as("xs"))
+    packed.select(col(keyCol), col("n_days"), col("last_day"),
+      when(col("n_days") === 1, element_at(col("xs"), 1))
+        .otherwise(aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1),
+          element_at(col("xs"), 1),
+          (acc, x) => (acc + x) / lit(2.0))).as("ewma_cents"),
+      element_at(col("xs"), col("n_days").cast("int"))
+        .as("last_cents"))
+  }
+
   /** Robust anomaly flags over per-key daily totals: a day is
     * anomalous when its total deviates from the key's MEDIAN by more
     * than `k` × MAD (median absolute deviation) — the

@@ -715,4 +715,116 @@ class OlapSpec extends SparkSpec {
       .withColumn("total", $"total")) ===
       normalized(AggStore.partials(eventsFx)))
   }
+
+  test("ols trend: exact slope from cents, single-day key is NULL") {
+    import graft.operators.Temporal
+    // key "u": days 1..3 at 1.00, 2.00, 4.00 → x=0,1,2, y=100,200,400
+    // cents: n=3, Σx=3, Σy=700, Σxy=1000, Σx²=5 →
+    // slope = (3·1000 − 3·700)/(3·5 − 9) = 900/6 = 150 cents/day;
+    // key "s" has one day → zero x-variance → NULL
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "u", 4.0),
+      ev(4, "2024-01-05 08:00:00", 1, "s", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.trendOls(es).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_days"),
+          Option(x.getAs[java.lang.Double]("slope_cents_per_day"))))
+      .toMap
+    assert(r("u") === ((3L, Some(150.0))))
+    assert(r("s") === ((1L, None)))
+  }
+
+  test("ewma level: left fold halves forward, singleton passes through") {
+    import graft.operators.Temporal
+    // cents 100, 200, 300 by day → 100; (100+200)/2 = 150;
+    // (150+300)/2 = 225 — order comes from the sorted array, so feed
+    // the rows in scrambled arrival order
+    val es = Seq(
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "u", 3.0),
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(4, "2024-01-07 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.ewmaLevel(es).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_days"), x.getAs[Double]("ewma_cents"),
+          x.getAs[Double]("last_cents"))).toMap
+    assert(r("u") === ((3L, 225.0, 300.0)))
+    assert(r("s") === ((1L, 700.0, 700.0)))
+  }
+
+  test("assoc rules: day-bounded baskets, set-dedup, exact ratios") {
+    // baskets: u1d1 {a,b} (a appears twice — collect_set dedups),
+    // u1d2 {a}, u2d1 {b,c} → 3 baskets; n_a=2, n_b=2, n_c=1;
+    // a→b: support 1/3, confidence 1/2, lift 3/(2·2) = 0.75.
+    // No pair may cross a day boundary (u1's d1 b and d2 a never pair
+    // beyond their shared d1 basket).
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "a", 0.0),
+      ev(2, "2024-01-01 09:00:00", 1, "a", 0.0),
+      ev(3, "2024-01-01 10:00:00", 1, "b", 0.0),
+      ev(4, "2024-01-02 08:00:00", 1, "a", 0.0),
+      ev(5, "2024-01-01 08:00:00", 2, "b", 0.0),
+      ev(6, "2024-01-01 09:00:00", 2, "c", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Olap.associationRules(es).collect()
+      .map(x => (x.getAs[String]("antecedent"),
+        x.getAs[String]("consequent")) ->
+        (x.getAs[Long]("n_both"), x.getAs[Double]("support"),
+          x.getAs[Double]("confidence"), x.getAs[Double]("lift")))
+      .toMap
+    assert(r(("a", "b")) === ((1L, 1.0 / 3.0, 0.5, 0.75)))
+    assert(r(("b", "a")) === ((1L, 1.0 / 3.0, 0.5, 0.75)))
+    assert(r(("b", "c")) === ((1L, 1.0 / 3.0, 0.5, 1.5)))
+    assert(r(("c", "b")) === ((1L, 1.0 / 3.0, 1.0, 1.5)))
+    assert(r.size === 4) // a/c never share a basket
+  }
+
+  test("benford: digit from cents rendering, bound booleans") {
+    // 0.35 → cents 35 → leading digit 3 (the float-log shortcut
+    // would misread sub-peso amounts); 19.99 → 1999 → 1
+    val vals = Seq(1.0, 19.99, 2.5, 0.35, 900.0, 1234.0)
+      .toDF("amount")
+    val r = Olap.benfordProfile(vals, "amount").collect()
+      .map(x => x.getAs[Int]("digit") ->
+        (x.getAs[Long]("cnt"), x.getAs[Boolean]("benford_close")))
+      .toMap
+    assert(r(1) === ((3L, false))) // 3/6 = .5 vs .301 — not close
+    assert(r(2)._1 === 1L)
+    assert(r(3)._1 === 1L)
+    assert(r(9)._1 === 1L)
+    assert(r.size === 4)
+  }
+
+  test("skyline: sweep equals dominance truth, ties co-survive") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // D=(20,d2) beats B=(20,d1) on the date axis; its duplicate F
+    // co-survives (no strict axis between equals); E=(15,d2) falls
+    // to D's strictly-larger price at the same date; A and C ride
+    // the frontier's staircase
+    val rows = Seq(("A", 10.0, d("2024-01-03")),
+      ("B", 20.0, d("2024-01-01")), ("C", 5.0, d("2024-01-05")),
+      ("D", 20.0, d("2024-01-02")), ("E", 15.0, d("2024-01-02")),
+      ("F", 20.0, d("2024-01-02")))
+      .toDF("id", "price", "date")
+    val got = Olap.skyline2D(rows, "price", "date",
+      Seq("id")).collect().map(_.getString(0)).toSet
+    assert(got === Set("A", "C", "D", "F"))
+  }
+
+  test("gini: equal rows 0, lone holder 2/3, singleton 0") {
+    val rows = Seq(("eq", 1.0), ("eq", 1.0), ("eq", 1.0),
+      ("conc", 0.0), ("conc", 0.0), ("conc", 3.0), ("one", 5.0))
+      .toDF("segment", "amount")
+    val r = Olap.giniIndex(rows, "segment", "amount").collect()
+      .map(x => x.getAs[String]("segment") ->
+        (x.getAs[Long]("n_rows"),
+          Option(x.getAs[java.lang.Double]("gini")))).toMap
+    assert(r("eq") === ((3L, Some(0.0))))
+    assert(r("conc") === ((3L, Some(2.0 / 3.0))))
+    assert(r("one") === ((1L, Some(0.0))))
+  }
 }

@@ -586,4 +586,54 @@ class PlanSpec extends SparkSpec {
       assert(shuffles(df).length <= 2, s"merge is keys-sized:\n$plan")
     }
   }
+
+  test("skyline sweeps the distinct-x frame, never the O(n²) join") {
+    withStaticPlan {
+      val df = run("x_skyline")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"the dominance anti-join shape crept in:\n$plan")
+      // one sweep window over the grouped-by-x frame
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.length === 1, s"one descending sweep only:\n$plan")
+    }
+  }
+
+  test("assoc rules fan out from ONE cached baskets frame") {
+    withStaticPlan {
+      val df = run("x_assoc_rules")
+      val plan = df.queryExecution.executedPlan
+      // basket count / per-type / pairs all read the cache, and the
+      // small-side joins broadcast — the corpus is never self-joined
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => c
+      }.length >= 3, s"three readers off the baskets cache:\n$plan")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec => j
+      }.isEmpty, s"alphabet-sized sides must broadcast:\n$plan")
+    }
+  }
+
+  test("gini: the rank window and the final agg share one shuffle") {
+    withStaticPlan {
+      val df = run("x_gini_segment")
+      val plan = df.queryExecution.executedPlan
+      // customer broadcasts; the only hash exchange is the segment
+      // partitioning, which the window AND the group-by both reuse
+      assert(plan.collect {
+        case b: BroadcastHashJoinExec => b
+      }.nonEmpty, s"dimension join must broadcast:\n$plan")
+      assert(shuffles(df).length === 1,
+        s"rank + agg share the segment exchange:\n$plan")
+    }
+  }
 }
