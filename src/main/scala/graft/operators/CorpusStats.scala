@@ -115,6 +115,38 @@ object CorpusStats {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Compaction plan for a small-files corpus: pack items into
+    * target-sized output bins by RUNNING OFFSET — per source, items in
+    * id order accumulate a byte cursor, and an item's bin is
+    * `start_offset // targetBytes` (its cursor before the item). The
+    * greedy split is deterministic, order-stable under append (new
+    * items only extend the last bin or open new ones — earlier bins
+    * never re-shuffle, so an incremental compactor re-plans only the
+    * tail), and single-pass: one per-source running-sum window, then a
+    * bins-sized aggregate. An item larger than `targetBytes` keeps its
+    * own bin (bins may overflow by one item — the usual compaction
+    * contract; splitting items is the writer's job, not the
+    * planner's). Exact integers end to end; `octet_length` counts
+    * UTF-8 bytes identically on both engines. At 100 TB the "items"
+    * are file-manifest rows (path, size), so the window runs over a
+    * metadata-sized frame, never the data. */
+  def compactionPlan(docs: DataFrame, targetBytes: Long,
+      idCol: String = "doc_id", groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol),
+        octet_length(col(textCol)).cast("long").as("bytes"))
+      .withColumn("__cum", sum(col("bytes")).over(cum))
+      .withColumn("bin",
+        expr(s"(__cum - bytes) div ${targetBytes}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
   /** Vocabulary document frequency: the `k` tokens appearing in the most
     * documents (df desc, token asc — a total order, so the cut is
     * deterministic). distinct-per-doc explode → groupBy token; both

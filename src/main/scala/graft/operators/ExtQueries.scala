@@ -79,6 +79,8 @@ object ExtQueries {
   val ThetaParts = 4 // sketch-state rows in the merge audit
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
+  val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
+  val KmHorizonDays = 14 // inactivity horizon that marks churn vs censor
   val PipelineMinQuality = 0.3
   val VocabTopK = 100
   val BestPerSourceK = 5
@@ -1666,7 +1668,39 @@ object ExtQueries {
           col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("segment"),
             col("o_totalprice")),
-        "segment", "o_totalprice"))
+        "segment", "o_totalprice")),
+
+    // RFM quartile segmentation: exact ntile(4) scores over the
+    // customer-sized frame (custkey tiebreak = engine-exact
+    // boundaries), corpus-max-day recency anchor, named segments.
+    "x_rfm_segment" -> ((s, d) =>
+      Olap.rfmSegment(Tables.orders(s, d))),
+
+    // Pearson χ² independence screen between order priority and
+    // status: exact integer marginals, mirrored single-division
+    // cells — bit-deterministic with no rounding step.
+    "x_chisq_indep" -> ((s, d) =>
+      Olap.chiSquareIndep(Tables.orders(s, d), "o_orderpriority",
+        "o_orderstatus")),
+
+    // Winsorized robust stats per order priority: nearest-rank
+    // p05/p95 clip bounds from pure integer ceil indexes, exact
+    // clipped sums, one closing mean division.
+    "x_winsorized" -> ((s, d) =>
+      Olap.winsorizedStats(Tables.orders(s, d), "o_orderpriority",
+        "o_totalprice")),
+
+    // Autocorrelation of the global daily series at lags 1..7 — the
+    // seasonality probe; exact n-scaled decimal sufficient statistics,
+    // one closing division per lag.
+    "x_acf_daily" -> ((s, d) =>
+      Temporal.autocorrelation(Tables.events(s, d), AcfMaxLag)),
+
+    // Kaplan–Meier user-lifetime survival with right censoring at the
+    // corpus edge: exact integer life table, running ln-sum product
+    // with an explicit zero-survival carry (DuckDB refuses ln(0)).
+    "x_survival_km" -> ((s, d) =>
+      Temporal.kaplanMeier(Tables.events(s, d), KmHorizonDays))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -4631,8 +4665,171 @@ object ExtQueries {
         |SELECT segment, max(n)::bigint AS n_rows,
         |  CAST(sum((2*i - n - 1) * cents) AS double) /
         |    nullif(CAST(max(n) * sum(cents) AS double), 0.0) AS gini
-        |FROM r GROUP BY segment""".stripMargin
+        |FROM r GROUP BY segment""".stripMargin,
+
+    "x_rfm_segment" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey,
+        |    max(o_orderdate::date) AS last_day,
+        |    count(*)::bigint AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS bigint))::bigint
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS corpus_day FROM pc),
+        |s AS (
+        |  SELECT pc.*,
+        |    datediff('day', last_day, corpus_day)::bigint AS r_days
+        |  FROM pc CROSS JOIN a),
+        |q AS (
+        |  SELECT s.*,
+        |    ntile(4) OVER (ORDER BY r_days DESC, custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY n_orders, custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY m_cents, custkey) AS m_score
+        |  FROM s)
+        |SELECT custkey, r_days, n_orders, m_cents,
+        |  r_score, f_score, m_score,
+        |  CASE
+        |    WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+        |      THEN 'champion'
+        |    WHEN r_score >= 3 AND m_score >= 3
+        |      THEN 'big_spender_recent'
+        |    WHEN r_score >= 3 THEN 'promising'
+        |    WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk_valuable'
+        |    ELSE 'hibernating' END AS segment
+        |FROM q""".stripMargin,
+
+    "x_chisq_indep" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*)::bigint AS n_obs
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT a, sum(n_obs)::bigint AS row_total
+        |  FROM obs GROUP BY 1),
+        |c AS (SELECT b, sum(n_obs)::bigint AS col_total
+        |  FROM obs GROUP BY 1),
+        |t AS (SELECT sum(n_obs)::bigint AS n_total,
+        |  ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::bigint
+        |    AS dof
+        |  FROM obs)
+        |SELECT obs.a, obs.b, n_obs, row_total, col_total, n_total, dof,
+        |  CAST(row_total * col_total AS double) /
+        |    CAST(n_total AS double) AS expected,
+        |  (CAST(n_obs * n_total - row_total * col_total AS double) *
+        |   CAST(n_obs * n_total - row_total * col_total AS double)) /
+        |  (CAST(row_total * col_total AS double) *
+        |    CAST(n_total AS double)) AS chi2_cell
+        |FROM obs JOIN r USING (a) JOIN c USING (b)
+        |CROSS JOIN t""".stripMargin,
+
+    "x_winsorized" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100, 0) AS bigint) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS i,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |ix AS (
+        |  SELECT r.*,
+        |    -- // (floor division) — CAST(x AS bigint) ROUNDS in DuckDB
+        |    -- where Spark's cast truncates; the ceil-index arithmetic
+        |    -- must floor on both engines
+        |    greatest(1, (5 * n + 99) // 100) AS ilo,
+        |    greatest(1, (95 * n + 99) // 100) AS ihi
+        |  FROM r),
+        |b AS (
+        |  SELECT ix.*,
+        |    max(CASE WHEN i = ilo THEN cents END)
+        |      OVER (PARTITION BY grp) AS lo,
+        |    max(CASE WHEN i = ihi THEN cents END)
+        |      OVER (PARTITION BY grp) AS hi
+        |  FROM ix)
+        |SELECT grp AS o_orderpriority, count(*)::bigint AS n_rows,
+        |  max(lo)::bigint AS lo_cents, max(hi)::bigint AS hi_cents,
+        |  sum(least(greatest(cents, lo), hi))::bigint AS w_sum_cents,
+        |  CAST(sum(least(greatest(cents, lo), hi)) AS double) /
+        |    CAST(count(*) AS double) AS w_mean_cents
+        |FROM b GROUP BY grp""".stripMargin,
+
+    "x_acf_daily" -> AcfOracleSql,
+
+    "x_survival_km" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, min(ts::date) AS first_day,
+         |    max(ts::date) AS last_day
+         |  FROM events GROUP BY 1),
+         |e AS (SELECT max(last_day) AS corpus_end FROM pu),
+         |life AS (
+         |  SELECT
+         |    datediff('day', first_day, last_day)::bigint AS t_days,
+         |    datediff('day', last_day, corpus_end) > $KmHorizonDays
+         |      AS churned
+         |  FROM pu CROSS JOIN e),
+         |tab AS (
+         |  SELECT t_days,
+         |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::bigint
+         |      AS n_churn,
+         |    sum(CASE WHEN churned THEN 0 ELSE 1 END)::bigint
+         |      AS n_censored
+         |  FROM life GROUP BY 1),
+         |rsk AS (
+         |  SELECT tab.*,
+         |    sum(n_churn + n_censored) OVER (ORDER BY t_days
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      ::bigint AS n_risk
+         |  FROM tab),
+         |curve AS (
+         |  SELECT rsk.*,
+         |    max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END)
+         |      OVER w AS dead,
+         |    sum(CASE WHEN n_churn < n_risk
+         |      THEN ln(1.0 - CAST(n_churn AS double) /
+         |        CAST(n_risk AS double))
+         |      ELSE 0.0 END) OVER w AS lnsum
+         |  FROM rsk
+         |  WINDOW w AS (ORDER BY t_days
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t_days, n_risk, n_churn, n_censored,
+         |  CASE WHEN dead = 1 THEN 0.0
+         |    ELSE round(exp(lnsum), 6) END AS survival
+         |FROM curve""".stripMargin
   )
+
+  /** The autocorrelation oracle, generated per lag from [[AcfMaxLag]]
+    * with the same n-scaled decimal sufficient statistics and single
+    * closing division the Spark side computes. */
+  private lazy val AcfOracleSql: String = {
+    val leads = (1 to AcfMaxLag)
+      .map(k => s"lead(cents, $k) OVER (ORDER BY day) AS l$k")
+      .mkString(", ")
+    val perLag = (1 to AcfMaxLag).map { k =>
+      s"""SELECT $k::int AS lag, count(*)::bigint AS n_pairs,
+         |  sum(dx * CAST(n * l$k - s AS decimal(19,0))) AS num
+         |FROM base WHERE l$k IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT ts::date AS day,
+       |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+       |      ::bigint AS cents
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT sum(cents)::bigint AS s, count(*)::bigint AS n
+       |  FROM daily),
+       |l AS (SELECT day, cents, $leads FROM daily),
+       |base AS (
+       |  SELECT l.*, t.s, t.n,
+       |    CAST(n * cents - s AS decimal(19,0)) AS dx
+       |  FROM l CROSS JOIN t),
+       |den AS (SELECT sum(dx * dx) AS den, max(n)::bigint AS n_days
+       |  FROM base),
+       |sums AS (
+       |$perLag)
+       |SELECT sums.lag, sums.n_pairs, den.n_days,
+       |  CAST(num AS double) / nullif(CAST(den.den AS double), 0.0)
+       |    AS acf
+       |FROM sums CROSS JOIN den""".stripMargin
+  }
 
   /** The correlation-matrix oracle, generated from [[CorrCols]] with
     * the exact decimal sufficient statistics and the same double

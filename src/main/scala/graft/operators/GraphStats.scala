@@ -69,4 +69,99 @@ object GraphStats {
           lit(3L) * col("n_triangles").cast("double") / col("n_wedges"))
           .as("transitivity"))
   }
+
+  /** Canonical undirected adjacency (both directions) + per-vertex
+    * degree from an `(aCol, bCol)` pair list — deduped, self-loops
+    * dropped. Both frames are cache-tracked: every iterative consumer
+    * (BFS, PageRank) re-reads them per round. */
+  private def adjacency(edges: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, DataFrame) = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = CacheRegistry.tracked(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = CacheRegistry.tracked(adj.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d")))
+    (adj, deg)
+  }
+
+  /** Single-source BFS hop distances from the graph's minimum vertex
+    * id (a deterministic, replayable seed), capped at `maxHops`.
+    * Classic frontier expansion: each round joins the CURRENT frontier
+    * (not the whole visited set) to the adjacency list, anti-joins the
+    * visited set, and unions the survivors in — so per-round work is
+    * frontier-sized, and every step is an equi-join or distinct on the
+    * vertex key (at cluster scale this is Pregel's shape: rounds =
+    * supersteps, the visited set the only growing state, with a
+    * `localCheckpoint` every ~10 rounds to cut lineage — at `maxHops`
+    * ≤ 4 the lineage is shallow enough to skip). Exact integers end to
+    * end. Output: `(vec_id, hops)` for every reached vertex. */
+  def bfsHops(edges: DataFrame, maxHops: Int = 4,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (adj, _) = adjacency(edges, aCol, bCol)
+    // 1-row metadata probe (the replayable seed), same license as
+    // bm25TopK's corpus-size count
+    val seed = adj.agg(min(col("src"))).head().getLong(0)
+    var visited = Seq((seed, 0)).toDF("v", "hops")
+    var frontier = visited
+    var k = 1
+    while (k <= maxHops) {
+      val next = frontier
+        .join(adj, frontier("v") === adj("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("hops", lit(k))
+      visited = visited.unionAll(next)
+      frontier = next
+      k += 1
+    }
+    visited.select(col("v").as("vec_id"), col("hops"))
+  }
+
+  /** PageRank in EXACT integer micro-units — zero floating point, so
+    * the scores are bit-identical on any engine and any partitioning:
+    * score₀ = `scale // N`; each of `iters` rounds sends
+    * `score // deg` to every neighbor and settles
+    * `(3·scale) // (20·N) + (17·Σ_in) // 20` — the damping factor
+    * 0.85 as the exact rational 17/20, teleport 0.15 as 3/20, floor
+    * division everywhere (both engines floor on non-negative ints).
+    * The floor bleeds ≤ 1 micro-unit per op — deterministic, and at
+    * `scale` = 10¹² six orders below anything a ranking could feel.
+    * Per round: one keys-sized equi-join with the adjacency, one
+    * partially-combined sum — the Pregel shape; int64 headroom caps
+    * Σ_in at N·scale (~10¹⁵ at sf0.1), ×17 still 10²-fold inside
+    * int64. Output: `(vec_id, score_micro, score)` — the one closing
+    * double division is score_micro/scale. */
+  def pageRankIntScaled(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val (adj, deg) = adjacency(edges, aCol, bCol)
+    // 1-row metadata probe: the vertex count both the init and the
+    // teleport term need as an exact literal
+    val n = deg.count()
+    val adjd = CacheRegistry.tracked(adj.join(
+      deg.select(col("v").as("src"), col("d").as("deg")), Seq("src")))
+    var scores = deg.select(col("v"), lit(scale / n).as("score"))
+    val base = 3L * scale / (20L * n)
+    var i = 0
+    while (i < iters) {
+      scores = adjd.join(scores, adjd("src") === scores("v"))
+        .select(col("dst").as("v"),
+          expr("score div deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("insum"))
+        .select(col("v"),
+          (lit(base) + expr("(17 * insum) div 20")).as("score"))
+      i += 1
+    }
+    scores.select(col("v").as("vec_id"),
+      col("score").as("score_micro"),
+      (col("score").cast("double") / lit(scale.toDouble)).as("score"))
+  }
 }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Experimentation statistics over the events stream: Welch's t-test,
+  * the Mann–Whitney rank-sum test, the two-sample Kolmogorov–Smirnov
+  * distance, and CUPED variance reduction — the A/B analysis layer a
+  * data platform bolts onto its metrics tables.
+  *
+  * The reference has no experimentation surface (its closest analog is
+  * the daily-totals comparison sheet, `Code.gs:1545-1620`); these are
+  * extension operators in the same determinism discipline as the rest
+  * of the repo:
+  *
+  *   - Variant assignment is the md5-seeded hash (`Dedup.seededHash`,
+  *     seed 0 — the `splitAssign` family), never randomness: the same
+  *     user lands in the same arm on every engine and every replay.
+  *   - Sufficient statistics are EXACT (bigint / decimal(38,0) sums;
+  *     the CUPED covariance uses the n-scaled form `Σ(n·x−Sx)(n·y−Sy)`
+  *     so no engine-specific mean quotient enters the sum — the
+  *     `x_acf_daily` trick).
+  *   - The closing statistics are a FIXED sequence of scalar IEEE ops
+  *     mirrored verbatim in the oracle SQL (each double conversion is
+  *     correctly rounded, so identical op order ⇒ identical bits),
+  *     rounded to 6dp only where a transcendental (sqrt) ends the
+  *     chain.
+  *
+  * Scale shape: every test reduces the fact table to a per-(key,
+  * variant) — or per-(key, distinct-value) — frame in ONE partial-
+  * combining aggregate; the rank/cdf windows of Mann–Whitney and KS
+  * run over the distinct-VALUE frame, not the fact frame, so the sort
+  * cost is value-cardinality-bounded. Int64 headroom: the rank sums
+  * cap at 2N² and the tie term at N³ — fine to ~10⁶ rows per key;
+  * beyond that the documented swap is decimal(38,0) widening on the
+  * three window sums (same plan, wider buffers).
+  */
+object Hypothesis {
+
+  /** Deterministic 50/50 arm from the seed-0 md5 hash of the user id —
+    * `pmod(h, 2)`: 0 → "a", 1 → "b". */
+  def variantOf(userCol: Column): Column =
+    when(pmod(Dedup.seededHash(userCol.cast("string"), 0), lit(2)) === 0,
+      lit("a")).otherwise(lit("b"))
+
+  private val d38 = DecimalType(38, 0)
+
+  /** Welch's unequal-variance t-test per key: exact per-arm
+    * (n, Σcents, Σcents²) in one aggregate, then the t statistic and
+    * Welch–Satterthwaite degrees of freedom as mirrored scalar IEEE
+    * ops. Arms with n < 2 yield NULL t/df (variance undefined) rather
+    * than an error. */
+  def welchTTest(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val base = events.select(col(keyCol).as("key"),
+      variant.as("v"), cents.as("c"))
+    val perArm = base.groupBy(col("key"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum((col("c").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
+    def arm(a: String, c: String) = max(when(col("v") === a, col(c)))
+    val wide = perArm.groupBy(col("key")).agg(
+      arm("a", "n").as("n_a"), arm("b", "n").as("n_b"),
+      arm("a", "s").as("sum_a_cents"), arm("b", "s").as("sum_b_cents"),
+      arm("a", "ss").as("ss_a"), arm("b", "ss").as("ss_b"))
+    // the mirrored scalar chain — op order is the contract
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") -
+        (s.cast("double") * s.cast("double")) / n.cast("double")) /
+        (n - 1).cast("double")
+    val mA = mean(col("sum_a_cents"), col("n_a"))
+    val mB = mean(col("sum_b_cents"), col("n_b"))
+    val vA = variance(col("ss_a"), col("sum_a_cents"), col("n_a"))
+    val vB = variance(col("ss_b"), col("sum_b_cents"), col("n_b"))
+    val seA = vA / col("n_a").cast("double")
+    val seB = vB / col("n_b").cast("double")
+    val se2 = seA + seB
+    val t = (mA - mB) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((seA * seA) / (col("n_a") - 1).cast("double") +
+        (seB * seB) / (col("n_b") - 1).cast("double"))
+    wide.select(col("key"), col("n_a"), col("n_b"),
+      col("sum_a_cents"), col("sum_b_cents"),
+      mA.as("mean_a"), mB.as("mean_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2, round(t, 6)).as("t_stat"),
+      when(col("n_a") >= 2 && col("n_b") >= 2, round(dfW, 6)).as("df"))
+  }
+
+  /** Mann–Whitney U per key, tie-corrected: doubled rank sums stay
+    * exact integers (2·avgrank of a tie group = 2·cnt_lt + cnt + 1),
+    * the U statistics are exact bigints, and the normal-approximation
+    * z (with the Σ(t³−t) tie correction) is the one mirrored
+    * double chain, 6dp-rounded behind the closing sqrt. The rank
+    * window runs over the DISTINCT-value frame. */
+  def mannWhitneyU(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val base = events.select(col(keyCol).as("key"),
+      variant.as("v"), cents.as("c"))
+    val perVal = base.groupBy(col("key"), col("c"))
+      .agg(sum(when(col("v") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("v") === "b", 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val byKey = Window.partitionBy(col("key")).orderBy(col("c"))
+    val cumLt = coalesce(
+      sum(col("cnt")).over(byKey.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L))
+    val scored = perVal.withColumn("r2",
+      lit(2L) * cumLt + col("cnt") + lit(1L))
+    val agg = scored.groupBy(col("key")).agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * col("r2")).as("r_a_x2"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val uAx2 = col("r_a_x2") - col("n_a") * (col("n_a") + 1)
+    val uBx2 = lit(2L) * col("n_a") * col("n_b") - col("u_a_x2")
+    val n = col("n_a") + col("n_b")
+    // (2σ)² = n_a·n_b/3 · ((N+1) − T/(N(N−1))); z = (2U−2μ)/(2σ)
+    val var4 = (col("n_a") * col("n_b")).cast("double") / lit(3.0) *
+      ((n + 1).cast("double") -
+        col("ties").cast("double") / (n * (n - 1)).cast("double"))
+    val z = (col("u_a_x2") - col("n_a") * col("n_b")).cast("double") /
+      sqrt(var4)
+    agg.withColumn("u_a_x2", uAx2)
+      .withColumn("u_b_x2", uBx2)
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("u_a_x2"), col("u_b_x2"), col("ties"),
+        when(col("n_a") > 0 && col("n_b") > 0 && var4 > 0,
+          round(z, 6)).as("z"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per key: the sup-distance
+    * numerator `max |cdfA·n_b − cdfB·n_a|` is an exact bigint over the
+    * distinct-value frame (running counts ≤ each value), `d` is ONE
+    * closing division, and `at_cents` (the smallest value attaining
+    * the sup) makes the location part of the hashed contract. */
+  def ksTwoSample(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val base = events.select(col(keyCol).as("key"),
+      variant.as("v"), cents.as("c"))
+    val perVal = base.groupBy(col("key"), col("c"))
+      .agg(sum(when(col("v") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("v") === "b", 1L).otherwise(0L)).as("cb"))
+    val byKey = Window.partitionBy(col("key")).orderBy(col("c"))
+    val running = byKey.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val stepped = perVal
+      .withColumn("cum_a", sum(col("ca")).over(running))
+      .withColumn("cum_b", sum(col("cb")).over(running))
+      .withColumn("n_a", sum(col("ca")).over(Window.partitionBy(col("key"))))
+      .withColumn("n_b", sum(col("cb")).over(Window.partitionBy(col("key"))))
+      .withColumn("dev",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .withColumn("dev_max",
+        max(col("dev")).over(Window.partitionBy(col("key"))))
+    stepped.groupBy(col("key"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("dev")).as("d_num"),
+        min(when(col("dev") === col("dev_max"), col("c")))
+          .as("at_cents"))
+      .withColumn("d", when(col("n_a") > 0 && col("n_b") > 0,
+        col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")))
+      .select(col("key"), col("n_a"), col("n_b"), col("d_num"),
+        col("at_cents"), col("d"))
+  }
+
+  /** CUPED variance reduction: per-user pre-period metric x (first
+    * `preDays` days from the corpus min day) and post-period metric y,
+    * θ = cov(x,y)/var(x) over ALL users in the n-scaled exact form,
+    * then per-variant ADJUSTED means computed algebraically —
+    * `mean(y_adj | v) = ȳ_v − θ·(x̄_v − x̄)` — so no per-user double
+    * ever enters a sum (per-user adjustment then summation would be
+    * order-dependent across engines). Output: one row per arm with
+    * exact per-arm sufficient stats, the arm means, the adjusted mean,
+    * plus the global θ and ρ² (the variance-reduction fraction). */
+  def cuped(events: DataFrame, variant: Column, preDays: Int = 31,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val anchor = events.agg(min(to_date(col(tsCol))).as("day0"))
+    val perUser = events.crossJoin(broadcast(anchor))
+      .select(col(userCol).as("user_id"),
+        (datediff(to_date(col(tsCol)), col("day0")) < preDays).as("pre"),
+        cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("c"))).as("y"))
+      .withColumn("v", variant)
+    val users = CacheRegistry.tracked(perUser)
+    val tot = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val d19 = DecimalType(19, 0)
+    val scaled = users.crossJoin(broadcast(tot))
+      .withColumn("dx", (col("n") * col("x") - col("sx")).cast(d19))
+      .withColumn("dy", (col("n") * col("y") - col("sy")).cast(d19))
+    val moments = scaled.agg(
+      max(col("n")).as("n"), max(col("sx")).as("sx"),
+      max(col("sy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val perArm = users.groupBy(col("v"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("x_cents"), sum(col("y")).as("y_cents"))
+    val theta = col("sxy").cast("double") /
+      nullif(col("sxx").cast("double"), lit(0.0))
+    val rho2 = (col("sxy").cast("double") * col("sxy").cast("double")) /
+      nullif(col("sxx").cast("double") * col("syy").cast("double"),
+        lit(0.0))
+    val meanXAll = col("sx").cast("double") / col("n").cast("double")
+    val meanXArm = col("x_cents").cast("double") /
+      col("n_users").cast("double")
+    val meanYArm = col("y_cents").cast("double") /
+      col("n_users").cast("double")
+    perArm.crossJoin(broadcast(moments))
+      .select(col("v").as("variant"), col("n_users"),
+        col("x_cents"), col("y_cents"),
+        meanXArm.as("mean_x"), meanYArm.as("mean_y"),
+        round(theta, 6).as("theta"),
+        round(rho2, 6).as("rho2"),
+        round(meanYArm - round(theta, 6) * (meanXArm - meanXAll), 6)
+          .as("mean_y_adj"))
+  }
+}

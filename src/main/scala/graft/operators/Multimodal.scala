@@ -479,6 +479,79 @@ object Multimodal {
   final case class AudioFeatures(media_id: Long, n_samples: Int,
     n_frames: Int, sum_sq: Long, peak: Int)
 
+  final case class AudioFrameEnergy(media_id: Long, frame_idx: Int,
+    energy: Long)
+
+  /** Per-frame PCM16LE energies (exact bigint sum of squares per
+    * fixed-width frame) — the granular view [[audioFeatures]] rolls
+    * up, and the input to [[quietSpans]]. Same mapPartitions-in-
+    * batches decode shape. */
+  def audioFrameEnergies(media: DataFrame, frameSamples: Int = 64,
+      batchSize: Int = 64): Dataset[AudioFrameEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val pcm = r.payload.drop(4)
+            val n = pcm.length / 2
+            val nFrames = (n + frameSamples - 1) / frameSamples
+            (0 until nFrames).iterator.map { f =>
+              val hi = math.min((f + 1) * frameSamples, n)
+              var i = f * frameSamples
+              var e = 0L
+              while (i < hi) {
+                val s = ((pcm(i * 2) & 0xFF) |
+                  (pcm(i * 2 + 1) << 8)).toShort.toInt
+                e += s.toLong * s
+                i += 1
+              }
+              AudioFrameEnergy(r.media_id, f, e)
+            }
+          }
+        }
+      }
+  }
+
+  /** Silence/quiet-span detection per audio clip: a frame is QUIET iff
+    * its energy is strictly below the clip's mean frame energy — the
+    * division-free form `energy · n_frames < total_energy`, exact
+    * integers on both engines (a threshold in absolute units would
+    * need per-corpus tuning; relative-to-clip is parameter-free and
+    * scale-invariant). Output per clip: frame count, quiet-frame
+    * count, and the LONGEST CONSECUTIVE quiet run (gaps-and-islands
+    * over the frame index — `frame_idx − row_number()` groups each
+    * run). Every stage keys on media_id, so the windows and
+    * aggregates share one clip-keyed exchange; the frame frame is
+    * clip-count × frames-per-clip, never sample-sized. */
+  def quietSpans(media: DataFrame, frameSamples: Int = 64): DataFrame = {
+    val fe = audioFrameEnergies(media, frameSamples).toDF()
+    val tot = fe.groupBy(col("media_id"))
+      .agg(sum(col("energy")).as("tot"), count(lit(1)).as("n_frames"))
+    val q = CacheRegistry.tracked(
+      fe.join(tot, Seq("media_id"))
+        .withColumn("quiet", col("energy") * col("n_frames") < col("tot")))
+    val byClip = Window.partitionBy(col("media_id"))
+      .orderBy(col("frame_idx"))
+    val runs = q.filter(col("quiet"))
+      .withColumn("g", col("frame_idx") - row_number().over(byClip))
+      .groupBy(col("media_id"), col("g"))
+      .agg(count(lit(1)).as("run"))
+    val longest = runs.groupBy(col("media_id"))
+      .agg(max(col("run")).as("longest"))
+    val nQuiet = q.filter(col("quiet")).groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nq"))
+    q.select(col("media_id"), col("n_frames")).distinct()
+      .join(nQuiet, Seq("media_id"), "left")
+      .join(longest, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("nq"), lit(0L)).as("n_quiet"),
+        coalesce(col("longest"), lit(0L)).as("longest_quiet_run"))
+  }
+
   /** Batched PCM16LE feature extraction over the audio rows — the DSP
     * half of the decode pipeline (the image half is
     * [[extractFeatures]]): per clip, the sample count, fixed-width

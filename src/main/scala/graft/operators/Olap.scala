@@ -515,4 +515,139 @@ object Olap {
           nullif((max(col("__n")) * sum(col("__cents")))
             .cast("double"), lit(0.0))).as("gini"))
   }
+
+  /** RFM customer segmentation: quartile scores over Recency (days
+    * since the customer's last order, anchored at the corpus max
+    * order day — a replayable anchor, never wall-clock "today"),
+    * Frequency (order count) and Monetary (integer-cent total), plus
+    * the classic named segments. Scores are exact global `ntile(4)`
+    * ranks over the CUSTOMER-sized frame with a custkey tiebreak
+    * (deterministic under equal values, so the quartile boundary is
+    * engine-exact — the `x_quality_tiers` contract); the fact table
+    * is reduced to one row per customer by a single partial-combining
+    * aggregate before any window sees it. At web scale the three
+    * exact total-order ntiles swap for GK quantile thresholds +
+    * broadcast exactly as `qualityBucketsApprox` does. */
+  def rfmSegment(orders: DataFrame, custKey: String = "o_custkey",
+      dateCol: String = "o_orderdate", priceCol: String = "o_totalprice")
+      : DataFrame = {
+    val perCust = orders
+      .groupBy(col(custKey).as("custkey"))
+      .agg(max(to_date(col(dateCol))).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col(priceCol) * 100, 0).cast("long")).as("m_cents"))
+    val anchor = perCust.agg(max(col("last_day")).as("corpus_day"))
+    val scored = perCust.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        datediff(col("corpus_day"), col("last_day")).cast("long"))
+    // ntile(4) = 4 is the BEST quartile on each axis: most recent
+    // (r_days descending puts the largest gaps in bucket 1), most
+    // frequent, biggest spender.
+    val rQ = Window.orderBy(col("r_days").desc, col("custkey"))
+    val fQ = Window.orderBy(col("n_orders"), col("custkey"))
+    val mQ = Window.orderBy(col("m_cents"), col("custkey"))
+    scored
+      .withColumn("r_score", ntile(4).over(rQ))
+      .withColumn("f_score", ntile(4).over(fQ))
+      .withColumn("m_score", ntile(4).over(mQ))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 &&
+          col("m_score") >= 3, "champion")
+          .when(col("r_score") >= 3 && col("m_score") >= 3,
+            "big_spender_recent")
+          .when(col("r_score") >= 3, "promising")
+          .when(col("f_score") >= 3 || col("m_score") >= 3,
+            "at_risk_valuable")
+          .otherwise("hibernating"))
+      .select(col("custkey"), col("r_days"), col("n_orders"),
+        col("m_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+  }
+
+  /** Pearson χ² independence screen between two categorical columns:
+    * per-cell observed count, expected count under independence, and
+    * the cell's χ² contribution, plus the table's degrees of freedom.
+    * Everything is exact integer arithmetic until per-cell DOUBLE
+    * division: observed/row/col/total counts are bigint sums, the
+    * deviation `O·N − r·c` is an exact int64 difference, and both the
+    * squared deviation and the `r·c·N` denominator convert to double
+    * correctly-rounded on each engine before the one division — every
+    * IEEE op is mirrored, so the output is bit-deterministic with no
+    * rounding step. The contingency table is cells-sized (|A|×|B|), so
+    * row/col/total marginals broadcast; at petabyte scale only the
+    * first observed-counts aggregate touches the fact table. Int64
+    * bounds: `O·N` caps at ~4×10⁹ rows before the deviation product
+    * needs the decimal(38) widening (documented, not needed here). */
+  def chiSquareIndep(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_obs"))
+    val cells = CacheRegistry.tracked(obs)
+    val rowT = cells.groupBy(col("a"))
+      .agg(sum(col("n_obs")).as("row_total"))
+    val colT = cells.groupBy(col("b"))
+      .agg(sum(col("n_obs")).as("col_total"))
+    val tot = cells.agg(sum(col("n_obs")).as("n_total"),
+      ((countDistinct(col("a")) - 1) *
+        (countDistinct(col("b")) - 1)).as("dof"))
+    val dev = col("n_obs") * col("n_total") -
+      col("row_total") * col("col_total")
+    cells
+      .join(broadcast(rowT), Seq("a"))
+      .join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_obs"), col("row_total"),
+        col("col_total"), col("n_total"), col("dof"),
+        ((col("row_total") * col("col_total")).cast("double") /
+          col("n_total").cast("double")).as("expected"),
+        ((dev.cast("double") * dev.cast("double")) /
+          ((col("row_total") * col("col_total")).cast("double") *
+            col("n_total").cast("double"))).as("chi2_cell"))
+  }
+
+  /** Winsorized robust statistics per group: integer-cent values
+    * clipped at the group's nearest-rank p05/p95 before summing —
+    * the heavy-tail-resistant companion to [[giniIndex]] (one whale
+    * order moves a plain mean arbitrarily; the winsorized mean is
+    * bounded by the p95 value). Percentile indexes are PURE INTEGER
+    * ceil arithmetic (`⌈p·n⌉ = (p·n + den−1) div den` — no float
+    * percentile, which interpolates differently across engines), the
+    * rank/bound/clip/sum pipeline shares ONE exchange on the group
+    * key (rank window, conditional bound windows, and the final
+    * aggregate all partition identically), and every output column
+    * except the single closing mean division is an exact integer. The
+    * per-group sort is the cost; the web-scale swap is GK thresholds
+    * (rank tolerance instead of exactness), same as the tier rungs. */
+  def winsorizedStats(df: DataFrame, groupCol: String,
+      valueCol: String, loNum: Int = 5, hiNum: Int = 95,
+      den: Int = 100): DataFrame = {
+    val cents = df.select(col(groupCol),
+      round(col(valueCol) * 100, 0).cast("long").as("__cents"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = cents
+      .withColumn("__i", row_number().over(byGroup
+        .orderBy(col("__cents"))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .withColumn("__ilo",
+        greatest(lit(1L), ((lit(loNum.toLong) * col("__n") +
+          lit((den - 1).toLong)) / lit(den.toLong)).cast("long")))
+      .withColumn("__ihi",
+        greatest(lit(1L), ((lit(hiNum.toLong) * col("__n") +
+          lit((den - 1).toLong)) / lit(den.toLong)).cast("long")))
+    val bounded = ranked
+      .withColumn("__lo", max(when(col("__i") === col("__ilo"),
+        col("__cents"))).over(byGroup))
+      .withColumn("__hi", max(when(col("__i") === col("__ihi"),
+        col("__cents"))).over(byGroup))
+    bounded
+      .withColumn("__w",
+        least(greatest(col("__cents"), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__lo")).as("lo_cents"),
+        max(col("__hi")).as("hi_cents"),
+        sum(col("__w")).as("w_sum_cents"),
+        (sum(col("__w")).cast("double") /
+          count(lit(1)).cast("double")).as("w_mean_cents"))
+  }
 }

@@ -568,4 +568,111 @@ object Temporal {
         col("mad").cast("double").as("mad"),
         (col("adev") > lit(k) * col("mad")).as("is_anomaly"))
   }
+
+  /** Autocorrelation of the global daily-total series at lags
+    * 1..`maxLag` — the seasonality detector that tells a forecaster
+    * WHICH lag `forecastSnaive` should repeat (a weekly cycle shows
+    * up as the lag-7 peak). Exact until the single closing division,
+    * by the same n-scaling trick as the CUSUM statistic: instead of
+    * mean-centered products `Σ(xₜ−x̄)(xₜ₊ₖ−x̄)` (x̄ is an
+    * engine-specific quotient), both numerator and denominator are
+    * scaled by n² — `Σ(n·xₜ−S)(n·xₜ₊ₖ−S)` with S = Σx — which keeps
+    * every term an exact decimal(38,0) product of int64 deviations
+    * (operands cast decimal(19,0) so the product type stays legal on
+    * both engines), and acf = num/den is ONE division of two
+    * correctly-rounded decimal→double conversions. The series frame
+    * is days-sized (the fact table collapses in the first aggregate),
+    * so the lead() windows and the 1-row totals broadcast are free at
+    * any fact volume. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 7,
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val byDay = Window.orderBy(col("day"))
+    val withLeads = daily.select(
+      col("day") +: col("cents") +:
+        (1 to maxLag).map(k =>
+          lead(col("cents"), k).over(byDay).as(s"__l$k")): _*)
+    val totals = daily.agg(sum(col("cents")).as("s"),
+      count(lit(1)).as("n"))
+    val base = withLeads.crossJoin(broadcast(totals))
+      .withColumn("__dx", (col("n") * col("cents") - col("s")).cast(d19))
+    val den = base
+      .agg(sum(col("__dx") * col("__dx")).as("den"),
+        max(col("n")).as("n_days"))
+    val stacked = base
+      .select(col("__dx"), col("n"), col("s"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"__l$k").as("y"))): _*))
+          .as("p"))
+      .filter(col("p.y").isNotNull)
+      .withColumn("__dy", (col("n") * col("p.y") - col("s")).cast(d19))
+    stacked
+      .groupBy(col("p.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__dx") * col("__dy")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("n_days"),
+        (col("num").cast("double") /
+          nullif(col("den").cast("double"), lit(0.0))).as("acf"))
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes with right
+    * censoring — "how long do users stay active", answered without
+    * the bias a naive average-lifetime carries (users still active at
+    * the corpus edge have not finished their lifetime; dropping them
+    * skews short, counting them as churned skews shorter). Lifetime =
+    * last−first active day per user; a user still active within
+    * `horizonDays` of the corpus end is CENSORED at their observed
+    * lifetime. The life table (distinct lifetimes, churn/censor
+    * counts, reverse-cumulative risk set) is exact integers; the
+    * survival product Π(1−dᵢ/nᵢ) is computed as exp of the RUNNING
+    * window sum of ln terms — both engines evaluate the running frame
+    * in ascending-t order so the only divergence source is libm's
+    * last ulp, absorbed by the 6dp round. The curve frame is
+    * durations-sized (≤ calendar days); the fact table collapses in
+    * the per-user aggregate. */
+  def kaplanMeier(events: DataFrame, horizonDays: Int = 14,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_day"),
+        max(to_date(col(tsCol))).as("last_day"))
+    val endRow = perUser.agg(max(col("last_day")).as("corpus_end"))
+    val life = perUser.crossJoin(broadcast(endRow))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("t_days"),
+        (datediff(col("corpus_end"), col("last_day")) > horizonDays)
+          .as("churned"))
+    val table = life.groupBy(col("t_days"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val byT = Window.orderBy(col("t_days"))
+    val running = byT.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // d = n (everyone at risk churns) would put ln(0) in the product;
+    // DuckDB REFUSES ln(0) rather than returning −∞, so the zero
+    // survival is carried explicitly: once any timepoint kills the
+    // whole risk set, the curve is 0 from there on.
+    table
+      .withColumn("n_risk",
+        sum(col("n_churn") + col("n_censored")).over(byT.rowsBetween(
+          Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__dead",
+        max((col("n_churn") === col("n_risk")).cast("int"))
+          .over(running))
+      .withColumn("__term",
+        when(col("n_churn") < col("n_risk"),
+          log(lit(1.0) - col("n_churn").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("__term")).over(running)), 6)))
+      .select(col("t_days"), col("n_risk"), col("n_churn"),
+        col("n_censored"), col("survival"))
+  }
+
 }

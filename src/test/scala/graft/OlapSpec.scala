@@ -815,6 +815,122 @@ class OlapSpec extends SparkSpec {
     assert(got === Set("A", "C", "D", "F"))
   }
 
+  test("rfm: quartile scores with custkey tiebreak, named segments") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // anchor = max last_day = c1's 01-10; quartiles land one customer
+    // each (custkey breaks the f tie between c2 and c4)
+    val orders = Seq(
+      (1L, d("2024-01-10"), 100.0), (1L, d("2024-01-09"), 100.0),
+      (1L, d("2024-01-08"), 100.0), // c1: r0 f3 m300
+      (2L, d("2024-01-01"), 10.0), // c2: r9 f1 m10
+      (3L, d("2024-01-05"), 50.0), (3L, d("2024-01-04"), 50.0),
+      // c3: r5 f2 m100
+      (4L, d("2024-01-08"), 500.0)) // c4: r2 f1 m500
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Olap.rfmSegment(orders).collect()
+      .map(x => x.getAs[Long]("custkey") ->
+        (x.getAs[Long]("r_days"), x.getAs[Int]("r_score"),
+          x.getAs[Int]("f_score"), x.getAs[Int]("m_score"),
+          x.getAs[String]("segment"))).toMap
+    assert(r(1L) === ((0L, 4, 4, 3, "champion")))
+    assert(r(4L) === ((2L, 3, 2, 4, "big_spender_recent")))
+    assert(r(3L) === ((5L, 2, 3, 2, "at_risk_valuable")))
+    assert(r(2L) === ((9L, 1, 1, 1, "hibernating")))
+  }
+
+  test("chi-square: exact marginals, mirrored single-division cells") {
+    // 2×2: (x,p)=2 (x,q)=1 (y,p)=1 (y,q)=2 — N=6, all marginals 3,
+    // expected 1.5 everywhere, dev = O·6 − 9 = ±3, cell = 9/54 = 1/6
+    val rows = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"),
+      ("y", "q"), ("y", "q")).toDF("a0", "b0")
+    val r = Olap.chiSquareIndep(rows, "a0", "b0").collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        (x.getAs[Long]("n_obs"), x.getAs[Long]("dof"),
+          x.getAs[Double]("expected"), x.getAs[Double]("chi2_cell")))
+      .toMap
+    assert(r(("x", "p")) === ((2L, 1L, 1.5, 9.0 / 54.0)))
+    assert(r(("x", "q")) === ((1L, 1L, 1.5, 9.0 / 54.0)))
+    assert(r(("y", "q")) === ((2L, 1L, 1.5, 9.0 / 54.0)))
+    assert(r.size === 4)
+  }
+
+  test("winsorize: nearest-rank integer-ceil bounds clip the whale") {
+    // cents 100..900 plus a 10000 whale; p10/p90 of n=10 → ranks 1
+    // and 9 → bounds [100, 900]; the whale clips to 900
+    val rows = ((1 to 9).map(i => ("g", i * 1.0)) :+ ("g", 100.0))
+      .toDF("grp", "amount")
+    val r = Olap.winsorizedStats(rows, "grp", "amount",
+      loNum = 10, hiNum = 90).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n_rows") === 10L)
+    assert(x.getAs[Long]("lo_cents") === 100L)
+    assert(x.getAs[Long]("hi_cents") === 900L)
+    assert(x.getAs[Long]("w_sum_cents") === 5400L)
+    assert(x.getAs[Double]("w_mean_cents") === 540.0)
+  }
+
+  test("acf: n-scaled exact statistics on a linear ramp") {
+    import graft.operators.Temporal
+    // daily cents 100,200,300,400 → s=1000, n=4, dx = (−600,−200,
+    // 200,600), den=800000; lag1 num=200000 → 0.25; lag2 → −0.3;
+    // lag3 → −0.45
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "a", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "a", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "b", 3.0),
+      ev(4, "2024-01-04 08:00:00", 2, "b", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.autocorrelation(es, maxLag = 3).collect()
+      .map(x => x.getAs[Int]("lag") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Long]("n_days"),
+          x.getAs[Double]("acf"))).toMap
+    assert(r(1) === ((3L, 4L, 0.25)))
+    assert(r(2) === ((2L, 4L, -0.3)))
+    assert(r(3) === ((1L, 4L, -0.45)))
+  }
+
+  test("kaplan-meier: censoring at the corpus edge, exact life table") {
+    import graft.operators.Temporal
+    // corpus end = u3's 01-20. u2 t=0 churn (19d gap), u4 t=1
+    // censored (1d), u1 t=2 churn (17d), u3 t=10 censored (anchor)
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "v", 0.0),
+      ev(2, "2024-01-03 08:00:00", 1, "v", 0.0),
+      ev(3, "2024-01-01 08:00:00", 2, "v", 0.0),
+      ev(4, "2024-01-10 08:00:00", 3, "v", 0.0),
+      ev(5, "2024-01-20 08:00:00", 3, "v", 0.0),
+      ev(6, "2024-01-18 08:00:00", 4, "v", 0.0),
+      ev(7, "2024-01-19 08:00:00", 4, "v", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.kaplanMeier(es, horizonDays = 14).collect()
+      .map(x => x.getAs[Long]("t_days") ->
+        (x.getAs[Long]("n_risk"), x.getAs[Long]("n_churn"),
+          x.getAs[Long]("n_censored"), x.getAs[Double]("survival")))
+      .toMap
+    assert(r(0L) === ((4L, 1L, 0L, 0.75)))
+    assert(r(1L) === ((3L, 0L, 1L, 0.75)))
+    assert(r(2L) === ((2L, 1L, 0L, 0.375)))
+    assert(r(10L) === ((1L, 0L, 1L, 0.375)))
+  }
+
+  test("kaplan-meier: a whole-risk-set churn zeroes the curve loudly") {
+    import graft.operators.Temporal
+    // uA (t=4) churns with the LARGEST lifetime — d = n at t=4, the
+    // ln(0) case both engines must carry as an explicit zero
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "v", 0.0),
+      ev(2, "2024-01-05 08:00:00", 1, "v", 0.0),
+      ev(3, "2024-01-29 08:00:00", 2, "v", 0.0),
+      ev(4, "2024-01-30 08:00:00", 2, "v", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.kaplanMeier(es, horizonDays = 14).collect()
+      .map(x => x.getAs[Long]("t_days") ->
+        (x.getAs[Long]("n_risk"), x.getAs[Double]("survival"))).toMap
+    assert(r(1L) === ((2L, 1.0)))
+    assert(r(4L) === ((1L, 0.0)))
+  }
+
   test("gini: equal rows 0, lone holder 2/3, singleton 0") {
     val rows = Seq(("eq", 1.0), ("eq", 1.0), ("eq", 1.0),
       ("conc", 0.0), ("conc", 0.0), ("conc", 3.0), ("one", 5.0))

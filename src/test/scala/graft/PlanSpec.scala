@@ -636,4 +636,53 @@ class PlanSpec extends SparkSpec {
         s"rank + agg share the segment exchange:\n$plan")
     }
   }
+
+  test("chi-square: cells-sized marginals broadcast onto the cells") {
+    withStaticPlan {
+      val df = run("x_chisq_indep")
+      val plan = df.queryExecution.executedPlan
+      // the fact table is touched ONCE (the observed-counts
+      // aggregate feeding the cache); row/col/total marginals join
+      // back by broadcast — a shuffled join on a 15-cell frame would
+      // be the wrong shape at any scale
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec => j
+      }.isEmpty, s"marginals must broadcast:\n$plan")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => c
+      }.length >= 3, s"marginals read the cells cache, not the fact:\n$plan")
+    }
+  }
+
+  test("winsorize: rank, bounds and the final agg share one shuffle") {
+    withStaticPlan {
+      val df = run("x_winsorized")
+      val plan = df.queryExecution.executedPlan
+      // row_number window, the two conditional bound windows, and
+      // the closing group-by all partition on the group key — one
+      // exchange end to end
+      assert(shuffles(df).length === 1,
+        s"rank + bounds + agg share the group exchange:\n$plan")
+    }
+  }
+
+  test("acf: the fact collapses before any window or self-product") {
+    withStaticPlan {
+      val df = run("x_acf_daily")
+      val plan = df.queryExecution.executedPlan
+      // totals and the denominator ride 1-row broadcasts; the lead()
+      // windows run over the days-sized frame — no shuffled join, no
+      // fact-sized window
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec => j
+      }.isEmpty, s"totals must broadcast:\n$plan")
+    }
+  }
 }
