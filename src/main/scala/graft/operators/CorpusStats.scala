@@ -133,6 +133,9 @@ object CorpusStats {
   def compactionPlan(docs: DataFrame, targetBytes: Long,
       idCol: String = "doc_id", groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // Spark's integral divide returns NULL on a zero divisor, which
+    // would silently collapse every item into one NULL-keyed bin
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
     import org.apache.spark.sql.expressions.Window
     val cum = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -21,6 +21,12 @@ object ExtQueries {
   val EmbeddingDim = 64
   val NearDupBands = 32
   val NearDupRows = 6
+  val CompactionTargetBytes = 2048L
+  val BfsMaxHops = 4
+  val PageRankIters = 5
+  val PageRankScale = 1000000000000L // unweighted: micro-units at 1e12
+  val PageRankWScale = 1000000000L // weighted: 1e9 keeps score·ppm in int64
+  val CupedPreDays = 31
   val IvfCentroidMod = 37
   val IvfNprobe = 2
   val LloydIters = 2
@@ -143,6 +149,26 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fpstore-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def nearDupPairsPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ndpairs-${Integer.toHexString(d.hashCode)}").toString
+
+  /** The embedding near-dup pair list served from the committed
+    * [[graft.sources.EdgeStore]] (marker-gated build on first touch):
+    * the pair list is the expensive artifact of the similarity graph,
+    * and its four consumers (triangle census, cluster labeling, BFS,
+    * PageRank) read the store instead of re-running the LSH chain
+    * per query. Identical rows to an inline
+    * `Similarity.nearDupPairsLsh` — cos is 6dp-rounded before
+    * persisting and doubles round-trip parquet exactly — so the
+    * oracle keeps recomputing the pairs from first principles. */
+  private def storedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.sources.EdgeStore.ensureNearDupPairs(Tables.embeddings(s, d),
+      nearDupPairsPath(d), CosineThreshold, bands = NearDupBands,
+      rowsPerBand = NearDupRows, dim = EmbeddingDim)
+    graft.sources.EdgeStore.read(s, nearDupPairsPath(d))
+  }
+
   /** JSONL round-trip fixture: the documents table exported as JSONL
     * plus one malformed line and one contract-violating (id-less but
     * well-formed) line, written once per dataset dir (marker-gated). */
@@ -197,6 +223,11 @@ object ExtQueries {
       graft.sources.FingerprintStore
         .ensureFingerprints(incrCorpus(s, d), fpStorePath(d))
         .map("fp_store" -> _).toMap ++
+      graft.sources.EdgeStore
+        .ensureNearDupPairs(Tables.embeddings(s, d), nearDupPairsPath(d),
+          CosineThreshold, bands = NearDupBands,
+          rowsPerBand = NearDupRows, dim = EmbeddingDim)
+        .map("neardup_pairs" -> _).toMap ++
       graft.sources.ZOrderStore
         .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
           "za", "zb", ZBits, ZFiles)
@@ -474,15 +505,11 @@ object ExtQueries {
     // Embedding near-dup pairs → connected components: the same label
     // propagation the text dedup uses, composed over the cosine pairs —
     // semantic dedup groups, the embedding-side counterpart of
-    // x_dedup_cluster.
-    "x_embed_dedup_cluster" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Dedup.clusterAssignments(e,
-        Similarity.nearDupPairsLsh(e, CosineThreshold,
-          bands = NearDupBands, rowsPerBand = NearDupRows,
-          dim = EmbeddingDim),
-        idCol = "vec_id")
-    }),
+    // x_dedup_cluster. Pairs come from the committed EdgeStore (built
+    // once, shared by every graph consumer), not an inline recompute.
+    "x_embed_dedup_cluster" -> ((s, d) =>
+      Dedup.clusterAssignments(Tables.embeddings(s, d),
+        storedNearDupPairs(s, d), idCol = "vec_id")),
 
     "x_ann_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -870,6 +897,13 @@ object ExtQueries {
     "x_media_audio" -> ((s, d) =>
       Multimodal.audioFeatures(Multimodal.mediaTable(s, d)).toDF()),
 
+    // Silence detection per audio clip: quiet = frame energy strictly
+    // below the clip mean (division-free integer compare), plus the
+    // longest consecutive quiet run (gaps-and-islands). One row per
+    // source clip even when the payload decodes to zero frames.
+    "x_media_quiet" -> ((s, d) =>
+      Multimodal.quietSpans(Multimodal.mediaTable(s, d))),
+
     "x_stream_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hora"),
@@ -1166,6 +1200,14 @@ object ExtQueries {
     // — one shuffle + in-partition sort, never a global sort.
     "x_shard_order" -> ((s, d) =>
       CorpusStats.shardOrder(Tables.documents(s, d), NumShards)),
+
+    // Bin-packing compaction plan: per-source running-byte window →
+    // stable first-fit bins (earlier bins never re-shuffle when items
+    // append). At 100 TB the items are file-manifest rows, so the
+    // window runs over metadata, never data.
+    "x_compaction_plan" -> ((s, d) =>
+      CorpusStats.compactionPlan(Tables.documents(s, d),
+        CompactionTargetBytes)),
 
     // Vocabulary document frequency: top tokens by df (df desc, token
     // asc — a total order, so the top-k cut is deterministic).
@@ -1559,12 +1601,34 @@ object ExtQueries {
     // Triangle census of the embedding near-dup graph:
     // degree-oriented wedge join (bounded fan-out on hubs, never
     // all-pairs) + global clustering coefficient — the structural
-    // health probe of a similarity pair list.
+    // health probe of a similarity pair list. Served off the
+    // committed EdgeStore: the census pays edge-list cost only, not
+    // the LSH chain.
     "x_triangle_count" -> ((s, d) =>
-      GraphStats.triangleStats(
-        Similarity.nearDupPairsLsh(Tables.embeddings(s, d),
-          CosineThreshold, bands = NearDupBands,
-          rowsPerBand = NearDupRows, dim = EmbeddingDim))),
+      GraphStats.triangleStats(storedNearDupPairs(s, d))),
+
+    // Single-source BFS reach over the near-dup graph (seed = minimum
+    // vertex id — replayable), ≤ 4 hops: frontier-sized equi-joins
+    // per round, the Pregel shape. How far does a contamination seed
+    // spread through the similarity graph?
+    "x_bfs_hops" -> ((s, d) =>
+      GraphStats.bfsHops(storedNearDupPairs(s, d), maxHops = BfsMaxHops)),
+
+    // PageRank in exact integer micro-units over the near-dup graph:
+    // 17/20 damping, floor division everywhere — bit-identical on any
+    // engine/partitioning, so the oracle unrolls the same five rounds.
+    "x_pagerank_int" -> ((s, d) =>
+      GraphStats.pageRankIntScaled(storedNearDupPairs(s, d),
+        iters = PageRankIters, scale = PageRankScale)),
+
+    // Weighted PageRank with cosine edge weights (ppm fixed-point):
+    // the dedup-cluster authority score — strong-cosine ties outrank
+    // marginal ones at equal degree. Same exact-integer discipline;
+    // the score·weight product widens through decimal(38,0) before
+    // the floor division brings it back under scale.
+    "x_pagerank_weighted" -> ((s, d) =>
+      GraphStats.pageRankWeighted(storedNearDupPairs(s, d),
+        iters = PageRankIters, scale = PageRankWScale)),
 
     // BM25 lexical retrieval for a fixed query term set: tf at scan
     // time, df/avgdl as broadcast dims, TakeOrdered top-k; per-term
@@ -1683,6 +1747,35 @@ object ExtQueries {
       Olap.chiSquareIndep(Tables.orders(s, d), "o_orderpriority",
         "o_orderstatus")),
 
+    // Welch's unequal-variance t-test per event type over the
+    // md5-seeded 50/50 user split: exact per-arm sufficient stats in
+    // one aggregate, the t/df chain in mirrored IEEE op order.
+    "x_welch_ttest" -> ((s, d) =>
+      Hypothesis.welchTTest(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
+    // Mann–Whitney U (tie-corrected) per event type: doubled rank
+    // sums stay exact integers over the distinct-value frame; only
+    // the closing normal-approximation z is floating point.
+    "x_mannwhitney_u" -> ((s, d) =>
+      Hypothesis.mannWhitneyU(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
+    // Two-sample Kolmogorov–Smirnov distance per event type: the sup
+    // numerator is an exact bigint (cross-multiplied CDF counts), d
+    // is one closing division, at_cents pins the sup location.
+    "x_ks_two_sample" -> ((s, d) =>
+      Hypothesis.ksTwoSample(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
+    // CUPED variance reduction: θ from n-scaled exact covariance over
+    // pre-period (first 31 days) vs post-period per-user totals,
+    // per-arm adjusted means computed algebraically — no per-user
+    // double ever enters a sum.
+    "x_cuped" -> ((s, d) =>
+      Hypothesis.cuped(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")), preDays = CupedPreDays)),
+
     // Winsorized robust stats per order priority: nearest-rank
     // p05/p95 clip bounds from pure integer ceil indexes, exact
     // clipped sums, one closing mean division.
@@ -1756,7 +1849,7 @@ object ExtQueries {
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bkeys x JOIN bkeys y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-       |epairs AS (
+       |epairs AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
        |      b.embedding::DOUBLE[]), 6) AS cos
@@ -1764,6 +1857,90 @@ object ExtQueries {
        |  JOIN embeddings a ON a.vec_id = c.id_a
        |  JOIN embeddings b ON b.vec_id = c.id_b
        |  WHERE cos >= $CosineThreshold)""".stripMargin
+
+  /** The seeded-hash 50/50 arm split + exact-cents base relation the
+    * four hypothesis-test oracles share — mirrors
+    * `Hypothesis.variantOf` (seed-0 md5, the x_split_assign form) and
+    * the decimal(18,2)·100 cents quantization. */
+  private lazy val HypothesisBaseCte =
+    """base AS (
+      |  SELECT event_type AS key,
+      |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+      |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+      |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+      |  FROM events)""".stripMargin
+
+  /** Undirected adjacency CTEs over the near-dup `epairs` — shared by
+    * the BFS and PageRank oracles (appended after
+    * [[EmbedNearDupCtes]]). */
+  private lazy val GraphAdjCtes =
+    """ge AS (SELECT id_a AS a, id_b AS b FROM epairs),
+      |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM ge
+      |        UNION ALL SELECT b, a FROM ge)""".stripMargin
+
+  /** The unweighted integer PageRank oracle: the same five rounds the
+    * Spark side runs, unrolled as chained CTEs — floor division and
+    * exact integers everywhere, so the scores match bit for bit. */
+  private lazy val PageRankIntOracle = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""s$i AS (
+         |  SELECT v, (tele + (17 * insum) // 20)::bigint AS score FROM (
+         |    SELECT a.dst AS v, sum(s.score // a.d)::bigint AS insum
+         |    FROM adjd a JOIN s${i - 1} s ON s.v = a.src GROUP BY a.dst)
+         |  CROSS JOIN meta)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EmbedNearDupCtes,
+       |$GraphAdjCtes,
+       |deg AS (SELECT src AS v, count(*)::bigint AS d
+       |        FROM adj GROUP BY 1),
+       |meta AS (SELECT count(*)::bigint AS n,
+       |  ((3 * $PageRankScale) // (20 * count(*)))::bigint AS tele
+       |  FROM deg),
+       |adjd AS MATERIALIZED (SELECT adj.src, adj.dst, deg.d
+       |         FROM adj JOIN deg ON deg.v = adj.src),
+       |s0 AS (SELECT v, ($PageRankScale // n)::bigint AS score
+       |       FROM deg CROSS JOIN meta),
+       |$rounds
+       |SELECT v AS vec_id, score AS score_micro,
+       |  score::double / $PageRankScale.0 AS score
+       |FROM s$PageRankIters""".stripMargin
+  }
+
+  /** The weighted PageRank oracle: cosine weights ppm-quantized via
+    * the same decimal(18,6)·10⁶ form, weighted degree, the identical
+    * floor-division rounds at the weighted scale. */
+  private lazy val PageRankWeightedOracle = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""s$i AS (
+         |  SELECT v, (tele + (17 * insum) // 20)::bigint AS score FROM (
+         |    SELECT a.dst AS v,
+         |      sum((s.score * a.w) // a.wd)::bigint AS insum
+         |    FROM wadjd a JOIN s${i - 1} s ON s.v = a.src GROUP BY a.dst)
+         |  CROSS JOIN meta)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EmbedNearDupCtes,
+       |we AS (
+       |  SELECT a, b, max(w)::bigint AS w FROM (
+       |    SELECT id_a AS a, id_b AS b,
+       |      CAST(CAST(cos AS decimal(18,6)) * 1000000 AS bigint) AS w
+       |    FROM epairs)
+       |  WHERE a <> b AND w > 0 GROUP BY a, b),
+       |wadj AS (SELECT a AS src, b AS dst, w FROM we
+       |         UNION ALL SELECT b, a, w FROM we),
+       |wdeg AS (SELECT src AS v, sum(w)::bigint AS wd
+       |         FROM wadj GROUP BY 1),
+       |meta AS (SELECT count(*)::bigint AS n,
+       |  ((3::bigint * $PageRankWScale) // (20 * count(*)))::bigint AS tele
+       |  FROM wdeg),
+       |wadjd AS MATERIALIZED (SELECT wadj.src, wadj.dst, wadj.w, wdeg.wd
+       |          FROM wadj JOIN wdeg ON wdeg.v = wadj.src),
+       |s0 AS (SELECT v, ($PageRankWScale::bigint // n)::bigint AS score
+       |       FROM wdeg CROSS JOIN meta),
+       |$rounds
+       |SELECT v AS vec_id, score AS score_micro,
+       |  score::double / $PageRankWScale.0 AS score
+       |FROM s$PageRankIters""".stripMargin
+  }
 
   /** Exact-Jaccard verification of a `cand (id_a, id_b)` CTE against the
     * capped per-doc shingle arrays — mirrors `Dedup.verifyJaccard`. */
@@ -2932,6 +3109,49 @@ object ExtQueries {
         |    i -> abs((doc_id*31 + i*7) % 2001 - 1000)))::int AS peak
         |FROM a""".stripMargin,
 
+    // replays the fixture wave per 64-sample frame, then the same
+    // division-free quiet compare (energy·n_frames < total) and
+    // gaps-and-islands longest run; anchored on the clip set so a
+    // zero-frame clip would still emit its summary row
+    "x_media_quiet" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, (256 + doc_id % 256)::int AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (
+        |  SELECT media_id, n,
+        |    unnest(range(0, (n + 63) // 64)) AS f
+        |  FROM a),
+        |fe AS (
+        |  SELECT media_id, f::int AS frame_idx,
+        |    list_sum(list_transform(range(f*64, least((f+1)*64, n)),
+        |      i -> ((media_id*31 + i*7) % 2001 - 1000)
+        |         * ((media_id*31 + i*7) % 2001 - 1000)))::bigint AS energy
+        |  FROM fr),
+        |tot AS (
+        |  SELECT media_id, sum(energy)::bigint AS tot,
+        |    count(*)::bigint AS n_frames
+        |  FROM fe GROUP BY 1),
+        |q AS (
+        |  SELECT fe.media_id, fe.frame_idx, t.n_frames,
+        |    (fe.energy * t.n_frames < t.tot) AS quiet
+        |  FROM fe JOIN tot t USING (media_id)),
+        |runs AS (
+        |  SELECT media_id, frame_idx - row_number() OVER (
+        |      PARTITION BY media_id ORDER BY frame_idx) AS g
+        |  FROM q WHERE quiet),
+        |rl AS (SELECT media_id, g, count(*)::bigint AS run
+        |       FROM runs GROUP BY 1, 2),
+        |longest AS (SELECT media_id, max(run) AS longest
+        |            FROM rl GROUP BY 1),
+        |nq AS (SELECT media_id, count(*)::bigint AS nq
+        |       FROM q WHERE quiet GROUP BY 1)
+        |SELECT a.media_id, coalesce(t.n_frames, 0)::bigint AS n_frames,
+        |  coalesce(nq.nq, 0)::bigint AS n_quiet,
+        |  coalesce(l.longest, 0)::bigint AS longest_quiet_run
+        |FROM a LEFT JOIN tot t USING (media_id)
+        |LEFT JOIN nq USING (media_id)
+        |LEFT JOIN longest l USING (media_id)""".stripMargin,
+
     // mirrors Multimodal.imageNearDupPairs: same pattern+dupe fixture
     // and aHash arithmetic; the banding is exact at hamming ≤ 3, so
     // the oracle is BRUTE-FORCE hamming over all image pairs
@@ -3847,6 +4067,23 @@ object ExtQueries {
         |    ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // mirrors CorpusStats.compactionPlan: strlen counts UTF-8 BYTES in
+    // DuckDB (= Spark's octet_length); same running-sum bin assignment
+    "x_compaction_plan" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id, strlen(text)::bigint AS bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, bytes,
+         |    sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f)
+         |SELECT source,
+         |  ((cum - bytes) // $CompactionTargetBytes)::bigint AS bin,
+         |  count(*)::bigint AS n_files, sum(bytes)::bigint AS bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
     "x_vocab_top_df" ->
       s"""SELECT token, count(*) AS df FROM (
          |  SELECT doc_id,
@@ -4419,6 +4656,25 @@ object ExtQueries {
          |    THEN 3 * n_triangles / n_wedges::double END AS transitivity
          |FROM vw, ec, tri""".stripMargin,
 
+    // BFS distances as a recursive reach: UNION-dedup keeps the walk
+    // frontier (v, hops)-bounded; min(hops) per vertex is the BFS
+    // distance, capped at the same hop budget
+    "x_bfs_hops" ->
+      s"""WITH RECURSIVE $EmbedNearDupCtes,
+         |$GraphAdjCtes,
+         |seed AS (SELECT min(src) AS v FROM adj),
+         |walk(v, hops) AS (
+         |  SELECT v, 0 FROM seed WHERE v IS NOT NULL
+         |  UNION
+         |  SELECT a.dst, w.hops + 1 FROM walk w JOIN adj a ON a.src = w.v
+         |  WHERE w.hops < $BfsMaxHops)
+         |SELECT v AS vec_id, min(hops)::int AS hops
+         |FROM walk GROUP BY v""".stripMargin,
+
+    "x_pagerank_int" -> PageRankIntOracle,
+
+    "x_pagerank_weighted" -> PageRankWeightedOracle,
+
     // identical BM25 formula text: same idf/saturation op order, same
     // fixed-order term sum, same 6dp round before the rank
     "x_bm25_topk" -> {
@@ -4720,6 +4976,151 @@ object ExtQueries {
         |    CAST(n_total AS double)) AS chi2_cell
         |FROM obs JOIN r USING (a) JOIN c USING (b)
         |CROSS JOIN t""".stripMargin,
+
+    // mirrors Hypothesis.welchTTest: same seeded-hash arm split, same
+    // exact sufficient stats, same scalar IEEE chain op order
+    "x_welch_ttest" ->
+      s"""WITH $HypothesisBaseCte,
+         |perarm AS (
+         |  SELECT key, v, count(*)::bigint AS n, sum(c)::bigint AS s,
+         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
+         |  FROM base GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT key,
+         |    max(CASE WHEN v = 'a' THEN n END) AS n_a,
+         |    max(CASE WHEN v = 'b' THEN n END) AS n_b,
+         |    max(CASE WHEN v = 'a' THEN s END) AS sum_a_cents,
+         |    max(CASE WHEN v = 'b' THEN s END) AS sum_b_cents,
+         |    max(CASE WHEN v = 'a' THEN ss END) AS ss_a,
+         |    max(CASE WHEN v = 'b' THEN ss END) AS ss_b
+         |  FROM perarm GROUP BY key),
+         |st AS (
+         |  SELECT key, n_a, n_b, sum_a_cents, sum_b_cents,
+         |    sum_a_cents::double / n_a::double AS m_a,
+         |    sum_b_cents::double / n_b::double AS m_b,
+         |    ((ss_a::double - (sum_a_cents::double * sum_a_cents::double)
+         |        / n_a::double) / (n_a - 1)::double) / n_a::double AS se_a,
+         |    ((ss_b::double - (sum_b_cents::double * sum_b_cents::double)
+         |        / n_b::double) / (n_b - 1)::double) / n_b::double AS se_b
+         |  FROM wide)
+         |SELECT key, n_a, n_b, sum_a_cents, sum_b_cents,
+         |  m_a AS mean_a, m_b AS mean_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |    round((m_a - m_b) / sqrt(se_a + se_b), 6) END AS t_stat,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |    round(((se_a + se_b) * (se_a + se_b)) /
+         |      ((se_a * se_a) / (n_a - 1)::double +
+         |       (se_b * se_b) / (n_b - 1)::double), 6) END AS df
+         |FROM st""".stripMargin,
+
+    // mirrors Hypothesis.mannWhitneyU: doubled rank sums over the
+    // distinct-value frame (2·avgrank = 2·cnt_lt + cnt + 1), exact
+    // bigint U, tie-corrected z in the same op order
+    "x_mannwhitney_u" ->
+      s"""WITH $HypothesisBaseCte,
+         |perval AS (
+         |  SELECT key, c,
+         |    sum(CASE WHEN v = 'a' THEN 1 ELSE 0 END)::bigint AS ca,
+         |    sum(CASE WHEN v = 'b' THEN 1 ELSE 0 END)::bigint AS cb
+         |  FROM base GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT key, ca, cb, ca + cb AS cnt,
+         |    2 * coalesce(sum(ca + cb) OVER (PARTITION BY key ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+         |      (ca + cb) + 1 AS r2
+         |  FROM perval),
+         |agg AS (
+         |  SELECT key, sum(ca)::bigint AS n_a, sum(cb)::bigint AS n_b,
+         |    sum(ca * r2)::bigint AS r_a_x2,
+         |    sum(cnt*cnt*cnt - cnt)::bigint AS ties
+         |  FROM scored GROUP BY 1),
+         |u AS (
+         |  SELECT key, n_a, n_b, ties,
+         |    r_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+         |    (n_a * n_b)::double / 3.0 *
+         |      ((n_a + n_b + 1)::double -
+         |       ties::double / ((n_a + n_b) * (n_a + n_b - 1))::double)
+         |      AS var4
+         |  FROM agg)
+         |SELECT key, n_a, n_b, u_a_x2,
+         |  2 * n_a * n_b - u_a_x2 AS u_b_x2, ties,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND var4 > 0 THEN
+         |    round((u_a_x2 - n_a * n_b)::double / sqrt(var4), 6) END AS z
+         |FROM u""".stripMargin,
+
+    // mirrors Hypothesis.ksTwoSample: cross-multiplied CDF counts keep
+    // the sup numerator an exact bigint; one closing division
+    "x_ks_two_sample" ->
+      s"""WITH $HypothesisBaseCte,
+         |perval AS (
+         |  SELECT key, c,
+         |    sum(CASE WHEN v = 'a' THEN 1 ELSE 0 END)::bigint AS ca,
+         |    sum(CASE WHEN v = 'b' THEN 1 ELSE 0 END)::bigint AS cb
+         |  FROM base GROUP BY 1, 2),
+         |stepped AS (
+         |  SELECT key, c,
+         |    sum(ca) OVER (PARTITION BY key ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         |    sum(cb) OVER (PARTITION BY key ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         |    sum(ca) OVER (PARTITION BY key) AS n_a,
+         |    sum(cb) OVER (PARTITION BY key) AS n_b
+         |  FROM perval),
+         |dev AS (
+         |  SELECT key, c, n_a, n_b,
+         |    abs(cum_a * n_b - cum_b * n_a) AS dev,
+         |    max(abs(cum_a * n_b - cum_b * n_a))
+         |      OVER (PARTITION BY key) AS dev_max
+         |  FROM stepped)
+         |SELECT key, max(n_a)::bigint AS n_a, max(n_b)::bigint AS n_b,
+         |  max(dev)::bigint AS d_num,
+         |  min(CASE WHEN dev = dev_max THEN c END)::bigint AS at_cents,
+         |  CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
+         |    max(dev)::double / (max(n_a) * max(n_b))::double END AS d
+         |FROM dev GROUP BY key""".stripMargin,
+
+    // mirrors Hypothesis.cuped: n-scaled exact covariance (no mean
+    // quotient enters a sum), per-arm adjusted means algebraically,
+    // unrounded θ inside the adjustment, 6dp only on the outputs
+    "x_cuped" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts,
+         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+         |  FROM events),
+         |anchor AS (SELECT min(ts::date) AS day0 FROM events),
+         |pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN datediff('day', day0, ts::date) < $CupedPreDays
+         |      THEN c ELSE 0 END)::bigint AS x,
+         |    sum(CASE WHEN datediff('day', day0, ts::date) < $CupedPreDays
+         |      THEN 0 ELSE c END)::bigint AS y,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v
+         |  FROM ev CROSS JOIN anchor GROUP BY user_id),
+         |tot AS (SELECT count(*)::bigint AS n, sum(x)::bigint AS sx,
+         |  sum(y)::bigint AS sy FROM pu),
+         |mom AS (
+         |  SELECT max(n) AS n, max(sx) AS sx, max(sy) AS sy,
+         |    sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+         |  FROM (SELECT n, sx, sy,
+         |      (n*x - sx)::decimal(19,0) AS dx,
+         |      (n*y - sy)::decimal(19,0) AS dy
+         |    FROM pu CROSS JOIN tot)),
+         |perarm AS (
+         |  SELECT v AS variant, count(*)::bigint AS n_users,
+         |    sum(x)::bigint AS x_cents, sum(y)::bigint AS y_cents
+         |  FROM pu GROUP BY v)
+         |SELECT variant, n_users, x_cents, y_cents,
+         |  x_cents::double / n_users::double AS mean_x,
+         |  y_cents::double / n_users::double AS mean_y,
+         |  round(sxy::double / nullif(sxx::double, 0.0), 6) AS theta,
+         |  round((sxy::double * sxy::double) /
+         |    nullif(sxx::double * syy::double, 0.0), 6) AS rho2,
+         |  round(y_cents::double / n_users::double -
+         |    (sxy::double / nullif(sxx::double, 0.0)) *
+         |    (x_cents::double / n_users::double - sx::double / n::double),
+         |    6) AS mean_y_adj
+         |FROM perarm CROSS JOIN mom""".stripMargin,
 
     "x_winsorized" ->
       """WITH v AS (

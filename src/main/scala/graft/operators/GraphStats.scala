@@ -106,14 +106,19 @@ object GraphStats {
     import spark.implicits._
     val (adj, _) = adjacency(edges, aCol, bCol)
     // 1-row metadata probe (the replayable seed), same license as
-    // bm25TopK's corpus-size count
-    val seed = adj.agg(min(col("src"))).head().getLong(0)
-    var visited = Seq((seed, 0)).toDF("v", "hops")
+    // bm25TopK's corpus-size count; NULL min ⇔ no edges ⇒ empty result
+    // (nothing is reachable from a seed that does not exist)
+    val seedRow = adj.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Int)].toDF("vec_id", "hops")
+    var visited = Seq((seedRow.getLong(0), 0)).toDF("v", "hops")
     var frontier = visited
     var k = 1
     while (k <= maxHops) {
-      val next = frontier
-        .join(adj, frontier("v") === adj("src"))
+      // rename-then-Seq-join: the frontier descends from adj, so a
+      // direct adj("src") reference would be an ambiguous self-join
+      val next = frontier.select(col("v").as("src"))
+        .join(adj, Seq("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("hops", lit(k))
@@ -143,17 +148,83 @@ object GraphStats {
       bCol: String = "id_b"): DataFrame = {
     val (adj, deg) = adjacency(edges, aCol, bCol)
     // 1-row metadata probe: the vertex count both the init and the
-    // teleport term need as an exact literal
+    // teleport term need as an exact literal; empty graph ⇒ empty
+    // result (no vertices to rank, and `scale / 0` must never run)
     val n = deg.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "score_micro", "score")
     val adjd = CacheRegistry.tracked(adj.join(
       deg.select(col("v").as("src"), col("d").as("deg")), Seq("src")))
     var scores = deg.select(col("v"), lit(scale / n).as("score"))
     val base = 3L * scale / (20L * n)
     var i = 0
     while (i < iters) {
-      scores = adjd.join(scores, adjd("src") === scores("v"))
+      // rename-then-Seq-join (scores descends from adj via deg — a
+      // direct adjd("src") === scores("v") is an ambiguous self-join)
+      scores = adjd.join(
+          scores.select(col("v").as("src"), col("score")), Seq("src"))
         .select(col("dst").as("v"),
           expr("score div deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("insum"))
+        .select(col("v"),
+          (lit(base) + expr("(17 * insum) div 20")).as("score"))
+      i += 1
+    }
+    scores.select(col("v").as("vec_id"),
+      col("score").as("score_micro"),
+      (col("score").cast("double") / lit(scale.toDouble)).as("score"))
+  }
+
+  /** Weighted PageRank in the same exact-integer discipline: edge
+    * weights arrive as a double `wCol` (cosine scores), are fixed-point
+    * quantized to ppm once (`decimal(18,6) · 10⁶` — the trendOls cents
+    * trick, never a double round), and each round sends
+    * `(score · w) div wdeg` along every directed edge — floor division
+    * of exact int128 (decimal) intermediates, settled with the same
+    * 17/20 damping. This is the dedup-cluster authority score: a
+    * vertex tied to its cluster by STRONG cosines outranks one with
+    * the same degree of marginal matches. Int64 headroom: `score·w`
+    * caps at `scale · 10⁶` — kept exact by a decimal(38,0) product
+    * before the floor division brings it back under `scale`.
+    * Output: `(vec_id, score_micro, score)` as in the unweighted form. */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000L, aCol: String = "id_a",
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ppm = (col(wCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 1000000).cast("long")
+    val e = CacheRegistry.tracked(edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"), ppm.as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0L)
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w")))
+    val adj = CacheRegistry.tracked(
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"),
+          col("w"))))
+    val wdeg = CacheRegistry.tracked(adj.groupBy(col("src").as("v"))
+      .agg(sum(col("w")).as("wd")))
+    val n = wdeg.count()
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "score_micro", "score")
+    val adjd = CacheRegistry.tracked(adj.join(
+      wdeg.select(col("v").as("src"), col("wd")), Seq("src")))
+    var scores = wdeg.select(col("v"), lit(scale / n).as("score"))
+    val base = 3L * scale / (20L * n)
+    var i = 0
+    while (i < iters) {
+      scores = adjd.join(
+          scores.select(col("v").as("src"), col("score")), Seq("src"))
+        .select(col("dst").as("v"),
+          // exact int128 product, floored back under `scale`
+          expr("cast((cast(score as decimal(38,0)) * w) div wd as long)")
+            .as("c"))
         .groupBy(col("v"))
         .agg(sum(col("c")).as("insum"))
         .select(col("v"),

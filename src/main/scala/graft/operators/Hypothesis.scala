@@ -47,6 +47,12 @@ object Hypothesis {
 
   private val d38 = DecimalType(38, 0)
 
+  /** Integer cents via the repo's proven exact form (`Temporal.trendOls`
+    * / its oracle): decimal(18,2) quantization then ×100 — never a
+    * double round, so both engines land the identical bigint. */
+  private def centsOf(valueCol: String): Column =
+    (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+
   /** Welch's unequal-variance t-test per key: exact per-arm
     * (n, Σcents, Σcents²) in one aggregate, then the t statistic and
     * Welch–Satterthwaite degrees of freedom as mirrored scalar IEEE
@@ -55,9 +61,8 @@ object Hypothesis {
   def welchTTest(events: DataFrame, variant: Column,
       keyCol: String = "event_type", valueCol: String = "value")
       : DataFrame = {
-    val cents = round(col(valueCol) * 100, 0).cast("long")
     val base = events.select(col(keyCol).as("key"),
-      variant.as("v"), cents.as("c"))
+      variant.as("v"), centsOf(valueCol).as("c"))
     val perArm = base.groupBy(col("key"), col("v"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum((col("c").cast(DecimalType(19, 0)) *
@@ -100,9 +105,8 @@ object Hypothesis {
   def mannWhitneyU(events: DataFrame, variant: Column,
       keyCol: String = "event_type", valueCol: String = "value")
       : DataFrame = {
-    val cents = round(col(valueCol) * 100, 0).cast("long")
     val base = events.select(col(keyCol).as("key"),
-      variant.as("v"), cents.as("c"))
+      variant.as("v"), centsOf(valueCol).as("c"))
     val perVal = base.groupBy(col("key"), col("c"))
       .agg(sum(when(col("v") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("v") === "b", 1L).otherwise(0L)).as("cb"))
@@ -142,9 +146,8 @@ object Hypothesis {
   def ksTwoSample(events: DataFrame, variant: Column,
       keyCol: String = "event_type", valueCol: String = "value")
       : DataFrame = {
-    val cents = round(col(valueCol) * 100, 0).cast("long")
     val base = events.select(col(keyCol).as("key"),
-      variant.as("v"), cents.as("c"))
+      variant.as("v"), centsOf(valueCol).as("c"))
     val perVal = base.groupBy(col("key"), col("c"))
       .agg(sum(when(col("v") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("v") === "b", 1L).otherwise(0L)).as("cb"))
@@ -184,12 +187,11 @@ object Hypothesis {
   def cuped(events: DataFrame, variant: Column, preDays: Int = 31,
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    val cents = round(col(valueCol) * 100, 0).cast("long")
     val anchor = events.agg(min(to_date(col(tsCol))).as("day0"))
     val perUser = events.crossJoin(broadcast(anchor))
       .select(col(userCol).as("user_id"),
         (datediff(to_date(col(tsCol)), col("day0")) < preDays).as("pre"),
-        cents.as("c"))
+        centsOf(valueCol).as("c"))
       .groupBy(col("user_id"))
       .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
         sum(when(col("pre"), 0L).otherwise(col("c"))).as("y"))
@@ -226,7 +228,7 @@ object Hypothesis {
         meanXArm.as("mean_x"), meanYArm.as("mean_y"),
         round(theta, 6).as("theta"),
         round(rho2, 6).as("rho2"),
-        round(meanYArm - round(theta, 6) * (meanXArm - meanXAll), 6)
+        round(meanYArm - theta * (meanXArm - meanXAll), 6)
           .as("mean_y_adj"))
   }
 }

@@ -544,10 +544,17 @@ object Multimodal {
       .agg(max(col("run")).as("longest"))
     val nQuiet = q.filter(col("quiet")).groupBy(col("media_id"))
       .agg(count(lit(1)).as("nq"))
-    q.select(col("media_id"), col("n_frames")).distinct()
+    // anchor on the SOURCE clip set, not the frame rows: a clip whose
+    // payload decodes to zero frames still owes a summary row
+    // (n_frames = 0), per the one-row-per-clip contract
+    media.filter(col("kind") === "audio")
+      .select(col("media_id")).distinct()
+      .join(q.select(col("media_id"), col("n_frames")).distinct(),
+        Seq("media_id"), "left")
       .join(nQuiet, Seq("media_id"), "left")
       .join(longest, Seq("media_id"), "left")
-      .select(col("media_id"), col("n_frames"),
+      .select(col("media_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
         coalesce(col("nq"), lit(0L)).as("n_quiet"),
         coalesce(col("longest"), lit(0L)).as("longest_quiet_run"))
   }

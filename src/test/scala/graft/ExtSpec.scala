@@ -2347,4 +2347,38 @@ class ExtSpec extends SparkSpec {
     assert(e.getAs[Boolean]("b_in_bounds") &&
       e.getAs[Boolean]("inter_in_bounds"))
   }
+
+  test("compaction plan: bin boundaries, oversized item, stable prefix") {
+    import graft.operators.CorpusStats
+    // bytes [100, 100, 250, 100], target 200 → cum-before 0/100/200/450
+    // → bins 0, 0, 1, 2: the oversized 250-byte item keeps its own bin
+    // (overflow by one item is the compaction contract)
+    val rows = Seq(("s", 1L, "a" * 100), ("s", 2L, "b" * 100),
+      ("s", 3L, "c" * 250), ("s", 4L, "d" * 100))
+    val items = rows.toDF("source", "doc_id", "text")
+    val bins = CorpusStats.compactionPlan(items, 200L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(bins === Map(0L -> ((2L, 200L, 1L, 2L)),
+      1L -> ((1L, 250L, 3L, 3L)), 2L -> ((1L, 100L, 4L, 4L))))
+    // appending an item re-plans only the tail: bins 0..2 unchanged
+    val more = CorpusStats.compactionPlan(
+        (rows :+ (("s", 5L, "e" * 80))).toDF("source", "doc_id", "text"),
+        200L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        r.getAs[Long]("n_files")).toMap
+    assert(more(0L) === 2L && more(1L) === 1L)
+    assert(more(2L) === 2L) // the tail bin absorbs the 80-byte append
+    // UTF-8 BYTES, not chars: 100 two-byte chars fill a 200-byte bin
+    val utf = CorpusStats.compactionPlan(
+      Seq(("s", 1L, "é" * 100), ("s", 2L, "x"))
+        .toDF("source", "doc_id", "text"), 200L).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("first_doc")).toMap
+    assert(utf === Map(0L -> 1L, 1L -> 2L))
+    // a zero/negative target must fail loudly, never NULL-bin silently
+    intercept[IllegalArgumentException] {
+      CorpusStats.compactionPlan(items, 0L)
+    }
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphStats
+
+/** Hand-checked fixtures for the iterative graph operators: BFS runs
+  * real multi-round frontier expansion (the self-join shape the plan
+  * must survive), PageRank is cross-checked against an independent
+  * driver-side simulation of the same integer recurrence. */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1—2—3—4 path plus branch 2—5: seed = min vertex = 1
+  private val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+
+  test("bfs: multi-round frontier distances on a hand-checked graph") {
+    val hops = GraphStats.bfsHops(path.toDF("id_a", "id_b"), maxHops = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("hops")).toMap
+    assert(hops === Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2, 4L -> 3))
+  }
+
+  test("bfs: the hop budget truncates the reach") {
+    val hops = GraphStats.bfsHops(path.toDF("id_a", "id_b"), maxHops = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("hops")).toMap
+    assert(hops === Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfs: disconnected component stays unreached; first hop is a wave") {
+    // component {10,11} is unreachable from seed 1
+    val hops = GraphStats.bfsHops(
+      (path ++ Seq((10L, 11L))).toDF("id_a", "id_b"), maxHops = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(hops === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bfs/pagerank: empty and self-loop-only edge sets yield empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val loops = Seq((7L, 7L)).toDF("id_a", "id_b")
+    assert(GraphStats.bfsHops(empty).count() === 0L)
+    assert(GraphStats.bfsHops(loops).count() === 0L)
+    assert(GraphStats.pageRankIntScaled(empty).count() === 0L)
+    assert(GraphStats.pageRankIntScaled(loops).count() === 0L)
+    assert(GraphStats.pageRankWeighted(
+      Seq((7L, 7L, 0.9)).toDF("id_a", "id_b", "cos")).count() === 0L)
+  }
+
+  /** Driver-side re-implementation of the integer recurrence —
+    * independent of the Spark execution (plain maps and loops). */
+  private def simulate(edges: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b, w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val wdeg = adj.groupBy(_._1).map { case (v, es) =>
+      v -> es.map(_._3).sum }
+    val n = wdeg.size
+    val base = 3L * scale / (20L * n)
+    var scores = wdeg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) =>
+          (BigInt(scores(src)) * w / wdeg(src)).toLong }.sum }
+      scores = wdeg.keys.map(v => v -> (base + 17L * in(v) / 20L)).toMap
+    }
+    scores
+  }
+
+  test("pagerank: matches the independent integer simulation") {
+    // star 1—{2,3,4} plus edge 2—3: asymmetric degrees
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val got = GraphStats.pageRankIntScaled(edges.toDF("id_a", "id_b"),
+        iters = 5, scale = 1000000000000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(got === simulate(edges.map(e => (e._1, e._2, 1L)), 5,
+      1000000000000L))
+    // hub outranks leaves; symmetric 2/3 tie; leaf 4 is lowest
+    assert(got(1L) > got(2L) && got(2L) === got(3L) && got(3L) > got(4L))
+  }
+
+  test("pagerank: two-vertex graph is the scale/2 fixpoint") {
+    val got = GraphStats.pageRankIntScaled(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), iters = 3)
+      .collect().map(_.getAs[Long]("score_micro")).toSet
+    assert(got === Set(500000000000L))
+  }
+
+  test("weighted pagerank: matches the simulation; strong ties dominate") {
+    // path 1—2—3 with 2—3 carrying 3× the weight of 1—2: vertex 3
+    // receives more of 2's mass than vertex 1 does
+    val edges = Seq((1L, 2L, 0.2), (2L, 3L, 0.6))
+    val got = GraphStats.pageRankWeighted(
+        edges.toDF("id_a", "id_b", "cos"), iters = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(got === simulate(
+      edges.map(e => (e._1, e._2, (e._3 * 1e6).round)), 5, 1000000000L))
+    assert(got(3L) > got(1L))
+    assert(got(2L) > got(3L)) // the middle vertex receives from both
+  }
+
+  test("edge store: stored pairs equal the inline recompute; warm skip") {
+    import graft.operators.{ExtQueries, Similarity}
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-spec").toString
+    val built = graft.sources.EdgeStore.ensureNearDupPairs(e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    assert(built.isDefined)
+    val stored = graft.sources.EdgeStore.read(spark, path)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    val inline = Similarity.nearDupPairsLsh(e, ExtQueries.CosineThreshold,
+        bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    assert(stored === inline && stored.nonEmpty)
+    // second ensure with the same recipe reuses the warm store
+    assert(graft.sources.EdgeStore.ensureNearDupPairs(e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim).isEmpty)
+    // a recipe change (different threshold) rebuilds
+    assert(graft.sources.EdgeStore.ensureNearDupPairs(e, path,
+      0.9, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim).isDefined)
+  }
+
+  test("weighted pagerank: uniform weights equal the unweighted ranking") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val w = GraphStats.pageRankWeighted(
+        e.map(p => (p._1, p._2, 0.5)).toDF("id_a", "id_b", "cos"),
+        iters = 5, scale = 1000000000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    val u = GraphStats.pageRankIntScaled(e.toDF("id_a", "id_b"),
+        iters = 5, scale = 1000000000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(w === u) // w/wdeg = 1/deg exactly when weights are uniform
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Hypothesis
+
+/** Crafted two-arm fixtures with hand-computed closing statistics —
+  * the engine-side anchor for the four experimentation operators (the
+  * DuckDB oracle is the cross-engine check; this pins the math). */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  // variant passed as a literal fixture column — the md5 split is
+  // pinned separately below
+  private def fx(rows: Seq[(String, String, Double)]) =
+    rows.toDF("event_type", "vv", "value")
+
+  test("welch t: hand-computed t/df on unequal-variance arms") {
+    // a cents [100,200,300,400] (mean 250, var 50000/3);
+    // b cents [200,400,600]     (mean 400, var 40000)
+    val df = Hypothesis.welchTTest(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+        ("k", "a", 4.0), ("k", "b", 2.0), ("k", "b", 4.0),
+        ("k", "b", 6.0))),
+      col("vv")).collect().head
+    assert(df.getAs[Long]("n_a") === 4L)
+    assert(df.getAs[Long]("n_b") === 3L)
+    assert(df.getAs[Long]("sum_a_cents") === 1000L)
+    assert(df.getAs[Long]("sum_b_cents") === 1200L)
+    assert(df.getAs[Double]("mean_a") === 250.0)
+    assert(df.getAs[Double]("mean_b") === 400.0)
+    assert(df.getAs[Double]("t_stat") === -1.133893)
+    assert(df.getAs[Double]("df") === 3.234719)
+  }
+
+  test("welch t: an arm with n < 2 yields NULL t/df, not an error") {
+    val df = Hypothesis.welchTTest(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "b", 3.0))),
+      col("vv")).collect().head
+    assert(df.isNullAt(df.fieldIndex("t_stat")))
+    assert(df.isNullAt(df.fieldIndex("df")))
+    assert(df.getAs[Long]("n_b") === 1L)
+  }
+
+  test("mann-whitney: tie-corrected doubled ranks, hand-checked U and z") {
+    // a cents [100,200,200,300], b [200,400]: tie group of 3 at 200
+    // → u_a_x2 = 4, u_b_x2 = 12, ties = 24, z = -0.983739
+    val df = Hypothesis.mannWhitneyU(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 2.0),
+        ("k", "a", 3.0), ("k", "b", 2.0), ("k", "b", 4.0))),
+      col("vv")).collect().head
+    assert(df.getAs[Long]("n_a") === 4L)
+    assert(df.getAs[Long]("n_b") === 2L)
+    assert(df.getAs[Long]("u_a_x2") === 4L)
+    assert(df.getAs[Long]("u_b_x2") === 12L)
+    assert(df.getAs[Long]("ties") === 24L)
+    assert(df.getAs[Double]("z") === -0.983739)
+  }
+
+  test("mann-whitney: U_a + U_b = 2·n_a·n_b (the rank-sum identity)") {
+    val rows = (1 to 30).map(i =>
+      ("k", if (i % 3 == 0) "a" else "b", (i % 7).toDouble))
+    val df = Hypothesis.mannWhitneyU(fx(rows), col("vv"))
+      .collect().head
+    assert(df.getAs[Long]("u_a_x2") + df.getAs[Long]("u_b_x2") ===
+      2L * df.getAs[Long]("n_a") * df.getAs[Long]("n_b"))
+  }
+
+  test("ks: sup distance and its location, hand-checked") {
+    // same fixture as MW: sup |cdfA·n_b − cdfB·n_a| = 4 at cents 300
+    // → d = 4 / (4·2) = 0.5
+    val df = Hypothesis.ksTwoSample(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 2.0),
+        ("k", "a", 3.0), ("k", "b", 2.0), ("k", "b", 4.0))),
+      col("vv")).collect().head
+    assert(df.getAs[Long]("d_num") === 4L)
+    assert(df.getAs[Long]("at_cents") === 300L)
+    assert(df.getAs[Double]("d") === 0.5)
+  }
+
+  test("ks: identical arms have zero distance") {
+    val df = Hypothesis.ksTwoSample(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "b", 1.0),
+        ("k", "b", 2.0))), col("vv")).collect().head
+    assert(df.getAs[Long]("d_num") === 0L)
+    assert(df.getAs[Double]("d") === 0.0)
+  }
+
+  test("cuped: θ, ρ², and per-arm adjusted means, hand-checked") {
+    // day0 anchors the pre/post split: pre events on day0, post events
+    // 40 days later. Users (x, y): a → (100,200), (200,400);
+    // b → (300,500), (400,900). θ = 2.2, ρ² = 0.930769,
+    // adj_a = 300 − 2.2·(150−250) = 520, adj_b = 700 − 2.2·100 = 480.
+    val pre = "2024-01-01 00:00:00"
+    val post = "2024-02-10 00:00:00"
+    val events = Seq(
+      (1L, pre, 1.0), (1L, post, 2.0),
+      (2L, pre, 2.0), (2L, post, 4.0),
+      (3L, pre, 3.0), (3L, post, 5.0),
+      (4L, pre, 4.0), (4L, post, 9.0))
+      .toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("value"))
+    // fixture variant: users 1,2 → a; 3,4 → b
+    val r = Hypothesis.cuped(events,
+        when(col("user_id") <= 2, lit("a")).otherwise(lit("b")))
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(r("a").getAs[Long]("n_users") === 2L)
+    assert(r("a").getAs[Long]("x_cents") === 300L)
+    assert(r("a").getAs[Long]("y_cents") === 600L)
+    assert(r("a").getAs[Double]("theta") === 2.2)
+    assert(r("a").getAs[Double]("rho2") === 0.930769)
+    assert(r("a").getAs[Double]("mean_y_adj") === 520.0)
+    assert(r("b").getAs[Double]("mean_y_adj") === 480.0)
+    // variance reduction is real: adjusted means are closer together
+    // than the raw means (700 vs 300 → 480 vs 520)
+    assert(math.abs(r("a").getAs[Double]("mean_y_adj") -
+      r("b").getAs[Double]("mean_y_adj")) <
+      math.abs(r("a").getAs[Double]("mean_y") -
+        r("b").getAs[Double]("mean_y")))
+  }
+
+  test("variantOf: deterministic, and both arms are populated") {
+    val users = (1L to 200L).toDF("user_id")
+    val arms = users.select(Hypothesis.variantOf(col("user_id")).as("v"))
+      .groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(arms.keySet === Set("a", "b"))
+    // md5 is uniform: a 200-user split lands nowhere near 0/200
+    assert(arms("a") > 50L && arms("b") > 50L)
+    // replay stability
+    val again = users.select(Hypothesis.variantOf(col("user_id")).as("v"))
+      .groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === arms)
+  }
+}

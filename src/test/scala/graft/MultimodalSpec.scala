@@ -198,4 +198,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFeatures(media).count() ===
       media.filter($"kind" === "audio").count())
   }
+
+  test("quiet spans: hand-checked runs; one row per clip contract") {
+    // id 7's wave: recompute per-frame energies on the driver, apply
+    // the same strictly-below-mean rule, and check the longest run
+    val id = 7L
+    val n = Multimodal.audioSampleCount(id)
+    val samples = (0 until n).map(Multimodal.pcmSampleAt(id, _))
+    val energies = samples.grouped(64)
+      .map(_.map(s => s.toLong * s).sum).toSeq
+    val tot = energies.sum
+    val quiet = energies.map(_ * energies.size < tot)
+    val longest = {
+      var best = 0; var cur = 0
+      quiet.foreach { q =>
+        cur = if (q) cur + 1 else 0; best = math.max(best, cur) }
+      best.toLong
+    }
+    val r = Multimodal.quietSpans(media)
+      .filter($"media_id" === id).collect().head
+    assert(r.getAs[Long]("n_frames") === energies.size.toLong)
+    assert(r.getAs[Long]("n_quiet") === quiet.count(identity).toLong)
+    assert(r.getAs[Long]("longest_quiet_run") === longest)
+    // one row per audio clip, no more, no fewer
+    assert(Multimodal.quietSpans(media).count() ===
+      media.filter($"kind" === "audio").count())
+  }
+
+  test("quiet spans: a zero-frame clip still emits its summary row") {
+    // payload of ≤ 4 bytes (header only) decodes to zero PCM frames
+    val tiny = Seq((99L, "audio", Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.quietSpans(tiny).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_frames") === 0L)
+    assert(r.head.getAs[Long]("n_quiet") === 0L)
+    assert(r.head.getAs[Long]("longest_quiet_run") === 0L)
+  }
 }

@@ -541,6 +541,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Collect file scans and explode stages through InMemoryRelation
+    * boundaries (the tracked caches hide their build plans there). */
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case g: org.apache.spark.sql.execution.GenerateExec => Seq(g)
+      case m: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => deepNodes(m.relation.cachedPlan)
+    }.flatten
+
+  test("graph consumers read the committed pair store, not the LSH chain") {
+    withStaticPlan {
+      // the census (and every other graph consumer) must serve off the
+      // EdgeStore parquet: pair-list cost is paid once at build, so the
+      // serve plan scans the store and carries NO banding stages (no
+      // embeddings scan, no posexplode of band keys)
+      val nodes = deepNodes(
+        run("x_triangle_count").queryExecution.executedPlan)
+      val ss = nodes.collect { case s: FileSourceScanExec => s }
+      assert(ss.nonEmpty &&
+        ss.forall(_.relation.location.rootPaths.head.toString
+          .contains("graft-ndpairs")),
+        s"census must scan only the pair store:\n${ss.map(_.relation)}")
+      assert(nodes.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, "no explode stages: the LSH chain must not be inline")
+    }
+  }
+
   test("bm25 cuts top-k by TakeOrdered, never a global sort of docs") {
     withStaticPlan {
       val df = run("x_bm25_topk")
