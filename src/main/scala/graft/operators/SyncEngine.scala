@@ -255,4 +255,88 @@ object SyncEngine {
 
     SyncResult(delta, duplicates, newState, conflicts, audit, summary)
   }
+
+  private val TarjetaRender = "^Afiliación: (.*); Lote: (.*)$"
+
+  /** Fold HUMAN-RESOLVED revision-queue rows back into the destination
+    * state — the apply-back half of the runbook loop the reference
+    * leaves entirely to the operator (`GUIA_REVISION_PENDIENTE.md`
+    * steps 1–2; no code in `Code.gs` performs it): [[run]] quarantines
+    * a method move that would destroy manual work; the human reviews
+    * each queue row and decides; this executes the decision under the
+    * same idempotent-merge discipline as the sync itself.
+    *
+    * `resolutions` carries one row per decided folio:
+    * `(folio, accion ∈ {aceptar, ignorar}, nota)`.
+    *  - `aceptar` (runbook option A — the change is real): insert the
+    *    row in the DESTINATION partition with the queue's updated
+    *    fields, restoring the preserved work into the destination's
+    *    protected zone.
+    *  - `ignorar` (option B — the origin change was an error):
+    *    reinstate the row in the ORIGIN partition (the quarantine
+    *    removed it from state), same field/work restoration.
+    *
+    * Work restoration maps the queue's RENDERED evidence back to typed
+    * columns, because the queue is the sheet the human reads: the
+    * conciliado flag lands on the target partition's flag column
+    * (conciliado / recibo / verificado); a tarjeta-rendered
+    * `Afiliación: X; Lote: Y` string parses back to (afiliacion, lote);
+    * any other non-empty text restores as concepto_banco.
+    *
+    * Idempotent: restored rows LEFT-ANTI join the state on folio (the
+    * one-folio-one-sheet invariant the probe priority already assumes),
+    * so a re-run — or a resolution raced against an already-applied
+    * one — inserts nothing. Returns (newState, updatedQueue); resolved
+    * queue rows flip to `Resuelto` with the nota appended, never
+    * deleted (the runbook keeps the history), unmatched rows stay
+    * `Pendiente`.
+    *
+    * Scale shape: queue and resolutions are human-review-sized; the
+    * only state-sized operations are one folio-keyed anti-join and the
+    * union — both a single shuffle on the key, no windows, no collect. */
+  def applyResolutions(state: DataFrame, queue: DataFrame,
+      resolutions: DataFrame): (DataFrame, DataFrame) = {
+    val res = queue.filter(col("estado") === "Pendiente")
+      .join(resolutions.select(col("folio"),
+        col("accion").as("__accion"), col("nota").as("__nota")),
+        Seq("folio"))
+    val target = when(col("__accion") === "aceptar", col("hoja_destino"))
+      .otherwise(col("hoja_origen"))
+    val flag = col("conciliado") === "Sí"
+    val isTarjetaRender = col("concepto_banco").rlike(TarjetaRender)
+    val afi = nullif(regexp_extract(col("concepto_banco"),
+      TarjetaRender, 1), lit(""))
+    val lote = nullif(regexp_extract(col("concepto_banco"),
+      TarjetaRender, 2), lit(""))
+    val restored = res.select(
+      target.as("partition"), col("folio"), col("fecha"), col("cliente"),
+      col("servicio"), col("banco"), col("monto"),
+      when(target === MethodTransferencia, flag).as("conciliado"),
+      when(!isTarjetaRender, nullif(col("concepto_banco"), lit("")))
+        .as("concepto_banco"),
+      nullif(col("observaciones"), lit("")).as("observaciones"),
+      when(target === MethodTarjeta, flag).as("recibo"),
+      when(isTarjetaRender, afi).as("afiliacion"),
+      when(isTarjetaRender, lote).as("lote"),
+      when(!target.isin(MethodTransferencia, MethodTarjeta), flag)
+        .as("verificado"))
+    val inserts = restored.join(
+      state.select(col("folio")).distinct(), Seq("folio"), "left_anti")
+    val newState = state.unionByName(
+      inserts.select(StateCols.map(col): _*))
+    val updatedQueue = queue
+      .join(resolutions.select(col("folio"),
+        col("accion").as("__accion"), col("nota").as("__nota")),
+        Seq("folio"), "left")
+      .select(
+        queue.columns.filterNot(c => c == "estado" || c == "observaciones")
+          .map(col) ++ Seq(
+          when(col("estado") === "Pendiente" && col("__accion").isNotNull,
+            concat_ws(" | ", nullif(col("observaciones"), lit("")),
+              col("__nota"))).otherwise(col("observaciones"))
+            .as("observaciones"),
+          when(col("estado") === "Pendiente" && col("__accion").isNotNull,
+            lit("Resuelto")).otherwise(col("estado")).as("estado")): _*)
+    (newState, updatedQueue)
+  }
 }

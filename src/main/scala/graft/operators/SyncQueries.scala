@@ -126,8 +126,37 @@ object SyncQueries {
       val matched =
         Reconcile.matchStatements(SyncFixture.bankStatement(s, d), recon)
       Findings.unmatchedDeposits(matched, recon.drop("okey"))
+    }),
+
+    // Conflict-resolution apply-back (the runbook's human loop, closed):
+    // a deterministic decision rule stands in for the reviewer — even
+    // folios accept the move (option A), odd folios reinstate the origin
+    // row (option B) — and the resolved work folds back into the state
+    // under the same idempotent merge as the sync.
+    "x_conflict_resolve" -> ((s, d) => {
+      val r = result(s, d)
+      val (newState, _) = SyncEngine.applyResolutions(
+        r.newState, r.conflicts, fixtureResolutions(r.conflicts))
+      newState
+    }),
+
+    // The queue after apply-back: every decided row flips to Resuelto
+    // with the reviewer note appended; history is never deleted.
+    "x_conflict_queue_after" -> ((s, d) => {
+      val r = result(s, d)
+      val (_, queue) = SyncEngine.applyResolutions(
+        r.newState, r.conflicts, fixtureResolutions(r.conflicts))
+      queue
     })
   )
+
+  /** The deterministic stand-in reviewer: even folio → aceptar,
+    * odd → ignorar (replayable on any engine). */
+  private def fixtureResolutions(conflicts: DataFrame): DataFrame =
+    conflicts.select(col("folio"),
+      when(pmod(col("folio").cast("long"), lit(2)) === 0, "aceptar")
+        .otherwise("ignorar").as("accion"),
+      lit("auto: folio par acepta, impar ignora").as("nota"))
 
   private def withCtes(sql: String): String =
     s"WITH ${SyncFixture.DeltaCtes}\n$sql"
@@ -179,6 +208,48 @@ object SyncQueries {
        |    cast(cast(${side}_monto AS decimal(12,2)) AS varchar) END,
        |  CASE WHEN chg_banco THEN 'Banco: ' ||
        |    coalesce(${side}_banco, '') END)""".stripMargin
+
+  /** S8 queue rows — shared by the queue oracle and the apply-back. */
+  private val ConflictQueueSql =
+    """SELECT s_folio AS folio,
+      |  'Cambio método pago: ' || e_partition || ' → ' || s_metodo
+      |    AS conflicto,
+      |  e_partition AS hoja_origen, s_metodo AS hoja_destino,
+      |  s_fecha AS fecha, s_cliente AS cliente, s_servicio AS servicio,
+      |  s_monto AS monto, s_banco AS banco,
+      |  CASE WHEN coalesce(e_conciliado, e_recibo, e_verificado, false)
+      |    THEN 'Sí' ELSE 'No' END AS conciliado,
+      |  CASE WHEN e_partition = 'TARJETA' THEN
+      |    'Afiliación: ' || coalesce(e_afiliacion, '') || '; Lote: ' ||
+      |      coalesce(e_lote, '')
+      |  ELSE coalesce(e_concepto_banco, '') END AS concepto_banco,
+      |  coalesce(e_observaciones, '') AS observaciones,
+      |  'Pendiente' AS estado
+      |FROM delta WHERE action = 'CONFLICTO → REVISIÓN'""".stripMargin
+
+  /** S5 merged-state rows — shared by the merge oracle and the
+    * apply-back (which unions the restored conflict rows on top). */
+  private val MergedStateSql =
+    """SELECT e_partition AS "partition", e_folio AS folio, e_fecha AS fecha,
+      |  e_cliente AS cliente, e_servicio AS servicio, e_banco AS banco,
+      |  e_monto AS monto, e_conciliado AS conciliado,
+      |  e_concepto_banco AS concepto_banco,
+      |  e_observaciones AS observaciones, e_recibo AS recibo,
+      |  e_afiliacion AS afiliacion, e_lote AS lote,
+      |  e_verificado AS verificado
+      |FROM delta
+      |WHERE action IN ('SIN_CAMBIOS', 'ELIMINACIÓN DETECTADA',
+      |  'FUERA_VENTANA')
+      |UNION ALL
+      |SELECT e_partition, s_folio, s_fecha, s_cliente, s_servicio,
+      |  s_banco, s_monto, e_conciliado, e_concepto_banco,
+      |  e_observaciones, e_recibo, e_afiliacion, e_lote, e_verificado
+      |FROM delta WHERE action = 'ACTUALIZACIÓN'
+      |UNION ALL
+      |SELECT s_metodo, s_folio, s_fecha, s_cliente, s_servicio, s_banco,
+      |  s_monto, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      |FROM delta WHERE action IN ('NUEVO', 'CAMBIO MÉTODO PAGO')"""
+      .stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "j1_upsert_classify" -> withCtes(
@@ -259,22 +330,7 @@ object SyncQueries {
          |    AS valores_nuevos
          |FROM sd WHERE rn > 1""".stripMargin),
 
-    "s8_conflict_queue" -> withCtes(
-      """SELECT s_folio AS folio,
-        |  'Cambio método pago: ' || e_partition || ' → ' || s_metodo
-        |    AS conflicto,
-        |  e_partition AS hoja_origen, s_metodo AS hoja_destino,
-        |  s_fecha AS fecha, s_cliente AS cliente, s_servicio AS servicio,
-        |  s_monto AS monto, s_banco AS banco,
-        |  CASE WHEN coalesce(e_conciliado, e_recibo, e_verificado, false)
-        |    THEN 'Sí' ELSE 'No' END AS conciliado,
-        |  CASE WHEN e_partition = 'TARJETA' THEN
-        |    'Afiliación: ' || coalesce(e_afiliacion, '') || '; Lote: ' ||
-        |      coalesce(e_lote, '')
-        |  ELSE coalesce(e_concepto_banco, '') END AS concepto_banco,
-        |  coalesce(e_observaciones, '') AS observaciones,
-        |  'Pendiente' AS estado
-        |FROM delta WHERE action = 'CONFLICTO → REVISIÓN'""".stripMargin),
+    "s8_conflict_queue" -> withCtes(ConflictQueueSql),
 
     "j6_bank_reconcile" -> (s"WITH ${SyncFixture.DeltaCtes},\n$ReconCtes\n" +
       """SELECT b.bank_row_id, b.dia, b.abono, best.folio, best.fecha,
@@ -298,26 +354,62 @@ object SyncQueries {
         .stripMargin),
 
 
-    "s5_state_merge" -> withCtes(
-      """SELECT e_partition AS "partition", e_folio AS folio, e_fecha AS fecha,
-        |  e_cliente AS cliente, e_servicio AS servicio, e_banco AS banco,
-        |  e_monto AS monto, e_conciliado AS conciliado,
-        |  e_concepto_banco AS concepto_banco,
-        |  e_observaciones AS observaciones, e_recibo AS recibo,
-        |  e_afiliacion AS afiliacion, e_lote AS lote,
-        |  e_verificado AS verificado
-        |FROM delta
-        |WHERE action IN ('SIN_CAMBIOS', 'ELIMINACIÓN DETECTADA',
-        |  'FUERA_VENTANA')
-        |UNION ALL
-        |SELECT e_partition, s_folio, s_fecha, s_cliente, s_servicio,
-        |  s_banco, s_monto, e_conciliado, e_concepto_banco,
-        |  e_observaciones, e_recibo, e_afiliacion, e_lote, e_verificado
-        |FROM delta WHERE action = 'ACTUALIZACIÓN'
-        |UNION ALL
-        |SELECT s_metodo, s_folio, s_fecha, s_cliente, s_servicio, s_banco,
-        |  s_monto, NULL, NULL, NULL, NULL, NULL, NULL, NULL
-        |FROM delta WHERE action IN ('NUEVO', 'CAMBIO MÉTODO PAGO')"""
-        .stripMargin)
+    "s5_state_merge" -> withCtes(MergedStateSql),
+
+    "x_conflict_resolve" -> withCtes(
+      s""",
+         |merged AS ($MergedStateSql),
+         |rq AS (
+         |  SELECT s_folio AS folio, e_partition AS hoja_origen,
+         |    s_metodo AS hoja_destino, s_fecha AS fecha,
+         |    s_cliente AS cliente, s_servicio AS servicio,
+         |    s_monto AS monto, s_banco AS banco,
+         |    coalesce(e_conciliado, e_recibo, e_verificado, false)
+         |      AS flag,
+         |    CASE WHEN e_partition = 'TARJETA' THEN
+         |      'Afiliación: ' || coalesce(e_afiliacion, '') || '; Lote: '
+         |        || coalesce(e_lote, '')
+         |    ELSE coalesce(e_concepto_banco, '') END AS concepto_banco,
+         |    coalesce(e_observaciones, '') AS observaciones
+         |  FROM delta WHERE action = 'CONFLICTO → REVISIÓN'),
+         |restored AS (
+         |  SELECT
+         |    CASE WHEN folio::bigint % 2 = 0 THEN hoja_destino
+         |         ELSE hoja_origen END AS tgt,
+         |    folio, fecha, cliente, servicio, banco, monto, flag,
+         |    regexp_matches(concepto_banco,
+         |      '^Afiliación: (.*); Lote: (.*)$$') AS istar,
+         |    nullif(regexp_extract(concepto_banco,
+         |      '^Afiliación: (.*); Lote: (.*)$$', 1), '') AS afi,
+         |    nullif(regexp_extract(concepto_banco,
+         |      '^Afiliación: (.*); Lote: (.*)$$', 2), '') AS lot,
+         |    nullif(concepto_banco, '') AS cbn,
+         |    nullif(observaciones, '') AS obs
+         |  FROM rq),
+         |ins AS (
+         |  SELECT tgt AS "partition", folio, fecha, cliente, servicio,
+         |    banco, monto,
+         |    CASE WHEN tgt = 'TRANSFERENCIA' THEN flag END AS conciliado,
+         |    CASE WHEN NOT istar THEN cbn END AS concepto_banco,
+         |    obs AS observaciones,
+         |    CASE WHEN tgt = 'TARJETA' THEN flag END AS recibo,
+         |    CASE WHEN istar THEN afi END AS afiliacion,
+         |    CASE WHEN istar THEN lot END AS lote,
+         |    CASE WHEN tgt NOT IN ('TRANSFERENCIA', 'TARJETA') THEN flag
+         |      END AS verificado
+         |  FROM restored
+         |  WHERE folio NOT IN
+         |    (SELECT folio FROM merged WHERE folio IS NOT NULL))
+         |SELECT * FROM merged UNION ALL SELECT * FROM ins""".stripMargin),
+
+    "x_conflict_queue_after" -> withCtes(
+      s""",
+         |q AS ($ConflictQueueSql)
+         |SELECT folio, conflicto, hoja_origen, hoja_destino, fecha,
+         |  cliente, servicio, monto, banco, conciliado, concepto_banco,
+         |  concat_ws(' | ', nullif(observaciones, ''),
+         |    'auto: folio par acepta, impar ignora') AS observaciones,
+         |  'Resuelto' AS estado
+         |FROM q""".stripMargin)
   )
 }

@@ -160,6 +160,88 @@ class SyncEngineSpec extends SparkSpec {
     assert(s2.toSeq === s3.toSeq)
   }
 
+  private def queueDf(rows: Seq[(String, String, String, String, String,
+      String, String)]): DataFrame =
+    rows.toDF("folio", "hoja_origen", "hoja_destino", "conciliado",
+      "concepto_banco", "observaciones", "estado")
+      .withColumn("conflicto", concat(lit("Cambio método pago: "),
+        $"hoja_origen", lit(" → "), $"hoja_destino"))
+      .withColumn("fecha", to_date(lit("2025-11-05")))
+      .withColumn("cliente", lit("cli"))
+      .withColumn("servicio", lit("srv"))
+      .withColumn("monto", lit(100.0))
+      .withColumn("banco", lit("BANCOMER"))
+
+  test("apply-back: aceptar lands in destination, flag maps, idempotent") {
+    // F5's conflict from the golden run: TARJETA → TRANSFERENCIA with
+    // recibo=true. Accepting must reinstate it in TRANSFERENCIA with
+    // the flag carried onto the DESTINATION's flag column (conciliado).
+    val res = Seq(("F5", "aceptar", "ok")).toDF("folio", "accion", "nota")
+    val (st2, q2) =
+      SyncEngine.applyResolutions(r1.newState, r1.conflicts, res)
+    val f5 = st2.filter($"folio" === "F5").collect()
+    assert(f5.length === 1)
+    assert(f5.head.getAs[String]("partition") === "TRANSFERENCIA")
+    assert(f5.head.getAs[Boolean]("conciliado") === true)
+    assert(f5.head.isNullAt(f5.head.fieldIndex("recibo")))
+    // the fixture's empty tarjeta render ("Afiliación: ; Lote: ")
+    // parses back to NULLs, never empty-string work
+    assert(f5.head.isNullAt(f5.head.fieldIndex("afiliacion")))
+    assert(f5.head.isNullAt(f5.head.fieldIndex("concepto_banco")))
+    val qrow = q2.filter($"folio" === "F5").collect().head
+    assert(qrow.getAs[String]("estado") === "Resuelto")
+    assert(qrow.getAs[String]("observaciones") === "ok")
+    // idempotent: a re-apply (or a raced duplicate resolution) is a
+    // fixpoint — same state rows, queue already Resuelto stays put
+    val (st3, q3) = SyncEngine.applyResolutions(st2, q2, res)
+    assert(st3.collect().map(_.toString).sorted.toSeq ===
+      st2.collect().map(_.toString).sorted.toSeq)
+    assert(q3.collect().map(_.toString).sorted.toSeq ===
+      q2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("apply-back: ignorar reinstates origin; tarjeta render round-trips") {
+    val queue = queueDf(Seq(
+      ("F10", "TARJETA", "TRANSFERENCIA", "Sí",
+        "Afiliación: 4771419; Lote: 7", "revisado", "Pendiente"),
+      ("F11", "TRANSFERENCIA", "TARJETA", "No",
+        "SPEI RECIBIDO", "", "Pendiente"), // stays Pendiente (undecided)
+      ("F12", "TARJETA", "EFECTIVO", "Sí", "", "", "Resuelto"))) // done
+    val empty = stDf(Seq.empty)
+    val res = Seq(("F10", "ignorar", "error en origen"),
+      ("F12", "aceptar", "late")).toDF("folio", "accion", "nota")
+    val (st2, q2) = SyncEngine.applyResolutions(empty, queue, res)
+    // F10 back in its ORIGIN partition with the typed work restored
+    val rows = st2.collect().map(r => r.getAs[String]("folio") -> r).toMap
+    assert(rows.keySet === Set("F10")) // F11 undecided, F12 not Pendiente
+    val f10 = rows("F10")
+    assert(f10.getAs[String]("partition") === "TARJETA")
+    assert(f10.getAs[Boolean]("recibo") === true)
+    assert(f10.getAs[String]("afiliacion") === "4771419")
+    assert(f10.getAs[String]("lote") === "7")
+    assert(f10.isNullAt(f10.fieldIndex("concepto_banco")))
+    assert(f10.getAs[String]("observaciones") === "revisado")
+    val q = q2.collect().map(r => r.getAs[String]("folio") -> r).toMap
+    assert(q("F10").getAs[String]("estado") === "Resuelto")
+    assert(q("F10").getAs[String]("observaciones") ===
+      "revisado | error en origen")
+    assert(q("F11").getAs[String]("estado") === "Pendiente")
+    // already-Resuelto rows never re-flip or re-append notes
+    assert(q("F12").getAs[String]("estado") === "Resuelto")
+    assert(q("F12").getAs[String]("observaciones") === "")
+  }
+
+  test("apply-back: never overwrites a folio already present in state") {
+    // the folio re-entered the state (e.g. a later sync inserted it as
+    // NUEVO); the resolution must not create a second row
+    val queue = queueDf(Seq(("F2", "TARJETA", "TRANSFERENCIA", "No",
+      "", "", "Pendiente")))
+    val res = Seq(("F2", "aceptar", "x")).toDF("folio", "accion", "nota")
+    val (st2, _) = SyncEngine.applyResolutions(r1.newState, queue, res)
+    assert(st2.filter($"folio" === "F2").count() === 1)
+    assert(st2.count() === r1.newState.count())
+  }
+
   test("prepareSource quarantines poison rows, forgives partial ones") {
     val raw = Seq(
       ("F1", "5/11/2025", "$1,234.50"),   // clean
