@@ -115,6 +115,35 @@ object CorpusStats {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Temperature-rebalanced source sampling at α = 1/2 — the
+    * multilingual-corpus mixing rule (sampled mass ∝ n_s^α flattens
+    * head sources without drowning the tail): each doc of source s
+    * keeps with probability q_s = √(n_min)/√(n_s) (ppm-floored), so
+    * the rarest source keeps EVERYTHING (q = 1) and a source 100× its
+    * size keeps 10%. α is fixed at 1/2 because √ is the one power with
+    * an IEEE correctly-rounded primitive on every engine — a general
+    * `pow(x, α)` is libm-specific and would break the cross-engine
+    * hash contract. Selection is the seed-0 md5 hash against the exact
+    * integer ppm threshold ([[splitAssign]]'s discipline): the same doc
+    * keeps or drops on every engine and every replay. Scale shape: the
+    * rate table is sources-sized (broadcast), selection is one
+    * codegen'd scan — no shuffle beyond the counts aggregate. */
+  def temperatureSample(docs: DataFrame, idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol), col("n_docs"),
+        floor(sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double")) * 1000000)
+          .cast("long").as("q_ppm"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(Dedup.seededHash(col(idCol).cast("string"), 0),
+        lit(1000000L)) < col("q_ppm"))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("q_ppm"))
+  }
+
   /** Compaction plan for a small-files corpus: pack items into
     * target-sized output bins by RUNNING OFFSET — per source, items in
     * id order accumulate a byte cursor, and an item's bin is

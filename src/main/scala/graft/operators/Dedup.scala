@@ -152,6 +152,63 @@ object Dedup {
     jaccardByPairExpansion(
       cappedPostings(docs, idCol, textCol, n, maxShingleDf), threshold)
 
+  /** One-sided CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — the
+    * doc-in-doc signal symmetric Jaccard misses (a 100-shingle snippet
+    * fully embedded in a 10,000-shingle page scores jaccard ≈ 0.01 but
+    * containment 1.0): quote farms, boilerplate wrappers, benchmark
+    * text pasted into a crawl page. Same candidate shape as
+    * [[ngramJaccardPairs]] — pairs expand only from shared
+    * non-ubiquitous shingles, never all-pairs — with the score divided
+    * by the SMALLER side; `contained_id` names that side (ties →
+    * id_a, the canonical lower id). One closing IEEE division of exact
+    * bigints per surviving pair. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val postings = cappedPostings(docs, idCol, textCol, n, maxShingleDf)
+    val sizes = sizesOf(postings)
+    postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(
+        graft.plans.TextExpressions.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("size_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("size_b")),
+        "id_b")
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+        col("size_b"), col("containment"),
+        when(col("size_a") <= col("size_b"), col("id_a"))
+          .otherwise(col("id_b")).as("contained_id"))
+  }
+
+  /** SemDeDup-style cluster-representative selection: given cluster
+    * assignments `(idCol, clusterCol)` and per-doc scores
+    * `(idCol, scoreCol)`, keep the HIGHEST-scoring member of each
+    * cluster (ties → lowest id — a total order, so the cut is
+    * engine-exact). Min-id keep (`x_dedup_apply`) discards arbitrary
+    * members; keeping the best-quality one is what a curation pipeline
+    * actually wants from semantic dedup. One shuffle on the cluster
+    * key; both windows share it. Singleton clusters keep themselves. */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id",
+      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col(clusterCol))
+    val rank = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scores, Seq(idCol))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("keep", row_number().over(rank) === 1)
+      .select(col(idCol), col(clusterCol), col("n_members"),
+        col(scoreCol), col("keep"))
+  }
+
   /** Deterministic 60-bit shingle hash for seed `k`, reproducible in any
     * engine with md5 (the oracle uses the same construction). Two hashes
     * share one digest (chars 1-15 / 17-31) — md5 dominates signature cost,

@@ -22,7 +22,10 @@ object ExtQueries {
   val NearDupBands = 32
   val NearDupRows = 6
   val CompactionTargetBytes = 2048L
+  val ContainmentThreshold = 0.4
   val BfsMaxHops = 4
+  val KCoreK = 2
+  val KCoreRounds = 8
   val PageRankIters = 5
   val PageRankScale = 1000000000000L // unweighted: micro-units at 1e12
   val PageRankWScale = 1000000000L // weighted: 1e9 keeps score·ppm in int64
@@ -44,6 +47,7 @@ object ExtQueries {
   val HeavyHitterPhi = 64 // heavy = count > n/64 (4.5× above the err line)
   val FunnelSteps = Seq("view", "click", "purchase")
   val FunnelWindow = "7 days"
+  val CepWithinSeconds = 86400L // the CEP chain must span <= 1 day
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
   val RecallFloor = 0.5 // per-query recall@k gate for x_ann_recall_eval
   val HotWindowMin = 6L // purchases/hour that open an alert window
@@ -484,6 +488,13 @@ object ExtQueries {
     "x_scrub_spans_phased" -> ((s, d) =>
       Dedup.scrubRepeatedSpansPhased(Tables.documents(s, d),
         width = SpanWidth, maxDf = SpanMaxDf)),
+
+    // One-sided containment (doc-in-doc): |A∩B| / min(|A|,|B|) from
+    // the same shared-shingle pair expansion — the quote-farm /
+    // boilerplate-wrapper signal symmetric Jaccard misses.
+    "x_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d),
+        ContainmentThreshold)),
 
     // SimHash: md5-seeded 60-bit signatures; maxHamming=3 matches the
     // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
@@ -957,6 +968,13 @@ object ExtQueries {
     // Ordered 3-step funnel (view → click → purchase within 7 days of
     // the first view): k keyed min-aggregations, no per-user sort, no
     // window function — the ClickHouse windowFunnel shape as joins.
+    // CEP sequence detection: every purchase whose view->click->purchase
+    // chain (latest-predecessor binding) completes within a day -- the
+    // alert/trigger form of the funnel. One user-keyed exchange.
+    "x_cep_pattern" -> ((s, d) =>
+      Temporal.cepPattern(Tables.events(s, d), FunnelSteps,
+        CepWithinSeconds)),
+
     "x_funnel" -> ((s, d) =>
       Temporal.funnel(Tables.events(s, d), FunnelSteps, FunnelWindow)),
 
@@ -1201,6 +1219,14 @@ object ExtQueries {
     "x_shard_order" -> ((s, d) =>
       CorpusStats.shardOrder(Tables.documents(s, d), NumShards)),
 
+    // Temperature-rebalanced sampling (α = 1/2) across LANGUAGES (the
+    // skewed axis of this corpus — sources are uniform by construction):
+    // keep rate √(n_min/n_lang) flattens the head language; √ is the
+    // one cross-engine correctly-rounded power. md5-seeded selection.
+    "x_temperature_sample" -> ((s, d) =>
+      CorpusStats.temperatureSample(Tables.documents(s, d),
+        groupCol = "lang")),
+
     // Bin-packing compaction plan: per-source running-byte window →
     // stable first-fit bins (earlier bins never re-shuffle when items
     // append). At 100 TB the items are file-manifest rows, so the
@@ -1385,6 +1411,18 @@ object ExtQueries {
       graft.streaming.StreamingSync.sessionWindowReplay(
         s, Tables.events(s, d), gap = StreamSessionGap,
         delay = "1 hour", nBatches = 4, workDir = work)
+    }),
+
+    // Streaming CEP replayed over 4 time-ordered micro-batches:
+    // matches emit the moment their final event arrives, chains
+    // straddle batch boundaries through O(1)-per-user state — and the
+    // result equals the batch operator bit for bit (same oracle SQL).
+    "x_stream_cep" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ceprep-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.cepStreamReplay(
+        s, Tables.events(s, d), FunnelSteps, CepWithinSeconds,
+        nBatches = 4, workDir = work)
     }),
 
     // ROLLUP over (source, lang): one Expand-backed hash aggregate
@@ -1630,6 +1668,18 @@ object ExtQueries {
       GraphStats.pageRankWeighted(storedNearDupPairs(s, d),
         iters = PageRankIters, scale = PageRankWScale)),
 
+    // PERSONALIZED PageRank: teleport only to the even-id seed set —
+    // proximity to known-good documents, the seeded-curation ranking.
+    // Same integer rounds; the seed flag rides the cached vertex frame.
+    "x_pagerank_seeded" -> ((s, d) => {
+      val pairs = storedNearDupPairs(s, d)
+      val seeds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+        .filter(pmod(col("v"), lit(2)) === 0).distinct()
+      GraphStats.pageRankPersonalized(pairs, seeds,
+        iters = PageRankIters, scale = PageRankScale)
+    }),
+
     // BM25 lexical retrieval for a fixed query term set: tf at scan
     // time, df/avgdl as broadcast dims, TakeOrdered top-k; per-term
     // contributions in mirrored IEEE op order, fixed-order sum, 6dp
@@ -1747,6 +1797,25 @@ object ExtQueries {
       Olap.chiSquareIndep(Tables.orders(s, d), "o_orderpriority",
         "o_orderstatus")),
 
+    // k-core of the near-dup graph (k=2): iterative peel strips
+    // pendant tails, leaving the densely-connected duplicate mass —
+    // fixed-round unrolled on both engines, converged on every corpus.
+    "x_kcore" -> ((s, d) =>
+      GraphStats.kCore(storedNearDupPairs(s, d), k = KCoreK,
+        rounds = KCoreRounds)),
+
+    // SemDeDup: cluster the near-dup graph, keep each cluster's
+    // HIGHEST-QUALITY member (ties → lowest id) — the curation form
+    // of semantic dedup (min-id keep discards arbitrary members).
+    "x_semantic_keep" -> ((s, d) => {
+      val clusters = Dedup.clusterAssignments(Tables.embeddings(s, d),
+          storedNearDupPairs(s, d), idCol = "vec_id")
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      val scores = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      Dedup.keepBestPerCluster(clusters, scores)
+    }),
+
     // Welch's unequal-variance t-test per event type over the
     // md5-seeded 50/50 user split: exact per-arm sufficient stats in
     // one aggregate, the t/df chain in mirrored IEEE op order.
@@ -1775,6 +1844,13 @@ object ExtQueries {
     "x_cuped" -> ((s, d) =>
       Hypothesis.cuped(Tables.events(s, d),
         Hypothesis.variantOf(col("user_id")), preDays = CupedPreDays)),
+
+    // Experiment design: minimum detectable effect per key at
+    // α=0.05 / power 0.8 from the same exact per-arm stats — "is the
+    // experiment big enough" before the t answers "did it move".
+    "x_power_mde" -> ((s, d) =>
+      Hypothesis.powerMde(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
 
     // Winsorized robust stats per order priority: nearest-rank
     // p05/p95 clip bounds from pure integer ceil indexes, exact
@@ -1870,6 +1946,54 @@ object ExtQueries {
       |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
       |  FROM events)""".stripMargin
 
+  /** base + per-arm exact stats + pivot — shared by the Welch and MDE
+    * oracles. */
+  private lazy val HypoWideCtes =
+    s"""$HypothesisBaseCte,
+       |perarm AS (
+       |  SELECT key, v, count(*)::bigint AS n, sum(c)::bigint AS s,
+       |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
+       |  FROM base GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT key,
+       |    max(CASE WHEN v = 'a' THEN n END) AS n_a,
+       |    max(CASE WHEN v = 'b' THEN n END) AS n_b,
+       |    max(CASE WHEN v = 'a' THEN s END) AS sum_a_cents,
+       |    max(CASE WHEN v = 'b' THEN s END) AS sum_b_cents,
+       |    max(CASE WHEN v = 'a' THEN ss END) AS ss_a,
+       |    max(CASE WHEN v = 'b' THEN ss END) AS ss_b
+       |  FROM perarm GROUP BY key)""".stripMargin
+
+  /** The CEP packed-window chain — shared by the batch query and
+    * the streaming replay (bit-identical outputs by design). */
+  private lazy val CepOracleSql =
+      s"""WITH b AS (
+         |  SELECT user_id AS u, ts AS t, event_id AS q,
+         |    event_type AS typ,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |v0 AS (SELECT *, CASE WHEN typ = 'view'
+         |    THEN rn * 1000000 + rn END AS v0 FROM b),
+         |v1 AS (SELECT *, CASE WHEN typ = 'click' AND p1 IS NOT NULL
+         |    THEN rn * 1000000 + p1 % 1000000 END AS v1
+         |  FROM (SELECT *, max(v0) OVER (PARTITION BY u ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+         |    FROM v0)),
+         |v2 AS (SELECT *, CASE WHEN typ = 'purchase' AND p2 IS NOT NULL
+         |    THEN rn * 1000000 + p2 % 1000000 END AS v2
+         |  FROM (SELECT *, max(v1) OVER (PARTITION BY u ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+         |    FROM v1)),
+         |m AS (SELECT u, t AS end_ts, q AS end_id, v2 % 1000000 AS rn0
+         |      FROM v2 WHERE v2 IS NOT NULL)
+         |SELECT m.u AS user_id, st.q AS start_id, st.t AS start_ts,
+         |  m.end_id, m.end_ts,
+         |  epoch_us(m.end_ts) - epoch_us(st.t) AS dur_us
+         |FROM m JOIN b st ON st.u = m.u AND st.rn = m.rn0
+         |WHERE epoch_us(m.end_ts) - epoch_us(st.t)
+         |  <= $CepWithinSeconds::bigint * 1000000""".stripMargin
+
   /** Undirected adjacency CTEs over the near-dup `epairs` — shared by
     * the BFS and PageRank oracles (appended after
     * [[EmbedNearDupCtes]]). */
@@ -1905,6 +2029,95 @@ object ExtQueries {
        |  score::double / $PageRankScale.0 AS score
        |FROM s$PageRankIters""".stripMargin
   }
+
+  /** The personalized-PageRank oracle: even-id seeds, teleport only
+    * onto the seed flag, same unrolled floor-division rounds. */
+  private lazy val PageRankSeededOracle = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""s$i AS (
+         |  SELECT v, (CASE WHEN is_seed THEN tele ELSE 0 END
+         |      + (17 * insum) // 20)::bigint AS score FROM (
+         |    SELECT a.dst AS v, sum(s.score // a.d)::bigint AS insum
+         |    FROM adjd a JOIN s${i - 1} s ON s.v = a.src GROUP BY a.dst)
+         |  JOIN flagged USING (v) CROSS JOIN meta)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EmbedNearDupCtes,
+       |$GraphAdjCtes,
+       |deg AS (SELECT src AS v, count(*)::bigint AS d
+       |        FROM adj GROUP BY 1),
+       |flagged AS (SELECT v, v % 2 = 0 AS is_seed FROM deg),
+       |meta AS (SELECT count(*)::bigint AS n_s,
+       |  ((3 * $PageRankScale) //
+       |    (20 * count(*)))::bigint AS tele
+       |  FROM flagged WHERE is_seed),
+       |adjd AS (SELECT adj.src, adj.dst, deg.d
+       |         FROM adj JOIN deg ON deg.v = adj.src),
+       |s0 AS (SELECT v, (CASE WHEN is_seed THEN $PageRankScale // n_s
+       |         ELSE 0 END)::bigint AS score
+       |       FROM flagged CROSS JOIN meta),
+       |$rounds
+       |SELECT v AS vec_id, score AS score_micro,
+       |  score::double / $PageRankScale.0 AS score
+       |FROM s$PageRankIters""".stripMargin
+  }
+
+  /** The k-core oracle: the identical fixed-round peel, unrolled. */
+  private lazy val KCoreOracle =
+    s"""WITH $EmbedNearDupCtes,
+       |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM epairs),
+       |d1 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+       |  GROUP BY v),
+       |a1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= $KCoreK),
+       |e1 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a1)
+       |         AND b IN (SELECT v FROM a1)),
+       |d2 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+       |  GROUP BY v),
+       |a2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= $KCoreK),
+       |e2 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a2)
+       |         AND b IN (SELECT v FROM a2)),
+       |d3 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+       |  GROUP BY v),
+       |a3 AS MATERIALIZED (SELECT v FROM d3 WHERE d >= $KCoreK),
+       |e3 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a3)
+       |         AND b IN (SELECT v FROM a3)),
+       |d4 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+       |  GROUP BY v),
+       |a4 AS MATERIALIZED (SELECT v FROM d4 WHERE d >= $KCoreK),
+       |e4 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a4)
+       |         AND b IN (SELECT v FROM a4)),
+       |d5 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
+       |  GROUP BY v),
+       |a5 AS MATERIALIZED (SELECT v FROM d5 WHERE d >= $KCoreK),
+       |e5 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a5)
+       |         AND b IN (SELECT v FROM a5)),
+       |d6 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
+       |  GROUP BY v),
+       |a6 AS MATERIALIZED (SELECT v FROM d6 WHERE d >= $KCoreK),
+       |e6 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a6)
+       |         AND b IN (SELECT v FROM a6)),
+       |d7 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+       |  GROUP BY v),
+       |a7 AS MATERIALIZED (SELECT v FROM d7 WHERE d >= $KCoreK),
+       |e7 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a7)
+       |         AND b IN (SELECT v FROM a7)),
+       |d8 AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e7 UNION ALL SELECT b FROM e7)
+       |  GROUP BY v),
+       |a8 AS MATERIALIZED (SELECT v FROM d8 WHERE d >= $KCoreK),
+       |e8 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a8)
+       |         AND b IN (SELECT v FROM a8)),
+       |df AS (SELECT v, count(*)::bigint AS d FROM (
+       |  SELECT a AS v FROM e$KCoreRounds
+       |  UNION ALL SELECT b FROM e$KCoreRounds) GROUP BY v)
+       |SELECT v AS vec_id, d AS core_degree FROM df
+       |WHERE d >= $KCoreK""".stripMargin
 
   /** The weighted PageRank oracle: cosine weights ppm-quantized via
     * the same decimal(18,6)·10⁶ form, weighted degree, the identical
@@ -2658,6 +2871,27 @@ object ExtQueries {
          |  JOIN sizes sb ON i.id_b = sb.id)
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
 
+    // same shared-shingle pair expansion; score divides by the SMALLER
+    // side, contained_id names it (ties -> the canonical lower id)
+    "x_containment" ->
+      s"""WITH $ShingleCtes,
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, size_a, size_b, containment,
+         |  contained_id FROM (
+         |  SELECT i.id_a, i.id_b, i.inter, sa.nsh AS size_a,
+         |    sb.nsh AS size_b,
+         |    i.inter::double / least(sa.nsh, sb.nsh)::double
+         |      AS containment,
+         |    CASE WHEN sa.nsh <= sb.nsh THEN i.id_a ELSE i.id_b END
+         |      AS contained_id
+         |  FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id)
+         |WHERE containment >= $ContainmentThreshold""".stripMargin,
+
     "x_dedup_minhash_lsh" ->
       s"""WITH $ShingleCtes,
          |${minhashSigSql(8, 4)}
@@ -3310,6 +3544,10 @@ object ExtQueries {
 
     // mirrors Temporal.funnel: same strictly-after chaining, same
     // window anchored at t1, min aggregates throughout
+    "x_cep_pattern" -> CepOracleSql,
+
+    "x_stream_cep" -> CepOracleSql,
+
     "x_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
@@ -4067,6 +4305,23 @@ object ExtQueries {
         |    ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // mirrors CorpusStats.temperatureSample: ppm-floored sqrt rate per
+    // source, seed-0 md5 selection against the exact integer threshold
+    "x_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::bigint AS n_docs
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (
+        |  SELECT lang, n_docs,
+        |    floor(sqrt(n_min::double) / sqrt(n_docs::double) * 1000000)
+        |      ::bigint AS q_ppm
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, r.n_docs, r.q_ppm
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::varchar || '#0'), 1, 15))
+        |    ::bigint % 1000000 < r.q_ppm""".stripMargin,
+
     // mirrors CorpusStats.compactionPlan: strlen counts UTF-8 BYTES in
     // DuckDB (= Spark's octet_length); same running-sum bin assignment
     "x_compaction_plan" ->
@@ -4675,6 +4930,35 @@ object ExtQueries {
 
     "x_pagerank_weighted" -> PageRankWeightedOracle,
 
+    "x_pagerank_seeded" -> PageRankSeededOracle,
+
+    "x_kcore" -> KCoreOracle,
+
+    // cluster reach (the x_embed_dedup_cluster mirror) + quality join,
+    // ranked per cluster by (score DESC, doc_id)
+    "x_semantic_keep" ->
+      s"""WITH RECURSIVE $EmbedNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  UNION ALL SELECT id_b, id_a FROM epairs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+         |clu AS (SELECT v AS doc_id, min(l) AS cluster_id
+         |        FROM reach GROUP BY v),
+         |q AS ($QualitySelect),
+         |j AS (SELECT c.doc_id, c.cluster_id, q.score
+         |      FROM clu c JOIN q USING (doc_id)),
+         |r AS (SELECT *,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT doc_id, cluster_id, n_members::bigint AS n_members,
+         |  score, rk = 1 AS keep
+         |FROM r""".stripMargin,
+
     // identical BM25 formula text: same idf/saturation op order, same
     // fixed-order term sum, same 6dp round before the rank
     "x_bm25_topk" -> {
@@ -4980,20 +5264,7 @@ object ExtQueries {
     // mirrors Hypothesis.welchTTest: same seeded-hash arm split, same
     // exact sufficient stats, same scalar IEEE chain op order
     "x_welch_ttest" ->
-      s"""WITH $HypothesisBaseCte,
-         |perarm AS (
-         |  SELECT key, v, count(*)::bigint AS n, sum(c)::bigint AS s,
-         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
-         |  FROM base GROUP BY 1, 2),
-         |wide AS (
-         |  SELECT key,
-         |    max(CASE WHEN v = 'a' THEN n END) AS n_a,
-         |    max(CASE WHEN v = 'b' THEN n END) AS n_b,
-         |    max(CASE WHEN v = 'a' THEN s END) AS sum_a_cents,
-         |    max(CASE WHEN v = 'b' THEN s END) AS sum_b_cents,
-         |    max(CASE WHEN v = 'a' THEN ss END) AS ss_a,
-         |    max(CASE WHEN v = 'b' THEN ss END) AS ss_b
-         |  FROM perarm GROUP BY key),
+      s"""WITH $HypoWideCtes,
          |st AS (
          |  SELECT key, n_a, n_b, sum_a_cents, sum_b_cents,
          |    sum_a_cents::double / n_a::double AS m_a,
@@ -5011,6 +5282,25 @@ object ExtQueries {
          |    round(((se_a + se_b) * (se_a + se_b)) /
          |      ((se_a * se_a) / (n_a - 1)::double +
          |       (se_b * se_b) / (n_b - 1)::double), 6) END AS df
+         |FROM st""".stripMargin,
+
+    // same wide CTEs; the z-sum is the fixed literal 2.801585
+    // (1.959964 + 0.841621), mirrored on both engines
+    "x_power_mde" ->
+      s"""WITH $HypoWideCtes,
+         |st AS (
+         |  SELECT key, n_a, n_b,
+         |    sum_a_cents::double / n_a::double AS m_a,
+         |    ((ss_a::double - (sum_a_cents::double * sum_a_cents::double)
+         |        / n_a::double) / (n_a - 1)::double) / n_a::double AS se_a,
+         |    ((ss_b::double - (sum_b_cents::double * sum_b_cents::double)
+         |        / n_b::double) / (n_b - 1)::double) / n_b::double AS se_b
+         |  FROM wide)
+         |SELECT key, n_a, n_b, m_a AS mean_a_cents,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |    round(2.801585 * sqrt(se_a + se_b), 6) END AS mde_cents,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND m_a <> 0.0 THEN
+         |    round((2.801585 * sqrt(se_a + se_b)) / m_a, 6) END AS mde_rel
          |FROM st""".stripMargin,
 
     // mirrors Hypothesis.mannWhitneyU: doubled rank sums over the

@@ -179,6 +179,96 @@ object GraphStats {
       (col("score").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
+  /** k-core membership by iterative peeling: each round drops every
+    * vertex whose degree among SURVIVORS is < k, for a FIXED `rounds`
+    * budget — identical on every engine (the oracle unrolls the same
+    * rounds), and equal to the true k-core whenever the peel converges
+    * within the budget (the spec asserts convergence on every test
+    * corpus; the cluster-scale form loops the same per-round plan under
+    * a driver-side `count`-stable check). The graph-curation filter:
+    * 2-core strips pendant tails off the similarity graph, leaving the
+    * densely-connected duplicate mass. Per round: two vertex-keyed
+    * semi-joins + one degree aggregate — keys-sized exchanges, never
+    * all-pairs; lineage is truncated every 4 rounds. Output: surviving
+    * `(vec_id, core_degree)` (degree within the surviving subgraph). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
+    val e0 = CacheRegistry.tracked(edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var e = e0
+    var deg: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val alive = deg.filter(col("d") >= k).select(col("v"))
+      e = e0
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+      if (i % 4 == 3) e = e.localCheckpoint() // truncate peel lineage
+      i += 1
+    }
+    val degF = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    degF.filter(col("d") >= k)
+      .select(col("v").as("vec_id"), col("d").as("core_degree"))
+  }
+
+  /** PERSONALIZED PageRank in the same exact-integer discipline:
+    * teleport mass lands only on the `seeds` vertex set (intersected
+    * with the graph — teleporting to an absent vertex is a no-op), so
+    * scores measure proximity TO THE SEEDS rather than global
+    * authority — "given these known-good documents, rank the corpus by
+    * similarity-graph closeness", the canonical seeded-curation query.
+    * score₀ = `scale // |S|` on seeds, 0 elsewhere; each round settles
+    * `(3·scale) // (20·|S|)·[v ∈ S] + (17·Σ_in) // 20`. Same Pregel
+    * shape and int64 headroom as [[pageRankIntScaled]]; the seed flag
+    * rides the cached vertex frame, adding no per-round shuffle. */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (adj, deg) = adjacency(edges, aCol, bCol)
+    val flagged = CacheRegistry.tracked(deg.select(col("v"))
+      .join(seeds.select(col("v"), lit(true).as("is_seed")).distinct(),
+        Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed")))
+    val nS = flagged.filter(col("is_seed")).count()
+    if (nS == 0L)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "score_micro", "score")
+    val adjd = CacheRegistry.tracked(adj.join(
+      deg.select(col("v").as("src"), col("d").as("deg")), Seq("src")))
+    val base = 3L * scale / (20L * nS)
+    var scores = flagged.select(col("v"),
+      when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L))
+        .as("score"))
+    var i = 0
+    while (i < iters) {
+      scores = adjd.join(
+          scores.select(col("v").as("src"), col("score")), Seq("src"))
+        .select(col("dst").as("v"),
+          expr("score div deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("insum"))
+        .join(flagged, Seq("v"))
+        .select(col("v"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(17 * insum) div 20")).as("score"))
+      i += 1
+    }
+    scores.select(col("v").as("vec_id"),
+      col("score").as("score_micro"),
+      (col("score").cast("double") / lit(scale.toDouble)).as("score"))
+  }
+
   /** Weighted PageRank in the same exact-integer discipline: edge
     * weights arrive as a double `wCol` (cosine scores), are fixed-point
     * quantized to ppm once (`decimal(18,6) · 10⁶` — the trendOls cents

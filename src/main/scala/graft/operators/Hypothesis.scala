@@ -58,9 +58,10 @@ object Hypothesis {
     * Welch–Satterthwaite degrees of freedom as mirrored scalar IEEE
     * ops. Arms with n < 2 yield NULL t/df (variance undefined) rather
     * than an error. */
-  def welchTTest(events: DataFrame, variant: Column,
-      keyCol: String = "event_type", valueCol: String = "value")
-      : DataFrame = {
+  /** The wide per-key arm-stats frame shared by [[welchTTest]] and
+    * [[powerMde]]: exact (n, Σcents, Σcents²) per arm, pivoted. */
+  private def armStatsWide(events: DataFrame, variant: Column,
+      keyCol: String, valueCol: String): DataFrame = {
     val base = events.select(col(keyCol).as("key"),
       variant.as("v"), centsOf(valueCol).as("c"))
     val perArm = base.groupBy(col("key"), col("v"))
@@ -68,10 +69,16 @@ object Hypothesis {
         sum((col("c").cast(DecimalType(19, 0)) *
           col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
     def arm(a: String, c: String) = max(when(col("v") === a, col(c)))
-    val wide = perArm.groupBy(col("key")).agg(
+    perArm.groupBy(col("key")).agg(
       arm("a", "n").as("n_a"), arm("b", "n").as("n_b"),
       arm("a", "s").as("sum_a_cents"), arm("b", "s").as("sum_b_cents"),
       arm("a", "ss").as("ss_a"), arm("b", "ss").as("ss_b"))
+  }
+
+  def welchTTest(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val wide = armStatsWide(events, variant, keyCol, valueCol)
     // the mirrored scalar chain — op order is the contract
     def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
     def variance(ss: Column, s: Column, n: Column) =
@@ -94,6 +101,39 @@ object Hypothesis {
       mA.as("mean_a"), mB.as("mean_b"),
       when(col("n_a") >= 2 && col("n_b") >= 2, round(t, 6)).as("t_stat"),
       when(col("n_a") >= 2 && col("n_b") >= 2, round(dfW, 6)).as("df"))
+  }
+
+  /** Experiment-design read-out per key: the minimum detectable effect
+    * (MDE) at two-sided α = 0.05 / power 0.8, from the SAME exact
+    * per-arm sufficient stats as [[welchTTest]] —
+    * `mde = (z_{α/2} + z_β) · √(s²_a/n_a + s²_b/n_b)`, with the z-sum
+    * fixed as the literal 2.801585 (1.959964 + 0.841621, both engines
+    * see the identical constant; no inverse-normal evaluation at query
+    * time). Answers "is this experiment big enough" BEFORE the test
+    * answers "did it move": an observed lift below `mde_cents` is noise
+    * at the declared power no matter what the t says. `mde_rel` scales
+    * by the control mean. Same one-aggregate reduction; arms with
+    * n < 2 yield NULL (variance undefined). */
+  def powerMde(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val wide = armStatsWide(events, variant, keyCol, valueCol)
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") -
+        (s.cast("double") * s.cast("double")) / n.cast("double")) /
+        (n - 1).cast("double")
+    val mA = mean(col("sum_a_cents"), col("n_a"))
+    val seA = variance(col("ss_a"), col("sum_a_cents"), col("n_a")) /
+      col("n_a").cast("double")
+    val seB = variance(col("ss_b"), col("sum_b_cents"), col("n_b")) /
+      col("n_b").cast("double")
+    val mde = lit(2.801585) * sqrt(seA + seB)
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    wide.select(col("key"), col("n_a"), col("n_b"),
+      mA.as("mean_a_cents"),
+      when(ok, round(mde, 6)).as("mde_cents"),
+      when(ok && mA =!= 0.0, round(mde / mA, 6)).as("mde_rel"))
   }
 
   /** Mann–Whitney U per key, tie-corrected: doubled rank sums stay

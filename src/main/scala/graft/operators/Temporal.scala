@@ -160,6 +160,60 @@ object Temporal {
     * monotonically, so later passes join against ever-smaller (often
     * broadcast-able) frames. All aggregates are `min` — deterministic
     * under any partitioning. */
+  /** Sequence-pattern detection (CEP, the FlinkCEP "followed-by …
+    * within" primitive): one MATCH row per occurrence of the final
+    * step whose chain completes — each step binds to its MOST RECENT
+    * preceding-step occurrence ("skip-till-next-match" chaining), other
+    * events may intervene, and the whole chain must span ≤
+    * `withinSeconds` from its step-1 anchor. [[funnel]] answers "how
+    * many users ever got this far"; this answers "WHICH events
+    * completed the sequence, anchored where" — the alert/trigger form.
+    *
+    * Shape: ONE user-keyed exchange. Chains thread through running
+    * window maxima of a packed bigint `rn·10⁶ + rn₀` (this step's
+    * per-user row number carrying its chain-anchor's row number — max
+    * picks the latest step occurrence because rn dominates the
+    * packing; headroom: 10⁶ events per user per the pack base, and
+    * rn·10⁶ ≤ 10¹² in int64), so no self-join per step — the one join
+    * is the final anchor-attribute fetch on (user, rn₀). Exact
+    * integers throughout; duration closes as a `unix_micros`
+    * difference. Same-timestamp events order by the seq column — a
+    * total order, so matches are engine-exact. */
+  def cepPattern(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long, userCol: String = "user_id",
+      tsCol: String = "ts", seqCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a pattern needs ≥ 2 steps: $steps")
+    val byUser = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("q"))
+    val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(seqCol).as("q"), col(typeCol).as("typ"))
+      .withColumn("rn", row_number().over(byUser))
+    val P = lit(1000000L)
+    var df = base.withColumn("v0",
+      when(col("typ") === steps.head, col("rn") * P + col("rn")))
+    for (k <- 1 until steps.size) {
+      df = df
+        .withColumn(s"p$k", max(col(s"v${k - 1}")).over(before))
+        .withColumn(s"v$k",
+          when(col("typ") === steps(k) && col(s"p$k").isNotNull,
+            col("rn") * P + pmod(col(s"p$k"), P)))
+    }
+    val last = s"v${steps.size - 1}"
+    val matches = df.filter(col(last).isNotNull)
+      .select(col("u"), col("t").as("end_ts"), col("q").as("end_id"),
+        pmod(col(last), P).as("rn0"))
+    val starts = base.select(col("u"), col("rn").as("rn0"),
+      col("t").as("start_ts"), col("q").as("start_id"))
+    matches.join(starts, Seq("u", "rn0"))
+      .withColumn("dur_us",
+        unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+      .filter(col("dur_us") <= withinSeconds * 1000000L)
+      .select(col("u").as(userCol), col("start_id"), col("start_ts"),
+        col("end_id"), col("end_ts"), col("dur_us"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
       window: String = "7 days", userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type")

@@ -61,6 +61,114 @@ object StreamingSync {
       .toDF(source.columns: _*)
   }
 
+  final case class CepEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+  final case class CepStep(ts: java.sql.Timestamp, id: Long,
+    anchor_ts: java.sql.Timestamp, anchor_id: Long)
+  final case class CepState(slots: Map[Int, CepStep])
+  final case class CepMatch(user_id: Long, start_id: Long,
+    start_ts: java.sql.Timestamp, end_id: Long,
+    end_ts: java.sql.Timestamp, dur_us: Long)
+
+  /** STREAMING sequence-pattern detection — the continuous form of
+    * [[graft.operators.Temporal.cepPattern]] (same latest-predecessor
+    * "skip-till-next-match" chaining, same `within` bound): per-user
+    * `flatMapGroupsWithState` holding ONE slot per non-final step (the
+    * latest occurrence of that step with its chain anchor), so a match
+    * EMITS the moment its final event arrives — the alert/trigger
+    * deployment the batch operator can only backfill. Within a
+    * micro-batch, rows process in (ts, event_id) order; chains
+    * straddling micro-batch boundaries thread through the state store
+    * (the property the replay spec pins). State at scale: steps−1
+    * fixed-size tuples per user — O(1), no watermark needed for
+    * boundedness (an idle user's slots are steps−1 rows forever; the
+    * documented swap for key-churn workloads is an event-time timeout
+    * evicting users idle past `within`, which also cannot change any
+    * future match because a stale anchor would fail the bound). */
+  def cepStream(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"a pattern needs ≥ 2 steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val lastK = steps.size - 1
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[CepEvent],
+            st: GroupState[CepState]) => {
+          var slots = st.getOption.map(_.slots)
+            .getOrElse(Map.empty[Int, CepStep])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano,
+              e.event_id))
+          ordered.foreach { e =>
+            stepIdx.get(e.event_type) match {
+              case Some(0) if lastK > 0 =>
+                slots += 0 -> CepStep(e.ts, e.event_id, e.ts, e.event_id)
+              case Some(k) if k == lastK =>
+                slots.get(k - 1).foreach { prev =>
+                  val dur = java.time.temporal.ChronoUnit.MICROS
+                    .between(prev.anchor_ts.toInstant, e.ts.toInstant)
+                  if (dur <= withinSeconds * 1000000L)
+                    out += CepMatch(user, prev.anchor_id, prev.anchor_ts,
+                      e.event_id, e.ts, dur)
+                }
+              case Some(k) =>
+                slots.get(k - 1).foreach { prev =>
+                  slots += k -> CepStep(e.ts, e.event_id,
+                    prev.anchor_ts, prev.anchor_id)
+                }
+              case None => // not a pattern step: intervening event
+            }
+          }
+          st.update(CepState(slots))
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** [[cepStream]] replayed over time-ordered micro-batches (the
+    * session-replay harness shape: ntile over the (ts, event_id) total
+    * order → one parquet file per batch → maxFilesPerTrigger=1).
+    * Matches emit immediately on the final step, so no sentinel batch
+    * is needed. Output equals the batch operator's (the oracle is the
+    * SAME SQL), with chains straddling batch boundaries carried by the
+    * state store. */
+  def cepStreamReplay(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], withinSeconds: Long, nBatches: Int = 4,
+      workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("ts"), col("event_id"))
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("b", ntile(nBatches).over(ord))
+      .cache()
+    val in = stageBatchFiles(staged, nBatches, workDir)
+    staged.unpersist()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val name = s"graft_cep_replay_${replaySeq.incrementAndGet()}"
+    val q = cepStream(stream, steps, withinSeconds)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        new java.io.File(workDir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Bounded-state streaming dedup: duplicate keys are dropped while
     * they are within the watermark, and the per-key state is EVICTED
     * once the watermark passes — the infinite-stream answer to

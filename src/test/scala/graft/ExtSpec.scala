@@ -2348,6 +2348,61 @@ class ExtSpec extends SparkSpec {
       e.getAs[Boolean]("inter_in_bounds"))
   }
 
+  test("containment: doc-in-doc scores 1.0 where jaccard stays low") {
+    // doc 20 is a verbatim snippet of doc 21 (page = snippet + filler):
+    // containment must be 1.0 with contained_id = 20, while symmetric
+    // jaccard on the same pair is well under 0.5
+    val snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = snippet + " " +
+      (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val dd = Seq((20L, snippet), (21L, page)).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(dd, 0.9).collect()
+    assert(c.length === 1)
+    assert(c.head.getAs[Double]("containment") === 1.0)
+    assert(c.head.getAs[Long]("contained_id") === 20L)
+    val j = Dedup.ngramJaccardPairs(dd, 0.0)
+      .filter($"id_a" === 20L).collect().head
+    assert(j.getAs[Double]("jaccard") < 0.5)
+    // unrelated docs never pair (no shared shingle → no candidate)
+    assert(Dedup.containmentPairs(docs, 0.9)
+      .filter($"id_a" === 3L || $"id_b" === 3L).count() === 0L)
+  }
+
+  test("keep-best per cluster: quality wins, ties break low, singletons") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val r = Dedup.keepBestPerCluster(clusters, scores)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_members"), x.getAs[Boolean]("keep")))).toMap
+    // 2 and 3 tie at 0.9 → the LOWER id keeps; the singleton keeps itself
+    assert(r === Map(1L -> ((3L, false)), 2L -> ((3L, true)),
+      3L -> ((3L, false)), 4L -> ((1L, true))))
+  }
+
+  test("temperature sample: rarest group keeps all, head subsamples") {
+    import graft.operators.CorpusStats
+    // skew 4:1 — group 'big' has 80 docs, 'small' has 20
+    val dd = ((1L to 80L).map(i => (i, s"doc $i", "big")) ++
+      (81L to 100L).map(i => (i, s"doc $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val kept = CorpusStats.temperatureSample(dd)
+    val rates = kept.select($"source", $"q_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("small") === 1000000L) // √(20/20) → keeps everything
+    assert(rates("big") === 500000L) // √(20/80) = 1/2 exactly
+    val counts = kept.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") === 20L)
+    // md5 is uniform: the 50% rate keeps SOME but not all of 80
+    assert(counts("big") > 20L && counts("big") < 80L)
+    // deterministic replay: same rows every run
+    assert(kept.collect().map(_.toString).sorted.toSeq ===
+      CorpusStats.temperatureSample(dd).collect()
+        .map(_.toString).sorted.toSeq)
+  }
+
   test("compaction plan: bin boundaries, oversized item, stable prefix") {
     import graft.operators.CorpusStats
     // bytes [100, 100, 250, 100], target 200 → cum-before 0/100/200/450

@@ -49,19 +49,23 @@ class GraphStatsSpec extends SparkSpec {
   /** Driver-side re-implementation of the integer recurrence —
     * independent of the Spark execution (plain maps and loops). */
   private def simulate(edges: Seq[(Long, Long, Long)], iters: Int,
-      scale: Long): Map[Long, Long] = {
+      scale: Long, seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val adj = edges.flatMap { case (a, b, w) =>
       Seq((a, b, w), (b, a, w)) }
     val wdeg = adj.groupBy(_._1).map { case (v, es) =>
       v -> es.map(_._3).sum }
-    val n = wdeg.size
-    val base = 3L * scale / (20L * n)
-    var scores = wdeg.keys.map(_ -> scale / n).toMap
+    val seedSet = seeds.getOrElse(wdeg.keySet.toSet)
+      .filter(wdeg.contains)
+    val nS = seedSet.size
+    val base = 3L * scale / (20L * nS)
+    var scores = wdeg.keys.map(v =>
+      v -> (if (seedSet(v)) scale / nS else 0L)).toMap
     for (_ <- 1 to iters) {
       val in = adj.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (src, _, w) =>
           (BigInt(scores(src)) * w / wdeg(src)).toLong }.sum }
-      scores = wdeg.keys.map(v => v -> (base + 17L * in(v) / 20L)).toMap
+      scores = wdeg.keys.map(v =>
+        v -> ((if (seedSet(v)) base else 0L) + 17L * in(v) / 20L)).toMap
     }
     scores
   }
@@ -129,6 +133,90 @@ class GraphStatsSpec extends SparkSpec {
       0.9, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows,
       dim = ExtQueries.EmbeddingDim).isDefined)
+  }
+
+  test("kcore: peels pendant tails, keeps the dense core; converges") {
+    // K4 on {1..4} + pendant path 4—5—6: the 2-core is exactly K4
+    // (round 1 peels 6, round 2 peels the now-degree-1 vertex 5)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core2 = GraphStats.kCore(g, k = 2, rounds = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("core_degree")).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the peel needs 2 rounds + 1 stable: rounds=3 already equals 8
+    val core3r = GraphStats.kCore(g, k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("core_degree")).toMap
+    assert(core3r === core2)
+    // k=3 keeps K4; k=4 empties the graph
+    assert(GraphStats.kCore(g, k = 3, rounds = 8).count() === 4L)
+    assert(GraphStats.kCore(g, k = 4, rounds = 8).count() === 0L)
+  }
+
+  test("kcore: the round budget converges on the real near-dup graph") {
+    import graft.operators.{ExtQueries, Similarity}
+    val pairs = Similarity.nearDupPairsLsh(
+      Tables.embeddings(spark, sf0001), ExtQueries.CosineThreshold,
+      bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    val at8 = GraphStats.kCore(pairs, k = ExtQueries.KCoreK,
+        rounds = ExtQueries.KCoreRounds)
+      .collect().map(_.toString).sorted.toSeq
+    val at9 = GraphStats.kCore(pairs, k = ExtQueries.KCoreK,
+        rounds = ExtQueries.KCoreRounds + 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(at8 === at9) // fixed-round output IS the true 2-core here
+  }
+
+  test("personalized pagerank: matches the simulation; proximity wins") {
+    // path 1—2—3—4—5 with seed {1}: scores must DECAY with distance
+    // from the seed, unlike global PageRank (where middle vertices win)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L).toDF("v")
+    val got = GraphStats.pageRankPersonalized(
+        edges.toDF("id_a", "id_b"), seeds, iters = 5,
+        scale = 1000000000000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(got === simulate(edges.map(e => (e._1, e._2, 1L)), 5,
+      1000000000000L, Some(Set(1L))))
+    // finite-iteration mass travels in parity waves down a path (the
+    // seed pushes ALL its mass to its neighbor each round), so compare
+    // within a parity class — distance 1 ≻ 3, 0 ≻ 2 ≻ 4 — and pin
+    // that the seed's 1-hop neighborhood dominates the far end
+    assert(got(2L) > got(4L))
+    assert(got(1L) > got(3L) && got(3L) > got(5L))
+    assert(got(2L) === got.values.max && got(5L) === got.values.min)
+  }
+
+  test("personalized pagerank: seeds outside the graph are no-ops") {
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // seed 99 is not a graph vertex: teleport mass lands only on 1
+    val got = GraphStats.pageRankPersonalized(edges,
+        Seq(1L, 99L).toDF("v"), iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(got === simulate(Seq((1L, 2L, 1L)), 3, 1000000000000L,
+      Some(Set(1L))))
+    assert(!got.contains(99L))
+    // no graph seeds at all → empty result, not a division by zero
+    assert(GraphStats.pageRankPersonalized(edges,
+      Seq(99L).toDF("v"), iters = 3).count() === 0L)
+  }
+
+  test("personalized pagerank: all-vertex seeds equal global pagerank") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val all = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val p = GraphStats.pageRankPersonalized(edges.toDF("id_a", "id_b"),
+        all, iters = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    val g = GraphStats.pageRankIntScaled(edges.toDF("id_a", "id_b"),
+        iters = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    assert(p === g)
   }
 
   test("weighted pagerank: uniform weights equal the unweighted ranking") {

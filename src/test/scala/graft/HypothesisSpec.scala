@@ -119,6 +119,30 @@ class HypothesisSpec extends SparkSpec {
         r("b").getAs[Double]("mean_y")))
   }
 
+  test("power/mde: hand-computed from the welch fixture's stats") {
+    // same arms as the welch test: se² = 17500, so
+    // mde = 2.801585·√17500 = 370.614859; relative to mean_a = 250
+    val df = Hypothesis.powerMde(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+        ("k", "a", 4.0), ("k", "b", 2.0), ("k", "b", 4.0),
+        ("k", "b", 6.0))),
+      col("vv")).collect().head
+    assert(df.getAs[Double]("mean_a_cents") === 250.0)
+    assert(df.getAs[Double]("mde_cents") === 370.614859)
+    assert(df.getAs[Double]("mde_rel") === 1.482459)
+    // design sanity: the fixture's observed lift (150 cents) is BELOW
+    // the MDE — exactly the underpowered case the read-out exists for
+    assert(df.getAs[Double]("mde_cents") > 150.0)
+  }
+
+  test("power/mde: tiny arm yields NULL, not an error") {
+    val df = Hypothesis.powerMde(
+      fx(Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "b", 3.0))),
+      col("vv")).collect().head
+    assert(df.isNullAt(df.fieldIndex("mde_cents")))
+    assert(df.isNullAt(df.fieldIndex("mde_rel")))
+  }
+
   test("variantOf: deterministic, and both arms are populated") {
     val users = (1L to 200L).toDF("user_id")
     val arms = users.select(Hypothesis.variantOf(col("user_id")).as("v"))

@@ -943,4 +943,41 @@ class OlapSpec extends SparkSpec {
     assert(r("conc") === ((3L, Some(2.0 / 3.0))))
     assert(r("one") === ((1L, Some(0.0))))
   }
+
+  test("cep: latest-predecessor chains, order and within enforced") {
+    import graft.operators.Temporal
+    val fx = Seq(
+      // u1: view → (error) → click → purchase, plus a second purchase:
+      // BOTH purchases match, sharing the same click/view chain
+      ev(1, "2024-01-01 08:00:00", 1, "view", 0),
+      ev(2, "2024-01-01 08:00:05", 1, "error", 0),
+      ev(3, "2024-01-01 08:00:10", 1, "click", 0),
+      ev(4, "2024-01-01 08:00:20", 1, "purchase", 0),
+      ev(5, "2024-01-01 08:00:30", 1, "purchase", 0),
+      // u2: click BEFORE any view → no chain
+      ev(6, "2024-01-01 08:00:00", 2, "click", 0),
+      ev(7, "2024-01-01 08:00:05", 2, "view", 0),
+      ev(8, "2024-01-01 08:00:10", 2, "purchase", 0),
+      // u3: complete chain but spanning > within
+      ev(9, "2024-01-01 08:00:00", 3, "view", 0),
+      ev(10, "2024-01-01 08:10:00", 3, "click", 0),
+      ev(11, "2024-01-01 09:30:00", 3, "purchase", 0),
+      // u4: TWO views before the click — the chain anchors on the
+      // LATEST one (skip-till-next-match binding)
+      ev(12, "2024-01-01 08:00:00", 4, "view", 0),
+      ev(13, "2024-01-01 08:00:05", 4, "view", 0),
+      ev(14, "2024-01-01 08:00:10", 4, "click", 0),
+      ev(15, "2024-01-01 08:00:15", 4, "purchase", 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Temporal.cepPattern(fx, Seq("view", "click", "purchase"),
+        withinSeconds = 3600L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_id"), r.getAs[Long]("end_id"),
+        r.getAs[Long]("dur_us"))).toSet
+    assert(got === Set(
+      (1L, 1L, 4L, 20000000L), // first purchase, anchored at view #1
+      (1L, 1L, 5L, 30000000L), // second purchase shares the chain
+      (4L, 13L, 15L, 10000000L))) // anchored on the LATEST view (#13)
+    // u2 (wrong order) and u3 (span 90 min > 60 min) never match
+  }
 }

@@ -376,6 +376,40 @@ class StreamingSyncSpec extends SparkSpec {
     assert(again.exceptAll(out).count() === 0)
   }
 
+  test("streaming cep equals batch cep; chains straddle batch boundaries") {
+    import graft.operators.Temporal
+    // 6 events split into 6 single-event micro-batches: the chain's
+    // steps NEVER share a batch, so every binding crosses a boundary
+    // through the per-user state
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val fx = Seq(
+      (1L, t("08:00:00"), 1L, "view"),
+      (2L, t("08:00:10"), 1L, "click"),
+      (3L, t("08:00:20"), 1L, "purchase"),
+      (4L, t("08:01:00"), 2L, "view"),
+      (5L, t("08:01:10"), 2L, "purchase"), // no click → never matches
+      (6L, t("08:02:00"), 1L, "purchase")) // second match, same chain
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val streamed = StreamingSync.cepStreamReplay(spark, fx, steps,
+        withinSeconds = 3600L, nBatches = 6, workDir = s"${tmp()}/cep")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_id"), r.getAs[Long]("end_id"),
+        r.getAs[Long]("dur_us"))).toSet
+    assert(streamed === Set((1L, 1L, 3L, 20000000L),
+      (1L, 1L, 6L, 120000000L)))
+    // parity with the batch operator on the real fixture
+    val events = Tables.events(spark, sf0001)
+    val batch = Temporal.cepPattern(events, steps, 86400L)
+      .collect().map(_.toString).sorted.toSeq
+    val stream = StreamingSync.cepStreamReplay(spark, events, steps,
+        86400L, nBatches = 4, workDir = s"${tmp()}/cep2")
+      .select("user_id", "start_id", "start_ts", "end_id", "end_ts",
+        "dur_us")
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && batch === stream)
+  }
+
   test("admission batches: store rejections, within-batch dedup, growth") {
     val dir = tmp()
     val store = s"$dir/fp"
