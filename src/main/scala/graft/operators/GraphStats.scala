@@ -189,8 +189,13 @@ object GraphStats {
     * 2-core strips pendant tails off the similarity graph, leaving the
     * densely-connected duplicate mass. Per round: two vertex-keyed
     * semi-joins + one degree aggregate — keys-sized exchanges, never
-    * all-pairs; lineage is truncated every 4 rounds. Output: surviving
-    * `(vec_id, core_degree)` (degree within the surviving subgraph). */
+    * all-pairs; each round localCheckpoints (one materialization, so no
+    * round re-executes its predecessors) and the loop EXITS EARLY once
+    * the edge count is stable — peeling only removes, so a stable count
+    * means a stable set and every remaining budgeted round is a no-op
+    * (output identical to running the full budget, which is what the
+    * oracle unrolls). Output: surviving `(vec_id, core_degree)`
+    * (degree within the surviving subgraph). */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
@@ -200,16 +205,18 @@ object GraphStats {
       .filter(col("a") =!= col("b"))
       .distinct())
     var e = e0
-    var deg: DataFrame = null
+    var prev = -1L
     var i = 0
-    while (i < rounds) {
-      deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    while (i < rounds && e.count() != prev) {
+      prev = e.count() // cached/checkpointed: the job already ran
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val alive = deg.filter(col("d") >= k).select(col("v"))
       e = e0
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
-      if (i % 4 == 3) e = e.localCheckpoint() // truncate peel lineage
+        .localCheckpoint()
       i += 1
     }
     val degF = e.select(col("a").as("v"))

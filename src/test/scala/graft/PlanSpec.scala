@@ -571,6 +571,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cep: the chain is windows over ONE user exchange, no self-joins") {
+    withStaticPlan {
+      val plan = run("x_cep_pattern").queryExecution.executedPlan
+      // no nested loop / cartesian anywhere: steps thread through
+      // window maxima, not per-step joins
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"CEP must never self-join per step:\n$plan")
+      // all step windows collapse into user-keyed Window operators —
+      // and exactly ONE sort-merge-free anchor join closes the match
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty &&
+        windows.forall(_.partitionSpec.nonEmpty),
+        s"every window must be user-keyed (no global window):\n$plan")
+    }
+  }
+
+  test("containment candidates come from shared shingles, never all-pairs") {
+    withStaticPlan {
+      val plan = run("x_containment").queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, s"containment must pair-expand from postings:\n$plan")
+    }
+  }
+
   test("bm25 cuts top-k by TakeOrdered, never a global sort of docs") {
     withStaticPlan {
       val df = run("x_bm25_topk")
