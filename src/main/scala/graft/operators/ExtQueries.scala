@@ -1865,6 +1865,27 @@ object ExtQueries {
     "x_acf_daily" -> ((s, d) =>
       Temporal.autocorrelation(Tables.events(s, d), AcfMaxLag)),
 
+    // Day-of-week seasonality profile (STL-lite): dense-spine daily
+    // cents, centered 7-day detrend kept EXACT (7·cents − Σ₇, a long),
+    // per-weekday mean — the "is Monday always low" monitoring view.
+    "x_seasonal_dow" -> ((s, d) =>
+      Temporal.seasonalDow(Tables.events(s, d))),
+
+    // Component-size census of the near-dup graph: how much of the
+    // corpus sits in duplicate clusters vs singletons — the one-row
+    // dedup-health dashboard (reads the shared EdgeStore).
+    "x_component_stats" -> ((s, d) => {
+      val clusters = Dedup.clusterAssignments(Tables.embeddings(s, d),
+        storedNearDupPairs(s, d), idCol = "vec_id")
+      clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          max(col("sz")).as("max_size"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+            .as("n_in_dup_clusters"))
+    }),
+
     // Kaplan–Meier user-lifetime survival with right censoring at the
     // corpus edge: exact integer life table, running ln-sum product
     // with an explicit zero-survival carry (DuckDB refuses ln(0)).
@@ -5445,6 +5466,62 @@ object ExtQueries {
         |FROM b GROUP BY grp""".stripMargin,
 
     "x_acf_daily" -> AcfOracleSql,
+
+    // mirrors Temporal.seasonalDow: same dense spine, same exact
+    // 7·cents − Σ₇ detrend, same closing divisions; DuckDB weekday is
+    // 0-based Sunday → +1 matches Spark's dayofweek
+    "x_seasonal_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 day))::date
+        |    AS day
+        |  FROM bounds),
+        |keys AS (SELECT DISTINCT key FROM daily),
+        |dense AS (
+        |  SELECT k.key, s.day, coalesce(d.cents, 0)::bigint AS cents
+        |  FROM keys k CROSS JOIN spine s
+        |  LEFT JOIN daily d ON d.key = k.key AND d.day = s.day),
+        |detr AS (
+        |  SELECT key, day, cents,
+        |    sum(cents) OVER (PARTITION BY key ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+        |    row_number() OVER (PARTITION BY key ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS cnt
+        |  FROM dense),
+        |dd AS (
+        |  SELECT key, day, 7 * cents - sum7 AS detr7 FROM detr
+        |  WHERE rn > 3 AND rn <= cnt - 3)
+        |SELECT key, (dayofweek(day) + 1)::int AS dow,
+        |  count(*)::bigint AS n_days,
+        |  round(sum(detr7)::double / count(*)::double / 7.0, 6)
+        |    AS seasonal_cents
+        |FROM dd GROUP BY 1, 2""".stripMargin,
+
+    // component-size census over the shared cluster reach
+    "x_component_stats" ->
+      s"""WITH RECURSIVE $EmbedNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  UNION ALL SELECT id_b, id_a FROM epairs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+         |clu AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v),
+         |sizes AS (SELECT cluster_id, count(*)::bigint AS sz
+         |          FROM clu GROUP BY 1)
+         |SELECT count(*)::bigint AS n_components,
+         |  sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::bigint
+         |    AS n_singletons,
+         |  max(sz)::bigint AS max_size,
+         |  sum(CASE WHEN sz > 1 THEN sz ELSE 0 END)::bigint
+         |    AS n_in_dup_clusters
+         |FROM sizes""".stripMargin,
 
     "x_survival_km" ->
       s"""WITH pu AS (

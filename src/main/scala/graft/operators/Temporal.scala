@@ -548,6 +548,49 @@ object Temporal {
             .cast("double"), lit(0.0))).as("slope_cents_per_day"))
   }
 
+  /** Day-of-week seasonality profile (STL-lite): per key, daily cent
+    * totals on the DENSE date spine (missing days = 0 — absence IS the
+    * signal a seasonality profile must see), detrended by a centered
+    * 7-day moving window and averaged per weekday. Exactness trick: the
+    * detrended value is kept as the EXACT long `7·cents − Σ₇` (scaling
+    * by 7 instead of dividing by it), so no double ever enters a sum —
+    * the per-weekday mean closes with two mirrored IEEE divisions
+    * (÷n, ÷7) and a 6dp round. Trend is defined only where the full
+    * 7-day window fits inside the spine (edge days drop out, the
+    * standard moving-average contract). Output per (key, dow): the day
+    * count and the seasonal component in cents. Shape: one key-day
+    * aggregate, one spine join, one key-ordered window, one keys×7
+    * aggregate — two shuffles end to end. */
+  def seasonalDow(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr(
+      "sequence(d0, d1, interval 1 day)")).as("day"))
+    val keys = daily.select(col("key")).distinct()
+    val dense = keys.crossJoin(spine)
+      .join(daily, Seq("key", "day"), "left")
+      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+    val byKey = Window.partitionBy(col("key")).orderBy(col("day"))
+    val w7 = byKey.rowsBetween(-3, 3)
+    val n = Window.partitionBy(col("key"))
+    val detr = dense
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .filter(col("rn") > 3 && col("rn") <= col("cnt") - 3)
+      .withColumn("detr7", lit(7L) * col("cents") - col("sum7"))
+    detr
+      .groupBy(col("key"), dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("detr7")).as("s7"))
+      .select(col("key"), col("dow"), col("n_days"),
+        round(col("s7").cast("double") / col("n_days").cast("double")
+          / lit(7.0), 6).as("seasonal_cents"))
+  }
+
   /** Exponentially-weighted level per key (α = 1/2) over day-ordered
     * daily totals — the smoothed "where is this metric NOW" companion
     * to [[trendOls]]'s direction. The fold runs over integer-cent

@@ -2368,6 +2368,23 @@ class ExtSpec extends SparkSpec {
       .filter($"id_a" === 3L || $"id_b" === 3L).count() === 0L)
   }
 
+  test("component stats: singleton/dup-cluster census over CC labels") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("vec_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterAssignments(verts, pairs, idCol = "vec_id")
+    val r = clusters.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(when($"sz" === 1, 1L).otherwise(0L)).as("n_singletons"),
+        max($"sz").as("max_size"),
+        sum(when($"sz" > 1, $"sz").otherwise(0L)).as("n_in_dup_clusters"))
+      .collect().head
+    assert(r.getAs[Long]("n_components") === 3L) // {1,2,3} {4,5} {6}
+    assert(r.getAs[Long]("n_singletons") === 1L)
+    assert(r.getAs[Long]("max_size") === 3L)
+    assert(r.getAs[Long]("n_in_dup_clusters") === 5L)
+  }
+
   test("keep-best per cluster: quality wins, ties break low, singletons") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
       .toDF("doc_id", "cluster_id")

@@ -944,6 +944,35 @@ class OlapSpec extends SparkSpec {
     assert(r("one") === ((1L, Some(0.0))))
   }
 
+  test("seasonal dow: weekly bump recovered exactly, mean-zero profile") {
+    import graft.operators.Temporal
+    // 21 consecutive days from Sunday 2024-03-03: 7.00 every day,
+    // +0.70 on Sundays. Every centered 7-day window spans one full
+    // period (sum7 = 4970), so detr7 = 7·cents − 4970: Sunday 420,
+    // others −70 → seasonal 60.0 / −10.0 cents, for every window
+    // position — the edges (3 days each side) drop out.
+    val rows = (0 until 21).map { i =>
+      val day = java.time.LocalDate.of(2024, 3, 3).plusDays(i)
+      val v = if (day.getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+        7.70 else 7.00
+      (i.toLong, java.sql.Timestamp.valueOf(s"$day 12:00:00"), 1L,
+        "k", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Temporal.seasonalDow(rows)
+      .collect().map(r => r.getAs[Int]("dow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("seasonal_cents"))))
+      .toMap
+    assert(got.keySet === (1 to 7).toSet)
+    // trimmed spine = days 4..18 of 21: two of each weekday, except
+    // Wednesday (dow 4) which lands the 15th day
+    assert(got(1) === ((2L, 60.0)))
+    assert(got(4)._1 === 3L)
+    (2 to 7).foreach(d => assert(got(d)._2 === -10.0))
+    // the recovered weekly profile sums to zero across the 7 weekdays
+    // (60 − 6·10): a pure periodic signal detrends to a mean-zero shape
+    assert(math.abs(got.values.map(_._2).sum) < 1e-6)
+  }
+
   test("cep: latest-predecessor chains, order and within enforced") {
     import graft.operators.Temporal
     val fx = Seq(

@@ -443,4 +443,48 @@ class PropertySpec extends SparkSpec {
     assert(got === brute)
     assert(brute.nonEmpty)
   }
+
+  test("cep equals the greedy latest-predecessor reference on random streams") {
+    import graft.operators.Temporal
+    val rnd = new scala.util.Random(42)
+    val steps = Seq("view", "click", "purchase")
+    val types = Vector("view", "click", "purchase", "other")
+    val within = 600L // minutes
+    var id = 0L
+    val rows = (1L to 30L).flatMap { u =>
+      (1 to (1 + rnd.nextInt(20))).map { _ =>
+        id += 1
+        (id, u, types(rnd.nextInt(4)), rnd.nextInt(3000).toLong)
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "m")
+      .select($"event_id", $"user_id", $"event_type",
+        ($"m" * 60).cast("timestamp").as("ts"))
+    val got = Temporal.cepPattern(df, steps, within * 60)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_id"), r.getAs[Long]("end_id"))).toSet
+    // independent driver-side reference: per user in (minute, id)
+    // order, each step slot carries the chain anchor of its latest
+    // occurrence; a final step emits when its predecessor slot holds
+    // an anchor within the bound
+    val ref = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    rows.groupBy(_._2).foreach { case (u, evsU) =>
+      val slots =
+        scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      evsU.sortBy(e => (e._4, e._1)).foreach { case (eid, _, ty, m) =>
+        steps.indexOf(ty) match {
+          case 0 => slots(0) = (m, eid)
+          case k if k == steps.size - 1 =>
+            slots.get(k - 1).foreach { case (am, aid) =>
+              if (m - am <= within) ref += ((u, aid, eid))
+            }
+          case k if k > 0 =>
+            slots.get(k - 1).foreach(a => slots(k) = a)
+          case _ => // not a step
+        }
+      }
+    }
+    assert(got === ref)
+    assert(ref.nonEmpty) // the random mix must actually exercise matches
+  }
 }
