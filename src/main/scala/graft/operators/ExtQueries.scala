@@ -965,9 +965,6 @@ object ExtQueries {
     "x_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), SessionGap)),
 
-    // Ordered 3-step funnel (view → click → purchase within 7 days of
-    // the first view): k keyed min-aggregations, no per-user sort, no
-    // window function — the ClickHouse windowFunnel shape as joins.
     // CEP sequence detection: every purchase whose view->click->purchase
     // chain (latest-predecessor binding) completes within a day -- the
     // alert/trigger form of the funnel. One user-keyed exchange.
@@ -975,6 +972,9 @@ object ExtQueries {
       Temporal.cepPattern(Tables.events(s, d), FunnelSteps,
         CepWithinSeconds)),
 
+    // Ordered 3-step funnel (view → click → purchase within 7 days of
+    // the first view): k keyed min-aggregations, no per-user sort, no
+    // window function — the ClickHouse windowFunnel shape as joins.
     "x_funnel" -> ((s, d) =>
       Temporal.funnel(Tables.events(s, d), FunnelSteps, FunnelWindow)),
 
@@ -2075,7 +2075,8 @@ object ExtQueries {
        |         FROM adj JOIN deg ON deg.v = adj.src),
        |s0 AS (SELECT v, (CASE WHEN is_seed THEN $PageRankScale // n_s
        |         ELSE 0 END)::bigint AS score
-       |       FROM flagged CROSS JOIN meta),
+       |       FROM flagged CROSS JOIN meta
+       |       WHERE n_s > 0),
        |$rounds
        |SELECT v AS vec_id, score AS score_micro,
        |  score::double / $PageRankScale.0 AS score
@@ -3563,12 +3564,12 @@ object ExtQueries {
          |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
          |FROM s GROUP BY user_id, sess""".stripMargin,
 
-    // mirrors Temporal.funnel: same strictly-after chaining, same
-    // window anchored at t1, min aggregates throughout
     "x_cep_pattern" -> CepOracleSql,
 
     "x_stream_cep" -> CepOracleSql,
 
+    // mirrors Temporal.funnel: same strictly-after chaining, same
+    // window anchored at t1, min aggregates throughout
     "x_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -205,10 +205,11 @@ object GraphStats {
       .filter(col("a") =!= col("b"))
       .distinct())
     var e = e0
+    var cur = e0.count()
     var prev = -1L
     var i = 0
-    while (i < rounds && e.count() != prev) {
-      prev = e.count() // cached/checkpointed: the job already ran
+    while (i < rounds && cur != prev) {
+      prev = cur
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -217,6 +218,7 @@ object GraphStats {
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .localCheckpoint()
+      cur = e.count() // checkpointed: counts the materialized blocks
       i += 1
     }
     val degF = e.select(col("a").as("v"))

@@ -286,7 +286,10 @@ object SyncEngine {
     * Idempotent: restored rows LEFT-ANTI join the state on folio (the
     * one-folio-one-sheet invariant the probe priority already assumes),
     * so a re-run — or a resolution raced against an already-applied
-    * one — inserts nothing. Returns (newState, updatedQueue); resolved
+    * one — inserts nothing; WITHIN a batch, duplicate/conflicting
+    * submissions for one folio collapse to one decision (lexical-min
+    * (accion, nota): 'aceptar' beats 'ignorar' — the runbook's bias
+    * toward executing the move). Returns (newState, updatedQueue); resolved
     * queue rows flip to `Resuelto` with the nota appended, never
     * deleted (the runbook keeps the history), unmatched rows stay
     * `Pendiente`.
@@ -296,10 +299,18 @@ object SyncEngine {
     * union — both a single shuffle on the key, no windows, no collect. */
   def applyResolutions(state: DataFrame, queue: DataFrame,
       resolutions: DataFrame): (DataFrame, DataFrame) = {
+    // ONE decision per folio: a double-submitted review sheet must not
+    // fan a queue row out into two restored rows (which would land the
+    // folio in two partitions). Deterministic tiebreak: the first
+    // (accion, nota) in lexical order wins — 'aceptar' beats 'ignorar',
+    // matching the runbook's bias toward executing the move.
+    val oneRes = resolutions
+      .groupBy(col("folio"))
+      .agg(min(struct(col("accion"), col("nota"))).as("r"))
+      .select(col("folio"), col("r.accion").as("__accion"),
+        col("r.nota").as("__nota"))
     val res = queue.filter(col("estado") === "Pendiente")
-      .join(resolutions.select(col("folio"),
-        col("accion").as("__accion"), col("nota").as("__nota")),
-        Seq("folio"))
+      .join(oneRes, Seq("folio"))
     val target = when(col("__accion") === "aceptar", col("hoja_destino"))
       .otherwise(col("hoja_origen"))
     val flag = col("conciliado") === "Sí"
@@ -325,9 +336,7 @@ object SyncEngine {
     val newState = state.unionByName(
       inserts.select(StateCols.map(col): _*))
     val updatedQueue = queue
-      .join(resolutions.select(col("folio"),
-        col("accion").as("__accion"), col("nota").as("__nota")),
-        Seq("folio"), "left")
+      .join(oneRes, Seq("folio"), "left")
       .select(
         queue.columns.filterNot(c => c == "estado" || c == "observaciones")
           .map(col) ++ Seq(

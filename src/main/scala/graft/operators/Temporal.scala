@@ -145,21 +145,6 @@ object Temporal {
         col("r_ts"))
   }
 
-  /** Ordered k-step funnel (the ClickHouse `windowFunnel` shape): per
-    * user, t₁ = earliest `steps(0)` event, and each tₖ₊₁ = earliest
-    * `steps(k)` event STRICTLY after tₖ and within `window` of t₁;
-    * `depth` = deepest step reached. Every user who opened the funnel
-    * gets a row (later steps null once the chain breaks).
-    *
-    * Shape: NO per-user sort and no window function — step k is one
-    * selective type-filter over events (at scale, a partition-pruned
-    * scan of that event type) joined to the step-(k−1) survivors and
-    * reduced with `min`, so the whole funnel is k keyed
-    * aggregations, each map-side combining on `user_id`. Per-step
-    * state is one row per surviving user; survivors shrink
-    * monotonically, so later passes join against ever-smaller (often
-    * broadcast-able) frames. All aggregates are `min` — deterministic
-    * under any partitioning. */
   /** Sequence-pattern detection (CEP, the FlinkCEP "followed-by …
     * within" primitive): one MATCH row per occurrence of the final
     * step whose chain completes — each step binds to its MOST RECENT
@@ -184,6 +169,10 @@ object Temporal {
       tsCol: String = "ts", seqCol: String = "event_id",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.size >= 2, s"a pattern needs ≥ 2 steps: $steps")
+    // repeated step types would make the batch window chain and the
+    // streaming slot map disagree — rejected identically in both forms
+    require(steps.distinct.size == steps.size,
+      s"pattern steps must be distinct: $steps")
     val byUser = Window.partitionBy(col("u"))
       .orderBy(col("t"), col("q"))
     val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
@@ -214,6 +203,21 @@ object Temporal {
         col("end_id"), col("end_ts"), col("dur_us"))
   }
 
+  /** Ordered k-step funnel (the ClickHouse `windowFunnel` shape): per
+    * user, t₁ = earliest `steps(0)` event, and each tₖ₊₁ = earliest
+    * `steps(k)` event STRICTLY after tₖ and within `window` of t₁;
+    * `depth` = deepest step reached. Every user who opened the funnel
+    * gets a row (later steps null once the chain breaks).
+    *
+    * Shape: NO per-user sort and no window function — step k is one
+    * selective type-filter over events (at scale, a partition-pruned
+    * scan of that event type) joined to the step-(k−1) survivors and
+    * reduced with `min`, so the whole funnel is k keyed
+    * aggregations, each map-side combining on `user_id`. Per-step
+    * state is one row per surviving user; survivors shrink
+    * monotonically, so later passes join against ever-smaller (often
+    * broadcast-able) frames. All aggregates are `min` — deterministic
+    * under any partitioning. */
   def funnel(events: DataFrame, steps: Seq[String],
       window: String = "7 days", userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type")

@@ -88,6 +88,11 @@ object StreamingSync {
   def cepStream(events: DataFrame, steps: Seq[String],
       withinSeconds: Long): DataFrame = {
     require(steps.size >= 2, s"a pattern needs ≥ 2 steps: $steps")
+    // the slot map keys by step TYPE: repeated types would silently
+    // never match here while the batch form's window chain would —
+    // both forms reject them identically instead
+    require(steps.distinct.size == steps.size,
+      s"pattern steps must be distinct: $steps")
     val spark = events.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap

@@ -231,6 +231,24 @@ class SyncEngineSpec extends SparkSpec {
     assert(q("F12").getAs[String]("observaciones") === "")
   }
 
+  test("apply-back: conflicting duplicate submissions collapse to one") {
+    // a double-submitted review sheet sends BOTH aceptar and ignorar
+    // for F10: exactly one state row may land, and the lexical-min
+    // rule makes it the aceptar (destination) one
+    val queue = queueDf(Seq(("F10", "TARJETA", "TRANSFERENCIA", "Sí",
+      "", "", "Pendiente")))
+    val res = Seq(("F10", "ignorar", "b"), ("F10", "aceptar", "a"),
+      ("F10", "aceptar", "a")) // plus an exact duplicate row
+      .toDF("folio", "accion", "nota")
+    val (st2, q2) = SyncEngine.applyResolutions(stDf(Seq.empty), queue, res)
+    val rows = st2.filter($"folio" === "F10").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("partition") === "TRANSFERENCIA")
+    // the queue row is not fanned out either
+    assert(q2.count() === 1)
+    assert(q2.collect().head.getAs[String]("observaciones") === "a")
+  }
+
   test("apply-back: never overwrites a folio already present in state") {
     // the folio re-entered the state (e.g. a later sync inserted it as
     // NUEVO); the resolution must not create a second row
