@@ -157,6 +157,13 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndpairs-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def ndPairsBasePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ndpairs-base-${Integer.toHexString(d.hashCode)}").toString
+  private[graft] def ndPairsWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ndpairs-work-${Integer.toHexString(d.hashCode)}").toString
+
   /** The embedding near-dup pair list served from the committed
     * [[graft.sources.EdgeStore]] (marker-gated build on first touch):
     * the pair list is the expensive artifact of the similarity graph,
@@ -232,6 +239,13 @@ object ExtQueries {
           CosineThreshold, bands = NearDupBands,
           rowsPerBand = NearDupRows, dim = EmbeddingDim)
         .map("neardup_pairs" -> _).toMap ++
+      graft.sources.EdgeStore
+        .ensureNearDupPairs(Tables.embeddings(s, d)
+            .filter(col("vec_id") % AppendHoldoutMod =!=
+              AppendHoldoutMod - 1), ndPairsBasePath(d),
+          CosineThreshold, bands = NearDupBands,
+          rowsPerBand = NearDupRows, dim = EmbeddingDim)
+        .map("neardup_pairs_base" -> _).toMap ++
       graft.sources.ZOrderStore
         .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
           "za", "zb", ZBits, ZFiles)
@@ -500,6 +514,29 @@ object ExtQueries {
     // 4-band exhaustiveness guarantee (Dedup.simhashPairs).
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)),
+
+    // INCREMENTAL near-dup admission: a held-out embedding batch folds
+    // into a pristine base pair store with batch-sized work (batch
+    // bands vs the STORED corpus bands — the corpus is never re-banded),
+    // and the committed result equals a from-scratch rebuild over the
+    // union: the oracle is the very same full-corpus pair chain.
+    "x_neardup_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(
+        col("vec_id") % AppendHoldoutMod =!= AppendHoldoutMod - 1)
+      val batch = e.filter(
+        col("vec_id") % AppendHoldoutMod === AppendHoldoutMod - 1)
+      graft.sources.EdgeStore.ensureNearDupPairs(base, ndPairsBasePath(d),
+        CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)
+      val work = ndPairsWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+        work)
+      graft.sources.EdgeStore.appendBatch(batch, e, work,
+        CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)
+      graft.sources.EdgeStore.read(s, work)
+    }),
 
     // Banded-LSH candidates + exact verify: the 100 TB path (equi-join on
     // band keys, never a nested loop). The oracle mirrors the banding.
@@ -3007,6 +3044,12 @@ object ExtQueries {
     // mirrors Similarity.nearDupPairsLsh: md5-derived hyperplane signs,
     // plane p = band * rows + row; candidates share all bits of a band
     "x_embed_near_dup" ->
+      s"""WITH $EmbedNearDupCtes
+         |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+
+    // incremental admission must equal the from-scratch rebuild: the
+    // oracle IS the full-corpus pair chain
+    "x_neardup_append" ->
       s"""WITH $EmbedNearDupCtes
          |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
 

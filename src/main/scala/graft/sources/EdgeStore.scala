@@ -29,21 +29,23 @@ import graft.sources.StoreFiles.{readText, writeText}
 object EdgeStore {
 
   private val Prefix = "edges-"
-  val FormatVersion = 1
+  val FormatVersion = 2 // v2: + the `_bands` admission index
 
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(
       throw new IllegalStateException(
         s"no committed edge store under $path"))
 
-  /** Publish `pairs` (`id_a`, `id_b`, `cos`) as the next committed
-    * version. */
-  def writePairs(pairs: DataFrame, path: String): Unit = {
+  /** Publish `pairs` (`id_a`, `id_b`, `cos`) and the `_bands` admission
+    * index (`id`, `band`, `bkey`) as the next committed version. */
+  def writePairs(pairs: DataFrame, bandRel: DataFrame,
+      path: String): Unit = {
     val spark = pairs.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
       val next = SnapshotDir.next(spark, path, Prefix)
       val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
       pairs.write.mode(SaveMode.Overwrite).parquet(vdir)
+      bandRel.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bands")
       SnapshotDir.commit(spark, path, Prefix, next)
     }
     SnapshotDir.gc(spark, path, Prefix)
@@ -52,8 +54,10 @@ object EdgeStore {
   /** Build (or confirm warm) the embedding near-dup pair store:
     * [[graft.operators.Similarity.nearDupPairsLsh]] persisted behind a
     * recipe marker (marker last — a crash mid-build leaves no marker
-    * and rebuilds; a recipe change rebuilds). Returns the build
-    * seconds, or None when the warm store was reused. */
+    * and rebuilds; a recipe change rebuilds), alongside the banded
+    * signature relation that lets later batches admit against the
+    * corpus without re-banding it. Returns the build seconds, or None
+    * when the warm store was reused. */
   def ensureNearDupPairs(embeddings: DataFrame, path: String,
       threshold: Double, bands: Int, rowsPerBand: Int, dim: Int)
       : Option[Double] = {
@@ -67,7 +71,9 @@ object EdgeStore {
       val t0 = System.nanoTime()
       writePairs(graft.operators.Similarity.nearDupPairsLsh(
         embeddings, threshold, bands = bands, rowsPerBand = rowsPerBand,
-        dim = dim), path)
+        dim = dim),
+        graft.operators.Similarity.bandRelation(embeddings, bands,
+          rowsPerBand, dim), path)
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }
@@ -76,4 +82,50 @@ object EdgeStore {
   /** Stored pair list `(id_a, id_b, cos)` of the current version. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(currentDir(spark, path))
+
+  /** Stored banded signatures `(id, band, bkey)`. */
+  def readBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${currentDir(spark, path)}/_bands")
+
+  /** INCREMENTAL admission: fold an arriving embedding batch into the
+    * committed store with batch-sized work — the continuous-ingest
+    * path ([[FingerprintStore.admitBatch]]'s shape on the vector side).
+    * New candidate pairs come from (1) the batch's band keys equi-joined
+    * against the STORED corpus bands (the corpus is never re-banded or
+    * re-scanned beyond the candidate-id vector lookups) and (2) the
+    * batch joined against itself; both verify with the exact cosine
+    * against `vectors` (the id-keyed source table carrying BOTH sides).
+    * Banding is deterministic per vector, so the committed result
+    * EQUALS a from-scratch rebuild over the union — the spec pins
+    * `admit(base, batch) ≡ full(base ∪ batch)` bit for bit. The new
+    * version rewrites the (edge-count-sized) pair table; at corpus
+    * scale the pair table is date-partitioned and the append writes
+    * only the batch's partition — same commit protocol. */
+  def appendBatch(batch: DataFrame, vectors: DataFrame, path: String,
+      threshold: Double, bands: Int, rowsPerBand: Int, dim: Int)
+      : Long = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val batchBands = graft.operators.Similarity
+      .bandRelation(batch, bands, rowsPerBand, dim).cache()
+    val stored = readBands(spark, path)
+    val crossCands = batchBands.as("n").join(stored.as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey")
+          && col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"))
+    val selfCands = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cands = crossCands.unionByName(selfCands).distinct()
+    val newPairs = graft.operators.Similarity.verifyCosinePairs(
+      cands, vectors, threshold, dim)
+    val oldPairs = read(spark, path)
+    val appended = newPairs.count()
+    writePairs(oldPairs.unionByName(newPairs),
+      stored.unionByName(batchBands), path)
+    batchBands.unpersist()
+    appended
+  }
 }

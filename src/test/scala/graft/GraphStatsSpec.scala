@@ -219,6 +219,39 @@ class GraphStatsSpec extends SparkSpec {
     assert(p === g)
   }
 
+  test("edge store admission: batch fold equals the from-scratch rebuild") {
+    import graft.operators.{ExtQueries, Similarity}
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-admit").toString
+    graft.sources.EdgeStore.ensureNearDupPairs(base, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    val appended = graft.sources.EdgeStore.appendBatch(batch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    val got = pairSet(graft.sources.EdgeStore.read(spark, path))
+    val full = pairSet(Similarity.nearDupPairsLsh(e,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim))
+    assert(got === full) // incremental ≡ rebuild, bit for bit
+    // the appended count is exactly the batch-touching pair set
+    val batchIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(appended ===
+      full.count(p => batchIds(p._1) || batchIds(p._2)).toLong)
+    assert(appended > 0L) // the holdout actually exercises admission
+    // the admission index now covers the whole corpus
+    assert(graft.sources.EdgeStore.readBands(spark, path)
+      .select("id").distinct().count() === e.count())
+  }
+
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
     val w = GraphStats.pageRankWeighted(
