@@ -97,7 +97,11 @@ object EdgeStore {
     * against `vectors` (the id-keyed source table carrying BOTH sides).
     * Banding is deterministic per vector, so the committed result
     * EQUALS a from-scratch rebuild over the union — the spec pins
-    * `admit(base, batch) ≡ full(base ∪ batch)` bit for bit. The new
+    * `admit(base, batch) ≡ full(base ∪ batch)` bit for bit. IDEMPOTENT
+    * under redelivery: ids already in the stored band index are
+    * dropped before banding (one batch-vs-ids anti-join), so an
+    * at-least-once streaming trigger that re-runs admits nothing —
+    * the same discipline as the fingerprint admission. The new
     * version rewrites the (edge-count-sized) pair table; at corpus
     * scale the pair table is date-partitioned and the append writes
     * only the batch's partition — same commit protocol. */
@@ -106,9 +110,13 @@ object EdgeStore {
       : Long = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
-    val batchBands = graft.operators.Similarity
-      .bandRelation(batch, bands, rowsPerBand, dim).cache()
     val stored = readBands(spark, path)
+    val fresh = batch.join(
+      stored.select(col("id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) return 0L // full redelivery: nothing to commit
+    val batchBands = graft.operators.Similarity
+      .bandRelation(fresh, bands, rowsPerBand, dim).cache()
     val crossCands = batchBands.as("n").join(stored.as("o"),
         col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey")
           && col("n.id") =!= col("o.id"))

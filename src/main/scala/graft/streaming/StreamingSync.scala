@@ -505,6 +505,33 @@ object StreamingSync {
       }
       .start()
 
+  /** Streaming similarity-graph maintenance — every micro-batch of
+    * embeddings folds into the persisted
+    * [[graft.sources.EdgeStore]] with batch-sized work
+    * (`appendBatch`: batch bands vs the STORED band index, never a
+    * corpus re-band), so the pair table every graph consumer
+    * (census, clusters, BFS, PageRank) serves from is always current.
+    * `vectors` is the id-keyed source of truth for the exact-cosine
+    * verify (candidate-id lookups only). foreachBatch is
+    * AT-LEAST-ONCE; `appendBatch` drops already-indexed ids, so a
+    * redelivered trigger admits nothing — the commit is idempotent. */
+  def edgeAppendSink(source: DataFrame, vectors: DataFrame,
+      storePath: String, checkpoint: String, threshold: Double,
+      bands: Int, rowsPerBand: Int, dim: Int): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CacheRegistry.scoped {
+            graft.sources.EdgeStore.appendBatch(batch, vectors,
+              storePath, threshold, bands, rowsPerBand, dim)
+            ()
+          }
+      }
+      .start()
+
   /** Streaming view maintenance — the aggregate third of the
     * continuous-admission pipeline ([[dedupAdmissionSink]] keeps the
     * corpus deduped, [[vectorAppendSink]] keeps the ANN index current,

@@ -410,6 +410,52 @@ class StreamingSyncSpec extends SparkSpec {
     assert(batch.nonEmpty && batch === stream)
   }
 
+  test("edge append sink: streamed batches equal the rebuild; idempotent") {
+    import graft.operators.{ExtQueries, Similarity}
+    val dir = tmp()
+    val store = s"$dir/edges"
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod($"vec_id", lit(10)) =!= 9)
+    val holdout = e.filter(pmod($"vec_id", lit(10)) === 9)
+    graft.sources.EdgeStore.ensureNearDupPairs(base, store,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    // two micro-batches of held-out vectors through the sink (one
+    // parquet file each, AvailableNow)
+    val in = s"$dir/in"
+    holdout.filter($"vec_id" % 20 === 9).coalesce(1)
+      .write.mode("append").parquet(in)
+    holdout.filter($"vec_id" % 20 === 19).coalesce(1)
+      .write.mode("append").parquet(in)
+    def runSink(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamingSync.edgeAppendSink(stream, e, store,
+        s"$dir/$ckpt", ExtQueries.CosineThreshold,
+        bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim)
+      try q.awaitTermination() finally q.stop()
+    }
+    runSink("ckpt1")
+    def pairSet() = graft.sources.EdgeStore.read(spark, store)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    val got = pairSet()
+    val full = Similarity.nearDupPairsLsh(e, ExtQueries.CosineThreshold,
+        bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    assert(got === full)
+    // redelivery: the same files through a FRESH checkpoint admit
+    // nothing (already-indexed ids drop at the store)
+    runSink("ckpt2")
+    assert(pairSet() === full)
+  }
+
   test("admission batches: store rejections, within-batch dedup, growth") {
     val dir = tmp()
     val store = s"$dir/fp"
