@@ -987,6 +987,41 @@ object Similarity {
     }: _*)
   }
 
+  /** Banded signature relation `(id, band, bkey)` — the admission index
+    * [[graft.sources.EdgeStore]] persists so an arriving batch never
+    * re-bands the stored corpus. Identical keys to the inline
+    * [[nearDupPairsLsh]] path (same unit-vector construction, and the
+    * key is a sign pattern — invariant under the normalization).
+    * CONTRACT: must stay bit-identical to the inline path's banding —
+    * the EdgeStore admit-equals-rebuild invariant (pinned by
+    * GraphStatsSpec and the x_neardup_append oracle) depends on it. */
+  private[graft] def bandRelation(vectors: DataFrame, bands: Int,
+      rowsPerBand: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    unitVecs(vectors, idCol, vecCol, "id", "v")
+      .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim))
+      .select(col("id"), posexplode(col("keys")).as(Seq("band", "bkey")))
+
+  /** Exact-cosine verification of `(id_a, id_b)` candidates against the
+    * raw vector table: joins only the CANDIDATE ids (bounded by the
+    * banding, never corpus²), normalizes with the same expression as
+    * the inline path, keeps `cos ≥ threshold` — so verified pairs are
+    * bit-identical to [[nearDupPairsLsh]]'s. CONTRACT: any change to
+    * the normalization/rounding here or in the inline verify must land
+    * in BOTH places — the admit-equals-rebuild pins fail otherwise. */
+  private[graft] def verifyCosinePairs(cands: DataFrame,
+      vectors: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val u = unitVecs(vectors, idCol, vecCol, "id", "v")
+    cands
+      .join(u.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(u.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs via banded LSH: bucket each vector
     * into `bands` keys of `rowsPerBand` hyperplane bits, equi-join on
     * (band, key) — candidates are pairs agreeing on ALL bits of at least
@@ -1006,36 +1041,6 @@ object Similarity {
     * handles those at scale. Recall is by design below 1 near the
     * threshold; the DuckDB oracle mirrors the exact same banding so
     * results stay engine-reproducible. */
-  /** Banded signature relation `(id, band, bkey)` — the admission index
-    * [[graft.sources.EdgeStore]] persists so an arriving batch never
-    * re-bands the stored corpus. Identical keys to the inline
-    * [[nearDupPairsLsh]] path (same unit-vector construction, and the
-    * key is a sign pattern — invariant under the normalization). */
-  private[graft] def bandRelation(vectors: DataFrame, bands: Int,
-      rowsPerBand: Int, dim: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    unitVecs(vectors, idCol, vecCol, "id", "v")
-      .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim))
-      .select(col("id"), posexplode(col("keys")).as(Seq("band", "bkey")))
-
-  /** Exact-cosine verification of `(id_a, id_b)` candidates against the
-    * raw vector table: joins only the CANDIDATE ids (bounded by the
-    * banding, never corpus²), normalizes with the same expression as
-    * the inline path, keeps `cos ≥ threshold` — so verified pairs are
-    * bit-identical to [[nearDupPairsLsh]]'s. */
-  private[graft] def verifyCosinePairs(cands: DataFrame,
-      vectors: DataFrame, threshold: Double, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    val u = unitVecs(vectors, idCol, vecCol, "id", "v")
-    cands
-      .join(u.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(u.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
-
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
       bands: Int = 32, rowsPerBand: Int = 6, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

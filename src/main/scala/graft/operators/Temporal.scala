@@ -567,10 +567,12 @@ object Temporal {
     * aggregate — two shuffles end to end. */
   def seasonalDow(events: DataFrame, keyCol: String = "event_type",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    val daily = events
+    // tracked: bounds, keys and the spine join all read this keys×days
+    // frame — uncached, the events scan + aggregate would run 3×
+    val daily = CacheRegistry.tracked(events
       .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("cents"))
+        .cast("long")).as("cents")))
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds.select(explode(expr(
       "sequence(d0, d1, interval 1 day)")).as("day"))

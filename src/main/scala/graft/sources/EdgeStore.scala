@@ -36,17 +36,26 @@ object EdgeStore {
       throw new IllegalStateException(
         s"no committed edge store under $path"))
 
+  /** Write + commit the next version — CALLER HOLDS the writer lock
+    * (the file lock is not reentrant, and appendBatch must read the
+    * current version inside the same critical section it commits in). */
+  private def commitVersion(pairs: DataFrame, bandRel: DataFrame,
+      path: String): Unit = {
+    val spark = pairs.sparkSession
+    val next = SnapshotDir.next(spark, path, Prefix)
+    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
+    pairs.write.mode(SaveMode.Overwrite).parquet(vdir)
+    bandRel.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bands")
+    SnapshotDir.commit(spark, path, Prefix, next)
+  }
+
   /** Publish `pairs` (`id_a`, `id_b`, `cos`) and the `_bands` admission
     * index (`id`, `band`, `bkey`) as the next committed version. */
   def writePairs(pairs: DataFrame, bandRel: DataFrame,
       path: String): Unit = {
     val spark = pairs.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-      pairs.write.mode(SaveMode.Overwrite).parquet(vdir)
-      bandRel.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bands")
-      SnapshotDir.commit(spark, path, Prefix, next)
+      commitVersion(pairs, bandRel, path)
     }
     SnapshotDir.gc(spark, path, Prefix)
   }
@@ -110,30 +119,50 @@ object EdgeStore {
       : Long = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
-    val stored = readBands(spark, path)
-    val fresh = batch.join(
-      stored.select(col("id").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti")
-    if (fresh.isEmpty) return 0L // full redelivery: nothing to commit
-    val batchBands = graft.operators.Similarity
-      .bandRelation(fresh, bands, rowsPerBand, dim).cache()
-    val crossCands = batchBands.as("n").join(stored.as("o"),
-        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey")
-          && col("n.id") =!= col("o.id"))
-      .select(least(col("n.id"), col("o.id")).as("id_a"),
-        greatest(col("n.id"), col("o.id")).as("id_b"))
-    val selfCands = batchBands.as("x").join(batchBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-          && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val cands = crossCands.unionByName(selfCands).distinct()
-    val newPairs = graft.operators.Similarity.verifyCosinePairs(
-      cands, vectors, threshold, dim)
-    val oldPairs = read(spark, path)
-    val appended = newPairs.count()
-    writePairs(oldPairs.unionByName(newPairs),
-      stored.unionByName(batchBands), path)
-    batchBands.unpersist()
+    // read-current and commit-next share ONE critical section: a racing
+    // writer resolving the same current version would silently drop the
+    // other's pairs (the FingerprintStore append discipline)
+    val appended = SnapshotDir.withWriterLock(spark, path) {
+      val stored = graft.operators.CacheRegistry.tracked(
+        readBands(spark, path))
+      // same-id rows within one batch are redelivery duplicates of
+      // identical payloads (the vectors table is the id-keyed source of
+      // truth), so keep one; ids the index already holds drop out —
+      // together the admission is idempotent and the band index stays
+      // one row per (id, band)
+      val fresh = graft.operators.CacheRegistry.tracked(
+        batch.dropDuplicates("vec_id")
+          .join(stored.select(col("id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti"))
+      if (fresh.isEmpty) 0L // full redelivery: nothing to commit
+      else {
+        val batchBands = graft.operators.CacheRegistry.tracked(
+          graft.operators.Similarity.bandRelation(fresh, bands,
+            rowsPerBand, dim))
+        val crossCands = batchBands.as("n").join(stored.as("o"),
+            col("n.band") === col("o.band") &&
+              col("n.bkey") === col("o.bkey") &&
+              col("n.id") =!= col("o.id"))
+          .select(least(col("n.id"), col("o.id")).as("id_a"),
+            greatest(col("n.id"), col("o.id")).as("id_b"))
+        val selfCands = batchBands.as("x").join(batchBands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        val newPairs = graft.operators.CacheRegistry.tracked(
+          graft.operators.Similarity.verifyCosinePairs(
+            crossCands.unionByName(selfCands).distinct(), vectors,
+            threshold, dim))
+        val n = newPairs.count() // also materializes the cache: the
+        // commit below reuses the verified pairs instead of re-running
+        // the candidate joins
+        commitVersion(read(spark, path).unionByName(newPairs),
+          stored.unionByName(batchBands), path)
+        n
+      }
+    }
+    SnapshotDir.gc(spark, path, Prefix)
     appended
   }
 }

@@ -229,7 +229,10 @@ class GraphStatsSpec extends SparkSpec {
     graft.sources.EdgeStore.ensureNearDupPairs(base, path,
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
-    val appended = graft.sources.EdgeStore.appendBatch(batch, e, path,
+    // feed the batch with duplicated rows: within-batch id dedup must
+    // keep the committed store free of duplicate pairs and band rows
+    val appended = graft.sources.EdgeStore.appendBatch(
+      batch.unionByName(batch.limit(3)), e, path,
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -247,9 +250,13 @@ class GraphStatsSpec extends SparkSpec {
     assert(appended ===
       full.count(p => batchIds(p._1) || batchIds(p._2)).toLong)
     assert(appended > 0L) // the holdout actually exercises admission
+    // no duplicate rows landed: pairs and band rows are exactly unique
+    val pairsDf = graft.sources.EdgeStore.read(spark, path)
+    assert(pairsDf.count() === got.size.toLong)
+    val bandsDf = graft.sources.EdgeStore.readBands(spark, path)
+    assert(bandsDf.count() === bandsDf.distinct().count())
     // the admission index now covers the whole corpus
-    assert(graft.sources.EdgeStore.readBands(spark, path)
-      .select("id").distinct().count() === e.count())
+    assert(bandsDf.select("id").distinct().count() === e.count())
   }
 
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
