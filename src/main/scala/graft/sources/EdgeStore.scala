@@ -97,34 +97,57 @@ object EdgeStore {
     spark.read.parquet(s"${currentDir(spark, path)}/_bands")
 
   /** INCREMENTAL admission: fold an arriving embedding batch into the
-    * committed store with batch-sized work — the continuous-ingest
-    * path ([[FingerprintStore.admitBatch]]'s shape on the vector side).
-    * New candidate pairs come from (1) the batch's band keys equi-joined
-    * against the STORED corpus bands (the corpus is never re-banded or
-    * re-scanned beyond the candidate-id vector lookups) and (2) the
-    * batch joined against itself; both verify with the exact cosine
-    * against `vectors` (the id-keyed source table carrying BOTH sides).
-    * Banding is deterministic per vector, so the committed result
-    * EQUALS a from-scratch rebuild over the union — the spec pins
+    * committed store with batch-sized work AND a batch-sized commit —
+    * the continuous-ingest path ([[FingerprintStore.appendBatch]]'s
+    * shape on the vector side). New candidate pairs come from (1) the
+    * batch's band keys equi-joined against the STORED corpus bands
+    * (the corpus is never re-banded or re-scanned beyond the
+    * candidate-id vector lookups) and (2) the batch joined against
+    * itself; both verify with the exact cosine against `vectors` (the
+    * id-keyed source table carrying BOTH sides). Banding is
+    * deterministic per vector, so the committed result EQUALS a
+    * from-scratch rebuild over the union — the spec pins
     * `admit(base, batch) ≡ full(base ∪ batch)` bit for bit. IDEMPOTENT
     * under redelivery: ids already in the stored band index are
     * dropped before banding (one batch-vs-ids anti-join), so an
     * at-least-once streaming trigger that re-runs admits nothing —
-    * the same discipline as the fingerprint admission. The new
-    * version rewrites the (edge-count-sized) pair table; at corpus
-    * scale the pair table is date-partitioned and the append writes
-    * only the batch's partition — same commit protocol. */
+    * the same discipline as the fingerprint admission.
+    *
+    * CONTRACT — ids are immutable: an id names one embedding forever.
+    * The redelivery drop keys on id alone, so a re-arriving id whose
+    * payload CHANGED is treated as a duplicate and skipped (its stale
+    * pairs stay). An updated embedding must arrive under a new id (and
+    * the old id be tombstoned by the caller's curation layer), exactly
+    * as in [[VectorIndexStore]].
+    *
+    * Commit shape: the batch's band rows and verified pairs are
+    * APPENDED as new parquet files inside the current committed
+    * version — the recurring write is batch-sized; the corpus-sized
+    * pair table is never rewritten (file-count hygiene is [[compact]],
+    * an explicit maintenance action). The two appends are not one
+    * atomic commit on a plain FS (the [[SnapshotDir]] class doc's
+    * stated limit; a lakehouse table format is the swap that makes
+    * them one transaction): bands land FIRST, so a writer that dies
+    * between the writes leaves a store where the batch is indexed but
+    * its pairs are missing — a redelivery then correctly no-ops, and
+    * the repair for the FAILED (loudly, to its orchestrator) admit is
+    * a store rebuild via [[ensureNearDupPairs]] after deleting the
+    * recipe marker. Pairs-first would invert the failure into
+    * duplicate pair rows on redelivery — silent corruption of every
+    * degree/census consumer — which is why the under-admit order
+    * wins. */
   def appendBatch(batch: DataFrame, vectors: DataFrame, path: String,
       threshold: Double, bands: Int, rowsPerBand: Int, dim: Int)
       : Long = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
-    // read-current and commit-next share ONE critical section: a racing
-    // writer resolving the same current version would silently drop the
-    // other's pairs (the FingerprintStore append discipline)
-    val appended = SnapshotDir.withWriterLock(spark, path) {
+    // the current version is resolved INSIDE the critical section: an
+    // append racing a [[compact]] would otherwise land its files in
+    // the OLD version after compact's read pass and be GC'd away
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
       val stored = graft.operators.CacheRegistry.tracked(
-        readBands(spark, path))
+        spark.read.parquet(s"$cur/_bands"))
       // same-id rows within one batch are redelivery duplicates of
       // identical payloads (the vectors table is the id-keyed source of
       // truth), so keep one; ids the index already holds drop out —
@@ -150,19 +173,54 @@ object EdgeStore {
               col("x.bkey") === col("y.bkey") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        val newPairs = graft.operators.CacheRegistry.tracked(
-          graft.operators.Similarity.verifyCosinePairs(
-            crossCands.unionByName(selfCands).distinct(), vectors,
-            threshold, dim))
-        val n = newPairs.count() // also materializes the cache: the
-        // commit below reuses the verified pairs instead of re-running
-        // the candidate joins
-        commitVersion(read(spark, path).unionByName(newPairs),
-          stored.unionByName(batchBands), path)
+        // EAGER localCheckpoint, not cache: the bands append below
+        // lands inside `$cur/_bands`, and Spark's write path recaches
+        // every plan whose lineage reads that path — a merely-cached
+        // newPairs would be invalidated and RECOMPUTED for its own
+        // write against the now-extended band index, where the whole
+        // batch reads as a redelivery and zero pairs come out. The
+        // checkpoint pins the verified pairs as data, severing the
+        // file lineage. (Executor loss between checkpoint and write
+        // fails the admit loudly — acceptable for a batch-sized
+        // artifact; the orchestrator retries.)
+        val newPairs = graft.operators.Similarity.verifyCosinePairs(
+          crossCands.unionByName(selfCands).distinct(), vectors,
+          threshold, dim).localCheckpoint()
+        val n = newPairs.count()
+        // bands before pairs — see the crash-window ordering argument
+        // in the method doc
+        batchBands.write.mode(SaveMode.Append).parquet(s"$cur/_bands")
+        if (n > 0)
+          newPairs.write.mode(SaveMode.Append).parquet(cur)
+        spark.catalog.refreshByPath(cur)
         n
       }
     }
+  }
+
+  /** Rewrite the append-accumulated store back to a compact file
+    * layout in the NEXT committed version (the [[SnapshotDir]]
+    * protocol: no rename, in-flight readers keep their version through
+    * the GC grace window). Rows are unchanged — only files. Both the
+    * read-side file listing and the version claim run inside the
+    * writer lock: an [[appendBatch]] committing between an outside
+    * listing and the lock acquisition would leave its files out of the
+    * compacted version, and the old dir's GC would silently drop the
+    * batch (the [[FingerprintStore.compact]] discipline). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val vdir = SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      val pairs = spark.read.parquet(cur)
+      val bandRel = spark.read.parquet(s"$cur/_bands")
+      val next = SnapshotDir.next(spark, path, Prefix)
+      val vd = s"$path/${SnapshotDir.name(Prefix, next)}"
+      pairs.write.mode(SaveMode.Overwrite).parquet(vd)
+      bandRel.repartition(org.apache.spark.sql.functions.col("band"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$vd/_bands")
+      SnapshotDir.commit(spark, path, Prefix, next)
+      vd
+    }
     SnapshotDir.gc(spark, path, Prefix)
-    appended
+    spark.catalog.refreshByPath(vdir)
   }
 }

@@ -229,12 +229,41 @@ class GraphStatsSpec extends SparkSpec {
     graft.sources.EdgeStore.ensureNearDupPairs(base, path,
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    // snapshot the committed base version's file inventory: the append
+    // must be batch-sized — new files only, every base file (parquet
+    // parts, band index, commit marker) byte-untouched afterwards
+    def fileInventory(root: String): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          // _SUCCESS (and its local-FS .crc shadow) is the Hadoop job
+          // committer's marker — each append JOB re-touches it; it
+          // carries no data and is not a rewrite
+          .filter(p => !p.getFileName.toString.contains("_SUCCESS"))
+          .map(p => base.relativize(p).toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+      } finally s.close()
+    }
+    val baseInv = fileInventory(path)
     // feed the batch with duplicated rows: within-batch id dedup must
     // keep the committed store free of duplicate pairs and band rows
     val appended = graft.sources.EdgeStore.appendBatch(
       batch.unionByName(batch.limit(3)), e, path,
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    val afterInv = fileInventory(path)
+    // batch-sized commit: the append only ADDED files — no base file
+    // was rewritten (same size + mtime), and no new version dir was
+    // claimed (the version set is unchanged)
+    baseInv.foreach { case (f, sig) => assert(afterInv.get(f) ===
+      Some(sig), s"append rewrote base file $f") }
+    assert(afterInv.size > baseInv.size)
+    assert(afterInv.keySet.filter(_.endsWith("_committed")) ===
+      baseInv.keySet.filter(_.endsWith("_committed")))
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Double]("cos"))).toSet
@@ -257,6 +286,25 @@ class GraphStatsSpec extends SparkSpec {
     assert(bandsDf.count() === bandsDf.distinct().count())
     // the admission index now covers the whole corpus
     assert(bandsDf.select("id").distinct().count() === e.count())
+    // compact: rows identical, landed in a NEW committed version with
+    // fewer files than the append-accumulated layout
+    val curBefore = graft.sources.SnapshotDir
+      .current(spark, path, "edges-").get
+    val filesBefore = fileInventory(curBefore).size
+    graft.sources.EdgeStore.compact(spark, path)
+    val curAfter = graft.sources.SnapshotDir
+      .current(spark, path, "edges-").get
+    assert(curAfter !== curBefore)
+    assert(pairSet(graft.sources.EdgeStore.read(spark, path)) === full)
+    val bandsAfter = graft.sources.EdgeStore.readBands(spark, path)
+    assert(bandsAfter.count() === bandsDf.count())
+    // a second append after compact still admits nothing (full
+    // redelivery of the same batch — idempotency survives compaction)
+    assert(graft.sources.EdgeStore.appendBatch(batch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim) === 0L)
+    assert(fileInventory(curAfter).size < filesBefore)
   }
 
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
