@@ -194,15 +194,20 @@ object Dedup {
     * engine-exact). Min-id keep (`x_dedup_apply`) discards arbitrary
     * members; keeping the best-quality one is what a curation pipeline
     * actually wants from semantic dedup. One shuffle on the cluster
-    * key; both windows share it. Singleton clusters keep themselves. */
+    * key; both windows share it. Singleton clusters keep themselves.
+    * Members MISSING a score row are kept in the census (left join —
+    * `n_members` counts every member, never undercounts) with a null
+    * score that sorts LAST, so an unscored member can only win its
+    * cluster when no member is scored (then lowest id wins, still a
+    * total order). */
   def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", clusterCol: String = "cluster_id",
       scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy(col(clusterCol))
     val rank = Window.partitionBy(col(clusterCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    clusters.join(scores, Seq(idCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    clusters.join(scores, Seq(idCol), "left")
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .withColumn("keep", row_number().over(rank) === 1)
       .select(col(idCol), col(clusterCol), col("n_members"),

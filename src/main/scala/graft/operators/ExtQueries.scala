@@ -2023,34 +2023,39 @@ object ExtQueries {
        |  FROM perarm GROUP BY key)""".stripMargin
 
   /** The CEP packed-window chain — shared by the batch query and
-    * the streaming replay (bit-identical outputs by design). */
-  private lazy val CepOracleSql =
-      s"""WITH b AS (
-         |  SELECT user_id AS u, ts AS t, event_id AS q,
-         |    event_type AS typ,
-         |    row_number() OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS rn
-         |  FROM events),
-         |v0 AS (SELECT *, CASE WHEN typ = 'view'
-         |    THEN rn * 1000000 + rn END AS v0 FROM b),
-         |v1 AS (SELECT *, CASE WHEN typ = 'click' AND p1 IS NOT NULL
-         |    THEN rn * 1000000 + p1 % 1000000 END AS v1
-         |  FROM (SELECT *, max(v0) OVER (PARTITION BY u ORDER BY rn
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
-         |    FROM v0)),
-         |v2 AS (SELECT *, CASE WHEN typ = 'purchase' AND p2 IS NOT NULL
-         |    THEN rn * 1000000 + p2 % 1000000 END AS v2
-         |  FROM (SELECT *, max(v1) OVER (PARTITION BY u ORDER BY rn
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
-         |    FROM v1)),
-         |m AS (SELECT u, t AS end_ts, q AS end_id, v2 % 1000000 AS rn0
-         |      FROM v2 WHERE v2 IS NOT NULL)
-         |SELECT m.u AS user_id, st.q AS start_id, st.t AS start_ts,
-         |  m.end_id, m.end_ts,
-         |  epoch_us(m.end_ts) - epoch_us(st.t) AS dur_us
-         |FROM m JOIN b st ON st.u = m.u AND st.rn = m.rn0
-         |WHERE epoch_us(m.end_ts) - epoch_us(st.t)
-         |  <= $CepWithinSeconds::bigint * 1000000""".stripMargin
+    * the streaming replay (bit-identical outputs by design). Step
+    * CTEs are GENERATED from [[FunnelSteps]] (the same constant the
+    * Spark query runs on), so changing the pattern re-derives the
+    * oracle instead of silently desyncing it — the same discipline as
+    * [[PageRankIntOracle]]'s round unrolling. */
+  private lazy val CepOracleSql = {
+    val stepCtes = (1 until FunnelSteps.size).map { k =>
+      s"""v$k AS (SELECT *, CASE WHEN typ = '${FunnelSteps(k)}'
+         |    AND p$k IS NOT NULL
+         |    THEN rn * 1000000 + p$k % 1000000 END AS v$k
+         |  FROM (SELECT *, max(v${k - 1}) OVER (PARTITION BY u ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p$k
+         |    FROM v${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    val last = s"v${FunnelSteps.size - 1}"
+    s"""WITH b AS (
+       |  SELECT user_id AS u, ts AS t, event_id AS q,
+       |    event_type AS typ,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |v0 AS (SELECT *, CASE WHEN typ = '${FunnelSteps.head}'
+       |    THEN rn * 1000000 + rn END AS v0 FROM b),
+       |$stepCtes,
+       |m AS (SELECT u, t AS end_ts, q AS end_id, $last % 1000000 AS rn0
+       |      FROM $last WHERE $last IS NOT NULL)
+       |SELECT m.u AS user_id, st.q AS start_id, st.t AS start_ts,
+       |  m.end_id, m.end_ts,
+       |  epoch_us(m.end_ts) - epoch_us(st.t) AS dur_us
+       |FROM m JOIN b st ON st.u = m.u AND st.rn = m.rn0
+       |WHERE epoch_us(m.end_ts) - epoch_us(st.t)
+       |  <= $CepWithinSeconds::bigint * 1000000""".stripMargin
+  }
 
   /** Undirected adjacency CTEs over the near-dup `epairs` — shared by
     * the BFS and PageRank oracles (appended after
@@ -2120,63 +2125,27 @@ object ExtQueries {
        |FROM s$PageRankIters""".stripMargin
   }
 
-  /** The k-core oracle: the identical fixed-round peel, unrolled. */
-  private lazy val KCoreOracle =
+  /** The k-core oracle: the identical fixed-round peel, UNROLLED from
+    * [[KCoreRounds]] — the round count drives both the Spark loop and
+    * this CTE chain, so changing it cannot desync them. */
+  private lazy val KCoreOracle = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""d$i AS (SELECT v, count(*)::bigint AS d FROM (
+         |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY v),
+         |a$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a$i)
+         |         AND b IN (SELECT v FROM a$i))""".stripMargin
+    }.mkString(",\n")
     s"""WITH $EmbedNearDupCtes,
        |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM epairs),
-       |d1 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
-       |  GROUP BY v),
-       |a1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= $KCoreK),
-       |e1 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a1)
-       |         AND b IN (SELECT v FROM a1)),
-       |d2 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
-       |  GROUP BY v),
-       |a2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= $KCoreK),
-       |e2 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a2)
-       |         AND b IN (SELECT v FROM a2)),
-       |d3 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
-       |  GROUP BY v),
-       |a3 AS MATERIALIZED (SELECT v FROM d3 WHERE d >= $KCoreK),
-       |e3 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a3)
-       |         AND b IN (SELECT v FROM a3)),
-       |d4 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
-       |  GROUP BY v),
-       |a4 AS MATERIALIZED (SELECT v FROM d4 WHERE d >= $KCoreK),
-       |e4 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a4)
-       |         AND b IN (SELECT v FROM a4)),
-       |d5 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
-       |  GROUP BY v),
-       |a5 AS MATERIALIZED (SELECT v FROM d5 WHERE d >= $KCoreK),
-       |e5 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a5)
-       |         AND b IN (SELECT v FROM a5)),
-       |d6 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
-       |  GROUP BY v),
-       |a6 AS MATERIALIZED (SELECT v FROM d6 WHERE d >= $KCoreK),
-       |e6 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a6)
-       |         AND b IN (SELECT v FROM a6)),
-       |d7 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
-       |  GROUP BY v),
-       |a7 AS MATERIALIZED (SELECT v FROM d7 WHERE d >= $KCoreK),
-       |e7 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a7)
-       |         AND b IN (SELECT v FROM a7)),
-       |d8 AS (SELECT v, count(*)::bigint AS d FROM (
-       |  SELECT a AS v FROM e7 UNION ALL SELECT b FROM e7)
-       |  GROUP BY v),
-       |a8 AS MATERIALIZED (SELECT v FROM d8 WHERE d >= $KCoreK),
-       |e8 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM a8)
-       |         AND b IN (SELECT v FROM a8)),
+       |$rounds,
        |df AS (SELECT v, count(*)::bigint AS d FROM (
        |  SELECT a AS v FROM e$KCoreRounds
        |  UNION ALL SELECT b FROM e$KCoreRounds) GROUP BY v)
        |SELECT v AS vec_id, d AS core_degree FROM df
        |WHERE d >= $KCoreK""".stripMargin
+  }
 
   /** The weighted PageRank oracle: cosine weights ppm-quantized via
     * the same decimal(18,6)·10⁶ form, weighted degree, the identical

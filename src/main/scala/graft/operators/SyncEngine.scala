@@ -307,7 +307,17 @@ object SyncEngine {
     val oneRes = resolutions
       .groupBy(col("folio"))
       .agg(min(struct(col("accion"), col("nota"))).as("r"))
-      .select(col("folio"), col("r.accion").as("__accion"),
+      .select(col("folio"),
+        // a malformed human decision (typo'd or null accion) must not
+        // silently route to the ignorar branch and reinstate the origin
+        // row — fail the apply loudly so the review sheet gets fixed
+        when(col("r.accion").isin("aceptar", "ignorar"), col("r.accion"))
+          .otherwise(raise_error(concat(
+            lit("applyResolutions: accion must be 'aceptar' or " +
+              "'ignorar', got '"),
+            coalesce(col("r.accion"), lit("NULL")),
+            lit("' for folio "), col("folio").cast("string"))))
+          .as("__accion"),
         col("r.nota").as("__nota"))
     val res = queue.filter(col("estado") === "Pendiente")
       .join(oneRes, Seq("folio"))

@@ -158,8 +158,9 @@ object Temporal {
     * window maxima of a packed bigint `rn·10⁶ + rn₀` (this step's
     * per-user row number carrying its chain-anchor's row number — max
     * picks the latest step occurrence because rn dominates the
-    * packing; headroom: 10⁶ events per user per the pack base, and
-    * rn·10⁶ ≤ 10¹² in int64), so no self-join per step — the one join
+    * packing; headroom: 10⁶ events per user per the pack base —
+    * GUARDED at runtime, a busier user raises instead of wrapping —
+    * and rn·10⁶ ≤ 10¹² in int64), so no self-join per step — the one join
     * is the final anchor-attribute fetch on (user, rn₀). Exact
     * integers throughout; duration closes as a `unix_micros`
     * difference. Same-timestamp events order by the seq column — a
@@ -176,10 +177,21 @@ object Temporal {
     val byUser = Window.partitionBy(col("u"))
       .orderBy(col("t"), col("q"))
     val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val P = lit(1000000L)
     val base = events.select(col(userCol).as("u"), col(tsCol).as("t"),
       col(seqCol).as("q"), col(typeCol).as("typ"))
       .withColumn("rn", row_number().over(byUser))
-    val P = lit(1000000L)
+      // pack-base overflow guard: a user beyond 10⁶ events would wrap
+      // pmod and silently bind a WRONG chain anchor — fail the query
+      // loudly instead (one codegen'd comparison per row; rn is the
+      // per-user row number, so any overflow trips it). The fix for a
+      // tripped guard is widening the pack base (rn·P ≤ 10¹² leaves
+      // 10⁶ headroom inside int64 before P must grow).
+      .withColumn("rn", when(col("rn") < P, col("rn"))
+        .otherwise(raise_error(concat(
+          lit("cepPattern: user "), col("u").cast("string"),
+          lit(" exceeds 1000000 events — the packed-bigint base; " +
+            "widen P before trusting matches")))))
     var df = base.withColumn("v0",
       when(col("typ") === steps.head, col("rn") * P + col("rn")))
     for (k <- 1 until steps.size) {
