@@ -163,6 +163,9 @@ object ExtQueries {
   private[graft] def ndPairsWorkPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndpairs-work-${Integer.toHexString(d.hashCode)}").toString
+  private[graft] def ndClusterWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ndcluster-work-${Integer.toHexString(d.hashCode)}").toString
 
   /** The embedding near-dup pair list served from the committed
     * [[graft.sources.EdgeStore]] (marker-gated build on first touch):
@@ -178,6 +181,23 @@ object ExtQueries {
       nearDupPairsPath(d), CosineThreshold, bands = NearDupBands,
       rowsPerBand = NearDupRows, dim = EmbeddingDim)
     graft.sources.EdgeStore.read(s, nearDupPairsPath(d))
+  }
+
+  /** Cluster assignments served from the COMMITTED label table
+    * ([[graft.sources.ClusterStore]]): the label-propagation cost is
+    * paid once at build (and maintained incrementally on admission),
+    * so the census, keep-best, and dedup-group consumers each run one
+    * left join against the resolved labels instead of re-propagating
+    * over the stored pairs per query. Bit-identical to the inline
+    * `Dedup.clusterAssignments` — the oracle keeps recomputing the
+    * components from first principles. */
+  private def storedClusterAssignments(s: SparkSession, d: String)
+      : DataFrame = {
+    graft.sources.EdgeStore.ensureNearDupPairs(Tables.embeddings(s, d),
+      nearDupPairsPath(d), CosineThreshold, bands = NearDupBands,
+      rowsPerBand = NearDupRows, dim = EmbeddingDim)
+    graft.sources.ClusterStore.assignments(Tables.embeddings(s, d),
+      nearDupPairsPath(d), idCol = "vec_id")
   }
 
   /** JSONL round-trip fixture: the documents table exported as JSONL
@@ -246,6 +266,10 @@ object ExtQueries {
           CosineThreshold, bands = NearDupBands,
           rowsPerBand = NearDupRows, dim = EmbeddingDim)
         .map("neardup_pairs_base" -> _).toMap ++
+      graft.sources.ClusterStore.ensureLabels(s, nearDupPairsPath(d))
+        .map("cluster_labels" -> _).toMap ++
+      graft.sources.ClusterStore.ensureLabels(s, ndPairsBasePath(d))
+        .map("cluster_labels_base" -> _).toMap ++
       graft.sources.ZOrderStore
         .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
           "za", "zb", ZBits, ZFiles)
@@ -550,14 +574,40 @@ object ExtQueries {
     "x_embed_dim_stats" -> ((s, d) =>
       Similarity.embedDimStats(Tables.embeddings(s, d), EmbeddingDim)),
 
-    // Embedding near-dup pairs → connected components: the same label
-    // propagation the text dedup uses, composed over the cosine pairs —
-    // semantic dedup groups, the embedding-side counterpart of
-    // x_dedup_cluster. Pairs come from the committed EdgeStore (built
-    // once, shared by every graph consumer), not an inline recompute.
+    // Embedding near-dup pairs → connected components, served from the
+    // COMMITTED ClusterStore label table (built once over the EdgeStore
+    // pairs, maintained incrementally on admission): the consumer plan
+    // is one left join against the resolved labels — no per-query
+    // label propagation, no pair scan.
     "x_embed_dedup_cluster" -> ((s, d) =>
-      Dedup.clusterAssignments(Tables.embeddings(s, d),
-        storedNearDupPairs(s, d), idCol = "vec_id")),
+      storedClusterAssignments(s, d)),
+
+    // INCREMENTAL cluster maintenance: a held-out embedding batch folds
+    // into a pristine base store whose LABELS are already committed;
+    // the admission merges only the components the new pairs touch
+    // (quotient-graph union-find + touched-row delta append — never a
+    // corpus relabel), and the served assignment over the full corpus
+    // equals the from-scratch relabel the oracle computes.
+    "x_cluster_store" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(
+        col("vec_id") % AppendHoldoutMod =!= AppendHoldoutMod - 1)
+      val batch = e.filter(
+        col("vec_id") % AppendHoldoutMod === AppendHoldoutMod - 1)
+      graft.sources.EdgeStore.ensureNearDupPairs(base, ndPairsBasePath(d),
+        CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)
+      // labels must exist BEFORE the admission so the append exercises
+      // the incremental-maintain path, not a post-hoc full build
+      graft.sources.ClusterStore.ensureLabels(s, ndPairsBasePath(d))
+      val work = ndClusterWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+        work)
+      graft.sources.EdgeStore.appendBatch(batch, e, work,
+        CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)
+      graft.sources.ClusterStore.assignments(e, work, idCol = "vec_id")
+    }),
 
     "x_ann_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1845,8 +1895,7 @@ object ExtQueries {
     // HIGHEST-QUALITY member (ties → lowest id) — the curation form
     // of semantic dedup (min-id keep discards arbitrary members).
     "x_semantic_keep" -> ((s, d) => {
-      val clusters = Dedup.clusterAssignments(Tables.embeddings(s, d),
-          storedNearDupPairs(s, d), idCol = "vec_id")
+      val clusters = storedClusterAssignments(s, d)
         .select(col("vec_id").as("doc_id"), col("cluster_id"))
       val scores = Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("score"))
@@ -1910,10 +1959,9 @@ object ExtQueries {
 
     // Component-size census of the near-dup graph: how much of the
     // corpus sits in duplicate clusters vs singletons — the one-row
-    // dedup-health dashboard (reads the shared EdgeStore).
+    // dedup-health dashboard (reads the committed ClusterStore labels).
     "x_component_stats" -> ((s, d) => {
-      val clusters = Dedup.clusterAssignments(Tables.embeddings(s, d),
-        storedNearDupPairs(s, d), idCol = "vec_id")
+      val clusters = storedClusterAssignments(s, d)
       clusters.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
@@ -2021,6 +2069,23 @@ object ExtQueries {
        |    max(CASE WHEN v = 'a' THEN ss END) AS ss_a,
        |    max(CASE WHEN v = 'b' THEN ss END) AS ss_b
        |  FROM perarm GROUP BY key)""".stripMargin
+
+  /** Embedding near-dup components from first principles (recursive
+    * reach over the banded+verified pair list) — shared by the
+    * stored-label serve (`x_embed_dedup_cluster`) and the incremental
+    * maintenance exercise (`x_cluster_store`), which must both land on
+    * these exact components. */
+  private lazy val EmbedClusterOracle =
+    s"""WITH RECURSIVE $EmbedNearDupCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM epairs
+       |  UNION ALL SELECT id_b, id_a FROM epairs),
+       |reach(v, l) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
+       |SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+      .stripMargin
 
   /** The CEP packed-window chain — shared by the batch query and
     * the streaming replay (bit-identical outputs by design). Step
@@ -3039,18 +3104,11 @@ object ExtQueries {
         |FROM e GROUP BY i""".stripMargin,
 
     // embedding near-dup pairs → connected components, the same
-    // recursive-reach mirror x_dedup_cluster uses over shingle pairs
-    "x_embed_dedup_cluster" ->
-      s"""WITH RECURSIVE $EmbedNearDupCtes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM epairs
-         |  UNION ALL SELECT id_b, id_a FROM epairs),
-         |reach(v, l) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
-         |SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v"""
-        .stripMargin,
+    // recursive-reach mirror x_dedup_cluster uses over shingle pairs;
+    // shared verbatim by x_cluster_store — the incremental label
+    // maintenance must land on the identical from-scratch components
+    "x_embed_dedup_cluster" -> EmbedClusterOracle,
+    "x_cluster_store" -> EmbedClusterOracle,
 
     "x_ann_cosine_topk" ->
       s"""WITH q AS (

@@ -190,8 +190,16 @@ object EdgeStore {
         // bands before pairs — see the crash-window ordering argument
         // in the method doc
         batchBands.write.mode(SaveMode.Append).parquet(s"$cur/_bands")
-        if (n > 0)
+        if (n > 0) {
           newPairs.write.mode(SaveMode.Append).parquet(cur)
+          // derived cluster labels ride the same critical section:
+          // merge only the components the new pairs touch. A crash
+          // between the pair append and this call leaves a label-meta
+          // signature mismatch that the next label read REPAIRS
+          // ([[ClusterStore.ensureLabels]]) — stale labels are never
+          // served silently.
+          ClusterStore.maintain(spark, cur, newPairs)
+        }
         spark.catalog.refreshByPath(cur)
         n
       }
@@ -217,6 +225,10 @@ object EdgeStore {
       pairs.write.mode(SaveMode.Overwrite).parquet(vd)
       bandRel.repartition(org.apache.spark.sql.functions.col("band"))
         .write.mode(SaveMode.Overwrite).parquet(s"$vd/_bands")
+      // labels (when built) compact with their pairs — one resolved
+      // row per endpoint in the new version, signature re-recorded
+      // against the new pair files
+      ClusterStore.compactInto(spark, cur, vd)
       SnapshotDir.commit(spark, path, Prefix, next)
       vd
     }

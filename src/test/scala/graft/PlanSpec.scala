@@ -571,6 +571,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cluster consumers read the committed label table, not the pairs") {
+    withStaticPlan {
+      // dedup-group assignment serves off the ClusterStore: one left
+      // join of the corpus against the resolved labels — the plan
+      // scans ONLY the `_labels` parquet and the embeddings table; no
+      // pair-file scan, no label propagation, no banding stages
+      val nodes = deepNodes(
+        run("x_embed_dedup_cluster").queryExecution.executedPlan)
+      val ss = nodes.collect { case s: FileSourceScanExec => s }
+      val roots = ss.map(_.relation.location.rootPaths.head.toString)
+      assert(roots.exists(_.contains("_labels")),
+        s"must scan the committed label table:\n$roots")
+      assert(roots.forall(r => r.contains("_labels") ||
+        r.contains("testdata")),
+        s"only labels + the vertex table may be scanned:\n$roots")
+      assert(nodes.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, "no explode stages: neither LSH nor the pair " +
+        "endpoint expansion may be inline")
+    }
+  }
+
   test("cep: the chain is windows over ONE user exchange, no self-joins") {
     withStaticPlan {
       val plan = run("x_cep_pattern").queryExecution.executedPlan
