@@ -22,6 +22,8 @@ object Bench {
       // TIMESTAMP (session tz is UTC, so values are identical) so that
       // withWatermark / window accept it — NTZ has no streaming event time.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the SQL front door — x_sql_* bench queries run through sql()
+      .withExtensions(new graft.plans.GraftExtensions())
       // 67 queries × many codegen'd stages in ONE JVM: the default
       // 100-entry generated-class cache evicts constantly, so later
       // queries pay Janino recompiles the warmup already did (static

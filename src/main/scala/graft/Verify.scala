@@ -22,6 +22,9 @@ object Verify {
       // TIMESTAMP (session tz is UTC, so values are identical) so that
       // withWatermark / window accept it — NTZ has no streaming event time.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the SQL front door (graft_* scalar + table functions) — the
+      // x_sql_* queries prove SQL-path ≡ Scala-path on shared oracles
+      .withExtensions(new graft.plans.GraftExtensions())
       // same single-JVM codegen-cache thrash as Bench: 67 queries of
       // stages vs a 100-entry default (static conf, set pre-session)
       .config("spark.sql.codegen.cache.maxEntries", "2000")

@@ -1975,7 +1975,22 @@ object ExtQueries {
     // corpus edge: exact integer life table, running ln-sum product
     // with an explicit zero-survival carry (DuckDB refuses ln(0)).
     "x_survival_km" -> ((s, d) =>
-      Temporal.kaplanMeier(Tables.events(s, d), KmHorizonDays))
+      Temporal.kaplanMeier(Tables.events(s, d), KmHorizonDays)),
+
+    // ---- SQL front door: the same operators through spark.sql(...)
+    // table functions (GraftExtensions.injectTableFunction). Each
+    // builder returns the Scala operator's own logical plan, so this
+    // is path-EQUALITY, not re-implementation — the oracles below are
+    // the Scala queries' oracles, shared verbatim.
+    "x_sql_funnel" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_funnel('$d', '$FunnelWindow', " +
+        FunnelSteps.map(st => s"'$st'").mkString(", ") + ")")),
+    "x_sql_neardup_pairs" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_neardup_pairs('$d', $CosineThreshold, " +
+        s"$NearDupBands, $NearDupRows, $EmbeddingDim)")),
+    "x_sql_profile" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_profile('$d', 'orders', " +
+        ProfileCols.map(c => s"'$c'").mkString(", ") + ")"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2877,7 +2892,7 @@ object ExtQueries {
        |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val BaseOracleSql: Map[String, String] = Map(
     "x_tok_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
@@ -5635,6 +5650,15 @@ object ExtQueries {
          |    ELSE round(exp(lnsum), 6) END AS survival
          |FROM curve""".stripMargin
   )
+
+  /** The public oracle map: the base oracles plus the SQL-front-door
+    * queries, which SHARE their Scala twins' oracles verbatim — the
+    * whole point is that the SQL path and the Scala path are one plan
+    * with one answer. */
+  lazy val oracleSql: Map[String, String] = BaseOracleSql ++ Map(
+    "x_sql_funnel" -> BaseOracleSql("x_funnel"),
+    "x_sql_neardup_pairs" -> BaseOracleSql("x_embed_near_dup"),
+    "x_sql_profile" -> BaseOracleSql("x_profile_orders"))
 
   /** The autocorrelation oracle, generated per lag from [[AcfMaxLag]]
     * with the same n-scaled decimal sufficient statistics and single

@@ -54,7 +54,24 @@ object VectorFusion extends Rule[LogicalPlan] {
   * `graft_bpe_merge(syms, l, r)` ([[BpeMergePair]]) and
   * `graft_deflate_ratio(text)` ([[DeflateRatio]]) — the text kernels a
   * SQL-only user needs for dedup candidate work and repetition
-  * filtering without touching the Scala API. */
+  * filtering without touching the Scala API.
+  *
+  * Plus the SQL FRONT DOOR: whole operators as TABLE functions, usable
+  * from a bare `spark.sql(...)` with no Scala —
+  * {{{
+  *   SELECT * FROM graft_funnel('/data/sf', '7 days', 'view', 'click')
+  *   SELECT * FROM graft_retention('/data/sf')
+  *   SELECT * FROM graft_dedup_apply('/data/sf')
+  *   SELECT * FROM graft_neardup_pairs('/data/sf', 0.935, 8, 2, 64)
+  *   SELECT * FROM graft_profile('/data/sf', 'orders', 'o_orderkey')
+  * }}}
+  * Each builder loads its table through [[graft.Tables]] (the same
+  * loader the Scala API uses — event-time normalization included) and
+  * returns the OPERATOR'S OWN logical plan, so the SQL path and the
+  * Scala path are one plan, one optimizer run, bit-identical results
+  * (driver-checked: the `x_sql_*` queries share the original queries'
+  * oracles verbatim). Arguments must be literals — the plan is built
+  * at resolution time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   // wrong arity must raise the same readable IllegalArgumentException the
@@ -65,6 +82,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$sig takes $n argument(s), got ${children.length}")
     children
   }
+
+  private def strLit(sig: String)(e: Expression): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$sig: expected a string literal, got $other")
+  }
+
+  private def numLit(sig: String)(e: Expression): Double = e match {
+    case Literal(v: Number, _) => v.doubleValue()
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$sig: expected a numeric literal, got $other")
+  }
+
+  /** Register `name` as a SQL table function whose builder returns a
+    * DataFrame — the operator's logical plan becomes the FROM clause. */
+  private def tableFn(ext: SparkSessionExtensions, name: String)(
+      build: (org.apache.spark.sql.SparkSession, Seq[Expression]) =>
+        org.apache.spark.sql.DataFrame): Unit =
+    ext.injectTableFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) =>
+        build(org.apache.spark.sql.SparkSession.active, children)
+          .queryExecution.logical))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorFusion)
@@ -105,5 +150,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_deflate_ratio"),
       (children: Seq[Expression]) =>
         DeflateRatio(arity("graft_deflate_ratio(text)", 1)(children).head)))
+
+    // ---- table functions: whole operators behind a FROM clause ----
+    tableFn(ext, "graft_funnel") { (s, children) =>
+      val sig = "graft_funnel(dir, window, step1, step2, ...)"
+      if (children.length < 4) throw new IllegalArgumentException(
+        s"$sig needs a dir, a window, and >= 2 steps")
+      val args = children.map(strLit(sig))
+      graft.operators.Temporal.funnel(
+        graft.Tables.events(s, args.head), args.drop(2), args(1))
+    }
+    tableFn(ext, "graft_retention") { (s, children) =>
+      val c = arity("graft_retention(dir)", 1)(children)
+      graft.operators.Temporal.retentionCohorts(
+        graft.Tables.events(s, strLit("graft_retention(dir)")(c.head)))
+    }
+    tableFn(ext, "graft_dedup_apply") { (s, children) =>
+      val c = arity("graft_dedup_apply(dir)", 1)(children)
+      graft.operators.Dedup.dedupedCorpus(
+          graft.Tables.documents(s,
+            strLit("graft_dedup_apply(dir)")(c.head)))
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+    }
+    tableFn(ext, "graft_neardup_pairs") { (s, children) =>
+      val sig = "graft_neardup_pairs(dir, threshold, bands, rows, dim)"
+      val c = arity(sig, 5)(children)
+      graft.operators.Similarity.nearDupPairsLsh(
+        graft.Tables.embeddings(s, strLit(sig)(c.head)),
+        numLit(sig)(c(1)), bands = numLit(sig)(c(2)).toInt,
+        rowsPerBand = numLit(sig)(c(3)).toInt,
+        dim = numLit(sig)(c(4)).toInt)
+    }
+    tableFn(ext, "graft_profile") { (s, children) =>
+      val sig = "graft_profile(dir, table, col1, ...)"
+      if (children.length < 3) throw new IllegalArgumentException(
+        s"$sig needs a dir, a table name, and >= 1 column")
+      val args = children.map(strLit(sig))
+      graft.operators.Olap.profile(
+        graft.Tables(s, args.head, args(1)), args.drop(2))
+    }
   }
 }

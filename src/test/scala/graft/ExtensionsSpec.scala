@@ -84,10 +84,61 @@ class ExtensionsSpec extends AnyFunSuite {
   test("fusion preserves HOF semantics, including ragged-array NULL") {
     val fused = vecs(ext).select(hofDot.as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    // same query on the extension-free shared session = the HOF baseline
+    // the shared session (which also carries the extensions) must agree
     val baseline = vecs(SparkSpec.spark).select(hofDot.as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(fused.toSeq === baseline.toSeq)
+    // hand-computed HOF semantics: ragged row 1 → NULL, others 32.0
     assert(fused.toSeq === Seq(Some(32.0), None, Some(32.0)))
+  }
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("table functions: the SQL path equals the Scala path row-for-row") {
+    val s = SparkSpec.spark
+    // funnel: every output row identical (timestamps included)
+    val sqlFunnel = s.sql(s"SELECT * FROM graft_funnel('$d', '7 days', " +
+      "'view', 'click', 'purchase')").collect().toSet
+    val scalaFunnel = graft.operators.Temporal.funnel(
+        Tables.events(s, d), Seq("view", "click", "purchase"), "7 days")
+      .collect().toSet
+    assert(sqlFunnel === scalaFunnel && sqlFunnel.nonEmpty)
+    // retention cohorts
+    val sqlRet = s.sql(s"SELECT * FROM graft_retention('$d')")
+      .collect().toSet
+    val scalaRet = graft.operators.Temporal.retentionCohorts(
+      Tables.events(s, d)).collect().toSet
+    assert(sqlRet === scalaRet && sqlRet.nonEmpty)
+    // dedup apply (keeper ids)
+    val sqlDedup = s.sql(s"SELECT * FROM graft_dedup_apply('$d')")
+      .collect().map(_.getLong(0)).toSet
+    val scalaDedup = graft.operators.Dedup.dedupedCorpus(
+        Tables.documents(s, d))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sqlDedup === scalaDedup && sqlDedup.nonEmpty)
+  }
+
+  test("table functions compose with ordinary SQL around them") {
+    val s = SparkSpec.spark
+    // the FROM-clause plan is a regular logical subtree: filters and
+    // aggregates over it resolve, optimize, and push down like any view
+    val depth3 = s.sql(s"SELECT count(*) AS n FROM graft_funnel('$d', " +
+      "'7 days', 'view', 'click', 'purchase') WHERE depth = 3")
+      .collect().head.getLong(0)
+    val expected = graft.operators.Temporal.funnel(
+        Tables.events(s, d), Seq("view", "click", "purchase"), "7 days")
+      .filter(col("depth") === 3).count()
+    assert(depth3 === expected)
+  }
+
+  test("table functions validate their arguments readably") {
+    val s = SparkSpec.spark
+    val tooFew = intercept[Exception](
+      s.sql(s"SELECT * FROM graft_funnel('$d')").collect())
+    assert(tooFew.getMessage.contains("graft_funnel"))
+    val notLit = intercept[Exception](
+      s.sql("SELECT * FROM graft_retention(rand())").collect())
+    assert(notLit.getMessage.contains("graft_retention") ||
+      notLit.getMessage.toLowerCase.contains("literal"))
   }
 }

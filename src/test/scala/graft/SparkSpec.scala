@@ -16,6 +16,9 @@ object SparkSpec {
       // TIMESTAMP (session tz is UTC, so values are identical) so that
       // withWatermark / window accept it — NTZ has no streaming event time.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the SQL front door, same as Verify/Bench — suites can exercise
+      // graft_* SQL functions on the shared session
+      .withExtensions(new graft.plans.GraftExtensions())
       // one JVM runs every suite's plans: avoid generated-class cache
       // thrash (same static conf Bench/Verify set)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
