@@ -1512,6 +1512,19 @@ object ExtQueries {
         nBatches = 4, workDir = work)
     }),
 
+    // The BOUNDED-STATE CEP deployment: same replay, event-time
+    // eviction on — users idle past max(anchor)+within are removed
+    // from the state store (provably match-preserving; the replay's
+    // time order makes the 0s watermark exact), and the output still
+    // equals the batch operator bit for bit (same oracle SQL).
+    "x_stream_cep_evict" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cepevict-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.cepStreamReplay(
+        s, Tables.events(s, d), FunnelSteps, CepWithinSeconds,
+        nBatches = 4, workDir = work, evictIdle = true)
+    }),
+
     // ROLLUP over (source, lang): one Expand-backed hash aggregate
     // (one scan, one shuffle) produces every level; grouping_id
     // disambiguates rolled-up NULLs from genuine NULL keys.
@@ -3652,6 +3665,7 @@ object ExtQueries {
     "x_cep_pattern" -> CepOracleSql,
 
     "x_stream_cep" -> CepOracleSql,
+    "x_stream_cep_evict" -> CepOracleSql,
 
     // mirrors Temporal.funnel: same strictly-after chaining, same
     // window anchored at t1, min aggregates throughout

@@ -194,8 +194,18 @@ object GraphStats {
     * the edge count is stable — peeling only removes, so a stable count
     * means a stable set and every remaining budgeted round is a no-op
     * (output identical to running the full budget, which is what the
-    * oracle unrolls). Output: surviving `(vec_id, core_degree)`
-    * (degree within the surviving subgraph). */
+    * oracle unrolls).
+    *
+    * DURABILITY TRADE: `localCheckpoint` stores each round's blocks on
+    * executors only — losing an executor mid-peel loses its blocks
+    * with NO lineage to recompute from, failing the job (not
+    * corrupting it). That is the right default for a minutes-long peel
+    * on a healthy cluster; on a long peel over preemptible executors,
+    * swap in reliable `checkpoint` to cluster storage
+    * (`sc.setCheckpointDir` + `df.checkpoint()`) — same plan, each
+    * round's barrier survives executor death at the cost of a
+    * distributed-FS write per round. Output: surviving
+    * `(vec_id, core_degree)` (degree within the surviving subgraph). */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")

@@ -80,13 +80,24 @@ object StreamingSync {
     * micro-batch, rows process in (ts, event_id) order; chains
     * straddling micro-batch boundaries thread through the state store
     * (the property the replay spec pins). State at scale: steps−1
-    * fixed-size tuples per user — O(1), no watermark needed for
-    * boundedness (an idle user's slots are steps−1 rows forever; the
-    * documented swap for key-churn workloads is an event-time timeout
-    * evicting users idle past `within`, which also cannot change any
-    * future match because a stale anchor would fail the bound). */
+    * fixed-size tuples per user — O(1) per user, no watermark needed
+    * for boundedness per key.
+    *
+    * KEY CHURN: with `evictIdle = true` the per-user slots also carry
+    * an event-time timeout at `max(anchor_ts) + within` — once the
+    * watermark passes it, the user's state is REMOVED. This is
+    * provably match-preserving for in-watermark data: every slot's
+    * usefulness ends at its anchor + `within` (a later final event
+    * would close the chain with dur > `within` and fail the bound), so
+    * nothing evictable can ever complete a match. Under an infinite
+    * key stream, state is then ∝ users active inside one `within`
+    * window instead of ∝ all users ever seen. The trade is the
+    * watermark's own contract: events later than `watermarkDelay` are
+    * dropped as late (size the delay to the stream's disorder; the
+    * time-ordered replay harness is exact at 0 seconds). */
   def cepStream(events: DataFrame, steps: Seq[String],
-      withinSeconds: Long): DataFrame = {
+      withinSeconds: Long, evictIdle: Boolean = false,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     require(steps.size >= 2, s"a pattern needs ≥ 2 steps: $steps")
     // the slot map keys by step TYPE: repeated types would silently
     // never match here while the batch form's window chain would —
@@ -97,15 +108,25 @@ object StreamingSync {
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val lastK = steps.size - 1
-    events
+    val src = events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
+    val timeoutConf =
+      if (evictIdle) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    (if (evictIdle) src.withWatermark("ts", watermarkDelay) else src)
       .as[CepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[CepEvent],
             st: GroupState[CepState]) => {
+          if (st.hasTimedOut) {
+            // nothing pending can ever complete (anchor + within has
+            // passed for every slot) — drop the user's state entirely
+            st.remove()
+            Iterator.empty
+          } else {
           var slots = st.getOption.map(_.slots)
             .getOrElse(Map.empty[Int, CepStep])
           val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
@@ -132,8 +153,32 @@ object StreamingSync {
               case None => // not a pattern step: intervening event
             }
           }
-          st.update(CepState(slots))
+          if (evictIdle && slots.isEmpty) {
+            // a user whose batch carried only non-step events: storing
+            // empty state with NO timeout would live forever under
+            // EventTimeTimeout — keep nothing instead
+            if (st.exists) st.remove()
+          } else {
+            st.update(CepState(slots))
+            if (evictIdle) {
+              // expiry = the NEWEST slot's anchor + within: every slot
+              // is dead by then (its chain's bound has passed). +1 ms
+              // absorbs the Timestamp.getTime sub-millisecond floor —
+              // eviction a millisecond late is free, a microsecond
+              // early could drop a boundary match. Clamped to
+              // watermark+1: a borderline event (kept because the late
+              // filter is strict) can carry an anchor whose expiry the
+              // watermark already passed, and a timeout in the past
+              // throws — evicting at the next trigger instead is
+              // equally match-preserving.
+              val expiryMs = slots.values.map(_.anchor_ts.getTime).max +
+                withinSeconds * 1000L + 1L
+              st.setTimeoutTimestamp(
+                math.max(expiryMs, st.getCurrentWatermarkMs() + 1L))
+            }
+          }
           out.iterator
+          }
         })
       .toDF()
   }
@@ -147,7 +192,7 @@ object StreamingSync {
     * state store. */
   def cepStreamReplay(spark: SparkSession, events: DataFrame,
       steps: Seq[String], withinSeconds: Long, nBatches: Int = 4,
-      workDir: String): DataFrame = {
+      workDir: String, evictIdle: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.orderBy(col("ts"), col("event_id"))
     val staged = events
@@ -162,7 +207,8 @@ object StreamingSync {
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
     val name = s"graft_cep_replay_${replaySeq.incrementAndGet()}"
-    val q = cepStream(stream, steps, withinSeconds)
+    val q = cepStream(stream, steps, withinSeconds,
+        evictIdle = evictIdle)
       .writeStream.outputMode("append").format("memory")
       .queryName(name)
       .option("checkpointLocation",
@@ -234,7 +280,7 @@ object StreamingSync {
     * Clears `workDir` first. File-source order is pinned with explicit
     * increasing mtimes, not wall-clock write order (coarse-mtime
     * filesystems reorder). Returns the input dir. */
-  private def stageBatchFiles(staged: DataFrame, nBatches: Int,
+  private[graft] def stageBatchFiles(staged: DataFrame, nBatches: Int,
       workDir: String): java.io.File = {
     val dir = new java.io.File(workDir)
     if (dir.exists()) {

@@ -410,6 +410,66 @@ class StreamingSyncSpec extends SparkSpec {
     assert(batch.nonEmpty && batch === stream)
   }
 
+  test("cep event-time eviction: state shrinks, matches unchanged") {
+    import graft.operators.Temporal
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // users 1 and 2 act early then go idle; user 3 acts two hours
+    // later. With within=60s and eviction on, the watermark from user
+    // 3's events passes users 1/2's `max(anchor)+within` expiry and
+    // their slots are REMOVED — while every match is still found.
+    val fx = Seq(
+      (1L, t("08:00:00"), 1L, "view", 1),
+      (2L, t("08:00:10"), 1L, "click", 1),
+      (3L, t("08:00:20"), 1L, "purchase", 2), // match (20s)
+      (4L, t("08:00:30"), 2L, "view", 2),     // slot, never completed
+      (5L, t("10:00:00"), 3L, "view", 3),
+      (6L, t("10:00:05"), 3L, "click", 4),
+      (7L, t("10:00:10"), 3L, "purchase", 4)) // match (10s)
+      .toDF("event_id", "ts", "user_id", "event_type", "b")
+    val steps = Seq("view", "click", "purchase")
+    val dir = s"${tmp()}/cepevict"
+    val in = StreamingSync.stageBatchFiles(fx, 4, dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = StreamingSync.cepStream(stream, steps, withinSeconds = 60L,
+        evictIdle = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cep_evict")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+    val got = spark.table("cep_evict").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("dur_us"))).toSet
+    spark.catalog.dropTempView("cep_evict")
+    // matches equal the batch operator over the same events
+    val batch = Temporal.cepPattern(fx.drop("b"), steps, 60L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("dur_us"))).toSet
+    assert(got === batch)
+    assert(got === Set((1L, 1L, 3L, 20000000L), (3L, 5L, 7L, 10000000L)))
+    // bounded state: users 1 and 2 held rows at the peak, then expired
+    // — only user 3's fresh slots survive at the end
+    assert(stateRows.max >= 2, s"peak state rows: $stateRows")
+    assert(stateRows.last === 1, s"state not evicted: $stateRows")
+    // the eviction-free form keeps every user forever (the documented
+    // trade): same fixture, NoTimeout, final state = all 3 users
+    val q2 = StreamingSync.cepStream(
+        spark.readStream.schema(spark.read.parquet(in.toString).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString),
+        steps, withinSeconds = 60L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cep_keep")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val keepRows = q2.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+    spark.catalog.dropTempView("cep_keep")
+    assert(keepRows.last === 3, s"NoTimeout must keep all: $keepRows")
+  }
+
   test("edge append sink: streamed batches equal the rebuild; idempotent") {
     import graft.operators.{ExtQueries, Similarity}
     val dir = tmp()
