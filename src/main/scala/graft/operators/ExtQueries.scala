@@ -1849,6 +1849,13 @@ object ExtQueries {
     "x_ewma_level" -> ((s, d) =>
       Temporal.ewmaLevel(Tables.events(s, d))),
 
+    // Holt level+trend (α=β=1/2): the EWMA's exact add-then-halve fold
+    // extended to the (level, trend) pair — "where is it now AND which
+    // way is it headed", closing with the one-step forecast. Every
+    // step mirrors the oracle's list_reduce association bit for bit.
+    "x_holt_level_trend" -> ((s, d) =>
+      Temporal.holtLevelTrend(Tables.events(s, d))),
+
     // Benford first-digit screen over order totals: leading digit via
     // integer-cents rendering, exact count ratios, bound booleans
     // against log10(1+1/d) — the books-audit fraud test (synthetic
@@ -1903,6 +1910,13 @@ object ExtQueries {
     "x_kcore" -> ((s, d) =>
       GraphStats.kCore(storedNearDupPairs(s, d), k = KCoreK,
         rounds = KCoreRounds)),
+
+    // One synchronous Louvain sweep (ppm-exact modularity gains) over
+    // the stored weighted pairs: components say "reachable", this says
+    // "densely tied" — weak bridges score negative gain and never
+    // merge. Deterministic argmax (gain desc, lowest neighbor id).
+    "x_community_l1" -> ((s, d) =>
+      GraphStats.communityOneLevel(storedNearDupPairs(s, d))),
 
     // SemDeDup: cluster the near-dup graph, keep each cluster's
     // HIGHEST-QUALITY member (ties → lowest id) — the curation form
@@ -5055,6 +5069,34 @@ object ExtQueries {
 
     "x_kcore" -> KCoreOracle,
 
+    // one synchronous Louvain sweep: ppm weights, hugeint-exact gain
+    // 2m·w − k_i·k_j, per-vertex argmax (gain desc, lowest neighbor)
+    "x_community_l1" ->
+      s"""WITH $EmbedNearDupCtes,
+         |we AS (
+         |  SELECT a, b, max(w)::bigint AS w FROM (
+         |    SELECT id_a AS a, id_b AS b,
+         |      CAST(CAST(cos AS decimal(18,6)) * 1000000 AS bigint) AS w
+         |    FROM epairs)
+         |  WHERE a <> b AND w > 0 GROUP BY a, b),
+         |wadj AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM we
+         |         UNION ALL SELECT b, a, w FROM we),
+         |wdeg AS (SELECT src AS v, sum(w)::bigint AS wd
+         |         FROM wadj GROUP BY 1),
+         |m AS (SELECT sum(w)::hugeint AS m2 FROM wadj),
+         |scored AS (
+         |  SELECT src, dst,
+         |    m2 * w - ks.wd::hugeint * kd.wd AS gain
+         |  FROM wadj JOIN wdeg ks ON ks.v = src
+         |  JOIN wdeg kd ON kd.v = dst CROSS JOIN m),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src ORDER BY gain DESC, dst) AS rn
+         |  FROM scored)
+         |SELECT src AS vec_id,
+         |  CASE WHEN gain > 0 THEN dst ELSE src END AS community_id,
+         |  (CASE WHEN gain > 0 THEN gain ELSE 0 END)::bigint AS gain_num
+         |FROM r WHERE rn = 1""".stripMargin,
+
     // cluster reach (the x_embed_dedup_cluster mirror) + quality join,
     // ranked per cluster by (score DESC, doc_id)
     "x_semantic_keep" ->
@@ -5280,6 +5322,41 @@ object ExtQueries {
         |    AS ewma_cents,
         |  xs[CAST(n_days AS int)] AS last_cents
         |FROM packed""".stripMargin,
+
+    // Holt (l, b) as a recursive CTE stepping the day index — NOT the
+    // natural list_reduce struct fold, because DuckDB v1.0.0 mutates
+    // the struct accumulator field-by-field across steps (the 'b'
+    // expression sees the freshly-written 'l'); the per-row recursion
+    // evaluates both fields against the PREVIOUS row, mirroring the
+    // Spark fold's IEEE association exactly
+    "x_holt_level_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      ::bigint AS rn,
+        |    count(*) OVER (PARTITION BY event_type)::bigint AS n_days,
+        |    max(day) OVER (PARTITION BY event_type) AS last_day,
+        |    cents::double AS x
+        |  FROM daily),
+        |hw(event_type, rn, l, b) AS (
+        |  SELECT event_type, rn, x, 0.0::double FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn,
+        |    (i.x + h.l + h.b) / 2.0,
+        |    ((i.x + h.l + h.b) / 2.0 - h.l + h.b) / 2.0
+        |  FROM hw h JOIN idx i
+        |    ON i.event_type = h.event_type AND i.rn = h.rn + 1)
+        |SELECT i.event_type, i.n_days, i.last_day,
+        |  h.l AS level_cents, h.b AS trend_cents,
+        |  h.l + h.b AS forecast_cents
+        |FROM hw h JOIN (
+        |  SELECT DISTINCT event_type, n_days, last_day FROM idx) i
+        |  ON i.event_type = h.event_type AND h.rn = i.n_days""".stripMargin,
 
     "x_benford" ->
       s"""WITH d AS (

@@ -344,4 +344,67 @@ object GraphStats {
       col("score").as("score_micro"),
       (col("score").cast("double") / lit(scale.toDouble)).as("score"))
   }
+
+  /** One SYNCHRONOUS Louvain sweep over the weighted pair graph — the
+    * community rung above connected components: CC says "reachable",
+    * this says "densely tied". From the singleton partition, every
+    * vertex simultaneously evaluates moving into each neighbor's
+    * community; the modularity gain of moving isolated `i` beside
+    * singleton `j` reduces to the EXACT integer
+    * `gain_num = 2m·w_ij − k_i·k_j` (ΔQ · 2m², same sign and order),
+    * with ppm-quantized weights (`decimal(18,6)·10⁶`, the
+    * [[pageRankWeighted]] quantization), weighted degrees `k`, and
+    * `2m` = the directed-adjacency weight total. Each vertex adopts
+    * argmax-gain neighbor's id as its community (ties → lowest
+    * neighbor id; no positive gain → stays its own singleton) — a
+    * deterministic, engine-exact sweep, where classic Louvain's
+    * sequential vertex order is irreproducible across engines.
+    * Synchronous moves can pairwise SWAP two mutual argmaxes
+    * (i adopts j while j adopts i) — that is the defined output, the
+    * seed a full Louvain would iterate on; the structural signal
+    * (weak bridges get negative gain and never merge) is already
+    * decisive after one sweep.
+    *
+    * Shape: two vertex-keyed joins against the weighted-degree table +
+    * one 1-row broadcast (2m) + one per-vertex rank window — the
+    * weighted-triangle-census cost class. Exactness: products stay in
+    * decimal(38,0) (int128) and the emitted `gain_num` casts to long
+    * LOUDLY under ANSI, which bounds validity at
+    * `max(2m·w, k·k) < 2⁶³` — ppm weight mass of ~3·10⁹ per vertex,
+    * far past any near-dup graph whose banding works. */
+  def communityOneLevel(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
+    val ppm = (col(wCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 1000000).cast("long")
+    val e = CacheRegistry.tracked(edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"), ppm.as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0L)
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w")))
+    val adj = CacheRegistry.tracked(
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"),
+          col("w"))))
+    val wdeg = CacheRegistry.tracked(adj.groupBy(col("src").as("v"))
+      .agg(sum(col("w")).as("wd")))
+    val m2 = adj.agg(sum(col("w")).cast(
+      org.apache.spark.sql.types.DecimalType(38, 0)).as("m2"))
+    val scored = adj
+      .join(wdeg.select(col("v").as("src"), col("wd").as("ks")),
+        Seq("src"))
+      .join(wdeg.select(col("v").as("dst"), col("wd").as("kd")),
+        Seq("dst"))
+      .crossJoin(broadcast(m2))
+      .select(col("src"), col("dst"),
+        expr("m2 * w - cast(ks as decimal(38,0)) * kd").as("gain"))
+    val byGain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("gain").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(byGain))
+      .filter(col("rn") === 1)
+      .select(col("src").as("vec_id"),
+        when(col("gain") > 0, col("dst")).otherwise(col("src"))
+          .as("community_id"),
+        when(col("gain") > 0, col("gain")).otherwise(lit(0))
+          .cast("long").as("gain_num"))
+  }
 }

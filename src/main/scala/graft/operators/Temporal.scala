@@ -643,6 +643,54 @@ object Temporal {
         .as("last_cents"))
   }
 
+  /** Holt double exponential smoothing (level + trend) per key with
+    * α = β = 1/2 — the forecasting rung above [[ewmaLevel]]: the EWMA
+    * answers "where is the metric NOW", this adds "and which way is it
+    * HEADED", closing with the one-step-ahead forecast `level+trend`.
+    * The recursion
+    * {{{
+    *   l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+    *   b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+    * }}}
+    * is [[ewmaLevel]]'s exact-binary-scaling trick extended to the
+    * pair fold: every step is adds/subtracts plus a ÷2 (exact IEEE
+    * scaling), evaluated in one fixed association mirrored by the
+    * oracle's `list_reduce` — bit-deterministic with NO rounding.
+    * α = β = 1/2 because halving is the one smoothing weight every
+    * engine scales exactly. Init: l₁ = x₁, b₁ = 0 (a 1-day key has
+    * zero trend, not an undefined one). Per-key arrays are
+    * days-sized (calendar-bounded), so the interpreted fold is off
+    * the hot path — an unbounded-history caller maintains (l, b)
+    * INCREMENTALLY, one stored pair per key folded per day, the
+    * agg-store pattern. */
+  def holtLevelTrend(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        transform(array_sort(collect_list(struct(col("day"),
+          col("cents")))), p => p.getField("cents").cast("double"))
+          .as("xs"))
+    val init = struct(element_at(col("xs"), 1).as("l"),
+      lit(0.0).as("b"))
+    val folded = packed.withColumn("hb",
+      when(col("n_days") === 1, init)
+        .otherwise(aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1), init,
+          (acc, x) => struct(
+            ((x + acc.getField("l") + acc.getField("b")) / lit(2.0))
+              .as("l"),
+            (((x + acc.getField("l") + acc.getField("b")) / lit(2.0)
+              - acc.getField("l") + acc.getField("b")) / lit(2.0))
+              .as("b")))))
+    folded.select(col(keyCol), col("n_days"), col("last_day"),
+      col("hb.l").as("level_cents"), col("hb.b").as("trend_cents"),
+      (col("hb.l") + col("hb.b")).as("forecast_cents"))
+  }
+
   /** Robust anomaly flags over per-key daily totals: a day is
     * anomalous when its total deviates from the key's MEDIAN by more
     * than `k` × MAD (median absolute deviation) — the

@@ -307,6 +307,35 @@ class GraphStatsSpec extends SparkSpec {
     assert(fileInventory(curAfter).size < filesBefore)
   }
 
+  test("community one-level: triangles bind, the weak bridge never merges") {
+    // two unit-weight triangles {1,2,3} / {4,5,6} joined by a 0.2
+    // bridge 3-4. ppm: w=1e6 inside, 2e5 on the bridge; 2m = 1.24e7.
+    // Hand-computed gains (2m·w − k_i·k_j):
+    //  1→2: 1.24e13 − 4e12 = 8.4e12 (beats 1→3's 8.0e12)
+    //  3→1: 8.0e12 (tie with 3→2 → lowest id); 3→4: 2.48e12 − 4.84e12
+    //  = NEGATIVE — the bridge never merges the triangles.
+    val edges = Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+      (4L, 5L, 1.0), (4L, 6L, 1.0), (5L, 6L, 1.0),
+      (3L, 4L, 0.2)).toDF("id_a", "id_b", "cos")
+    val got = GraphStats.communityOneLevel(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("community_id"), r.getAs[Long]("gain_num")))
+      .toMap
+    assert(got === Map(
+      1L -> (2L, 8400000000000L), 2L -> (1L, 8400000000000L),
+      3L -> (1L, 8000000000000L), 4L -> (5L, 8000000000000L),
+      5L -> (6L, 8400000000000L), 6L -> (5L, 8400000000000L)))
+    // an isolated strong pair stays mutual; a no-positive-gain vertex
+    // keeps its own singleton (complete graph K3 with equal weights:
+    // every gain is 2m·w − k² = 6e6·1e6 − 4e12 = 2e12 > 0 — all move)
+    val pair = Seq((7L, 8L, 1.0)).toDF("id_a", "id_b", "cos")
+    val gotPair = GraphStats.communityOneLevel(pair).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(gotPair === Map(7L -> 8L, 8L -> 7L))
+  }
+
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
     val w = GraphStats.pageRankWeighted(

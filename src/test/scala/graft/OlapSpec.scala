@@ -756,6 +756,29 @@ class OlapSpec extends SparkSpec {
     assert(r("s") === ((1L, 700.0, 700.0)))
   }
 
+  test("holt level+trend: pair fold halves forward, singleton is flat") {
+    import graft.operators.Temporal
+    // cents 100, 200, 300 by day; l1=100, b1=0;
+    // day 2: l=(200+100+0)/2=150, b=(150-100+0)/2=25;
+    // day 3: l=(300+150+25)/2=237.5, b=(237.5-150+25)/2=56.25;
+    // forecast = 237.5+56.25 = 293.75. Scrambled arrival order — the
+    // fold runs over the sorted array, not ingestion order.
+    val es = Seq(
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "u", 3.0),
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(4, "2024-01-07 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.holtLevelTrend(es).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_days"), x.getAs[Double]("level_cents"),
+          x.getAs[Double]("trend_cents"),
+          x.getAs[Double]("forecast_cents"))).toMap
+    assert(r("u") === ((3L, 237.5, 56.25, 293.75)))
+    // a single day carries no trend signal: level = the day, trend 0
+    assert(r("s") === ((1L, 700.0, 0.0, 700.0)))
+  }
+
   test("assoc rules: day-bounded baskets, set-dedup, exact ratios") {
     // baskets: u1d1 {a,b} (a appears twice — collect_set dedups),
     // u1d2 {a}, u2d1 {b,c} → 3 baskets; n_a=2, n_b=2, n_c=1;
