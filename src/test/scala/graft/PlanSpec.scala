@@ -593,6 +593,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("community sweep: one 1-row 2m broadcast, degree joins are keyed") {
+    withStaticPlan {
+      val plan = run("x_community_l1").queryExecution.executedPlan
+      // the only non-equi join is the single-row total-weight (2m)
+      // broadcast; both weighted-degree lookups must be real equi-joins
+      val loops = plan.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+      }
+      assert(loops.length === 1, s"expected exactly the 2m broadcast:\n$plan")
+      assert(loops.forall(j => Seq(j.left, j.right).exists(side =>
+        side.collectFirst {
+          case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => b
+        }.exists(_.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate
+            .HashAggregateExec => a
+        }.nonEmpty))))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+      }.isEmpty, "no cartesian products in the sweep")
+    }
+  }
+
   test("cep: the chain is windows over ONE user exchange, no self-joins") {
     withStaticPlan {
       val plan = run("x_cep_pattern").queryExecution.executedPlan

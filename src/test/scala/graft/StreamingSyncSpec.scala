@@ -480,6 +480,9 @@ class StreamingSyncSpec extends SparkSpec {
     graft.sources.EdgeStore.ensureNearDupPairs(base, store,
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    // labels built BEFORE streaming: every sink trigger must also
+    // maintain them incrementally (touched components only)
+    graft.sources.ClusterStore.ensureLabels(spark, store)
     // two micro-batches of held-out vectors through the sink (one
     // parquet file each, AvailableNow)
     val in = s"$dir/in"
@@ -510,10 +513,20 @@ class StreamingSyncSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Double]("cos"))).toSet
     assert(got === full)
+    // the streamed admissions maintained the labels too: the served
+    // assignment equals a from-scratch relabel over the full corpus
+    def labelSet() = graft.sources.ClusterStore
+      .assignments(e, store, "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullLabels = graft.operators.Dedup.clusterAssignments(
+        e, graft.sources.EdgeStore.read(spark, store), idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelSet() === fullLabels)
     // redelivery: the same files through a FRESH checkpoint admit
     // nothing (already-indexed ids drop at the store)
     runSink("ckpt2")
     assert(pairSet() === full)
+    assert(labelSet() === fullLabels)
   }
 
   test("admission batches: store rejections, within-batch dedup, growth") {
