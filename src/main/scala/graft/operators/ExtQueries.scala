@@ -1856,6 +1856,13 @@ object ExtQueries {
     "x_holt_level_trend" -> ((s, d) =>
       Temporal.holtLevelTrend(Tables.events(s, d))),
 
+    // Holt-Winters weekly (α=β=γ=1/2): level + trend + seven
+    // day-of-week seasonal slots, gap-tolerant (a missing day skips
+    // its slot), every step an exact halving — the full "where, which
+    // way, and what does this weekday add" forecast.
+    "x_holt_winters" -> ((s, d) =>
+      Temporal.holtWintersWeekly(Tables.events(s, d))),
+
     // Benford first-digit screen over order totals: leading digit via
     // integer-cents rendering, exact count ratios, bound booleans
     // against log10(1+1/d) — the books-audit fraud test (synthetic
@@ -2128,6 +2135,56 @@ object ExtQueries {
        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
        |SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
+
+  /** The Holt-Winters weekly oracle: the (l, b, s1..s7) recursion as
+    * a recursive CTE stepping the per-key day index — the same
+    * recursive-CTE dodge as the Holt oracle (DuckDB list_reduce
+    * mutates struct accumulators field-by-field), with the weekday
+    * slot CASEs generated so the seven columns stay in lockstep with
+    * the Spark fold. DuckDB `dayofweek` is 0=Sunday; +1 matches
+    * Spark's convention. */
+  private lazy val HoltWintersOracle = {
+    def sCase(dowExpr: String, pfx: String) = (1 to 7)
+      .map(k => s"WHEN $k THEN $pfx.s$k")
+      .mkString(s"CASE $dowExpr ", " ", " END")
+    val zeros = Seq.fill(8)("0.0::double").mkString(", ")
+    val carry = (1 to 7).map(k => s"h.s$k").mkString(", ")
+    val slotUpd = (1 to 7).map(k =>
+      s"CASE WHEN dow = $k THEN (x - newl + s$k) / 2.0 ELSE s$k END")
+      .mkString(",\n         |    ")
+    val sOut = (1 to 7).map(k => s"h.s$k AS s$k").mkString(", ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, ts::date AS day,
+       |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+       |      ::bigint AS cents
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      ::bigint AS rn,
+       |    count(*) OVER (PARTITION BY event_type)::bigint AS n_days,
+       |    max(day) OVER (PARTITION BY event_type) AS last_day,
+       |    cents::double AS x, dayofweek(day) + 1 AS dow
+       |  FROM daily),
+       |hw(event_type, rn, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+       |  SELECT event_type, rn, x, $zeros FROM idx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, rn, newl, (newl - l + b) / 2.0,
+       |    $slotUpd
+       |  FROM (
+       |    SELECT i.event_type, i.rn, i.x, i.dow, h.l, h.b, $carry,
+       |      (i.x - ${sCase("i.dow", "h")} + h.l + h.b) / 2.0 AS newl
+       |    FROM hw h JOIN idx i
+       |      ON i.event_type = h.event_type AND i.rn = h.rn + 1))
+       |SELECT i.event_type, i.n_days, i.last_day,
+       |  h.l AS level_cents, h.b AS trend_cents, $sOut,
+       |  h.l + h.b +
+       |    ${sCase("(dayofweek(i.last_day + INTERVAL 1 DAY) + 1)", "h")}
+       |    AS forecast_cents
+       |FROM hw h JOIN (
+       |  SELECT DISTINCT event_type, n_days, last_day FROM idx) i
+       |  ON i.event_type = h.event_type AND h.rn = i.n_days""".stripMargin
+  }
 
   /** The CEP packed-window chain — shared by the batch query and
     * the streaming replay (bit-identical outputs by design). Step
@@ -5357,6 +5414,8 @@ object ExtQueries {
         |FROM hw h JOIN (
         |  SELECT DISTINCT event_type, n_days, last_day FROM idx) i
         |  ON i.event_type = h.event_type AND h.rn = i.n_days""".stripMargin,
+
+    "x_holt_winters" -> HoltWintersOracle,
 
     "x_benford" ->
       s"""WITH d AS (

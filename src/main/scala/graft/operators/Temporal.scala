@@ -691,6 +691,79 @@ object Temporal {
       (col("hb.l") + col("hb.b")).as("forecast_cents"))
   }
 
+  /** Holt-Winters additive level + trend + WEEKLY seasonality per key
+    * with α = β = γ = 1/2 — the top forecasting rung
+    * ([[ewmaLevel]] → [[holtLevelTrend]] → this): "where is it, which
+    * way is it headed, and what does this weekday usually add". The
+    * seasonal state is SEVEN slots keyed by calendar day-of-week
+    * (1=Sunday … 7=Saturday, Spark's `dayofweek`), not by position —
+    * missing days simply don't update their slot, so the operator is
+    * dense-spine-free and gap-tolerant. Recursion per observation
+    * (`d` = the day's weekday slot):
+    * {{{
+    *   l_t = (x_t − s_d + l + b) / 2
+    *   b_t = (l_t − l + b) / 2
+    *   s_d' = (x_t − l_t + s_d) / 2      (other slots unchanged)
+    * }}}
+    * — all adds/subtracts plus exact ÷2 scaling in one fixed
+    * association, mirrored step-for-step by the oracle's recursive
+    * CTE: bit-deterministic, NO rounding. Init: l₁ = x₁, b₁ = 0,
+    * seasonals all zero — exactly the state the recursion itself
+    * produces for the first observation (x₁ − l₁ = 0), so day one is
+    * not a special case; each weekday's offset burns in from zero
+    * across its first appearances. Closes with the one-step forecast
+    * `l + b + s_next` for the day after `last_day`. Per-key state is
+    * 9 doubles; arrays are calendar-bounded — the interpreted fold is
+    * off the hot path, and an unbounded-history caller maintains the
+    * 9-tuple incrementally, the agg-store pattern. */
+  def holtWintersWeekly(events: DataFrame,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val packed = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        transform(array_sort(collect_list(struct(col("day"),
+          col("cents")))), p => struct(
+            p.getField("cents").cast("double").as("x"),
+            dayofweek(p.getField("day")).as("dow"))).as("xs"))
+    def slot(acc: Column, k: Int): Column = acc.getField(s"s$k")
+    val zeros = (1 to 7).map(k => lit(0.0).as(s"s$k"))
+    val init = struct(
+      (element_at(col("xs"), 1).getField("x").as("l") +:
+        lit(0.0).as("b") +: zeros): _*)
+    def step(acc: Column, e: Column): Column = {
+      val x = e.getField("x")
+      val dow = e.getField("dow")
+      val sd = (2 to 7).foldLeft(slot(acc, 1)) { (c, k) =>
+        when(dow === k, slot(acc, k)).otherwise(c)
+      }
+      val newL = (x - sd + acc.getField("l") + acc.getField("b")) /
+        lit(2.0)
+      val newB = (newL - acc.getField("l") + acc.getField("b")) /
+        lit(2.0)
+      val slots = (1 to 7).map { k =>
+        when(dow === k, (x - newL + slot(acc, k)) / lit(2.0))
+          .otherwise(slot(acc, k)).as(s"s$k")
+      }
+      struct((newL.as("l") +: newB.as("b") +: slots): _*)
+    }
+    val folded = packed.withColumn("hw",
+      when(col("n_days") === 1, init)
+        .otherwise(aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1), init, step)))
+    val nextDow = dayofweek(date_add(col("last_day"), 1))
+    val sNext = (2 to 7).foldLeft(col("hw.s1")) { (c, k) =>
+      when(nextDow === k, col(s"hw.s$k")).otherwise(c)
+    }
+    folded.select((Seq(col(keyCol), col("n_days"), col("last_day"),
+      col("hw.l").as("level_cents"), col("hw.b").as("trend_cents")) ++
+      (1 to 7).map(k => col(s"hw.s$k").as(s"s$k")) :+
+      (col("hw.l") + col("hw.b") + sNext).as("forecast_cents")): _*)
+  }
+
   /** Robust anomaly flags over per-key daily totals: a day is
     * anomalous when its total deviates from the key's MEDIAN by more
     * than `k` × MAD (median absolute deviation) — the

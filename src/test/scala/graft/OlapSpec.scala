@@ -779,6 +779,39 @@ class OlapSpec extends SparkSpec {
     assert(r("s") === ((1L, 700.0, 0.0, 700.0)))
   }
 
+  test("holt-winters weekly: dow slots update, gaps skip, forecast adds") {
+    import graft.operators.Temporal
+    // Mon(100) Tue(200) [gap] Mon(300) Tue(400) — hand fold:
+    //  d1 Mon: l=100 b=0 s=0s
+    //  d2 Tue: l=150 b=25 s3=25
+    //  d3 Mon (a week later — the gap changes nothing): l=237.5
+    //    b=56.25 s2=31.25
+    //  d4 Tue: sd=s3=25 → l=334.375 b=76.5625 s3=45.3125
+    //  next day is Wed (s4=0) → forecast 410.9375
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0), // Monday
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0), // Tuesday
+      ev(3, "2024-01-08 08:00:00", 1, "u", 3.0), // next Monday
+      ev(4, "2024-01-09 08:00:00", 1, "u", 4.0), // next Tuesday
+      ev(5, "2024-01-07 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.holtWintersWeekly(es).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    val u = r("u")
+    assert(u.getAs[Long]("n_days") === 4L)
+    assert(u.getAs[Double]("level_cents") === 334.375)
+    assert(u.getAs[Double]("trend_cents") === 76.5625)
+    assert(u.getAs[Double]("s2") === 31.25) // Monday slot
+    assert(u.getAs[Double]("s3") === 45.3125) // Tuesday, updated twice
+    assert((1 to 7).filter(k => k != 2 && k != 3)
+      .forall(k => u.getAs[Double](s"s$k") === 0.0))
+    assert(u.getAs[Double]("forecast_cents") === 410.9375)
+    val s = r("s")
+    assert(s.getAs[Double]("level_cents") === 700.0)
+    assert(s.getAs[Double]("trend_cents") === 0.0)
+    assert(s.getAs[Double]("forecast_cents") === 700.0)
+  }
+
   test("assoc rules: day-bounded baskets, set-dedup, exact ratios") {
     // baskets: u1d1 {a,b} (a appears twice — collect_set dedups),
     // u1d2 {a}, u2d1 {b,c} → 3 baskets; n_a=2, n_b=2, n_c=1;
