@@ -1925,6 +1925,13 @@ object ExtQueries {
     "x_community_l1" -> ((s, d) =>
       GraphStats.communityOneLevel(storedNearDupPairs(s, d))),
 
+    // The sweep's accepted moves closed into components (parallel-
+    // Louvain composition): mutual-argmax swaps become one community,
+    // weak-bridge endpoints stay singletons — the communities
+    // themselves, not the raw moves.
+    "x_community_merge" -> ((s, d) =>
+      GraphStats.communityMerge(storedNearDupPairs(s, d))),
+
     // SemDeDup: cluster the near-dup graph, keep each cluster's
     // HIGHEST-QUALITY member (ties → lowest id) — the curation form
     // of semantic dedup (min-id keep discards arbitrary members).
@@ -2135,6 +2142,31 @@ object ExtQueries {
        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v)
        |SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
+
+  /** The Louvain-sweep CTE chain (through the per-vertex argmax `r`),
+    * shared by the raw-move oracle (`x_community_l1`) and the
+    * component-closure oracle (`x_community_merge`). */
+  private lazy val CommunitySweepCtes =
+    s"""$EmbedNearDupCtes,
+       |we AS (
+       |  SELECT a, b, max(w)::bigint AS w FROM (
+       |    SELECT id_a AS a, id_b AS b,
+       |      CAST(CAST(cos AS decimal(18,6)) * 1000000 AS bigint) AS w
+       |    FROM epairs)
+       |  WHERE a <> b AND w > 0 GROUP BY a, b),
+       |wadj AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM we
+       |         UNION ALL SELECT b, a, w FROM we),
+       |wdeg AS (SELECT src AS v, sum(w)::bigint AS wd
+       |         FROM wadj GROUP BY 1),
+       |m AS (SELECT sum(w)::hugeint AS m2 FROM wadj),
+       |scored AS (
+       |  SELECT src, dst,
+       |    m2 * w - ks.wd::hugeint * kd.wd AS gain
+       |  FROM wadj JOIN wdeg ks ON ks.v = src
+       |  JOIN wdeg kd ON kd.v = dst CROSS JOIN m),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY src ORDER BY gain DESC, dst) AS rn
+       |  FROM scored)""".stripMargin
 
   /** The Holt-Winters weekly oracle: the (l, b, s1..s7) recursion as
     * a recursive CTE stepping the per-key day index — the same
@@ -5129,30 +5161,27 @@ object ExtQueries {
     // one synchronous Louvain sweep: ppm weights, hugeint-exact gain
     // 2m·w − k_i·k_j, per-vertex argmax (gain desc, lowest neighbor)
     "x_community_l1" ->
-      s"""WITH $EmbedNearDupCtes,
-         |we AS (
-         |  SELECT a, b, max(w)::bigint AS w FROM (
-         |    SELECT id_a AS a, id_b AS b,
-         |      CAST(CAST(cos AS decimal(18,6)) * 1000000 AS bigint) AS w
-         |    FROM epairs)
-         |  WHERE a <> b AND w > 0 GROUP BY a, b),
-         |wadj AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM we
-         |         UNION ALL SELECT b, a, w FROM we),
-         |wdeg AS (SELECT src AS v, sum(w)::bigint AS wd
-         |         FROM wadj GROUP BY 1),
-         |m AS (SELECT sum(w)::hugeint AS m2 FROM wadj),
-         |scored AS (
-         |  SELECT src, dst,
-         |    m2 * w - ks.wd::hugeint * kd.wd AS gain
-         |  FROM wadj JOIN wdeg ks ON ks.v = src
-         |  JOIN wdeg kd ON kd.v = dst CROSS JOIN m),
-         |r AS (SELECT *, row_number() OVER (
-         |    PARTITION BY src ORDER BY gain DESC, dst) AS rn
-         |  FROM scored)
+      s"""WITH $CommunitySweepCtes
          |SELECT src AS vec_id,
          |  CASE WHEN gain > 0 THEN dst ELSE src END AS community_id,
          |  (CASE WHEN gain > 0 THEN gain ELSE 0 END)::bigint AS gain_num
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // the accepted moves closed into components: recursive reach over
+    // the adoption edges, min member id per component
+    "x_community_merge" ->
+      s"""WITH RECURSIVE $CommunitySweepCtes,
+         |adopt AS (SELECT src AS a, dst AS b FROM r
+         |          WHERE rn = 1 AND gain > 0),
+         |aedges AS (SELECT a, b FROM adopt UNION ALL
+         |           SELECT b, a FROM adopt),
+         |verts AS (SELECT DISTINCT src AS v FROM wadj),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.b, rc.l FROM reach rc JOIN aedges e ON e.a = rc.v)
+         |SELECT v AS vec_id, min(l) AS community_id
+         |FROM reach GROUP BY v""".stripMargin,
 
     // cluster reach (the x_embed_dedup_cluster mirror) + quality join,
     // ranked per cluster by (score DESC, doc_id)

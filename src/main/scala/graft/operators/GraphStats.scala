@@ -373,7 +373,21 @@ object GraphStats {
     * `max(2m·w, k·k) < 2⁶³` — ppm weight mass of ~3·10⁹ per vertex,
     * far past any near-dup graph whose banding works. */
   def communityOneLevel(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame =
+    sweepArgmax(edges, aCol, bCol, wCol)
+      .select(col("src").as("vec_id"),
+        when(col("gain") > 0, col("dst")).otherwise(col("src"))
+          .as("community_id"),
+        when(col("gain") > 0, col("gain")).otherwise(lit(0))
+          .cast("long").as("gain_num"))
+
+  /** Per-vertex argmax of the synchronous sweep: one row per edge
+    * endpoint `(src, dst, gain)` where `dst` is the best-gain
+    * neighbor (ties → lowest id) and `gain` the exact decimal(38,0)
+    * numerator — shared by [[communityOneLevel]] (reports the raw
+    * moves) and [[communityMerge]] (closes them into communities). */
+  private def sweepArgmax(edges: DataFrame, aCol: String,
+      bCol: String, wCol: String): DataFrame = {
     val ppm = (col(wCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
       * 1000000).cast("long")
     val e = CacheRegistry.tracked(edges
@@ -401,10 +415,32 @@ object GraphStats {
       .partitionBy(col("src")).orderBy(col("gain").desc, col("dst"))
     scored.withColumn("rn", row_number().over(byGain))
       .filter(col("rn") === 1)
-      .select(col("src").as("vec_id"),
-        when(col("gain") > 0, col("dst")).otherwise(col("src"))
-          .as("community_id"),
-        when(col("gain") > 0, col("gain")).otherwise(lit(0))
-          .cast("long").as("gain_num"))
+      .select(col("src"), col("dst"), col("gain"))
+  }
+
+  /** Communities from the sweep: close the ACCEPTED moves (positive
+    * argmax gain) into connected components — the standard parallel-
+    * Louvain composition. A synchronous sweep's raw output can
+    * pairwise SWAP mutual argmaxes (i adopts j while j adopts i, so
+    * no single community id emerges); taking components of the
+    * adoption graph `{(i, argmax_i) : gain_i > 0}` merges every such
+    * group into one community (min member id), while vertices whose
+    * every move had non-positive gain — weak-bridge endpoints included
+    * — stay singletons. Exactness carries through: the adoption edges
+    * come from the integer-exact sweep, and the closure is the same
+    * label propagation the dedup clusters use (adaptive union-find /
+    * distributed path-halving). Adoption edges are vertex-count
+    * bounded (one argmax per vertex), so the closure is strictly
+    * cheaper than the pair-graph CC. Output:
+    * `(vec_id, community_id)` for every edge endpoint. */
+  def communityMerge(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
+    val arg = CacheRegistry.tracked(
+      sweepArgmax(edges, aCol, bCol, wCol))
+    val adopt = arg.filter(col("gain") > 0)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val vertices = arg.select(col("src").as("vec_id"))
+    Dedup.clusterAssignments(vertices, adopt, idCol = "vec_id")
+      .select(col("vec_id"), col("cluster_id").as("community_id"))
   }
 }

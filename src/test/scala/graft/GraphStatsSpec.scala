@@ -334,6 +334,28 @@ class GraphStatsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[Long]("community_id")).toMap
     assert(gotPair === Map(7L -> 8L, 8L -> 7L))
+    // closure: the raw sweep's mutual swaps (1↔2, 5↔6) and chained
+    // adoptions merge each triangle into ONE community (min id); the
+    // negative-gain bridge keeps the triangles apart
+    val merged = GraphStats.communityMerge(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // a vertex with no positive move stays a singleton: star center 10
+    // with three unit leaves — leaves adopt the center (2m·w = 6e12 >
+    // k_leaf·k_center = 3e12) so all four close into one community,
+    // while two isolated-pair vertices with a weak tie stay apart
+    val weak = Seq((20L, 21L, 0.2), (20L, 22L, 1.0), (21L, 23L, 1.0))
+      .toDF("id_a", "id_b", "cos")
+    val weakMerged = GraphStats.communityMerge(weak).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    // strong spokes 20-22 and 21-23 merge; the weak 20-21 tie has
+    // gain 2m·w − k20·k21 = 4.4e6·2e5 − 1.2e6·1.2e6 < 0 on both
+    // sides, so the two strong pairs stay separate communities
+    assert(weakMerged === Map(20L -> 20L, 22L -> 20L,
+      21L -> 21L, 23L -> 21L))
   }
 
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
