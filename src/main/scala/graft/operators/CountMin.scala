@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.plans.{CmsBuffer, CmsFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch operators (see [[graft.plans.CmsSketch]] for the
+  * family rationale): point-frequency estimation over every item, a
+  * persistable mergeable batch state, and the inner-product join-size
+  * estimate a cost-based planner wants. Unlike the Misra-Gries /
+  * Theta audits, the CMS audits hash the ESTIMATES, not just contract
+  * booleans — the md5 bucket hash replays in any engine, so the
+  * DuckDB oracle rebuilds the full counter matrix with one GROUP BY
+  * and recomputes every min-of-rows estimate bit-for-bit.
+  *
+  * Scale shape shared by all three audits: the sketch side is one
+  * ObjectHashAggregate whose exchange carries depth·width longs per
+  * partition (24 KB at 3×1024) — never an item-level shuffle; the
+  * EXACT side (heavy-hitter counts, per-key count squares) pays a
+  * keyed shuffle and exists only to validate — production runs the
+  * sketch alone. Driver-side sketch handling is bounded metadata,
+  * the [[SketchAlgebra]] pattern. */
+object CountMin {
+
+  /** Per-batch mergeable CMS state: one serialized sketch plus the
+    * batch token count per `partCol` group — the row an incremental
+    * pipeline persists per ingested batch ([[CorpusStats.freqState]]'s
+    * shape; merge is LOSSLESS here, counters add element-wise). */
+  def cmsState(docs: DataFrame, partCol: Column, depth: Int,
+      width: Int, textCol: String = "text"): DataFrame =
+    docs
+      .select(partCol.as("part"),
+        TextAnalysis.words(col(textCol)).as("ws"))
+      .groupBy(col("part"))
+      .agg(CmsFunctions.cmsTokensAgg(col("ws"), depth, width)
+          .as("sketch"),
+        sum(size(array_remove(col("ws"), ""))).as("n_tokens"))
+
+  /** Fold stored [[cmsState]] rows into ONE driver-held sketch —
+    * bounded metadata (4 + 4 + 8 + 8·depth·width bytes), never a data
+    * collect. Empty input yields the zero sketch. */
+  def mergedSketch(states: DataFrame, depth: Int, width: Int)
+      : CmsBuffer = {
+    val rows = states
+      .agg(CmsFunctions.cmsUnionAgg(col("sketch"), depth, width).as("u"))
+      .collect() // one serialized sketch: bounded metadata
+    if (rows.isEmpty || rows.head.isNullAt(0)) new CmsBuffer(depth, width)
+    else graft.plans.CmsBuffer.deserialize(rows.head.getAs[Array[Byte]]("u"))
+  }
+
+  /** The exact token-frequency table + heavy filter shared by the two
+    * token audits: tokens with exact count strictly above n/`phi`. */
+  private def heavyExact(docs: DataFrame, phi: Int): DataFrame = {
+    val tf = CacheRegistry.tracked(docs
+      .select(explode(TextAnalysis.words(col("text"))).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt")))
+    val total = tf.agg(sum(col("exact_cnt")).as("n_tokens"))
+    tf.crossJoin(broadcast(total))
+      .filter(col("exact_cnt") * phi > col("n_tokens"))
+  }
+
+  /** SELF-VALIDATING point-estimate audit: rows are the exact heavy
+    * hitters (replayable in SQL), each carrying the sketch's point
+    * estimate — itself replayable, the md5 matrix — plus the
+    * deterministic `no_underest` guarantee (counters only add, so
+    * est ≥ exact always; a hash flip here means the sketch lost
+    * mass). The estimate lookup runs DISTRIBUTED via the codegen'd
+    * [[graft.plans.CmsEstimate]] against the driver-held sketch — no
+    * join, no item collect. */
+  def cmsPointValidated(docs: DataFrame, depth: Int = 3,
+      width: Int = 1024, phi: Int = 64): DataFrame = {
+    val sketch = mergedSketch(
+      cmsState(docs, lit(0), depth, width), depth, width)
+    heavyExact(docs, phi)
+      .select(col("item"), col("exact_cnt"), col("n_tokens"),
+        CmsFunctions.cmsEstimate(col("item"), sketch).as("est"))
+      .withColumn("no_underest", col("est") >= col("exact_cnt"))
+  }
+
+  /** SELF-VALIDATING merge audit: split the corpus into `parts`
+    * deterministic batches, sketch each independently, union the
+    * stored states — and hash that the merged matrix EQUALS the
+    * single-pass matrix (`merge_lossless`; CMS merge is exact, the
+    * property that makes per-batch states safe to persist), alongside
+    * the same replayable estimates as [[cmsPointValidated]]. */
+  def cmsMergeValidated(docs: DataFrame, parts: Int = 4,
+      depth: Int = 3, width: Int = 1024, phi: Int = 64): DataFrame = {
+    val merged = mergedSketch(
+      cmsState(docs, pmod(col("doc_id"), lit(parts)), depth, width),
+      depth, width)
+    val single = mergedSketch(
+      cmsState(docs, lit(0), depth, width), depth, width)
+    val lossless = java.util.Arrays.equals(merged.counters,
+      single.counters) && merged.n == single.n
+    heavyExact(docs, phi)
+      .select(col("item"), col("exact_cnt"), col("n_tokens"),
+        CmsFunctions.cmsEstimate(col("item"), merged).as("est"),
+        lit(parts).as("n_parts"), lit(lossless).as("merge_lossless"))
+      .withColumn("no_underest", col("est") >= col("exact_cnt"))
+  }
+
+  /** SELF-JOIN SIZE (F2 moment) audit over an integer key column: one
+    * row with the exact Σ count(k)² (the size of the key-equi
+    * self-join — THE cardinality a planner needs before picking a
+    * strategy for a skewed join) and the CMS inner-product estimate,
+    * min over rows of the counter dot product — deterministic
+    * `no_underest` (cross-collision terms only add). Both replayable:
+    * the oracle rebuilds the matrix and takes the same min-of-dots. */
+  def cmsSelfJoinProfile(events: DataFrame, depth: Int = 3,
+      width: Int = 1024, keyCol: String = "user_id"): DataFrame = {
+    val sketch = graft.plans.CmsBuffer.deserialize(
+      events
+        .agg(CmsFunctions.cmsSketchAgg(col(keyCol).cast("string"),
+          depth, width).as("sk"))
+        .collect().head.getAs[Array[Byte]]("sk")) // bounded metadata
+    val est = sketch.innerProduct(sketch)
+    events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(col("cnt") * col("cnt")), lit(0L))
+          .as("exact_self_join"))
+      .select(col("n_rows"), col("n_keys"), col("exact_self_join"),
+        lit(est).as("est_self_join"),
+        (lit(est) >= col("exact_self_join")).as("no_underest"))
+  }
+}

@@ -87,6 +87,13 @@ object ExtQueries {
   val ThetaNomEntries = 256 // exact below 256 users, estimating above
   val ThetaNSd = 3 // bound width for the in-bounds audit booleans
   val ThetaParts = 4 // sketch-state rows in the merge audit
+  val CmsDepth = 3 // Count-Min rows (independent md5-seeded hashes)
+  val CmsWidth = 1024 // Count-Min buckets per row (24 KB sketch)
+  val LinkMinCommon = 1L // shared-neighbor floor for predicted links
+  // (the verified near-dup clusters are near-cliques: pairs sharing
+  // TWO unlinked neighbors don't occur at the driver SFs — one shared
+  // neighbor is already the "band missed it" signal this query ranks)
+  val LinkMaxDeg = 64L // wedge-pivot degree cap (hub exclusion)
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
@@ -1745,6 +1752,16 @@ object ExtQueries {
     "x_triangle_count" -> ((s, d) =>
       GraphStats.triangleStats(storedNearDupPairs(s, d))),
 
+    // Link prediction off the committed pair store: non-adjacent
+    // pairs sharing a neighbor, scored by common-neighbor count,
+    // exact-ppm Resource Allocation, and neighborhood Jaccard — the
+    // pairs the LSH bands MISSED, ranked for a second verify pass.
+    // Hub pivots above LinkMaxDeg are excluded by contract (their
+    // quadratic wedge fan-out vs ~0 RA evidence).
+    "x_link_predict" -> ((s, d) =>
+      GraphStats.linkPredict(storedNearDupPairs(s, d),
+        minCommon = LinkMinCommon, maxDeg = LinkMaxDeg)),
+
     // Single-source BFS reach over the near-dup graph (seed = minimum
     // vertex id — replayable), ≤ 4 hops: frontier-sized equi-joins
     // per round, the Pregel shape. How far does a contamination seed
@@ -1815,6 +1832,31 @@ object ExtQueries {
       SketchAlgebra.thetaMergeProfile(Tables.events(s, d),
         parts = ThetaParts, nomEntries = ThetaNomEntries,
         nSd = ThetaNSd)),
+
+    // Count-Min point-frequency audit: exact heavy hitters each
+    // carrying the sketch's estimate — the md5 counter matrix replays
+    // in SQL, so the ESTIMATE hashes (unique among the sketch
+    // families), plus the deterministic est >= exact guarantee.
+    "x_cms_point" -> ((s, d) =>
+      CountMin.cmsPointValidated(Tables.documents(s, d),
+        depth = CmsDepth, width = CmsWidth, phi = HeavyHitterPhi)),
+
+    // Count-Min merge audit: per-part sketch states unioned back ≡
+    // the single-pass matrix BIT-FOR-BIT (CMS merge is lossless —
+    // counters add; the property that makes per-batch states safe to
+    // persist), same replayable estimates.
+    "x_cms_merge" -> ((s, d) =>
+      CountMin.cmsMergeValidated(Tables.documents(s, d),
+        parts = SketchParts, depth = CmsDepth, width = CmsWidth,
+        phi = HeavyHitterPhi)),
+
+    // Count-Min inner-product self-join size (the F2 moment): the
+    // cardinality a cost-based planner wants for a skewed equi-join,
+    // from one 24 KB sketch instead of a keyed shuffle — estimate
+    // replayed exactly by the oracle, deterministic no-underestimate.
+    "x_cms_selfjoin" -> ((s, d) =>
+      CountMin.cmsSelfJoinProfile(Tables.events(s, d),
+        depth = CmsDepth, width = CmsWidth)),
 
     // CUSUM changepoint per event type: the day where the cumulative
     // deviation from the key's mean peaks — division-free scaled form
@@ -2031,7 +2073,11 @@ object ExtQueries {
         s"$NearDupBands, $NearDupRows, $EmbeddingDim)")),
     "x_sql_profile" -> ((s, d) => s.sql(
       s"SELECT * FROM graft_profile('$d', 'orders', " +
-        ProfileCols.map(c => s"'$c'").mkString(", ") + ")"))
+        ProfileCols.map(c => s"'$c'").mkString(", ") + ")")),
+    "x_sql_retention" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_retention('$d')")),
+    "x_sql_dedup_apply" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_dedup_apply('$d')"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2495,6 +2541,37 @@ object ExtQueries {
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
   }
+
+  /** UNION-ALL enumeration of the Count-Min rows over `src(item, …)`:
+    * for each row r in 0..CmsDepth-1 the md5 bucket of `item` — the
+    * exact construction [[graft.plans.CmsSketch.bucket]] computes
+    * (15 hex chars per md5 half, two rows per digest), so DuckDB
+    * rebuilds the IDENTICAL counter matrix. `weightCol` is the item's
+    * exact count (surfaced as `w`). */
+  private def cmsBucketRows(src: String, weightCol: String): String =
+    (0 until CmsDepth).map(r =>
+      s"SELECT item, $weightCol AS w, $r AS r, " +
+        s"('0x' || substr(md5(item || '#${r / 2}'), " +
+        s"${1 + (r % 2) * 16}, 15))::bigint % $CmsWidth AS bucket " +
+        s"FROM $src")
+      .mkString("\n  UNION ALL ")
+
+  /** Shared CTE chain of the two Count-Min token audits: exact token
+    * frequencies, the rebuilt depth×width counter matrix, and the
+    * min-over-rows point estimate per token. */
+  private lazy val CmsTokenMatrixSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |    AS item
+       |  FROM documents),
+       |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
+       |       WHERE item <> '' GROUP BY item),
+       |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf),
+       |b AS (${cmsBucketRows("tf", "exact_cnt")}),
+       |c AS (SELECT r, bucket, sum(w)::bigint AS cnt
+       |      FROM b GROUP BY r, bucket),
+       |e AS (SELECT item, min(cnt)::bigint AS est
+       |      FROM b JOIN c USING (r, bucket) GROUP BY item)""".stripMargin
 
   /** Side-suffixed variant of [[ShingleCtes]] restricted by `where` —
     * the incremental-dedup oracle builds one chain per side of the
@@ -5135,6 +5212,33 @@ object ExtQueries {
          |    THEN 3 * n_triangles / n_wedges::double END AS transitivity
          |FROM vw, ec, tri""".stripMargin,
 
+    // link prediction: wedge expansion through sub-hub pivots only
+    // (deg <= cap, part of the contract), integer-exact RA/Jaccard
+    "x_link_predict" ->
+      s"""WITH $EmbedNearDupCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM epairs),
+         |adj AS (SELECT a AS z, b AS n FROM e
+         |        UNION ALL SELECT b AS z, a AS n FROM e),
+         |deg AS (SELECT z AS v, count(*)::bigint AS d FROM adj
+         |        GROUP BY z),
+         |nb AS (SELECT adj.z, adj.n, deg.d AS dz
+         |       FROM adj JOIN deg ON adj.z = deg.v
+         |       WHERE deg.d <= $LinkMaxDeg),
+         |w AS (SELECT n1.z, n1.dz, n1.n AS x, n2.n AS y
+         |      FROM nb n1 JOIN nb n2
+         |        ON n1.z = n2.z AND n1.n < n2.n),
+         |sc AS (SELECT x, y, count(*)::bigint AS cn,
+         |         sum(1000000 // dz)::bigint AS ra_ppm
+         |       FROM w GROUP BY x, y
+         |       HAVING count(*) >= $LinkMinCommon),
+         |nl AS (SELECT sc.* FROM sc
+         |       WHERE NOT EXISTS (SELECT 1 FROM e
+         |                         WHERE e.a = sc.x AND e.b = sc.y))
+         |SELECT x AS id_a, y AS id_b, cn, ra_ppm,
+         |  ((1000000 * cn) // (dx.d + dy.d - cn))::bigint AS jacc_ppm
+         |FROM nl JOIN deg dx ON nl.x = dx.v
+         |  JOIN deg dy ON nl.y = dy.v""".stripMargin,
+
     // BFS distances as a recursive reach: UNION-dedup keeps the walk
     // frontier (v, hops)-bounded; min(hops) per vertex is the BFS
     // distance, capped at the same hop budget
@@ -5302,6 +5406,43 @@ object ExtQueries {
          |  count(DISTINCT user_id)::bigint AS exact_keys,
          |  true AS merged_in_bounds
          |FROM events""".stripMargin,
+
+    // Count-Min point estimates, replayed EXACTLY: rebuild the
+    // depth×width md5 counter matrix with one GROUP BY, estimate =
+    // min over rows of the item's counter; est >= exact is the
+    // sketch's deterministic guarantee (counters only add)
+    "x_cms_point" ->
+      s"""$CmsTokenMatrixSql
+         |SELECT item, exact_cnt, n_tokens, est, TRUE AS no_underest
+         |FROM tf JOIN e USING (item) CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // merge is lossless (counter addition), so the merged-path
+    // estimates replay from the same single matrix
+    "x_cms_merge" ->
+      s"""$CmsTokenMatrixSql
+         |SELECT item, exact_cnt, n_tokens, est,
+         |  $SketchParts AS n_parts, TRUE AS merge_lossless,
+         |  TRUE AS no_underest
+         |FROM tf JOIN e USING (item) CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // self-join size (F2): exact Σ cnt² vs the min-of-row-dot-products
+    // inner-product estimate — both replayed from the same matrix
+    "x_cms_selfjoin" ->
+      s"""WITH k AS (
+         |  SELECT user_id::varchar AS item, count(*)::bigint AS cnt
+         |  FROM events GROUP BY user_id),
+         |b AS (${cmsBucketRows("k", "cnt")}),
+         |c AS (SELECT r, bucket, sum(w)::bigint AS m
+         |      FROM b GROUP BY r, bucket),
+         |d AS (SELECT r, sum(m * m)::bigint AS dot FROM c GROUP BY r),
+         |e AS (SELECT min(dot)::bigint AS est_self_join FROM d)
+         |SELECT (SELECT sum(cnt)::bigint FROM k) AS n_rows,
+         |  (SELECT count(*)::bigint FROM k) AS n_keys,
+         |  (SELECT sum(cnt * cnt)::bigint FROM k) AS exact_self_join,
+         |  est_self_join, TRUE AS no_underest
+         |FROM e""".stripMargin,
 
     // division-free CUSUM: |n·prefix − t·total| has the same argmax
     // as |prefix − t·mean| and stays an exact decimal
@@ -5837,7 +5978,9 @@ object ExtQueries {
   lazy val oracleSql: Map[String, String] = BaseOracleSql ++ Map(
     "x_sql_funnel" -> BaseOracleSql("x_funnel"),
     "x_sql_neardup_pairs" -> BaseOracleSql("x_embed_near_dup"),
-    "x_sql_profile" -> BaseOracleSql("x_profile_orders"))
+    "x_sql_profile" -> BaseOracleSql("x_profile_orders"),
+    "x_sql_retention" -> BaseOracleSql("x_retention"),
+    "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"))
 
   /** The autocorrelation oracle, generated per lag from [[AcfMaxLag]]
     * with the same n-scaled decimal sufficient statistics and single

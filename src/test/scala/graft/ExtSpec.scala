@@ -2453,4 +2453,93 @@ class ExtSpec extends SparkSpec {
       CorpusStats.compactionPlan(items, 0L)
     }
   }
+
+  test("cms bucket hash matches the Spark-SQL seeded-md5 construction") {
+    // the cross-engine contract: CmsSketch.bucket (JVM) ≡ the
+    // conv(substr(md5(item || '#' || r/2)))-style expression any SQL
+    // engine replays — pin the Spark-expression side here (the DuckDB
+    // side is pinned by the driver's oracle compare)
+    val items = Seq("alpha", "beta", "two words", "Ünïcode-ß", "x")
+    for (r <- 0 until 3) {
+      val sqlBuckets = items.toDF("item")
+        .select(col("item"),
+          pmod(conv(substring(md5(concat(col("item"),
+            lit(s"#${r / 2}"))), 1 + (r % 2) * 16, 15), 16, 10)
+            .cast("long"), lit(1024)).as("b"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      items.foreach { it =>
+        assert(graft.plans.CmsSketch.bucket(it, r, 1024) ===
+          sqlBuckets(it).toInt, s"bucket mismatch for '$it' row $r")
+      }
+    }
+  }
+
+  test("cms: merge is lossless, estimates never underestimate, states ride parquet") {
+    import graft.operators.CountMin
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"alpha beta tail${i % 40} tail${(i + 7) % 40}")
+    }
+    val df = rows.toDF("doc_id", "text")
+    // split-and-merge equals single-pass BIT-FOR-BIT (the lossless
+    // property Misra-Gries lacks), through a parquet round-trip
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-state").toString + "/states"
+    CountMin.cmsState(df, pmod($"doc_id", lit(5)), 3, 256)
+      .write.mode("overwrite").parquet(dir)
+    val merged = CountMin.mergedSketch(
+      spark.read.parquet(dir), 3, 256)
+    val single = CountMin.mergedSketch(
+      CountMin.cmsState(df, lit(0), 3, 256), 3, 256)
+    assert(java.util.Arrays.equals(merged.counters, single.counters))
+    assert(merged.n === single.n && merged.n === 480L)
+    // deterministic guarantee on every distinct token, and exactness
+    // where the audit fixture is collision-free by construction
+    val exact = df.select(explode(TextAnalysis.words($"text")).as("t"))
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) =>
+      assert(merged.estimate(t) >= c, s"cms underestimated '$t'")
+    }
+    assert(merged.estimate("alpha") >= 120L)
+    // the distributed estimate expression agrees with the driver-side
+    // lookup (codegen'd path vs direct call)
+    val viaExpr = exact.keys.toSeq.toDF("item")
+      .select($"item", graft.plans.CmsFunctions
+        .cmsEstimate($"item", merged).as("est"))
+      .as[(String, Long)].collect().toMap
+    exact.keys.foreach { t =>
+      assert(viaExpr(t) === merged.estimate(t))
+    }
+    // full audit forms are green end-to-end on the fixture
+    // phi=5: alpha/beta hold 120/480 = 1/4 of the stream each, so the
+    // STRICT cnt·phi > n heavy line needs phi > 4 to admit them
+    val audit = CountMin.cmsMergeValidated(df, parts = 5, depth = 3,
+      width = 256, phi = 5).collect()
+    assert(audit.map(_.getAs[String]("item")).toSet ===
+      Set("alpha", "beta"))
+    assert(audit.forall(_.getAs[Boolean]("merge_lossless")))
+    assert(audit.forall(_.getAs[Boolean]("no_underest")))
+  }
+
+  test("cms self-join size: exact on a single key, bounded below by F2 always") {
+    import graft.operators.CountMin
+    // one key: the only occupied buckets hold that key alone, so the
+    // inner-product estimate IS the exact F2 = 7²
+    val one = Seq.fill(7)(42L).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val r1 = CountMin.cmsSelfJoinProfile(one, depth = 3, width = 256)
+      .collect().head
+    assert(r1.getAs[Long]("exact_self_join") === 49L)
+    assert(r1.getAs[Long]("est_self_join") === 49L)
+    assert(r1.getAs[Boolean]("no_underest"))
+    // skewed multi-key: estimate >= exact, exact replay of Σ cnt²
+    val skew = ((0 until 50).map(i => (i.toLong, 1L)) ++
+      (50 until 60).map(i => (i.toLong, i.toLong)))
+      .toDF("event_id", "user_id")
+    val r2 = CountMin.cmsSelfJoinProfile(skew, depth = 3, width = 256)
+      .collect().head
+    assert(r2.getAs[Long]("exact_self_join") === 2500L + 10L)
+    assert(r2.getAs[Long]("est_self_join") >=
+      r2.getAs[Long]("exact_self_join"))
+    assert(r2.getAs[Long]("n_keys") === 11L)
+  }
 }

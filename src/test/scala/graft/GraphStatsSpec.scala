@@ -371,4 +371,32 @@ class GraphStatsSpec extends SparkSpec {
         r.getAs[Long]("score_micro")).toMap
     assert(w === u) // w/wdeg = 1/deg exactly when weights are uniform
   }
+
+  test("link predict: square diagonals score exactly; hub pivots capped") {
+    // square 1-2-3-4-1: the two diagonals each share both off-corner
+    // neighbors (deg 2 everywhere) — cn=2, RA = 2·(10⁶/2) = 10⁶,
+    // jaccard = 2/(2+2-2) = 1 → 10⁶ ppm; adjacent pairs never appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val got = GraphStats.linkPredict(square, minCommon = 2, maxDeg = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("cn"), r.getAs[Long]("ra_ppm"),
+          r.getAs[Long]("jacc_ppm"))).toMap
+    assert(got === Map(
+      (1L, 3L) -> ((2L, 1000000L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L, 1000000L))))
+    // star: 10 leaves share only the hub (deg 10). With the hub
+    // admitted as pivot, every leaf pair scores cn=1, RA = 10⁶/10;
+    // with the cap below the hub's degree the expansion is EMPTY —
+    // the contract that bounds the wedge fan-out at scale
+    val star = (11L to 20L).map(l => (10L, l)).toDF("id_a", "id_b")
+    val open = GraphStats.linkPredict(star, minCommon = 1, maxDeg = 64)
+      .collect()
+    assert(open.length === 45) // C(10,2) leaf pairs
+    assert(open.forall(r => r.getAs[Long]("cn") === 1L &&
+      r.getAs[Long]("ra_ppm") === 100000L &&
+      r.getAs[Long]("jacc_ppm") === 1000000L)) // 1/(1+1-1)
+    assert(GraphStats.linkPredict(star, minCommon = 1, maxDeg = 4)
+      .count() === 0L)
+  }
 }

@@ -684,6 +684,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cms fold ships counter bytes; the estimate stays in codegen") {
+    withStaticPlan {
+      // the sketch build: partial + final ObjectHashAggregate, the
+      // exchange carries one 24 KB matrix per partition — never a
+      // token-level row
+      val df = graft.operators.CountMin.cmsState(
+        Tables.documents(spark, sf0001),
+        org.apache.spark.sql.functions.lit(0), 3, 1024)
+      assert(df.queryExecution.executedPlan.collect {
+        case o: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => o
+      }.length === 2,
+        s"the cms fold must plan as ObjectHashAggregate:\n" +
+          s"${df.queryExecution.executedPlan}")
+      // the distributed point lookup against the driver-held sketch
+      // is a plain projection INSIDE a WholeStageCodegen span: no
+      // join, no exchange, no interpreted eval per row
+      val sketch = new graft.plans.CmsBuffer(3, 64)
+      val est = Tables.documents(spark, sf0001)
+        .select(graft.plans.CmsFunctions.cmsEstimate(
+          org.apache.spark.sql.functions.col("source"), sketch).as("e"))
+      val plan = est.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"estimate must not shuffle:\n$plan")
+      // "*(n)" marks whole-stage-codegen'd operators; the lookup must
+      // sit inside one, not in an interpreted Project
+      assert(plan.contains("*(") &&
+        plan.toLowerCase.contains("cms_estimate"),
+        s"estimate must stay in codegen:\n$plan")
+    }
+  }
+
   test("ivm merge never rescans history: stored partials + delta agg") {
     withStaticPlan {
       val df = run("x_ivm_daily")
