@@ -1263,12 +1263,24 @@ object CorpusStats {
     * sketch — but the error CONTRACT survives any merge order, and that
     * contract is what this hashes. */
   def freqMergeValidated(docs: DataFrame, parts: Int = 4,
+      maxMapSize: Int = 1024, phi: Int = 64): DataFrame =
+    freqStatesValidated(docs,
+      freqState(docs, pmod(col("doc_id"), lit(parts)), maxMapSize),
+      maxMapSize, phi)
+
+  /** The [[freqMergeValidated]] audit against an EXTERNAL set of
+    * stored state rows (any frame with a `sketch` binary column and
+    * `n_tokens`) — the form the STREAMING maintenance path uses: the
+    * stream appends one sketch row per trigger, and this validates
+    * the merged store against the exact heavy hitters of `docs` (the
+    * same rows + booleans contract, so stream-maintained state that
+    * lost candidacy or widened bounds past truth flips a hashed
+    * value). */
+  def freqStatesValidated(docs: DataFrame, states: DataFrame,
       maxMapSize: Int = 1024, phi: Int = 64): DataFrame = {
     require(maxMapSize >= 7 * phi,
       s"maxMapSize=$maxMapSize too small for phi=$phi")
-    val merged = mergeFreqStates(
-      freqState(docs, pmod(col("doc_id"), lit(parts)), maxMapSize),
-      maxMapSize)
+    val merged = mergeFreqStates(states, maxMapSize)
     val cand = merged.select(explode(col("cand")).as("c"))
       .select(col("c.item").as("item"), col("c.est").as("est"),
         col("c.lb").as("lb"), col("c.ub").as("ub"))

@@ -94,6 +94,7 @@ object ExtQueries {
   // TWO unlinked neighbors don't occur at the driver SFs — one shared
   // neighbor is already the "band missed it" signal this query ranks)
   val LinkMaxDeg = 64L // wedge-pivot degree cap (hub exclusion)
+  val HashedNgramBuckets = 4096 // weight slots for the hashed scorer
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
@@ -1531,6 +1532,31 @@ object ExtQueries {
         s, Tables.events(s, d), FunnelSteps, CepWithinSeconds,
         nBatches = 4, workDir = work, evictIdle = true)
     }),
+
+    // Streaming heavy hitters: 4 document micro-batches each fold
+    // into ONE appended Misra-Gries sketch row (batch-sized
+    // ObjectHashAggregate, redelivery-tagged by batchId); the merged
+    // store validates against the exact heavy hitters — the sketch
+    // contract is merge-order-free, so the stream-maintained state
+    // hashes against the SAME oracle as the batch merge audit.
+    "x_stream_heavy" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-freqrep-${Integer.toHexString(d.hashCode)}").toString
+      val states = graft.streaming.StreamingSync.freqMaintReplay(
+        s, Tables.documents(s, d), nBatches = 4, workDir = work,
+        maxMapSize = HeavyHitterMapSize)
+      CorpusStats.freqStatesValidated(Tables.documents(s, d), states,
+        maxMapSize = HeavyHitterMapSize, phi = HeavyHitterPhi)
+    }),
+
+    // fastText-style hashed-feature linear scorer: unigrams + bigrams
+    // hashed into 4096 weight slots, per-doc margin summed in one
+    // codegen'd scan + doc-keyed combine — the learned-quality-filter
+    // SERVING path with a fixed reproducible weight table, so the
+    // oracle replays every margin exactly.
+    "x_hashed_ngram_score" -> ((s, d) =>
+      TextAnalysis.hashedNgramScore(Tables.documents(s, d),
+        buckets = HashedNgramBuckets)),
 
     // ROLLUP over (source, lang): one Expand-backed hash aggregate
     // (one scan, one shuffle) produces every level; grouping_id
@@ -5444,6 +5470,33 @@ object ExtQueries {
          |  est_self_join, TRUE AS no_underest
          |FROM e""".stripMargin,
 
+    // hashed-feature scorer: unigrams (nonempty) + bigrams in doc
+    // order, md5 seed-0 bucket, Knuth-multiplicative weight table —
+    // all-integer margins replay exactly
+    "x_hashed_ngram_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |uni AS (SELECT doc_id, unnest(ws) AS f FROM w),
+         |bi AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE []::varchar[] END) AS f FROM w),
+         |feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+         |          UNION ALL SELECT doc_id, f FROM bi),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substr(md5(f || '#0'), 1, 15))::bigint
+         |          % $HashedNgramBuckets AS bucket
+         |      FROM feats),
+         |sc AS (SELECT doc_id, count(*)::bigint AS n_feats,
+         |         sum(((bucket * 2654435761) % 1001) - 500)::bigint
+         |           AS score_raw
+         |       FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_feats, score_raw,
+         |  score_raw > 0 AS keep
+         |FROM sc""".stripMargin,
+
     // division-free CUSUM: |n·prefix − t·total| has the same argmax
     // as |prefix − t·mean| and stays an exact decimal
     "x_changepoint_cusum" ->
@@ -5980,7 +6033,10 @@ object ExtQueries {
     "x_sql_neardup_pairs" -> BaseOracleSql("x_embed_near_dup"),
     "x_sql_profile" -> BaseOracleSql("x_profile_orders"),
     "x_sql_retention" -> BaseOracleSql("x_retention"),
-    "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"))
+    "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"),
+    // stream-maintained sketch state honors the same merge-order-free
+    // error contract as the batch split-and-merge audit
+    "x_stream_heavy" -> BaseOracleSql("x_freq_merge"))
 
   /** The autocorrelation oracle, generated per lag from [[AcfMaxLag]]
     * with the same n-scaled decimal sufficient statistics and single

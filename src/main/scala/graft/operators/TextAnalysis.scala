@@ -213,4 +213,42 @@ object TextAnalysis {
               ceil(col("raw_len") / 258.0) * 8.0 + 512.0)
           .as("rep_detect"))
   }
+
+  /** fastText-style hashed-feature linear scorer — the SERVING path of
+    * the "Bag of Tricks" classifier (Joulin et al. 2016), the standard
+    * learned quality filter in LLM data pipelines: features are the
+    * document's unigrams plus word bigrams (duplicates kept — term
+    * frequency weighting), each hashed into one of `buckets` weight
+    * slots (the hashing trick — no vocabulary table to ship), the
+    * document's raw margin is the sum of its buckets' weights, and
+    * `keep` is the sign. Everything a production deployment does at
+    * inference time — tokenize, hash, gather, sum, threshold — in one
+    * codegen'd scan + a doc-keyed map-side-combined aggregate; no
+    * broadcast, no vocabulary join.
+    *
+    * The weight TABLE is where training would plug in; here it is the
+    * fixed reproducible stand-in `(bucket · 2654435761) mod 1001 − 500`
+    * (Knuth's multiplicative constant), making the whole pipeline
+    * all-integer and engine-replayable — the oracle recomputes every
+    * margin exactly, so the driver hashes real values, not just row
+    * shapes. The feature hash is the suite's seeded-md5 construction
+    * (seed 0), the same buckets any engine replays. Documents with ZERO
+    * features (empty text) produce no row — the filter has nothing to
+    * score. */
+  def hashedNgramScore(docs: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(concat(
+          array_remove(words(col(textCol)), ""),
+          shingleOccurrences(col(textCol), 2))).as("f"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(concat(col("f"), lit("#0"))), 1, 15),
+          16, 10).cast("long"), lit(buckets.toLong)).as("bucket"))
+      .select(col(idCol),
+        (pmod(col("bucket") * lit(2654435761L), lit(1001L)) - lit(500L))
+          .as("wgt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score_raw"))
+      .withColumn("keep", col("score_raw") > 0L)
 }

@@ -607,6 +607,82 @@ object StreamingSync {
       }
       .start()
 
+  /** Streaming frequency-sketch maintenance — the heavy-hitters rung
+    * of the continuous-admission pipeline: every micro-batch of
+    * documents folds into ONE bounded Misra-Gries sketch row
+    * ([[graft.operators.CorpusStats.freqState]] — a batch-sized
+    * ObjectHashAggregate whose output is ≤ ~48 KB of sketch bytes
+    * plus the batch token count), appended to the parquet state table
+    * tagged with the trigger's batchId. foreachBatch is
+    * AT-LEAST-ONCE, so a redelivered trigger is recognized by its tag
+    * and skipped (the [[aggMaintSink]] discipline — without it the
+    * replayed batch's tokens would double-count in the merged
+    * estimates). Sketch union is merge-order-free on its ERROR
+    * CONTRACT (no false negatives above the combined error line, true
+    * counts inside bounds), so the store built by ANY trigger
+    * interleaving validates against the exact heavy hitters — which
+    * is what `x_stream_heavy` hashes, sharing `x_freq_merge`'s
+    * oracle. At 100 TB/day this is "top tokens, continuously" with
+    * per-trigger cost batch-sized and state one row per trigger
+    * (compaction = re-sketch or [[graft.operators.CorpusStats
+    * .mergeFreqStates]] into one row — counters, not data). */
+  def freqMaintSink(source: DataFrame, storePath: String,
+      checkpoint: String, maxMapSize: Int = 1024): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CacheRegistry.scoped {
+            appendFreqBatch(batch, storePath, batchId, maxMapSize)
+          }
+      }
+      .start()
+
+  /** One frequency-maintenance micro-batch (the [[freqMaintSink]]
+    * body; also directly callable from a batch scheduler). Idempotent
+    * by `batchId` tag: the redelivery probe reads the row-per-trigger
+    * state table (bounded metadata, never the corpus). */
+  def appendFreqBatch(batch: DataFrame, storePath: String,
+      batchId: Long, maxMapSize: Int): Unit = {
+    val spark = batch.sparkSession
+    val redelivered = new java.io.File(storePath).exists() &&
+      spark.read.parquet(storePath)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (redelivered) return
+    graft.operators.CorpusStats
+      .freqState(batch, lit(batchId), maxMapSize)
+      .withColumnRenamed("part", "batch_id")
+      .write.mode("append").parquet(storePath)
+  }
+
+  /** Batch-parity harness for [[freqMaintSink]]: split `docs` into
+    * `nBatches` id-ordered micro-batches, stream them through the
+    * real sink one file per trigger, and return the stored state rows
+    * (one per trigger). The caller validates the merged store with
+    * [[graft.operators.CorpusStats.freqStatesValidated]] — the same
+    * contract the batch merge audit hashes. */
+  def freqMaintReplay(spark: SparkSession, docs: DataFrame,
+      nBatches: Int = 4, workDir: String,
+      maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs.select(col("doc_id"), col("text"))
+      .withColumn("b", ntile(nBatches).over(Window.orderBy(col("doc_id"))))
+      .cache()
+    val in = stageBatchFiles(staged, nBatches, workDir)
+    staged.unpersist()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val store = new java.io.File(workDir, "freq-store").toString
+    val q = freqMaintSink(stream, store,
+      new java.io.File(workDir, "ckpt").toString, maxMapSize)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(store)
+  }
+
   /** Incremental sync as a streaming sink: every micro-batch of source rows
     * is synced against the persistent state with a `lookbackDays` window
     * ending at the batch's max event date (the reference's

@@ -2454,6 +2454,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hashed ngram scorer: feature count, margin replay, empty text drops") {
+    val df = Seq((1L, "a b c"), (2L, "solo"), (3L, " "), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedNgramScore(df, buckets = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("score_raw"),
+          r.getAs[Boolean]("keep"))).toMap
+    // "a b c": 3 unigrams + 2 bigrams; "solo": 1 + 0; blank: no row
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L)._1 === 5L && got(2L)._1 === 1L)
+    // identical text → identical margin (deterministic serving path)
+    assert(got(1L) === got(4L))
+    assert(got(1L)._3 === (got(1L)._2 > 0L))
+    // margin replays from the declarative md5 construction the oracle
+    // uses — an independent Spark-SQL recomputation, feature by feature
+    val wantDoc1 = Seq("a", "b", "c", "a b", "b c").toDF("f")
+      .select((pmod(pmod(conv(substring(md5(concat($"f", lit("#0"))),
+        1, 15), 16, 10).cast("long"), lit(64L)) * 2654435761L,
+        lit(1001L)) - 500L).as("w"))
+      .agg(sum($"w")).as[Long].head()
+    assert(got(1L)._2 === wantDoc1)
+  }
+
   test("cms bucket hash matches the Spark-SQL seeded-md5 construction") {
     // the cross-engine contract: CmsSketch.bucket (JVM) ≡ the
     // conv(substr(md5(item || '#' || r/2)))-style expression any SQL

@@ -719,4 +719,33 @@ class StreamingSyncSpec extends SparkSpec {
     assert(new java.io.File(store).listFiles()
       .count(_.getName.startsWith("agg-")) >= 1)
   }
+
+  test("freq maintenance: one sketch row per trigger, redelivery no-ops, merged contract holds") {
+    import graft.operators.CorpusStats
+    val dir = tmp()
+    // 120 docs × 3 tokens: alpha/beta hold 120/360 each (heavy at
+    // phi=4: 120·4 > 360), tails 3 each (well under the error line)
+    val docs = (0 until 120)
+      .map(i => (i.toLong, s"alpha beta tail${i % 40}"))
+      .toDF("doc_id", "text")
+    val states = StreamingSync.freqMaintReplay(spark, docs,
+      nBatches = 3, workDir = s"$dir/rep", maxMapSize = 64)
+    // one state row per trigger, each tagged with its own batchId
+    assert(states.count() === 3)
+    assert(states.select($"batch_id").distinct().count() === 3)
+    assert(states.agg(sum($"n_tokens")).as[Long].head() === 360L)
+    // the merged stream-built store honors the batch audit contract
+    val audit = CorpusStats.freqStatesValidated(docs, states,
+      maxMapSize = 64, phi = 4).collect()
+    assert(audit.map(_.getAs[String]("item")).toSet ===
+      Set("alpha", "beta"))
+    assert(audit.forall(r => r.getAs[Boolean]("reported") &&
+      r.getAs[Boolean]("bounds_hold")))
+    // redelivery of an already-tagged trigger must append NOTHING —
+    // a replayed batch would otherwise double-count every token
+    val store = s"$dir/rep/freq-store"
+    StreamingSync.appendFreqBatch(docs, store, batchId = 0L,
+      maxMapSize = 64)
+    assert(spark.read.parquet(store).count() === 3)
+  }
 }
