@@ -95,6 +95,7 @@ object ExtQueries {
   // neighbor is already the "band missed it" signal this query ranks)
   val LinkMaxDeg = 64L // wedge-pivot degree cap (hub exclusion)
   val HashedNgramBuckets = 4096 // weight slots for the hashed scorer
+  val BootstrapReps = 40 // Poisson-bootstrap replicates per key
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
@@ -1637,6 +1638,22 @@ object ExtQueries {
       SparseSim.sparseCosineTopK(Tables.documents(s, d), TopK,
         QueryMod, SparseDfCap)),
 
+    // Hybrid retrieval: RRF fusion of the sparse (bigram postings)
+    // and dense (embedding cosine) rankings over the SAME query set —
+    // reciprocal ranks in exact ppm integers, full-outer on
+    // (query, doc) so single-system hits still score. The RAG
+    // retrieval shape: lexical catches terminology, dense catches
+    // paraphrase, rank fusion needs no score calibration.
+    "x_hybrid_rrf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      SparseSim.rrfFuse(
+        SparseSim.sparseCosineTopK(Tables.documents(s, d), TopK,
+          QueryMod, SparseDfCap),
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % QueryMod === 0), e, TopK),
+        k = TopK)
+    }),
+
     // Pairwise Pearson correlation from decimal-exact sufficient
     // statistics in ONE scan (the corr() built-in streams doubles in
     // arrival order — unusable under a hash oracle).
@@ -2046,6 +2063,15 @@ object ExtQueries {
     "x_power_mde" -> ((s, d) =>
       Hypothesis.powerMde(Tables.events(s, d),
         Hypothesis.variantOf(col("user_id")))),
+
+    // Poisson-bootstrap percentile CI for the between-arm mean diff:
+    // md5-seeded Poisson(1) replicate weights (engine-replayable, no
+    // RNG), one exact-int division per replicate arm, integer
+    // order-statistic endpoints — the distribution-free companion to
+    // the Welch t for skewed per-user metrics.
+    "x_bootstrap_ci" -> ((s, d) =>
+      Hypothesis.bootstrapCiDiff(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")), reps = BootstrapReps)),
 
     // Winsorized robust stats per order priority: nearest-rank
     // p05/p95 clip bounds from pure integer ceil indexes, exact
@@ -2567,6 +2593,63 @@ object ExtQueries {
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
   }
+
+  /** Brute-force dense cosine top-k oracle — shared verbatim by
+    * `x_ann_cosine_topk` and (as a subquery) the RRF fusion. */
+  private lazy val AnnCosineTopkOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+       |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, match_id,
+       |    round(list_cosine_similarity(qv, cv), 6) AS cos
+       |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, match_id, cos, rank FROM ranked
+       |WHERE rank <= $TopK""".stripMargin
+
+  /** Sparse (bigram-postings) cosine top-k oracle — shared verbatim by
+    * `x_sparse_topk` and (as a subquery) the RRF fusion. */
+  private lazy val SparseTopkOracle: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |post0 AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS term,
+       |    count(*)::bigint AS tf
+       |  FROM ws, unnest(range(1, len(w))) AS t(i)
+       |  WHERE len(w) >= 2 GROUP BY 1, 2),
+       |stats AS (SELECT term, count(*) AS df FROM post0 GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |post AS (
+       |  SELECT p.* FROM post0 p JOIN stats s USING (term), nn
+       |  WHERE s.df * $SparseDfCap <= nn.n),
+       |norms AS (
+       |  SELECT doc_id, sum(tf*tf)::bigint AS n2 FROM post
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS qid, b.doc_id AS nid,
+       |    sum(a.tf*b.tf)::bigint AS dot
+       |  FROM post a JOIN post b USING (term)
+       |  WHERE a.doc_id % $QueryMod = 0 AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.qid, p.nid, p.dot,
+       |    p.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |  FROM pairs p JOIN norms na ON na.doc_id = p.qid
+       |    JOIN norms nb ON nb.doc_id = p.nid),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rk
+       |  FROM scored)
+       |SELECT qid, nid, rk, dot, cosine FROM r WHERE rk <= $TopK"""
+      .stripMargin
 
   /** UNION-ALL enumeration of the Count-Min rows over `src(item, …)`:
     * for each row r in 0..CmsDepth-1 the md5 bucket of `item` — the
@@ -3344,22 +3427,7 @@ object ExtQueries {
     "x_embed_dedup_cluster" -> EmbedClusterOracle,
     "x_cluster_store" -> EmbedClusterOracle,
 
-    "x_ann_cosine_topk" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
-         |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
-         |      FROM embeddings),
-         |scored AS (
-         |  SELECT query_id, match_id,
-         |    round(list_cosine_similarity(qv, cv), 6) AS cos
-         |  FROM c CROSS JOIN q WHERE query_id <> match_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, match_id, cos, rank FROM ranked
-         |WHERE rank <= $TopK""".stripMargin,
+    "x_ann_cosine_topk" -> AnnCosineTopkOracle,
 
     // the brute-force top-k CTE + integer majority vote (votes desc,
     // label asc) + own-label agreement count — all-integer outputs
@@ -4903,41 +4971,27 @@ object ExtQueries {
 
     // identical integer postings → identical IEEE cosine op sequence
     // (dot / (sqrt · sqrt)); df cap replicated relative to corpus size
-    "x_sparse_topk" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents),
-         |post0 AS (
-         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS term,
-         |    count(*)::bigint AS tf
-         |  FROM ws, unnest(range(1, len(w))) AS t(i)
-         |  WHERE len(w) >= 2 GROUP BY 1, 2),
-         |stats AS (SELECT term, count(*) AS df FROM post0 GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |post AS (
-         |  SELECT p.* FROM post0 p JOIN stats s USING (term), nn
-         |  WHERE s.df * $SparseDfCap <= nn.n),
-         |norms AS (
-         |  SELECT doc_id, sum(tf*tf)::bigint AS n2 FROM post
-         |  GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS qid, b.doc_id AS nid,
-         |    sum(a.tf*b.tf)::bigint AS dot
-         |  FROM post a JOIN post b USING (term)
-         |  WHERE a.doc_id % $QueryMod = 0 AND b.doc_id <> a.doc_id
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT p.qid, p.nid, p.dot,
-         |    p.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-         |  FROM pairs p JOIN norms na ON na.doc_id = p.qid
-         |    JOIN norms nb ON nb.doc_id = p.nid),
+    "x_sparse_topk" -> SparseTopkOracle,
+
+    // RRF: the two retrieval oracles verbatim as subqueries, fused
+    // with exact ppm reciprocal ranks and re-cut by (rrf desc, doc)
+    "x_hybrid_rrf" ->
+      s"""WITH lex AS ($SparseTopkOracle),
+         |den AS ($AnnCosineTopkOracle),
+         |f AS (
+         |  SELECT coalesce(l.qid, d.query_id) AS query_id,
+         |    coalesce(l.nid, d.match_id) AS match_id,
+         |    l.rk AS lex_rk, d.rank AS dense_rk,
+         |    (coalesce(1000000 // (60 + l.rk), 0) +
+         |     coalesce(1000000 // (60 + d.rank), 0))::bigint AS rrf_ppm
+         |  FROM lex l FULL OUTER JOIN den d
+         |    ON l.qid = d.query_id AND l.nid = d.match_id),
          |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, nid) AS rk
-         |  FROM scored)
-         |SELECT qid, nid, rk, dot, cosine FROM r WHERE rk <= $TopK"""
-        .stripMargin,
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_ppm DESC, match_id) AS fused_rk
+         |  FROM f)
+         |SELECT query_id, match_id, lex_rk, dense_rk, rrf_ppm, fused_rk
+         |FROM r WHERE fused_rk <= $TopK""".stripMargin,
 
     // same five decimal-exact sufficient statistics, same closed-form
     // double sequence
@@ -5763,6 +5817,79 @@ object ExtQueries {
          |      ((se_a * se_a) / (n_a - 1)::double +
          |       (se_b * se_b) / (n_b - 1)::double), 6) END AS df
          |FROM st""".stripMargin,
+
+    // Poisson-bootstrap CI: per-user cents, md5-seeded Poisson(1)
+    // weights through the identical CDF literals, one exact-int
+    // division per replicate arm, integer order-statistic endpoints
+    "x_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT event_type AS key, user_id AS u,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+         |  FROM events),
+         |pu AS (SELECT key, u, v, sum(c)::bigint AS y FROM base
+         |       GROUP BY 1, 2, 3),
+         |reps AS (SELECT unnest(range($BootstrapReps)) AS r),
+         |ex AS (
+         |  SELECT pu.*, r,
+         |    ('0x' || substr(md5(u::varchar || '|' || r::varchar
+         |      || '#0'), 1, 15))::bigint / 1152921504606846976.0 AS u01
+         |  FROM pu CROSS JOIN reps),
+         |wx AS (
+         |  SELECT key, r, v, y,
+         |    (CASE WHEN u01 < 0.36787944117144233 THEN 0
+         |          WHEN u01 < 0.7357588823428847 THEN 1
+         |          WHEN u01 < 0.9196986029286058 THEN 2
+         |          WHEN u01 < 0.9810118431238462 THEN 3
+         |          WHEN u01 < 0.9963401531726563 THEN 4
+         |          ELSE 5 END)::bigint AS w
+         |  FROM ex),
+         |ra AS (
+         |  SELECT key, r,
+         |    coalesce(sum(CASE WHEN v = 'a' THEN w END), 0)::bigint
+         |      AS wa,
+         |    coalesce(sum(CASE WHEN v = 'a' THEN w * y END), 0)::bigint
+         |      AS wya,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN w END), 0)::bigint
+         |      AS wb,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN w * y END), 0)::bigint
+         |      AS wyb
+         |  FROM wx GROUP BY key, r),
+         |df AS (
+         |  SELECT key, wya::double / wa::double -
+         |    wyb::double / wb::double AS diff
+         |  FROM ra WHERE wa > 0 AND wb > 0),
+         |rk AS (
+         |  SELECT key, diff,
+         |    row_number() OVER (PARTITION BY key ORDER BY diff) AS rn,
+         |    count(*) OVER (PARTITION BY key) AS nr
+         |  FROM df),
+         |ci AS (
+         |  SELECT key, max(nr)::bigint AS n_reps,
+         |    min(CASE WHEN rn = greatest((nr * 25 + 999) // 1000, 1)
+         |      THEN diff END) AS ci_lo,
+         |    min(CASE WHEN rn = (nr * 975 + 999) // 1000
+         |      THEN diff END) AS ci_hi
+         |  FROM rk GROUP BY key),
+         |obs AS (
+         |  SELECT key,
+         |    coalesce(sum(CASE WHEN v = 'a' THEN 1 END), 0)::bigint
+         |      AS n_a,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN 1 END), 0)::bigint
+         |      AS n_b,
+         |    coalesce(sum(CASE WHEN v = 'a' THEN y END), 0)::bigint
+         |      AS ya,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN y END), 0)::bigint
+         |      AS yb
+         |  FROM pu GROUP BY key)
+         |SELECT obs.key, n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ya::double / n_a::double - yb::double / n_b::double END
+         |    AS diff_obs,
+         |  n_reps, ci_lo, ci_hi,
+         |  (ci_lo > 0.0 OR ci_hi < 0.0) AS significant
+         |FROM obs LEFT JOIN ci ON obs.key = ci.key""".stripMargin,
 
     // same wide CTEs; the z-sum is the fixed literal 2.801585
     // (1.959964 + 0.841621), mirrored on both engines

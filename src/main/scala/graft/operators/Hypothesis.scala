@@ -271,4 +271,94 @@ object Hypothesis {
         round(meanYArm - theta * (meanXArm - meanXAll), 6)
           .as("mean_y_adj"))
   }
+
+  /** Cumulative Poisson(1) probabilities e⁻¹·Σ 1/k! as the EXACT
+    * decimal literals both engines parse to identical doubles — the
+    * quantile table of the bootstrap weight draw. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563)
+
+  /** Percentile-bootstrap confidence interval for the between-arm mean
+    * difference, per key — the distribution-free companion to
+    * [[welchTTest]] (no normality assumption; the honest CI when the
+    * per-user metric is skewed, which revenue always is). POISSON
+    * bootstrap (Chamandy et al., "Estimating uncertainty for massive
+    * data streams", Google 2012): instead of resampling n users with
+    * replacement (which needs global coordination), each user draws an
+    * independent Poisson(1) replicate weight — the large-n limit of
+    * Binomial(n, 1/n) multiplicity — so the whole resample is one
+    * embarrassingly-parallel map over the per-user frame. The draw is
+    * the suite's md5 hash (`u01 = h/2⁶⁰` through the Poisson(1)
+    * quantile table), never an RNG: every engine replays every weight.
+    *
+    * Exactness discipline: per-user cents are exact ints; each
+    * replicate's arm mean is ONE division of exact ints; the diff is
+    * one subtraction — correctly-rounded IEEE with identical op order,
+    * so the CI endpoints hash UNROUNDED. The CI is order statistics
+    * k_lo = ⌈R'·0.025⌉, k_hi = ⌈R'·0.975⌉ over the R' valid replicate
+    * diffs, computed in INTEGER arithmetic (`(R'·25+999) div 1000`) so
+    * no double percentile enters the rank; a replicate where an arm
+    * drew all-zero weights (possible only at toy n) is dropped from
+    * R', replayably. `significant` = 0 outside [ci_lo, ci_hi].
+    *
+    * Scale shape: one partial-combining aggregate to the per-user
+    * frame, an R-way generator fan-out (users·R rows, codegen'd —
+    * no HOF lambda), one (key, rep)-keyed combine down to R rows per
+    * key, and a window over those R rows. Nothing driver-side. */
+  def bootstrapCiDiff(events: DataFrame, variant: Column,
+      reps: Int = 40, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val perUser = events
+      .groupBy(col(keyCol).as("key"), col("user_id").as("u"),
+        variant.as("v"))
+      .agg(sum(centsOf(valueCol)).as("y"))
+    val u01 = Dedup.seededHash(
+      concat(col("u").cast("string"), lit("|"), col("r").cast("string")),
+      0).cast("double") / lit(1152921504606846976.0) // h / 2^60
+    val w = PoissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (p, k)) =>
+        acc.when(u01 < p, lit(k.toLong))
+      }.otherwise(lit(5L))
+    val expanded = perUser
+      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", w)
+    def arm(a: String, c: Column) =
+      coalesce(sum(when(col("v") === a, c)), lit(0L))
+    val repArm = expanded.groupBy(col("key"), col("r"))
+      .agg(arm("a", col("w")).as("wa"),
+        arm("a", col("w") * col("y")).as("wya"),
+        arm("b", col("w")).as("wb"),
+        arm("b", col("w") * col("y")).as("wyb"))
+    val diffs = repArm.filter(col("wa") > 0 && col("wb") > 0)
+      .select(col("key"),
+        (col("wya").cast("double") / col("wa").cast("double") -
+          col("wyb").cast("double") / col("wb").cast("double"))
+          .as("diff"))
+    val ranked = diffs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("diff"))))
+      .withColumn("nr", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+    val ci = ranked
+      .groupBy(col("key"))
+      .agg(max(col("nr")).as("n_reps"),
+        min(when(col("rn") ===
+          greatest(expr("(nr * 25 + 999) div 1000"), lit(1)),
+          col("diff"))).as("ci_lo"),
+        min(when(col("rn") === expr("(nr * 975 + 999) div 1000"),
+          col("diff"))).as("ci_hi"))
+    val obs = perUser.groupBy(col("key"))
+      .agg(arm("a", lit(1L)).as("n_a"), arm("a", col("y")).as("ya"),
+        arm("b", lit(1L)).as("n_b"), arm("b", col("y")).as("yb"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("ya").cast("double") / col("n_a").cast("double") -
+            col("yb").cast("double") / col("n_b").cast("double"))
+          .as("diff_obs"))
+    obs.join(ci, Seq("key"), "left")
+      .select(col("key"), col("n_a"), col("n_b"), col("diff_obs"),
+        col("n_reps"), col("ci_lo"), col("ci_hi"),
+        (col("ci_lo") > 0.0 || col("ci_hi") < 0.0).as("significant"))
+  }
 }

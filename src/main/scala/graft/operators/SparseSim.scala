@@ -126,4 +126,43 @@ object SparseSim {
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("score"), col("rk"))
   }
+
+  /** Reciprocal-Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of a LEXICAL and a DENSE per-query ranking — the standard
+    * hybrid-retrieval combiner in RAG stacks, where sparse matching
+    * catches exact terminology and embeddings catch paraphrase, and
+    * RRF beats either alone without score calibration because it
+    * fuses RANKS, not incomparable scores: fused(d) = Σ_systems
+    * 1/(k0 + rank_s(d)), k0 = 60 (the paper's constant). Kept EXACT
+    * as `10⁶ div (k0 + rank)` ppm integers, so the fused ordering
+    * replays bit-for-bit in any engine.
+    *
+    * Inputs are the suite's two rankings for the SAME query set:
+    * `lexical` = [[sparseCosineTopK]] rows `(qid, nid, rk, …)`,
+    * `dense` = [[Similarity.bruteForceTopK]] rows `(query_id,
+    * match_id, rank, …)`. FULL OUTER on (query, doc): a doc surfaced
+    * by only one system keeps its one term (absence contributes
+    * nothing — rank-∞ needs no sentinel). Re-cut to `k` by the
+    * (fused desc, doc id) total order.
+    *
+    * Shape at scale: both inputs are already top-k-sized (queries·k
+    * rows), so the fusion is a keys-sized join plus a per-query
+    * WindowGroupLimit — nothing corpus-sized touches this operator. */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    val lex = lexical.select(col("qid").as("query_id"),
+      col("nid").as("match_id"), col("rk").as("lex_rk"))
+    val den = dense.select(col("query_id"), col("match_id"),
+      col("rank").as("dense_rk"))
+    lex.join(den, Seq("query_id", "match_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000 div ($k0 + lex_rk)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($k0 + dense_rk)"), lit(0L)))
+      .withColumn("fused_rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppm").desc, col("match_id"))))
+      .filter(col("fused_rk") <= k)
+      .select(col("query_id"), col("match_id"), col("lex_rk"),
+        col("dense_rk"), col("rrf_ppm"), col("fused_rk"))
+  }
 }

@@ -2454,6 +2454,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: hand-computed ppm scores, single-system docs survive") {
+    import graft.operators.SparseSim
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("qid", "nid", "rk")
+    val den = Seq((1L, 11L, 1), (1L, 12L, 2))
+      .toDF("query_id", "match_id", "rank")
+    val got = SparseSim.rrfFuse(lex, den, k = 10).collect()
+      .map(r => r.getAs[Long]("match_id") ->
+        (r.getAs[Long]("rrf_ppm"), r.getAs[Int]("fused_rk"))).toMap
+    // doc 11 in both systems: 10⁶//61 + 10⁶//62 = 16393 + 16129;
+    // doc 10 lex-only rank 1: 16393; doc 12 dense-only rank 2: 16129
+    assert(got === Map(11L -> ((32522L, 1)), 10L -> ((16393L, 2)),
+      12L -> ((16129L, 3))))
+    // absent ranks are NULL, not sentinel values
+    val nulls = SparseSim.rrfFuse(lex, den, k = 10).collect()
+      .map(r => r.getAs[Long]("match_id") ->
+        (r.isNullAt(r.fieldIndex("lex_rk")),
+          r.isNullAt(r.fieldIndex("dense_rk")))).toMap
+    assert(nulls(10L) === ((false, true)))
+    assert(nulls(12L) === ((true, false)))
+  }
+
   test("hashed ngram scorer: feature count, margin replay, empty text drops") {
     val df = Seq((1L, "a b c"), (2L, "solo"), (3L, " "), (4L, "a b c"))
       .toDF("doc_id", "text")

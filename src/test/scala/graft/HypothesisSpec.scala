@@ -157,4 +157,43 @@ class HypothesisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === arms)
   }
+
+  test("bootstrap ci: constant-valued arms collapse the CI to the exact diff") {
+    // 40 users per arm, every a-user worth 100.00, every b-user 0 —
+    // any positive-weight resample of a constant is that constant, so
+    // EVERY replicate diff is exactly 10000 cents: ci_lo = ci_hi =
+    // diff_obs, significant, and all 40 replicates valid (an all-zero
+    // arm draw at n=40 would need probability e^-40)
+    val rows = (0L until 40L).map(u => (u, "k", 100.0)) ++
+      (100L until 140L).map(u => (u, "k", 0.0))
+    val df = rows.toDF("user_id", "event_type", "value")
+    val r = Hypothesis.bootstrapCiDiff(df,
+      when(col("user_id") < 50, "a").otherwise("b"), reps = 40)
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 40L && r.getAs[Long]("n_b") === 40L)
+    assert(r.getAs[Double]("diff_obs") === 10000.0)
+    assert(r.getAs[Long]("n_reps") === 40L)
+    assert(r.getAs[Double]("ci_lo") === 10000.0)
+    assert(r.getAs[Double]("ci_hi") === 10000.0)
+    assert(r.getAs[Boolean]("significant"))
+    // identical arms: diff 0 everywhere, NOT significant
+    val same = ((0L until 40L) ++ (100L until 140L))
+      .map(u => (u, "k", 7.0)).toDF("user_id", "event_type", "value")
+    val r0 = Hypothesis.bootstrapCiDiff(same,
+      when(col("user_id") < 50, "a").otherwise("b"), reps = 40)
+      .collect().head
+    assert(r0.getAs[Double]("ci_lo") === 0.0 &&
+      r0.getAs[Double]("ci_hi") === 0.0)
+    assert(!r0.getAs[Boolean]("significant"))
+    // a varied fixture keeps order-statistic sanity: lo <= hi and the
+    // endpoints bracket the bulk of replicate diffs
+    val varied = ((0L until 40L).map(u => (u, "k", (u % 7).toDouble)) ++
+      (100L until 140L).map(u => (u, "k", (u % 5).toDouble)))
+      .toDF("user_id", "event_type", "value")
+    val rv = Hypothesis.bootstrapCiDiff(varied,
+      when(col("user_id") < 50, "a").otherwise("b"), reps = 40)
+      .collect().head
+    assert(rv.getAs[Double]("ci_lo") <= rv.getAs[Double]("ci_hi"))
+    assert(rv.getAs[Long]("n_reps") === 40L)
+  }
 }
