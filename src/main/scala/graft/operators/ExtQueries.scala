@@ -376,6 +376,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-zorder-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def hilbertPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-hilbert-${Integer.toHexString(d.hashCode)}").toString
+
   /** The events table binned onto the Z-grid: two bounded integer keys
     * (production would range-normalize real columns first). */
   private def zGrid(events: DataFrame): DataFrame =
@@ -945,6 +949,20 @@ object ExtQueries {
       graft.sources.ZOrderStore.zRangeScan(s, zOrderPath(d),
           "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
         .select(col("event_id"), col("za"), col("zb"), col("zval"))
+    }),
+
+    // Hilbert-clustered layout, same grid and rectangle: consecutive
+    // curve indices are always grid NEIGHBORS (no Z-curve diagonal
+    // jumps), so each range-partitioned file covers one connected
+    // blob; the rectangle scan pushes a driver-decomposed covering
+    // OR-of-BETWEEN prefilter plus exact residual predicates.
+    "x_hilbert_scan" -> ((s, d) => {
+      graft.sources.HilbertStore.ensureHilbert(
+        zGrid(Tables.events(s, d)), hilbertPath(d), "za", "zb",
+        ZBits, ZFiles)
+      graft.sources.HilbertStore.rectScan(s, hilbertPath(d),
+          "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
+        .select(col("event_id"), col("za"), col("zb"), col("hval"))
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -2594,6 +2612,32 @@ object ExtQueries {
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id)""".stripMargin
   }
 
+  /** Unrolled per-bit replay of [[graft.plans.LayoutKernels.hilbertD]]
+    * as chained CTEs `h1..h_ZBits` off `h0(event_id, za, zb, x, y, d)`:
+    * each step adds the quadrant digit `(3·rx) xor ry` (written
+    * arithmetically: `3rx + ry − 2·rx·ry` — rx, ry ∈ {0,1}) scaled by
+    * s², then reflects (`n−1−·`) and swaps the frame exactly as the
+    * kernel does, reading rx/ry from the PREVIOUS step's columns. */
+  private lazy val HilbertStepCtes: String = {
+    val n = 1L << ZBits
+    (ZBits - 1 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val s = 1L << b
+      s"""h${i + 1} AS (
+         |  SELECT event_id, za, zb,
+         |    CASE WHEN ((y >> $b) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $b) & 1) = 1
+         |        THEN ${n - 1} - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN ((y >> $b) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $b) & 1) = 1
+         |        THEN ${n - 1} - x ELSE x END
+         |    ELSE y END AS y,
+         |    d + ${s * s} * (3 * ((x >> $b) & 1) + ((y >> $b) & 1)
+         |      - 2 * ((x >> $b) & 1) * ((y >> $b) & 1)) AS d
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** Brute-force dense cosine top-k oracle — shared verbatim by
     * `x_ann_cosine_topk` and (as a subquery) the RRF fusion. */
   private lazy val AnnCosineTopkOracle: String =
@@ -4183,6 +4227,22 @@ object ExtQueries {
          |FROM g
          |WHERE za BETWEEN $ZALo AND $ZAHi
          |  AND zb BETWEEN $ZBLo AND $ZBHi""".stripMargin,
+
+    // Hilbert index replayed bit-by-bit through the unrolled CTE
+    // chain; the rectangle filter runs on the exact grid coords (the
+    // covering-range prefilter is a plan device, not a row contract)
+    "x_hilbert_scan" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id % ${1L << ZBits} AS za,
+         |    event_id % ${1L << ZBits} AS zb
+         |  FROM events),
+         |h0 AS (
+         |  SELECT event_id, za, zb, za AS x, zb AS y, 0::bigint AS d
+         |  FROM g
+         |  WHERE za BETWEEN $ZALo AND $ZAHi
+         |    AND zb BETWEEN $ZBLo AND $ZBHi),
+         |$HilbertStepCtes
+         |SELECT event_id, za, zb, d AS hval FROM h$ZBits""".stripMargin,
 
     // the bucketed layout changes the plan, never the rows: plain join
     // + per-order aggregate; decimal sums keep doubles order-independent

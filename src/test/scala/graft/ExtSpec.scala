@@ -1264,6 +1264,56 @@ class ExtSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(zval"))
   }
 
+  test("hilbert curve: bijective, unit-step adjacent, covering ranges exact") {
+    import graft.plans.LayoutKernels
+    // the definitive Hilbert check on the full 16×16 grid: xy2d is a
+    // bijection onto 0..255 and CONSECUTIVE indices are always grid
+    // neighbors (|Δx|+|Δy| = 1) — the locality property the Z-curve
+    // lacks and the whole reason this layout exists
+    val inv = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield LayoutKernels.hilbertD(x, y, 4) -> ((x, y))).toMap
+    assert(inv.size === 256 && inv.keys.min === 0L &&
+      inv.keys.max === 255L)
+    (0L until 255L).foreach { d =>
+      val (x0, y0) = inv(d); val (x1, y1) = inv(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"jump at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // covering ranges with no coarsening cap are EXACT: their union
+    // over the grid equals the rectangle's index set
+    val rectSet = (for (x <- 3L to 11L; y <- 5L to 13L)
+      yield LayoutKernels.hilbertD(x, y, 4)).toSet
+    val exact = graft.sources.HilbertStore
+      .coveringRanges(3, 11, 5, 13, 4, maxRanges = 1000)
+    assert(exact.flatMap { case (lo, hi) => lo to hi }.toSet === rectSet)
+    // coarsened to few ranges: still a SUPERSET, never drops a point
+    val coarse = graft.sources.HilbertStore
+      .coveringRanges(3, 11, 5, 13, 4, maxRanges = 3)
+    assert(coarse.length <= 3)
+    val coarseSet = coarse.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(rectSet.subsetOf(coarseSet))
+  }
+
+  test("hilbert layout: connected files, pushed prefilter, scan parity") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hilbert").toString
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    graft.sources.HilbertStore.writeHilbert(g, path, "za", "zb", 8, 16)
+    val scan = graft.sources.HilbertStore.rectScan(spark, path,
+      "za", "zb", 2, 9, 32, 159, 8)
+    val got = scan.select("event_id").as[Long].collect().toSet
+    val expect = g.filter($"za".between(2, 9) &&
+      $"zb".between(32, 159)).select("event_id").as[Long].collect().toSet
+    assert(got === expect && got.nonEmpty)
+    // the covering-range OR-of-BETWEEN reaches the parquet footer
+    // stats — the predicate that does the file skipping at scale
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("hval"), s"no pushed hval prefilter:\n$plan")
+  }
+
   test("bpe encode applies the trained vocab with OOV char fallback") {
     // merges learned from this doc (see the training fixture):
     // (a,b), (a,ab), (ab,ab) → abab = 1 token, aab = 1 token,
