@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus profiling + curation operators a large-scale training-data
@@ -991,6 +992,78 @@ object CorpusStats {
         md5(concat_ws(" ", flatten(transform(
           sort_array(collect_list(struct(col("pos"), col("toks")))),
           x => x.getField("toks"))))).as("token_fp"))
+  }
+
+  /** Tokenizer LOSSLESSNESS audit at corpus scale: BPE merges only
+    * ever CONCATENATE adjacent symbols, so applying the trained vocab
+    * and gluing each word's subwords back together must reproduce the
+    * word exactly, for every word of every document — `lossless` is
+    * the per-doc conjunction. A corrupted merge table, a duplicated
+    * symbol, or an encode that drops/reorders subwords flips a hashed
+    * boolean on real corpus text with no crafted fixture needed (the
+    * round-trip property every production tokenizer deployment
+    * asserts before training on the output). Same broadcast-vocab
+    * encode shape as [[bpeEncode]]; OOV words tokenize as themselves
+    * and round-trip trivially. */
+  def bpeRoundtrip(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = bpeTrainVocab(docs, nMerges, textCol)._2
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"),
+        "left")
+      .withColumn("toks", coalesce(col("syms"), array(col("w"))))
+      .withColumn("ok", concat_ws("", col("toks")) === col("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_subwords"),
+        min(col("ok")).as("lossless"))
+  }
+
+  /** Stratified sample with EXACT largest-remainder allocation: the
+    * eval-set construction rule — `total` documents split across the
+    * strata PROPORTIONALLY (quota_g = ⌊total·n_g/N⌋, the leftover
+    * `total − Σ⌊·⌋` seats going to the largest remainders, ties to the
+    * lower stratum name — every step integer, every engine identical),
+    * each stratum filled by its md5-lowest documents (seed-0 hash of
+    * the id — deterministic, replayable, stable under corpus growth
+    * elsewhere). Unlike [[temperatureSample]] / [[mixtureSample]]
+    * (RATE-based: output size is binomial around the target), the
+    * allocation here is EXACT — the sample has precisely `total` rows
+    * whenever every stratum can fill its quota (proportional quotas
+    * always can: ⌊total·n_g/N⌋ + 1 ≤ n_g for total < N).
+    *
+    * Scale shape: one count aggregate (strata-sized), driver-free
+    * quota arithmetic as a broadcast join, one per-stratum
+    * WindowGroupLimit rank cut — no global sort, no collect. */
+  def stratifiedSample(docs: DataFrame, total: Int,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(total > 0, s"total=$total")
+    val counts = docs.groupBy(col(strataCol).as("g"))
+      .agg(count(lit(1)).as("ng"))
+    val n = Window.partitionBy(lit(1))
+    val quotas = counts
+      .withColumn("nn", sum(col("ng")).over(n))
+      .withColumn("base", expr(s"($total * ng) div nn"))
+      .withColumn("rem", expr(s"($total * ng) % nn"))
+      .withColumn("deficit", lit(total) - sum(col("base")).over(n))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("rem").desc, col("g"))))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("deficit"), 1L)
+          .otherwise(0L))
+      .select(col("g").as(strataCol), col("quota"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(Dedup.seededHash(col(idCol).cast("string"), 0),
+            col(idCol))))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(strataCol), col("rk"), col("quota"))
   }
 
   /** Sketch-based corpus profile — the 100 TB shape of [[sourceStats]].

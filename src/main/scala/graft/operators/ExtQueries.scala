@@ -96,6 +96,7 @@ object ExtQueries {
   val LinkMaxDeg = 64L // wedge-pivot degree cap (hub exclusion)
   val HashedNgramBuckets = 4096 // weight slots for the hashed scorer
   val BootstrapReps = 40 // Poisson-bootstrap replicates per key
+  val StratifiedTotal = 100 // exact stratified-sample size
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
@@ -1253,6 +1254,21 @@ object ExtQueries {
     // BPE ENCODE with the trained vocabulary: corpus word explode,
     // broadcast vocab join, per-doc aggregate with an order-exact
     // token-stream fingerprint.
+    // Tokenizer losslessness at corpus scale: apply ∘ train must
+    // reconstruct every word (BPE merges only concatenate) — the
+    // per-doc conjunction plus word/subword counts hash.
+    "x_bpe_roundtrip" -> ((s, d) =>
+      CorpusStats.bpeRoundtrip(Tables.documents(s, d),
+        BpeTrainMerges)),
+
+    // Stratified eval-set sampling: exact largest-remainder quotas
+    // per language (ties to lower name), each stratum filled by its
+    // md5-lowest documents — precisely StratifiedTotal rows, unlike
+    // the rate-based temperature/mixture samplers.
+    "x_stratified_sample" -> ((s, d) =>
+      CorpusStats.stratifiedSample(Tables.documents(s, d),
+        StratifiedTotal)),
+
     "x_bpe_encode" -> ((s, d) =>
       CorpusStats.bpeEncode(Tables.documents(s, d), BpeTrainMerges)),
 
@@ -1945,6 +1961,13 @@ object ExtQueries {
     // the regime changed, OLS = which way it is heading).
     "x_trend_ols" -> ((s, d) =>
       Temporal.trendOls(Tables.events(s, d))),
+
+    // Theil–Sen robust trend: median pairwise day-slope in exact ppm
+    // integers (div truncation probed identical on both engines) —
+    // the 29%-breakdown companion to the OLS line, as MAD is to the
+    // z-score. Pairs are days², not rows.
+    "x_theilsen_trend" -> ((s, d) =>
+      Temporal.theilSenTrend(Tables.events(s, d))),
 
     // EWMA smoothed level per key (α = 1/2): sequential add-then-halve
     // fold over day-ordered integer-cent totals — bit-deterministic
@@ -4672,6 +4695,86 @@ object ExtQueries {
     // the outer stripMargin would re-strip the helper's embedded
     // `||`-continuation lines into syntax errors)
     "x_bpe_encode" -> BpeEncodeOracle,
+
+    // same merge-stage CTEs; the hashed contract is the round-trip:
+    // gluing a word's subwords reproduces the word, every word
+    "x_bpe_roundtrip" ->
+      (bpeStagesSql(BpeTrainMerges, withFinalVocab = true) + ",\n" +
+        s"""dw AS MATERIALIZED (
+           |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
+           |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+           |    FROM (SELECT doc_id,
+           |            string_split_regex(lower(trim(text)), '\\s+') AS ws
+           |          FROM documents))
+           |  WHERE ws[i + 1] <> ''),
+           |enc AS (
+           |  SELECT d.doc_id, d.pos, d.w,
+           |    coalesce(s.syms, [d.w]) AS toks
+           |  FROM dw d LEFT JOIN s$BpeTrainMerges s ON d.w = s.w)
+           |SELECT doc_id, count(*)::bigint AS n_words,
+           |  sum(len(toks))::bigint AS n_subwords,
+           |  bool_and(array_to_string(toks, '') = w) AS lossless
+           |FROM enc GROUP BY doc_id""".stripMargin),
+
+    // exact largest-remainder quotas + md5-lowest fill per stratum
+    "x_stratified_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang AS g, count(*)::bigint AS ng FROM documents
+         |  GROUP BY lang),
+         |t AS (SELECT g, ng, sum(ng) OVER ()::bigint AS nn FROM c),
+         |q0 AS (
+         |  SELECT g, ng, nn, ($StratifiedTotal * ng) // nn AS base,
+         |    ($StratifiedTotal * ng) % nn AS rem
+         |  FROM t),
+         |q1 AS (
+         |  SELECT *, $StratifiedTotal - sum(base) OVER () AS deficit,
+         |    row_number() OVER (ORDER BY rem DESC, g) AS rr
+         |  FROM q0),
+         |q AS (
+         |  SELECT g AS lang,
+         |    (base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END)::bigint
+         |      AS quota
+         |  FROM q1),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ('0x' || substr(md5(doc_id::varchar || '#0'), 1, 15))
+         |        ::bigint, doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang, r.rk, q.quota
+         |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""".stripMargin,
+
+    // pairwise day-slopes in exact ppm; lower-median order statistic
+    "x_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT key, cents,
+        |    datediff('day', min(day) OVER (PARTITION BY key), day)
+        |      ::bigint AS x
+        |  FROM daily),
+        |p AS (
+        |  SELECT a.key,
+        |    (1000000 * (b.cents - a.cents)) // (b.x - a.x) AS slope_ppm
+        |  FROM x a JOIN x b ON a.key = b.key AND a.x < b.x),
+        |rk AS (
+        |  SELECT key, slope_ppm,
+        |    row_number() OVER (PARTITION BY key ORDER BY slope_ppm)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY key) AS np
+        |  FROM p),
+        |med AS (
+        |  SELECT key, max(np)::bigint AS n_pairs,
+        |    min(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+        |      ::bigint AS slope_ppm_median
+        |  FROM rk GROUP BY key),
+        |nd AS (SELECT key, count(*)::bigint AS n_days FROM daily
+        |       GROUP BY key)
+        |SELECT nd.key, n_days, n_pairs, slope_ppm_median
+        |FROM nd LEFT JOIN med ON nd.key = med.key""".stripMargin,
 
     // the stored-vocabulary encode is defined to equal the in-query
     // train+encode (parquet round-trips the vocab exactly) — one oracle

@@ -564,6 +564,53 @@ object Temporal {
             .cast("double"), lit(0.0))).as("slope_cents_per_day"))
   }
 
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    * day-to-day slopes over the daily cent totals (Theil 1950; Sen
+    * 1968) — breakdown point 29.3%, so a burst of corrupted days
+    * cannot drag the estimate the way it drags [[trendOls]]'s
+    * least-squares line (the robust companion, exactly as the MAD
+    * anomaly screen is the robust companion to z-scores). Each pair
+    * slope is the exact integer `(10⁶·Δcents) div Δdays` (ppm, and
+    * `div` truncates toward zero in BOTH engines — probed, not
+    * assumed); the median is the `(P+1) div 2`-th order statistic
+    * (lower median — a total, engine-replayable choice). Keys with a
+    * single day emit a NULL median, replayably.
+    *
+    * Scale shape: pairs are DAYS², not rows — the fact table reduces
+    * to the per-(key, day) frame in one combining aggregate, and the
+    * pair join is day-frame-sized (a decade of daily grain is ~6.7M
+    * pairs per key, still nothing next to the fact scan). */
+  def theilSenTrend(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = CacheRegistry.tracked(events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .withColumn("x", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col("key"))))
+        .cast("long")))
+    val slopes = daily.select(col("key"), col("x").as("xi"),
+        col("cents").as("yi"))
+      .join(daily.select(col("key"), col("x").as("xj"),
+        col("cents").as("yj")), Seq("key"))
+      .filter(col("xi") < col("xj"))
+      .select(col("key"),
+        expr("(1000000 * (yj - yi)) div (xj - xi)").as("slope_ppm"))
+    val med = slopes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("slope_ppm"))))
+      .withColumn("np", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+      .groupBy(col("key"))
+      .agg(max(col("np")).as("n_pairs"),
+        min(when(col("rn") === expr("(np + 1) div 2"),
+          col("slope_ppm"))).as("slope_ppm_median"))
+    daily.groupBy(col("key")).agg(count(lit(1)).as("n_days"))
+      .join(med, Seq("key"), "left")
+      .select(col("key"), col("n_days"), col("n_pairs"),
+        col("slope_ppm_median"))
+  }
+
   /** Day-of-week seasonality profile (STL-lite): per key, daily cent
     * totals on the DENSE date spine (missing days = 0 — absence IS the
     * signal a seasonality profile must see), detrended by a centered

@@ -2504,6 +2504,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: exact largest-remainder quotas, deterministic fill") {
+    // strata a:5, b:3, c:3 (N=11), total=10: bases 4,2,2 (Σ=8),
+    // remainders 6,8,8 → the two +1 seats go to b and c (rem desc,
+    // name asc) → quotas 4,3,3 and EXACTLY 10 rows
+    val docs = ((0 until 5).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (20 until 23).map(i => (i.toLong, "c")))
+      .map { case (id, g) => (id, g, s"text $id") }
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusStats.stratifiedSample(docs, total = 10)
+    assert(got.count() === 10L)
+    val quotas = got.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // per-stratum quota column is the allocation, rk fills it 1..q
+    assert(got.collect().forall(r =>
+      r.getAs[Int]("rk") <= r.getAs[Long]("quota")))
+    // deterministic: the same call selects the same ids
+    assert(got.select("doc_id").as[Long].collect().sorted ===
+      CorpusStats.stratifiedSample(docs, total = 10)
+        .select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("bpe roundtrip: gluing subwords reproduces every word") {
+    val d = Seq((7L, "abab abab aab aab aab bb x"),
+      (8L, "abab aab"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.bpeRoundtrip(d, 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("n_subwords"),
+          x.getAs[Boolean]("lossless"))).toMap
+    // doc 7: 7 words; abab/aab 1 token each, bb → [b, b], x OOV → 1:
+    // 2·1 + 3·1 + 2 + 1 = 8 subwords; every glue-back is exact
+    assert(r(7L) === ((7L, 8L, true)))
+    assert(r(8L) === ((2L, 2L, true)))
+  }
+
   test("rrf fusion: hand-computed ppm scores, single-system docs survive") {
     import graft.operators.SparseSim
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2))

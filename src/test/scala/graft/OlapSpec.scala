@@ -756,6 +756,42 @@ class OlapSpec extends SparkSpec {
     assert(r("s") === ((1L, 700.0, 700.0)))
   }
 
+  test("theil-sen: median pairwise slope shrugs off the outlier day") {
+    import graft.operators.Temporal
+    // days 0,1,2 with cents 100, 200, 300: slopes (100, 100, 100)e6
+    // ppm → median 100e6; adding an outlier day 3 at 100000 cents
+    // drags OLS hard but the pair-slope median barely moves
+    val clean = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "u", 3.0),
+      ev(9, "2024-01-05 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.theilSenTrend(clean).collect()
+      .map(x => x.getAs[String]("key") ->
+        (x.getAs[Long]("n_days"), x.getAs[Any]("n_pairs"),
+          x.getAs[Any]("slope_ppm_median"))).toMap
+    assert(r("u") === ((3L, 3L, 100000000L)))
+    // a single-day key has no pairs: NULL median, replayably
+    assert(r("s") === ((1L, null, null)))
+    val dirty = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "u", 2.0),
+      ev(3, "2024-01-03 08:00:00", 1, "u", 3.0),
+      ev(4, "2024-01-04 08:00:00", 1, "u", 1000.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val med = Temporal.theilSenTrend(dirty).collect()
+      .find(_.getAs[String]("key") == "u").get
+      .getAs[Long]("slope_ppm_median")
+    // 6 pair slopes sorted: 100e6, 100e6, then four outlier-driven —
+    // lower median (rank 3) is the first outlier-free... compute:
+    // slopes e6: (0,1)=100, (0,2)=100, (1,2)=100, (0,3)=33300,
+    // (1,3)=49900, (2,3)=99700 → sorted 100,100,100,33300,49900,99700
+    // rank (6+1) div 2 = 3 → 100e6: the outlier never reaches the
+    // median (OLS slope on the same data is ~28,000 cents/day)
+    assert(med === 100000000L)
+  }
+
   test("holt level+trend: pair fold halves forward, singleton is flat") {
     import graft.operators.Temporal
     // cents 100, 200, 300 by day; l1=100, b1=0;
