@@ -381,6 +381,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-hilbert-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def aggMvPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-aggmv-${Integer.toHexString(d.hashCode)}").toString
+
   /** The events table binned onto the Z-grid: two bounded integer keys
     * (production would range-normalize real columns first). */
   private def zGrid(events: DataFrame): DataFrame =
@@ -1778,6 +1782,35 @@ object ExtQueries {
     // keys-sized merge, the fact history never rescanned. Equals the
     // full recompute exactly (decimal partials merge
     // order-independently).
+    // Transparent materialized-view routing: the canonical daily
+    // rollup written as a PLAIN declarative aggregate — the
+    // AggStoreRewrite optimizer rule reroutes it to the committed IVM
+    // partials (keys-sized read, zero fact scan; PlanSpec-pinned) —
+    // while the oracle recomputes from the raw facts, proving the
+    // store serves the identical rows. Registration confs are scoped
+    // to this query (eager localCheckpoint materializes THROUGH the
+    // rewrite, then the confs unset).
+    "x_mv_rewrite" -> ((s, d) => {
+      graft.sources.AggStore.ensureState(Tables.events(s, d),
+        aggMvPath(d), baseTag = "mv-full")
+      s.conf.set(graft.plans.AggStoreRewrite.PathKey, aggMvPath(d))
+      s.conf.set(graft.plans.AggStoreRewrite.SourceKey,
+        s"$d/events.parquet")
+      try {
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 2))).as("total"))
+          .select(col("day"), col("event_type"), col("cnt"),
+            col("total").cast("double").as("total"))
+          .localCheckpoint()
+      } finally {
+        s.conf.unset(graft.plans.AggStoreRewrite.PathKey)
+        s.conf.unset(graft.plans.AggStoreRewrite.SourceKey)
+      }
+    }),
+
     "x_ivm_daily" -> ((s, d) => {
       val base = Tables.events(s, d)
         .filter(col("event_id") % IvmDeltaMod =!= 0)
@@ -5356,6 +5389,13 @@ object ExtQueries {
 
     // the full recompute the incremental merge must equal exactly
     "x_ivm_daily" ->
+      """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the REWRITTEN plan reads only the store; the oracle recomputes
+    // the view from the raw facts — row equality IS the MV contract
+    "x_mv_rewrite" ->
       """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,

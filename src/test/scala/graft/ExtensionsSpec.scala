@@ -141,4 +141,56 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(notLit.getMessage.contains("graft_retention") ||
       notLit.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("mv rewrite: routed to the store, blocked by filters, identical rows") {
+    import graft.plans.AggStoreRewrite
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), "view", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "view", 2.5),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "click", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    def facts = spark.read.parquet(s"$dir/events.parquet")
+    graft.sources.AggStore.ensureState(facts, s"$dir/store",
+      baseTag = "mv-spec")
+    def view = facts
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).as("total"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    val direct = rows(view) // confs unset: the plain plan
+    spark.conf.set(AggStoreRewrite.PathKey, s"$dir/store")
+    spark.conf.set(AggStoreRewrite.SourceKey, s"$dir/events.parquet")
+    try {
+      val routed = view
+      val plan = routed.queryExecution.executedPlan.toString
+      // the rewritten plan reads the committed partials, never facts
+      assert(plan.contains("agg-"), s"not routed to the store:\n$plan")
+      assert(!plan.contains("events.parquet"),
+        s"fact scan survived the rewrite:\n$plan")
+      assert(rows(routed) === direct && direct.size === 2)
+      // ANY filter between aggregate and scan blocks the rewrite —
+      // a filtered rollup is NOT the maintained view
+      val filtered = facts.filter($"event_type" === "view")
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"value".cast("decimal(18,2)")).as("total"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("events.parquet"))
+      // a different aggregate shape falls through untouched
+      val other = facts.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(other.queryExecution.executedPlan.toString
+        .contains("events.parquet"))
+    } finally {
+      spark.conf.unset(AggStoreRewrite.PathKey)
+      spark.conf.unset(AggStoreRewrite.SourceKey)
+    }
+  }
 }

@@ -684,6 +684,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mv rewrite routes the driver-shaped rollup off the fact scan") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.AggStoreRewrite
+    // the exact x_mv_rewrite shape THROUGH the Tables.events loader —
+    // pins that the registered view reroutes on the real driver path,
+    // not just on a hand-built fixture
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mvplan").toString
+    graft.sources.AggStore.ensureState(Tables.events(spark, sf0001),
+      store, baseTag = "plan-pin")
+    spark.conf.set(AggStoreRewrite.PathKey, store)
+    spark.conf.set(AggStoreRewrite.SourceKey, s"$sf0001/events.parquet")
+    try {
+      val q = Tables.events(spark, sf0001)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).as("total"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("agg-"), s"not routed:\n$plan")
+      assert(!plan.contains("events.parquet"),
+        s"fact scan survived:\n$plan")
+    } finally {
+      spark.conf.unset(AggStoreRewrite.PathKey)
+      spark.conf.unset(AggStoreRewrite.SourceKey)
+    }
+  }
+
   test("cms fold ships counter bytes; the estimate stays in codegen") {
     withStaticPlan {
       // the sketch build: partial + final ObjectHashAggregate, the
