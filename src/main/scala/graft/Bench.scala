@@ -24,12 +24,16 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // the SQL front door — x_sql_* bench queries run through sql()
       .withExtensions(new graft.plans.GraftExtensions())
-      // 67 queries × many codegen'd stages in ONE JVM: the default
+      // 220 queries × many codegen'd stages in ONE JVM: the default
       // 100-entry generated-class cache evicts constantly, so later
       // queries pay Janino recompiles the warmup already did (static
       // conf — must be set before the session exists). A cluster never
-      // sees this: each executor compiles its own stages once.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // sees this: each executor compiles its own stages once. Sized
+      // WELL past the query count: at 2000 the r10 220-query sweep
+      // thrashed it and the deepest pipeline (x_cluster_store: clone +
+      // admission + label maintenance + read, dozens of stages per
+      // attempt) re-Janino'd every attempt, 6.2 s → 26.7 s.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,7 +27,7 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions())
       // same single-JVM codegen-cache thrash as Bench: 67 queries of
       // stages vs a 100-entry default (static conf, set pre-session)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

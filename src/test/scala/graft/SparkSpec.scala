@@ -21,7 +21,7 @@ object SparkSpec {
       .withExtensions(new graft.plans.GraftExtensions())
       // one JVM runs every suite's plans: avoid generated-class cache
       // thrash (same static conf Bench/Verify set)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
