@@ -97,6 +97,7 @@ object ExtQueries {
   val HashedNgramBuckets = 4096 // weight slots for the hashed scorer
   val BootstrapReps = 40 // Poisson-bootstrap replicates per key
   val StratifiedTotal = 100 // exact stratified-sample size
+  val TruncDim = 16 // Matryoshka prefix length evaluated vs full 64
   val HistBuckets = 4 // equi-depth histogram bins per key
   val BenfordTol = 0.02 // |freq − log10(1+1/d)| bound for the screen
   val AcfMaxLag = 7 // autocorrelation lags probed (weekly cycle peak)
@@ -632,6 +633,20 @@ object ExtQueries {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") % QueryMod === 0), e, TopK)
     }),
+
+    // Matryoshka read-out: recall@k of the first 16 dims against the
+    // full 64-dim exact top-k — how many dimensions does the serving
+    // index actually need? Exact ppm recall, replayable.
+    "x_ann_dim_truncate" -> ((s, d) =>
+      Similarity.dimTruncateRecall(Tables.embeddings(s, d), TopK,
+        QueryMod, TruncDim)),
+
+    // Hard-negative mining: per anchor the k highest-cosine docs
+    // BELOW the near-dup threshold — close-but-wrong contrastive
+    // negatives; near-dups are excluded as false negatives.
+    "x_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), TopK,
+        QueryMod, CosineThreshold)),
 
     // kNN label prediction + neighborhood purity over the labeled
     // embedding corpus: majority vote of the exact top-k (ties → lowest
@@ -3528,6 +3543,55 @@ object ExtQueries {
     "x_cluster_store" -> EmbedClusterOracle,
 
     "x_ann_cosine_topk" -> AnnCosineTopkOracle,
+
+    // full-dim oracle reused verbatim; the truncated ranking slices
+    // the first TruncDim dims before the same cosine/rank chain
+    "x_ann_dim_truncate" ->
+      s"""WITH f AS ($AnnCosineTopkOracle),
+         |tq AS (
+         |  SELECT vec_id AS query_id,
+         |    (embedding::DOUBLE[])[1:$TruncDim] AS qv
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |tc AS (
+         |  SELECT vec_id AS match_id,
+         |    (embedding::DOUBLE[])[1:$TruncDim] AS cv
+         |  FROM embeddings),
+         |ts AS (
+         |  SELECT query_id, match_id,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM tc CROSS JOIN tq WHERE query_id <> match_id),
+         |tr AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, match_id) AS rank
+         |    FROM ts) WHERE rank <= $TopK),
+         |j AS (
+         |  SELECT f.query_id,
+         |    CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM f LEFT JOIN tr t
+         |    ON f.query_id = t.query_id AND f.match_id = t.match_id)
+         |SELECT query_id, sum(hit)::bigint AS n_hits,
+         |  ((1000000 * sum(hit)) // $TopK)::bigint AS recall_ppm
+         |FROM j GROUP BY query_id""".stripMargin,
+
+    // the brute chain with the near-dup band excluded before the cut
+    "x_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, match_id,
+         |    round(list_cosine_similarity(qv, cv), 6) AS cos
+         |  FROM c CROSS JOIN q WHERE query_id <> match_id),
+         |neg AS (SELECT * FROM scored WHERE cos < $CosineThreshold),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM neg)
+         |SELECT query_id, match_id, cos, rank FROM ranked
+         |WHERE rank <= $TopK""".stripMargin,
 
     // the brute-force top-k CTE + integer majority vote (votes desc,
     // label asc) + own-label agreement count — all-integer outputs

@@ -81,6 +81,59 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Matryoshka truncation read-out: recall@k of the FIRST `truncDim`
+    * dimensions against the full-dimension exact top-k — the
+    * evaluation that decides how many dimensions a serving index
+    * actually needs (Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS 2022: prefixes of an MRL-trained embedding
+    * carry most of the signal; a 4× narrower index is 4× the vectors
+    * per byte of cache). Both rankings are exact brute force — this
+    * is an EVALUATION harness over the query sample, so its cost is
+    * eval-set-sized; the decision it informs (store `truncDim` floats
+    * instead of the full vector) is what pays at 100 TB. Overlap is
+    * counted on (query, match) keys; recall is the exact ppm integer
+    * `10⁶·hits div k`, replayable anywhere. */
+  def dimTruncateRecall(embeddings: DataFrame, k: Int, queryMod: Int,
+      truncDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def truncated(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, truncDim).as(vecCol))
+    val queries = embeddings.filter(col(idCol) % queryMod === 0)
+    val full = bruteForceTopK(queries, embeddings, k, idCol, vecCol)
+    val trunc = bruteForceTopK(truncated(queries),
+      truncated(embeddings), k, idCol, vecCol)
+    full.select(col("query_id"), col("match_id"))
+      .join(trunc.select(col("query_id"), col("match_id"),
+        lit(1L).as("hit")), Seq("query_id", "match_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"(1000000 * n_hits) div $k").as("recall_ppm"))
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` HIGHEST-cosine documents that are NOT near-duplicates
+    * (cos < `threshold`) and not the anchor itself — the "close but
+    * wrong" examples a contrastive objective needs: random negatives
+    * are too easy to carry gradient, while near-dups above the
+    * threshold are FALSE negatives that poison the loss (the standard
+    * curation step between the dedup pass and the training run). Same
+    * exact brute-force shape as [[bruteForceTopK]] with the near-dup
+    * band excluded before the rank cut; at scale the brute pass swaps
+    * for any of the suite's ANN ladders with the identical filter. */
+  def hardNegatives(embeddings: DataFrame, k: Int, queryMod: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = unitVecs(embeddings.filter(col(idCol) % queryMod === 0),
+      idCol, vecCol, "query_id", "qv")
+    val c = unitVecs(embeddings, idCol, vecCol, "match_id", "cv")
+    topK(c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        round(dot(col("qv"), col("cv")), 6).as("cos"))
+      .filter(col("cos") < threshold), k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * the low bit of a 60-bit md5-derived integer of "p{plane}#{dim}" —
     * the same construction a SQL engine computes as

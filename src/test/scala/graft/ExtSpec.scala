@@ -2504,6 +2504,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dim-truncate recall: full prefix is perfect, short prefix bounded") {
+    val e = Tables.embeddings(spark, sf0001)
+    // truncating to the FULL width is the identity ranking: recall
+    // must be exactly 10⁶ for every query
+    val ident = Similarity.dimTruncateRecall(e, k = 5, queryMod = 50,
+      truncDim = 64).collect()
+    assert(ident.nonEmpty)
+    assert(ident.forall(_.getAs[Long]("recall_ppm") === 1000000L))
+    // a 16-dim prefix: recall in [0, 10⁶], hits within k, exact ppm
+    val short = Similarity.dimTruncateRecall(e, k = 5, queryMod = 50,
+      truncDim = 16).collect()
+    assert(short.map(_.getAs[Long]("query_id")).toSet ===
+      ident.map(_.getAs[Long]("query_id")).toSet)
+    short.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getAs[Long]("recall_ppm") === 1000000L * hits / 5L)
+    }
+  }
+
+  test("hard negatives: below the near-dup band, never self, k-cut") {
+    val e = Tables.embeddings(spark, sf0001)
+    val neg = Similarity.hardNegatives(e, k = 5, queryMod = 50,
+      threshold = 0.935).collect()
+    assert(neg.nonEmpty)
+    neg.foreach { r =>
+      assert(r.getAs[Double]("cos") < 0.935) // near-dups excluded
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("match_id"))
+      assert(r.getAs[Int]("rank") <= 5)
+    }
+    // the negatives are the HARDEST remaining: per query, rank order
+    // follows cosine descending
+    neg.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("stratified sample: exact largest-remainder quotas, deterministic fill") {
     // strata a:5, b:3, c:3 (N=11), total=10: bases 4,2,2 (Σ=8),
     // remainders 6,8,8 → the two +1 seats go to b and c (rem desc,
