@@ -100,6 +100,87 @@ object CountMin {
       .withColumn("no_underest", col("est") >= col("exact_cnt"))
   }
 
+  /** SKETCH-SERVED corpus drift: the `k` tokens whose RATE (ppm of the
+    * stream) moved most between two corpus halves, each row carrying
+    * the exact counts (replayable), the exact integer rate difference
+    * that RANKS it, and both sketches' point estimates — themselves
+    * replayable (the md5 matrices), plus the deterministic
+    * no-underestimate booleans. The 100 TB shape: production keeps one
+    * 24 KB CMS per day and diffs ESTIMATES to flag drift candidates
+    * (two sketch reads, no token shuffle); this audit re-ranks by the
+    * exact rates only to pin the sketch columns against truth. The
+    * rate is `10⁶·cnt div N` per side — integer, total tiebreak
+    * (|Δ| desc, item). */
+  def cmsDriftValidated(docs: DataFrame, depth: Int = 3,
+      width: Int = 1024, k: Int = 40): DataFrame = {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val skA = mergedSketch(cmsState(a, lit(0), depth, width), depth,
+      width)
+    val skB = mergedSketch(cmsState(b, lit(0), depth, width), depth,
+      width)
+    def tf(side: DataFrame, cnt: String) = side
+      .select(explode(TextAnalysis.words(col("text"))).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy(col("item")).agg(count(lit(1)).as(cnt))
+    val tfA = CacheRegistry.tracked(tf(a, "cnt_a"))
+    val tfB = CacheRegistry.tracked(tf(b, "cnt_b"))
+    val totals = tfA.agg(sum(col("cnt_a")).as("na"))
+      .crossJoin(tfB.agg(sum(col("cnt_b")).as("nb")))
+    tfA.join(tfB, Seq("item"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_diff_ppm",
+        expr("abs((1000000 * cnt_a) div na - (1000000 * cnt_b) div nb)"))
+      .orderBy(col("rate_diff_ppm").desc, col("item"))
+      .limit(k)
+      .select(col("item"), col("cnt_a"), col("cnt_b"),
+        col("rate_diff_ppm"),
+        CmsFunctions.cmsEstimate(col("item"), skA).as("est_a"),
+        CmsFunctions.cmsEstimate(col("item"), skB).as("est_b"))
+      .withColumn("no_underest",
+        col("est_a") >= col("cnt_a") && col("est_b") >= col("cnt_b"))
+  }
+
+  /** One advisor row for an equi-join: the EXACT join cardinality
+    * Σ_k cnt_l(k)·cnt_r(k) (the validation side — a keyed shuffle)
+    * beside the CMS inner-product ESTIMATE from two 24 KB sketches
+    * (the production side — scan-speed, no shuffle), with the
+    * deterministic est ≥ exact guarantee. */
+  def joinSizeProfile(name: String, left: DataFrame, lKey: String,
+      right: DataFrame, rKey: String, depth: Int = 3,
+      width: Int = 1024): DataFrame = {
+    def sketchOf(df: DataFrame, key: String) =
+      graft.plans.CmsBuffer.deserialize(df
+        .agg(CmsFunctions.cmsSketchAgg(col(key).cast("string"),
+          depth, width).as("sk"))
+        .collect().head.getAs[Array[Byte]]("sk")) // bounded metadata
+    val est = sketchOf(left, lKey).innerProduct(sketchOf(right, rKey))
+    val lc = left.groupBy(col(lKey).cast("string").as("item"))
+      .agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rKey).cast("string").as("item"))
+      .agg(count(lit(1)).as("cr"))
+    lc.join(rc, Seq("item"))
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
+        .as("exact_rows"))
+      .select(lit(name).as("join_name"), col("exact_rows"),
+        lit(est).as("est_rows"),
+        (lit(est) >= col("exact_rows")).as("no_underest"))
+  }
+
+  /** The advisor composed: profile several candidate joins, flag the
+    * one(s) a cost-based planner would pick by SKETCH estimate alone
+    * (`chosen` = minimum estimated cardinality — at planning time the
+    * exact sizes don't exist; the audit carries them to show the
+    * estimate-driven choice against truth). */
+  def joinSizeAdvisor(profiles: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    profiles.reduce(_ unionByName _)
+      .withColumn("chosen",
+        col("est_rows") === min(col("est_rows")).over(
+          Window.partitionBy(lit(1))))
+  }
+
   /** SELF-JOIN SIZE (F2 moment) audit over an integer key column: one
     * row with the exact Σ count(k)² (the size of the key-equi
     * self-join — THE cardinality a planner needs before picking a

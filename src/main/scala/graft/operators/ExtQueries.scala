@@ -1975,6 +1975,31 @@ object ExtQueries {
         parts = SketchParts, depth = CmsDepth, width = CmsWidth,
         phi = HeavyHitterPhi)),
 
+    // Sketch-served drift: the 40 tokens whose ppm rate moved most
+    // between corpus halves, carrying both sketches' replayable
+    // estimates — production diffs two 24 KB daily sketches; the
+    // exact counts here only pin the estimates against truth.
+    "x_cms_drift" -> ((s, d) =>
+      CountMin.cmsDriftValidated(Tables.documents(s, d),
+        depth = CmsDepth, width = CmsWidth, k = DriftTopK)),
+
+    // Join-order advisor: three candidate equi-joins profiled by the
+    // CMS inner-product estimate (all a planner has at planning time)
+    // beside the exact cardinalities (the audit's proof); chosen =
+    // minimum estimate, the cheapest-first rule.
+    "x_join_advisor" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      CountMin.joinSizeAdvisor(Seq(
+        CountMin.joinSizeProfile("orders_customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey", CmsDepth, CmsWidth),
+        CountMin.joinSizeProfile("lineitem_orders",
+          Tables.lineitem(s, d), "l_orderkey", o, "o_orderkey",
+          CmsDepth, CmsWidth),
+        CountMin.joinSizeProfile("events_orders_cust",
+          Tables.events(s, d), "user_id", o, "o_custkey",
+          CmsDepth, CmsWidth)))
+    }),
+
     // Count-Min inner-product self-join size (the F2 moment): the
     // cardinality a cost-based planner wants for a skewed equi-join,
     // from one 24 KB sketch instead of a keyed shuffle — estimate
@@ -2707,6 +2732,35 @@ object ExtQueries {
          |      - 2 * ((x >> $b) & 1) * ((y >> $b) & 1)) AS d
          |  FROM h$i)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** Per-join CTE block of the advisor oracle: exact per-key counts
+    * per side, both rebuilt md5 counter matrices, the row-wise dot
+    * (LEFT join keeps zero-overlap rows at 0 — the engine's min sees
+    * them), and the exact Σ cnt_l·cnt_r. */
+  private def cmsJoinOracle(tag: String, leftTbl: String, lKey: String,
+      rightTbl: String, rKey: String): String = {
+    val l = s"${tag}l"
+    val r = s"${tag}r"
+    s"""$l AS (SELECT $lKey::varchar AS item, count(*)::bigint AS cnt
+       |       FROM $leftTbl GROUP BY 1),
+       |$r AS (SELECT $rKey::varchar AS item, count(*)::bigint AS cnt
+       |       FROM $rightTbl GROUP BY 1),
+       |${tag}ba AS (${cmsBucketRows(l, "cnt")}),
+       |${tag}ma AS (SELECT r, bucket, sum(w)::bigint AS m
+       |             FROM ${tag}ba GROUP BY r, bucket),
+       |${tag}bb AS (${cmsBucketRows(r, "cnt")}),
+       |${tag}mb AS (SELECT r, bucket, sum(w)::bigint AS m
+       |             FROM ${tag}bb GROUP BY r, bucket),
+       |${tag}d AS (SELECT a.r, coalesce(sum(a.m * b.m), 0)::bigint
+       |              AS dot
+       |            FROM ${tag}ma a LEFT JOIN ${tag}mb b
+       |              ON a.r = b.r AND a.bucket = b.bucket
+       |            GROUP BY a.r),
+       |${tag}e AS (SELECT min(dot)::bigint AS est FROM ${tag}d),
+       |${tag}x AS (SELECT coalesce(sum(a.cnt * b.cnt), 0)::bigint
+       |              AS exact
+       |            FROM $l a JOIN $r b USING (item))""".stripMargin
   }
 
   /** Brute-force dense cosine top-k oracle — shared verbatim by
@@ -5773,6 +5827,77 @@ object ExtQueries {
          |  TRUE AS no_underest
          |FROM tf JOIN e USING (item) CROSS JOIN n
          |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // exact top-movers by ppm rate; estimates replayed per TOP item
+    // against each half's matrix (absent-side items estimate off
+    // collision mass, exactly as the engine's lookup does)
+    "x_cms_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS item
+         |  FROM documents),
+         |ta AS (SELECT item, count(*)::bigint AS cnt_a FROM tok
+         |       WHERE doc_id % 2 = 0 AND item <> '' GROUP BY item),
+         |tb AS (SELECT item, count(*)::bigint AS cnt_b FROM tok
+         |       WHERE doc_id % 2 <> 0 AND item <> '' GROUP BY item),
+         |n AS (SELECT (SELECT sum(cnt_a) FROM ta)::bigint AS na,
+         |             (SELECT sum(cnt_b) FROM tb)::bigint AS nb),
+         |fo AS (
+         |  SELECT coalesce(ta.item, tb.item) AS item,
+         |    coalesce(cnt_a, 0)::bigint AS cnt_a,
+         |    coalesce(cnt_b, 0)::bigint AS cnt_b
+         |  FROM ta FULL OUTER JOIN tb ON ta.item = tb.item),
+         |top AS (
+         |  SELECT item, cnt_a, cnt_b,
+         |    abs((1000000 * cnt_a) // na - (1000000 * cnt_b) // nb)
+         |      AS rate_diff_ppm
+         |  FROM fo CROSS JOIN n
+         |  ORDER BY rate_diff_ppm DESC, item LIMIT $DriftTopK),
+         |ba AS (${cmsBucketRows("ta", "cnt_a")}),
+         |ma AS (SELECT r, bucket, sum(w)::bigint AS cnt FROM ba
+         |       GROUP BY r, bucket),
+         |bb AS (${cmsBucketRows("tb", "cnt_b")}),
+         |mb AS (SELECT r, bucket, sum(w)::bigint AS cnt FROM bb
+         |       GROUP BY r, bucket),
+         |pta AS (${cmsBucketRows("top", "cnt_a")}),
+         |ea AS (SELECT t.item, min(coalesce(ma.cnt, 0))::bigint
+         |         AS est_a
+         |       FROM pta t LEFT JOIN ma
+         |         ON t.r = ma.r AND t.bucket = ma.bucket
+         |       GROUP BY t.item),
+         |ptb AS (${cmsBucketRows("top", "cnt_b")}),
+         |eb AS (SELECT t.item, min(coalesce(mb.cnt, 0))::bigint
+         |         AS est_b
+         |       FROM ptb t LEFT JOIN mb
+         |         ON t.r = mb.r AND t.bucket = mb.bucket
+         |       GROUP BY t.item)
+         |SELECT top.item, cnt_a, cnt_b, rate_diff_ppm, est_a, est_b,
+         |  TRUE AS no_underest
+         |FROM top JOIN ea USING (item) JOIN eb USING (item)"""
+        .stripMargin,
+
+    // three joins, each estimated from two rebuilt matrices; chosen =
+    // min estimate across the union (the planner's cheapest-first)
+    "x_join_advisor" ->
+      s"""WITH ${cmsJoinOracle("j1", "orders", "o_custkey",
+           "customer", "c_custkey")},
+         |${cmsJoinOracle("j2", "lineitem", "l_orderkey",
+           "orders", "o_orderkey")},
+         |${cmsJoinOracle("j3", "events", "user_id",
+           "orders", "o_custkey")},
+         |u AS (
+         |  SELECT 'orders_customer' AS join_name,
+         |    (SELECT exact FROM j1x) AS exact_rows,
+         |    (SELECT est FROM j1e) AS est_rows
+         |  UNION ALL SELECT 'lineitem_orders',
+         |    (SELECT exact FROM j2x), (SELECT est FROM j2e)
+         |  UNION ALL SELECT 'events_orders_cust',
+         |    (SELECT exact FROM j3x), (SELECT est FROM j3e))
+         |SELECT join_name, exact_rows, est_rows,
+         |  est_rows >= exact_rows AS no_underest,
+         |  est_rows = (SELECT min(est_rows) FROM u) AS chosen
+         |FROM u""".stripMargin,
 
     // self-join size (F2): exact Σ cnt² vs the min-of-row-dot-products
     // inner-product estimate — both replayed from the same matrix

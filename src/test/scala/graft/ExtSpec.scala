@@ -2691,6 +2691,45 @@ class ExtSpec extends SparkSpec {
     assert(audit.forall(_.getAs[Boolean]("no_underest")))
   }
 
+  test("cms drift: one-sided tokens top the movers; estimates stay above truth") {
+    import graft.operators.CountMin
+    // even half "aaa bbb", odd half "aaa ccc": aaa has identical rate
+    // in both halves (diff 0); bbb/ccc are one-sided at rate 1/2 →
+    // diff 500000 ppm each, tie broken by item name
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "aaa bbb" else "aaa ccc"))
+      .toDF("doc_id", "text")
+    val got = CountMin.cmsDriftValidated(docs, depth = 3, width = 256,
+      k = 2).collect()
+    assert(got.map(_.getAs[String]("item")).toSeq === Seq("bbb", "ccc"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("rate_diff_ppm") === 500000L)
+      assert(r.getAs[Boolean]("no_underest"))
+    }
+    val bbb = got.find(_.getAs[String]("item") == "bbb").get
+    assert(bbb.getAs[Long]("cnt_a") === 20L &&
+      bbb.getAs[Long]("cnt_b") === 0L)
+  }
+
+  test("join advisor: single-key joins estimate exactly; min estimate chosen") {
+    import graft.operators.CountMin
+    // one distinct key per side → the only occupied buckets hold that
+    // key alone, so the inner product IS the exact cardinality
+    def keyed(n: Int, k: Long) = (0 until n)
+      .map(i => (i.toLong, k)).toDF("row_id", "key")
+    val small = CountMin.joinSizeProfile("small", keyed(10, 1L), "key",
+      keyed(3, 1L), "key", depth = 3, width = 256)
+    val big = CountMin.joinSizeProfile("big", keyed(5, 2L), "key",
+      keyed(100, 2L), "key", depth = 3, width = 256)
+    val rows = CountMin.joinSizeAdvisor(Seq(small, big)).collect()
+      .map(r => r.getAs[String]("join_name") ->
+        (r.getAs[Long]("exact_rows"), r.getAs[Long]("est_rows"),
+          r.getAs[Boolean]("no_underest"), r.getAs[Boolean]("chosen")))
+      .toMap
+    assert(rows("small") === ((30L, 30L, true, true)))
+    assert(rows("big") === ((500L, 500L, true, false)))
+  }
+
   test("cms self-join size: exact on a single key, bounded below by F2 always") {
     import graft.operators.CountMin
     // one key: the only occupied buckets hold that key alone, so the
