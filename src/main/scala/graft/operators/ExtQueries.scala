@@ -2242,6 +2242,9 @@ object ExtQueries {
         ProfileCols.map(c => s"'$c'").mkString(", ") + ")")),
     "x_sql_retention" -> ((s, d) => s.sql(
       s"SELECT * FROM graft_retention('$d')")),
+    "x_sql_hard_negatives" -> ((s, d) => s.sql(
+      s"SELECT * FROM graft_hard_negatives('$d', $TopK, $QueryMod, " +
+        s"$CosineThreshold)")),
     "x_sql_dedup_apply" -> ((s, d) => s.sql(
       s"SELECT * FROM graft_dedup_apply('$d')"))
   )
@@ -6553,6 +6556,7 @@ object ExtQueries {
     "x_sql_profile" -> BaseOracleSql("x_profile_orders"),
     "x_sql_retention" -> BaseOracleSql("x_retention"),
     "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"),
+    "x_sql_hard_negatives" -> BaseOracleSql("x_hard_negatives"),
     // stream-maintained sketch state honors the same merge-order-free
     // error contract as the batch split-and-merge audit
     "x_stream_heavy" -> BaseOracleSql("x_freq_merge"))

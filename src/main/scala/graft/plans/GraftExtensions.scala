@@ -64,6 +64,7 @@ object VectorFusion extends Rule[LogicalPlan] {
   *   SELECT * FROM graft_dedup_apply('/data/sf')
   *   SELECT * FROM graft_neardup_pairs('/data/sf', 0.935, 8, 2, 64)
   *   SELECT * FROM graft_profile('/data/sf', 'orders', 'o_orderkey')
+  *   SELECT * FROM graft_hard_negatives('/data/sf', 10, 50, 0.935)
   * }}}
   * Each builder loads its table through [[graft.Tables]] (the same
   * loader the Scala API uses — event-time normalization included) and
@@ -181,6 +182,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         numLit(sig)(c(1)), bands = numLit(sig)(c(2)).toInt,
         rowsPerBand = numLit(sig)(c(3)).toInt,
         dim = numLit(sig)(c(4)).toInt)
+    }
+    tableFn(ext, "graft_hard_negatives") { (s, children) =>
+      val sig = "graft_hard_negatives(dir, k, queryMod, threshold)"
+      val c = arity(sig, 4)(children)
+      graft.operators.Similarity.hardNegatives(
+        graft.Tables.embeddings(s, strLit(sig)(c.head)),
+        numLit(sig)(c(1)).toInt, numLit(sig)(c(2)).toInt,
+        numLit(sig)(c(3)))
     }
     tableFn(ext, "graft_profile") { (s, children) =>
       val sig = "graft_profile(dir, table, col1, ...)"
