@@ -25,8 +25,9 @@ object Verify {
       // the SQL front door (graft_* scalar + table functions) — the
       // x_sql_* queries prove SQL-path ≡ Scala-path on shared oracles
       .withExtensions(new graft.plans.GraftExtensions())
-      // same single-JVM codegen-cache thrash as Bench: 67 queries of
-      // stages vs a 100-entry default (static conf, set pre-session)
+      // same single-JVM codegen-cache sizing as Bench: 225 queries of
+      // stages thrashed the earlier 2000-entry setting (static conf,
+      // set pre-session; see Bench.scala for the measured effect)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

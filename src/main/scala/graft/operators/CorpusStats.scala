@@ -1008,9 +1008,10 @@ object CorpusStats {
   def bpeRoundtrip(docs: DataFrame, nMerges: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val vocab = bpeTrainVocab(docs, nMerges, textCol)._2
+    // plain explode — unlike bpeEncode, nothing here is order-sensitive
     docs
       .select(col(idCol),
-        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+        explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"),
         "left")
@@ -1280,17 +1281,25 @@ object CorpusStats {
     * hitters (count·phi > n, replayable in SQL) joined against a
     * candidate list carrying (est, lb, ub), projecting the two contract
     * booleans the oracle expects TRUE. */
-  private def validateHeavyCandidates(docs: DataFrame, cand: DataFrame,
-      phi: Int): DataFrame = {
+  /** ONE definition of "heavy" for every frequency audit (Misra-Gries
+    * AND Count-Min): tokens with exact count strictly above n/`phi`,
+    * carrying the stream total. The tf frame is cached — the total
+    * and the threshold filter both read it; uncached, the corpus-wide
+    * explode+agg would run twice. */
+  private[operators] def exactHeavyHitters(docs: DataFrame, phi: Int)
+      : DataFrame = {
     val tf = CacheRegistry.tracked(docs
       .select(explode(TextAnalysis.words(col("text"))).as("item"))
       .filter(col("item") =!= "")
       .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt")))
-    // cached: the total and the threshold filter both read the token
-    // frequency table — uncached, the corpus-wide explode+agg runs twice
     val total = tf.agg(sum(col("exact_cnt")).as("n_tokens"))
     tf.crossJoin(broadcast(total))
       .filter(col("exact_cnt") * phi > col("n_tokens"))
+  }
+
+  private def validateHeavyCandidates(docs: DataFrame, cand: DataFrame,
+      phi: Int): DataFrame = {
+    exactHeavyHitters(docs, phi)
       .join(broadcast(cand), Seq("item"), "left")
       .select(col("item"), col("exact_cnt"), col("n_tokens"),
         col("est").isNotNull.as("reported"),

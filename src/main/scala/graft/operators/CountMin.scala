@@ -48,17 +48,11 @@ object CountMin {
     else graft.plans.CmsBuffer.deserialize(rows.head.getAs[Array[Byte]]("u"))
   }
 
-  /** The exact token-frequency table + heavy filter shared by the two
-    * token audits: tokens with exact count strictly above n/`phi`. */
-  private def heavyExact(docs: DataFrame, phi: Int): DataFrame = {
-    val tf = CacheRegistry.tracked(docs
-      .select(explode(TextAnalysis.words(col("text"))).as("item"))
-      .filter(col("item") =!= "")
-      .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt")))
-    val total = tf.agg(sum(col("exact_cnt")).as("n_tokens"))
-    tf.crossJoin(broadcast(total))
-      .filter(col("exact_cnt") * phi > col("n_tokens"))
-  }
+  /** The exact heavy line — [[CorpusStats.exactHeavyHitters]], the
+    * ONE definition shared with the Misra-Gries audits so the two
+    * sketch families can never disagree on what "heavy" means. */
+  private def heavyExact(docs: DataFrame, phi: Int): DataFrame =
+    CorpusStats.exactHeavyHitters(docs, phi)
 
   /** SELF-VALIDATING point-estimate audit: rows are the exact heavy
     * hitters (replayable in SQL), each carrying the sketch's point
@@ -150,15 +144,20 @@ object CountMin {
   def joinSizeProfile(name: String, left: DataFrame, lKey: String,
       right: DataFrame, rKey: String, depth: Int = 3,
       width: Int = 1024): DataFrame = {
+    // NULL keys match nothing in the equi-join being sized, so they
+    // enter neither side's counts nor sketch (the aggregate skips
+    // nulls; the exact side filters so its per-key frame replays)
+    val l = left.filter(col(lKey).isNotNull)
+    val r = right.filter(col(rKey).isNotNull)
     def sketchOf(df: DataFrame, key: String) =
       graft.plans.CmsBuffer.deserialize(df
         .agg(CmsFunctions.cmsSketchAgg(col(key).cast("string"),
           depth, width).as("sk"))
         .collect().head.getAs[Array[Byte]]("sk")) // bounded metadata
-    val est = sketchOf(left, lKey).innerProduct(sketchOf(right, rKey))
-    val lc = left.groupBy(col(lKey).cast("string").as("item"))
+    val est = sketchOf(l, lKey).innerProduct(sketchOf(r, rKey))
+    val lc = l.groupBy(col(lKey).cast("string").as("item"))
       .agg(count(lit(1)).as("cl"))
-    val rc = right.groupBy(col(rKey).cast("string").as("item"))
+    val rc = r.groupBy(col(rKey).cast("string").as("item"))
       .agg(count(lit(1)).as("cr"))
     lc.join(rc, Seq("item"))
       .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
@@ -190,13 +189,19 @@ object CountMin {
     * the oracle rebuilds the matrix and takes the same min-of-dots. */
   def cmsSelfJoinProfile(events: DataFrame, depth: Int = 3,
       width: Int = 1024, keyCol: String = "user_id"): DataFrame = {
+    // NULL keys join NOTHING in an equi-join (NULL = NULL is not a
+    // match), so they belong in neither the exact Σcnt² nor the
+    // sketch — the aggregate skips nulls on its own; the exact side
+    // must skip them explicitly or a null group would inflate it
+    // past the estimate and flip the deterministic guarantee
+    val rows = events.filter(col(keyCol).isNotNull)
     val sketch = graft.plans.CmsBuffer.deserialize(
-      events
+      rows
         .agg(CmsFunctions.cmsSketchAgg(col(keyCol).cast("string"),
           depth, width).as("sk"))
         .collect().head.getAs[Array[Byte]]("sk")) // bounded metadata
     val est = sketch.innerProduct(sketch)
-    events
+    rows
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),

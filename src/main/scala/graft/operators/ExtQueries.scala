@@ -1270,9 +1270,6 @@ object ExtQueries {
       CorpusStats.bpeTrainMerges(Tables.documents(s, d),
         BpeTrainMerges)),
 
-    // BPE ENCODE with the trained vocabulary: corpus word explode,
-    // broadcast vocab join, per-doc aggregate with an order-exact
-    // token-stream fingerprint.
     // Tokenizer losslessness at corpus scale: apply ∘ train must
     // reconstruct every word (BPE merges only concatenate) — the
     // per-doc conjunction plus word/subword counts hash.
@@ -1288,6 +1285,9 @@ object ExtQueries {
       CorpusStats.stratifiedSample(Tables.documents(s, d),
         StratifiedTotal)),
 
+    // BPE ENCODE with the trained vocabulary: corpus word explode,
+    // broadcast vocab join, per-doc aggregate with an order-exact
+    // token-stream fingerprint.
     "x_bpe_encode" -> ((s, d) =>
       CorpusStats.bpeEncode(Tables.documents(s, d), BpeTrainMerges)),
 
@@ -2746,9 +2746,9 @@ object ExtQueries {
     val l = s"${tag}l"
     val r = s"${tag}r"
     s"""$l AS (SELECT $lKey::varchar AS item, count(*)::bigint AS cnt
-       |       FROM $leftTbl GROUP BY 1),
+       |       FROM $leftTbl WHERE $lKey IS NOT NULL GROUP BY 1),
        |$r AS (SELECT $rKey::varchar AS item, count(*)::bigint AS cnt
-       |       FROM $rightTbl GROUP BY 1),
+       |       FROM $rightTbl WHERE $rKey IS NOT NULL GROUP BY 1),
        |${tag}ba AS (${cmsBucketRows(l, "cnt")}),
        |${tag}ma AS (SELECT r, bucket, sum(w)::bigint AS m
        |             FROM ${tag}ba GROUP BY r, bucket),
@@ -5904,10 +5904,11 @@ object ExtQueries {
 
     // self-join size (F2): exact Σ cnt² vs the min-of-row-dot-products
     // inner-product estimate — both replayed from the same matrix
+    // NULL keys join nothing, so both sides exclude them
     "x_cms_selfjoin" ->
       s"""WITH k AS (
          |  SELECT user_id::varchar AS item, count(*)::bigint AS cnt
-         |  FROM events GROUP BY user_id),
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
          |b AS (${cmsBucketRows("k", "cnt")}),
          |c AS (SELECT r, bucket, sum(w)::bigint AS m
          |      FROM b GROUP BY r, bucket),

@@ -480,10 +480,10 @@ object GraphStats {
     val wedges = nb.select(col("z"), col("dz"), col("n").as("x"))
       .join(nb.select(col("z"), col("n").as("y")), Seq("z"))
       .filter(col("x") < col("y"))
-    val e = edges
-      .select(least(col(aCol), col(bCol)).as("x"),
-        greatest(col(aCol), col(bCol)).as("y"))
-      .filter(col("x") =!= col("y")).distinct()
+    // the canonical edge set is exactly the cached adjacency's src<dst
+    // half — no second scan+distinct of the pair store
+    val e = adj.filter(col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
     wedges.groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000 div dz")).as("ra_ppm"))

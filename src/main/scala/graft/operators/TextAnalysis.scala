@@ -243,8 +243,8 @@ object TextAnalysis {
           array_remove(words(col(textCol)), ""),
           shingleOccurrences(col(textCol), 2))).as("f"))
       .select(col(idCol),
-        pmod(conv(substring(md5(concat(col("f"), lit("#0"))), 1, 15),
-          16, 10).cast("long"), lit(buckets.toLong)).as("bucket"))
+        pmod(Dedup.seededHash(col("f"), 0), lit(buckets.toLong))
+          .as("bucket"))
       .select(col(idCol),
         (pmod(col("bucket") * lit(2654435761L), lit(1001L)) - lit(500L))
           .as("wgt"))
