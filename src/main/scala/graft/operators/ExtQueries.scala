@@ -2178,6 +2178,20 @@ object ExtQueries {
       Hypothesis.powerMde(Tables.events(s, d),
         Hypothesis.variantOf(col("user_id")))),
 
+    // Two-proportion z on the binary "did the user purchase" metric —
+    // the conversion test most experiments actually run; pooled SE,
+    // exact integer inputs, mirrored closing chain.
+    "x_prop_ztest" -> ((s, d) =>
+      Hypothesis.propZTest(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
+    // Rolling 7-day median level per key on the dense daily spine:
+    // the robust windowed level beside the EWMA — one corrupted day
+    // can never BE the median of its windows. Pure sort-and-pick,
+    // zero arithmetic, exact longs.
+    "x_rolling_median" -> ((s, d) =>
+      Temporal.rollingMedian(Tables.events(s, d))),
+
     // Poisson-bootstrap percentile CI for the between-arm mean diff:
     // md5-seeded Poisson(1) replicate weights (engine-replayable, no
     // RNG), one exact-int division per replicate arm, integer
@@ -6213,6 +6227,68 @@ object ExtQueries {
          |      ((se_a * se_a) / (n_a - 1)::double +
          |       (se_b * se_b) / (n_b - 1)::double), 6) END AS df
          |FROM st""".stripMargin,
+
+    // binary conversion per user, pooled-SE z with the identical
+    // parenthesization; degenerate pools NULL out replayably
+    "x_prop_ztest" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      ::bigint AS conv
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT
+         |    coalesce(sum(CASE WHEN v = 'a' THEN 1 END), 0)::bigint
+         |      AS n_a,
+         |    coalesce(sum(CASE WHEN v = 'a' THEN conv END), 0)::bigint
+         |      AS conv_a,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN 1 END), 0)::bigint
+         |      AS n_b,
+         |    coalesce(sum(CASE WHEN v = 'b' THEN conv END), 0)::bigint
+         |      AS conv_b
+         |  FROM u)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         |  CASE WHEN n_a > 0
+         |    THEN conv_a::double / n_a::double END AS rate_a,
+         |  CASE WHEN n_b > 0
+         |    THEN conv_b::double / n_b::double END AS rate_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+         |      AND conv_a + conv_b < n_a + n_b THEN
+         |    round((conv_a::double / n_a::double -
+         |           conv_b::double / n_b::double) /
+         |      sqrt(((conv_a + conv_b)::double / (n_a + n_b)::double) *
+         |        (1.0 - (conv_a + conv_b)::double / (n_a + n_b)::double)
+         |        * (1.0 / n_a::double + 1.0 / n_b::double)), 6)
+         |  END AS z
+         |FROM w""".stripMargin,
+
+    // dense spine, trailing-week list sort, 4th element — no
+    // arithmetic, exact longs end to end
+    "x_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::date AS day
+        |  FROM bounds),
+        |dense AS (
+        |  SELECT k.key, s.day, coalesce(d.cents, 0)::bigint AS cents
+        |  FROM (SELECT DISTINCT key FROM daily) k
+        |  CROSS JOIN spine s
+        |  LEFT JOIN daily d ON d.key = k.key AND d.day = s.day),
+        |win AS (
+        |  SELECT key, day,
+        |    list(cents) OVER (PARTITION BY key ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+        |  FROM dense)
+        |SELECT key, day, list_sort(w)[4]::bigint AS med_cents
+        |FROM win WHERE len(w) = 7""".stripMargin,
 
     // Poisson-bootstrap CI: per-user cents, md5-seeded Poisson(1)
     // weights through the identical CDF literals, one exact-int

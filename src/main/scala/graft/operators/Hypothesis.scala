@@ -272,6 +272,42 @@ object Hypothesis {
           .as("mean_y_adj"))
   }
 
+  /** Two-proportion z-test on the BINARY per-user metric "did the
+    * user convert" (≥1 `convEvent` event) — the binary companion to
+    * [[welchTTest]]'s continuous means, and the test most experiments
+    * actually run (conversion moved?). Pooled standard error:
+    * `z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`. Every input is an
+    * exact integer from one combining aggregate over the user frame;
+    * the closing chain is mirrored IEEE ops, 6dp behind the sqrt.
+    * Degenerate pools (all or none converted: SE = 0) yield NULL z,
+    * replayably. */
+  def propZTest(events: DataFrame, variant: Column,
+      convEvent: String = "purchase"): DataFrame = {
+    val users = events
+      .groupBy(col("user_id").as("u"), variant.as("v"))
+      .agg(max(when(col("event_type") === convEvent, 1L)
+        .otherwise(0L)).as("conv"))
+    def arm(a: String, c: Column) =
+      coalesce(sum(when(col("v") === a, c)), lit(0L))
+    val wide = users.agg(
+      arm("a", lit(1L)).as("n_a"), arm("a", col("conv")).as("conv_a"),
+      arm("b", lit(1L)).as("n_b"), arm("b", col("conv")).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    wide.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, pA).as("rate_a"),
+      when(col("n_b") > 0, pB).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        round((pA - pB) / se, 6)).as("z"))
+  }
+
   /** Cumulative Poisson(1) probabilities e⁻¹·Σ 1/k! as the EXACT
     * decimal literals both engines parse to identical doubles — the
     * quantile table of the bootstrap weight draw. */

@@ -656,6 +656,43 @@ object Temporal {
           / lit(7.0), 6).as("seasonal_cents"))
   }
 
+  /** Rolling 7-day MEDIAN level per key over the dense daily spine
+    * (missing days = 0, the [[seasonalDow]] convention — absence IS
+    * signal for a level monitor): per day, the lower median of the
+    * trailing week's integer cent totals, emitted only where the full
+    * window fits. The robust windowed level beside [[ewmaLevel]]'s
+    * mean-based smoothing: one corrupted day shifts the EWMA for a
+    * week but can never BE the median of its windows. Exactness:
+    * cents are exact longs, the window's 7 values sort inside an
+    * array and the 4th element is the answer — no arithmetic at all,
+    * so the oracle replays it with a list sort. Window state is 7
+    * longs per (key, day); the frame is keys×days, never facts. */
+  def rollingMedian(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value",
+      window: Int = 7): DataFrame = {
+    require(window >= 1 && window % 2 == 1, s"odd window, got $window")
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr(
+      "sequence(d0, d1, interval 1 day)")).as("day"))
+    val keys = daily.select(col("key")).distinct()
+    val dense = keys.crossJoin(spine)
+      .join(daily, Seq("key", "day"), "left")
+      .withColumn("cents", coalesce(col("cents"), lit(0L)))
+    val byKey = Window.partitionBy(col("key")).orderBy(col("day"))
+    dense
+      .withColumn("win", collect_list(col("cents")).over(
+        byKey.rowsBetween(-(window - 1), 0)))
+      .filter(size(col("win")) === window)
+      .select(col("key"), col("day"),
+        element_at(array_sort(col("win")), (window + 1) / 2)
+          .as("med_cents"))
+  }
+
   /** Exponentially-weighted level per key (α = 1/2) over day-ordered
     * daily totals — the smoothed "where is this metric NOW" companion
     * to [[trendOls]]'s direction. The fold runs over integer-cent

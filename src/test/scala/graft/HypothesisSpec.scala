@@ -158,6 +158,38 @@ class HypothesisSpec extends SparkSpec {
     assert(again === arms)
   }
 
+  test("prop z: hand-computed pooled z, degenerate pools go NULL") {
+    // arm a: 10 users, 4 convert; arm b: 10 users, 2 convert.
+    // pA=.4, pB=.2, pool=.3, se=sqrt(.3*.7*(1/10+1/10)), z=(pA-pB)/se
+    def fx(convA: Int, convB: Int) = {
+      val rows =
+        (0 until 10).flatMap { i =>
+          val t = if (i < convA) "purchase" else "view"
+          Seq((i.toLong, t))
+        } ++ (100 until 110).flatMap { i =>
+          val t = if (i < 100 + convB) "purchase" else "view"
+          Seq((i.toLong, t))
+        }
+      rows.toDF("user_id", "event_type")
+    }
+    val r = Hypothesis.propZTest(fx(4, 2),
+      when(col("user_id") < 50, "a").otherwise("b")).collect().head
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("conv_a") === 4L)
+    assert(r.getAs[Double]("rate_a") === 0.4)
+    assert(r.getAs[Double]("rate_b") === 0.2)
+    val want = BigDecimal((0.4 - 0.2) /
+      math.sqrt(0.3 * (1.0 - 0.3) * (1.0 / 10.0 + 1.0 / 10.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") === want)
+    // all-or-none pools: SE is zero, z must be NULL, not Infinity
+    assert(Hypothesis.propZTest(fx(0, 0),
+      when(col("user_id") < 50, "a").otherwise("b"))
+      .collect().head.isNullAt(6))
+    assert(Hypothesis.propZTest(fx(10, 10),
+      when(col("user_id") < 50, "a").otherwise("b"))
+      .collect().head.isNullAt(6))
+  }
+
   test("bootstrap ci: constant-valued arms collapse the CI to the exact diff") {
     // 40 users per arm, every a-user worth 100.00, every b-user 0 —
     // any positive-weight resample of a constant is that constant, so

@@ -756,6 +756,36 @@ class OlapSpec extends SparkSpec {
     assert(r("s") === ((1L, 700.0, 700.0)))
   }
 
+  test("rolling median: spike days never become the level; gaps enter as 0") {
+    import graft.operators.Temporal
+    // 8 consecutive days at 100 cents except a 10000-cent spike on
+    // day 4: every full window contains the spike at most once, so
+    // the median stays exactly 100 — the EWMA would carry the spike
+    // for a week
+    val es = (1 to 8).map { d =>
+      val v = if (d == 4) 100.0 else 1.0
+      ev(d.toLong, f"2024-01-0$d%d 08:00:00", 1, "u", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.rollingMedian(es).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        x.getAs[Long]("med_cents")).toMap
+    // full windows exist for days 7 and 8 only
+    assert(r === Map("2024-01-07" -> 100L, "2024-01-08" -> 100L))
+    // a missing day enters its windows as 0: with days 1..3 and 5..8
+    // present (day 4 absent), day 8's window [2..8] holds one 0 —
+    // the median over {100×6, 0} is still 100, but day 7's window
+    // [1..7] also holds it; drop 3 more days and the zeros win
+    val gappy = Seq(1, 2, 8).map { d =>
+      ev(d.toLong, f"2024-01-0$d%d 08:00:00", 1, "u", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val g = Temporal.rollingMedian(gappy).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        x.getAs[Long]("med_cents")).toMap
+    // day 7 window = days 1..7 = {100, 100, 0, 0, 0, 0, 0} → 0;
+    // day 8 window = days 2..8 = {100, 0, 0, 0, 0, 0, 100} → 0
+    assert(g === Map("2024-01-07" -> 0L, "2024-01-08" -> 0L))
+  }
+
   test("theil-sen: median pairwise slope shrugs off the outlier day") {
     import graft.operators.Temporal
     // days 0,1,2 with cents 100, 200, 300: slopes (100, 100, 100)e6
