@@ -2192,6 +2192,13 @@ object ExtQueries {
     "x_rolling_median" -> ((s, d) =>
       Temporal.rollingMedian(Tables.events(s, d))),
 
+    // Mann–Kendall monotone-trend test on the observed daily series:
+    // exact pair-sign S, tie-adjusted var18 integer, continuity-
+    // corrected z through the mirrored ÷-√-÷ chain — the "is there a
+    // trend at all" gate in front of Theil–Sen's "how steep".
+    "x_mann_kendall" -> ((s, d) =>
+      Temporal.mannKendall(Tables.events(s, d))),
+
     // Poisson-bootstrap percentile CI for the between-arm mean diff:
     // md5-seeded Poisson(1) replicate weights (engine-replayable, no
     // RNG), one exact-int division per replicate arm, integer
@@ -6289,6 +6296,44 @@ object ExtQueries {
         |  FROM dense)
         |SELECT key, day, list_sort(w)[4]::bigint AS med_cents
         |FROM win WHERE len(w) = 7""".stripMargin,
+
+    // pair-sign S over the observed daily series, integer tie-adjusted
+    // var18, continuity-corrected z through the mirrored ÷-√-÷ chain
+    "x_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.key,
+        |    sum(CASE WHEN b.cents > a.cents THEN 1
+        |             WHEN b.cents < a.cents THEN -1
+        |             ELSE 0 END)::bigint AS s_raw
+        |  FROM daily a JOIN daily b
+        |    ON a.key = b.key AND a.day < b.day
+        |  GROUP BY a.key),
+        |t AS (
+        |  SELECT key,
+        |    sum(tc * (tc - 1) * (2 * tc + 5))::bigint AS tie18
+        |  FROM (SELECT key, cents, count(*)::bigint AS tc
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY key),
+        |nd AS (SELECT key, count(*)::bigint AS n FROM daily
+        |       GROUP BY key),
+        |w AS (
+        |  SELECT nd.key, n, coalesce(s_raw, 0)::bigint AS s_stat,
+        |    (n * (n - 1) * (2 * n + 5) - tie18)::bigint AS var18
+        |  FROM nd LEFT JOIN p ON nd.key = p.key
+        |  JOIN t ON nd.key = t.key)
+        |SELECT key, n AS n_days, s_stat, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    round((s_stat - CASE WHEN s_stat > 0 THEN 1
+        |                         WHEN s_stat < 0 THEN -1
+        |                         ELSE 0 END)::double
+        |      / sqrt(var18::double / 18.0), 6)
+        |  END AS z_mk
+        |FROM w""".stripMargin,
 
     // Poisson-bootstrap CI: per-user cents, md5-seeded Poisson(1)
     // weights through the identical CDF literals, one exact-int

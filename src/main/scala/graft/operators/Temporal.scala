@@ -693,6 +693,58 @@ object Temporal {
           .as("med_cents"))
   }
 
+  /** Mann–Kendall trend test per key over the observed daily cent
+    * totals (the [[theilSenTrend]] convention — trend tests read the
+    * observed series; the level monitors read the dense spine): S =
+    * Σ_{i<j} sign(y_j − y_i), the tie-adjusted variance (Kendall
+    * 1975) kept as the exact integer `var18 = n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5)` (18× the variance — scaling instead of
+    * dividing, the house trick), and the continuity-corrected
+    * z = (S − sgn(S)) / √(var18/18). The distribution-free "is there
+    * a monotone trend AT ALL" gate in front of [[theilSenTrend]]'s
+    * "how steep" — the pair completes the Kendall toolkit exactly as
+    * Mann–Whitney pairs with the Welch t. The closing chain (one ÷,
+    * one √ — the correctly-rounded power — one ÷, 6dp round) mirrors
+    * the oracle's parenthesization bit for bit; a degenerate key
+    * (single day, or all days equal: var18 = 0) emits NULL z
+    * replayably. Shape: S is a pair join over the keys×days frame
+    * (days², never rows², same budget as Theil–Sen), ties and n are
+    * one combining aggregate each. */
+  def mannKendall(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = CacheRegistry.tracked(events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents")))
+    val s = daily.select(col("key"), col("day").as("di"),
+        col("cents").as("yi"))
+      .join(daily.select(col("key"), col("day").as("dj"),
+        col("cents").as("yj")), Seq("key"))
+      .filter(col("di") < col("dj"))
+      .groupBy(col("key"))
+      .agg(sum(when(col("yj") > col("yi"), 1L)
+        .when(col("yj") < col("yi"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("key"), col("cents"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy(col("key"))
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2L) * col("tc") + 5))
+        .as("tie18"))
+    daily.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .join(s, Seq("key"), "left")
+      .join(ties, Seq("key"))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - col("tie18"))
+      .select(col("key"), col("n").as("n_days"), col("s_stat"),
+        col("var18"),
+        when(col("var18") > 0, round(
+          (col("s_stat") - when(col("s_stat") > 0, 1L)
+            .when(col("s_stat") < 0, -1L).otherwise(0L)).cast("double")
+            / sqrt(col("var18").cast("double") / lit(18.0)), 6))
+          .as("z_mk"))
+  }
+
   /** Exponentially-weighted level per key (α = 1/2) over day-ordered
     * daily totals — the smoothed "where is this metric NOW" companion
     * to [[trendOls]]'s direction. The fold runs over integer-cent

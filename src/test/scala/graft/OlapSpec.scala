@@ -822,6 +822,40 @@ class OlapSpec extends SparkSpec {
     assert(med === 100000000L)
   }
 
+  test("mann-kendall: exact S and tie-adjusted var18; degenerate " +
+    "keys emit NULL z") {
+    import graft.operators.Temporal
+    // strictly rising 4 days: S = 6 pairs × (+1), no ties →
+    // var18 = 4·3·13 = 156, z = (6−1)/√(156/18) = 1.698416
+    val up = (1 to 4).map { d =>
+      ev(d.toLong, f"2024-01-0$d%d 08:00:00", 1, "u", d.toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.mannKendall(up).collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("s_stat") === 6L)
+    assert(r.getAs[Long]("var18") === 156L)
+    assert(r.getAs[Double]("z_mk") === 1.698416)
+    // a tie pair contributes 0 to S and 18 to the tie term:
+    // cents 100,100,200 → S = 2, var18 = 3·2·11 − 2·1·9 = 48,
+    // z = (2−1)/√(48/18) = 0.612372; an all-equal key zeroes var18
+    // → NULL z, and a single-day key has no pairs → S = 0, NULL z
+    val mixed = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "t", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "t", 1.0),
+      ev(3, "2024-01-03 08:00:00", 1, "t", 2.0),
+      ev(4, "2024-01-01 08:00:00", 1, "e", 3.0),
+      ev(5, "2024-01-02 08:00:00", 1, "e", 3.0),
+      ev(6, "2024-01-05 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Temporal.mannKendall(mixed).collect()
+      .map(x => x.getAs[String]("key") ->
+        (x.getAs[Long]("s_stat"), x.getAs[Long]("var18"),
+          x.getAs[Any]("z_mk"))).toMap
+    assert(m("t") === ((2L, 48L, 0.612372)))
+    assert(m("e") === ((0L, 0L, null)))
+    assert(m("s") === ((0L, 0L, null)))
+  }
+
   test("holt level+trend: pair fold halves forward, singleton is flat") {
     import graft.operators.Temporal
     // cents 100, 200, 300 by day; l1=100, b1=0;
