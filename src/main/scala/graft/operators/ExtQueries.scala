@@ -2199,6 +2199,13 @@ object ExtQueries {
     "x_mann_kendall" -> ((s, d) =>
       Temporal.mannKendall(Tables.events(s, d))),
 
+    // Kendall τ-b between daily money and daily volume per key: exact
+    // concordant/discordant/tie counts, the mirrored ×-√-÷ close —
+    // the robust companion to x_corr_matrix's Pearson r, on the
+    // Mann–Kendall machinery (MK is τ against time).
+    "x_kendall_tau" -> ((s, d) =>
+      Temporal.kendallTau(Tables.events(s, d))),
+
     // Poisson-bootstrap percentile CI for the between-arm mean diff:
     // md5-seeded Poisson(1) replicate weights (engine-replayable, no
     // RNG), one exact-int division per replicate arm, integer
@@ -6333,6 +6340,58 @@ object ExtQueries {
         |                         ELSE 0 END)::double
         |      / sqrt(var18::double / 18.0), 6)
         |  END AS z_mk
+        |FROM w""".stripMargin,
+
+    // exact C/D/tie counts over day pairs, τ-b through the mirrored
+    // ×-√-÷ close; both-tied pairs land in neither C nor D
+    "x_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, ts::date AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS x,
+        |    count(*)::bigint AS y
+        |  FROM events GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT a.key,
+        |    sum(CASE WHEN (CASE WHEN b.x > a.x THEN 1
+        |                        WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |      * (CASE WHEN b.y > a.y THEN 1
+        |              WHEN b.y < a.y THEN -1 ELSE 0 END) > 0
+        |      THEN 1 ELSE 0 END)::bigint AS n_concordant,
+        |    sum(CASE WHEN (CASE WHEN b.x > a.x THEN 1
+        |                        WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |      * (CASE WHEN b.y > a.y THEN 1
+        |              WHEN b.y < a.y THEN -1 ELSE 0 END) < 0
+        |      THEN 1 ELSE 0 END)::bigint AS n_discordant
+        |  FROM daily a JOIN daily b
+        |    ON a.key = b.key AND a.day < b.day
+        |  GROUP BY a.key),
+        |tx AS (
+        |  SELECT key, sum((tc * (tc - 1)) // 2)::bigint AS n1
+        |  FROM (SELECT key, x, count(*)::bigint AS tc FROM daily
+        |        GROUP BY 1, 2)
+        |  GROUP BY key),
+        |ty AS (
+        |  SELECT key, sum((tc * (tc - 1)) // 2)::bigint AS n2
+        |  FROM (SELECT key, y, count(*)::bigint AS tc FROM daily
+        |        GROUP BY 1, 2)
+        |  GROUP BY key),
+        |nd AS (SELECT key, count(*)::bigint AS n FROM daily
+        |       GROUP BY key),
+        |w AS (
+        |  SELECT nd.key, n,
+        |    coalesce(n_concordant, 0)::bigint AS n_concordant,
+        |    coalesce(n_discordant, 0)::bigint AS n_discordant,
+        |    ((n * (n - 1)) // 2)::bigint AS n0, n1, n2
+        |  FROM nd LEFT JOIN cd ON nd.key = cd.key
+        |  JOIN tx ON nd.key = tx.key
+        |  JOIN ty ON nd.key = ty.key)
+        |SELECT key, n AS n_days, n_concordant, n_discordant,
+        |  n0, n1, n2,
+        |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+        |    round((n_concordant - n_discordant)::double
+        |      / sqrt((n0 - n1)::double * (n0 - n2)::double), 6)
+        |  END AS tau_b
         |FROM w""".stripMargin,
 
     // Poisson-bootstrap CI: per-user cents, md5-seeded Poisson(1)

@@ -745,6 +745,63 @@ object Temporal {
           .as("z_mk"))
   }
 
+  /** Kendall τ-b rank correlation per key between the two things a
+    * day of traffic has — how much money moved (daily cent total) and
+    * how busy it was (daily event count): do busier days move more,
+    * MONOTONICALLY? The robust companion to `Olap.corrMatrix`'s
+    * Pearson r exactly as [[mannKendall]] is to the OLS slope — and
+    * the same machinery: MK IS Kendall's τ against time. Over day
+    * pairs i<j: C = concordant, D = discordant, tie corrections
+    * n1 = Σ t(t−1)/2 over x-tie groups, n2 likewise for y (both-tied
+    * pairs land in neither C nor D, the τ-b convention), n0 =
+    * n(n−1)/2, and τ-b = (C−D)/√((n0−n1)(n0−n2)). Every count is an
+    * exact long; the close (one ×, one √ — the correctly-rounded
+    * power — one ÷, 6dp round) mirrors the oracle's parenthesization.
+    * A key with either side fully tied (or a single day) emits NULL
+    * replayably. Shape: one combining aggregate to the key-day frame,
+    * the days²-bounded pair join ([[theilSenTrend]]'s budget), two
+    * tie-group aggregates — facts are scanned once. */
+  def kendallTau(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = CacheRegistry.tracked(events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"), count(lit(1)).as("y")))
+    val cd = daily.select(col("key"), col("day").as("di"),
+        col("x").as("xi"), col("y").as("yi"))
+      .join(daily.select(col("key"), col("day").as("dj"),
+        col("x").as("xj"), col("y").as("yj")), Seq("key"))
+      .filter(col("di") < col("dj"))
+      .withColumn("sx", when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L))
+      .withColumn("sy", when(col("yj") > col("yi"), 1L)
+        .when(col("yj") < col("yi"), -1L).otherwise(0L))
+      .groupBy(col("key"))
+      .agg(sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L))
+        .as("n_concordant"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
+          .as("n_discordant"))
+    val tiesX = daily.groupBy(col("key"), col("x"))
+      .agg(count(lit(1)).as("tc")).groupBy(col("key"))
+      .agg(sum(expr("(tc * (tc - 1)) div 2")).as("n1"))
+    val tiesY = daily.groupBy(col("key"), col("y"))
+      .agg(count(lit(1)).as("tc")).groupBy(col("key"))
+      .agg(sum(expr("(tc * (tc - 1)) div 2")).as("n2"))
+    daily.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .join(cd, Seq("key"), "left")
+      .join(tiesX, Seq("key")).join(tiesY, Seq("key"))
+      .withColumn("n_concordant", coalesce(col("n_concordant"), lit(0L)))
+      .withColumn("n_discordant", coalesce(col("n_discordant"), lit(0L)))
+      .withColumn("n0", expr("(n * (n - 1)) div 2"))
+      .select(col("key"), col("n").as("n_days"), col("n_concordant"),
+        col("n_discordant"), col("n0"), col("n1"), col("n2"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"), round(
+          (col("n_concordant") - col("n_discordant")).cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+              * (col("n0") - col("n2")).cast("double")), 6))
+          .as("tau_b"))
+  }
+
   /** Exponentially-weighted level per key (α = 1/2) over day-ordered
     * daily totals — the smoothed "where is this metric NOW" companion
     * to [[trendOls]]'s direction. The fold runs over integer-cent

@@ -856,6 +856,49 @@ class OlapSpec extends SparkSpec {
     assert(m("s") === ((0L, 0L, null)))
   }
 
+  test("kendall tau-b: exact C/D and tie corrections; fully-tied " +
+    "sides emit NULL") {
+    import graft.operators.Temporal
+    // per day (cents x, events y): (100,1), (200,2), (300,2),
+    // (200,3) — pairs: (1,2)C, (1,3)C, (1,4)C, (2,3) y-tie,
+    // (2,4) x-tie, (3,4)D → C=3, D=1; n0=6, n1=1 (200 twice),
+    // n2=1 (2 twice) → τ-b = 2/√(5·5) = 0.4
+    val es = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "u", 1.0),
+      ev(2, "2024-01-02 08:00:00", 1, "u", 1.0),
+      ev(3, "2024-01-02 09:00:00", 1, "u", 1.0),
+      ev(4, "2024-01-03 08:00:00", 1, "u", 1.0),
+      ev(5, "2024-01-03 09:00:00", 1, "u", 2.0),
+      ev(6, "2024-01-04 08:00:00", 1, "u", 0.5),
+      ev(7, "2024-01-04 09:00:00", 1, "u", 0.5),
+      ev(8, "2024-01-04 10:00:00", 1, "u", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Temporal.kendallTau(es).collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_concordant") === 3L)
+    assert(r.getAs[Long]("n_discordant") === 1L)
+    assert((r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+      r.getAs[Long]("n2")) === ((6L, 1L, 1L)))
+    assert(r.getAs[Double]("tau_b") === 0.4)
+    // x fully tied (every day totals 200 cents) while y varies
+    // (1, 2, 2 events): n1 = n0 = 3 kills the √ factor → NULL τ-b,
+    // replayably; a single-day key (n0 = 0) is NULL the same way
+    val tied = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "c", 2.0),
+      ev(2, "2024-01-02 08:00:00", 1, "c", 1.0),
+      ev(3, "2024-01-02 09:00:00", 1, "c", 1.0),
+      ev(4, "2024-01-03 08:00:00", 1, "c", 0.5),
+      ev(5, "2024-01-03 09:00:00", 1, "c", 1.5),
+      ev(9, "2024-01-02 08:00:00", 1, "s", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t = Temporal.kendallTau(tied).collect()
+      .map(x => x.getAs[String]("key") ->
+        (x.getAs[Long]("n0"), x.getAs[Long]("n1"),
+          x.getAs[Any]("tau_b"))).toMap
+    assert(t("c") === ((3L, 3L, null)))
+    assert(t("s") === ((0L, 0L, null)))
+  }
+
   test("holt level+trend: pair fold halves forward, singleton is flat") {
     import graft.operators.Temporal
     // cents 100, 200, 300 by day; l1=100, b1=0;
