@@ -856,4 +856,26 @@ class PlanSpec extends SparkSpec {
       }.isEmpty, s"totals must broadcast:\n$plan")
     }
   }
+
+  test("rank statistics: one fact scan feeds all consumers; the pair " +
+    "join is keyed") {
+    withStaticPlan {
+      // mann_kendall and kendall_tau share the shape: the fact
+      // collapses to the cached key-day frame ONCE, then the pair
+      // join (days²-bounded), the tie aggregates and the n-days frame
+      // all read the cache — never a second parquet pass, never an
+      // unkeyed pair product
+      for (q <- Seq("x_mann_kendall", "x_kendall_tau")) {
+        val df = run(q)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin"),
+          s"$q pair join must be keyed:\n$s")
+        assert(scans(df).size <= 1,
+          s"$q must scan the fact table at most once (cached key-day " +
+            s"frame feeds every consumer):\n$s")
+      }
+    }
+  }
 }
