@@ -487,4 +487,77 @@ class PropertySpec extends SparkSpec {
     assert(got === ref)
     assert(ref.nonEmpty) // the random mix must actually exercise matches
   }
+
+  test("rank statistics equal the brute-force pair scan on random series") {
+    import graft.operators.Temporal
+    // small value alphabet forces tie groups on BOTH the cent totals
+    // and the event counts — the tie corrections are the part a naive
+    // reimplementation gets wrong, so the reference must exercise them
+    val rnd = new scala.util.Random(7)
+    var id = 0L
+    val rows = for {
+      k <- Seq("a", "b", "c", "d")
+      d <- 1 to 12
+      if rnd.nextDouble() < 0.7
+      _ <- 1 to (1 + rnd.nextInt(3))
+    } yield {
+      id += 1
+      (id, f"2024-03-$d%02d 0${rnd.nextInt(9) + 1}:00:00", 1L, k,
+        Seq(1.0, 2.0)(rnd.nextInt(2)))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    // driver-side reference off the same rows: per key, the day-sorted
+    // (cents, count) series, then literal O(n²) pair scans
+    val daily = rows.groupBy(r => (r._4, r._2.take(10))).toSeq
+      .map { case ((k, day), evs) =>
+        (k, day, evs.map(e => math.round(e._5 * 100)).sum, evs.size.toLong)
+      }
+    val series = daily.groupBy(_._1).map { case (k, ds) =>
+      k -> ds.sortBy(_._2).map(d => (d._3, d._4))
+    }
+    def sgn(l: Long): Long = java.lang.Long.signum(l)
+    val mk = Temporal.mannKendall(df).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    val kt = Temporal.kendallTau(df).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    series.foreach { case (k, xs) =>
+      val n = xs.size.toLong
+      val pairs = for (i <- xs.indices; j <- xs.indices if i < j)
+        yield (xs(i), xs(j))
+      // Mann–Kendall on the cent series
+      val s = pairs.map { case ((xi, _), (xj, _)) => sgn(xj - xi) }.sum
+      val tie18x = xs.groupBy(_._1).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18x
+      assert(mk(k).getAs[Long]("n_days") === n)
+      assert(mk(k).getAs[Long]("s_stat") === s)
+      assert(mk(k).getAs[Long]("var18") === var18)
+      if (var18 > 0)
+        assert(math.abs(mk(k).getAs[Double]("z_mk") -
+          (s - sgn(s)) / math.sqrt(var18 / 18.0)) <= 1e-6)
+      else assert(mk(k).getAs[Any]("z_mk") == null)
+      // Kendall τ-b on the (cents, count) pairs
+      val cd = pairs.map { case ((xi, yi), (xj, yj)) =>
+        sgn(xj - xi) * sgn(yj - yi) }
+      val (c, dd) = (cd.count(_ > 0).toLong, cd.count(_ < 0).toLong)
+      val n0 = n * (n - 1) / 2
+      val n1 = xs.groupBy(_._1).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) / 2 }).sum
+      val n2 = xs.groupBy(_._2).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) / 2 }).sum
+      assert(kt(k).getAs[Long]("n_concordant") === c)
+      assert(kt(k).getAs[Long]("n_discordant") === dd)
+      assert((kt(k).getAs[Long]("n0"), kt(k).getAs[Long]("n1"),
+        kt(k).getAs[Long]("n2")) === ((n0, n1, n2)))
+      if (n0 > n1 && n0 > n2) {
+        val tau = kt(k).getAs[Double]("tau_b")
+        assert(math.abs(tau -
+          (c - dd) / math.sqrt((n0 - n1).toDouble * (n0 - n2))) <= 1e-6)
+        assert(tau >= -1.0 && tau <= 1.0)
+      } else assert(kt(k).getAs[Any]("tau_b") == null)
+      // the random mix must actually exercise the tie corrections
+      assert(n1 > 0 || n2 > 0 || n <= 1)
+    }
+  }
 }
