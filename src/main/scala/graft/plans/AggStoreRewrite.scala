@@ -65,13 +65,22 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Project-only descent to a single parquet scan of `source`. */
+  /** Project-only descent to a single parquet scan of `source`. The
+    * suffix match is anchored on a path-separator boundary: a sibling
+    * dataset whose path merely ENDS with the registered string (e.g.
+    * `/archive-sf/events.parquet` vs registered `sf/events.parquet`)
+    * must not be silently rewritten to the wrong store — every guard
+    * errs toward not firing. */
   private def scanOf(plan: LogicalPlan, source: String): Boolean =
     plan match {
       case Project(_, child) => scanOf(child, source)
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.exists(_.toString.endsWith(source))
+          val anchored = "/" + source.stripPrefix("/").stripSuffix("/")
+          fs.location.rootPaths.exists { p =>
+            val s = p.toUri.getPath.stripSuffix("/")
+            s == anchored || s.endsWith(anchored)
+          }
         case _ => false
       }
       case _ => false

@@ -71,6 +71,15 @@ object HilbertStore {
   def coveringRanges(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       bits: Int, maxRanges: Int = 32): Seq[(Long, Long)] = {
     require(maxRanges >= 1, s"maxRanges=$maxRanges")
+    // the boundary fragments into O(perimeter) = O(2^bits) cells, so
+    // an unbounded grid would turn the driver-side descent into the
+    // very data-sized work the decomposition exists to avoid — the
+    // "bounded grid" assumption is enforced, not just documented
+    require(bits <= 16,
+      s"coveringRanges: bits=$bits — the quadtree decomposition is " +
+        "bounded-metadata only for grids up to 2^16 per side; " +
+        "normalize coarser grid cells for the prefilter (the exact " +
+        "residual predicates keep correctness at any granularity)")
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     def cellBase(x0: Long, y0: Long, size: Long): Long = {
       val m = size - 1

@@ -647,7 +647,14 @@ object StreamingSync {
   def appendFreqBatch(batch: DataFrame, storePath: String,
       batchId: Long, maxMapSize: Int): Unit = {
     val spark = batch.sparkSession
-    val redelivered = new java.io.File(storePath).exists() &&
+    // existence probes go through the Hadoop FS API (the AggStore /
+    // SnapshotDir discipline): a java.io.File probe silently never
+    // fires on HDFS/S3, re-appending the replayed trigger's sketch
+    // and double-counting its tokens
+    val storeHp = new org.apache.hadoop.fs.Path(storePath)
+    val storeFs = storeHp.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val redelivered = storeFs.exists(storeHp) &&
       spark.read.parquet(storePath)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (redelivered) return
