@@ -1,8 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.StoreFiles.{readText, writeText}
 
 /** Persisted connected-component labels of the similarity graph — the
   * derived artifact one rung above the [[EdgeStore]] pair list. Pairs
@@ -12,13 +11,14 @@ import graft.sources.StoreFiles.{readText, writeText}
   * query before this store). Cluster census, SemDeDup keep-best, and
   * the dedup-group assignment all serve off ONE committed label table.
   *
-  * Storage rides INSIDE the edge store's committed version directory
-  * (`<version>/_labels`), not a separate [[SnapshotDir]] root: labels
-  * are a pure function of exactly one pair-table version, and a
-  * separate version line could skew (labels of version 3 serving next
-  * to pairs of version 4). Committing them together means
-  * [[EdgeStore.compact]]'s version swap, the GC grace window, and a
-  * directory clone all carry the labels atomically with their pairs.
+  * Storage is the edge store's `labels` RELATION, committed through
+  * the same [[ManifestDir]] manifest as the pairs: labels are a pure
+  * function of exactly one pair-table state, and a separate version
+  * line could skew (labels of version 3 serving next to pairs of
+  * version 4). Riding the manifest means an admission's pair append
+  * and its label maintenance are ONE atomic transaction — the v2
+  * design's crash window between the two writes (stale labels until
+  * the signature repair fired) is structurally gone.
   *
   * Table: `(id, label)` for edge ENDPOINTS only — every other vertex
   * is a singleton whose cluster is its own id, resolved by the
@@ -26,48 +26,35 @@ import graft.sources.StoreFiles.{readText, writeText}
   * the store. Labels are component-MIN ids, and components only ever
   * GROW (the edge store has no pair deletion), so a vertex's label is
   * monotonically non-increasing across admissions. That monotonicity
-  * is the storage trick: the table is APPEND-ONLY and a read resolves
-  * `min(label)` per id — an incremental merge appends only the
-  * CORRECTED rows of the components it touched (plus the batch's new
-  * endpoints), never rewriting the label table, and re-appending the
-  * same delta is a no-op under min. File-count hygiene happens inside
-  * [[EdgeStore.compact]], which collapses the resolved table to one
-  * row per id in the next version.
+  * is the storage trick: the relation is APPEND-ONLY (new segments
+  * per admission) and a read resolves `min(label)` per id — an
+  * incremental merge appends only the CORRECTED rows of the
+  * components it touched (plus the batch's new endpoints), never
+  * rewriting a file, and re-appending the same delta is a no-op under
+  * min. File-count hygiene happens inside [[EdgeStore.compact]],
+  * which collapses the resolved table to one row per id.
   *
-  * Staleness detection: a meta sidecar records the pair-table file
-  * signature (count + bytes of the version's pair files — pair files
-  * are immutable once written, so the signature is exact) at the last
-  * time labels were maintained. A reader finding a mismatched
-  * signature — a writer died between its pair append and its label
-  * maintenance — REPAIRS by appending the full fresh endpoint labels
-  * (endpoint-sized, monotone-safe: fresh labels are ≤ any under-merged
-  * stored label, so min-resolution lands on the fresh value) instead
+  * Staleness detection: the manifest records the pair segment list
+  * the labels were last maintained against ([[SigKey]] — segments are
+  * immutable, so the list identifies the pair-table state exactly). A
+  * normal admission can no longer skew it (atomic commit), but a
+  * reader finding a mismatch — manual manifest surgery, a pre-v3
+  * migration — REPAIRS by rebuilding the full endpoint labels instead
   * of serving silently-stale clusters. */
 object ClusterStore {
 
-  private val LabelsSub = "_labels"
-  private val MetaSub = "_labels_meta.json"
+  /** Manifest meta key: the pair segment list labels are current
+    * against. */
+  private[sources] val SigKey = "labels_pairs_sig"
 
-  private def labelsDir(versionDir: String) = s"$versionDir/$LabelsSub"
-  private def metaPath(versionDir: String) = s"$versionDir/$MetaSub"
+  private[sources] def pairsSig(pairSegs: Seq[String]): String =
+    pairSegs.mkString(";")
 
-  /** Signature of the version's PAIR data files (directly under the
-    * version dir; `_bands`/`_labels`/markers excluded). Pair files are
-    * append-only and immutable, so (count, total bytes) identifies the
-    * pair-table state exactly. */
-  private def pairFileSig(spark: SparkSession, versionDir: String)
-      : String = {
-    val (fs, hp) = StoreFiles.fsOf(spark, versionDir)
-    val files = fs.listStatus(hp).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") &&
-      !s.getPath.getName.startsWith("."))
-    s"${files.length}:${files.map(_.getLen).sum}"
-  }
-
-  private def labelsFresh(spark: SparkSession, versionDir: String)
-      : Boolean =
-    readText(spark, metaPath(versionDir))
-      .contains(pairFileSig(spark, versionDir))
+  /** Labels exist and cover exactly the manifest's pair segments. */
+  private[sources] def labelsFresh(m: ManifestDir.Manifest): Boolean =
+    m.segments(EdgeStore.LabelsRel).nonEmpty &&
+      m.meta.get(SigKey).contains(
+        pairsSig(m.segments(EdgeStore.PairsRel)))
 
   /** Full endpoint labels of `pairs` — component-min ids, the same
     * label propagation every inline consumer ran
@@ -82,31 +69,42 @@ object ClusterStore {
       .select(col("id"), col("cluster_id").as("label"))
   }
 
+  /** The label relation resolved to one row per id (`min` over the
+    * append-accumulated segments). */
+  private[sources] def resolvedLabels(spark: SparkSession,
+      edgePath: String, m: ManifestDir.Manifest): DataFrame =
+    ManifestDir.readRelation(spark, edgePath, m, EdgeStore.LabelsRel)
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+
   /** Make the committed labels current for the edge store's pair
-    * table: first touch builds them; a signature mismatch (crash
-    * between a pair append and its label maintenance) repairs by
-    * appending the full fresh endpoint labels. Fast path is one
-    * file-listing plus one sidecar read — no lock, no Spark job.
-    * Returns the build/repair seconds, or None when warm (the
-    * `index_build_sec` accounting every serving store reports). */
+    * table: first touch builds them; a signature mismatch (manual
+    * surgery or migration — atomic commits rule out admission skew)
+    * repairs by REPLACING the label relation with a fresh full build
+    * in a new committed manifest. Fast path is one manifest read — no
+    * lock, no Spark job. Returns the build/repair seconds, or None
+    * when warm (the `index_build_sec` accounting every serving store
+    * reports). */
   def ensureLabels(spark: SparkSession, edgePath: String)
       : Option[Double] = {
-    val cur0 = SnapshotDir.current(spark, edgePath, "edges-").getOrElse(
-      throw new IllegalStateException(
-        s"no committed edge store under $edgePath"))
-    if (labelsFresh(spark, cur0)) None
+    val m0 = EdgeStore.currentManifest(spark, edgePath)
+    if (labelsFresh(m0)) None
     else SnapshotDir.withWriterLock(spark, edgePath) {
       // re-resolve + re-check inside the lock: a racing writer may
       // have committed a new version or finished the same repair
-      val cur = SnapshotDir.current(spark, edgePath, "edges-").get
-      if (labelsFresh(spark, cur)) None
+      val m = EdgeStore.currentManifest(spark, edgePath)
+      if (labelsFresh(m)) None
       else {
         val t0 = System.nanoTime()
-        val sig = pairFileSig(spark, cur)
-        fullEndpointLabels(spark.read.parquet(cur))
-          .write.mode(SaveMode.Append).parquet(labelsDir(cur))
-        writeText(spark, metaPath(cur), sig)
-        spark.catalog.refreshByPath(labelsDir(cur))
+        val labelsSeg = ManifestDir.segDir(
+          ManifestDir.newSegmentId(), EdgeStore.LabelsRel)
+        fullEndpointLabels(ManifestDir.readRelation(spark, edgePath, m,
+            EdgeStore.PairsRel))
+          .write.parquet(s"$edgePath/$labelsSeg")
+        ManifestDir.commit(spark, edgePath, EdgeStore.Prefix,
+          m.withRelation(EdgeStore.LabelsRel, Seq(labelsSeg))
+            .withMeta(SigKey,
+              pairsSig(m.segments(EdgeStore.PairsRel))))
+        SnapshotDir.gc(spark, edgePath, EdgeStore.Prefix)
         Some((System.nanoTime() - t0) / 1e9)
       }
     }
@@ -117,9 +115,8 @@ object ClusterStore {
     * make min the correct resolution — see the object doc). */
   def readLabels(spark: SparkSession, edgePath: String): DataFrame = {
     ensureLabels(spark, edgePath)
-    val cur = SnapshotDir.current(spark, edgePath, "edges-").get
-    spark.read.parquet(labelsDir(cur))
-      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    resolvedLabels(spark, edgePath,
+      EdgeStore.currentManifest(spark, edgePath))
   }
 
   /** Cluster assignment for every vertex: committed labels for edge
@@ -137,10 +134,10 @@ object ClusterStore {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
-  /** Incremental maintenance — called by [[EdgeStore.appendBatch]]
-    * inside its writer-lock critical section AFTER the batch's pairs
-    * landed. No-op until [[ensureLabels]] first built the table (a
-    * store that never served labels pays nothing). All work is
+  /** Incremental maintenance delta — computed by
+    * [[EdgeStore.appendBatch]] inside its writer-lock critical
+    * section, written as the batch's `labels` segment, and published
+    * in the SAME manifest commit as the batch's pairs. All work is
     * batch- or touched-component-sized except one endpoint-sized read
     * of the resolved label table:
     *
@@ -152,21 +149,16 @@ object ClusterStore {
     *     driver budget as the documented local union-find rung);
     *  3. the remap (old label → merged min) rewrites only stored rows
     *     whose component was touched (broadcast join against the
-    *     remap) plus the batch's new endpoints — appended, never
-    *     rewriting a file.
+    *     remap) plus the batch's new endpoints.
     *
     * Appending the identical delta twice is harmless (min-resolution),
-    * so a redelivered admit — which [[EdgeStore.appendBatch]] already
-    * reduces to zero fresh pairs — cannot corrupt labels. The meta
-    * signature is written LAST: a crash anywhere earlier leaves a
-    * mismatch the next [[ensureLabels]] repairs. */
-  private[sources] def maintain(spark: SparkSession, versionDir: String,
-      newPairs: DataFrame): Unit = {
-    val (fs, labelsHp) = StoreFiles.fsOf(spark, labelsDir(versionDir))
-    if (!fs.exists(labelsHp)) return
+    * and atomicity means a crashed admit leaves NO delta behind — the
+    * retry recomputes it against the unchanged store. */
+  private[sources] def maintainDelta(spark: SparkSession,
+      edgePath: String, m: ManifestDir.Manifest,
+      newPairs: DataFrame): DataFrame = {
     val stored = graft.operators.CacheRegistry.tracked(
-      spark.read.parquet(labelsDir(versionDir))
-        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      resolvedLabels(spark, edgePath, m))
     val eps = newPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
@@ -181,7 +173,7 @@ object ClusterStore {
       .join(epMap.select(col("id").as("id_b"), col("lbl").as("lb")),
         Seq("id_b"))
       .select(col("la"), col("lb")).distinct()
-      .collect()
+      .collect() // bounded metadata: ≤ 2·|batch pairs| quotient edges
     val parent = new java.util.HashMap[Long, java.lang.Long]()
     def find(x: Long): Long = {
       var r = x
@@ -218,27 +210,6 @@ object ClusterStore {
         col("was_stored"))
     val delta2 = remapApplied.filter(!col("was_stored"))
       .select(col("id"), col("label"))
-    // EAGER localCheckpoint before appending into the path the delta's
-    // own lineage reads — the same write-invalidates-cache hazard
-    // [[EdgeStore.appendBatch]] documents for its pair append
-    delta1.unionByName(delta2).localCheckpoint()
-      .write.mode(SaveMode.Append).parquet(labelsDir(versionDir))
-    writeText(spark, metaPath(versionDir), pairFileSig(spark, versionDir))
-    spark.catalog.refreshByPath(labelsDir(versionDir))
-  }
-
-  /** Carry labels into a freshly-compacted version dir — called by
-    * [[EdgeStore.compact]] after the new version's pair files are
-    * written (so the recorded signature matches them). Collapses the
-    * append-accumulated rows to one resolved row per id. No-op when
-    * the old version never built labels. */
-  private[sources] def compactInto(spark: SparkSession, oldDir: String,
-      newDir: String): Unit = {
-    val (fs, labelsHp) = StoreFiles.fsOf(spark, labelsDir(oldDir))
-    if (!fs.exists(labelsHp)) return
-    spark.read.parquet(labelsDir(oldDir))
-      .groupBy(col("id")).agg(min(col("label")).as("label"))
-      .write.mode(SaveMode.Overwrite).parquet(labelsDir(newDir))
-    writeText(spark, metaPath(newDir), pairFileSig(spark, newDir))
+    delta1.unionByName(delta2)
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.StoreFiles.{readText, writeText}
 
 /** Persisted similarity-graph edge list — the near-dup pair table the
@@ -10,16 +10,31 @@ import graft.sources.StoreFiles.{readText, writeText}
   * consumer (triangle census, cluster labeling, BFS reach, PageRank
   * authority) multiplies that cost by the consumer count. The scale
   * shape is the one the text side already has with
-  * [[FingerprintStore]]: build the pairs ONCE under the [[SnapshotDir]]
-  * commit protocol (versioned, atomically published, writer-locked,
-  * time-travelable) and let every graph consumer read the committed
-  * table.
+  * [[FingerprintStore]]: build the pairs ONCE under a committed,
+  * writer-locked, time-travelable protocol and let every graph
+  * consumer read the committed table.
   *
-  * One relation per version: `(id_a, id_b, cos)` with `id_a < id_b`
-  * canonical ordering — exactly what
-  * [[graft.operators.Similarity.nearDupPairsLsh]] emits, so a stored
-  * read is bit-identical to an inline recompute (cos is 6dp-rounded
-  * before persisting; doubles round-trip parquet exactly).
+  * Three relations per version, committed TOGETHER through
+  * [[ManifestDir]] (v3 — one atomic manifest publish per transaction):
+  *
+  *  - `pairs`: `(id_a, id_b, cos)` with `id_a < id_b` canonical
+  *    ordering — exactly what
+  *    [[graft.operators.Similarity.nearDupPairsLsh]] emits, so a
+  *    stored read is bit-identical to an inline recompute (cos is
+  *    6dp-rounded before persisting; doubles round-trip parquet
+  *    exactly);
+  *  - `bands`: the banded-signature admission index `(id, band,
+  *    bkey)` that lets later batches admit against the corpus without
+  *    re-banding it;
+  *  - `labels`: the derived cluster-label table ([[ClusterStore]]).
+  *
+  * The manifest commit is what closed the r10 under-admit crash
+  * window: an admission writes its band/pair/label segments first,
+  * then publishes ONE new manifest referencing old + new segments —
+  * a writer dying at any earlier point leaves orphan segments no
+  * reader resolves (swept by the compaction-time vacuum) and the
+  * previous version fully intact, instead of a silently
+  * indexed-but-pairless batch whose only repair was a store rebuild.
   *
   * Scale shape: the pair table is edge-count sized (linear in the
   * corpus under a banding that works — quadratic pair lists mean the
@@ -28,34 +43,40 @@ import graft.sources.StoreFiles.{readText, writeText}
   * aggregates against it, never all-pairs. */
 object EdgeStore {
 
-  private val Prefix = "edges-"
-  val FormatVersion = 2 // v2: + the `_bands` admission index
+  private[sources] val Prefix = "edges-"
+  val FormatVersion = 3 // v3: atomic multi-relation manifest commits
 
-  private def currentDir(spark: SparkSession, path: String): String =
-    SnapshotDir.current(spark, path, Prefix).getOrElse(
+  private[sources] val PairsRel = "pairs"
+  private[sources] val BandsRel = "bands"
+  private[sources] val LabelsRel = "labels"
+
+  private[sources] def currentManifest(spark: SparkSession,
+      path: String): ManifestDir.Manifest =
+    ManifestDir.current(spark, path, Prefix).getOrElse(
       throw new IllegalStateException(
         s"no committed edge store under $path"))
 
-  /** Write + commit the next version — CALLER HOLDS the writer lock
-    * (the file lock is not reentrant, and appendBatch must read the
-    * current version inside the same critical section it commits in). */
-  private def commitVersion(pairs: DataFrame, bandRel: DataFrame,
+  /** Write + commit the first version — CALLER HOLDS the writer lock. */
+  private def commitInitial(pairs: DataFrame, bandRel: DataFrame,
       path: String): Unit = {
     val spark = pairs.sparkSession
-    val next = SnapshotDir.next(spark, path, Prefix)
-    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-    pairs.write.mode(SaveMode.Overwrite).parquet(vdir)
-    bandRel.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bands")
-    SnapshotDir.commit(spark, path, Prefix, next)
+    val segId = ManifestDir.newSegmentId()
+    val pairsSeg = ManifestDir.segDir(segId, PairsRel)
+    val bandsSeg = ManifestDir.segDir(segId, BandsRel)
+    pairs.write.parquet(s"$path/$pairsSeg")
+    bandRel.write.parquet(s"$path/$bandsSeg")
+    ManifestDir.commit(spark, path, Prefix, ManifestDir.Empty
+      .withRelation(PairsRel, Seq(pairsSeg))
+      .withRelation(BandsRel, Seq(bandsSeg)))
   }
 
-  /** Publish `pairs` (`id_a`, `id_b`, `cos`) and the `_bands` admission
-    * index (`id`, `band`, `bkey`) as the next committed version. */
+  /** Publish `pairs` (`id_a`, `id_b`, `cos`) and the `bands` admission
+    * index (`id`, `band`, `bkey`) as the first committed version. */
   def writePairs(pairs: DataFrame, bandRel: DataFrame,
       path: String): Unit = {
     val spark = pairs.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
-      commitVersion(pairs, bandRel, path)
+      commitInitial(pairs, bandRel, path)
     }
     SnapshotDir.gc(spark, path, Prefix)
   }
@@ -90,27 +111,29 @@ object EdgeStore {
 
   /** Stored pair list `(id_a, id_b, cos)` of the current version. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentDir(spark, path))
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path), PairsRel)
 
   /** Stored banded signatures `(id, band, bkey)`. */
   def readBands(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${currentDir(spark, path)}/_bands")
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path), BandsRel)
 
   /** INCREMENTAL admission: fold an arriving embedding batch into the
-    * committed store with batch-sized work AND a batch-sized commit —
-    * the continuous-ingest path ([[FingerprintStore.appendBatch]]'s
-    * shape on the vector side). New candidate pairs come from (1) the
-    * batch's band keys equi-joined against the STORED corpus bands
-    * (the corpus is never re-banded or re-scanned beyond the
-    * candidate-id vector lookups) and (2) the batch joined against
-    * itself; both verify with the exact cosine against `vectors` (the
-    * id-keyed source table carrying BOTH sides). Banding is
-    * deterministic per vector, so the committed result EQUALS a
-    * from-scratch rebuild over the union — the spec pins
-    * `admit(base, batch) ≡ full(base ∪ batch)` bit for bit. IDEMPOTENT
-    * under redelivery: ids already in the stored band index are
-    * dropped before banding (one batch-vs-ids anti-join), so an
-    * at-least-once streaming trigger that re-runs admits nothing —
+    * committed store with batch-sized work AND a batch-sized,
+    * fully ATOMIC commit — the continuous-ingest path
+    * ([[FingerprintStore.appendBatch]]'s shape on the vector side).
+    * New candidate pairs come from (1) the batch's band keys
+    * equi-joined against the STORED corpus bands (the corpus is never
+    * re-banded or re-scanned beyond the candidate-id vector lookups)
+    * and (2) the batch joined against itself; both verify with the
+    * exact cosine against `vectors` (the id-keyed source table
+    * carrying BOTH sides). Banding is deterministic per vector, so the
+    * committed result EQUALS a from-scratch rebuild over the union —
+    * the spec pins `admit(base, batch) ≡ full(base ∪ batch)` bit for
+    * bit. IDEMPOTENT under redelivery: ids already in the stored band
+    * index are dropped before banding (one batch-vs-ids anti-join), so
+    * an at-least-once streaming trigger that re-runs admits nothing —
     * the same discipline as the fingerprint admission.
     *
     * CONTRACT — ids are immutable: an id names one embedding forever.
@@ -120,34 +143,30 @@ object EdgeStore {
     * the old id be tombstoned by the caller's curation layer), exactly
     * as in [[VectorIndexStore]].
     *
-    * Commit shape: the batch's band rows and verified pairs are
-    * APPENDED as new parquet files inside the current committed
-    * version — the recurring write is batch-sized; the corpus-sized
-    * pair table is never rewritten (file-count hygiene is [[compact]],
-    * an explicit maintenance action). The two appends are not one
-    * atomic commit on a plain FS (the [[SnapshotDir]] class doc's
-    * stated limit; a lakehouse table format is the swap that makes
-    * them one transaction): bands land FIRST, so a writer that dies
-    * between the writes leaves a store where the batch is indexed but
-    * its pairs are missing — a redelivery then correctly no-ops, and
-    * the repair for the FAILED (loudly, to its orchestrator) admit is
-    * a store rebuild via [[ensureNearDupPairs]] after deleting the
-    * recipe marker. Pairs-first would invert the failure into
-    * duplicate pair rows on redelivery — silent corruption of every
-    * degree/census consumer — which is why the under-admit order
-    * wins. */
+    * Commit shape: the batch's band rows, verified pairs, and label
+    * delta land as NEW segment dirs, then ONE [[ManifestDir]] commit
+    * publishes all three relations together — the recurring write is
+    * batch-sized, the corpus-sized pair table is never rewritten
+    * (file-count hygiene is [[compact]], an explicit maintenance
+    * action), and the transaction is atomic: a writer that dies
+    * mid-admission leaves orphan segments no committed manifest
+    * references (the next vacuum sweeps them), the prior version
+    * intact, and the batch genuinely unadmitted — a retry re-admits
+    * it whole. The v2 crash window (bands landed, pairs missing,
+    * repair = store rebuild) no longer exists. */
   def appendBatch(batch: DataFrame, vectors: DataFrame, path: String,
       threshold: Double, bands: Int, rowsPerBand: Int, dim: Int)
       : Long = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
-    // the current version is resolved INSIDE the critical section: an
-    // append racing a [[compact]] would otherwise land its files in
-    // the OLD version after compact's read pass and be GC'd away
+    // the current manifest is resolved INSIDE the critical section: an
+    // append racing a [[compact]] would otherwise commit a manifest
+    // carrying the pre-compact segment lists, resurrecting the
+    // un-compacted layout and dropping the compaction
     SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
+      val m = currentManifest(spark, path)
       val stored = graft.operators.CacheRegistry.tracked(
-        spark.read.parquet(s"$cur/_bands"))
+        ManifestDir.readRelation(spark, path, m, BandsRel))
       // same-id rows within one batch are redelivery duplicates of
       // identical payloads (the vectors table is the id-keyed source of
       // truth), so keep one; ids the index already holds drop out —
@@ -173,66 +192,95 @@ object EdgeStore {
               col("x.bkey") === col("y.bkey") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        // EAGER localCheckpoint, not cache: the bands append below
-        // lands inside `$cur/_bands`, and Spark's write path recaches
-        // every plan whose lineage reads that path — a merely-cached
-        // newPairs would be invalidated and RECOMPUTED for its own
-        // write against the now-extended band index, where the whole
-        // batch reads as a redelivery and zero pairs come out. The
-        // checkpoint pins the verified pairs as data, severing the
-        // file lineage. (Executor loss between checkpoint and write
-        // fails the admit loudly — acceptable for a batch-sized
-        // artifact; the orchestrator retries.)
+        // EAGER localCheckpoint: the verified pair set feeds three
+        // consumers (the count, the segment write, and the label
+        // maintenance join) — pinning it as data pays the banded
+        // verify join once instead of three times. (Executor loss
+        // between checkpoint and write fails the admit loudly —
+        // acceptable for a batch-sized artifact; the orchestrator
+        // retries, and atomicity means the retry starts clean.)
         val newPairs = graft.operators.Similarity.verifyCosinePairs(
           crossCands.unionByName(selfCands).distinct(), vectors,
           threshold, dim).localCheckpoint()
         val n = newPairs.count()
-        // bands before pairs — see the crash-window ordering argument
-        // in the method doc
-        batchBands.write.mode(SaveMode.Append).parquet(s"$cur/_bands")
+        val segId = ManifestDir.newSegmentId()
+        val bandsSeg = ManifestDir.segDir(segId, BandsRel)
+        batchBands.write.parquet(s"$path/$bandsSeg")
+        var next = m.withSegment(BandsRel, bandsSeg)
         if (n > 0) {
-          newPairs.write.mode(SaveMode.Append).parquet(cur)
-          // derived cluster labels ride the same critical section:
-          // merge only the components the new pairs touch. A crash
-          // between the pair append and this call leaves a label-meta
-          // signature mismatch that the next label read REPAIRS
-          // ([[ClusterStore.ensureLabels]]) — stale labels are never
-          // served silently.
-          ClusterStore.maintain(spark, cur, newPairs)
+          val pairsSeg = ManifestDir.segDir(segId, PairsRel)
+          newPairs.write.parquet(s"$path/$pairsSeg")
+          next = next.withSegment(PairsRel, pairsSeg)
+          // derived cluster labels ride the SAME manifest commit:
+          // merge only the components the new pairs touch. Labels are
+          // maintained only when they were fresh for the pre-append
+          // manifest — a stale label table (manual surgery) must not
+          // be stamped fresh; the next label read repairs it in full
+          // ([[ClusterStore.ensureLabels]]).
+          if (ClusterStore.labelsFresh(m)) {
+            val labelsSeg = ManifestDir.segDir(segId, LabelsRel)
+            ClusterStore.maintainDelta(spark, path, m, newPairs)
+              .write.parquet(s"$path/$labelsSeg")
+            next = next.withSegment(LabelsRel, labelsSeg)
+              .withMeta(ClusterStore.SigKey,
+                ClusterStore.pairsSig(next.segments(PairsRel)))
+          }
         }
-        spark.catalog.refreshByPath(cur)
+        // THE transaction: every relation the batch touched becomes
+        // visible in one atomic manifest publish
+        ManifestDir.commit(spark, path, Prefix, next)
+        SnapshotDir.gc(spark, path, Prefix)
         n
       }
     }
   }
 
-  /** Rewrite the append-accumulated store back to a compact file
-    * layout in the NEXT committed version (the [[SnapshotDir]]
-    * protocol: no rename, in-flight readers keep their version through
-    * the GC grace window). Rows are unchanged — only files. Both the
-    * read-side file listing and the version claim run inside the
-    * writer lock: an [[appendBatch]] committing between an outside
-    * listing and the lock acquisition would leave its files out of the
-    * compacted version, and the old dir's GC would silently drop the
-    * batch (the [[FingerprintStore.compact]] discipline). */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val vdir = SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      val pairs = spark.read.parquet(cur)
-      val bandRel = spark.read.parquet(s"$cur/_bands")
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vd = s"$path/${SnapshotDir.name(Prefix, next)}"
-      pairs.write.mode(SaveMode.Overwrite).parquet(vd)
-      bandRel.repartition(org.apache.spark.sql.functions.col("band"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$vd/_bands")
-      // labels (when built) compact with their pairs — one resolved
-      // row per endpoint in the new version, signature re-recorded
-      // against the new pair files
-      ClusterStore.compactInto(spark, cur, vd)
-      SnapshotDir.commit(spark, path, Prefix, next)
-      vd
+  /** Rewrite the append-accumulated store back to a compact one-
+    * segment-per-relation layout in the NEXT committed version (the
+    * [[ManifestDir]] protocol: no rename; in-flight readers keep their
+    * manifest, whose segments survive until the referencing versions
+    * leave the GC grace window). Rows are unchanged — only files; the
+    * label table collapses to one resolved row per endpoint. Runs
+    * entirely inside the writer lock (an [[appendBatch]] racing the
+    * read pass would otherwise commit a manifest resurrecting the
+    * pre-compact segment lists), and finishes with the vacuum that
+    * sweeps unreferenced segments — crash debris included. */
+  def compact(spark: SparkSession, path: String): Unit =
+    SnapshotDir.withWriterLock(spark, path) {
+      val m = currentManifest(spark, path)
+      val segId = ManifestDir.newSegmentId()
+      val pairsSeg = ManifestDir.segDir(segId, PairsRel)
+      val bandsSeg = ManifestDir.segDir(segId, BandsRel)
+      ManifestDir.readRelation(spark, path, m, PairsRel)
+        .write.parquet(s"$path/$pairsSeg")
+      ManifestDir.readRelation(spark, path, m, BandsRel)
+        .repartition(org.apache.spark.sql.functions.col("band"))
+        .write.parquet(s"$path/$bandsSeg")
+      var next = ManifestDir.Manifest(Map.empty, m.meta)
+        .withRelation(PairsRel, Seq(pairsSeg))
+        .withRelation(BandsRel, Seq(bandsSeg))
+      if (m.segments(LabelsRel).nonEmpty) {
+        val labelsSeg = ManifestDir.segDir(segId, LabelsRel)
+        ClusterStore.resolvedLabels(spark, path, m)
+          .write.parquet(s"$path/$labelsSeg")
+        next = next.withRelation(LabelsRel, Seq(labelsSeg))
+        // carry freshness forward only if the labels WERE fresh —
+        // compacting a stale label table must not bless it
+        if (ClusterStore.labelsFresh(m))
+          next = next.withMeta(ClusterStore.SigKey,
+            ClusterStore.pairsSig(Seq(pairsSeg)))
+      }
+      ManifestDir.commit(spark, path, Prefix, next)
+      SnapshotDir.gc(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path, Prefix)
+      ()
     }
-    SnapshotDir.gc(spark, path, Prefix)
-    spark.catalog.refreshByPath(vdir)
-  }
+
+  /** Sweep segment dirs no committed version references — exposed for
+    * crash-recovery drills; [[compact]] runs it as part of normal
+    * maintenance. Returns the number of swept segment dirs. */
+  def vacuum(spark: SparkSession, path: String): Long =
+    SnapshotDir.withWriterLock(spark, path) {
+      ManifestDir.vacuum(spark, path, Prefix)
+    }
 }

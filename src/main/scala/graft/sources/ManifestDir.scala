@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based table versions on top of [[SnapshotDir]] — the layer
+  * that makes a MULTI-RELATION batch append one atomic transaction.
+  *
+  * [[SnapshotDir]] alone gives atomic single-relation publication: a
+  * version directory holds the data and becomes visible when its
+  * commit marker lands. Its documented limit is the in-place append —
+  * a store whose version carries several relations (the
+  * [[EdgeStore]]'s pairs + band index + cluster labels) appends them
+  * as separate writes into the live version dir, and a writer dying
+  * between relation writes leaves the version internally skewed
+  * (indexed-but-pairless batches, the r10 under-admit crash window).
+  *
+  * The fix is the degenerate form of an Iceberg/Delta snapshot:
+  * SEPARATE DATA FROM VERSIONS.
+  *
+  *  - Data lives in immutable SEGMENT directories under
+  *    `<root>/seg/<uid>/<relation>/`, written BEFORE any commit and
+  *    never modified afterwards (parquet part files land there via a
+  *    normal Spark write).
+  *  - A VERSION directory (`<root><prefix>NNNNNNNN/`) holds only a
+  *    tiny MANIFEST file listing, per relation, the root-relative
+  *    segment dirs that make up the relation at that version — plus
+  *    free-form metadata key/values (recipes, label signatures).
+  *  - The commit point is unchanged: [[SnapshotDir.commit]]'s single
+  *    atomic marker create. One create now publishes EVERY relation's
+  *    new segment list at once, so a batch append that writes three
+  *    relations is transactional: a crash at any earlier point leaves
+  *    orphan segment dirs that NO committed manifest references —
+  *    invisible to every reader, swept by [[vacuum]] — and the
+  *    previous version fully intact.
+  *
+  * Immutability also retires the refresh dance: readers materialize a
+  * fresh file listing per manifest resolution, and since no file under
+  * a referenced segment ever changes, cached file statuses can never
+  * go stale.
+  *
+  * Single writer per root (the [[SnapshotDir.withWriterLock]]
+  * contract); any number of concurrent readers, each pinned to the
+  * committed manifest it resolved. Segment paths are root-RELATIVE so
+  * a recursive directory copy of the store stays self-contained (the
+  * clone-based maintenance specs rely on that). */
+private[graft] object ManifestDir {
+
+  /** One committed table state: relation → ordered root-relative
+    * segment dirs, plus metadata key/values. Values must be tab- and
+    * newline-free (enforced at [[write]]). */
+  case class Manifest(relations: Map[String, Seq[String]],
+      meta: Map[String, String]) {
+    def segments(rel: String): Seq[String] =
+      relations.getOrElse(rel, Vector.empty)
+    def withSegment(rel: String, segDir: String): Manifest =
+      copy(relations = relations + (rel -> (segments(rel) :+ segDir)))
+    /** Replace a relation's whole segment list (compaction). */
+    def withRelation(rel: String, segDirs: Seq[String]): Manifest =
+      copy(relations = relations + (rel -> segDirs))
+    def withMeta(k: String, v: String): Manifest =
+      copy(meta = meta + (k -> v))
+  }
+
+  val Empty: Manifest = Manifest(Map.empty, Map.empty)
+
+  private val FileName = "_manifest.tsv"
+  private val Header = "graft-manifest\tv1"
+
+  /** Fresh segment id — the uid component of [[segDir]]. */
+  def newSegmentId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Root-relative segment dir for one relation of one batch: every
+    * relation a batch writes shares the batch's uid, so the on-disk
+    * layout groups a transaction's files together. */
+  def segDir(segId: String, rel: String): String = s"seg/$segId/$rel"
+
+  /** Serialize `m` into `versionDir` — called BEFORE
+    * [[SnapshotDir.commit]], like any other pre-commit file of the
+    * version. Line format: header, then `R<TAB>rel<TAB>segdir` and
+    * `M<TAB>key<TAB>value` rows (order preserved for relations). */
+  def write(spark: SparkSession, versionDir: String,
+      m: Manifest): Unit = {
+    def clean(s: String): String = {
+      require(!s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"manifest fields must be tab/newline-free: $s")
+      s
+    }
+    val lines = Seq(Header) ++
+      m.relations.toSeq.sortBy(_._1).flatMap { case (rel, segs) =>
+        segs.map(sd => s"R\t${clean(rel)}\t${clean(sd)}") } ++
+      m.meta.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"M\t${clean(k)}\t${clean(v)}" }
+    StoreFiles.writeText(spark, s"$versionDir/$FileName",
+      lines.mkString("\n"))
+  }
+
+  def read(spark: SparkSession, versionDir: String): Manifest = {
+    val text = StoreFiles.readText(spark, s"$versionDir/$FileName")
+      .getOrElse(throw new IllegalStateException(
+        s"committed version $versionDir has no $FileName — not a " +
+          "manifest store (or a pre-manifest layout; rebuild the store)"))
+    val lines = text.split("\n").toSeq
+    require(lines.headOption.contains(Header),
+      s"unrecognized manifest header in $versionDir/$FileName")
+    val rels = scala.collection.mutable.LinkedHashMap[String,
+      Vector[String]]()
+    val meta = scala.collection.mutable.LinkedHashMap[String, String]()
+    lines.drop(1).filter(_.nonEmpty).foreach { ln =>
+      ln.split("\t", -1) match {
+        case Array("R", rel, sd) =>
+          rels(rel) = rels.getOrElse(rel, Vector.empty) :+ sd
+        case Array("M", k, v) => meta(k) = v
+        case other => throw new IllegalStateException(
+          s"malformed manifest line '${other.mkString("\\t")}' in " +
+            s"$versionDir/$FileName")
+      }
+    }
+    Manifest(rels.toMap, meta.toMap)
+  }
+
+  /** Publish `m` as the next committed version of `root` — CALLER
+    * HOLDS the writer lock and has already finished every segment
+    * write `m` references. This is the transaction's commit point:
+    * one atomic marker create makes all of `m`'s relations visible
+    * together. */
+  def commit(spark: SparkSession, root: String, prefix: String,
+      m: Manifest): Long = {
+    val v = SnapshotDir.next(spark, root, prefix)
+    write(spark, s"$root/${SnapshotDir.name(prefix, v)}", m)
+    SnapshotDir.commit(spark, root, prefix, v)
+    v
+  }
+
+  /** The current committed manifest, if any. */
+  def current(spark: SparkSession, root: String, prefix: String)
+      : Option[Manifest] =
+    SnapshotDir.current(spark, root, prefix).map(read(spark, _))
+
+  /** Absolute dirs of `rel`'s segments under `root`. */
+  def relationDirs(root: String, m: Manifest, rel: String): Seq[String] =
+    m.segments(rel).map(sd => s"$root/$sd")
+
+  /** Scan one relation: a plain multi-path parquet read over the
+    * manifest's segment dirs — filters and pruning push down exactly
+    * as on a single-dir table. */
+  def readRelation(spark: SparkSession, root: String, m: Manifest,
+      rel: String): DataFrame = {
+    val dirs = relationDirs(root, m, rel)
+    require(dirs.nonEmpty, s"manifest has no segments for relation " +
+      s"'$rel' under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Delete segment dirs referenced by NO committed version — crash
+    * debris from appends that died before their manifest commit, and
+    * segments whose last referencing version was GC'd. CALLER HOLDS
+    * the writer lock: the only segments not yet referenced by a
+    * committed manifest but still live are an in-flight writer's, and
+    * the lock guarantees there is no such writer but the caller.
+    * Returns the number of swept segment dirs. */
+  def vacuum(spark: SparkSession, root: String, prefix: String): Long = {
+    val (fs, _) = StoreFiles.fsOf(spark, root)
+    val segRoot = new org.apache.hadoop.fs.Path(s"$root/seg")
+    if (!fs.exists(segRoot)) return 0L
+    val referenced = SnapshotDir.versions(spark, root, prefix)
+      .filter(_._2).map(_._1)
+      .flatMap { v =>
+        read(spark, s"$root/${SnapshotDir.name(prefix, v)}")
+          .relations.values.flatten
+      }
+      // "seg/<uid>/<rel>" → <uid>; a whole uid survives if any of its
+      // relations is referenced (they committed together anyway)
+      .flatMap(_.split("/") match {
+        case Array("seg", uid, _*) => Some(uid)
+        case _ => None
+      }).toSet
+    val swept = fs.listStatus(segRoot).toSeq
+      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
+    swept.foreach(s => fs.delete(s.getPath, true))
+    swept.size.toLong
+  }
+}

@@ -51,13 +51,18 @@ class ClusterStoreSpec extends SparkSpec {
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
     val labelInvAfter = fileInventory(path)
-    // batch-sized label commit: every pre-append file untouched except
-    // the meta sidecar (a signature checkpoint, rewritten per admit)
-    labelInvBefore.filterNot(_._1.contains("_labels_meta.json"))
+    // batch-sized label commit: every pre-append DATA file (segment
+    // parquet — pairs, bands, labels) is byte-untouched; only new
+    // segments plus a new manifest version appear (version-dir
+    // metadata beyond the GC grace window may age out, which is why
+    // the immutability pin is scoped to seg/)
+    labelInvBefore.filter(_._1.startsWith("seg/"))
       .foreach { case (f, sig) =>
         assert(labelInvAfter.get(f) === Some(sig),
           s"label maintenance rewrote base file $f")
       }
+    assert(labelInvAfter.count(_._1.startsWith("seg/")) >
+      labelInvBefore.count(_._1.startsWith("seg/")))
     // the store-served assignment over the FULL corpus equals the
     // from-scratch relabel over the union's pairs — bit for bit
     val fullExpected = assignSet(Dedup.clusterAssignments(
@@ -81,10 +86,15 @@ class ClusterStoreSpec extends SparkSpec {
       ClusterStore.assignments(e, path, "vec_id")) === fullExpected)
   }
 
-  test("crash-window repair: pairs landed, labels did not") {
-    // toy graph: components {1,2} and {3,4} via pairs; a crashed
-    // writer's pair file then bridges 2-3 WITHOUT label maintenance —
-    // the signature mismatch must repair on the next label read
+  test("signature repair: a pairs-only manifest commit never serves " +
+      "stale labels") {
+    // toy graph: components {1,2} and {3,4} via pairs. Atomic manifest
+    // commits rule out admission-time skew, so the remaining stale-
+    // label hazard is a pairs-only commit from OUTSIDE appendBatch
+    // (manual surgery, a migration tool) — simulated here by
+    // hand-committing a manifest that adds a bridge pair segment
+    // without touching labels or the signature. The mismatch must
+    // repair on the next label read, never serve stale clusters.
     val pairs = Seq((1L, 2L, 0.99), (3L, 4L, 0.98))
       .toDF("id_a", "id_b", "cos")
     val bands = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"),
@@ -96,11 +106,15 @@ class ClusterStoreSpec extends SparkSpec {
     val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
     assert(assignSet(ClusterStore.assignments(verts, path, "vec_id")) ===
       Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)))
-    // the crash: a pair file appears with no label maintenance
-    val cur = graft.sources.SnapshotDir.current(spark, path, "edges-").get
+    // the rogue commit: a bridge 2-3 lands as a new pair segment in a
+    // hand-built manifest, labels and signature untouched
+    val m = graft.sources.ManifestDir.current(spark, path, "edges-").get
+    val seg = graft.sources.ManifestDir.segDir(
+      graft.sources.ManifestDir.newSegmentId(), "pairs")
     Seq((2L, 3L, 0.97)).toDF("id_a", "id_b", "cos")
-      .write.mode("append").parquet(cur)
-    spark.catalog.refreshByPath(cur)
+      .write.parquet(s"$path/$seg")
+    graft.sources.ManifestDir.commit(spark, path, "edges-",
+      m.withSegment("pairs", seg))
     // served labels REPAIR to the merged component, never stale
     assert(assignSet(ClusterStore.assignments(verts, path, "vec_id")) ===
       Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L)))

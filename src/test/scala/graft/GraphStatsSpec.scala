@@ -256,14 +256,16 @@ class GraphStatsSpec extends SparkSpec {
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
     val afterInv = fileInventory(path)
-    // batch-sized commit: the append only ADDED files — no base file
-    // was rewritten (same size + mtime), and no new version dir was
-    // claimed (the version set is unchanged)
+    // batch-sized commit: every pre-append file is byte-untouched
+    // (segments are immutable; version dirs are tiny manifests the
+    // commit never rewrites) and the append only ADDED files — the
+    // batch's segment dirs plus exactly ONE new committed manifest
+    // version (the transaction's atomic publish point)
     baseInv.foreach { case (f, sig) => assert(afterInv.get(f) ===
       Some(sig), s"append rewrote base file $f") }
     assert(afterInv.size > baseInv.size)
-    assert(afterInv.keySet.filter(_.endsWith("_committed")) ===
-      baseInv.keySet.filter(_.endsWith("_committed")))
+    assert(afterInv.keySet.count(_.endsWith("_committed")) ===
+      baseInv.keySet.count(_.endsWith("_committed")) + 1)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Double]("cos"))).toSet
@@ -286,11 +288,16 @@ class GraphStatsSpec extends SparkSpec {
     assert(bandsDf.count() === bandsDf.distinct().count())
     // the admission index now covers the whole corpus
     assert(bandsDf.select("id").distinct().count() === e.count())
-    // compact: rows identical, landed in a NEW committed version with
-    // fewer files than the append-accumulated layout
+    // compact: rows identical, landed in a NEW committed version whose
+    // manifest references fewer segment dirs than the
+    // append-accumulated layout (one per relation)
+    def referencedSegs(): Set[String] = {
+      val m = graft.sources.ManifestDir.current(spark, path, "edges-").get
+      m.relations.values.flatten.toSet
+    }
     val curBefore = graft.sources.SnapshotDir
       .current(spark, path, "edges-").get
-    val filesBefore = fileInventory(curBefore).size
+    val segsBefore = referencedSegs()
     graft.sources.EdgeStore.compact(spark, path)
     val curAfter = graft.sources.SnapshotDir
       .current(spark, path, "edges-").get
@@ -304,7 +311,63 @@ class GraphStatsSpec extends SparkSpec {
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows,
       dim = ExtQueries.EmbeddingDim) === 0L)
-    assert(fileInventory(curAfter).size < filesBefore)
+    assert(referencedSegs().size < segsBefore.size)
+  }
+
+  test("edge store admission is atomic: a crashed admit is invisible " +
+      "and a retry lands the whole batch") {
+    import graft.operators.ExtQueries
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-crash").toString
+    graft.sources.EdgeStore.ensureNearDupPairs(base, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    def pairSet() = graft.sources.EdgeStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    def bandIds() = graft.sources.EdgeStore.readBands(spark, path)
+      .select("id").distinct().count()
+    val basePairs = pairSet()
+    val baseBandIds = bandIds()
+    // THE CRASH DRILL: a writer dies after its segment writes but
+    // BEFORE the manifest commit — simulated by writing band and pair
+    // segments exactly where appendBatch would, then never committing.
+    // Under the v2 layout this was the under-admit window (bands
+    // visible, pairs missing, repair = full rebuild); under manifests
+    // the orphan segments are invisible to every reader.
+    val segId = graft.sources.ManifestDir.newSegmentId()
+    import spark.implicits._
+    graft.operators.Similarity.bandRelation(batch,
+        ExtQueries.NearDupBands, ExtQueries.NearDupRows,
+        ExtQueries.EmbeddingDim)
+      .write.parquet(s"$path/seg/$segId/bands")
+    Seq((1L, 2L, 0.99)).toDF("id_a", "id_b", "cos")
+      .write.parquet(s"$path/seg/$segId/pairs")
+    // the next reader serves the PRIOR version intact: no phantom
+    // bands (the batch still reads as unadmitted), no phantom pairs
+    assert(pairSet() === basePairs)
+    assert(bandIds() === baseBandIds)
+    // vacuum sweeps exactly the orphan (no committed manifest
+    // references it); committed segments survive
+    assert(graft.sources.EdgeStore.vacuum(spark, path) === 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "seg", segId)))
+    assert(pairSet() === basePairs)
+    // the RETRY admits the whole batch — nothing was half-admitted, so
+    // the redelivery probe sees genuinely fresh ids and the committed
+    // result equals the from-scratch rebuild
+    assert(graft.sources.EdgeStore.appendBatch(batch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim) > 0L)
+    val full = graft.operators.Similarity.nearDupPairsLsh(e,
+        ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet() === full)
   }
 
   test("community one-level: triangles bind, the weak bridge never merges") {

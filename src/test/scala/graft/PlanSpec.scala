@@ -581,9 +581,9 @@ class PlanSpec extends SparkSpec {
         run("x_embed_dedup_cluster").queryExecution.executedPlan)
       val ss = nodes.collect { case s: FileSourceScanExec => s }
       val roots = ss.map(_.relation.location.rootPaths.head.toString)
-      assert(roots.exists(_.contains("_labels")),
+      assert(roots.exists(_.contains("/labels")),
         s"must scan the committed label table:\n$roots")
-      assert(roots.forall(r => r.contains("_labels") ||
+      assert(roots.forall(r => r.contains("/labels") ||
         r.contains("testdata")),
         s"only labels + the vertex table may be scanned:\n$roots")
       assert(nodes.collect {
