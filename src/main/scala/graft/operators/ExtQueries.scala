@@ -66,6 +66,12 @@ object ExtQueries {
   val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
   val SpanMaxDf = 4
+  // the compensated-MV filter (x_mv_rewrite_filtered): a mid-corpus
+  // day range + type IN, shared by the Spark query and the generated
+  // oracle SQL
+  val MvFilterDayLo = "2024-01-10"
+  val MvFilterDayHi = "2024-01-20"
+  val MvFilterTypes: Seq[String] = Seq("view", "click", "purchase")
   val NumShards = 8
   val SketchParts = 4
   val DiversityPerCluster = 3
@@ -1813,6 +1819,37 @@ object ExtQueries {
         s"$d/events.parquet")
       try {
         Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 2))).as("total"))
+          .select(col("day"), col("event_type"), col("cnt"),
+            col("total").cast("double").as("total"))
+          .localCheckpoint()
+      } finally {
+        s.conf.unset(graft.plans.AggStoreRewrite.PathKey)
+        s.conf.unset(graft.plans.AggStoreRewrite.SourceKey)
+      }
+    }),
+
+    // MV routing WITH filter compensation: the common dashboard shape
+    // — the registered rollup under a group-key filter (day range +
+    // event_type IN) — reroutes to the committed partials with the
+    // predicate pushed onto them (group-key filters commute with the
+    // keyed aggregation; PlanSpec pins the fact scan is gone and that
+    // non-key filters still block). The oracle recomputes from the
+    // raw facts under the same filter.
+    "x_mv_rewrite_filtered" -> ((s, d) => {
+      graft.sources.AggStore.ensureState(Tables.events(s, d),
+        aggMvPath(d), baseTag = "mv-full")
+      s.conf.set(graft.plans.AggStoreRewrite.PathKey, aggMvPath(d))
+      s.conf.set(graft.plans.AggStoreRewrite.SourceKey,
+        s"$d/events.parquet")
+      try {
+        Tables.events(s, d)
+          .filter(to_date(col("ts")).between(
+              lit(MvFilterDayLo), lit(MvFilterDayHi)) &&
+            col("event_type").isin(MvFilterTypes: _*))
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast(org.apache.spark.sql.types
@@ -5548,6 +5585,20 @@ object ExtQueries {
       """SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the COMPENSATED rewrite serves off filtered partials; the oracle
+    // recomputes from the raw facts under the same group-key filter —
+    // generated from the shared constants so query and oracle can't
+    // desync
+    "x_mv_rewrite_filtered" ->
+      s"""SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+         |FROM events
+         |WHERE cast(ts AS date)
+         |    BETWEEN DATE '$MvFilterDayLo' AND DATE '$MvFilterDayHi'
+         |  AND event_type IN (${MvFilterTypes
+              .map(t => s"'$t'").mkString(", ")})
+         |GROUP BY 1, 2""".stripMargin,
 
     // last op per key by (ts, event_id), delete vanishes — the
     // window formulation of the struct-max fold

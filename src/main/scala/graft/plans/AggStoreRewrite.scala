@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, sum}
@@ -27,18 +28,33 @@ import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
   * Registration is two session confs — the MV contract every engine
   * with materialized views has:
   *
-  *   - `spark.graft.aggstore.source`: the fact location (suffix-matched
-  *     against the scan's root path). Registering it asserts the store
-  *     at `...path` is MAINTAINED against that source (the ingest
-  *     pipeline's job — [[graft.streaming.StreamingSync.aggMaintSink]];
-  *     a stale store serves stale rows, exactly like any MV with a
-  *     freshness SLA).
+  *   - `spark.graft.aggstore.source`: the fact location (matched
+  *     against the scan's root path, anchored on a path-separator
+  *     boundary). Registering it asserts the store at `...path` is
+  *     MAINTAINED against that source (the ingest pipeline's job —
+  *     [[graft.streaming.StreamingSync.aggMaintSink]]; a stale store
+  *     serves stale rows, exactly like any MV with a freshness SLA).
   *   - `spark.graft.aggstore.path`: the committed store.
   *
+  * FILTER COMPENSATION: a filter between the aggregate and the scan is
+  * routable iff every conjunct, resolved through the projection chain,
+  * reduces to an expression over the VIEW KEYS alone — the day key
+  * (`to_date(ts)` in either loader form) and the `event_type`
+  * attribute. Group-key predicates are constant within each group, so
+  * filtering the store's partials is exactly filtering the facts —
+  * the compensated plan pushes the translated predicate onto the
+  * partials (where it prunes the store's day-partitioned files) and
+  * merges what remains. This is what makes the COMMON dashboard query
+  * ("this week's rollup", "clicks and views only") ride the MV
+  * instead of silently paying the full fact scan the view exists to
+  * avoid. Any conjunct touching a non-key column (a `value` bound, a
+  * `user_id` probe — not derivable from partials), any
+  * non-deterministic or subquery-bearing predicate, blocks the
+  * rewrite.
+  *
   * SOUNDNESS over coverage: the rule fires only on an Aggregate whose
-  * child chain down to the registered scan is Project-only (ANY
-  * Filter/Join/expansion blocks the rewrite — a filtered rollup is NOT
-  * the maintained view; spec-pinned), whose grouping keys are exactly
+  * child chain down to the registered scan is Project/Filter-only
+  * (joins and expansions block), whose grouping keys are exactly
   * `to_date(ts)` (the ts attribute, or the loader's documented
   * nanos normalization `timestamp_micros(ts div 1000)`) and the
   * `event_type` attribute, and whose aggregates are exactly
@@ -61,33 +77,48 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     val source = SQLConf.get.getConfString(SourceKey, "")
     if (store.isEmpty || source.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate if matches(agg, source) => rewrite(agg, store)
+      case agg: Aggregate =>
+        matchView(agg, source) match {
+          case Some(conds) => rewrite(agg, store, conds)
+          case None => agg
+        }
     }
   }
 
-  /** Project-only descent to a single parquet scan of `source`. The
-    * suffix match is anchored on a path-separator boundary: a sibling
-    * dataset whose path merely ENDS with the registered string (e.g.
-    * `/archive-sf/events.parquet` vs registered `sf/events.parquet`)
-    * must not be silently rewritten to the wrong store — every guard
-    * errs toward not firing. */
-  private def scanOf(plan: LogicalPlan, source: String): Boolean =
-    plan match {
-      case Project(_, child) => scanOf(child, source)
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation =>
-          val anchored = "/" + source.stripPrefix("/").stripSuffix("/")
-          fs.location.rootPaths.exists { p =>
-            val s = p.toUri.getPath.stripSuffix("/")
-            s == anchored || s.endsWith(anchored)
-          }
-        case _ => false
-      }
-      case _ => false
+  /** Project/Filter-only descent to a single parquet scan of
+    * `source`: Some(filter conjuncts met on the way, outermost first)
+    * when the chain bottoms out at the registered scan, None
+    * otherwise. The suffix match is anchored on a path-separator
+    * boundary: a sibling dataset whose path merely ENDS with the
+    * registered string (e.g. `/archive-sf/events.parquet` vs
+    * registered `sf/events.parquet`) must not be silently rewritten
+    * to the wrong store — every guard errs toward not firing. */
+  private def chainTo(plan: LogicalPlan, source: String)
+      : Option[Seq[Expression]] = plan match {
+    case Project(_, child) => chainTo(child, source)
+    case Filter(cond, child) =>
+      chainTo(child, source).map(splitAnd(cond) ++ _)
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        val anchored = "/" + source.stripPrefix("/").stripSuffix("/")
+        val hit = fs.location.rootPaths.exists { p =>
+          val s = p.toUri.getPath.stripSuffix("/")
+          s == anchored || s.endsWith(anchored)
+        }
+        if (hit) Some(Nil) else None
+      case _ => None
     }
+    case _ => None
+  }
 
-  /** Resolve `a` through the Project chain's aliases to the
-    * expression it names over the scan output. */
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Resolve `e` through the Project chain's aliases (Filters pass
+    * through — they rename nothing) to the expression it names over
+    * the scan output. */
   private def resolveThrough(plan: LogicalPlan, e: Expression)
       : Expression = plan match {
     case Project(projList, child) =>
@@ -98,6 +129,7 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
         case a: AttributeReference if byId.contains(a.exprId) =>
           byId(a.exprId)
       })
+    case f: Filter => resolveThrough(f.child, e)
     case _ => e
   }
 
@@ -138,30 +170,110 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def matches(agg: Aggregate, source: String): Boolean = {
-    if (!scanOf(agg.child, source)) return false
+  /** The session-zone DATE of a midnight-aligned timestamp literal
+    * (micros), or None when the literal has a time-of-day component.
+    * Needed because by the time this rule runs (post-hoc batch),
+    * Catalyst's cast unwrapping has already rewritten
+    * `to_date(ts) >= DATE d` into `ts >= TIMESTAMP 'd 00:00:00'` —
+    * the day-key filter reaches us as raw midnight-anchored
+    * timestamp bounds. */
+  private def midnightDay(micros: Long): Option[Int] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val zone = DateTimeUtils.getZoneId(SQLConf.get.sessionLocalTimeZone)
+    val days = DateTimeUtils.microsToDays(micros, zone)
+    if (DateTimeUtils.daysToMicros(days, zone) == micros) Some(days)
+    else None
+  }
+
+  /** Translate one scan-level filter conjunct into the store's
+    * column space: every day-key occurrence becomes `day`, every
+    * `event_type` attribute becomes `event_type`, midnight-aligned
+    * `ts` bounds become the equivalent `day` bounds
+    * (`ts >= midnight(D)` ⟺ `day >= D`; `ts < midnight(D)` ⟺
+    * `day < D` — the two forms cast unwrapping emits; a non-aligned
+    * or `>`/`<=` timestamp bound is NOT constant within a day group
+    * and must block), and `isnotnull(ts)` becomes `isnotnull(day)`
+    * (`to_date` is null-preserving both ways). If ANY scan attribute
+    * survives the substitution the predicate depends on a non-key
+    * column and the rewrite must not fire. Non-deterministic or
+    * subquery-bearing predicates also block (a rand() filter is not
+    * constant per group; a subquery's semantics don't transfer onto
+    * partials). */
+  private def translateCond(agg: Aggregate, c: Expression)
+      : Option[Expression] = {
+    if (!c.deterministic) return None
+    if (c.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val day = UnresolvedAttribute("day")
+    def dayLit(days: Int) = Literal(days, DateType)
+    val resolved = resolveThrough(agg.child, c)
+    val translated = resolved.transformUp {
+      case e if isDayKey(e) => day
+      case GreaterThanOrEqual(t, Literal(m: Long,
+          org.apache.spark.sql.types.TimestampType))
+          if isLoadedTs(t) && midnightDay(m).isDefined =>
+        GreaterThanOrEqual(day, dayLit(midnightDay(m).get))
+      case LessThanOrEqual(Literal(m: Long,
+          org.apache.spark.sql.types.TimestampType), t)
+          if isLoadedTs(t) && midnightDay(m).isDefined =>
+        GreaterThanOrEqual(day, dayLit(midnightDay(m).get))
+      case LessThan(t, Literal(m: Long,
+          org.apache.spark.sql.types.TimestampType))
+          if isLoadedTs(t) && midnightDay(m).isDefined =>
+        LessThan(day, dayLit(midnightDay(m).get))
+      case GreaterThan(Literal(m: Long,
+          org.apache.spark.sql.types.TimestampType), t)
+          if isLoadedTs(t) && midnightDay(m).isDefined =>
+        LessThan(day, dayLit(midnightDay(m).get))
+      case IsNotNull(t) if isLoadedTs(t) => IsNotNull(day)
+      case a: AttributeReference if a.name == "event_type" =>
+        UnresolvedAttribute("event_type")
+    }
+    if (translated.exists(_.isInstanceOf[AttributeReference])) None
+    else Some(translated)
+  }
+
+  /** Some(translated filter conjuncts) when `agg` is the registered
+    * view (possibly filtered on its keys) over the registered scan;
+    * None otherwise. */
+  private def matchView(agg: Aggregate, source: String)
+      : Option[Seq[Expression]] = {
+    val conds = chainTo(agg.child, source) match {
+      case Some(cs) => cs
+      case None => return None
+    }
     val g = agg.groupingExpressions
       .map(e => resolveThrough(agg.child, stripAlias(e)))
-    if (g.length != 2) return false
+    if (g.length != 2) return None
     val dayFirst = isDayKey(g.head) && (g(1) match {
       case a: AttributeReference => a.name == "event_type"
       case _ => false
     })
-    if (!dayFirst) return false
+    if (!dayFirst) return None
     // output = [day, event_type, count, sum] in exactly this order
     // (df.groupBy(a, b).agg(x, y)'s shape — anything else falls
     // through; order-insensitivity would complicate the re-aliasing
     // for no coverage the suite needs)
     val aggs = agg.aggregateExpressions
       .map(e => resolveThrough(agg.child, stripAlias(e)))
-    aggs.length == 4 &&
+    val shapeOk = aggs.length == 4 &&
       aggs(0).semanticEquals(g.head) && aggs(1).semanticEquals(g(1)) &&
       isCountStar(aggs(2)) && isSumValueCents(aggs(3))
+    if (!shapeOk) return None
+    val translated = conds.map(translateCond(agg, _))
+    if (translated.exists(_.isEmpty)) None
+    else Some(translated.flatten)
   }
 
-  private def rewrite(agg: Aggregate, store: String): LogicalPlan = {
+  private def rewrite(agg: Aggregate, store: String,
+      conds: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    val replacement = graft.sources.AggStore.readState(spark, store)
+    // the compensated predicate lands on the PARTIALS, before the
+    // merge: group-key filters commute with the keyed aggregation,
+    // and on the store they prune day-keyed files at the scan
+    val partials = conds.foldLeft(
+        graft.sources.AggStore.readState(spark, store))(
+      (df, c) => df.filter(org.apache.spark.sql.GraftBridge.column(c)))
+    val replacement = partials
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("cnt")).cast("bigint").as("cnt"),
         sum(col("total")).cast("decimal(28,2)").as("total"))

@@ -712,6 +712,82 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mv rewrite: key filters compensate, non-key filters block, " +
+      "sibling paths never match") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.AggStoreRewrite
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mvplan-f").toString
+    graft.sources.AggStore.ensureState(Tables.events(spark, sf0001),
+      store, baseTag = "plan-pin-f")
+    spark.conf.set(AggStoreRewrite.PathKey, store)
+    spark.conf.set(AggStoreRewrite.SourceKey, s"$sf0001/events.parquet")
+    def rollup(base: org.apache.spark.sql.DataFrame) = base
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2))).as("total"))
+    try {
+      // a group-key filter (day range + type IN) compensates: the
+      // predicate lands on the store partials and the fact scan is gone
+      val keyFiltered = rollup(Tables.events(spark, sf0001)
+        .filter(to_date(col("ts"))
+          .between(lit("2024-01-10"), lit("2024-01-20")) &&
+          col("event_type").isin("view", "click")))
+      val kPlan = keyFiltered.queryExecution.executedPlan.toString
+      assert(kPlan.contains("agg-"), s"key filter not routed:\n$kPlan")
+      assert(!kPlan.contains("events.parquet"),
+        s"fact scan survived the compensated rewrite:\n$kPlan")
+      // ... and the rows equal the direct (un-routed) computation
+      val expected = {
+        spark.conf.unset(AggStoreRewrite.PathKey)
+        try keyFiltered.collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set(AggStoreRewrite.PathKey, store)
+      }
+      assert(keyFiltered.collect().map(_.toString).sorted.toSeq
+        === expected)
+      // a non-key filter (value bound — not derivable from partials)
+      // blocks: the fact scan must survive
+      val nonKey = rollup(Tables.events(spark, sf0001)
+        .filter(col("value") > 5.0))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains("events.parquet"),
+        "a non-key filter must fall through to the fact scan")
+      // a non-deterministic key filter blocks too (the rand() bound
+      // stays in [0,1) so Catalyst's rand-range folding can't erase it)
+      val nonDet = rollup(Tables.events(spark, sf0001)
+        .filter(col("event_type") === "view" || rand() < 0.5))
+      assert(nonDet.queryExecution.executedPlan.toString
+        .contains("events.parquet"),
+        "a non-deterministic filter must fall through")
+      // a SIBLING dataset whose path merely ends with the registered
+      // suffix must not be routed (path-separator anchoring)
+      val sibling = java.nio.file.Files
+        .createTempDirectory("graft-mvplan-sib").toString
+      val sibDir = s"$sibling/archive-${
+        java.nio.file.Paths.get(sf0001).getFileName}"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(sibDir))
+      Tables.events(spark, sf0001).limit(7).write
+        .parquet(s"$sibDir/events.parquet")
+      spark.conf.set(AggStoreRewrite.SourceKey,
+        s"${java.nio.file.Paths.get(sf0001).getFileName}/events.parquet")
+      val sib = rollup(Tables.events(spark, sibDir))
+      // (the FileScan's Location string truncates long paths, so pin
+      // on the store path's absence rather than the fact path's text)
+      assert(!sib.queryExecution.executedPlan.toString.contains("agg-"),
+        "a sibling suffix path must never route to the store")
+      // while the REGISTERED relative suffix still routes
+      val reg = rollup(Tables.events(spark, sf0001))
+      assert(!reg.queryExecution.executedPlan.toString
+        .contains("events.parquet"),
+        "the registered suffix must still route")
+    } finally {
+      spark.conf.unset(AggStoreRewrite.PathKey)
+      spark.conf.unset(AggStoreRewrite.SourceKey)
+    }
+  }
+
   test("cms fold ships counter bytes; the estimate stays in codegen") {
     withStaticPlan {
       // the sketch build: partial + final ObjectHashAggregate, the
