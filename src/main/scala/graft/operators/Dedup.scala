@@ -660,4 +660,76 @@ object Dedup {
       .select(col(idCol), col("clean_text"), col("n_spans"),
         col("n_removed_p1"), col("n_removed_p2"))
   }
+
+  /** EXACT duplicated-substring detection — the suffix-array family's
+    * answer (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022) re-expressed as keyed aggregation: find
+    * every maximal token span covered by a substring of at least
+    * `width` tokens that occurs at `minCount`+ positions corpus-wide
+    * (cross-doc or within-doc — a self-repeat is duplication too).
+    * This is the exactness rung the aligned span scrubs approximate:
+    * [[scrubRepeatedSpans]] detects a repeat only when its occurrences
+    * share the grid phase, and even the two-phase composition misses a
+    * width-w repeat landing off both grids (ExtSpec holds such a
+    * fixture); here every occurrence of every width-token window is
+    * keyed, so phase cannot hide a repeat.
+    *
+    * The decomposition is the standard one: a position is covered by
+    * SOME duplicated substring of length ≥ width iff it lies inside a
+    * duplicated width-gram window, so (1) every doc emits its
+    * overlapping width-grams with start positions, (2) a gram
+    * repeated ≥ minCount times marks its start positions, (3)
+    * per-doc interval merge (gaps-and-islands over sorted starts)
+    * yields the MAXIMAL spans — a repeat of any length ≥ width comes
+    * out as one `[start_pos, end_pos)` island, exactly.
+    *
+    * Scale shape: explode → one gram-keyed aggregate → one gram-keyed
+    * back-join → one doc-keyed window + aggregate. Linear in total
+    * tokens, never a suffix array on the driver, never all-pairs; the
+    * only super-constant per-row cost is the inherent O(width) gram
+    * string build. Output: `(idCol, start_pos, end_pos, span_len,
+    * n_dup_starts)` for every maximal duplicated span (token offsets,
+    * end exclusive); docs with no duplicated substring emit nothing. */
+  def duplicatedSubstrings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 4, minCount: Int = 2)
+      : DataFrame = {
+    require(width >= 1 && minCount >= 2,
+      s"width=$width minCount=$minCount")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = fanOut(docs)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), toks.as("toks"))
+    // one gram per window start; sequence() must not see a negative
+    // bound (it would count DOWN), so short docs emit the empty array
+    val gramArr = when(size(col("toks")) >= width,
+        transform(sequence(lit(0), size(col("toks")) - width),
+          i => array_join(slice(col("toks"), i + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = CacheRegistry.tracked( // feeds the df agg AND the back-join
+      base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram"))))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("gram"))
+    val starts = grams.join(dup, Seq("gram"))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands: same-length intervals [pos, pos+width) merge
+    // iff the next start is within (or adjacent to) the running span
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val islands = starts
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pos") > col("prev") + width, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("m"),
+        count(lit(1)).as("n_dup_starts"))
+      .select(col("id").as(idCol),
+        col("s").cast("long").as("start_pos"),
+        (col("m") + width).cast("long").as("end_pos"),
+        (col("m") + width - col("s")).cast("long").as("span_len"),
+        col("n_dup_starts"))
+  }
 }

@@ -66,6 +66,11 @@ object ExtQueries {
   val RpShortlist = 150 // reduced-space candidates per query before refine
   val SpanWidth = 3
   val SpanMaxDf = 4
+  // exact duplicated-substring dedup (x_substring_dup): window width
+  // in tokens and the global occurrence floor, shared by the Spark
+  // operator and the generated oracle SQL
+  val SubstrWidth = 4
+  val SubstrMinCount = 2
   // the compensated-MV filter (x_mv_rewrite_filtered): a mid-corpus
   // day range + type IN, shared by the Spark query and the generated
   // oracle SQL
@@ -551,6 +556,15 @@ object ExtQueries {
     "x_scrub_spans_phased" -> ((s, d) =>
       Dedup.scrubRepeatedSpansPhased(Tables.documents(s, d),
         width = SpanWidth, maxDf = SpanMaxDf)),
+
+    // EXACT duplicated-substring spans (the suffix-array family,
+    // keyed-aggregation shape): every maximal token span covered by a
+    // >=SubstrWidth-token substring occurring >=SubstrMinCount times
+    // corpus-wide — the exactness rung the phased scrub's 2-phase
+    // grid approximates (ExtSpec holds a repeat both grids miss).
+    "x_substring_dup" -> ((s, d) =>
+      Dedup.duplicatedSubstrings(Tables.documents(s, d),
+        width = SubstrWidth, minCount = SubstrMinCount)),
 
     // One-sided containment (doc-in-doc): |A∩B| / min(|A|,|B|) from
     // the same shared-shingle pair expansion — the quote-farm /
@@ -3563,6 +3577,42 @@ object ExtQueries {
          |SELECT doc_id, o2.clean_text, o1.n_spans,
          |  o1.n_removed AS n_removed_p1, o2.n_removed AS n_removed_p2
          |FROM out1 o1 JOIN out2 o2 USING (doc_id)""".stripMargin,
+
+    // full SQL replay of the exact duplicated-substring chain:
+    // overlapping width-grams by list slice, global occurrence count,
+    // duplicated starts back-joined, per-doc gaps-and-islands merge —
+    // every constant generated from the shared SubstrWidth/MinCount
+    "x_substring_dup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |ex AS (
+         |  SELECT doc_id,  ws,
+         |    unnest(range(greatest(len(ws) - $SubstrWidth + 1, 0)))
+         |      ::int AS pos
+         |  FROM d),
+         |g2 AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(ws[pos + 1 : pos + $SubstrWidth], ' ')
+         |      AS gram
+         |  FROM ex),
+         |dup AS (SELECT gram FROM g2
+         |        GROUP BY gram HAVING count(*) >= $SubstrMinCount),
+         |ds AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL
+         |         OR pos > lag(pos) OVER w + $SubstrWidth
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(pos)::bigint AS start_pos,
+         |  (max(pos) + $SubstrWidth)::bigint AS end_pos,
+         |  (max(pos) + $SubstrWidth - min(pos))::bigint AS span_len,
+         |  count(*)::bigint AS n_dup_starts
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin,
 
     // replays both sides' md5 minhash pipelines over the corpus/batch
     // split: batch buckets × corpus buckets → exact-Jaccard verify

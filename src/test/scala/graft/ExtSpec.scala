@@ -1865,6 +1865,57 @@ class ExtSpec extends SparkSpec {
     assert(ph3(30L).getAs[Long]("n_removed_p2") === 0L)
   }
 
+  test("exact substring dedup: finds the off-grid repeat both scrub " +
+      "phases miss; merges maximal spans; counts self-repeats") {
+    // "P Q R" starts at word 2 ≡ 2 (mod 3): pass 1's width-3 grid cuts
+    // [z? f? P][Q R t?] and pass 2's offset-1 grid cuts [z?][f? P Q]
+    // [R t? …] — NO phase of the w/2 composition isolates the repeat,
+    // so the phased scrub provably keeps it. The exact operator keys
+    // every window and cannot be phase-blinded.
+    val df = Seq(
+      (1L, "z1 f1 P Q R t1"),
+      (2L, "z2 f2 P Q R t2"),
+      (3L, "c1 c2 c3 c4 c5 c6")) // control: no duplicated gram
+      .toDF("doc_id", "text")
+    val phased = Dedup.scrubRepeatedSpansPhased(df, width = 3,
+        maxDf = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(phased(1L).getAs[String]("clean_text") === "z1 f1 P Q R t1",
+      "the two-phase grid must MISS the off-grid repeat")
+    assert(phased(1L).getAs[Long]("n_removed_p1") === 0L)
+    assert(phased(1L).getAs[Long]("n_removed_p2") === 0L)
+    val spans = Dedup.duplicatedSubstrings(df, width = 3, minCount = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_len"),
+        r.getAs[Long]("n_dup_starts"))).toSet
+    assert(spans === Set((1L, 2L, 5L, 3L, 1L), (2L, 2L, 5L, 3L, 1L)),
+      "the exact operator must flag exactly the off-grid repeat")
+    // maximal merge: a shared 5-token run yields ONE island from its
+    // three overlapping width-3 starts (2,3,4), not three spans
+    val long = Seq(
+      (10L, "h1 h2 A B C D E w1"),
+      (11L, "k1 k2 A B C D E m1 m2")).toDF("doc_id", "text")
+    val merged = Dedup.duplicatedSubstrings(long, width = 3,
+        minCount = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("n_dup_starts"))).toSet
+    assert(merged === Set((10L, 2L, 7L, 3L), (11L, 2L, 7L, 3L)))
+    // a WITHIN-doc repeat is duplication too (Lee et al. count any
+    // second occurrence): both occurrences in the single doc flag
+    val selfRep = Seq((20L, "S T U g1 g2 S T U"),
+      (21L, "n1 n2 n3 n4")).toDF("doc_id", "text")
+    val self = Dedup.duplicatedSubstrings(selfRep, width = 3,
+        minCount = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"))).toSet
+    assert(self === Set((20L, 0L, 3L), (20L, 5L, 8L)))
+    // short and empty docs emit nothing and crash nothing
+    val edge = Seq((30L, "one two"), (31L, "")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSubstrings(edge, width = 3,
+      minCount = 2).isEmpty)
+  }
+
   test("jsonl reader: lossless round-trip, quarantine catches both kinds") {
     val docs = Tables.documents(spark, sf0001)
     val root = java.nio.file.Files
