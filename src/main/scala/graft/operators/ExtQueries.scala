@@ -2325,7 +2325,34 @@ object ExtQueries {
       s"SELECT * FROM graft_hard_negatives('$d', $TopK, $QueryMod, " +
         s"$CosineThreshold)")),
     "x_sql_dedup_apply" -> ((s, d) => s.sql(
-      s"SELECT * FROM graft_dedup_apply('$d')"))
+      s"SELECT * FROM graft_dedup_apply('$d')")),
+
+    // Store observability: the graft_stores() catalog over the four
+    // canonical base stores, first driven to their deterministic
+    // steady state (all ensure-gates are idempotent, so the row set is
+    // run-order independent). Hashed columns are exact metadata
+    // (versions, retained count, recipe, manifest relation count,
+    // label freshness); the environment-sized file/byte counts are
+    // reduced to must-be-TRUE contract booleans.
+    "x_sql_stores" -> ((s, d) => {
+      graft.sources.EdgeStore.ensureNearDupPairs(Tables.embeddings(s, d),
+        nearDupPairsPath(d), CosineThreshold, bands = NearDupBands,
+        rowsPerBand = NearDupRows, dim = EmbeddingDim)
+      graft.sources.ClusterStore.ensureLabels(s, nearDupPairsPath(d))
+      graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), fpStorePath(d))
+      ensureAnnIndexes(s, d)
+      graft.sources.AggStore.ensureState(Tables.events(s, d),
+        aggMvPath(d), baseTag = "mv-full")
+      s.sql(s"""
+        |SELECT family, version, n_versions, recipe, n_relations,
+        |  labels_fresh, n_files > 0 AS has_files, bytes > 0 AS has_bytes
+        |FROM graft_stores(
+        |  'agg', '${aggMvPath(d)}',
+        |  'edges', '${nearDupPairsPath(d)}',
+        |  'fingerprints', '${fpStorePath(d)}',
+        |  'vectors', '${ivfPqIndexPath(d)}')""".stripMargin)
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -6839,6 +6866,32 @@ object ExtQueries {
     "x_sql_retention" -> BaseOracleSql("x_retention"),
     "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"),
     "x_sql_hard_negatives" -> BaseOracleSql("x_hard_negatives"),
+
+    // the catalog is self-validating: expected metadata VALUES are
+    // generated from the SAME recipe builders the stores stamp and
+    // the known deterministic lifecycle (edges: build v1 + labels v2;
+    // the rest: single build v1); env-sized file/byte counts appear
+    // only as must-be-TRUE booleans
+    "x_sql_stores" ->
+      s"""SELECT * FROM (VALUES
+         |  ('agg', 1::bigint, 1::bigint,
+         |   '${graft.sources.AggStore.recipe("mv-full")}',
+         |   NULL::bigint, NULL::boolean, true, true),
+         |  ('edges', 2::bigint, 2::bigint,
+         |   '${graft.sources.EdgeStore.recipe(CosineThreshold,
+              NearDupBands, NearDupRows, EmbeddingDim)}',
+         |   3::bigint, true, true, true),
+         |  ('fingerprints', 1::bigint, 1::bigint,
+         |   '${graft.sources.FingerprintStore.recipe(3, 8, 4,
+              Dedup.DefaultMaxShingleDf, "doc_id", "text")}',
+         |   NULL::bigint, NULL::boolean, true, true),
+         |  ('vectors', 1::bigint, 1::bigint,
+         |   '${graft.sources.VectorIndexStore.recipe(IvfCentroidMod,
+              PqCentroidMod, PqSubspaces, EmbeddingDim, "vec_id",
+              "embedding", 1)}',
+         |   NULL::bigint, NULL::boolean, true, true)
+         |) AS t(family, version, n_versions, recipe, n_relations,
+         |       labels_fresh, has_files, has_bytes)""".stripMargin,
     // stream-maintained sketch state honors the same merge-order-free
     // error contract as the batch split-and-merge audit
     "x_stream_heavy" -> BaseOracleSql("x_freq_merge"))

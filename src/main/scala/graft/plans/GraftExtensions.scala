@@ -65,6 +65,7 @@ object VectorFusion extends Rule[LogicalPlan] {
   *   SELECT * FROM graft_neardup_pairs('/data/sf', 0.935, 8, 2, 64)
   *   SELECT * FROM graft_profile('/data/sf', 'orders', 'o_orderkey')
   *   SELECT * FROM graft_hard_negatives('/data/sf', 10, 50, 0.935)
+  *   SELECT * FROM graft_stores('edges', '/stores/pairs', ...)
   * }}}
   * Each builder loads its table through [[graft.Tables]] (the same
   * loader the Scala API uses — event-time normalization included) and
@@ -198,6 +199,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val args = children.map(strLit(sig))
       graft.operators.Olap.profile(
         graft.Tables(s, args.head, args(1)), args.drop(2))
+    }
+    tableFn(ext, "graft_stores") { (s, children) =>
+      val sig = "graft_stores(family1, path1, family2, path2, ...)"
+      if (children.isEmpty || children.length % 2 != 0)
+        throw new IllegalArgumentException(
+          s"$sig takes (family, path) pairs, got ${children.length} " +
+            "argument(s)")
+      val args = children.map(strLit(sig))
+      graft.sources.StoreCatalog.describe(s,
+        args.grouped(2).map(g => (g.head, g(1))).toSeq)
     }
   }
 }

@@ -32,6 +32,12 @@ object AggStore {
   private val Prefix = "agg-"
   val FormatVersion = 3 // v3: total stored uniformly as decimal(28,2)
 
+  /** The build-recipe marker content — public so observability
+    * consumers ([[StoreCatalog]] oracles) can derive the expected
+    * string from the same constants the builder stamps. */
+  def recipe(baseTag: String): String =
+    s"""{"v":$FormatVersion,"view":"daily_by_type","base":"$baseTag"}"""
+
   /** The stored sum type. Wide enough that overflow means ~10^26 in
     * summed value units; kept uniform across bootstrap and merge so
     * every version ships the identical schema. */
@@ -128,12 +134,16 @@ object AggStore {
       baseTag: String = ""): Option[Double] = {
     val spark = events.sparkSession
     val marker = s"$path/_built.json"
-    val recipe =
-      s"""{"v":$FormatVersion,"view":"daily_by_type","base":"$baseTag"}"""
+    val recipe = AggStore.recipe(baseTag)
     if (readText(spark, marker).contains(recipe) &&
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
+      // recipe change = new state: old-recipe partials are meaningless
+      // under the new one, so rebuild from a clean root (deterministic
+      // version numbering, no cross-format debris)
+      val (fsys, hp) = StoreFiles.fsOf(spark, path)
+      if (fsys.exists(hp)) fsys.delete(hp, true)
       writeState(events, path)
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)

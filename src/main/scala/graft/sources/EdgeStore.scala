@@ -50,6 +50,14 @@ object EdgeStore {
   private[sources] val BandsRel = "bands"
   private[sources] val LabelsRel = "labels"
 
+  /** The build-recipe marker content — public so observability
+    * consumers ([[StoreCatalog]] oracles) can derive the expected
+    * string from the same constants the builder stamps. */
+  def recipe(threshold: Double, bands: Int, rowsPerBand: Int,
+      dim: Int): String =
+    s"""{"v":$FormatVersion,"t":$threshold,"b":$bands,""" +
+      s""""r":$rowsPerBand,"d":$dim}"""
+
   private[sources] def currentManifest(spark: SparkSession,
       path: String): ManifestDir.Manifest =
     ManifestDir.current(spark, path, Prefix).getOrElse(
@@ -93,12 +101,18 @@ object EdgeStore {
       : Option[Double] = {
     val spark = embeddings.sparkSession
     val marker = s"$path/_built.json"
-    val recipe = s"""{"v":$FormatVersion,"t":$threshold,"b":$bands,""" +
-      s""""r":$rowsPerBand,"d":$dim}"""
+    val recipe = EdgeStore.recipe(threshold, bands, rowsPerBand, dim)
     if (readText(spark, marker).contains(recipe) &&
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
+      // a recipe change invalidates EVERY stored version (reading
+      // old-recipe pairs under the new recipe is meaningless, and a
+      // format bump may not even parse), so the rebuild starts from a
+      // clean root — version numbering restarts at 1, deterministic
+      // regardless of what an earlier recipe left behind
+      val (fs, hp) = StoreFiles.fsOf(spark, path)
+      if (fs.exists(hp)) fs.delete(hp, true)
       writePairs(graft.operators.Similarity.nearDupPairsLsh(
         embeddings, threshold, bands = bands, rowsPerBand = rowsPerBand,
         dim = dim),

@@ -52,6 +52,14 @@ object FingerprintStore {
 
   private val Prefix = "fp-"
 
+  /** The build-recipe marker content — public so observability
+    * consumers ([[StoreCatalog]] oracles) can derive the expected
+    * string from the same constants the builder stamps. */
+  def recipe(n: Int, numHashes: Int, bands: Int, maxShingleDf: Int,
+      idCol: String, textCol: String): String =
+    s"""{"v":$FormatVersion,"n":$n,"h":$numHashes,""" +
+      s""""b":$bands,"df":$maxShingleDf,"id":"$idCol","text":"$textCol"}"""
+
   private def fsOf(spark: SparkSession, p: String) =
     StoreFiles.fsOf(spark, p)
 
@@ -111,12 +119,17 @@ object FingerprintStore {
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Option[Double] = {
     val spark = docs.sparkSession
     val marker = s"$path/_built.json"
-    val recipe = s"""{"v":$FormatVersion,"n":$n,"h":$numHashes,""" +
-      s""""b":$bands,"df":$maxShingleDf,"id":"$idCol","text":"$textCol"}"""
+    val recipe = FingerprintStore.recipe(n, numHashes, bands,
+      maxShingleDf, idCol, textCol)
     if (readText(spark, marker).contains(recipe) &&
       SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
+      // recipe change = new store: old-recipe versions are meaningless
+      // under the new one, so rebuild from a clean root (deterministic
+      // version numbering, no cross-format debris)
+      val (fsys, hp) = StoreFiles.fsOf(spark, path)
+      if (fsys.exists(hp)) fsys.delete(hp, true)
       writeFingerprints(docs, path, idCol, textCol, n, numHashes, bands,
         maxShingleDf)
       // marker last: a crash mid-build leaves no marker → rebuild

@@ -95,6 +95,14 @@ private[graft] object ManifestDir {
       lines.mkString("\n"))
   }
 
+  /** [[read]] that yields None when the version has no manifest — the
+    * probe observability consumers use on stores that may predate (or
+    * never use) the manifest layer. */
+  def tryRead(spark: SparkSession, versionDir: String)
+      : Option[Manifest] =
+    StoreFiles.readText(spark, s"$versionDir/$FileName")
+      .map(_ => read(spark, versionDir))
+
   def read(spark: SparkSession, versionDir: String): Manifest = {
     val text = StoreFiles.readText(spark, s"$versionDir/$FileName")
       .getOrElse(throw new IllegalStateException(
@@ -163,12 +171,15 @@ private[graft] object ManifestDir {
     val (fs, _) = StoreFiles.fsOf(spark, root)
     val segRoot = new org.apache.hadoop.fs.Path(s"$root/seg")
     if (!fs.exists(segRoot)) return 0L
-    val referenced = SnapshotDir.versions(spark, root, prefix)
+    val manifests = SnapshotDir.versions(spark, root, prefix)
       .filter(_._2).map(_._1)
-      .flatMap { v =>
-        read(spark, s"$root/${SnapshotDir.name(prefix, v)}")
-          .relations.values.flatten
-      }
+      .map(v => tryRead(spark, s"$root/${SnapshotDir.name(prefix, v)}"))
+    // a committed version WITHOUT a manifest (pre-manifest layout
+    // debris) has unknown references — sweeping anything next to it
+    // could delete live data, so the vacuum declines conservatively
+    if (manifests.exists(_.isEmpty)) return 0L
+    val referenced = manifests.flatten
+      .flatMap(_.relations.values.flatten)
       // "seg/<uid>/<rel>" → <uid>; a whole uid survives if any of its
       // relations is referenced (they committed together anyway)
       .flatMap(_.split("/") match {

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Store observability front door — the `information_schema` of the
+  * persisted families. Seven store kinds commit through [[SnapshotDir]]
+  * (state, fingerprints, vectors, agg/IVM, SCD2, tokenizer, LM) plus
+  * the manifest-versioned [[EdgeStore]]; until now none of them could
+  * be ASKED what they hold without reading source code. One call lists,
+  * per registered family: the current committed version and how many
+  * committed versions are retained, the build recipe (the
+  * `_built.json` marker the ensure-gates stamp), the manifest's
+  * relation count and label freshness (manifest stores only), and the
+  * raw file count / byte total under the root — the loop a lakehouse
+  * format closes with its metadata tables, closed here for the
+  * plain-parquet protocol.
+  *
+  * SQL-callable as `graft_stores('family', '/path', ...)` (registered
+  * in [[graft.plans.GraftExtensions]]), so an operator console needs
+  * no Scala.
+  *
+  * Scale shape: this is bounded METADATA — per store one directory
+  * listing for versions, one sidecar read for the recipe, one manifest
+  * read, and one recursive file-status walk (file-count sized, the
+  * same listing any scan planner performs; never a data row). The
+  * result is specs-sized and built driver-side by design, like any
+  * catalog query. */
+object StoreCatalog {
+
+  private val VersionDir = "^(.+-)(\\d{8})$".r
+
+  private case class StoreInfo(family: String, version: Option[Long],
+      n_versions: Long, recipe: Option[String],
+      n_relations: Option[Long], labels_fresh: Option[Boolean],
+      n_files: Long, bytes: Long)
+
+  /** One row per `(family, root)` spec:
+    * `(family, version, n_versions, recipe, n_relations, labels_fresh,
+    * n_files, bytes)`. Version discovery is generic — any child dir
+    * named `<prefix>-NNNNNNNN` carrying the [[SnapshotDir]] commit
+    * marker counts, whatever the family's prefix; `version` is the
+    * highest committed (None for a missing or never-committed root).
+    * `n_relations`/`labels_fresh` come from the current version's
+    * manifest and stay null for single-relation stores. */
+  def describe(spark: SparkSession,
+      specs: Seq[(String, String)]): DataFrame = {
+    val infos = specs.map { case (family, root) =>
+      val (fs, hp) = StoreFiles.fsOf(spark, root)
+      if (!fs.exists(hp))
+        StoreInfo(family, None, 0L, None, None, None, 0L, 0L)
+      else {
+        val committed = fs.listStatus(hp).toSeq
+          .filter(_.isDirectory)
+          .flatMap(st => st.getPath.getName match {
+            case VersionDir(prefix, num)
+                if fs.exists(new org.apache.hadoop.fs.Path(
+                  st.getPath, "_committed")) =>
+              Some((prefix, num.toLong))
+            case _ => None
+          })
+        val current = committed.sortBy(_._2).lastOption
+        val manifest = current.flatMap { case (prefix, v) =>
+          ManifestDir.tryRead(spark,
+            s"$root/${SnapshotDir.name(prefix, v)}")
+        }
+        var nFiles = 0L
+        var bytes = 0L
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val f = it.next()
+          nFiles += 1
+          bytes += f.getLen
+        }
+        StoreInfo(family,
+          current.map(_._2),
+          committed.size.toLong,
+          StoreFiles.readText(spark, s"$root/_built.json"),
+          manifest.map(_.relations.size.toLong),
+          manifest.map(ClusterStore.labelsFresh),
+          nFiles, bytes)
+      }
+    }
+    import spark.implicits._
+    infos.toDF("family", "version", "n_versions", "recipe",
+      "n_relations", "labels_fresh", "n_files", "bytes")
+  }
+}

@@ -53,6 +53,15 @@ object VectorIndexStore {
     * matching and the index rebuilds instead of serving stale codes. */
   private val FormatVersion = 4
 
+  /** The build-recipe marker content — public so observability
+    * consumers ([[StoreCatalog]] oracles) can derive the expected
+    * string from the same constants the builder stamps. */
+  def recipe(ivfCentroidMod: Int, pqCentroidMod: Int, m: Int, dim: Int,
+      idCol: String, vecCol: String, saltFilesPerList: Int): String =
+    s"""{"v":$FormatVersion,"ivf":$ivfCentroidMod,""" +
+      s""""pq":$pqCentroidMod,"m":$m,"dim":$dim,"id":"$idCol",""" +
+      s""""vec":"$vecCol","salt":$saltFilesPerList}"""
+
   // -- tiny sidecar-file helpers (shared: [[StoreFiles]]) -------------
 
   private def fsOf(spark: SparkSession, p: String) =
@@ -239,9 +248,8 @@ object VectorIndexStore {
       saltFilesPerList: Int = 1): Option[Double] = {
     val spark = corpus.sparkSession
     val marker = s"$path/_built.json"
-    val recipe = s"""{"v":$FormatVersion,"ivf":$ivfCentroidMod,""" +
-      s""""pq":$pqCentroidMod,"m":$m,"dim":$dim,"id":"$idCol",""" +
-      s""""vec":"$vecCol","salt":$saltFilesPerList}"""
+    val recipe = VectorIndexStore.recipe(ivfCentroidMod, pqCentroidMod,
+      m, dim, idCol, vecCol, saltFilesPerList)
     // warm = matching recipe AND a committed codes version actually on
     // disk (same guard as FingerprintStore.ensureFingerprints): a tmp
     // cleaner that removes aged version dirs but spares the
@@ -251,6 +259,11 @@ object VectorIndexStore {
         SnapshotDir.current(spark, path, CodesPrefix).isDefined) None
     else {
       val t0 = System.nanoTime()
+      // recipe change = new index: old-recipe codes are meaningless
+      // under the new one, so rebuild from a clean root (deterministic
+      // version numbering, no cross-format debris)
+      val (fsys, hp) = fsOf(spark, path)
+      if (fsys.exists(hp)) fsys.delete(hp, true)
       writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,
         idCol, vecCol, saltFilesPerList)
       // marker last: a crash mid-build leaves no marker → next ensure

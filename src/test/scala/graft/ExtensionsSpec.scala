@@ -142,6 +142,49 @@ class ExtensionsSpec extends AnyFunSuite {
       notLit.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("graft_stores lists committed versions, recipes, and manifest " +
+      "freshness; validates pair arity; missing roots read as empty") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // a real manifest store with the known two-commit lifecycle
+    val edges = java.nio.file.Files
+      .createTempDirectory("graft-cat-edges").toString
+    graft.sources.EdgeStore.writePairs(
+      Seq((1L, 2L, 0.99)).toDF("id_a", "id_b", "cos"),
+      Seq((1L, 0, "x"), (2L, 0, "x")).toDF("id", "band", "bkey"), edges)
+    graft.sources.ClusterStore.ensureLabels(s, edges)
+    val rows = s.sql(
+      s"""SELECT * FROM graft_stores('edges', '$edges',
+         |  'ghost', '$edges-nonexistent')""".stripMargin)
+      .collect().map(r => r.getAs[String]("family") -> r).toMap
+    val e = rows("edges")
+    assert(e.getAs[Long]("version") === 2L) // build v1, labels v2
+    assert(e.getAs[Long]("n_versions") === 2L)
+    assert(e.getAs[Long]("n_relations") === 3L)
+    assert(e.getAs[Boolean]("labels_fresh") === true)
+    assert(e.getAs[Long]("n_files") > 0L && e.getAs[Long]("bytes") > 0L)
+    assert(e.isNullAt(e.fieldIndex("recipe"))) // writePairs stamps none
+    val g = rows("ghost")
+    assert(g.isNullAt(g.fieldIndex("version")))
+    assert(g.getAs[Long]("n_versions") === 0L)
+    assert(g.getAs[Long]("n_files") === 0L)
+    // a stale label signature must read as labels_fresh = false
+    val m = graft.sources.ManifestDir.current(s, edges, "edges-").get
+    val seg = graft.sources.ManifestDir.segDir(
+      graft.sources.ManifestDir.newSegmentId(), "pairs")
+    Seq((3L, 4L, 0.98)).toDF("id_a", "id_b", "cos")
+      .write.parquet(s"$edges/$seg")
+    graft.sources.ManifestDir.commit(s, edges, "edges-",
+      m.withSegment("pairs", seg))
+    val stale = s.sql(s"SELECT * FROM graft_stores('edges', '$edges')")
+      .collect().head
+    assert(stale.getAs[Boolean]("labels_fresh") === false)
+    // odd argument count fails readably
+    val odd = intercept[Exception](
+      s.sql(s"SELECT * FROM graft_stores('edges')").collect())
+    assert(odd.getMessage.contains("graft_stores"))
+  }
+
   test("mv rewrite: routed to the store, blocked by filters, identical rows") {
     import graft.plans.AggStoreRewrite
     val spark = SparkSpec.spark
@@ -175,13 +218,26 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!plan.contains("events.parquet"),
         s"fact scan survived the rewrite:\n$plan")
       assert(rows(routed) === direct && direct.size === 2)
-      // ANY filter between aggregate and scan blocks the rewrite —
-      // a filtered rollup is NOT the maintained view
+      // a GROUP-KEY filter compensates: the predicate lands on the
+      // partials (constant per group, so filtering partials IS
+      // filtering facts) and the fact scan is still gone — with the
+      // rows equal to the direct filtered computation
       val filtered = facts.filter($"event_type" === "view")
         .groupBy(to_date($"ts").as("day"), $"event_type")
         .agg(count(lit(1)).as("cnt"),
           sum($"value".cast("decimal(18,2)")).as("total"))
-      assert(filtered.queryExecution.executedPlan.toString
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("agg-") && !fPlan.contains("events.parquet"),
+        s"key-filtered rollup must route with compensation:\n$fPlan")
+      assert(rows(filtered) ===
+        direct.filter(_._2 == "view") && rows(filtered).size === 1)
+      // a NON-KEY filter (value bound — not derivable from partials)
+      // still blocks: a value-filtered rollup is NOT the maintained view
+      val nonKey = facts.filter($"value" > 2.0)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"value".cast("decimal(18,2)")).as("total"))
+      assert(nonKey.queryExecution.executedPlan.toString
         .contains("events.parquet"))
       // a different aggregate shape falls through untouched
       val other = facts.groupBy($"event_type")
