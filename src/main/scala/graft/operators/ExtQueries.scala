@@ -2182,6 +2182,16 @@ object ExtQueries {
     "x_community_merge" -> ((s, d) =>
       GraphStats.communityMerge(storedNearDupPairs(s, d))),
 
+    // Two-level Louvain: the accepted level-1 communities coarsen
+    // into the quotient graph (cross weights summed, internal mass as
+    // self-weight, degrees = member-degree sums, 2m invariant) and
+    // one more exact-ppm sweep runs at community granularity —
+    // merging bridged communities the vertex-level sweep cannot
+    // (GraphStatsSpec holds the fixture). Oracle = the full two-level
+    // chain unrolled over the shared CTEs.
+    "x_community_l2" -> ((s, d) =>
+      GraphStats.communityTwoLevel(storedNearDupPairs(s, d))),
+
     // SemDeDup: cluster the near-dup graph, keep each cluster's
     // HIGHEST-QUALITY member (ties → lowest id) — the curation form
     // of semantic dedup (min-id keep discards arbitrary members).
@@ -5846,6 +5856,60 @@ object ExtQueries {
          |  SELECT e.b, rc.l FROM reach rc JOIN aedges e ON e.a = rc.v)
          |SELECT v AS vec_id, min(l) AS community_id
          |FROM reach GROUP BY v""".stripMargin,
+
+    // the two-level chain unrolled: level-1 closure (the
+    // x_community_merge chain verbatim), quotient projection with
+    // summed cross/self weights, member-degree-sum degrees, the same
+    // hugeint gain, argmax, and a second recursive closure over the
+    // community adoption edges
+    "x_community_l2" ->
+      s"""WITH RECURSIVE $CommunitySweepCtes,
+         |adopt AS (SELECT src AS a, dst AS b FROM r
+         |          WHERE rn = 1 AND gain > 0),
+         |aedges AS (SELECT a, b FROM adopt UNION ALL
+         |           SELECT b, a FROM adopt),
+         |verts AS (SELECT DISTINCT src AS v FROM wadj),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.b, rc.l FROM reach rc JOIN aedges e ON e.a = rc.v),
+         |l1 AS (SELECT v AS vec_id, min(l) AS c1 FROM reach GROUP BY v),
+         |ceagg AS (
+         |  SELECT least(la.c1, lb.c1) AS qa,
+         |    greatest(la.c1, lb.c1) AS qb, sum(w)::bigint AS w
+         |  FROM we JOIN l1 la ON la.vec_id = a
+         |  JOIN l1 lb ON lb.vec_id = b
+         |  GROUP BY 1, 2),
+         |cross2 AS (SELECT * FROM ceagg WHERE qa <> qb),
+         |selfw AS (SELECT qa AS v, w AS sw FROM ceagg WHERE qa = qb),
+         |adj2 AS (SELECT qa AS src, qb AS dst, w FROM cross2
+         |         UNION ALL SELECT qb, qa, w FROM cross2),
+         |cdeg AS (
+         |  SELECT v, (coalesce(cw, 0) + 2 * coalesce(sw, 0))::bigint
+         |    AS wd
+         |  FROM (SELECT src AS v, sum(w)::bigint AS cw FROM adj2
+         |        GROUP BY 1) cr
+         |  FULL JOIN selfw USING (v)),
+         |scored2 AS (
+         |  SELECT src, dst, m2 * w - ks.wd::hugeint * kd.wd AS gain
+         |  FROM adj2 JOIN cdeg ks ON ks.v = src
+         |  JOIN cdeg kd ON kd.v = dst CROSS JOIN m),
+         |r2 AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src ORDER BY gain DESC, dst) AS rn
+         |  FROM scored2),
+         |adopt2 AS (SELECT src AS a, dst AS b FROM r2
+         |           WHERE rn = 1 AND gain > 0),
+         |a2edges AS (SELECT a, b FROM adopt2 UNION ALL
+         |            SELECT b, a FROM adopt2),
+         |cverts AS (SELECT DISTINCT c1 AS v FROM l1),
+         |reach2(v, l) AS (
+         |  SELECT v, v FROM cverts
+         |  UNION
+         |  SELECT e.b, rc.l FROM reach2 rc
+         |  JOIN a2edges e ON e.a = rc.v),
+         |l2 AS (SELECT v AS c1, min(l) AS c2 FROM reach2 GROUP BY v)
+         |SELECT l1.vec_id, l1.c1 AS l1_community, l2.c2 AS community_id
+         |FROM l1 JOIN l2 USING (c1)""".stripMargin,
 
     // cluster reach (the x_embed_dedup_cluster mirror) + quality join,
     // ranked per cluster by (score DESC, doc_id)

@@ -444,6 +444,86 @@ object GraphStats {
       .select(col("vec_id"), col("cluster_id").as("community_id"))
   }
 
+  /** TWO-LEVEL Louvain: coarsen the level-1 communities into the
+    * quotient graph and re-sweep once — the standard multi-level
+    * composition (Blondel et al. 2008) over the same exact ppm gain
+    * machinery. Level 1 ([[communityMerge]]) can only bind a vertex to
+    * a NEIGHBOR, so two internally-settled communities joined by a
+    * bridge stay separate even when modularity favors their union;
+    * coarsening makes each community one node (cross weights summed,
+    * internal mass kept as self-weight) and the sweep re-evaluates the
+    * merge at community granularity — GraphStatsSpec holds a fixture
+    * level 1 provably cannot merge and level 2 does.
+    *
+    * Exactness carries through unchanged: coarsened degrees are
+    * `k_A = Σ cross W + 2·W_self` (exactly Σ k_i over members), `2m`
+    * is invariant under coarsening, and the move gain keeps the
+    * integer form `2m·W_AB − k_A·k_B` in decimal(38,0). Accepted
+    * moves close into components exactly as in level 1; communities
+    * with no cross edge keep their level-1 id.
+    *
+    * Scale shape: the quotient graph is COMMUNITY-sized (strictly
+    * smaller than the pair graph), built by two label joins + one
+    * keyed aggregate; everything after runs on quotient rows. Output:
+    * `(vec_id, l1_community, community_id)` per edge endpoint. */
+  def communityTwoLevel(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
+    val l1 = CacheRegistry.tracked(
+      communityMerge(edges, aCol, bCol, wCol)
+        .select(col("vec_id"), col("community_id").as("c1")))
+    // the SAME canonical ppm pair prep as the level-1 sweep
+    val ppm = (col(wCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 1000000).cast("long")
+    val e = CacheRegistry.tracked(edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"), ppm.as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0L)
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w")))
+    val ceAgg = CacheRegistry.tracked(e
+      .join(l1.select(col("vec_id").as("a"), col("c1").as("ca")),
+        Seq("a"))
+      .join(l1.select(col("vec_id").as("b"), col("c1").as("cb")),
+        Seq("b"))
+      .select(least(col("ca"), col("cb")).as("qa"),
+        greatest(col("ca"), col("cb")).as("qb"), col("w"))
+      .groupBy(col("qa"), col("qb")).agg(sum(col("w")).as("w")))
+    val cross = ceAgg.filter(col("qa") =!= col("qb"))
+    val selfW = ceAgg.filter(col("qa") === col("qb"))
+      .select(col("qa").as("v"), col("w").as("sw"))
+    val adj2 = cross
+      .select(col("qa").as("src"), col("qb").as("dst"), col("w"))
+      .unionAll(cross.select(col("qb").as("src"), col("qa").as("dst"),
+        col("w")))
+    // coarsened degree = Σ incident cross + 2·internal = Σ member k_i
+    val wdeg2 = CacheRegistry.tracked(adj2
+      .groupBy(col("src").as("v")).agg(sum(col("w")).as("cw"))
+      .join(selfW, Seq("v"), "full")
+      .select(col("v"), (coalesce(col("cw"), lit(0L)) +
+        lit(2L) * coalesce(col("sw"), lit(0L))).as("wd")))
+    // 2m is coarsening-invariant: the level-1 directed-adjacency total
+    val m2 = e.agg((sum(col("w")) * 2).cast(
+      org.apache.spark.sql.types.DecimalType(38, 0)).as("m2"))
+    val scored = adj2
+      .join(wdeg2.select(col("v").as("src"), col("wd").as("ks")),
+        Seq("src"))
+      .join(wdeg2.select(col("v").as("dst"), col("wd").as("kd")),
+        Seq("dst"))
+      .crossJoin(broadcast(m2))
+      .select(col("src"), col("dst"),
+        expr("m2 * w - cast(ks as decimal(38,0)) * kd").as("gain"))
+    val byGain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("gain").desc, col("dst"))
+    val adopt = scored.withColumn("rn", row_number().over(byGain))
+      .filter(col("rn") === 1 && col("gain") > 0)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val cverts = l1.select(col("c1").as("vec_id")).distinct()
+    val l2 = Dedup.clusterAssignments(cverts, adopt, idCol = "vec_id")
+      .select(col("vec_id").as("c1"), col("cluster_id").as("c2"))
+    l1.join(l2, Seq("c1"))
+      .select(col("vec_id"), col("c1").as("l1_community"),
+        col("c2").as("community_id"))
+  }
+
   /** Link prediction over the undirected pair graph: for every
     * NON-adjacent canonical pair `(id_a < id_b)` sharing at least
     * `minCommon` neighbors, three classic structural scores — the

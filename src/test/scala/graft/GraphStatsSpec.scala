@@ -421,6 +421,50 @@ class GraphStatsSpec extends SparkSpec {
       21L -> 21L, 23L -> 21L))
   }
 
+  test("community level 2 merges the bridged pair level 1 cannot") {
+    // Pairs {1,2} and {3,4} (internal w=1.0) joined by a 0.5 bridge
+    // 2-3, plus four distant unit pairs that only inflate 2m.
+    // ppm: Σw = 6.5e6 → 2m = 13e6.
+    // LEVEL 1 (per vertex): v2's options are 1 (gain 13e6·1e6 −
+    // 1.5e6·1e6 = 11.5e12) and 3 (13e6·0.5e6 − 1.5e6·1.5e6 =
+    // 4.25e12) → adopts 1; symmetric for v3 → {1,2} and {3,4} stay
+    // SEPARATE communities — the vertex sweep can only bind to a
+    // neighbor, and both bridge endpoints prefer their partners.
+    // LEVEL 2 (quotient): A={1,2}, B={3,4} with W_self = 1e6 each,
+    // W_AB = 0.5e6, k_A = k_B = 0.5e6 + 2·1e6 = 2.5e6. Merge gain =
+    // 2m·W_AB − k_A·k_B = 13e6·0.5e6 − 6.25e12 = +0.25e12 > 0 →
+    // mutual adopt, one community min(1,3) = 1. The blob pairs have
+    // no quotient neighbors and keep their level-1 ids.
+    val edges = Seq(
+      (1L, 2L, 1.0), (3L, 4L, 1.0), (2L, 3L, 0.5),
+      (10L, 11L, 1.0), (12L, 13L, 1.0), (14L, 15L, 1.0),
+      (16L, 17L, 1.0)).toDF("id_a", "id_b", "cos")
+    val l1 = GraphStats.communityMerge(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(l1(1L) === 1L && l1(2L) === 1L &&
+      l1(3L) === 3L && l1(4L) === 3L,
+      "level 1 must NOT merge across the bridge")
+    val l2 = GraphStats.communityTwoLevel(edges).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("l1_community"), r.getAs[Long]("community_id")))
+      .toMap
+    assert(l2 === Map(
+      1L -> (1L, 1L), 2L -> (1L, 1L), 3L -> (3L, 1L), 4L -> (3L, 1L),
+      10L -> (10L, 10L), 11L -> (10L, 10L),
+      12L -> (12L, 12L), 13L -> (12L, 12L),
+      14L -> (14L, 14L), 15L -> (14L, 14L),
+      16L -> (16L, 16L), 17L -> (16L, 16L)))
+    // and where level 1 already merged everything (one triangle),
+    // level 2 is a fixpoint: the single quotient node has no move
+    val tri = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+      .toDF("id_a", "id_b", "cos")
+    val triL2 = GraphStats.communityTwoLevel(tri).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(triL2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
     val w = GraphStats.pageRankWeighted(
