@@ -385,6 +385,13 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-scd2store-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def hilbApdBasePath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-hilb-base-${Integer.toHexString(d.hashCode)}").toString
+  private[graft] def hilbApdWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-hilb-work-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-zorder-${Integer.toHexString(d.hashCode)}").toString
@@ -1003,6 +1010,39 @@ object ExtQueries {
       graft.sources.HilbertStore.rectScan(s, hilbertPath(d),
           "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
         .select(col("event_id"), col("za"), col("zb"), col("hval"))
+    }),
+
+    // Incremental Hilbert layout (the lakehouse OPTIMIZE shape): a
+    // held-out batch appends UNCLUSTERED into the current version's
+    // tail; the rectangle scan unions clustered + tail under the same
+    // pushed prefilter and exact residuals; compaction re-sorts the
+    // tail into the next committed version. The query emits the scan
+    // BEFORE and AFTER optimize — identical row sets (phase-tagged),
+    // which is the scan-parity contract; the oracle computes the
+    // full-grid rectangle once and duplicates it per phase.
+    "x_hilbert_append" -> ((s, d) => {
+      val grid = zGrid(Tables.events(s, d))
+      val base = grid.filter(col("event_id") % 10 =!= 7)
+      val batch = grid.filter(col("event_id") % 10 === 7)
+      graft.sources.HilbertStore.ensureHilbert(base, hilbApdBasePath(d),
+        "za", "zb", ZBits, ZFiles)
+      val work = hilbApdWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, hilbApdBasePath(d),
+        work)
+      graft.sources.HilbertStore.appendTail(batch, work, "za", "zb",
+        ZBits)
+      def scan() = graft.sources.HilbertStore.rectScan(s, work,
+          "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
+        .select(col("event_id"), col("za"), col("zb"), col("hval"))
+      // pin the pre-optimize rows as data: the lazy plan holds the
+      // version dir it resolved, but materializing first keeps the
+      // parity claim independent of GC timing
+      val pre = scan().withColumn("phase", lit("pre")).localCheckpoint()
+      graft.sources.HilbertStore.optimize(s, work, ZFiles)
+      val post = scan().withColumn("phase", lit("post"))
+      pre.unionByName(post)
+        .select(col("phase"), col("event_id"), col("za"), col("zb"),
+          col("hval"))
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -4572,6 +4612,24 @@ object ExtQueries {
          |    AND zb BETWEEN $ZBLo AND $ZBHi),
          |$HilbertStepCtes
          |SELECT event_id, za, zb, d AS hval FROM h$ZBits""".stripMargin,
+
+    // scan parity across the tail lifecycle: the rectangle rows (the
+    // x_hilbert_scan chain over the FULL grid — base ∪ appended
+    // batch) appear once per phase, bit-identical
+    "x_hilbert_append" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id % ${1L << ZBits} AS za,
+         |    event_id % ${1L << ZBits} AS zb
+         |  FROM events),
+         |h0 AS (
+         |  SELECT event_id, za, zb, za AS x, zb AS y, 0::bigint AS d
+         |  FROM g
+         |  WHERE za BETWEEN $ZALo AND $ZAHi
+         |    AND zb BETWEEN $ZBLo AND $ZBHi),
+         |$HilbertStepCtes,
+         |rect AS (SELECT event_id, za, zb, d AS hval FROM h$ZBits)
+         |SELECT 'pre' AS phase, * FROM rect
+         |UNION ALL SELECT 'post', * FROM rect""".stripMargin,
 
     // the bucketed layout changes the plan, never the rows: plain join
     // + per-order aggregate; decimal sums keep doubles order-independent

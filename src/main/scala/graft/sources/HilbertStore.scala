@@ -33,32 +33,116 @@ import graft.plans.{LayoutExpressions, LayoutKernels}
   * driver-side BOUNDED METADATA (≤ 4·perimeter cells at descent,
   * never a data row).
   *
+  * INCREMENTAL layout (fmt 2 — the lakehouse OPTIMIZE shape): the
+  * clustered table lives in a [[SnapshotDir]] version
+  * (`hilb-NNNNNNNN/`); arriving batches land in the version's
+  * `_tail/` subdir UNCLUSTERED (batch-sized append — re-sorting the
+  * whole table per batch is exactly the write amplification liquid
+  * clustering exists to avoid), [[rectScan]] unions clustered + tail
+  * under the SAME pushed prefilter and exact residuals (tail rows
+  * carry `hval` too — the prefilter prunes weakly there, residuals
+  * keep it correct), and [[optimize]] re-sorts the tail in as the
+  * NEXT committed version. The underscore name keeps tail files
+  * invisible to the clustered scan of the version dir; a crashed
+  * optimize leaves an uncommitted dir the next GC sweeps; a crashed
+  * tail append leaves only the job committer's `_temporary` debris.
+  *
   * Single-writer, like [[ZOrderStore]]. */
 object HilbertStore {
 
-  /** Write `df` Hilbert-clustered on the two bounded non-negative grid
-    * columns (values in `[0, 2^bits)`; production normalizes first).
-    * `files` range-partitions the curve, so each file covers one
-    * contiguous — hence spatially CONNECTED — curve interval. */
-  def writeHilbert(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, files: Int): Unit = {
+  private val Prefix = "hilb-"
+  private val TailSub = "_tail"
+
+  private def clustered(df: DataFrame, aCol: String, bCol: String,
+      bits: Int, files: Int): DataFrame =
     df.withColumn("hval",
         LayoutExpressions.hilbertValue(col(aCol).cast("long"),
           col(bCol).cast("long"), bits))
       .repartitionByRange(files, col("hval"))
       .sortWithinPartitions("hval")
-      .write.mode("overwrite").parquet(path)
+
+  /** Write `df` Hilbert-clustered on the two bounded non-negative grid
+    * columns (values in `[0, 2^bits)`; production normalizes first)
+    * into `dir`. `files` range-partitions the curve, so each file
+    * covers one contiguous — hence spatially CONNECTED — curve
+    * interval. */
+  def writeHilbert(df: DataFrame, dir: String, aCol: String,
+      bCol: String, bits: Int, files: Int): Unit =
+    clustered(df, aCol, bCol, bits, files)
+      .write.mode("overwrite").parquet(dir)
+
+  private def currentDir(spark: SparkSession, path: String): String =
+    SnapshotDir.current(spark, path, Prefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed hilbert store under $path"))
+
+  /** Recipe-gated build of version 1 (the
+    * [[ZOrderStore.ensureZOrdered]] protocol, on the versioned
+    * layout). A recipe change rebuilds from a clean root — stale
+    * layouts under another recipe are meaningless. Returns build
+    * seconds, or None when warm. */
+  def ensureHilbert(df: DataFrame, path: String, aCol: String,
+      bCol: String, bits: Int, files: Int): Option[Double] = {
+    val spark = df.sparkSession
+    val marker = s"$path/_built.json"
+    val recipe =
+      s"""{"curve":"hilbert","fmt":2,"a":"$aCol","b":"$bCol",""" +
+        s""""bits":$bits,"files":$files}"""
+    if (StoreFiles.readText(spark, marker).contains(recipe) &&
+        SnapshotDir.current(spark, path, Prefix).isDefined) None
+    else {
+      val t0 = System.nanoTime()
+      val (fs, hp) = StoreFiles.fsOf(spark, path)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      SnapshotDir.withWriterLock(spark, path) {
+        val v = SnapshotDir.next(spark, path, Prefix)
+        writeHilbert(df, s"$path/${SnapshotDir.name(Prefix, v)}",
+          aCol, bCol, bits, files)
+        SnapshotDir.commit(spark, path, Prefix, v)
+      }
+      StoreFiles.writeText(spark, marker, recipe)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
   }
 
-  /** Marker-gated [[writeHilbert]] (the [[ZOrderStore.ensureZOrdered]]
-    * protocol). Returns build seconds, or None when warm. */
-  def ensureHilbert(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, files: Int): Option[Double] =
-    StoreFiles.markerGate(df.sparkSession, path,
-      s"""{"curve":"hilbert","a":"$aCol","b":"$bCol","bits":$bits,""" +
-        s""""files":$files}""") {
-      writeHilbert(df, path, aCol, bCol, bits, files)
+  /** Append a batch UNCLUSTERED into the current version's tail:
+    * rows get their curve index (same expression as the clustered
+    * write) but no global re-sort — the recurring ingest cost is
+    * batch-sized. Runs under the writer lock so an append cannot race
+    * an [[optimize]]'s read pass into the old version. */
+  def appendTail(df: DataFrame, path: String, aCol: String,
+      bCol: String, bits: Int): Unit = {
+    val spark = df.sparkSession
+    SnapshotDir.withWriterLock(spark, path) {
+      val tail = s"${currentDir(spark, path)}/$TailSub"
+      df.withColumn("hval",
+          LayoutExpressions.hilbertValue(col(aCol).cast("long"),
+            col(bCol).cast("long"), bits))
+        .write.mode("append").parquet(tail)
+      spark.catalog.refreshByPath(tail)
     }
+  }
+
+  /** Re-sort the tail in: clustered ∪ tail rewritten as the NEXT
+    * committed version (rows unchanged — only layout), the
+    * lakehouse OPTIMIZE. In-flight readers keep the old version
+    * through the GC grace window. No-op when there is no tail. */
+  def optimize(spark: SparkSession, path: String, files: Int): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
+      if (fs.exists(tailHp)) {
+        val all = spark.read.parquet(cur)
+          .unionByName(spark.read.parquet(s"$cur/$TailSub"))
+        val v = SnapshotDir.next(spark, path, Prefix)
+        all.repartitionByRange(files, col("hval"))
+          .sortWithinPartitions("hval")
+          .write.parquet(s"$path/${SnapshotDir.name(Prefix, v)}")
+        SnapshotDir.commit(spark, path, Prefix, v)
+      }
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
 
   /** Exact covering curve intervals of `[aLo,aHi]×[bLo,bHi]`, merged
     * down to at most `maxRanges` (merging smallest gaps first — each
@@ -126,7 +210,10 @@ object HilbertStore {
 
   /** Rectangle scan over a Hilbert layout: the covering-range
     * OR-of-BETWEEN prefilter does the file/row-group skipping, the
-    * two exact column predicates cut residual false positives. */
+    * two exact column predicates cut residual false positives. The
+    * SAME predicates run over the unclustered tail (if any) — its
+    * rows carry `hval` too, so correctness is identical and only the
+    * skipping power differs until the next [[optimize]]. */
   def rectScan(spark: SparkSession, path: String, aCol: String,
       bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       bits: Int, maxRanges: Int = 32): DataFrame = {
@@ -134,9 +221,14 @@ object HilbertStore {
     val pre: Column = ranges
       .map { case (lo, hi) => col("hval").between(lo, hi) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    spark.read.parquet(path)
-      .filter(pre)
+    def filt(df: DataFrame): DataFrame = df.filter(pre)
       .filter(col(aCol).between(aLo, aHi) &&
         col(bCol).between(bLo, bHi))
+    val cur = currentDir(spark, path)
+    val main = filt(spark.read.parquet(cur))
+    val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
+    if (fs.exists(tailHp))
+      main.unionByName(filt(spark.read.parquet(s"$cur/$TailSub")))
+    else main
   }
 }

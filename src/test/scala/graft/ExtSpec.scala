@@ -1300,7 +1300,10 @@ class ExtSpec extends SparkSpec {
     val g = Tables.events(spark, sf0001)
       .select($"event_id", ($"user_id" % 256).as("za"),
         ($"event_id" % 256).as("zb"))
-    graft.sources.HilbertStore.writeHilbert(g, path, "za", "zb", 8, 16)
+    assert(graft.sources.HilbertStore.ensureHilbert(g, path,
+      "za", "zb", 8, 16).isDefined)
+    assert(graft.sources.HilbertStore.ensureHilbert(g, path,
+      "za", "zb", 8, 16).isEmpty) // warm
     val scan = graft.sources.HilbertStore.rectScan(spark, path,
       "za", "zb", 2, 9, 32, 159, 8)
     val got = scan.select("event_id").as[Long].collect().toSet
@@ -1312,6 +1315,66 @@ class ExtSpec extends SparkSpec {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("hval"), s"no pushed hval prefilter:\n$plan")
+  }
+
+  test("hilbert tail lifecycle: batch-sized append, scan parity, " +
+      "optimize re-sorts the tail into a new version") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hilbert-tail").toString
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    val base = g.filter($"event_id" % 10 =!= 7)
+    val batch = g.filter($"event_id" % 10 === 7)
+    graft.sources.HilbertStore.ensureHilbert(base, path,
+      "za", "zb", 8, 16)
+    def inventory(sub: String) = {
+      val dir = java.nio.file.Paths.get(path, sub)
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter(p => !p.getFileName.toString.contains("_SUCCESS"))
+          .map(p => dir.relativize(p).toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+      } finally s.close()
+    }
+    val v1 = "hilb-00000001"
+    val clusteredBefore = inventory(v1)
+    graft.sources.HilbertStore.appendTail(batch, path, "za", "zb", 8)
+    val afterAppend = inventory(v1)
+    // batch-sized append: every clustered file byte-untouched, the
+    // new files all live under the _tail subdir
+    clusteredBefore.foreach { case (f, sig) =>
+      assert(afterAppend.get(f) === Some(sig),
+        s"tail append rewrote clustered file $f") }
+    assert(afterAppend.keys.filterNot(clusteredBefore.contains)
+      .forall(_.startsWith("_tail/")))
+    assert(afterAppend.count(_._1.startsWith("_tail/")) > 0)
+    def rows() = graft.sources.HilbertStore.rectScan(spark, path,
+        "za", "zb", 2, 191, 32, 159, 8)
+      .select("event_id", "hval").as[(Long, Long)].collect().toSet
+    val expect = g.filter($"za".between(2, 191) &&
+        $"zb".between(32, 159))
+      .select($"event_id",
+        graft.plans.LayoutExpressions.hilbertValue(
+          $"za".cast("long"), $"zb".cast("long"), 8).as("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows() === expect, "clustered ∪ tail must scan exactly")
+    graft.sources.HilbertStore.optimize(spark, path, 16)
+    // a NEW committed version exists, it has no tail, rows unchanged
+    val cur = graft.sources.SnapshotDir.current(spark, path, "hilb-").get
+    assert(cur.endsWith("hilb-00000002"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cur, "_tail")))
+    assert(rows() === expect, "scan parity must survive optimize")
+    // idempotent: no tail → optimize is a no-op, no new version
+    graft.sources.HilbertStore.optimize(spark, path, 16)
+    assert(graft.sources.SnapshotDir.current(spark, path, "hilb-")
+      .get === cur)
   }
 
   test("bpe encode applies the trained vocab with OOV char fallback") {
