@@ -732,4 +732,60 @@ object Dedup {
         (col("m") + width - col("s")).cast("long").as("span_len"),
         col("n_dup_starts"))
   }
+
+  /** The REWRITE form of [[duplicatedSubstrings]] — Lee et al.'s
+    * actual dedup action: drop every token covered by a duplicated
+    * substring of ≥ `width` tokens and reassemble the survivors in
+    * order. Where [[scrubRepeatedSpans]] removes grid-aligned spans a
+    * document SHARES TOO WIDELY (df > maxDf — boilerplate economics),
+    * this removes exact repeats at ANY offset seen `minCount`+ times
+    * anywhere (within-doc included) — the exactness contract, applied.
+    *
+    * Shape: the gram chain of [[duplicatedSubstrings]], then the
+    * duplicated starts EXPAND to their `width` covered positions
+    * (explode of a width-sized sequence — linear × width, the same
+    * inherent factor as the gram build), one distinct, one anti-join
+    * of the token table against the covered set, one per-doc ordered
+    * reassembly. Every input doc emits a row (`n_removed` = 0 when
+    * untouched; empty docs come back empty). */
+  def scrubDuplicatedSubstrings(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      width: Int = 4, minCount: Int = 2): DataFrame = {
+    require(width >= 1 && minCount >= 2,
+      s"width=$width minCount=$minCount")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = CacheRegistry.tracked(fanOut(docs)
+      .select(col(idCol).as("id"),
+        when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>")).otherwise(toks).as("toks")))
+    val gramArr = when(size(col("toks")) >= width,
+        transform(sequence(lit(0), size(col("toks")) - width),
+          i => array_join(slice(col("toks"), i + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = CacheRegistry.tracked(
+      base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram"))))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("gram"))
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + width - 1)).as("pos"))
+      .distinct()
+    val tokRows = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokRows.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

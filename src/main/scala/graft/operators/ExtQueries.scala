@@ -392,6 +392,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-hilb-work-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def hilbStreamWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-hilb-stream-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def zOrderPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-zorder-${Integer.toHexString(d.hashCode)}").toString
@@ -571,6 +575,15 @@ object ExtQueries {
     // grid approximates (ExtSpec holds a repeat both grids miss).
     "x_substring_dup" -> ((s, d) =>
       Dedup.duplicatedSubstrings(Tables.documents(s, d),
+        width = SubstrWidth, minCount = SubstrMinCount)),
+
+    // ... APPLIED: drop every token covered by a duplicated
+    // >=width-token substring (any offset, within-doc repeats
+    // included) and reassemble the survivors in order — Lee et al.'s
+    // dedup action, where the aligned scrubs only remove grid-phase
+    // boilerplate. Every doc emits a row.
+    "x_substring_scrub" -> ((s, d) =>
+      Dedup.scrubDuplicatedSubstrings(Tables.documents(s, d),
         width = SubstrWidth, minCount = SubstrMinCount)),
 
     // One-sided containment (doc-in-doc): |A∩B| / min(|A|,|B|) from
@@ -1043,6 +1056,31 @@ object ExtQueries {
       pre.unionByName(post)
         .select(col("phase"), col("event_id"), col("za"), col("zb"),
           col("hval"))
+    }),
+
+    // Streaming layout maintenance: the held-out batch arrives as TWO
+    // real micro-batch triggers through hilbertMaintSink (per-batchId
+    // overwrite tail subdirs — redelivery idempotent by construction,
+    // StreamingSyncSpec-pinned), then the rectangle scan over
+    // clustered ∪ tail serves the full grid — the same rows as the
+    // all-at-once build, which is the oracle.
+    "x_stream_hilbert" -> ((s, d) => {
+      val grid = zGrid(Tables.events(s, d))
+      val base = grid.filter(col("event_id") % 10 =!= 7)
+      val batch = grid.filter(col("event_id") % 10 === 7)
+      graft.sources.HilbertStore.ensureHilbert(base, hilbApdBasePath(d),
+        "za", "zb", ZBits, ZFiles)
+      val work = hilbStreamWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, hilbApdBasePath(d),
+        work)
+      val rep = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-hilbrep-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.hilbertMaintReplay(s, batch, work,
+        "za", "zb", ZBits, orderCol = "event_id", nBatches = 2,
+        workDir = rep)
+      graft.sources.HilbertStore.rectScan(s, work,
+          "za", "zb", ZALo, ZAHi, ZBLo, ZBHi, ZBits)
+        .select(col("event_id"), col("za"), col("zb"), col("hval"))
     }),
 
     // Real javax.imageio decode inside batched mapPartitions: the media
@@ -3690,6 +3728,54 @@ object ExtQueries {
          |  (max(pos) + $SubstrWidth - min(pos))::bigint AS span_len,
          |  count(*)::bigint AS n_dup_starts
          |FROM isl2 GROUP BY doc_id, island""".stripMargin,
+
+    // the scrub form: duplicated starts expand to covered positions,
+    // survivors reassemble in order; every document emits a row
+    "x_substring_scrub" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |ex AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(greatest(len(ws) - $SubstrWidth + 1, 0)))
+         |      ::int AS pos
+         |  FROM d),
+         |g2 AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(ws[pos + 1 : pos + $SubstrWidth], ' ')
+         |      AS gram
+         |  FROM ex),
+         |dup AS (SELECT gram FROM g2
+         |        GROUP BY gram HAVING count(*) >= $SubstrMinCount),
+         |ds AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos0 + i AS pos FROM (
+         |    SELECT doc_id, pos AS pos0,
+         |      unnest(range($SubstrWidth))::int AS i
+         |    FROM ds)),
+         |tok AS (
+         |  SELECT doc_id, ws, unnest(range(len(ws)))::int AS pos
+         |  FROM d),
+         |tok2 AS (SELECT doc_id, pos, ws[pos + 1] AS tok FROM tok),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok2 t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+         |      AS clean_text,
+         |    count(*)::bigint AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         |  (CASE WHEN length(trim(d0.text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(d0.text), '\\s+'))
+         |    END)::bigint AS n_tokens,
+         |  ((CASE WHEN length(trim(d0.text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(d0.text), '\\s+')) END)
+         |    - coalesce(r.n_kept, 0))::bigint AS n_removed
+         |FROM documents d0
+         |LEFT JOIN rebuilt r ON r.doc_id = d0.doc_id""".stripMargin,
 
     // replays both sides' md5 minhash pipelines over the corpus/batch
     // split: batch buckets × corpus buckets → exact-Jaccard verify
@@ -7016,7 +7102,11 @@ object ExtQueries {
          |       labels_fresh, has_files, has_bytes)""".stripMargin,
     // stream-maintained sketch state honors the same merge-order-free
     // error contract as the batch split-and-merge audit
-    "x_stream_heavy" -> BaseOracleSql("x_freq_merge"))
+    "x_stream_heavy" -> BaseOracleSql("x_freq_merge"),
+
+    // base ∪ streamed tail serves the identical rectangle: the
+    // all-at-once layout's oracle verbatim
+    "x_stream_hilbert" -> BaseOracleSql("x_hilbert_scan"))
 
   /** The autocorrelation oracle, generated per lag from [[AcfMaxLag]]
     * with the same n-scaled decimal sufficient statistics and single

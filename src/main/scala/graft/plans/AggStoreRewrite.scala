@@ -72,14 +72,43 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
   val PathKey = "spark.graft.aggstore.path"
   val SourceKey = "spark.graft.aggstore.source"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  /** Multi-view registry: `source1=store1;source2=store2`. The
+    * single-pair confs above remain the simple front door; entries
+    * from both compose (single pair first). Sources should be
+    * distinct — when several registered sources match one scan (e.g.
+    * overlapping suffixes), the FIRST registered wins, which is the
+    * deterministic reading of an ambiguous registration. */
+  val ViewsKey = "spark.graft.aggstore.views"
+
+  private def registered(): Seq[(String, String)] = {
     val store = SQLConf.get.getConfString(PathKey, "")
     val source = SQLConf.get.getConfString(SourceKey, "")
-    if (store.isEmpty || source.isEmpty) plan
+    val single =
+      if (store.nonEmpty && source.nonEmpty) Seq(source -> store)
+      else Nil
+    val multi = SQLConf.get.getConfString(ViewsKey, "")
+      .split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap { entry =>
+        entry.split("=", 2) match {
+          case Array(s, st) if s.trim.nonEmpty && st.trim.nonEmpty =>
+            Some(s.trim -> st.trim)
+          case _ => throw new IllegalArgumentException(
+            s"$ViewsKey entry '$entry' is not source=store")
+        }
+      }
+    (single ++ multi).distinct
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val views = registered()
+    if (views.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        matchView(agg, source) match {
-          case Some(conds) => rewrite(agg, store, conds)
+        views.iterator
+          .flatMap { case (source, store) =>
+            matchView(agg, source).map(conds => (store, conds)) }
+          .nextOption() match {
+          case Some((store, conds)) => rewrite(agg, store, conds)
           case None => agg
         }
     }

@@ -128,6 +128,22 @@ object EdgeStore {
     ManifestDir.readRelation(spark, path,
       currentManifest(spark, path), PairsRel)
 
+  /** TIME TRAVEL: the pair list of a SPECIFIC committed version — a
+    * free consequence of the manifest layer (each admission is a
+    * version whose manifest pins its exact segment list, and segments
+    * are immutable). Fails loudly when the version was never
+    * committed or has left the GC grace window — callers surface
+    * that as "pin expired", never silently fall back to current. */
+  def readAt(spark: SparkSession, path: String, version: Long)
+      : DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => ManifestDir.readRelation(spark, path,
+        ManifestDir.read(spark, vd), PairsRel)
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
   /** Stored banded signatures `(id, band, bkey)`. */
   def readBands(spark: SparkSession, path: String): DataFrame =
     ManifestDir.readRelation(spark, path,

@@ -109,19 +109,32 @@ object HilbertStore {
     * rows get their curve index (same expression as the clustered
     * write) but no global re-sort — the recurring ingest cost is
     * batch-sized. Runs under the writer lock so an append cannot race
-    * an [[optimize]]'s read pass into the old version. */
+    * an [[optimize]]'s read pass into the old version.
+    *
+    * `sub` writes the batch into its own tail SUBDIR with overwrite
+    * semantics — the streaming sink's idempotence device: a
+    * redelivered at-least-once trigger re-overwrites `b<batchId>`
+    * with the identical replayed rows instead of duplicating them
+    * (stronger than a probe: even a partially-written batch dir heals
+    * on retry). Tail reads are recursive, so flat and per-batch
+    * layouts mix freely. */
   def appendTail(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int): Unit = {
+      bCol: String, bits: Int, sub: Option[String] = None): Unit = {
     val spark = df.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
       val tail = s"${currentDir(spark, path)}/$TailSub"
+      val target = sub.fold(tail)(b => s"$tail/$b")
       df.withColumn("hval",
           LayoutExpressions.hilbertValue(col(aCol).cast("long"),
             col(bCol).cast("long"), bits))
-        .write.mode("append").parquet(tail)
+        .write.mode(if (sub.isDefined) "overwrite" else "append")
+        .parquet(target)
       spark.catalog.refreshByPath(tail)
     }
   }
+
+  private def readTail(spark: SparkSession, tail: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(tail)
 
   /** Re-sort the tail in: clustered ∪ tail rewritten as the NEXT
     * committed version (rows unchanged — only layout), the
@@ -133,7 +146,7 @@ object HilbertStore {
       val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
       if (fs.exists(tailHp)) {
         val all = spark.read.parquet(cur)
-          .unionByName(spark.read.parquet(s"$cur/$TailSub"))
+          .unionByName(readTail(spark, s"$cur/$TailSub"))
         val v = SnapshotDir.next(spark, path, Prefix)
         all.repartitionByRange(files, col("hval"))
           .sortWithinPartitions("hval")
@@ -228,7 +241,7 @@ object HilbertStore {
     val main = filt(spark.read.parquet(cur))
     val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
     if (fs.exists(tailHp))
-      main.unionByName(filt(spark.read.parquet(s"$cur/$TailSub")))
+      main.unionByName(filt(readTail(spark, s"$cur/$TailSub")))
     else main
   }
 }

@@ -578,6 +578,34 @@ object StreamingSync {
       }
       .start()
 
+  /** Streaming LAYOUT maintenance — the clustered-table rung of the
+    * continuous-admission pipeline: every micro-batch of rows lands
+    * UNCLUSTERED in the [[graft.sources.HilbertStore]] tail as its
+    * own per-batchId subdir, so the Hilbert-ordered table every
+    * rectangle scan reads is always current at batch-sized ingest
+    * cost; a periodic [[graft.sources.HilbertStore.optimize]]
+    * re-sorts the accumulated tail in (the lakehouse
+    * ingest-then-OPTIMIZE cadence). foreachBatch is AT-LEAST-ONCE; a
+    * redelivered trigger OVERWRITES its own `b<batchId>` subdir with
+    * the identical replayed rows — idempotent by construction, and a
+    * partially-written batch dir heals on retry instead of needing a
+    * probe. */
+  def hilbertMaintSink(source: DataFrame, storePath: String,
+      aCol: String, bCol: String, bits: Int,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CacheRegistry.scoped {
+            graft.sources.HilbertStore.appendTail(batch, storePath,
+              aCol, bCol, bits, sub = Some(f"b$batchId%08d"))
+          }
+      }
+      .start()
+
   /** Streaming view maintenance — the aggregate third of the
     * continuous-admission pipeline ([[dedupAdmissionSink]] keeps the
     * corpus deduped, [[vectorAppendSink]] keeps the ANN index current,
@@ -688,6 +716,29 @@ object StreamingSync {
       new java.io.File(workDir, "ckpt").toString, maxMapSize)
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(store)
+  }
+
+  /** Batch-parity harness for [[hilbertMaintSink]]: split `rows` into
+    * `nBatches` micro-batches ordered by `orderCol`, stream them
+    * through the real sink one file per trigger. The caller scans the
+    * store afterwards — [[graft.sources.HilbertStore.rectScan]] over
+    * clustered ∪ tail is the validated surface. */
+  def hilbertMaintReplay(spark: SparkSession, rows: DataFrame,
+      storePath: String, aCol: String, bCol: String, bits: Int,
+      orderCol: String, nBatches: Int = 2, workDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = rows
+      .withColumn("b", ntile(nBatches).over(Window.orderBy(col(orderCol))))
+      .cache()
+    val in = stageBatchFiles(staged, nBatches, workDir)
+    staged.unpersist()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = hilbertMaintSink(stream, storePath, aCol, bCol, bits,
+      new java.io.File(workDir, "ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
   }
 
   /** Incremental sync as a streaming sink: every micro-batch of source rows

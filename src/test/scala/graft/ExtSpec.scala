@@ -1977,6 +1977,18 @@ class ExtSpec extends SparkSpec {
     val edge = Seq((30L, "one two"), (31L, "")).toDF("doc_id", "text")
     assert(Dedup.duplicatedSubstrings(edge, width = 3,
       minCount = 2).isEmpty)
+    // the APPLY form drops exactly the covered tokens and reassembles
+    // in order; untouched and empty docs still emit rows
+    val scrubbed = Dedup.scrubDuplicatedSubstrings(
+        df.unionByName(Seq((4L, "")).toDF("doc_id", "text")),
+        width = 3, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(scrubbed(1L) === (("z1 f1 t1", 6L, 3L)))
+    assert(scrubbed(2L) === (("z2 f2 t2", 6L, 3L)))
+    assert(scrubbed(3L) === (("c1 c2 c3 c4 c5 c6", 6L, 0L)))
+    assert(scrubbed(4L) === (("", 0L, 0L)))
   }
 
   test("jsonl reader: lossless round-trip, quarantine catches both kinds") {

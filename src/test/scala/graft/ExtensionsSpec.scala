@@ -142,6 +142,55 @@ class ExtensionsSpec extends AnyFunSuite {
       notLit.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("mv views registry: two registered views each route to their " +
+      "own store") {
+    import graft.plans.AggStoreRewrite
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    def mkFacts(dir: String, typ: String) = {
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-02-01 08:00:00"), typ, 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-02-02 09:00:00"), typ, 2.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .write.parquet(s"$dir/events.parquet")
+      spark.read.parquet(s"$dir/events.parquet")
+    }
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-mvva").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-mvvb").toString
+    val factsA = mkFacts(dirA, "alpha")
+    val factsB = mkFacts(dirB, "beta")
+    graft.sources.AggStore.ensureState(factsA, s"$dirA/store", "va")
+    graft.sources.AggStore.ensureState(factsB, s"$dirB/store", "vb")
+    def view(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).as("total"))
+    spark.conf.set(AggStoreRewrite.ViewsKey,
+      s"$dirA/events.parquet=$dirA/store;" +
+        s"$dirB/events.parquet=$dirB/store")
+    try {
+      val pa = view(factsA).queryExecution.executedPlan.toString
+      val pb = view(factsB).queryExecution.executedPlan.toString
+      assert(pa.contains(s"$dirA/store") &&
+        !pa.contains("events.parquet"), s"view A misrouted:\n$pa")
+      assert(pb.contains(s"$dirB/store") &&
+        !pb.contains("events.parquet"), s"view B misrouted:\n$pb")
+      // routed rows equal the direct computation per view
+      spark.conf.unset(AggStoreRewrite.ViewsKey)
+      val directA = view(factsA).collect().map(_.toString).sorted.toSeq
+      spark.conf.set(AggStoreRewrite.ViewsKey,
+        s"$dirA/events.parquet=$dirA/store;" +
+          s"$dirB/events.parquet=$dirB/store")
+      assert(view(factsA).collect().map(_.toString).sorted.toSeq
+        === directA)
+      // a malformed entry fails loudly at rule time, not silently
+      spark.conf.set(AggStoreRewrite.ViewsKey, "nonsense-entry")
+      assertThrows[Exception](view(factsA).queryExecution.executedPlan)
+    } finally spark.conf.unset(AggStoreRewrite.ViewsKey)
+  }
+
   test("graft_stores lists committed versions, recipes, and manifest " +
       "freshness; validates pair arity; missing roots read as empty") {
     val s = SparkSpec.spark

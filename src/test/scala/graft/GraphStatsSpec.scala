@@ -368,6 +368,17 @@ class GraphStatsSpec extends SparkSpec {
         dim = ExtQueries.EmbeddingDim).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairSet() === full)
+    // TIME TRAVEL rides the manifests for free: version 1 still
+    // serves the pre-admission pair set (its manifest pins the exact
+    // segment list; the admission only ADDED segments), while the
+    // current read serves the union; a GC'd/never-committed version
+    // fails loudly instead of falling back
+    val v1 = graft.sources.EdgeStore.readAt(spark, path, 1L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(v1 === basePairs)
+    assert(v1 !== full)
+    assertThrows[IllegalStateException](
+      graft.sources.EdgeStore.readAt(spark, path, 99L))
   }
 
   test("community one-level: triangles bind, the weak bridge never merges") {

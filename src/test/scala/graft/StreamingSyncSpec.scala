@@ -748,4 +748,51 @@ class StreamingSyncSpec extends SparkSpec {
       maxMapSize = 64)
     assert(spark.read.parquet(store).count() === 3)
   }
+
+  test("hilbert maintenance sink: streamed tail serves the full " +
+      "rectangle; redelivered triggers overwrite, never duplicate") {
+    import graft.sources.HilbertStore
+    val dir = tmp()
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    val base = g.filter($"event_id" % 10 =!= 7)
+    val batch = g.filter($"event_id" % 10 === 7)
+    val store = s"$dir/hilb"
+    HilbertStore.ensureHilbert(base, store, "za", "zb", 8, 16)
+    StreamingSync.hilbertMaintReplay(spark, batch, store,
+      "za", "zb", 8, orderCol = "event_id", nBatches = 2,
+      workDir = s"$dir/rep1")
+    def rows() = HilbertStore.rectScan(spark, store,
+        "za", "zb", 2, 191, 32, 159, 8)
+      .select("event_id", "hval").as[(Long, Long)].collect().toSet
+    val expect = g.filter($"za".between(2, 191) &&
+        $"zb".between(32, 159))
+      .select($"event_id",
+        graft.plans.LayoutExpressions.hilbertValue(
+          $"za".cast("long"), $"zb".cast("long"), 8).as("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows() === expect, "streamed tail must serve the full grid")
+    def tailBatchDirs(): Set[String] = {
+      val cur = graft.sources.SnapshotDir
+        .current(spark, store, "hilb-").get
+      Option(new java.io.File(s"$cur/_tail").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSet
+    }
+    val dirsBefore = tailBatchDirs()
+    assert(dirsBefore === Set("b00000000", "b00000001"))
+    // REDELIVERY: the same two triggers replay from a fresh checkpoint
+    // (same files, same order → same batchIds) — each overwrites its
+    // own subdir with identical rows, so the scan and the tail layout
+    // are unchanged
+    StreamingSync.hilbertMaintReplay(spark, batch, store,
+      "za", "zb", 8, orderCol = "event_id", nBatches = 2,
+      workDir = s"$dir/rep2")
+    assert(tailBatchDirs() === dirsBefore)
+    assert(rows() === expect, "redelivery must not duplicate rows")
+    // and the lifecycle closes: optimize folds the streamed tail in
+    HilbertStore.optimize(spark, store, 16)
+    assert(rows() === expect, "parity must survive optimize")
+  }
 }
