@@ -7092,7 +7092,7 @@ object ExtQueries {
          |  ('fingerprints', 1::bigint, 1::bigint,
          |   '${graft.sources.FingerprintStore.recipe(3, 8, 4,
               Dedup.DefaultMaxShingleDf, "doc_id", "text")}',
-         |   NULL::bigint, NULL::boolean, true, true),
+         |   2::bigint, NULL::boolean, true, true),
          |  ('vectors', 1::bigint, 1::bigint,
          |   '${graft.sources.VectorIndexStore.recipe(IvfCentroidMod,
               PqCentroidMod, PqSubspaces, EmbeddingDim, "vec_id",

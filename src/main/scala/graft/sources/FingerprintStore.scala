@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -17,9 +17,9 @@ import graft.operators.Dedup
   *
   *   - `buckets` (id, band, key): the LSH band index — one row per
   *     (doc, band), the join-able form of the banded signature.
-  *   - arrays `_arrays` (id, shs): the df-capped per-doc shingle
-  *     arrays the exact-Jaccard verify reads. Corpus-sized but
-  *     columnar, and only candidate ids' rows are ever joined.
+  *   - `arrays` (id, shs): the df-capped per-doc shingle arrays the
+  *     exact-Jaccard verify reads. Corpus-sized but columnar, and
+  *     only candidate ids' rows are ever joined.
   *
   * [[dedupBatchAgainst]] then runs the batch through the SAME
   * deterministic signature pipeline ([[Dedup.seededHash]] md5 hashes —
@@ -30,27 +30,34 @@ import graft.operators.Dedup
   * map-side hash join — the corpus never shuffles, and nothing ever
   * reads the accepted corpus TEXT again. Exact-Jaccard verification
   * touches only the candidate ids' stored array rows. Accepted
-  * survivors are folded in by [[appendBatch]] — batch-sized file
-  * appends, mirroring [[VectorIndexStore.appendIvfPq]]'s maintenance
+  * survivors are folded in by [[appendBatch]] — batch-sized segment
+  * writes, mirroring [[VectorIndexStore.appendIvfPq]]'s maintenance
   * contract.
   *
-  * Versioning: a full [[writeFingerprints]] build lands in a fresh
-  * `fp-NNNNNNNN` directory published by one atomic [[SnapshotDir]]
-  * commit-marker create; appends extend the current version in place
-  * (additive parquet files — a concurrent dedup probe sees either the
-  * old or a partially-extended index, which can only UNDER-flag the
-  * in-flight batch, never corrupt it; a pipeline that needs a strict
-  * admission order runs batches through one writer anyway).
-  * Single writer per store path; any number of concurrent readers.
-  */
+  * Versioning (format v2): the two relations commit TOGETHER through
+  * [[ManifestDir]] — immutable segments under `<root>/seg/<uid>/`,
+  * versions that are just manifests, one atomic marker create
+  * publishing both relations' segment lists at once. The v1 layout
+  * appended buckets then arrays into the live version dir, so a
+  * writer dying between the writes left banded docs whose verify
+  * arrays were missing — candidate pairs silently dropped at the
+  * Jaccard join, under-dedup with no detector (the same class of
+  * window the [[EdgeStore]] carried before its v3). Under manifests a
+  * crashed append leaves orphan segments no reader resolves and the
+  * prior version intact; a retry admits the batch whole.
+  * Single writer per store path; any number of concurrent readers,
+  * each pinned to the manifest it resolved. */
 object FingerprintStore {
 
   /** Bump when the on-disk layout or signature recipe changes —
     * [[ensureFingerprints]] markers stop matching and the store
-    * rebuilds instead of serving stale fingerprints. */
-  private val FormatVersion = 1
+    * rebuilds (from a clean root) instead of serving stale
+    * fingerprints. */
+  private val FormatVersion = 2 // v2: atomic two-relation manifests
 
   private val Prefix = "fp-"
+  private val BucketsRel = "buckets"
+  private val ArraysRel = "arrays"
 
   /** The build-recipe marker content — public so observability
     * consumers ([[StoreCatalog]] oracles) can derive the expected
@@ -60,17 +67,15 @@ object FingerprintStore {
     s"""{"v":$FormatVersion,"n":$n,"h":$numHashes,""" +
       s""""b":$bands,"df":$maxShingleDf,"id":"$idCol","text":"$textCol"}"""
 
-  private def fsOf(spark: SparkSession, p: String) =
-    StoreFiles.fsOf(spark, p)
-
   private def writeText(spark: SparkSession, p: String, s: String): Unit =
     StoreFiles.writeText(spark, p, s)
 
   private def readText(spark: SparkSession, p: String): Option[String] =
     StoreFiles.readText(spark, p)
 
-  private def currentDir(spark: SparkSession, path: String): String =
-    SnapshotDir.current(spark, path, Prefix).getOrElse(
+  private def currentManifest(spark: SparkSession,
+      path: String): ManifestDir.Manifest =
+    ManifestDir.current(spark, path, Prefix).getOrElse(
       throw new IllegalStateException(
         s"no committed fingerprint store at $path"))
 
@@ -88,10 +93,24 @@ object FingerprintStore {
       Dedup.shingleArrays(postings))
   }
 
+  /** Write both relations as one fresh segment and publish the
+    * manifest — CALLER HOLDS the writer lock. */
+  private def commitSegment(spark: SparkSession, path: String,
+      buckets: DataFrame, arrays: DataFrame,
+      base: ManifestDir.Manifest): Unit = {
+    val segId = ManifestDir.newSegmentId()
+    val bSeg = ManifestDir.segDir(segId, BucketsRel)
+    val aSeg = ManifestDir.segDir(segId, ArraysRel)
+    buckets.write.parquet(s"$path/$bSeg")
+    arrays.write.parquet(s"$path/$aSeg")
+    ManifestDir.commit(spark, path, Prefix,
+      base.withSegment(BucketsRel, bSeg).withSegment(ArraysRel, aSeg))
+    ()
+  }
+
   /** Build the store over `docs` and publish it as one committed
-    * version: the bucket index plus the `_arrays` verify relation
-    * (underscore-prefixed so a future partitioned bucket layout would
-    * skip it in discovery), under a single marker. */
+    * version: the bucket index plus the arrays verify relation, one
+    * atomic manifest. */
   def writeFingerprints(docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       numHashes: Int = 8, bands: Int = 4,
@@ -100,11 +119,7 @@ object FingerprintStore {
     val (buckets, arrays) =
       fingerprints(docs, idCol, textCol, n, numHashes, bands, maxShingleDf)
     SnapshotDir.withWriterLock(spark, path) {
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-      buckets.write.mode(SaveMode.Overwrite).parquet(vdir)
-      arrays.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_arrays")
-      SnapshotDir.commit(spark, path, Prefix, next)
+      commitSegment(spark, path, buckets, arrays, ManifestDir.Empty)
     }
     SnapshotDir.gc(spark, path, Prefix)
   }
@@ -182,9 +197,10 @@ object FingerprintStore {
       textCol: String = "text", n: Int = 3, numHashes: Int = 8,
       bands: Int = 4, maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
       broadcastBatch: Boolean = true): DataFrame = {
-    val cur = currentDir(spark, path)
-    val stored = spark.read.parquet(cur)
-    val storedArrays = spark.read.parquet(s"$cur/_arrays")
+    val m = currentManifest(spark, path)
+    val stored = ManifestDir.readRelation(spark, path, m, BucketsRel)
+    val storedArrays = ManifestDir.readRelation(spark, path, m,
+      ArraysRel)
     val (batchBuckets0, batchArrays0) = fingerprints(batch, idCol,
       textCol, n, numHashes, bands, maxShingleDf)
     // both batch relations feed two consumers (join + the final left
@@ -216,54 +232,41 @@ object FingerprintStore {
   }
 
   /** Fold an ACCEPTED batch into the store: compute its fingerprints
-    * with the same recipe and append them into the current version —
-    * batch-sized file appends to both relations, never a corpus
-    * rewrite. The caller decides acceptance (usually the `survived`
-    * rows of [[dedupBatchAgainst]], after its own within-batch dedup).
-    * Single writer; see the class doc for the concurrent-reader
-    * contract. */
+    * with the same recipe and publish both relations' batch segments
+    * in ONE manifest commit — batch-sized, never a corpus rewrite,
+    * and ATOMIC: a writer dying mid-append leaves orphan segments and
+    * the prior version intact (no more banded-but-unverifiable docs).
+    * The caller decides acceptance (usually the `survived` rows of
+    * [[dedupBatchAgainst]], after its own within-batch dedup). Single
+    * writer; the manifest is resolved INSIDE the lock so an append
+    * cannot race a [[compact]] and resurrect pre-compact segment
+    * lists. */
   def appendBatch(spark: SparkSession, path: String, accepted: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       numHashes: Int = 8, bands: Int = 4,
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
     val (buckets, arrays) = fingerprints(accepted, idCol, textCol, n,
       numHashes, bands, maxShingleDf)
-    // under the writer lock: an append racing a [[compact]] would land
-    // its files in the OLD version after compact's read pass, and the
-    // compacted version (plus GC of the old dir) would silently drop
-    // the batch — append and compact are both writers and serialize.
-    // The version is resolved INSIDE the lock for the same reason.
     SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      buckets.write.mode(SaveMode.Append).parquet(cur)
-      arrays.write.mode(SaveMode.Append).parquet(s"$cur/_arrays")
-      spark.catalog.refreshByPath(cur)
-    }
-  }
-
-  /** Rewrite the append-accumulated store back to a compact file
-    * layout in the NEXT committed version (the [[SnapshotDir]]
-    * protocol: no rename, in-flight readers keep their version through
-    * the GC grace window). Fingerprints are unchanged — only files. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    // version resolution AND the read-side file listing happen inside
-    // the lock (spark.read.parquet lists eagerly): an appendBatch
-    // committing between an outside listing and the lock acquisition
-    // would leave its files out of the compacted version, and the old
-    // dir's GC would silently drop the batch
-    val vdir = SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      val buckets = spark.read.parquet(cur)
-      val arrays = spark.read.parquet(s"$cur/_arrays")
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vd = s"$path/${SnapshotDir.name(Prefix, next)}"
-      buckets.repartition(col("band"))
-        .write.mode(SaveMode.Overwrite).parquet(vd)
-      arrays.write.mode(SaveMode.Overwrite).parquet(s"$vd/_arrays")
-      SnapshotDir.commit(spark, path, Prefix, next)
-      vd
+      commitSegment(spark, path, buckets, arrays,
+        currentManifest(spark, path))
     }
     SnapshotDir.gc(spark, path, Prefix)
-    spark.catalog.refreshByPath(vdir)
   }
+
+  /** Rewrite the append-accumulated store back to one segment per
+    * relation in the NEXT committed version. Fingerprints are
+    * unchanged — only files; the vacuum that closes it sweeps
+    * unreferenced segments, crash debris included. */
+  def compact(spark: SparkSession, path: String): Unit =
+    SnapshotDir.withWriterLock(spark, path) {
+      val m = currentManifest(spark, path)
+      val buckets = ManifestDir.readRelation(spark, path, m, BucketsRel)
+        .repartition(col("band"))
+      val arrays = ManifestDir.readRelation(spark, path, m, ArraysRel)
+      commitSegment(spark, path, buckets, arrays, ManifestDir.Empty)
+      SnapshotDir.gc(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path, Prefix)
+      ()
+    }
 }

@@ -76,7 +76,10 @@ object StoreCatalog {
           committed.size.toLong,
           StoreFiles.readText(spark, s"$root/_built.json"),
           manifest.map(_.relations.size.toLong),
-          manifest.map(ClusterStore.labelsFresh),
+          // freshness is a LABELS property: null (not false) for
+          // manifest stores that carry no label relation at all
+          manifest.filter(_.segments(EdgeStore.LabelsRel).nonEmpty)
+            .map(ClusterStore.labelsFresh),
           nFiles, bytes)
       }
     }

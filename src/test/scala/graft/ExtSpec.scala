@@ -1819,6 +1819,40 @@ class ExtSpec extends SparkSpec {
     assert(!debris.exists, "GC must sweep crash debris")
   }
 
+  test("fingerprint admission is atomic: orphan segments are invisible " +
+      "and swept; verdicts never see a half-admitted batch") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-atomic").toString
+    graft.sources.FingerprintStore.writeFingerprints(corpus, path)
+    def serve() = graft.sources.FingerprintStore
+      .dedupBatchAgainst(spark, path, batch, 0.1)
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve()
+    // THE CRASH DRILL: a writer dies after its segment writes but
+    // before the manifest commit — under the v1 layout this was the
+    // banded-but-unverifiable window (buckets visible, arrays
+    // missing → candidate pairs silently dropped at the Jaccard
+    // join); under manifests the orphans are invisible
+    val segId = graft.sources.ManifestDir.newSegmentId()
+    val m = graft.sources.ManifestDir.current(spark, path, "fp-").get
+    val storedBuckets = spark.read.parquet(
+      graft.sources.ManifestDir
+        .relationDirs(path, m, "buckets").head)
+    storedBuckets.limit(5)
+      .withColumn("id", $"id" + 1000000L)
+      .write.parquet(s"$path/seg/$segId/buckets")
+    assert(serve() === before, "orphan segments must never be read")
+    // compact's vacuum sweeps exactly the orphan; verdicts unchanged
+    graft.sources.FingerprintStore.compact(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "seg", segId)),
+      "vacuum must sweep the crashed admit's segments")
+    assert(serve() === before)
+  }
+
   test("empty benchmark builds an empty bloom filter, flags nothing") {
     val clean = Seq((1L, "five words of clean text here")).toDF(
       "doc_id", "text")

@@ -306,8 +306,8 @@ class PlanSpec extends SparkSpec {
       def storeScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p.collect {
           case s: FileSourceScanExec if s.metadata.get("Location")
-            .exists(l => l.contains("fp-000") && !l.contains("_arrays")) =>
-            s
+            .exists(l => l.contains("/buckets") && !l.contains("arrays"))
+            => s
         }.nonEmpty
       val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
       assert(bhj.exists { b =>
