@@ -691,8 +691,8 @@ object Dedup {
     * n_dup_starts)` for every maximal duplicated span (token offsets,
     * end exclusive); docs with no duplicated substring emit nothing. */
   def duplicatedSubstrings(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", width: Int = 4, minCount: Int = 2)
-      : DataFrame = {
+      textCol: String = "text", width: Int = 4, minCount: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
     require(width >= 1 && minCount >= 2,
       s"width=$width minCount=$minCount")
     import org.apache.spark.sql.expressions.Window
@@ -706,8 +706,20 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - width),
           i => array_join(slice(col("toks"), i + 1, lit(width)), " ")))
       .otherwise(array().cast("array<string>"))
+    // `hashGrams` is the 100 TB shuffle shape: keying on the gram TEXT
+    // ships width tokens per window through the exchange; the seeded
+    // md5 key ships 8 bytes (still engine-replayable — the oracle
+    // rebuilds the same hashes). A collision merging two distinct
+    // grams needs ~2^30 distinct grams for even one expected false
+    // positive at 60 bits; it would only ever OVER-flag a span, and
+    // the exact-text key stays the default for the exactness contract.
+    val keyed = base
+      .select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
     val grams = CacheRegistry.tracked( // feeds the df agg AND the back-join
-      base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram"))))
+      if (hashGrams)
+        keyed.select(col("id"), col("pos"),
+          seededHash(col("gram"), 0).as("gram"))
+      else keyed)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

@@ -577,6 +577,15 @@ object ExtQueries {
       Dedup.duplicatedSubstrings(Tables.documents(s, d),
         width = SubstrWidth, minCount = SubstrMinCount)),
 
+    // ... with the 100 TB shuffle shape: the gram key is the suite's
+    // seeded md5 long (8 bytes through the exchange instead of
+    // width tokens of text); the oracle rebuilds the same hashes, so
+    // the spans hash-match the text-keyed run on this corpus.
+    "x_substring_dup_hashed" -> ((s, d) =>
+      Dedup.duplicatedSubstrings(Tables.documents(s, d),
+        width = SubstrWidth, minCount = SubstrMinCount,
+        hashGrams = true)),
+
     // ... APPLIED: drop every token covered by a duplicated
     // >=width-token substring (any offset, within-doc repeats
     // included) and reassemble the survivors in order — Lee et al.'s
@@ -3710,6 +3719,41 @@ object ExtQueries {
          |  SELECT doc_id, pos,
          |    array_to_string(ws[pos + 1 : pos + $SubstrWidth], ' ')
          |      AS gram
+         |  FROM ex),
+         |dup AS (SELECT gram FROM g2
+         |        GROUP BY gram HAVING count(*) >= $SubstrMinCount),
+         |ds AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL
+         |         OR pos > lag(pos) OVER w + $SubstrWidth
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(pos)::bigint AS start_pos,
+         |  (max(pos) + $SubstrWidth)::bigint AS end_pos,
+         |  (max(pos) + $SubstrWidth - min(pos))::bigint AS span_len,
+         |  count(*)::bigint AS n_dup_starts
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin,
+
+    // the hashed-key variant: identical chain with the gram replaced
+    // by the suite's seeded md5 long BEFORE the keyed stages
+    "x_substring_dup_hashed" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |ex AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(greatest(len(ws) - $SubstrWidth + 1, 0)))
+         |      ::int AS pos
+         |  FROM d),
+         |g2 AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(
+         |      ws[pos + 1 : pos + $SubstrWidth], ' ') || '#0'),
+         |      1, 15))::bigint AS gram
          |  FROM ex),
          |dup AS (SELECT gram FROM g2
          |        GROUP BY gram HAVING count(*) >= $SubstrMinCount),
