@@ -188,6 +188,9 @@ object ExtQueries {
   private[graft] def ndClusterWorkPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndcluster-work-${Integer.toHexString(d.hashCode)}").toString
+  private[graft] def ndBranchWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ndbranch-work-${Integer.toHexString(d.hashCode)}").toString
 
   /** The embedding near-dup pair list served from the committed
     * [[graft.sources.EdgeStore]] (marker-gated build on first touch):
@@ -628,6 +631,37 @@ object ExtQueries {
         CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)
       graft.sources.EdgeStore.read(s, work)
+    }),
+
+    // ZERO-COPY BRANCHING (the Iceberg/Delta branch-ref shape): a
+    // branch is a second version lineage over the SAME immutable
+    // segment pool — creation copies one manifest, no data. The
+    // held-out batch admits into the 'exp' branch only; main keeps
+    // serving the base pairs untouched, the branch serves the union —
+    // both lineages read back in one result, each against its own
+    // from-first-principles oracle chain.
+    "x_edge_branch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(
+        col("vec_id") % AppendHoldoutMod =!= AppendHoldoutMod - 1)
+      val batch = e.filter(
+        col("vec_id") % AppendHoldoutMod === AppendHoldoutMod - 1)
+      graft.sources.EdgeStore.ensureNearDupPairs(base, ndPairsBasePath(d),
+        CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
+        dim = EmbeddingDim)
+      val work = ndBranchWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+        work)
+      graft.sources.EdgeStore.createBranch(s, work, "exp")
+      graft.sources.EdgeStore.appendBatch(batch, e, work,
+        CosineThreshold, bands = NearDupBands,
+        rowsPerBand = NearDupRows, dim = EmbeddingDim,
+        branch = Some("exp"))
+      graft.sources.EdgeStore.read(s, work)
+        .withColumn("ref", lit("main"))
+        .unionByName(graft.sources.EdgeStore
+          .read(s, work, branch = Some("exp"))
+          .withColumn("ref", lit("exp")))
     }),
 
     // Banded-LSH candidates + exact verify: the 100 TB path (equi-join on
@@ -1834,6 +1868,14 @@ object ExtQueries {
     "x_forecast_snaive" -> ((s, d) =>
       Temporal.seasonalNaiveBacktest(Tables.events(s, d))),
 
+    // Split-conformal intervals around the seasonal-naive forecast:
+    // finite-sample 90% coverage from rank statistics over exact-cents
+    // calibration residuals — every output column an exact long or
+    // boolean, chronological 3/4 split and the ⌈9(n+1)/10⌉ index both
+    // integer arithmetic, so no engine can disagree on a boundary.
+    "x_conformal_interval" -> ((s, d) =>
+      Temporal.conformalSnaive(Tables.events(s, d))),
+
     // SCD2 dimension MAINTENANCE — MERGE INTO, not recompute: the
     // compacted history of the first ~3 weeks persists (Scd2Store),
     // and the last week's change events fold in at read time —
@@ -2333,6 +2375,24 @@ object ExtQueries {
       Hypothesis.propZTest(Tables.events(s, d),
         Hypothesis.variantOf(col("user_id")))),
 
+    // Benjamini–Hochberg FDR across the (event_type × dow) family of
+    // between-arm z tests — the joint adjustment without which 5% of
+    // per-segment "winners" are false. Ranks by the exactly-rounded
+    // |z| surrogate (p is monotone in it), so the exp()-built p never
+    // feeds an ordering; the reverse-cumulative-min window runs over
+    // the #hypotheses-sized frame.
+    "x_fdr_bh" -> ((s, d) =>
+      Hypothesis.fdrBh(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
+    // Always-valid sequential mSPRT p per key and day — the p-value a
+    // dashboard may peek at daily without inflating false positives:
+    // cumulative exact per-arm stats via running windows, the
+    // normal-mixture likelihood ratio, and the monotone running-min p.
+    "x_msprt_seq" -> ((s, d) =>
+      Hypothesis.msprtSeq(Tables.events(s, d),
+        Hypothesis.variantOf(col("user_id")))),
+
     // Rolling 7-day median level per key on the dense daily spine:
     // the robust windowed level beside the EWMA — one corrupted day
     // can never BE the median of its windows. Pure sort-and-pick,
@@ -2484,35 +2544,46 @@ object ExtQueries {
     * embeddings table, ending in `epairs (id_a, id_b, cos)` — mirrors
     * `Similarity.nearDupPairsLsh`; shared by the pair query and the
     * cluster composition. */
-  private lazy val EmbedNearDupCtes =
+  /** The hyperplane table is source-independent; [[embedChain]]
+    * instantiates the banding→candidates→verified-pairs chain over a
+    * given source relation with a CTE-name suffix, so one statement
+    * can carry TWO chains (the branch oracle compares the base-subset
+    * lineage against the full-corpus lineage). */
+  private lazy val EmbedPlanesCte =
     s"""planes AS (
        |  SELECT p, i,
        |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
        |        i::varchar), 1, 15))::bigint & 1) = 1
        |      THEN 1.0 ELSE -1.0 END AS sgn
        |  FROM range(${NearDupBands * NearDupRows}) AS pr(p)
-       |  CROSS JOIN range($EmbeddingDim) AS ir(i)),
-       |proj AS (
+       |  CROSS JOIN range($EmbeddingDim) AS ir(i))""".stripMargin
+
+  private def embedChain(src: String, sfx: String) =
+    s"""proj$sfx AS (
        |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn) AS proj
-       |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
-       |bkeys AS (
+       |  FROM $src CROSS JOIN planes GROUP BY vec_id, p),
+       |bkeys$sfx AS (
        |  SELECT vec_id, p // $NearDupRows AS band,
        |    sum(CASE WHEN proj > 0
        |          THEN (1::bigint << (p % $NearDupRows)::int)
        |          ELSE 0 END) AS bkey
-       |  FROM proj GROUP BY vec_id, band),
-       |cand AS (
+       |  FROM proj$sfx GROUP BY vec_id, band),
+       |cand$sfx AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |  FROM bkeys x JOIN bkeys y
+       |  FROM bkeys$sfx x JOIN bkeys$sfx y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-       |epairs AS MATERIALIZED (
+       |epairs$sfx AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
        |      b.embedding::DOUBLE[]), 6) AS cos
-       |  FROM cand c
-       |  JOIN embeddings a ON a.vec_id = c.id_a
-       |  JOIN embeddings b ON b.vec_id = c.id_b
+       |  FROM cand$sfx c
+       |  JOIN $src a ON a.vec_id = c.id_a
+       |  JOIN $src b ON b.vec_id = c.id_b
        |  WHERE cos >= $CosineThreshold)""".stripMargin
+
+  private lazy val EmbedNearDupCtes =
+    s"""$EmbedPlanesCte,
+       |${embedChain("embeddings", "")}""".stripMargin
 
   /** The seeded-hash 50/50 arm split + exact-cents base relation the
     * four hypothesis-test oracles share — mirrors
@@ -3897,6 +3968,19 @@ object ExtQueries {
     "x_neardup_append" ->
       s"""WITH $EmbedNearDupCtes
          |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+
+    // branch isolation: main must still equal the BASE-subset pair
+    // chain, the 'exp' branch the FULL-corpus chain — two instances
+    // of the same first-principles chain over different sources
+    "x_edge_branch" ->
+      s"""WITH $EmbedPlanesCte,
+         |bemb AS (SELECT * FROM embeddings
+         |  WHERE vec_id % $AppendHoldoutMod <> ${AppendHoldoutMod - 1}),
+         |${embedChain("bemb", "_m")},
+         |${embedChain("embeddings", "")}
+         |SELECT id_a, id_b, cos, 'main' AS ref FROM epairs_m
+         |UNION ALL
+         |SELECT id_a, id_b, cos, 'exp' AS ref FROM epairs""".stripMargin,
 
     // mirrors Similarity.embedDimStats: decimal(38,18) sums (order-
     // independent, engine-exact), the mean/std division in double;
@@ -5693,6 +5777,50 @@ object ExtQueries {
         |FROM daily d LEFT JOIN sh s
         |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin,
 
+    // split-conformal intervals: exact-cents residual ranks, integer
+    // split (⌊3n/4⌋) and quantile index (⌈9(n_cal+1)/10⌉) — the whole
+    // oracle is integer/boolean, no float anywhere
+    "x_conformal_interval" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, cast(ts AS date) AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS actual_cents
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT key, day + 7 AS day, actual_cents AS forecast_cents
+        |  FROM daily),
+        |scored AS (
+        |  SELECT d.key, d.day, d.actual_cents, s.forecast_cents,
+        |    abs(d.actual_cents - s.forecast_cents) AS resid
+        |  FROM daily d JOIN sh s ON d.key = s.key AND d.day = s.day),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY key ORDER BY day) AS rnk,
+        |    count(*) OVER (PARTITION BY key) AS n
+        |  FROM scored),
+        |rc AS (
+        |  SELECT *, cast(floor((n * 3)::double / 4.0) AS bigint)
+        |    AS n_cal
+        |  FROM ranked),
+        |cal AS (
+        |  SELECT key, resid, n_cal,
+        |    row_number() OVER (PARTITION BY key ORDER BY resid, day)
+        |      AS crnk,
+        |    cast(floor(((n_cal + 1) * 9 + 9)::double / 10.0) AS bigint)
+        |      AS q_idx
+        |  FROM rc WHERE rnk <= n_cal),
+        |q AS (SELECT key, resid AS q_cents FROM cal WHERE crnk = q_idx)
+        |SELECT r.key, r.day, r.actual_cents, r.forecast_cents,
+        |  r.n_cal, q.q_cents,
+        |  r.forecast_cents - q.q_cents AS lo_cents,
+        |  r.forecast_cents + q.q_cents AS hi_cents,
+        |  CASE WHEN q.q_cents IS NOT NULL THEN
+        |    r.actual_cents >= r.forecast_cents - q.q_cents AND
+        |    r.actual_cents <= r.forecast_cents + q.q_cents
+        |  END AS covered
+        |FROM rc r LEFT JOIN q ON r.key = q.key
+        |WHERE r.rnk > r.n_cal""".stripMargin,
+
     // incremental merge ≡ the full recompute (same Scd2Ctes)
     "x_scd2_store" ->
       s"""WITH $Scd2Ctes
@@ -6657,6 +6785,160 @@ object ExtQueries {
          |        * (1.0 / n_a::double + 1.0 / n_b::double)), 6)
          |  END AS z
          |FROM w""".stripMargin,
+
+    // BH over the (event_type × dow) z family: the A&S 26.2.17 p and
+    // the reverse-cumulative-min adjustment, every constant
+    // interpolated from the Hypothesis object so the chains are the
+    // same literals; dow as epoch-days mod 7 (the engines' dayofweek
+    // conventions disagree)
+    "x_fdr_bh" ->
+      s"""WITH base AS (
+         |  SELECT event_type || '#' ||
+         |    ((cast(ts AS date) - DATE '1970-01-01') % 7)::varchar
+         |      AS key,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+         |  FROM events),
+         |perarm AS (
+         |  SELECT key, v, count(*)::bigint AS n, sum(c)::bigint AS s,
+         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
+         |  FROM base GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT key,
+         |    max(CASE WHEN v = 'a' THEN n END) AS n_a,
+         |    max(CASE WHEN v = 'b' THEN n END) AS n_b,
+         |    max(CASE WHEN v = 'a' THEN s END) AS s_a,
+         |    max(CASE WHEN v = 'b' THEN s END) AS s_b,
+         |    max(CASE WHEN v = 'a' THEN ss END) AS ss_a,
+         |    max(CASE WHEN v = 'b' THEN ss END) AS ss_b
+         |  FROM perarm GROUP BY key),
+         |st AS (
+         |  SELECT key, n_a, n_b,
+         |    s_a::double / n_a::double AS m_a,
+         |    s_b::double / n_b::double AS m_b,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |      ((ss_a::double - (s_a::double * s_a::double)
+         |          / n_a::double) / (n_a - 1)::double) / n_a::double
+         |    END AS se_a,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |      ((ss_b::double - (s_b::double * s_b::double)
+         |          / n_b::double) / (n_b - 1)::double) / n_b::double
+         |    END AS se_b
+         |  FROM wide),
+         |zc AS (
+         |  SELECT key, n_a, n_b,
+         |    CASE WHEN se_a IS NOT NULL AND se_a + se_b > 0.0
+         |      THEN (m_a - m_b) / sqrt(se_a + se_b) END AS z_full
+         |  FROM st),
+         |tc AS (
+         |  SELECT *, abs(z_full) AS az,
+         |    1.0 / (1.0 + ${Hypothesis.NormB} * abs(z_full)) AS t
+         |  FROM zc),
+         |pc AS (
+         |  SELECT key, n_a, n_b, z_full,
+         |    CASE WHEN z_full IS NOT NULL THEN least(1.0,
+         |      2.0 * (exp((az * az) / -2.0) * ${Hypothesis.InvSqrt2Pi})
+         |        * (t * (${Hypothesis.NormA1} + t * (${Hypothesis.NormA2}
+         |          + t * (${Hypothesis.NormA3} + t * (${Hypothesis.NormA4}
+         |            + t * ${Hypothesis.NormA5}))))))
+         |    END AS p_full
+         |  FROM tc),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY abs(z_full) DESC NULLS LAST,
+         |      key) AS rnk,
+         |    count(p_full) OVER () AS m
+         |  FROM pc),
+         |adj AS (
+         |  SELECT *, CASE WHEN p_full IS NOT NULL THEN least(1.0,
+         |    min(p_full * m::double / rnk::double) OVER (
+         |      ORDER BY rnk DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |  END AS p_adj_full
+         |  FROM rk)
+         |SELECT key, n_a, n_b, round(z_full, 6) AS z,
+         |  round(p_full, 6) AS p_raw,
+         |  CASE WHEN p_full IS NOT NULL THEN rnk END AS p_rank,
+         |  m AS m_tests, round(p_adj_full, 6) AS p_adj,
+         |  p_adj_full <= 0.1 AS discovery
+         |FROM adj""".stripMargin,
+
+    // mSPRT always-valid p: cumulative exact per-arm stats over the
+    // day windows, the normal-mixture Λ with the τ² literal shared
+    // from the Hypothesis object, running-min p
+    "x_msprt_seq" ->
+      s"""WITH base AS (
+         |  SELECT event_type AS key, cast(ts AS date) AS day,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+         |  FROM events),
+         |pda AS (
+         |  SELECT key, day, v, count(*)::bigint AS n,
+         |    sum(c)::bigint AS s,
+         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
+         |  FROM base GROUP BY 1, 2, 3),
+         |wide AS (
+         |  SELECT key, day,
+         |    coalesce(max(CASE WHEN v = 'a' THEN n END), 0)::bigint
+         |      AS dn_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN n END), 0)::bigint
+         |      AS dn_b,
+         |    coalesce(max(CASE WHEN v = 'a' THEN s END), 0)::bigint
+         |      AS ds_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN s END), 0)::bigint
+         |      AS ds_b,
+         |    coalesce(max(CASE WHEN v = 'a' THEN ss END), 0) AS dss_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN ss END), 0) AS dss_b
+         |  FROM pda GROUP BY key, day),
+         |cum AS (
+         |  SELECT key, day,
+         |    (sum(dn_a) OVER w)::bigint AS n_a,
+         |    (sum(dn_b) OVER w)::bigint AS n_b,
+         |    sum(ds_a) OVER w AS s_a, sum(ds_b) OVER w AS s_b,
+         |    sum(dss_a) OVER w AS ss_a, sum(dss_b) OVER w AS ss_b
+         |  FROM wide
+         |  WINDOW w AS (PARTITION BY key ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |st AS (
+         |  SELECT key, day, n_a, n_b,
+         |    s_a::double / n_a::double - s_b::double / n_b::double
+         |      AS theta,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |      ((ss_a::double - (s_a::double * s_a::double)
+         |          / n_a::double) +
+         |       (ss_b::double - (s_b::double * s_b::double)
+         |          / n_b::double)) / (n_a + n_b - 2)::double
+         |    END AS sig2
+         |  FROM cum),
+         |lm AS (
+         |  SELECT key, day, n_a, n_b, theta,
+         |    CASE WHEN sig2 IS NOT NULL AND sig2 > 0.0 THEN
+         |      sig2 * (1.0 / n_a::double + 1.0 / n_b::double)
+         |    END AS vv
+         |  FROM st),
+         |pi AS (
+         |  SELECT key, day, n_a, n_b, theta,
+         |    CASE WHEN vv IS NOT NULL THEN least(1.0, 1.0 /
+         |      (sqrt(vv / (vv + ${Hypothesis.MsprtTau2})) *
+         |       exp((theta * theta * ${Hypothesis.MsprtTau2}) /
+         |         ((2.0 * vv) * (vv + ${Hypothesis.MsprtTau2})))))
+         |    END AS p_inst_full
+         |  FROM lm),
+         |pa AS (
+         |  SELECT *, coalesce(min(p_inst_full) OVER (
+         |    PARTITION BY key ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+         |  AS p_always_full
+         |  FROM pi)
+         |SELECT key, day, n_a, n_b,
+         |  CASE WHEN p_inst_full IS NOT NULL
+         |    THEN round(theta, 6) END AS theta,
+         |  round(p_inst_full, 6) AS p_inst,
+         |  round(p_always_full, 6) AS p_always,
+         |  p_always_full <= 0.05 AS reject_05
+         |FROM pa""".stripMargin,
 
     // dense spine, trailing-week list sort, 4th element — no
     // arithmetic, exact longs end to end

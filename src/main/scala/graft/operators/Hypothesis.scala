@@ -61,19 +61,9 @@ object Hypothesis {
   /** The wide per-key arm-stats frame shared by [[welchTTest]] and
     * [[powerMde]]: exact (n, Σcents, Σcents²) per arm, pivoted. */
   private def armStatsWide(events: DataFrame, variant: Column,
-      keyCol: String, valueCol: String): DataFrame = {
-    val base = events.select(col(keyCol).as("key"),
-      variant.as("v"), centsOf(valueCol).as("c"))
-    val perArm = base.groupBy(col("key"), col("v"))
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum((col("c").cast(DecimalType(19, 0)) *
-          col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
-    def arm(a: String, c: String) = max(when(col("v") === a, col(c)))
-    perArm.groupBy(col("key")).agg(
-      arm("a", "n").as("n_a"), arm("b", "n").as("n_b"),
-      arm("a", "s").as("sum_a_cents"), arm("b", "s").as("sum_b_cents"),
-      arm("a", "ss").as("ss_a"), arm("b", "ss").as("ss_b"))
-  }
+      keyCol: String, valueCol: String): DataFrame =
+    armStatsOf(events.select(col(keyCol).as("key"),
+      variant.as("v"), centsOf(valueCol).as("c")))
 
   def welchTTest(events: DataFrame, variant: Column,
       keyCol: String = "event_type", valueCol: String = "value")
@@ -396,5 +386,198 @@ object Hypothesis {
       .select(col("key"), col("n_a"), col("n_b"), col("diff_obs"),
         col("n_reps"), col("ci_lo"), col("ci_hi"),
         (col("ci_lo") > 0.0 || col("ci_hi") < 0.0).as("significant"))
+  }
+
+  /** Abramowitz & Stegun 26.2.17 normal-tail constants — the published
+    * polynomial approximation of Φ (|ε| < 7.5·10⁻⁸), shared VERBATIM
+    * with the oracle SQL (the `x_fdr_bh` / `x_msprt_seq` CTEs are
+    * generated from these values) so both engines evaluate the
+    * identical literal chain. exp() is the one op the IEEE standard
+    * does not require correctly rounded, so a last-ulp cross-engine
+    * wobble is possible — every consumer of the resulting p either
+    * rounds at 6dp or ORDERS by an exactly-rounded surrogate
+    * (|z| — sqrt and division ARE correctly rounded), never by the
+    * exp output. */
+  val NormB = 0.2316419
+  val NormA1 = 0.319381530
+  val NormA2 = -0.356563782
+  val NormA3 = 1.781477937
+  val NormA4 = -1.821255978
+  val NormA5 = 1.330274429
+  val InvSqrt2Pi = 0.3989422804014327
+
+  /** Two-sided normal p from a z statistic: p = 2·φ(|z|)·poly(t) — the
+    * A&S form expands the upper tail DIRECTLY (no 1−Φ cancellation),
+    * Horner order fixed as the cross-engine contract. */
+  private def normTwoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(NormB) * az)
+    val poly = t * (lit(NormA1) + t * (lit(NormA2) +
+      t * (lit(NormA3) + t * (lit(NormA4) + t * lit(NormA5)))))
+    val phi = exp((az * az) / lit(-2.0)) * lit(InvSqrt2Pi)
+    least(lit(1.0), lit(2.0) * phi * poly)
+  }
+
+  /** Per-(arm-stats) z and two-sided p for a pre-projected frame with
+    * (key, v, c) — the large-sample Welch z the FDR layer consumes. */
+  private def armStatsOf(base: DataFrame): DataFrame = {
+    val perArm = base.groupBy(col("key"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum((col("c").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
+    def arm(a: String, c: String) = max(when(col("v") === a, col(c)))
+    perArm.groupBy(col("key")).agg(
+      arm("a", "n").as("n_a"), arm("b", "n").as("n_b"),
+      arm("a", "s").as("sum_a_cents"), arm("b", "s").as("sum_b_cents"),
+      arm("a", "ss").as("ss_a"), arm("b", "ss").as("ss_b"))
+  }
+
+  /** Benjamini–Hochberg FDR control across a FAMILY of between-arm
+    * tests — the missing closing step of every metrics dashboard: run
+    * one test per segment and 5% of "winners" are false positives
+    * unless the p-values are jointly adjusted. Hypotheses are the
+    * (event_type × day-of-week) segments (dow as `epoch_days mod 7` —
+    * dialect-neutral, unlike the engines' disagreeing dayofweek()
+    * conventions); per segment a large-sample Welch z on exact
+    * per-arm (n, Σc, Σc²), p two-sided via [[normTwoSidedP]].
+    *
+    * BH (1995): rank defined p ascending (rank i of m), adjusted
+    * p_(i) = min_{j≥i}(p_(j)·m/j) capped at 1 — the reverse cumulative
+    * min — discovery when adjusted p ≤ q. The RANKING orders by |z|
+    * DESC (exactly equivalent: p is strictly decreasing in |z|) because
+    * |z| is built from correctly-rounded IEEE ops only, while p passes
+    * through exp(); ties break on the segment key. Segments with an
+    * arm under 2 observations or zero pooled spread carry NULL p and
+    * sit outside the family (m counts defined p only).
+    *
+    * Scale shape: ONE partial-combining aggregate reduces the fact
+    * table to the segments frame; every window after that is
+    * #hypotheses-sized (here 35 rows), never fact-sized. */
+  def fdrBh(events: DataFrame, variant: Column, q: Double = 0.10,
+      valueCol: String = "value"): DataFrame = {
+    val dow = pmod(datediff(to_date(col("ts")),
+      to_date(lit("1970-01-01"))), lit(7))
+    val base = events.select(
+      concat(col("event_type"), lit("#"), dow.cast("string")).as("key"),
+      variant.as("v"), centsOf(valueCol).as("c"))
+    val wide = armStatsOf(base)
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") -
+        (s.cast("double") * s.cast("double")) / n.cast("double")) /
+        (n - 1).cast("double")
+    val mA = mean(col("sum_a_cents"), col("n_a"))
+    val mB = mean(col("sum_b_cents"), col("n_b"))
+    val seA = variance(col("ss_a"), col("sum_a_cents"), col("n_a")) /
+      col("n_a").cast("double")
+    val seB = variance(col("ss_b"), col("sum_b_cents"), col("n_b")) /
+      col("n_b").cast("double")
+    val se2 = seA + seB
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    val scored = wide.select(col("key"), col("n_a"), col("n_b"),
+      when(defined, (mA - mB) / sqrt(se2)).as("z_full"))
+      .withColumn("p_full", when(col("z_full").isNotNull,
+        normTwoSidedP(col("z_full"))))
+    val wRank = Window.orderBy(abs(col("z_full")).desc_nulls_last,
+      col("key"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("rnk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("m", count(col("p_full")).over(wAll))
+      .withColumn("adj_raw",
+        col("p_full") * col("m").cast("double") / col("rnk").cast("double"))
+      .withColumn("p_adj_full", when(col("p_full").isNotNull,
+        least(lit(1.0), min(col("adj_raw")).over(wCum))))
+      .select(col("key"), col("n_a"), col("n_b"),
+        round(col("z_full"), 6).as("z"),
+        round(col("p_full"), 6).as("p_raw"),
+        when(col("p_full").isNotNull, col("rnk").cast("long"))
+          .as("p_rank"),
+        col("m").as("m_tests"),
+        round(col("p_adj_full"), 6).as("p_adj"),
+        (col("p_adj_full") <= lit(q)).as("discovery"))
+  }
+
+  /** The mixture prior variance τ² (cents²) of [[msprtSeq]] — a $1
+    * effect-size prior, shared with the oracle SQL as a literal. */
+  val MsprtTau2 = 10000.0
+
+  /** Always-valid sequential test (mSPRT — Johari, Pekelis & Walsh,
+    * "Peeking at A/B tests", KDD 2017): the p-value a dashboard may
+    * be PEEKED AT every day without inflating false positives, unlike
+    * the fixed-horizon [[welchTTest]]. Per key and day, cumulative
+    * exact per-arm (n, Σc, Σc²) via a running window over the per-day
+    * aggregate; the normal-mixture likelihood ratio against H₀: θ=0
+    * with prior N(0, τ²) on the lift is
+    *
+    *   Λ = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))),
+    *   V = σ̂²·(1/n_a + 1/n_b),  θ̂ = x̄_a − x̄_b,
+    *
+    * and the always-valid p is the RUNNING MIN of 1/Λ capped at 1 —
+    * monotone by construction, so a decision once made never un-makes
+    * itself. σ̂² is the pooled variance from the cumulative exact sums.
+    * Days before both arms have 2 observations (or with zero pooled
+    * spread) contribute no Λ; the p holds at its running level (1.0
+    * before any is defined).
+    *
+    * Scale shape: one partial-combining aggregate to the (key × day)
+    * frame, then key-partitioned running windows over days — every
+    * post-aggregate stage is calendar-sized. The closing chain is the
+    * suite's mirrored-IEEE discipline; exp() wobble is absorbed by the
+    * 6dp round (the running min never feeds an ordering). */
+  def msprtSeq(events: DataFrame, variant: Column,
+      tau2: Double = MsprtTau2, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val perDayArm = events.select(col(keyCol).as("key"),
+      to_date(col("ts")).as("day"), variant.as("v"),
+      centsOf(valueCol).as("c"))
+      .groupBy(col("key"), col("day"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum((col("c").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
+    def arm(a: String, c: String, zero: Column) =
+      coalesce(max(when(col("v") === a, col(c))), zero)
+    val zeroD = lit(0).cast(d38)
+    val wide = perDayArm.groupBy(col("key"), col("day")).agg(
+      arm("a", "n", lit(0L)).as("dn_a"), arm("b", "n", lit(0L)).as("dn_b"),
+      arm("a", "s", lit(0L)).as("ds_a"), arm("b", "s", lit(0L)).as("ds_b"),
+      arm("a", "ss", zeroD).as("dss_a"), arm("b", "ss", zeroD).as("dss_b"))
+    val wc = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = wide.select(col("key"), col("day"),
+      sum(col("dn_a")).over(wc).as("n_a"),
+      sum(col("dn_b")).over(wc).as("n_b"),
+      sum(col("ds_a")).over(wc).as("s_a"),
+      sum(col("ds_b")).over(wc).as("s_b"),
+      sum(col("dss_a")).over(wc).as("ss_a"),
+      sum(col("dss_b")).over(wc).as("ss_b"))
+    val theta = col("s_a").cast("double") / col("n_a").cast("double") -
+      col("s_b").cast("double") / col("n_b").cast("double")
+    val sig2 = ((col("ss_a").cast("double") -
+      (col("s_a").cast("double") * col("s_a").cast("double")) /
+        col("n_a").cast("double")) +
+      (col("ss_b").cast("double") -
+        (col("s_b").cast("double") * col("s_b").cast("double")) /
+          col("n_b").cast("double"))) /
+      (col("n_a") + col("n_b") - 2).cast("double")
+    val vv = sig2 * (lit(1.0) / col("n_a").cast("double") +
+      lit(1.0) / col("n_b").cast("double"))
+    val lam = sqrt(vv / (vv + lit(tau2))) *
+      exp((theta * theta * lit(tau2)) /
+        ((lit(2.0) * vv) * (vv + lit(tau2))))
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && sig2 > 0.0
+    val pInst = when(defined, least(lit(1.0), lit(1.0) / lam))
+    val wMin = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.withColumn("p_inst_full", pInst)
+      .withColumn("p_always_full",
+        coalesce(min(col("p_inst_full")).over(wMin), lit(1.0)))
+      .select(col("key"), col("day"), col("n_a"), col("n_b"),
+        when(defined, round(theta, 6)).as("theta"),
+        round(col("p_inst_full"), 6).as("p_inst"),
+        round(col("p_always_full"), 6).as("p_always"),
+        (col("p_always_full") <= lit(0.05)).as("reject_05"))
   }
 }

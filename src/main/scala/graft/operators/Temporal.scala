@@ -386,6 +386,72 @@ object Temporal {
           abs(col("actual") - col("forecast"))).as("abs_err"))
   }
 
+  /** Split-conformal prediction intervals for the seasonal-naive
+    * forecast (Vovk's conformal framework in its simplest split form;
+    * see also Lei et al., "Distribution-free predictive inference for
+    * regression", JASA 2018): a FINITE-SAMPLE coverage guarantee
+    * (P[y ∈ interval] ≥ 1−α over exchangeable residuals) wrapped
+    * around the point forecast, with zero distributional assumptions —
+    * the honest error bar a monitoring dashboard should draw.
+    *
+    * Per key the scored days (those with a value one season earlier)
+    * split chronologically: the first ⌊3n/4⌋ calibrate, the rest are
+    * evaluated. The calibration conformity scores are the exact-cents
+    * absolute residuals |y−ŷ|; the interval half-width is the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest (α = 0.1 here, index
+    * ⌈9(n_cal+1)/10⌉), found by rank — no percentile interpolation,
+    * no floating point anywhere: every output column is an exact long
+    * or a boolean, so the oracle hashes bit-for-bit. A key too short
+    * for the index (n_cal < 9 at α=0.1) yields NULL bounds — the
+    * guarantee is unattainable, never faked. Both split fractions are
+    * integer arithmetic (×3/4, ×9/10 with ceil via +9 div 10) so the
+    * engines cannot disagree on a boundary day.
+    *
+    * Scale shape: one partial-combining aggregate to the keys×days
+    * frame; every window after it is calendar-sized. Cents ride longs
+    * (Σ|day| ≪ 2⁶³ here); the documented 100 TB swap is decimal(38,0)
+    * on the daily sum — same plan, wider buffers. */
+  def conformalSnaive(events: DataFrame, seasonDays: Int = 7,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("actual_cents"))
+    val shifted = daily.select(col("key"),
+      date_add(col("day"), seasonDays).as("day"),
+      col("actual_cents").as("forecast_cents"))
+    val scored = daily.join(shifted, Seq("key", "day"), "inner")
+      .withColumn("resid",
+        abs(col("actual_cents") - col("forecast_cents")))
+    val wDay = Window.partitionBy(col("key")).orderBy(col("day"))
+    val wKey = Window.partitionBy(col("key"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(wDay))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("n_cal",
+        floor((col("n") * 3).cast("double") / lit(4.0)).cast("long"))
+    val cal = ranked.filter(col("rnk") <= col("n_cal"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("resid"), col("day"))))
+      .withColumn("q_idx",
+        floor(((col("n_cal") + 1) * 9 + 9).cast("double") / lit(10.0))
+          .cast("long"))
+    val qRow = cal.filter(col("crnk") === col("q_idx"))
+      .select(col("key"), col("resid").as("q_cents"))
+    ranked.filter(col("rnk") > col("n_cal"))
+      .join(qRow, Seq("key"), "left")
+      .select(col("key"), col("day"), col("actual_cents"),
+        col("forecast_cents"), col("n_cal"), col("q_cents"),
+        (col("forecast_cents") - col("q_cents")).as("lo_cents"),
+        (col("forecast_cents") + col("q_cents")).as("hi_cents"),
+        when(col("q_cents").isNotNull,
+          col("actual_cents") >= col("forecast_cents") - col("q_cents")
+            && col("actual_cents") <=
+              col("forecast_cents") + col("q_cents")).as("covered"))
+  }
+
   /** Per-key cumulative daily totals — the running-balance view every
     * ledger needs: one keys-sized daily aggregate, then a running
     * window sum OVER DECIMALS (each prefix is an exact decimal sum,

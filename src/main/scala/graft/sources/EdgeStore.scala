@@ -60,9 +60,78 @@ object EdgeStore {
 
   private[sources] def currentManifest(spark: SparkSession,
       path: String): ManifestDir.Manifest =
-    ManifestDir.current(spark, path, Prefix).getOrElse(
+    manifestOf(spark, path, Prefix)
+
+  private def manifestOf(spark: SparkSession, path: String,
+      prefix: String): ManifestDir.Manifest =
+    ManifestDir.current(spark, path, prefix).getOrElse(
       throw new IllegalStateException(
-        s"no committed edge store under $path"))
+        s"no committed edge store lineage '$prefix' under $path"))
+
+  /** Version-dir prefix of branch `name`. Names are lowercase
+    * alnum/underscore ONLY — a dash would make the `<prefix><name>-
+    * <version>` dir layout ambiguous to parse back. */
+  private def branchPrefix(name: String): String = {
+    require(name.matches("[a-z0-9_]+"),
+      s"invalid branch name (want [a-z0-9_]+): $name")
+    s"${Prefix}b-$name-"
+  }
+
+  private def prefixOf(branch: Option[String]): String =
+    branch.map(branchPrefix).getOrElse(Prefix)
+
+  /** ZERO-COPY BRANCH (the Iceberg/Delta branch-ref shape, degenerate
+    * form): a branch is an independent VERSION LINEAGE in the same
+    * root — its first manifest is a copy of main's current one, so
+    * creation moves no data (segments are immutable and shared).
+    * Branch appends commit manifests under the branch's own prefix;
+    * main never sees them, and vice versa — the isolation an
+    * experiment ingest needs before promoting. All lineages serialize
+    * on the one root writer lock (branching is for read-path
+    * isolation, not write concurrency), and [[vacuum]] keeps a
+    * segment alive while ANY lineage references it. Returns the
+    * branch's first version number. */
+  def createBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    SnapshotDir.withWriterLock(spark, path) {
+      val bp = branchPrefix(name)
+      require(SnapshotDir.current(spark, path, bp).isEmpty,
+        s"branch '$name' already exists under $path")
+      ManifestDir.commit(spark, path, bp, currentManifest(spark, path))
+    }
+
+  /** Names of the branches committed under `path`. */
+  def branches(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, hp) = StoreFiles.fsOf(spark, path)
+    if (!fs.exists(hp)) return Nil
+    val re = (java.util.regex.Pattern.quote(s"${Prefix}b-") +
+      "([a-z0-9_]+)-\\d{8,}").r
+    fs.listStatus(hp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case re(name) => name }.distinct.sorted
+  }
+
+  /** Every version-lineage prefix under `path` — main plus branches;
+    * the reference set [[vacuum]] and [[compact]] sweep against. */
+  private def allPrefixes(spark: SparkSession, path: String)
+      : Seq[String] =
+    Prefix +: branches(spark, path).map(branchPrefix)
+
+  /** Drop branch `name`: delete its version lineage (committed and
+    * debris), then vacuum — segments shared with main (or another
+    * branch) survive; branch-only segments are swept. */
+  def dropBranch(spark: SparkSession, path: String,
+      name: String): Unit =
+    SnapshotDir.withWriterLock(spark, path) {
+      val bp = branchPrefix(name)
+      val (fs, _) = StoreFiles.fsOf(spark, path)
+      SnapshotDir.versions(spark, path, bp).foreach { case (v, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/${SnapshotDir.name(bp, v)}"), true)
+      }
+      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
+      ()
+    }
 
   /** Write + commit the first version — CALLER HOLDS the writer lock. */
   private def commitInitial(pairs: DataFrame, bandRel: DataFrame,
@@ -123,10 +192,12 @@ object EdgeStore {
     }
   }
 
-  /** Stored pair list `(id_a, id_b, cos)` of the current version. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Stored pair list `(id_a, id_b, cos)` of the current version —
+    * of main, or of a branch lineage when `branch` is given. */
+  def read(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
     ManifestDir.readRelation(spark, path,
-      currentManifest(spark, path), PairsRel)
+      manifestOf(spark, path, prefixOf(branch)), PairsRel)
 
   /** TIME TRAVEL: the pair list of a SPECIFIC committed version — a
     * free consequence of the manifest layer (each admission is a
@@ -185,16 +256,17 @@ object EdgeStore {
     * it whole. The v2 crash window (bands landed, pairs missing,
     * repair = store rebuild) no longer exists. */
   def appendBatch(batch: DataFrame, vectors: DataFrame, path: String,
-      threshold: Double, bands: Int, rowsPerBand: Int, dim: Int)
-      : Long = {
+      threshold: Double, bands: Int, rowsPerBand: Int, dim: Int,
+      branch: Option[String] = None): Long = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
+    val pfx = prefixOf(branch)
     // the current manifest is resolved INSIDE the critical section: an
     // append racing a [[compact]] would otherwise commit a manifest
     // carrying the pre-compact segment lists, resurrecting the
     // un-compacted layout and dropping the compaction
     SnapshotDir.withWriterLock(spark, path) {
-      val m = currentManifest(spark, path)
+      val m = manifestOf(spark, path, pfx)
       val stored = graft.operators.CacheRegistry.tracked(
         ManifestDir.readRelation(spark, path, m, BandsRel))
       // same-id rows within one batch are redelivery duplicates of
@@ -257,9 +329,9 @@ object EdgeStore {
           }
         }
         // THE transaction: every relation the batch touched becomes
-        // visible in one atomic manifest publish
-        ManifestDir.commit(spark, path, Prefix, next)
-        SnapshotDir.gc(spark, path, Prefix)
+        // visible in one atomic manifest publish (on this lineage)
+        ManifestDir.commit(spark, path, pfx, next)
+        SnapshotDir.gc(spark, path, pfx)
         n
       }
     }
@@ -302,15 +374,16 @@ object EdgeStore {
       }
       ManifestDir.commit(spark, path, Prefix, next)
       SnapshotDir.gc(spark, path, Prefix)
-      ManifestDir.vacuum(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
       ()
     }
 
-  /** Sweep segment dirs no committed version references — exposed for
+  /** Sweep segment dirs NO lineage's committed version references —
+    * main and every branch count as references; exposed for
     * crash-recovery drills; [[compact]] runs it as part of normal
     * maintenance. Returns the number of swept segment dirs. */
   def vacuum(spark: SparkSession, path: String): Long =
     SnapshotDir.withWriterLock(spark, path) {
-      ManifestDir.vacuum(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
     }
 }

@@ -167,13 +167,25 @@ private[graft] object ManifestDir {
     * committed manifest but still live are an in-flight writer's, and
     * the lock guarantees there is no such writer but the caller.
     * Returns the number of swept segment dirs. */
-  def vacuum(spark: SparkSession, root: String, prefix: String): Long = {
+  def vacuum(spark: SparkSession, root: String, prefix: String): Long =
+    vacuum(spark, root, Seq(prefix))
+
+  /** Multi-lineage vacuum: a root that carries BRANCHES (several
+    * version lineages sharing one segment pool — [[EdgeStore]]'s
+    * zero-copy branch refs) must treat a segment as live when ANY
+    * lineage's committed manifest references it; sweeping with a
+    * single prefix would delete branch-only (or main-only) segments
+    * out from under the other refs. Callers enumerate every lineage
+    * prefix under the root. */
+  def vacuum(spark: SparkSession, root: String,
+      prefixes: Seq[String]): Long = {
     val (fs, _) = StoreFiles.fsOf(spark, root)
     val segRoot = new org.apache.hadoop.fs.Path(s"$root/seg")
     if (!fs.exists(segRoot)) return 0L
-    val manifests = SnapshotDir.versions(spark, root, prefix)
-      .filter(_._2).map(_._1)
-      .map(v => tryRead(spark, s"$root/${SnapshotDir.name(prefix, v)}"))
+    val manifests = prefixes.flatMap(prefix =>
+      SnapshotDir.versions(spark, root, prefix)
+        .filter(_._2).map(_._1)
+        .map(v => tryRead(spark, s"$root/${SnapshotDir.name(prefix, v)}")))
     // a committed version WITHOUT a manifest (pre-manifest layout
     // debris) has unknown references — sweeping anything next to it
     // could delete live data, so the vacuum declines conservatively

@@ -314,6 +314,70 @@ class GraphStatsSpec extends SparkSpec {
     assert(referencedSegs().size < segsBefore.size)
   }
 
+  test("edge store branches: zero-copy create, isolated append, " +
+      "ref-aware vacuum, drop") {
+    import graft.operators.{ExtQueries, Similarity}
+    import graft.sources.EdgeStore
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-branch").toString
+    EdgeStore.ensureNearDupPairs(base, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows, dim = ExtQueries.EmbeddingDim)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    def segFiles(): Long = {
+      val seg = java.nio.file.Paths.get(path, "seg")
+      val s = java.nio.file.Files.walk(seg)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally s.close()
+    }
+    val basePairs = pairSet(EdgeStore.read(spark, path))
+    // creation is ZERO-COPY: one manifest commit, no segment files
+    val segBefore = segFiles()
+    EdgeStore.createBranch(spark, path, "exp")
+    assert(segFiles() === segBefore, "branch create must copy no data")
+    assert(EdgeStore.branches(spark, path) === Seq("exp"))
+    assert(pairSet(EdgeStore.read(spark, path, Some("exp")))
+      === basePairs)
+    intercept[IllegalArgumentException](
+      EdgeStore.createBranch(spark, path, "exp"))
+    intercept[IllegalArgumentException](
+      EdgeStore.createBranch(spark, path, "Bad-Name"))
+    // the batch admits into the branch lineage ONLY
+    val n = EdgeStore.appendBatch(batch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim, branch = Some("exp"))
+    assert(n > 0L)
+    val full = pairSet(Similarity.nearDupPairsLsh(e,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim))
+    assert(pairSet(EdgeStore.read(spark, path, Some("exp"))) === full)
+    assert(pairSet(EdgeStore.read(spark, path)) === basePairs,
+      "main must not see branch appends")
+    // vacuum is ref-aware: segments referenced by EITHER lineage live
+    assert(EdgeStore.vacuum(spark, path) === 0L)
+    assert(pairSet(EdgeStore.read(spark, path, Some("exp"))) === full)
+    // drop: the branch lineage disappears, its private segments are
+    // swept, shared segments (and main) survive untouched
+    val segWithBranch = segFiles()
+    EdgeStore.dropBranch(spark, path, "exp")
+    assert(segFiles() < segWithBranch,
+      "drop must sweep branch-only segments")
+    assert(EdgeStore.branches(spark, path).isEmpty)
+    assert(pairSet(EdgeStore.read(spark, path)) === basePairs)
+    intercept[IllegalStateException](
+      EdgeStore.read(spark, path, Some("exp")))
+  }
+
   test("edge store admission is atomic: a crashed admit is invisible " +
       "and a retry lands the whole batch") {
     import graft.operators.ExtQueries

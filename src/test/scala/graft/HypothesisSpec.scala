@@ -228,4 +228,84 @@ class HypothesisSpec extends SparkSpec {
     assert(rv.getAs[Double]("ci_lo") <= rv.getAs[Double]("ci_hi"))
     assert(rv.getAs[Long]("n_reps") === 40L)
   }
+
+  // (event_type, vv, value, day-of-january) with a fixed timestamp so
+  // the dow component of the FDR segment key is a known constant
+  private def fxTs(rows: Seq[(String, String, Double, Int)]) =
+    rows.toDF("event_type", "vv", "value", "dd")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-"), lpad(col("dd").cast("string"), 2, "0"),
+          lit(" 12:00:00"))))
+      .drop("dd")
+
+  test("fdr-bh: separated segment is the sole discovery; BH ranks and monotonicity hold") {
+    // all on one date → one dow → segment key = type#dow; three
+    // segments: "sep" with a massive between-arm gap, "same1/2" with
+    // identical arms (z = 0), plus "tiny" with a 1-row arm (NULL p,
+    // outside the family)
+    def arm(t: String, v: String, base: Double, n: Int) =
+      (0 until n).map(i =>
+        (t, v, base + (if (i == 0) 0.01 else 0.0), 5))
+    val rows = arm("sep", "a", 1.0, 20) ++ arm("sep", "b", 9.0, 20) ++
+      arm("same1", "a", 3.0, 10) ++ arm("same1", "b", 3.0, 10) ++
+      arm("same2", "a", 4.0, 10) ++ arm("same2", "b", 4.0, 10) ++
+      Seq(("tiny", "a", 2.0, 5), ("tiny", "a", 3.0, 5),
+        ("tiny", "b", 2.0, 5))
+    val out = Hypothesis.fdrBh(fxTs(rows), col("vv"))
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out.size === 4)
+    // the family counts only defined p: tiny's b arm has n = 1
+    out.values.foreach(r => assert(r.getAs[Long]("m_tests") === 3L))
+    val tiny = out.keys.find(_.startsWith("tiny#")).map(out).get
+    assert(tiny.isNullAt(tiny.fieldIndex("p_raw")) &&
+      tiny.isNullAt(tiny.fieldIndex("p_rank")))
+    val sep = out.keys.find(_.startsWith("sep#")).map(out).get
+    assert(sep.getAs[Long]("p_rank") === 1L)
+    assert(sep.getAs[Double]("p_adj") === 0.0)
+    assert(sep.getAs[Boolean]("discovery"))
+    // identical arms: z = 0, p ≈ 1 (A&S at t=1), never a discovery
+    val same = out.keys.filter(_.startsWith("same")).map(out).toSeq
+    same.foreach { r =>
+      assert(r.getAs[Double]("z") === 0.0)
+      assert(math.abs(r.getAs[Double]("p_raw") - 1.0) < 1e-4)
+      assert(!r.getAs[Boolean]("discovery"))
+      // BH adjustment never lowers a p below its raw value
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p_raw") - 1e-9)
+    }
+    // ranks over defined p are exactly 1..m
+    assert(out.values.flatMap(r => Option(r.getAs[java.lang.Long]("p_rank")))
+      .map(_.toLong).toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("msprt: hand-computed Λ on one day, monotone always-valid p across days") {
+    // day 1: arm a cents {100,300} (mean 200), arm b {700,900}
+    // (mean 800): pooled σ² = 20000, V = 20000, θ = −600 →
+    // Λ = √(2/3)·e³, p = 1/Λ — the closed form recomputed here with
+    // the same JVM math ops
+    val day1 = Seq(("k", "a", 1.0, 1), ("k", "a", 3.0, 1),
+      ("k", "b", 7.0, 1), ("k", "b", 9.0, 1))
+    val r1 = Hypothesis.msprtSeq(fxTs(day1), col("vv"))
+      .collect().head
+    val expected = BigDecimal(
+      1.0 / (math.sqrt(2.0 / 3.0) * math.exp(3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("p_inst") === expected)
+    assert(r1.getAs[Double]("p_always") === expected)
+    assert(r1.getAs[Double]("theta") === -600.0)
+    // undefined day (single-arm) holds p at 1; later separation only
+    // ever lowers the running p (monotone by construction)
+    val rows = Seq(("k", "a", 2.0, 1)) ++
+      (0 until 15).flatMap(i => Seq(("k", "a", 1.0 + 0.001 * i, 2),
+        ("k", "b", 9.0 + 0.001 * i, 2))) ++
+      (0 until 15).flatMap(i => Seq(("k", "a", 1.0 + 0.001 * i, 3),
+        ("k", "b", 9.0 + 0.001 * i, 3)))
+    val seq = Hypothesis.msprtSeq(fxTs(rows), col("vv"))
+      .orderBy(col("day")).collect()
+    assert(seq.length === 3)
+    assert(seq(0).getAs[Double]("p_always") === 1.0)
+    val p2 = seq(1).getAs[Double]("p_always")
+    val p3 = seq(2).getAs[Double]("p_always")
+    assert(p2 <= 1.0 && p3 <= p2)
+    assert(seq(2).getAs[Boolean]("reject_05"))
+  }
 }

@@ -223,6 +223,44 @@ class OlapSpec extends SparkSpec {
     assert(b("2024-01-09") === ((None, None)))
   }
 
+  test("conformal snaive: rank quantile, exact bounds, short key NULLs") {
+    import graft.operators.Temporal
+    // key "k": value(day i) = i dollars over 2024-01-01..23 → every
+    // scored day's residual is exactly 700 cents; 16 scored days,
+    // n_cal = ⌊48/4⌋ = 12, q_idx = ⌈9·13/10⌉ = 12 → q = 700
+    val kRows = (1 to 23).map(i => (100L + i,
+      f"2024-01-$i%02d 10:00:00", 1L, "k", i.toDouble))
+    // key "s": 9 days → 2 scored, n_cal = 1, q_idx = 2 > 1 → NULL q
+    val sRows = (1 to 9).map(i => (200L + i,
+      f"2024-01-$i%02d 10:00:00", 1L, "s", 5.0))
+    val fx = (kRows ++ sRows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.conformalSnaive(fx).collect()
+      .groupBy(_.getAs[String]("key"))
+    val k = out("k").sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(k.length === 4) // test days = scored 16 − cal 12
+    k.foreach { r =>
+      assert(r.getAs[Long]("n_cal") === 12L)
+      assert(r.getAs[Long]("q_cents") === 700L)
+      assert(r.getAs[Long]("lo_cents") ===
+        r.getAs[Long]("forecast_cents") - 700L)
+      assert(r.getAs[Long]("hi_cents") ===
+        r.getAs[Long]("forecast_cents") + 700L)
+      // actual = forecast + 700 sits exactly on the upper bound
+      assert(r.getAs[Long]("actual_cents") ===
+        r.getAs[Long]("forecast_cents") + 700L)
+      assert(r.getAs[Boolean]("covered"))
+    }
+    assert(k.head.getAs[java.sql.Date]("day").toString === "2024-01-20")
+    val s = out("s")
+    assert(s.length === 1) // scored 2 − cal 1
+    s.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("q_cents")))
+      assert(r.isNullAt(r.fieldIndex("lo_cents")))
+      assert(r.isNullAt(r.fieldIndex("covered")))
+    }
+  }
+
   private def ev2(id: Long, t: String, user: Long, v: Double) =
     (id, java.sql.Timestamp.valueOf(t), user, v)
 
