@@ -1023,6 +1023,114 @@ object CorpusStats {
         min(col("ok")).as("lossless"))
   }
 
+  /** UNIGRAM tokenizer (Kudo, "Subword regularization", ACL 2018 — the
+    * SentencePiece model family) beside the BPE rungs: candidate vocab
+    * = every 1..maxPieceLen substring of the distinct-word frame
+    * (frequency-weighted, multiplicity kept), cut to the top
+    * `vocabSize` by (count desc, piece asc) PLUS all single characters
+    * (coverage guarantee: every word always has at least the
+    * char-by-char cover), scored by the INTEGER-scaled log-frequency
+    * `s = ⌊1e6·ln(count)⌉` — the one design decision that makes the
+    * whole pipeline engine-exact: Viterbi compares path sums of exact
+    * longs (`Σ s_piece − k·s_tot`), never sums of doubles, so both
+    * engines land the identical argmax segmentation (the only
+    * transcendental exposure is the per-piece rounding itself,
+    * vocab-sized and mirrored verbatim in the oracle).
+    *
+    * Scale shape: candidate generation and Viterbi run over the
+    * DISTINCT-WORD frame (one combining aggregate away from the
+    * corpus), the vocab is bounded metadata (≤ vocabSize + alphabet
+    * rows, collected once into plan literals — the probed-list-ids
+    * pattern), segmentation is the codegen'd
+    * [[graft.plans.UnigramViterbi]] kernel (exact-long DP, per-task
+    * vocab map), and the corpus only ever flows through the same
+    * broadcast word→toks join as [[bpeEncode]]. */
+  private[graft] def unigramVocabFrame(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int, textCol: String): DataFrame = {
+    val wf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val subs = wf
+      .select(explode(graft.plans.TextExpressions
+        .charGrams(col("w"), maxPieceLen)).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val topv = subs.orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize)
+    val chars = subs.filter(length(col("piece")) === 1)
+    topv.unionByName(chars)
+      .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
+      .withColumn("s",
+        round(lit(1000000.0) * log(col("cnt").cast("double")), 0)
+          .cast("long"))
+  }
+
+  /** The distinct-word frame segmented by the Viterbi kernel:
+    * `(w, freq, toks)`. Vocab pieces/scores ride as ONE literal array
+    * pair (bounded metadata — the kernel builds its hash map once per
+    * task off the literal's identity). */
+  private def unigramSegmentedWords(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int, textCol: String): DataFrame = {
+    val vocabRows = unigramVocabFrame(docs, vocabSize, maxPieceLen,
+      textCol).orderBy(col("piece")).collect() // bounded metadata:
+    // <= vocabSize + alphabet rows — the tokenizer model itself
+    val pieces = vocabRows.map(_.getAs[String]("piece")).toSeq
+    val scores = vocabRows.map(_.getAs[Long]("s")).toSeq
+    val sTot = math.round(1000000.0 *
+      math.log(vocabRows.map(_.getAs[Long]("cnt")).sum.toDouble))
+    val wf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.withColumn("toks", graft.plans.TextExpressions.unigramViterbi(
+      col("w"), typedLit(pieces), typedLit(scores), maxPieceLen, sTot))
+  }
+
+  /** One EM re-estimation step (the M-step recount over the E-step's
+    * Viterbi segmentations): per vocab piece, the seed count, the
+    * integer score the segmentation ran under, and the piece's usage
+    * count in the best segmentations (word-frequency-weighted) — the
+    * statistic SentencePiece's next iteration renormalizes on, and the
+    * pruning signal (em_cnt = 0 pieces are dead weight). */
+  def unigramTokenEm(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, textCol: String = "text"): DataFrame = {
+    val seg = unigramSegmentedWords(docs, vocabSize, maxPieceLen,
+      textCol)
+    val used = seg.filter(col("toks").isNotNull)
+      .select(explode(col("toks")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt_em"))
+    unigramVocabFrame(docs, vocabSize, maxPieceLen, textCol)
+      .join(used, Seq("piece"), "left")
+      .select(col("piece"), col("cnt").as("cnt_seed"),
+        col("s").as("score_seed"),
+        coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
+  }
+
+  /** Per-document unigram encode: word/piece counts and the in-order
+    * token-stream fingerprint — the same broadcast-join +
+    * order-exact-fingerprint shape as [[bpeEncode]]; a word the DP
+    * cannot cover (impossible in-corpus: the vocab holds every
+    * character) tokenizes as itself. */
+  def unigramTokenEncode(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val seg = unigramSegmentedWords(docs, vocabSize, maxPieceLen,
+      textCol)
+    docs
+      .select(col(idCol), posexplode(TextAnalysis.words(col(textCol)))
+        .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg.select(col("w"), col("toks"))), Seq("w"),
+        "left")
+      .withColumn("toks", coalesce(col("toks"), array(col("w"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_pieces"),
+        md5(concat_ws(" ", flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("toks")))),
+          x => x.getField("toks"))))).as("token_fp"))
+  }
+
   /** Stratified sample with EXACT largest-remainder allocation: the
     * eval-set construction rule — `total` documents split across the
     * strata PROPORTIONALLY (quota_g = ⌊total·n_g/N⌋, the leftover

@@ -49,6 +49,8 @@ object ExtQueries {
   val FunnelWindow = "7 days"
   val CepWithinSeconds = 86400L // the CEP chain must span <= 1 day
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
+  val UnigramVocabSize = 200 // top-V substring pieces kept (plus chars)
+  val UnigramMaxPiece = 4 // longest candidate piece (chars)
   val RecallFloor = 0.5 // per-query recall@k gate for x_ann_recall_eval
   val HotWindowMin = 6L // purchases/hour that open an alert window
   val RangeBinSeconds = 1800L // bin width for the binned range join
@@ -1446,6 +1448,24 @@ object ExtQueries {
         s, path, Tables.documents(s, d))
     }),
 
+    // UNIGRAM tokenizer (SentencePiece's model family, Kudo 2018)
+    // beside the BPE rungs — EM step: substring-candidate vocab over
+    // the distinct-word frame (top-V by count + all chars for
+    // coverage), integer-scaled log scores so the Viterbi DP is exact
+    // long arithmetic, per-piece usage recount from the best
+    // segmentations (the M-step statistic / pruning signal).
+    "x_unigram_tok_train" -> ((s, d) =>
+      CorpusStats.unigramTokenEm(Tables.documents(s, d),
+        UnigramVocabSize, UnigramMaxPiece)),
+
+    // ... ENCODE: per-doc word/piece counts + the in-order
+    // token-stream fingerprint, served through the same broadcast
+    // word→toks join as the BPE encode; the corpus never enters the
+    // DP (it runs on the distinct-word frame).
+    "x_unigram_tok_encode" -> ((s, d) =>
+      CorpusStats.unigramTokenEncode(Tables.documents(s, d),
+        UnigramVocabSize, UnigramMaxPiece)),
+
     // RAG indexing chunks: overlapping word windows, one row per chunk
     // with a content fingerprint — pure per-row explode, scan speed.
     "x_chunk_windows" -> ((s, d) =>
@@ -2544,6 +2564,95 @@ object ExtQueries {
     * embeddings table, ending in `epairs (id_a, id_b, cos)` — mirrors
     * `Similarity.nearDupPairsLsh`; shared by the pair query and the
     * cluster composition. */
+  /** The unigram-tokenizer chain (vocab seeding → integer-score table
+    * → per-word Viterbi DP as a recursive CTE carrying the last
+    * [[UnigramMaxPiece]] best/segmentation slots — the Holt-Winters
+    * slot-carrying dodge, since the DP needs a bounded lookback the
+    * recursion row cannot otherwise see). GENERATED from
+    * [[UnigramVocabSize]] / [[UnigramMaxPiece]]: the candidate joins,
+    * lag columns, and tie-break CASE all unroll from the same
+    * constants the Spark operator runs on. Scores are integer-scaled
+    * logs, so every DP comparison the oracle makes is exact bigint
+    * arithmetic — the argmax segmentation cannot drift between
+    * engines. */
+  private lazy val UnigramTokCtes: String = {
+    val L = UnigramMaxPiece
+    val minv = "-4611686018427387904"
+    // state slots: b0..b{L-1} = best at positions i, i-1, ...;
+    // g0..g{L-1} the matching segmentation strings
+    val bCols = (0 until L).map(k => s"b$k")
+    val gCols = (0 until L).map(k => s"g$k")
+    val seed = s"SELECT w, 0, 0::bigint, " +
+      (1 until L).map(_ => "NULL::bigint").mkString(", ") + ", ''," +
+      (1 until L).map(_ => " NULL::varchar").mkString(",") + " FROM wl"
+    // candidate l consumes a piece of length l ending at position i+1
+    val joins = (1 to L).map { l =>
+      val guard = if (l > 1) s"r.i >= ${l - 1} AND " else ""
+      s"LEFT JOIN vs v$l ON $guard" +
+        s"v$l.piece = substr(r.w, r.i + ${2 - l}, $l)"
+    }.mkString("\n      ")
+    val cands = (1 to L).map(l =>
+      s"r.b${l - 1} + v$l.s - t.stot AS c$l").mkString(",\n        ")
+    val pExprs = (1 to L).map(l =>
+      s"substr(r.w, r.i + ${2 - l}, $l) AS p$l").mkString(", ")
+    val gBest = s"greatest(${(1 to L).map(l =>
+      s"coalesce(c$l, $minv)").mkString(", ")})"
+    val pick = (L to 1 by -1).map(l =>
+      s"WHEN c$l IS NOT NULL AND c$l = $gBest THEN $l")
+      .mkString("CASE ", "\n           ", " END")
+    val newg = (L to 1 by -1).map(l =>
+      s"WHEN $l THEN CASE WHEN g${l - 1} = '' THEN p$l " +
+        s"ELSE g${l - 1} || ' ' || p$l END").mkString(
+      "CASE pick ", "\n      ", " END")
+    s"""wl AS (
+       |  SELECT w, count(*)::bigint AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS w
+       |    FROM documents) WHERE w <> '' GROUP BY w),
+       |subs AS (
+       |  SELECT substr(wl.w, st.st + 1, l.l) AS piece,
+       |    sum(wl.freq)::bigint AS cnt
+       |  FROM wl
+       |  CROSS JOIN range(0, 128) AS st(st)
+       |  CROSS JOIN range(1, ${L + 1}) AS l(l)
+       |  WHERE st.st + l.l <= length(wl.w)
+       |  GROUP BY 1),
+       |topv AS (SELECT piece, cnt FROM subs
+       |  ORDER BY cnt DESC, piece LIMIT $UnigramVocabSize),
+       |vocab AS (
+       |  SELECT piece, max(cnt)::bigint AS cnt FROM (
+       |    SELECT * FROM topv UNION ALL
+       |    SELECT piece, cnt FROM subs WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |vs AS (SELECT piece, cnt,
+       |  cast(round(1000000.0 * ln(cnt::double), 0) AS bigint) AS s
+       |  FROM vocab),
+       |tot AS (SELECT
+       |  cast(round(1000000.0 * ln((sum(cnt)::bigint)::double), 0)
+       |    AS bigint) AS stot FROM vs),
+       |rec(w, i, ${bCols.mkString(", ")}, ${gCols.mkString(", ")}) AS (
+       |  $seed
+       |  UNION ALL
+       |  SELECT w, i + 1,
+       |    CASE WHEN pick IS NOT NULL THEN nb END,
+       |    ${bCols.dropRight(1).mkString(", ")},
+       |    $newg,
+       |    ${gCols.dropRight(1).mkString(", ")}
+       |  FROM (
+       |    SELECT *, $gBest AS nb, $pick AS pick
+       |    FROM (
+       |      SELECT r.w, r.i, ${bCols.map(b => s"r.$b").mkString(", ")},
+       |        ${gCols.map(g => s"r.$g").mkString(", ")},
+       |        $cands,
+       |        $pExprs
+       |      FROM rec r
+       |      CROSS JOIN tot t
+       |      $joins
+       |      WHERE r.i < length(r.w)))),
+       |fin AS (SELECT w, g0 AS seg FROM rec WHERE i = length(w))"""
+      .stripMargin
+  }
+
   /** The hyperplane table is source-independent; [[embedChain]]
     * instantiates the banding→candidates→verified-pairs chain over a
     * given source relation with a CTE-name suffix, so one statement
@@ -5357,6 +5466,40 @@ object ExtQueries {
     // the stored-vocabulary encode is defined to equal the in-query
     // train+encode (parquet round-trips the vocab exactly) — one oracle
     "x_bpe_encode_stored" -> BpeEncodeOracle,
+
+    // unigram EM step: vocab seeding, exact-integer Viterbi (recursive
+    // CTE generated from the shared constants), M-step recount
+    "x_unigram_tok_train" ->
+      s"""WITH RECURSIVE $UnigramTokCtes,
+         |used AS (
+         |  SELECT piece, sum(freq)::bigint AS cnt_em FROM (
+         |    SELECT unnest(string_split(f.seg, ' ')) AS piece, wl.freq
+         |    FROM fin f JOIN wl ON wl.w = f.w WHERE f.seg IS NOT NULL)
+         |  GROUP BY piece)
+         |SELECT vs.piece, vs.cnt AS cnt_seed, vs.s AS score_seed,
+         |  coalesce(u.cnt_em, 0)::bigint AS cnt_em
+         |FROM vs LEFT JOIN used u ON u.piece = vs.piece""".stripMargin,
+
+    // unigram encode: the same per-word segmentations served through
+    // the doc-words join, order-exact token-stream fingerprint
+    "x_unigram_tok_encode" ->
+      s"""WITH RECURSIVE $UnigramTokCtes,
+         |dw AS (
+         |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
+         |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+         |    FROM (SELECT doc_id,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |          FROM documents))
+         |  WHERE ws[i + 1] <> ''),
+         |enc AS (
+         |  SELECT d.doc_id, d.pos,
+         |    coalesce(string_split(f.seg, ' '), [d.w]) AS toks
+         |  FROM dw d LEFT JOIN fin f ON f.w = d.w)
+         |SELECT doc_id, count(*)::bigint AS n_words,
+         |  sum(len(toks))::bigint AS n_pieces,
+         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
+         |    AS token_fp
+         |FROM enc GROUP BY doc_id""".stripMargin,
 
     // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
     // `width` words; list_slice's inclusive end = Spark slice's length

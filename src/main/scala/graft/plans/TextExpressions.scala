@@ -264,6 +264,101 @@ object TextKernels {
     * recur THROUGH a merged token, since `l+r = l` needs an empty `r`
     * and `l+r = r` an empty `l` — which is what the DuckDB oracle's
     * recursive rewrite computes. */
+  /** All substrings of `w` with length 1..maxLen, document order,
+    * multiplicity kept — the unigram-tokenizer candidate generator
+    * (runs over the DISTINCT-WORD frame, not the corpus). */
+  def charGrams(word: UTF8String, maxLen: Int): ArrayData = {
+    val w = word.toString
+    val n = w.length
+    val out = new java.util.ArrayList[AnyRef](n * maxLen)
+    var st = 0
+    while (st < n) {
+      var l = 1
+      while (l <= maxLen && st + l <= n) {
+        out.add(UTF8String.fromString(w.substring(st, st + l)))
+        l += 1
+      }
+      st += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-thread cache of the Viterbi piece map, keyed by the vocab
+    * ArrayData's reference identity: the pieces/scores arrays arrive
+    * as ONE Literal per plan (codegen references the same instance on
+    * every row), so the map builds once per task, not per word. A
+    * non-literal caller just rebuilds per row — correct either way. */
+  private val ViterbiVocab = new ThreadLocal[(ArrayData,
+    java.util.HashMap[String, java.lang.Long])]
+
+  /** Viterbi-best unigram segmentation of `word` (Kudo 2018): maximize
+    * Σ(s_piece − sTot) over covers by vocab pieces of length ≤ maxLen —
+    * s and sTot are INTEGER-scaled log-frequencies (⌊1e6·ln(c)⌉), so
+    * every DP comparison is exact long arithmetic and both engines
+    * agree on the argmax bit-for-bit (the only transcendental is the
+    * per-piece score rounding, vocab-sized exposure, mirrored in the
+    * oracle). Ties prefer the LONGER final piece (l iterated
+    * descending, strict improvement required). Returns null when no
+    * cover exists (impossible when the vocab carries every corpus
+    * character; callers coalesce to the whole word). */
+  def unigramViterbi(word: UTF8String, pieces: ArrayData,
+      scores: ArrayData, maxLen: Int, sTot: Long): ArrayData = {
+    val cached = ViterbiVocab.get()
+    val map: java.util.HashMap[String, java.lang.Long] =
+      if (cached != null && (cached._1 eq pieces)) cached._2
+      else {
+        val m = new java.util.HashMap[String, java.lang.Long](
+          pieces.numElements() * 2)
+        var i = 0
+        while (i < pieces.numElements()) {
+          m.put(pieces.getUTF8String(i).toString,
+            java.lang.Long.valueOf(scores.getLong(i)))
+          i += 1
+        }
+        ViterbiVocab.set((pieces, m))
+        m
+      }
+    val w = word.toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val Unreach = java.lang.Long.MIN_VALUE
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) { best(i) = Unreach; i += 1 }
+    i = 1
+    while (i <= n) {
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        if (best(i - l) != Unreach) {
+          val s = map.get(w.substring(i - l, i))
+          if (s != null) {
+            val cand = best(i - l) + s.longValue() - sTot
+            if (best(i) == Unreach || cand > best(i)) {
+              best(i) = cand
+              back(i) = l
+            }
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    if (best(n) == Unreach) return null
+    var k = n
+    var cnt = 0
+    while (k > 0) { cnt += 1; k -= back(k) }
+    val out = new Array[AnyRef](cnt)
+    k = n
+    var j = cnt - 1
+    while (k > 0) {
+      out(j) = UTF8String.fromString(w.substring(k - back(k), k))
+      j -= 1
+      k -= back(k)
+    }
+    new GenericArrayData(out)
+  }
+
   def bpeMergePair(syms: ArrayData, l: UTF8String,
       r: UTF8String): ArrayData = {
     val n = syms.numElements()
@@ -516,6 +611,76 @@ case class BpeMergePair(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Codegen'd candidate-piece generator: every substring of length
+  * 1..maxLen, multiplicity kept — unigram-tokenizer vocabulary seeding
+  * over the distinct-word frame. */
+case class CharGrams(child: Expression, maxLen: Int)
+    extends UnaryExpression {
+  require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects a string column, got " +
+        child.dataType.simpleString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charGrams(input.asInstanceOf[UTF8String], maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.charGrams($c, $maxLen);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGrams = copy(child = newChild)
+}
+
+/** Codegen'd Viterbi-best unigram segmentation (Kudo 2018) of a word
+  * against a literal (pieces, scores) vocabulary — integer-scaled log
+  * scores keep every DP comparison exact long arithmetic. NULL result
+  * = no cover (callers coalesce to the whole word). */
+case class UnigramViterbi(first: Expression, second: Expression,
+    third: Expression, maxLen: Int, sTot: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_viterbi"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "unigram_viterbi expects (string, array<string>, " +
+          s"array<bigint>), got (${a.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString})")
+    }
+
+  override protected def nullSafeEval(w: Any, p: Any, s: Any): Any =
+    TextKernels.unigramViterbi(w.asInstanceOf[UTF8String],
+      p.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], maxLen, sTot)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, p, s) =>
+      s"""${ev.value} = graft.plans.TextKernels.unigramViterbi(
+         |  $w, $p, $s, $maxLen, ${sTot}L);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): UnigramViterbi =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextExpressions {
   /** All i<j pairs of a sorted `array<bigint>` as `array<struct<a,b>>`. */
   def pairCombos(ids: Column): Column =
@@ -550,4 +715,16 @@ object TextExpressions {
   def bpeMergePair(syms: Column, l: Column, r: Column): Column =
     GraftBridge.column(BpeMergePair(GraftBridge.expression(syms),
       GraftBridge.expression(l), GraftBridge.expression(r)))
+
+  /** Codegen'd 1..maxLen substring candidates of a string column. */
+  def charGrams(word: Column, maxLen: Int): Column =
+    GraftBridge.column(CharGrams(GraftBridge.expression(word), maxLen))
+
+  /** Codegen'd Viterbi-best unigram segmentation against a literal
+    * vocabulary (exact integer DP — see [[UnigramViterbi]]). */
+  def unigramViterbi(word: Column, pieces: Column, scores: Column,
+      maxLen: Int, sTot: Long): Column =
+    GraftBridge.column(UnigramViterbi(GraftBridge.expression(word),
+      GraftBridge.expression(pieces), GraftBridge.expression(scores),
+      maxLen, sTot))
 }

@@ -1000,6 +1000,70 @@ class ExtSpec extends SparkSpec {
     assert(got === Map("ab" -> 3L, "bc" -> 2L))
   }
 
+  test("unigram tokenizer: hand-computed Viterbi DP, EM recount, encode") {
+    // corpus "ab ab cd": words ab(2), cd(1). candidate counts:
+    // a=2, b=2, ab=2, c=1, d=1, cd=1 → tot=9... recomputed below:
+    // actually Σcnt = 2+2+2+1+1+1 = 9; sTot = round(1e6·ln 9).
+    // s(ab)=s(a)=s(b)=round(1e6·ln2)=693147; s(c)=s(d)=s(cd)=0.
+    // "ab": [ab] = 693147 − sTot  beats [a,b] = 2·693147 − 2·sTot
+    //   (since sTot = 2197225 > 693147) → one piece.
+    // "cd": [cd] = −sTot beats [c,d] = −2·sTot → one piece.
+    val d = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    val em = CorpusStats.unigramTokenEm(d, vocabSize = 50,
+      maxPieceLen = 4)
+      .collect().map(r => r.getAs[String]("piece") ->
+        (r.getAs[Long]("cnt_seed"), r.getAs[Long]("score_seed"),
+          r.getAs[Long]("cnt_em"))).toMap
+    assert(em.keySet === Set("a", "b", "ab", "c", "d", "cd"))
+    assert(em("ab") === ((2L, 693147L, 2L)))
+    assert(em("cd") === ((1L, 0L, 1L)))
+    // chars are never used by the best segmentations here
+    Seq("a", "b", "c", "d").foreach(p => assert(em(p)._3 === 0L))
+    val enc = CorpusStats.unigramTokenEncode(d, vocabSize = 50,
+      maxPieceLen = 4).collect().head
+    assert(enc.getAs[Long]("n_words") === 3L)
+    assert(enc.getAs[Long]("n_pieces") === 3L)
+    // frequency flips the optimum: "aa aa" → a appears 4×, aa 2×,
+    // tot 6; [a,a] = 2·ln4·1e6 − 2·sTot = −810930 beats
+    // [aa] = ln2·1e6 − sTot = −1098612 → two pieces per word
+    val d2 = Seq((0L, "aa aa")).toDF("doc_id", "text")
+    val enc2 = CorpusStats.unigramTokenEncode(d2, vocabSize = 50,
+      maxPieceLen = 4).collect().head
+    assert(enc2.getAs[Long]("n_words") === 2L)
+    assert(enc2.getAs[Long]("n_pieces") === 4L)
+    val em2 = CorpusStats.unigramTokenEm(d2, vocabSize = 50,
+      maxPieceLen = 4)
+      .collect().map(r => r.getAs[String]("piece") ->
+        r.getAs[Long]("cnt_em")).toMap
+    assert(em2("a") === 4L && em2("aa") === 0L)
+    // tie-break prefers the LONGER piece: single word "xy" makes
+    // every candidate count 1 (score 0): [xy] = −sTot ties... no —
+    // [x,y] = −2·sTot is strictly worse, so [xy] wins on score; the
+    // genuine tie needs equal piece counts, which equal-length covers
+    // of equal scores give: "xyxy" with pieces {xy, xyxy, ...}: the
+    // 4-char piece [xyxy] = −sTot beats any 2-piece cover → longer
+    // piece chosen when scores make it optimal
+    val d3 = Seq((0L, "xyxy")).toDF("doc_id", "text")
+    val enc3 = CorpusStats.unigramTokenEncode(d3, vocabSize = 50,
+      maxPieceLen = 4).collect().head
+    assert(enc3.getAs[Long]("n_pieces") === 1L)
+    // charGrams kernel: document order, multiplicity kept
+    val grams = spark.range(1)
+      .select(graft.plans.TextExpressions.charGrams(lit("aba"), 2)
+        .as("g")).as[Seq[String]].head()
+    assert(grams === Seq("a", "ab", "b", "ba", "a"))
+    // coverage guarantee: every corpus char is in the vocab even at a
+    // tiny top-V cut, so no word ever falls back
+    val d4 = Seq((0L, "zq zq qqqq unusual")).toDF("doc_id", "text")
+    val em4 = CorpusStats.unigramTokenEm(d4, vocabSize = 2,
+      maxPieceLen = 4).collect()
+    val covered = em4.map(_.getAs[Long]("cnt_em")).sum
+    assert(covered > 0L)
+    val enc4 = CorpusStats.unigramTokenEncode(d4, vocabSize = 2,
+      maxPieceLen = 4).collect().head
+    assert(enc4.getAs[Long]("n_words") === 4L)
+  }
+
   test("bpe training learns merges in argmax order with exact counts") {
     // hand-computed: abab×2 + aab×3 + bb×1.
     // pairs: ab = 2·2 + 3 = 7, aa = 3, ba = 2, bb = 1 → merge 1 (a,b,7).
