@@ -2462,6 +2462,22 @@ object ExtQueries {
     "x_seasonal_dow" -> ((s, d) =>
       Temporal.seasonalDow(Tables.events(s, d))),
 
+    // FULL additive decomposition per key and day (classical STL
+    // shape): y = trend (centered exact 7-day MA) + seasonal (dow mean
+    // of the detrended series, integer numerator) + residual — the
+    // series MAD/CUSUM should monitor once a weekly cycle exists;
+    // x_seasonal_dow's global profile generalized to the per-row
+    // three-way split.
+    "x_stl_decompose" -> ((s, d) =>
+      Temporal.stlDecompose(Tables.events(s, d))),
+
+    // Higher-moment profile per key: skewness and excess kurtosis
+    // from ONE combining aggregate of exact decimal power sums —
+    // "which tail is heavy, and how heavy", the two numbers the
+    // mean/stddev profile cannot see.
+    "x_moments" -> ((s, d) =>
+      Olap.momentsProfile(Tables.events(s, d))),
+
     // Component-size census of the near-dup graph: how much of the
     // corpus sits in duplicate clusters vs singletons — the one-row
     // dedup-health dashboard (reads the committed ClusterStore labels).
@@ -2522,7 +2538,8 @@ object ExtQueries {
       graft.sources.AggStore.ensureState(Tables.events(s, d),
         aggMvPath(d), baseTag = "mv-full")
       s.sql(s"""
-        |SELECT family, version, n_versions, recipe, n_relations,
+        |SELECT family, version, n_versions, n_branches, recipe,
+        |  n_relations,
         |  labels_fresh, n_files > 0 AS has_files, bytes > 0 AS has_bytes
         |FROM graft_stores(
         |  'agg', '${aggMvPath(d)}',
@@ -7469,6 +7486,73 @@ object ExtQueries {
         |    AS seasonal_cents
         |FROM dd GROUP BY 1, 2""".stripMargin,
 
+    // classical additive decomposition: exact 7-day LONG trend sums,
+    // integer seasonal numerator (7·Σy − Σt7), residual chain mirrored
+    "x_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, cast(ts AS date) AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS y
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT *, (day - DATE '1970-01-01') % 7 AS dow
+        |  FROM daily),
+        |witht AS (
+        |  SELECT *, CASE WHEN count(*) OVER w = 7
+        |    THEN (sum(y) OVER w)::bigint END AS t7
+        |  FROM dd
+        |  WINDOW w AS (PARTITION BY key
+        |    ORDER BY (day - DATE '1970-01-01')
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT key, dow,
+        |    (7 * sum(y) - sum(t7))::double
+        |      / (7 * count(*))::double AS seasonal
+        |  FROM witht WHERE t7 IS NOT NULL GROUP BY key, dow)
+        |SELECT w.key, w.day, w.y AS y_cents,
+        |  w.t7::double / 7.0 AS trend,
+        |  CASE WHEN w.t7 IS NOT NULL THEN s.seasonal END AS seasonal,
+        |  CASE WHEN w.t7 IS NOT NULL THEN
+        |    w.y::double - w.t7::double / 7.0 - s.seasonal END AS resid
+        |FROM witht w LEFT JOIN seas s
+        |  ON s.key = w.key AND s.dow = w.dow""".stripMargin,
+
+    // higher moments from exact hugeint power sums, fixed IEEE chain,
+    // sqrt-only transcendental closings
+    "x_moments" ->
+      """WITH base AS (
+        |  SELECT event_type AS key,
+        |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+        |  FROM events),
+        |agg AS (
+        |  SELECT key, count(*)::bigint AS n, sum(c)::bigint AS s1,
+        |    sum(c::hugeint * c::hugeint) AS s2,
+        |    sum(c::hugeint * c::hugeint * c::hugeint) AS s3,
+        |    sum(c::hugeint * c::hugeint * c::hugeint * c::hugeint)
+        |      AS s4
+        |  FROM base GROUP BY key),
+        |st AS (
+        |  SELECT key, n, s1, n::double AS nd, s1::double AS d1,
+        |    s2::double AS d2, s3::double AS d3, s4::double AS d4
+        |  FROM agg),
+        |m AS (
+        |  SELECT key, n, s1, nd, d1,
+        |    d2 - (d1 * d1) / nd AS m2,
+        |    d3 - (3.0 * d1 * d2) / nd
+        |       + (2.0 * d1 * d1 * d1) / (nd * nd) AS m3,
+        |    d4 - (4.0 * d1 * d3) / nd
+        |       + (6.0 * d1 * d1 * d2) / (nd * nd)
+        |       - (3.0 * d1 * d1 * d1 * d1) / (nd * nd * nd) AS m4
+        |  FROM st)
+        |SELECT key, n, s1 AS sum_cents, d1 / nd AS mean_cents,
+        |  CASE WHEN n >= 2 THEN m2 / (nd - 1.0) END AS variance,
+        |  CASE WHEN n >= 3 AND m2 > 0.0 THEN
+        |    round((m3 / nd) / ((m2 / nd) * sqrt(m2 / nd)), 6)
+        |  END AS skewness,
+        |  CASE WHEN n >= 3 AND m2 > 0.0 THEN
+        |    round((m4 / nd) / ((m2 / nd) * (m2 / nd)) - 3.0, 6)
+        |  END AS kurtosis_excess
+        |FROM m""".stripMargin,
+
     // component-size census over the shared cluster reach
     "x_component_stats" ->
       s"""WITH RECURSIVE $EmbedNearDupCtes,
@@ -7551,24 +7635,25 @@ object ExtQueries {
     // only as must-be-TRUE booleans
     "x_sql_stores" ->
       s"""SELECT * FROM (VALUES
-         |  ('agg', 1::bigint, 1::bigint,
+         |  ('agg', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.AggStore.recipe("mv-full")}',
          |   NULL::bigint, NULL::boolean, true, true),
-         |  ('edges', 2::bigint, 2::bigint,
+         |  ('edges', 2::bigint, 2::bigint, 0::bigint,
          |   '${graft.sources.EdgeStore.recipe(CosineThreshold,
               NearDupBands, NearDupRows, EmbeddingDim)}',
          |   3::bigint, true, true, true),
-         |  ('fingerprints', 1::bigint, 1::bigint,
+         |  ('fingerprints', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.FingerprintStore.recipe(3, 8, 4,
               Dedup.DefaultMaxShingleDf, "doc_id", "text")}',
          |   2::bigint, NULL::boolean, true, true),
-         |  ('vectors', 1::bigint, 1::bigint,
+         |  ('vectors', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.VectorIndexStore.recipe(IvfCentroidMod,
               PqCentroidMod, PqSubspaces, EmbeddingDim, "vec_id",
               "embedding", 1)}',
          |   NULL::bigint, NULL::boolean, true, true)
-         |) AS t(family, version, n_versions, recipe, n_relations,
-         |       labels_fresh, has_files, has_bytes)""".stripMargin,
+         |) AS t(family, version, n_versions, n_branches, recipe,
+         |       n_relations, labels_fresh, has_files, has_bytes)"""
+        .stripMargin,
     // stream-maintained sketch state honors the same merge-order-free
     // error contract as the batch split-and-merge audit
     "x_stream_heavy" -> BaseOracleSql("x_freq_merge"),

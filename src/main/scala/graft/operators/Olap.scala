@@ -650,4 +650,55 @@ object Olap {
         (sum(col("__w")).cast("double") /
           count(lit(1)).cast("double")).as("w_mean_cents"))
   }
+
+  /** Higher-moment distribution profile per key: sample variance,
+    * skewness g₁ and excess kurtosis g₂ from EXACT raw power sums —
+    * ONE combining aggregate collects (n, Σc, Σc², Σc³, Σc⁴) as
+    * decimal(38,0) over integer cents (order-independent, engine-
+    * exact; c⁴ ≈ 10²⁰ per row keeps ~10¹⁷ rows of headroom at p38),
+    * then the central moments expand algebraically
+    * (M₂ = Σc²−S²/n, M₃ = Σc³−3SΣc²/n+2S³/n², M₄ = Σc⁴−4SΣc³/n+
+    * 6S²Σc²/n²−3S⁴/n³) in a FIXED scalar IEEE chain mirrored in the
+    * oracle; `(M₂/n)^{3/2}` is written `(M₂/n)·√(M₂/n)` so the only
+    * transcendental is the correctly-rounded sqrt. Skew answers
+    * "which tail is heavy", kurtosis "how heavy" — the two numbers a
+    * mean/stddev profile cannot see (revenue metrics routinely pass a
+    * t-test gate while g₁ says the lift is three whales). n < 3 (or
+    * zero spread) yields NULL shape stats, never an error. */
+  def momentsProfile(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val c = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long")
+    val c19 = c.cast(DecimalType(19, 0))
+    val agg = events
+      .select(col(keyCol).as("key"), c.as("c"), c19.as("c19"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c19") * col("c19")).cast(d38)).as("s2"),
+        sum(((col("c19") * col("c19")).cast(d38) * col("c19").cast(d38))
+          .cast(d38)).as("s3"),
+        sum((((col("c19") * col("c19")).cast(d38) *
+          col("c19").cast(d38)).cast(d38) * col("c19").cast(d38))
+          .cast(d38)).as("s4"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double")
+    val s4 = col("s4").cast("double")
+    val m2 = s2 - (s1 * s1) / n
+    val m3 = s3 - (lit(3.0) * s1 * s2) / n +
+      (lit(2.0) * s1 * s1 * s1) / (n * n)
+    val m4 = s4 - (lit(4.0) * s1 * s3) / n +
+      (lit(6.0) * s1 * s1 * s2) / (n * n) -
+      (lit(3.0) * s1 * s1 * s1 * s1) / (n * n * n)
+    val v2 = m2 / n // population variance
+    val ok = col("n") >= 3 && m2 > 0.0
+    agg.select(col("key"), col("n"), col("s1").as("sum_cents"),
+      (s1 / n).as("mean_cents"),
+      when(col("n") >= 2, m2 / (n - lit(1.0))).as("variance"),
+      when(ok, (m3 / n) / (v2 * sqrt(v2))).as("skewness"),
+      when(ok, round((m4 / n) / (v2 * v2) - lit(3.0), 6))
+        .as("kurtosis_excess"))
+      .withColumn("skewness", round(col("skewness"), 6))
+  }
 }

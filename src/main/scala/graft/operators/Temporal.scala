@@ -452,6 +452,52 @@ object Temporal {
               col("forecast_cents") + col("q_cents")).as("covered"))
   }
 
+  /** Classical additive decomposition (the STL shape, moving-average
+    * form): per key and day, `y = trend + seasonal + resid` with
+    * trend = the centered 7-day moving average and seasonal = the
+    * day-of-week mean of the detrended series (dow as epoch-days mod
+    * 7 — dialect-neutral). The anomaly-monitoring rungs (MAD, CUSUM)
+    * flag residuals; this produces the residual series they should
+    * run on once a weekly cycle exists.
+    *
+    * Exactness discipline: the trend window is carried as the exact
+    * 7-day LONG sum `t7` (never an averaged double), so the seasonal
+    * numerator Σ(y − t7/7) = (7·Σy − Σt7)/7 is INTEGER arithmetic up
+    * to one closing division — a running double sum over window rows
+    * would be order-dependent across engines. Edge days (incomplete
+    * ±3 window) carry NULL trend and are excluded from the seasonal
+    * means, exactly as mirrored. One keys-sized daily aggregate, one
+    * key-partitioned window, one dow-sized aggregate join. */
+  def stlDecompose(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("y"))
+      .withColumn("dow", pmod(datediff(col("day"),
+        to_date(lit("1970-01-01"))), lit(7)))
+    // exact 7-day centered sum — NULL unless all 7 calendar days exist
+    // (rangeBetween on epoch days: a row-window would mis-center
+    // across gap days)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-3, 3)
+    val witht = daily
+      .withColumn("t7", when(count(lit(1)).over(w) === 7,
+        sum(col("y")).over(w)))
+    val seas = witht.filter(col("t7").isNotNull)
+      .groupBy(col("key"), col("dow"))
+      .agg(((lit(7L) * sum(col("y")) - sum(col("t7"))).cast("double") /
+        (lit(7L) * count(lit(1))).cast("double")).as("seasonal"))
+    witht.join(seas, Seq("key", "dow"), "left")
+      .select(col("key"), col("day"), col("y").as("y_cents"),
+        (col("t7").cast("double") / lit(7.0)).as("trend"),
+        when(col("t7").isNotNull, col("seasonal")).as("seasonal"),
+        when(col("t7").isNotNull,
+          col("y").cast("double") - col("t7").cast("double") / lit(7.0)
+            - col("seasonal")).as("resid"))
+  }
+
   /** Per-key cumulative daily totals — the running-balance view every
     * ledger needs: one keys-sized daily aggregate, then a running
     * window sum OVER DECIMALS (each prefix is an exact decimal sum,

@@ -29,25 +29,35 @@ object StoreCatalog {
 
   private val VersionDir = "^(.+-)(\\d{8})$".r
 
-  private case class StoreInfo(family: String, version: Option[Long],
-      n_versions: Long, recipe: Option[String],
+  // NOT private: the product encoder's generated code calls the
+  // accessors from Janino-compiled bytecode, and a private nested
+  // class fails that compile — Spark then silently falls back to
+  // interpreted row conversion (found as a codegen stack trace in the
+  // Verify log; the result was correct, the plan wasn't)
+  case class StoreInfo(family: String, version: Option[Long],
+      n_versions: Long, n_branches: Long, recipe: Option[String],
       n_relations: Option[Long], labels_fresh: Option[Boolean],
       n_files: Long, bytes: Long)
 
   /** One row per `(family, root)` spec:
-    * `(family, version, n_versions, recipe, n_relations, labels_fresh,
-    * n_files, bytes)`. Version discovery is generic — any child dir
-    * named `<prefix>-NNNNNNNN` carrying the [[SnapshotDir]] commit
-    * marker counts, whatever the family's prefix; `version` is the
-    * highest committed (None for a missing or never-committed root).
-    * `n_relations`/`labels_fresh` come from the current version's
+    * `(family, version, n_versions, n_branches, recipe, n_relations,
+    * labels_fresh, n_files, bytes)`. Version discovery is generic —
+    * any child dir named `<prefix>-NNNNNNNN` carrying the
+    * [[SnapshotDir]] commit marker counts, whatever the family's
+    * prefix. A root may carry several version LINEAGES (the
+    * [[EdgeStore]] branch refs): the MAIN lineage is the shortest
+    * committed prefix (branch prefixes extend main's with `b-<name>-`),
+    * `version`/`n_versions` describe main only, and `n_branches`
+    * counts the other lineages — without the split, a branch commit
+    * would masquerade as main's current version here.
+    * `n_relations`/`labels_fresh` come from the current MAIN
     * manifest and stay null for single-relation stores. */
   def describe(spark: SparkSession,
       specs: Seq[(String, String)]): DataFrame = {
     val infos = specs.map { case (family, root) =>
       val (fs, hp) = StoreFiles.fsOf(spark, root)
       if (!fs.exists(hp))
-        StoreInfo(family, None, 0L, None, None, None, 0L, 0L)
+        StoreInfo(family, None, 0L, 0L, None, None, None, 0L, 0L)
       else {
         val committed = fs.listStatus(hp).toSeq
           .filter(_.isDirectory)
@@ -58,7 +68,11 @@ object StoreCatalog {
               Some((prefix, num.toLong))
             case _ => None
           })
-        val current = committed.sortBy(_._2).lastOption
+        val prefixes = committed.map(_._1).distinct
+        val mainPrefix = prefixes.sortBy(p => (p.length, p)).headOption
+        val mainVersions = committed
+          .filter(c => mainPrefix.contains(c._1))
+        val current = mainVersions.sortBy(_._2).lastOption
         val manifest = current.flatMap { case (prefix, v) =>
           ManifestDir.tryRead(spark,
             s"$root/${SnapshotDir.name(prefix, v)}")
@@ -73,7 +87,8 @@ object StoreCatalog {
         }
         StoreInfo(family,
           current.map(_._2),
-          committed.size.toLong,
+          mainVersions.size.toLong,
+          math.max(prefixes.size - 1, 0).toLong,
           StoreFiles.readText(spark, s"$root/_built.json"),
           manifest.map(_.relations.size.toLong),
           // freshness is a LABELS property: null (not false) for
@@ -84,7 +99,7 @@ object StoreCatalog {
       }
     }
     import spark.implicits._
-    infos.toDF("family", "version", "n_versions", "recipe",
-      "n_relations", "labels_fresh", "n_files", "bytes")
+    infos.toDF("family", "version", "n_versions", "n_branches",
+      "recipe", "n_relations", "labels_fresh", "n_files", "bytes")
   }
 }

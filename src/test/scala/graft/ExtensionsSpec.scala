@@ -228,6 +228,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val stale = s.sql(s"SELECT * FROM graft_stores('edges', '$edges')")
       .collect().head
     assert(stale.getAs[Boolean]("labels_fresh") === false)
+    assert(stale.getAs[Long]("n_branches") === 0L)
+    // a branch is a second lineage: counted in n_branches, and its
+    // commit numbering must NOT masquerade as main's current version
+    graft.sources.EdgeStore.createBranch(s, edges, "exp")
+    val br = s.sql(s"SELECT * FROM graft_stores('edges', '$edges')")
+      .collect().head
+    assert(br.getAs[Long]("n_branches") === 1L)
+    assert(br.getAs[Long]("version") === 3L) // main's, not the branch's 1
+    assert(br.getAs[Long]("n_versions") === 3L)
     // odd argument count fails readably
     val odd = intercept[Exception](
       s.sql(s"SELECT * FROM graft_stores('edges')").collect())

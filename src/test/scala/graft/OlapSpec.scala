@@ -223,6 +223,74 @@ class OlapSpec extends SparkSpec {
     assert(b("2024-01-09") === ((None, None)))
   }
 
+  test("moments: hand-computed skew/kurtosis, symmetric zero, degenerate NULLs") {
+    import graft.operators.Olap
+    def fx(vals: Seq[Double], key: String = "k") =
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, "2024-01-01 10:00:00", 1L, key, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // {1,2,3} dollars: symmetric → skew 0; 3-point uniform → excess
+    // kurtosis (m4/n)/(m2/n)² − 3 = 1.5 − 3 = −1.5; variance 10000¢²
+    val sym = Olap.momentsProfile(fx(Seq(1.0, 2.0, 3.0)))
+      .collect().head
+    assert(sym.getAs[Long]("n") === 3L)
+    assert(sym.getAs[Double]("mean_cents") === 200.0)
+    assert(sym.getAs[Double]("variance") === 10000.0)
+    assert(sym.getAs[Double]("skewness") === 0.0)
+    assert(sym.getAs[Double]("kurtosis_excess") === -1.5)
+    // {1,1,4}: m2 = 6e4, m3 = 6e6 → g1 = (2e6)/(2e4·√2e4) = 1/√2
+    val asym = Olap.momentsProfile(fx(Seq(1.0, 1.0, 4.0)))
+      .collect().head
+    assert(asym.getAs[Double]("skewness") === 0.707107)
+    // constant values: zero spread → NULL shape stats, variance 0
+    val const = Olap.momentsProfile(fx(Seq(2.0, 2.0, 2.0)))
+      .collect().head
+    assert(const.getAs[Double]("variance") === 0.0)
+    assert(const.isNullAt(const.fieldIndex("skewness")))
+    assert(const.isNullAt(const.fieldIndex("kurtosis_excess")))
+    // n = 2: variance defined, shape stats NULL
+    val two = Olap.momentsProfile(fx(Seq(1.0, 3.0))).collect().head
+    assert(two.getAs[Double]("variance") === 20000.0)
+    assert(two.isNullAt(two.fieldIndex("skewness")))
+  }
+
+  test("stl decompose: linear series zeroes seasonal+resid, gaps NULL the window") {
+    import graft.operators.Temporal
+    // linear daily series: trend = y on every full-window day, so the
+    // detrended series and every seasonal mean are exactly zero
+    val rows = (1 to 14).map(i => (i.toLong,
+      f"2024-01-$i%02d 10:00:00", 1L, "k", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.stlDecompose(rows).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(out.size === 14)
+    (4 to 11).map(i => f"2024-01-$i%02d").foreach { d =>
+      val r = out(d)
+      assert(r.getAs[Double]("trend") ===
+        r.getAs[Long]("y_cents").toDouble)
+      assert(r.getAs[Double]("seasonal") === 0.0)
+      assert(r.getAs[Double]("resid") === 0.0)
+    }
+    (Seq(1, 2, 3, 12, 13, 14)).map(i => f"2024-01-$i%02d").foreach { d =>
+      val r = out(d)
+      assert(r.isNullAt(r.fieldIndex("trend")))
+      assert(r.isNullAt(r.fieldIndex("resid")))
+    }
+    // a calendar gap breaks every ±3 window that spans it (range
+    // window over epoch days, not rows — a row window would silently
+    // mis-center)
+    val gap = (1 to 14).filter(_ != 8).map(i => (i.toLong,
+      f"2024-01-$i%02d 10:00:00", 1L, "k", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val g = Temporal.stlDecompose(gap).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    (5 to 11).filter(_ != 8).map(i => f"2024-01-$i%02d").foreach { d =>
+      assert(g(d).isNullAt(g(d).fieldIndex("trend")),
+        s"$d should lose its 7-day window to the gap")
+    }
+    assert(g("2024-01-04").getAs[Double]("trend") === 400.0)
+  }
+
   test("conformal snaive: rank quantile, exact bounds, short key NULLs") {
     import graft.operators.Temporal
     // key "k": value(day i) = i dollars over 2024-01-01..23 → every
