@@ -97,7 +97,12 @@ object EdgeStore {
       val bp = branchPrefix(name)
       require(SnapshotDir.current(spark, path, bp).isEmpty,
         s"branch '$name' already exists under $path")
-      ManifestDir.commit(spark, path, bp, currentManifest(spark, path))
+      val mainV = SnapshotDir.versions(spark, path, Prefix)
+        .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+      // the cut point rides the branch manifest so promoteBranch can
+      // enforce its fast-forward-only contract
+      ManifestDir.commit(spark, path, bp, currentManifest(spark, path)
+        .withMeta(BranchBaseKey, mainV.toString))
     }
 
   /** Names of the branches committed under `path`. */
@@ -116,6 +121,49 @@ object EdgeStore {
   private def allPrefixes(spark: SparkSession, path: String)
       : Seq[String] =
     Prefix +: branches(spark, path).map(branchPrefix)
+
+  /** Meta key recording the main version a branch was cut from —
+    * the fast-forward guard [[promoteBranch]] checks. */
+  private[sources] val BranchBaseKey = "branched_from"
+
+  /** PROMOTE branch `name` into main — the Iceberg-style FAST-FORWARD
+    * publish: main's next version is the branch's current manifest
+    * verbatim (zero copy — the branch's segments are already in the
+    * shared pool). Allowed ONLY while main still sits at the version
+    * the branch was cut from (recorded at [[createBranch]]): if main
+    * advanced since, a fast-forward would silently DISCARD main's
+    * post-branch commits, so the promote fails loudly instead — this
+    * store has no merge semantics, and pretending otherwise is how
+    * lineages lose data. The branch lineage is dropped after the
+    * publish (its state IS main now). Returns main's new version. */
+  def promoteBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    SnapshotDir.withWriterLock(spark, path) {
+      val bp = branchPrefix(name)
+      val bm = ManifestDir.current(spark, path, bp).getOrElse(
+        throw new IllegalStateException(
+          s"no committed branch '$name' under $path"))
+      val baseV = bm.meta.getOrElse(BranchBaseKey,
+        throw new IllegalStateException(
+          s"branch '$name' carries no $BranchBaseKey marker — " +
+            "pre-promote-protocol branch; recreate it")).toLong
+      val mainV = SnapshotDir.versions(spark, path, Prefix)
+        .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+      require(mainV == baseV,
+        s"cannot fast-forward branch '$name': main advanced " +
+          s"$baseV -> $mainV since the branch was cut; promoting " +
+          "would discard main's commits")
+      // strip the branch bookkeeping; publish as main's next version
+      val v = ManifestDir.commit(spark, path, Prefix,
+        bm.copy(meta = bm.meta - BranchBaseKey))
+      val (fs, _) = StoreFiles.fsOf(spark, path)
+      SnapshotDir.versions(spark, path, bp).foreach { case (bv, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/${SnapshotDir.name(bp, bv)}"), true)
+      }
+      SnapshotDir.gc(spark, path, Prefix)
+      v
+    }
 
   /** Drop branch `name`: delete its version lineage (committed and
     * debris), then vacuum — segments shared with main (or another

@@ -378,6 +378,55 @@ class GraphStatsSpec extends SparkSpec {
       EdgeStore.read(spark, path, Some("exp")))
   }
 
+  test("edge store promote: fast-forward publishes the branch as main; " +
+      "a diverged main refuses") {
+    import graft.operators.{ExtQueries, Similarity}
+    import graft.sources.EdgeStore
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    def build(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-edges-$tag").toString
+      EdgeStore.ensureNearDupPairs(base, p,
+        ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim)
+      p
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    // happy path: admit on the branch, promote, main serves the union
+    val p1 = build("promote")
+    EdgeStore.createBranch(spark, p1, "exp")
+    EdgeStore.appendBatch(batch, e, p1,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim, branch = Some("exp"))
+    val full = pairSet(Similarity.nearDupPairsLsh(e,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim))
+    EdgeStore.promoteBranch(spark, p1, "exp")
+    assert(pairSet(EdgeStore.read(spark, p1)) === full)
+    assert(EdgeStore.branches(spark, p1).isEmpty)
+    // every segment is now referenced through main: nothing to sweep
+    assert(EdgeStore.vacuum(spark, p1) === 0L)
+    // guard: main advanced after the cut → fast-forward must refuse
+    val p2 = build("promote-guard")
+    EdgeStore.createBranch(spark, p2, "exp")
+    EdgeStore.appendBatch(batch, e, p2,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim) // lands on MAIN
+    val ex = intercept[IllegalArgumentException](
+      EdgeStore.promoteBranch(spark, p2, "exp"))
+    assert(ex.getMessage.contains("fast-forward"))
+    // main keeps its own post-branch state after the refusal
+    assert(pairSet(EdgeStore.read(spark, p2)) === full)
+  }
+
   test("edge store admission is atomic: a crashed admit is invisible " +
       "and a retry lands the whole batch") {
     import graft.operators.ExtQueries
