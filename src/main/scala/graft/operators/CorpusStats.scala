@@ -1065,15 +1065,16 @@ object CorpusStats {
           .cast("long"))
   }
 
-  /** The distinct-word frame segmented by the Viterbi kernel:
+  /** The distinct-word frame segmented by the Viterbi kernel against
+    * an explicit collected vocabulary `(piece, cnt, s)`:
     * `(w, freq, toks)`. Vocab pieces/scores ride as ONE literal array
     * pair (bounded metadata — the kernel builds its hash map once per
-    * task off the literal's identity). */
-  private def unigramSegmentedWords(docs: DataFrame, vocabSize: Int,
-      maxPieceLen: Int, textCol: String): DataFrame = {
-    val vocabRows = unigramVocabFrame(docs, vocabSize, maxPieceLen,
-      textCol).orderBy(col("piece")).collect() // bounded metadata:
-    // <= vocabSize + alphabet rows — the tokenizer model itself
+    * task off the literal's identity); sTot derives from the vocab
+    * counts themselves, so a STORED vocabulary needs no side channel
+    * ([[graft.sources.TokenizerStore.encodeUnigramFromStore]]). */
+  private[graft] def unigramSegmentedWithVocab(docs: DataFrame,
+      vocabRows: Array[org.apache.spark.sql.Row], maxPieceLen: Int,
+      textCol: String): DataFrame = {
     val pieces = vocabRows.map(_.getAs[String]("piece")).toSeq
     val scores = vocabRows.map(_.getAs[Long]("s")).toSeq
     val sTot = math.round(1000000.0 *
@@ -1085,6 +1086,14 @@ object CorpusStats {
     wf.withColumn("toks", graft.plans.TextExpressions.unigramViterbi(
       col("w"), typedLit(pieces), typedLit(scores), maxPieceLen, sTot))
   }
+
+  private def unigramSegmentedWords(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int, textCol: String): DataFrame =
+    unigramSegmentedWithVocab(docs,
+      unigramVocabFrame(docs, vocabSize, maxPieceLen, textCol)
+        .orderBy(col("piece")).collect(), // bounded metadata:
+      // <= vocabSize + alphabet rows — the tokenizer model itself
+      maxPieceLen, textCol)
 
   /** One EM re-estimation step (the M-step recount over the E-step's
     * Viterbi segmentations): per vocab piece, the seed count, the
@@ -1113,9 +1122,16 @@ object CorpusStats {
     * character) tokenizes as itself. */
   def unigramTokenEncode(docs: DataFrame, vocabSize: Int = 200,
       maxPieceLen: Int = 4, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val seg = unigramSegmentedWords(docs, vocabSize, maxPieceLen,
-      textCol)
+      idCol: String = "doc_id"): DataFrame =
+    unigramEncodeBody(docs,
+      unigramSegmentedWords(docs, vocabSize, maxPieceLen, textCol),
+      textCol, idCol)
+
+  /** The encode body against a pre-segmented `(w, toks)` frame —
+    * shared by [[unigramTokenEncode]] (vocab built in-query) and the
+    * stored-vocabulary serving path. */
+  private[graft] def unigramEncodeBody(docs: DataFrame,
+      seg: DataFrame, textCol: String, idCol: String): DataFrame = {
     docs
       .select(col(idCol), posexplode(TextAnalysis.words(col(textCol)))
         .as(Seq("pos", "w")))

@@ -378,6 +378,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-bpevocab-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def uniVocabPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-univocab-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def lmStorePath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-lmstore-${Integer.toHexString(d.hashCode)}").toString
@@ -1465,6 +1469,20 @@ object ExtQueries {
     "x_unigram_tok_encode" -> ((s, d) =>
       CorpusStats.unigramTokenEncode(Tables.documents(s, d),
         UnigramVocabSize, UnigramMaxPiece)),
+
+    // ... SERVING shape: the piece table persists once (marker-gated,
+    // SnapshotDir-committed; integer counts AND integer scores
+    // round-trip parquet exactly, and sTot re-derives from the stored
+    // counts — the table IS the model), later corpora encode with no
+    // vocab-seeding passes. Must equal the in-query train+encode
+    // bit-for-bit, so it shares x_unigram_tok_encode's oracle.
+    "x_unigram_tok_stored" -> ((s, d) => {
+      val path = uniVocabPath(d)
+      graft.sources.TokenizerStore.ensureUnigramVocab(
+        Tables.documents(s, d), path, UnigramVocabSize, UnigramMaxPiece)
+      graft.sources.TokenizerStore.encodeUnigramFromStore(
+        s, path, Tables.documents(s, d), UnigramMaxPiece)
+    }),
 
     // RAG indexing chunks: overlapping word windows, one row per chunk
     // with a content fingerprint — pure per-row explode, scan speed.
@@ -2669,6 +2687,29 @@ object ExtQueries {
        |fin AS (SELECT w, g0 AS seg FROM rec WHERE i = length(w))"""
       .stripMargin
   }
+
+  /** The per-doc unigram encode, shared verbatim by the in-query
+    * (`x_unigram_tok_encode`) and stored-vocabulary
+    * (`x_unigram_tok_stored`) paths — the store round-trips the exact
+    * integer model, so both must land identical fingerprints. */
+  private lazy val UnigramEncodeOracle: String =
+    s"""WITH RECURSIVE $UnigramTokCtes,
+       |dw AS (
+       |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
+       |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |          FROM documents))
+       |  WHERE ws[i + 1] <> ''),
+       |enc AS (
+       |  SELECT d.doc_id, d.pos,
+       |    coalesce(string_split(f.seg, ' '), [d.w]) AS toks
+       |  FROM dw d LEFT JOIN fin f ON f.w = d.w)
+       |SELECT doc_id, count(*)::bigint AS n_words,
+       |  sum(len(toks))::bigint AS n_pieces,
+       |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
+       |    AS token_fp
+       |FROM enc GROUP BY doc_id""".stripMargin
 
   /** The hyperplane table is source-independent; [[embedChain]]
     * instantiates the banding→candidates→verified-pairs chain over a
@@ -5497,26 +5538,12 @@ object ExtQueries {
          |  coalesce(u.cnt_em, 0)::bigint AS cnt_em
          |FROM vs LEFT JOIN used u ON u.piece = vs.piece""".stripMargin,
 
+    // stored-vocab serving ≡ in-query train+encode, bit for bit
+    "x_unigram_tok_stored" -> UnigramEncodeOracle,
+
     // unigram encode: the same per-word segmentations served through
     // the doc-words join, order-exact token-stream fingerprint
-    "x_unigram_tok_encode" ->
-      s"""WITH RECURSIVE $UnigramTokCtes,
-         |dw AS (
-         |  SELECT doc_id, ws[i + 1] AS w, i AS pos FROM (
-         |    SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
-         |    FROM (SELECT doc_id,
-         |            string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |          FROM documents))
-         |  WHERE ws[i + 1] <> ''),
-         |enc AS (
-         |  SELECT d.doc_id, d.pos,
-         |    coalesce(string_split(f.seg, ' '), [d.w]) AS toks
-         |  FROM dw d LEFT JOIN fin f ON f.w = d.w)
-         |SELECT doc_id, count(*)::bigint AS n_words,
-         |  sum(len(toks))::bigint AS n_pieces,
-         |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' '))
-         |    AS token_fp
-         |FROM enc GROUP BY doc_id""".stripMargin,
+    "x_unigram_tok_encode" -> UnigramEncodeOracle,
 
     // mirrors CorpusStats.chunkWindows: ⌊(L−1)/stride⌋+1 windows of
     // `width` words; list_slice's inclusive end = Spark slice's length

@@ -414,10 +414,13 @@ object Temporal {
   def conformalSnaive(events: DataFrame, seasonDays: Int = 7,
       keyCol: String = "event_type", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    val daily = events
+    // the keys×days frame feeds two consumers (the base and its
+    // 7-day shift) and the ranked frame two more (calibration rank
+    // pick + test rows): cache both so the fact scans ONCE
+    val daily = CacheRegistry.tracked(events
       .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("actual_cents"))
+        .cast("long")).as("actual_cents")))
     val shifted = daily.select(col("key"),
       date_add(col("day"), seasonDays).as("day"),
       col("actual_cents").as("forecast_cents"))
@@ -426,11 +429,11 @@ object Temporal {
         abs(col("actual_cents") - col("forecast_cents")))
     val wDay = Window.partitionBy(col("key")).orderBy(col("day"))
     val wKey = Window.partitionBy(col("key"))
-    val ranked = scored
+    val ranked = CacheRegistry.tracked(scored
       .withColumn("rnk", row_number().over(wDay))
       .withColumn("n", count(lit(1)).over(wKey))
       .withColumn("n_cal",
-        floor((col("n") * 3).cast("double") / lit(4.0)).cast("long"))
+        floor((col("n") * 3).cast("double") / lit(4.0)).cast("long")))
     val cal = ranked.filter(col("rnk") <= col("n_cal"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("key"))
@@ -482,9 +485,11 @@ object Temporal {
     val w = Window.partitionBy(col("key"))
       .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
       .rangeBetween(-3, 3)
-    val witht = daily
+    // the windowed frame feeds both the seasonal means and the final
+    // projection: cache it so the fact scans once
+    val witht = CacheRegistry.tracked(daily
       .withColumn("t7", when(count(lit(1)).over(w) === 7,
-        sum(col("y")).over(w)))
+        sum(col("y")).over(w))))
     val seas = witht.filter(col("t7").isNotNull)
       .groupBy(col("key"), col("dow"))
       .agg(((lit(7L) * sum(col("y")) - sum(col("t7"))).cast("double") /

@@ -92,4 +92,67 @@ object TokenizerStore {
       idCol: String = "doc_id"): DataFrame =
     graft.operators.CorpusStats.encodeWithVocab(docs,
       readVocab(spark, path), textCol, idCol)
+
+  // ------------------------------------------------ unigram family
+
+  private val UniPrefix = "uvocab-"
+
+  /** Persist the UNIGRAM piece table `(piece, cnt, s)` — the
+    * SentencePiece-family counterpart of the BPE vocabulary above,
+    * same commit protocol. sTot (the Viterbi normalizer) derives from
+    * the stored counts at encode time, so the table IS the whole
+    * model: integer counts and integer scores round-trip parquet
+    * exactly, making the stored encode bit-equal to the in-query one. */
+  def writeUnigramVocab(docs: DataFrame, path: String, vocabSize: Int,
+      maxPieceLen: Int, textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val vocab = graft.operators.CorpusStats
+      .unigramVocabFrame(docs, vocabSize, maxPieceLen, textCol)
+    SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, UniPrefix)
+      vocab.write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/${SnapshotDir.name(UniPrefix, next)}")
+      SnapshotDir.commit(spark, path, UniPrefix, next)
+    }
+    SnapshotDir.gc(spark, path, UniPrefix)
+    ()
+  }
+
+  /** [[writeUnigramVocab]] behind the recipe marker; returns training
+    * seconds or None when warm. */
+  def ensureUnigramVocab(docs: DataFrame, path: String, vocabSize: Int,
+      maxPieceLen: Int, textCol: String = "text"): Option[Double] = {
+    val spark = docs.sparkSession
+    val marker = s"$path/_built.json"
+    val recipe = s"""{"v":$FormatVersion,"kind":"unigram",""" +
+      s""""size":$vocabSize,"maxlen":$maxPieceLen,"text":"$textCol"}"""
+    if (readText(spark, marker).contains(recipe) &&
+        SnapshotDir.current(spark, path, UniPrefix).isDefined) None
+    else {
+      val t0 = System.nanoTime()
+      writeUnigramVocab(docs, path, vocabSize, maxPieceLen, textCol)
+      writeText(spark, marker, recipe)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** The stored unigram piece table `(piece, cnt, s)`. */
+  def readUnigramVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(SnapshotDir.current(spark, path, UniPrefix)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed unigram vocabulary under $path")))
+
+  /** Encode `docs` against the STORED unigram vocabulary — identical
+    * output to [[graft.operators.CorpusStats.unigramTokenEncode]] over
+    * the training corpus, without the vocab-seeding passes. */
+  def encodeUnigramFromStore(spark: SparkSession, path: String,
+      docs: DataFrame, maxPieceLen: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val vocabRows = readUnigramVocab(spark, path)
+      .orderBy(org.apache.spark.sql.functions.col("piece"))
+      .collect() // bounded metadata: the tokenizer model itself
+    graft.operators.CorpusStats.unigramEncodeBody(docs,
+      graft.operators.CorpusStats.unigramSegmentedWithVocab(docs,
+        vocabRows, maxPieceLen, textCol), textCol, idCol)
+  }
 }

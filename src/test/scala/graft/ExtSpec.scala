@@ -1456,6 +1456,34 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((7L, 7L, 8L, fp)))
   }
 
+  test("unigram store: stored-vocab encode equals in-query bit-for-bit; " +
+      "frozen model segments later corpora") {
+    import graft.sources.TokenizerStore
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-unistore").toString + "/uni"
+    assert(TokenizerStore.ensureUnigramVocab(docs, path, 200, 4)
+      .isDefined)
+    val stored = TokenizerStore
+      .encodeUnigramFromStore(spark, path, docs, 4)
+    val direct = CorpusStats.unigramTokenEncode(docs, 200, 4)
+    assert(stored.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(stored).count() === 0)
+    // warm marker is a no-op; a different recipe retrains
+    assert(TokenizerStore.ensureUnigramVocab(docs, path, 200, 4)
+      .isEmpty)
+    assert(TokenizerStore.ensureUnigramVocab(docs, path, 100, 4)
+      .isDefined)
+    // a LATER corpus encodes under the FROZEN model: in-vocab pieces
+    // segment, never-seen words fall back to themselves whole (no
+    // coverage guarantee off the training corpus — by contract)
+    val later = Seq((999L, "zzqqxx")).toDF("doc_id", "text")
+    val enc = TokenizerStore
+      .encodeUnigramFromStore(spark, path, later, 4).collect().head
+    assert(enc.getAs[Long]("n_words") === 1L)
+    assert(enc.getAs[Long]("n_pieces") >= 1L)
+  }
+
   test("lm store: stored-model scoring equals in-query, OOV floors") {
     import graft.sources.LmStore
     val docs = Tables.documents(spark, sf0001)

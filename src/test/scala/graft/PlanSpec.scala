@@ -954,4 +954,50 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("unigram encode: codegen'd kernels, broadcast word→toks join") {
+    withStaticPlan {
+      val df = run("x_unigram_tok_encode")
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      // the Viterbi DP is the codegen'd kernel expression (it sits in
+      // the word-frame aggregate's result expressions, so it prints in
+      // the optimized plan; the vocab-seeding job with char_grams is a
+      // separate bounded-metadata execution at plan-build time)
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("unigram_viterbi"), s)
+      assert(s.contains("*("), s)
+      // the corpus meets the segmented word frame through a broadcast
+      // join — the corpus-sized side never shuffles on the word key
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }
+        .nonEmpty, s)
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s)
+    }
+  }
+
+  test("inference operators reduce the fact in one pass; windows run " +
+      "on bounded frames") {
+    withStaticPlan {
+      // fdr/msprt: ONE combining aggregate to the segments/day frame;
+      // every window below is hypothesis-/calendar-sized. The physical
+      // proof: at most one distinct parquet scan of the fact table
+      // (identical aggregate subtrees collapse into ReusedExchange).
+      for (q <- Seq("x_fdr_bh", "x_msprt_seq")) {
+        val df = run(q)
+        assert(scans(df).size <= 1,
+          s"$q must reduce events in one scan:\n" +
+            df.queryExecution.executedPlan)
+      }
+      // conformal/stl self-join their keys-sized daily frame: the
+      // repeated aggregate subtree must reuse the first exchange, not
+      // replay the fact scan per consumer
+      for (q <- Seq("x_conformal_interval", "x_stl_decompose")) {
+        val df = run(q)
+        val s = df.queryExecution.executedPlan.toString
+        assert(scans(df).size <= 1 || s.contains("ReusedExchange"),
+          s"$q must not re-scan the fact per daily-frame consumer:\n$s")
+      }
+    }
+  }
 }
