@@ -51,6 +51,9 @@ object ExtQueries {
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
   val UnigramVocabSize = 200 // top-V substring pieces kept (plus chars)
   val UnigramMaxPiece = 4 // longest candidate piece (chars)
+  val KAnonK = 5 // k-anonymity release gate
+  val LDiverseL = 3 // l-diversity release gate
+  val DpEpsilon = 1.0 // Laplace ε for the noisy count release
   val RecallFloor = 0.5 // per-query recall@k gate for x_ann_recall_eval
   val HotWindowMin = 6L // purchases/hour that open an alert window
   val RangeBinSeconds = 1800L // bin width for the binned range join
@@ -1726,6 +1729,26 @@ object ExtQueries {
         Contamination.piiCount(aug).as("n_pii"),
         md5(Contamination.piiScrub(aug)).as("scrubbed_fp"))
     }),
+
+    // k-ANONYMITY release audit: distinct individuals per
+    // quasi-identifier cell (type × dow × $100 value band) — record
+    // counts overstate anonymity when one user repeats; the release
+    // gate is min(n_users) >= k, the rows name the blocking cells.
+    "x_k_anonymity" -> ((s, d) =>
+      Privacy.kAnonymity(Tables.events(s, d), k = KAnonK)),
+
+    // l-DIVERSITY: a k-anonymous cell whose sensitive attribute is
+    // constant still discloses it for everyone inside — distinct
+    // sensitive values per cell, flag at l.
+    "x_l_diversity" -> ((s, d) =>
+      Privacy.lDiversity(Tables.events(s, d), l = LDiverseL)),
+
+    // Laplace-mechanism noisy count release: md5-replayed inverse-CDF
+    // draws (NOT an RNG — which is exactly what makes the release
+    // auditable here; production swaps in a secret source), Δ=1
+    // count sensitivity, ε=1.
+    "x_dp_release" -> ((s, d) =>
+      Privacy.dpNoisyCounts(Tables.events(s, d), epsilon = DpEpsilon)),
 
     // STREAMING session windows replayed for real: 4 time-ordered
     // micro-batches + a sentinel flush batch through the native
@@ -5786,6 +5809,57 @@ object ExtQueries {
         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |          '<EMAIL>', 'g') AS regexpreplace_email
         |      FROM aug)""".stripMargin,
+
+    // k-anonymity: distinct users per QI cell; floor over an exact
+    // integer-valued double for the $100 band (cast would round here
+    // but truncate in Spark)
+    "x_k_anonymity" ->
+      s"""WITH qi AS (
+         |  SELECT event_type AS qi_type,
+         |    (cast(ts AS date) - DATE '1970-01-01') % 7 AS qi_dow,
+         |    cast(floor(CAST(CAST(value AS decimal(18,2)) * 100
+         |      AS bigint)::double / 10000.0) AS bigint) AS qi_band,
+         |    user_id
+         |  FROM events)
+         |SELECT qi_type, qi_dow, qi_band,
+         |  count(*)::bigint AS n_records,
+         |  count(DISTINCT user_id)::bigint AS n_users,
+         |  count(DISTINCT user_id) >= $KAnonK AS k_anonymous
+         |FROM qi GROUP BY 1, 2, 3""".stripMargin,
+
+    // l-diversity: distinct sensitive bands per (type, dow) cell
+    "x_l_diversity" ->
+      s"""WITH qi AS (
+         |  SELECT event_type AS qi_type,
+         |    (cast(ts AS date) - DATE '1970-01-01') % 7 AS qi_dow,
+         |    cast(floor(CAST(CAST(value AS decimal(18,2)) * 100
+         |      AS bigint)::double / 10000.0) AS bigint) AS qi_band
+         |  FROM events)
+         |SELECT qi_type, qi_dow,
+         |  count(*)::bigint AS n_records,
+         |  count(DISTINCT qi_band)::bigint AS n_sensitive,
+         |  count(DISTINCT qi_band) >= $LDiverseL AS l_diverse
+         |FROM qi GROUP BY 1, 2""".stripMargin,
+
+    // Laplace release: the md5 draw through the inverse CDF, the one
+    // ln behind a 6dp round, the noised count re-rounded identically
+    "x_dp_release" ->
+      s"""WITH counts AS (
+         |  SELECT event_type AS key, count(*)::bigint AS n_true
+         |  FROM events GROUP BY 1),
+         |drawn AS (
+         |  SELECT key, n_true,
+         |    ('0x' || substr(md5(key || '#0'), 1, 15))::bigint::double
+         |      / 1152921504606846976.0 - 0.5 AS c
+         |  FROM counts),
+         |noised AS (
+         |  SELECT key, n_true,
+         |    round(-(1.0 / $DpEpsilon) * sign(c) *
+         |      ln(1.0 - 2.0 * abs(c)), 6) AS noise
+         |  FROM drawn)
+         |SELECT key, n_true, noise,
+         |  round(n_true::double + noise, 6) AS n_released
+         |FROM noised""".stripMargin,
 
     // gap-islands replay of the streaming session merge (same break
     // semantics x_sessionize pinned: a gap >= the window breaks);

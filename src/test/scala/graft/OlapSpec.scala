@@ -223,6 +223,48 @@ class OlapSpec extends SparkSpec {
     assert(b("2024-01-09") === ((None, None)))
   }
 
+  test("privacy screens: k by distinct users, l by distinct sensitive, " +
+      "dp noise replays the closed form") {
+    import graft.operators.{Dedup, Privacy}
+    // one cell, one user repeating 6 times: records say 6, USERS say 1
+    // — k-anonymity must count individuals, not rows
+    def ev(id: Long, user: Long, v: Double, t: String = "click") =
+      (id, "2024-01-03 10:00:00", user, t, v)
+    val oneUser = (1L to 6L).map(i => ev(i, 7L, 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val k1 = Privacy.kAnonymity(oneUser, k = 5).collect().head
+    assert(k1.getAs[Long]("n_records") === 6L)
+    assert(k1.getAs[Long]("n_users") === 1L)
+    assert(!k1.getAs[Boolean]("k_anonymous"))
+    // five distinct users in the cell pass at k = 5
+    val fiveUsers = (1L to 5L).map(i => ev(i, i, 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Privacy.kAnonymity(fiveUsers, k = 5)
+      .collect().head.getAs[Boolean]("k_anonymous"))
+    // l-diversity: many users, ONE sensitive band → not diverse;
+    // bands 0/1/2 ($0/$100/$200 buckets) → diverse at l = 3
+    assert(!Privacy.lDiversity(fiveUsers, l = 3)
+      .collect().head.getAs[Boolean]("l_diverse"))
+    val spread = Seq(ev(1, 1, 50.0), ev(2, 2, 150.0), ev(3, 3, 250.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ld = Privacy.lDiversity(spread, l = 3).collect().head
+    assert(ld.getAs[Long]("n_sensitive") === 3L)
+    assert(ld.getAs[Boolean]("l_diverse"))
+    // dp release: the noise is exactly the closed form recomputed with
+    // the same JVM ops from the same md5 draw
+    val rel = Privacy.dpNoisyCounts(fiveUsers, epsilon = 1.0)
+      .collect().head
+    val h = fiveUsers.sparkSession.range(1)
+      .select(Dedup.seededHash(lit("click"), 0)).collect().head
+      .getLong(0)
+    val c = h.toDouble / 1152921504606846976.0 - 0.5
+    val expect = BigDecimal(-1.0 * math.signum(c) *
+      math.log(1.0 - 2.0 * math.abs(c)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rel.getAs[Long]("n_true") === 5L)
+    assert(rel.getAs[Double]("noise") === expect)
+  }
+
   test("moments: hand-computed skew/kurtosis, symmetric zero, degenerate NULLs") {
     import graft.operators.Olap
     def fx(vals: Seq[Double], key: String = "k") =
