@@ -2503,6 +2503,13 @@ object ExtQueries {
     "x_seasonal_dow" -> ((s, d) =>
       Temporal.seasonalDow(Tables.events(s, d))),
 
+    // Forecast-model tournament: naive vs snaive vs trailing-7 mean,
+    // one-step errors on the SAME scored days, exact-long totals
+    // (ma7 rides ×7), winner by cross-multiplied rational compare —
+    // the model-selection read-out on top of the family's baselines.
+    "x_forecast_tournament" -> ((s, d) =>
+      Temporal.forecastTournament(Tables.events(s, d))),
+
     // FULL additive decomposition per key and day (classical STL
     // shape): y = trend (centered exact 7-day MA) + seasonal (dow mean
     // of the detrended series, integer numerator) + residual — the
@@ -7586,6 +7593,42 @@ object ExtQueries {
         |  round(sum(detr7)::double / count(*)::double / 7.0, 6)
         |    AS seasonal_cents
         |FROM dd GROUP BY 1, 2""".stripMargin,
+
+    // model tournament: exact-long error totals, ×7-scaled ma7, the
+    // same strict/tie CASE order for the winner
+    "x_forecast_tournament" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, cast(ts AS date) AS day,
+        |    sum(CAST(CAST(value AS decimal(18,2)) * 100 AS bigint))
+        |      ::bigint AS y
+        |  FROM events GROUP BY 1, 2),
+        |ma AS (
+        |  SELECT *, CASE WHEN count(*) OVER w = 7
+        |    THEN (sum(y) OVER w)::bigint END AS t7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY key
+        |    ORDER BY (day - DATE '1970-01-01')
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT m.key, m.day, m.y, m.t7,
+        |    n.y AS f_naive, s.y AS f_snaive
+        |  FROM ma m
+        |  JOIN daily n ON n.key = m.key AND n.day + 1 = m.day
+        |  JOIN daily s ON s.key = m.key AND s.day + 7 = m.day
+        |  WHERE m.t7 IS NOT NULL),
+        |agg AS (
+        |  SELECT key, count(*)::bigint AS n_days,
+        |    sum(abs(y - f_naive))::bigint AS ae_naive_cents,
+        |    sum(abs(y - f_snaive))::bigint AS ae_snaive_cents,
+        |    sum(abs(y * 7 - t7))::bigint AS ae_ma7_x7
+        |  FROM scored GROUP BY key)
+        |SELECT key, n_days, ae_naive_cents, ae_snaive_cents,
+        |  round(ae_ma7_x7::double / 7.0, 6) AS ae_ma7_cents,
+        |  CASE WHEN ae_ma7_x7 < ae_naive_cents * 7
+        |        AND ae_ma7_x7 < ae_snaive_cents * 7 THEN 'ma7'
+        |       WHEN ae_naive_cents <= ae_snaive_cents THEN 'naive'
+        |       ELSE 'snaive' END AS winner
+        |FROM agg""".stripMargin,
 
     // classical additive decomposition: exact 7-day LONG trend sums,
     // integer seasonal numerator (7·Σy − Σt7), residual chain mirrored

@@ -455,6 +455,61 @@ object Temporal {
               col("forecast_cents") + col("q_cents")).as("covered"))
   }
 
+  /** Forecast-model TOURNAMENT: the model-selection read-out on top of
+    * the family's baselines — per key, one-step-ahead absolute errors
+    * of three forecasters on the SAME scored days (only days where
+    * every model has its inputs: the previous day, the 7-days-ago day,
+    * and the full trailing week), then the winner by total error.
+    *
+    *   - naive: ŷ(d) = y(d−1) (persistence);
+    *   - snaive: ŷ(d) = y(d−7) (weekly repeat — `x_forecast_snaive`);
+    *   - ma7: ŷ(d) = mean of the trailing 7 days.
+    *
+    * Every error total is an EXACT LONG (ma7's rides ×7 so the mean
+    * never enters the sum; its one display division closes 6dp), and
+    * the winner compares exact rationals by cross-multiplication —
+    * ties break on model name, deterministic like every argmax here.
+    * Calendar-shift equi-joins (never row LAGs — gap days shift rows),
+    * everything after the daily aggregate is keys×days-sized. */
+  def forecastTournament(events: DataFrame,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val daily = CacheRegistry.tracked(events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valueCol).cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("y")))
+    def shiftBy(n: Int, as: String) = daily.select(col("key"),
+      date_add(col("day"), n).as("day"), col("y").as(as))
+    val wTrail = Window.partitionBy(col("key"))
+      .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-7, -1)
+    val withMa = daily
+      .withColumn("t7", when(count(lit(1)).over(wTrail) === 7,
+        sum(col("y")).over(wTrail)))
+    val scored = withMa
+      .join(shiftBy(1, "f_naive"), Seq("key", "day"), "inner")
+      .join(shiftBy(7, "f_snaive"), Seq("key", "day"), "inner")
+      .filter(col("t7").isNotNull)
+    // ma7's per-day error |y − t7/7| = |7y − t7|/7: the SUM stays an
+    // exact long (a double sum across days would be order-dependent
+    // across engines), the ÷7 closes once; the winner compares exact
+    // rationals by cross-multiplication — never a float anywhere
+    val out = scored.groupBy(col("key")).agg(
+      count(lit(1)).as("n_days"),
+      sum(abs(col("y") - col("f_naive"))).as("ae_naive_cents"),
+      sum(abs(col("y") - col("f_snaive"))).as("ae_snaive_cents"),
+      sum(abs(col("y") * 7 - col("t7"))).as("ae_ma7_x7"))
+    out.select(col("key"), col("n_days"),
+      col("ae_naive_cents"), col("ae_snaive_cents"),
+      round(col("ae_ma7_x7").cast("double") / lit(7.0), 6)
+        .as("ae_ma7_cents"),
+      when(col("ae_ma7_x7") < col("ae_naive_cents") * 7 &&
+        col("ae_ma7_x7") < col("ae_snaive_cents") * 7, lit("ma7"))
+        .when(col("ae_naive_cents") <= col("ae_snaive_cents"),
+          lit("naive"))
+        .otherwise(lit("snaive")).as("winner"))
+  }
+
   /** Classical additive decomposition (the STL shape, moving-average
     * form): per key and day, `y = trend + seasonal + resid` with
     * trend = the centered 7-day moving average and seasonal = the

@@ -296,6 +296,39 @@ class OlapSpec extends SparkSpec {
     assert(two.isNullAt(two.fieldIndex("skewness")))
   }
 
+  test("forecast tournament: hand-computed errors, exact winner, " +
+      "common scored days only") {
+    import graft.operators.Temporal
+    // weekly-periodic series: y(day i) = 100 if dow-of-i == 0 else 10
+    // dollars over 28 days — snaive is PERFECT (error 0), naive pays
+    // at every level change, ma7 pays the bump spread; winner snaive
+    val rows = (1 to 28).map { i =>
+      val v = if (i % 7 == 0) 100.0 else 10.0
+      (i.toLong, f"2024-01-$i%02d 10:00:00", 1L, "k", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t = Temporal.forecastTournament(rows).collect().head
+    // scored days: i = 8..28 (day i−1, day i−7, and the full trailing
+    // week [i−7, i−1] all exist from i = 8) → 21 days
+    assert(t.getAs[Long]("n_days") === 21L)
+    assert(t.getAs[Long]("ae_snaive_cents") === 0L)
+    // naive: |y(i) − y(i−1)| = 9000 cents at every level change —
+    // i ≡ 0 (mod 7): 14,21,28 and i ≡ 1: 8,15,22 → 6 × 9000
+    assert(t.getAs[Long]("ae_naive_cents") === 54000L)
+    // ma7: the trailing week always holds exactly one 100-dollar day →
+    // t7 = 6·1000 + 10000 = 16000; per-day |7y − 16000|: 9000 on the
+    // 18 low days, 54000 on the 3 scored bump days → Σ = 324000;
+    // /7 = 46285.714286 (6dp)
+    assert(t.getAs[Double]("ae_ma7_cents") === 46285.714286)
+    assert(t.getAs[String]("winner") === "snaive")
+    // constant series: every model exact, tie breaks to 'naive'
+    val const = (1 to 20).map(i => (i.toLong,
+      f"2024-01-$i%02d 10:00:00", 1L, "k", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = Temporal.forecastTournament(const).collect().head
+    assert(c.getAs[Long]("ae_naive_cents") === 0L)
+    assert(c.getAs[String]("winner") === "naive")
+  }
+
   test("stl decompose: linear series zeroes seasonal+resid, gaps NULL the window") {
     import graft.operators.Temporal
     // linear daily series: trend = y on every full-window day, so the
