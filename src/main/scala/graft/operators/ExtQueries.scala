@@ -790,6 +790,20 @@ object ExtQueries {
         Similarity.bruteForceTopK(q, e, TopK), RecallFloor)
     }),
 
+    // RANK-AWARE retrieval quality: MRR and NDCG@k of the IVF ranking
+    // against the exact top-k — recall@k treats rank 1 and rank k the
+    // same; a serving stack cares WHERE the neighbors landed.
+    // Reciprocal ranks ride ×2520 (lcm 1..10) and the DCG discounts
+    // are a shared integer table, so every sum is an exact long.
+    "x_ann_rank_metrics" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % QueryMod === 0)
+      Similarity.rankMetrics(
+        Similarity.ivfTopK(q, e, TopK, centroidMod = IvfCentroidMod,
+          nprobe = IvfNprobe),
+        Similarity.bruteForceTopK(q, e, TopK), TopK)
+    }),
+
     // The same gate over the PERSISTED index's serve path — what a
     // deployment actually grades after a rebuild/append/compaction:
     // recall of ivfPqTopKFromIndex (partition-pruned codes, ADC
@@ -4440,6 +4454,58 @@ object ExtQueries {
          |  round(n_hit / n_exact, 6) AS recall_at_k,
          |  n_hit >= ceil($RecallFloor * n_exact) AS recall_ok
          |FROM hit""".stripMargin,
+
+    // rank-aware metrics over the same IVF-vs-brute chains: the RR and
+    // DCG CASE tables are GENERATED from Similarity.dcgPpmTable /
+    // MrrScale — the identical integer constants the Spark side sums,
+    // no transcendental in either engine at query time
+    "x_ann_rank_metrics" -> {
+      val dcgCase = graft.operators.Similarity.dcgPpmTable(TopK)
+        .zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE arank ", " ", " END")
+      val idcgCase = graft.operators.Similarity.idcgPpmTable(TopK)
+        .zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE n_exact ", " ", " END")
+      val rrCase = (1 to TopK)
+        .map(r => s"WHEN $r THEN ${Similarity.MrrScale / r}")
+        .mkString("CASE first_rel_rank ", " ", " END")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 0),
+         |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${ivfSearchCtes("cents")},
+         |ivfr AS (SELECT query_id, match_id, rank FROM ranked
+         |         WHERE rank <= $TopK),
+         |bscored AS (
+         |  SELECT q.query_id, c.vec_id AS match_id,
+         |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM corp c CROSS JOIN (
+         |    SELECT vec_id AS query_id, v AS qv FROM corp
+         |    WHERE vec_id % $QueryMod = 0) q
+         |  WHERE q.query_id <> c.vec_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+         |  FROM bscored),
+         |exact AS (SELECT query_id, match_id FROM branked
+         |          WHERE rank <= $TopK),
+         |j AS (
+         |  SELECT e.query_id, i.rank AS arank
+         |  FROM exact e LEFT JOIN ivfr i USING (query_id, match_id)),
+         |agg AS (
+         |  SELECT query_id, count(*)::bigint AS n_exact,
+         |    count(arank)::bigint AS n_hit,
+         |    min(arank)::bigint AS first_rel_rank,
+         |    coalesce(sum($dcgCase), 0)::bigint AS dcg_ppm
+         |  FROM j GROUP BY query_id)
+         |SELECT query_id, n_exact, n_hit, first_rel_rank,
+         |  coalesce($rrCase, 0)::bigint AS rr_x2520,
+         |  dcg_ppm, ($idcgCase)::bigint AS idcg_ppm,
+         |  round(coalesce($rrCase, 0)::double
+         |    / ${Similarity.MrrScale}.0, 6) AS rr,
+         |  round(dcg_ppm::double / ($idcgCase)::double, 6) AS ndcg_at_k
+         |FROM agg""".stripMargin
+    },
 
     // the served-index recall gate: the full IVFPQ serve chain (same
     // CTEs as x_ann_ivfpq_read) against the brute-force exact top-k,

@@ -1145,4 +1145,67 @@ object Similarity {
         round(col("n_hit") / col("n_exact"), 6).as("recall_at_k"),
         (col("n_hit") >= ceil(lit(floor) * col("n_exact")))
           .as("recall_ok"))
+
+  /** 2520 = lcm(1..10): reciprocal ranks `2520/r` stay EXACT integers
+    * for any rank ≤ 10, so the MRR numerator never touches a float.
+    * Shared with the oracle. */
+  val MrrScale = 2520L
+
+  /** DCG discount table `⌊10⁶/log₂(i+1)⌉` for ranks 1..k — computed
+    * ONCE here (driver-side, one libm call per rank) and shared with
+    * the oracle as integer literals, so neither engine evaluates a
+    * transcendental at query time and the DCG sums are exact longs. */
+  def dcgPpmTable(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) /
+      math.log(2.0))))
+
+  /** Ideal-DCG prefix sums: `idcg(n)` for n relevant items, n ≤ k. */
+  def idcgPpmTable(k: Int): Seq[Long] =
+    dcgPpmTable(k).scanLeft(0L)(_ + _).drop(1)
+
+  /** Rank-AWARE retrieval quality beside [[recallEval]]'s set overlap:
+    * recall@k treats rank 1 and rank k the same, but a serving stack
+    * cares WHERE the true neighbors landed. Per query, against the
+    * exact top-k ground truth (binary relevance):
+    *
+    *  - reciprocal rank of the FIRST true neighbor in the approx
+    *    ranking, carried as the exact integer `2520/r` ([[MrrScale]];
+    *    0 when nothing relevant surfaced) plus its 6dp display form;
+    *  - NDCG@k from the shared integer discount table: dcg = Σ
+    *    table(rank of each hit), idcg = prefix(n_exact) — both exact
+    *    longs, one closing division.
+    *
+    * Both inputs carry (query_id, match_id, rank). Everything after
+    * the (query, match) equi-join is query-set-sized. */
+  def rankMetrics(approx: DataFrame, exact: DataFrame, k: Int,
+      queryCol: String = "query_id", matchCol: String = "match_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k <= 10, s"MrrScale covers ranks 1..10, got k=$k")
+    val dcgT = typedLit(dcgPpmTable(k))
+    val idcgT = typedLit(idcgPpmTable(k))
+    val rrT = typedLit((1 to k).map(MrrScale / _))
+    // element_at must be NULL-GUARDED explicitly: with a literal array
+    // and a NULL index Spark returns the LAST element, not NULL (found
+    // by this operator's own fixture — an unguarded miss row scored as
+    // a rank-k hit)
+    def at(table: Column, idx: Column): Column =
+      when(idx.isNotNull, element_at(table, idx.cast("int")))
+    val rr = coalesce(at(rrT, col("first_rel_rank")), lit(0L))
+    exact.select(col(queryCol), col(matchCol))
+      .join(approx.select(col(queryCol), col(matchCol),
+        col(rankCol).as("arank")), Seq(queryCol, matchCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("arank")).as("n_hit"),
+        min(col("arank")).as("first_rel_rank"),
+        coalesce(sum(at(dcgT, col("arank"))), lit(0L)).as("dcg_ppm"))
+      .select(col(queryCol), col("n_exact"), col("n_hit"),
+        col("first_rel_rank").cast("long").as("first_rel_rank"),
+        rr.as("rr_x2520"),
+        col("dcg_ppm"),
+        at(idcgT, col("n_exact")).as("idcg_ppm"),
+        round(rr.cast("double") / lit(MrrScale.toDouble), 6).as("rr"),
+        round(col("dcg_ppm").cast("double") /
+          at(idcgT, col("n_exact")).cast("double"), 6).as("ndcg_at_k"))
+  }
 }

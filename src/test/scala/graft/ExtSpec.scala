@@ -1456,6 +1456,45 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((7L, 7L, 8L, fp)))
   }
 
+  test("rank metrics: hand-computed MRR/NDCG, misses zero, perfect is 1") {
+    import graft.operators.Similarity
+    val t = Similarity.dcgPpmTable(10)
+    val it = Similarity.idcgPpmTable(10)
+    // q=1: relevant {10,11,12}; approx ranks: irrelevant@1, 11@2, 10@3
+    // q=2: relevant {20}; approx has no relevant row at all
+    // q=3: relevant {30,31}; approx nails ranks 1,2 → perfect
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "match_id")
+    val approx = Seq((1L, 99L, 1), (1L, 11L, 2), (1L, 10L, 3),
+      (2L, 98L, 1), (3L, 30L, 1), (3L, 31L, 2))
+      .toDF("query_id", "match_id", "rank")
+    val out = Similarity.rankMetrics(approx, exact, 10)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_exact") === 3L && q1.getAs[Long]("n_hit") === 2L)
+    assert(q1.getAs[Long]("first_rel_rank") === 2L)
+    assert(q1.getAs[Long]("rr_x2520") === 1260L)
+    assert(q1.getAs[Double]("rr") === 0.5)
+    assert(q1.getAs[Long]("dcg_ppm") === t(1) + t(2))
+    assert(q1.getAs[Long]("idcg_ppm") === it(2))
+    val expNdcg = BigDecimal((t(1) + t(2)).toDouble / it(2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getAs[Double]("ndcg_at_k") === expNdcg)
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_hit") === 0L)
+    assert(q2.isNullAt(q2.fieldIndex("first_rel_rank")))
+    assert(q2.getAs[Long]("rr_x2520") === 0L)
+    assert(q2.getAs[Double]("rr") === 0.0)
+    assert(q2.getAs[Double]("ndcg_at_k") === 0.0)
+    val q3 = out(3L)
+    assert(q3.getAs[Long]("rr_x2520") === 2520L)
+    assert(q3.getAs[Double]("rr") === 1.0)
+    assert(q3.getAs[Double]("ndcg_at_k") === 1.0)
+    // the discount table is monotone decreasing and anchored at 1e6
+    assert(t.head === 1000000L)
+    assert(t.sliding(2).forall(w => w(0) > w(1)))
+  }
+
   test("unigram store: stored-vocab encode equals in-query bit-for-bit; " +
       "frozen model segments later corpora") {
     import graft.sources.TokenizerStore
