@@ -2468,6 +2468,18 @@ object ExtQueries {
       Hypothesis.msprtSeq(Tables.events(s, d),
         Hypothesis.variantOf(col("user_id")))),
 
+    // ... maintained as a STREAM: per-trigger mergeable (n, Σc, Σc²)
+    // partials appended batchId-idempotently, the always-valid p
+    // served from the re-summed store — merged sums equal the
+    // one-shot aggregate exactly, so this shares x_msprt_seq's oracle
+    // bit for bit. "May I stop the experiment yet?", continuously.
+    "x_stream_msprt" -> ((s, d) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-msprtrep-${Integer.toHexString(d.hashCode)}").toString
+      graft.streaming.StreamingSync.msprtMaintReplay(
+        s, Tables.events(s, d), nBatches = 4, workDir = work)
+    }),
+
     // Rolling 7-day median level per key on the dense daily spine:
     // the robust windowed level beside the EWMA — one corrupted day
     // can never BE the median of its windows. Pure sort-and-pick,
@@ -2731,6 +2743,83 @@ object ExtQueries {
        |fin AS (SELECT w, g0 AS seg FROM rec WHERE i = length(w))"""
       .stripMargin
   }
+
+  /** The mSPRT oracle, shared verbatim by the in-query sequence
+    * (`x_msprt_seq`) and the stream-maintained store serve
+    * (`x_stream_msprt`) — merged partials re-sum to the one-shot
+    * aggregate exactly, so both must land identical bits. */
+  private lazy val MsprtOracle: String =
+      s"""WITH base AS (
+         |  SELECT event_type AS key, cast(ts AS date) AS day,
+         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
+         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
+         |  FROM events),
+         |pda AS (
+         |  SELECT key, day, v, count(*)::bigint AS n,
+         |    sum(c)::bigint AS s,
+         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
+         |  FROM base GROUP BY 1, 2, 3),
+         |wide AS (
+         |  SELECT key, day,
+         |    coalesce(max(CASE WHEN v = 'a' THEN n END), 0)::bigint
+         |      AS dn_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN n END), 0)::bigint
+         |      AS dn_b,
+         |    coalesce(max(CASE WHEN v = 'a' THEN s END), 0)::bigint
+         |      AS ds_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN s END), 0)::bigint
+         |      AS ds_b,
+         |    coalesce(max(CASE WHEN v = 'a' THEN ss END), 0) AS dss_a,
+         |    coalesce(max(CASE WHEN v = 'b' THEN ss END), 0) AS dss_b
+         |  FROM pda GROUP BY key, day),
+         |cum AS (
+         |  SELECT key, day,
+         |    (sum(dn_a) OVER w)::bigint AS n_a,
+         |    (sum(dn_b) OVER w)::bigint AS n_b,
+         |    sum(ds_a) OVER w AS s_a, sum(ds_b) OVER w AS s_b,
+         |    sum(dss_a) OVER w AS ss_a, sum(dss_b) OVER w AS ss_b
+         |  FROM wide
+         |  WINDOW w AS (PARTITION BY key ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |st AS (
+         |  SELECT key, day, n_a, n_b,
+         |    s_a::double / n_a::double - s_b::double / n_b::double
+         |      AS theta,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |      ((ss_a::double - (s_a::double * s_a::double)
+         |          / n_a::double) +
+         |       (ss_b::double - (s_b::double * s_b::double)
+         |          / n_b::double)) / (n_a + n_b - 2)::double
+         |    END AS sig2
+         |  FROM cum),
+         |lm AS (
+         |  SELECT key, day, n_a, n_b, theta,
+         |    CASE WHEN sig2 IS NOT NULL AND sig2 > 0.0 THEN
+         |      sig2 * (1.0 / n_a::double + 1.0 / n_b::double)
+         |    END AS vv
+         |  FROM st),
+         |pi AS (
+         |  SELECT key, day, n_a, n_b, theta,
+         |    CASE WHEN vv IS NOT NULL THEN least(1.0, 1.0 /
+         |      (sqrt(vv / (vv + ${Hypothesis.MsprtTau2})) *
+         |       exp((theta * theta * ${Hypothesis.MsprtTau2}) /
+         |         ((2.0 * vv) * (vv + ${Hypothesis.MsprtTau2})))))
+         |    END AS p_inst_full
+         |  FROM lm),
+         |pa AS (
+         |  SELECT *, coalesce(min(p_inst_full) OVER (
+         |    PARTITION BY key ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+         |  AS p_always_full
+         |  FROM pi)
+         |SELECT key, day, n_a, n_b,
+         |  CASE WHEN p_inst_full IS NOT NULL
+         |    THEN round(theta, 6) END AS theta,
+         |  round(p_inst_full, 6) AS p_inst,
+         |  round(p_always_full, 6) AS p_always,
+         |  p_always_full <= 0.05 AS reject_05
+         |FROM pa""".stripMargin
 
   /** The per-doc unigram encode, shared verbatim by the in-query
     * (`x_unigram_tok_encode`) and stored-vocabulary
@@ -7198,81 +7287,14 @@ object ExtQueries {
          |  p_adj_full <= 0.1 AS discovery
          |FROM adj""".stripMargin,
 
+    // stream-maintained partials re-sum to the one-shot aggregate
+    // exactly: the identical oracle
+    "x_stream_msprt" -> MsprtOracle,
+
     // mSPRT always-valid p: cumulative exact per-arm stats over the
     // day windows, the normal-mixture Λ with the τ² literal shared
     // from the Hypothesis object, running-min p
-    "x_msprt_seq" ->
-      s"""WITH base AS (
-         |  SELECT event_type AS key, cast(ts AS date) AS day,
-         |    CASE WHEN ('0x' || substr(md5(user_id::varchar || '#0'),
-         |        1, 15))::bigint % 2 = 0 THEN 'a' ELSE 'b' END AS v,
-         |    CAST(CAST(value AS decimal(18,2)) * 100 AS bigint) AS c
-         |  FROM events),
-         |pda AS (
-         |  SELECT key, day, v, count(*)::bigint AS n,
-         |    sum(c)::bigint AS s,
-         |    sum(c::decimal(19,0) * c::decimal(19,0)) AS ss
-         |  FROM base GROUP BY 1, 2, 3),
-         |wide AS (
-         |  SELECT key, day,
-         |    coalesce(max(CASE WHEN v = 'a' THEN n END), 0)::bigint
-         |      AS dn_a,
-         |    coalesce(max(CASE WHEN v = 'b' THEN n END), 0)::bigint
-         |      AS dn_b,
-         |    coalesce(max(CASE WHEN v = 'a' THEN s END), 0)::bigint
-         |      AS ds_a,
-         |    coalesce(max(CASE WHEN v = 'b' THEN s END), 0)::bigint
-         |      AS ds_b,
-         |    coalesce(max(CASE WHEN v = 'a' THEN ss END), 0) AS dss_a,
-         |    coalesce(max(CASE WHEN v = 'b' THEN ss END), 0) AS dss_b
-         |  FROM pda GROUP BY key, day),
-         |cum AS (
-         |  SELECT key, day,
-         |    (sum(dn_a) OVER w)::bigint AS n_a,
-         |    (sum(dn_b) OVER w)::bigint AS n_b,
-         |    sum(ds_a) OVER w AS s_a, sum(ds_b) OVER w AS s_b,
-         |    sum(dss_a) OVER w AS ss_a, sum(dss_b) OVER w AS ss_b
-         |  FROM wide
-         |  WINDOW w AS (PARTITION BY key ORDER BY day
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |st AS (
-         |  SELECT key, day, n_a, n_b,
-         |    s_a::double / n_a::double - s_b::double / n_b::double
-         |      AS theta,
-         |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
-         |      ((ss_a::double - (s_a::double * s_a::double)
-         |          / n_a::double) +
-         |       (ss_b::double - (s_b::double * s_b::double)
-         |          / n_b::double)) / (n_a + n_b - 2)::double
-         |    END AS sig2
-         |  FROM cum),
-         |lm AS (
-         |  SELECT key, day, n_a, n_b, theta,
-         |    CASE WHEN sig2 IS NOT NULL AND sig2 > 0.0 THEN
-         |      sig2 * (1.0 / n_a::double + 1.0 / n_b::double)
-         |    END AS vv
-         |  FROM st),
-         |pi AS (
-         |  SELECT key, day, n_a, n_b, theta,
-         |    CASE WHEN vv IS NOT NULL THEN least(1.0, 1.0 /
-         |      (sqrt(vv / (vv + ${Hypothesis.MsprtTau2})) *
-         |       exp((theta * theta * ${Hypothesis.MsprtTau2}) /
-         |         ((2.0 * vv) * (vv + ${Hypothesis.MsprtTau2})))))
-         |    END AS p_inst_full
-         |  FROM lm),
-         |pa AS (
-         |  SELECT *, coalesce(min(p_inst_full) OVER (
-         |    PARTITION BY key ORDER BY day
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
-         |  AS p_always_full
-         |  FROM pi)
-         |SELECT key, day, n_a, n_b,
-         |  CASE WHEN p_inst_full IS NOT NULL
-         |    THEN round(theta, 6) END AS theta,
-         |  round(p_inst_full, 6) AS p_inst,
-         |  round(p_always_full, 6) AS p_always,
-         |  p_always_full <= 0.05 AS reject_05
-         |FROM pa""".stripMargin,
+    "x_msprt_seq" -> MsprtOracle,
 
     // dense spine, trailing-week list sort, 4th element — no
     // arithmetic, exact longs end to end

@@ -529,14 +529,31 @@ object Hypothesis {
     * 6dp round (the running min never feeds an ordering). */
   def msprtSeq(events: DataFrame, variant: Column,
       tau2: Double = MsprtTau2, keyCol: String = "event_type",
-      valueCol: String = "value"): DataFrame = {
-    val perDayArm = events.select(col(keyCol).as("key"),
+      valueCol: String = "value"): DataFrame =
+    msprtFromPerDayArm(perDayArmStats(events, variant, keyCol,
+      valueCol), tau2)
+
+  /** The per-(key, day, arm) exact sufficient statistics `(n, Σc,
+    * Σc²)` — [[msprtSeq]]'s one fact-table pass, exposed separately
+    * because the sums are MERGEABLE: the streaming maintenance sink
+    * appends one such frame per micro-batch and the read-time re-sum
+    * equals this one-shot aggregate exactly. */
+  private[graft] def perDayArmStats(events: DataFrame, variant: Column,
+      keyCol: String = "event_type", valueCol: String = "value")
+      : DataFrame =
+    events.select(col(keyCol).as("key"),
       to_date(col("ts")).as("day"), variant.as("v"),
       centsOf(valueCol).as("c"))
       .groupBy(col("key"), col("day"), col("v"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum((col("c").cast(DecimalType(19, 0)) *
           col("c").cast(DecimalType(19, 0))).cast(d38)).as("ss"))
+
+  /** The mSPRT closing chain over a `(key, day, v, n, s, ss)` frame —
+    * shared by the in-query path and the store-served streaming
+    * monitor (identical inputs ⇒ identical bits ⇒ one oracle). */
+  private[graft] def msprtFromPerDayArm(perDayArm: DataFrame,
+      tau2: Double = MsprtTau2): DataFrame = {
     def arm(a: String, c: String, zero: Column) =
       coalesce(max(when(col("v") === a, col(c))), zero)
     val zeroD = lit(0).cast(d38)

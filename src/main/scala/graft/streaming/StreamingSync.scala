@@ -672,6 +672,78 @@ object StreamingSync {
     * body; also directly callable from a batch scheduler). Idempotent
     * by `batchId` tag: the redelivery probe reads the row-per-trigger
     * state table (bounded metadata, never the corpus). */
+  /** Streaming always-valid experiment monitor — the EIGHTH
+    * maintenance sink: every micro-batch folds into per-(key, day,
+    * arm) exact sufficient statistics `(n, Σc, Σc²)`
+    * ([[graft.operators.Hypothesis.perDayArmStats]] — batch-sized,
+    * mergeable pure sums), appended to the parquet state table tagged
+    * with the trigger's batchId; at-least-once redelivery recognized
+    * by the tag and skipped (the [[appendFreqBatch]] discipline).
+    * Reading re-sums the partials per (key, day, arm) and runs the
+    * SAME mSPRT closing chain as the batch query — merged sums equal
+    * the one-shot aggregate exactly, so `x_stream_msprt` shares
+    * `x_msprt_seq`'s oracle bit for bit. This is "may I stop the
+    * experiment yet?", maintained continuously at batch-sized cost,
+    * with the peeking-valid p the fixed-horizon tests cannot give. */
+  def msprtMaintSink(source: DataFrame, storePath: String,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CacheRegistry.scoped {
+            appendMsprtBatch(batch, storePath, batchId)
+          }
+      }
+      .start()
+
+  def appendMsprtBatch(batch: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val storeHp = new org.apache.hadoop.fs.Path(storePath)
+    val storeFs = storeHp.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val redelivered = storeFs.exists(storeHp) &&
+      spark.read.parquet(storePath)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (redelivered) return
+    graft.operators.Hypothesis.perDayArmStats(batch,
+      graft.operators.Hypothesis.variantOf(col("user_id")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(storePath)
+  }
+
+  /** Batch-parity harness for [[msprtMaintSink]]: split `events` into
+    * time-ordered micro-batches, stream them through the real sink,
+    * then serve the always-valid p from the STORE — re-summed
+    * partials through [[graft.operators.Hypothesis
+    * .msprtFromPerDayArm]]. */
+  def msprtMaintReplay(spark: SparkSession, events: DataFrame,
+      nBatches: Int = 4, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = events
+      .withColumn("b", ntile(nBatches).over(
+        Window.orderBy(col("ts"), col("event_id"))))
+      .cache()
+    val in = stageBatchFiles(staged, nBatches, workDir)
+    staged.unpersist()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val store = new java.io.File(workDir, "msprt-store").toString
+    val q = msprtMaintSink(stream, store,
+      new java.io.File(workDir, "ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Hypothesis.msprtFromPerDayArm(
+      spark.read.parquet(store)
+        .groupBy(col("key"), col("day"), col("v"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          sum(col("ss")).as("ss")))
+  }
+
   def appendFreqBatch(batch: DataFrame, storePath: String,
       batchId: Long, maxMapSize: Int): Unit = {
     val spark = batch.sparkSession

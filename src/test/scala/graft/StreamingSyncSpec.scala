@@ -795,4 +795,26 @@ class StreamingSyncSpec extends SparkSpec {
     HilbertStore.optimize(spark, store, 16)
     assert(rows() === expect, "parity must survive optimize")
   }
+
+  test("msprt maintenance: stream-served p equals the batch sequence; " +
+      "redelivery never double-counts") {
+    import graft.operators.Hypothesis
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+    val dir = tmp()
+    val served = StreamingSync.msprtMaintReplay(spark, ev,
+      nBatches = 4, workDir = s"$dir/rep")
+    val batch = Hypothesis.msprtSeq(ev,
+      Hypothesis.variantOf(col("user_id")))
+    assert(served.count() === batch.count())
+    assert(served.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(served).count() === 0)
+    // redelivery: re-appending an already-stored batchId is a no-op —
+    // the partial table is unchanged, so the served p cannot move
+    val store = s"$dir/rep/msprt-store"
+    val before = spark.read.parquet(store).count()
+    StreamingSync.appendMsprtBatch(ev.limit(50), store, batchId = 0L)
+    assert(spark.read.parquet(store).count() === before,
+      "redelivered trigger must not re-append partials")
+  }
 }
