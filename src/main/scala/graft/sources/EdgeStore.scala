@@ -162,6 +162,11 @@ object EdgeStore {
           s"$path/${SnapshotDir.name(bp, bv)}"), true)
       }
       SnapshotDir.gc(spark, path, Prefix)
+      // the dropped branch lineage may have been the only ref to some
+      // pre-promote segments once GC trims old main versions — sweep
+      // them now (same closing discipline as dropBranch); other live
+      // branches keep their refs through the multi-lineage vacuum
+      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
       v
     }
 
