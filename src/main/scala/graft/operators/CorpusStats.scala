@@ -1115,6 +1115,40 @@ object CorpusStats {
         coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
   }
 
+  /** SECOND EM iteration with PRUNING — the convergence step on top of
+    * [[unigramTokenEm]]: pieces the round-1 Viterbi never used drop
+    * from the vocabulary (SentencePiece's prune move), single
+    * characters survive at a floor count of 1 (the coverage guarantee
+    * must outlive pruning), counts re-normalize to the round-1 usage,
+    * scores re-derive (`⌊1e6·ln(c)⌉` — same integer discipline), and
+    * the corpus re-segments under the new scores. Output per surviving
+    * piece: the round-1 usage it was rescored from, the round-2 score,
+    * and the round-2 usage — at convergence `cnt_r2 ≈ cnt_r1`, and a
+    * piece that DIED between rounds is visible as `cnt_r2 = 0`. */
+  def unigramTokenEm2(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 4, textCol: String = "text"): DataFrame = {
+    val em1 = unigramTokenEm(docs, vocabSize, maxPieceLen, textCol)
+    val vocab2 = em1
+      .filter(col("cnt_em") > 0 || length(col("piece")) === 1)
+      .select(col("piece"),
+        when(col("cnt_em") > 0, col("cnt_em")).otherwise(lit(1L))
+          .as("cnt"))
+      .withColumn("s",
+        round(lit(1000000.0) * log(col("cnt").cast("double")), 0)
+          .cast("long"))
+    val v2rows = vocab2.orderBy(col("piece")).collect() // bounded
+    // metadata — the pruned round-2 model
+    val seg2 = unigramSegmentedWithVocab(docs, v2rows, maxPieceLen,
+      textCol)
+    val used2 = seg2.filter(col("toks").isNotNull)
+      .select(explode(col("toks")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("u2"))
+    vocab2.join(used2, Seq("piece"), "left")
+      .select(col("piece"), col("cnt").as("cnt_r1"),
+        col("s").as("score_r2"),
+        coalesce(col("u2"), lit(0L)).as("cnt_r2"))
+  }
+
   /** Per-document unigram encode: word/piece counts and the in-order
     * token-stream fingerprint — the same broadcast-join +
     * order-exact-fingerprint shape as [[bpeEncode]]; a word the DP

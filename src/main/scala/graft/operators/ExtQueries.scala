@@ -1479,6 +1479,14 @@ object ExtQueries {
       CorpusStats.unigramTokenEm(Tables.documents(s, d),
         UnigramVocabSize, UnigramMaxPiece)),
 
+    // ... SECOND EM iteration with pruning: unused pieces drop
+    // (chars survive at floor 1 — coverage outlives pruning), counts
+    // renormalize to round-1 usage, scores re-derive, the corpus
+    // re-segments; cnt_r2 ≈ cnt_r1 is convergence made hashable.
+    "x_unigram_tok_em2" -> ((s, d) =>
+      CorpusStats.unigramTokenEm2(Tables.documents(s, d),
+        UnigramVocabSize, UnigramMaxPiece)),
+
     // ... ENCODE: per-doc word/piece counts + the in-order
     // token-stream fingerprint, served through the same broadcast
     // word→toks join as the BPE encode; the corpus never enters the
@@ -2666,7 +2674,11 @@ object ExtQueries {
     * logs, so every DP comparison the oracle makes is exact bigint
     * arithmetic — the argmax segmentation cannot drift between
     * engines. */
-  private lazy val UnigramTokCtes: String = {
+  /** One instantiation of the Viterbi DP recursion against a given
+    * score table `$vsCte` (columns piece, cnt, s), CTE names suffixed
+    * `$sfx` — the em2 oracle runs the chain TWICE (seed scores, then
+    * the pruned re-scored vocabulary) in one statement. */
+  private def unigramDpChain(vsCte: String, sfx: String): String = {
     val L = UnigramMaxPiece
     val minv = "-4611686018427387904"
     // state slots: b0..b{L-1} = best at positions i, i-1, ...;
@@ -2679,7 +2691,7 @@ object ExtQueries {
     // candidate l consumes a piece of length l ending at position i+1
     val joins = (1 to L).map { l =>
       val guard = if (l > 1) s"r.i >= ${l - 1} AND " else ""
-      s"LEFT JOIN vs v$l ON $guard" +
+      s"LEFT JOIN $vsCte v$l ON $guard" +
         s"v$l.piece = substr(r.w, r.i + ${2 - l}, $l)"
     }.mkString("\n      ")
     val cands = (1 to L).map(l =>
@@ -2695,6 +2707,35 @@ object ExtQueries {
       s"WHEN $l THEN CASE WHEN g${l - 1} = '' THEN p$l " +
         s"ELSE g${l - 1} || ' ' || p$l END").mkString(
       "CASE pick ", "\n      ", " END")
+    s"""tot$sfx AS (SELECT
+       |  cast(round(1000000.0 * ln((sum(cnt)::bigint)::double), 0)
+       |    AS bigint) AS stot FROM $vsCte),
+       |rec$sfx(w, i, ${bCols.mkString(", ")}, ${gCols.mkString(", ")})
+       |AS (
+       |  $seed
+       |  UNION ALL
+       |  SELECT w, i + 1,
+       |    CASE WHEN pick IS NOT NULL THEN nb END,
+       |    ${bCols.dropRight(1).mkString(", ")},
+       |    $newg,
+       |    ${gCols.dropRight(1).mkString(", ")}
+       |  FROM (
+       |    SELECT *, $gBest AS nb, $pick AS pick
+       |    FROM (
+       |      SELECT r.w, r.i, ${bCols.map(b => s"r.$b").mkString(", ")},
+       |        ${gCols.map(g => s"r.$g").mkString(", ")},
+       |        $cands,
+       |        $pExprs
+       |      FROM rec$sfx r
+       |      CROSS JOIN tot$sfx t
+       |      $joins
+       |      WHERE r.i < length(r.w)))),
+       |fin$sfx AS (SELECT w, g0 AS seg FROM rec$sfx
+       |  WHERE i = length(w))""".stripMargin
+  }
+
+  private lazy val UnigramTokCtes: String = {
+    val L = UnigramMaxPiece
     s"""wl AS (
        |  SELECT w, count(*)::bigint AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -2718,30 +2759,8 @@ object ExtQueries {
        |vs AS (SELECT piece, cnt,
        |  cast(round(1000000.0 * ln(cnt::double), 0) AS bigint) AS s
        |  FROM vocab),
-       |tot AS (SELECT
-       |  cast(round(1000000.0 * ln((sum(cnt)::bigint)::double), 0)
-       |    AS bigint) AS stot FROM vs),
-       |rec(w, i, ${bCols.mkString(", ")}, ${gCols.mkString(", ")}) AS (
-       |  $seed
-       |  UNION ALL
-       |  SELECT w, i + 1,
-       |    CASE WHEN pick IS NOT NULL THEN nb END,
-       |    ${bCols.dropRight(1).mkString(", ")},
-       |    $newg,
-       |    ${gCols.dropRight(1).mkString(", ")}
-       |  FROM (
-       |    SELECT *, $gBest AS nb, $pick AS pick
-       |    FROM (
-       |      SELECT r.w, r.i, ${bCols.map(b => s"r.$b").mkString(", ")},
-       |        ${gCols.map(g => s"r.$g").mkString(", ")},
-       |        $cands,
-       |        $pExprs
-       |      FROM rec r
-       |      CROSS JOIN tot t
-       |      $joins
-       |      WHERE r.i < length(r.w)))),
-       |fin AS (SELECT w, g0 AS seg FROM rec WHERE i = length(w))"""
-      .stripMargin
+       |${unigramDpChain("vs", "_r1")},
+       |fin AS (SELECT w, seg FROM fin_r1)""".stripMargin
   }
 
   /** The mSPRT oracle, shared verbatim by the in-query sequence
@@ -5725,6 +5744,36 @@ object ExtQueries {
 
     // stored-vocab serving ≡ in-query train+encode, bit for bit
     "x_unigram_tok_stored" -> UnigramEncodeOracle,
+
+    // EM round 2: prune (chars floored at 1), re-score, re-run the
+    // SAME generated DP chain against the round-2 score table
+    "x_unigram_tok_em2" ->
+      s"""WITH RECURSIVE $UnigramTokCtes,
+         |used AS (
+         |  SELECT piece, sum(freq)::bigint AS cnt_em FROM (
+         |    SELECT unnest(string_split(f.seg, ' ')) AS piece, wl.freq
+         |    FROM fin f JOIN wl ON wl.w = f.w WHERE f.seg IS NOT NULL)
+         |  GROUP BY piece),
+         |vocab2 AS (
+         |  SELECT vs.piece,
+         |    (CASE WHEN coalesce(u.cnt_em, 0) > 0 THEN u.cnt_em
+         |          ELSE 1 END)::bigint AS cnt
+         |  FROM vs LEFT JOIN used u ON u.piece = vs.piece
+         |  WHERE coalesce(u.cnt_em, 0) > 0 OR length(vs.piece) = 1),
+         |vs2 AS (SELECT piece, cnt,
+         |  cast(round(1000000.0 * ln(cnt::double), 0) AS bigint) AS s
+         |  FROM vocab2),
+         |${unigramDpChain("vs2", "_r2")},
+         |used2 AS (
+         |  SELECT piece, sum(freq)::bigint AS u2 FROM (
+         |    SELECT unnest(string_split(f.seg, ' ')) AS piece, wl.freq
+         |    FROM fin_r2 f JOIN wl ON wl.w = f.w
+         |    WHERE f.seg IS NOT NULL)
+         |  GROUP BY piece)
+         |SELECT v.piece, v.cnt AS cnt_r1, v.s AS score_r2,
+         |  coalesce(u2.u2, 0)::bigint AS cnt_r2
+         |FROM vs2 v LEFT JOIN used2 u2 ON u2.piece = v.piece"""
+        .stripMargin,
 
     // unigram encode: the same per-word segmentations served through
     // the doc-words join, order-exact token-stream fingerprint

@@ -1064,6 +1064,21 @@ class ExtSpec extends SparkSpec {
     assert(enc4.getAs[Long]("n_words") === 4L)
   }
 
+  test("unigram em2: prune keeps used pieces + floored chars, fixpoint holds") {
+    val d = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    val em2 = CorpusStats.unigramTokenEm2(d, vocabSize = 50,
+      maxPieceLen = 4)
+      .collect().map(r => r.getAs[String]("piece") ->
+        (r.getAs[Long]("cnt_r1"), r.getAs[Long]("cnt_r2"))).toMap
+    // round 1 used only {ab, cd}; chars survive pruning at floor 1
+    assert(em2.keySet === Set("ab", "cd", "a", "b", "c", "d"))
+    // the used pieces are a FIXPOINT: round 2 re-selects them with the
+    // renormalized scores, so usage is unchanged
+    assert(em2("ab") === ((2L, 2L)))
+    assert(em2("cd") === ((1L, 1L)))
+    Seq("a", "b", "c", "d").foreach(p => assert(em2(p) === ((1L, 0L))))
+  }
+
   test("bpe training learns merges in argmax order with exact counts") {
     // hand-computed: abab×2 + aab×3 + bb×1.
     // pairs: ab = 2·2 + 3 = 7, aa = 3, ba = 2, bb = 1 → merge 1 (a,b,7).
