@@ -111,6 +111,7 @@ object ExtQueries {
   // neighbor is already the "band missed it" signal this query ranks)
   val LinkMaxDeg = 64L // wedge-pivot degree cap (hub exclusion)
   val HashedNgramBuckets = 4096 // weight slots for the hashed scorer
+  val ScorerBinWidth = 2000L // margin-bin width for the calibration
   val BootstrapReps = 40 // Poisson-bootstrap replicates per key
   val StratifiedTotal = 100 // exact stratified-sample size
   val TruncDim = 16 // Matryoshka prefix length evaluated vs full 64
@@ -1835,6 +1836,15 @@ object ExtQueries {
     "x_hashed_ngram_score" -> ((s, d) =>
       TextAnalysis.hashedNgramScore(Tables.documents(s, d),
         buckets = HashedNgramBuckets)),
+
+    // CALIBRATION of the learned scorer against the rule-based
+    // filter: per margin bin, how often the Gopher rules agree the
+    // doc is keepable — a flat keep_rate profile means the learned
+    // threshold is theater. Integer margins/bins, exact counts, two
+    // closing divisions.
+    "x_scorer_calibration" -> ((s, d) =>
+      TextAnalysis.scorerCalibration(Tables.documents(s, d),
+        buckets = HashedNgramBuckets, binWidth = ScorerBinWidth)),
 
     // ROLLUP over (source, lang): one Expand-backed hash aggregate
     // (one scan, one shuffle) produces every level; grouping_id
@@ -6954,6 +6964,66 @@ object ExtQueries {
          |SELECT doc_id, n_feats, score_raw,
          |  score_raw > 0 AS keep
          |FROM sc""".stripMargin,
+
+    // the scorer chain and the gopher chain composed: per margin bin
+    // (floor over an integer-valued double — a bigint division would
+    // truncate negatives toward zero on the Spark side but floor
+    // here), exact counts, the two closing divisions
+    "x_scorer_calibration" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |uni AS (SELECT doc_id, unnest(ws) AS f FROM w),
+         |bi AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE []::varchar[] END) AS f FROM w),
+         |feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+         |          UNION ALL SELECT doc_id, f FROM bi),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substr(md5(f || '#0'), 1, 15))::bigint
+         |          % $HashedNgramBuckets AS bucket
+         |      FROM feats),
+         |sc AS (SELECT doc_id,
+         |         sum(((bucket * 2654435761) % 1001) - 500)::bigint
+         |           AS score_raw
+         |       FROM b GROUP BY doc_id),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      w -> w <> '') AS ws
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(ws)::bigint AS n_words,
+         |    round((CASE WHEN len(ws) > 0 THEN
+         |      list_sum(list_transform(ws, w -> len(w)))::double / len(ws)
+         |      ELSE 0.0 END) * 10000) / 10000.0 AS mean_word_len,
+         |    round((CASE WHEN len(ws) > 0 THEN
+         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |        ::double / len(ws)
+         |      ELSE 0.0 END) * 10000) / 10000.0 AS alpha_frac
+         |  FROM t),
+         |gk AS (
+         |  SELECT doc_id,
+         |    (n_words >= 5 AND n_words <= 100000
+         |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |     AND alpha_frac >= 0.6) AS keep
+         |  FROM r),
+         |j AS (
+         |  SELECT cast(floor(sc.score_raw::double / $ScorerBinWidth.0)
+         |      AS bigint) AS bin,
+         |    sc.score_raw, gk.keep
+         |  FROM sc JOIN gk USING (doc_id)),
+         |agg AS (
+         |  SELECT bin, count(*)::bigint AS n_docs,
+         |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_keep,
+         |    sum(score_raw)::bigint AS sum_score
+         |  FROM j GROUP BY bin)
+         |SELECT bin, n_docs, n_keep, sum_score,
+         |  round(n_keep::double / n_docs::double, 6) AS keep_rate,
+         |  round(sum_score::double / n_docs::double, 6) AS mean_score
+         |FROM agg""".stripMargin,
 
     // division-free CUSUM: |n·prefix − t·total| has the same argmax
     // as |prefix − t·mean| and stays an exact decimal

@@ -251,4 +251,42 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score_raw"))
       .withColumn("keep", col("score_raw") > 0L)
+
+  /** CALIBRATION of the learned scorer against the rule-based filter —
+    * the curation QA readout: bin [[hashedNgramScore]]'s margin into
+    * fixed-width buckets and measure, per bin, how often
+    * [[CorpusStats.gopherRules]] agrees the document is keepable. A
+    * well-calibrated scorer shows keep_rate rising monotonically with
+    * the bin — a flat profile means the learned margin carries no
+    * quality signal and its threshold is theater. The reliability
+    * diagram every learned filter should face before it gates data.
+    *
+    * Exactness: margins and bin ids are integers (floor over an
+    * integer-valued double — a long `div` would truncate negatives
+    * toward zero in Spark but floor in value engines), per-bin counts
+    * and score sums exact longs, two closing divisions 6dp. One
+    * doc-keyed join of two scan-speed frames, then a bins-sized
+    * aggregate. */
+  def scorerCalibration(docs: DataFrame, buckets: Int = 4096,
+      binWidth: Long = 2000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sc = hashedNgramScore(docs, buckets, idCol, textCol)
+      .select(col(idCol), col("score_raw"))
+    val gk = CorpusStats.gopherRules(docs)
+      .select(col(idCol), col("keep"))
+    sc.join(gk, Seq(idCol))
+      .withColumn("bin",
+        floor(col("score_raw").cast("double") / lit(binWidth.toDouble))
+          .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score_raw")).as("sum_score"))
+      .select(col("bin"), col("n_docs"), col("n_keep"),
+        col("sum_score"),
+        round(col("n_keep").cast("double") /
+          col("n_docs").cast("double"), 6).as("keep_rate"),
+        round(col("sum_score").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_score"))
+  }
 }

@@ -1471,6 +1471,36 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((7L, 7L, 8L, fp)))
   }
 
+  test("scorer calibration: bins partition the corpus, rates bounded, " +
+      "bins equal the component recompute") {
+    val docs = Tables.documents(spark, sf0001)
+    val cal = TextAnalysis.scorerCalibration(docs).collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    cal.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr >= 0.0 && kr <= 1.0)
+    }
+    // the composition equals re-deriving bins from the two component
+    // operators directly (same floor-over-double binning)
+    val direct = TextAnalysis.hashedNgramScore(docs)
+      .select(col("doc_id"), col("score_raw"))
+      .join(CorpusStats.gopherRules(docs)
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .withColumn("bin",
+        floor(col("score_raw").cast("double") / lit(2000.0))
+          .cast("long"))
+      .groupBy(col("bin")).count()
+      .collect().map(r => r.getAs[Long]("bin") ->
+        r.getAs[Long]("count")).toMap
+    assert(cal.map(r => r.getAs[Long]("bin") ->
+      r.getAs[Long]("n_docs")).toMap === direct)
+    // a negative margin must land in a NEGATIVE bin (floor, not
+    // truncate-toward-zero)
+    assert(cal.exists(_.getAs[Long]("bin") < 0L),
+      "fixture corpus should populate negative margin bins")
+  }
+
   test("rank metrics: hand-computed MRR/NDCG, misses zero, perfect is 1") {
     import graft.operators.Similarity
     val t = Similarity.dcgPpmTable(10)
