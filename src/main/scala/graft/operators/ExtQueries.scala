@@ -181,6 +181,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fpstore-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def fpBranchWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-fpbranch-work-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def nearDupPairsPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndpairs-${Integer.toHexString(d.hashCode)}").toString
@@ -562,6 +566,35 @@ object ExtQueries {
         incrCorpus(s, d), fpStorePath(d))
       graft.sources.FingerprintStore.dedupBatchAgainst(
         s, fpStorePath(d), batch, JaccardThreshold)
+    }),
+
+    // ZERO-COPY BRANCHING on the FINGERPRINT store — the generic
+    // Branches lineage layer (hoisted from EdgeStore) on the dedup
+    // side: the arriving batch admits into the 'exp' branch only
+    // (one manifest copy at creation, no data moves); main keeps
+    // serving the corpus-only index, the branch serves corpus ∪
+    // batch. Both lineages' bucket relations read back in one
+    // result, each oracled by its own first-principles md5 minhash
+    // chain (the batch side df-capped over itself, exactly as the
+    // admission fingerprints it). This is the end-to-end experiment
+    // the store exists for: admit a crawl batch on a branch, compare
+    // dedup rates, promote or drop.
+    "x_fp_branch" -> ((s, d) => {
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % IncrBatchMod === 0)
+      graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), fpStorePath(d))
+      val work = fpBranchWorkPath(d)
+      graft.sources.VectorIndexStore.cloneIndex(s, fpStorePath(d),
+        work)
+      graft.sources.FingerprintStore.createBranch(s, work, "exp")
+      graft.sources.FingerprintStore.appendBatch(s, work, batch,
+        branch = Some("exp"))
+      graft.sources.FingerprintStore.readBuckets(s, work)
+        .withColumn("ref", lit("main"))
+        .unionByName(graft.sources.FingerprintStore
+          .readBuckets(s, work, branch = Some("exp"))
+          .withColumn("ref", lit("exp")))
     }),
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4252,6 +4285,20 @@ object ExtQueries {
          |  m.best_jaccard, (m.n_dups IS NULL) AS survived
          |FROM documents d LEFT JOIN m ON d.doc_id = m.id_a
          |WHERE d.doc_id % $IncrBatchMod = 0""".stripMargin,
+
+    // branch isolation on the fingerprint store: main must still equal
+    // the CORPUS-side banded index, the 'exp' branch the corpus index
+    // PLUS the batch's own-capped banded index — two instances of the
+    // same first-principles md5 minhash chain over the two sides
+    "x_fp_branch" ->
+      s"""WITH ${sideShingleCtes("c", s"doc_id % $IncrBatchMod <> 0")},
+         |${sideShingleCtes("b", s"doc_id % $IncrBatchMod = 0")},
+         |${sideSigSql("c", 8, 4)},
+         |${sideSigSql("b", 8, 4)}
+         |SELECT id, band, key, 'main' AS ref FROM bucketsc
+         |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsc
+         |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsb"""
+        .stripMargin,
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3

@@ -68,123 +68,43 @@ object EdgeStore {
       throw new IllegalStateException(
         s"no committed edge store lineage '$prefix' under $path"))
 
-  /** Version-dir prefix of branch `name`. Names are lowercase
-    * alnum/underscore ONLY — a dash would make the `<prefix><name>-
-    * <version>` dir layout ambiguous to parse back. */
-  private def branchPrefix(name: String): String = {
-    require(name.matches("[a-z0-9_]+"),
-      s"invalid branch name (want [a-z0-9_]+): $name")
-    s"${Prefix}b-$name-"
-  }
-
   private def prefixOf(branch: Option[String]): String =
-    branch.map(branchPrefix).getOrElse(Prefix)
+    Branches.prefixOf(Prefix, branch)
 
-  /** ZERO-COPY BRANCH (the Iceberg/Delta branch-ref shape, degenerate
-    * form): a branch is an independent VERSION LINEAGE in the same
-    * root — its first manifest is a copy of main's current one, so
-    * creation moves no data (segments are immutable and shared).
-    * Branch appends commit manifests under the branch's own prefix;
-    * main never sees them, and vice versa — the isolation an
-    * experiment ingest needs before promoting. All lineages serialize
-    * on the one root writer lock (branching is for read-path
-    * isolation, not write concurrency), and [[vacuum]] keeps a
-    * segment alive while ANY lineage references it. Returns the
-    * branch's first version number. */
+  /** ZERO-COPY BRANCH — the generic [[Branches]] lineage layer (hoisted
+    * from this store, where the shape shipped first) applied to the
+    * edge root: an independent version lineage whose first manifest is
+    * a copy of main's current one, sharing the immutable segment pool.
+    * Returns the branch's first version number. */
   def createBranch(spark: SparkSession, path: String,
       name: String): Long =
-    SnapshotDir.withWriterLock(spark, path) {
-      val bp = branchPrefix(name)
-      require(SnapshotDir.current(spark, path, bp).isEmpty,
-        s"branch '$name' already exists under $path")
-      val mainV = SnapshotDir.versions(spark, path, Prefix)
-        .filter(_._2).map(_._1).foldLeft(0L)(math.max)
-      // the cut point rides the branch manifest so promoteBranch can
-      // enforce its fast-forward-only contract
-      ManifestDir.commit(spark, path, bp, currentManifest(spark, path)
-        .withMeta(BranchBaseKey, mainV.toString))
-    }
+    Branches.create(spark, path, Prefix, name)
 
-  /** Names of the branches committed under `path`. */
-  def branches(spark: SparkSession, path: String): Seq[String] = {
-    val (fs, hp) = StoreFiles.fsOf(spark, path)
-    if (!fs.exists(hp)) return Nil
-    val re = (java.util.regex.Pattern.quote(s"${Prefix}b-") +
-      "([a-z0-9_]+)-\\d{8,}").r
-    fs.listStatus(hp).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case re(name) => name }.distinct.sorted
-  }
+  /** Names of the branches with at least one committed version under
+    * `path` (a crashed createBranch's uncommitted debris is not a
+    * branch — it never lists, so it can't diverge from the catalog's
+    * committed-only count or throw on read). */
+  def branches(spark: SparkSession, path: String): Seq[String] =
+    Branches.list(spark, path, Prefix)
 
   /** Every version-lineage prefix under `path` — main plus branches;
     * the reference set [[vacuum]] and [[compact]] sweep against. */
   private def allPrefixes(spark: SparkSession, path: String)
       : Seq[String] =
-    Prefix +: branches(spark, path).map(branchPrefix)
+    Branches.allPrefixes(spark, path, Prefix)
 
-  /** Meta key recording the main version a branch was cut from —
-    * the fast-forward guard [[promoteBranch]] checks. */
-  private[sources] val BranchBaseKey = "branched_from"
-
-  /** PROMOTE branch `name` into main — the Iceberg-style FAST-FORWARD
-    * publish: main's next version is the branch's current manifest
-    * verbatim (zero copy — the branch's segments are already in the
-    * shared pool). Allowed ONLY while main still sits at the version
-    * the branch was cut from (recorded at [[createBranch]]): if main
-    * advanced since, a fast-forward would silently DISCARD main's
-    * post-branch commits, so the promote fails loudly instead — this
-    * store has no merge semantics, and pretending otherwise is how
-    * lineages lose data. The branch lineage is dropped after the
-    * publish (its state IS main now). Returns main's new version. */
+  /** PROMOTE branch `name` into main — [[Branches.promote]]'s
+    * fast-forward-only publish (fails loudly when main advanced past
+    * the branch's cut point). Returns main's new version. */
   def promoteBranch(spark: SparkSession, path: String,
       name: String): Long =
-    SnapshotDir.withWriterLock(spark, path) {
-      val bp = branchPrefix(name)
-      val bm = ManifestDir.current(spark, path, bp).getOrElse(
-        throw new IllegalStateException(
-          s"no committed branch '$name' under $path"))
-      val baseV = bm.meta.getOrElse(BranchBaseKey,
-        throw new IllegalStateException(
-          s"branch '$name' carries no $BranchBaseKey marker — " +
-            "pre-promote-protocol branch; recreate it")).toLong
-      val mainV = SnapshotDir.versions(spark, path, Prefix)
-        .filter(_._2).map(_._1).foldLeft(0L)(math.max)
-      require(mainV == baseV,
-        s"cannot fast-forward branch '$name': main advanced " +
-          s"$baseV -> $mainV since the branch was cut; promoting " +
-          "would discard main's commits")
-      // strip the branch bookkeeping; publish as main's next version
-      val v = ManifestDir.commit(spark, path, Prefix,
-        bm.copy(meta = bm.meta - BranchBaseKey))
-      val (fs, _) = StoreFiles.fsOf(spark, path)
-      SnapshotDir.versions(spark, path, bp).foreach { case (bv, _) =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/${SnapshotDir.name(bp, bv)}"), true)
-      }
-      SnapshotDir.gc(spark, path, Prefix)
-      // the dropped branch lineage may have been the only ref to some
-      // pre-promote segments once GC trims old main versions — sweep
-      // them now (same closing discipline as dropBranch); other live
-      // branches keep their refs through the multi-lineage vacuum
-      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
-      v
-    }
+    Branches.promote(spark, path, Prefix, name)
 
-  /** Drop branch `name`: delete its version lineage (committed and
-    * debris), then vacuum — segments shared with main (or another
-    * branch) survive; branch-only segments are swept. */
+  /** Drop branch `name`: delete its lineage, vacuum branch-only
+    * segments ([[Branches.drop]]). */
   def dropBranch(spark: SparkSession, path: String,
       name: String): Unit =
-    SnapshotDir.withWriterLock(spark, path) {
-      val bp = branchPrefix(name)
-      val (fs, _) = StoreFiles.fsOf(spark, path)
-      SnapshotDir.versions(spark, path, bp).foreach { case (v, _) =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/${SnapshotDir.name(bp, v)}"), true)
-      }
-      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
-      ()
-    }
+    Branches.drop(spark, path, Prefix, name)
 
   /** Write + commit the first version — CALLER HOLDS the writer lock. */
   private def commitInitial(pairs: DataFrame, bandRel: DataFrame,

@@ -73,11 +73,40 @@ object FingerprintStore {
   private def readText(spark: SparkSession, p: String): Option[String] =
     StoreFiles.readText(spark, p)
 
-  private def currentManifest(spark: SparkSession,
-      path: String): ManifestDir.Manifest =
-    ManifestDir.current(spark, path, Prefix).getOrElse(
+  private def currentManifest(spark: SparkSession, path: String,
+      branch: Option[String] = None): ManifestDir.Manifest = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    ManifestDir.current(spark, path, pfx).getOrElse(
       throw new IllegalStateException(
-        s"no committed fingerprint store at $path"))
+        s"no committed fingerprint store lineage '$pfx' at $path"))
+  }
+
+  /** ZERO-COPY BRANCH of the fingerprint store — the generic
+    * [[Branches]] lineage layer on the fp root. The end-to-end
+    * experiment this store exists for: admit a crawl batch on a
+    * branch ([[appendBatch]] with `branch`), compare dedup rates
+    * against main ([[dedupBatchAgainst]] per lineage), then
+    * [[promoteBranch]] or [[dropBranch]]. Creation and fast-forward
+    * promotion move zero data; a same-root vacuum keeps a segment
+    * alive while ANY lineage references it. */
+  def createBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.create(spark, path, Prefix, name)
+
+  /** Branches with at least one committed version under `path`. */
+  def branches(spark: SparkSession, path: String): Seq[String] =
+    Branches.list(spark, path, Prefix)
+
+  /** Fast-forward the branch into main ([[Branches.promote]] — fails
+    * loudly when main advanced past the cut point). */
+  def promoteBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.promote(spark, path, Prefix, name)
+
+  /** Drop the branch lineage and vacuum branch-only segments. */
+  def dropBranch(spark: SparkSession, path: String,
+      name: String): Unit =
+    Branches.drop(spark, path, Prefix, name)
 
   /** Build the fingerprint relations for `docs` with the standard
     * df-capped MinHash recipe: (buckets, arrays). Shared by the full
@@ -94,16 +123,16 @@ object FingerprintStore {
   }
 
   /** Write both relations as one fresh segment and publish the
-    * manifest — CALLER HOLDS the writer lock. */
+    * manifest on lineage `pfx` — CALLER HOLDS the writer lock. */
   private def commitSegment(spark: SparkSession, path: String,
       buckets: DataFrame, arrays: DataFrame,
-      base: ManifestDir.Manifest): Unit = {
+      base: ManifestDir.Manifest, pfx: String = Prefix): Unit = {
     val segId = ManifestDir.newSegmentId()
     val bSeg = ManifestDir.segDir(segId, BucketsRel)
     val aSeg = ManifestDir.segDir(segId, ArraysRel)
     buckets.write.parquet(s"$path/$bSeg")
     arrays.write.parquet(s"$path/$aSeg")
-    ManifestDir.commit(spark, path, Prefix,
+    ManifestDir.commit(spark, path, pfx,
       base.withSegment(BucketsRel, bSeg).withSegment(ArraysRel, aSeg))
     ()
   }
@@ -196,8 +225,9 @@ object FingerprintStore {
       batch: DataFrame, threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, numHashes: Int = 8,
       bands: Int = 4, maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
-      broadcastBatch: Boolean = true): DataFrame = {
-    val m = currentManifest(spark, path)
+      broadcastBatch: Boolean = true,
+      branch: Option[String] = None): DataFrame = {
+    val m = currentManifest(spark, path, branch)
     val stored = ManifestDir.readRelation(spark, path, m, BucketsRel)
     val storedArrays = ManifestDir.readRelation(spark, path, m,
       ArraysRel)
@@ -244,15 +274,26 @@ object FingerprintStore {
   def appendBatch(spark: SparkSession, path: String, accepted: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       numHashes: Int = 8, bands: Int = 4,
-      maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
+      maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+      branch: Option[String] = None): Unit = {
+    val pfx = Branches.prefixOf(Prefix, branch)
     val (buckets, arrays) = fingerprints(accepted, idCol, textCol, n,
       numHashes, bands, maxShingleDf)
     SnapshotDir.withWriterLock(spark, path) {
       commitSegment(spark, path, buckets, arrays,
-        currentManifest(spark, path))
+        currentManifest(spark, path, branch), pfx)
     }
-    SnapshotDir.gc(spark, path, Prefix)
+    SnapshotDir.gc(spark, path, pfx)
   }
+
+  /** The stored LSH bucket index `(id, band, key)` of a lineage's
+    * current version — the store's primary relation, exposed so a
+    * branch experiment can read both lineages back (the isolation
+    * check `x_fp_branch` oracles from first principles). */
+  def readBuckets(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path, branch), BucketsRel)
 
   /** Rewrite the append-accumulated store back to one segment per
     * relation in the NEXT committed version. Fingerprints are
@@ -266,7 +307,10 @@ object FingerprintStore {
       val arrays = ManifestDir.readRelation(spark, path, m, ArraysRel)
       commitSegment(spark, path, buckets, arrays, ManifestDir.Empty)
       SnapshotDir.gc(spark, path, Prefix)
-      ManifestDir.vacuum(spark, path, Prefix)
+      // every lineage's references are live: a single-prefix sweep on
+      // a branched root would delete branch-only segments
+      ManifestDir.vacuum(spark, path,
+        Branches.allPrefixes(spark, path, Prefix))
       ()
     }
 }

@@ -1922,6 +1922,78 @@ class ExtSpec extends SparkSpec {
     first.unpersist()
   }
 
+  test("fingerprint branches: zero-copy create, isolated append, " +
+      "committed-only listing, ref-aware vacuum, promote") {
+    import graft.sources.{Branches, FingerprintStore, ManifestDir,
+      SnapshotDir}
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-branch").toString
+    FingerprintStore.writeFingerprints(corpus, path)
+    def bucketSet(b: Option[String]) = FingerprintStore
+      .readBuckets(spark, path, b).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("band"),
+        r.getAs[String]("key"))).toSet
+    def segFiles(): Long = {
+      val seg = java.nio.file.Paths.get(path, "seg")
+      val s = java.nio.file.Files.walk(seg)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally s.close()
+    }
+    val baseBuckets = bucketSet(None)
+    // a PHANTOM branch (createBranch that died before its manifest
+    // commit = an uncommitted version dir) must not list — listing a
+    // name that read(branch=...) then throws on is how a crashed
+    // create poisons the catalog
+    val phantom = s"$path/${SnapshotDir.name(
+      Branches.branchPrefix("fp-", "ghost"), 1L)}"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(phantom))
+    assert(FingerprintStore.branches(spark, path).isEmpty,
+      "an uncommitted branch lineage is crash debris, not a branch")
+    // zero-copy creation: one manifest commit, no segment files
+    val segBefore = segFiles()
+    FingerprintStore.createBranch(spark, path, "exp")
+    assert(segFiles() === segBefore, "branch create must copy no data")
+    assert(FingerprintStore.branches(spark, path) === Seq("exp"))
+    assert(bucketSet(Some("exp")) === baseBuckets)
+    // the batch admits into the branch lineage ONLY
+    FingerprintStore.appendBatch(spark, path, batch,
+      branch = Some("exp"))
+    val expBuckets = bucketSet(Some("exp"))
+    assert(expBuckets.size > baseBuckets.size)
+    assert(bucketSet(None) === baseBuckets,
+      "main must not see branch appends")
+    // the branch lineage serves admission checks against its own state
+    val verdicts = FingerprintStore.dedupBatchAgainst(spark, path,
+      batch, 0.1, branch = Some("exp"))
+    assert(verdicts.filter($"best_jaccard" === 1.0).count() > 0,
+      "branch-admitted docs must match themselves on the branch")
+    // multi-lineage vacuum on the fp root: every segment is referenced
+    // by main or the branch — nothing sweeps
+    assert(Branches.vacuum(spark, path, "fp-") === 0L)
+    assert(bucketSet(Some("exp")) === expBuckets)
+    // fast-forward promote: main becomes the branch state, lineage gone
+    FingerprintStore.promoteBranch(spark, path, "exp")
+    assert(bucketSet(None) === expBuckets)
+    assert(FingerprintStore.branches(spark, path).isEmpty)
+    // drop sweeps branch-only segments on a fresh branch
+    FingerprintStore.createBranch(spark, path, "exp2")
+    FingerprintStore.appendBatch(spark, path,
+      docs.filter($"doc_id" % 10 === 3), branch = Some("exp2"))
+    val withBranch = segFiles()
+    FingerprintStore.dropBranch(spark, path, "exp2")
+    assert(segFiles() < withBranch, "drop must sweep branch-only segs")
+    assert(bucketSet(None) === expBuckets)
+    // the phantom debris never became readable state
+    assert(ManifestDir.tryRead(spark, phantom).isEmpty)
+  }
+
   test("fingerprint compact folds appends, serving unchanged, GC bounded") {
     val docs = Tables.documents(spark, sf0001)
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
