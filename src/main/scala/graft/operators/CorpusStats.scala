@@ -1045,8 +1045,46 @@ object CorpusStats {
     * [[graft.plans.UnigramViterbi]] kernel (exact-long DP, per-task
     * vocab map), and the corpus only ever flows through the same
     * broadcast word→toks join as [[bpeEncode]]. */
-  private[graft] def unigramVocabFrame(docs: DataFrame, vocabSize: Int,
-      maxPieceLen: Int, textCol: String): DataFrame = {
+  /** One unigram vocabulary row — the tokenizer model itself, held
+    * driver-side as bounded metadata (≤ vocabSize + alphabet rows). */
+  private[graft] case class UnigramPiece(piece: String, cnt: Long,
+      s: Long)
+
+  /** EXACT-INTEGER log score `s ≈ 1e6·ln(c)` by fixed-point binary
+    * logarithm (20 fractional bits of shift-square-truncate, then one
+    * integer multiply by ⌊1e6·ln2⌋ = 693147 and a final shift) — every
+    * operation is 64-bit integer arithmetic, so ANY engine replays the
+    * identical value from `c` alone. The previous `round(1e6·ln c)`
+    * ran each engine's own libm: a 1-ulp disagreement at a .5 rounding
+    * boundary could flip a score by 1 and with it the Viterbi argmax —
+    * a latent cross-engine flake this closes (the DuckDB oracles run
+    * the same chain as unrolled bigint CTEs). Within 9e-6 of the true
+    * 1e6·ln(c); monotone in c (truncation preserves order). */
+  private[graft] def fixLogScore(c: Long): Long = {
+    require(c >= 1L, s"fixLogScore needs a positive count, got $c")
+    val ip = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    // mantissa scaled to [2^30, 2^31): squares stay under 2^62
+    var m = if (ip >= 30) c >> (ip - 30) else c << (30 - ip)
+    var r = 0L
+    var k = 0
+    while (k < 20) {
+      m = (m * m) >> 30
+      r <<= 1
+      if (m >= (1L << 31)) { m >>= 1; r += 1 }
+      k += 1
+    }
+    ((ip.toLong * (1L << 20) + r) * 693147L) >> 20
+  }
+
+  /** The seeded unigram vocabulary, COLLECTED once (piece-sorted):
+    * candidate substrings of the distinct-word frame cut to the top
+    * `vocabSize` by (count desc, piece asc) plus all single
+    * characters, scored driver-side by [[fixLogScore]]. Every unigram
+    * entry point shares these rows — the vocab is the model, and
+    * collecting it once replaces the re-derivation the EM steps used
+    * to pay per consumer. */
+  private[graft] def unigramVocabPieces(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int, textCol: String): Seq[UnigramPiece] = {
     val wf = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -1060,25 +1098,34 @@ object CorpusStats {
     val chars = subs.filter(length(col("piece")) === 1)
     topv.unionByName(chars)
       .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
-      .withColumn("s",
-        round(lit(1000000.0) * log(col("cnt").cast("double")), 0)
-          .cast("long"))
+      .orderBy(col("piece"))
+      .collect() // bounded metadata — the tokenizer model itself
+      .map(r => UnigramPiece(r.getAs[String]("piece"),
+        r.getAs[Long]("cnt"), fixLogScore(r.getAs[Long]("cnt"))))
+      .toSeq
   }
 
+  /** [[unigramVocabPieces]] as a frame `(piece, cnt, s)` — the shape
+    * [[graft.sources.TokenizerStore.writeUnigramVocab]] persists. */
+  private[graft] def unigramVocabFrame(docs: DataFrame, vocabSize: Int,
+      maxPieceLen: Int, textCol: String): DataFrame =
+    docs.sparkSession.createDataFrame(
+      unigramVocabPieces(docs, vocabSize, maxPieceLen, textCol))
+      .select(col("piece"), col("cnt"), col("s"))
+
   /** The distinct-word frame segmented by the Viterbi kernel against
-    * an explicit collected vocabulary `(piece, cnt, s)`:
-    * `(w, freq, toks)`. Vocab pieces/scores ride as ONE literal array
-    * pair (bounded metadata — the kernel builds its hash map once per
-    * task off the literal's identity); sTot derives from the vocab
-    * counts themselves, so a STORED vocabulary needs no side channel
+    * an explicit vocabulary: `(w, freq, toks)`. Vocab pieces/scores
+    * ride as ONE literal array pair (bounded metadata — the kernel
+    * builds its hash map once per task off the literal's identity);
+    * sTot derives from the vocab counts themselves via the same
+    * [[fixLogScore]], so a STORED vocabulary needs no side channel
     * ([[graft.sources.TokenizerStore.encodeUnigramFromStore]]). */
   private[graft] def unigramSegmentedWithVocab(docs: DataFrame,
-      vocabRows: Array[org.apache.spark.sql.Row], maxPieceLen: Int,
+      vocab: Seq[UnigramPiece], maxPieceLen: Int,
       textCol: String): DataFrame = {
-    val pieces = vocabRows.map(_.getAs[String]("piece")).toSeq
-    val scores = vocabRows.map(_.getAs[Long]("s")).toSeq
-    val sTot = math.round(1000000.0 *
-      math.log(vocabRows.map(_.getAs[Long]("cnt")).sum.toDouble))
+    val pieces = vocab.map(_.piece)
+    val scores = vocab.map(_.s)
+    val sTot = fixLogScore(vocab.map(_.cnt).sum)
     val wf = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -1090,63 +1137,83 @@ object CorpusStats {
   private def unigramSegmentedWords(docs: DataFrame, vocabSize: Int,
       maxPieceLen: Int, textCol: String): DataFrame =
     unigramSegmentedWithVocab(docs,
-      unigramVocabFrame(docs, vocabSize, maxPieceLen, textCol)
-        .orderBy(col("piece")).collect(), // bounded metadata:
-      // <= vocabSize + alphabet rows — the tokenizer model itself
+      unigramVocabPieces(docs, vocabSize, maxPieceLen, textCol),
       maxPieceLen, textCol)
+
+  /** Per-piece Viterbi usage (word-frequency-weighted) of `vocab`
+    * over the corpus — the E-step segmentation plus the M-step
+    * recount, shared by both EM rounds. */
+  private def unigramUsage(docs: DataFrame, vocab: Seq[UnigramPiece],
+      maxPieceLen: Int, textCol: String): DataFrame =
+    unigramSegmentedWithVocab(docs, vocab, maxPieceLen, textCol)
+      .filter(col("toks").isNotNull)
+      .select(explode(col("toks")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt_em"))
 
   /** One EM re-estimation step (the M-step recount over the E-step's
     * Viterbi segmentations): per vocab piece, the seed count, the
     * integer score the segmentation ran under, and the piece's usage
     * count in the best segmentations (word-frequency-weighted) — the
     * statistic SentencePiece's next iteration renormalizes on, and the
-    * pruning signal (em_cnt = 0 pieces are dead weight). */
+    * pruning signal (em_cnt = 0 pieces are dead weight). The vocab is
+    * collected ONCE and reused for both the segmentation literals and
+    * the output's seed columns (re-seeding it per consumer was a full
+    * extra candidate-generation pass over the distinct-word frame). */
   def unigramTokenEm(docs: DataFrame, vocabSize: Int = 200,
       maxPieceLen: Int = 4, textCol: String = "text"): DataFrame = {
-    val seg = unigramSegmentedWords(docs, vocabSize, maxPieceLen,
+    val vocab = unigramVocabPieces(docs, vocabSize, maxPieceLen,
       textCol)
-    val used = seg.filter(col("toks").isNotNull)
-      .select(explode(col("toks")).as("piece"), col("freq"))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt_em"))
-    unigramVocabFrame(docs, vocabSize, maxPieceLen, textCol)
-      .join(used, Seq("piece"), "left")
-      .select(col("piece"), col("cnt").as("cnt_seed"),
-        col("s").as("score_seed"),
-        coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
+    unigramEmFrame(docs, vocab, maxPieceLen, textCol)
   }
+
+  private def unigramEmFrame(docs: DataFrame,
+      vocab: Seq[UnigramPiece], maxPieceLen: Int,
+      textCol: String): DataFrame =
+    docs.sparkSession.createDataFrame(vocab)
+      .select(col("piece"), col("cnt").as("cnt_seed"),
+        col("s").as("score_seed"))
+      .join(unigramUsage(docs, vocab, maxPieceLen, textCol),
+        Seq("piece"), "left")
+      .select(col("piece"), col("cnt_seed"), col("score_seed"),
+        coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
 
   /** SECOND EM iteration with PRUNING — the convergence step on top of
     * [[unigramTokenEm]]: pieces the round-1 Viterbi never used drop
     * from the vocabulary (SentencePiece's prune move), single
     * characters survive at a floor count of 1 (the coverage guarantee
     * must outlive pruning), counts re-normalize to the round-1 usage,
-    * scores re-derive (`⌊1e6·ln(c)⌉` — same integer discipline), and
+    * scores re-derive ([[fixLogScore]] — same integer discipline), and
     * the corpus re-segments under the new scores. Output per surviving
     * piece: the round-1 usage it was rescored from, the round-2 score,
     * and the round-2 usage — at convergence `cnt_r2 ≈ cnt_r1`, and a
-    * piece that DIED between rounds is visible as `cnt_r2 = 0`. */
+    * piece that DIED between rounds is visible as `cnt_r2 = 0`.
+    * Round 1 runs ONCE: its usage collects (vocab-sized) and the
+    * pruned round-2 model derives driver-side, instead of re-running
+    * the whole round-1 pipeline a second time. */
   def unigramTokenEm2(docs: DataFrame, vocabSize: Int = 200,
       maxPieceLen: Int = 4, textCol: String = "text"): DataFrame = {
-    val em1 = unigramTokenEm(docs, vocabSize, maxPieceLen, textCol)
-    val vocab2 = em1
-      .filter(col("cnt_em") > 0 || length(col("piece")) === 1)
-      .select(col("piece"),
-        when(col("cnt_em") > 0, col("cnt_em")).otherwise(lit(1L))
-          .as("cnt"))
-      .withColumn("s",
-        round(lit(1000000.0) * log(col("cnt").cast("double")), 0)
-          .cast("long"))
-    val v2rows = vocab2.orderBy(col("piece")).collect() // bounded
-    // metadata — the pruned round-2 model
-    val seg2 = unigramSegmentedWithVocab(docs, v2rows, maxPieceLen,
-      textCol)
-    val used2 = seg2.filter(col("toks").isNotNull)
-      .select(explode(col("toks")).as("piece"), col("freq"))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("u2"))
-    vocab2.join(used2, Seq("piece"), "left")
+    val v1 = unigramVocabPieces(docs, vocabSize, maxPieceLen, textCol)
+    val used1 = unigramUsage(docs, v1, maxPieceLen, textCol)
+      .collect() // bounded metadata: one row per surviving piece
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt_em"))
+      .toMap
+    val v2 = v1.flatMap { p =>
+      val u = used1.getOrElse(p.piece, 0L)
+      // single char = one CODE POINT (what the engines' substr/length
+      // count), not one UTF-16 unit
+      val isChar = p.piece.codePointCount(0, p.piece.length) == 1
+      if (u > 0L || isChar) {
+        val c = if (u > 0L) u else 1L
+        Some(UnigramPiece(p.piece, c, fixLogScore(c)))
+      } else None
+    }
+    docs.sparkSession.createDataFrame(v2)
       .select(col("piece"), col("cnt").as("cnt_r1"),
-        col("s").as("score_r2"),
-        coalesce(col("u2"), lit(0L)).as("cnt_r2"))
+        col("s").as("score_r2"))
+      .join(unigramUsage(docs, v2, maxPieceLen, textCol),
+        Seq("piece"), "left")
+      .select(col("piece"), col("cnt_r1"), col("score_r2"),
+        coalesce(col("cnt_em"), lit(0L)).as("cnt_r2"))
   }
 
   /** Per-document unigram encode: word/piece counts and the in-order

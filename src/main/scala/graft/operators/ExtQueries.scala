@@ -50,7 +50,12 @@ object ExtQueries {
   val CepWithinSeconds = 86400L // the CEP chain must span <= 1 day
   val BpeTrainMerges = 8 // learned merge count for x_bpe_train
   val UnigramVocabSize = 200 // top-V substring pieces kept (plus chars)
-  val UnigramMaxPiece = 4 // longest candidate piece (chars)
+  val UnigramMaxPiece = 4 // longest candidate piece (code points)
+  // Candidate enumeration caps substring STARTS at 128 code points per
+  // word (TextExpressions.UnigramMaxWordStarts; the oracle's
+  // range(0, 128)) — the documented >128-code-point-word assumption:
+  // longer "words" are junk/URLs, and both engines share the cap so
+  // the candidate vocabularies cannot diverge on one.
   val KAnonK = 5 // k-anonymity release gate
   val LDiverseL = 3 // l-diversity release gate
   val DpEpsilon = 1.0 // Laplace ε for the noisy count release
@@ -2721,6 +2726,46 @@ object ExtQueries {
     * score table `$vsCte` (columns piece, cnt, s), CTE names suffixed
     * `$sfx` — the em2 oracle runs the chain TWICE (seed scores, then
     * the pruned re-scored vocabulary) in one statement. */
+  /** Unrolled EXACT-INTEGER log-score chain mirroring
+    * [[CorpusStats.fixLogScore]]: fixed-point binary logarithm (20
+    * shift-square-truncate steps over bigints, then one multiply by
+    * ⌊1e6·ln2⌋ and a closing shift). CTEs `fl0$sfx..fl20$sfx` over
+    * `src` (which must expose a positive BIGINT-castable `cnt` plus
+    * the carry-through `cols`), ending in `fl$sfx (cols…, cnt, s)`.
+    * Every operation is 64-bit integer arithmetic, so the oracle's
+    * scores equal the Spark side's BY CONSTRUCTION — the previous
+    * `round(1e6·ln cnt)` ran each engine's own libm, a latent
+    * 1-ulp-at-.5 argmax flake. */
+  private def fixLogCtes(src: String, sfx: String,
+      cols: Seq[String]): String = {
+    val cl = cols.map(_ + ", ").mkString
+    val sb = new StringBuilder
+    sb ++= s"""fl0$sfx AS (
+              |  SELECT ${cl}cnt, ip,
+              |    CASE WHEN ip >= 30 THEN cnt >> (ip - 30)
+              |         ELSE cnt << (30 - ip) END AS m,
+              |    0::bigint AS r
+              |  FROM (SELECT ${cl}cnt::bigint AS cnt,
+              |          length(bin(cnt::bigint)) - 1 AS ip
+              |        FROM $src))""".stripMargin
+    (1 to 20).foreach { k =>
+      sb ++= s""",
+                |fl$k$sfx AS (
+                |  SELECT ${cl}cnt, ip,
+                |    CASE WHEN mm >= 2147483648 THEN mm >> 1
+                |         ELSE mm END AS m,
+                |    CASE WHEN mm >= 2147483648 THEN r*2 + 1
+                |         ELSE r*2 END AS r
+                |  FROM (SELECT ${cl}cnt, ip, (m*m) >> 30 AS mm, r
+                |        FROM fl${k - 1}$sfx))""".stripMargin
+    }
+    sb ++= s""",
+              |fl$sfx AS (SELECT ${cl}cnt,
+              |  ((ip::bigint * 1048576 + r) * 693147) >> 20 AS s
+              |  FROM fl20$sfx)""".stripMargin
+    sb.toString
+  }
+
   private def unigramDpChain(vsCte: String, sfx: String): String = {
     val L = UnigramMaxPiece
     val minv = "-4611686018427387904"
@@ -2750,9 +2795,9 @@ object ExtQueries {
       s"WHEN $l THEN CASE WHEN g${l - 1} = '' THEN p$l " +
         s"ELSE g${l - 1} || ' ' || p$l END").mkString(
       "CASE pick ", "\n      ", " END")
-    s"""tot$sfx AS (SELECT
-       |  cast(round(1000000.0 * ln((sum(cnt)::bigint)::double), 0)
-       |    AS bigint) AS stot FROM $vsCte),
+    s"""${fixLogCtes(s"(SELECT sum(cnt)::bigint AS cnt FROM $vsCte)",
+          s"_t$sfx", Nil)},
+       |tot$sfx AS (SELECT s AS stot FROM fl_t$sfx),
        |rec$sfx(w, i, ${bCols.mkString(", ")}, ${gCols.mkString(", ")})
        |AS (
        |  $seed
@@ -2799,9 +2844,8 @@ object ExtQueries {
        |    SELECT * FROM topv UNION ALL
        |    SELECT piece, cnt FROM subs WHERE length(piece) = 1)
        |  GROUP BY piece),
-       |vs AS (SELECT piece, cnt,
-       |  cast(round(1000000.0 * ln(cnt::double), 0) AS bigint) AS s
-       |  FROM vocab),
+       |${fixLogCtes("vocab", "_v", Seq("piece"))},
+       |vs AS (SELECT piece, cnt, s FROM fl_v),
        |${unigramDpChain("vs", "_r1")},
        |fin AS (SELECT w, seg FROM fin_r1)""".stripMargin
   }
@@ -5817,9 +5861,8 @@ object ExtQueries {
          |          ELSE 1 END)::bigint AS cnt
          |  FROM vs LEFT JOIN used u ON u.piece = vs.piece
          |  WHERE coalesce(u.cnt_em, 0) > 0 OR length(vs.piece) = 1),
-         |vs2 AS (SELECT piece, cnt,
-         |  cast(round(1000000.0 * ln(cnt::double), 0) AS bigint) AS s
-         |  FROM vocab2),
+         |${fixLogCtes("vocab2", "_v2", Seq("piece"))},
+         |vs2 AS (SELECT piece, cnt, s FROM fl_v2),
          |${unigramDpChain("vs2", "_r2")},
          |used2 AS (
          |  SELECT piece, sum(freq)::bigint AS u2 FROM (

@@ -264,18 +264,33 @@ object TextKernels {
     * recur THROUGH a merged token, since `l+r = l` needs an empty `r`
     * and `l+r = r` an empty `l` — which is what the DuckDB oracle's
     * recursive rewrite computes. */
-  /** All substrings of `w` with length 1..maxLen, document order,
-    * multiplicity kept — the unigram-tokenizer candidate generator
-    * (runs over the DISTINCT-WORD frame, not the corpus). */
+  /** Candidate start positions are capped at this many CODE POINTS —
+    * a "word" longer than 128 code points is binary junk, a URL, or a
+    * concatenation artifact, not tokenizer-vocabulary material, and an
+    * unbounded enumeration would let one pathological token dominate
+    * the candidate frame. The generated DuckDB oracle unrolls the same
+    * bound (`range(0, 128)` over substring starts), so the two engines
+    * enumerate the identical candidate set by construction. */
+  val UnigramMaxWordStarts = 128
+
+  /** All substrings of `w` with length 1..maxLen starting in the first
+    * [[UnigramMaxWordStarts]] positions, document order, multiplicity
+    * kept — the unigram-tokenizer candidate generator (runs over the
+    * DISTINCT-WORD frame, not the corpus). Positions, lengths, and
+    * substring boundaries count UNICODE CODE POINTS, not UTF-16 units:
+    * the oracle's `substr`/`length` count code points, and a non-BMP
+    * character (emoji, rare CJK) under UTF-16 indexing would split
+    * surrogate pairs and enumerate a different candidate set. */
   def charGrams(word: UTF8String, maxLen: Int): ArrayData = {
-    val w = word.toString
-    val n = w.length
-    val out = new java.util.ArrayList[AnyRef](n * maxLen)
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    val out = new java.util.ArrayList[AnyRef](
+      math.min(n, UnigramMaxWordStarts) * maxLen)
     var st = 0
-    while (st < n) {
+    while (st < n && st < UnigramMaxWordStarts) {
       var l = 1
       while (l <= maxLen && st + l <= n) {
-        out.add(UTF8String.fromString(w.substring(st, st + l)))
+        out.add(UTF8String.fromString(new String(cps, st, l)))
         l += 1
       }
       st += 1
@@ -318,8 +333,11 @@ object TextKernels {
         ViterbiVocab.set((pieces, m))
         m
       }
-    val w = word.toString
-    val n = w.length
+    // the DP indexes CODE POINTS (like [[charGrams]] and the oracle's
+    // substr/length): UTF-16 indexing would run the recurrence over a
+    // different position space for any non-BMP character
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
     if (n == 0) return new GenericArrayData(new Array[AnyRef](0))
     val Unreach = java.lang.Long.MIN_VALUE
     val best = new Array[Long](n + 1)
@@ -331,7 +349,7 @@ object TextKernels {
       var l = math.min(maxLen, i)
       while (l >= 1) {
         if (best(i - l) != Unreach) {
-          val s = map.get(w.substring(i - l, i))
+          val s = map.get(new String(cps, i - l, l))
           if (s != null) {
             val cand = best(i - l) + s.longValue() - sTot
             if (best(i) == Unreach || cand > best(i)) {
@@ -352,7 +370,8 @@ object TextKernels {
     k = n
     var j = cnt - 1
     while (k > 0) {
-      out(j) = UTF8String.fromString(w.substring(k - back(k), k))
+      out(j) = UTF8String.fromString(new String(cps, k - back(k),
+        back(k)))
       j -= 1
       k -= back(k)
     }

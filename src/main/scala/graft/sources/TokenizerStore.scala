@@ -31,7 +31,7 @@ import graft.sources.StoreFiles.{readText, writeText}
 object TokenizerStore {
 
   private val Prefix = "vocab-"
-  val FormatVersion = 1
+  val FormatVersion = 2 // v2: unigram scores via exact-integer fixLogScore
 
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, Prefix).getOrElse(
@@ -148,11 +148,15 @@ object TokenizerStore {
   def encodeUnigramFromStore(spark: SparkSession, path: String,
       docs: DataFrame, maxPieceLen: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val vocabRows = readUnigramVocab(spark, path)
+    val vocab = readUnigramVocab(spark, path)
       .orderBy(org.apache.spark.sql.functions.col("piece"))
       .collect() // bounded metadata: the tokenizer model itself
+      .map(r => graft.operators.CorpusStats.UnigramPiece(
+        r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("s")))
+      .toSeq
     graft.operators.CorpusStats.unigramEncodeBody(docs,
       graft.operators.CorpusStats.unigramSegmentedWithVocab(docs,
-        vocabRows, maxPieceLen, textCol), textCol, idCol)
+        vocab, maxPieceLen, textCol), textCol, idCol)
   }
 }

@@ -1064,6 +1064,51 @@ class ExtSpec extends SparkSpec {
     assert(enc4.getAs[Long]("n_words") === 4L)
   }
 
+  test("fixLogScore: exact on powers of two, monotone, libm-free") {
+    import graft.operators.CorpusStats.fixLogScore
+    // 2^k has a zero fractional log2 → s is exactly k·⌊1e6·ln2⌋
+    (0 to 62).foreach(k =>
+      assert(fixLogScore(1L << k) === k * 693147L, s"2^$k"))
+    // within 9 ppm-units of the real thing, and monotone (truncation
+    // preserves order) — the properties the Viterbi argmax relies on
+    var prev = Long.MinValue
+    (1L to 2000L) ++ Seq(12345L, 999999937L, (1L << 40) + 17L,
+      Long.MaxValue) foreach { c =>
+      val s = fixLogScore(c)
+      // truncation error grows with the exponent (20 steps × ≤2⁻³⁰
+      // mantissa loss, scaled by 1e6·ln2); ~13 units at 2⁶³
+      assert(math.abs(s - 1e6 * math.log(c.toDouble)) < 16.0, s"c=$c")
+      assert(s >= prev, s"monotonicity at $c")
+      prev = s
+    }
+  }
+
+  test("unigram kernels index code points and cap candidate starts") {
+    // 🌊 (U+1F30A) is one code point, two UTF-16 units: UTF-16
+    // indexing would emit surrogate halves as 'pieces'
+    val w = "a🌊b"
+    val grams = spark.range(1)
+      .select(graft.plans.TextExpressions.charGrams(lit(w), 2)
+        .as("g")).as[Seq[String]].head()
+    assert(grams === Seq("a", "a🌊", "🌊",
+      "🌊b", "b"))
+    // the DP segments the same 3-code-point space: whole-word cover
+    // exists from the char pieces; no surrogate is ever split
+    val d = Seq((0L, s"$w $w")).toDF("doc_id", "text")
+    val enc = CorpusStats.unigramTokenEncode(d, vocabSize = 50,
+      maxPieceLen = 4).collect().head
+    assert(enc.getAs[Long]("n_words") === 2L)
+    assert(enc.getAs[Long]("n_pieces") === 2L) // the whole word is a piece
+    // starts cap: a 200-char word enumerates grams from the first 128
+    // positions only (the oracle's range(0, 128) mirrored)
+    val long = "x" * 130 + "y" * 70
+    val capped = spark.range(1)
+      .select(graft.plans.TextExpressions.charGrams(lit(long), 1)
+        .as("g")).as[Seq[String]].head()
+    assert(capped.length === 128)
+    assert(!capped.contains("y"), "grams must stop at start 128")
+  }
+
   test("unigram em2: prune keeps used pieces + floored chars, fixpoint holds") {
     val d = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
     val em2 = CorpusStats.unigramTokenEm2(d, vocabSize = 50,
