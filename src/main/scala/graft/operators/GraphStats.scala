@@ -467,10 +467,25 @@ object GraphStats {
     * keyed aggregate; everything after runs on quotient rows. Output:
     * `(vec_id, l1_community, community_id)` per edge endpoint. */
   def communityTwoLevel(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", wCol: String = "cos"): DataFrame = {
-    val l1 = CacheRegistry.tracked(
+      bCol: String = "id_b", wCol: String = "cos"): DataFrame =
+    communityTwoLevelFrom(edges,
       communityMerge(edges, aCol, bCol, wCol)
-        .select(col("vec_id"), col("community_id").as("c1")))
+        .select(col("vec_id"), col("community_id").as("c1")),
+      aCol, bCol, wCol)
+
+  /** [[communityTwoLevel]] against an EXPLICIT level-1 assignment
+    * `(vec_id, c1)` — the serving split: level 1 is a pure function of
+    * one pair-table state, so a committed store
+    * ([[graft.sources.ClusterStore.ensureL1Labels]]) pays its sweep +
+    * closure once per admission instead of inside every two-level
+    * query, and this body prices only the quotient-graph re-sweep
+    * (communities-sized). Bit-identical to the inline form by
+    * construction (spec-pinned): the stored labels ARE
+    * [[communityMerge]]'s output round-tripped through parquet longs. */
+  def communityTwoLevelFrom(edges: DataFrame, l1In: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      wCol: String = "cos"): DataFrame = {
+    val l1 = CacheRegistry.tracked(l1In)
     // the SAME canonical ppm pair prep as the level-1 sweep
     val ppm = (col(wCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
       * 1000000).cast("long")

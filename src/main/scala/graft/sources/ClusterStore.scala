@@ -134,6 +134,68 @@ object ClusterStore {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
+  // ------------------------------------------- Louvain level-1 labels
+
+  /** Manifest meta key: the pair segment list the LEVEL-1 Louvain
+    * labels are current against. */
+  private[sources] val L1SigKey = "l1_pairs_sig"
+
+  /** The Louvain level-1 label relation. Unlike the CC labels, a
+    * Louvain sweep is not incrementally maintainable (one new edge can
+    * flip distant argmaxes), so admissions simply INVALIDATE it — the
+    * pair-segment signature stops matching and the next read rebuilds.
+    * One resolved row per endpoint; replaced wholesale on repair. */
+  private[sources] val L1Rel = "l1labels"
+
+  private[sources] def l1Fresh(m: ManifestDir.Manifest): Boolean =
+    m.segments(L1Rel).nonEmpty &&
+      m.meta.get(L1SigKey).contains(
+        pairsSig(m.segments(EdgeStore.PairsRel)))
+
+  /** Make the committed LEVEL-1 Louvain labels current for the edge
+    * store's pair table — the second derived rung above the pairs
+    * (CC labels answer "reachable", these answer "densely tied"). The
+    * sweep + adoption-closure cost (`GraphStats.communityMerge`: the
+    * edge-sized argmax joins plus the O(log d) component closure) is
+    * paid HERE once per pair-table state instead of inside every
+    * two-level consumer; `x_community_l2` then reads one committed
+    * table and runs only the quotient-graph re-sweep. Fast path is
+    * one manifest read. Returns build seconds, or None when warm. */
+  def ensureL1Labels(spark: SparkSession, edgePath: String)
+      : Option[Double] = {
+    val m0 = EdgeStore.currentManifest(spark, edgePath)
+    if (l1Fresh(m0)) None
+    else SnapshotDir.withWriterLock(spark, edgePath) {
+      val m = EdgeStore.currentManifest(spark, edgePath)
+      if (l1Fresh(m)) None
+      else {
+        val t0 = System.nanoTime()
+        val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), L1Rel)
+        graft.operators.GraphStats.communityMerge(
+            ManifestDir.readRelation(spark, edgePath, m,
+              EdgeStore.PairsRel))
+          .select(col("vec_id").as("id"),
+            col("community_id").as("label"))
+          .write.parquet(s"$edgePath/$seg")
+        ManifestDir.commit(spark, edgePath, EdgeStore.Prefix,
+          m.withRelation(L1Rel, Seq(seg))
+            .withMeta(L1SigKey,
+              pairsSig(m.segments(EdgeStore.PairsRel))))
+        SnapshotDir.gc(spark, edgePath, EdgeStore.Prefix)
+        Some((System.nanoTime() - t0) / 1e9)
+      }
+    }
+  }
+
+  /** The committed level-1 label table `(id, label)` — one row per
+    * edge endpoint, rebuilt first (under the writer lock) if the pair
+    * table moved since it was last derived. */
+  def readL1Labels(spark: SparkSession, edgePath: String): DataFrame = {
+    ensureL1Labels(spark, edgePath)
+    ManifestDir.readRelation(spark, edgePath,
+      EdgeStore.currentManifest(spark, edgePath), L1Rel)
+  }
+
   /** Incremental maintenance delta — computed by
     * [[EdgeStore.appendBatch]] inside its writer-lock critical
     * section, written as the batch's `labels` segment, and published

@@ -589,6 +589,68 @@ class GraphStatsSpec extends SparkSpec {
     assert(triL2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("stored L1 labels serve the two-level sweep bit-identically") {
+    import graft.operators.ExtQueries
+    import graft.sources.{ClusterStore, EdgeStore}
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-l1").toString
+    EdgeStore.ensureNearDupPairs(e, path, ExtQueries.CosineThreshold,
+      bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim)
+    val pairs = EdgeStore.read(spark, path)
+    // first touch builds; second is warm (one manifest read)
+    assert(ClusterStore.ensureL1Labels(spark, path).isDefined)
+    assert(ClusterStore.ensureL1Labels(spark, path).isEmpty)
+    def toMap(df: org.apache.spark.sql.DataFrame, k: String, v: String) =
+      df.collect().map(r => r.getAs[Long](k) -> r.getAs[Long](v)).toMap
+    // stored l1 ≡ the in-query sweep (pure function of the pair state)
+    assert(toMap(ClusterStore.readL1Labels(spark, path), "id", "label")
+      === toMap(GraphStats.communityMerge(pairs), "vec_id",
+        "community_id"))
+    // ... and the SERVED two-level routing ≡ the inline cold path
+    val served = GraphStats.communityTwoLevelFrom(pairs,
+      ClusterStore.readL1Labels(spark, path)
+        .select($"id".as("vec_id"), $"label".as("c1"))).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l1_community"),
+        r.getAs[Long]("community_id"))).toSet
+    val inline = GraphStats.communityTwoLevel(pairs).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l1_community"),
+        r.getAs[Long]("community_id"))).toSet
+    assert(served === inline)
+  }
+
+  test("L1 labels go stale on admission and repair on next read") {
+    import graft.operators.ExtQueries
+    import graft.sources.{ClusterStore, EdgeStore}
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-l1-stale").toString
+    EdgeStore.ensureNearDupPairs(base, path, ExtQueries.CosineThreshold,
+      bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim)
+    assert(ClusterStore.ensureL1Labels(spark, path).isDefined)
+    // the admission rewrites the pair segment list → the committed L1
+    // signature stops matching; serving the pre-append sweep would be
+    // silently wrong, so the next ensure REBUILDS
+    assert(EdgeStore.appendBatch(batch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim) > 0L)
+    assert(ClusterStore.ensureL1Labels(spark, path).isDefined,
+      "post-admission read must repair, not serve stale labels")
+    val stored = ClusterStore.readL1Labels(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val fresh = GraphStats.communityMerge(EdgeStore.read(spark, path))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(stored === fresh)
+  }
+
   test("weighted pagerank: uniform weights equal the unweighted ranking") {
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
     val w = GraphStats.pageRankWeighted(
