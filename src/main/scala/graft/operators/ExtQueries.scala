@@ -2137,6 +2137,35 @@ object ExtQueries {
       }
     }),
 
+    // MV routing for a COARSER rollup — aggregate-on-aggregate: the
+    // monthly view of the registered daily store is a plain
+    // declarative monthly aggregate over the FACTS; the rule routes
+    // it to a re-aggregation of the committed daily partials
+    // (count/sum states are algebraic, so regrouping them by
+    // trunc(day, 'month') is exact). The oracle recomputes from the
+    // raw facts; PlanSpec pins the fact scan is gone.
+    "x_mv_rewrite_coarse" -> ((s, d) => {
+      graft.sources.AggStore.ensureState(Tables.events(s, d),
+        aggMvPath(d), baseTag = "mv-full")
+      s.conf.set(graft.plans.AggStoreRewrite.PathKey, aggMvPath(d))
+      s.conf.set(graft.plans.AggStoreRewrite.SourceKey,
+        s"$d/events.parquet")
+      try {
+        Tables.events(s, d)
+          .groupBy(trunc(to_date(col("ts")), "month").as("month"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 2))).as("total"))
+          .select(col("month"), col("event_type"), col("cnt"),
+            col("total").cast("double").as("total"))
+          .localCheckpoint()
+      } finally {
+        s.conf.unset(graft.plans.AggStoreRewrite.PathKey)
+        s.conf.unset(graft.plans.AggStoreRewrite.SourceKey)
+      }
+    }),
+
     "x_ivm_daily" -> ((s, d) => {
       val base = Tables.events(s, d)
         .filter(col("event_id") % IvmDeltaMod =!= 0)
@@ -6584,6 +6613,14 @@ object ExtQueries {
          |  AND event_type IN (${MvFilterTypes
               .map(t => s"'$t'").mkString(", ")})
          |GROUP BY 1, 2""".stripMargin,
+
+    // the coarse (monthly) routing serves off regrouped daily
+    // partials; the oracle recomputes the monthly view from raw facts
+    "x_mv_rewrite_coarse" ->
+      """SELECT date_trunc('month', cast(ts AS date))::date AS month,
+        |  event_type, count(*) AS cnt,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // last op per key by (ts, event_id), delete vanishes — the
     // window formulation of the struct-max fold

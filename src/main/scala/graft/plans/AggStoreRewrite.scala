@@ -104,13 +104,40 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     if (views.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        views.iterator
-          .flatMap { case (source, store) =>
-            matchView(agg, source).map(conds => (store, conds)) }
-          .nextOption() match {
-          case Some((store, conds)) => rewrite(agg, store, conds)
-          case None => agg
+        views.flatMap { case (source, store) =>
+          matchView(agg, source).map { case (key, conds) =>
+            (store, key, conds) } } match {
+          case Seq() => agg
+          case Seq((store, key, conds)) => rewrite(agg, store, key,
+            conds)
+          case several =>
+            // ambiguous registration (overlapping source suffixes both
+            // matching this scan): pick the view with the FEWEST
+            // partial rows — bounded store metadata, a deterministic
+            // and cheapest-serving choice where first-registered was
+            // an accident of conf ordering
+            val (store, key, conds) = several.minBy(m =>
+              partialRows(m._1))
+            rewrite(agg, store, key, conds)
         }
+    }
+  }
+
+  /** Committed partial-row count of `store`, memoized per immutable
+    * version directory (a version never changes once committed, so
+    * the count can never go stale under its key; a new commit is a
+    * new key). Only consulted when SEVERAL registered views match one
+    * scan. Missing/uncommitted stores sort last. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def partialRows(store: String): Long = {
+    val spark = SparkSession.active
+    graft.sources.AggStore.currentVersionDir(spark, store) match {
+      case None => Long.MaxValue
+      case Some(vd) => rowCountCache.computeIfAbsent(vd,
+        d => java.lang.Long.valueOf(spark.read.parquet(d).count()))
+        .longValue()
     }
   }
 
@@ -261,11 +288,31 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     else Some(translated)
   }
 
-  /** Some(translated filter conjuncts) when `agg` is the registered
-    * view (possibly filtered on its keys) over the registered scan;
+  /** Translate a GROUPING key into the store's column space: every
+    * day-key occurrence becomes the partials' `day` attribute. Sound
+    * for ANY deterministic function of the day key — `F(day)` is
+    * constant within each day group, so grouping the day-keyed
+    * partials by `F(day)` and re-summing the algebraic COUNT/SUM
+    * states is exactly the fact-level aggregate (the classic
+    * aggregate-on-aggregate MV rollup: weekly/monthly views of the
+    * daily store never touch the facts). A surviving scan attribute
+    * means the key depends on a non-key column → no rewrite. */
+  private def translateKey(e: Expression): Option[Expression] = {
+    if (!e.deterministic) return None
+    if (e.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val t = e.transformUp {
+      case d if isDayKey(d) => UnresolvedAttribute("day")
+    }
+    if (t.exists(_.isInstanceOf[AttributeReference])) None
+    else Some(t)
+  }
+
+  /** Some((translated day-derived key, translated filter conjuncts))
+    * when `agg` is the registered view — or a coarser day-rollup of
+    * it — possibly filtered on its keys, over the registered scan;
     * None otherwise. */
   private def matchView(agg: Aggregate, source: String)
-      : Option[Seq[Expression]] = {
+      : Option[(Expression, Seq[Expression])] = {
     val conds = chainTo(agg.child, source) match {
       case Some(cs) => cs
       case None => return None
@@ -273,11 +320,15 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     val g = agg.groupingExpressions
       .map(e => resolveThrough(agg.child, stripAlias(e)))
     if (g.length != 2) return None
-    val dayFirst = isDayKey(g.head) && (g(1) match {
+    val typeOk = g(1) match {
       case a: AttributeReference => a.name == "event_type"
       case _ => false
-    })
-    if (!dayFirst) return None
+    }
+    if (!typeOk) return None
+    val key = translateKey(g.head) match {
+      case Some(k) => k
+      case None => return None
+    }
     // output = [day, event_type, count, sum] in exactly this order
     // (df.groupBy(a, b).agg(x, y)'s shape — anything else falls
     // through; order-insensitivity would complicate the re-aliasing
@@ -290,10 +341,10 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     if (!shapeOk) return None
     val translated = conds.map(translateCond(agg, _))
     if (translated.exists(_.isEmpty)) None
-    else Some(translated.flatten)
+    else Some((key, translated.flatten))
   }
 
-  private def rewrite(agg: Aggregate, store: String,
+  private def rewrite(agg: Aggregate, store: String, key: Expression,
       conds: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     // the compensated predicate lands on the PARTIALS, before the
@@ -302,8 +353,11 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     val partials = conds.foldLeft(
         graft.sources.AggStore.readState(spark, store))(
       (df, c) => df.filter(org.apache.spark.sql.GraftBridge.column(c)))
+    // the (possibly coarsened) day key groups the partials; COUNT/SUM
+    // states are algebraic, so the re-aggregation is exact
     val replacement = partials
-      .groupBy(col("day"), col("event_type"))
+      .groupBy(org.apache.spark.sql.GraftBridge.column(key).as("gday"),
+        col("event_type"))
       .agg(sum(col("cnt")).cast("bigint").as("cnt"),
         sum(col("total")).cast("decimal(28,2)").as("total"))
       .queryExecution.analyzed

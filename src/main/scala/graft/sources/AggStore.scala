@@ -154,6 +154,15 @@ object AggStore {
   def readState(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(currentDir(spark, path))
 
+  /** Directory of the current committed version, if any — stable
+    * cache identity for consumers that memoize per-version metadata
+    * (committed versions are immutable;
+    * [[graft.plans.AggStoreRewrite]]'s row-count tie-break keys on
+    * it). */
+  def currentVersionDir(spark: SparkSession, path: String)
+      : Option[String] =
+    SnapshotDir.current(spark, path, Prefix)
+
   /** The maintained view with `delta` folded in AT READ TIME — the
     * stored state is untouched (idempotent; safe to re-run with the
     * same delta). Plan shape: aggregate the delta (O(|delta|)), union

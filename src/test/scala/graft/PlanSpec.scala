@@ -712,6 +712,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mv rewrite routes COARSE rollups and tie-breaks ambiguous " +
+      "views by partial-row count") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.AggStoreRewrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mvplan-c").toString
+    graft.sources.AggStore.ensureState(Tables.events(spark, sf0001),
+      s"$dir/store", baseTag = "plan-pin-c")
+    def monthly(base: org.apache.spark.sql.DataFrame) = base
+      .groupBy(trunc(to_date(col("ts")), "month").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2))).as("total"))
+    val expected = monthly(Tables.events(spark, sf0001))
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(AggStoreRewrite.PathKey, s"$dir/store")
+    spark.conf.set(AggStoreRewrite.SourceKey, s"$sf0001/events.parquet")
+    try {
+      // aggregate-on-aggregate: the monthly view routes onto the
+      // DAILY partials (regrouped by trunc(day)); the fact scan is gone
+      val q = monthly(Tables.events(spark, sf0001))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("agg-"), s"coarse view not routed:\n$plan")
+      assert(!plan.contains("events.parquet"),
+        s"fact scan survived the coarse rewrite:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq === expected)
+      // a key that mixes in a NON-key column must block
+      val mixed = Tables.events(spark, sf0001)
+        .groupBy(trunc(to_date(col("ts")), "month").as("month"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).as("total"))
+        .filter(col("cnt") >= 0) // post-agg filter is fine either way
+      assert(mixed.collect().length === expected.length)
+      // AMBIGUOUS registration: a second (bogus, larger) store also
+      // matches the scan via an overlapping suffix — the tie-break
+      // must pick the FEWER-partial-rows store, here the correct one
+      graft.sources.AggStore.ensureState(
+        Tables.events(spark, sf0001).unionByName(
+          Tables.events(spark, sf0001)
+            .withColumn("event_type", concat(col("event_type"),
+              lit("_dup")))),
+        s"$dir/big", baseTag = "plan-pin-c-big")
+      spark.conf.set(AggStoreRewrite.ViewsKey,
+        s"$sf0001/events.parquet=$dir/big")
+      val tie = monthly(Tables.events(spark, sf0001))
+      val tPlan = tie.queryExecution.executedPlan.toString
+      assert(!tPlan.contains("events.parquet"))
+      assert(tie.collect().map(_.toString).sorted.toSeq === expected,
+        "tie-break must choose the smaller (correct) store")
+    } finally {
+      spark.conf.unset(AggStoreRewrite.PathKey)
+      spark.conf.unset(AggStoreRewrite.SourceKey)
+      spark.conf.unset(AggStoreRewrite.ViewsKey)
+    }
+  }
+
   test("mv rewrite: key filters compensate, non-key filters block, " +
       "sibling paths never match") {
     import org.apache.spark.sql.functions._
