@@ -127,15 +127,62 @@ private[graft] object ManifestDir {
     Manifest(rels.toMap, meta.toMap)
   }
 
+  private val StatsFile = "_segstats.tsv"
+  private val StatsHeader = "graft-segstats\tv1"
+
+  /** Per-segment `(files, bytes)` recorded in a committed version dir,
+    * if present (versions committed before the stats sidecar shipped
+    * have none — consumers fall back to walking). */
+  private[graft] def readStats(spark: SparkSession, versionDir: String)
+      : Option[Map[String, (Long, Long)]] =
+    StoreFiles.readText(spark, s"$versionDir/$StatsFile").map { text =>
+      val lines = text.split("\n").toSeq
+      require(lines.headOption.contains(StatsHeader),
+        s"unrecognized segstats header in $versionDir/$StatsFile")
+      lines.drop(1).filter(_.nonEmpty).map(_.split("\t", -1) match {
+        case Array(sd, f, b) => sd -> (f.toLong, b.toLong)
+        case other => throw new IllegalStateException(
+          s"malformed segstats line '${other.mkString("\\t")}' in " +
+            s"$versionDir/$StatsFile")
+      }).toMap
+    }
+
+  /** One non-recursive listing of a segment dir → (files, bytes). */
+  private def listSegment(spark: SparkSession, root: String,
+      segDir: String): (Long, Long) = {
+    val (fs, _) = StoreFiles.fsOf(spark, root)
+    val statuses = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$segDir"))
+      .filter(_.isFile)
+    (statuses.length.toLong, statuses.map(_.getLen).sum)
+  }
+
   /** Publish `m` as the next committed version of `root` — CALLER
     * HOLDS the writer lock and has already finished every segment
     * write `m` references. This is the transaction's commit point:
     * one atomic marker create makes all of `m`'s relations visible
-    * together. */
+    * together.
+    *
+    * The version dir also records per-segment FILE STATS (count,
+    * bytes) as a sidecar: segments are immutable, so stats for
+    * segments carried over from the previous version copy forward and
+    * only the batch's NEW segments are listed — the write-side cost is
+    * batch-sized, and observability consumers ([[StoreCatalog]]) serve
+    * `n_files`/`bytes` from the records instead of a recursive
+    * root walk (the lakehouse metadata-table shape). */
   def commit(spark: SparkSession, root: String, prefix: String,
       m: Manifest): Long = {
+    val prev = SnapshotDir.current(spark, root, prefix)
+      .flatMap(readStats(spark, _)).getOrElse(Map.empty)
+    val segs = m.relations.values.flatten.toSeq.distinct
+    val stats = segs.map(sd =>
+      sd -> prev.getOrElse(sd, listSegment(spark, root, sd)))
     val v = SnapshotDir.next(spark, root, prefix)
-    write(spark, s"$root/${SnapshotDir.name(prefix, v)}", m)
+    val vdir = s"$root/${SnapshotDir.name(prefix, v)}"
+    write(spark, vdir, m)
+    StoreFiles.writeText(spark, s"$vdir/$StatsFile",
+      (Seq(StatsHeader) ++ stats.map { case (sd, (f, b)) =>
+        s"$sd\t$f\t$b" }).mkString("\n"))
     SnapshotDir.commit(spark, root, prefix, v)
     v
   }

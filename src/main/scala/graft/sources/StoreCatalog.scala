@@ -11,9 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * committed versions are retained, the build recipe (the
   * `_built.json` marker the ensure-gates stamp), the manifest's
   * relation count and label freshness (manifest stores only), and the
-  * raw file count / byte total under the root — the loop a lakehouse
-  * format closes with its metadata tables, closed here for the
-  * plain-parquet protocol.
+  * file count / byte total — the loop a lakehouse format closes with
+  * its metadata tables, closed here for the plain-parquet protocol.
   *
   * SQL-callable as `graft_stores('family', '/path', ...)` (registered
   * in [[graft.plans.GraftExtensions]]), so an operator console needs
@@ -21,10 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale shape: this is bounded METADATA — per store one directory
   * listing for versions, one sidecar read for the recipe, one manifest
-  * read, and one recursive file-status walk (file-count sized, the
-  * same listing any scan planner performs; never a data row). The
-  * result is specs-sized and built driver-side by design, like any
-  * catalog query. */
+  * read. For MANIFEST stores `n_files`/`bytes` come from the
+  * per-segment stats the writer recorded at commit time (segments are
+  * immutable, so the records can never go stale) — one sidecar read,
+  * ZERO recursive listing, and they describe exactly the CURRENT
+  * version's referenced data (not crash debris or retained old
+  * versions). Non-manifest families and pre-sidecar versions fall back
+  * to the recursive file-status walk (file-count sized, the same
+  * listing any scan planner performs; never a data row). The result is
+  * specs-sized and built driver-side by design, like any catalog
+  * query. */
 object StoreCatalog {
 
   private val VersionDir = "^(.+-)(\\d{8})$".r
@@ -73,17 +78,29 @@ object StoreCatalog {
         val mainVersions = committed
           .filter(c => mainPrefix.contains(c._1))
         val current = mainVersions.sortBy(_._2).lastOption
-        val manifest = current.flatMap { case (prefix, v) =>
-          ManifestDir.tryRead(spark,
-            s"$root/${SnapshotDir.name(prefix, v)}")
-        }
+        val currentDir = current.map { case (prefix, v) =>
+          s"$root/${SnapshotDir.name(prefix, v)}" }
+        val manifest = currentDir.flatMap(ManifestDir.tryRead(spark, _))
+        // manifest stores record per-segment (files, bytes) at COMMIT
+        // time — serve the catalog from those records (one sidecar
+        // read) instead of a recursive root walk; the walk remains the
+        // fallback for non-manifest families and pre-sidecar versions
+        val recorded = currentDir
+          .filter(_ => manifest.isDefined)
+          .flatMap(ManifestDir.readStats(spark, _))
         var nFiles = 0L
         var bytes = 0L
-        val it = fs.listFiles(hp, true)
-        while (it.hasNext) {
-          val f = it.next()
-          nFiles += 1
-          bytes += f.getLen
+        recorded match {
+          case Some(stats) =>
+            nFiles = stats.valuesIterator.map(_._1).sum
+            bytes = stats.valuesIterator.map(_._2).sum
+          case None =>
+            val it = fs.listFiles(hp, true)
+            while (it.hasNext) {
+              val f = it.next()
+              nFiles += 1
+              bytes += f.getLen
+            }
         }
         StoreInfo(family,
           current.map(_._2),

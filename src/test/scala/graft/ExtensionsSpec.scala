@@ -243,6 +243,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(odd.getMessage.contains("graft_stores"))
   }
 
+  test("graft_stores serves manifest-store file stats from commit-time " +
+      "records, never a recursive walk") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val edges = java.nio.file.Files
+      .createTempDirectory("graft-cat-stats").toString
+    graft.sources.EdgeStore.writePairs(
+      Seq((1L, 2L, 0.99)).toDF("id_a", "id_b", "cos"),
+      Seq((1L, 0, "x"), (2L, 0, "x")).toDF("id", "band", "bkey"), edges)
+    def stats(): (Long, Long) = {
+      val r = graft.sources.StoreCatalog.describe(s,
+        Seq("edges" -> edges)).collect().head
+      (r.getAs[Long]("n_files"), r.getAs[Long]("bytes"))
+    }
+    val (f0, b0) = stats()
+    assert(f0 > 0L && b0 > 0L)
+    // plant ALIEN files under the root (outside any segment): a
+    // recursive walk would count them; the recorded stats must not —
+    // they describe exactly the current version's referenced data
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(edges, "junk.bin"),
+      Array.fill[Byte](4096)(1))
+    val junkDir = java.nio.file.Paths.get(edges, "seg", "orphan-uid",
+      "pairs")
+    java.nio.file.Files.createDirectories(junkDir)
+    java.nio.file.Files.write(junkDir.resolve("part-junk.parquet"),
+      Array.fill[Byte](8192)(2))
+    assert(stats() === ((f0, b0)),
+      "manifest-store stats must come from commit-time records, " +
+        "not a walk that counts debris")
+    // a NON-manifest family keeps the walk: the alien file counts
+    val agg = java.nio.file.Files
+      .createTempDirectory("graft-cat-stats-agg").toString
+    graft.sources.AggStore.writeState(
+      Tables.events(s, "/root/testdata/sf0.001"), agg)
+    def aggStats(): (Long, Long) = {
+      val r = graft.sources.StoreCatalog.describe(s,
+        Seq("agg" -> agg)).collect().head
+      (r.getAs[Long]("n_files"), r.getAs[Long]("bytes"))
+    }
+    val (af0, ab0) = aggStats()
+    java.nio.file.Files.write(java.nio.file.Paths.get(agg, "junk.bin"),
+      Array.fill[Byte](2048)(3))
+    val (af1, ab1) = aggStats()
+    assert(af1 === af0 + 1 && ab1 === ab0 + 2048,
+      "non-manifest stores still walk (no records exist to serve)")
+  }
+
   test("mv rewrite: routed to the store, blocked by filters, identical rows") {
     import graft.plans.AggStoreRewrite
     val spark = SparkSpec.spark
