@@ -190,6 +190,11 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fpbranch-work-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def takedownWorkPath(d: String, store: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
+      .toString
+
   private[graft] def nearDupPairsPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndpairs-${Integer.toHexString(d.hashCode)}").toString
@@ -600,6 +605,94 @@ object ExtQueries {
         .unionByName(graft.sources.FingerprintStore
           .readBuckets(s, work, branch = Some("exp"))
           .withColumn("ref", lit("exp")))
+    }),
+
+    // TAKEDOWN PROPAGATION — the compliance sweep: given removed
+    // doc/vector/fact ids (% DeleteMod == DeleteRem), one call
+    // rewrites EVERY persisted family (fingerprint buckets+arrays
+    // anti-join; edge pairs/bands anti-join + touched-group label
+    // repair, where a removed bridge can SPLIT a component; ANN
+    // tombstones; exact algebraic subtraction on the rollup), each
+    // store committing atomically through its own protocol. The
+    // result is one summary row per rewritten relation — row count +
+    // an order-independent 60-bit md5 content hashsum — and the
+    // oracle rebuilds every relation FROM THE FILTERED INPUTS from
+    // first principles: post-delete store reads ≡
+    // rebuild-from-filtered, per relation. (The fp relations' oracle
+    // is the corpus chain filtered to surviving ids: the store's df
+    // cap is admission-path state over the build corpus, exactly as
+    // in the incremental-admission contract.)
+    "x_takedown" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val events = Tables.events(s, d)
+      val docDel = Tables.documents(s, d)
+        .filter(col("doc_id") % DeleteMod === DeleteRem)
+      val vecDel = e.filter(col("vec_id") % DeleteMod === DeleteRem)
+      val factDel = events
+        .filter(col("event_id") % DeleteMod === DeleteRem)
+      // warm bases (all ensure-gated), cloned so the shared stores
+      // stay pristine for their own queries
+      graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), fpStorePath(d))
+      graft.sources.EdgeStore.ensureNearDupPairs(e, nearDupPairsPath(d),
+        CosineThreshold, bands = NearDupBands,
+        rowsPerBand = NearDupRows, dim = EmbeddingDim)
+      graft.sources.ClusterStore.ensureLabels(s, nearDupPairsPath(d))
+      ensureAnnIndexes(s, d)
+      graft.sources.AggStore.ensureState(events, aggMvPath(d),
+        baseTag = "mv-full")
+      val fpW = takedownWorkPath(d, "fp")
+      val edgeW = takedownWorkPath(d, "edges")
+      val annW = takedownWorkPath(d, "ann")
+      val aggW = takedownWorkPath(d, "agg")
+      graft.sources.VectorIndexStore.cloneIndex(s, fpStorePath(d), fpW)
+      graft.sources.VectorIndexStore.cloneIndex(s,
+        nearDupPairsPath(d), edgeW)
+      graft.sources.VectorIndexStore.cloneIndex(s, ivfPqIndexPath(d),
+        annW)
+      graft.sources.VectorIndexStore.cloneIndex(s, aggMvPath(d), aggW)
+      graft.sources.Takedown.sweep(s,
+        docIds = Some(docDel), vecIds = Some(vecDel),
+        removedFacts = Some(factDel),
+        fingerprintStores = Seq(fpW), edgeStores = Seq(edgeW),
+        vectorIndexes = Seq(annW), aggStores = Seq(aggW),
+        takedownTag = Some("x_takedown"))
+      def h60(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      def summ(rel: String, df: DataFrame,
+          key: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(h60(key).cast(DecimalType(38, 0))).as("hashsum"))
+          .select(lit(rel).as("rel"), col("n_rows"), col("hashsum"))
+      val ppm = (c: org.apache.spark.sql.Column) =>
+        (c.cast(DecimalType(18, 6)) * 1000000).cast("long")
+      summ("fp_buckets",
+          graft.sources.FingerprintStore.readBuckets(s, fpW),
+          concat_ws("|", col("id"), col("band"), col("key")))
+        .unionByName(summ("fp_arrays",
+          graft.sources.FingerprintStore.readArrays(s, fpW)
+            .select(col("id"), explode(col("shs")).as("sh")),
+          concat_ws("|", col("id"), col("sh"))))
+        .unionByName(summ("edge_pairs",
+          graft.sources.EdgeStore.read(s, edgeW),
+          concat_ws("|", col("id_a"), col("id_b"), ppm(col("cos")))))
+        .unionByName(summ("edge_bands",
+          graft.sources.EdgeStore.readBands(s, edgeW),
+          concat_ws("|", col("id"), col("band"), col("bkey"))))
+        .unionByName(summ("edge_labels",
+          graft.sources.ClusterStore.readLabels(s, edgeW),
+          concat_ws("|", col("id"), col("label"))))
+        .unionByName(summ("agg_rollup",
+          graft.sources.AggStore.readState(s, aggW),
+          concat_ws("|", date_format(col("day"), "yyyy-MM-dd"),
+            col("event_type"), col("cnt"),
+            (col("total") * 100).cast("long"))))
+        .unionByName(summ("ann_topk",
+          graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, annW,
+            e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+            nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
+          concat_ws("|", col("query_id"), col("match_id"), col("rank"),
+            ppm(col("cos")))))
     }),
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4382,6 +4475,73 @@ object ExtQueries {
          |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsc
          |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsb"""
         .stripMargin,
+
+    // takedown: every relation rebuilt FROM THE FILTERED INPUTS from
+    // first principles — fp chains over the corpus side filtered to
+    // survivors, edge chains over the full corpus with removed
+    // endpoints dropped, labels re-derived as components of the
+    // surviving pairs (a removed bridge splits), the rollup recomputed
+    // over surviving facts, and the ANN top-k with tombstoned
+    // candidates gone — each reduced to (rel, n_rows, 60-bit md5
+    // hashsum) so one statement audits seven relations
+    "x_takedown" -> {
+      val h = (x: String) =>
+        s"sum(('0x' || substr(md5($x), 1, 15))::bigint)::decimal(38,0)"
+      s"""WITH RECURSIVE ${sideShingleCtes("c",
+            s"doc_id % $IncrBatchMod <> 0")},
+         |${sideSigSql("c", 8, 4)},
+         |$EmbedPlanesCte,
+         |${embedChain("embeddings", "")},
+         |fpb AS (SELECT id, band, key FROM bucketsc
+         |        WHERE id % $DeleteMod <> $DeleteRem),
+         |fpa AS (SELECT id, s FROM exc
+         |        WHERE id % $DeleteMod <> $DeleteRem),
+         |epf AS (SELECT id_a, id_b, cos FROM epairs
+         |        WHERE id_a % $DeleteMod <> $DeleteRem
+         |          AND id_b % $DeleteMod <> $DeleteRem),
+         |ebf AS (SELECT vec_id AS id, band, bkey::bigint AS bkey
+         |        FROM bkeys WHERE vec_id % $DeleteMod <> $DeleteRem),
+         |ledges AS (SELECT id_a AS a, id_b AS b FROM epf
+         |           UNION ALL SELECT id_b, id_a FROM epf),
+         |lreach(v, l) AS (
+         |  SELECT a, a FROM ledges
+         |  UNION
+         |  SELECT e.b, r.l FROM lreach r JOIN ledges e ON e.a = r.v),
+         |elab AS (SELECT v AS id, min(l) AS label FROM lreach
+         |         GROUP BY v),
+         |agf AS (
+         |  SELECT cast(ts AS date) AS day, event_type,
+         |    count(*)::bigint AS cnt,
+         |    sum(cast(value AS decimal(18,2)))::decimal(28,2) AS total
+         |  FROM events WHERE event_id % $DeleteMod <> $DeleteRem
+         |  GROUP BY 1, 2),
+         |$IvfPqDeleteRankedCtes,
+         |atk AS (SELECT query_id, match_id, cos, rank FROM ranked
+         |        WHERE rank <= $TopK)
+         |SELECT 'fp_buckets' AS rel, count(*)::bigint AS n_rows,
+         |  ${h("id::varchar || '|' || band::varchar || '|' || key")}
+         |    AS hashsum FROM fpb
+         |UNION ALL SELECT 'fp_arrays', count(*)::bigint,
+         |  ${h("id::varchar || '|' || s")} FROM fpa
+         |UNION ALL SELECT 'edge_pairs', count(*)::bigint,
+         |  ${h("id_a::varchar || '|' || id_b::varchar || '|' || " +
+              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
+         |  FROM epf
+         |UNION ALL SELECT 'edge_bands', count(*)::bigint,
+         |  ${h("id::varchar || '|' || band::varchar || '|' || " +
+              "bkey::varchar")} FROM ebf
+         |UNION ALL SELECT 'edge_labels', count(*)::bigint,
+         |  ${h("id::varchar || '|' || label::varchar")} FROM elab
+         |UNION ALL SELECT 'agg_rollup', count(*)::bigint,
+         |  ${h("day::varchar || '|' || event_type || '|' || " +
+              "cnt::varchar || '|' || ((total * 100)::bigint)::varchar")}
+         |  FROM agf
+         |UNION ALL SELECT 'ann_topk', count(*)::bigint,
+         |  ${h("query_id::varchar || '|' || match_id::varchar || " +
+              "'|' || rank::varchar || '|' || " +
+              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
+         |  FROM atk""".stripMargin
+    },
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3

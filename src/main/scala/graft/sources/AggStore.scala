@@ -226,4 +226,32 @@ object AggStore {
     val merged = merge(spark.read.parquet(cur), partials(delta))
     writeLocked(spark, path, merged, batchTag)
   }
+
+  /** TAKEDOWN on the maintained view: SUBTRACT the removed facts'
+    * contributions — the algebraic COUNT/SUM states make retraction
+    * exact (negated partials merge through the same fold; decimal
+    * sums can't drift), and a key whose count reaches zero DROPS, so
+    * the retracted state is row-identical to a rebuild over the
+    * filtered facts (spec-pinned). Retraction is NOT naturally
+    * idempotent (subtracting twice double-removes), so `batchTag`
+    * carries the takedown id through the version commit and a re-run
+    * whose tag matches the current version is a replay — skipped,
+    * the same discipline as [[bootstrapOrAppend]]. */
+  def retractDelta(spark: SparkSession, path: String,
+      removed: DataFrame, batchTag: Option[String] = None): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      if (batchTag.isDefined &&
+          readText(spark, s"$cur/_batch_tag") == batchTag) ()
+      else {
+        val neg = partials(removed).select(col("day"),
+          col("event_type"), (-col("cnt")).as("cnt"),
+          (-col("total")).cast(StoredSum).as("total"))
+        val merged = merge(spark.read.parquet(cur), neg)
+          .filter(col("cnt") =!= 0L)
+        writeLocked(spark, path, merged, batchTag)
+      }
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
 }

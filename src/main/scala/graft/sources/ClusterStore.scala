@@ -61,6 +61,9 @@ object ClusterStore {
     * ([[graft.operators.Dedup.clusterAssignments]]: adaptive local
     * union-find under the documented edge threshold, distributed
     * O(log diameter) path-halving above it). */
+  private[sources] def fullEndpointLabelsOf(pairs: DataFrame)
+      : DataFrame = fullEndpointLabels(pairs)
+
   private def fullEndpointLabels(pairs: DataFrame): DataFrame = {
     val endpoints = pairs.select(explode(array(
         col("id_a"), col("id_b"))).as("id")).distinct()
@@ -132,6 +135,47 @@ object ClusterStore {
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
+  /** TAKEDOWN label repair — touched-group-sized: components only ever
+    * needed GROWING maintenance until now (min-resolution appends);
+    * removal can SPLIT a component and can delete its min id, so
+    * labels may increase and the relation must be REPLACED. The repair
+    * relabels ONLY components that lost a member:
+    *
+    *  1. `affected` = the stored labels of the deleted endpoints —
+    *     broadcastable (≤ the takedown batch size);
+    *  2. rows of UNTOUCHED components carry over verbatim (their pair
+    *     sets are unchanged, so their component-min cannot move — a
+    *     min id inside a touched component is by definition in
+    *     `affected`);
+    *  3. the surviving pairs of touched components (one label join +
+    *     a broadcast semi-join — a pair's two endpoints always share
+    *     a component label, so filtering on one side is total)
+    *     relabel from scratch; endpoints that lost every pair drop
+    *     out and serve as singletons, exactly as a full rebuild would
+    *     land them.
+    *
+    * Equals `fullEndpointLabels(survivingPairs)` by the partition
+    * argument above (spec-pinned against the from-scratch rebuild). */
+  private[sources] def repairAfterRemoval(spark: SparkSession,
+      edgePath: String, m: ManifestDir.Manifest, del: DataFrame,
+      survivingPairs: DataFrame): DataFrame = {
+    val stored = graft.operators.CacheRegistry.tracked(
+      resolvedLabels(spark, edgePath, m))
+    val affected = stored
+      .join(del.select(col("id")), Seq("id"))
+      .select(col("label").as("albl")).distinct()
+    val keep = stored
+      .join(del.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(affected), col("label") === col("albl"),
+        "left_anti")
+    val touched = survivingPairs
+      .join(stored.select(col("id").as("id_a"), col("label").as("la")),
+        Seq("id_a"))
+      .join(broadcast(affected), col("la") === col("albl"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    keep.unionByName(fullEndpointLabels(touched))
   }
 
   // ------------------------------------------- Louvain level-1 labels

@@ -310,6 +310,73 @@ object EdgeStore {
     }
   }
 
+  /** TAKEDOWN: remove `ids` from EVERY committed lineage — pairs
+    * touching a removed endpoint, the ids' band-index rows, and the
+    * label table, all REPLACED and published in one atomic manifest
+    * commit per lineage. Filtering the pairs is exact removal
+    * semantics AND rebuild semantics at once (banding is per-vector
+    * deterministic, so the pairs of the filtered corpus ARE the
+    * filtered pairs — spec-pinned); the labels need real repair:
+    * deleting a bridge vertex can SPLIT a component, and the min id
+    * can vanish, so labels may INCREASE — which is why this path
+    * REPLACES the relation instead of riding the append-only
+    * min-resolution. Repair is touched-group-sized
+    * ([[ClusterStore.repairAfterRemoval]]): only components that lost
+    * a member relabel; when the stored labels were already stale the
+    * repair falls back to a full endpoint relabel over the surviving
+    * pairs. The Louvain L1 relation (if present) is DROPPED — one
+    * removed edge can flip distant argmaxes, so the next read
+    * rebuilds it. Idempotent: a re-run removes nothing new. */
+  def takedown(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val del = graft.operators.CacheRegistry.tracked(
+      ids.select(col(idCol).as("id")).distinct())
+    SnapshotDir.withWriterLock(spark, path) {
+      allPrefixes(spark, path).foreach { pfx =>
+        ManifestDir.current(spark, path, pfx).foreach { m =>
+          val segId = ManifestDir.newSegmentId()
+          val pairsSeg = ManifestDir.segDir(segId, PairsRel)
+          val bandsSeg = ManifestDir.segDir(segId, BandsRel)
+          ManifestDir.readRelation(spark, path, m, PairsRel)
+            .join(del.select(col("id").as("id_a")), Seq("id_a"),
+              "left_anti")
+            .join(del.select(col("id").as("id_b")), Seq("id_b"),
+              "left_anti")
+            .select(col("id_a"), col("id_b"), col("cos"))
+            .write.parquet(s"$path/$pairsSeg")
+          ManifestDir.readRelation(spark, path, m, BandsRel)
+            .join(del, Seq("id"), "left_anti")
+            .write.parquet(s"$path/$bandsSeg")
+          var next = m
+            .withRelation(PairsRel, Seq(pairsSeg))
+            .withRelation(BandsRel, Seq(bandsSeg))
+          if (m.segments(LabelsRel).nonEmpty) {
+            val survivors = spark.read.parquet(s"$path/$pairsSeg")
+            val labelsSeg = ManifestDir.segDir(segId, LabelsRel)
+            val repaired =
+              if (ClusterStore.labelsFresh(m))
+                ClusterStore.repairAfterRemoval(spark, path, m, del,
+                  survivors)
+              else ClusterStore.fullEndpointLabelsOf(survivors)
+            repaired.write.parquet(s"$path/$labelsSeg")
+            next = next.withRelation(LabelsRel, Seq(labelsSeg))
+              .withMeta(ClusterStore.SigKey,
+                ClusterStore.pairsSig(Seq(pairsSeg)))
+          }
+          // Louvain L1 (non-incrementalizable): drop; reads rebuild
+          next = next.copy(
+            relations = next.relations - ClusterStore.L1Rel,
+            meta = next.meta - ClusterStore.L1SigKey)
+          ManifestDir.commit(spark, path, pfx, next)
+          SnapshotDir.gc(spark, path, pfx)
+        }
+      }
+      ManifestDir.vacuum(spark, path, allPrefixes(spark, path))
+      ()
+    }
+  }
+
   /** Rewrite the append-accumulated store back to a compact one-
     * segment-per-relation layout in the NEXT committed version (the
     * [[ManifestDir]] protocol: no rename; in-flight readers keep their

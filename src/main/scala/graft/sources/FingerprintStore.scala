@@ -295,6 +295,54 @@ object FingerprintStore {
     ManifestDir.readRelation(spark, path,
       currentManifest(spark, path, branch), BucketsRel)
 
+  /** The stored df-capped shingle arrays `(id, shs)` of a lineage's
+    * current version — the verify relation, exposed for takedown
+    * audits. */
+  def readArrays(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path, branch), ArraysRel)
+
+  /** TAKEDOWN: remove every fingerprint row of `ids` from EVERY
+    * committed lineage (main and branches — a branch still serving a
+    * removed document is the same compliance leak). Per lineage, both
+    * relations rewrite through one anti-join each and publish in ONE
+    * atomic manifest commit (relations REPLACED, not appended), so a
+    * reader never observes a half-removed id. Surviving documents
+    * keep their stored fingerprints byte-for-byte — the signature is
+    * per-doc deterministic, so removal IS the anti-join (no re-capping
+    * of the survivors; the store's df cap is admission-path state, as
+    * everywhere else in its incremental design). Idempotent: a re-run
+    * anti-joins nothing. Old versions age out through the normal GC
+    * grace window; retention policy, not this call, governs how long
+    * the pre-takedown version stays readable. */
+  def takedown(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val del = ids.select(col(idCol).as("id")).distinct()
+    SnapshotDir.withWriterLock(spark, path) {
+      Branches.allPrefixes(spark, path, Prefix).foreach { pfx =>
+        ManifestDir.current(spark, path, pfx).foreach { m =>
+          val segId = ManifestDir.newSegmentId()
+          val bSeg = ManifestDir.segDir(segId, BucketsRel)
+          val aSeg = ManifestDir.segDir(segId, ArraysRel)
+          ManifestDir.readRelation(spark, path, m, BucketsRel)
+            .join(del, Seq("id"), "left_anti")
+            .write.parquet(s"$path/$bSeg")
+          ManifestDir.readRelation(spark, path, m, ArraysRel)
+            .join(del, Seq("id"), "left_anti")
+            .write.parquet(s"$path/$aSeg")
+          ManifestDir.commit(spark, path, pfx, m
+            .withRelation(BucketsRel, Seq(bSeg))
+            .withRelation(ArraysRel, Seq(aSeg)))
+          SnapshotDir.gc(spark, path, pfx)
+        }
+      }
+      ManifestDir.vacuum(spark, path,
+        Branches.allPrefixes(spark, path, Prefix))
+      ()
+    }
+  }
+
   /** Rewrite the append-accumulated store back to one segment per
     * relation in the NEXT committed version. Fingerprints are
     * unchanged — only files; the vacuum that closes it sweeps

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Takedown propagation — the compliance sweep every production corpus
+  * eventually needs: given the ids of removed documents / vectors /
+  * facts, rewrite EVERY persisted family so no serve path returns
+  * them again. The derived stores exist precisely because recomputing
+  * them per query is unaffordable; the flip side is that a removal
+  * must chase the data into each of them.
+  *
+  * Per family the action is the store's own takedown primitive, each
+  * committing through its own snapshot/manifest protocol — ATOMIC PER
+  * STORE (a reader never observes a half-removed id inside one
+  * store), with the multi-store sweep as a plain driver loop over
+  * batch-sized jobs. A crash mid-sweep leaves a prefix of stores
+  * done; the sweep is safe to RE-RUN whole — the anti-join and
+  * tombstone forms are naturally idempotent, and the aggregate
+  * retraction (the one non-idempotent algebra) is replay-guarded by
+  * the `takedownTag` riding its version commit.
+  *
+  * What each family does:
+  *  - fingerprints: buckets + arrays anti-join, every lineage, one
+  *    manifest commit each ([[FingerprintStore.takedown]]);
+  *  - edges: pairs/bands anti-join + touched-group label repair
+  *    (components can SPLIT — [[ClusterStore.repairAfterRemoval]]),
+  *    Louvain L1 dropped for rebuild ([[EdgeStore.takedown]]);
+  *  - ANN indexes: tombstones ([[VectorIndexStore.deleteIvfPq]] — no
+  *    list rewrite at delete time; compaction folds them in);
+  *  - rollups: exact algebraic subtraction of the removed facts'
+  *    partial contributions ([[AggStore.retractDelta]]).
+  *
+  * History: each store's PRE-takedown version remains readable until
+  * the normal GC grace window ages it out — retention policy, not
+  * this sweep, governs hard-deletion of old versions (run the
+  * store's gc/vacuum with the grace the policy dictates). */
+object Takedown {
+
+  /** One sweep over every affected family. Any target may be empty.
+    * `docIds` key the text-side stores (`doc_id`), `vecIds` the
+    * vector-side stores (`vec_id`), `removedFacts` are the fact ROWS
+    * leaving the rollups (the retraction needs their values, not just
+    * ids). `takedownTag` names this takedown for replay-safety of the
+    * aggregate retraction — pass the ticket/batch id. */
+  def sweep(spark: SparkSession,
+      docIds: Option[DataFrame] = None,
+      vecIds: Option[DataFrame] = None,
+      removedFacts: Option[DataFrame] = None,
+      fingerprintStores: Seq[String] = Nil,
+      edgeStores: Seq[String] = Nil,
+      vectorIndexes: Seq[String] = Nil,
+      aggStores: Seq[String] = Nil,
+      takedownTag: Option[String] = None): Unit = {
+    for (ids <- docIds; p <- fingerprintStores)
+      FingerprintStore.takedown(spark, p, ids)
+    for (ids <- vecIds; p <- edgeStores)
+      EdgeStore.takedown(spark, p, ids)
+    for (ids <- vecIds; p <- vectorIndexes)
+      VectorIndexStore.deleteIvfPq(spark, p, ids)
+    for (facts <- removedFacts; p <- aggStores)
+      AggStore.retractDelta(spark, p, facts, takedownTag)
+  }
+}

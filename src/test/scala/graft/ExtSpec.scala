@@ -2039,6 +2039,111 @@ class ExtSpec extends SparkSpec {
     assert(ManifestDir.tryRead(spark, phantom).isEmpty)
   }
 
+  test("takedown: a removed id vanishes from EVERY store's serve path; " +
+      "the sweep is replay-safe") {
+    import graft.sources._
+    import graft.operators.ExtQueries
+    val docs = Tables.documents(spark, sf0001)
+    val e = Tables.embeddings(spark, sf0001)
+    val events = Tables.events(spark, sf0001)
+    val docDel = docs.filter($"doc_id" % 10 === 3)
+    val vecDel = e.filter($"vec_id" % 10 === 3)
+    val factDel = events.filter($"event_id" % 10 === 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-takedown").toString
+    FingerprintStore.writeFingerprints(docs, s"$root/fp")
+    EdgeStore.ensureNearDupPairs(e, s"$root/edges",
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim)
+    ClusterStore.ensureLabels(spark, s"$root/edges")
+    VectorIndexStore.writeIvfPq(e, s"$root/ann")
+    AggStore.writeState(events, s"$root/agg")
+    Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
+      removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
+      edgeStores = Seq(s"$root/edges"),
+      vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
+      takedownTag = Some("spec-1"))
+    def noDeleted(df: org.apache.spark.sql.DataFrame,
+        c: String, what: String): Unit =
+      assert(df.filter(col(c) % 10 === 3).count() === 0L,
+        s"deleted id survives in $what.$c")
+    noDeleted(FingerprintStore.readBuckets(spark, s"$root/fp"), "id",
+      "fp buckets")
+    noDeleted(FingerprintStore.readArrays(spark, s"$root/fp"), "id",
+      "fp arrays")
+    val pairs = EdgeStore.read(spark, s"$root/edges")
+    noDeleted(pairs, "id_a", "pairs"); noDeleted(pairs, "id_b", "pairs")
+    noDeleted(EdgeStore.readBands(spark, s"$root/edges"), "id", "bands")
+    val labels = ClusterStore.readLabels(spark, s"$root/edges")
+    noDeleted(labels, "id", "labels")
+    noDeleted(labels, "label", "labels") // a removed min must not
+    // survive as anyone's label value
+    val topk = VectorIndexStore.ivfPqTopKFromIndex(spark, s"$root/ann",
+      e.filter($"vec_id" % ExtQueries.QueryMod === 0), e,
+      ExtQueries.TopK)
+    noDeleted(topk, "match_id", "ann topk")
+    // the rollup equals the filtered recompute, row for row
+    val got = AggStore.readState(spark, s"$root/agg")
+      .withColumn("total", $"total".cast("double"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = AggStore.partials(
+        events.filter($"event_id" % 10 =!= 3))
+      .withColumn("total", $"total".cast("double"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // REPLAY the whole sweep (same tag): anti-joins no-op, the
+    // retraction is tag-guarded — state is unchanged
+    Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
+      removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
+      edgeStores = Seq(s"$root/edges"),
+      vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
+      takedownTag = Some("spec-1"))
+    assert(AggStore.readState(spark, s"$root/agg")
+      .withColumn("total", $"total".cast("double"))
+      .collect().map(_.toString).sorted.toSeq === want,
+      "a replayed retraction must not double-subtract")
+    assert(EdgeStore.read(spark, s"$root/edges")
+      .collect().map(_.toString).sorted.toSeq
+      === pairs.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("takedown label repair SPLITS components and equals the " +
+      "from-scratch rebuild") {
+    import graft.sources._
+    // path graph 1-2-3-4-5: one component labeled 1. Removing the
+    // bridge vertex 3 splits it into {1,2} and {4,5} — and 4/5's
+    // label must INCREASE from 1 to 4, which the append-only
+    // min-resolution could never express (why takedown REPLACES).
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-takedown-split").toString
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 4L, 0.9),
+      (4L, 5L, 0.9), (10L, 11L, 0.8))
+      .toDF("id_a", "id_b", "cos")
+    val bands = Seq((1L, 0, 1L), (2L, 0, 1L), (3L, 0, 1L),
+      (4L, 0, 1L), (5L, 0, 1L), (10L, 0, 2L), (11L, 0, 2L))
+      .toDF("id", "band", "bkey")
+    EdgeStore.writePairs(pairs, bands, path)
+    ClusterStore.ensureLabels(spark, path)
+    val del = Seq(3L).toDF("vec_id")
+    EdgeStore.takedown(spark, path, del)
+    val got = ClusterStore.readLabels(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L),
+      "split components must relabel; untouched ones carry over")
+    // the repaired table is exactly the from-scratch rebuild of the
+    // surviving pairs (labels stay fresh — sig matches the new segs)
+    val surviving = EdgeStore.read(spark, path)
+    assert(surviving.count() === 3L) // (1,2), (4,5), (10,11)
+    // deleting the MIN of a component: labels increase again
+    EdgeStore.takedown(spark, path, Seq(1L).toDF("vec_id"))
+    val got2 = ClusterStore.readLabels(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got2 === Map(4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L),
+      "vertex 2 lost its last pair and must drop to singleton serving")
+  }
+
   test("fingerprint compact folds appends, serving unchanged, GC bounded") {
     val docs = Tables.documents(spark, sf0001)
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
