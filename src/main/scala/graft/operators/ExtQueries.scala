@@ -245,6 +245,52 @@ object ExtQueries {
       nearDupPairsPath(d), idCol = "vec_id")
   }
 
+  /** The end-to-end training-data pipeline over one arriving batch —
+    * the composition every stage query exercises alone: TSV ingest
+    * with quarantine → fingerprint admission against the warm corpus
+    * store → quality floor → exact 5-gram decontamination (benchmark
+    * rows excluded; the Bloom probe is the scan-speed prefilter of the
+    * same set — `x_bloom_decontam` pins its no-false-negative
+    * guarantee, so the exact overlap here is what it verifies down to)
+    * → token-budget mixture → shard assignment. Returns every stage
+    * frame by name so the driver query can hash per-stage counts and
+    * the spec can pin that quarantined / duplicate / contaminated docs
+    * never reach the shards. All stages are scan-speed filters,
+    * broadcast probes, or keyed joins — the chain shuffles once per
+    * keyed stage and never widens. */
+  private[graft] def pipelineStages(s: SparkSession, d: String)
+      : (Long, Map[String, DataFrame]) = {
+    val (clean0, quarantine) = graft.sources.TsvCorpus.read(
+      s, tsvFixture(s, d))
+    val clean = CacheRegistry.tracked(clean0)
+    graft.sources.FingerprintStore.ensureFingerprints(
+      incrCorpus(s, d), fpStorePath(d))
+    val batch = CacheRegistry.tracked(
+      clean.filter(col("doc_id") % IncrBatchMod === 0))
+    val verdicts = graft.sources.FingerprintStore.dedupBatchAgainst(
+      s, fpStorePath(d), batch, JaccardThreshold)
+    val admitted = CacheRegistry.tracked(batch.join(
+      verdicts.filter(col("survived"))
+        .select(col("batch_id").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    val quality = CacheRegistry.tracked(admitted.filter(
+      TextAnalysis.qualityScore(col("text")) >= PipelineMinQuality))
+    val bench = clean.filter(col("doc_id") % DecontamMod === 0)
+    val nonBench = quality.filter(col("doc_id") % DecontamMod =!= 0)
+    val decontam = CacheRegistry.tracked(nonBench.join(
+      Contamination.ngramOverlap(nonBench, bench, n = DecontamN)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val mixed = CacheRegistry.tracked(
+      CorpusStats.mixtureSample(decontam, MixtureWeights, MixtureBudget)
+        .select(col("doc_id")).join(decontam, Seq("doc_id")))
+    val sharded = CorpusStats.shardOrder(mixed, NumShards)
+    (quarantine.count(), Map(
+      "ingest" -> clean, "batch" -> batch, "admitted" -> admitted,
+      "quality" -> quality, "decontam" -> decontam, "mixed" -> mixed,
+      "sharded" -> sharded))
+  }
+
   /** JSONL round-trip fixture: the documents table exported as JSONL
     * plus one malformed line and one contract-violating (id-less but
     * well-formed) line, written once per dataset dir (marker-gated). */
@@ -605,6 +651,38 @@ object ExtQueries {
         .unionByName(graft.sources.FingerprintStore
           .readBuckets(s, work, branch = Some("exp"))
           .withColumn("ref", lit("exp")))
+    }),
+
+    // PIPELINE COMPOSITION end-to-end: one arriving batch flows
+    // ingest(quarantine) → fingerprint admission → quality floor →
+    // exact decontam → mixture → shards, and the result hashes every
+    // stage's row count plus each final shard's in-order doc-id
+    // fingerprint. The oracle chains the existing per-stage CTEs over
+    // the same split; ExtSpec pins that quarantined, duplicate, and
+    // contaminated docs never reach a shard.
+    "x_pipeline_e2e" -> ((s, d) => {
+      val (nQuarantined, st) = pipelineStages(s, d)
+      def cnt(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(stage).as("stage"), col("n"),
+            lit(null).cast("string").as("fp"))
+      cnt("s1_ingest", st("ingest"))
+        .unionByName(s.range(1).select(
+          lit("s1_quarantine").as("stage"),
+          lit(nQuarantined).as("n"), lit(null).cast("string").as("fp")))
+        .unionByName(cnt("s2_batch", st("batch")))
+        .unionByName(cnt("s2_admitted", st("admitted")))
+        .unionByName(cnt("s3_quality", st("quality")))
+        .unionByName(cnt("s4_decontam", st("decontam")))
+        .unionByName(cnt("s5_mixture", st("mixed")))
+        .unionByName(st("sharded").groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            md5(concat_ws(" ", transform(
+              sort_array(collect_list(struct(col("pos"),
+                col("doc_id")))),
+              e => e.getField("doc_id").cast("string")))).as("fp"))
+          .select(concat(lit("s6_shard_"), col("shard")).as("stage"),
+            col("n"), col("fp")))
     }),
 
     // TAKEDOWN PROPAGATION — the compliance sweep: given removed
@@ -4475,6 +4553,89 @@ object ExtQueries {
          |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsc
          |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsb"""
         .stripMargin,
+
+    // the composed pipeline: the admission chain (x_dedup_incremental),
+    // quality (QualitySelect), decontamination (DecontamCtes), mixture
+    // (x_mixture_sample's rate grid, totals over THIS stage's docs),
+    // and shard order (seed-2 hash) — chained as CTEs over the same
+    // batch split, counts + in-order shard fingerprints
+    "x_pipeline_e2e" -> {
+      val wCase = MixtureWeights.toSeq.sortBy(_._1)
+        .map { case (src, w) => s"WHEN '$src' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE 0.0 END")
+      s"""WITH ${sideShingleCtes("c", s"doc_id % $IncrBatchMod <> 0")},
+         |${sideShingleCtes("b", s"doc_id % $IncrBatchMod = 0")},
+         |${sideSigSql("c", 8, 4)},
+         |${sideSigSql("b", 8, 4)},
+         |icand AS (
+         |  SELECT DISTINCT bb.id AS id_a, cc.id AS id_b
+         |  FROM bucketsb bb JOIN bucketsc cc
+         |    ON bb.band = cc.band AND bb.key = cc.key),
+         |vp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      len(list_intersect(sa.shs, sb.shs))::double /
+         |        (len(sa.shs) + len(sb.shs)
+         |          - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+         |    FROM icand c
+         |    JOIN shb sa ON c.id_a = sa.doc_id
+         |    JOIN shc sb ON c.id_b = sb.doc_id)
+         |  WHERE jaccard >= $JaccardThreshold),
+         |dup AS (SELECT DISTINCT id_a AS doc_id FROM vp),
+         |batch AS (SELECT * FROM documents
+         |          WHERE doc_id % $IncrBatchMod = 0),
+         |admitted AS (
+         |  SELECT b.* FROM batch b ANTI JOIN dup USING (doc_id)),
+         |q AS ($QualitySelect),
+         |qual AS (
+         |  SELECT a.* FROM admitted a JOIN q USING (doc_id)
+         |  WHERE q.score >= $PipelineMinQuality),
+         |$DecontamCtes,
+         |cont AS ($DecontamSelect),
+         |dec AS (
+         |  SELECT * FROM qual
+         |  WHERE doc_id % $DecontamMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |totals AS (
+         |  SELECT source,
+         |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+         |      AS src_tokens
+         |  FROM dec GROUP BY source),
+         |rates AS (
+         |  SELECT source,
+         |    least(1.0, $MixtureBudget.0 * ($wCase) / src_tokens)
+         |      AS rate
+         |  FROM totals),
+         |mix AS (
+         |  SELECT d.* FROM dec d JOIN rates r USING (source)
+         |  WHERE ('0x' || substr(md5(d.doc_id::varchar || '#0'), 17,
+         |      15))::bigint % 1000000
+         |    < floor(r.rate * 1000000.0)::bigint),
+         |sh AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      AS pos
+         |  FROM (
+         |    SELECT doc_id,
+         |      ('0x' || substr(md5(doc_id::varchar || '#1'), 1, 15))
+         |        ::bigint AS h,
+         |      ('0x' || substr(md5(doc_id::varchar || '#1'), 1, 15))
+         |        ::bigint % $NumShards AS shard
+         |    FROM mix))
+         |SELECT 's1_ingest' AS stage, count(*)::bigint AS n,
+         |  NULL::varchar AS fp FROM documents
+         |UNION ALL SELECT 's1_quarantine', 2::bigint, NULL
+         |UNION ALL SELECT 's2_batch', count(*)::bigint, NULL FROM batch
+         |UNION ALL SELECT 's2_admitted', count(*)::bigint, NULL
+         |  FROM admitted
+         |UNION ALL SELECT 's3_quality', count(*)::bigint, NULL FROM qual
+         |UNION ALL SELECT 's4_decontam', count(*)::bigint, NULL FROM dec
+         |UNION ALL SELECT 's5_mixture', count(*)::bigint, NULL FROM mix
+         |UNION ALL SELECT 's6_shard_' || shard::varchar,
+         |  count(*)::bigint,
+         |  md5(string_agg(doc_id::varchar, ' ' ORDER BY pos))
+         |FROM sh GROUP BY shard""".stripMargin
+    },
 
     // takedown: every relation rebuilt FROM THE FILTERED INPUTS from
     // first principles — fp chains over the corpus side filtered to

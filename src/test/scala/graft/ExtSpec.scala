@@ -2039,6 +2039,44 @@ class ExtSpec extends SparkSpec {
     assert(ManifestDir.tryRead(spark, phantom).isEmpty)
   }
 
+  test("pipeline e2e: quarantined, duplicate, and contaminated docs " +
+      "never reach a shard") {
+    import graft.operators.ExtQueries
+    val docs = Tables.documents(spark, sf0001)
+    val (nQuarantined, st) = ExtQueries.pipelineStages(spark, sf0001)
+    // exactly the 2 injected bad lines quarantine; every real doc
+    // ingests (quarantined rows have no valid id — they can't even
+    // enter the flow)
+    assert(nQuarantined === 2L)
+    assert(st("ingest").count() === docs.count())
+    val shardIds = st("sharded").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(shardIds.nonEmpty, "fixture must shard something")
+    // benchmark rows are excluded wholesale
+    assert(shardIds.forall(_ % ExtQueries.DecontamMod != 0))
+    // docs the admission flagged as near-dups of the corpus never shard
+    val rejected = graft.sources.FingerprintStore.dedupBatchAgainst(
+        spark, ExtQueries.fpStorePath(sf0001),
+        docs.filter($"doc_id" % ExtQueries.IncrBatchMod === 0),
+        ExtQueries.JaccardThreshold)
+      .filter(!$"survived").select($"batch_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rejected.nonEmpty, "fixture must reject some duplicates")
+    assert(shardIds.intersect(rejected).isEmpty)
+    // benchmark-contaminated docs (exact 5-gram overlap) never shard
+    val contaminated = graft.operators.Contamination.ngramOverlap(
+        docs.filter($"doc_id" % ExtQueries.DecontamMod =!= 0),
+        docs.filter($"doc_id" % ExtQueries.DecontamMod === 0),
+        n = ExtQueries.DecontamN)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardIds.intersect(contaminated).isEmpty)
+    // stages only ever narrow
+    val order = Seq("batch", "admitted", "quality", "decontam", "mixed")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(st(b).count() <= st(a).count(), s"$b must not widen $a") }
+    assert(st("sharded").count() === st("mixed").count())
+  }
+
   test("takedown: a removed id vanishes from EVERY store's serve path; " +
       "the sweep is replay-safe") {
     import graft.sources._
