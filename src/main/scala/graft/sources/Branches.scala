@@ -179,20 +179,39 @@ private[graft] object Branches {
     * commit. The orchestrator serializes those the way it already
     * serializes compaction against admission elsewhere. */
   def commitWindow[T](spark: SparkSession, root: String,
-      prefix: String, claimedVersion: Long)(
-      commit: ManifestDir.Manifest => T): T =
-    SnapshotDir.withWriterLock(spark, root) {
-      val nowV = SnapshotDir.versions(spark, root, prefix)
-        .filter(_._2).map(_._1).foldLeft(0L)(math.max)
-      if (nowV != claimedVersion)
-        throw new java.util.ConcurrentModificationException(
-          s"lineage '$prefix' advanced $claimedVersion -> $nowV " +
-            s"under $root since this batch was computed — its base " +
-            "is stale; recompute against the current version and " +
-            "retry")
-      val m = ManifestDir.current(spark, root, prefix).getOrElse(
-        throw new IllegalStateException(
-          s"no committed lineage '$prefix' under $root"))
-      commit(m)
+      prefix: String, claimedVersion: Long,
+      lockWaitMs: Long = 60000L)(
+      commit: ManifestDir.Manifest => T): T = {
+    val deadline = System.nanoTime() + lockWaitMs * 1000000L
+    while (true) {
+      try {
+        return SnapshotDir.withWriterLock(spark, root) {
+          val nowV = SnapshotDir.versions(spark, root, prefix)
+            .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+          if (nowV != claimedVersion)
+            throw new java.util.ConcurrentModificationException(
+              s"lineage '$prefix' advanced $claimedVersion -> $nowV " +
+                s"under $root since this batch was computed — its " +
+                "base is stale; recompute against the current " +
+                "version and retry")
+          val m = ManifestDir.current(spark, root, prefix).getOrElse(
+            throw new IllegalStateException(
+              s"no committed lineage '$prefix' under $root"))
+          commit(m)
+        }
+      } catch {
+        // the root lock is held only across another writer's commit
+        // point — POLL it out instead of failing the whole batch (the
+        // fail-fast throw is right for long-held locks, wrong for a
+        // window measured in milliseconds); the stale-base CME above
+        // is NOT retried — the caller must recompute first
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent writer") =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(50L)
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 }

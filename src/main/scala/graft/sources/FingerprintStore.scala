@@ -286,6 +286,46 @@ object FingerprintStore {
     SnapshotDir.gc(spark, path, pfx)
   }
 
+  /** OPTIMISTIC lineage append — concurrent writers on DIFFERENT
+    * lineages of one root: the batch's fingerprints compute and its
+    * segments write with NO lock held (segments are immutable and
+    * uid-unique, so parallel writers cannot collide), and only the
+    * manifest publish runs inside [[Branches.commitWindow]]'s short
+    * root-lock window, which re-verifies the lineage still sits at the
+    * version this batch was computed against. A main-append and a
+    * branch-append interleave freely — each reads only its own
+    * lineage's manifest; a SAME-lineage race loses LOUDLY at the
+    * window (its fingerprints were capped/committed against a stale
+    * base) with `ConcurrentModificationException` — recompute and
+    * retry. Maintenance that sweeps unreferenced segments (compact /
+    * drop / promote / vacuum) must not run while optimistic writers
+    * are in flight — their segments are unreferenced until the commit
+    * (the [[Branches.commitWindow]] contract). */
+  def appendBatchOptimistic(spark: SparkSession, path: String,
+      accepted: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+      branch: Option[String] = None): Unit = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    val claimed = SnapshotDir.versions(spark, path, pfx)
+      .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+    require(claimed > 0L,
+      s"no committed lineage '$pfx' at $path — bootstrap first")
+    val (buckets, arrays) = fingerprints(accepted, idCol, textCol, n,
+      numHashes, bands, maxShingleDf)
+    val segId = ManifestDir.newSegmentId()
+    val bSeg = ManifestDir.segDir(segId, BucketsRel)
+    val aSeg = ManifestDir.segDir(segId, ArraysRel)
+    buckets.write.parquet(s"$path/$bSeg")
+    arrays.write.parquet(s"$path/$aSeg")
+    Branches.commitWindow(spark, path, pfx, claimed) { cur =>
+      ManifestDir.commit(spark, path, pfx,
+        cur.withSegment(BucketsRel, bSeg).withSegment(ArraysRel, aSeg))
+    }
+    SnapshotDir.gc(spark, path, pfx)
+    ()
+  }
+
   /** The stored LSH bucket index `(id, band, key)` of a lineage's
     * current version — the store's primary relation, exposed so a
     * branch experiment can read both lineages back (the isolation

@@ -2182,6 +2182,68 @@ class ExtSpec extends SparkSpec {
       "vertex 2 lost its last pair and must drop to singleton serving")
   }
 
+  test("optimistic lineage writers: concurrent main- and branch-append " +
+      "both land; a same-lineage stale claim loses loudly") {
+    import graft.sources.{Branches, FingerprintStore, ManifestDir,
+      SnapshotDir}
+    val docs = Tables.documents(spark, sf0001)
+    // the two batches must be DISJOINT from the base corpus (and each
+    // other) for the isolation asserts to mean anything
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 &&
+      $"doc_id" % 10 =!= 7)
+    val mainBatch = docs.filter($"doc_id" % 10 === 0)
+    val branchBatch = docs.filter($"doc_id" % 10 === 7)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fp-optim").toString
+    FingerprintStore.writeFingerprints(corpus, path)
+    FingerprintStore.createBranch(spark, path, "exp")
+    def ids(b: Option[String]) = FingerprintStore
+      .readBuckets(spark, path, b).select($"id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val base = ids(None)
+    // two writers, DIFFERENT lineages, racing through one root: the
+    // segment writes overlap freely; only the commit windows
+    // serialize on the (briefly held, polled-out) root lock
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(body: => Unit) = new Thread(() => {
+      gate.await()
+      try body catch { case t: Throwable => errs.add(t) }
+    })
+    val t1 = writer(FingerprintStore.appendBatchOptimistic(spark, path,
+      mainBatch))
+    val t2 = writer(FingerprintStore.appendBatchOptimistic(spark, path,
+      branchBatch, branch = Some("exp")))
+    t1.start(); t2.start(); gate.countDown()
+    t1.join(300000); t2.join(300000)
+    assert(errs.isEmpty, s"concurrent cross-lineage appends must both " +
+      s"land, got: ${Option(errs.peek()).map(_.toString)}")
+    val mainIds = ids(None)
+    val expIds = ids(Some("exp"))
+    val mainBatchIds = mainBatch.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val branchBatchIds = branchBatch.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // shingle-less docs band nothing; both lineages must hold exactly
+    // base + their OWN batch's banded ids and none of the other's
+    assert(mainIds.intersect(branchBatchIds).isEmpty)
+    assert(expIds.intersect(mainBatchIds).isEmpty)
+    assert((mainIds -- base).subsetOf(mainBatchIds) &&
+      (mainIds -- base).nonEmpty)
+    assert((expIds -- base).subsetOf(branchBatchIds) &&
+      (expIds -- base).nonEmpty)
+    // SAME-lineage conflict: a claim captured before another commit
+    // is stale — the window must refuse loudly, never last-write-win
+    val stale = SnapshotDir.versions(spark, path, "fp-")
+      .filter(_._2).map(_._1).max
+    FingerprintStore.appendBatch(spark, path,
+      docs.filter($"doc_id" % 10 === 4)) // advances main
+    val ex = intercept[java.util.ConcurrentModificationException](
+      Branches.commitWindow(spark, path, "fp-", stale)(m =>
+        ManifestDir.commit(spark, path, "fp-", m)))
+    assert(ex.getMessage.contains("stale"))
+  }
+
   test("fingerprint compact folds appends, serving unchanged, GC bounded") {
     val docs = Tables.documents(spark, sf0001)
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
