@@ -719,22 +719,26 @@ object ExtQueries {
       ensureAnnIndexes(s, d)
       graft.sources.AggStore.ensureState(events, aggMvPath(d),
         baseTag = "mv-full")
+      graft.sources.LmStore.ensureModel(Tables.documents(s, d),
+        lmStorePath(d))
       val fpW = takedownWorkPath(d, "fp")
       val edgeW = takedownWorkPath(d, "edges")
       val annW = takedownWorkPath(d, "ann")
       val aggW = takedownWorkPath(d, "agg")
+      val lmW = takedownWorkPath(d, "lm")
       graft.sources.VectorIndexStore.cloneIndex(s, fpStorePath(d), fpW)
       graft.sources.VectorIndexStore.cloneIndex(s,
         nearDupPairsPath(d), edgeW)
       graft.sources.VectorIndexStore.cloneIndex(s, ivfPqIndexPath(d),
         annW)
       graft.sources.VectorIndexStore.cloneIndex(s, aggMvPath(d), aggW)
+      graft.sources.VectorIndexStore.cloneIndex(s, lmStorePath(d), lmW)
       graft.sources.Takedown.sweep(s,
         docIds = Some(docDel), vecIds = Some(vecDel),
         removedFacts = Some(factDel),
         fingerprintStores = Seq(fpW), edgeStores = Seq(edgeW),
         vectorIndexes = Seq(annW), aggStores = Seq(aggW),
-        takedownTag = Some("x_takedown"))
+        lmStores = Seq(lmW), takedownTag = Some("x_takedown"))
       def h60(c: org.apache.spark.sql.Column) =
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
       def summ(rel: String, df: DataFrame,
@@ -771,6 +775,12 @@ object ExtQueries {
             nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
           concat_ws("|", col("query_id"), col("match_id"), col("rank"),
             ppm(col("cos")))))
+        .unionByName(summ("lm_unigrams",
+          graft.sources.LmStore.readUnigrams(s, lmW),
+          concat_ws("|", col("term"), col("ucnt"))))
+        .unionByName(summ("lm_bigrams",
+          graft.sources.LmStore.readBigrams(s, lmW),
+          concat_ws("|", col("bg"), col("bcnt"))))
     }),
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4678,7 +4688,22 @@ object ExtQueries {
          |  GROUP BY 1, 2),
          |$IvfPqDeleteRankedCtes,
          |atk AS (SELECT query_id, match_id, cos, rank FROM ranked
-         |        WHERE rank <= $TopK)
+         |        WHERE rank <= $TopK),
+         |lmw AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents WHERE doc_id % $DeleteMod <> $DeleteRem),
+         |lmuni AS (
+         |  SELECT term, count(*)::bigint AS ucnt FROM (
+         |    SELECT unnest(ws) AS term FROM lmw)
+         |  WHERE term <> '' GROUP BY term),
+         |lmbig AS (
+         |  SELECT bg, count(*)::bigint AS bcnt FROM (
+         |    SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+         |      list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i+1])
+         |      ELSE []::varchar[] END) AS bg
+         |    FROM lmw)
+         |  GROUP BY bg)
          |SELECT 'fp_buckets' AS rel, count(*)::bigint AS n_rows,
          |  ${h("id::varchar || '|' || band::varchar || '|' || key")}
          |    AS hashsum FROM fpb
@@ -4701,7 +4726,11 @@ object ExtQueries {
          |  ${h("query_id::varchar || '|' || match_id::varchar || " +
               "'|' || rank::varchar || '|' || " +
               "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
-         |  FROM atk""".stripMargin
+         |  FROM atk
+         |UNION ALL SELECT 'lm_unigrams', count(*)::bigint,
+         |  ${h("term || '|' || ucnt::varchar")} FROM lmuni
+         |UNION ALL SELECT 'lm_bigrams', count(*)::bigint,
+         |  ${h("bg || '|' || bcnt::varchar")} FROM lmbig""".stripMargin
     },
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word

@@ -343,6 +343,23 @@ object FingerprintStore {
     ManifestDir.readRelation(spark, path,
       currentManifest(spark, path, branch), ArraysRel)
 
+  /** TIME TRAVEL: the bucket index of a SPECIFIC committed main
+    * version — "which exact fingerprint state admitted this corpus"
+    * (each admission is a version whose manifest pins its segment
+    * list; segments are immutable). Fails loudly when the version was
+    * never committed or left the GC grace window — pin expired, never
+    * a silent fallback to current. [[EdgeStore.readAt]]'s contract on
+    * the dedup side. */
+  def readBucketsAt(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => ManifestDir.readRelation(spark, path,
+        ManifestDir.read(spark, vd), BucketsRel)
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
   /** TAKEDOWN: remove every fingerprint row of `ids` from EVERY
     * committed lineage (main and branches — a branch still serving a
     * removed document is the same compliance leak). Per lineage, both

@@ -68,6 +68,50 @@ object LmStore {
     }
   }
 
+  /** TAKEDOWN on the language model: SUBTRACT the removed docs'
+    * unigram/bigram contributions — counts are additive across
+    * documents (bigrams never span a doc boundary), so the retracted
+    * model is row-identical to a retrain over the filtered corpus
+    * (spec-pinned), with zero-count terms dropped. This is the one
+    * derived-model family where hard deletion is exact WITHOUT a
+    * retrain; the tokenizer vocabularies are not algebraic (a count
+    * change can move the top-V cut), so their takedown story is an
+    * explicit retrain, documented there. Retraction is not naturally
+    * idempotent (subtracting twice double-removes), so `batchTag`
+    * rides the version commit and a replayed tag is skipped —
+    * [[AggStore.retractDelta]]'s discipline. */
+  def retractDocs(spark: SparkSession, path: String,
+      removed: DataFrame, textCol: String = "text",
+      batchTag: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      if (batchTag.isDefined &&
+          readText(spark, s"$cur/_batch_tag") == batchTag) ()
+      else {
+        val (bneg, uneg) = graft.operators.CorpusStats
+          .bigramModel(removed, textCol)
+        val uni = spark.read.parquet(cur)
+          .unionByName(uneg.select(col("term"),
+            (-col("ucnt")).as("ucnt")))
+          .groupBy(col("term")).agg(sum(col("ucnt")).as("ucnt"))
+          .filter(col("ucnt") =!= 0L)
+        val big = spark.read.parquet(s"$cur/_bigrams")
+          .unionByName(bneg.select(col("bg"),
+            (-col("bcnt")).as("bcnt")))
+          .groupBy(col("bg")).agg(sum(col("bcnt")).as("bcnt"))
+          .filter(col("bcnt") =!= 0L)
+        val next = SnapshotDir.next(spark, path, Prefix)
+        val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
+        uni.write.mode(SaveMode.Overwrite).parquet(vdir)
+        big.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bigrams")
+        batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
+        SnapshotDir.commit(spark, path, Prefix, next)
+      }
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
+
   /** Stored unigram counts `(term, ucnt)` of the current version. */
   def readUnigrams(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(currentDir(spark, path))

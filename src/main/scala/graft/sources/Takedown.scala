@@ -28,7 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - ANN indexes: tombstones ([[VectorIndexStore.deleteIvfPq]] — no
   *    list rewrite at delete time; compaction folds them in);
   *  - rollups: exact algebraic subtraction of the removed facts'
-  *    partial contributions ([[AggStore.retractDelta]]).
+  *    partial contributions ([[AggStore.retractDelta]]);
+  *  - language models: exact count subtraction
+  *    ([[LmStore.retractDocs]] — bigrams never span documents, so
+  *    retraction equals a retrain over the filtered corpus).
+  *
+  * NOT covered, by design: the tokenizer vocabularies
+  * ([[TokenizerStore]]) are top-V cuts, not algebraic aggregates — a
+  * count change can move the cut, so their takedown is an explicit
+  * retrain (`ensureVocab` after bumping the recipe), and is usually
+  * unnecessary: a ≤5-char subword piece is not personal data the way
+  * fingerprints, text shingles, and count tables are.
   *
   * History: each store's PRE-takedown version remains readable until
   * the normal GC grace window ages it out — retention policy, not
@@ -50,6 +60,7 @@ object Takedown {
       edgeStores: Seq[String] = Nil,
       vectorIndexes: Seq[String] = Nil,
       aggStores: Seq[String] = Nil,
+      lmStores: Seq[String] = Nil,
       takedownTag: Option[String] = None): Unit = {
     for (ids <- docIds; p <- fingerprintStores)
       FingerprintStore.takedown(spark, p, ids)
@@ -59,5 +70,7 @@ object Takedown {
       VectorIndexStore.deleteIvfPq(spark, p, ids)
     for (facts <- removedFacts; p <- aggStores)
       AggStore.retractDelta(spark, p, facts, takedownTag)
+    for (docs <- docIds; p <- lmStores)
+      LmStore.retractDocs(spark, p, docs, batchTag = takedownTag)
   }
 }

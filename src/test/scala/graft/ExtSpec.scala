@@ -2090,6 +2090,10 @@ class ExtSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft-takedown").toString
     FingerprintStore.writeFingerprints(docs, s"$root/fp")
+    // pin the pre-takedown state for the time-travel check below
+    val preBuckets = FingerprintStore.readBuckets(spark, s"$root/fp")
+      .collect().map(_.toString).sorted.toSeq
+    LmStore.writeModel(docs, s"$root/lm")
     EdgeStore.ensureNearDupPairs(e, s"$root/edges",
       ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
       rowsPerBand = ExtQueries.NearDupRows,
@@ -2101,7 +2105,7 @@ class ExtSpec extends SparkSpec {
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
-      takedownTag = Some("spec-1"))
+      lmStores = Seq(s"$root/lm"), takedownTag = Some("spec-1"))
     def noDeleted(df: org.apache.spark.sql.DataFrame,
         c: String, what: String): Unit =
       assert(df.filter(col(c) % 10 === 3).count() === 0L,
@@ -2130,17 +2134,41 @@ class ExtSpec extends SparkSpec {
       .withColumn("total", $"total".cast("double"))
       .collect().map(_.toString).sorted.toSeq
     assert(got === want)
+    // the LM retraction equals a retrain over the filtered corpus,
+    // row for row (bigrams never span documents — additivity)
+    val survivors = docs.filter($"doc_id" % 10 =!= 3)
+    val (wantBig, wantUni) = {
+      val m = graft.operators.CorpusStats.bigramModel(survivors)
+      (m._1.collect().map(_.toString).sorted.toSeq,
+        m._2.collect().map(_.toString).sorted.toSeq)
+    }
+    def lmState() = (
+      LmStore.readBigrams(spark, s"$root/lm")
+        .collect().map(_.toString).sorted.toSeq,
+      LmStore.readUnigrams(spark, s"$root/lm")
+        .collect().map(_.toString).sorted.toSeq)
+    assert(lmState() === ((wantBig, wantUni)))
+    // TIME TRAVEL: the pre-takedown fingerprint version still pins —
+    // "which exact fingerprint state admitted this corpus" survives
+    // the takedown until retention GC ages it out
+    assert(FingerprintStore
+      .readBucketsAt(spark, s"$root/fp", 1L)
+      .collect().map(_.toString).sorted.toSeq === preBuckets)
+    intercept[IllegalStateException](
+      FingerprintStore.readBucketsAt(spark, s"$root/fp", 99L))
     // REPLAY the whole sweep (same tag): anti-joins no-op, the
-    // retraction is tag-guarded — state is unchanged
+    // retractions are tag-guarded — state is unchanged
     Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
-      takedownTag = Some("spec-1"))
+      lmStores = Seq(s"$root/lm"), takedownTag = Some("spec-1"))
     assert(AggStore.readState(spark, s"$root/agg")
       .withColumn("total", $"total".cast("double"))
       .collect().map(_.toString).sorted.toSeq === want,
       "a replayed retraction must not double-subtract")
+    assert(lmState() === ((wantBig, wantUni)),
+      "a replayed LM retraction must not double-subtract")
     assert(EdgeStore.read(spark, s"$root/edges")
       .collect().map(_.toString).sorted.toSeq
       === pairs.collect().map(_.toString).sorted.toSeq)
