@@ -232,7 +232,6 @@ object EdgeStore {
       threshold: Double, bands: Int, rowsPerBand: Int, dim: Int,
       branch: Option[String] = None): Long = {
     val spark = batch.sparkSession
-    import org.apache.spark.sql.functions._
     val pfx = prefixOf(branch)
     // the current manifest is resolved INSIDE the critical section: an
     // append racing a [[compact]] would otherwise commit a manifest
@@ -240,6 +239,69 @@ object EdgeStore {
     // un-compacted layout and dropping the compaction
     SnapshotDir.withWriterLock(spark, path) {
       val m = manifestOf(spark, path, pfx)
+      writeAdmission(batch, vectors, path, threshold, bands,
+        rowsPerBand, dim, m) match {
+        case None => 0L
+        case Some((n, next)) =>
+          // THE transaction: every relation the batch touched becomes
+          // visible in one atomic manifest publish (on this lineage)
+          ManifestDir.commit(spark, path, pfx, next)
+          SnapshotDir.gc(spark, path, pfx)
+          n
+      }
+    }
+  }
+
+  /** OPTIMISTIC lineage admission — the cross-lineage concurrency
+    * form: candidate generation, verification, and every segment
+    * write run with NO lock held (segments are immutable and
+    * uid-unique, so parallel writers cannot collide), and only the
+    * manifest publish runs inside [[Branches.commitWindow]]'s short
+    * root-lock window, which re-verifies the lineage still sits at
+    * `claimed` — a main-append and a branch-experiment ingest on one
+    * root proceed concurrently instead of serializing their whole
+    * banding/verify work; a SAME-lineage race loses loudly at the
+    * window (its dedup/pairs were computed against a stale base —
+    * recompute and retry). Maintenance that sweeps unreferenced
+    * segments (compact / vacuum / drop / promote) must not run while
+    * optimistic writers are in flight — the [[Branches.commitWindow]]
+    * contract. */
+  def appendBatchOptimistic(batch: DataFrame, vectors: DataFrame,
+      path: String, threshold: Double, bands: Int, rowsPerBand: Int,
+      dim: Int, branch: Option[String] = None): Long = {
+    val spark = batch.sparkSession
+    val pfx = prefixOf(branch)
+    val claimed = SnapshotDir.versions(spark, path, pfx)
+      .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+    require(claimed > 0L,
+      s"no committed lineage '$pfx' under $path — bootstrap first")
+    val m = manifestOf(spark, path, pfx)
+    writeAdmission(batch, vectors, path, threshold, bands, rowsPerBand,
+      dim, m) match {
+      case None => 0L
+      case Some((n, next)) =>
+        Branches.commitWindow(spark, path, pfx, claimed) { _ =>
+          ManifestDir.commit(spark, path, pfx, next)
+        }
+        SnapshotDir.gc(spark, path, pfx)
+        n
+    }
+  }
+
+  /** The admission WORK of [[appendBatch]]: dedup the batch against
+    * the stored band index, verify candidates, write the batch's
+    * band/pair/label segments, and return the admitted pair count
+    * plus the next manifest referencing them — or None when the whole
+    * batch is redelivery. Takes NO lock; the caller decides the
+    * envelope (resolve+commit under the writer lock, or claim →
+    * lock-free write → optimistic commit window). */
+  private def writeAdmission(batch: DataFrame, vectors: DataFrame,
+      path: String, threshold: Double, bands: Int, rowsPerBand: Int,
+      dim: Int, m: ManifestDir.Manifest)
+      : Option[(Long, ManifestDir.Manifest)] = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    {
       val stored = graft.operators.CacheRegistry.tracked(
         ManifestDir.readRelation(spark, path, m, BandsRel))
       // same-id rows within one batch are redelivery duplicates of
@@ -251,7 +313,7 @@ object EdgeStore {
         batch.dropDuplicates("vec_id")
           .join(stored.select(col("id").as("vec_id")).distinct(),
             Seq("vec_id"), "left_anti"))
-      if (fresh.isEmpty) 0L // full redelivery: nothing to commit
+      if (fresh.isEmpty) None // full redelivery: nothing to commit
       else {
         val batchBands = graft.operators.CacheRegistry.tracked(
           graft.operators.Similarity.bandRelation(fresh, bands,
@@ -301,11 +363,7 @@ object EdgeStore {
                 ClusterStore.pairsSig(next.segments(PairsRel)))
           }
         }
-        // THE transaction: every relation the batch touched becomes
-        // visible in one atomic manifest publish (on this lineage)
-        ManifestDir.commit(spark, path, pfx, next)
-        SnapshotDir.gc(spark, path, pfx)
-        n
+        Some((n, next))
       }
     }
   }

@@ -378,6 +378,59 @@ class GraphStatsSpec extends SparkSpec {
       EdgeStore.read(spark, path, Some("exp")))
   }
 
+  test("edge store optimistic appends: concurrent main- and " +
+      "branch-admission both land isolated") {
+    import graft.operators.{ExtQueries, Similarity}
+    import graft.sources.EdgeStore
+    val e = Tables.embeddings(spark, sf0001)
+    // base, main batch, branch batch: pairwise disjoint id sets
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 9 &&
+      pmod(col("vec_id"), lit(10)) =!= 3)
+    val mainBatch = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+    val branchBatch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edges-optim").toString
+    EdgeStore.ensureNearDupPairs(base, path, ExtQueries.CosineThreshold,
+      bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim)
+    EdgeStore.createBranch(spark, path, "exp")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(body: => Unit) = new Thread(() => {
+      gate.await()
+      try body catch { case t: Throwable => errs.add(t) }
+    })
+    // the full banding/verify work of both admissions overlaps; only
+    // the two manifest publishes serialize on the (polled) root lock
+    val t1 = writer(EdgeStore.appendBatchOptimistic(mainBatch, e, path,
+      ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim))
+    val t2 = writer(EdgeStore.appendBatchOptimistic(branchBatch, e,
+      path, ExtQueries.CosineThreshold,
+      bands = ExtQueries.NearDupBands,
+      rowsPerBand = ExtQueries.NearDupRows,
+      dim = ExtQueries.EmbeddingDim, branch = Some("exp")))
+    t1.start(); t2.start(); gate.countDown()
+    t1.join(300000); t2.join(300000)
+    assert(errs.isEmpty, s"both cross-lineage admits must land, got: " +
+      s"${Option(errs.peek()).map(_.toString)}")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos"))).toSet
+    def expect(corpus: org.apache.spark.sql.DataFrame) =
+      pairSet(Similarity.nearDupPairsLsh(corpus,
+        ExtQueries.CosineThreshold, bands = ExtQueries.NearDupBands,
+        rowsPerBand = ExtQueries.NearDupRows,
+        dim = ExtQueries.EmbeddingDim))
+    // each lineage equals the from-scratch rebuild over ITS corpus
+    assert(pairSet(EdgeStore.read(spark, path))
+      === expect(base.unionByName(mainBatch)))
+    assert(pairSet(EdgeStore.read(spark, path, Some("exp")))
+      === expect(base.unionByName(branchBatch)))
+  }
+
   test("edge store promote: fast-forward publishes the branch as main; " +
       "a diverged main refuses") {
     import graft.operators.{ExtQueries, Similarity}
