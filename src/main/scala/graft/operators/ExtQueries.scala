@@ -361,6 +361,8 @@ object ExtQueries {
         .map("cluster_labels" -> _).toMap ++
       graft.sources.ClusterStore.ensureLabels(s, ndPairsBasePath(d))
         .map("cluster_labels_base" -> _).toMap ++
+      graft.sources.ClusterStore.ensureL1Labels(s, nearDupPairsPath(d))
+        .map("l1_labels" -> _).toMap ++
       graft.sources.ZOrderStore
         .ensureZOrdered(zGrid(Tables.events(s, d)), zOrderPath(d),
           "za", "zb", ZBits, ZFiles)
@@ -2882,6 +2884,10 @@ object ExtQueries {
         nearDupPairsPath(d), CosineThreshold, bands = NearDupBands,
         rowsPerBand = NearDupRows, dim = EmbeddingDim)
       graft.sources.ClusterStore.ensureLabels(s, nearDupPairsPath(d))
+      // part of the edges store's steady state since L1 serving landed:
+      // without this, the row depends on whether x_community_l2 ran
+      // first (build v1 + labels v2 + l1labels v3)
+      graft.sources.ClusterStore.ensureL1Labels(s, nearDupPairsPath(d))
       graft.sources.FingerprintStore.ensureFingerprints(
         incrCorpus(s, d), fpStorePath(d))
       ensureAnnIndexes(s, d)
@@ -8468,18 +8474,19 @@ object ExtQueries {
 
     // the catalog is self-validating: expected metadata VALUES are
     // generated from the SAME recipe builders the stores stamp and
-    // the known deterministic lifecycle (edges: build v1 + labels v2;
-    // the rest: single build v1); env-sized file/byte counts appear
-    // only as must-be-TRUE booleans
+    // the known deterministic lifecycle (edges: build v1 + labels v2 +
+    // L1 labels v3, with the GC grace window retaining 2 committed
+    // versions; the rest: single build v1); env-sized file/byte
+    // counts appear only as must-be-TRUE booleans
     "x_sql_stores" ->
       s"""SELECT * FROM (VALUES
          |  ('agg', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.AggStore.recipe("mv-full")}',
          |   NULL::bigint, NULL::boolean, true, true),
-         |  ('edges', 2::bigint, 2::bigint, 0::bigint,
+         |  ('edges', 3::bigint, 2::bigint, 0::bigint,
          |   '${graft.sources.EdgeStore.recipe(CosineThreshold,
               NearDupBands, NearDupRows, EmbeddingDim)}',
-         |   3::bigint, true, true, true),
+         |   4::bigint, true, true, true),
          |  ('fingerprints', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.FingerprintStore.recipe(3, 8, 4,
               Dedup.DefaultMaxShingleDf, "doc_id", "text")}',
