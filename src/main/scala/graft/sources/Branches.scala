@@ -153,12 +153,18 @@ private[graft] object Branches {
     }
 
   /** Vacuum with every lineage's references live — the only sweep
-    * shape that is safe on a branched root. Takes the writer lock. */
+    * shape that is safe on a branched root. Takes the writer lock.
+    * `minAgeMs > 0` additionally spares segment dirs younger than the
+    * window, which makes the sweep safe to schedule WHILE optimistic
+    * writers ([[commitWindow]]) may be in flight: their segments are
+    * unreferenced until the commit but always younger than the
+    * window; real crash debris ages into sweepability. Size it above
+    * the longest admission's write phase. */
   def vacuum(spark: SparkSession, root: String,
-      mainPrefix: String): Long =
+      mainPrefix: String, minAgeMs: Long = 0L): Long =
     SnapshotDir.withWriterLock(spark, root) {
       ManifestDir.vacuum(spark, root,
-        allPrefixes(spark, root, mainPrefix))
+        allPrefixes(spark, root, mainPrefix), minAgeMs)
     }
 
   /** OPTIMISTIC cross-lineage commit window: run `commit(current)`
@@ -173,11 +179,14 @@ private[graft] object Branches {
     * last-writer-wins commit would drop the winner's rows).
     *
     * CONTRACT: while any optimistic writer is in flight, maintenance
-    * that sweeps unreferenced segments (vacuum / compact / drop /
-    * promote) must not run — an in-flight writer's segments are not
-    * yet referenced by any manifest and would be swept from under its
-    * commit. The orchestrator serializes those the way it already
-    * serializes compaction against admission elsewhere. */
+    * that sweeps unreferenced segments (compact / drop / promote, or
+    * a STRICT vacuum) must not run — an in-flight writer's segments
+    * are not yet referenced by any manifest and would be swept from
+    * under its commit. Either the orchestrator serializes those the
+    * way it already serializes compaction against admission, or the
+    * scheduled sweep runs as [[vacuum]] with `minAgeMs` above the
+    * longest admission's write phase — young unreferenced segments
+    * are then presumed in-flight and spared. */
   def commitWindow[T](spark: SparkSession, root: String,
       prefix: String, claimedVersion: Long,
       lockWaitMs: Long = 60000L)(

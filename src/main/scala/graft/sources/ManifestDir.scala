@@ -223,9 +223,21 @@ private[graft] object ManifestDir {
     * lineage's committed manifest references it; sweeping with a
     * single prefix would delete branch-only (or main-only) segments
     * out from under the other refs. Callers enumerate every lineage
-    * prefix under the root. */
+    * prefix under the root.
+    *
+    * `minAgeMs` is the OPTIMISTIC-WRITER guard: an in-flight
+    * [[Branches.commitWindow]] writer's segments are written before
+    * any manifest references them, so a concurrent vacuum would read
+    * them as orphans and sweep them from under the pending commit.
+    * With `minAgeMs > 0` only segment dirs older than the window are
+    * candidates — size it above the longest admission's write phase
+    * (crash debris is permanent and ages past any window; a live
+    * writer's segments are by definition younger than its own run).
+    * The default 0 keeps the strict sweep for callers that hold the
+    * lock across the WHOLE admission (the locked append paths), where
+    * the lock itself rules out in-flight writers. */
   def vacuum(spark: SparkSession, root: String,
-      prefixes: Seq[String]): Long = {
+      prefixes: Seq[String], minAgeMs: Long = 0L): Long = {
     val (fs, _) = StoreFiles.fsOf(spark, root)
     val segRoot = new org.apache.hadoop.fs.Path(s"$root/seg")
     if (!fs.exists(segRoot)) return 0L
@@ -245,8 +257,11 @@ private[graft] object ManifestDir {
         case Array("seg", uid, _*) => Some(uid)
         case _ => None
       }).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val swept = fs.listStatus(segRoot).toSeq
-      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
+      .filter(s => s.isDirectory &&
+        !referenced.contains(s.getPath.getName) &&
+        (minAgeMs == 0L || s.getModificationTime < cutoff))
     swept.foreach(s => fs.delete(s.getPath, true))
     swept.size.toLong
   }

@@ -2260,6 +2260,22 @@ class ExtSpec extends SparkSpec {
       (mainIds -- base).nonEmpty)
     assert((expIds -- base).subsetOf(branchBatchIds) &&
       (expIds -- base).nonEmpty)
+    // AGE-GUARDED vacuum: a young unreferenced segment (what an
+    // in-flight optimistic writer's half looks like) must be SPARED
+    // by a windowed sweep and swept by the strict one — the sweep
+    // shape that may be scheduled while optimistic writers run
+    val orphan = java.nio.file.Paths.get(path, "seg",
+      "inflight-uid", "buckets")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Branches.vacuum(spark, path, "fp-",
+      minAgeMs = 60L * 60 * 1000) === 0L,
+      "a windowed vacuum must presume young orphans in-flight")
+    assert(java.nio.file.Files.exists(orphan))
+    assert(Branches.vacuum(spark, path, "fp-") === 1L,
+      "the strict vacuum sweeps the same orphan")
+    assert(!java.nio.file.Files.exists(orphan))
     // SAME-lineage conflict: a claim captured before another commit
     // is stale — the window must refuse loudly, never last-write-win
     val stale = SnapshotDir.versions(spark, path, "fp-")
