@@ -94,6 +94,59 @@ object CountMin {
       .withColumn("no_underest", col("est") >= col("exact_cnt"))
   }
 
+  /** Element-wise counter subtraction — defined because CMS is a
+    * LINEAR sketch (each counter is a sum over stream items), so
+    * removing a sub-stream's own sketch yields exactly the sketch of
+    * the remaining stream. */
+  private def subtract(a: CmsBuffer, b: CmsBuffer): CmsBuffer = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"CMS shape mismatch: ${a.depth}x${a.width} vs " +
+        s"${b.depth}x${b.width}")
+    val out = new CmsBuffer(a.depth, a.width)
+    var i = 0
+    while (i < out.counters.length) {
+      out.counters(i) = a.counters(i) - b.counters(i)
+      i += 1
+    }
+    out.n = a.n - b.n
+    out
+  }
+
+  /** TAKEDOWN on sketch state: subtract the REMOVED docs' sketch from
+    * the corpus sketch. CMS is linear, so the retracted matrix equals
+    * the filtered-corpus rebuild BIT-FOR-BIT (`retract_exact` carries
+    * the byte-compare — the property Misra-Gries lacks: MG's error
+    * admissions are stream-order state, not sums, so ITS takedown is
+    * a rebuild). The audit rows are the FILTERED corpus's exact heavy
+    * hitters with the retracted sketch's replayable estimates and the
+    * usual no-underestimate guarantee. The 100 TB shape: a takedown
+    * touches one 24 KB sketch row per maintained window — never the
+    * token stream — after sketching just the removed docs. */
+  /** The post-takedown sketch itself: corpus sketch minus the removed
+    * docs' sketch — what a maintained frequency state commits after a
+    * takedown (the serving artifact [[cmsRetractValidated]] audits). */
+  def retractedSketch(docs: DataFrame, removed: Column, depth: Int,
+      width: Int): CmsBuffer =
+    subtract(
+      mergedSketch(cmsState(docs, lit(0), depth, width), depth, width),
+      mergedSketch(cmsState(docs.filter(removed), lit(0), depth,
+        width), depth, width))
+
+  def cmsRetractValidated(docs: DataFrame, removed: Column,
+      depth: Int = 3, width: Int = 1024, phi: Int = 64): DataFrame = {
+    val retracted = retractedSketch(docs, removed, depth, width)
+    val rebuilt = mergedSketch(
+      cmsState(docs.filter(!removed), lit(0), depth, width),
+      depth, width)
+    val exact = java.util.Arrays.equals(retracted.counters,
+      rebuilt.counters) && retracted.n == rebuilt.n
+    heavyExact(docs.filter(!removed), phi)
+      .select(col("item"), col("exact_cnt"), col("n_tokens"),
+        CmsFunctions.cmsEstimate(col("item"), retracted).as("est"),
+        lit(exact).as("retract_exact"))
+      .withColumn("no_underest", col("est") >= col("exact_cnt"))
+  }
+
   /** SKETCH-SERVED corpus drift: the `k` tokens whose RATE (ppm of the
     * stream) moved most between two corpus halves, each row carrying
     * the exact counts (replayable), the exact integer rate difference

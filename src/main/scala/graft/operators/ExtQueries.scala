@@ -2498,6 +2498,19 @@ object ExtQueries {
         parts = SketchParts, depth = CmsDepth, width = CmsWidth,
         phi = HeavyHitterPhi)),
 
+    // TAKEDOWN on sketch state: CMS is a LINEAR sketch, so
+    // subtracting the removed docs' own sketch yields BIT-FOR-BIT the
+    // filtered-corpus rebuild (retract_exact carries the
+    // byte-compare) — the takedown sweep's answer for the maintained
+    // frequency states, at one-24KB-row cost per window after
+    // sketching just the removed docs. Audit rows: the filtered
+    // corpus's exact heavy hitters with the retracted sketch's
+    // replayable estimates.
+    "x_cms_retract" -> ((s, d) =>
+      CountMin.cmsRetractValidated(Tables.documents(s, d),
+        col("doc_id") % DeleteMod === DeleteRem,
+        depth = CmsDepth, width = CmsWidth, phi = HeavyHitterPhi)),
+
     // Sketch-served drift: the 40 tokens whose ppm rate moved most
     // between corpus halves, carrying both sketches' replayable
     // estimates — production diffs two 24 KB daily sketches; the
@@ -3746,11 +3759,16 @@ object ExtQueries {
   /** Shared CTE chain of the two Count-Min token audits: exact token
     * frequencies, the rebuilt depth×width counter matrix, and the
     * min-over-rows point estimate per token. */
-  private lazy val CmsTokenMatrixSql: String =
+  private lazy val CmsTokenMatrixSql: String = cmsTokenMatrixSql("TRUE")
+
+  /** The same chain over a doc-filtered corpus — the retraction
+    * oracle's form (CMS is linear, so the retracted matrix IS the
+    * filtered rebuild). */
+  private def cmsTokenMatrixSql(where: String): String =
     s"""WITH tok AS (
        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
        |    AS item
-       |  FROM documents),
+       |  FROM documents WHERE $where),
        |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
        |       WHERE item <> '' GROUP BY item),
        |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf),
@@ -7339,6 +7357,15 @@ object ExtQueries {
          |SELECT item, exact_cnt, n_tokens, est,
          |  $SketchParts AS n_parts, TRUE AS merge_lossless,
          |  TRUE AS no_underest
+         |FROM tf JOIN e USING (item) CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // linearity makes retraction exact: the retracted estimates
+    // replay from the FILTERED corpus's rebuilt matrix
+    "x_cms_retract" ->
+      s"""${cmsTokenMatrixSql(s"doc_id % $DeleteMod <> $DeleteRem")}
+         |SELECT item, exact_cnt, n_tokens, est,
+         |  TRUE AS retract_exact, TRUE AS no_underest
          |FROM tf JOIN e USING (item) CROSS JOIN n
          |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
 

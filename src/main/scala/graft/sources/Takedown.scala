@@ -33,6 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ([[LmStore.retractDocs]] — bigrams never span documents, so
   *    retraction equals a retrain over the filtered corpus).
   *
+  * Sketch states: the Count-Min frequency windows retract EXACTLY
+  * (linear sketch — [[graft.operators.CountMin.retractedSketch]]
+  * subtracts the removed docs' sketch, bit-equal to the filtered
+  * rebuild); Misra-Gries states are NOT invertible (their error
+  * admissions are stream-order state, not sums) and rebuild instead.
+  *
   * NOT covered, by design: the tokenizer vocabularies
   * ([[TokenizerStore]]) are top-V cuts, not algebraic aggregates — a
   * count change can move the cut, so their takedown is an explicit

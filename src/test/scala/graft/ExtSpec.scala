@@ -3393,6 +3393,39 @@ class ExtSpec extends SparkSpec {
     assert(audit.forall(_.getAs[Boolean]("no_underest")))
   }
 
+  test("cms retraction is exact: subtract equals the filtered rebuild; " +
+      "removed-only tokens vanish") {
+    import graft.operators.CountMin
+    // doc 3 is the takedown target and sole carrier of 'gone'
+    val d = Seq(
+      (1L, "alpha alpha beta"), (2L, "alpha beta beta"),
+      (3L, "gone gone gone alpha"), (4L, "beta alpha")).toDF(
+      "doc_id", "text")
+    // filtered corpus = alpha×4 + beta×4 over 8 tokens; phi=3 makes
+    // both heavy (4·3 > 8)
+    val out = CountMin.cmsRetractValidated(d, $"doc_id" === 3L,
+      depth = 3, width = 64, phi = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the byte-compare held: subtraction IS the filtered rebuild
+    assert(rows.forall(_.getAs[Boolean]("retract_exact")))
+    assert(rows.forall(_.getAs[Boolean]("no_underest")))
+    // the heavy set is the FILTERED corpus's: 'gone' cannot appear,
+    // and alpha's exact count has doc 3's occurrence removed
+    val byItem = rows.map(r => r.getAs[String]("item") ->
+      r.getAs[Long]("exact_cnt")).toMap
+    assert(!byItem.contains("gone"))
+    assert(byItem("alpha") === 4L)
+    // a removed-only token's estimate drops to the collision floor:
+    // with this tiny vocabulary the sketch answers 0 for 'gone'
+    // unless some survivor hashes onto all three of its counters
+    val est = out.sparkSession.range(1).select(
+      graft.plans.CmsFunctions.cmsEstimate(lit("gone"),
+        CountMin.retractedSketch(d, $"doc_id" === 3L, 3, 64))
+        .as("e")).collect().head.getLong(0)
+    assert(est >= 0L && est <= 1L)
+  }
+
   test("cms drift: one-sided tokens top the movers; estimates stay above truth") {
     import graft.operators.CountMin
     // even half "aaa bbb", odd half "aaa ccc": aaa has identical rate
