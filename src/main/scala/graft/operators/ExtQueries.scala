@@ -195,6 +195,100 @@ object ExtQueries {
       s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
       .toString
 
+  /** The `x_takedown` computation, parameterized on BOTH path sets so
+    * the determinism spec can replay it against scratch roots: ensure
+    * the five base stores at `base("fp"|"edges"|"ann"|"agg"|"lm")`,
+    * clone each to `work(...)` ([[graft.sources.StoreClone]] — pinned
+    * + lock-held, so a clone is always a committed state), run ONE
+    * [[graft.sources.Takedown.sweep]] over the clones, and reduce
+    * every rewritten relation to `(rel, n_rows, order-independent
+    * 60-bit md5 hashsum)`. The rows NAME their relation, so a
+    * mismatch — driver-side or in the repeat-run spec — identifies
+    * which store moved instead of a bare boolean. Deterministic by
+    * construction: ensure-builds are recipe-gated and deterministic,
+    * clones are version-pinned, the sweep's algebra is exact (md5
+    * anti-joins, decimal/integer subtraction). */
+  private[graft] def takedownSummary(s: SparkSession, d: String,
+      base: Map[String, String], work: String => String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val events = Tables.events(s, d)
+    val docDel = Tables.documents(s, d)
+      .filter(col("doc_id") % DeleteMod === DeleteRem)
+    val vecDel = e.filter(col("vec_id") % DeleteMod === DeleteRem)
+    val factDel = events
+      .filter(col("event_id") % DeleteMod === DeleteRem)
+    // warm bases (all ensure-gated), cloned so the base stores stay
+    // pristine for their own queries
+    graft.sources.FingerprintStore.ensureFingerprints(
+      incrCorpus(s, d), base("fp"))
+    graft.sources.EdgeStore.ensureNearDupPairs(e, base("edges"),
+      CosineThreshold, bands = NearDupBands,
+      rowsPerBand = NearDupRows, dim = EmbeddingDim)
+    graft.sources.ClusterStore.ensureLabels(s, base("edges"))
+    graft.sources.VectorIndexStore.ensureIvfPq(e, base("ann"),
+      ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+      m = PqSubspaces, dim = EmbeddingDim)
+    graft.sources.AggStore.ensureState(events, base("agg"),
+      baseTag = "mv-full")
+    graft.sources.LmStore.ensureModel(Tables.documents(s, d),
+      base("lm"))
+    val fpW = work("fp")
+    val edgeW = work("edges")
+    val annW = work("ann")
+    val aggW = work("agg")
+    val lmW = work("lm")
+    Seq("fp", "edges", "ann", "agg", "lm").foreach(k =>
+      graft.sources.StoreClone.cloneStore(s, base(k), work(k)))
+    graft.sources.Takedown.sweep(s,
+      docIds = Some(docDel), vecIds = Some(vecDel),
+      removedFacts = Some(factDel),
+      fingerprintStores = Seq(fpW), edgeStores = Seq(edgeW),
+      vectorIndexes = Seq(annW), aggStores = Seq(aggW),
+      lmStores = Seq(lmW), takedownTag = Some("x_takedown"))
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def summ(rel: String, df: DataFrame,
+        key: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(h60(key).cast(DecimalType(38, 0))).as("hashsum"))
+        .select(lit(rel).as("rel"), col("n_rows"), col("hashsum"))
+    val ppm = (c: org.apache.spark.sql.Column) =>
+      (c.cast(DecimalType(18, 6)) * 1000000).cast("long")
+    summ("fp_buckets",
+        graft.sources.FingerprintStore.readBuckets(s, fpW),
+        concat_ws("|", col("id"), col("band"), col("key")))
+      .unionByName(summ("fp_arrays",
+        graft.sources.FingerprintStore.readArrays(s, fpW)
+          .select(col("id"), explode(col("shs")).as("sh")),
+        concat_ws("|", col("id"), col("sh"))))
+      .unionByName(summ("edge_pairs",
+        graft.sources.EdgeStore.read(s, edgeW),
+        concat_ws("|", col("id_a"), col("id_b"), ppm(col("cos")))))
+      .unionByName(summ("edge_bands",
+        graft.sources.EdgeStore.readBands(s, edgeW),
+        concat_ws("|", col("id"), col("band"), col("bkey"))))
+      .unionByName(summ("edge_labels",
+        graft.sources.ClusterStore.readLabels(s, edgeW),
+        concat_ws("|", col("id"), col("label"))))
+      .unionByName(summ("agg_rollup",
+        graft.sources.AggStore.readState(s, aggW),
+        concat_ws("|", date_format(col("day"), "yyyy-MM-dd"),
+          col("event_type"), col("cnt"),
+          (col("total") * 100).cast("long"))))
+      .unionByName(summ("ann_topk",
+        graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, annW,
+          e.filter(col("vec_id") % QueryMod === 0), e, TopK,
+          nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
+        concat_ws("|", col("query_id"), col("match_id"), col("rank"),
+          ppm(col("cos")))))
+      .unionByName(summ("lm_unigrams",
+        graft.sources.LmStore.readUnigrams(s, lmW),
+        concat_ws("|", col("term"), col("ucnt"))))
+      .unionByName(summ("lm_bigrams",
+        graft.sources.LmStore.readBigrams(s, lmW),
+        concat_ws("|", col("bg"), col("bcnt"))))
+  }
+
   private[graft] def nearDupPairsPath(d: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-ndpairs-${Integer.toHexString(d.hashCode)}").toString
@@ -643,7 +737,7 @@ object ExtQueries {
       graft.sources.FingerprintStore.ensureFingerprints(
         incrCorpus(s, d), fpStorePath(d))
       val work = fpBranchWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, fpStorePath(d),
+      graft.sources.StoreClone.cloneStore(s, fpStorePath(d),
         work)
       graft.sources.FingerprintStore.createBranch(s, work, "exp")
       graft.sources.FingerprintStore.appendBatch(s, work, batch,
@@ -702,88 +796,11 @@ object ExtQueries {
     // is the corpus chain filtered to surviving ids: the store's df
     // cap is admission-path state over the build corpus, exactly as
     // in the incremental-admission contract.)
-    "x_takedown" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val events = Tables.events(s, d)
-      val docDel = Tables.documents(s, d)
-        .filter(col("doc_id") % DeleteMod === DeleteRem)
-      val vecDel = e.filter(col("vec_id") % DeleteMod === DeleteRem)
-      val factDel = events
-        .filter(col("event_id") % DeleteMod === DeleteRem)
-      // warm bases (all ensure-gated), cloned so the shared stores
-      // stay pristine for their own queries
-      graft.sources.FingerprintStore.ensureFingerprints(
-        incrCorpus(s, d), fpStorePath(d))
-      graft.sources.EdgeStore.ensureNearDupPairs(e, nearDupPairsPath(d),
-        CosineThreshold, bands = NearDupBands,
-        rowsPerBand = NearDupRows, dim = EmbeddingDim)
-      graft.sources.ClusterStore.ensureLabels(s, nearDupPairsPath(d))
-      ensureAnnIndexes(s, d)
-      graft.sources.AggStore.ensureState(events, aggMvPath(d),
-        baseTag = "mv-full")
-      graft.sources.LmStore.ensureModel(Tables.documents(s, d),
-        lmStorePath(d))
-      val fpW = takedownWorkPath(d, "fp")
-      val edgeW = takedownWorkPath(d, "edges")
-      val annW = takedownWorkPath(d, "ann")
-      val aggW = takedownWorkPath(d, "agg")
-      val lmW = takedownWorkPath(d, "lm")
-      graft.sources.VectorIndexStore.cloneIndex(s, fpStorePath(d), fpW)
-      graft.sources.VectorIndexStore.cloneIndex(s,
-        nearDupPairsPath(d), edgeW)
-      graft.sources.VectorIndexStore.cloneIndex(s, ivfPqIndexPath(d),
-        annW)
-      graft.sources.VectorIndexStore.cloneIndex(s, aggMvPath(d), aggW)
-      graft.sources.VectorIndexStore.cloneIndex(s, lmStorePath(d), lmW)
-      graft.sources.Takedown.sweep(s,
-        docIds = Some(docDel), vecIds = Some(vecDel),
-        removedFacts = Some(factDel),
-        fingerprintStores = Seq(fpW), edgeStores = Seq(edgeW),
-        vectorIndexes = Seq(annW), aggStores = Seq(aggW),
-        lmStores = Seq(lmW), takedownTag = Some("x_takedown"))
-      def h60(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      def summ(rel: String, df: DataFrame,
-          key: org.apache.spark.sql.Column) =
-        df.agg(count(lit(1)).as("n_rows"),
-            sum(h60(key).cast(DecimalType(38, 0))).as("hashsum"))
-          .select(lit(rel).as("rel"), col("n_rows"), col("hashsum"))
-      val ppm = (c: org.apache.spark.sql.Column) =>
-        (c.cast(DecimalType(18, 6)) * 1000000).cast("long")
-      summ("fp_buckets",
-          graft.sources.FingerprintStore.readBuckets(s, fpW),
-          concat_ws("|", col("id"), col("band"), col("key")))
-        .unionByName(summ("fp_arrays",
-          graft.sources.FingerprintStore.readArrays(s, fpW)
-            .select(col("id"), explode(col("shs")).as("sh")),
-          concat_ws("|", col("id"), col("sh"))))
-        .unionByName(summ("edge_pairs",
-          graft.sources.EdgeStore.read(s, edgeW),
-          concat_ws("|", col("id_a"), col("id_b"), ppm(col("cos")))))
-        .unionByName(summ("edge_bands",
-          graft.sources.EdgeStore.readBands(s, edgeW),
-          concat_ws("|", col("id"), col("band"), col("bkey"))))
-        .unionByName(summ("edge_labels",
-          graft.sources.ClusterStore.readLabels(s, edgeW),
-          concat_ws("|", col("id"), col("label"))))
-        .unionByName(summ("agg_rollup",
-          graft.sources.AggStore.readState(s, aggW),
-          concat_ws("|", date_format(col("day"), "yyyy-MM-dd"),
-            col("event_type"), col("cnt"),
-            (col("total") * 100).cast("long"))))
-        .unionByName(summ("ann_topk",
-          graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, annW,
-            e.filter(col("vec_id") % QueryMod === 0), e, TopK,
-            nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
-          concat_ws("|", col("query_id"), col("match_id"), col("rank"),
-            ppm(col("cos")))))
-        .unionByName(summ("lm_unigrams",
-          graft.sources.LmStore.readUnigrams(s, lmW),
-          concat_ws("|", col("term"), col("ucnt"))))
-        .unionByName(summ("lm_bigrams",
-          graft.sources.LmStore.readBigrams(s, lmW),
-          concat_ws("|", col("bg"), col("bcnt"))))
-    }),
+    "x_takedown" -> ((s, d) => takedownSummary(s, d,
+      Map("fp" -> fpStorePath(d), "edges" -> nearDupPairsPath(d),
+        "ann" -> ivfPqIndexPath(d), "agg" -> aggMvPath(d),
+        "lm" -> lmStorePath(d)), k => takedownWorkPath(d, k))),
+
 
     // Span-level dedup APPLIED: drop every exact width-word span
     // repeated across more than SpanMaxDf docs and reassemble the
@@ -856,7 +873,7 @@ object ExtQueries {
         CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)
       val work = ndPairsWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+      graft.sources.StoreClone.cloneStore(s, ndPairsBasePath(d),
         work)
       graft.sources.EdgeStore.appendBatch(batch, e, work,
         CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
@@ -881,7 +898,7 @@ object ExtQueries {
         CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)
       val work = ndBranchWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+      graft.sources.StoreClone.cloneStore(s, ndPairsBasePath(d),
         work)
       graft.sources.EdgeStore.createBranch(s, work, "exp")
       graft.sources.EdgeStore.appendBatch(batch, e, work,
@@ -934,7 +951,7 @@ object ExtQueries {
       // the incremental-maintain path, not a post-hoc full build
       graft.sources.ClusterStore.ensureLabels(s, ndPairsBasePath(d))
       val work = ndClusterWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, ndPairsBasePath(d),
+      graft.sources.StoreClone.cloneStore(s, ndPairsBasePath(d),
         work)
       graft.sources.EdgeStore.appendBatch(batch, e, work,
         CosineThreshold, bands = NearDupBands, rowsPerBand = NearDupRows,
@@ -1225,7 +1242,7 @@ object ExtQueries {
         ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
         m = PqSubspaces, dim = EmbeddingDim)
       val work = ivfPqWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, ivfPqBasePath(d), work)
+      graft.sources.StoreClone.cloneStore(s, ivfPqBasePath(d), work)
       graft.sources.VectorIndexStore.appendIvfPq(s, work, batch,
         m = PqSubspaces, dim = EmbeddingDim)
       graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, work,
@@ -1244,7 +1261,7 @@ object ExtQueries {
         ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
         m = PqSubspaces, dim = EmbeddingDim)
       val work = ivfPqDelWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, ivfPqIndexPath(d),
+      graft.sources.StoreClone.cloneStore(s, ivfPqIndexPath(d),
         work)
       graft.sources.VectorIndexStore.deleteIvfPq(s, work,
         e.filter(col("vec_id") % DeleteMod === DeleteRem))
@@ -1328,7 +1345,7 @@ object ExtQueries {
       graft.sources.HilbertStore.ensureHilbert(base, hilbApdBasePath(d),
         "za", "zb", ZBits, ZFiles)
       val work = hilbApdWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, hilbApdBasePath(d),
+      graft.sources.StoreClone.cloneStore(s, hilbApdBasePath(d),
         work)
       graft.sources.HilbertStore.appendTail(batch, work, "za", "zb",
         ZBits)
@@ -1359,7 +1376,7 @@ object ExtQueries {
       graft.sources.HilbertStore.ensureHilbert(base, hilbApdBasePath(d),
         "za", "zb", ZBits, ZFiles)
       val work = hilbStreamWorkPath(d)
-      graft.sources.VectorIndexStore.cloneIndex(s, hilbApdBasePath(d),
+      graft.sources.StoreClone.cloneStore(s, hilbApdBasePath(d),
         work)
       val rep = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-hilbrep-${Integer.toHexString(d.hashCode)}").toString
@@ -8522,7 +8539,7 @@ object ExtQueries {
          |   '${graft.sources.VectorIndexStore.recipe(IvfCentroidMod,
               PqCentroidMod, PqSubspaces, EmbeddingDim, "vec_id",
               "embedding", 1)}',
-         |   NULL::bigint, NULL::boolean, true, true)
+         |   4::bigint, NULL::boolean, true, true)
          |) AS t(family, version, n_versions, n_branches, recipe,
          |       n_relations, labels_fresh, has_files, has_bytes)"""
         .stripMargin,

@@ -57,6 +57,9 @@ private[graft] object ManifestDir {
     /** Replace a relation's whole segment list (compaction). */
     def withRelation(rel: String, segDirs: Seq[String]): Manifest =
       copy(relations = relations + (rel -> segDirs))
+    /** Drop a relation entirely (a compaction absorbing tombstones). */
+    def withoutRelation(rel: String): Manifest =
+      copy(relations = relations - rel)
     def withMeta(k: String, v: String): Manifest =
       copy(meta = meta + (k -> v))
   }
@@ -147,14 +150,18 @@ private[graft] object ManifestDir {
       }).toMap
     }
 
-  /** One non-recursive listing of a segment dir → (files, bytes). */
+  /** One listing of a segment dir → (files, bytes). Recursive, because
+    * a segment may be a PARTITIONED write (the vector index's codes
+    * segments carry `cent_id=` subdirs) — still bounded by the one
+    * segment's own files, never a root walk. */
   private def listSegment(spark: SparkSession, root: String,
       segDir: String): (Long, Long) = {
     val (fs, _) = StoreFiles.fsOf(spark, root)
-    val statuses = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$root/$segDir"))
-      .filter(_.isFile)
-    (statuses.length.toLong, statuses.map(_.getLen).sum)
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$root/$segDir"), true)
+    var n = 0L; var b = 0L
+    while (it.hasNext) { val f = it.next(); n += 1; b += f.getLen }
+    (n, b)
   }
 
   /** Publish `m` as the next committed version of `root` — CALLER

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, pmod, xxhash64}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.Similarity
@@ -25,33 +25,54 @@ import graft.operators.Similarity
   * table) are read whole and broadcast, exactly as the in-query path
   * does.
   *
-  * Concurrency contract: ONE writer at a time per index path (there is
-  * no compare-and-swap on a plain filesystem), but probes MAY run
-  * concurrently with ANY maintenance. The index is VERSIONED as a
-  * unit: each rebuild/compaction lands codes + the three metadata
-  * relations + the schema sidecar inside a fresh `codes-NNNNNNNN`
-  * directory (metadata under `_`-prefixed subdirs, which partition
-  * discovery skips) and becomes visible only when its `_committed`
-  * marker file appears — a single atomic create, no directory rename
-  * anywhere (renames are not atomic on object stores), and no instant
-  * where a probe can pair new metadata with old codes. Readers
-  * resolve the highest committed version at scan time; GC keeps the
-  * previous committed version as a grace window for in-flight readers
-  * — the degenerate single-table form of the snapshot-commit protocol
-  * table formats (Iceberg/Delta) build manifests on top of.
-  * [[appendIvfPq]] adds files to the CURRENT version in place:
-  * parquet files appear atomically one by one, so a concurrent probe
-  * sees either the old or a partially-extended list — acceptable for
-  * ANN recall, which is approximate by contract; anything that
-  * REMOVES or REPLACES data, where a partial view would be wrong,
-  * always goes through a new committed version.
+  * Versioning (format v5): the index is a [[ManifestDir]] store —
+  * immutable segment dirs under `<root>/seg/<uid>/`, tiny manifest
+  * versions under `vix-NNNNNNNN/`, one atomic commit-marker create
+  * publishing every relation's segment list at once. Five relations:
+  * `codes` (corpus-sized, each segment partitioned by `cent_id`),
+  * `cents`/`codebooks`/`crosst` (metadata-sized), and `tombstones`
+  * (deletes-sized, present only between a delete and the next
+  * compaction). What the manifest form buys over the previous
+  * whole-version SnapshotDir layout:
+  *
+  *  - EVERY write is a version commit — append, delete, compaction all
+  *    publish a new manifest; no operation ever mutates a committed
+  *    version in place. A reader pinned at a version observes a frozen
+  *    snapshot forever (spec-pinned across later deletes), and a crash
+  *    in any writer leaves orphan segments no manifest references plus
+  *    the previous version fully intact.
+  *  - [[deleteIvfPq]] is a TOMBSTONE SEGMENT in the next version
+  *    (deletes-sized — no list rewrite), not an append into the live
+  *    version dir: the one prior violation of "committed versions are
+  *    immutable" is retired, and probes racing a delete atomically see
+  *    pre- or post-delete state, never a torn tombstone file.
+  *  - [[compactIvfPq]] carries the metadata relations forward ZERO-COPY
+  *    (their segment refs are re-listed in the new manifest; under the
+  *    old layout every compaction re-copied them).
+  *
+  * Single writer per root ([[SnapshotDir.withWriterLock]] — append,
+  * delete, compact, rebuild all serialize); any number of concurrent
+  * readers, each pinned to the committed manifest it resolved. GC keeps
+  * one previous committed version as the in-flight-reader grace window;
+  * [[ManifestDir.vacuum]] (run by compaction) sweeps segments no
+  * retained version references.
   */
 object VectorIndexStore {
 
   /** Bump when the on-disk layout or the deterministic build recipe
     * changes: [[ensureIvfPq]] markers from older versions stop
     * matching and the index rebuilds instead of serving stale codes. */
-  private val FormatVersion = 4
+  private val FormatVersion = 5 // v5: manifest relations; delete = commit
+
+  private val Prefix = "vix-"
+  private val CodesRel = "codes"
+  private val CentsRel = "cents"
+  private val CodebooksRel = "codebooks"
+  private val CrosstRel = "crosst"
+  private val TombstonesRel = "tombstones"
+  /** Manifest meta key carrying the codes relation's WRITTEN schema
+    * (compact JSON — tab/newline-free by construction). */
+  private val SchemaKey = "codes_schema"
 
   /** The build-recipe marker content — public so observability
     * consumers ([[StoreCatalog]] oracles) can derive the expected
@@ -62,123 +83,122 @@ object VectorIndexStore {
       s""""pq":$pqCentroidMod,"m":$m,"dim":$dim,"id":"$idCol",""" +
       s""""vec":"$vecCol","salt":$saltFilesPerList}"""
 
-  // -- tiny sidecar-file helpers (shared: [[StoreFiles]]) -------------
-
-  private def fsOf(spark: SparkSession, p: String) =
-    StoreFiles.fsOf(spark, p)
-
   private def writeText(spark: SparkSession, p: String, s: String): Unit =
     StoreFiles.writeText(spark, p, s)
 
   private def readText(spark: SparkSession, p: String): Option[String] =
     StoreFiles.readText(spark, p)
 
-  // -- versioned codes directories ([[SnapshotDir]] protocol) ---------
+  private[graft] def currentManifest(spark: SparkSession,
+      path: String): ManifestDir.Manifest =
+    ManifestDir.current(spark, path, Prefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed vector index at $path"))
 
-  private val CodesPrefix = "codes-"
+  /** Current committed version number, if any — stable pin identity
+    * for [[readCodesAt]]. */
+  private[graft] def currentVersion(spark: SparkSession,
+      path: String): Option[Long] =
+    SnapshotDir.versions(spark, path, Prefix)
+      .filter(_._2).map(_._1).maxOption
 
-  private def codesName(v: Long): String = SnapshotDir.name(CodesPrefix, v)
+  /** Absolute codes segment dirs of the current committed version —
+    * layout introspection for specs (file-per-list audits). */
+  private[graft] def codesSegmentDirs(spark: SparkSession,
+      path: String): Seq[String] =
+    ManifestDir.relationDirs(path, currentManifest(spark, path), CodesRel)
 
-  /** Directory of the codes version probes should read: the highest
-    * COMMITTED version; falls back to the legacy unversioned `codes/`
-    * for indexes written before the protocol existed. */
-  private[graft] def currentCodesPath(spark: SparkSession,
-      path: String): String =
-    SnapshotDir.current(spark, path, CodesPrefix)
-      .getOrElse(s"$path/codes")
+  /** Read one codes SEGMENT with the manifest's written schema, not an
+    * inferred one. `partitionBy(cent_id)` stores the list id in
+    * directory names, and schema inference re-types it from the string
+    * values (IntegerType while ids fit an int) — the joins and `isin`
+    * pruning would then work only via implicit casts, and a corpus
+    * whose ids cross Int.MaxValue would silently flip the inferred
+    * type between appends. The manifest pins the exact pre-write
+    * schema at commit time; every segment reader declares it. */
+  private def readCodesSegment(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(dir)
 
-  private def gcCodes(spark: SparkSession, path: String): Unit =
-    // the pre-protocol layout counts as the oldest version of all:
-    // remove it (data dir + its root-level metadata) once it has aged
-    // out of the reader grace window
-    if (SnapshotDir.gc(spark, path, CodesPrefix)) {
-      val (fs, _) = fsOf(spark, path)
-      Seq("codes", "cents", "codebooks", "crosst", "codes_schema.json")
-        .foreach(n => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$path/$n"), true))
-    }
-
-  /** Metadata relation directory for the version probes read:
-    * underscore-prefixed inside the version dir (partition discovery
-    * ignores `_`-paths, so they coexist with the `cent_id=` dirs and
-    * are published by the SAME commit marker as the codes); legacy
-    * indexes keep their root-level dirs. */
-  private def metaPath(spark: SparkSession, path: String,
-      name: String): String = {
-    val versioned = s"${currentCodesPath(spark, path)}/_$name"
-    val (fs, hp) = fsOf(spark, versioned)
-    if (fs.exists(hp)) versioned else s"$path/$name"
+  /** The codes relation AT a manifest: the union of its segment scans
+    * (each partition-pruned independently — filters push into every
+    * branch), with tombstoned ids shaded out by a deletes-sized
+    * broadcast anti-join. Probes and compaction both read this view,
+    * so compacting materializes the filtered rows and physically drops
+    * them. */
+  private def codesAt(spark: SparkSession, path: String,
+      m: ManifestDir.Manifest): DataFrame = {
+    val schema = DataType.fromJson(m.meta.getOrElse(SchemaKey,
+        throw new IllegalStateException(
+          s"vector-index manifest at $path carries no $SchemaKey — " +
+            "pre-v5 layout; rebuild the index")))
+      .asInstanceOf[StructType]
+    val codes = ManifestDir.relationDirs(path, m, CodesRel)
+      .map(readCodesSegment(spark, _, schema))
+      .reduce(_ unionByName _)
+    val tombDirs = ManifestDir.relationDirs(path, m, TombstonesRel)
+    if (tombDirs.isEmpty) codes
+    else codes.join(
+      broadcast(spark.read.schema("match_id LONG")
+        .parquet(tombDirs: _*)),
+      Seq("match_id"), "left_anti")
   }
 
-  /** Read the codes table with its WRITTEN schema, not an inferred one.
-    * `partitionBy(cent_id)` stores the list id in directory names, and
-    * schema inference re-types it from the string values (IntegerType
-    * while ids fit an int) — the joins and `isin` pruning then work
-    * only via implicit casts, and a corpus whose ids cross
-    * Int.MaxValue would silently flip the inferred type between
-    * appends. The build writes the exact pre-write schema to a sidecar
-    * (`_schema.json` in the version dir; root `codes_schema.json` on
-    * legacy indexes); readers declare it, which pins the
-    * partition-column round-trip to bigint. Indexes written before the
-    * sidecar existed fall back to inference. */
-  private def readCodes(spark: SparkSession, path: String): DataFrame = {
-    val cur = currentCodesPath(spark, path)
-    val sidecar = readText(spark, s"$cur/_schema.json")
-      .orElse(readText(spark, s"$path/codes_schema.json"))
-    val reader = sidecar match {
-      case Some(json) => spark.read.schema(
-        DataType.fromJson(json).asInstanceOf[StructType])
-      case None => spark.read
-    }
-    val codes = reader.parquet(cur)
-    // tombstones (deleteIvfPq) shade their ids out of every consumer —
-    // probes AND compaction, so compacting materializes the filtered
-    // view and physically drops the rows. The tombstone relation is
-    // deletes-sized (broadcast anti-join); the codes scan and its
-    // partition pruning are untouched.
-    val tombs = s"$cur/$TombstoneDir"
-    val (fsys, _) = fsOf(spark, tombs)
-    if (fsys.exists(new org.apache.hadoop.fs.Path(tombs)))
-      codes.join(
-        org.apache.spark.sql.functions.broadcast(
-          // declared schema, never inferred: a probe racing the FIRST
-          // deleteIvfPq can see the dir exist before any part file
-          // commits — inference would throw; the declared schema
-          // reads the partial dir as an empty relation (probes take
-          // no lock by design)
-          spark.read.schema("match_id LONG").parquet(tombs)),
-        Seq("match_id"), "left_anti")
-    else codes
-  }
+  /** The served codes view of the CURRENT committed version. */
+  private[graft] def readCodes(spark: SparkSession,
+      path: String): DataFrame =
+    codesAt(spark, path, currentManifest(spark, path))
 
-  private val TombstoneDir = "_tombstones"
+  /** TIME TRAVEL: the codes view of a SPECIFIC committed version —
+    * including that version's own tombstone shading, so a pinned read
+    * is frozen forever (a LATER delete commits a later version and
+    * cannot reach back; spec-pinned). Fails loudly when the version
+    * was never committed or left the GC grace window. */
+  private[graft] def readCodesAt(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => codesAt(spark, path, ManifestDir.read(spark, vd))
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
+  private def readMeta(spark: SparkSession, path: String,
+      m: ManifestDir.Manifest, rel: String): DataFrame =
+    ManifestDir.readRelation(spark, path, m, rel)
 
   /** Delete vectors from the served index by TOMBSTONE: the ids land
-    * as a deletes-sized parquet inside the CURRENT codes version, and
-    * [[readCodes]] shades them from every consumer immediately — no
-    * list partition is rewritten at delete time (the codes table is
-    * append-only between compactions). The next [[compactIvfPq]]
-    * reads the shaded view, so the rewrite physically drops the rows
-    * and the new version carries no tombstones.
+    * as a deletes-sized segment and the NEXT COMMITTED VERSION's
+    * manifest references it — no list partition is rewritten at delete
+    * time, no committed version is touched. [[codesAt]] shades the ids
+    * from every consumer of the new version; readers pinned at older
+    * versions keep their snapshot. The next [[compactIvfPq]] reads the
+    * shaded view, so the rewrite physically drops the rows and the new
+    * version carries no tombstone relation.
     *
     * Contract: a tombstone shades its id REGARDLESS of append time —
     * re-inserting a deleted id resurfaces it only after a compaction
-    * has absorbed the tombstone (spec-pinned). Runs under the writer
-    * lock: a delete racing a compaction must not land its tombstones
-    * in a version the compaction is about to replace unshaded. */
+    * has absorbed the tombstone (spec-pinned). */
   def deleteIvfPq(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id"): Unit = {
     SnapshotDir.withWriterLock(spark, path) {
+      val m = currentManifest(spark, path)
+      val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        TombstonesRel)
       ids.select(col(idCol).cast("long").as("match_id")).distinct()
-        .coalesce(1).write.mode(SaveMode.Append)
-        .parquet(s"${currentCodesPath(spark, path)}/$TombstoneDir")
+        .coalesce(1).write.parquet(s"$path/$seg")
+      ManifestDir.commit(spark, path, Prefix,
+        m.withSegment(TombstonesRel, seg))
+      ()
     }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
 
   /** Build the deterministic residual-IVFPQ index over `corpus` and
-    * persist it under `path` as one committed version directory:
-    * codes partitioned by list id, plus `_cents`/`_codebooks`/
-    * `_crosst` (metadata-sized, unpartitioned) and the `_schema.json`
-    * sidecar (see [[readCodes]]), all published by one marker.
+    * persist it under `path` as one committed manifest version: one
+    * codes segment partitioned by list id, one segment per metadata
+    * relation, the codes schema pinned in the manifest meta — all
+    * published by one marker.
     *
     * `saltFilesPerList` bounds per-file size: 1 (default) clusters each
     * list into ONE file — right while lists fit a block; at real scale
@@ -208,28 +228,38 @@ object VectorIndexStore {
         pmod(xxhash64(col("match_id")), org.apache.spark.sql.functions
           .lit(saltFilesPerList.toLong)))
     val spark = corpus.sparkSession
-    // the ENTIRE rebuild — codes, the three metadata relations, the
-    // schema sidecar — lands inside one fresh version dir and becomes
-    // visible at a single commit-marker create, so even a
-    // recipe-CHANGING rebuild never leaves a probe reading new
-    // metadata against old codes (or a half-deleted cents dir). The
-    // metadata dirs are underscore-prefixed: partition discovery skips
-    // them, so they ride inside the partitioned codes table's dir.
+    // the ENTIRE build — codes, the three metadata relations, the
+    // schema meta — lands as one batch's segments and becomes visible
+    // at a single commit-marker create, so even a recipe-CHANGING
+    // rebuild never leaves a probe reading new metadata against old
+    // codes.
     SnapshotDir.withWriterLock(spark, path) {
-      val next = SnapshotDir.next(spark, path, CodesPrefix)
-      val vdir = s"$path/${codesName(next)}"
-      clustered
-        .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-        .parquet(vdir)
-      writeText(spark, s"$vdir/_schema.json", codes.schema.json)
-      ix.cents.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_cents")
-      ix.codebooks.write.mode(SaveMode.Overwrite)
-        .parquet(s"$vdir/_codebooks")
-      ix.crossTable.write.mode(SaveMode.Overwrite)
-        .parquet(s"$vdir/_crosst")
-      SnapshotDir.commit(spark, path, CodesPrefix, next)
+      // one segment UID per relation, NOT one shared build uid:
+      // vacuum's liveness unit is the uid, and compaction carries the
+      // metadata relations forward while replacing the codes — under a
+      // shared uid the forever-referenced cents would pin the
+      // pre-compaction codes dir on disk forever
+      val codesSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        CodesRel)
+      clustered.write.partitionBy("cent_id").parquet(s"$path/$codesSeg")
+      val centsSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        CentsRel)
+      ix.cents.write.parquet(s"$path/$centsSeg")
+      val cbSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        CodebooksRel)
+      ix.codebooks.write.parquet(s"$path/$cbSeg")
+      val ctSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        CrosstRel)
+      ix.crossTable.write.parquet(s"$path/$ctSeg")
+      ManifestDir.commit(spark, path, Prefix, ManifestDir.Empty
+        .withSegment(CodesRel, codesSeg)
+        .withSegment(CentsRel, centsSeg)
+        .withSegment(CodebooksRel, cbSeg)
+        .withSegment(CrosstRel, ctSeg)
+        .withMeta(SchemaKey, codes.schema.json))
+      ()
     }
-    gcCodes(spark, path)
+    SnapshotDir.gc(spark, path, Prefix)
   }
 
   /** [[writeIvfPq]] gated by a build marker: skip the (expensive)
@@ -250,19 +280,19 @@ object VectorIndexStore {
     val marker = s"$path/_built.json"
     val recipe = VectorIndexStore.recipe(ivfCentroidMod, pqCentroidMod,
       m, dim, idCol, vecCol, saltFilesPerList)
-    // warm = matching recipe AND a committed codes version actually on
-    // disk (same guard as FingerprintStore.ensureFingerprints): a tmp
+    // warm = matching recipe AND a committed version actually on disk
+    // (same guard as FingerprintStore.ensureFingerprints): a tmp
     // cleaner that removes aged version dirs but spares the
     // recently-touched marker must trigger a rebuild, not a session of
     // path-does-not-exist serve failures
     if (readText(spark, marker).contains(recipe) &&
-        SnapshotDir.current(spark, path, CodesPrefix).isDefined) None
+        SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
       // recipe change = new index: old-recipe codes are meaningless
       // under the new one, so rebuild from a clean root (deterministic
       // version numbering, no cross-format debris)
-      val (fsys, hp) = fsOf(spark, path)
+      val (fsys, hp) = StoreFiles.fsOf(spark, path)
       if (fsys.exists(hp)) fsys.delete(hp, true)
       writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,
         idCol, vecCol, saltFilesPerList)
@@ -273,118 +303,102 @@ object VectorIndexStore {
     }
   }
 
-  /** Copy a persisted index to a new path (clobbering it). This is a
-    * TEST/BENCH idempotency device — maintenance experiments run
-    * against a clone so the pristine warm index is never mutated and
-    * every attempt starts from the same bytes. Production appends
-    * mutate in place; nobody copies a 100 TB codes table. */
-  def cloneIndex(spark: SparkSession, src: String, dst: String): Unit = {
-    val (fs, srcP) = fsOf(spark, src)
-    val dstP = new org.apache.hadoop.fs.Path(dst)
-    if (fs.exists(dstP)) fs.delete(dstP, true)
-    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP,
-      false, true, spark.sparkContext.hadoopConfiguration)
-    spark.catalog.refreshByPath(dst)
-  }
-
   /** Incremental index maintenance: append a new vector batch to a
     * persisted index. The batch is coarse-assigned with the FROZEN
     * stored centroids and PQ-encoded with the FROZEN stored codebooks,
-    * then appended into only the list partitions its vectors land in —
-    * the metadata relations never change, and untouched lists are
-    * never rewritten. This is classic IVF maintenance: appends are
-    * cheap and local; a periodic rebuild re-trains the centroid/
-    * codebook samples when the data distribution drifts. Single
-    * writer, no concurrent probes (see the object doc). */
+    * then written as ONE new codes segment (partitioned by the lists
+    * its vectors land in) and published as the next committed version
+    * — the metadata relations never change, untouched lists are never
+    * rewritten, and the append is ATOMIC: a writer dying mid-append
+    * leaves an orphan segment and the prior version intact. This is
+    * classic IVF maintenance: appends are cheap and local; a periodic
+    * rebuild re-trains the centroid/codebook samples when the data
+    * distribution drifts.
+    *
+    * The whole append runs under the writer lock: metadata resolved
+    * outside it could belong to a version a concurrent rebuild
+    * replaces mid-gap — the batch would encode against old centroids
+    * yet commit onto the new manifest. Append, compact, delete, and
+    * rebuild are all WRITERS under the single-writer contract, which
+    * the streaming [[graft.streaming.StreamingSync.vectorAppendSink]]
+    * relies on; concurrent PROBES are safe against any of them (they
+    * read the manifest they resolved). */
   def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
       m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit =
-    // The ENTIRE append — metadata resolution, encode, codes write —
-    // runs under the writer lock. Two races it closes: (1) an append
-    // racing a [[compactIvfPq]] would land its files in the OLD
-    // version after the compaction's read pass, and the compacted
-    // version (plus the old dir's GC) would silently drop the batch;
-    // (2) metadata resolved BEFORE the lock could belong to a version
-    // a concurrent rebuild replaces mid-gap — the batch would encode
-    // against old centroids/codebooks yet land in the new version's
-    // lists, silently corrupting probes. Append, compact, and rebuild
-    // are all WRITERS under the single-writer contract; the lock makes
-    // that enforced instead of assumed, which the streaming
-    // [[graft.streaming.StreamingSync.vectorAppendSink]] relies on.
-    // Concurrent PROBES stay safe either way (additive files).
+      vecCol: String = "embedding"): Unit = {
     SnapshotDir.withWriterLock(spark, path) {
-      val cents = spark.read.parquet(metaPath(spark, path, "cents"))
-      val cb = spark.read.parquet(metaPath(spark, path, "codebooks"))
+      val man = currentManifest(spark, path)
+      val cents = readMeta(spark, path, man, CentsRel)
+      val cb = readMeta(spark, path, man, CodebooksRel)
+      val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), CodesRel)
       Similarity.encodeForIndex(batch, cents, cb, m, dim, idCol, vecCol)
         .repartition(col("cent_id"))
-        .write.mode(SaveMode.Append).partitionBy("cent_id")
-        .parquet(currentCodesPath(spark, path))
+        .write.partitionBy("cent_id").parquet(s"$path/$seg")
+      ManifestDir.commit(spark, path, Prefix,
+        man.withSegment(CodesRel, seg))
+      ()
     }
+    SnapshotDir.gc(spark, path, Prefix)
+  }
 
-  /** Compact the codes table back to one file per list. Every
-    * [[appendIvfPq]] adds a file to each touched list partition;
-    * after many appends a probe pays per-file open/footer costs, so
-    * periodic compaction rewrites the table clustered on the list id.
-    * Codes are unchanged — only the file layout.
+  /** Compact the codes relation back to one segment with one file per
+    * list. Every [[appendIvfPq]] adds a segment (a file per touched
+    * list); after many appends a probe pays per-file open/footer costs
+    * and a per-segment scan branch, so periodic compaction rewrites
+    * the relation clustered on the list id. Tombstones are absorbed:
+    * the rewrite reads the SHADED view, so deleted rows are physically
+    * dropped and the new version carries no tombstone relation. Codes
+    * are otherwise unchanged — only the layout.
     *
-    * Concurrent-serving safe: the rewrite lands in the NEXT version
-    * directory and becomes visible at a single atomic commit-marker
-    * create — no rename, no instant where the codes table is missing
-    * or half-moved (the failure mode of the previous temp-dir+rename
-    * swap on object stores). A probe that already resolved the old
-    * version keeps reading it: GC retains one previous committed
-    * version as the in-flight-reader grace window. A compaction that
-    * CRASHES before its marker leaves an invisible dir the next GC
-    * sweeps; the live index is never touched. */
+    * Metadata relations carry forward ZERO-COPY: the new manifest
+    * re-lists their existing segment refs (segments are immutable and
+    * shared across versions — the manifest layer's whole point).
+    * Concurrent-serving safe: one atomic marker publishes the new
+    * version; a probe that already resolved the old manifest keeps
+    * reading it (GC retains one previous committed version as the
+    * grace window), and the closing vacuum sweeps only segments no
+    * retained version references. */
   def compactIvfPq(spark: SparkSession, path: String): Unit = {
-    val vdir = SnapshotDir.withWriterLock(spark, path) {
-      val codes = readCodes(spark, path)
-      val prev = currentCodesPath(spark, path)
-      val next = SnapshotDir.next(spark, path, CodesPrefix)
-      val vd = s"$path/${codesName(next)}"
+    SnapshotDir.withWriterLock(spark, path) {
+      val man = currentManifest(spark, path)
+      val codes = codesAt(spark, path, man)
+      val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), CodesRel)
       codes.repartition(col("cent_id"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
-        .parquet(vd)
-      // carry the (unchanged, metadata-sized) relations and sidecar
-      // forward so the new version is self-contained under one marker
-      val (fsys, _) = fsOf(spark, path)
-      val conf = spark.sparkContext.hadoopConfiguration
-      Seq("cents", "codebooks", "crosst").foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fsys, new org.apache.hadoop.fs.Path(metaPath(spark, path, n)),
-          fsys, new org.apache.hadoop.fs.Path(s"$vd/_$n"),
-          false, true, conf)
-      }
-      readText(spark, s"$prev/_schema.json")
-        .orElse(readText(spark, s"$path/codes_schema.json"))
-        .foreach(j => writeText(spark, s"$vd/_schema.json", j))
-      SnapshotDir.commit(spark, path, CodesPrefix, next)
-      vd
+        .write.partitionBy("cent_id").parquet(s"$path/$seg")
+      ManifestDir.commit(spark, path, Prefix, man
+        .withRelation(CodesRel, Seq(seg))
+        .withoutRelation(TombstonesRel))
+      SnapshotDir.gc(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path,
+        Branches.allPrefixes(spark, path, Prefix))
+      ()
     }
-    gcCodes(spark, path)
-    spark.catalog.refreshByPath(vdir)
+    spark.catalog.refreshByPath(path)
   }
 
   /** ANN top-k served from a persisted index: identical output to
     * [[Similarity.ivfPqTopK]] over the same corpus (the index build is
     * deterministic and doubles round-trip parquet exactly), but the
-    * codes scan is partition-pruned to the probed lists. */
+    * codes scan is partition-pruned to the probed lists. The whole
+    * query pins ONE committed manifest — metadata and codes can never
+    * pair across versions. */
   def ivfPqTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
       m: Int = 8, dim: Int = 64, shortlistFactor: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val man = currentManifest(spark, path)
     // codes is NOT read eagerly here: the pruned reader below is the
     // only consumer, and an eager full read would pay a partition
     // discovery over every list directory just to be discarded (the
     // whole point of the layout is to avoid that)
     val ix = Similarity.IvfPqIndex(
-      cents = spark.read.parquet(metaPath(spark, path, "cents")),
-      codes = () => readCodes(spark, path),
-      codebooks = spark.read.parquet(metaPath(spark, path, "codebooks")),
-      crossTable = spark.read.parquet(metaPath(spark, path, "crosst")))
+      cents = readMeta(spark, path, man, CentsRel),
+      codes = () => codesAt(spark, path, man),
+      codebooks = readMeta(spark, path, man, CodebooksRel),
+      crossTable = readMeta(spark, path, man, CrosstRel))
     Similarity.ivfPqSearch(ix, queries, corpus, k, nprobe, m, dim,
       shortlistFactor, idCol, vecCol,
-      prunedCodes = Some(ids => readCodes(spark, path)
+      prunedCodes = Some(ids => codesAt(spark, path, man)
         .filter(col("cent_id").isin(ids: _*))))
   }
 }

@@ -1704,47 +1704,49 @@ class ExtSpec extends SparkSpec {
   }
 
   test("ivfpq compaction rewrites lists to one file, results unchanged") {
+    import graft.sources.VectorIndexStore
     val e = Tables.embeddings(spark, sf0001)
     val base = e.filter($"vec_id" % 10 =!= 9)
     val batch = e.filter($"vec_id" % 10 === 9)
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-compact").toString
-    graft.sources.VectorIndexStore.writeIvfPq(base, path)
-    graft.sources.VectorIndexStore.appendIvfPq(spark, path, batch)
+    VectorIndexStore.writeIvfPq(base, path)
+    VectorIndexStore.appendIvfPq(spark, path, batch)
     val q = e.filter($"vec_id" % 50 === 0)
-    def serve() = graft.sources.VectorIndexStore
+    def serve() = VectorIndexStore
       .ivfPqTopKFromIndex(spark, path, q, e, 10)
       .collect().map(_.toString).sorted
-    def filesPerList(): Seq[Int] = {
-      val cur = graft.sources.VectorIndexStore
-        .currentCodesPath(spark, path)
-      val dirs = new java.io.File(cur).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
-      dirs.toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
-    }
+    def segDirs() = VectorIndexStore.codesSegmentDirs(spark, path)
+    // parquet files per LIST, summed across the manifest's segments
+    def filesPerList(): Map[String, Int] = segDirs()
+      .flatMap(seg => Option(new java.io.File(seg).listFiles())
+        .toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("cent_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     val before = serve()
-    assert(filesPerList().exists(_ > 1), "append should add files")
-    // an in-flight reader that resolved the PRE-compaction version...
-    val inFlight = spark.read.parquet(graft.sources.VectorIndexStore
-      .currentCodesPath(spark, path))
-    val preVersion = graft.sources.VectorIndexStore
-      .currentCodesPath(spark, path)
-    graft.sources.VectorIndexStore.compactIvfPq(spark, path)
-    assert(filesPerList().forall(_ === 1))
+    assert(segDirs().size === 2, "append commits its own codes segment")
+    assert(filesPerList().values.exists(_ > 1), "append should add files")
+    // an in-flight reader that resolved the PRE-compaction manifest...
+    val inFlight = VectorIndexStore.readCodes(spark, path)
+    val preSegs = segDirs()
+    VectorIndexStore.compactIvfPq(spark, path)
+    assert(segDirs().size === 1, "compaction folds to one segment")
+    assert(filesPerList().values.forall(_ === 1))
     val after = serve()
     assert(after.sameElements(before))
-    // ...still reads its snapshot: the commit-marker protocol keeps the
-    // previous committed version as a grace window (no rename, no
-    // window where the codes table is missing)
-    assert(graft.sources.VectorIndexStore
-      .currentCodesPath(spark, path) !== preVersion)
-    assert(new java.io.File(preVersion).exists,
-      "previous version must survive one compaction as reader grace")
+    // ...still reads its snapshot: GC keeps the previous committed
+    // manifest as a grace window, and the vacuum spares every segment
+    // a retained manifest references
+    assert(preSegs.forall(d => new java.io.File(d).exists),
+      "pre-compaction segments must survive one compaction as grace")
     assert(inFlight.count() > 0)
-    // a second compaction GCs it
-    graft.sources.VectorIndexStore.compactIvfPq(spark, path)
-    assert(!new java.io.File(preVersion).exists,
-      "GC keeps exactly one previous committed version")
+    // a second compaction ages the old manifest out; its now-orphan
+    // segments are vacuumed
+    VectorIndexStore.compactIvfPq(spark, path)
+    assert(preSegs.forall(d => !new java.io.File(d).exists),
+      "GC keeps exactly one previous committed version; vacuum sweeps")
     assert(serve().sameElements(before))
   }
 
@@ -1760,68 +1762,107 @@ class ExtSpec extends SparkSpec {
       .select($"match_id").as[Long].collect().toSet
     val victims = served().take(3) // ids that DO appear in results
     assert(victims.nonEmpty)
+    // pin the pre-delete version: a delete is a NEW committed version,
+    // so the pinned snapshot must stay frozen across it
+    val preVersion = VectorIndexStore.currentVersion(spark, path).get
+    val prePinned = VectorIndexStore
+      .readCodesAt(spark, path, preVersion)
+      .select($"match_id").as[Long].collect().toSet
+    assert((prePinned & victims).nonEmpty)
     VectorIndexStore.deleteIvfPq(spark, path,
       victims.toSeq.toDF("vec_id"))
     // shade is immediate — no compaction yet, no list rewritten
     val afterDelete = served()
     assert((afterDelete & victims).isEmpty)
+    // ...while the PINNED pre-delete read is unchanged (the tombstone
+    // rode a LATER version's manifest; committed versions are
+    // immutable)
+    assert(VectorIndexStore.readCodesAt(spark, path, preVersion)
+      .select($"match_id").as[Long].collect().toSet === prePinned)
     // re-inserting a deleted id stays SHADOWED until a compaction
     // absorbs the tombstone (the documented contract)
     val reinsert = e.filter($"vec_id".isin(victims.toSeq: _*))
     VectorIndexStore.appendIvfPq(spark, path, reinsert)
     assert((served() & victims).isEmpty)
     // compaction materializes the shaded view: rows physically gone,
-    // no tombstone dir in the new version...
+    // no tombstone relation in the new manifest...
     VectorIndexStore.compactIvfPq(spark, path)
-    val cur = VectorIndexStore.currentCodesPath(spark, path)
-    assert(!new java.io.File(s"$cur/_tombstones").exists)
+    assert(VectorIndexStore.currentManifest(spark, path)
+      .segments("tombstones").isEmpty)
     assert((served() & victims).isEmpty)
     // ...and a post-compaction re-insert genuinely resurfaces
     VectorIndexStore.appendIvfPq(spark, path, reinsert)
     assert((served() & victims).nonEmpty)
   }
 
+  test("ivfpq torn delete is invisible: an uncommitted tombstone " +
+      "segment never shades; vacuum sweeps it") {
+    import graft.sources.{ManifestDir, VectorIndexStore}
+    val e = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-torn").toString
+    VectorIndexStore.writeIvfPq(e, path)
+    val q = e.filter($"vec_id" % 50 === 0)
+    def served() = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .select($"match_id").as[Long].collect().toSet
+    val before = served()
+    // simulate a delete that died AFTER writing its tombstone segment
+    // but BEFORE its manifest commit: the segment is an orphan no
+    // manifest references
+    val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+      "tombstones")
+    before.take(2).toSeq.toDF("match_id")
+      .select($"match_id".cast("long").as("match_id"))
+      .write.parquet(s"$path/$seg")
+    assert(served() === before,
+      "an uncommitted tombstone segment must not shade anything")
+    // the next maintenance vacuum sweeps the orphan (single-threaded
+    // spec stands in for the lock-holding caller)
+    assert(ManifestDir.vacuum(spark, path, Seq("vix-")) === 1L)
+    assert(!new java.io.File(s"$path/$seg").exists)
+    assert(served() === before)
+  }
+
   test("salted codes write bounds files per list, results and schema unchanged") {
+    import graft.sources.VectorIndexStore
     val e = Tables.embeddings(spark, sf0001)
     val plain = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-plain").toString
     val salted = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-salt").toString
-    graft.sources.VectorIndexStore.writeIvfPq(e, plain)
-    graft.sources.VectorIndexStore.writeIvfPq(e, salted,
-      saltFilesPerList = 3)
+    VectorIndexStore.writeIvfPq(e, plain)
+    VectorIndexStore.writeIvfPq(e, salted, saltFilesPerList = 3)
     def filesPerList(p: String): Seq[Int] =
-      new java.io.File(graft.sources.VectorIndexStore
-          .currentCodesPath(spark, p)).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
-        .toSeq.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      VectorIndexStore.codesSegmentDirs(spark, p)
+        .flatMap(seg => new java.io.File(seg).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+          .toSeq
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))))
     // each (list, salt) pair lands in exactly one task → at most salt
     // files per list directory (vs exactly 1 unsalted)
     assert(filesPerList(plain).forall(_ === 1))
     assert(filesPerList(salted).forall(_ <= 3))
     val q = e.filter($"vec_id" % 50 === 0)
-    def serve(p: String) = graft.sources.VectorIndexStore
+    def serve(p: String) = VectorIndexStore
       .ivfPqTopKFromIndex(spark, p, q, e, 10)
       .collect().map(_.toString).sorted
     assert(serve(plain).sameElements(serve(salted)))
-    // the schema sidecar pins the partition-column round-trip: cent_id
-    // reads back as the written bigint, not an inferred int (the
-    // sidecar lives INSIDE the committed version dir since the
-    // whole-index-versioning change)
-    val sidecar = org.apache.spark.sql.types.DataType.fromJson(
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(graft.sources.VectorIndexStore
-          .currentCodesPath(spark, salted) + "/_schema.json")), "UTF-8"))
+    // the manifest's schema meta pins the partition-column round-trip:
+    // cent_id reads back as the written bigint, not an inferred int
+    val man = VectorIndexStore.currentManifest(spark, salted)
+    val pinned = org.apache.spark.sql.types.DataType.fromJson(
+        man.meta("codes_schema"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    assert(sidecar("cent_id").dataType ===
+    assert(pinned("cent_id").dataType ===
       org.apache.spark.sql.types.LongType)
-    val saltedCodes = graft.sources.VectorIndexStore
-      .currentCodesPath(spark, salted)
     // the metadata relations are versioned WITH the codes (one commit
-    // marker publishes the whole index)
-    Seq("_cents", "_codebooks", "_crosst").foreach(n =>
-      assert(new java.io.File(s"$saltedCodes/$n").isDirectory, n))
-    val centType = spark.read.schema(sidecar)
+    // marker publishes the whole manifest)
+    Seq("cents", "codebooks", "crosst").foreach(n =>
+      assert(man.segments(n).nonEmpty, n))
+    val saltedCodes = VectorIndexStore
+      .codesSegmentDirs(spark, salted).head
+    val centType = spark.read.schema(pinned)
       .parquet(saltedCodes).schema("cent_id").dataType
     assert(centType === org.apache.spark.sql.types.LongType)
     // whereas bare inference would have narrowed it
@@ -2172,6 +2213,94 @@ class ExtSpec extends SparkSpec {
     assert(EdgeStore.read(spark, s"$root/edges")
       .collect().map(_.toString).sorted.toSeq
       === pairs.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("x_takedown is DETERMINISTIC: a warm repeat and a scratch-root " +
+      "rebuild produce identical (rel, n_rows, hashsum) rows") {
+    import graft.operators.ExtQueries
+    // spec-local roots so the drill never touches the shared warm
+    // stores other suites read
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-takedown-det").toString
+    val base = Seq("fp", "edges", "ann", "agg", "lm")
+      .map(k => k -> s"$root/base-$k").toMap
+    def run(tag: String) = ExtQueries
+      .takedownSummary(spark, sf0001, base, k => s"$root/$tag-$k")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    val first = run("w1")
+    val second = run("w2") // warm repeat: bases reused, fresh clones
+    // scratch: every base store rebuilt from the inputs at a new root
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-takedown-det2").toString
+    val scratch = ExtQueries.takedownSummary(spark, sf0001,
+        base.map { case (k, _) => k -> s"$root2/base-$k" },
+        k => s"$root2/work-$k")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toString))).toMap
+    // diff per relation so a red NAMES the store that moved
+    assert(first.keySet === second.keySet)
+    assert(first.keySet === scratch.keySet)
+    first.keySet.toSeq.sorted.foreach { rel =>
+      assert(first(rel) === second(rel),
+        s"warm repeat moved relation '$rel': " +
+          s"${first(rel)} -> ${second(rel)}")
+      assert(first(rel) === scratch(rel),
+        s"scratch rebuild moved relation '$rel': " +
+          s"${first(rel)} -> ${scratch(rel)}")
+    }
+  }
+
+  test("StoreClone under a concurrent writer: every clone is a " +
+      "committed consistent state, never a torn copy") {
+    import graft.sources.{FingerprintStore, StoreClone}
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-clone-race").toString
+    val src = s"$root/src"
+    FingerprintStore.writeFingerprints(
+      docs.filter($"doc_id" % 4 === 0), src)
+    // writer thread: three more batch admissions while clones run —
+    // retried on contention, since the locked append fails fast when
+    // a clone holds the root lock (loud beats racing is the store
+    // contract; the retry IS the documented serialization)
+    val writer = new Thread(() => (1 to 3).foreach { i =>
+      var done = false
+      while (!done) {
+        try {
+          FingerprintStore.appendBatch(spark, src,
+            docs.filter($"doc_id" % 4 === i))
+          done = true
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent writer") =>
+            Thread.sleep(50L)
+        }
+      }
+    })
+    writer.start()
+    try {
+      (1 to 3).foreach { i =>
+        val dst = s"$root/clone-$i"
+        StoreClone.cloneStore(spark, src, dst)
+        // a committed fp manifest always carries bucket and array
+        // segments of the SAME batches: the id sets must match — a
+        // torn copy (buckets without arrays) breaks this
+        val b = FingerprintStore.readBuckets(spark, dst)
+          .select($"id").distinct().collect().map(_.getLong(0)).toSet
+        val a = FingerprintStore.readArrays(spark, dst)
+          .select($"id").distinct().collect().map(_.getLong(0)).toSet
+        assert(b === a,
+          s"clone $i tore: banded ids without verify arrays (or vice " +
+            s"versa); diff=${(b diff a) ++ (a diff b)}")
+      }
+    } finally writer.join()
+    // and the final source state is intact: all four batches admitted
+    writer.join()
+    assert(FingerprintStore.readBuckets(spark, src)
+      .select($"id").distinct().count() === docs.count())
   }
 
   test("takedown label repair SPLITS components and equals the " +

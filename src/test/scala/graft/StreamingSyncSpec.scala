@@ -595,7 +595,7 @@ class StreamingSyncSpec extends SparkSpec {
   }
 
   test("vector append sink: streamed micro-batches equal the batch append") {
-    import graft.sources.VectorIndexStore
+    import graft.sources.{StoreClone, VectorIndexStore}
     val dir = tmp()
     val e = Tables.embeddings(spark, sf0001)
     val base = e.filter($"vec_id" % 10 =!= 9)
@@ -604,13 +604,13 @@ class StreamingSyncSpec extends SparkSpec {
     VectorIndexStore.writeIvfPq(base, basePath)
     // batch path: one append of the whole holdout
     val batchPath = s"$dir/batch"
-    VectorIndexStore.cloneIndex(spark, basePath, batchPath)
+    StoreClone.cloneStore(spark, basePath, batchPath)
     VectorIndexStore.appendIvfPq(spark, batchPath, holdout)
     // streamed path: the SAME holdout arrives as two ordered files
     // through the sink — each trigger encodes against the same frozen
     // metadata, so arrival chunking must not change the index
     val streamPath = s"$dir/stream"
-    VectorIndexStore.cloneIndex(spark, basePath, streamPath)
+    StoreClone.cloneStore(spark, basePath, streamPath)
     val in = new java.io.File(dir, "in"); in.mkdirs()
     def stage(name: String, mtime: Long,
         df: org.apache.spark.sql.DataFrame): Unit = {
