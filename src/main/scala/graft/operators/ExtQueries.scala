@@ -190,6 +190,14 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fpbranch-work-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def aggBranchWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-aggbranch-work-${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] def lmBranchWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-lmbranch-work-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def takedownWorkPath(d: String, store: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
@@ -742,6 +750,76 @@ object ExtQueries {
       graft.sources.FingerprintStore.createBranch(s, work, "exp")
       graft.sources.FingerprintStore.appendBatch(s, work, batch,
         branch = Some("exp"))
+      graft.sources.FingerprintStore.readBuckets(s, work)
+        .withColumn("ref", lit("main"))
+        .unionByName(graft.sources.FingerprintStore
+          .readBuckets(s, work, branch = Some("exp"))
+          .withColumn("ref", lit("exp")))
+    }),
+
+    // branch isolation on the ROLLUP store (the Branches layer adopted
+    // by AggStore): retract a takedown slice on the 'exp' branch only
+    // — main still serves the full maintained view, the branch the
+    // exact algebraic subtraction. The oracle replays both lineages
+    // from the raw facts: full rollup (main) and filtered rollup (exp).
+    "x_agg_branch" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      graft.sources.AggStore.ensureState(events, aggMvPath(d),
+        baseTag = "mv-full")
+      val work = aggBranchWorkPath(d)
+      graft.sources.StoreClone.cloneStore(s, aggMvPath(d), work)
+      graft.sources.AggStore.createBranch(s, work, "exp")
+      graft.sources.AggStore.retractDelta(s, work,
+        events.filter(col("event_id") % DeleteMod === DeleteRem),
+        batchTag = Some("x_agg_branch"), branch = Some("exp"))
+      def side(ref: String, b: Option[String]) =
+        graft.sources.AggStore.readState(s, work, b)
+          .select(col("day"), col("event_type"), col("cnt"),
+            col("total").cast("double").as("total"), lit(ref).as("ref"))
+      side("main", None).unionByName(side("exp", Some("exp")))
+    }),
+
+    // branch isolation on the LANGUAGE MODEL store: retract a takedown
+    // slice of documents on the 'exp' branch — main keeps the full
+    // frozen model, the branch equals a retrain over the filtered
+    // corpus (count additivity). The oracle replays both unigram
+    // tables from the raw text.
+    "x_lm_branch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.LmStore.ensureModel(docs, lmStorePath(d))
+      val work = lmBranchWorkPath(d)
+      graft.sources.StoreClone.cloneStore(s, lmStorePath(d), work)
+      graft.sources.LmStore.createBranch(s, work, "exp")
+      graft.sources.LmStore.retractDocs(s, work,
+        docs.filter(col("doc_id") % DeleteMod === DeleteRem),
+        batchTag = Some("x_lm_branch"), branch = Some("exp"))
+      graft.sources.LmStore.readUnigrams(s, work)
+        .withColumn("ref", lit("main"))
+        .unionByName(graft.sources.LmStore
+          .readUnigrams(s, work, branch = Some("exp"))
+          .withColumn("ref", lit("exp")))
+    }),
+
+    // takedown across a BRANCHED root: a branch that admitted its own
+    // crawl batch is the same compliance surface as main, and ONE
+    // sweep must rewrite BOTH lineages' serve paths. The oracle builds
+    // each lineage's banded index from first principles (corpus chain
+    // for main; corpus + batch chains for 'exp') and drops the removed
+    // ids from each.
+    "x_takedown_branch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), fpStorePath(d))
+      val work = takedownWorkPath(d, "fpbranch")
+      graft.sources.StoreClone.cloneStore(s, fpStorePath(d), work)
+      graft.sources.FingerprintStore.createBranch(s, work, "exp")
+      graft.sources.FingerprintStore.appendBatch(s, work,
+        docs.filter(col("doc_id") % IncrBatchMod === 0),
+        branch = Some("exp"))
+      graft.sources.Takedown.sweep(s,
+        docIds = Some(docs
+          .filter(col("doc_id") % DeleteMod === DeleteRem)),
+        fingerprintStores = Seq(work))
       graft.sources.FingerprintStore.readBuckets(s, work)
         .withColumn("ref", lit("main"))
         .unionByName(graft.sources.FingerprintStore
@@ -1639,6 +1717,20 @@ object ExtQueries {
     // heavy hitters. The frequency sibling of x_sketch_merge.
     "x_freq_merge" -> ((s, d) =>
       CorpusStats.freqMergeValidated(Tables.documents(s, d),
+        parts = SketchParts, maxMapSize = HeavyHitterMapSize,
+        phi = HeavyHitterPhi)),
+
+    // Misra-Gries TAKEDOWN-BY-REBUILD: the one sweep path that is not
+    // algebraically invertible (MG error admissions are stream-order
+    // state, not sums — Takedown's documented rebuild case), driven as
+    // a query: the sketch state rebuilds over the corpus MINUS the
+    // takedown slice and must satisfy the same validated
+    // heavy-hitter contract x_freq_merge pins, now against the
+    // filtered corpus's own token mass.
+    "x_mg_rebuild" -> ((s, d) =>
+      CorpusStats.freqMergeValidated(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % DeleteMod =!= DeleteRem),
         parts = SketchParts, maxMapSize = HeavyHitterMapSize,
         phi = HeavyHitterPhi)),
 
@@ -4605,6 +4697,58 @@ object ExtQueries {
          |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsb"""
         .stripMargin,
 
+    // both rollup lineages replayed from the raw facts: main = the
+    // full maintained view, exp = the view with the takedown slice
+    // subtracted (≡ recompute over surviving facts, by algebra)
+    "x_agg_branch" ->
+      s"""SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total,
+         |  'main' AS ref
+         |FROM events GROUP BY 1, 2
+         |UNION ALL
+         |SELECT cast(ts AS date) AS day, event_type, count(*) AS cnt,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total,
+         |  'exp' AS ref
+         |FROM events WHERE event_id % $DeleteMod <> $DeleteRem
+         |GROUP BY 1, 2""".stripMargin,
+
+    // both LM lineages replayed from the raw text: main = unigram
+    // counts over the full corpus, exp = counts over the corpus with
+    // the takedown slice removed (retraction ≡ retrain, by count
+    // additivity)
+    "x_lm_branch" ->
+      s"""WITH lw AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents),
+         |uni AS (
+         |  SELECT term, count(*)::bigint AS ucnt FROM (
+         |    SELECT unnest(ws) AS term FROM lw)
+         |  WHERE term <> '' GROUP BY term),
+         |unx AS (
+         |  SELECT term, count(*)::bigint AS ucnt FROM (
+         |    SELECT unnest(ws) AS term FROM lw
+         |    WHERE doc_id % $DeleteMod <> $DeleteRem)
+         |  WHERE term <> '' GROUP BY term)
+         |SELECT term, ucnt, 'main' AS ref FROM uni
+         |UNION ALL SELECT term, ucnt, 'exp' AS ref FROM unx"""
+        .stripMargin,
+
+    // the branched-root takedown: each lineage's first-principles
+    // banded index with the removed ids dropped — x_fp_branch's
+    // two-lineage chain under the takedown filter
+    "x_takedown_branch" ->
+      s"""WITH ${sideShingleCtes("c", s"doc_id % $IncrBatchMod <> 0")},
+         |${sideShingleCtes("b", s"doc_id % $IncrBatchMod = 0")},
+         |${sideSigSql("c", 8, 4)},
+         |${sideSigSql("b", 8, 4)}
+         |SELECT id, band, key, 'main' AS ref FROM bucketsc
+         |  WHERE id % $DeleteMod <> $DeleteRem
+         |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsc
+         |  WHERE id % $DeleteMod <> $DeleteRem
+         |UNION ALL SELECT id, band, key, 'exp' AS ref FROM bucketsb
+         |  WHERE id % $DeleteMod <> $DeleteRem""".stripMargin,
+
     // the composed pipeline: the admission chain (x_dedup_incremental),
     // quality (QualitySelect), decontamination (DecontamCtes), mixture
     // (x_mixture_sample's rate grid, totals over THIS stage's docs),
@@ -6060,6 +6204,21 @@ object ExtQueries {
          |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
          |    AS item
          |  FROM documents),
+         |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
+         |       WHERE item <> '' GROUP BY item),
+         |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf)
+         |SELECT item, exact_cnt, n_tokens,
+         |  TRUE AS reported, TRUE AS bounds_hold
+         |FROM tf CROSS JOIN n
+         |WHERE exact_cnt * $HeavyHitterPhi > n_tokens""".stripMargin,
+
+    // the MG rebuild over the filtered corpus: x_freq_merge's exact
+    // replay and contract booleans, minus the takedown slice
+    "x_mg_rebuild" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |    AS item
+         |  FROM documents WHERE doc_id % $DeleteMod <> $DeleteRem),
          |tf AS (SELECT item, count(*)::bigint AS exact_cnt FROM tok
          |       WHERE item <> '' GROUP BY item),
          |n AS (SELECT sum(exact_cnt)::bigint AS n_tokens FROM tf)
@@ -8526,7 +8685,7 @@ object ExtQueries {
       s"""SELECT * FROM (VALUES
          |  ('agg', 1::bigint, 1::bigint, 0::bigint,
          |   '${graft.sources.AggStore.recipe("mv-full")}',
-         |   NULL::bigint, NULL::boolean, true, true),
+         |   1::bigint, NULL::boolean, true, true),
          |  ('edges', 3::bigint, 2::bigint, 0::bigint,
          |   '${graft.sources.EdgeStore.recipe(CosineThreshold,
               NearDupBands, NearDupRows, EmbeddingDim)}',

@@ -76,8 +76,13 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
     * single-pair confs above remain the simple front door; entries
     * from both compose (single pair first). Sources should be
     * distinct — when several registered sources match one scan (e.g.
-    * overlapping suffixes), the FIRST registered wins, which is the
-    * deterministic reading of an ambiguous registration. */
+    * overlapping suffixes), the fewest-partial-rows view wins
+    * deterministically. NOTE: multiple registrations matching one
+    * source MUST be semantically equivalent views of it (the
+    * registration asserts maintenance, and the tie-break only picks
+    * the cheapest-serving among equals — a misregistered store that
+    * is NOT the same view would silently win and serve wrong rows,
+    * exactly like registering a stale MV in any engine). */
   val ViewsKey = "spark.graft.aggstore.views"
 
   private def registered(): Seq[(String, String)] = {
@@ -126,18 +131,23 @@ object AggStoreRewrite extends Rule[LogicalPlan] {
   /** Committed partial-row count of `store`, memoized per immutable
     * version directory (a version never changes once committed, so
     * the count can never go stale under its key; a new commit is a
-    * new key). Only consulted when SEVERAL registered views match one
-    * scan. Missing/uncommitted stores sort last. */
-  private val rowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    * new key). The cache is BOUNDED: keyed by store path, holding
+    * only the LATEST version's count — a long-lived session with
+    * frequent store commits evicts superseded entries instead of
+    * growing without bound. Only consulted when SEVERAL registered
+    * views match one scan. Missing/uncommitted stores sort last. */
+  private val rowCountCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, Long)]()
 
   private def partialRows(store: String): Long = {
     val spark = SparkSession.active
     graft.sources.AggStore.currentVersionDir(spark, store) match {
       case None => Long.MaxValue
-      case Some(vd) => rowCountCache.computeIfAbsent(vd,
-        d => java.lang.Long.valueOf(spark.read.parquet(d).count()))
-        .longValue()
+      case Some(vd) =>
+        rowCountCache.compute(store, (_, prev) =>
+          if (prev != null && prev._1 == vd) prev
+          else (vd,
+            graft.sources.AggStore.readState(spark, store).count()))._2
     }
   }
 

@@ -1,27 +1,43 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.StoreFiles.{readText, writeText}
 
 /** Incremental view maintenance for a keyed rollup: the materialized
   * aggregate persists as MERGEABLE partial-aggregate rows
-  * `(day, event_type, cnt, total)` under the [[SnapshotDir]] commit
-  * protocol, and a new batch of facts folds in by aggregating ONLY
-  * the batch and summing it into the stored partials by key.
+  * `(day, event_type, cnt, total)`, and a new batch of facts folds in
+  * by aggregating ONLY the batch and summing it into the stored
+  * partials by key.
   *
-  * This is the fourth persisted-state family (ANN index, fingerprint
-  * store, tokenizer/LM model, now the rollup) and the one every
-  * warehouse needs first: at 100 TB the history is never rescanned —
-  * maintaining the view costs O(|batch|) + a keys-sized merge, and
-  * the stored state is bounded by the key cardinality (days × types),
-  * not the fact count. COUNT and SUM are algebraic, so partials merge
-  * exactly; the sum rides a decimal so the merge is order-independent
-  * (a double sum would drift by merge order and break replay
-  * equality). Non-algebraic measures (e.g. distinct users) would
-  * store a sketch state row instead — the same shape the frequency
-  * sketches in `CorpusStats` already persist.
+  * This is the warehouse's first persisted-state family: at 100 TB the
+  * history is never rescanned — maintaining the view costs O(|batch|)
+  * + a keys-sized merge, and the stored state is bounded by the key
+  * cardinality (days × types), not the fact count. COUNT and SUM are
+  * algebraic, so partials merge exactly; the sum rides a decimal so
+  * the merge is order-independent (a double sum would drift by merge
+  * order and break replay equality). Non-algebraic measures (e.g.
+  * distinct users) would store a sketch state row instead — the same
+  * shape the frequency sketches in `CorpusStats` already persist.
+  *
+  * Versioning (format v4): a [[ManifestDir]] store — each committed
+  * version's manifest references one immutable `partials` segment
+  * (the state is REPLACED per commit, not appended) plus metadata:
+  *
+  *  - `batch_tag`: the last applied batch's tag — the streaming
+  *    sink's one-deep redelivery guard ([[bootstrapOrAppend]]);
+  *  - `applied_tags`: the DURABLE SET of every retraction tag ever
+  *    applied, carried forward on every commit — a replayed
+  *    [[retractDelta]] is skipped even when OTHER commits landed
+  *    between the original retraction and the replay (the version-tag
+  *    comparison alone silently double-subtracted in that window).
+  *
+  * The manifest layer also buys the lineage machinery for free:
+  * [[createBranch]]/[[promoteBranch]]/[[dropBranch]] ([[Branches]])
+  * give "re-seed the rollup on a branch, compare, promote" — the
+  * experiment the fingerprint store's `x_fp_branch` demonstrates, on
+  * the rollup family.
   *
   * The reference recomputes its `Cierres` closing totals from the
   * full sheet on every sync (`Code.gs:1545-1620`, `borrarDatos` +
@@ -30,7 +46,10 @@ import graft.sources.StoreFiles.{readText, writeText}
 object AggStore {
 
   private val Prefix = "agg-"
-  val FormatVersion = 3 // v3: total stored uniformly as decimal(28,2)
+  val FormatVersion = 4 // v4: manifest versions; durable applied-tag set
+  private val PartialsRel = "partials"
+  private val BatchTagKey = "batch_tag"
+  private val AppliedTagsKey = "applied_tags"
 
   /** The build-recipe marker content — public so observability
     * consumers ([[StoreCatalog]] oracles) can derive the expected
@@ -73,10 +92,13 @@ object AggStore {
           "widen the sum type")).cast(StoredSum))
       .otherwise(toStored(s))
 
-  private def currentDir(spark: SparkSession, path: String): String =
-    SnapshotDir.current(spark, path, Prefix).getOrElse(
+  private def currentManifest(spark: SparkSession, path: String,
+      branch: Option[String] = None): ManifestDir.Manifest = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    ManifestDir.current(spark, path, pfx).getOrElse(
       throw new IllegalStateException(
-        s"no committed aggregate state under $path"))
+        s"no committed aggregate state lineage '$pfx' under $path"))
+  }
 
   /** The partial-aggregate rows for a slice of facts: one row per
     * (day, event_type) with exactly-mergeable COUNT/SUM state. The
@@ -102,26 +124,54 @@ object AggStore {
         toStoredChecked(sum(col("total")), count(col("total")))
           .as("total"))
 
+  /** Commit `state` as lineage `branch`'s next version — CALLER HOLDS
+    * the writer lock. Meta carried from `cur`: the branch cut-point
+    * marker and the applied-tag set survive every commit; `batch_tag`
+    * is replaced (or dropped) per commit. The state rides a
+    * NEGATIVE-COUNT abort: counts can never legitimately go below
+    * zero, so a negative `cnt` (an over-retraction — wrong input rows
+    * or a replay that slipped the guard) fails the write loudly
+    * instead of silently persisting corruption. */
+  private def commitLocked(spark: SparkSession, path: String,
+      branch: Option[String], cur: Option[ManifestDir.Manifest],
+      state: DataFrame, batchTag: Option[String],
+      newAppliedTag: Option[String] = None): Unit = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), PartialsRel)
+    state.withColumn("cnt",
+        when(col("cnt") < 0L, raise_error(lit(
+          "AggStore: negative cnt after merge — over-retraction " +
+            "(wrong removed rows or a replayed tag); aborting commit")))
+          .otherwise(col("cnt")))
+      .write.parquet(s"$path/$seg")
+    val carried = cur.map(_.meta - BatchTagKey).getOrElse(Map.empty)
+    val tags = appliedTagsOf(cur) ++ newAppliedTag
+    val meta = carried ++
+      batchTag.map(BatchTagKey -> _) ++
+      (if (tags.isEmpty) Map.empty[String, String]
+       else Map(AppliedTagsKey -> tags.toSeq.sorted.mkString(",")))
+    ManifestDir.commit(spark, path, pfx,
+      ManifestDir.Manifest(Map(PartialsRel -> Vector(seg)), meta))
+    SnapshotDir.gc(spark, path, pfx)
+    // every commit REPLACES the partials relation, so GC'd versions'
+    // segments orphan immediately; the lock is held — strict sweep
+    ManifestDir.vacuum(spark, path,
+      Branches.allPrefixes(spark, path, Prefix))
+    ()
+  }
+
+  private def appliedTagsOf(cur: Option[ManifestDir.Manifest])
+      : Set[String] =
+    cur.flatMap(_.meta.get(AppliedTagsKey))
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   /** Aggregate `events` and publish the partials as version 1. */
   def writeState(events: DataFrame, path: String,
       batchTag: Option[String] = None): Unit = {
     val spark = events.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
-      writeLocked(spark, path, partials(events), batchTag)
+      commitLocked(spark, path, None, None, partials(events), batchTag)
     }
-    SnapshotDir.gc(spark, path, Prefix)
-  }
-
-  /** Claim→write→commit the next version. Caller holds the writer
-    * lock (the lock is not reentrant, so every public entry takes it
-    * exactly once around this body). */
-  private def writeLocked(spark: SparkSession, path: String,
-      state: DataFrame, batchTag: Option[String]): Unit = {
-    val next = SnapshotDir.next(spark, path, Prefix)
-    val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-    state.write.mode(SaveMode.Overwrite).parquet(vdir)
-    batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
-    SnapshotDir.commit(spark, path, Prefix, next)
   }
 
   /** [[writeState]] gated by a recipe marker. `baseTag` names the
@@ -150,11 +200,13 @@ object AggStore {
     }
   }
 
-  /** Stored partials of the current committed version. */
-  def readState(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentDir(spark, path))
+  /** Stored partials of a lineage's current committed version. */
+  def readState(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path, branch), PartialsRel)
 
-  /** Directory of the current committed version, if any — stable
+  /** Directory of the current committed main version, if any — stable
     * cache identity for consumers that memoize per-version metadata
     * (committed versions are immutable;
     * [[graft.plans.AggStoreRewrite]]'s row-count tie-break keys on
@@ -162,6 +214,29 @@ object AggStore {
   def currentVersionDir(spark: SparkSession, path: String)
       : Option[String] =
     SnapshotDir.current(spark, path, Prefix)
+
+  /** ZERO-COPY BRANCH of the rollup ([[Branches]]): experiment on the
+    * maintained view — append or retract on a branch, compare against
+    * main, then promote or drop. Creation and fast-forward promotion
+    * move zero data. */
+  def createBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.create(spark, path, Prefix, name)
+
+  /** Branches with at least one committed version under `path`. */
+  def branches(spark: SparkSession, path: String): Seq[String] =
+    Branches.list(spark, path, Prefix)
+
+  /** Fast-forward the branch into main ([[Branches.promote]] — fails
+    * loudly when main advanced past the cut point). */
+  def promoteBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.promote(spark, path, Prefix, name)
+
+  /** Drop the branch lineage and vacuum branch-only segments. */
+  def dropBranch(spark: SparkSession, path: String,
+      name: String): Unit =
+    Branches.drop(spark, path, Prefix, name)
 
   /** The maintained view with `delta` folded in AT READ TIME — the
     * stored state is untouched (idempotent; safe to re-run with the
@@ -183,48 +258,92 @@ object AggStore {
     * Streaming only ever redelivers the most recent uncommitted
     * trigger, so one tag of history is exactly enough. */
   def bootstrapOrAppend(spark: SparkSession, path: String,
-      batch: DataFrame, batchTag: Option[String] = None): Unit = {
+      batch: DataFrame, batchTag: Option[String] = None): Unit =
     // the bootstrap-vs-append decision resolves INSIDE the writer
     // lock: a check-then-act outside it let two racing first-writers
     // both see an empty store, serialize through the lock, and the
     // second commit silently drop the first batch
     SnapshotDir.withWriterLock(spark, path) {
-      SnapshotDir.current(spark, path, Prefix) match {
-        case None => writeLocked(spark, path, partials(batch), batchTag)
+      ManifestDir.current(spark, path, Prefix) match {
+        case None =>
+          commitLocked(spark, path, None, None, partials(batch),
+            batchTag)
         case Some(cur) =>
-          val applied = readText(spark, s"$cur/_batch_tag")
-          if (batchTag.isDefined && applied == batchTag)
+          if (batchTag.isDefined &&
+              cur.meta.get(BatchTagKey) == batchTag)
             () // redelivery of the already-committed trigger
-          else appendLocked(spark, path, batch, batchTag)
+          else appendLocked(spark, path, None, cur, batch, batchTag)
       }
     }
-    SnapshotDir.gc(spark, path, Prefix)
-  }
 
   /** The batch tag committed with the current version, if any. */
   def lastBatchTag(spark: SparkSession, path: String): Option[String] =
-    readText(spark, s"${currentDir(spark, path)}/_batch_tag")
+    currentManifest(spark, path).meta.get(BatchTagKey)
 
-  /** Fold `delta` into the store as the next committed version — the
+  /** Fold `delta` into the lineage as its next committed version — the
     * write-side twin of [[mergedView]] (same merge, then commit).
     * Applying the same delta twice double-counts: callers either pass
     * a `batchTag` through [[bootstrapOrAppend]] (replay-safe) or own
     * the exactly-once contract themselves (batch dedup keys). */
   def appendDelta(spark: SparkSession, path: String,
-      delta: DataFrame, batchTag: Option[String] = None): Unit = {
+      delta: DataFrame, batchTag: Option[String] = None,
+      branch: Option[String] = None): Unit =
     SnapshotDir.withWriterLock(spark, path) {
-      appendLocked(spark, path, delta, batchTag)
+      appendLocked(spark, path, branch,
+        currentManifest(spark, path, branch), delta, batchTag)
     }
-    SnapshotDir.gc(spark, path, Prefix)
+
+  /** Merge-and-commit body; caller holds the lock (so the manifest
+    * resolved here cannot be GC'd or raced). */
+  private def appendLocked(spark: SparkSession, path: String,
+      branch: Option[String], cur: ManifestDir.Manifest,
+      delta: DataFrame, batchTag: Option[String]): Unit = {
+    val stored = ManifestDir.readRelation(spark, path, cur, PartialsRel)
+    commitLocked(spark, path, branch, Some(cur),
+      merge(stored, partials(delta)), batchTag)
   }
 
-  /** Merge-and-commit body of [[appendDelta]]; caller holds the lock
-    * (so the current version resolved here cannot be GC'd or raced). */
-  private def appendLocked(spark: SparkSession, path: String,
-      delta: DataFrame, batchTag: Option[String]): Unit = {
-    val cur = currentDir(spark, path)
-    val merged = merge(spark.read.parquet(cur), partials(delta))
-    writeLocked(spark, path, merged, batchTag)
+  /** OPTIMISTIC lineage append — concurrent writers on DIFFERENT
+    * lineages of one root ([[FingerprintStore.appendBatchOptimistic]]'s
+    * envelope on the rollup): the merge against the lineage's current
+    * partials computes and its segment writes with NO lock held, and
+    * only the manifest publish runs inside [[Branches.commitWindow]]'s
+    * short root-lock window, which re-verifies the lineage still sits
+    * at the version this merge was computed against. Unlike the
+    * fingerprint store's purely-additive appends, the rollup merge
+    * DEPENDS on the base state — which is exactly why the stale-claim
+    * check is load-bearing here: a same-lineage race loses LOUDLY with
+    * `ConcurrentModificationException` (its merge would silently drop
+    * the winner's rows); recompute against the new current and retry.
+    * Maintenance that sweeps unreferenced segments must not run while
+    * optimistic writers are in flight (the [[Branches.commitWindow]]
+    * contract) — this path therefore runs NO vacuum; schedule
+    * [[Branches.vacuum]] with a `minAgeMs` above the longest
+    * admission's write phase instead. */
+  def appendDeltaOptimistic(spark: SparkSession, path: String,
+      delta: DataFrame, batchTag: Option[String] = None,
+      branch: Option[String] = None): Unit = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    val claimed = SnapshotDir.versions(spark, path, pfx)
+      .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+    require(claimed > 0L,
+      s"no committed lineage '$pfx' at $path — bootstrap first")
+    val cur = currentManifest(spark, path, branch)
+    val stored = ManifestDir.readRelation(spark, path, cur, PartialsRel)
+    val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), PartialsRel)
+    merge(stored, partials(delta))
+      .withColumn("cnt",
+        when(col("cnt") < 0L, raise_error(lit(
+          "AggStore: negative cnt after merge — over-retraction; " +
+            "aborting commit"))).otherwise(col("cnt")))
+      .write.parquet(s"$path/$seg")
+    Branches.commitWindow(spark, path, pfx, claimed) { m =>
+      val meta = (m.meta - BatchTagKey) ++ batchTag.map(BatchTagKey -> _)
+      ManifestDir.commit(spark, path, pfx,
+        ManifestDir.Manifest(Map(PartialsRel -> Vector(seg)), meta))
+    }
+    SnapshotDir.gc(spark, path, pfx)
+    ()
   }
 
   /** TAKEDOWN on the maintained view: SUBTRACT the removed facts'
@@ -234,24 +353,31 @@ object AggStore {
     * the retracted state is row-identical to a rebuild over the
     * filtered facts (spec-pinned). Retraction is NOT naturally
     * idempotent (subtracting twice double-removes), so `batchTag`
-    * carries the takedown id through the version commit and a re-run
-    * whose tag matches the current version is a replay — skipped,
-    * the same discipline as [[bootstrapOrAppend]]. */
+    * lands in the DURABLE `applied_tags` set carried by every later
+    * version's manifest: a replay of an applied tag is skipped even
+    * when other commits (a scheduled ingest append) landed in
+    * between — the window where a current-version tag comparison
+    * silently double-subtracted. Belt under the braces: a subtraction
+    * that still over-retracts (wrong rows) aborts on the
+    * negative-count invariant instead of committing. */
   def retractDelta(spark: SparkSession, path: String,
-      removed: DataFrame, batchTag: Option[String] = None): Unit = {
+      removed: DataFrame, batchTag: Option[String] = None,
+      branch: Option[String] = None): Unit = {
+    batchTag.foreach(t => require(!t.contains(","),
+      s"retraction tags join the comma-separated applied set: '$t'"))
     SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      if (batchTag.isDefined &&
-          readText(spark, s"$cur/_batch_tag") == batchTag) ()
+      val cur = currentManifest(spark, path, branch)
+      if (batchTag.exists(appliedTagsOf(Some(cur)).contains)) ()
       else {
+        val stored = ManifestDir.readRelation(spark, path, cur,
+          PartialsRel)
         val neg = partials(removed).select(col("day"),
           col("event_type"), (-col("cnt")).as("cnt"),
           (-col("total")).cast(StoredSum).as("total"))
-        val merged = merge(spark.read.parquet(cur), neg)
-          .filter(col("cnt") =!= 0L)
-        writeLocked(spark, path, merged, batchTag)
+        val merged = merge(stored, neg).filter(col("cnt") =!= 0L)
+        commitLocked(spark, path, branch, Some(cur), merged, batchTag,
+          newAppliedTag = batchTag)
       }
     }
-    SnapshotDir.gc(spark, path, Prefix)
   }
 }

@@ -400,6 +400,26 @@ object FingerprintStore {
     }
   }
 
+  /** RETENTION EXPIRY — the compliance END-STATE after a takedown:
+    * drop committed versions beyond `grace` on EVERY lineage and
+    * vacuum the segments only they referenced. The takedown itself
+    * rewrites serve paths but intentionally leaves the pre-takedown
+    * version readable through the normal GC grace window (in-flight
+    * readers); running this with the retention policy's grace makes
+    * the removed documents' fingerprints gone FROM HISTORY — a pinned
+    * [[readBucketsAt]] of an expired version fails loudly, and the
+    * bytes are physically deleted (spec-pinned). `grace = 0` is the
+    * immediate-hard-delete policy. */
+  def expireRetention(spark: SparkSession, path: String,
+      grace: Int = 1): Unit =
+    SnapshotDir.withWriterLock(spark, path) {
+      Branches.allPrefixes(spark, path, Prefix).foreach(pfx =>
+        SnapshotDir.gc(spark, path, pfx, grace))
+      ManifestDir.vacuum(spark, path,
+        Branches.allPrefixes(spark, path, Prefix))
+      ()
+    }
+
   /** Rewrite the append-accumulated store back to one segment per
     * relation in the NEXT committed version. Fingerprints are
     * unchanged — only files; the vacuum that closes it sweeps

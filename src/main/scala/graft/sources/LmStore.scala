@@ -1,21 +1,34 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.StoreFiles.{readText, writeText}
 
 /** Persisted bigram language model — the serving half of the
   * perplexity quality filter (the CCNet lifecycle: the model trains
   * ONCE on a curated target-domain sample, then every crawl snapshot
   * scores against the frozen model; retraining per corpus would make
-  * scores incomparable across snapshots). Counts persist as parquet
-  * under the [[SnapshotDir]] commit protocol (versioned, atomically
-  * published, writer-locked, time-travelable), same as the tokenizer
-  * vocabulary and the ANN index.
+  * scores incomparable across snapshots).
   *
   * Two relations per version, both bounded by VOCABULARY size:
-  *  - unigram counts `(term, ucnt)` — the conditional's denominator
+  *  - `unigrams` `(term, ucnt)` — the conditional's denominator
   *    and the model vocabulary (V = row count);
-  *  - `_bigrams` `(bg, bcnt)` — the numerator counts.
+  *  - `bigrams` `(bg, bcnt)` — the numerator counts.
+  *
+  * Versioning (format v2): a [[ManifestDir]] store — BOTH count
+  * relations commit as one atomic manifest (under the previous
+  * SnapshotDir layout they were two writes into one version dir, a
+  * crash window between them), with the replay metadata the takedown
+  * path needs riding the same commit:
+  *
+  *  - `batch_tag`: the last applied batch's tag;
+  *  - `applied_tags`: the DURABLE SET of every retraction tag ever
+  *    applied, carried forward on every commit, so a replayed
+  *    [[retractDocs]] is skipped even when other commits landed in
+  *    between ([[AggStore]]'s discipline, shared failure mode).
+  *
+  * The manifest layer also buys lineage branching: retrain/retract the
+  * model on a branch ([[createBranch]] + `branch` params), compare
+  * scores against main, then [[promoteBranch]] or [[dropBranch]].
   *
   * Scale shape: scoring a 100 TB corpus is one codegen'd bigram
   * explode, two vocabulary-sized joins (AQE broadcasts them while
@@ -26,12 +39,62 @@ import graft.sources.StoreFiles.{readText, writeText}
 object LmStore {
 
   private val Prefix = "lm-"
-  val FormatVersion = 1
+  val FormatVersion = 2 // v2: atomic two-relation manifests
+  private val UnigramsRel = "unigrams"
+  private val BigramsRel = "bigrams"
+  private val BatchTagKey = "batch_tag"
+  private val AppliedTagsKey = "applied_tags"
 
-  private def currentDir(spark: SparkSession, path: String): String =
-    SnapshotDir.current(spark, path, Prefix).getOrElse(
+  private def currentManifest(spark: SparkSession, path: String,
+      branch: Option[String] = None): ManifestDir.Manifest = {
+    val pfx = Branches.prefixOf(Prefix, branch)
+    ManifestDir.current(spark, path, pfx).getOrElse(
       throw new IllegalStateException(
-        s"no committed language model under $path"))
+        s"no committed language model lineage '$pfx' under $path"))
+  }
+
+  private def appliedTagsOf(cur: Option[ManifestDir.Manifest])
+      : Set[String] =
+    cur.flatMap(_.meta.get(AppliedTagsKey))
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Commit both count relations as lineage `branch`'s next version —
+    * CALLER HOLDS the writer lock. Both relations ride one manifest
+    * (atomic); counts ride a NEGATIVE abort: a unigram/bigram count
+    * below zero can only be an over-retraction, which must fail the
+    * write loudly instead of silently persisting a corrupted model. */
+  private def commitLocked(spark: SparkSession, path: String,
+      branch: Option[String], cur: Option[ManifestDir.Manifest],
+      uni: DataFrame, big: DataFrame, batchTag: Option[String],
+      newAppliedTag: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    def guarded(df: DataFrame, cnt: String) =
+      df.withColumn(cnt, when(col(cnt) < 0L, raise_error(lit(
+        s"LmStore: negative $cnt after retraction merge — " +
+          "over-retraction (wrong removed docs or a replayed tag); " +
+          "aborting commit"))).otherwise(col(cnt)))
+    val pfx = Branches.prefixOf(Prefix, branch)
+    val segId = ManifestDir.newSegmentId()
+    val uSeg = ManifestDir.segDir(segId, UnigramsRel)
+    val bSeg = ManifestDir.segDir(segId, BigramsRel)
+    guarded(uni, "ucnt").write.parquet(s"$path/$uSeg")
+    guarded(big, "bcnt").write.parquet(s"$path/$bSeg")
+    val carried = cur.map(_.meta - BatchTagKey).getOrElse(Map.empty)
+    val tags = appliedTagsOf(cur) ++ newAppliedTag
+    val meta = carried ++
+      batchTag.map(BatchTagKey -> _) ++
+      (if (tags.isEmpty) Map.empty[String, String]
+       else Map(AppliedTagsKey -> tags.toSeq.sorted.mkString(",")))
+    ManifestDir.commit(spark, path, pfx, ManifestDir.Manifest(
+      Map(UnigramsRel -> Vector(uSeg), BigramsRel -> Vector(bSeg)),
+      meta))
+    SnapshotDir.gc(spark, path, pfx)
+    // every commit REPLACES both relations, so GC'd versions' segments
+    // orphan immediately; the lock is held — strict sweep
+    ManifestDir.vacuum(spark, path,
+      Branches.allPrefixes(spark, path, Prefix))
+    ()
+  }
 
   /** Train on `docs` and publish the count relations as the next
     * committed version. */
@@ -41,13 +104,9 @@ object LmStore {
     val (bcnt, uni) = graft.operators.CorpusStats
       .bigramModel(docs, textCol)
     SnapshotDir.withWriterLock(spark, path) {
-      val next = SnapshotDir.next(spark, path, Prefix)
-      val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-      uni.write.mode(SaveMode.Overwrite).parquet(vdir)
-      bcnt.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bigrams")
-      SnapshotDir.commit(spark, path, Prefix, next)
+      commitLocked(spark, path, None,
+        ManifestDir.current(spark, path, Prefix), uni, bcnt, None)
     }
-    SnapshotDir.gc(spark, path, Prefix)
   }
 
   /** [[writeModel]] gated by a recipe marker (marker last; a recipe
@@ -62,11 +121,36 @@ object LmStore {
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
+      // recipe change = new model: rebuild from a clean root
+      // (deterministic version numbering, no cross-format debris)
+      val (fsys, hp) = StoreFiles.fsOf(spark, path)
+      if (fsys.exists(hp)) fsys.delete(hp, true)
       writeModel(docs, path, textCol)
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }
   }
+
+  /** ZERO-COPY BRANCH of the model ([[Branches]]): retract/compare on
+    * a lineage without touching main, then promote or drop. */
+  def createBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.create(spark, path, Prefix, name)
+
+  /** Branches with at least one committed version under `path`. */
+  def branches(spark: SparkSession, path: String): Seq[String] =
+    Branches.list(spark, path, Prefix)
+
+  /** Fast-forward the branch into main ([[Branches.promote]] — fails
+    * loudly when main advanced past the cut point). */
+  def promoteBranch(spark: SparkSession, path: String,
+      name: String): Long =
+    Branches.promote(spark, path, Prefix, name)
+
+  /** Drop the branch lineage and vacuum branch-only segments. */
+  def dropBranch(spark: SparkSession, path: String,
+      name: String): Unit =
+    Branches.drop(spark, path, Prefix, name)
 
   /** TAKEDOWN on the language model: SUBTRACT the removed docs'
     * unigram/bigram contributions — counts are additive across
@@ -78,47 +162,58 @@ object LmStore {
     * change can move the top-V cut), so their takedown story is an
     * explicit retrain, documented there. Retraction is not naturally
     * idempotent (subtracting twice double-removes), so `batchTag`
-    * rides the version commit and a replayed tag is skipped —
-    * [[AggStore.retractDelta]]'s discipline. */
+    * joins the durable `applied_tags` set riding every later
+    * version's manifest — a replayed tag is skipped even when other
+    * commits landed in between — and an over-retraction that slips
+    * through aborts on the negative-count invariant.
+    *
+    * `removed` must be the removed document ROWS including `textCol`
+    * (the retraction computes negative counts from the text; ids
+    * alone cannot). */
   def retractDocs(spark: SparkSession, path: String,
       removed: DataFrame, textCol: String = "text",
-      batchTag: Option[String] = None): Unit = {
+      batchTag: Option[String] = None,
+      branch: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
+    batchTag.foreach(t => require(!t.contains(","),
+      s"retraction tags join the comma-separated applied set: '$t'"))
+    require(removed.columns.contains(textCol),
+      s"LmStore.retractDocs needs the removed document ROWS " +
+        s"including '$textCol' — got [${removed.columns.mkString(", ")}]")
     SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      if (batchTag.isDefined &&
-          readText(spark, s"$cur/_batch_tag") == batchTag) ()
+      val cur = currentManifest(spark, path, branch)
+      if (batchTag.exists(appliedTagsOf(Some(cur)).contains)) ()
       else {
         val (bneg, uneg) = graft.operators.CorpusStats
           .bigramModel(removed, textCol)
-        val uni = spark.read.parquet(cur)
+        val uni = ManifestDir.readRelation(spark, path, cur, UnigramsRel)
           .unionByName(uneg.select(col("term"),
             (-col("ucnt")).as("ucnt")))
           .groupBy(col("term")).agg(sum(col("ucnt")).as("ucnt"))
           .filter(col("ucnt") =!= 0L)
-        val big = spark.read.parquet(s"$cur/_bigrams")
+        val big = ManifestDir.readRelation(spark, path, cur, BigramsRel)
           .unionByName(bneg.select(col("bg"),
             (-col("bcnt")).as("bcnt")))
           .groupBy(col("bg")).agg(sum(col("bcnt")).as("bcnt"))
           .filter(col("bcnt") =!= 0L)
-        val next = SnapshotDir.next(spark, path, Prefix)
-        val vdir = s"$path/${SnapshotDir.name(Prefix, next)}"
-        uni.write.mode(SaveMode.Overwrite).parquet(vdir)
-        big.write.mode(SaveMode.Overwrite).parquet(s"$vdir/_bigrams")
-        batchTag.foreach(t => writeText(spark, s"$vdir/_batch_tag", t))
-        SnapshotDir.commit(spark, path, Prefix, next)
+        commitLocked(spark, path, branch, Some(cur), uni, big,
+          batchTag, newAppliedTag = batchTag)
       }
     }
-    SnapshotDir.gc(spark, path, Prefix)
   }
 
-  /** Stored unigram counts `(term, ucnt)` of the current version. */
-  def readUnigrams(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentDir(spark, path))
+  /** Stored unigram counts `(term, ucnt)` of a lineage's current
+    * version. */
+  def readUnigrams(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path, branch), UnigramsRel)
 
   /** Stored bigram counts `(bg, bcnt)`. */
-  def readBigrams(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${currentDir(spark, path)}/_bigrams")
+  def readBigrams(spark: SparkSession, path: String,
+      branch: Option[String] = None): DataFrame =
+    ManifestDir.readRelation(spark, path,
+      currentManifest(spark, path, branch), BigramsRel)
 
   /** Score `docs` against the STORED model — identical output to
     * [[graft.operators.CorpusStats.bigramLogProb]] over the training
@@ -127,8 +222,9 @@ object LmStore {
     * model's frozen vocabulary size. */
   def scoreFromStore(spark: SparkSession, path: String,
       docs: DataFrame, alpha: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      branch: Option[String] = None): DataFrame =
     graft.operators.CorpusStats.bigramScoreWithModel(docs,
-      readBigrams(spark, path), readUnigrams(spark, path), alpha,
-      idCol, textCol)
+      readBigrams(spark, path, branch),
+      readUnigrams(spark, path, branch), alpha, idCol, textCol)
 }

@@ -14,10 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * STORE (a reader never observes a half-removed id inside one
   * store), with the multi-store sweep as a plain driver loop over
   * batch-sized jobs. A crash mid-sweep leaves a prefix of stores
-  * done; the sweep is safe to RE-RUN whole — the anti-join and
-  * tombstone forms are naturally idempotent, and the aggregate
-  * retraction (the one non-idempotent algebra) is replay-guarded by
-  * the `takedownTag` riding its version commit.
+  * done; the sweep is safe to RE-RUN whole, UNCONDITIONALLY: the
+  * anti-join and tombstone forms are naturally idempotent, and the
+  * count retractions (the non-idempotent algebra) record
+  * `takedownTag` in a DURABLE applied-tag set carried by every later
+  * version's manifest — a replayed tag is skipped even when OTHER
+  * commits (a scheduled ingest append) landed between the original
+  * sweep and the re-run, the window where a current-version tag
+  * comparison would silently double-subtract. Backstop: an
+  * over-retraction that slips past the guard aborts on the stores'
+  * negative-count invariant instead of committing.
   *
   * What each family does:
   *  - fingerprints: buckets + arrays anti-join, every lineage, one
@@ -53,11 +59,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Takedown {
 
   /** One sweep over every affected family. Any target may be empty.
-    * `docIds` key the text-side stores (`doc_id`), `vecIds` the
-    * vector-side stores (`vec_id`), `removedFacts` are the fact ROWS
-    * leaving the rollups (the retraction needs their values, not just
-    * ids). `takedownTag` names this takedown for replay-safety of the
-    * aggregate retraction — pass the ticket/batch id. */
+    * `docIds` are the removed document ROWS: the fingerprint stores
+    * key on `doc_id` alone, but the LM retraction needs `textCol` too
+    * (negative counts come from the text) — validated UP FRONT, so an
+    * ids-only frame fails before any store commits rather than
+    * mid-sweep. `vecIds` key the vector-side stores (`vec_id`);
+    * `removedFacts` are the fact ROWS leaving the rollups (the
+    * retraction needs their values). `takedownTag` names this
+    * takedown for replay-safety of the count retractions (it joins
+    * the stores' durable applied-tag sets) — REQUIRED whenever a
+    * rollup or LM store is swept; pass the ticket/batch id. */
   def sweep(spark: SparkSession,
       docIds: Option[DataFrame] = None,
       vecIds: Option[DataFrame] = None,
@@ -67,7 +78,19 @@ object Takedown {
       vectorIndexes: Seq[String] = Nil,
       aggStores: Seq[String] = Nil,
       lmStores: Seq[String] = Nil,
-      takedownTag: Option[String] = None): Unit = {
+      takedownTag: Option[String] = None,
+      textCol: String = "text"): Unit = {
+    // validate EVERYTHING before touching the first store: a sweep
+    // that dies on a malformed argument after committing a prefix of
+    // stores is technically re-runnable but operationally a mess
+    require(takedownTag.isDefined ||
+        (aggStores.isEmpty && lmStores.isEmpty),
+      "takedownTag is required when sweeping rollup/LM stores: the " +
+        "count retractions are replay-guarded by the tag")
+    if (lmStores.nonEmpty)
+      for (ids <- docIds) require(ids.columns.contains(textCol),
+        s"LM retraction needs the removed document ROWS including " +
+          s"'$textCol' — docIds has [${ids.columns.mkString(", ")}]")
     for (ids <- docIds; p <- fingerprintStores)
       FingerprintStore.takedown(spark, p, ids)
     for (ids <- vecIds; p <- edgeStores)
@@ -77,6 +100,7 @@ object Takedown {
     for (facts <- removedFacts; p <- aggStores)
       AggStore.retractDelta(spark, p, facts, takedownTag)
     for (docs <- docIds; p <- lmStores)
-      LmStore.retractDocs(spark, p, docs, batchTag = takedownTag)
+      LmStore.retractDocs(spark, p, docs, textCol,
+        batchTag = takedownTag)
   }
 }

@@ -2253,6 +2253,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("retention closure: after takedown + retention expiry the " +
+      "pre-takedown pin FAILS and its bytes are gone from history") {
+    import graft.sources.FingerprintStore
+    val docs = Tables.documents(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-retention-close").toString
+    FingerprintStore.writeFingerprints(docs, path)
+    // a branch makes the sweep multi-lineage — expiry must close BOTH
+    FingerprintStore.createBranch(spark, path, "exp")
+    val preSegs = new java.io.File(s"$path/seg").listFiles()
+      .map(_.getAbsolutePath).toSet
+    assert(preSegs.nonEmpty)
+    FingerprintStore.takedown(spark, path,
+      docs.filter($"doc_id" % 10 === 3))
+    // pre-expiry: the takedown rewrote serve paths, but version 1 (the
+    // pre-takedown state) is still pinned-readable — retention policy,
+    // not the sweep, governs history
+    assert(FingerprintStore.readBucketsAt(spark, path, 1L)
+      .filter($"id" % 10 === 3).count() > 0L,
+      "grace window must keep the pre-takedown version readable")
+    FingerprintStore.expireRetention(spark, path, grace = 0)
+    // the pin now fails LOUDLY — removed from history, not just from
+    // serving...
+    intercept[IllegalStateException](
+      FingerprintStore.readBucketsAt(spark, path, 1L))
+    // ...and the pre-takedown segments are physically deleted on every
+    // lineage (the removed docs' fingerprints have no surviving bytes)
+    preSegs.foreach(d => assert(!new java.io.File(d).exists,
+      s"pre-takedown segment survived retention expiry: $d"))
+    // both lineages still serve, without the removed ids
+    Seq(None, Some("exp")).foreach { b =>
+      val served = FingerprintStore.readBuckets(spark, path, b)
+      assert(served.count() > 0L)
+      assert(served.filter($"id" % 10 === 3).count() === 0L)
+    }
+  }
+
   test("StoreClone under a concurrent writer: every clone is a " +
       "committed consistent state, never a torn copy") {
     import graft.sources.{FingerprintStore, StoreClone}

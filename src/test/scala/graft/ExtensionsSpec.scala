@@ -274,20 +274,22 @@ class ExtensionsSpec extends AnyFunSuite {
       "manifest-store stats must come from commit-time records, " +
         "not a walk that counts debris")
     // a NON-manifest family keeps the walk: the alien file counts
-    val agg = java.nio.file.Files
-      .createTempDirectory("graft-cat-stats-agg").toString
-    graft.sources.AggStore.writeState(
-      Tables.events(s, "/root/testdata/sf0.001"), agg)
-    def aggStats(): (Long, Long) = {
+    // (the tokenizer store is the remaining SnapshotDir-layout
+    // exemplar now that the rollup/LM families are manifest stores)
+    val tok = java.nio.file.Files
+      .createTempDirectory("graft-cat-stats-tok").toString
+    graft.sources.TokenizerStore.ensureVocab(
+      Tables.documents(s, "/root/testdata/sf0.001"), tok, 3)
+    def tokStats(): (Long, Long) = {
       val r = graft.sources.StoreCatalog.describe(s,
-        Seq("agg" -> agg)).collect().head
+        Seq("tokenizer" -> tok)).collect().head
       (r.getAs[Long]("n_files"), r.getAs[Long]("bytes"))
     }
-    val (af0, ab0) = aggStats()
-    java.nio.file.Files.write(java.nio.file.Paths.get(agg, "junk.bin"),
+    val (tf0, tb0) = tokStats()
+    java.nio.file.Files.write(java.nio.file.Paths.get(tok, "junk.bin"),
       Array.fill[Byte](2048)(3))
-    val (af1, ab1) = aggStats()
-    assert(af1 === af0 + 1 && ab1 === ab0 + 2048,
+    val (tf1, tb1) = tokStats()
+    assert(tf1 === tf0 + 1 && tb1 === tb0 + 2048,
       "non-manifest stores still walk (no records exist to serve)")
   }
 
@@ -320,7 +322,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val routed = view
       val plan = routed.queryExecution.executedPlan.toString
       // the rewritten plan reads the committed partials, never facts
-      assert(plan.contains("agg-"), s"not routed to the store:\n$plan")
+      assert(plan.contains("/seg/"), s"not routed to the store:\n$plan")
       assert(!plan.contains("events.parquet"),
         s"fact scan survived the rewrite:\n$plan")
       assert(rows(routed) === direct && direct.size === 2)
@@ -333,7 +335,7 @@ class ExtensionsSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("cnt"),
           sum($"value".cast("decimal(18,2)")).as("total"))
       val fPlan = filtered.queryExecution.executedPlan.toString
-      assert(fPlan.contains("agg-") && !fPlan.contains("events.parquet"),
+      assert(fPlan.contains("/seg/") && !fPlan.contains("events.parquet"),
         s"key-filtered rollup must route with compensation:\n$fPlan")
       assert(rows(filtered) ===
         direct.filter(_._2 == "view") && rows(filtered).size === 1)

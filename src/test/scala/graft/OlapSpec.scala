@@ -897,6 +897,94 @@ class OlapSpec extends SparkSpec {
       normalized(AggStore.partials(eventsFx)))
   }
 
+  test("agg store: a replayed retraction is skipped even after an " +
+      "INTERVENING commit; over-retraction aborts loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-replay").toString
+    val base = eventsFx.filter($"event_id" % 3 =!= 0)
+    val removed = base.filter($"event_id" % 5 === 0)
+    val later = eventsFx.filter($"event_id" % 3 === 0)
+    AggStore.ensureState(base, root)
+    AggStore.retractDelta(spark, root, removed, Some("ticket-1"))
+    // an ORDINARY ingest append lands between the retraction and its
+    // replay — the window where a current-version tag comparison
+    // silently double-subtracted (the applied-tag set is durable)
+    AggStore.appendDelta(spark, root, later, Some("ingest-1"))
+    val want = normalized(AggStore.readState(spark, root))
+    AggStore.retractDelta(spark, root, removed, Some("ticket-1"))
+    assert(normalized(AggStore.readState(spark, root)) === want,
+      "a replayed tag must be skipped across intervening commits")
+    // a genuinely wrong retraction (rows whose keys were never in the
+    // store — every such key merges to a NEGATIVE count) trips the
+    // invariant instead of persisting corruption
+    val alien = removed.withColumn("ts",
+      $"ts" + org.apache.spark.sql.functions.expr("INTERVAL 3650 DAYS"))
+    val e = intercept[Exception](
+      AggStore.retractDelta(spark, root, alien, Some("ticket-2")))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(e).contains("negative cnt"),
+      s"expected the negative-count abort, got: ${chain(e)}")
+    assert(normalized(AggStore.readState(spark, root)) === want,
+      "an aborted retraction must not commit")
+  }
+
+  test("agg store branches: retract on 'exp' only; main untouched; " +
+      "promote fast-forwards") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-branch").toString
+    AggStore.ensureState(eventsFx, root)
+    val mainBefore = normalized(AggStore.readState(spark, root))
+    AggStore.createBranch(spark, root, "exp")
+    val removed = eventsFx.filter($"event_id" % 5 === 0)
+    AggStore.retractDelta(spark, root, removed, Some("t1"),
+      branch = Some("exp"))
+    // isolation: main still serves the full view
+    assert(normalized(AggStore.readState(spark, root)) === mainBefore)
+    // the branch equals the filtered recompute exactly
+    assert(normalized(AggStore.readState(spark, root, Some("exp"))) ===
+      normalized(AggStore.partials(
+        eventsFx.filter($"event_id" % 5 =!= 0))))
+    // promote publishes the branch state as main (fast-forward)
+    AggStore.promoteBranch(spark, root, "exp")
+    assert(normalized(AggStore.readState(spark, root)) ===
+      normalized(AggStore.partials(
+        eventsFx.filter($"event_id" % 5 =!= 0))))
+    assert(AggStore.branches(spark, root).isEmpty)
+  }
+
+  test("agg store optimistic writers: concurrent main- and branch-append " +
+      "both land; a same-lineage stale claim loses loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-optim").toString
+    val base = eventsFx.filter($"event_id" % 3 === 0)
+    val mainDelta = eventsFx.filter($"event_id" % 3 === 1)
+    val branchDelta = eventsFx.filter($"event_id" % 3 === 2)
+    AggStore.ensureState(base, root)
+    AggStore.createBranch(spark, root, "exp")
+    // two optimistic writers on DIFFERENT lineages, concurrently
+    val t1 = new Thread(() => AggStore.appendDeltaOptimistic(
+      spark, root, mainDelta, Some("m1")))
+    val t2 = new Thread(() => AggStore.appendDeltaOptimistic(
+      spark, root, branchDelta, Some("b1"), branch = Some("exp")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(normalized(AggStore.readState(spark, root)) ===
+      normalized(AggStore.partials(base.unionByName(mainDelta))))
+    assert(normalized(AggStore.readState(spark, root, Some("exp"))) ===
+      normalized(AggStore.partials(base.unionByName(branchDelta))))
+    // a SAME-lineage stale claim loses loudly: writer A commits while
+    // B's merge (computed against the same base) is still unpublished
+    val claimedBefore = graft.sources.SnapshotDir
+      .versions(spark, root, "agg-").filter(_._2).map(_._1).max
+    AggStore.appendDelta(spark, root, eventsFx.limit(5), Some("m2"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      // replay the window check with the now-stale claim directly
+      graft.sources.Branches.commitWindow(spark, root, "agg-",
+        claimedBefore)(_ => ())
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("ols trend: exact slope from cents, single-day key is NULL") {
     import graft.operators.Temporal
     // key "u": days 1..3 at 1.00, 2.00, 4.00 → x=0,1,2, y=100,200,400

@@ -703,7 +703,7 @@ class PlanSpec extends SparkSpec {
           sum(col("value").cast(org.apache.spark.sql.types
             .DecimalType(18, 2))).as("total"))
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("agg-"), s"not routed:\n$plan")
+      assert(plan.contains("/seg/"), s"not routed:\n$plan")
       assert(!plan.contains("events.parquet"),
         s"fact scan survived:\n$plan")
     } finally {
@@ -735,7 +735,7 @@ class PlanSpec extends SparkSpec {
       // DAILY partials (regrouped by trunc(day)); the fact scan is gone
       val q = monthly(Tables.events(spark, sf0001))
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("agg-"), s"coarse view not routed:\n$plan")
+      assert(plan.contains("/seg/"), s"coarse view not routed:\n$plan")
       assert(!plan.contains("events.parquet"),
         s"fact scan survived the coarse rewrite:\n$plan")
       assert(q.collect().map(_.toString).sorted.toSeq === expected)
@@ -794,7 +794,7 @@ class PlanSpec extends SparkSpec {
           .between(lit("2024-01-10"), lit("2024-01-20")) &&
           col("event_type").isin("view", "click")))
       val kPlan = keyFiltered.queryExecution.executedPlan.toString
-      assert(kPlan.contains("agg-"), s"key filter not routed:\n$kPlan")
+      assert(kPlan.contains("/seg/"), s"key filter not routed:\n$kPlan")
       assert(!kPlan.contains("events.parquet"),
         s"fact scan survived the compensated rewrite:\n$kPlan")
       // ... and the rows equal the direct (un-routed) computation
@@ -834,7 +834,7 @@ class PlanSpec extends SparkSpec {
       val sib = rollup(Tables.events(spark, sibDir))
       // (the FileScan's Location string truncates long paths, so pin
       // on the store path's absence rather than the fact path's text)
-      assert(!sib.queryExecution.executedPlan.toString.contains("agg-"),
+      assert(!sib.queryExecution.executedPlan.toString.contains("/seg/"),
         "a sibling suffix path must never route to the store")
       // while the REGISTERED relative suffix still routes
       val reg = rollup(Tables.events(spark, sf0001))
@@ -887,7 +887,7 @@ class PlanSpec extends SparkSpec {
       // one scan of the keys-sized stored state, one of the delta
       assert(sc.length === 2, s"store + delta scans only:\n$plan")
       assert(sc.exists(_.metadata.get("Location")
-        .exists(_.contains("agg-000"))), "one scan reads the store")
+        .exists(_.contains("/seg/"))), "one scan reads the store")
       // delta aggregate + the keys-sized merge aggregate
       assert(shuffles(df).length <= 2, s"merge is keys-sized:\n$plan")
     }
