@@ -198,6 +198,10 @@ object ExtQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-lmbranch-work-${Integer.toHexString(d.hashCode)}").toString
 
+  private[graft] def tokBranchWorkPath(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-tokbranch-work-${Integer.toHexString(d.hashCode)}").toString
+
   private[graft] def takedownWorkPath(d: String, store: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
@@ -797,6 +801,29 @@ object ExtQueries {
         .withColumn("ref", lit("main"))
         .unionByName(graft.sources.LmStore
           .readUnigrams(s, work, branch = Some("exp"))
+          .withColumn("ref", lit("exp")))
+    }),
+
+    // branch isolation on the TOKENIZER store — the documented
+    // tokenizer takedown story driven end-to-end: top-V cuts are not
+    // algebraic, so removal = RETRAIN, and the retrain lands on a
+    // branch first (compare tokenizations, then promote). Main keeps
+    // the full-corpus merge list; 'exp' retrains on the corpus minus
+    // the takedown slice. The oracle replays BOTH argmax merge chains.
+    "x_tok_branch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.TokenizerStore.ensureVocab(docs, bpeVocabPath(d),
+        BpeTrainMerges)
+      val work = tokBranchWorkPath(d)
+      graft.sources.StoreClone.cloneStore(s, bpeVocabPath(d), work)
+      graft.sources.TokenizerStore.createBranch(s, work, "exp")
+      graft.sources.TokenizerStore.writeVocab(
+        docs.filter(col("doc_id") % DeleteMod =!= DeleteRem), work,
+        BpeTrainMerges, branch = Some("exp"))
+      graft.sources.TokenizerStore.readMerges(s, work)
+        .withColumn("ref", lit("main"))
+        .unionByName(graft.sources.TokenizerStore
+          .readMerges(s, work, branch = Some("exp"))
           .withColumn("ref", lit("exp")))
     }),
 
@@ -3996,37 +4023,49 @@ object ExtQueries {
     * `bpeTrainLoop`'s keep-last-vocab exhaustion behavior — instead of
     * cross-join-emptying every later stage (and with it `token_fp`). */
   private def bpeTrainSql(n: Int): String =
-    bpeStagesSql(n, withFinalVocab = false) + "\n" + (1 to n)
+    bpeStagesSql(n, withFinalVocab = false) + "\n" + bpeMergeSelect(n)
+
+  /** The merge-list projection over a (possibly suffixed) stage chain. */
+  private def bpeMergeSelect(n: Int, sfx: String = ""): String =
+    (1 to n)
       .map(r => s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
-                   |  cnt FROM b$r""".stripMargin)
+                   |  cnt FROM b$r$sfx""".stripMargin)
       .mkString("\nUNION ALL\n")
 
-  private def bpeStagesSql(n: Int, withFinalVocab: Boolean): String = {
+  private def bpeStagesSql(n: Int, withFinalVocab: Boolean): String =
+    "WITH RECURSIVE " + bpeStagesBody(n, withFinalVocab)
+
+  /** The BPE training CTE chain WITHOUT the `WITH RECURSIVE` prefix,
+    * parameterized on a seed-corpus predicate and a CTE-name suffix so
+    * TWO chains (e.g. full corpus vs takedown-filtered) can share one
+    * statement — the branch-retrain oracle's shape. */
+  private def bpeStagesBody(n: Int, withFinalVocab: Boolean,
+      where: String = "", sfx: String = ""): String = {
     val seed =
-      """wf AS MATERIALIZED (
+      s"""wf$sfx AS MATERIALIZED (
         |  SELECT w, count(*)::bigint AS freq FROM (
-        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
         |      AS w
-        |    FROM documents)
+        |    FROM documents$where)
         |  WHERE w <> '' AND length(w) >= 2 GROUP BY w),
-        |s0 AS MATERIALIZED (
+        |s0$sfx AS MATERIALIZED (
         |  SELECT w, freq,
         |    list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
-        |  FROM wf)""".stripMargin
+        |  FROM wf$sfx)""".stripMargin
     val stages = (1 to n).map { r =>
       val argmax =
-        s"""p$r AS MATERIALIZED (
+        s"""p$r$sfx AS MATERIALIZED (
            |  SELECT syms[i] AS l, syms[i + 1] AS r,
            |    sum(freq)::bigint AS cnt
            |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-           |        FROM s${r - 1})
+           |        FROM s${r - 1}$sfx)
            |  GROUP BY 1, 2),
-           |b$r AS MATERIALIZED (
-           |  SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)"""
+           |b$r$sfx AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM p$r$sfx ORDER BY cnt DESC, l, r LIMIT 1)"""
           .stripMargin
       val rewrite =
-        s"""m$r AS (
-           |  SELECT w, freq, syms FROM s${r - 1}
+        s"""m$r$sfx AS (
+           |  SELECT w, freq, syms FROM s${r - 1}$sfx
            |  UNION ALL
            |  SELECT w, freq,
            |    syms[1:idx - 1] || [syms[idx] || syms[idx + 1]]
@@ -4035,17 +4074,17 @@ object ExtQueries {
            |    SELECT m.w, m.freq, m.syms,
            |      list_filter(range(1, len(m.syms)),
            |        i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] AS idx
-           |    FROM m$r m, b$r b)
+           |    FROM m$r$sfx m, b$r$sfx b)
            |  WHERE idx IS NOT NULL),
-           |s$r AS MATERIALIZED (
+           |s$r$sfx AS MATERIALIZED (
            |  SELECT m.w, m.freq, m.syms
-           |  FROM m$r m LEFT JOIN b$r b ON true
+           |  FROM m$r$sfx m LEFT JOIN b$r$sfx b ON true
            |  WHERE b.l IS NULL OR list_filter(range(1, len(m.syms)),
            |    i -> m.syms[i] = b.l AND m.syms[i + 1] = b.r)[1] IS NULL)"""
           .stripMargin
       if (r < n || withFinalVocab) s"$argmax,\n$rewrite" else argmax
     }
-    "WITH RECURSIVE " + (seed +: stages).mkString(",\n")
+    (seed +: stages).mkString(",\n")
   }
 
   /** Spherical-Lloyd refinement CTE chain mirroring
@@ -4733,6 +4772,22 @@ object ExtQueries {
          |SELECT term, ucnt, 'main' AS ref FROM uni
          |UNION ALL SELECT term, ucnt, 'exp' AS ref FROM unx"""
         .stripMargin,
+
+    // both tokenizer lineages' merge lists replayed from raw text:
+    // the full-corpus argmax chain (main) and the chain over the
+    // corpus minus the takedown slice (exp) share one statement via
+    // suffixed CTEs — retrain ≡ the oracle re-run on the filtered seed
+    "x_tok_branch" ->
+      ("WITH RECURSIVE " +
+        bpeStagesBody(BpeTrainMerges, withFinalVocab = false) + ",\n" +
+        bpeStagesBody(BpeTrainMerges, withFinalVocab = false,
+          where = s" WHERE doc_id % $DeleteMod <> $DeleteRem",
+          sfx = "f") + "\n" +
+        s"""SELECT merge_rank, "left", "right", cnt, 'main' AS ref
+           |FROM (${bpeMergeSelect(BpeTrainMerges)})
+           |UNION ALL
+           |SELECT merge_rank, "left", "right", cnt, 'exp' AS ref
+           |FROM (${bpeMergeSelect(BpeTrainMerges, "f")})""".stripMargin),
 
     // the branched-root takedown: each lineage's first-principles
     // banded index with the removed ids dropped — x_fp_branch's

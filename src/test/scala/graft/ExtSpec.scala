@@ -1667,6 +1667,35 @@ class ExtSpec extends SparkSpec {
     assert(TokenizerStore.ensureVocab(docs, path, 4).isDefined)
   }
 
+  test("tokenizer branches: retrain on 'exp' only; main untouched; " +
+      "promote fast-forwards") {
+    import graft.sources.TokenizerStore
+    val docs = Tables.documents(spark, sf0001)
+    val slice = docs.filter($"doc_id" % 10 =!= 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-tokbranch").toString + "/vocab"
+    TokenizerStore.ensureVocab(docs, path, 3)
+    def merges(b: Option[String]) = TokenizerStore
+      .readMerges(spark, path, b).collect().map(_.toString).sorted.toSeq
+    val mainBefore = merges(None)
+    TokenizerStore.createBranch(spark, path, "exp")
+    // the takedown-retrain lands on the branch: main is untouched
+    TokenizerStore.writeVocab(slice, path, 3, branch = Some("exp"))
+    assert(merges(None) === mainBefore, "main must be isolated")
+    // the branch equals a direct retrain over the filtered corpus
+    val want = graft.operators.CorpusStats.bpeTrainVocab(slice, 3)
+      ._1.collect().map(_.toString).sorted.toSeq
+    assert(merges(Some("exp")) === want)
+    // encode against the branch vocabulary serves the branch model
+    val encExp = TokenizerStore.encodeFromStore(spark, path,
+      slice.limit(20), branch = Some("exp"))
+    assert(encExp.count() === 20L)
+    // promote publishes the branch model as main (fast-forward)
+    TokenizerStore.promoteBranch(spark, path, "exp")
+    assert(merges(None) === want)
+    assert(TokenizerStore.branches(spark, path).isEmpty)
+  }
+
   test("ivfpq served from the persisted index replays the in-query build") {
     val e = Tables.embeddings(spark, sf0001)
     val path = java.nio.file.Files

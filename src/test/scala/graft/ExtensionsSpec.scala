@@ -274,21 +274,21 @@ class ExtensionsSpec extends AnyFunSuite {
       "manifest-store stats must come from commit-time records, " +
         "not a walk that counts debris")
     // a NON-manifest family keeps the walk: the alien file counts
-    // (the tokenizer store is the remaining SnapshotDir-layout
-    // exemplar now that the rollup/LM families are manifest stores)
-    val tok = java.nio.file.Files
-      .createTempDirectory("graft-cat-stats-tok").toString
-    graft.sources.TokenizerStore.ensureVocab(
-      Tables.documents(s, "/root/testdata/sf0.001"), tok, 3)
-    def tokStats(): (Long, Long) = {
+    // (the SCD2 store is the remaining SnapshotDir-layout exemplar now
+    // that the rollup/LM/tokenizer families are manifest stores)
+    val scd = java.nio.file.Files
+      .createTempDirectory("graft-cat-stats-scd").toString
+    graft.sources.Scd2Store.writeState(
+      Tables.events(s, "/root/testdata/sf0.001"), scd)
+    def scdStats(): (Long, Long) = {
       val r = graft.sources.StoreCatalog.describe(s,
-        Seq("tokenizer" -> tok)).collect().head
+        Seq("scd2" -> scd)).collect().head
       (r.getAs[Long]("n_files"), r.getAs[Long]("bytes"))
     }
-    val (tf0, tb0) = tokStats()
-    java.nio.file.Files.write(java.nio.file.Paths.get(tok, "junk.bin"),
+    val (tf0, tb0) = scdStats()
+    java.nio.file.Files.write(java.nio.file.Paths.get(scd, "junk.bin"),
       Array.fill[Byte](2048)(3))
-    val (tf1, tb1) = tokStats()
+    val (tf1, tb1) = scdStats()
     assert(tf1 === tf0 + 1 && tb1 === tb0 + 2048,
       "non-manifest stores still walk (no records exist to serve)")
   }

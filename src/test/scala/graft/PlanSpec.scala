@@ -340,7 +340,7 @@ class PlanSpec extends SparkSpec {
     val sc = scans(df)
     assert(sc.length === 2, s"expected corpus+vocab scans, got:\n$plan")
     assert(sc.exists(_.metadata.get("Location")
-      .exists(_.contains("vocab-000"))), "one scan reads the store")
+      .exists(_.contains("/seg/"))), "one scan reads the store")
     // one exchange total (the per-doc aggregate); training would add
     // its word-frequency shuffle and per-merge aggregates
     val exchanges = plan.collect {
