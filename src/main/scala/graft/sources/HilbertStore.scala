@@ -33,25 +33,38 @@ import graft.plans.{LayoutExpressions, LayoutKernels}
   * driver-side BOUNDED METADATA (≤ 4·perimeter cells at descent,
   * never a data row).
   *
-  * INCREMENTAL layout (fmt 2 — the lakehouse OPTIMIZE shape): the
-  * clustered table lives in a [[SnapshotDir]] version
-  * (`hilb-NNNNNNNN/`); arriving batches land in the version's
-  * `_tail/` subdir UNCLUSTERED (batch-sized append — re-sorting the
-  * whole table per batch is exactly the write amplification liquid
-  * clustering exists to avoid), [[rectScan]] unions clustered + tail
-  * under the SAME pushed prefilter and exact residuals (tail rows
-  * carry `hval` too — the prefilter prunes weakly there, residuals
-  * keep it correct), and [[optimize]] re-sorts the tail in as the
-  * NEXT committed version. The underscore name keeps tail files
-  * invisible to the clustered scan of the version dir; a crashed
-  * optimize leaves an uncommitted dir the next GC sweeps; a crashed
-  * tail append leaves only the job committer's `_temporary` debris.
+  * INCREMENTAL layout (fmt 3 — the lakehouse OPTIMIZE shape on
+  * [[ManifestDir]]): the table is two manifest relations —
+  * `clustered` (one range-sorted segment, REPLACED by optimize) and
+  * `tail` (one unclustered segment per arriving batch, ADDITIVE).
+  * Every ingest is an atomic manifest commit: a crashed append leaves
+  * an orphan segment no reader resolves (swept by vacuum) and the
+  * prior version intact; [[rectScan]] unions clustered + tail under
+  * the SAME pushed prefilter and exact residuals (tail rows carry
+  * `hval` too — the prefilter prunes weakly there, residuals keep it
+  * correct); [[optimize]] re-sorts clustered ∪ tail into one new
+  * clustered segment and drops the tail relation, in-flight readers
+  * keeping the old manifest through the GC grace window.
   *
-  * Single-writer, like [[ZOrderStore]]. */
+  * Streaming idempotence: each appended batch's tag joins the DURABLE
+  * `tail_tags` set carried by every later manifest (optimize
+  * included), so a redelivered at-least-once trigger — even a full
+  * replay from a fresh checkpoint — is recognized and skipped instead
+  * of duplicating rows. The set is bounded by the stream's trigger
+  * count; callers owning their own exactly-once contract simply pass
+  * no tag.
+  *
+  * Locked writers by default; [[appendTailOptimistic]] runs the
+  * segment write lock-free and takes the root lock only across the
+  * commit point ([[Branches.commitWindow]]) — tail appends are purely
+  * additive, so concurrent writers on different lineages interleave
+  * freely and a same-lineage race loses loudly. */
 object HilbertStore {
 
   private val Prefix = "hilb-"
-  private val TailSub = "_tail"
+  private val ClusteredRel = "clustered"
+  private val TailRel = "tail"
+  private val TailTagsKey = "tail_tags"
 
   private def clustered(df: DataFrame, aCol: String, bCol: String,
       bits: Int, files: Int): DataFrame =
@@ -71,13 +84,23 @@ object HilbertStore {
     clustered(df, aCol, bCol, bits, files)
       .write.mode("overwrite").parquet(dir)
 
-  private def currentDir(spark: SparkSession, path: String): String =
-    SnapshotDir.current(spark, path, Prefix).getOrElse(
+  private def currentManifest(spark: SparkSession,
+      path: String): ManifestDir.Manifest =
+    ManifestDir.current(spark, path, Prefix).getOrElse(
       throw new IllegalStateException(
         s"no committed hilbert store under $path"))
 
+  private def tagsOf(m: ManifestDir.Manifest): Set[String] =
+    m.meta.get(TailTagsKey)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private def withTags(meta: Map[String, String],
+      tags: Set[String]): Map[String, String] =
+    if (tags.isEmpty) meta - TailTagsKey
+    else meta + (TailTagsKey -> tags.toSeq.sorted.mkString(","))
+
   /** Recipe-gated build of version 1 (the
-    * [[ZOrderStore.ensureZOrdered]] protocol, on the versioned
+    * [[ZOrderStore.ensureZOrdered]] protocol, on the manifest
     * layout). A recipe change rebuilds from a clean root — stale
     * layouts under another recipe are meaningless. Returns build
     * seconds, or None when warm. */
@@ -86,7 +109,7 @@ object HilbertStore {
     val spark = df.sparkSession
     val marker = s"$path/_built.json"
     val recipe =
-      s"""{"curve":"hilbert","fmt":2,"a":"$aCol","b":"$bCol",""" +
+      s"""{"curve":"hilbert","fmt":3,"a":"$aCol","b":"$bCol",""" +
         s""""bits":$bits,"files":$files}"""
     if (StoreFiles.readText(spark, marker).contains(recipe) &&
         SnapshotDir.current(spark, path, Prefix).isDefined) None
@@ -95,66 +118,116 @@ object HilbertStore {
       val (fs, hp) = StoreFiles.fsOf(spark, path)
       if (fs.exists(hp)) fs.delete(hp, true)
       SnapshotDir.withWriterLock(spark, path) {
-        val v = SnapshotDir.next(spark, path, Prefix)
-        writeHilbert(df, s"$path/${SnapshotDir.name(Prefix, v)}",
-          aCol, bCol, bits, files)
-        SnapshotDir.commit(spark, path, Prefix, v)
+        val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+          ClusteredRel)
+        writeHilbert(df, s"$path/$seg", aCol, bCol, bits, files)
+        ManifestDir.commit(spark, path, Prefix, ManifestDir.Manifest(
+          Map(ClusteredRel -> Vector(seg)), Map.empty))
+        ()
       }
       StoreFiles.writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }
   }
 
-  /** Append a batch UNCLUSTERED into the current version's tail:
-    * rows get their curve index (same expression as the clustered
-    * write) but no global re-sort — the recurring ingest cost is
-    * batch-sized. Runs under the writer lock so an append cannot race
-    * an [[optimize]]'s read pass into the old version.
-    *
-    * `sub` writes the batch into its own tail SUBDIR with overwrite
-    * semantics — the streaming sink's idempotence device: a
-    * redelivered at-least-once trigger re-overwrites `b<batchId>`
-    * with the identical replayed rows instead of duplicating them
-    * (stronger than a probe: even a partially-written batch dir heals
-    * on retry). Tail reads are recursive, so flat and per-batch
-    * layouts mix freely. */
+  /** Append a batch UNCLUSTERED as one new tail segment + one atomic
+    * manifest commit: rows get their curve index (same expression as
+    * the clustered write) but no global re-sort — the recurring
+    * ingest cost is batch-sized, clustered segments are never
+    * touched, and a crash leaves an orphan segment plus the prior
+    * version intact. `batchTag` joins the durable `tail_tags` set; an
+    * arriving tag already in the set is a REDELIVERY and is skipped
+    * whole (even a full fresh-checkpoint replay — the streaming
+    * sink's idempotence device; tags assume identical replayed
+    * content, the at-least-once contract). */
   def appendTail(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, sub: Option[String] = None): Unit = {
+      bCol: String, bits: Int, batchTag: Option[String] = None): Unit = {
+    batchTag.foreach(t => require(!t.contains(","),
+      s"tail tags join the comma-separated applied set: '$t'"))
     val spark = df.sparkSession
     SnapshotDir.withWriterLock(spark, path) {
-      val tail = s"${currentDir(spark, path)}/$TailSub"
-      val target = sub.fold(tail)(b => s"$tail/$b")
-      df.withColumn("hval",
-          LayoutExpressions.hilbertValue(col(aCol).cast("long"),
-            col(bCol).cast("long"), bits))
-        .write.mode(if (sub.isDefined) "overwrite" else "append")
-        .parquet(target)
-      spark.catalog.refreshByPath(tail)
-    }
-  }
-
-  private def readTail(spark: SparkSession, tail: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(tail)
-
-  /** Re-sort the tail in: clustered ∪ tail rewritten as the NEXT
-    * committed version (rows unchanged — only layout), the
-    * lakehouse OPTIMIZE. In-flight readers keep the old version
-    * through the GC grace window. No-op when there is no tail. */
-  def optimize(spark: SparkSession, path: String, files: Int): Unit = {
-    SnapshotDir.withWriterLock(spark, path) {
-      val cur = currentDir(spark, path)
-      val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
-      if (fs.exists(tailHp)) {
-        val all = spark.read.parquet(cur)
-          .unionByName(readTail(spark, s"$cur/$TailSub"))
-        val v = SnapshotDir.next(spark, path, Prefix)
-        all.repartitionByRange(files, col("hval"))
-          .sortWithinPartitions("hval")
-          .write.parquet(s"$path/${SnapshotDir.name(Prefix, v)}")
-        SnapshotDir.commit(spark, path, Prefix, v)
+      val cur = currentManifest(spark, path)
+      if (batchTag.exists(tagsOf(cur).contains)) ()
+      else {
+        val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), TailRel)
+        df.withColumn("hval",
+            LayoutExpressions.hilbertValue(col(aCol).cast("long"),
+              col(bCol).cast("long"), bits))
+          .write.parquet(s"$path/$seg")
+        ManifestDir.commit(spark, path, Prefix,
+          cur.withSegment(TailRel, seg)
+            .copy(meta = withTags(cur.meta, tagsOf(cur) ++ batchTag)))
+        ()
       }
     }
     SnapshotDir.gc(spark, path, Prefix)
+  }
+
+  /** OPTIMISTIC tail append — the [[Branches.commitWindow]] envelope
+    * on the layout store: the batch's segment writes with NO lock
+    * held (segments are immutable and uid-unique), and only the
+    * manifest publish runs inside the short root-lock window, which
+    * re-verifies the lineage still sits at the claimed version. Tail
+    * appends are purely additive, so this is the fingerprint store's
+    * exact concurrency shape; a same-lineage race loses LOUDLY with
+    * `ConcurrentModificationException` — retry republishes the
+    * already-written segment against the new current. */
+  def appendTailOptimistic(df: DataFrame, path: String, aCol: String,
+      bCol: String, bits: Int,
+      batchTag: Option[String] = None): Unit = {
+    batchTag.foreach(t => require(!t.contains(","),
+      s"tail tags join the comma-separated applied set: '$t'"))
+    val spark = df.sparkSession
+    val claimed = SnapshotDir.versions(spark, path, Prefix)
+      .filter(_._2).map(_._1).foldLeft(0L)(math.max)
+    require(claimed > 0L,
+      s"no committed hilbert store at $path — build first")
+    val seg = ManifestDir.segDir(ManifestDir.newSegmentId(), TailRel)
+    df.withColumn("hval",
+        LayoutExpressions.hilbertValue(col(aCol).cast("long"),
+          col(bCol).cast("long"), bits))
+      .write.parquet(s"$path/$seg")
+    Branches.commitWindow(spark, path, Prefix, claimed) { cur =>
+      if (batchTag.exists(tagsOf(cur).contains)) ()
+      else ManifestDir.commit(spark, path, Prefix,
+        cur.withSegment(TailRel, seg)
+          .copy(meta = withTags(cur.meta, tagsOf(cur) ++ batchTag)))
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+    ()
+  }
+
+  /** Re-sort the tail in: clustered ∪ tail rewritten as ONE new
+    * clustered segment in the next committed manifest, the tail
+    * relation dropped — the lakehouse OPTIMIZE. Rows unchanged, only
+    * layout; applied tail tags carry FORWARD (a post-optimize
+    * redelivery must still be recognized, not folded in twice).
+    * In-flight readers keep the old manifest through the GC grace
+    * window; the closing vacuum sweeps segments no retained version
+    * references. No-op when there is no tail. */
+  def optimize(spark: SparkSession, path: String, files: Int): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentManifest(spark, path)
+      if (cur.segments(TailRel).nonEmpty) {
+        val all = ManifestDir.readRelation(spark, path, cur,
+            ClusteredRel)
+          .unionByName(ManifestDir.readRelation(spark, path, cur,
+            TailRel))
+        val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+          ClusteredRel)
+        all.repartitionByRange(files, col("hval"))
+          .sortWithinPartitions("hval")
+          .write.parquet(s"$path/$seg")
+        ManifestDir.commit(spark, path, Prefix, cur
+          .withRelation(ClusteredRel, Seq(seg))
+          .withoutRelation(TailRel))
+        SnapshotDir.gc(spark, path, Prefix)
+        ManifestDir.vacuum(spark, path,
+          Branches.allPrefixes(spark, path, Prefix))
+        ()
+      }
+    }
+    spark.catalog.refreshByPath(path)
   }
 
   /** Exact covering curve intervals of `[aLo,aHi]×[bLo,bHi]`, merged
@@ -224,9 +297,10 @@ object HilbertStore {
   /** Rectangle scan over a Hilbert layout: the covering-range
     * OR-of-BETWEEN prefilter does the file/row-group skipping, the
     * two exact column predicates cut residual false positives. The
-    * SAME predicates run over the unclustered tail (if any) — its
-    * rows carry `hval` too, so correctness is identical and only the
-    * skipping power differs until the next [[optimize]]. */
+    * SAME predicates run over the unclustered tail segments (if any)
+    * — their rows carry `hval` too, so correctness is identical and
+    * only the skipping power differs until the next [[optimize]]. The
+    * whole scan pins ONE committed manifest. */
   def rectScan(spark: SparkSession, path: String, aCol: String,
       bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       bits: Int, maxRanges: Int = 32): DataFrame = {
@@ -237,11 +311,11 @@ object HilbertStore {
     def filt(df: DataFrame): DataFrame = df.filter(pre)
       .filter(col(aCol).between(aLo, aHi) &&
         col(bCol).between(bLo, bHi))
-    val cur = currentDir(spark, path)
-    val main = filt(spark.read.parquet(cur))
-    val (fs, tailHp) = StoreFiles.fsOf(spark, s"$cur/$TailSub")
-    if (fs.exists(tailHp))
-      main.unionByName(filt(readTail(spark, s"$cur/$TailSub")))
-    else main
+    val cur = currentManifest(spark, path)
+    val main = filt(ManifestDir.readRelation(spark, path, cur,
+      ClusteredRel))
+    if (cur.segments(TailRel).isEmpty) main
+    else main.unionByName(filt(
+      ManifestDir.readRelation(spark, path, cur, TailRel)))
   }
 }

@@ -580,16 +580,17 @@ object StreamingSync {
 
   /** Streaming LAYOUT maintenance — the clustered-table rung of the
     * continuous-admission pipeline: every micro-batch of rows lands
-    * UNCLUSTERED in the [[graft.sources.HilbertStore]] tail as its
-    * own per-batchId subdir, so the Hilbert-ordered table every
-    * rectangle scan reads is always current at batch-sized ingest
-    * cost; a periodic [[graft.sources.HilbertStore.optimize]]
-    * re-sorts the accumulated tail in (the lakehouse
-    * ingest-then-OPTIMIZE cadence). foreachBatch is AT-LEAST-ONCE; a
-    * redelivered trigger OVERWRITES its own `b<batchId>` subdir with
-    * the identical replayed rows — idempotent by construction, and a
-    * partially-written batch dir heals on retry instead of needing a
-    * probe. */
+    * UNCLUSTERED as its own [[graft.sources.HilbertStore]] tail
+    * segment (one atomic manifest commit per trigger), so the
+    * Hilbert-ordered table every rectangle scan reads is always
+    * current at batch-sized ingest cost; a periodic
+    * [[graft.sources.HilbertStore.optimize]] re-sorts the accumulated
+    * tail in (the lakehouse ingest-then-OPTIMIZE cadence).
+    * foreachBatch is AT-LEAST-ONCE; the batchId tag joins the store's
+    * durable `tail_tags` set, so a redelivered trigger — even a full
+    * replay from a fresh checkpoint — is recognized and skipped, and
+    * a trigger that crashed mid-write left only an orphan segment no
+    * manifest references (the retry appends a fresh one). */
   def hilbertMaintSink(source: DataFrame, storePath: String,
       aCol: String, bCol: String, bits: Int,
       checkpoint: String): StreamingQuery =
@@ -601,7 +602,7 @@ object StreamingSync {
         if (!batch.isEmpty)
           graft.operators.CacheRegistry.scoped {
             graft.sources.HilbertStore.appendTail(batch, storePath,
-              aCol, bCol, bits, sub = Some(f"b$batchId%08d"))
+              aCol, bCol, bits, batchTag = Some(f"b$batchId%08d"))
           }
       }
       .start()

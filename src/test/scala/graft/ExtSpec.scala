@@ -1452,8 +1452,8 @@ class ExtSpec extends SparkSpec {
     val batch = g.filter($"event_id" % 10 === 7)
     graft.sources.HilbertStore.ensureHilbert(base, path,
       "za", "zb", 8, 16)
-    def inventory(sub: String) = {
-      val dir = java.nio.file.Paths.get(path, sub)
+    def inventory() = {
+      val dir = java.nio.file.Paths.get(path, "seg")
       val s = java.nio.file.Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
@@ -1466,18 +1466,18 @@ class ExtSpec extends SparkSpec {
           .toMap
       } finally s.close()
     }
-    val v1 = "hilb-00000001"
-    val clusteredBefore = inventory(v1)
+    val clusteredBefore = inventory()
+    assert(clusteredBefore.keys.forall(_.contains("/clustered/")))
     graft.sources.HilbertStore.appendTail(batch, path, "za", "zb", 8)
-    val afterAppend = inventory(v1)
+    val afterAppend = inventory()
     // batch-sized append: every clustered file byte-untouched, the
-    // new files all live under the _tail subdir
+    // new files all land as a tail SEGMENT of the next manifest
     clusteredBefore.foreach { case (f, sig) =>
       assert(afterAppend.get(f) === Some(sig),
         s"tail append rewrote clustered file $f") }
     assert(afterAppend.keys.filterNot(clusteredBefore.contains)
-      .forall(_.startsWith("_tail/")))
-    assert(afterAppend.count(_._1.startsWith("_tail/")) > 0)
+      .forall(_.contains("/tail/")))
+    assert(afterAppend.count(_._1.contains("/tail/")) > 0)
     def rows() = graft.sources.HilbertStore.rectScan(spark, path,
         "za", "zb", 2, 191, 32, 159, 8)
       .select("event_id", "hval").as[(Long, Long)].collect().toSet
@@ -1489,16 +1489,56 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(rows() === expect, "clustered ∪ tail must scan exactly")
     graft.sources.HilbertStore.optimize(spark, path, 16)
-    // a NEW committed version exists, it has no tail, rows unchanged
+    // a NEW committed version exists (build v1, append v2, optimize
+    // v3 — every write is a manifest commit now), its manifest has no
+    // tail relation, rows unchanged
     val cur = graft.sources.SnapshotDir.current(spark, path, "hilb-").get
-    assert(cur.endsWith("hilb-00000002"))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(cur, "_tail")))
+    assert(cur.endsWith("hilb-00000003"))
+    assert(graft.sources.ManifestDir.read(spark, cur)
+      .segments("tail").isEmpty)
     assert(rows() === expect, "scan parity must survive optimize")
     // idempotent: no tail → optimize is a no-op, no new version
     graft.sources.HilbertStore.optimize(spark, path, 16)
     assert(graft.sources.SnapshotDir.current(spark, path, "hilb-")
       .get === cur)
+  }
+
+  test("hilbert optimistic tail appends: concurrent writers — a " +
+      "same-lineage loser fails loudly and lands on retry") {
+    import graft.sources.HilbertStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hilbert-optim").toString
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    val base = g.filter($"event_id" % 3 === 0)
+    val b1 = g.filter($"event_id" % 3 === 1)
+    val b2 = g.filter($"event_id" % 3 === 2)
+    HilbertStore.ensureHilbert(base, path, "za", "zb", 8, 16)
+    // two optimistic appenders race on ONE lineage: segments write
+    // lock-free; at most one commit window wins per claimed version,
+    // the loser throws ConcurrentModificationException and RETRIES
+    // against the new current (tail appends are additive, so the
+    // retry is a fresh claim + re-publish)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def appender(df: org.apache.spark.sql.DataFrame) = new Thread(() => {
+      var done = false
+      while (!done) {
+        try {
+          HilbertStore.appendTailOptimistic(df, path, "za", "zb", 8)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            failures.incrementAndGet(); ()
+        }
+      }
+    })
+    val (t1, t2) = (appender(b1), appender(b2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    // both batches landed exactly once, whatever the interleaving
+    val got = HilbertStore.rectScan(spark, path, "za", "zb",
+      0, 255, 0, 255, 8).select("event_id").as[Long].collect().toSet
+    assert(got === g.select("event_id").as[Long].collect().toSet)
   }
 
   test("bpe encode applies the trained vocab with OOV char fallback") {

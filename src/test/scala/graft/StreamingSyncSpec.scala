@@ -773,23 +773,25 @@ class StreamingSyncSpec extends SparkSpec {
           $"za".cast("long"), $"zb".cast("long"), 8).as("h"))
       .as[(Long, Long)].collect().toSet
     assert(rows() === expect, "streamed tail must serve the full grid")
-    def tailBatchDirs(): Set[String] = {
+    def tailState(): (Seq[String], Set[String]) = {
       val cur = graft.sources.SnapshotDir
         .current(spark, store, "hilb-").get
-      Option(new java.io.File(s"$cur/_tail").listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.isDirectory).map(_.getName).toSet
+      val m = graft.sources.ManifestDir.read(spark, cur)
+      (m.segments("tail"),
+        m.meta.get("tail_tags").map(_.split(",").toSet)
+          .getOrElse(Set.empty))
     }
-    val dirsBefore = tailBatchDirs()
-    assert(dirsBefore === Set("b00000000", "b00000001"))
+    val (segsBefore, tagsBefore) = tailState()
+    assert(segsBefore.size === 2, "one tail segment per trigger")
+    assert(tagsBefore === Set("b00000000", "b00000001"))
     // REDELIVERY: the same two triggers replay from a fresh checkpoint
-    // (same files, same order → same batchIds) — each overwrites its
-    // own subdir with identical rows, so the scan and the tail layout
-    // are unchanged
+    // (same files, same order → same batchIds) — each tag is already
+    // in the durable tail_tags set, so both are skipped whole: the
+    // manifest's tail segments and the scan are unchanged
     StreamingSync.hilbertMaintReplay(spark, batch, store,
       "za", "zb", 8, orderCol = "event_id", nBatches = 2,
       workDir = s"$dir/rep2")
-    assert(tailBatchDirs() === dirsBefore)
+    assert(tailState() === ((segsBefore, tagsBefore)))
     assert(rows() === expect, "redelivery must not duplicate rows")
     // and the lifecycle closes: optimize folds the streamed tail in
     HilbertStore.optimize(spark, store, 16)
