@@ -206,6 +206,23 @@ object AggStore {
     ManifestDir.readRelation(spark, path,
       currentManifest(spark, path, branch), PartialsRel)
 
+  /** TIME TRAVEL: the partials of a SPECIFIC committed main version —
+    * "which exact rollup state served this report" stays answerable
+    * until retention GC ages the version out (each commit's manifest
+    * pins its segment; segments are immutable). Fails loudly when the
+    * version was never committed or left the grace window — pin
+    * expired, never a silent fallback to current
+    * ([[FingerprintStore.readBucketsAt]]'s contract on the rollup). */
+  def readStateAt(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => ManifestDir.readRelation(spark, path,
+        ManifestDir.read(spark, vd), PartialsRel)
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
   /** Directory of the current committed main version, if any — stable
     * cache identity for consumers that memoize per-version metadata
     * (committed versions are immutable;

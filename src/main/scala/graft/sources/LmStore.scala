@@ -202,6 +202,20 @@ object LmStore {
     }
   }
 
+  /** TIME TRAVEL: the unigram counts of a SPECIFIC committed main
+    * version — "which exact model scored this crawl" stays answerable
+    * until retention GC. Fails loudly on an expired pin
+    * ([[AggStore.readStateAt]]'s contract on the model family). */
+  def readUnigramsAt(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => ManifestDir.readRelation(spark, path,
+        ManifestDir.read(spark, vd), UnigramsRel)
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
   /** Stored unigram counts `(term, ucnt)` of a lineage's current
     * version. */
   def readUnigrams(spark: SparkSession, path: String,

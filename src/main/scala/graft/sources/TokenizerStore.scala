@@ -137,6 +137,19 @@ object TokenizerStore {
     ManifestDir.readRelation(spark, path,
       currentManifest(spark, path, branch), VocabRel)
 
+  /** TIME TRAVEL: the merge list of a SPECIFIC committed main version
+    * — "which exact tokenizer encoded this shard" stays answerable
+    * until retention GC. Fails loudly on an expired pin. */
+  def readMergesAt(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => ManifestDir.readRelation(spark, path,
+        ManifestDir.read(spark, vd), MergesRel)
+      case None => throw new IllegalStateException(
+        s"version $version of $path is not committed or has been " +
+          "GC'd — pin expired")
+    }
+
   /** The stored merge list `(merge_rank, left, right, cnt)`. */
   def readMerges(spark: SparkSession, path: String,
       branch: Option[String] = None): DataFrame =

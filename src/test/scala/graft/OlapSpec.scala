@@ -953,6 +953,32 @@ class OlapSpec extends SparkSpec {
     assert(AggStore.branches(spark, root).isEmpty)
   }
 
+  test("agg store time travel: a pinned pre-retraction read is frozen; " +
+      "an expired pin fails loudly") {
+    import graft.sources.{AggStore => AS, ManifestDir, SnapshotDir}
+    val root = java.nio.file.Files
+      .createTempDirectory("aggstore-pin").toString
+    val base = eventsFx.filter($"event_id" % 3 =!= 0)
+    AS.ensureState(base, root) // v1
+    val v1 = normalized(AS.readStateAt(spark, root, 1L))
+    assert(v1 === normalized(AS.partials(base)))
+    AS.retractDelta(spark, root,
+      base.filter($"event_id" % 5 === 0), Some("pin-t1")) // v2
+    // the pin is FROZEN: the retraction committed a LATER version and
+    // cannot reach back into v1's manifest
+    assert(normalized(AS.readStateAt(spark, root, 1L)) === v1)
+    assert(normalized(AS.readState(spark, root)) !== v1)
+    // retention expiry: beyond-grace versions drop, their segments
+    // vacuum, and the pin fails LOUDLY — removed from history
+    SnapshotDir.withWriterLock(spark, root) {
+      SnapshotDir.gc(spark, root, "agg-", grace = 0)
+      ManifestDir.vacuum(spark, root, Seq("agg-"))
+    }
+    intercept[IllegalStateException](AS.readStateAt(spark, root, 1L))
+    // current still serves
+    assert(AS.readState(spark, root).count() > 0)
+  }
+
   test("agg store optimistic writers: concurrent main- and branch-append " +
       "both land; a same-lineage stale claim loses loudly") {
     val root = java.nio.file.Files
