@@ -154,9 +154,13 @@ object AggStore {
       ManifestDir.Manifest(Map(PartialsRel -> Vector(seg)), meta))
     SnapshotDir.gc(spark, path, pfx)
     // every commit REPLACES the partials relation, so GC'd versions'
-    // segments orphan immediately; the lock is held — strict sweep
+    // segments orphan immediately — but the lock does NOT exclude an
+    // optimistic appender's in-flight (not-yet-referenced) segments,
+    // so the routine sweep is AGE-GUARDED ([[ManifestDir.MaintAgeMs]]);
+    // schedule [[Branches.vacuum]] for strict sweeps of quiesced roots
     ManifestDir.vacuum(spark, path,
-      Branches.allPrefixes(spark, path, Prefix))
+      Branches.allPrefixes(spark, path, Prefix),
+      minAgeMs = ManifestDir.MaintAgeMs)
     ()
   }
 
@@ -191,10 +195,13 @@ object AggStore {
       val t0 = System.nanoTime()
       // recipe change = new state: old-recipe partials are meaningless
       // under the new one, so rebuild from a clean root (deterministic
-      // version numbering, no cross-format debris)
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeState(events, path)
+      // version numbering, no cross-format debris) — wiped UNDER the
+      // (reentrant) writer lock so a live concurrent writer is
+      // excluded rather than having its lock deleted mid-commit
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeState(events, path)
+      }
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }

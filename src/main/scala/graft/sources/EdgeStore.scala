@@ -153,13 +153,16 @@ object EdgeStore {
       // format bump may not even parse), so the rebuild starts from a
       // clean root — version numbering restarts at 1, deterministic
       // regardless of what an earlier recipe left behind
-      val (fs, hp) = StoreFiles.fsOf(spark, path)
-      if (fs.exists(hp)) fs.delete(hp, true)
-      writePairs(graft.operators.Similarity.nearDupPairsLsh(
-        embeddings, threshold, bands = bands, rowsPerBand = rowsPerBand,
-        dim = dim),
-        graft.operators.Similarity.bandRelation(embeddings, bands,
-          rowsPerBand, dim), path)
+      // wiped UNDER the (reentrant) writer lock so a live concurrent
+      // writer is excluded rather than having its lock deleted
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writePairs(graft.operators.Similarity.nearDupPairsLsh(
+          embeddings, threshold, bands = bands,
+          rowsPerBand = rowsPerBand, dim = dim),
+          graft.operators.Similarity.bandRelation(embeddings, bands,
+            rowsPerBand, dim), path)
+      }
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }

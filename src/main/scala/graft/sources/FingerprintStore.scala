@@ -171,11 +171,14 @@ object FingerprintStore {
       val t0 = System.nanoTime()
       // recipe change = new store: old-recipe versions are meaningless
       // under the new one, so rebuild from a clean root (deterministic
-      // version numbering, no cross-format debris)
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeFingerprints(docs, path, idCol, textCol, n, numHashes, bands,
-        maxShingleDf)
+      // version numbering, no cross-format debris) — wiped UNDER the
+      // (reentrant) writer lock so a live concurrent writer is
+      // excluded rather than having its lock deleted mid-commit
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeFingerprints(docs, path, idCol, textCol, n, numHashes,
+          bands, maxShingleDf)
+      }
       // marker last: a crash mid-build leaves no marker → rebuild
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)

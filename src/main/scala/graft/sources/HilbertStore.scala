@@ -99,6 +99,27 @@ object HilbertStore {
     if (tags.isEmpty) meta - TailTagsKey
     else meta + (TailTagsKey -> tags.toSeq.sorted.mkString(","))
 
+  private val BatchTagPattern = "^(.*b)(\\d+)$".r
+
+  /** Prune the durable tail-tag set to each namespace's HIGHEST batch
+    * tag — run when OPTIMIZE absorbs the tail. foreachBatch redelivery
+    * is strictly "the one trigger whose commit-log write was lost",
+    * and the engine never re-runs batch N-1 after batch N reached the
+    * commit log, so within one checkpoint namespace only the MAX
+    * batch id can ever arrive again; every lower tag is dead weight
+    * that would otherwise re-serialize into every later manifest
+    * forever (one entry per trigger, unbounded). Tags that don't
+    * parse as `<ns>b<digits>` are kept verbatim (foreign callers own
+    * their tags' lifecycle). */
+  private def pruneTags(tags: Set[String]): Set[String] = {
+    val parsed = tags.toSeq.flatMap {
+      case t @ BatchTagPattern(ns, id) => Some((ns, BigInt(id), t))
+      case _ => None
+    }
+    val opaque = tags -- parsed.map(_._3)
+    parsed.groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet ++ opaque
+  }
+
   /** Recipe-gated build of version 1 (the
     * [[ZOrderStore.ensureZOrdered]] protocol, on the manifest
     * layout). A recipe change rebuilds from a clean root — stale
@@ -115,9 +136,10 @@ object HilbertStore {
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
-      val (fs, hp) = StoreFiles.fsOf(spark, path)
-      if (fs.exists(hp)) fs.delete(hp, true)
       SnapshotDir.withWriterLock(spark, path) {
+        // wipe inside the lock (sparing the held lock file): a live
+        // concurrent writer is excluded rather than unlocked mid-commit
+        SnapshotDir.wipeRootKeepLock(spark, path)
         val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
           ClusteredRel)
         writeHilbert(df, s"$path/$seg", aCol, bCol, bits, files)
@@ -137,9 +159,13 @@ object HilbertStore {
     * touched, and a crash leaves an orphan segment plus the prior
     * version intact. `batchTag` joins the durable `tail_tags` set; an
     * arriving tag already in the set is a REDELIVERY and is skipped
-    * whole (even a full fresh-checkpoint replay — the streaming
-    * sink's idempotence device; tags assume identical replayed
-    * content, the at-least-once contract). */
+    * whole (the streaming sink's idempotence device; tags assume
+    * identical replayed content, the at-least-once contract). Callers
+    * must NAMESPACE tags per checkpoint lineage — bare batch ids
+    * collide when a stream restarts on a fresh checkpoint (ids
+    * restart at 0) and would silently skip genuinely new batches;
+    * [[graft.streaming.StreamingSync.hilbertMaintSink]] scopes its
+    * tags by the checkpoint for exactly this reason. */
   def appendTail(df: DataFrame, path: String, aCol: String,
       bCol: String, bits: Int, batchTag: Option[String] = None): Unit = {
     batchTag.foreach(t => require(!t.contains(","),
@@ -200,8 +226,11 @@ object HilbertStore {
   /** Re-sort the tail in: clustered ∪ tail rewritten as ONE new
     * clustered segment in the next committed manifest, the tail
     * relation dropped — the lakehouse OPTIMIZE. Rows unchanged, only
-    * layout; applied tail tags carry FORWARD (a post-optimize
-    * redelivery must still be recognized, not folded in twice).
+    * layout; applied tail tags carry FORWARD pruned to each
+    * namespace's highest batch ([[pruneTags]] — a post-optimize
+    * redelivery can only be the latest trigger, which must still be
+    * recognized and not folded in twice, while the dead lower tags
+    * stop re-serializing into every later manifest).
     * In-flight readers keep the old manifest through the GC grace
     * window; the closing vacuum sweeps segments no retained version
     * references. No-op when there is no tail. */
@@ -220,10 +249,14 @@ object HilbertStore {
           .write.parquet(s"$path/$seg")
         ManifestDir.commit(spark, path, Prefix, cur
           .withRelation(ClusteredRel, Seq(seg))
-          .withoutRelation(TailRel))
+          .withoutRelation(TailRel)
+          .copy(meta = withTags(cur.meta, pruneTags(tagsOf(cur)))))
         SnapshotDir.gc(spark, path, Prefix)
+        // age-guarded: OPTIMIZE's lock does not exclude an optimistic
+        // tail appender's in-flight segments ([[ManifestDir.MaintAgeMs]])
         ManifestDir.vacuum(spark, path,
-          Branches.allPrefixes(spark, path, Prefix))
+          Branches.allPrefixes(spark, path, Prefix),
+          minAgeMs = ManifestDir.MaintAgeMs)
         ()
       }
     }

@@ -90,9 +90,13 @@ object LmStore {
       meta))
     SnapshotDir.gc(spark, path, pfx)
     // every commit REPLACES both relations, so GC'd versions' segments
-    // orphan immediately; the lock is held — strict sweep
+    // orphan immediately — but the lock does NOT exclude an optimistic
+    // appender's in-flight (not-yet-referenced) segments, so the
+    // routine sweep is AGE-GUARDED ([[ManifestDir.MaintAgeMs]]);
+    // schedule [[Branches.vacuum]] for strict sweeps of quiesced roots
     ManifestDir.vacuum(spark, path,
-      Branches.allPrefixes(spark, path, Prefix))
+      Branches.allPrefixes(spark, path, Prefix),
+      minAgeMs = ManifestDir.MaintAgeMs)
     ()
   }
 
@@ -122,10 +126,16 @@ object LmStore {
     else {
       val t0 = System.nanoTime()
       // recipe change = new model: rebuild from a clean root
-      // (deterministic version numbering, no cross-format debris)
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeModel(docs, path, textCol)
+      // (deterministic version numbering, no cross-format debris).
+      // The wipe is destructive across ALL lineages and history, so it
+      // runs UNDER the writer lock (reentrant — the inner write path's
+      // own acquire nests), sparing the held lock file: a live
+      // concurrent writer is excluded by the normal protocol instead
+      // of losing its `_writer.lock` out from under it mid-commit.
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeModel(docs, path, textCol)
+      }
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }

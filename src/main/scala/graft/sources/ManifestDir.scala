@@ -224,6 +224,24 @@ private[graft] object ManifestDir {
   def vacuum(spark: SparkSession, root: String, prefix: String): Long =
     vacuum(spark, root, Seq(prefix))
 
+  /** The vacuum window ROUTINE per-commit maintenance must use on any
+    * root that also accepts OPTIMISTIC writers: the commit lock does
+    * NOT exclude an optimistic appender's pre-publish segment writes
+    * (that is the whole point of the optimistic path), so a strict
+    * `minAgeMs = 0` sweep inside a locked commit would delete the
+    * in-flight batch's not-yet-referenced segments out from under its
+    * pending [[graft.sources.Branches.commitWindow]] publish — the
+    * batch then fails with FileNotFoundException, or worse lands a
+    * manifest whose segment the sweep half-deleted. Sized to the
+    * writer-lock stale window: any unreferenced segment OLDER than
+    * this belongs to a writer that is provably crashed (a live one
+    * heartbeats its lock and publishes well inside the window), so the
+    * sweep stays safe while still bounding orphan accumulation to one
+    * window's worth of commits. Strict sweeps remain available to
+    * maintenance entry points that OWN the whole root's write traffic
+    * (explicit store `vacuum()` APIs, compaction of a quiesced store). */
+  val MaintAgeMs: Long = 15 * 60 * 1000L
+
   /** Multi-lineage vacuum: a root that carries BRANCHES (several
     * version lineages sharing one segment pool — [[EdgeStore]]'s
     * zero-copy branch refs) must treat a segment as live when ANY

@@ -58,9 +58,33 @@ private[graft] object SnapshotDir {
     *    half-stamped lock and rethrows, instead of silently leaving an
     *    orphan that blocks every writer for the stale window.
     *
-    * A live conflicting writer throws — loud beats racing. */
+    * A live conflicting writer throws — loud beats racing.
+    *
+    * REENTRANT per thread+root: an ensure path that must wipe a root
+    * and then call the store's own (also locked) write path holds ONE
+    * lock across the whole destructive span instead of releasing
+    * between wipe and rebuild (the window where another writer could
+    * acquire a half-wiped root) or failing on its own inner acquire.
+    * Nesting is tracked by the root STRING, so callers must pass the
+    * same spelling (every store does — paths flow from one field). */
   def withWriterLock[T](spark: SparkSession, root: String,
       staleMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val depth = heldLocks.get()
+    if (depth.getOrElse(root, 0) > 0) {
+      // re-entry: the outer frame holds the FS lock + heartbeat
+      depth(root) = depth(root) + 1
+      try body finally { depth(root) = depth(root) - 1 }
+    } else withWriterLockOuter(spark, root, staleMs)(body)
+  }
+
+  private val heldLocks =
+    new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, Int]
+    }
+
+  private def withWriterLockOuter[T](spark: SparkSession, root: String,
+      staleMs: Long)(body: => T): T = {
     val (fs, _) = fsOf(spark, root)
     val lock = new Path(root, WriterLock)
     val token = java.util.UUID.randomUUID().toString
@@ -159,7 +183,9 @@ private[graft] object SnapshotDir {
     }, s"snapshotdir-lock-heartbeat")
     hb.setDaemon(true)
     hb.start()
+    heldLocks.get()(root) = 1
     try body finally {
+      heldLocks.get().remove(root)
       hb.interrupt()
       // release only OUR lock — never a usurper's live one. An
       // UNREADABLE lock deletes anyway (availability: a live usurper
@@ -174,6 +200,28 @@ private[graft] object SnapshotDir {
   private def fsOf(spark: SparkSession, p: String) = {
     val hp = new Path(p)
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Destructively reset `root` for a recipe rebuild — MUST be called
+    * inside [[withWriterLock]] on the same root: deletes every child
+    * EXCEPT the held lock file, so the wipe excludes live concurrent
+    * writers through the normal lock protocol instead of deleting a
+    * mid-commit writer's `_writer.lock` out from under it (which would
+    * silently break single-writer exclusion). All lineages, branches,
+    * and time-travel history under the root are gone — that is the
+    * point (a recipe change is a NEW store) — but only ever under the
+    * same exclusion every other mutation runs with. */
+  def wipeRootKeepLock(spark: SparkSession, root: String): Unit = {
+    require(heldLocks.get().getOrElse(root, 0) > 0,
+      s"wipeRootKeepLock outside the writer lock on $root — " +
+        "acquire withWriterLock first; a lock-free wipe can destroy " +
+        "a live writer's exclusion mid-commit")
+    val (fs, hp) = fsOf(spark, root)
+    if (fs.exists(hp))
+      fs.listStatus(hp).foreach { st =>
+        if (st.getPath.getName != WriterLock)
+          fs.delete(st.getPath, true)
+      }
   }
 
   def name(prefix: String, v: Long): String = f"$prefix$v%08d"

@@ -291,11 +291,14 @@ object VectorIndexStore {
       val t0 = System.nanoTime()
       // recipe change = new index: old-recipe codes are meaningless
       // under the new one, so rebuild from a clean root (deterministic
-      // version numbering, no cross-format debris)
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,
-        idCol, vecCol, saltFilesPerList)
+      // version numbering, no cross-format debris) — wiped UNDER the
+      // (reentrant) writer lock so a live concurrent writer is
+      // excluded rather than having its lock deleted mid-commit
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeIvfPq(corpus, path, ivfCentroidMod, pqCentroidMod, m, dim,
+          idCol, vecCol, saltFilesPerList)
+      }
       // marker last: a crash mid-build leaves no marker → next ensure
       // rebuilds instead of serving a half-written index
       writeText(spark, marker, recipe)

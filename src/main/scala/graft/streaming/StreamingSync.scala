@@ -586,14 +586,20 @@ object StreamingSync {
     * current at batch-sized ingest cost; a periodic
     * [[graft.sources.HilbertStore.optimize]] re-sorts the accumulated
     * tail in (the lakehouse ingest-then-OPTIMIZE cadence).
-    * foreachBatch is AT-LEAST-ONCE; the batchId tag joins the store's
-    * durable `tail_tags` set, so a redelivered trigger — even a full
-    * replay from a fresh checkpoint — is recognized and skipped, and
-    * a trigger that crashed mid-write left only an orphan segment no
-    * manifest references (the retry appends a fresh one). */
+    * foreachBatch is AT-LEAST-ONCE; the batchId tag — SCOPED by the
+    * checkpoint (batch ids are unique only within one checkpoint
+    * lineage: a restart on a NEW checkpoint restarts them at 0, and
+    * an unscoped tag would silently skip genuinely new batches as
+    * "redeliveries") — joins the store's durable `tail_tags` set, so
+    * a redelivered trigger within the lineage is recognized and
+    * skipped, and a trigger that crashed mid-write left only an
+    * orphan segment no manifest references (the retry appends a
+    * fresh one). Restart recovery therefore requires restarting FROM
+    * the same checkpoint, the structured-streaming contract anyway. */
   def hilbertMaintSink(source: DataFrame, storePath: String,
       aCol: String, bCol: String, bits: Int,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val ns = checkpointTagNs(checkpoint)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -602,10 +608,24 @@ object StreamingSync {
         if (!batch.isEmpty)
           graft.operators.CacheRegistry.scoped {
             graft.sources.HilbertStore.appendTail(batch, storePath,
-              aCol, bCol, bits, batchTag = Some(f"b$batchId%08d"))
+              aCol, bCol, bits, batchTag = Some(f"$ns%s-b$batchId%08d"))
           }
       }
       .start()
+  }
+
+  /** The per-checkpoint tag namespace: stable across restarts from
+    * the SAME checkpoint (where batch ids are meaningful), distinct
+    * for a new one (where they restart at 0). */
+  private def checkpointTagNs(checkpoint: String): String =
+    f"c${checkpoint.hashCode}%08x"
+
+  /** [[checkpointTagNs]] for stores whose redelivery tag is a LONG
+    * `batch_id` column: 23 namespace bits above bit 40 leave room for
+    * a trillion triggers per lineage, and ids stay monotonic WITHIN a
+    * checkpoint (the only scope where ordering means anything). */
+  private def checkpointTagNsLong(checkpoint: String): Long =
+    (checkpoint.hashCode.toLong & 0x7fffffL) << 40
 
   /** Streaming view maintenance — the aggregate third of the
     * continuous-admission pipeline ([[dedupAdmissionSink]] keeps the
@@ -616,12 +636,15 @@ object StreamingSync {
     * the maintained view is never recomputed from history.
     * foreachBatch is AT-LEAST-ONCE (a crash between the store commit
     * and the streaming commit log re-runs the trigger), so the
-    * batchId rides the version commit as its tag and a redelivered
-    * trigger is recognized and skipped — without it every key the
-    * replayed batch touches would silently double-count
+    * batchId rides the version commit as its tag (checkpoint-scoped,
+    * like [[hilbertMaintSink]]'s — a fresh checkpoint's batch 0 must
+    * not collide with the old lineage's) and a redelivered trigger is
+    * recognized and skipped — without it every key the replayed batch
+    * touches would silently double-count
     * ([[graft.sources.AggStore.bootstrapOrAppend]]). */
   def aggMaintSink(source: DataFrame, storePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val ns = checkpointTagNs(checkpoint)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -631,10 +654,11 @@ object StreamingSync {
           graft.operators.CacheRegistry.scoped {
             graft.sources.AggStore.bootstrapOrAppend(
               batch.sparkSession, storePath, batch,
-              batchTag = Some(batchId.toString))
+              batchTag = Some(f"$ns%s-b$batchId%08d"))
           }
       }
       .start()
+  }
 
   /** Streaming frequency-sketch maintenance — the heavy-hitters rung
     * of the continuous-admission pipeline: every micro-batch of
@@ -656,7 +680,8 @@ object StreamingSync {
     * (compaction = re-sketch or [[graft.operators.CorpusStats
     * .mergeFreqStates]] into one row — counters, not data). */
   def freqMaintSink(source: DataFrame, storePath: String,
-      checkpoint: String, maxMapSize: Int = 1024): StreamingQuery =
+      checkpoint: String, maxMapSize: Int = 1024): StreamingQuery = {
+    val ns = checkpointTagNsLong(checkpoint)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -664,10 +689,11 @@ object StreamingSync {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.CacheRegistry.scoped {
-            appendFreqBatch(batch, storePath, batchId, maxMapSize)
+            appendFreqBatch(batch, storePath, ns | batchId, maxMapSize)
           }
       }
       .start()
+  }
 
   /** One frequency-maintenance micro-batch (the [[freqMaintSink]]
     * body; also directly callable from a batch scheduler). Idempotent
@@ -687,7 +713,8 @@ object StreamingSync {
     * experiment yet?", maintained continuously at batch-sized cost,
     * with the peeking-valid p the fixed-horizon tests cannot give. */
   def msprtMaintSink(source: DataFrame, storePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val ns = checkpointTagNsLong(checkpoint)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -695,10 +722,11 @@ object StreamingSync {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.CacheRegistry.scoped {
-            appendMsprtBatch(batch, storePath, batchId)
+            appendMsprtBatch(batch, storePath, ns | batchId)
           }
       }
       .start()
+  }
 
   def appendMsprtBatch(batch: DataFrame, storePath: String,
       batchId: Long): Unit = {

@@ -742,37 +742,43 @@ class StreamingSyncSpec extends SparkSpec {
     assert(audit.forall(r => r.getAs[Boolean]("reported") &&
       r.getAs[Boolean]("bounds_hold")))
     // redelivery of an already-tagged trigger must append NOTHING —
-    // a replayed batch would otherwise double-count every token
+    // a replayed batch would otherwise double-count every token.
+    // (Stored ids are checkpoint-namespaced; probe with one the sink
+    // actually wrote.)
     val store = s"$dir/rep/freq-store"
-    StreamingSync.appendFreqBatch(docs, store, batchId = 0L,
+    val storedId = states.agg(min($"batch_id")).as[Long].head()
+    StreamingSync.appendFreqBatch(docs, store, storedId,
       maxMapSize = 64)
     assert(spark.read.parquet(store).count() === 3)
   }
 
   test("hilbert maintenance sink: streamed tail serves the full " +
-      "rectangle; redelivered triggers overwrite, never duplicate") {
+      "rectangle; tags are checkpoint-scoped (redelivery no-ops, a " +
+      "NEW checkpoint's batches land); optimize prunes the tag set") {
     import graft.sources.HilbertStore
     val dir = tmp()
     val g = Tables.events(spark, sf0001)
       .select($"event_id", ($"user_id" % 256).as("za"),
         ($"event_id" % 256).as("zb"))
-    val base = g.filter($"event_id" % 10 =!= 7)
-    val batch = g.filter($"event_id" % 10 === 7)
+    val base = g.filter($"event_id" % 20 =!= 7 && $"event_id" % 20 =!= 17)
+    val batch1 = g.filter($"event_id" % 20 === 7)
+    val batch2 = g.filter($"event_id" % 20 === 17)
     val store = s"$dir/hilb"
     HilbertStore.ensureHilbert(base, store, "za", "zb", 8, 16)
-    StreamingSync.hilbertMaintReplay(spark, batch, store,
+    StreamingSync.hilbertMaintReplay(spark, batch1, store,
       "za", "zb", 8, orderCol = "event_id", nBatches = 2,
       workDir = s"$dir/rep1")
     def rows() = HilbertStore.rectScan(spark, store,
         "za", "zb", 2, 191, 32, 159, 8)
       .select("event_id", "hval").as[(Long, Long)].collect().toSet
-    val expect = g.filter($"za".between(2, 191) &&
-        $"zb".between(32, 159))
-      .select($"event_id",
-        graft.plans.LayoutExpressions.hilbertValue(
-          $"za".cast("long"), $"zb".cast("long"), 8).as("h"))
-      .as[(Long, Long)].collect().toSet
-    assert(rows() === expect, "streamed tail must serve the full grid")
+    def expectOf(src: org.apache.spark.sql.DataFrame) =
+      src.filter($"za".between(2, 191) && $"zb".between(32, 159))
+        .select($"event_id",
+          graft.plans.LayoutExpressions.hilbertValue(
+            $"za".cast("long"), $"zb".cast("long"), 8).as("h"))
+        .as[(Long, Long)].collect().toSet
+    val expect1 = expectOf(base.unionByName(batch1))
+    assert(rows() === expect1, "streamed tail must serve the full grid")
     def tailState(): (Seq[String], Set[String]) = {
       val cur = graft.sources.SnapshotDir
         .current(spark, store, "hilb-").get
@@ -781,21 +787,48 @@ class StreamingSyncSpec extends SparkSpec {
         m.meta.get("tail_tags").map(_.split(",").toSet)
           .getOrElse(Set.empty))
     }
-    val (segsBefore, tagsBefore) = tailState()
-    assert(segsBefore.size === 2, "one tail segment per trigger")
-    assert(tagsBefore === Set("b00000000", "b00000001"))
-    // REDELIVERY: the same two triggers replay from a fresh checkpoint
-    // (same files, same order → same batchIds) — each tag is already
-    // in the durable tail_tags set, so both are skipped whole: the
-    // manifest's tail segments and the scan are unchanged
-    StreamingSync.hilbertMaintReplay(spark, batch, store,
+    val (segs1, tags1) = tailState()
+    assert(segs1.size === 2, "one tail segment per trigger")
+    // tags are NAMESPACED by checkpoint: two triggers, one namespace
+    assert(tags1.map(_.takeRight(10)) ===
+      Set("-b00000000", "-b00000001"))
+    assert(tags1.map(_.dropRight(10)).size === 1,
+      "one checkpoint lineage → one tag namespace")
+    // REDELIVERY (same lineage): a crashed trigger whose commit-log
+    // write was lost re-runs with the SAME namespaced tag — already in
+    // the durable set, skipped whole, manifest and scan unchanged
+    HilbertStore.appendTail(batch1, store, "za", "zb", 8,
+      batchTag = Some(tags1.max))
+    assert(tailState() === ((segs1, tags1)))
+    assert(rows() === expect1, "redelivery must not duplicate rows")
+    // a NEW checkpoint restarts batchIds at 0 but carries a NEW
+    // namespace, so its genuinely new batches must LAND — the unscoped
+    // b00000000 tag would have silently skipped them as redeliveries
+    StreamingSync.hilbertMaintReplay(spark, batch2, store,
       "za", "zb", 8, orderCol = "event_id", nBatches = 2,
       workDir = s"$dir/rep2")
-    assert(tailState() === ((segsBefore, tagsBefore)))
-    assert(rows() === expect, "redelivery must not duplicate rows")
-    // and the lifecycle closes: optimize folds the streamed tail in
+    val expectAll = expectOf(g)
+    assert(rows() === expectAll,
+      "a fresh checkpoint's new batches must append, not be skipped")
+    val (segs2, tags2) = tailState()
+    assert(segs2.size === 4)
+    assert(tags2.map(_.dropRight(10)).size === 2,
+      "two checkpoint lineages → two tag namespaces")
+    // lifecycle closes: optimize folds the streamed tail in AND prunes
+    // the durable tag set to each namespace's highest batch (only the
+    // latest trigger per lineage can still be redelivered; lower tags
+    // would re-serialize into every later manifest forever)
     HilbertStore.optimize(spark, store, 16)
-    assert(rows() === expect, "parity must survive optimize")
+    assert(rows() === expectAll, "parity must survive optimize")
+    val (segs3, tags3) = tailState()
+    assert(segs3.isEmpty, "optimize absorbs the tail")
+    assert(tags3.map(_.takeRight(10)) === Set("-b00000001") &&
+      tags3.size === 2,
+      "optimize keeps exactly the per-namespace max tag")
+    // and a post-optimize redelivery of a pruned-set survivor no-ops
+    HilbertStore.appendTail(batch2, store, "za", "zb", 8,
+      batchTag = Some(tags3.max))
+    assert(rows() === expectAll)
   }
 
   test("msprt maintenance: stream-served p equals the batch sequence; " +
@@ -812,10 +845,15 @@ class StreamingSyncSpec extends SparkSpec {
     assert(served.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(served).count() === 0)
     // redelivery: re-appending an already-stored batchId is a no-op —
-    // the partial table is unchanged, so the served p cannot move
+    // the partial table is unchanged, so the served p cannot move.
+    // (Stored ids are checkpoint-namespaced, so the probe reuses one
+    // the sink actually wrote rather than a bare 0.)
     val store = s"$dir/rep/msprt-store"
-    val before = spark.read.parquet(store).count()
-    StreamingSync.appendMsprtBatch(ev.limit(50), store, batchId = 0L)
+    val stored = spark.read.parquet(store)
+    val before = stored.count()
+    val storedId = stored.agg(org.apache.spark.sql.functions
+      .min($"batch_id")).as[Long].head()
+    StreamingSync.appendMsprtBatch(ev.limit(50), store, storedId)
     assert(spark.read.parquet(store).count() === before,
       "redelivered trigger must not re-append partials")
   }
