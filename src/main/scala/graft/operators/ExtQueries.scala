@@ -207,9 +207,13 @@ object ExtQueries {
       s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
       .toString
 
+  /** The key set of the takedown store families, in summary order. */
+  private[graft] val TakedownStoreKeys =
+    Seq("fp", "edges", "ann", "agg", "lm", "tok")
+
   /** The `x_takedown` computation, parameterized on BOTH path sets so
     * the determinism spec can replay it against scratch roots: ensure
-    * the five base stores at `base("fp"|"edges"|"ann"|"agg"|"lm")`,
+    * the six base stores at `base(k)` for k in [[TakedownStoreKeys]],
     * clone each to `work(...)` ([[graft.sources.StoreClone]] — pinned
     * + lock-held, so a clone is always a committed state), run ONE
     * [[graft.sources.Takedown.sweep]] over the clones, and reduce
@@ -219,7 +223,8 @@ object ExtQueries {
     * which store moved instead of a bare boolean. Deterministic by
     * construction: ensure-builds are recipe-gated and deterministic,
     * clones are version-pinned, the sweep's algebra is exact (md5
-    * anti-joins, decimal/integer subtraction). */
+    * anti-joins, decimal/integer subtraction, deterministic BPE
+    * retrain). */
   private[graft] def takedownSummary(s: SparkSession, d: String,
       base: Map[String, String], work: String => String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -244,19 +249,25 @@ object ExtQueries {
       baseTag = "mv-full")
     graft.sources.LmStore.ensureModel(Tables.documents(s, d),
       base("lm"))
+    graft.sources.TokenizerStore.ensureVocab(Tables.documents(s, d),
+      base("tok"), BpeTrainMerges)
     val fpW = work("fp")
     val edgeW = work("edges")
     val annW = work("ann")
     val aggW = work("agg")
     val lmW = work("lm")
-    Seq("fp", "edges", "ann", "agg", "lm").foreach(k =>
+    val tokW = work("tok")
+    TakedownStoreKeys.foreach(k =>
       graft.sources.StoreClone.cloneStore(s, base(k), work(k)))
     graft.sources.Takedown.sweep(s,
       docIds = Some(docDel), vecIds = Some(vecDel),
       removedFacts = Some(factDel),
       fingerprintStores = Seq(fpW), edgeStores = Seq(edgeW),
       vectorIndexes = Seq(annW), aggStores = Seq(aggW),
-      lmStores = Seq(lmW), takedownTag = Some("x_takedown"))
+      lmStores = Seq(lmW), tokenizerStores = Seq(tokW),
+      retrainCorpus = Some(Tables.documents(s, d)
+        .filter(col("doc_id") % DeleteMod =!= DeleteRem)),
+      takedownTag = Some("x_takedown"))
     def h60(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def summ(rel: String, df: DataFrame,
@@ -299,6 +310,64 @@ object ExtQueries {
       .unionByName(summ("lm_bigrams",
         graft.sources.LmStore.readBigrams(s, lmW),
         concat_ws("|", col("bg"), col("bcnt"))))
+      .unionByName(summ("tok_merges",
+        graft.sources.TokenizerStore.readMerges(s, tokW),
+        concat_ws("|", col("merge_rank"), col("left"), col("right"),
+          col("cnt"))))
+  }
+
+  /** Summary rows per takedown store key — the split driver queries'
+    * slicing map; union = the full `x_takedown` surface. */
+  private[graft] val TakedownRelsOf: Map[String, Seq[String]] = Map(
+    "fp" -> Seq("fp_buckets", "fp_arrays"),
+    "edges" -> Seq("edge_pairs", "edge_bands", "edge_labels"),
+    "ann" -> Seq("ann_topk"),
+    "agg" -> Seq("agg_rollup"),
+    "lm" -> Seq("lm_unigrams", "lm_bigrams"),
+    "tok" -> Seq("tok_merges"))
+
+  private val takedownMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[org.apache.spark.sql.Row]]()
+
+  private val takedownSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hashsum",
+        DecimalType(38, 0), nullable = true)))
+
+  /** HERMETIC, memoized takedown rows — the driver-facing form of
+    * [[takedownSummary]]. Hermetic: the base stores live under roots
+    * owned by the takedown queries ALONE and are rebuilt FRESH once
+    * per session (both base and work roots wiped first), so the
+    * result depends on nothing but the input tables — no ensure-state
+    * shared with other queries, no leftover store generations from
+    * prior runs on the same box, no sequencing. Memoized: the sweep
+    * runs ONCE per session and dataset; `x_takedown` and its
+    * per-store splits all serve from the same collected rows (11 tiny
+    * rows — bounded driver state), so a re-entered query cannot
+    * observe a different store state either. Cold cost is bounded
+    * (~10 s of ensure-builds at sf0.1, less below). */
+  private[graft] def takedownRows(s: SparkSession, d: String)
+      : DataFrame = {
+    val rows = takedownMemo.computeIfAbsent(d, _ => {
+      TakedownStoreKeys.foreach { k =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(takedownWorkPath(d, s"base-$k")))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(takedownWorkPath(d, k)))
+      }
+      takedownSummary(s, d,
+        TakedownStoreKeys
+          .map(k => k -> takedownWorkPath(d, s"base-$k")).toMap,
+        k => takedownWorkPath(d, k)).collect()
+    })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), takedownSchema)
   }
 
   private[graft] def nearDupPairsPath(d: String): String =
@@ -901,10 +970,24 @@ object ExtQueries {
     // is the corpus chain filtered to surviving ids: the store's df
     // cap is admission-path state over the build corpus, exactly as
     // in the incremental-admission contract.)
-    "x_takedown" -> ((s, d) => takedownSummary(s, d,
-      Map("fp" -> fpStorePath(d), "edges" -> nearDupPairsPath(d),
-        "ann" -> ivfPqIndexPath(d), "agg" -> aggMvPath(d),
-        "lm" -> lmStorePath(d)), k => takedownWorkPath(d, k))),
+    // HERMETIC + MEMOIZED ([[takedownRows]]): private fresh-built base
+    // roots (no store shared with any other query or prior run), ONE
+    // sweep per session. The per-store splits below slice the same
+    // rows, so a driver-side mismatch NAMES its store family instead
+    // of hiding behind one whole-sweep boolean.
+    "x_takedown" -> ((s, d) => takedownRows(s, d)),
+    "x_takedown_fp" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("fp"): _*))),
+    "x_takedown_edges" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("edges"): _*))),
+    "x_takedown_ann" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("ann"): _*))),
+    "x_takedown_agg" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("agg"): _*))),
+    "x_takedown_lm" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("lm"): _*))),
+    "x_takedown_tok" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("tok"): _*))),
 
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4438,6 +4521,131 @@ object ExtQueries {
        |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
 
+  /** Order-independent 60-bit md5 hashsum — the takedown oracles'
+    * reduction, mirroring `takedownSummary`'s `h60` sum exactly. */
+  private def tdH(x: String): String =
+    s"sum(('0x' || substr(md5($x), 1, 15))::bigint)::decimal(38,0)"
+
+  /** Per-store CTE blocks of the takedown oracle: every relation
+    * rebuilt FROM THE FILTERED INPUTS from first principles — fp
+    * chains over the corpus side filtered to survivors, edge chains
+    * over the full corpus with removed endpoints dropped, labels
+    * re-derived as components of the surviving pairs (a removed
+    * bridge splits), the rollup recomputed over surviving facts, the
+    * ANN top-k with tombstoned candidates gone, the LM counts and the
+    * BPE merge list retrained over the surviving documents. Keyed by
+    * store family so each split oracle carries ONLY its own chains
+    * (`takedownOracle`) — the full query unions all of them. */
+  private lazy val tdCtesOf: Map[String, String] = Map(
+    "fp" ->
+      s"""${sideShingleCtes("c", s"doc_id % $IncrBatchMod <> 0")},
+         |${sideSigSql("c", 8, 4)},
+         |fpb AS (SELECT id, band, key FROM bucketsc
+         |        WHERE id % $DeleteMod <> $DeleteRem),
+         |fpa AS (SELECT id, s FROM exc
+         |        WHERE id % $DeleteMod <> $DeleteRem)""".stripMargin,
+    "edges" ->
+      s"""$EmbedPlanesCte,
+         |${embedChain("embeddings", "")},
+         |epf AS (SELECT id_a, id_b, cos FROM epairs
+         |        WHERE id_a % $DeleteMod <> $DeleteRem
+         |          AND id_b % $DeleteMod <> $DeleteRem),
+         |ebf AS (SELECT vec_id AS id, band, bkey::bigint AS bkey
+         |        FROM bkeys WHERE vec_id % $DeleteMod <> $DeleteRem),
+         |ledges AS (SELECT id_a AS a, id_b AS b FROM epf
+         |           UNION ALL SELECT id_b, id_a FROM epf),
+         |lreach(v, l) AS (
+         |  SELECT a, a FROM ledges
+         |  UNION
+         |  SELECT e.b, r.l FROM lreach r JOIN ledges e ON e.a = r.v),
+         |elab AS (SELECT v AS id, min(l) AS label FROM lreach
+         |         GROUP BY v)""".stripMargin,
+    "ann" ->
+      s"""$IvfPqDeleteRankedCtes,
+         |atk AS (SELECT query_id, match_id, cos, rank FROM ranked
+         |        WHERE rank <= $TopK)""".stripMargin,
+    "agg" ->
+      s"""agf AS (
+         |  SELECT cast(ts AS date) AS day, event_type,
+         |    count(*)::bigint AS cnt,
+         |    sum(cast(value AS decimal(18,2)))::decimal(28,2) AS total
+         |  FROM events WHERE event_id % $DeleteMod <> $DeleteRem
+         |  GROUP BY 1, 2)""".stripMargin,
+    "lm" ->
+      s"""lmw AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |  FROM documents WHERE doc_id % $DeleteMod <> $DeleteRem),
+         |lmuni AS (
+         |  SELECT term, count(*)::bigint AS ucnt FROM (
+         |    SELECT unnest(ws) AS term FROM lmw)
+         |  WHERE term <> '' GROUP BY term),
+         |lmbig AS (
+         |  SELECT bg, count(*)::bigint AS bcnt FROM (
+         |    SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+         |      list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i+1])
+         |      ELSE []::varchar[] END) AS bg
+         |    FROM lmw)
+         |  GROUP BY bg)""".stripMargin,
+    "tok" -> bpeStagesBody(BpeTrainMerges, withFinalVocab = false,
+      where = s" WHERE doc_id % $DeleteMod <> $DeleteRem", sfx = "f"))
+
+  /** Per-relation summary selects of the takedown oracle, each fully
+    * aliased so any slice can lead its UNION. */
+  private lazy val tdSelects: Map[String, String] = Map(
+    "fp_buckets" ->
+      s"""SELECT 'fp_buckets' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("id::varchar || '|' || band::varchar || '|' || key")}
+         |    AS hashsum FROM fpb""".stripMargin,
+    "fp_arrays" ->
+      s"""SELECT 'fp_arrays' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("id::varchar || '|' || s")} AS hashsum FROM fpa"""
+        .stripMargin,
+    "edge_pairs" ->
+      s"""SELECT 'edge_pairs' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("id_a::varchar || '|' || id_b::varchar || '|' || " +
+              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
+         |    AS hashsum FROM epf""".stripMargin,
+    "edge_bands" ->
+      s"""SELECT 'edge_bands' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("id::varchar || '|' || band::varchar || '|' || " +
+              "bkey::varchar")} AS hashsum FROM ebf""".stripMargin,
+    "edge_labels" ->
+      s"""SELECT 'edge_labels' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("id::varchar || '|' || label::varchar")}
+         |    AS hashsum FROM elab""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT 'agg_rollup' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("day::varchar || '|' || event_type || '|' || " +
+              "cnt::varchar || '|' || ((total * 100)::bigint)::varchar")}
+         |    AS hashsum FROM agf""".stripMargin,
+    "ann_topk" ->
+      s"""SELECT 'ann_topk' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("query_id::varchar || '|' || match_id::varchar || " +
+              "'|' || rank::varchar || '|' || " +
+              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
+         |    AS hashsum FROM atk""".stripMargin,
+    "lm_unigrams" ->
+      s"""SELECT 'lm_unigrams' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("term || '|' || ucnt::varchar")} AS hashsum
+         |FROM lmuni""".stripMargin,
+    "lm_bigrams" ->
+      s"""SELECT 'lm_bigrams' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("bg || '|' || bcnt::varchar")} AS hashsum
+         |FROM lmbig""".stripMargin,
+    "tok_merges" ->
+      s"""SELECT 'tok_merges' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("merge_rank::varchar || '|' || \"left\" || '|' || " +
+              "\"right\" || '|' || cnt::varchar")} AS hashsum
+         |FROM (${bpeMergeSelect(BpeTrainMerges, "f")})""".stripMargin)
+
+  /** Assemble the takedown oracle for a subset of store families:
+    * only their CTE chains, only their relations' summary rows. */
+  private def takedownOracle(keys: Seq[String]): String =
+    "WITH RECURSIVE " + keys.map(tdCtesOf).mkString(",\n") + "\n" +
+      keys.flatMap(TakedownRelsOf).map(tdSelects)
+        .mkString("\nUNION ALL ")
+
   private val BaseOracleSql: Map[String, String] = Map(
     "x_tok_count" ->
       """SELECT doc_id,
@@ -4887,91 +5095,18 @@ object ExtQueries {
          |FROM sh GROUP BY shard""".stripMargin
     },
 
-    // takedown: every relation rebuilt FROM THE FILTERED INPUTS from
-    // first principles — fp chains over the corpus side filtered to
-    // survivors, edge chains over the full corpus with removed
-    // endpoints dropped, labels re-derived as components of the
-    // surviving pairs (a removed bridge splits), the rollup recomputed
-    // over surviving facts, and the ANN top-k with tombstoned
-    // candidates gone — each reduced to (rel, n_rows, 60-bit md5
-    // hashsum) so one statement audits seven relations
-    "x_takedown" -> {
-      val h = (x: String) =>
-        s"sum(('0x' || substr(md5($x), 1, 15))::bigint)::decimal(38,0)"
-      s"""WITH RECURSIVE ${sideShingleCtes("c",
-            s"doc_id % $IncrBatchMod <> 0")},
-         |${sideSigSql("c", 8, 4)},
-         |$EmbedPlanesCte,
-         |${embedChain("embeddings", "")},
-         |fpb AS (SELECT id, band, key FROM bucketsc
-         |        WHERE id % $DeleteMod <> $DeleteRem),
-         |fpa AS (SELECT id, s FROM exc
-         |        WHERE id % $DeleteMod <> $DeleteRem),
-         |epf AS (SELECT id_a, id_b, cos FROM epairs
-         |        WHERE id_a % $DeleteMod <> $DeleteRem
-         |          AND id_b % $DeleteMod <> $DeleteRem),
-         |ebf AS (SELECT vec_id AS id, band, bkey::bigint AS bkey
-         |        FROM bkeys WHERE vec_id % $DeleteMod <> $DeleteRem),
-         |ledges AS (SELECT id_a AS a, id_b AS b FROM epf
-         |           UNION ALL SELECT id_b, id_a FROM epf),
-         |lreach(v, l) AS (
-         |  SELECT a, a FROM ledges
-         |  UNION
-         |  SELECT e.b, r.l FROM lreach r JOIN ledges e ON e.a = r.v),
-         |elab AS (SELECT v AS id, min(l) AS label FROM lreach
-         |         GROUP BY v),
-         |agf AS (
-         |  SELECT cast(ts AS date) AS day, event_type,
-         |    count(*)::bigint AS cnt,
-         |    sum(cast(value AS decimal(18,2)))::decimal(28,2) AS total
-         |  FROM events WHERE event_id % $DeleteMod <> $DeleteRem
-         |  GROUP BY 1, 2),
-         |$IvfPqDeleteRankedCtes,
-         |atk AS (SELECT query_id, match_id, cos, rank FROM ranked
-         |        WHERE rank <= $TopK),
-         |lmw AS (
-         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
-         |  FROM documents WHERE doc_id % $DeleteMod <> $DeleteRem),
-         |lmuni AS (
-         |  SELECT term, count(*)::bigint AS ucnt FROM (
-         |    SELECT unnest(ws) AS term FROM lmw)
-         |  WHERE term <> '' GROUP BY term),
-         |lmbig AS (
-         |  SELECT bg, count(*)::bigint AS bcnt FROM (
-         |    SELECT unnest(CASE WHEN len(ws) >= 2 THEN
-         |      list_transform(range(1, len(ws)),
-         |        i -> ws[i] || ' ' || ws[i+1])
-         |      ELSE []::varchar[] END) AS bg
-         |    FROM lmw)
-         |  GROUP BY bg)
-         |SELECT 'fp_buckets' AS rel, count(*)::bigint AS n_rows,
-         |  ${h("id::varchar || '|' || band::varchar || '|' || key")}
-         |    AS hashsum FROM fpb
-         |UNION ALL SELECT 'fp_arrays', count(*)::bigint,
-         |  ${h("id::varchar || '|' || s")} FROM fpa
-         |UNION ALL SELECT 'edge_pairs', count(*)::bigint,
-         |  ${h("id_a::varchar || '|' || id_b::varchar || '|' || " +
-              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
-         |  FROM epf
-         |UNION ALL SELECT 'edge_bands', count(*)::bigint,
-         |  ${h("id::varchar || '|' || band::varchar || '|' || " +
-              "bkey::varchar")} FROM ebf
-         |UNION ALL SELECT 'edge_labels', count(*)::bigint,
-         |  ${h("id::varchar || '|' || label::varchar")} FROM elab
-         |UNION ALL SELECT 'agg_rollup', count(*)::bigint,
-         |  ${h("day::varchar || '|' || event_type || '|' || " +
-              "cnt::varchar || '|' || ((total * 100)::bigint)::varchar")}
-         |  FROM agf
-         |UNION ALL SELECT 'ann_topk', count(*)::bigint,
-         |  ${h("query_id::varchar || '|' || match_id::varchar || " +
-              "'|' || rank::varchar || '|' || " +
-              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
-         |  FROM atk
-         |UNION ALL SELECT 'lm_unigrams', count(*)::bigint,
-         |  ${h("term || '|' || ucnt::varchar")} FROM lmuni
-         |UNION ALL SELECT 'lm_bigrams', count(*)::bigint,
-         |  ${h("bg || '|' || bcnt::varchar")} FROM lmbig""".stripMargin
-    },
+    // takedown ([[tdCtesOf]]/[[tdSelects]]): every relation rebuilt
+    // FROM THE FILTERED INPUTS from first principles, reduced to
+    // (rel, n_rows, 60-bit md5 hashsum). The full query audits every
+    // family in one statement; the per-store splits carry ONLY their
+    // own chains, so a driver-side red names its store.
+    "x_takedown" -> takedownOracle(TakedownStoreKeys),
+    "x_takedown_fp" -> takedownOracle(Seq("fp")),
+    "x_takedown_edges" -> takedownOracle(Seq("edges")),
+    "x_takedown_ann" -> takedownOracle(Seq("ann")),
+    "x_takedown_agg" -> takedownOracle(Seq("agg")),
+    "x_takedown_lm" -> takedownOracle(Seq("lm")),
+    "x_takedown_tok" -> takedownOracle(Seq("tok")),
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3

@@ -45,12 +45,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuild); Misra-Gries states are NOT invertible (their error
   * admissions are stream-order state, not sums) and rebuild instead.
   *
-  * NOT covered, by design: the tokenizer vocabularies
-  * ([[TokenizerStore]]) are top-V cuts, not algebraic aggregates — a
-  * count change can move the cut, so their takedown is an explicit
-  * retrain (`ensureVocab` after bumping the recipe), and is usually
-  * unnecessary: a ≤5-char subword piece is not personal data the way
-  * fingerprints, text shingles, and count tables are.
+  *  - tokenizers: REBUILD, not algebra — a BPE vocabulary is a top-V
+  *    cut whose merges can move under any count change, so the sweep
+  *    retrains on the SURVIVING corpus (`retrainCorpus`, which only
+  *    the caller can supply — removed ids can't reconstruct it) on a
+  *    branch, then promotes: the documented non-algebraic pattern,
+  *    and the last persisted family embedding removed documents'
+  *    text ([[TokenizerStore]] merges/vocab derive from it). The
+  *    retrain reuses the store's OWN recipe hyperparameters
+  *    ([[TokenizerStore.recipeMerges]]).
   *
   * History: each store's PRE-takedown version remains readable until
   * the normal GC grace window ages it out — retention policy, not
@@ -68,7 +71,10 @@ object Takedown {
     * retraction needs their values). `takedownTag` names this
     * takedown for replay-safety of the count retractions (it joins
     * the stores' durable applied-tag sets) — REQUIRED whenever a
-    * rollup or LM store is swept; pass the ticket/batch id. */
+    * rollup or LM store is swept; pass the ticket/batch id.
+    * `tokenizerStores` retrain on `retrainCorpus` (the SURVIVING
+    * document rows including `textCol`) via branch-then-promote —
+    * required together, validated up front. */
   def sweep(spark: SparkSession,
       docIds: Option[DataFrame] = None,
       vecIds: Option[DataFrame] = None,
@@ -78,6 +84,8 @@ object Takedown {
       vectorIndexes: Seq[String] = Nil,
       aggStores: Seq[String] = Nil,
       lmStores: Seq[String] = Nil,
+      tokenizerStores: Seq[String] = Nil,
+      retrainCorpus: Option[DataFrame] = None,
       takedownTag: Option[String] = None,
       textCol: String = "text"): Unit = {
     // validate EVERYTHING before touching the first store: a sweep
@@ -91,6 +99,29 @@ object Takedown {
       for (ids <- docIds) require(ids.columns.contains(textCol),
         s"LM retraction needs the removed document ROWS including " +
           s"'$textCol' — docIds has [${ids.columns.mkString(", ")}]")
+    if (aggStores.nonEmpty)
+      for (facts <- removedFacts) {
+        val need = Seq("ts", "event_type", "value")
+        val missing = need.filterNot(facts.columns.contains)
+        require(missing.isEmpty,
+          s"rollup retraction needs the removed fact ROWS with " +
+            s"[${need.mkString(", ")}] (AggStore.partials re-derives " +
+            s"the negated contributions from them) — removedFacts is " +
+            s"missing [${missing.mkString(", ")}]")
+      }
+    if (tokenizerStores.nonEmpty) {
+      require(retrainCorpus.isDefined,
+        "tokenizer takedown is a RETRAIN over the surviving corpus — " +
+          "pass retrainCorpus (removed ids alone cannot rebuild a " +
+          "top-V vocabulary)")
+      for (c <- retrainCorpus) require(c.columns.contains(textCol),
+        s"tokenizer retrain needs the surviving document ROWS with " +
+          s"'$textCol' — retrainCorpus has [${c.columns.mkString(", ")}]")
+      for (p <- tokenizerStores)
+        require(TokenizerStore.recipeMerges(spark, p).isDefined,
+          s"tokenizer store $p carries no recipe marker — its " +
+            "original merge count is unknown; retrain it explicitly")
+    }
     for (ids <- docIds; p <- fingerprintStores)
       FingerprintStore.takedown(spark, p, ids)
     for (ids <- vecIds; p <- edgeStores)
@@ -102,5 +133,23 @@ object Takedown {
     for (docs <- docIds; p <- lmStores)
       LmStore.retractDocs(spark, p, docs, textCol,
         batchTag = takedownTag)
+    // non-algebraic rebuild: retrain on the surviving corpus on a
+    // BRANCH, promote, drop — main serves either the full pre-sweep
+    // model or the full retrained one, never a half state. Re-runs are
+    // content-idempotent (deterministic trainer over the same corpus);
+    // a crashed prior attempt's leftover branch is dropped first (its
+    // lineage is stale or incomplete by definition).
+    for (corpus <- retrainCorpus; p <- tokenizerStores) {
+      val merges = TokenizerStore.recipeMerges(spark, p).get
+      val br = "takedown_" + takedownTag.getOrElse("sweep")
+        .toLowerCase.replaceAll("[^a-z0-9_]", "_")
+      if (TokenizerStore.branches(spark, p).contains(br))
+        TokenizerStore.dropBranch(spark, p, br)
+      TokenizerStore.createBranch(spark, p, br)
+      TokenizerStore.writeVocab(corpus, p, merges, textCol,
+        branch = Some(br))
+      TokenizerStore.promoteBranch(spark, p, br)
+      TokenizerStore.dropBranch(spark, p, br)
+    }
   }
 }

@@ -80,8 +80,11 @@ object TokenizerStore {
       ManifestDir.commit(spark, path, pfx, ManifestDir.Manifest(
         Map(VocabRel -> Vector(vSeg), MergesRel -> Vector(mSeg)), meta))
       SnapshotDir.gc(spark, path, pfx)
+      // age-guarded: the lock does not exclude an optimistic writer's
+      // in-flight segments ([[ManifestDir.MaintAgeMs]])
       ManifestDir.vacuum(spark, path,
-        Branches.allPrefixes(spark, path, Prefix))
+        Branches.allPrefixes(spark, path, Prefix),
+        minAgeMs = ManifestDir.MaintAgeMs)
       ()
     }
   }
@@ -100,14 +103,27 @@ object TokenizerStore {
         SnapshotDir.current(spark, path, Prefix).isDefined) None
     else {
       val t0 = System.nanoTime()
-      // format change = new store: rebuild from a clean root
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeVocab(docs, path, nMerges, textCol)
+      // format change = new store: rebuild from a clean root, wiped
+      // UNDER the (reentrant) writer lock so a live concurrent writer
+      // is excluded rather than having its lock deleted mid-commit
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeVocab(docs, path, nMerges, textCol)
+      }
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }
   }
+
+  /** The merge count the store was built with, parsed from its recipe
+    * marker — the store is self-describing, so maintenance (takedown
+    * retrains) re-trains with the ORIGINAL hyperparameters instead of
+    * trusting a caller to remember them. None when the marker is
+    * missing (a store built through [[writeVocab]] directly). */
+  def recipeMerges(spark: SparkSession, path: String): Option[Int] =
+    readText(spark, s"$path/_built.json").flatMap(txt =>
+      """"merges":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt))
 
   /** ZERO-COPY BRANCH of the tokenizer ([[Branches]]): retrain on a
     * lineage, compare encodes, promote or drop. */
@@ -190,8 +206,11 @@ object TokenizerStore {
       ManifestDir.commit(spark, path, UniPrefix, ManifestDir.Manifest(
         Map(UniRel -> Vector(seg)), Map.empty))
       SnapshotDir.gc(spark, path, UniPrefix)
+      // age-guarded: the lock does not exclude an optimistic writer's
+      // in-flight segments ([[ManifestDir.MaintAgeMs]])
       ManifestDir.vacuum(spark, path,
-        Branches.allPrefixes(spark, path, UniPrefix))
+        Branches.allPrefixes(spark, path, UniPrefix),
+        minAgeMs = ManifestDir.MaintAgeMs)
       ()
     }
   }
@@ -208,9 +227,12 @@ object TokenizerStore {
         SnapshotDir.current(spark, path, UniPrefix).isDefined) None
     else {
       val t0 = System.nanoTime()
-      val (fsys, hp) = StoreFiles.fsOf(spark, path)
-      if (fsys.exists(hp)) fsys.delete(hp, true)
-      writeUnigramVocab(docs, path, vocabSize, maxPieceLen, textCol)
+      // destructive wipe under the (reentrant) writer lock — see
+      // ensureVocab
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeUnigramVocab(docs, path, vocabSize, maxPieceLen, textCol)
+      }
       writeText(spark, marker, recipe)
       Some((System.nanoTime() - t0) / 1e9)
     }

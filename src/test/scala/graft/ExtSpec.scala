@@ -2211,11 +2211,15 @@ class ExtSpec extends SparkSpec {
     ClusterStore.ensureLabels(spark, s"$root/edges")
     VectorIndexStore.writeIvfPq(e, s"$root/ann")
     AggStore.writeState(events, s"$root/agg")
+    TokenizerStore.ensureVocab(docs, s"$root/tok", 6)
+    val survivors = docs.filter($"doc_id" % 10 =!= 3)
     Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
-      lmStores = Seq(s"$root/lm"), takedownTag = Some("spec-1"))
+      lmStores = Seq(s"$root/lm"),
+      tokenizerStores = Seq(s"$root/tok"),
+      retrainCorpus = Some(survivors), takedownTag = Some("spec-1"))
     def noDeleted(df: org.apache.spark.sql.DataFrame,
         c: String, what: String): Unit =
       assert(df.filter(col(c) % 10 === 3).count() === 0L,
@@ -2246,7 +2250,6 @@ class ExtSpec extends SparkSpec {
     assert(got === want)
     // the LM retraction equals a retrain over the filtered corpus,
     // row for row (bigrams never span documents — additivity)
-    val survivors = docs.filter($"doc_id" % 10 =!= 3)
     val (wantBig, wantUni) = {
       val m = graft.operators.CorpusStats.bigramModel(survivors)
       (m._1.collect().map(_.toString).sorted.toSeq,
@@ -2258,6 +2261,19 @@ class ExtSpec extends SparkSpec {
       LmStore.readUnigrams(spark, s"$root/lm")
         .collect().map(_.toString).sorted.toSeq)
     assert(lmState() === ((wantBig, wantUni)))
+    // the tokenizer takedown is a REBUILD (top-V cuts aren't
+    // algebraic): post-sweep merges equal a retrain over the filtered
+    // corpus with the store's OWN recipe merges, and the work landed
+    // on a promoted-then-dropped branch (main serves it, branch gone)
+    val wantMerges = graft.operators.CorpusStats
+      .bpeTrainVocab(survivors, 6)._1
+      .collect().map(_.toString).sorted.toSeq
+    def tokMerges() = TokenizerStore.readMerges(spark, s"$root/tok")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tokMerges() === wantMerges,
+      "swept tokenizer must equal the filtered-corpus retrain")
+    assert(TokenizerStore.branches(spark, s"$root/tok").isEmpty,
+      "the takedown branch must be promoted and dropped")
     // TIME TRAVEL: the pre-takedown fingerprint version still pins —
     // "which exact fingerprint state admitted this corpus" survives
     // the takedown until retention GC ages it out
@@ -2272,7 +2288,9 @@ class ExtSpec extends SparkSpec {
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
-      lmStores = Seq(s"$root/lm"), takedownTag = Some("spec-1"))
+      lmStores = Seq(s"$root/lm"),
+      tokenizerStores = Seq(s"$root/tok"),
+      retrainCorpus = Some(survivors), takedownTag = Some("spec-1"))
     assert(AggStore.readState(spark, s"$root/agg")
       .withColumn("total", $"total".cast("double"))
       .collect().map(_.toString).sorted.toSeq === want,
@@ -2282,6 +2300,32 @@ class ExtSpec extends SparkSpec {
     assert(EdgeStore.read(spark, s"$root/edges")
       .collect().map(_.toString).sorted.toSeq
       === pairs.collect().map(_.toString).sorted.toSeq)
+    assert(tokMerges() === wantMerges,
+      "a replayed tokenizer rebuild is content-idempotent")
+  }
+
+  test("takedown sweep validates EVERY argument before the first " +
+      "store commits") {
+    import graft.sources.Takedown
+    // rollup sweep without the fact VALUES: fails up front, not after
+    // a prefix of stores already rewrote
+    val badFacts = Seq(1L).toDF("event_id")
+    intercept[IllegalArgumentException](Takedown.sweep(spark,
+      removedFacts = Some(badFacts), aggStores = Seq("/nonexistent"),
+      takedownTag = Some("t")))
+    // tokenizer sweep without the surviving corpus: a retrain cannot
+    // come from removed ids alone
+    intercept[IllegalArgumentException](Takedown.sweep(spark,
+      tokenizerStores = Seq("/nonexistent")))
+    // tokenizer sweep against a store with no recipe marker: the
+    // original hyperparameters are unknown
+    intercept[IllegalArgumentException](Takedown.sweep(spark,
+      tokenizerStores = Seq("/nonexistent-no-marker"),
+      retrainCorpus = Some(Seq((1L, "a b")).toDF("doc_id", "text"))))
+    // rollup/LM sweep without a tag: the count retractions would be
+    // replay-unsafe
+    intercept[IllegalArgumentException](Takedown.sweep(spark,
+      removedFacts = Some(badFacts), aggStores = Seq("/nonexistent")))
   }
 
   test("x_takedown is DETERMINISTIC: a warm repeat and a scratch-root " +
@@ -2291,7 +2335,7 @@ class ExtSpec extends SparkSpec {
     // stores other suites read
     val root = java.nio.file.Files
       .createTempDirectory("graft-takedown-det").toString
-    val base = Seq("fp", "edges", "ann", "agg", "lm")
+    val base = ExtQueries.TakedownStoreKeys
       .map(k => k -> s"$root/base-$k").toMap
     def run(tag: String) = ExtQueries
       .takedownSummary(spark, sf0001, base, k => s"$root/$tag-$k")
