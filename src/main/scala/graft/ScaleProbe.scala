@@ -109,10 +109,20 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensureSf1(spark, src, sf1)
+    // optional args(0) regex: probe a subset (e.g. re-measure one
+    // mover after a fix). Filtered runs keep the committed full
+    // artifact intact unless SPARK_GRAFT_PROBE_OUT overrides.
+    val probeQueries = args.headOption match {
+      case Some(re) => ProbeQueries.filter(_.matches(re))
+      case None => ProbeQueries
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+      if (probeQueries == ProbeQueries) "BENCH_sf1_probe.json"
+      else "/tmp/BENCH_sf1_probe_subset.json")
     // JIT/codegen warmup at the smallest sf, exactly like Bench
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    ProbeQueries.foreach { name =>
+    probeQueries.foreach { name =>
       try consume(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
@@ -127,7 +137,7 @@ object ScaleProbe {
       }
     def d3(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val rows = ProbeQueries.map { name =>
+    val rows = probeQueries.map { name =>
       val a = timeAt(src, name)
       val b = timeAt(sf1, name)
       System.gc()
@@ -152,8 +162,7 @@ object ScaleProbe {
       s""""sf01_dir":"$src","sf1_dir":"$sf1"}"""
     println(line)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_PROBE_OUT", "BENCH_sf1_probe.json")),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

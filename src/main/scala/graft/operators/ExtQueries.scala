@@ -1102,9 +1102,14 @@ object ExtQueries {
 
     // Banded-LSH candidates + exact verify: the 100 TB path (equi-join on
     // band keys, never a nested loop). The oracle mirrors the banding.
+    // DERIVED geometry (the operator default): rowsPerBand grows with
+    // the corpus count so the band key space never saturates (the
+    // measured sf1 quadratic-candidate mover), bands with the
+    // threshold so design recall holds. At the test scales this
+    // derives exactly the old fixed (32, 6); the oracle mirrors the
+    // same integer-exact derivation.
     "x_embed_near_dup" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), CosineThreshold,
-        bands = NearDupBands, rowsPerBand = NearDupRows,
         dim = EmbeddingDim)),
 
     // Per-dimension embedding corpus stats (whitening prep): decimal
@@ -5143,9 +5148,54 @@ object ExtQueries {
 
     // mirrors Similarity.nearDupPairsLsh: md5-derived hyperplane signs,
     // plane p = band * rows + row; candidates share all bits of a band
-    "x_embed_near_dup" ->
-      s"""WITH $EmbedNearDupCtes
-         |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+    // mirrors the DERIVED default geometry of Similarity.nearDupPairsLsh:
+    // rpb = smallest r in [6,16] with occupancy·2^r ≥ n (the same
+    // integer shift-compare — no float log whose ulp could disagree),
+    // bands fixed at the default 32 (candidates stay ~linear; recall
+    // at the threshold decays as documented). DuckDB range() takes
+    // only constants, so plane indices enumerate the max geometry
+    // (32 bands × 16 bits) and filter to 32·rpb.
+    "x_embed_near_dup" -> {
+      s"""WITH geo AS (
+         |  SELECT n,
+         |    (SELECT min(r)::int FROM range(6, 17) t(r)
+         |     WHERE (${Similarity.LshTargetOccupancy}::bigint
+         |              << r::int) >= n OR r = 16) AS rpb
+         |  FROM (SELECT count(*)::bigint AS n FROM embeddings)),
+         |pidx AS (
+         |  SELECT p FROM geo, range(${32 * 16}) pr(p)
+         |  WHERE p < 32 * rpb),
+         |planes AS (
+         |  SELECT p, i,
+         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
+         |        i::varchar), 1, 15))::bigint & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM pidx CROSS JOIN range($EmbeddingDim) ir(i)),
+         |proj AS (
+         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn)
+         |    AS proj
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+         |bkeys AS (
+         |  SELECT vec_id, p // (SELECT rpb FROM geo) AS band,
+         |    sum(CASE WHEN proj > 0
+         |          THEN (1::bigint << (p % (SELECT rpb FROM geo))::int)
+         |          ELSE 0 END) AS bkey
+         |  FROM proj GROUP BY vec_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bkeys x JOIN bkeys y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |      AND x.vec_id < y.vec_id),
+         |epairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |      b.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |  WHERE cos >= $CosineThreshold)
+         |SELECT id_a, id_b, cos FROM epairs""".stripMargin
+    },
 
     // incremental admission must equal the from-scratch rebuild: the
     // oracle IS the full-corpus pair chain
@@ -8859,7 +8909,12 @@ object ExtQueries {
     * with one answer. */
   lazy val oracleSql: Map[String, String] = BaseOracleSql ++ Map(
     "x_sql_funnel" -> BaseOracleSql("x_funnel"),
-    "x_sql_neardup_pairs" -> BaseOracleSql("x_embed_near_dup"),
+    // the SQL front door passes the EXPLICIT fixed recipe geometry, so
+    // its oracle is the fixed chain (x_embed_near_dup's is now the
+    // derived-geometry mirror)
+    "x_sql_neardup_pairs" ->
+      s"""WITH $EmbedNearDupCtes
+         |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
     "x_sql_profile" -> BaseOracleSql("x_profile_orders"),
     "x_sql_retention" -> BaseOracleSql("x_retention"),
     "x_sql_dedup_apply" -> BaseOracleSql("x_dedup_apply"),

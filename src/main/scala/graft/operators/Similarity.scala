@@ -1075,6 +1075,51 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Target rows per (band, key) bucket for the DERIVED geometry: the
+    * per-band key space `2^r` grows with the corpus so mean occupancy
+    * stays ≤ this. 32 reproduces the measured-good 6-bit geometry at
+    * the 2k-vector test scale (2000/2^6 ≈ 31). */
+  val LshTargetOccupancy = 32
+
+  /** Design recall for [[derivedBands]]: `1-(1-p^r)^b ≥ 0.875`, the
+    * recall the original fixed (32, 6) geometry delivers at threshold
+    * 0.4. */
+  val LshDesignRecall = 0.875
+
+  /** Smallest `rowsPerBand` in [6, 16] whose per-band key space keeps
+    * mean bucket occupancy ≤ [[LshTargetOccupancy]] — i.e. the
+    * Scaladoc's "rowsPerBand grows with ln n" made the default.
+    * INTEGER-EXACT (shift compare, no float `ceil(log2 n)` whose ulp
+    * could flip the result between engines — the DuckDB oracle mirrors
+    * the same shift compare). */
+  def derivedRowsPerBand(n: Long): Int = {
+    var r = 6
+    while (r < 16 && (LshTargetOccupancy.toLong << r) < n) r += 1
+    r
+  }
+
+  /** The band count holding [[LshDesignRecall]] at `threshold` for a
+    * given `rowsPerBand`: `b = ceil(ln(1/(1-R)) / -ln(1-p^r))` with
+    * `p = 1 - acos(t)/π` (sign-LSH collision probability). At
+    * (t=0.4, r=6) this is exactly 32 — the original fixed default IS
+    * this formula's output at test scale.
+    *
+    * This is an EXPLICIT tuning helper, not the default: holding the
+    * design recall at a MID threshold while r grows costs
+    * `b ∝ (1/p_t)^r ∝ n^ρ` extra bands, putting candidate volume back
+    * on the n^(1+ρ) curve — the honest price of full recall at a thin
+    * sign-LSH gap. The default keeps `bands` fixed, so candidates
+    * stay ~LINEAR in n and recall at the decision threshold decays
+    * (quantified by the geometry spec); deployments that need the
+    * recall back pass `bands = derivedBands(t, derivedRowsPerBand(n))`
+    * and pay the growth knowingly. */
+  def derivedBands(threshold: Double, rowsPerBand: Int): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pr = math.pow(p, rowsPerBand)
+    math.ceil(math.log(1.0 / (1.0 - LshDesignRecall)) /
+      -math.log(1.0 - pr) - 1e-9).toInt
+  }
+
   /** Embedding near-duplicate pairs via banded LSH: bucket each vector
     * into `bands` keys of `rowsPerBand` hyperplane bits, equi-join on
     * (band, key) — candidates are pairs agreeing on ALL bits of at least
@@ -1085,21 +1130,36 @@ object Similarity {
     * band key (never a nested loop), so cost follows bucket occupancy, not
     * n². More `rowsPerBand` → fewer random collisions (halves per bit);
     * more `bands` → higher recall (any-band OR). Candidate volume scales
-    * as n^(1+ρ) with ρ = ln(p_t)/ln(p_rand) once (rowsPerBand, bands)
-    * grow with ln n — at a high threshold (cos ≥ 0.9, p_t ≈ 0.86) that is
-    * a 100-1000× prune; at a mid threshold (0.4, p_t ≈ 0.61) the sign-LSH
-    * gap over random (p ≈ 0.5) is thin, and the defaults here (32 bands ×
-    * 6 bits, measured on the test corpora) buy ≥ 92% recall for ~2.5×
-    * pruning. Dense embedding clusters make hot buckets — AQE skew-join
+    * as n^(1+ρ) with ρ = ln(p_t)/ln(p_rand) once rowsPerBand grows
+    * with ln n — and the DEFAULT geometry now does exactly that:
+    * `rowsPerBand = 0` (auto) derives it from the corpus count
+    * ([[derivedRowsPerBand]] — the per-band key space tracks n, so a
+    * FIXED geometry's bucket saturation and its quadratic candidate
+    * blow-up cannot happen; with fixed bands, expected random
+    * candidates are ≤ occupancy·bands·n/2, LINEAR in n by
+    * construction). `bands` stays a fixed default: recall at the
+    * decision threshold then DECAYS as r grows — the documented
+    * trade, quantified by the geometry spec; [[derivedBands]] is the
+    * explicit buy-it-back knob and its n^ρ cost note. Explicit values
+    * remain overrides (the persisted [[graft.sources.EdgeStore]]
+    * passes its recipe's fixed geometry — a store's banding must not
+    * drift with corpus growth between builds). At a high threshold
+    * (cos ≥ 0.9, p_t ≈ 0.86) the prune is 100-1000×; at a mid
+    * threshold (0.4, p_t ≈ 0.63) the sign-LSH gap over random is
+    * thin. Dense embedding clusters make hot buckets — AQE skew-join
     * handles those at scale. Recall is by design below 1 near the
-    * threshold; the DuckDB oracle mirrors the exact same banding so
-    * results stay engine-reproducible. */
+    * threshold; the DuckDB oracle mirrors the exact same banding
+    * (including the derivation) so results stay engine-reproducible. */
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
-      bands: Int = 32, rowsPerBand: Int = 6, dim: Int = 64,
+      bands: Int = 32, rowsPerBand: Int = 0, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val r =
+      if (rowsPerBand > 0) rowsPerBand
+      else derivedRowsPerBand(vectors.count())
+    val b = bands
     val sigs = CacheRegistry.tracked( // read from 3 plan branches below
       unitVecs(vectors, idCol, vecCol, "id", "v") // keys cost bands*rows
-        .withColumn("keys", bandKeys(col("v"), bands, rowsPerBand, dim)))
+        .withColumn("keys", bandKeys(col("v"), b, r, dim)))
     // the bucket self-join carries ONLY ids — vectors through an n·bands
     // shuffle would dominate its size; candidates dedup BEFORE the
     // verify so a pair agreeing on several bands pays one dot product
