@@ -345,10 +345,45 @@ object HilbertStore {
       .filter(col(aCol).between(aLo, aHi) &&
         col(bCol).between(bLo, bHi))
     val cur = currentManifest(spark, path)
-    val main = filt(ManifestDir.readRelation(spark, path, cur,
+    rectScanManifest(spark, path, cur, filt)
+  }
+
+  /** TIME TRAVEL: [[rectScan]] against a SPECIFIC committed version —
+    * "which exact layout state (clustered ∪ which tail batches)
+    * served this run" stays answerable until retention GC ages the
+    * version out. Fails loudly on an expired pin. */
+  def rectScanAt(spark: SparkSession, path: String, version: Long,
+      aCol: String, bCol: String, aLo: Long, aHi: Long, bLo: Long,
+      bHi: Long, bits: Int, maxRanges: Int = 32): DataFrame = {
+    val ranges = coveringRanges(aLo, aHi, bLo, bHi, bits, maxRanges)
+    val pre: Column = ranges
+      .map { case (lo, hi) => col("hval").between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def filt(df: DataFrame): DataFrame = df.filter(pre)
+      .filter(col(aCol).between(aLo, aHi) &&
+        col(bCol).between(bLo, bHi))
+    SnapshotDir.atVersion(spark, path, Prefix, version) match {
+      case Some(vd) => rectScanManifest(spark, path,
+        ManifestDir.read(spark, vd), filt)
+      case None => throw new IllegalStateException(
+        s"hilbert version $version at $path is not committed or has " +
+          "been GC'd — pin expired; committed: " +
+          committedVersions(spark, path).mkString("[", ", ", "]"))
+    }
+  }
+
+  /** Committed main-lineage versions at `path`, ascending. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    SnapshotDir.versions(spark, path, Prefix)
+      .filter(_._2).map(_._1).sorted
+
+  private def rectScanManifest(spark: SparkSession, path: String,
+      m: ManifestDir.Manifest,
+      filt: DataFrame => DataFrame): DataFrame = {
+    val main = filt(ManifestDir.readRelation(spark, path, m,
       ClusteredRel))
-    if (cur.segments(TailRel).isEmpty) main
+    if (m.segments(TailRel).isEmpty) main
     else main.unionByName(filt(
-      ManifestDir.readRelation(spark, path, cur, TailRel)))
+      ManifestDir.readRelation(spark, path, m, TailRel)))
   }
 }

@@ -326,9 +326,19 @@ object VectorIndexStore {
     * the streaming [[graft.streaming.StreamingSync.vectorAppendSink]]
     * relies on; concurrent PROBES are safe against any of them (they
     * read the manifest they resolved). */
+  /** Appends AUTO-COMPACT past this many codes segments. Each append
+    * adds one segment, and a probe's scan plan carries one branch per
+    * segment — unbounded appends would grow plan width (and per-file
+    * open/footer cost) without bound between manual compactions. The
+    * guard turns the documented "compact periodically" into a
+    * CONTRACT: probe plan width is bounded by construction, no
+    * deployment can append its way into a thousand-branch union. */
+  val MaxCodesSegments = 32
+
   def appendIvfPq(spark: SparkSession, path: String, batch: DataFrame,
       m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      maxCodesSegments: Int = MaxCodesSegments): Unit = {
     SnapshotDir.withWriterLock(spark, path) {
       val man = currentManifest(spark, path)
       val cents = readMeta(spark, path, man, CentsRel)
@@ -339,6 +349,11 @@ object VectorIndexStore {
         .write.partitionBy("cent_id").parquet(s"$path/$seg")
       ManifestDir.commit(spark, path, Prefix,
         man.withSegment(CodesRel, seg))
+      // the width guard: fold the accumulated segments (and any
+      // tombstones) back to one as part of the SAME locked admission —
+      // the lock is reentrant, so this is one writer span end to end
+      if (man.segments(CodesRel).size + 1 > maxCodesSegments)
+        compactIvfPq(spark, path)
       ()
     }
     SnapshotDir.gc(spark, path, Prefix)

@@ -22,46 +22,111 @@ import graft.plans.{LayoutExpressions, LayoutKernels}
   * predicates make correctness independent of it either way).
   *
   * Single-writer, like [[StateStore]]: concurrent writers to one
-  * layout path are not supported.
+  * layout path are not supported. Each rewrite lands as the next
+  * [[SnapshotDir]] version (atomic marker publish; the previous
+  * version survives one rewrite as the in-flight-reader grace
+  * window), so "which exact layout served this run" stays answerable
+  * via [[zRangeScanAt]] until GC ages the pin out — the same
+  * time-travel contract the other versioned families carry.
   */
 object ZOrderStore {
+
+  private val VersionPrefix = "z-"
+  val FormatVersion = 2 // v2: SnapshotDir-versioned layout dirs
 
   /** Write `df` Z-clustered on the two bounded non-negative grid
     * columns (values must already sit in `[0, 2^bits)` — production
     * normalizes/bins first, which keeps the layout math integer-exact
-    * and engine-replayable). `files` range-partitions the Z-space, so
-    * each output file covers a compact Z-interval. */
+    * and engine-replayable) as the next committed version. `files`
+    * range-partitions the Z-space, so each output file covers a
+    * compact Z-interval. */
   def writeZOrdered(df: DataFrame, path: String, aCol: String,
       bCol: String, bits: Int, files: Int): Unit = {
-    df.withColumn("zval",
-        LayoutExpressions.zValue(col(aCol).cast("long"),
-          col(bCol).cast("long"), bits))
-      .repartitionByRange(files, col("zval"))
-      .sortWithinPartitions("zval")
-      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    SnapshotDir.withWriterLock(spark, path) {
+      val next = SnapshotDir.next(spark, path, VersionPrefix)
+      df.withColumn("zval",
+          LayoutExpressions.zValue(col(aCol).cast("long"),
+            col(bCol).cast("long"), bits))
+        .repartitionByRange(files, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.parquet(s"$path/${SnapshotDir.name(VersionPrefix, next)}")
+      SnapshotDir.commit(spark, path, VersionPrefix, next)
+    }
+    SnapshotDir.gc(spark, path, VersionPrefix)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Marker-gated [[writeZOrdered]]: skip the write when the layout at
     * `path` was already built with the same recipe (same gate protocol
     * as `VectorIndexStore.ensureIvfPq` — marker written LAST, so a
     * crash mid-write rebuilds instead of serving a half-written
-    * layout). Returns build seconds, or None when warm. */
+    * layout). A recipe/format change wipes the root UNDER the writer
+    * lock first (pre-versioned flat layouts rebuild clean). Returns
+    * build seconds, or None when warm. */
   def ensureZOrdered(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, files: Int): Option[Double] =
-    StoreFiles.markerGate(df.sparkSession, path,
-      s"""{"a":"$aCol","b":"$bCol","bits":$bits,"files":$files}""") {
-      writeZOrdered(df, path, aCol, bCol, bits, files)
+      bCol: String, bits: Int, files: Int): Option[Double] = {
+    val spark = df.sparkSession
+    val recipe = s"""{"fmt":$FormatVersion,"a":"$aCol","b":"$bCol",""" +
+      s""""bits":$bits,"files":$files}"""
+    val warm = StoreFiles.readText(spark, s"$path/_built.json")
+      .contains(recipe) &&
+      SnapshotDir.current(spark, path, VersionPrefix).isDefined
+    if (warm) None
+    else {
+      val t0 = System.nanoTime()
+      SnapshotDir.withWriterLock(spark, path) {
+        SnapshotDir.wipeRootKeepLock(spark, path)
+        writeZOrdered(df, path, aCol, bCol, bits, files)
+      }
+      // marker last: a crash mid-build leaves no marker → rebuild
+      StoreFiles.writeText(spark, s"$path/_built.json", recipe)
+      Some((System.nanoTime() - t0) / 1e9)
     }
+  }
+
+  /** The current committed layout directory — loud when none. */
+  private def currentDir(spark: SparkSession, path: String): String =
+    SnapshotDir.current(spark, path, VersionPrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed z-order layout under $path — build first"))
+
+  /** Committed layout versions at `path`, ascending. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    SnapshotDir.versions(spark, path, VersionPrefix)
+      .filter(_._2).map(_._1).sorted
 
   /** Rectangle scan over a Z-ordered layout: one pushed-down `zval`
     * range predicate does the file/row-group skipping, the two exact
-    * column predicates cut the Z-range's false positives. */
+    * column predicates cut the Z-range's false positives. Pins the
+    * current committed version for the whole scan. */
   def zRangeScan(spark: SparkSession, path: String, aCol: String,
+      bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      bits: Int): DataFrame =
+    zScanDir(spark, currentDir(spark, path), aCol, bCol,
+      aLo, aHi, bLo, bHi, bits)
+
+  /** TIME TRAVEL: [[zRangeScan]] against a SPECIFIC committed version
+    * — "which exact layout served this run" stays answerable until
+    * retention GC. Fails loudly on an expired pin. */
+  def zRangeScanAt(spark: SparkSession, path: String, version: Long,
+      aCol: String, bCol: String, aLo: Long, aHi: Long, bLo: Long,
+      bHi: Long, bits: Int): DataFrame =
+    SnapshotDir.atVersion(spark, path, VersionPrefix, version) match {
+      case Some(dir) => zScanDir(spark, dir, aCol, bCol,
+        aLo, aHi, bLo, bHi, bits)
+      case None => throw new IllegalStateException(
+        s"z-order version $version at $path is not committed or has " +
+          "been GC'd — pin expired; committed: " +
+          committedVersions(spark, path).mkString("[", ", ", "]"))
+    }
+
+  private def zScanDir(spark: SparkSession, dir: String, aCol: String,
       bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       bits: Int): DataFrame = {
     val zLo = LayoutKernels.interleave(aLo, bLo, bits)
     val zHi = LayoutKernels.interleave(aHi, bHi, bits)
-    spark.read.parquet(path)
+    spark.read.parquet(dir)
       .filter(col("zval").between(zLo, zHi))
       .filter(col(aCol).between(aLo, aHi) &&
         col(bCol).between(bLo, bHi))

@@ -273,6 +273,53 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("derived LSH geometry: key space tracks n, bands hold design " +
+      "recall, identity below saturation, recall held past it") {
+    // integer-exact rowsPerBand: smallest r in [6,16] with 32·2^r ≥ n
+    assert(Similarity.derivedRowsPerBand(500L) === 6)
+    assert(Similarity.derivedRowsPerBand(2048L) === 6)
+    assert(Similarity.derivedRowsPerBand(2049L) === 7)
+    assert(Similarity.derivedRowsPerBand(20000L) === 10) // the sf1 fix
+    assert(Similarity.derivedRowsPerBand(Long.MaxValue) === 16)
+    // the EXPLICIT recall-buy-back knob: at (0.4, 6) the design-recall
+    // formula reproduces the original fixed default exactly (the
+    // default 32 IS the r=6 design point); at r=10 it names the n^ρ
+    // price of holding that recall at scale
+    assert(Similarity.derivedBands(
+      graft.operators.ExtQueries.CosineThreshold, 6) ===
+      graft.operators.ExtQueries.NearDupBands)
+    assert(Similarity.derivedBands(
+      graft.operators.ExtQueries.CosineThreshold, 10) === 207)
+    val e = Tables.embeddings(spark, sf0001)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"cos")
+        .collect().map(_.toString).toSet
+    assert(pset(Similarity.nearDupPairsLsh(e, 0.4)) ===
+      pset(Similarity.nearDupPairsLsh(e, 0.4,
+        bands = 32, rowsPerBand = 6)),
+      "auto geometry must equal the fixed default below saturation")
+    // PAST saturation: 5 scaled copies of the corpus (scaling keeps
+    // every direction, so near-dup structure replicates) → n = 2500 →
+    // derived r=7 at the fixed 32 bands. Candidates shrink (that is
+    // the point); recall vs exact must stay near the design level —
+    // the quantified trade of the scale-aware default.
+    val big = (0 until 5).map(k =>
+      e.select(($"vec_id" * 5 + k).as("vec_id"),
+        transform($"embedding",
+          x => x * lit(1.0f + k * 0.01f)).as("embedding")))
+      .reduce(_ unionByName _)
+    assert(Similarity.derivedRowsPerBand(big.count()) === 7)
+    val exact = Similarity.nearDupPairsExact(big, 0.4)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.nearDupPairsLsh(big, 0.4)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+    val recall = exact.count(got).toDouble / exact.size
+    assert(recall >= 0.7, s"derived-geometry recall $recall")
+  }
+
   test("per-dimension embedding stats: hand-computed mean and std") {
     val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
@@ -1350,7 +1397,9 @@ class ExtSpec extends SparkSpec {
       .select($"event_id", ($"user_id" % 256).as("za"),
         ($"event_id" % 256).as("zb"))
     graft.sources.ZOrderStore.writeZOrdered(g, path, "za", "zb", 8, 16)
-    val files = new java.io.File(path).listFiles()
+    // the layout lands as a committed SnapshotDir version
+    val vdir = graft.sources.SnapshotDir.current(spark, path, "z-").get
+    val files = new java.io.File(vdir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     assert(files.length >= 8)
     // range-partitioned on zval → per-file intervals are disjoint
@@ -1386,6 +1435,56 @@ class ExtSpec extends SparkSpec {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(zval"))
+  }
+
+  test("layout-store time travel: pinned z-order and hilbert scans " +
+      "survive later rewrites; expired pins fail loudly") {
+    import graft.sources.{HilbertStore, ZOrderStore}
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").as[Long].collect().toSet
+    // ---- z-order: each rewrite is a version; the pin reads EXACTLY
+    // the layout the run consumed, not whatever replaced it
+    val zp = java.nio.file.Files
+      .createTempDirectory("graft-z-pin").toString
+    val half = g.filter($"event_id" % 2 === 0)
+    ZOrderStore.writeZOrdered(half, zp, "za", "zb", 8, 4)
+    val zv1 = ZOrderStore.committedVersions(spark, zp).max
+    def zScanAt(v: Long) = ids(ZOrderStore.zRangeScanAt(spark, zp, v,
+      "za", "zb", 0, 255, 0, 255, 8))
+    val pinnedZ = zScanAt(zv1)
+    assert(pinnedZ === ids(half))
+    ZOrderStore.writeZOrdered(g, zp, "za", "zb", 8, 4) // v2: full grid
+    assert(zScanAt(zv1) === pinnedZ,
+      "the pin must keep serving the replaced layout")
+    assert(ids(ZOrderStore.zRangeScan(spark, zp,
+      "za", "zb", 0, 255, 0, 255, 8)) === ids(g))
+    ZOrderStore.writeZOrdered(half, zp, "za", "zb", 8, 4) // v3 ages v1
+    intercept[IllegalStateException](zScanAt(zv1))
+    // ---- hilbert: pin a clustered∪tail state, append after, optimize
+    val hp = java.nio.file.Files
+      .createTempDirectory("graft-h-pin").toString
+    val base = g.filter($"event_id" % 3 === 0)
+    val b1 = g.filter($"event_id" % 3 === 1)
+    val b2 = g.filter($"event_id" % 3 === 2)
+    HilbertStore.ensureHilbert(base, hp, "za", "zb", 8, 4)
+    HilbertStore.appendTail(b1, hp, "za", "zb", 8)
+    val hv = HilbertStore.committedVersions(spark, hp).max
+    def hScanAt(v: Long) = ids(HilbertStore.rectScanAt(spark, hp, v,
+      "za", "zb", 0, 255, 0, 255, 8))
+    assert(hScanAt(hv) === ids(base.unionByName(b1)))
+    HilbertStore.appendTail(b2, hp, "za", "zb", 8)
+    assert(hScanAt(hv) === ids(base.unionByName(b1)),
+      "the pinned state must exclude batches appended after the pin")
+    assert(ids(HilbertStore.rectScan(spark, hp,
+      "za", "zb", 0, 255, 0, 255, 8)) === ids(g))
+    HilbertStore.optimize(spark, hp, 4) // next commit ages the pin out
+    intercept[IllegalStateException](hScanAt(hv))
+    assert(ids(HilbertStore.rectScan(spark, hp,
+      "za", "zb", 0, 255, 0, 255, 8)) === ids(g),
+      "optimize must not change served rows")
   }
 
   test("hilbert curve: bijective, unit-step adjacent, covering ranges exact") {
@@ -1748,6 +1847,41 @@ class ExtSpec extends SparkSpec {
       .ivfPqTopKFromIndex(spark, path, q, e, 10)
       .collect().map(_.toString).sorted
     assert(direct.length === served.length && direct.sameElements(served))
+  }
+
+  test("ivfpq append width guard: the codes relation auto-compacts " +
+      "past the segment bound, results unchanged") {
+    import graft.sources.VectorIndexStore
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter($"vec_id" % 10 < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-width").toString
+    VectorIndexStore.writeIvfPq(base, path)
+    // five appends with a bound of 3: plan width (one scan branch per
+    // codes segment) must never exceed the bound — the guard folds the
+    // relation back inside the SAME locked admission
+    (5 until 10).foreach { k =>
+      VectorIndexStore.appendIvfPq(spark, path,
+        e.filter($"vec_id" % 10 === k), maxCodesSegments = 3)
+      val m = VectorIndexStore.currentManifest(spark, path)
+      assert(m.segments("codes").size <= 3,
+        s"codes segments ${m.segments("codes").size} exceed the bound")
+    }
+    val q = e.filter($"vec_id" % 50 === 0)
+    val served = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, path, q, e, 10)
+      .collect().map(_.toString).sorted
+    val whole = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-width2").toString
+    VectorIndexStore.writeIvfPq(base, whole)
+    // same admissions, no auto-compaction — identical serving rows
+    (5 until 10).foreach(k => VectorIndexStore.appendIvfPq(spark, whole,
+      e.filter($"vec_id" % 10 === k)))
+    val loose = VectorIndexStore
+      .ivfPqTopKFromIndex(spark, whole, q, e, 10)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(loose),
+      "auto-compaction must not change served results")
   }
 
   test("ivfpq append equals the in-memory frozen-metadata composition") {
