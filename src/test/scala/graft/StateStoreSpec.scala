@@ -201,12 +201,27 @@ class StateStoreSpec extends SparkSpec {
     import graft.sources.SnapshotDir
     val dir = tmpDir() + "/state"
     val df = Seq((1L, "a")).toDF("id", "v")
-    // a held lock makes a second writer THROW (not race a version)
+    // a held lock makes a second writer THREAD throw (not race a
+    // version), while the SAME thread re-enters — the reentrancy the
+    // wipe-then-rebuild ensure paths hold one lock across
+    def foreignAcquire(staleMs: Long = 15 * 60 * 1000L): Throwable = {
+      val caught =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val th = new Thread(() =>
+        try SnapshotDir.withWriterLock(spark, dir, staleMs) { () }
+        catch { case e: Throwable => caught.set(e) })
+      th.start(); th.join()
+      caught.get()
+    }
     SnapshotDir.withWriterLock(spark, dir) {
-      val e = intercept[IllegalStateException] {
-        SnapshotDir.withWriterLock(spark, dir) { fail("must not enter") }
-      }
-      assert(e.getMessage.contains("concurrent writer"))
+      var entered = false
+      SnapshotDir.withWriterLock(spark, dir) { entered = true }
+      assert(entered, "same-thread nesting must re-enter")
+      assert(new java.io.File(dir, "_writer.lock").exists(),
+        "the inner frame's exit must not release the outer lock")
+      val e = foreignAcquire()
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("concurrent writer"))
     }
     // the lock releases on exit: the real writer path works again
     StateStore.overwrite(df, dir)
@@ -229,12 +244,10 @@ class StateStoreSpec extends SparkSpec {
     // let the mtime age past the window and flake the pin.
     SnapshotDir.withWriterLock(spark, dir, staleMs = 2000) {
       Thread.sleep(5000) // 2.5× the stale window; heartbeat at ~667ms
-      val e = intercept[IllegalStateException] {
-        SnapshotDir.withWriterLock(spark, dir, staleMs = 2000) {
-          fail("stale reclaim must not usurp a live long-running writer")
-        }
-      }
-      assert(e.getMessage.contains("concurrent writer"))
+      val e = foreignAcquire(staleMs = 2000)
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("concurrent writer"),
+        s"stale reclaim must not usurp a live long-running writer: $e")
     }
     assert(!lock.exists(), "long-running writer still releases its lock")
   }
