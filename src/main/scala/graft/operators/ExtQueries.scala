@@ -1112,6 +1112,21 @@ object ExtQueries {
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d), CosineThreshold,
         dim = EmbeddingDim)),
 
+    // The LSH family's recall telemetry (the ANN family's
+    // recall_eval counterpart): pair-level recall of the
+    // derived-geometry banded chain vs the exact pair list, per
+    // cosine tenth — the operating evidence behind the scale-aware
+    // default's documented trade (decay concentrates near the
+    // threshold; high-similarity pairs stay found). Exact side is
+    // corpus² — an offline gate run on samples at scale.
+    "x_lsh_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pairRecallByBand(
+        Similarity.nearDupPairsExact(e, CosineThreshold),
+        Similarity.nearDupPairsLsh(e, CosineThreshold,
+          dim = EmbeddingDim))
+    }),
+
     // Per-dimension embedding corpus stats (whitening prep): decimal
     // sums → order-independent, engine-exact; 64 output rows.
     "x_embed_dim_stats" -> ((s, d) =>
@@ -4651,6 +4666,49 @@ object ExtQueries {
       keys.flatMap(TakedownRelsOf).map(tdSelects)
         .mkString("\nUNION ALL ")
 
+  /** The derived-geometry banded LSH chain (mirrors
+    * `Similarity.nearDupPairsLsh`'s DEFAULT geometry — see the
+    * x_embed_near_dup oracle comment). Ends in `epairs`. */
+  private lazy val EmbedNearDupAutoCtes: String =
+    s"""geo AS (
+         |  SELECT n,
+         |    (SELECT min(r)::int FROM range(6, 17) t(r)
+         |     WHERE (${Similarity.LshTargetOccupancy}::bigint
+         |              << r::int) >= n OR r = 16) AS rpb
+         |  FROM (SELECT count(*)::bigint AS n FROM embeddings)),
+         |pidx AS (
+         |  SELECT p FROM geo, range(${32 * 16}) pr(p)
+         |  WHERE p < 32 * rpb),
+         |planes AS (
+         |  SELECT p, i,
+         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
+         |        i::varchar), 1, 15))::bigint & 1) = 1
+         |      THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM pidx CROSS JOIN range($EmbeddingDim) ir(i)),
+         |proj AS (
+         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn)
+         |    AS proj
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+         |bkeys AS (
+         |  SELECT vec_id, p // (SELECT rpb FROM geo) AS band,
+         |    sum(CASE WHEN proj > 0
+         |          THEN (1::bigint << (p % (SELECT rpb FROM geo))::int)
+         |          ELSE 0 END) AS bkey
+         |  FROM proj GROUP BY vec_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bkeys x JOIN bkeys y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |      AND x.vec_id < y.vec_id),
+         |epairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |      b.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |  WHERE cos >= $CosineThreshold)""".stripMargin
+
   private val BaseOracleSql: Map[String, String] = Map(
     "x_tok_count" ->
       """SELECT doc_id,
@@ -5155,47 +5213,35 @@ object ExtQueries {
     // at the threshold decays as documented). DuckDB range() takes
     // only constants, so plane indices enumerate the max geometry
     // (32 bands × 16 bits) and filter to 32·rpb.
-    "x_embed_near_dup" -> {
-      s"""WITH geo AS (
-         |  SELECT n,
-         |    (SELECT min(r)::int FROM range(6, 17) t(r)
-         |     WHERE (${Similarity.LshTargetOccupancy}::bigint
-         |              << r::int) >= n OR r = 16) AS rpb
-         |  FROM (SELECT count(*)::bigint AS n FROM embeddings)),
-         |pidx AS (
-         |  SELECT p FROM geo, range(${32 * 16}) pr(p)
-         |  WHERE p < 32 * rpb),
-         |planes AS (
-         |  SELECT p, i,
-         |    CASE WHEN (('0x' || substr(md5('p' || p::varchar || '#' ||
-         |        i::varchar), 1, 15))::bigint & 1) = 1
-         |      THEN 1.0 ELSE -1.0 END AS sgn
-         |  FROM pidx CROSS JOIN range($EmbeddingDim) ir(i)),
-         |proj AS (
-         |  SELECT vec_id, p, sum((embedding::DOUBLE[])[i + 1] * sgn)
-         |    AS proj
-         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
-         |bkeys AS (
-         |  SELECT vec_id, p // (SELECT rpb FROM geo) AS band,
-         |    sum(CASE WHEN proj > 0
-         |          THEN (1::bigint << (p % (SELECT rpb FROM geo))::int)
-         |          ELSE 0 END) AS bkey
-         |  FROM proj GROUP BY vec_id, band),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM bkeys x JOIN bkeys y
-         |    ON x.band = y.band AND x.bkey = y.bkey
-         |      AND x.vec_id < y.vec_id),
-         |epairs AS (
-         |  SELECT c.id_a, c.id_b,
-         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
-         |      b.embedding::DOUBLE[]), 6) AS cos
-         |  FROM cand c
-         |  JOIN embeddings a ON a.vec_id = c.id_a
-         |  JOIN embeddings b ON b.vec_id = c.id_b
-         |  WHERE cos >= $CosineThreshold)
-         |SELECT id_a, id_b, cos FROM epairs""".stripMargin
-    },
+    "x_embed_near_dup" ->
+      s"""WITH $EmbedNearDupAutoCtes
+         |SELECT id_a, id_b, cos FROM epairs""".stripMargin,
+
+    // the LSH recall telemetry: exact pair chain bucketed by integer
+    // ppm-tenths of the 6dp cosine, LEFT JOINed against the SAME
+    // derived-geometry banded chain the x_embed_near_dup oracle runs
+    "x_lsh_recall" ->
+      s"""WITH $EmbedNearDupAutoCtes,
+         |exactp AS (
+         |  SELECT id_a, id_b, cos FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |        b.embedding::DOUBLE[]), 6) AS cos
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < b.vec_id)
+         |  WHERE cos >= $CosineThreshold),
+         |ebuck AS (
+         |  SELECT id_a, id_b,
+         |    (((cos::decimal(18,6) * 1000000)::bigint) // 100000)::int
+         |      AS cos_bucket
+         |  FROM exactp),
+         |hits AS (
+         |  SELECT cos_bucket, count(*)::bigint AS n_exact,
+         |    count(l.id_a)::bigint AS n_hit
+         |  FROM ebuck x LEFT JOIN epairs l USING (id_a, id_b)
+         |  GROUP BY cos_bucket)
+         |SELECT cos_bucket, n_exact, n_hit,
+         |  round(n_hit / n_exact, 6) AS recall FROM hits""".stripMargin,
 
     // incremental admission must equal the from-scratch rebuild: the
     // oracle IS the full-corpus pair chain

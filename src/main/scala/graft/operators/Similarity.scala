@@ -1178,6 +1178,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** PAIR-level recall of an approximate near-dup pair list against
+    * the exact one, per similarity bucket — the LSH family's
+    * evaluation harness (the ANN family has [[recallEval]]; this is
+    * its counterpart for the dedup graph). Buckets are tenths of
+    * cosine derived by INTEGER arithmetic on the 6dp-rounded score
+    * (ppm / 100000), so both engines bucket identically — a float
+    * `floor(cos*10)` could flip on the binary representation of .6.
+    * One row per occupied bucket: exact pair count, approximate hits,
+    * recall — exactly the telemetry the scale-aware geometry's
+    * documented recall-decay trade needs: decay concentrates in the
+    * low buckets near the threshold while high-similarity pairs (the
+    * ones dedup acts on) stay found.
+    *
+    * Scale shape: the exact side is corpus² and runs on SAMPLES in
+    * production (this is an offline gate, not a serve path); the join
+    * and aggregate are pairs-keyed, nothing larger. */
+  def pairRecallByBand(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("id_a"), col("id_b"),
+        (((col("cos").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long")) / 100000L).cast("int").as("cos_bucket"))
+      .join(approx.select(col("id_a"), col("id_b"),
+        lit(1L).as("hit")), Seq("id_a", "id_b"), "left")
+      .groupBy(col("cos_bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_exact"), 6))
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the offline evaluation harness every ANN deployment runs after an
     * index (re)build and before raising traffic: per query, the

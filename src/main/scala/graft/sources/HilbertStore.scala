@@ -165,9 +165,20 @@ object HilbertStore {
     * collide when a stream restarts on a fresh checkpoint (ids
     * restart at 0) and would silently skip genuinely new batches;
     * [[graft.streaming.StreamingSync.hilbertMaintSink]] scopes its
-    * tags by the checkpoint for exactly this reason. */
+    * tags by the checkpoint for exactly this reason.
+    *
+    * WIDTH CONTRACT (`maxTailSegments`, the codes-relation guard's
+    * twin on the layout store): each append adds one unclustered tail
+    * segment, and every rectangle scan unions one branch per tail
+    * segment with no skipping power until the next OPTIMIZE — past
+    * the bound the append runs [[optimize]] as part of the SAME
+    * locked admission (the lock is reentrant), folding the tail in at
+    * the clustered layout's existing file width. "Optimize
+    * periodically" is thereby structural: no ingest stream can append
+    * its way into a thousand-branch unclustered scan. */
   def appendTail(df: DataFrame, path: String, aCol: String,
-      bCol: String, bits: Int, batchTag: Option[String] = None): Unit = {
+      bCol: String, bits: Int, batchTag: Option[String] = None,
+      maxTailSegments: Int = MaxTailSegments): Unit = {
     batchTag.foreach(t => require(!t.contains(","),
       s"tail tags join the comma-separated applied set: '$t'"))
     val spark = df.sparkSession
@@ -183,10 +194,31 @@ object HilbertStore {
         ManifestDir.commit(spark, path, Prefix,
           cur.withSegment(TailRel, seg)
             .copy(meta = withTags(cur.meta, tagsOf(cur) ++ batchTag)))
+        if (cur.segments(TailRel).size + 1 > maxTailSegments)
+          optimize(spark, path, clusteredFileCount(spark, path))
         ()
       }
     }
     SnapshotDir.gc(spark, path, Prefix)
+  }
+
+  /** Tail segments auto-fold past this bound — see [[appendTail]]. */
+  val MaxTailSegments = 32
+
+  /** Parquet file count of the current clustered relation — the
+    * auto-OPTIMIZE's output width, so the guard preserves the layout
+    * the original build chose instead of inventing one. */
+  private def clusteredFileCount(spark: SparkSession,
+      path: String): Int = {
+    val cur = currentManifest(spark, path)
+    val (fs, _) = StoreFiles.fsOf(spark, path)
+    val n = cur.segments(ClusteredRel).map { seg =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$seg")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }.sum
+    math.max(1, n)
   }
 
   /** OPTIMISTIC tail append — the [[Branches.commitWindow]] envelope

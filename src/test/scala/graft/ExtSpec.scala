@@ -1487,6 +1487,34 @@ class ExtSpec extends SparkSpec {
       "optimize must not change served rows")
   }
 
+  test("hilbert tail width guard: appends auto-OPTIMIZE past the " +
+      "segment bound, served rows unchanged") {
+    import graft.sources.HilbertStore
+    val g = Tables.events(spark, sf0001)
+      .select($"event_id", ($"user_id" % 256).as("za"),
+        ($"event_id" % 256).as("zb"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-h-width").toString + "/h"
+    HilbertStore.ensureHilbert(g.filter($"event_id" % 7 === 0), path,
+      "za", "zb", 8, 4)
+    // six appends with a bound of 3: tail segments (one scan branch
+    // each, zero skipping power) must never exceed the bound — the
+    // guard folds clustered ∪ tail back in as part of the admission
+    (1 to 6).foreach { k =>
+      HilbertStore.appendTail(g.filter($"event_id" % 7 === k), path,
+        "za", "zb", 8, maxTailSegments = 3)
+      val cur = graft.sources.SnapshotDir.current(spark, path, "hilb-")
+      val m = graft.sources.ManifestDir.read(spark, cur.get)
+      assert(m.segments("tail").size <= 3,
+        s"tail width ${m.segments("tail").size} exceeds the bound")
+    }
+    val got = HilbertStore.rectScan(spark, path,
+        "za", "zb", 0, 255, 0, 255, 8)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === g.select("event_id").as[Long].collect().toSet,
+      "auto-optimize must not change served rows")
+  }
+
   test("hilbert curve: bijective, unit-step adjacent, covering ranges exact") {
     import graft.plans.LayoutKernels
     // the definitive Hilbert check on the full 16×16 grid: xy2d is a
