@@ -207,9 +207,16 @@ object ExtQueries {
       s"graft-takedown-$store-${Integer.toHexString(d.hashCode)}")
       .toString
 
-  /** The key set of the takedown store families, in summary order. */
+  /** The key set of the takedown store families (base/work roots), in
+    * summary order. `hilb`/`zorder` are the two LAYOUT stores — one
+    * split query (`x_takedown_layout`) covers both. */
   private[graft] val TakedownStoreKeys =
-    Seq("fp", "edges", "ann", "agg", "lm", "tok")
+    Seq("fp", "edges", "ann", "agg", "lm", "tok", "hilb", "zorder")
+
+  /** The split-query key set — store families grouped as the driver
+    * queries slice them ([[TakedownRelsOf]]/`tdCtesOf` share keys). */
+  private[graft] val TakedownSplitKeys =
+    Seq("fp", "edges", "ann", "agg", "lm", "tok", "layout")
 
   /** The `x_takedown` computation, parameterized on BOTH path sets so
     * the determinism spec can replay it against scratch roots: ensure
@@ -251,12 +258,18 @@ object ExtQueries {
       base("lm"))
     graft.sources.TokenizerStore.ensureVocab(Tables.documents(s, d),
       base("tok"), BpeTrainMerges)
+    graft.sources.HilbertStore.ensureHilbert(zGrid(events),
+      base("hilb"), "za", "zb", ZBits, ZFiles)
+    graft.sources.ZOrderStore.ensureZOrdered(zGrid(events),
+      base("zorder"), "za", "zb", ZBits, ZFiles)
     val fpW = work("fp")
     val edgeW = work("edges")
     val annW = work("ann")
     val aggW = work("agg")
     val lmW = work("lm")
     val tokW = work("tok")
+    val hilbW = work("hilb")
+    val zordW = work("zorder")
     TakedownStoreKeys.foreach(k =>
       graft.sources.StoreClone.cloneStore(s, base(k), work(k)))
     graft.sources.Takedown.sweep(s,
@@ -267,6 +280,7 @@ object ExtQueries {
       lmStores = Seq(lmW), tokenizerStores = Seq(tokW),
       retrainCorpus = Some(Tables.documents(s, d)
         .filter(col("doc_id") % DeleteMod =!= DeleteRem)),
+      hilbertStores = Seq(hilbW), zorderStores = Seq(zordW),
       takedownTag = Some("x_takedown"))
     def h60(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -314,6 +328,14 @@ object ExtQueries {
         graft.sources.TokenizerStore.readMerges(s, tokW),
         concat_ws("|", col("merge_rank"), col("left"), col("right"),
           col("cnt"))))
+      .unionByName(summ("hilb_rows",
+        graft.sources.HilbertStore.rectScan(s, hilbW, "za", "zb",
+          0, (1L << ZBits) - 1, 0, (1L << ZBits) - 1, ZBits),
+        concat_ws("|", col("event_id"), col("hval"))))
+      .unionByName(summ("zorder_rows",
+        graft.sources.ZOrderStore.zRangeScan(s, zordW, "za", "zb",
+          0, (1L << ZBits) - 1, 0, (1L << ZBits) - 1, ZBits),
+        concat_ws("|", col("event_id"), col("zval"))))
   }
 
   /** Summary rows per takedown store key — the split driver queries'
@@ -324,7 +346,8 @@ object ExtQueries {
     "ann" -> Seq("ann_topk"),
     "agg" -> Seq("agg_rollup"),
     "lm" -> Seq("lm_unigrams", "lm_bigrams"),
-    "tok" -> Seq("tok_merges"))
+    "tok" -> Seq("tok_merges"),
+    "layout" -> Seq("hilb_rows", "zorder_rows"))
 
   private val takedownMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
@@ -988,6 +1011,8 @@ object ExtQueries {
       .filter(col("rel").isin(TakedownRelsOf("lm"): _*))),
     "x_takedown_tok" -> ((s, d) => takedownRows(s, d)
       .filter(col("rel").isin(TakedownRelsOf("tok"): _*))),
+    "x_takedown_layout" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("layout"): _*))),
 
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4608,7 +4633,22 @@ object ExtQueries {
          |    FROM lmw)
          |  GROUP BY bg)""".stripMargin,
     "tok" -> bpeStagesBody(BpeTrainMerges, withFinalVocab = false,
-      where = s" WHERE doc_id % $DeleteMod <> $DeleteRem", sfx = "f"))
+      where = s" WHERE doc_id % $DeleteMod <> $DeleteRem", sfx = "f"),
+    "layout" ->
+      s"""lg AS (
+         |  SELECT event_id, user_id % ${1L << ZBits} AS za,
+         |    event_id % ${1L << ZBits} AS zb
+         |  FROM events WHERE event_id % $DeleteMod <> $DeleteRem),
+         |h0 AS (
+         |  SELECT event_id, za, zb, za AS x, zb AS y, 0::bigint AS d
+         |  FROM lg),
+         |$HilbertStepCtes,
+         |zl AS (
+         |  SELECT event_id,
+         |    list_sum(list_transform(range(0, $ZBits), i ->
+         |      (((za >> i) & 1) << (2*i + 1)) +
+         |      (((zb >> i) & 1) << (2*i))))::bigint AS zval
+         |  FROM lg)""".stripMargin)
 
   /** Per-relation summary selects of the takedown oracle, each fully
     * aliased so any slice can lead its UNION. */
@@ -4657,7 +4697,15 @@ object ExtQueries {
       s"""SELECT 'tok_merges' AS rel, count(*)::bigint AS n_rows,
          |  ${tdH("merge_rank::varchar || '|' || \"left\" || '|' || " +
               "\"right\" || '|' || cnt::varchar")} AS hashsum
-         |FROM (${bpeMergeSelect(BpeTrainMerges, "f")})""".stripMargin)
+         |FROM (${bpeMergeSelect(BpeTrainMerges, "f")})""".stripMargin,
+    "hilb_rows" ->
+      s"""SELECT 'hilb_rows' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("event_id::varchar || '|' || d::varchar")} AS hashsum
+         |FROM h$ZBits""".stripMargin,
+    "zorder_rows" ->
+      s"""SELECT 'zorder_rows' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("event_id::varchar || '|' || zval::varchar")}
+         |    AS hashsum FROM zl""".stripMargin)
 
   /** Assemble the takedown oracle for a subset of store families:
     * only their CTE chains, only their relations' summary rows. */
@@ -5163,13 +5211,14 @@ object ExtQueries {
     // (rel, n_rows, 60-bit md5 hashsum). The full query audits every
     // family in one statement; the per-store splits carry ONLY their
     // own chains, so a driver-side red names its store.
-    "x_takedown" -> takedownOracle(TakedownStoreKeys),
+    "x_takedown" -> takedownOracle(TakedownSplitKeys),
     "x_takedown_fp" -> takedownOracle(Seq("fp")),
     "x_takedown_edges" -> takedownOracle(Seq("edges")),
     "x_takedown_ann" -> takedownOracle(Seq("ann")),
     "x_takedown_agg" -> takedownOracle(Seq("agg")),
     "x_takedown_lm" -> takedownOracle(Seq("lm")),
     "x_takedown_tok" -> takedownOracle(Seq("tok")),
+    "x_takedown_layout" -> takedownOracle(Seq("layout")),
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3

@@ -255,6 +255,47 @@ object HilbertStore {
     ()
   }
 
+  /** TAKEDOWN on the layout store: anti-join the removed `ids` out of
+    * clustered ∪ tail and republish the survivors as ONE clustered
+    * segment (the optimize shape with a filter — rows carry their
+    * `hval`, so no re-derivation), the tail relation dropped, tags
+    * pruned and carried. The stored rows ARE content (a layout store
+    * persists the fact rows it clusters), so a compliance sweep must
+    * reach it like every other persisted family; idempotent by
+    * construction (anti-join form). Pre-takedown versions age out
+    * through the normal GC grace window — retention policy governs
+    * history, exactly as on the other families. */
+  def takedown(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentManifest(spark, path)
+      val clusteredRows =
+        ManifestDir.readRelation(spark, path, cur, ClusteredRel)
+      val all =
+        if (cur.segments(TailRel).isEmpty) clusteredRows
+        else clusteredRows.unionByName(
+          ManifestDir.readRelation(spark, path, cur, TailRel))
+      val kept = all.join(ids.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      val files = clusteredFileCount(spark, path)
+      val seg = ManifestDir.segDir(ManifestDir.newSegmentId(),
+        ClusteredRel)
+      kept.repartitionByRange(files, col("hval"))
+        .sortWithinPartitions("hval")
+        .write.parquet(s"$path/$seg")
+      ManifestDir.commit(spark, path, Prefix, cur
+        .withRelation(ClusteredRel, Seq(seg))
+        .withoutRelation(TailRel)
+        .copy(meta = withTags(cur.meta, pruneTags(tagsOf(cur)))))
+      SnapshotDir.gc(spark, path, Prefix)
+      ManifestDir.vacuum(spark, path,
+        Branches.allPrefixes(spark, path, Prefix),
+        minAgeMs = ManifestDir.MaintAgeMs)
+      ()
+    }
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Re-sort the tail in: clustered ∪ tail rewritten as ONE new
     * clustered segment in the next committed manifest, the tail
     * relation dropped — the lakehouse OPTIMIZE. Rows unchanged, only

@@ -45,6 +45,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuild); Misra-Gries states are NOT invertible (their error
   * admissions are stream-order state, not sums) and rebuild instead.
   *
+  *  - layout stores ([[HilbertStore]]/[[ZOrderStore]]): anti-join
+  *    republish of the clustered rows — a layout store persists the
+  *    FACT ROWS it clusters (content, not just arrangement), so the
+  *    sweep rewrites them like any other persisted copy of the data;
   *  - tokenizers: REBUILD, not algebra — a BPE vocabulary is a top-V
   *    cut whose merges can move under any count change, so the sweep
   *    retrains on the SURVIVING corpus (`retrainCorpus`, which only
@@ -86,6 +90,9 @@ object Takedown {
       lmStores: Seq[String] = Nil,
       tokenizerStores: Seq[String] = Nil,
       retrainCorpus: Option[DataFrame] = None,
+      hilbertStores: Seq[String] = Nil,
+      zorderStores: Seq[String] = Nil,
+      layoutIdCol: String = "event_id",
       takedownTag: Option[String] = None,
       textCol: String = "text"): Unit = {
     // validate EVERYTHING before touching the first store: a sweep
@@ -109,6 +116,15 @@ object Takedown {
             s"the negated contributions from them) — removedFacts is " +
             s"missing [${missing.mkString(", ")}]")
       }
+    if (hilbertStores.nonEmpty || zorderStores.nonEmpty) {
+      require(removedFacts.isDefined,
+        "layout-store takedown needs removedFacts — the layout " +
+          "stores persist the fact rows they cluster")
+      for (facts <- removedFacts)
+        require(facts.columns.contains(layoutIdCol),
+          s"layout takedown keys on '$layoutIdCol' — removedFacts " +
+            s"has [${facts.columns.mkString(", ")}]")
+    }
     if (tokenizerStores.nonEmpty) {
       require(retrainCorpus.isDefined,
         "tokenizer takedown is a RETRAIN over the surviving corpus — " +
@@ -133,6 +149,12 @@ object Takedown {
     for (docs <- docIds; p <- lmStores)
       LmStore.retractDocs(spark, p, docs, textCol,
         batchTag = takedownTag)
+    // layout stores persist the clustered FACT ROWS themselves —
+    // anti-join republish, idempotent like the other anti-join forms
+    for (facts <- removedFacts; p <- hilbertStores)
+      HilbertStore.takedown(spark, p, facts, layoutIdCol)
+    for (facts <- removedFacts; p <- zorderStores)
+      ZOrderStore.takedown(spark, p, facts, layoutIdCol)
     // non-algebraic rebuild: retrain on the surviving corpus on a
     // BRANCH, promote, drop — main serves either the full pre-sweep
     // model or the full retrained one, never a half state. Re-runs are

@@ -85,6 +85,36 @@ object ZOrderStore {
     }
   }
 
+  /** TAKEDOWN on the layout: anti-join the removed `ids` out of the
+    * current version and republish the survivors as the next
+    * committed version at the same file width (rows carry their
+    * `zval`, so no re-derivation). A layout store persists the fact
+    * rows it clusters — content, not just arrangement — so the
+    * compliance sweep reaches it like every other persisted family;
+    * idempotent (anti-join form); pre-takedown versions age out
+    * through the normal GC grace window. */
+  def takedown(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val cur = currentDir(spark, path)
+      val (fs, _) = StoreFiles.fsOf(spark, path)
+      val files = math.max(1, fs.listStatus(
+          new org.apache.hadoop.fs.Path(cur))
+        .count(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")))
+      val kept = spark.read.parquet(cur)
+        .join(ids.select(col(idCol)).distinct(), Seq(idCol),
+          "left_anti")
+      val next = SnapshotDir.next(spark, path, VersionPrefix)
+      kept.repartitionByRange(files, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.parquet(s"$path/${SnapshotDir.name(VersionPrefix, next)}")
+      SnapshotDir.commit(spark, path, VersionPrefix, next)
+    }
+    SnapshotDir.gc(spark, path, VersionPrefix)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** The current committed layout directory — loud when none. */
   private def currentDir(spark: SparkSession, path: String): String =
     SnapshotDir.current(spark, path, VersionPrefix).getOrElse(

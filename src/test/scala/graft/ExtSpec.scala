@@ -2375,13 +2375,21 @@ class ExtSpec extends SparkSpec {
     AggStore.writeState(events, s"$root/agg")
     TokenizerStore.ensureVocab(docs, s"$root/tok", 6)
     val survivors = docs.filter($"doc_id" % 10 =!= 3)
+    // layout stores persist the clustered fact rows — the sweep must
+    // rewrite them like any other persisted copy of the data
+    val grid = events.select($"event_id",
+      ($"user_id" % 256).as("za"), ($"event_id" % 256).as("zb"))
+    HilbertStore.ensureHilbert(grid, s"$root/hilb", "za", "zb", 8, 4)
+    ZOrderStore.ensureZOrdered(grid, s"$root/zord", "za", "zb", 8, 4)
     Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
       lmStores = Seq(s"$root/lm"),
       tokenizerStores = Seq(s"$root/tok"),
-      retrainCorpus = Some(survivors), takedownTag = Some("spec-1"))
+      retrainCorpus = Some(survivors),
+      hilbertStores = Seq(s"$root/hilb"),
+      zorderStores = Seq(s"$root/zord"), takedownTag = Some("spec-1"))
     def noDeleted(df: org.apache.spark.sql.DataFrame,
         c: String, what: String): Unit =
       assert(df.filter(col(c) % 10 === 3).count() === 0L,
@@ -2436,6 +2444,20 @@ class ExtSpec extends SparkSpec {
       "swept tokenizer must equal the filtered-corpus retrain")
     assert(TokenizerStore.branches(spark, s"$root/tok").isEmpty,
       "the takedown branch must be promoted and dropped")
+    // layout stores: swept rows equal the filtered grid exactly (rows
+    // and curve values), no deleted event_id in any serve path
+    val gridKeep = grid.filter($"event_id" % 10 =!= 3)
+      .select("event_id").as[Long].collect().toSet
+    def hilbRows() = HilbertStore.rectScan(spark, s"$root/hilb",
+        "za", "zb", 0, 255, 0, 255, 8)
+      .select("event_id").as[Long].collect().toSet
+    def zordRows() = ZOrderStore.zRangeScan(spark, s"$root/zord",
+        "za", "zb", 0, 255, 0, 255, 8)
+      .select("event_id").as[Long].collect().toSet
+    assert(hilbRows() === gridKeep,
+      "swept hilbert layout must equal the filtered grid")
+    assert(zordRows() === gridKeep,
+      "swept z-order layout must equal the filtered grid")
     // TIME TRAVEL: the pre-takedown fingerprint version still pins —
     // "which exact fingerprint state admitted this corpus" survives
     // the takedown until retention GC ages it out
@@ -2452,7 +2474,9 @@ class ExtSpec extends SparkSpec {
       vectorIndexes = Seq(s"$root/ann"), aggStores = Seq(s"$root/agg"),
       lmStores = Seq(s"$root/lm"),
       tokenizerStores = Seq(s"$root/tok"),
-      retrainCorpus = Some(survivors), takedownTag = Some("spec-1"))
+      retrainCorpus = Some(survivors),
+      hilbertStores = Seq(s"$root/hilb"),
+      zorderStores = Seq(s"$root/zord"), takedownTag = Some("spec-1"))
     assert(AggStore.readState(spark, s"$root/agg")
       .withColumn("total", $"total".cast("double"))
       .collect().map(_.toString).sorted.toSeq === want,
@@ -2464,6 +2488,8 @@ class ExtSpec extends SparkSpec {
       === pairs.collect().map(_.toString).sorted.toSeq)
     assert(tokMerges() === wantMerges,
       "a replayed tokenizer rebuild is content-idempotent")
+    assert(hilbRows() === gridKeep && zordRows() === gridKeep,
+      "replayed layout takedowns are idempotent (anti-join form)")
   }
 
   test("takedown sweep validates EVERY argument before the first " +
