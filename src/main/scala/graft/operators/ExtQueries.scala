@@ -211,12 +211,13 @@ object ExtQueries {
     * summary order. `hilb`/`zorder` are the two LAYOUT stores — one
     * split query (`x_takedown_layout`) covers both. */
   private[graft] val TakedownStoreKeys =
-    Seq("fp", "edges", "ann", "agg", "lm", "tok", "hilb", "zorder")
+    Seq("fp", "edges", "ann", "agg", "lm", "tok", "hilb", "zorder",
+      "scd2")
 
   /** The split-query key set — store families grouped as the driver
     * queries slice them ([[TakedownRelsOf]]/`tdCtesOf` share keys). */
   private[graft] val TakedownSplitKeys =
-    Seq("fp", "edges", "ann", "agg", "lm", "tok", "layout")
+    Seq("fp", "edges", "ann", "agg", "lm", "tok", "layout", "scd2")
 
   /** The `x_takedown` computation, parameterized on BOTH path sets so
     * the determinism spec can replay it against scratch roots: ensure
@@ -262,6 +263,7 @@ object ExtQueries {
       base("hilb"), "za", "zb", ZBits, ZFiles)
     graft.sources.ZOrderStore.ensureZOrdered(zGrid(events),
       base("zorder"), "za", "zb", ZBits, ZFiles)
+    graft.sources.Scd2Store.ensureState(events, base("scd2"))
     val fpW = work("fp")
     val edgeW = work("edges")
     val annW = work("ann")
@@ -270,6 +272,7 @@ object ExtQueries {
     val tokW = work("tok")
     val hilbW = work("hilb")
     val zordW = work("zorder")
+    val scd2W = work("scd2")
     TakedownStoreKeys.foreach(k =>
       graft.sources.StoreClone.cloneStore(s, base(k), work(k)))
     graft.sources.Takedown.sweep(s,
@@ -281,6 +284,10 @@ object ExtQueries {
       retrainCorpus = Some(Tables.documents(s, d)
         .filter(col("doc_id") % DeleteMod =!= DeleteRem)),
       hilbertStores = Seq(hilbW), zorderStores = Seq(zordW),
+      scd2Stores = Seq(scd2W),
+      subjectIds = Some(events
+        .filter(col("user_id") % DeleteMod === DeleteRem)
+        .select(col("user_id"))),
       takedownTag = Some("x_takedown"))
     def h60(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -336,6 +343,11 @@ object ExtQueries {
         graft.sources.ZOrderStore.zRangeScan(s, zordW, "za", "zb",
           0, (1L << ZBits) - 1, 0, (1L << ZBits) - 1, ZBits),
         concat_ws("|", col("event_id"), col("zval"))))
+      .unionByName(summ("scd2_rows",
+        graft.sources.Scd2Store.readState(s, scd2W),
+        concat_ws("|", col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")),
+          coalesce(unix_micros(col("valid_to")), lit(-1L)))))
   }
 
   /** Summary rows per takedown store key — the split driver queries'
@@ -347,7 +359,8 @@ object ExtQueries {
     "agg" -> Seq("agg_rollup"),
     "lm" -> Seq("lm_unigrams", "lm_bigrams"),
     "tok" -> Seq("tok_merges"),
-    "layout" -> Seq("hilb_rows", "zorder_rows"))
+    "layout" -> Seq("hilb_rows", "zorder_rows"),
+    "scd2" -> Seq("scd2_rows"))
 
   private val takedownMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
@@ -1013,6 +1026,8 @@ object ExtQueries {
       .filter(col("rel").isin(TakedownRelsOf("tok"): _*))),
     "x_takedown_layout" -> ((s, d) => takedownRows(s, d)
       .filter(col("rel").isin(TakedownRelsOf("layout"): _*))),
+    "x_takedown_scd2" -> ((s, d) => takedownRows(s, d)
+      .filter(col("rel").isin(TakedownRelsOf("scd2"): _*))),
 
 
     // Span-level dedup APPLIED: drop every exact width-word span
@@ -4648,7 +4663,21 @@ object ExtQueries {
          |    list_sum(list_transform(range(0, $ZBits), i ->
          |      (((za >> i) & 1) << (2*i + 1)) +
          |      (((zb >> i) & 1) << (2*i))))::bigint AS zval
-         |  FROM lg)""".stripMargin)
+         |  FROM lg)""".stripMargin,
+    "scd2" ->
+      s"""sordered AS (
+         |  SELECT user_id, ts, event_type, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events WHERE user_id % $DeleteMod <> $DeleteRem),
+         |schanges AS (
+         |  SELECT user_id, event_type, ts AS valid_from FROM sordered
+         |  WHERE prev_type IS NULL OR prev_type <> event_type),
+         |sscd2 AS (
+         |  SELECT user_id, event_type, valid_from,
+         |    lead(valid_from) OVER (PARTITION BY user_id
+         |      ORDER BY valid_from) AS valid_to
+         |  FROM schanges)""".stripMargin)
 
   /** Per-relation summary selects of the takedown oracle, each fully
     * aliased so any slice can lead its UNION. */
@@ -4705,7 +4734,13 @@ object ExtQueries {
     "zorder_rows" ->
       s"""SELECT 'zorder_rows' AS rel, count(*)::bigint AS n_rows,
          |  ${tdH("event_id::varchar || '|' || zval::varchar")}
-         |    AS hashsum FROM zl""".stripMargin)
+         |    AS hashsum FROM zl""".stripMargin,
+    "scd2_rows" ->
+      s"""SELECT 'scd2_rows' AS rel, count(*)::bigint AS n_rows,
+         |  ${tdH("user_id::varchar || '|' || event_type || '|' || " +
+              "epoch_us(valid_from)::varchar || '|' || " +
+              "coalesce(epoch_us(valid_to), -1)::varchar")} AS hashsum
+         |FROM sscd2""".stripMargin)
 
   /** Assemble the takedown oracle for a subset of store families:
     * only their CTE chains, only their relations' summary rows. */
@@ -5219,6 +5254,7 @@ object ExtQueries {
     "x_takedown_lm" -> takedownOracle(Seq("lm")),
     "x_takedown_tok" -> takedownOracle(Seq("tok")),
     "x_takedown_layout" -> takedownOracle(Seq("layout")),
+    "x_takedown_scd2" -> takedownOracle(Seq("scd2")),
 
     // mirrors Dedup.simhash/simhashPairs exactly: md5-seeded 60-bit word
     // hashes, tf-weighted bit sums, 4×15-bit band buckets, hamming ≤ 3

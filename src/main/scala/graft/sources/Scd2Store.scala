@@ -97,6 +97,28 @@ object Scd2Store {
     SnapshotDir.gc(spark, path, Prefix)
   }
 
+  /** TAKEDOWN on the maintained dimension: drop EVERY history row of
+    * the removed subjects (the right-to-be-forgotten shape — a
+    * dimension's history is per-subject content, so removal means the
+    * subject's whole timeline, not a row) and republish the survivors
+    * as the next committed version. Anti-join form — idempotent; the
+    * pre-takedown version ages out through the normal GC grace
+    * window, retention policy governing history as on every family. */
+  def takedown(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "user_id"): Unit = {
+    SnapshotDir.withWriterLock(spark, path) {
+      val kept = spark.read.parquet(currentDir(spark, path))
+        .join(ids.select(col(idCol)).distinct(), Seq(idCol),
+          "left_anti")
+      val next = SnapshotDir.next(spark, path, Prefix)
+      kept.write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/${SnapshotDir.name(Prefix, next)}")
+      SnapshotDir.commit(spark, path, Prefix, next)
+    }
+    SnapshotDir.gc(spark, path, Prefix)
+    spark.catalog.refreshByPath(path)
+  }
+
   private def merge(stored: DataFrame, delta: DataFrame): DataFrame = {
     // each key's current stored attribute seeds the batch compaction:
     // the batch's FIRST event compacts against it, so a same-value

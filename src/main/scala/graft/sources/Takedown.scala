@@ -45,6 +45,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuild); Misra-Gries states are NOT invertible (their error
   * admissions are stream-order state, not sums) and rebuild instead.
   *
+  *  - dimension history ([[Scd2Store]]): removal is per SUBJECT — a
+  *    history table's content is the subject's timeline, so the sweep
+  *    drops every row of the removed keys (anti-join republish);
   *  - layout stores ([[HilbertStore]]/[[ZOrderStore]]): anti-join
   *    republish of the clustered rows — a layout store persists the
   *    FACT ROWS it clusters (content, not just arrangement), so the
@@ -93,6 +96,9 @@ object Takedown {
       hilbertStores: Seq[String] = Nil,
       zorderStores: Seq[String] = Nil,
       layoutIdCol: String = "event_id",
+      scd2Stores: Seq[String] = Nil,
+      subjectIds: Option[DataFrame] = None,
+      subjectIdCol: String = "user_id",
       takedownTag: Option[String] = None,
       textCol: String = "text"): Unit = {
     // validate EVERYTHING before touching the first store: a sweep
@@ -125,6 +131,15 @@ object Takedown {
           s"layout takedown keys on '$layoutIdCol' — removedFacts " +
             s"has [${facts.columns.mkString(", ")}]")
     }
+    if (scd2Stores.nonEmpty) {
+      require(subjectIds.isDefined,
+        "scd2 takedown removes SUBJECTS (whole per-key timelines) — " +
+          "pass subjectIds")
+      for (ids <- subjectIds)
+        require(ids.columns.contains(subjectIdCol),
+          s"scd2 takedown keys on '$subjectIdCol' — subjectIds has " +
+            s"[${ids.columns.mkString(", ")}]")
+    }
     if (tokenizerStores.nonEmpty) {
       require(retrainCorpus.isDefined,
         "tokenizer takedown is a RETRAIN over the surviving corpus — " +
@@ -155,6 +170,9 @@ object Takedown {
       HilbertStore.takedown(spark, p, facts, layoutIdCol)
     for (facts <- removedFacts; p <- zorderStores)
       ZOrderStore.takedown(spark, p, facts, layoutIdCol)
+    // dimension history removes whole SUBJECT timelines
+    for (ids <- subjectIds; p <- scd2Stores)
+      Scd2Store.takedown(spark, p, ids, subjectIdCol)
     // non-algebraic rebuild: retrain on the surviving corpus on a
     // BRANCH, promote, drop — main serves either the full pre-sweep
     // model or the full retrained one, never a half state. Re-runs are

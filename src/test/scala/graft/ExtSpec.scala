@@ -2381,6 +2381,10 @@ class ExtSpec extends SparkSpec {
       ($"user_id" % 256).as("za"), ($"event_id" % 256).as("zb"))
     HilbertStore.ensureHilbert(grid, s"$root/hilb", "za", "zb", 8, 4)
     ZOrderStore.ensureZOrdered(grid, s"$root/zord", "za", "zb", 8, 4)
+    // dimension history: removal is per SUBJECT (whole timelines)
+    Scd2Store.ensureState(events, s"$root/scd2")
+    val userDel = events.filter($"user_id" % 5 === 2)
+      .select($"user_id")
     Takedown.sweep(spark, docIds = Some(docDel), vecIds = Some(vecDel),
       removedFacts = Some(factDel), fingerprintStores = Seq(s"$root/fp"),
       edgeStores = Seq(s"$root/edges"),
@@ -2389,7 +2393,9 @@ class ExtSpec extends SparkSpec {
       tokenizerStores = Seq(s"$root/tok"),
       retrainCorpus = Some(survivors),
       hilbertStores = Seq(s"$root/hilb"),
-      zorderStores = Seq(s"$root/zord"), takedownTag = Some("spec-1"))
+      zorderStores = Seq(s"$root/zord"),
+      scd2Stores = Seq(s"$root/scd2"),
+      subjectIds = Some(userDel), takedownTag = Some("spec-1"))
     def noDeleted(df: org.apache.spark.sql.DataFrame,
         c: String, what: String): Unit =
       assert(df.filter(col(c) % 10 === 3).count() === 0L,
@@ -2458,6 +2464,17 @@ class ExtSpec extends SparkSpec {
       "swept hilbert layout must equal the filtered grid")
     assert(zordRows() === gridKeep,
       "swept z-order layout must equal the filtered grid")
+    // scd2: the removed subjects' timelines are gone WHOLE, and the
+    // survivors' history is byte-identical to a recompute over the
+    // surviving subjects' events (whole-subject removal commutes with
+    // per-subject windowing)
+    def scd2Rows() = Scd2Store.readState(spark, s"$root/scd2")
+      .collect().map(_.toString).sorted.toSeq
+    val scd2Want = Scd2Store
+      .compact(events.filter($"user_id" % 5 =!= 2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(scd2Rows() === scd2Want,
+      "swept scd2 history must equal the surviving-subject recompute")
     // TIME TRAVEL: the pre-takedown fingerprint version still pins —
     // "which exact fingerprint state admitted this corpus" survives
     // the takedown until retention GC ages it out
@@ -2476,7 +2493,9 @@ class ExtSpec extends SparkSpec {
       tokenizerStores = Seq(s"$root/tok"),
       retrainCorpus = Some(survivors),
       hilbertStores = Seq(s"$root/hilb"),
-      zorderStores = Seq(s"$root/zord"), takedownTag = Some("spec-1"))
+      zorderStores = Seq(s"$root/zord"),
+      scd2Stores = Seq(s"$root/scd2"),
+      subjectIds = Some(userDel), takedownTag = Some("spec-1"))
     assert(AggStore.readState(spark, s"$root/agg")
       .withColumn("total", $"total".cast("double"))
       .collect().map(_.toString).sorted.toSeq === want,
@@ -2490,6 +2509,8 @@ class ExtSpec extends SparkSpec {
       "a replayed tokenizer rebuild is content-idempotent")
     assert(hilbRows() === gridKeep && zordRows() === gridKeep,
       "replayed layout takedowns are idempotent (anti-join form)")
+    assert(scd2Rows() === scd2Want,
+      "a replayed scd2 takedown is idempotent")
   }
 
   test("takedown sweep validates EVERY argument before the first " +

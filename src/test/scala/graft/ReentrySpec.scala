@@ -34,7 +34,8 @@ class ReentrySpec extends SparkSpec {
     "x_mg_rebuild", "x_cms_retract",
     "x_takedown", "x_takedown_fp", "x_takedown_edges",
     "x_takedown_ann", "x_takedown_agg", "x_takedown_lm",
-    "x_takedown_tok", "x_takedown_layout", "x_takedown_branch",
+    "x_takedown_tok", "x_takedown_layout", "x_takedown_scd2",
+    "x_takedown_branch",
     "x_sql_stores")
 
   private def rows(df: DataFrame): Seq[String] =
