@@ -621,11 +621,14 @@ object StreamingSync {
     f"c${checkpoint.hashCode}%08x"
 
   /** [[checkpointTagNs]] for stores whose redelivery tag is a LONG
-    * `batch_id` column: 23 namespace bits above bit 40 leave room for
-    * a trillion triggers per lineage, and ids stay monotonic WITHIN a
-    * checkpoint (the only scope where ordering means anything). */
+    * `batch_id` column: 31 namespace bits above bit 32 leave room for
+    * four billion triggers per lineage, and ids stay monotonic WITHIN
+    * a checkpoint (the only scope where ordering means anything). A
+    * namespace collision between two checkpoints would silently skip
+    * a colliding batch id as a redelivery, so the namespace takes the
+    * widest slice the long affords. */
   private def checkpointTagNsLong(checkpoint: String): Long =
-    (checkpoint.hashCode.toLong & 0x7fffffL) << 40
+    (checkpoint.hashCode.toLong & 0x7fffffffL) << 32
 
   /** Streaming view maintenance — the aggregate third of the
     * continuous-admission pipeline ([[dedupAdmissionSink]] keeps the
