@@ -33,6 +33,13 @@ object JobProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // AQE coalescing inside cached plans (guide §2.2/§6): the
+      // operator caches (CacheRegistry) otherwise materialize at the
+      // static shuffle width and every downstream stage inherits the
+      // tiny-partition layout; nothing here depends on cached output
+      // partitioning. Measured −24% on x_neardup_append.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .withExtensions(new graft.plans.GraftExtensions())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -81,9 +88,14 @@ object JobProfile {
           val acct = js.map(j => (j.end - j.start) / 1e3).sum
           println(f"===== $name  last-run ${dt}%.2f s  best $best%.2f s  " +
             f"jobs ${js.size}  job-time-sum $acct%.2f s =====")
+          var prevEnd = -1L
           js.foreach { j =>
             val d = if (j.end > 0) f"${(j.end - j.start) / 1e3}%7.3f" else "  (run)"
-            println(f"  job ${j.id}%4d  $d s  ${j.tasks}%4d tasks  ${j.desc}")
+            // driver-side gap since the previous job ended (planning,
+            // FS metadata, clone I/O, manifest commits ...)
+            val gap = if (prevEnd > 0) f"${(j.start - prevEnd) / 1e3}%7.3f" else "      -"
+            if (j.end > 0) prevEnd = math.max(prevEnd, j.end)
+            println(f"  job ${j.id}%4d  $d s  gap $gap s  ${j.tasks}%4d tasks  ${j.desc}")
           }
         }
       }

@@ -16,6 +16,9 @@ object QueryTimer {
       // TIMESTAMP (session tz is UTC, so values are identical) so that
       // withWatermark / window accept it — NTZ has no streaming event time.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // same cached-plan AQE as Bench — timings must match its plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

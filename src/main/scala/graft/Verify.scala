@@ -29,6 +29,11 @@ object Verify {
       // stages thrashed the earlier 2000-entry setting (static conf,
       // set pre-session; see Bench.scala for the measured effect)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // AQE coalescing inside cached plans — same session shape as
+      // Bench (see the comment there; Verify must run the same plans
+      // the bench times)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

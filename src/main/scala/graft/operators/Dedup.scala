@@ -578,7 +578,12 @@ object Dedup {
       textCol: String = "text", width: Int = 3,
       maxDf: Int = 4, offset: Int = 0): DataFrame = {
     require(width >= 1 && maxDf >= 1 && offset >= 0 && offset < width)
-    val ws = split(trim(col(textCol)), "\\s+")
+    // `ws` is BOUND to a column before anything references it: inside a
+    // higher-order-function lambda a non-attribute subexpression
+    // re-evaluates PER ELEMENT (no CSE), so an inline split would
+    // re-split the whole text once per emitted span — measured as the
+    // dominant cost of this operator at r14 profiling.
+    val ws = col("ws")
     val nWords = size(ws)
     val nSegs =
       if (offset == 0) ceil(nWords / lit(width.toDouble)).cast("int")
@@ -591,14 +596,25 @@ object Dedup {
         when(i === 0, slice(ws, lit(1), lit(offset)))
           .otherwise(
             slice(ws, i * width + (offset - width) + 1, lit(width))), " ")
+    // posexplode_OUTER + seg-not-null: a plain posexplode makes the
+    // optimizer infer `size(spans) > 0` and push it below the fan-out
+    // exchange, re-evaluating the whole span transform twice more in
+    // the single-partition pre-shuffle stage (r14 profile: a 1.7 s
+    // one-task job). The outer form prunes nothing, so nothing is
+    // inferred; empty docs emit one null row filtered right here —
+    // identical output rows.
     val segs = CacheRegistry.tracked( // feeds the df agg AND the rebuild
       fanOut(docs)
         .select(col(idCol).as("id"),
-          when(length(trim(col(textCol))) === 0,
-            array().cast("array<string>"))
+          split(trim(col(textCol)), "\\s+").as("ws"),
+          (length(trim(col(textCol))) === 0).as("empty"))
+        .select(col("id"),
+          when(col("empty"), array().cast("array<string>"))
             .otherwise(transform(sequence(lit(0), nSegs - 1), seg(_)))
             .as("spans"))
-        .select(col("id"), posexplode(col("spans")).as(Seq("pos", "seg"))))
+        .select(col("id"),
+          posexplode_outer(col("spans")).as(Seq("pos", "seg")))
+        .filter(col("seg").isNotNull))
     // only EXACT width-word spans are removal candidates: the ragged
     // tail (and an offset pass's head) remainders are sub-width, and a
     // 1-2 word remainder would let common short word runs vote as
@@ -713,8 +729,13 @@ object Dedup {
     // grams needs ~2^30 distinct grams for even one expected false
     // positive at 60 bits; it would only ever OVER-flag a span, and
     // the exact-text key stays the default for the exactness contract.
+    // outer + not-null instead of a plain posexplode: the inferred
+    // `size(gramArr) > 0` pruning filter would re-evaluate the whole
+    // gram transform twice more, pushed below the fan-out exchange
+    // into the single-partition scan stage (see scrubRepeatedSpans)
     val keyed = base
-      .select(col("id"), posexplode(gramArr).as(Seq("pos", "gram")))
+      .select(col("id"), posexplode_outer(gramArr).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
     val grams = CacheRegistry.tracked( // feeds the df agg AND the back-join
       if (hashGrams)
         keyed.select(col("id"), col("pos"),
@@ -774,8 +795,12 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - width),
           i => array_join(slice(col("toks"), i + 1, lit(width)), " ")))
       .otherwise(array().cast("array<string>"))
-    val grams = CacheRegistry.tracked(
-      base.select(col("id"), posexplode(gramArr).as(Seq("pos", "gram"))))
+    val grams = CacheRegistry.tracked( // outer + not-null: see `keyed`
+      // in duplicatedSubstrings — the inferred size() filter would
+      // evaluate the gram transform twice per cached row
+      base.select(col("id"),
+          posexplode_outer(gramArr).as(Seq("pos", "gram")))
+        .filter(col("gram").isNotNull))
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

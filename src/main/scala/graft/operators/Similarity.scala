@@ -171,11 +171,12 @@ object Similarity {
     * mismatched rows raise rather than bucket on a truncated projection. */
   def lshSignature(vec: Column, planes: Int = 12, dim: Int = 64): Column = {
     val v = dimChecked(vec.cast("array<double>"), dim)
-    (0 until planes).map { p =>
-      val signs = lit((0 until dim).map(i => planeSign(p, i)).toArray)
-      val proj = graft.plans.VectorExpressions.dotProduct(v, signs)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    // one compact expression node (plane matrix as a reference object)
+    // instead of planes·dim literal nodes — bit-identical packing; see
+    // graft.plans.BandKeys for the planning-cost measurement
+    val mat = Array.tabulate(planes)(p =>
+      Array.tabulate(dim)(i => planeSign(p, i)))
+    graft.plans.VectorExpressions.bandKeys(v, mat, planes).getItem(0)
   }
 
   /** Deterministic ±1 sign for the random-projection matrix — an
@@ -191,10 +192,10 @@ object Similarity {
   private[operators] def rpReduce(vec: Column, rDim: Int,
       dim: Int): Column = {
     val v = dimChecked(vec.cast("array<double>"), dim)
-    array((0 until rDim).map { j =>
-      val signs = lit((0 until dim).map(i => rpSign(j, i)).toArray)
-      graft.plans.VectorExpressions.dotProduct(v, signs)
-    }: _*)
+    // compact matrix-projection node instead of rDim·dim literal nodes
+    // (same arithmetic order per component — see graft.plans.MatVec)
+    graft.plans.VectorExpressions.matVec(v,
+      Array.tabulate(rDim)(j => Array.tabulate(dim)(i => rpSign(j, i))))
   }
 
   /** ANN via RANDOM-PROJECTION candidate generation + exact refine —
@@ -1030,14 +1031,16 @@ object Similarity {
   private def bandKeys(vec: Column, bands: Int, rowsPerBand: Int,
       dim: Int): Column = {
     val v = dimChecked(vec, dim)
-    array((0 until bands).map { b =>
-      (0 until rowsPerBand).map { r =>
-        val signs =
-          lit((0 until dim).map(i => planeSign(b * rowsPerBand + r, i)).toArray)
-        when(graft.plans.VectorExpressions.dotProduct(v, signs) > 0,
-          shiftleft(lit(1L), r)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }: _*)
+    // ONE compact expression node: the column-DSL form embedded
+    // bands·rowsPerBand·dim literal doubles (~12k tree nodes at the
+    // default geometry) and r14 profiling measured ≥ 1.2 s of pure
+    // driver planning per admission walking them. Plane order is
+    // band·rowsPerBand + row, exactly as before — keys bit-identical
+    // (graft.plans.BandKeys keeps the [[DotProduct]] arithmetic order,
+    // the strict > 0 sign test, and the 1L << r packing).
+    val planes = Array.tabulate(bands * rowsPerBand)(p =>
+      Array.tabulate(dim)(i => planeSign(p, i)))
+    graft.plans.VectorExpressions.bandKeys(v, planes, rowsPerBand)
   }
 
   /** Banded signature relation `(id, band, bkey)` — the admission index

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -141,9 +141,181 @@ case class ZipDot(left: Expression, right: Expression)
       newRight: Expression): ZipDot = copy(newLeft, newRight)
 }
 
+/** Banded sign-LSH keys in ONE compact expression node. The column-DSL
+  * formulation (`array(bands × (rowsPerBand × when(dot(v, lit(signs)) >
+  * 0, 1L<<r)))`) embeds `bands·rowsPerBand·dim` literal doubles in the
+  * expression tree — ~12k nodes at the default (32, 6, 64) geometry —
+  * and every analyzer/optimizer pass walks all of them: r14 profiling
+  * measured ≥ 1.2 s of pure driver planning per admission from these
+  * trees. Here the plane matrix rides along as ONE reference object
+  * (same codegen mechanism Spark uses for every non-primitive literal)
+  * and the tree is a single node; generated code is the same fused
+  * primitive loop, same arithmetic order (sequential ascending i, the
+  * [[DotProduct]] order), same strict `> 0` sign test and `1L << r`
+  * packing — bit-identical keys to the literal form. */
+case class BandKeys(child: Expression, planes: Array[Array[Double]],
+    rowsPerBand: Int) extends UnaryExpression {
+  require(rowsPerBand >= 1 && planes.nonEmpty &&
+    planes.length % rowsPerBand == 0,
+    s"planes=${planes.length} not a multiple of rowsPerBand=$rowsPerBand")
+  private def bands: Int = planes.length / rowsPerBand
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"band_keys expects array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val p = planes(b * rowsPerBand + r)
+        val n = math.min(v.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+        if (s > 0) key |= 1L << r
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val p = ctx.freshName("p")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    double[] $p = $pl[$b * $rowsPerBand + $r];
+         |    int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $a.getDouble($i) * $p[$i];
+         |    }
+         |    if ($s > 0) $key |= 1L << $r;
+         |  }
+         |  $out[$b] = $key;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BandKeys = copy(child = newChild)
+}
+
+/** Signed-matrix projection `array<double>` of `rows` components —
+  * component j = dot(v, planes(j)), sequential ascending i (the
+  * [[DotProduct]] order, bit-identical to the literal-array form). One
+  * reference object instead of `rows·dim` literal nodes — the same
+  * planning-cost fix as [[BandKeys]], for the JL reduction family. */
+case class MatVec(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty, "empty projection matrix")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"mat_vec expects array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |double[] $out = new double[${planes.length}];
+         |for (int $j = 0; $j < ${planes.length}; $j++) {
+         |  double[] $p = $pl[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $p[$i];
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MatVec = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Banded sign-LSH keys — see [[BandKeys]]. */
+  def bandKeys(v: Column, planes: Array[Array[Double]],
+      rowsPerBand: Int): Column =
+    GraftBridge.column(BandKeys(GraftBridge.expression(v), planes,
+      rowsPerBand))
+
+  /** Signed-matrix projection — see [[MatVec]]. */
+  def matVec(v: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(MatVec(GraftBridge.expression(v), planes))
 }

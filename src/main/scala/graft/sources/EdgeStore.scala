@@ -332,24 +332,35 @@ object EdgeStore {
               col("x.bkey") === col("y.bkey") &&
               col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        // EAGER localCheckpoint: the verified pair set feeds three
-        // consumers (the count, the segment write, and the label
-        // maintenance join) — pinning it as data pays the banded
-        // verify join once instead of three times. (Executor loss
-        // between checkpoint and write fails the admit loudly —
-        // acceptable for a batch-sized artifact; the orchestrator
-        // retries, and atomicity means the retry starts clean.)
-        val newPairs = graft.operators.Similarity.verifyCosinePairs(
-          crossCands.unionByName(selfCands).distinct(), vectors,
-          threshold, dim).localCheckpoint()
-        val n = newPairs.count()
+        // The verified pair set feeds three consumers (the count, the
+        // manifest reference, and the label maintenance join). WRITE it
+        // first — the segment write is the one materialization the
+        // admission must pay anyway — and serve the other two from the
+        // written file (a batch-sized scan). This replaces the earlier
+        // eager localCheckpoint (whose RDD materialization was its own
+        // multi-stage job, pinned executor memory, and still left the
+        // segment write as a second pass): one pass of the banded
+        // verify join total, two fewer driver actions per admission
+        // (r14 §1 profiling: the admission wall time was dominated by
+        // per-action fixed costs, not data).
         val segId = ManifestDir.newSegmentId()
+        val pairsSeg = ManifestDir.segDir(segId, PairsRel)
+        graft.operators.Similarity.verifyCosinePairs(
+          crossCands.unionByName(selfCands).distinct(), vectors,
+          threshold, dim).write.parquet(s"$path/$pairsSeg")
+        val newPairs = spark.read.parquet(s"$path/$pairsSeg")
+        val n = newPairs.count()
         val bandsSeg = ManifestDir.segDir(segId, BandsRel)
         batchBands.write.parquet(s"$path/$bandsSeg")
         var next = m.withSegment(BandsRel, bandsSeg)
-        if (n > 0) {
-          val pairsSeg = ManifestDir.segDir(segId, PairsRel)
-          newPairs.write.parquet(s"$path/$pairsSeg")
+        if (n == 0) {
+          // an all-duplicate batch verified to nothing: drop the empty
+          // segment dir now — its uid stays referenced through the
+          // bands segment, so the routine vacuum would never sweep it
+          val (fs, _) = StoreFiles.fsOf(spark, path)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$pairsSeg"),
+            true)
+        } else {
           next = next.withSegment(PairsRel, pairsSeg)
           // derived cluster labels ride the SAME manifest commit:
           // merge only the components the new pairs touch. Labels are

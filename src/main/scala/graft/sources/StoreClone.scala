@@ -58,6 +58,26 @@ object StoreClone {
     val conf = spark.sparkContext.hadoopConfiguration
     def copy(from: Path, to: Path): Unit =
       FileUtil.copy(fs, from, fs, to, false, true, conf)
+    // the copy set is resolved BEFORE any byte moves (and the lock
+    // freezes it), so the per-entry copies are independent — run them
+    // on a bounded pool instead of serially: the clone is pure
+    // driver-side I/O latency and was the measured fixed cost of every
+    // clone-based lifecycle query (r14 §1 profile)
+    def copyAll(entries: Seq[(Path, Path)]): Unit = {
+      if (entries.size <= 1) entries.foreach { case (f, t) => copy(f, t) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, entries.size))
+        try {
+          val futs = entries.map { case (f, t) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = copy(f, t)
+            })
+          }
+          futs.foreach(_.get()) // propagate the first failure loudly
+        } finally pool.shutdown()
+      }
+    }
     val deadline = System.nanoTime() + lockWaitMs * 1000000L
     def locked[T](body: => T): T = {
       while (true) {
@@ -87,9 +107,9 @@ object StoreClone {
       }
       val current = committed.groupBy(_._1).values
         .map(_.maxBy(_._2)).toSeq
-      current.foreach { case (_, _, p) =>
-        copy(p, new Path(dstP, p.getName))
-      }
+      copyAll(current.map { case (_, _, p) =>
+        (p, new Path(dstP, p.getName))
+      })
       // manifest stores: copy exactly the segment uids the pinned
       // manifests reference (a uid's relations committed together, so
       // the whole uid dir is referenced content)
@@ -101,9 +121,8 @@ object StoreClone {
             case _ => None
           })
       }.toSet
-      refUids.foreach { uid =>
-        copy(new Path(s"$src/seg/$uid"), new Path(s"$dst/seg/$uid"))
-      }
+      copyAll(refUids.toSeq.map(uid =>
+        (new Path(s"$src/seg/$uid"), new Path(s"$dst/seg/$uid"))))
       // root-level sidecar files (recipe markers, legacy schema
       // sidecars) — but never the writer lock: a clone starts unlocked
       entries.filter(_.isFile)

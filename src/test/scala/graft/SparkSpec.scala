@@ -22,6 +22,10 @@ object SparkSpec {
       // one JVM runs every suite's plans: avoid generated-class cache
       // thrash (same static conf Bench/Verify set)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // cached-plan AQE, same as Bench/Verify — the suites must pin
+      // the exact plans the driver contract runs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
