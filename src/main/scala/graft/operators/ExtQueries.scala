@@ -546,6 +546,26 @@ object ExtQueries {
   private def incrCorpus(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") % IncrBatchMod =!= 0)
 
+  /** Ensure-gated bucketed join sides (x_bucketed_join + the bench
+    * pre-build): data written once per dataset dir behind a recipe
+    * marker, catalog registration re-issued per call (DDL only).
+    * Returns build seconds per table, empty when warm. */
+  private[graft] def ensureBucketedTables(s: SparkSession,
+      d: String): Map[String, Double] = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-bucketed-${Integer.toHexString(d.hashCode)}").toString
+    graft.sources.BucketedStore.ensureBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        "graft_orders_bkt", "o_orderkey", 8, s"$base/orders")
+      .map("bucketed_orders" -> _).toMap ++
+      graft.sources.BucketedStore.ensureBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "graft_lineitem_bkt", "l_orderkey", 8, s"$base/lineitem")
+        .map("bucketed_lineitem" -> _).toMap
+  }
+
   /** Build (or confirm warm) every persisted serving store the bench's
     * serve-path entries read: the two ANN indexes plus the incremental
     * dedup fingerprint store. Returns build seconds per store — empty
@@ -597,7 +617,8 @@ object ExtQueries {
         .ensureState(Tables.events(s, d)
           .filter(col("event_id") % IvmDeltaMod =!= 0), aggStorePath(d),
           baseTag = s"deltaMod=$IvmDeltaMod")
-        .map("agg_store" -> _).toMap
+        .map("agg_store" -> _).toMap ++
+      ensureBucketedTables(s, d)
 
   /** Measure the COLD build path once per bench run: rebuild each
     * expensive persisted store from scratch into a throwaway scratch
@@ -639,7 +660,24 @@ object ExtQueries {
         Tables.documents(s, d), s"$root/lmstore")),
       "cold_agg_store" -> timed(graft.sources.AggStore.writeState(
         Tables.events(s, d).filter(col("event_id") % IvmDeltaMod =!= 0),
-        s"$root/aggstore")))
+        s"$root/aggstore")),
+      // the bucketed-join sides moved to ensure-gating in r14 (the
+      // write is bucketing's pay-once shuffle); keep the build cost
+      // measured every run like the other ensured stores
+      "cold_bucketed" -> timed {
+        graft.sources.BucketedStore.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderdate")),
+          "graft_orders_bkt_cold", "o_orderkey", 8, s"$root/bkt-orders")
+        graft.sources.BucketedStore.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "graft_lineitem_bkt_cold", "l_orderkey", 8,
+          s"$root/bkt-lineitem")
+        s.sql("DROP TABLE IF EXISTS `graft_orders_bkt_cold`")
+        s.sql("DROP TABLE IF EXISTS `graft_lineitem_bkt_cold`")
+        ()
+      })
     finally scrub()
   }
 
@@ -1525,16 +1563,12 @@ object ExtQueries {
     // exchange-free plan). The merge hint forces the co-located SMJ at
     // every SF; decimal sums keep the doubles order-independent.
     "x_bucketed_join" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-bucketed-${Integer.toHexString(d.hashCode)}").toString
-      graft.sources.BucketedStore.writeBucketed(
-        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
-        "graft_orders_bkt", "o_orderkey", 8, s"$base/orders")
-      graft.sources.BucketedStore.writeBucketed(
-        Tables.lineitem(s, d).select(col("l_orderkey"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-        "graft_lineitem_bkt", "l_orderkey", 8, s"$base/lineitem")
+      // ensure-gated build (r14): bucketing exists to pay the layout
+      // shuffle ONCE at write time — the per-run rewrite was ~75% of
+      // this entry's measured seconds and timed the build, not the
+      // exchange-free join the entry demonstrates. Build seconds ship
+      // via ensureServingStores/coldBuildSample in index_build_sec.
+      ensureBucketedTables(s, d)
       val o = s.table("graft_orders_bkt")
       val l = s.table("graft_lineitem_bkt")
       l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.sources.StoreFiles.{readText, writeText}
 
 /** Bucketed table layout — the co-located-join story at 100 TB.
   *
@@ -30,5 +31,37 @@ object BucketedStore {
       .option("path", path)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
+  }
+
+  /** Marker-gated [[writeBucketed]] — the ensure discipline every
+    * other persisted store follows (the bucketed write IS the
+    * amortized once shuffle bucketing exists for; paying it inside
+    * every query run times the build, not the co-located join the
+    * entry demonstrates). The DATA lands once per (path, recipe); the
+    * session-catalog REGISTRATION is re-issued per call as pure DDL
+    * over the existing files (one session benches several scale-factor
+    * dirs under one table name, so the catalog entry must follow the
+    * path). Returns build seconds, or None when the files were warm. */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Option[Double] = {
+    val spark = df.sparkSession
+    val marker = s"$path/_built.json"
+    val recipe = s"""{"table":"$table","key":"$key","buckets":$buckets}"""
+    if (readText(spark, marker).contains(recipe)) {
+      // warm files: (re)register the external bucketed table over them
+      // — catalog-only DDL, no data moves
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schemaDdl) USING parquet
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      None
+    } else {
+      val t0 = System.nanoTime()
+      writeBucketed(df, table, key, buckets, path)
+      writeText(spark, marker, recipe)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
   }
 }
