@@ -39,10 +39,15 @@ object Dedup {
 
   /** A small parquet corpus arrives as one partition; everything downstream
     * (hashing, inverted-index joins, 64-column aggregates) is compute-bound,
-    * so fan the rows out to the session's shuffle width first. At real
-    * scale the input already has many partitions. */
-  private def fanOut(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    * so fan the rows out to the session's shuffle width first. GUARDED on
+    * the input's actual partition count (r14, guide §2.4): at real scale
+    * the scan is already wide and the repartition would shuffle the whole
+    * payload for nothing. Callers pass scan-shaped frames, so reading the
+    * partition count plans the scan without running a job. */
+  private def fanOut(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sessionState.conf.numShufflePartitions
+    if (docs.rdd.getNumPartitions >= want) docs else docs.repartition(want)
+  }
 
   /** Shingles appearing in more than this many documents are dropped from
     * the shingle vocabulary before ANY similarity work: a shingle shared
@@ -381,6 +386,21 @@ object Dedup {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // Partition width for the propagation round frames DERIVED from the
+    // edge count (r14, guide §2.2): each round is a broadcast join over
+    // the cached propagation-edge frame plus 1-2 keyed shuffles, and the
+    // cached frame otherwise inherits the pair generator's width — a
+    // small pair set then runs O(log d) rounds of 40+ near-empty tasks
+    // each, all task-scheduling fixed cost (measured). ~50k edges per
+    // partition keeps tasks meaningful; the width grows back to the
+    // session cap with the edge count. The count materializes the edge
+    // cache, which round 1 needs anyway; labels are a keyed fixpoint, so
+    // the result is partition-layout independent.
+    val sess = pairs.sparkSession
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = sess.conf.get(widthKey)
+    val ccWidth = math.max(1L, math.min(prevWidth.toLong,
+      edges.count() / 2 / 50000L + 1L)).toInt
     // Only edge endpoints can ever receive a foreign label — every other
     // vertex is a singleton whose cluster_id is its own id. Iterating over
     // the endpoint set alone makes each round proportional to the near-dup
@@ -392,10 +412,14 @@ object Dedup {
     // propagation edges carry one self-loop per endpoint: the join +
     // groupBy-min then yields min(own label, neighbors' labels) directly
     // — TWO shuffles per propagation instead of three (no separate
-    // left-join to merge the vertex's own label back in)
+    // left-join to merge the vertex's own label back in). COALESCED to
+    // the derived width: a union concatenates its inputs' partitions, so
+    // without it every round's map side would carry the pair generator's
+    // width regardless of the shuffle setting (coalesce merges without a
+    // shuffle and never widens, so an already-narrow frame is untouched).
     val propEdges = CacheRegistry.tracked(
       edges.union(endpoints.select(col("id").as("src"),
-        col("id").as("dst"))))
+        col("id").as("dst"))).coalesce(ccWidth))
     // one round = neighbor-min propagation, then pointer jumping through
     // the PREVIOUS label map (cached — so the composed plan reads each
     // input once; an uncached self-join of the fresh propagation would
@@ -435,7 +459,11 @@ object Dedup {
     var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
+    // The same derived width for the rounds' shuffle exchanges (the
+    // groupBy-min and the endpoint distinct), restored after the loop so
+    // the corpus-sized join-back below runs at the session width.
+    sess.conf.set(widthKey, ccWidth.toString)
+    try while (!done && iter < maxIter) {
       // localCheckpoint, not cache: each round references the previous
       // label map TWICE (propagate + jump), so a cached-but-composed
       // lineage DOUBLES the logical plan per round — the analyzer walks
@@ -457,7 +485,7 @@ object Dedup {
         prevSum.exists(p => p != null && p.compareTo(s) == 0)
       prevSum = Some(s)
       iter += 1
-    }
+    } finally sess.conf.set(widthKey, prevWidth)
     val assigned = vertices.select(col(idCol))
       .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol),
         "left")

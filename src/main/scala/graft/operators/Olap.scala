@@ -313,7 +313,21 @@ object Olap {
     }
     val aggs = (cols.map(s1) ++ cols.map(s2) ++ sxy) :+
       count(lit(1)).cast("double").as("n")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // project to the correlated columns, then fan a narrow scan out to
+    // the session width (r14, guide §2.3/§2.4): the sufficient-statistic
+    // aggregate is ~2·|cols|+|pairs| decimal multiplies per row — at a
+    // single-row-group file's scan parallelism the whole pass ran in 3
+    // tasks (measured 3.3 s of a 3.5 s query). The shuffle moves only
+    // the projected doubles, the decimal sums are order-independent, and
+    // wide-at-scale inputs skip the shuffle via the partition-count
+    // guard.
+    val fanned = {
+      val base = df.select(cols.distinct.map(col): _*)
+      val want = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (base.rdd.getNumPartitions >= want) base
+      else base.repartition(want)
+    }
+    val row = fanned.agg(aggs.head, aggs.tail: _*)
     val corrs = pairs.flatMap { case (a, b) =>
       val num = col("n") * col(s"sp_${a}_$b") -
         col(s"s_$a") * col(s"s_$b")
