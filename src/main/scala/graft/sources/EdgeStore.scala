@@ -44,7 +44,8 @@ import graft.sources.StoreFiles.{readText, writeText}
 object EdgeStore {
 
   private[sources] val Prefix = "edges-"
-  val FormatVersion = 3 // v3: atomic multi-relation manifest commits
+  val FormatVersion = 4 // v4: pairs/bands schemas pinned in the
+  // manifest (v3: atomic multi-relation manifest commits)
 
   private[sources] val PairsRel = "pairs"
   private[sources] val BandsRel = "bands"
@@ -117,7 +118,13 @@ object EdgeStore {
     bandRel.write.parquet(s"$path/$bandsSeg")
     ManifestDir.commit(spark, path, Prefix, ManifestDir.Empty
       .withRelation(PairsRel, Seq(pairsSeg))
-      .withRelation(BandsRel, Seq(bandsSeg)))
+      .withRelation(BandsRel, Seq(bandsSeg))
+      // pin the written schemas (r14): every admission re-reads both
+      // relations, and an inferred read pays a driver footer job per
+      // call (ManifestDir.readRelation); meta carries forward through
+      // every later append/compact commit
+      .withMeta(ManifestDir.schemaKey(PairsRel), pairs.schema.json)
+      .withMeta(ManifestDir.schemaKey(BandsRel), bandRel.schema.json))
   }
 
   /** Publish `pairs` (`id_a`, `id_b`, `cos`) and the `bands` admission

@@ -205,14 +205,33 @@ private[graft] object ManifestDir {
 
   /** Scan one relation: a plain multi-path parquet read over the
     * manifest's segment dirs — filters and pruning push down exactly
-    * as on a single-dir table. */
+    * as on a single-dir table. When the manifest carries the relation's
+    * WRITTEN schema under `<rel>_schema` (see [[schemaKey]]), the read
+    * DECLARES it instead of inferring: schema inference is a
+    * driver-side footer-read job per read call, and r14 profiling
+    * measured it (plus its listing) as a large share of the
+    * manifest-store lifecycle queries' driver gaps. Manifests written
+    * before a store pinned its schemas fall back to inference
+    * unchanged. */
   def readRelation(spark: SparkSession, root: String, m: Manifest,
       rel: String): DataFrame = {
     val dirs = relationDirs(root, m, rel)
     require(dirs.nonEmpty, s"manifest has no segments for relation " +
       s"'$rel' under $root")
-    spark.read.parquet(dirs: _*)
+    m.meta.get(schemaKey(rel)) match {
+      case Some(js) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
   }
+
+  /** Manifest meta key carrying `rel`'s written schema (JSON). Writers
+    * opt in at commit time with
+    * `.withMeta(schemaKey(rel), df.schema.json)`; [[readRelation]] then
+    * declares the schema instead of inferring it per read. */
+  def schemaKey(rel: String): String = s"${rel}_schema"
 
   /** Delete segment dirs referenced by NO committed version — crash
     * debris from appends that died before their manifest commit, and

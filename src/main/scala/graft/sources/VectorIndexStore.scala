@@ -62,7 +62,8 @@ object VectorIndexStore {
   /** Bump when the on-disk layout or the deterministic build recipe
     * changes: [[ensureIvfPq]] markers from older versions stop
     * matching and the index rebuilds instead of serving stale codes. */
-  private val FormatVersion = 5 // v5: manifest relations; delete = commit
+  private val FormatVersion = 6 // v6: metadata-relation schemas pinned
+  // in the manifest (v5: manifest relations; delete = commit)
 
   private val Prefix = "vix-"
   private val CodesRel = "codes"
@@ -256,7 +257,15 @@ object VectorIndexStore {
         .withSegment(CentsRel, centsSeg)
         .withSegment(CodebooksRel, cbSeg)
         .withSegment(CrosstRel, ctSeg)
-        .withMeta(SchemaKey, codes.schema.json))
+        .withMeta(SchemaKey, codes.schema.json)
+        // pin the metadata relations' written schemas too (r14): every
+        // probe/append resolves them, and an inferred read pays a
+        // driver footer job per call (ManifestDir.readRelation)
+        .withMeta(ManifestDir.schemaKey(CentsRel), ix.cents.schema.json)
+        .withMeta(ManifestDir.schemaKey(CodebooksRel),
+          ix.codebooks.schema.json)
+        .withMeta(ManifestDir.schemaKey(CrosstRel),
+          ix.crossTable.schema.json))
       ()
     }
     SnapshotDir.gc(spark, path, Prefix)
