@@ -3975,4 +3975,69 @@ class ExtSpec extends SparkSpec {
       r2.getAs[Long]("exact_self_join"))
     assert(r2.getAs[Long]("n_keys") === 11L)
   }
+
+  test("compact BandKeys/MatVec match the literal-DSL construction " +
+      "bit-for-bit") {
+    // the r14 planning-cost fix replaced the column-DSL band-key /
+    // matrix-projection trees (one lit() array per plane) with single
+    // reference-object expressions — this pins the key/value parity the
+    // swap promised, plane order and sign test included
+    import graft.plans.VectorExpressions.{bandKeys, dotProduct, matVec}
+    val dim = 16
+    val rowsPerBand = 3
+    val bands = 4
+    val mat = Array.tabulate(bands * rowsPerBand)(p =>
+      Array.tabulate(dim)(i =>
+        if ((p * 31 + i * 7) % 5 < 2) 1.0 else -1.0))
+    val vecs = Seq(
+      (1L, Array.tabulate(dim)(i => math.sin(i + 1.0))),
+      (2L, Array.tabulate(dim)(i => -0.25 * (i % 3))),
+      (3L, Array.fill(dim)(0.0)), // all-zero: every dot == 0, no bit set
+      (4L, Array.tabulate(dim)(i => if (i % 2 == 0) 1e-9 else -1e9)))
+      .toDF("id", "v")
+    val dslKeys = array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        when(dotProduct($"v", lit(mat(b * rowsPerBand + r))) > 0,
+          shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+    val keyDiff = vecs.select(
+        bandKeys($"v", mat, rowsPerBand).as("fast"),
+        dslKeys.as("dsl"))
+      .filter(not($"fast" <=> $"dsl"))
+    assert(keyDiff.count() === 0)
+    val dslProj = array((0 until bands * rowsPerBand).map(j =>
+      dotProduct($"v", lit(mat(j)))): _*)
+    val projDiff = vecs.select(
+        matVec($"v", mat).as("fast"), dslProj.as("dsl"))
+      .filter(not($"fast" <=> $"dsl"))
+    assert(projDiff.count() === 0)
+  }
+
+  test("ensureBucketed: data lands once, catalog re-registers per call, " +
+      "recipe change rebuilds") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bkt-spec").toString
+    val df = (1L to 40L).map(k => (k, k * 10)).toDF("k", "x")
+    val first = graft.sources.BucketedStore.ensureBucketed(
+      df, "graft_spec_bkt", "k", 4, s"$root/t")
+    assert(first.isDefined) // cold: built, build seconds reported
+    val rows1 = spark.table("graft_spec_bkt").orderBy($"k")
+      .as[(Long, Long)].collect().toSeq
+    // drop the catalog entry to prove the warm path re-registers it
+    // (one session benches several dataset dirs under one table name)
+    spark.sql("DROP TABLE `graft_spec_bkt`")
+    val second = graft.sources.BucketedStore.ensureBucketed(
+      df, "graft_spec_bkt", "k", 4, s"$root/t")
+    assert(second.isEmpty) // warm: no data write
+    val rows2 = spark.table("graft_spec_bkt").orderBy($"k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows1 === rows2)
+    // a recipe change (bucket count) must rebuild, not serve stale files
+    val rebuilt = graft.sources.BucketedStore.ensureBucketed(
+      df, "graft_spec_bkt", "k", 8, s"$root/t")
+    assert(rebuilt.isDefined)
+    spark.sql("DROP TABLE IF EXISTS `graft_spec_bkt`")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
