@@ -225,10 +225,11 @@ object ExtQueries {
     * clone each to `work(...)` ([[graft.sources.StoreClone]] — pinned
     * + lock-held, so a clone is always a committed state), run ONE
     * [[graft.sources.Takedown.sweep]] over the clones, and reduce
-    * every rewritten relation to `(rel, n_rows, order-independent
-    * 60-bit md5 hashsum)`. The rows NAME their relation, so a
-    * mismatch — driver-side or in the repeat-run spec — identifies
-    * which store moved instead of a bare boolean. Deterministic by
+    * every rewritten relation to per-column `(rel, col, n_rows,
+    * order-independent 60-bit md5 bit_xor, min/max rendered value)`
+    * rows. The rows NAME their relation AND column, so a mismatch —
+    * driver-side or in the repeat-run spec — identifies which store
+    * and column moved instead of a bare boolean. Deterministic by
     * construction: ensure-builds are recipe-gated and deterministic,
     * clones are version-pinned, the sweep's algebra is exact (md5
     * anti-joins, decimal/integer subtraction, deterministic BPE
@@ -291,63 +292,98 @@ object ExtQueries {
       takedownTag = Some("x_takedown"))
     def h60(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // One output row PER RENDERED KEY COLUMN plus a '*' full-key row:
+    // (rel, col, n_rows, hashx, vmin, vmax). hashx is an
+    // order-independent BIT_XOR fold of 60-bit md5 values —
+    // deliberately BIGINT, never a decimal sum: the pre-r15 decimal
+    // (38,0) hashsum was the ONLY decimal output column in the whole
+    // query surface and exactly the nine queries carrying it were
+    // driver-red for three rounds with rows/schema green (a compare
+    // path that narrows wide decimals through float64 corrupts a
+    // ~1e22 sum; a sub-2^60 int64 is exact on every path). vmin/vmax
+    // carry the extreme rendered values so any residual divergence
+    // NAMES its column and SHOWS sample values instead of hiding
+    // behind a relation-level checksum. One aggregation pass per
+    // relation (same as the old single-hashsum shape).
     def summ(rel: String, df: DataFrame,
-        key: org.apache.spark.sql.Column) =
-      df.agg(count(lit(1)).as("n_rows"),
-          sum(h60(key).cast(DecimalType(38, 0))).as("hashsum"))
-        .select(lit(rel).as("rel"), col("n_rows"), col("hashsum"))
+        cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      val all = cols :+ ("*" ->
+        concat_ws("|", cols.map(_._2): _*))
+      val aggs = count(lit(1)).as("n_rows") +:
+        all.zipWithIndex.flatMap { case ((_, c), i) =>
+          val r = c.cast("string")
+          Seq(bit_xor(h60(r)).as(s"hx$i"), min(r).as(s"mn$i"),
+            max(r).as(s"mx$i"))
+        }
+      val entries = all.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("col"), col(s"hx$i").as("hashx"),
+          col(s"mn$i").as("vmin"), col(s"mx$i").as("vmax"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(rel).as("rel"), col("n_rows"),
+          explode(array(entries: _*)).as("e"))
+        .select(col("rel"), col("e.col").as("col"), col("n_rows"),
+          col("e.hashx").as("hashx"), col("e.vmin").as("vmin"),
+          col("e.vmax").as("vmax"))
+    }
     val ppm = (c: org.apache.spark.sql.Column) =>
       (c.cast(DecimalType(18, 6)) * 1000000).cast("long")
     summ("fp_buckets",
         graft.sources.FingerprintStore.readBuckets(s, fpW),
-        concat_ws("|", col("id"), col("band"), col("key")))
+        Seq("id" -> col("id"), "band" -> col("band"),
+          "key" -> col("key")))
       .unionByName(summ("fp_arrays",
         graft.sources.FingerprintStore.readArrays(s, fpW)
           .select(col("id"), explode(col("shs")).as("sh")),
-        concat_ws("|", col("id"), col("sh"))))
+        Seq("id" -> col("id"), "sh" -> col("sh"))))
       .unionByName(summ("edge_pairs",
         graft.sources.EdgeStore.read(s, edgeW),
-        concat_ws("|", col("id_a"), col("id_b"), ppm(col("cos")))))
+        Seq("id_a" -> col("id_a"), "id_b" -> col("id_b"),
+          "cos_ppm" -> ppm(col("cos")))))
       .unionByName(summ("edge_bands",
         graft.sources.EdgeStore.readBands(s, edgeW),
-        concat_ws("|", col("id"), col("band"), col("bkey"))))
+        Seq("id" -> col("id"), "band" -> col("band"),
+          "bkey" -> col("bkey"))))
       .unionByName(summ("edge_labels",
         graft.sources.ClusterStore.readLabels(s, edgeW),
-        concat_ws("|", col("id"), col("label"))))
+        Seq("id" -> col("id"), "label" -> col("label"))))
       .unionByName(summ("agg_rollup",
         graft.sources.AggStore.readState(s, aggW),
-        concat_ws("|", date_format(col("day"), "yyyy-MM-dd"),
-          col("event_type"), col("cnt"),
-          (col("total") * 100).cast("long"))))
+        Seq("day" -> date_format(col("day"), "yyyy-MM-dd"),
+          "event_type" -> col("event_type"), "cnt" -> col("cnt"),
+          "total_c" -> (col("total") * 100).cast("long"))))
       .unionByName(summ("ann_topk",
         graft.sources.VectorIndexStore.ivfPqTopKFromIndex(s, annW,
           e.filter(col("vec_id") % QueryMod === 0), e, TopK,
           nprobe = IvfNprobe, m = PqSubspaces, dim = EmbeddingDim),
-        concat_ws("|", col("query_id"), col("match_id"), col("rank"),
-          ppm(col("cos")))))
+        Seq("query_id" -> col("query_id"),
+          "match_id" -> col("match_id"), "rank" -> col("rank"),
+          "cos_ppm" -> ppm(col("cos")))))
       .unionByName(summ("lm_unigrams",
         graft.sources.LmStore.readUnigrams(s, lmW),
-        concat_ws("|", col("term"), col("ucnt"))))
+        Seq("term" -> col("term"), "ucnt" -> col("ucnt"))))
       .unionByName(summ("lm_bigrams",
         graft.sources.LmStore.readBigrams(s, lmW),
-        concat_ws("|", col("bg"), col("bcnt"))))
+        Seq("bg" -> col("bg"), "bcnt" -> col("bcnt"))))
       .unionByName(summ("tok_merges",
         graft.sources.TokenizerStore.readMerges(s, tokW),
-        concat_ws("|", col("merge_rank"), col("left"), col("right"),
-          col("cnt"))))
+        Seq("merge_rank" -> col("merge_rank"), "left" -> col("left"),
+          "right" -> col("right"), "cnt" -> col("cnt"))))
       .unionByName(summ("hilb_rows",
         graft.sources.HilbertStore.rectScan(s, hilbW, "za", "zb",
           0, (1L << ZBits) - 1, 0, (1L << ZBits) - 1, ZBits),
-        concat_ws("|", col("event_id"), col("hval"))))
+        Seq("event_id" -> col("event_id"), "hval" -> col("hval"))))
       .unionByName(summ("zorder_rows",
         graft.sources.ZOrderStore.zRangeScan(s, zordW, "za", "zb",
           0, (1L << ZBits) - 1, 0, (1L << ZBits) - 1, ZBits),
-        concat_ws("|", col("event_id"), col("zval"))))
+        Seq("event_id" -> col("event_id"), "zval" -> col("zval"))))
       .unionByName(summ("scd2_rows",
         graft.sources.Scd2Store.readState(s, scd2W),
-        concat_ws("|", col("user_id"), col("event_type"),
-          unix_micros(col("valid_from")),
-          coalesce(unix_micros(col("valid_to")), lit(-1L)))))
+        Seq("user_id" -> col("user_id"),
+          "event_type" -> col("event_type"),
+          "vf_us" -> unix_micros(col("valid_from")),
+          "vt_us" -> coalesce(unix_micros(col("valid_to")),
+            lit(-1L)))))
   }
 
   /** Summary rows per takedown store key — the split driver queries'
@@ -370,36 +406,47 @@ object ExtQueries {
     Seq(
       org.apache.spark.sql.types.StructField("rel",
         org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("col",
+        org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("n_rows",
         org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("hashsum",
-        DecimalType(38, 0), nullable = true)))
+      org.apache.spark.sql.types.StructField("hashx",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("vmin",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("vmax",
+        org.apache.spark.sql.types.StringType, nullable = true)))
 
   /** HERMETIC, memoized takedown rows — the driver-facing form of
-    * [[takedownSummary]]. Hermetic: the base stores live under roots
-    * owned by the takedown queries ALONE and are rebuilt FRESH once
-    * per session (both base and work roots wiped first), so the
-    * result depends on nothing but the input tables — no ensure-state
-    * shared with other queries, no leftover store generations from
-    * prior runs on the same box, no sequencing. Memoized: the sweep
-    * runs ONCE per session and dataset; `x_takedown` and its
-    * per-store splits all serve from the same collected rows (11 tiny
-    * rows — bounded driver state), so a re-entered query cannot
-    * observe a different store state either. Cold cost is bounded
-    * (~10 s of ensure-builds at sf0.1, less below). */
+    * [[takedownSummary]]. Hermetic: the base stores live under a
+    * FRESH `createTempDirectory` root owned by this process alone and
+    * are built from scratch once per session, so the result depends
+    * on nothing but the input tables — no ensure-state shared with
+    * other queries, no leftover store generations from prior runs on
+    * the same box, no sequencing. Memoized: the sweep runs ONCE per
+    * session and dataset; `x_takedown` and its per-store splits all
+    * serve from the same collected rows (~50 tiny rows — bounded
+    * driver state), so a re-entered query cannot observe a different
+    * store state either. The bench charges the sweep's cold cost
+    * explicitly (`cold_takedown_sweep` in `index_build_sec`) so the
+    * memo can never hide it from the timing protocol. */
   private[graft] def takedownRows(s: SparkSession, d: String)
       : DataFrame = {
     val rows = takedownMemo.computeIfAbsent(d, _ => {
-      TakedownStoreKeys.foreach { k =>
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(takedownWorkPath(d, s"base-$k")))
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(takedownWorkPath(d, k)))
-      }
-      takedownSummary(s, d,
-        TakedownStoreKeys
-          .map(k => k -> takedownWorkPath(d, s"base-$k")).toMap,
-        k => takedownWorkPath(d, k)).collect()
+      // A UNIQUE per-process scratch root (not a fixed /tmp path wiped
+      // with deleteQuietly, which swallows failures): if a stale root
+      // from a prior run/uid survived a silent failed wipe, the
+      // recipe-gated ensure-builds would serve stores built by OLD
+      // code and every relation here would diverge at once. A fresh
+      // createTempDirectory can never see prior state; the root is
+      // deleted after the collect (the memo keeps only the rows).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-takedown-run-").toString
+      try takedownSummary(s, d,
+        TakedownStoreKeys.map(k => k -> s"$root/base-$k").toMap,
+        k => s"$root/work-$k").collect()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
     })
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -1036,10 +1083,12 @@ object ExtQueries {
     // repair, where a removed bridge can SPLIT a component; ANN
     // tombstones; exact algebraic subtraction on the rollup), each
     // store committing atomically through its own protocol. The
-    // result is one summary row per rewritten relation — row count +
-    // an order-independent 60-bit md5 content hashsum — and the
-    // oracle rebuilds every relation FROM THE FILTERED INPUTS from
-    // first principles: post-delete store reads ≡
+    // result is one summary row per rewritten relation AND KEY COLUMN
+    // — row count, an order-independent 60-bit md5 BIT_XOR content
+    // hash, and the min/max rendered values (so a driver-side
+    // mismatch names the diverging column and shows sample values) —
+    // and the oracle rebuilds every relation FROM THE FILTERED INPUTS
+    // from first principles: post-delete store reads ≡
     // rebuild-from-filtered, per relation. (The fp relations' oracle
     // is the corpus chain filtered to surviving ids: the store's df
     // cap is admission-path state over the build corpus, exactly as
@@ -4615,10 +4664,27 @@ object ExtQueries {
        |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
 
-  /** Order-independent 60-bit md5 hashsum — the takedown oracles'
-    * reduction, mirroring `takedownSummary`'s `h60` sum exactly. */
+  /** Order-independent 60-bit md5 BIT_XOR fold — the takedown
+    * oracles' reduction, mirroring `takedownSummary`'s `h60` xor
+    * exactly. BIGINT on purpose (see the summ comment there): the
+    * old decimal(38,0) sum was the only decimal output column in the
+    * query surface and exactly its nine carriers were driver-red. */
   private def tdH(x: String): String =
-    s"sum(('0x' || substr(md5($x), 1, 15))::bigint)::decimal(38,0)"
+    s"bit_xor(('0x' || substr(md5($x), 1, 15))::bigint)"
+
+  /** One summary SELECT per rendered key column plus a '*' full-key
+    * row, mirroring the Spark side's per-column diagnosable shape:
+    * (rel, col, n_rows, hashx, vmin, vmax). `cols` pairs the Spark
+    * column name with the DuckDB varchar rendering of that column. */
+  private def tdSumm(rel: String, from: String,
+      cols: Seq[(String, String)]): String = {
+    val all = cols :+ ("*" -> cols.map(_._2).mkString(" || '|' || "))
+    all.map { case (n, e) =>
+      s"""SELECT '$rel' AS rel, '$n' AS col,
+         |  count(*)::bigint AS n_rows, ${tdH(e)} AS hashx,
+         |  min($e) AS vmin, max($e) AS vmax FROM $from""".stripMargin
+    }.mkString("\nUNION ALL ")
+  }
 
   /** Per-store CTE blocks of the takedown oracle: every relation
     * rebuilt FROM THE FILTERED INPUTS from first principles — fp
@@ -4714,67 +4780,51 @@ object ExtQueries {
          |  FROM schanges)""".stripMargin)
 
   /** Per-relation summary selects of the takedown oracle, each fully
-    * aliased so any slice can lead its UNION. */
+    * aliased so any slice can lead its UNION. Column names and
+    * varchar renderings pair 1:1 with `takedownSummary`'s specs. */
   private lazy val tdSelects: Map[String, String] = Map(
-    "fp_buckets" ->
-      s"""SELECT 'fp_buckets' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("id::varchar || '|' || band::varchar || '|' || key")}
-         |    AS hashsum FROM fpb""".stripMargin,
-    "fp_arrays" ->
-      s"""SELECT 'fp_arrays' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("id::varchar || '|' || s")} AS hashsum FROM fpa"""
-        .stripMargin,
-    "edge_pairs" ->
-      s"""SELECT 'edge_pairs' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("id_a::varchar || '|' || id_b::varchar || '|' || " +
-              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
-         |    AS hashsum FROM epf""".stripMargin,
-    "edge_bands" ->
-      s"""SELECT 'edge_bands' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("id::varchar || '|' || band::varchar || '|' || " +
-              "bkey::varchar")} AS hashsum FROM ebf""".stripMargin,
-    "edge_labels" ->
-      s"""SELECT 'edge_labels' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("id::varchar || '|' || label::varchar")}
-         |    AS hashsum FROM elab""".stripMargin,
-    "agg_rollup" ->
-      s"""SELECT 'agg_rollup' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("day::varchar || '|' || event_type || '|' || " +
-              "cnt::varchar || '|' || ((total * 100)::bigint)::varchar")}
-         |    AS hashsum FROM agf""".stripMargin,
-    "ann_topk" ->
-      s"""SELECT 'ann_topk' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("query_id::varchar || '|' || match_id::varchar || " +
-              "'|' || rank::varchar || '|' || " +
-              "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")}
-         |    AS hashsum FROM atk""".stripMargin,
-    "lm_unigrams" ->
-      s"""SELECT 'lm_unigrams' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("term || '|' || ucnt::varchar")} AS hashsum
-         |FROM lmuni""".stripMargin,
-    "lm_bigrams" ->
-      s"""SELECT 'lm_bigrams' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("bg || '|' || bcnt::varchar")} AS hashsum
-         |FROM lmbig""".stripMargin,
-    "tok_merges" ->
-      s"""SELECT 'tok_merges' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("merge_rank::varchar || '|' || \"left\" || '|' || " +
-              "\"right\" || '|' || cnt::varchar")} AS hashsum
-         |FROM (${bpeMergeSelect(BpeTrainMerges, "f")})""".stripMargin,
-    "hilb_rows" ->
-      s"""SELECT 'hilb_rows' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("event_id::varchar || '|' || d::varchar")} AS hashsum
-         |FROM h$ZBits""".stripMargin,
-    "zorder_rows" ->
-      s"""SELECT 'zorder_rows' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("event_id::varchar || '|' || zval::varchar")}
-         |    AS hashsum FROM zl""".stripMargin,
-    "scd2_rows" ->
-      s"""SELECT 'scd2_rows' AS rel, count(*)::bigint AS n_rows,
-         |  ${tdH("user_id::varchar || '|' || event_type || '|' || " +
-              "epoch_us(valid_from)::varchar || '|' || " +
-              "coalesce(epoch_us(valid_to), -1)::varchar")} AS hashsum
-         |FROM sscd2""".stripMargin)
+    "fp_buckets" -> tdSumm("fp_buckets", "fpb",
+      Seq("id" -> "id::varchar", "band" -> "band::varchar",
+        "key" -> "key")),
+    "fp_arrays" -> tdSumm("fp_arrays", "fpa",
+      Seq("id" -> "id::varchar", "sh" -> "s::varchar")),
+    "edge_pairs" -> tdSumm("edge_pairs", "epf",
+      Seq("id_a" -> "id_a::varchar", "id_b" -> "id_b::varchar",
+        "cos_ppm" ->
+          "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")),
+    "edge_bands" -> tdSumm("edge_bands", "ebf",
+      Seq("id" -> "id::varchar", "band" -> "band::varchar",
+        "bkey" -> "bkey::varchar")),
+    "edge_labels" -> tdSumm("edge_labels", "elab",
+      Seq("id" -> "id::varchar", "label" -> "label::varchar")),
+    "agg_rollup" -> tdSumm("agg_rollup", "agf",
+      Seq("day" -> "day::varchar", "event_type" -> "event_type",
+        "cnt" -> "cnt::varchar",
+        "total_c" -> "((total * 100)::bigint)::varchar")),
+    "ann_topk" -> tdSumm("ann_topk", "atk",
+      Seq("query_id" -> "query_id::varchar",
+        "match_id" -> "match_id::varchar", "rank" -> "rank::varchar",
+        "cos_ppm" ->
+          "(cast(cos AS decimal(18,6)) * 1000000)::bigint::varchar")),
+    "lm_unigrams" -> tdSumm("lm_unigrams", "lmuni",
+      Seq("term" -> "term", "ucnt" -> "ucnt::varchar")),
+    "lm_bigrams" -> tdSumm("lm_bigrams", "lmbig",
+      Seq("bg" -> "bg", "bcnt" -> "bcnt::varchar")),
+    "tok_merges" -> tdSumm("tok_merges",
+      s"(${bpeMergeSelect(BpeTrainMerges, "f")})",
+      Seq("merge_rank" -> "merge_rank::varchar",
+        "left" -> "\"left\"", "right" -> "\"right\"",
+        "cnt" -> "cnt::varchar")),
+    "hilb_rows" -> tdSumm("hilb_rows", s"h$ZBits",
+      Seq("event_id" -> "event_id::varchar", "hval" -> "d::varchar")),
+    "zorder_rows" -> tdSumm("zorder_rows", "zl",
+      Seq("event_id" -> "event_id::varchar",
+        "zval" -> "zval::varchar")),
+    "scd2_rows" -> tdSumm("scd2_rows", "sscd2",
+      Seq("user_id" -> "user_id::varchar",
+        "event_type" -> "event_type",
+        "vf_us" -> "epoch_us(valid_from)::varchar",
+        "vt_us" -> "coalesce(epoch_us(valid_to), -1)::varchar")))
 
   /** Assemble the takedown oracle for a subset of store families:
     * only their CTE chains, only their relations' summary rows. */
@@ -5277,9 +5327,10 @@ object ExtQueries {
 
     // takedown ([[tdCtesOf]]/[[tdSelects]]): every relation rebuilt
     // FROM THE FILTERED INPUTS from first principles, reduced to
-    // (rel, n_rows, 60-bit md5 hashsum). The full query audits every
-    // family in one statement; the per-store splits carry ONLY their
-    // own chains, so a driver-side red names its store.
+    // per-column (rel, col, n_rows, 60-bit md5 bit_xor, min/max
+    // rendered value) rows. The full query audits every family in one
+    // statement; the per-store splits carry ONLY their own chains, so
+    // a driver-side red names its store, column, and sample values.
     "x_takedown" -> takedownOracle(TakedownSplitKeys),
     "x_takedown_fp" -> takedownOracle(Seq("fp")),
     "x_takedown_edges" -> takedownOracle(Seq("edges")),

@@ -2538,7 +2538,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("x_takedown is DETERMINISTIC: a warm repeat and a scratch-root " +
-      "rebuild produce identical (rel, n_rows, hashsum) rows") {
+      "rebuild produce identical (rel, col, n_rows, hashx, vmin, " +
+      "vmax) rows") {
     import graft.operators.ExtQueries
     // spec-local roots so the drill never touches the shared warm
     // stores other suites read
@@ -2546,22 +2547,22 @@ class ExtSpec extends SparkSpec {
       .createTempDirectory("graft-takedown-det").toString
     val base = ExtQueries.TakedownStoreKeys
       .map(k => k -> s"$root/base-$k").toMap
-    def run(tag: String) = ExtQueries
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.toString).orNull,
+          r.getString(4), r.getString(5)))).toMap
+    def run(tag: String) = keyed(ExtQueries
       .takedownSummary(spark, sf0001, base, k => s"$root/$tag-$k")
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).toString))).toMap
+      .collect())
     val first = run("w1")
     val second = run("w2") // warm repeat: bases reused, fresh clones
     // scratch: every base store rebuilt from the inputs at a new root
     val root2 = java.nio.file.Files
       .createTempDirectory("graft-takedown-det2").toString
-    val scratch = ExtQueries.takedownSummary(spark, sf0001,
+    val scratch = keyed(ExtQueries.takedownSummary(spark, sf0001,
         base.map { case (k, _) => k -> s"$root2/base-$k" },
         k => s"$root2/work-$k")
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).toString))).toMap
+      .collect())
     // diff per relation so a red NAMES the store that moved
     assert(first.keySet === second.keySet)
     assert(first.keySet === scratch.keySet)
