@@ -231,6 +231,29 @@ case class BandKeys(child: Expression, planes: Array[Array[Double]],
 
   override protected def withNewChildInternal(
       newChild: Expression): BandKeys = copy(child = newChild)
+
+  // Value-based identity + stable rendering (r14 ADVICE): an Array
+  // field gives a case class IDENTITY equals/hashCode, so two
+  // separately constructed but identical expressions never
+  // canonicalize equal — CacheManager sameResult lookups, exchange
+  // reuse and CSE all miss, and equivalent cache registrations
+  // duplicate entries. Plan text also rendered the matrix as
+  // '[[D@3e...' — nondeterministic per JVM run, corrupting committed
+  // plan-dump artifacts. Compare, hash, and print the CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case o: BandKeys => rowsPerBand == o.rowsPerBand &&
+      child == o.child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]],
+        o.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(getClass, child,
+    Integer.valueOf(rowsPerBand), Integer.valueOf(
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    f"planes[${planes.length}x${planes.head.length}@${java.util.Arrays
+      .deepHashCode(planes.asInstanceOf[Array[AnyRef]])}%08x]",
+    rowsPerBand)
 }
 
 /** Signed-matrix projection `array<double>` of `rows` components —
@@ -301,6 +324,20 @@ case class MatVec(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): MatVec = copy(child = newChild)
+
+  // value-based identity + stable rendering — see [[BandKeys]]
+  override def equals(other: Any): Boolean = other match {
+    case o: MatVec => child == o.child && java.util.Arrays.deepEquals(
+      planes.asInstanceOf[Array[AnyRef]],
+      o.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(getClass, child,
+    Integer.valueOf(
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    f"planes[${planes.length}x${planes.head.length}@${java.util.Arrays
+      .deepHashCode(planes.asInstanceOf[Array[AnyRef]])}%08x]")
 }
 
 object VectorExpressions {

@@ -46,14 +46,33 @@ object BucketedStore {
       buckets: Int, path: String): Option[Double] = {
     val spark = df.sparkSession
     val marker = s"$path/_built.json"
-    val recipe = s"""{"table":"$table","key":"$key","buckets":$buckets}"""
+    // The recipe identifies the DATASET, not just the layout (r14
+    // ADVICE): callers key `path` on a 32-bit dir hash, so a marker
+    // matching only (table, key, buckets) would serve stale or foreign
+    // rows after an in-place dataset regeneration or a path hash
+    // collision. Include a format version, the projected schema, and a
+    // cheap input fingerprint (every source file path + its byte size
+    // — driver metadata only, no jobs); any change rebuilds.
+    val hconf = spark.sessionState.newHadoopConf()
+    val inputs = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len =
+        try p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => -1L }
+      s"$f#$len"
+    }.mkString(";")
+    val recipe =
+      s"""{"v":2,"table":"$table","key":"$key","buckets":$buckets,""" +
+        s""""schema":"${df.schema.toDDL}","inputs":"$inputs"}"""
     if (readText(spark, marker).contains(recipe)) {
       // warm files: (re)register the external bucketed table over them
-      // — catalog-only DDL, no data moves
-      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      // — catalog-only DDL, no data moves and no footer-inference job
+      // (the caller's projection IS the written schema; the old
+      // spark.read.parquet(path).schema here re-paid the per-read
+      // inference cost r14 eliminated for manifest stores)
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       spark.sql(
-        s"""CREATE TABLE `$table` ($schemaDdl) USING parquet
+        s"""CREATE TABLE `$table` (${df.schema.toDDL}) USING parquet
            |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
            |LOCATION '$path'""".stripMargin)
       None

@@ -58,20 +58,56 @@ object StoreClone {
     val conf = spark.sparkContext.hadoopConfiguration
     def copy(from: Path, to: Path): Unit =
       FileUtil.copy(fs, from, fs, to, false, true, conf)
+    // Segment payloads are IMMUTABLE once committed (appends add new
+    // segment dirs, compaction writes new files, GC/vacuum only
+    // unlink), so on a local filesystem the clone can HARDLINK the
+    // data files instead of copying their bytes — the dominant clone
+    // cost drops to directory metadata. Unlinking either side later
+    // (vacuum, re-clone clobber) never touches the other inode's
+    // content. Root-level sidecars (recipe markers) are deliberately
+    // NOT linked: `writeText` rewrites them IN PLACE, which through a
+    // shared inode would corrupt the source — they stay byte-copies.
+    val localRoot: Option[java.io.File] = fs.getScheme match {
+      case "file" => Some(new java.io.File("/"))
+      case _ => None
+    }
+    def linkTree(from: Path, to: Path): Unit = localRoot match {
+      case None => copy(from, to)
+      case Some(_) =>
+        val src = new java.io.File(from.toUri.getPath)
+        val dst = new java.io.File(to.toUri.getPath)
+        def walk(s: java.io.File, d: java.io.File): Unit =
+          if (s.isDirectory) {
+            d.mkdirs()
+            val kids = s.listFiles()
+            if (kids != null) kids.foreach(k =>
+              walk(k, new java.io.File(d, k.getName)))
+          } else {
+            try java.nio.file.Files.createLink(d.toPath, s.toPath)
+            catch { // cross-device or unsupported: plain byte copy
+              case _: java.io.IOException |
+                  _: UnsupportedOperationException =>
+                copy(new Path(s.getAbsolutePath),
+                  new Path(d.getAbsolutePath))
+            }
+          }
+        walk(src, dst)
+    }
     // the copy set is resolved BEFORE any byte moves (and the lock
     // freezes it), so the per-entry copies are independent — run them
     // on a bounded pool instead of serially: the clone is pure
     // driver-side I/O latency and was the measured fixed cost of every
     // clone-based lifecycle query (r14 §1 profile)
-    def copyAll(entries: Seq[(Path, Path)]): Unit = {
-      if (entries.size <= 1) entries.foreach { case (f, t) => copy(f, t) }
+    def copyAll(entries: Seq[(Path, Path)],
+        via: (Path, Path) => Unit = copy): Unit = {
+      if (entries.size <= 1) entries.foreach { case (f, t) => via(f, t) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, entries.size))
         try {
           val futs = entries.map { case (f, t) =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = copy(f, t)
+              def call(): Unit = via(f, t)
             })
           }
           futs.foreach(_.get()) // propagate the first failure loudly
@@ -107,9 +143,11 @@ object StoreClone {
       }
       val current = committed.groupBy(_._1).values
         .map(_.maxBy(_._2)).toSeq
+      // committed version dirs are immutable in place (the header
+      // contract above) — link-clone them like segment payloads
       copyAll(current.map { case (_, _, p) =>
         (p, new Path(dstP, p.getName))
-      })
+      }, via = linkTree)
       // manifest stores: copy exactly the segment uids the pinned
       // manifests reference (a uid's relations committed together, so
       // the whole uid dir is referenced content)
@@ -122,7 +160,8 @@ object StoreClone {
           })
       }.toSet
       copyAll(refUids.toSeq.map(uid =>
-        (new Path(s"$src/seg/$uid"), new Path(s"$dst/seg/$uid"))))
+        (new Path(s"$src/seg/$uid"), new Path(s"$dst/seg/$uid"))),
+        via = linkTree)
       // root-level sidecar files (recipe markers, legacy schema
       // sidecars) — but never the writer lock: a clone starts unlocked
       entries.filter(_.isFile)
