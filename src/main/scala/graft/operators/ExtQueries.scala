@@ -517,7 +517,7 @@ object ExtQueries {
     * broadcast probes, or keyed joins — the chain shuffles once per
     * keyed stage and never widens. */
   private[graft] def pipelineStages(s: SparkSession, d: String)
-      : (Long, Map[String, DataFrame]) = {
+      : (DataFrame, Map[String, DataFrame]) = {
     val (clean0, quarantine) = graft.sources.TsvCorpus.read(
       s, tsvFixture(s, d))
     val clean = CacheRegistry.tracked(clean0)
@@ -543,7 +543,7 @@ object ExtQueries {
       CorpusStats.mixtureSample(decontam, MixtureWeights, MixtureBudget)
         .select(col("doc_id")).join(decontam, Seq("doc_id")))
     val sharded = CorpusStats.shardOrder(mixed, NumShards)
-    (quarantine.count(), Map(
+    (quarantine, Map(
       "ingest" -> clean, "batch" -> batch, "admitted" -> admitted,
       "quality" -> quality, "decontam" -> decontam, "mixed" -> mixed,
       "sharded" -> sharded))
@@ -1052,15 +1052,16 @@ object ExtQueries {
     // the same split; ExtSpec pins that quarantined, duplicate, and
     // contaminated docs never reach a shard.
     "x_pipeline_e2e" -> ((s, d) => {
-      val (nQuarantined, st) = pipelineStages(s, d)
+      val (quarantine, st) = pipelineStages(s, d)
       def cnt(stage: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n"))
           .select(lit(stage).as("stage"), col("n"),
             lit(null).cast("string").as("fp"))
+      // the quarantine count rides the SAME single action as every
+      // other stage count (guide §1.2: fold per-stage driver actions)
+      // instead of an eager .count() job at plan-construction time
       cnt("s1_ingest", st("ingest"))
-        .unionByName(s.range(1).select(
-          lit("s1_quarantine").as("stage"),
-          lit(nQuarantined).as("n"), lit(null).cast("string").as("fp")))
+        .unionByName(cnt("s1_quarantine", quarantine))
         .unionByName(cnt("s2_batch", st("batch")))
         .unionByName(cnt("s2_admitted", st("admitted")))
         .unionByName(cnt("s3_quality", st("quality")))
@@ -1519,7 +1520,7 @@ object ExtQueries {
         s, jsonlFixture(s, d))
       clean.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(col("text")).as("text_fp"))
-        .withColumn("n_quarantined", lit(quarantine.count()))
+        .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
     }),
 
     // TSV ingest with the same lossless-round-trip + quarantine
@@ -1532,7 +1533,7 @@ object ExtQueries {
         s, tsvFixture(s, d))
       clean.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(col("text")).as("text_fp"))
-        .withColumn("n_quarantined", lit(quarantine.count()))
+        .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
     }),
 
     // Incremental profiling with MERGEABLE persisted sketches: each
@@ -2295,7 +2296,7 @@ object ExtQueries {
           coalesce(col("lang"), lit("(missing)")).as("lang_read"),
           col("lang").isNull.as("needs_backfill"),
           md5(col("text")).as("text_fp"), col("n_chars"))
-        .withColumn("n_quarantined", lit(quarantine.count()))
+        .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
     }),
 
     // View→click attribution: the STREAM-STREAM interval join run in

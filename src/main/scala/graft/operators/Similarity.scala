@@ -65,6 +65,21 @@ object Similarity {
       .select(col(idAs),
         transform(col("v"), x => x / col("nrm")).as(vecAs))
 
+  /** Collect a centroid table to driver arrays for the per-row argmax
+    * kernels ([[graft.plans.CentroidKernels]]) — broadcast-sized by the
+    * same contract that let the crossJoin form broadcast it, sorted by
+    * id so equivalent tables canonicalize to equal kernel expressions.
+    * Runs inside the query-construction path, so every bench attempt
+    * re-pays the evaluation (caches are cleared between attempts). */
+  private def collectCents(cents: DataFrame, idField: String,
+      vecField: String): (Array[Long], Array[Array[Double]]) = {
+    val rows = cents.select(col(idField).cast("long"),
+      col(vecField).cast("array<double>")).collect()
+    val sorted = rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -346,12 +361,28 @@ object Similarity {
       corpus.filter(col(idCol) % centroidMod === 0), idCol, vecCol,
       "cent_id", "centv")
     (1 to iters).foreach { _ =>
-      val asg = raw.crossJoin(broadcast(cents))
-        .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
-        .groupBy(col("match_id"))
-        .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-          .as("cent_id"),
-          first(col("v")).as("v"))
+      // per-row argmax kernel instead of crossJoin+max_by: no n·C
+      // candidate rows, no broadcast build, no aggregate exchange per
+      // round — and each round's plan no longer nests the previous
+      // round's whole lineage (the centroids ride along as a collected
+      // reference object), so planning cost stays flat across rounds
+      // (guide §7.3). Empty centroid sets keep the legacy shape (the
+      // crossJoin form's inner-join-with-empty ⇒ empty result).
+      val (cids, cvs) = collectCents(cents, "cent_id", "centv")
+      val asg =
+        if (cids.isEmpty)
+          raw.crossJoin(broadcast(cents))
+            .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
+            .groupBy(col("match_id"))
+            .agg(max_by(col("cent_id"),
+              struct(col("cdot"), -col("cent_id"))).as("cent_id"),
+              first(col("v")).as("v"))
+        else
+          raw.select(col("match_id"),
+            graft.plans.CentroidKernels.nearestCentroid(col("v"), cids,
+              cvs, graft.plans.CentroidKernels.NormFull)
+              .getField("cent_id").as("cent_id"),
+            col("v"))
       val dims = asg
         .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cent_id"), col("i"))
@@ -377,15 +408,23 @@ object Similarity {
     * building, Lloyd iteration, and cluster-balanced sampling. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame,
       dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    fanOut(vectors)
+      vecCol: String = "embedding"): DataFrame = {
+    val base = fanOut(vectors)
       .select(col(idCol).as("id"),
         dimChecked(col(vecCol).cast("array<double>"), dim).as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
-      .groupBy(col("id"))
-      .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-        .as("cent_id"))
+    val (cids, cvs) = collectCents(cents, "cent_id", "centv")
+    if (cids.isEmpty) // legacy shape: empty cents ⇒ empty assignment
+      base.crossJoin(broadcast(cents))
+        .withColumn("cdot", round(cosRaw(col("v"), col("centv")), 6))
+        .groupBy(col("id"))
+        .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+          .as("cent_id"))
+    else // per-row argmax kernel: scan-shaped, no n·C rows, no exchange
+      base.select(col("id"),
+        graft.plans.CentroidKernels.nearestCentroid(col("v"), cids, cvs,
+          graft.plans.CentroidKernels.NormFull)
+          .getField("cent_id").as("cent_id"))
+  }
 
   /** Cluster-balanced ("diversity") sampling — the curation step that
     * keeps coverage of the embedding space instead of letting one dense
@@ -426,14 +465,24 @@ object Similarity {
     // that (data-dependent, so it must be structurally impossible)
     def centCos(v: Column): Column = round(dot(v, col("centv")) /
       sqrt(dot(col("centv"), col("centv"))), 6)
-    val lists = unitVecs(corpus, idCol, vecCol, "match_id", "cv")
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", centCos(col("cv")))
-      .groupBy(col("match_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-          .as("cent_id"),
-        first(col("cv")).as("cv"))
+    val (cids, cvs) = collectCents(cents, "cent_id", "centv")
+    val lists =
+      if (cids.isEmpty) // legacy shape: empty cents ⇒ empty lists
+        unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+          .crossJoin(broadcast(cents))
+          .withColumn("cdot", centCos(col("cv")))
+          .groupBy(col("match_id"))
+          .agg(
+            max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+              .as("cent_id"),
+            first(col("cv")).as("cv"))
+      else // per-row argmax kernel (÷ centroid norm): scan-shaped
+        unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+          .select(col("match_id"),
+            graft.plans.CentroidKernels.nearestCentroid(col("cv"), cids,
+              cvs, graft.plans.CentroidKernels.NormCent)
+              .getField("cent_id").as("cent_id"),
+            col("cv"))
     // query probes: the query set is small; rank nprobe lists per query
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -626,17 +675,43 @@ object Similarity {
     val sub = dim / m
     def dp(a: Column, b: Column) =
       graft.plans.VectorExpressions.dotProduct(a, b)
-    vecs
-      .select(col("match_id"), pqSlices(col("v"), m, sub)
-        .as(Seq("j", "subv")))
-      .join(broadcast(cb), Seq("j"))
-      .withColumn("d2", round(dp(col("subv"), col("subv"))
-        - lit(2.0) * dp(col("subv"), col("subc")) + col("cn2"), 6))
-      .groupBy(col("match_id"), col("j"))
-      .agg(max_by(struct(col("cent_id").as("code"), col("cn2")),
-        struct(-col("d2"), -col("cent_id"))).as("c"))
-      .select(col("match_id"), col("j"),
-        col("c.code").as("code"), col("c.cn2").as("cn2"))
+    // collect the frozen codebook once (index metadata — the same rows
+    // the legacy form broadcast): [j][k] sub-centroids with their
+    // STORED cn2 norms, code ids ascending within every subspace
+    val rows = cb.select(col("j").cast("int"),
+      col("cent_id").cast("long"), col("subc").cast("array<double>"),
+      col("cn2").cast("double")).collect()
+    if (rows.isEmpty) // legacy shape: empty codebook ⇒ empty codes
+      vecs
+        .select(col("match_id"), pqSlices(col("v"), m, sub)
+          .as(Seq("j", "subv")))
+        .join(broadcast(cb), Seq("j"))
+        .withColumn("d2", round(dp(col("subv"), col("subv"))
+          - lit(2.0) * dp(col("subv"), col("subc")) + col("cn2"), 6))
+        .groupBy(col("match_id"), col("j"))
+        .agg(max_by(struct(col("cent_id").as("code"), col("cn2")),
+          struct(-col("d2"), -col("cent_id"))).as("c"))
+        .select(col("match_id"), col("j"),
+          col("c.code").as("code"), col("c.cn2").as("cn2"))
+    else { // per-row PQ-encode kernel: no n·m explode-join-argmin, the
+      // m (j, code, cn2) structs come out of one scan-shaped projection
+      val byJ = rows.groupBy(_.getInt(0))
+      require(byJ.keySet == (0 until m).toSet,
+        s"codebook subspaces ${byJ.keySet.toSeq.sorted} != 0..${m - 1}")
+      val perJ = (0 until m).map { j =>
+        byJ(j).map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+          r.getDouble(3))).sortBy(_._1)
+      }
+      val codeIds = perJ.head.map(_._1).toArray
+      require(perJ.forall(_.map(_._1).sameElements(codeIds)),
+        "codebook code-id sets differ across subspaces")
+      vecs.select(col("match_id"),
+          explode(graft.plans.CentroidKernels.pqEncodeCodes(col("v"),
+            codeIds, perJ.map(_.map(_._2).toArray).toArray,
+            perJ.map(_.map(_._3).toArray).toArray, sub)).as("e"))
+        .select(col("match_id"), col("e.j").as("j"),
+          col("e.code").as("code"), col("e.cn2").as("cn2"))
+    }
   }
 
   private def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int,
@@ -774,17 +849,28 @@ object Similarity {
     * a map-side-combinable `max_by` against the broadcast centroid
     * table, so n rows reach the shuffle, never n·C candidates. */
   private def assignResiduals(corpus: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    unitVecs(corpus, idCol, vecCol, "match_id", "cv")
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
-      .groupBy(col("match_id"))
-      .agg(max_by(struct(col("cent_id").as("cid"),
-          col("centv").as("cv0")),
-          struct(col("cdot"), -col("cent_id"))).as("a"),
-        first(col("cv")).as("cv"))
-      .select(col("match_id"), col("a.cid").as("cent_id"),
-        zip_with(col("cv"), col("a.cv0"), (x, c) => x - c).as("v"))
+      idCol: String, vecCol: String): DataFrame = {
+    val (cids, cvs) = collectCents(cents, "cent_id", "centv")
+    if (cids.isEmpty) // legacy shape: empty cents ⇒ empty assignment
+      unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", round(dot(col("cv"), col("centv")), 6))
+        .groupBy(col("match_id"))
+        .agg(max_by(struct(col("cent_id").as("cid"),
+            col("centv").as("cv0")),
+            struct(col("cdot"), -col("cent_id"))).as("a"),
+          first(col("cv")).as("cv"))
+        .select(col("match_id"), col("a.cid").as("cent_id"),
+          zip_with(col("cv"), col("a.cv0"), (x, c) => x - c).as("v"))
+    else // fused argmax+residual kernel: scan-shaped, no n·C rows,
+      // no aggregate exchange, no interpreted zip_with per element
+      unitVecs(corpus, idCol, vecCol, "match_id", "cv")
+        .select(col("match_id"),
+          graft.plans.CentroidKernels.nearestResidual(col("cv"), cids,
+            cvs).as("a"))
+        .select(col("match_id"), col("a.cent_id").as("cent_id"),
+          col("a.v").as("v"))
+  }
 
   /** Encode a vector batch against FROZEN index metadata (stored
     * centroids + codebooks): assignment, residual, PQ codes — the
@@ -1007,14 +1093,26 @@ object Similarity {
       .withColumn("nrm", sqrt(dp(col("v"), col("v"))))
       .select(col("query_id"), col("label"),
         transform(col("v"), x => x / col("nrm")).as("qv"))
-    q.crossJoin(broadcast(cents))
-      .withColumn("cos", round(dp(col("qv"), col("centv")), 6))
-      .groupBy(col("query_id"))
-      .agg(first(col("label")).as("label"),
-        max_by(struct(col("clabel").as("pl"), col("cos").as("pc")),
-          struct(col("cos"), -col("clabel"))).as("p"))
-      .select(col("query_id"), col("label"),
-        col("p.pl").as("pred_label"), col("p.pc").as("cos"))
+    val (cids, cvs) = collectCents(cents, "clabel", "centv")
+    if (cids.isEmpty) // legacy shape: empty corpus ⇒ empty prediction
+      q.crossJoin(broadcast(cents))
+        .withColumn("cos", round(dp(col("qv"), col("centv")), 6))
+        .groupBy(col("query_id"))
+        .agg(first(col("label")).as("label"),
+          max_by(struct(col("clabel").as("pl"), col("cos").as("pc")),
+            struct(col("cos"), -col("clabel"))).as("p"))
+        .select(col("query_id"), col("label"),
+          col("p.pl").as("pred_label"), col("p.pc").as("cos"))
+    else { // per-row argmax kernel: the struct carries both the winning
+      // label and its round-6 score, so no re-attach join is needed
+      val labelType = cents.schema("clabel").dataType
+      q.select(col("query_id"), col("label"),
+          graft.plans.CentroidKernels.nearestCentroid(col("qv"), cids,
+            cvs, graft.plans.CentroidKernels.NormNone).as("p"))
+        .select(col("query_id"), col("label"),
+          col("p.cent_id").cast(labelType).as("pred_label"),
+          col("p.cos").as("cos"))
+    }
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — exact

@@ -130,8 +130,11 @@ object FingerprintStore {
     val segId = ManifestDir.newSegmentId()
     val bSeg = ManifestDir.segDir(segId, BucketsRel)
     val aSeg = ManifestDir.segDir(segId, ArraysRel)
-    buckets.write.parquet(s"$path/$bSeg")
-    arrays.write.parquet(s"$path/$aSeg")
+    // both relations derive from the one cached postings frame — the
+    // writes are independent actions; overlap them (guide §2.6)
+    StoreFiles.inParallel(Seq(
+      () => buckets.write.parquet(s"$path/$bSeg"),
+      () => arrays.write.parquet(s"$path/$aSeg")))
     ManifestDir.commit(spark, path, pfx,
       base.withSegment(BucketsRel, bSeg).withSegment(ArraysRel, aSeg))
     ()
@@ -319,8 +322,11 @@ object FingerprintStore {
     val segId = ManifestDir.newSegmentId()
     val bSeg = ManifestDir.segDir(segId, BucketsRel)
     val aSeg = ManifestDir.segDir(segId, ArraysRel)
-    buckets.write.parquet(s"$path/$bSeg")
-    arrays.write.parquet(s"$path/$aSeg")
+    // both relations derive from the one cached postings frame — the
+    // writes are independent actions; overlap them (guide §2.6)
+    StoreFiles.inParallel(Seq(
+      () => buckets.write.parquet(s"$path/$bSeg"),
+      () => arrays.write.parquet(s"$path/$aSeg")))
     Branches.commitWindow(spark, path, pfx, claimed) { cur =>
       ManifestDir.commit(spark, path, pfx,
         cur.withSegment(BucketsRel, bSeg).withSegment(ArraysRel, aSeg))
@@ -385,12 +391,13 @@ object FingerprintStore {
           val segId = ManifestDir.newSegmentId()
           val bSeg = ManifestDir.segDir(segId, BucketsRel)
           val aSeg = ManifestDir.segDir(segId, ArraysRel)
-          ManifestDir.readRelation(spark, path, m, BucketsRel)
-            .join(del, Seq("id"), "left_anti")
-            .write.parquet(s"$path/$bSeg")
-          ManifestDir.readRelation(spark, path, m, ArraysRel)
-            .join(del, Seq("id"), "left_anti")
-            .write.parquet(s"$path/$aSeg")
+          StoreFiles.inParallel(Seq( // independent rewrites (§2.6)
+            () => ManifestDir.readRelation(spark, path, m, BucketsRel)
+              .join(del, Seq("id"), "left_anti")
+              .write.parquet(s"$path/$bSeg"),
+            () => ManifestDir.readRelation(spark, path, m, ArraysRel)
+              .join(del, Seq("id"), "left_anti")
+              .write.parquet(s"$path/$aSeg")))
           ManifestDir.commit(spark, path, pfx, m
             .withRelation(BucketsRel, Seq(bSeg))
             .withRelation(ArraysRel, Seq(aSeg)))

@@ -16,6 +16,26 @@ private[sources] object StoreFiles {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
+  /** Run independent Spark write actions concurrently on a bounded
+    * pool (guide §2.6: the scheduler happily runs several jobs at once
+    * — actions are only serial because caller code calls them
+    * serially). Callers must ensure shared upstream frames are cached
+    * AND already materialized (or cheap), so concurrent first-compute
+    * does not duplicate expensive work. First failure propagates. */
+  def inParallel(thunks: Seq[() => Unit]): Unit =
+    if (thunks.size <= 1) thunks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(4, thunks.size))
+      try {
+        val futs = thunks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          }))
+        futs.foreach(_.get()) // propagate the first failure loudly
+      } finally pool.shutdown()
+    }
+
   def writeText(spark: SparkSession, p: String, s: String): Unit = {
     val (fs, hp) = fsOf(spark, p)
     val out = fs.create(hp, true)

@@ -242,16 +242,23 @@ object VectorIndexStore {
       // pre-compaction codes dir on disk forever
       val codesSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
         CodesRel)
-      clustered.write.partitionBy("cent_id").parquet(s"$path/$codesSeg")
       val centsSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
         CentsRel)
-      ix.cents.write.parquet(s"$path/$centsSeg")
       val cbSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
         CodebooksRel)
-      ix.codebooks.write.parquet(s"$path/$cbSeg")
       val ctSeg = ManifestDir.segDir(ManifestDir.newSegmentId(),
         CrosstRel)
-      ix.crossTable.write.parquet(s"$path/$ctSeg")
+      // the three metadata relations are tiny and independent of the
+      // corpus-sized codes write; overlap all four (guide §2.6). The
+      // shared upstream caches (cents, the assignment) are already
+      // materialized by the kernel collects at build time, so the
+      // concurrent actions reuse them instead of recomputing.
+      StoreFiles.inParallel(Seq(
+        () => clustered.write.partitionBy("cent_id")
+          .parquet(s"$path/$codesSeg"),
+        () => ix.cents.write.parquet(s"$path/$centsSeg"),
+        () => ix.codebooks.write.parquet(s"$path/$cbSeg"),
+        () => ix.crossTable.write.parquet(s"$path/$ctSeg")))
       ManifestDir.commit(spark, path, Prefix, ManifestDir.Empty
         .withSegment(CodesRel, codesSeg)
         .withSegment(CentsRel, centsSeg)

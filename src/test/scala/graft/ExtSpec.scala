@@ -2315,11 +2315,11 @@ class ExtSpec extends SparkSpec {
       "never reach a shard") {
     import graft.operators.ExtQueries
     val docs = Tables.documents(spark, sf0001)
-    val (nQuarantined, st) = ExtQueries.pipelineStages(spark, sf0001)
+    val (quarantine, st) = ExtQueries.pipelineStages(spark, sf0001)
     // exactly the 2 injected bad lines quarantine; every real doc
     // ingests (quarantined rows have no valid id — they can't even
     // enter the flow)
-    assert(nQuarantined === 2L)
+    assert(quarantine.count() === 2L)
     assert(st("ingest").count() === docs.count())
     val shardIds = st("sharded").select($"doc_id").collect()
       .map(_.getLong(0)).toSet
@@ -4013,6 +4013,118 @@ class ExtSpec extends SparkSpec {
         matVec($"v", mat).as("fast"), dslProj.as("dsl"))
       .filter(not($"fast" <=> $"dsl"))
     assert(projDiff.count() === 0)
+  }
+
+  test("centroid argmax kernels match the crossJoin+max_by " +
+      "construction bit-for-bit") {
+    // the r15 assignment-pass fix replaced crossJoin(broadcast(cents))
+    // + round-6 score + max_by argmax with per-row reference-object
+    // kernels — this pins score arithmetic (all three norm modes),
+    // Spark-round-6 parity, the ties→lowest-id rule (a duplicated
+    // centroid under two ids), and the fused residual, against the
+    // legacy column-DSL construction
+    import graft.plans.CentroidKernels
+    import graft.plans.CentroidKernels.{nearestCentroid, nearestResidual, pqEncodeCodes}
+    import graft.plans.VectorExpressions.dotProduct
+    val dim = 8
+    // deliberately UNSORTED ids; cents(3) duplicates cents(0) under a
+    // HIGHER id, so whenever that direction wins the tie must go to 7
+    val cids = Array(7L, 3L, 20L, 11L)
+    val cents = Array(
+      Array.tabulate(dim)(i => math.cos(i * 1.7) + 0.3),
+      Array.tabulate(dim)(i => math.sin(i * 0.9) - 0.1),
+      Array.tabulate(dim)(i => 0.25 * ((i % 4) - 1.5)),
+      Array.tabulate(dim)(i => math.cos(i * 1.7) + 0.3))
+    val vecs = Seq(
+      (1L, Array.tabulate(dim)(i => math.sin(i + 1.0))),
+      (2L, Array.tabulate(dim)(i => -0.25 * (i % 3) + 0.01)),
+      (3L, Array.tabulate(dim)(i => 1e-7 * (i - 3.0))),
+      (4L, Array.tabulate(dim)(i => if (i % 2 == 0) 2.0 else -1.0)))
+      .toDF("id", "v")
+    val centsDf = cids.zip(cents).toSeq.toDF("cent_id", "centv")
+    val dsl = Map[Int, org.apache.spark.sql.Column](
+      CentroidKernels.NormNone ->
+        round(dotProduct($"v", $"centv"), 6),
+      CentroidKernels.NormCent ->
+        round(dotProduct($"v", $"centv") /
+          sqrt(dotProduct($"centv", $"centv")), 6),
+      CentroidKernels.NormFull ->
+        round(dotProduct($"v", $"centv") /
+          (sqrt(dotProduct($"v", $"v")) *
+            sqrt(dotProduct($"centv", $"centv"))), 6))
+    dsl.foreach { case (norm, score) =>
+      val legacy = vecs.crossJoin(broadcast(centsDf))
+        .withColumn("cdot", score)
+        .groupBy($"id")
+        .agg(max_by($"cent_id", struct($"cdot", -$"cent_id"))
+          .as("cent_id"), max($"cdot").as("cos"))
+      val fast = vecs.select($"id",
+        nearestCentroid($"v", cids, cents, norm).as("p"))
+        .select($"id", $"p.cent_id".as("cent_id"), $"p.cos".as("cos"))
+      val diff = legacy.as("l").join(fast.as("f"), Seq("id"))
+        .filter(not($"l.cent_id" <=> $"f.cent_id") ||
+          not($"l.cos" <=> $"f.cos"))
+      assert(diff.count() === 0, s"norm mode $norm diverged")
+      // cents(3) duplicates cents(0) under id 11 vs id 7: whenever that
+      // direction wins, the tie must go to the LOWER id — 11 never wins
+      assert(fast.filter($"cent_id" === 11L).count() === 0)
+    }
+    // fused residual: argmax (plain dot) + elementwise v − c_win
+    val legacyRes = vecs.crossJoin(broadcast(centsDf))
+      .withColumn("cdot", round(dotProduct($"v", $"centv"), 6))
+      .groupBy($"id")
+      .agg(max_by(struct($"cent_id".as("cid"), $"centv".as("cv0")),
+        struct($"cdot", -$"cent_id")).as("a"), first($"v").as("v"))
+      .select($"id", $"a.cid".as("cent_id"),
+        zip_with($"v", $"a.cv0", (x, c) => x - c).as("res"))
+    val fastRes = vecs.select($"id",
+        nearestResidual($"v", cids, cents).as("a"))
+      .select($"id", $"a.cent_id".as("cent_id"), $"a.v".as("res"))
+    val resDiff = legacyRes.as("l").join(fastRes.as("f"), Seq("id"))
+      .filter(not($"l.cent_id" <=> $"f.cent_id") ||
+        not($"l.res" <=> $"f.res"))
+    assert(resDiff.count() === 0)
+    // PQ encode: per-subspace argmin over the codebook, stored cn2
+    // carried through; entries 0 and 2 of subspace 0 are identical so
+    // the code tie must go to the lower id
+    val m = 2
+    val sub = dim / m
+    val codeIds = Array(5L, 2L, 9L)
+    val subcs = Array(
+      Array(Array.tabulate(sub)(i => 0.5 - 0.2 * i),
+        Array.tabulate(sub)(i => math.sin(i * 2.1)),
+        Array.tabulate(sub)(i => 0.5 - 0.2 * i)),
+      Array(Array.tabulate(sub)(i => -0.3 + 0.1 * i),
+        Array.tabulate(sub)(i => math.cos(i * 1.3)),
+        Array.tabulate(sub)(i => 0.05 * i * i)))
+    def selfDot(a: Array[Double]) = a.map(x => x * x).sum
+    val cn2s = subcs.map(_.map(selfDot))
+    val cbDf = (0 until m).flatMap(j => codeIds.indices.map(k =>
+      (j, codeIds(k), subcs(j)(k), cn2s(j)(k))))
+      .toDF("j", "cent_id", "subc", "cn2")
+    val legacyPq = vecs
+      .select($"id", posexplode(array((0 until m).map(j =>
+        slice($"v", j * sub + 1, sub)): _*)).as(Seq("j", "subv")))
+      .join(broadcast(cbDf), Seq("j"))
+      .withColumn("d2", round(dotProduct($"subv", $"subv")
+        - lit(2.0) * dotProduct($"subv", $"subc") + $"cn2", 6))
+      .groupBy($"id", $"j")
+      .agg(max_by(struct($"cent_id".as("code"), $"cn2"),
+        struct(-$"d2", -$"cent_id")).as("c"))
+      .select($"id", $"j", $"c.code".as("code"), $"c.cn2".as("cn2"))
+    val fastPq = vecs.select($"id",
+        explode(pqEncodeCodes($"v", codeIds, subcs, cn2s, sub)).as("e"))
+      .select($"id", $"e.j".as("j"), $"e.code".as("code"),
+        $"e.cn2".as("cn2"))
+    val pqDiff = legacyPq.as("l")
+      .join(fastPq.as("f"), Seq("id", "j"))
+      .filter(not($"l.code" <=> $"f.code") ||
+        not($"l.cn2" <=> $"f.cn2"))
+    assert(pqDiff.count() === 0)
+    assert(fastPq.count() === vecs.count() * m)
+    // ids 5 and 9 share subc in subspace 0: 9 can never win there
+    // (it either loses outright or ties-loses to the lower id 5)
+    assert(fastPq.filter($"j" === 0 && $"code" === 9L).count() === 0)
   }
 
   test("ensureBucketed: data lands once, catalog re-registers per call, " +
