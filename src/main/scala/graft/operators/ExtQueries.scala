@@ -244,27 +244,35 @@ object ExtQueries {
     val factDel = events
       .filter(col("event_id") % DeleteMod === DeleteRem)
     // warm bases (all ensure-gated), cloned so the base stores stay
-    // pristine for their own queries
-    graft.sources.FingerprintStore.ensureFingerprints(
-      incrCorpus(s, d), base("fp"))
-    graft.sources.EdgeStore.ensureNearDupPairs(e, base("edges"),
-      CosineThreshold, bands = NearDupBands,
-      rowsPerBand = NearDupRows, dim = EmbeddingDim)
+    // pristine for their own queries. The nine family builds write
+    // DISJOINT store roots from independent inputs — overlap them on a
+    // bounded pool (guide §2.6: the scheduler runs concurrent jobs
+    // fine; the builds were only serial because this code called them
+    // serially). The ONE build kept out of the batch is the cluster
+    // LABELS build: its connected-components fixpoint scopes a
+    // session-global shuffle-width conf (Dedup.scala), which must not
+    // race concurrent planning — it runs alone, after the batch.
+    graft.sources.StoreFiles.inParallel(Seq(
+      () => graft.sources.FingerprintStore.ensureFingerprints(
+        incrCorpus(s, d), base("fp")),
+      () => graft.sources.EdgeStore.ensureNearDupPairs(e, base("edges"),
+        CosineThreshold, bands = NearDupBands,
+        rowsPerBand = NearDupRows, dim = EmbeddingDim),
+      () => graft.sources.VectorIndexStore.ensureIvfPq(e, base("ann"),
+        ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
+        m = PqSubspaces, dim = EmbeddingDim),
+      () => graft.sources.AggStore.ensureState(events, base("agg"),
+        baseTag = "mv-full"),
+      () => graft.sources.LmStore.ensureModel(Tables.documents(s, d),
+        base("lm")),
+      () => graft.sources.TokenizerStore.ensureVocab(
+        Tables.documents(s, d), base("tok"), BpeTrainMerges),
+      () => graft.sources.HilbertStore.ensureHilbert(zGrid(events),
+        base("hilb"), "za", "zb", ZBits, ZFiles),
+      () => graft.sources.ZOrderStore.ensureZOrdered(zGrid(events),
+        base("zorder"), "za", "zb", ZBits, ZFiles),
+      () => graft.sources.Scd2Store.ensureState(events, base("scd2"))))
     graft.sources.ClusterStore.ensureLabels(s, base("edges"))
-    graft.sources.VectorIndexStore.ensureIvfPq(e, base("ann"),
-      ivfCentroidMod = IvfCentroidMod, pqCentroidMod = PqCentroidMod,
-      m = PqSubspaces, dim = EmbeddingDim)
-    graft.sources.AggStore.ensureState(events, base("agg"),
-      baseTag = "mv-full")
-    graft.sources.LmStore.ensureModel(Tables.documents(s, d),
-      base("lm"))
-    graft.sources.TokenizerStore.ensureVocab(Tables.documents(s, d),
-      base("tok"), BpeTrainMerges)
-    graft.sources.HilbertStore.ensureHilbert(zGrid(events),
-      base("hilb"), "za", "zb", ZBits, ZFiles)
-    graft.sources.ZOrderStore.ensureZOrdered(zGrid(events),
-      base("zorder"), "za", "zb", ZBits, ZFiles)
-    graft.sources.Scd2Store.ensureState(events, base("scd2"))
     val fpW = work("fp")
     val edgeW = work("edges")
     val annW = work("ann")

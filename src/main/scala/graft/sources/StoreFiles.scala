@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * written LAST — a crash mid-build leaves no marker, so the next
   * ensure rebuilds instead of serving a half-written store. One copy,
   * one thing to keep correct. */
-private[sources] object StoreFiles {
+private[graft] object StoreFiles {
 
   def fsOf(spark: SparkSession, p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
